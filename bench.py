@@ -1,0 +1,63 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import couchwarehouse_spark.plans.all  # noqa: F401  (populate registry)
+from couchwarehouse_spark.plans import QUERIES
+from couchwarehouse_spark.session import get_spark
+
+# Headline set: exercised every round; keep it representative of the
+# operator families (scan/agg, join, window, dedup, similarity, text).
+HEADLINE = [
+    "pricing_summary",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="couchwarehouse_bench")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    extra = [n for n in sorted(QUERIES) if n not in names]
+    names += extra
+
+    # Warm the JVM/session once so per-query timings measure the query,
+    # not session startup.
+    QUERIES[names[0]](spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.monotonic()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

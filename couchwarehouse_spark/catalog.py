@@ -1,0 +1,56 @@
+"""Testdata catalog: load the driver-generated parquet tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table
+under /root/testdata/sf{0.001,0.01,0.1}/.
+
+Scans are plain ``spark.read.parquet`` so Catalyst gets full
+predicate pushdown / column pruning; nothing is cached here (callers
+decide — at 100 TB you never blanket-cache base tables).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view named after itself.
+
+    Lets the SQL lane (``spark.sql``) address the same tables the
+    DataFrame lane loads — mirroring the reference's promise that the
+    warehouse "can be queried using SQL" (reference README.md:14).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

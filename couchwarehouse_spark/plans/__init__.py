@@ -1,0 +1,3 @@
+from couchwarehouse_spark.plans.registry import ORACLES, QUERIES, query
+
+__all__ = ["QUERIES", "ORACLES", "query"]
