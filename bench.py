@@ -32,18 +32,23 @@ def main() -> None:
     names = [n for n in HEADLINE if n in QUERIES]
     extra = [n for n in sorted(QUERIES) if n not in names]
     names += extra
+    if not names:
+        sys.exit("no queries registered — check couchwarehouse_spark.plans.all imports")
 
-    # Warm the JVM/session once so per-query timings measure the query,
-    # not session startup.
-    QUERIES[names[0]](spark, sf_dir).limit(1).collect()
+    # Neutral warm-up (JIT + a parquet read) so the first benchmarked
+    # query isn't measured colder than the rest.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.monotonic()
         df = QUERIES[name](spark, sf_dir)
-        n = df.count()
+        # Materialize every column of every row (noop sink) — count()
+        # would let Catalyst prune the very columns the query computes.
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

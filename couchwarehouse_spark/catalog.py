@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -38,7 +39,17 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as long
+        # nanoseconds. Integer-division to micros (exact — double
+        # division would lose precision above 2^53) matches DuckDB's
+        # own nanos→micros truncation.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -43,9 +43,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert in the catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # NB: spark.driver.memory cannot be set here — by the time
+    # builder.getOrCreate() runs, the JVM gateway is already launched
+    # with its default heap. Heap must come from the launcher:
+    # SPARK_DRIVER_MEMORY / PYSPARK_SUBMIT_ARGS / spark-submit.
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

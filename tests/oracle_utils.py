@@ -20,7 +20,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             out[c] = out[c].astype("datetime64[us]")
             if getattr(out[c].dt, "tz", None) is not None:
                 out[c] = out[c].dt.tz_localize(None)
-    sort_cols = list(out.columns)
+    # Sort rows by non-float columns first (stable group keys), floats
+    # only as tie-breakers — a last-ulp float divergence between engines
+    # must not re-pair rows.
+    non_float = [c for c in out.columns if not pd.api.types.is_float_dtype(out[c])]
+    floats = [c for c in out.columns if pd.api.types.is_float_dtype(out[c])]
+    sort_cols = non_float + floats
     out = out.sort_values(by=sort_cols, kind="mergesort", na_position="last")
     return out.reset_index(drop=True)
 
