@@ -1,0 +1,118 @@
+"""Mango (CouchDB ``_find``) selector → Catalyst ``Column`` compiler (R4).
+
+The reference forwards the ``--query`` Mango selector to CouchDB so
+the server filters the changes feed (reference index.js:101-104;
+validation at index.js:202-214 — the user passes the selector BODY,
+not a ``{"selector": ...}`` wrapper). In our engine the same JSON
+compiles to a Catalyst predicate applied before any shuffle — the
+direct pushdown analog: Catalyst forwards it into the parquet scan.
+
+Supported operators (CouchDB Mango, public API docs):
+``$eq $ne $gt $gte $lt $lte $in $nin $exists $regex $and $or $not
+$nor $size`` plus the implicit forms — ``{field: value}`` ≡
+``{field: {"$eq": value}}`` and multiple keys ≡ ``$and``. Nested
+field paths use dotted keys (``"address.city"``) which map to the
+flattened ``address_city`` column when ``flattened=True``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class MangoError(ValueError):
+    """Invalid Mango selector (mirrors the reference's hard exit on
+    bad query JSON, reference index.js:204-214)."""
+
+
+def _field_col(field: str, flattened: bool) -> Column:
+    if flattened:
+        return F.col(field.replace(".", "_"))
+    # dotted path → nested struct access
+    return F.col(field)
+
+
+def _compile_field(field: str, cond, flattened: bool) -> Column:
+    col = _field_col(field, flattened)
+    if not isinstance(cond, Mapping):
+        return col == F.lit(cond)  # implicit $eq
+    parts: list[Column] = []
+    for op, val in cond.items():
+        if op == "$eq":
+            parts.append(col == F.lit(val))
+        elif op == "$ne":
+            # Mango $ne matches docs where the field is missing too;
+            # on a conformed table that is a NULL — include it.
+            parts.append((col != F.lit(val)) | col.isNull())
+        elif op == "$gt":
+            parts.append(col > F.lit(val))
+        elif op == "$gte":
+            parts.append(col >= F.lit(val))
+        elif op == "$lt":
+            parts.append(col < F.lit(val))
+        elif op == "$lte":
+            parts.append(col <= F.lit(val))
+        elif op == "$in":
+            parts.append(col.isin(list(val)))
+        elif op == "$nin":
+            parts.append(~col.isin(list(val)) | col.isNull())
+        elif op == "$exists":
+            parts.append(col.isNotNull() if val else col.isNull())
+        elif op == "$regex":
+            parts.append(col.rlike(val))
+        elif op == "$size":
+            parts.append(F.size(col) == F.lit(val))
+        elif op == "$not":
+            parts.append(~_compile_field(field, val, flattened))
+        else:
+            raise MangoError(f"unsupported Mango operator {op!r} on field {field!r}")
+    return _and_all(parts)
+
+
+def _and_all(parts: list[Column]) -> Column:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out & p
+    return out
+
+
+def _or_all(parts: list[Column]) -> Column:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out | p
+    return out
+
+
+def compile_selector(selector: Mapping, flattened: bool = True) -> Column:
+    """Compile a Mango selector body into one boolean ``Column``.
+
+    ``flattened=True`` (default) addresses the post-flatten wide
+    table (dotted paths → ``_``-joined columns); ``False`` addresses
+    nested structs directly.
+    """
+    if not isinstance(selector, Mapping):
+        raise MangoError(f"selector must be an object, got {type(selector).__name__}")
+    if "selector" in selector:
+        # Same guard as the reference (index.js:210-213): the user
+        # passes the selector body, not the wrapper.
+        raise MangoError('do not wrap the query in a "selector" attribute')
+    if not selector:
+        return F.lit(True)
+    parts: list[Column] = []
+    for key, val in selector.items():
+        if key == "$and":
+            parts.append(_and_all([compile_selector(s, flattened) for s in val]))
+        elif key == "$or":
+            parts.append(_or_all([compile_selector(s, flattened) for s in val]))
+        elif key == "$nor":
+            parts.append(~_or_all([compile_selector(s, flattened) for s in val]))
+        elif key == "$not":
+            parts.append(~compile_selector(val, flattened))
+        elif key.startswith("$"):
+            raise MangoError(f"unsupported top-level Mango operator {key!r}")
+        else:
+            parts.append(_compile_field(key, val, flattened))
+    return _and_all(parts)

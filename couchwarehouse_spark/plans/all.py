@@ -1,3 +1,4 @@
 """Import every plan module so the registry is fully populated."""
 
+import couchwarehouse_spark.plans.etl  # noqa: F401
 import couchwarehouse_spark.plans.relational  # noqa: F401

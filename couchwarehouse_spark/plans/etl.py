@@ -1,0 +1,200 @@
+"""Oracle-backed query entries exercising the document-ETL kernel
+(SURVEY.md §2.A) against the driver's testdata tables.
+
+Each entry routes through the REAL operator implementation
+(operators.document / operators.upsert / functions.mango), not a
+reimplementation — so a green hash here certifies the same code the
+Warehouse pipeline runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from couchwarehouse_spark.catalog import load_table
+from couchwarehouse_spark.functions.mango import compile_selector
+from couchwarehouse_spark.operators.document import (
+    conform_frame,
+    flatten_frame,
+    seq_number_col,
+)
+from couchwarehouse_spark.operators.upsert import apply_deletes, latest_wins
+from couchwarehouse_spark.plans.registry import query
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, round(value, 2) AS value, ts
+    FROM (
+      SELECT user_id, event_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins upsert semantics (R11; reference lib/sqlite.js:82
+    ``REPLACE INTO``) as a query: each user's highest-seq event wins.
+
+    Runs the actual ``operators.upsert.latest_wins`` window dedup —
+    the exact merge the Warehouse applies per changes batch. Scale:
+    one shuffle on the (high-cardinality) key, no skew, state per
+    window partition = one user's events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    latest = latest_wins(ev, key="user_id", seq="event_id")
+    return latest.select(
+        "user_id", "event_id", "event_type", F.round("value", 2).alias("value"), "ts"
+    )
+
+
+@query(
+    "delete_propagation",
+    oracle="""
+    WITH latest AS (
+      SELECT * FROM (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT user_id, event_id, event_type
+    FROM latest
+    WHERE user_id NOT IN (SELECT user_id FROM latest WHERE event_type = 'error')
+    """,
+)
+def delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone delete propagation (R12; reference lib/sqlite.js:95-98)
+    as a query: treat users whose LATEST event is an error as
+    tombstoned and anti-join them out of the state — the literal
+    ``operators.upsert.apply_deletes`` broadcast anti-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    latest = latest_wins(ev, key="user_id", seq="event_id").select(
+        "user_id", "event_id", "event_type"
+    )
+    tombstones = latest.filter(F.col("event_type") == "error").select("user_id")
+    return apply_deletes(latest, tombstones, key="user_id")
+
+
+@query(
+    "flatten_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def flatten_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten (R6) on real nested data: parse the events' JSON props
+    into a struct, flatten it to a ``props_k`` wide column via the
+    actual ``operators.document.flatten_frame`` projection, aggregate.
+
+    Scale: ``from_json`` + struct-field access is all JVM-side
+    expression work inside whole-stage codegen — no Python, no extra
+    pass.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.from_json("props", "k DOUBLE").alias("props")
+    )
+    flat = flatten_frame(ev)  # → event_type, props_k
+    return flat.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("props_k"), 4).alias("avg_k"),
+    )
+
+
+@query(
+    "conform_projection",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           count(CAST(NULL AS VARCHAR)) AS n_missing,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def conform_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-schema conformance (R13; reference lib/sqlite.js:87-92):
+    project documents onto a frozen schema that drops ``source``/
+    ``doc_id`` (extra → dropped) and adds ``missing_field``
+    (absent → typed NULL), via the actual ``conform_frame``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    frozen = {
+        "lang": "string",
+        "n_chars": "number",
+        "missing_field": "string",
+    }
+    conformed = conform_frame(docs, frozen)
+    return conformed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("missing_field").alias("n_missing"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+@query(
+    "seq_extraction",
+    oracle="""
+    SELECT count(*) AS n,
+           sum(CAST(regexp_replace(concat(CAST(event_id AS VARCHAR), '-9f8a2c'), '-.*$', '') AS BIGINT)) AS seq_sum,
+           max(CAST(regexp_replace(concat(CAST(event_id AS VARCHAR), '-9f8a2c'), '-.*$', '') AS BIGINT)) AS seq_max
+    FROM events
+    WHERE event_type = 'click'
+    """,
+)
+def seq_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-token numeric extraction (R15; reference index.js:30-32
+    ``'47-1abc2' → 47``) via the actual ``seq_number_col`` expression,
+    applied to synthesised CouchDB-style seq tokens.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    tok = F.concat(F.col("event_id").cast("string"), F.lit("-9f8a2c"))
+    seq = seq_number_col(tok)
+    return ev.agg(
+        F.count("*").alias("n"),
+        F.sum(seq).alias("seq_sum"),
+        F.max(seq).alias("seq_max"),
+    )
+
+
+MANGO_SELECTOR = {
+    "$or": [
+        {"event_type": {"$in": ["view", "click"]}, "value": {"$gte": 150.0}},
+        {"event_type": "signup"},
+    ]
+}
+
+
+@query(
+    "mango_selector_filter",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    WHERE (event_type IN ('view', 'click') AND value >= 150.0)
+       OR event_type = 'signup'
+    GROUP BY event_type
+    """,
+)
+def mango_selector_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mango selector → Catalyst predicate (R4; reference
+    index.js:101-104 forwards the selector for server-side filtering —
+    here the compiled predicate pushes into the parquet scan).
+
+    Exercises ``$or``, ``$in``, ``$gte`` and implicit AND/EQ through
+    the actual ``functions.mango.compile_selector``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pred = compile_selector(MANGO_SELECTOR)
+    return (
+        ev.filter(pred)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

@@ -1,0 +1,96 @@
+"""Changes-feed source: batch replay of a CouchDB ``_changes`` feed (R1).
+
+The reference spools the feed in one long HTTP request and processes
+it in batches (reference index.js:75-140); the wire format is one
+JSON envelope per change — ``{seq, id, changes[{rev}], deleted?,
+doc}`` (reference test/samplechanges.txt:2, FIXTURES.md §D).
+
+Here the feed is a JSON-lines file/directory (a spooled dump or a
+landing zone that a streaming job tails — see streaming.ingest).
+Reading it is one ``spark.read.json`` scan: schema inference unions
+fields across doc types, which is fine because the warehouse's
+frozen-schema conformance (operators.document.conform_frame) is what
+decides each table's columns — exactly the reference's split between
+"whatever arrives" and "what the table stores".
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from couchwarehouse_spark.operators.document import seq_number_col
+
+DESIGN_DOC_RE = "^_design"
+
+
+def read_changes_feed(
+    spark: SparkSession,
+    path: str,
+    doc_transform: Callable[[dict], dict] | None = None,
+) -> DataFrame:
+    """Read a JSON-lines changes feed into an envelope DataFrame.
+
+    Output columns: the feed's own (``seq``, ``id``, ``deleted``,
+    ``doc`` struct, …) plus ``_cw_seq`` — the numeric prefix of the
+    seq token (R15) used for latest-wins ordering.
+
+    ``doc_transform`` is the reference's per-document transform hook
+    (R5, reference index.js:46-49): a ``dict → dict`` Python function
+    applied to every ``doc`` before anything else sees it. It runs in
+    an Arrow-batched ``mapInPandas`` over the raw JSON lines — the
+    documented UDF slow path; prefer the frame-level transform on
+    :class:`~couchwarehouse_spark.warehouse.Warehouse` when the
+    transform is expressible in columns (the README's example —
+    drop/trim/concat — is).
+    """
+    if doc_transform is None:
+        env = spark.read.json(path)
+    else:
+        import pandas as pd
+
+        lines = spark.read.text(path)
+
+        def _tx(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            for pdf in batches:
+                out = []
+                for line in pdf["value"]:
+                    if not line.strip():
+                        continue
+                    envelope = json.loads(line)
+                    if envelope.get("doc") is not None:
+                        envelope["doc"] = doc_transform(envelope["doc"])
+                    out.append(json.dumps(envelope))
+                yield pd.DataFrame({"value": out})
+
+        transformed = lines.mapInPandas(_tx, "value string")
+        env = spark.read.json(transformed.rdd.map(lambda r: r.value))
+
+    if "deleted" not in env.columns:
+        env = env.withColumn("deleted", F.lit(None).cast("boolean"))
+    return env.withColumn("_cw_seq", seq_number_col("seq"))
+
+
+def filter_design_docs(env: DataFrame) -> DataFrame:
+    """Drop ``_design/*`` documents (R9; reference index.js:55,
+    lib/sqlite.js:70 — excluded from both schema discovery and
+    inserts)."""
+    return env.filter(~F.col("id").rlike(DESIGN_DOC_RE))
+
+
+def split_envelopes(env: DataFrame, split_field: str | None) -> DataFrame:
+    """Attach the routing column ``_cw_type`` (R8).
+
+    ``doc[split_field]`` when splitting (reference index.js:52), the
+    sentinel ``'_default'`` otherwise. Tombstones carry no doc, so
+    their type is null — they are routed to every table's delete set
+    by id (CouchDB tombstones don't say which type they were).
+    """
+    if split_field is None:
+        type_col = F.lit("_default")
+    else:
+        type_col = F.col(f"doc.{split_field}")
+    return env.withColumn("_cw_type", type_col)

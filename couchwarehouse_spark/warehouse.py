@@ -1,0 +1,257 @@
+"""The warehouse: changes feed → conformed, queryable Spark tables.
+
+End-to-end orchestration mirroring the reference's ``start()``
+lifecycle (reference index.js:181-255): resume from checkpoint, spool
+the feed, discover first-doc schemas per type, conform, upsert,
+propagate deletes, checkpoint — then expose everything to SQL
+(reference README.md:14 "your database can be queried using SQL").
+
+Spark-first shape: the whole batch path is declarative DataFrame ops
+(one json scan → filter → flatten projection → window dedup → write);
+the only Python-per-row code is the optional per-doc transform hook,
+and schema freezing collects exactly ONE row per doc type. For
+continuous sync the same ``_process_batch`` runs under Structured
+Streaming ``foreachBatch`` (streaming.ingest), which is the
+micro-batch analog of the reference's 'batch' event loop
+(reference index.js:105-125).
+
+Scale: tables are snapshot-rewritten per spool (parquet has no MERGE);
+at 100 TB swap the writer for Delta/Iceberg ``MERGE INTO`` keyed on
+``id`` — the merge plan (window latest-wins + tombstone union) is
+unchanged, only the sink becomes incremental. State never transits the
+driver; the widest shuffle is one hash partition on the document id.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Callable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from couchwarehouse_spark.functions.mango import compile_selector
+from couchwarehouse_spark.operators.document import (
+    conform_frame,
+    flatten_frame,
+    schema_to_struct,
+    usable_table_name,
+)
+from couchwarehouse_spark.operators.upsert import (
+    SEQ_COL,
+    CheckpointStore,
+    merge_batch,
+)
+from couchwarehouse_spark.sources.changes import (
+    filter_design_docs,
+    read_changes_feed,
+    split_envelopes,
+)
+
+DEFAULT_TYPE = "_default"  # reference index.js:52
+
+
+def _logical_of(dtype: T.DataType) -> str:
+    if isinstance(dtype, T.BooleanType):
+        return "boolean"
+    if isinstance(dtype, T.NumericType):
+        return "number"
+    return "string"
+
+
+class Warehouse:
+    """A CouchDB-database-shaped warehouse on Spark.
+
+    Parameters mirror the reference CLI (reference bin/
+    couchwarehouse.bin.js:6-16): ``split`` = route by this doc field
+    into per-type tables (R8); ``transform`` = frame-level transform
+    applied to each type's flattened frame before schema freezing
+    (R5, fast path); ``doc_transform`` = dict→dict per-doc hook (R5,
+    reference-exact slow path); ``selector`` = Mango filter compiled
+    to a Catalyst predicate (R4); ``reset`` = drop state and start
+    from seq 0 (R19).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        db_name: str,
+        split: str | None = None,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+        doc_transform: Callable[[dict], dict] | None = None,
+        selector: Mapping | None = None,
+        reset: bool = False,
+        verbose: bool = False,
+    ):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        self.db_name = db_name
+        self.split = split
+        self.transform = transform
+        self.doc_transform = doc_transform
+        self.selector_col = compile_selector(selector) if selector else None
+        self.verbose = verbose
+        self.schemas: dict[str, dict[str, str]] = {}
+        self.checkpoints = CheckpointStore(spark, os.path.join(warehouse_dir, "_checkpoints"))
+        if reset:
+            self.reset()
+        self._load_schemas()
+
+    # -- persistence of the frozen schema registry ---------------------
+
+    @property
+    def _schema_path(self) -> str:
+        return os.path.join(self.warehouse_dir, "_schemas.json")
+
+    def _load_schemas(self) -> None:
+        if os.path.exists(self._schema_path):
+            with open(self._schema_path) as f:
+                self.schemas = json.load(f)
+
+    def _save_schemas(self) -> None:
+        os.makedirs(self.warehouse_dir, exist_ok=True)
+        with open(self._schema_path, "w") as f:
+            json.dump(self.schemas, f, indent=1)
+
+    # -- naming --------------------------------------------------------
+
+    def table_name(self, doc_type: str = DEFAULT_TYPE) -> str:
+        return usable_table_name(
+            self.db_name,
+            None if doc_type == DEFAULT_TYPE else doc_type,
+            split=self.split is not None,
+        )
+
+    def _table_path(self, doc_type: str) -> str:
+        return os.path.join(self.warehouse_dir, self.table_name(doc_type))
+
+    # -- lifecycle -----------------------------------------------------
+
+    def reset(self) -> None:
+        """R19 — truncate & reload: drop all state and checkpoints."""
+        shutil.rmtree(self.warehouse_dir, ignore_errors=True)
+        self.schemas = {}
+
+    def spool(self, feed_path: str) -> str | None:
+        """Batch-replay a spooled changes feed into the warehouse (R1).
+
+        Resumes from the last checkpoint unless the store is fresh
+        (reference index.js:240-243); returns the new last-seq token.
+        """
+        env = read_changes_feed(self.spark, feed_path, doc_transform=self.doc_transform)
+        since = self.checkpoints.read(self.db_name)
+        if since is not None:
+            from couchwarehouse_spark.operators.document import extract_seq_number
+
+            env = env.filter(F.col(SEQ_COL) > extract_seq_number(since))
+        last = self._process_batch(env)
+        if last is not None:
+            self.checkpoints.write(self.db_name, last)
+            if self.verbose:
+                self.message()
+        return last
+
+    def _process_batch(self, env: DataFrame) -> str | None:
+        """Conform + merge one envelope batch (the 'batch' event body,
+        reference index.js:105-125). Returns the batch's max seq token."""
+        env = filter_design_docs(env)
+        env = split_envelopes(env, self.split)
+
+        # Tombstones: deletes apply to every type's table — CouchDB
+        # tombstones carry no body, so no type (reference
+        # lib/sqlite.js:95-98 deletes by id in whichever table).
+        deleted = F.col("deleted").isNotNull() & F.col("deleted")
+        tombstones = env.filter(deleted).select("id", SEQ_COL)
+        live = env.filter(~deleted | F.col("deleted").isNull()).filter(
+            F.col("doc").isNotNull()
+        )
+
+        head = env.agg(F.max_by("seq", SEQ_COL).alias("s")).collect()
+        last_seq = head[0]["s"] if head else None
+
+        types = [
+            r["_cw_type"]
+            for r in live.select("_cw_type").distinct().collect()
+            if r["_cw_type"] is not None
+        ]
+        for doc_type in sorted(types):
+            self._merge_type(live, tombstones, doc_type)
+        self._save_schemas()
+        return last_seq
+
+    def _merge_type(self, live: DataFrame, tombstones: DataFrame, doc_type: str) -> None:
+        sub = live.filter(F.col("_cw_type") == doc_type).select(SEQ_COL, "doc.*")
+        flat = flatten_frame(sub)
+        if self.transform is not None:
+            flat = self.transform(flat)
+        if self.selector_col is not None:
+            flat = flat.filter(self.selector_col)
+
+        if doc_type not in self.schemas:
+            self.schemas[doc_type] = self._freeze_schema(flat)
+        struct = schema_to_struct(self.schemas[doc_type])
+
+        conformed = conform_frame(flat, struct, keep=[SEQ_COL])
+
+        path = self._table_path(doc_type)
+        state = self.spark.read.parquet(path) if os.path.isdir(path) else None
+        new_state = merge_batch(state, conformed, tombstones)
+
+        # Snapshot-rewrite via a temp dir: Spark can't overwrite a
+        # parquet dir it is concurrently reading (self-join on source).
+        tmp = path + "._tmp"
+        new_state.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
+        self.register_view(doc_type)
+
+    def _freeze_schema(self, flat: DataFrame) -> dict[str, str]:
+        """First-doc-wins schema freeze (R7; reference index.js:55-68).
+
+        The first (lowest-seq) document of the type defines the
+        column set and logical types; fields it lacks — even ones
+        other docs in the same batch have — never become columns
+        (reference README.md:300-304). Exactly one row is collected.
+        """
+        first = flat.orderBy(F.col(SEQ_COL).asc()).limit(1).collect()
+        if not first:
+            return {}
+        row = first[0].asDict()
+        schema: dict[str, str] = {}
+        for field in flat.schema.fields:
+            name = field.name
+            if name == SEQ_COL:
+                continue
+            if row.get(name) is None:
+                continue  # absent (or null — dropped, see flatten_doc)
+            schema[name] = _logical_of(field.dataType)
+        return schema
+
+    # -- query surface (R17) -------------------------------------------
+
+    def register_view(self, doc_type: str = DEFAULT_TYPE) -> DataFrame:
+        df = self.table(doc_type)
+        df.createOrReplaceTempView(self.table_name(doc_type))
+        return df
+
+    def table(self, doc_type: str = DEFAULT_TYPE) -> DataFrame:
+        """The current conformed state of one type's table (no seq col)."""
+        return self.spark.read.parquet(self._table_path(doc_type)).drop(SEQ_COL)
+
+    def query(self, sql: str) -> DataFrame:
+        """SQL passthrough over the warehouse tables (R17; the seam the
+        reference documents at README.md:306-328 — here it's real:
+        ``spark.sql`` with full Catalyst planning)."""
+        return self.spark.sql(sql)
+
+    def message(self) -> None:
+        """R18 — tell the user how to query (reference lib/sqlite.js:172-179)."""
+        for doc_type in self.schemas:
+            print(
+                f"couchwarehouse: table {self.table_name(doc_type)!r} ready — "
+                f'query with spark.sql("SELECT * FROM {self.table_name(doc_type)} LIMIT 10")'
+            )

@@ -1,0 +1,185 @@
+"""End-to-end warehouse golden tests — ports of the reference's E2E
+suite semantics (reference test/run.js, test/run_mixed.js,
+test/run_evolve.js) over generated fixtures (tests/fixtures.py).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from couchwarehouse_spark.warehouse import Warehouse
+
+from .fixtures import (
+    envelope,
+    evolve_feed,
+    mixed_feed,
+    order_doc,
+    person_doc,
+    person_feed,
+    write_feed,
+)
+
+
+def test_basic_spool_golden(spark, tmp_path):
+    """reference test/run.js:34-60 — full pipeline, then SELECT golden."""
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=100)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "sampledata")
+    last = wh.spool(feed)
+    assert last.startswith("100-")
+
+    df = wh.table()
+    assert df.count() == 100
+    # Flattened wide row with renamed id/rev and typed columns.
+    cols = set(df.columns)
+    assert {"id", "rev", "name", "age", "verified",
+            "address_street", "address_location_long", "tags"} <= cols
+    row = df.filter(F.col("id") == "person0007").collect()[0]
+    assert row["name"] == "Person 7"
+    assert row["age"] == 27.0
+    # Typed lane keeps real booleans (the reference's SQLite golden
+    # stores 0/1 only because SQLite has no boolean).
+    assert row["verified"] in (True, False)
+    # tags arrived as JSON text (lib/flatten.js:45).
+    assert row["tags"].startswith("[")
+
+    # SQL passthrough (R17).
+    out = wh.query("SELECT count(*) AS n FROM sampledata").collect()
+    assert out[0]["n"] == 100
+
+
+def test_mixed_split_mode(spark, tmp_path):
+    """reference test/run_mixed.js:42-86 — split on 'type', counts 200/20/10."""
+    feed = mixed_feed(str(tmp_path / "feed.jsonl"))
+    wh = Warehouse(spark, str(tmp_path / "wh"), "sample-data", split="type")
+    wh.spool(feed)
+
+    assert wh.table("order").count() == 200
+    assert wh.table("product").count() == 20
+    assert wh.table("user").count() == 10
+    # Identifier sanitisation: 'sample-data' → 'sampledata_order'.
+    assert wh.query("SELECT count(*) AS n FROM sampledata_order").collect()[0]["n"] == 200
+    # Nested dispatch address flattened; basket array → JSON text.
+    order = wh.table("order").limit(1).collect()[0]
+    assert "dispatchAddress_town" in order.asDict()
+    assert order["basket"].startswith("[")
+
+
+def test_schema_evolution_frozen(spark, tmp_path):
+    """reference test/run_evolve.js:53-69 — frozen first-doc schema:
+    count 30, newfield never becomes a column, missing → NULL ×10."""
+    feed = evolve_feed(str(tmp_path / "feed.jsonl"))
+    wh = Warehouse(spark, str(tmp_path / "wh"), "evolvedata")
+    wh.spool(feed)
+
+    df = wh.table()
+    assert df.count() == 30
+    assert "newfield" not in df.columns  # extra field dropped
+    n_null = df.filter(F.col("dispatchCourierRef").isNull()).count()
+    assert n_null == 10  # missing field null-filled
+
+
+def test_upsert_delete_recreate(spark, tmp_path):
+    """R11/R12 semantics: latest-wins update, tombstone delete, and
+    delete-then-recreate (the case a naive anti-join gets wrong)."""
+    rng = random.Random(3)
+    d1 = order_doc(1, rng)
+    d1v2 = dict(order_doc(1, rng), status="returned", _rev="2-aaaa")
+    d2 = order_doc(2, rng)
+    d3 = order_doc(3, rng)
+    d3v2 = dict(order_doc(3, rng), status="recreated", _rev="3-bbbb")
+    envs = [
+        envelope(1, d1),
+        envelope(2, d2),
+        envelope(3, d3),
+        envelope(4, d1v2),                              # update: latest wins
+        envelope(5, None, doc_id=d2["_id"], deleted=True),  # delete
+        envelope(6, None, doc_id=d3["_id"], deleted=True),  # delete…
+        envelope(7, d3v2),                              # …then recreate
+    ]
+    feed = write_feed(str(tmp_path / "feed.jsonl"), envs)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "upsertdata")
+    wh.spool(feed)
+
+    df = wh.table()
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(rows) == {d1["_id"], d3["_id"]}          # d2 deleted
+    assert rows[d1["_id"]]["status"] == "returned"      # v2 won
+    assert rows[d3["_id"]]["status"] == "recreated"     # recreate survived
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """R14 — second spool resumes past the checkpoint; replay is a no-op."""
+    rng = random.Random(5)
+    envs = [envelope(i + 1, order_doc(i, rng)) for i in range(10)]
+    feed = write_feed(str(tmp_path / "feed.jsonl"), envs)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "ckptdata")
+    assert wh.spool(feed).startswith("10-")
+    assert wh.table().count() == 10
+
+    # Replay the same feed: resume filter skips everything.
+    assert wh.spool(feed) is None
+    assert wh.table().count() == 10
+
+    # Extend the feed; only the new changes apply.
+    envs += [envelope(11, order_doc(100, rng)),
+             envelope(12, None, doc_id="order00001", deleted=True)]
+    write_feed(str(tmp_path / "feed.jsonl"), envs)
+    assert wh.spool(feed).startswith("12-")
+    assert wh.table().count() == 10  # +1 insert, −1 delete
+
+    # Reset (R19) drops state and checkpoints → full reload.
+    wh2 = Warehouse(spark, str(tmp_path / "wh"), "ckptdata", reset=True)
+    wh2.spool(feed)
+    assert wh2.table().count() == 10
+
+
+def test_mango_selector_and_transform(spark, tmp_path):
+    """R4 selector pushdown + R5 transform (frame lane and doc lane)."""
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=50)
+
+    # Mango: only age >= 60 (ages are 20 + i % 60 → i in 40..49).
+    wh = Warehouse(
+        spark, str(tmp_path / "wh1"), "mangodata",
+        selector={"age": {"$gte": 60}},
+    )
+    wh.spool(feed)
+    assert wh.table().count() == 10
+    assert wh.table().agg(F.min("age")).collect()[0][0] >= 60
+
+    # Frame transform — the README example shape (README.md:177-197):
+    # drop a field, derive a concat column.
+    def tx(df):
+        return df.drop("description").withColumn(
+            "name_street", F.concat_ws(" ", F.col("name"), F.col("address_street"))
+        )
+
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"), "txdata", transform=tx)
+    wh2.spool(feed)
+    assert "description" not in wh2.table().columns
+    assert "name_street" in wh2.table().columns
+
+    # Doc transform — dict→dict per-doc hook (reference index.js:46-49).
+    def doc_tx(doc):
+        doc = dict(doc)
+        doc["name"] = doc["name"].upper()
+        doc.pop("tags", None)
+        return doc
+
+    wh3 = Warehouse(spark, str(tmp_path / "wh3"), "doctxdata", doc_transform=doc_tx)
+    wh3.spool(feed)
+    assert "tags" not in wh3.table().columns
+    assert wh3.table().filter(F.col("id") == "person0003").collect()[0]["name"] == "PERSON 3"
+
+
+def test_design_docs_excluded(spark, tmp_path):
+    """R9 — _design/* excluded from schema discovery and inserts."""
+    rng = random.Random(9)
+    design = {"_id": "_design/views", "_rev": "1-x", "views": {"by_name": {"map": "fn"}}}
+    envs = [envelope(1, design), envelope(2, person_doc(1, rng))]
+    feed = write_feed(str(tmp_path / "feed.jsonl"), envs)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "designdata")
+    wh.spool(feed)
+    assert wh.table().count() == 1
+    assert not [c for c in wh.table().columns if c.startswith("views")]
