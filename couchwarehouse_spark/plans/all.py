@@ -1,4 +1,8 @@
 """Import every plan module so the registry is fully populated."""
 
+import couchwarehouse_spark.plans.dedup  # noqa: F401
 import couchwarehouse_spark.plans.etl  # noqa: F401
 import couchwarehouse_spark.plans.relational  # noqa: F401
+import couchwarehouse_spark.plans.scalar  # noqa: F401
+import couchwarehouse_spark.plans.similarity  # noqa: F401
+import couchwarehouse_spark.plans.text  # noqa: F401

@@ -1,0 +1,354 @@
+"""X1 — deduplication family over ``documents`` / ``embeddings``
+(SURVEY.md §2.D): exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine near-dup.
+
+Design for 100 TB: exact dedup is a hash aggregate (one shuffle on
+the content hash). Near-dup NEVER goes all-pairs at scale — the
+oracle-checkable entries here block on a key (lang / LSH bucket /
+label) so the quadratic term is bounded per block; MinHash-LSH is the
+canonical sub-quadratic path (shingle → minhash signature → band
+buckets → candidates only within buckets) and SimHash the
+bit-sampling variant. Hash-based signatures (xxhash64) are not
+reproducible in DuckDB, so those two entries are declared
+rows-only — the Jaccard verification both run on their candidates IS
+oracle-checked via ``ngram_jaccard_pairs``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from couchwarehouse_spark.catalog import load_table
+from couchwarehouse_spark.plans.registry import query
+
+N_MINHASH = 16  # minhash permutations
+N_BANDS = 4  # LSH bands → r = 4 rows/band; P(candidate) = 1-(1-s^4)^4
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 64
+# Calibrated to the synthetic embeddings (max blocked-pair cosine is
+# ~0.475; nearest value below threshold is ≥6e-4 away at every SF, so
+# the ≥ decision is stable across float32/float64 engines).
+COSINE_DUP_THRESHOLD = 0.45
+
+
+@query(
+    "exact_dedup",
+    oracle="""
+    SELECT lang,
+           count(*)                                   AS n_docs,
+           count(DISTINCT md5(text))                  AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup census (X1): duplicates by content hash, per lang.
+
+    Scale: ``md5(text)`` then two hash aggregates — dedup at any scale
+    is exactly this one shuffle on the digest (never on the full
+    text: 32-byte keys shuffle, documents don't).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.md5("text").alias("h"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            (F.count("*") - F.countDistinct("h")).alias("n_dups"),
+        )
+    )
+
+
+@query(
+    "exact_dedup_canonical",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    """,
+)
+def exact_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, canonical-survivor form (X1): for every duplicated
+    content hash, the kept doc (min id) and the copy count — the
+    latest/first-wins pattern shared with the upsert kernel (R11).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+               i -> concat_ws(' ', list_extract(string_split(text, ' '), i),
+                                   list_extract(string_split(text, ' '), i + 1),
+                                   list_extract(string_split(text, ' '), i + 2)))) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+             AS jaccard
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram (shingle) Jaccard near-dup pairs (X1), blocked by
+    lang — the exact verification step every near-dup pipeline ends
+    with, as its own oracle-backed operator.
+
+    Shingle sets, not token sets: token-set Jaccard saturates on any
+    small vocabulary (most of this corpus scores ≥0.5) while shingle
+    Jaccard only fires on genuinely shared word sequences — the
+    standard formulation (Broder resemblance, public knowledge).
+    |A∩B|/|A∪B| via one ``array_intersect`` pass + inclusion-
+    exclusion.
+
+    Scale: all-pairs-within-block only (lang here). When blocks are
+    still too big, ``minhash_lsh_candidates`` replaces the blocked
+    join with LSH buckets and runs THIS verify on candidates only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.array_distinct(_shingles(F.split("text", " "))).alias("sh")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _shingles(toks):
+    """Word-3-gram shingles (1-based element_at indexing)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+
+
+def minhash_signature(toks) -> list:
+    """N_MINHASH independent min-hashes of the shingle set.
+
+    Each permutation is xxhash64 salted with the permutation index;
+    ``array_min(transform(...))`` keeps everything JVM-side — no UDF,
+    one projection.
+    """
+    sh = _shingles(toks)
+    return [
+        F.array_min(
+            F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+        ).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+
+
+@query("minhash_lsh_candidates")  # rows-only: xxhash64 not reproducible in DuckDB
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (X1) — the sub-quadratic path.
+
+    shingle → 16-permutation minhash signature → 4 bands of 4 →
+    band-bucket self-join → exact shingle-Jaccard verify on candidates
+    only. Output: verified pairs (doc_a, doc_b, jaccard ≥ 0.5) — the
+    same metric ``ngram_jaccard_pairs`` computes exhaustively, so the
+    LSH result is a (high-recall) subset of that oracle-backed one.
+
+    Scale: the only join is on (band, band_hash) — docs collide only
+    when a whole band matches, so the candidate set is ~linear for
+    realistic similarity distributions (LSH, Broder/MMDS, public
+    knowledge). No all-pairs anywhere: this is what replaces
+    ``ngram_jaccard_pairs``'s blocked join at 100 TB. Declared
+    rows-only because DuckDB cannot reproduce xxhash64; the verify
+    metric itself is oracle-checked via ``ngram_jaccard_pairs``.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh_set = F.array_distinct(_shingles(F.split("text", " ")))
+    sig = d.select("doc_id", sh_set.alias("toks"), *minhash_signature(F.split("text", " ")))
+
+    r = N_MINHASH // N_BANDS
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias("bh"),
+        )
+        for b in range(N_BANDS)
+    ]
+    buckets = sig.select(
+        "doc_id", "toks", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", "toks", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.toks").alias("toks_a"),
+            F.col("b.toks").alias("toks_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        cand.select(
+            "doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("simhash_near_dup")  # rows-only: xxhash64 not reproducible in DuckDB
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (X1): 64-bit sign-aggregated token
+    hashes (Charikar, public knowledge); docs sharing any 16-bit
+    quarter-band are candidates (Hamming ≤ 3 guaranteed caught by
+    4-band pigeonhole), then candidates are VERIFIED with
+    ``bit_count(xor) ≤ 3`` — band collision alone is the recall
+    stage, the Hamming check is the precision stage.
+
+    Implementation: explode distinct tokens, hash each ONCE
+    (xxhash64), then one hash aggregate computing all 64 bit-balances
+    as conditional sums (map-side partial agg), and a final projection
+    reassembling the 64 signs into the long with shiftleft/bitwise-or.
+    One explode + one shuffle on doc_id — the explode-groupBy shape
+    word-count uses, so it scales the same way. Declared rows-only
+    (hash engine differs across systems).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+
+    balances = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*balances)
+
+    simhash = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        simhash = term if simhash is None else simhash.bitwiseOR(term)
+
+    sh = agg.select("doc_id", simhash.alias("simhash"))
+    bands = [
+        F.struct(
+            F.lit(q).alias("band"),
+            F.shiftright(F.col("simhash"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+        )
+        for q in range(4)
+    ]
+    buckets = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_DUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (X1): pairs above the cosine
+    threshold, blocked by label (≈ the cluster/band key a real
+    pipeline blocks on). Dot products via ``zip_with`` + ``aggregate``
+    in double precision — JVM expressions, no UDF.
+
+    The similarity value itself is excluded from the output so the
+    oracle hash can't wobble on float32-vs-float64 rounding; the
+    ≥-threshold decision is margin-checked stable for this data (see
+    COSINE_DUP_THRESHOLD). Scale: blocked pairs only; the unblocked
+    scale path is the LSH bucketing of ``ann_lsh_topk``
+    (plans.similarity).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    t = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    a, b = t.alias("a"), t.alias("b")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= COSINE_DUP_THRESHOLD)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -144,7 +144,7 @@ def conform_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "seq_extraction",
     oracle="""
     SELECT count(*) AS n,
-           sum(CAST(regexp_replace(concat(CAST(event_id AS VARCHAR), '-9f8a2c'), '-.*$', '') AS BIGINT)) AS seq_sum,
+           CAST(sum(CAST(regexp_replace(concat(CAST(event_id AS VARCHAR), '-9f8a2c'), '-.*$', '') AS BIGINT)) AS BIGINT) AS seq_sum,
            max(CAST(regexp_replace(concat(CAST(event_id AS VARCHAR), '-9f8a2c'), '-.*$', '') AS BIGINT)) AS seq_max
     FROM events
     WHERE event_type = 'click'

@@ -1,0 +1,297 @@
+"""Scalar function family entries (SURVEY.md §2.C) — string, date,
+JSON, math, array, conditional, and the UDF surface, each with a
+DuckDB oracle.
+
+The reference's scalar surface is (a) its JS transform hook
+(reference index.js:46-49; README.md:178-196 example uses delete/
+trim/join) and (b) the full scalar library of the target warehouse DB
+(reference README.md:14,68). Here: built-in ``pyspark.sql.functions``
+everywhere — whole-stage-codegen'd, pushdown-transparent; Python
+appears only in the two explicitly-UDF entries and is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from couchwarehouse_spark.catalog import load_table
+from couchwarehouse_spark.functions.scalars import acctbal_bucket, sanitize_col
+from couchwarehouse_spark.plans.registry import query
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(trim(c_name))                                   AS name_upper,
+           length(c_name)                                        AS name_len,
+           substring(c_name, 1, 8)                               AS name_prefix,
+           concat_ws('/', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           regexp_replace(c_name, '[0-9]', '#', 'g')             AS name_masked,
+           replace(concat('seg-', c_mktsegment), '-', '')        AS sanitized
+    FROM customer
+    WHERE c_name LIKE 'Customer%'
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family (§2.C): trim/upper/length/substring/concat_ws/
+    regexp_replace/LIKE — the reference transform example's exact
+    vocabulary (reference README.md:182-186) plus the identifier
+    sanitiser (R16) as a column expression.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").like("Customer%")).select(
+        "c_custkey",
+        F.upper(F.trim("c_name")).alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("name_masked"),
+        sanitize_col(F.concat(F.lit("seg-"), F.col("c_mktsegment"))).alias("sanitized"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT year(o_orderdate)                                    AS o_year,
+           month(o_orderdate)                                   AS o_month,
+           strftime(o_orderdate, '%Y-%m')                       AS year_month,
+           count(*)                                             AS n_orders,
+           CAST(sum(CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS weekend_orders,
+           max(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-08-02')) AS max_age_days,
+           min(strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d')) AS min_due_date
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (§2.C): year/month/date_format/dayofweek/
+    datediff/date_add. Docs carry ISO date strings in the reference
+    (e.g. ``saleDate`` in reference test/samplechanges2.txt) — the
+    warehouse exposes real date arithmetic on top.
+
+    Note: Spark dayofweek is 1=Sunday..7=Saturday, DuckDB dayofweek
+    is 0=Sunday..6=Saturday — both lanes express "weekend" in their
+    own dialect. Derived dates are emitted as formatted strings so
+    both engines hash identically.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.when(F.dayofweek("o_orderdate").isin(1, 7), 1).otherwise(0)
+            ).alias("weekend_orders"),
+            F.max(F.datediff(F.lit("1998-08-02").cast("date"), F.col("o_orderdate"))).alias(
+                "max_age_days"
+            ),
+            F.min(
+                F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+            ).alias("min_due_date"),
+        )
+    )
+
+
+@query(
+    "json_functions",
+    oracle="""
+    SELECT event_type,
+           count(*)                                                   AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER))    AS max_k,
+           min(CAST(to_json(struct_pack(t := event_type)) AS VARCHAR)) AS tagged
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family (§2.C): get_json_object extraction + to_json
+    construction — the reference stores arrays as JSON text
+    (lib/flatten.js:45) and our schemaless lane parses doc JSON, so
+    both directions matter.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
+        F.max(k.cast("int")).alias("max_k"),
+        F.min(F.to_json(F.struct(F.col("event_type").alias("t")))).alias("tagged"),
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(sqrt(l_quantity)), 2)              AS sum_sqrt_qty,
+           round(sum(pow(l_discount, 2)), 4)            AS sum_disc_sq,
+           round(sum(ln(l_extendedprice)), 2)           AS sum_ln_price,
+           round(sum(abs(l_quantity - 25.0)), 2)        AS sum_abs_dev,
+           sum(CAST(floor(l_tax * 100) AS BIGINT))      AS sum_floor_tax,
+           sum(CAST(ceil(l_discount * 100) AS BIGINT))  AS sum_ceil_disc,
+           round(max(l_quantity % 7), 2)                AS max_mod
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (§2.C): sqrt/pow/ln/abs/floor/ceil/mod — all JVM
+    expressions; note Spark ``log`` and DuckDB ``ln`` are both natural
+    log (DuckDB ``log`` is base-10 — dialect trap documented here).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.sqrt("l_quantity")), 2).alias("sum_sqrt_qty"),
+        F.round(F.sum(F.pow("l_discount", F.lit(2))), 4).alias("sum_disc_sq"),
+        F.round(F.sum(F.log(F.col("l_extendedprice"))), 2).alias("sum_ln_price"),
+        F.round(F.sum(F.abs(F.col("l_quantity") - 25.0)), 2).alias("sum_abs_dev"),
+        F.sum(F.floor(F.col("l_tax") * 100).cast("long")).alias("sum_floor_tax"),
+        F.sum(F.ceil(F.col("l_discount") * 100).cast("long")).alias("sum_ceil_disc"),
+        F.round(F.max(F.col("l_quantity") % 7), 2).alias("max_mod"),
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    SELECT lang,
+           count(*)                                         AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN list_contains(string_split(text, ' '), 'data')
+                    THEN 1 ELSE 0 END) AS BIGINT)           AS docs_with_data,
+           min(string_split(text, ' ')[1])                  AS min_first_token
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family (§2.C): split/size/array_contains/element_at over
+    real text — the typed lane the reference flattens away
+    (lib/flatten.js:45) kept as first-class arrays here.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_tokens"),
+        F.sum(F.when(F.array_contains(toks, "data"), 1).otherwise(0)).alias(
+            "docs_with_data"
+        ),
+        F.min(F.element_at(toks, 1)).alias("min_first_token"),
+    )
+
+
+@query(
+    "conditional_functions",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END                                  AS bucket,
+           count(*)                                              AS n_customers,
+           round(sum(coalesce(nullif(c_acctbal, 0.0), -1.0)), 2) AS adjusted_sum,
+           CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_segments
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null family (§2.C): when/otherwise, coalesce,
+    nullif, IS NULL — the null-conform semantics (R13) as expressions.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy(acctbal_bucket("c_acctbal").alias("bucket")).agg(
+        F.count("*").alias("n_customers"),
+        F.round(
+            F.sum(F.coalesce(F.nullif(F.col("c_acctbal"), F.lit(0.0)), F.lit(-1.0))), 2
+        ).alias("adjusted_sum"),
+        F.sum(F.when(F.col("c_mktsegment").isNull(), 1).otherwise(0)).alias(
+            "null_segments"
+        ),
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _disc_price_udf(price: pd.Series, discount: pd.Series) -> pd.Series:
+    # Arrow-vectorized: whole columns per batch, no per-row Python.
+    return price * (1.0 - discount)
+
+
+@query(
+    "pandas_udf_disc_price",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pandas_udf_disc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF surface (§2.C C-udf): scalar ``pandas_udf`` computing the
+    discounted price, verified against plain-SQL arithmetic — the
+    reference's transform hook is exactly this per-value escape hatch
+    (reference index.js:46-49).
+
+    Scale note: the built-in expression (see ``pricing_summary``) is
+    the fast path; this entry exists to certify the Arrow UDF plumbing
+    (~10-100× faster than row-at-a-time Python UDFs).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("disc_price", _disc_price_udf("l_extendedprice", "l_discount"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("disc_price"), 2).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "grouped_demean_applyinpandas",
+    oracle="""
+    SELECT l_returnflag,
+           round(var_pop(l_extendedprice), 2) AS price_variance,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def grouped_demean_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF surface (§2.C C-udf): ``groupBy().applyInPandas`` grouped-map
+    — demean each group's prices in pandas, then aggregate the squared
+    residuals, which must equal SQL ``var_pop``. Certifies the grouped
+    Arrow path (the custom-stateful-operator seam, D5's batch analog).
+
+    Scale: one shuffle on the grouping key; each group must fit in one
+    executor's memory as a pandas frame — fine for bounded keys like
+    returnflag; for high-cardinality keys use window functions instead.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["resid"] = pdf["l_extendedprice"] - pdf["l_extendedprice"].mean()
+        return pdf[["l_returnflag", "resid"]]
+
+    residuals = li.groupBy("l_returnflag").applyInPandas(
+        demean, "l_returnflag string, resid double"
+    )
+    return residuals.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("resid") * F.col("resid")) / F.count("*"), 2).alias(
+            "price_variance"
+        ),
+        F.count("*").alias("n"),
+    )

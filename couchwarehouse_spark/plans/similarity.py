@@ -1,0 +1,218 @@
+"""X2 — similarity search over the ``embeddings`` table
+(SURVEY.md §2.D): brute-force cosine top-k baseline + LSH-bucketed
+approximate variant (the scale path).
+
+Vectors are ``array<float>`` columns (the multimodal embedding
+convention, X3); all math runs as JVM higher-order expressions
+(``zip_with`` + ``aggregate``) in double precision — no UDF, no
+driver-side loop. Top-k compiles to TakeOrderedAndProject (per-
+partition heaps, no global sort).
+
+Scale stance: brute-force is O(N·d) per query — fine fanned out over
+partitions for one query, wrong for batch query workloads; the
+random-hyperplane LSH entry bounds each query to its bucket
+(Hamming-0 probe here; multi-probe at lower recall cost is the
+documented extension). An IVF variant is the same shape with learned
+centroids instead of random planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from couchwarehouse_spark.catalog import load_table
+from couchwarehouse_spark.plans.registry import query
+
+QUERY_VEC_ID = 0  # the corpus vector used as the search query
+TOP_K = 10
+N_PLANES = 6  # LSH hyperplanes → 64 buckets
+
+
+def dot(x: Column, y: Column) -> Column:
+    return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, z: a + z)
+
+
+def cosine(x: Column, y: Column) -> Column:
+    return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+
+@query(
+    "knn_cosine_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM v WHERE vec_id = {QUERY_VEC_ID})
+    SELECT v.vec_id, v.label,
+           round(list_cosine_similarity(v.v, q.qv), 4) AS cos_sim
+    FROM v CROSS JOIN q
+    WHERE v.vec_id <> {QUERY_VEC_ID}
+    ORDER BY list_cosine_similarity(v.v, q.qv) DESC, v.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (X2 baseline): query = corpus vector 0.
+
+    The single-row query side joins in as a broadcast (Catalyst sees a
+    1-row relation); each partition scores its vectors and keeps a
+    k-heap — TakeOrderedAndProject, no global sort, nothing but the
+    k winners reaches the driver. Ordered by raw (unrounded) cosine
+    with vec_id tiebreak; the emitted value is rounded for hash
+    stability.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    cos = cosine(F.col("v"), F.col("qv"))
+    return (
+        v.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("_cos", cos)
+        .orderBy(F.col("_cos").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "label", F.round("_cos", 4).alias("cos_sim"))
+    )
+
+
+def _hyperplanes(dim: int = 64, n: int = N_PLANES) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (hash-derived, seedless
+    of any RNG state so both lanes can inline identical literals)."""
+    planes = []
+    for p in range(n):
+        row = []
+        for d in range(dim):
+            # simple LCG-ish mix — fixed, reproducible, public math
+            x = (1103515245 * (p * 64 + d + 12345) + 54321) % 2147483647
+            row.append((x / 2147483647.0) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr_spark(vcol: str, planes: list[list[float]]) -> Column:
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        parr = F.array(*[F.lit(float(w)) for w in plane])
+        bit = F.when(dot(F.col(vcol), parr) > 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def _bucket_expr_sql(vexpr: str, planes: list[list[float]]) -> str:
+    terms = []
+    for i, plane in enumerate(planes):
+        lits = "[" + ", ".join(repr(float(w)) for w in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(list_transform({vexpr}, x -> CAST(x AS DOUBLE)), {lits}) > 0 "
+            f"THEN 1 ELSE 0 END) * {1 << i}"
+        )
+    return " + ".join(terms)
+
+
+_PLANES = _hyperplanes()
+
+ANN_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {_bucket_expr_sql('embedding', _PLANES)} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = {QUERY_VEC_ID})
+    SELECT b.vec_id, b.label, b.bucket,
+           round(list_cosine_similarity(b.v, q.qv), 4) AS cos_sim
+    FROM b CROSS JOIN q
+    WHERE b.bucket = q.qb AND b.vec_id <> {QUERY_VEC_ID}
+    ORDER BY list_cosine_similarity(b.v, q.qv) DESC, b.vec_id
+    LIMIT {TOP_K}
+"""
+
+
+@query("ann_lsh_topk", oracle=ANN_ORACLE)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (X2 scale path).
+
+    Random-hyperplane (SRP) LSH: 6 sign-bits → 64 buckets; the query
+    probes only its own bucket, so the scored set is ~N/64 — at 100 TB
+    the bucket id is the partition/cluster key and a query touches one
+    partition instead of the corpus. Identical hyperplane literals are
+    inlined into both lanes, so even this approximate operator is
+    oracle-checked exactly (same buckets, same winners).
+
+    Recall knob: more planes → smaller buckets, lower recall;
+    multi-probe (flip one bit) trades compute back for recall. IVF =
+    same query shape with k-means centroids as the bucketer.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("bucket", _bucket_expr_spark("v", _PLANES))
+    q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    cos = cosine(F.col("v"), F.col("qv"))
+    return (
+        v.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qb")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .withColumn("_cos", cos)
+        .orderBy(F.col("_cos").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "label", "bucket", F.round("_cos", 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "centroid_similarity_per_label",
+    oracle="""
+    WITH flat AS (
+      SELECT label,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+             unnest(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label, dim, avg(x) AS c FROM flat GROUP BY label, dim
+    ),
+    centroids AS (
+      SELECT label, list(c ORDER BY dim) AS centroid FROM dims GROUP BY label
+    )
+    SELECT e.label,
+           count(*) AS n_vectors,
+           round(avg(list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                            c.centroid)), 4) AS avg_cos_to_centroid
+    FROM embeddings e JOIN centroids c USING (label)
+    GROUP BY e.label
+    """,
+)
+def centroid_similarity_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cohesion probe (X2/IVF building block): per-label
+    centroid (dimension-wise mean via posexplode + re-assembly), then
+    the average cosine of members to their centroid.
+
+    This is exactly the IVF coarse-quantizer training step's inner
+    loop. Scale: posexplode multiplies rows ×64 but the aggregate is
+    (label, dim)-keyed — partial aggregation collapses it map-side;
+    centroids are |labels|×64 doubles — broadcast back.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    dims = (
+        v.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("c"))
+    )
+    centroids = dims.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc")
+    ).select("label", F.col("dc.c").alias("centroid"))
+    cos = cosine(F.col("v"), F.col("centroid"))
+    return (
+        v.join(F.broadcast(centroids), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg(cos), 4).alias("avg_cos_to_centroid"),
+        )
+    )

@@ -1,0 +1,289 @@
+"""X4 — text analysis over the ``documents`` table (SURVEY.md §2.D).
+
+LLM-training-pipeline text ops: token frequency, TF-IDF, language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+All token work is JVM-side (``split``/``explode``/``regexp_extract_all``
+/higher-order array functions) — no Python in the hot path; every
+entry is DuckDB-oracle-backed.
+
+Scale stance: explode → groupBy(term) is the classic word-count
+shuffle — map-side partial aggregation absorbs the heavy hitters;
+per-doc scores are pure projections (no shuffle at all); TF-IDF is
+two hash aggregates + one broadcast-able join on term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from couchwarehouse_spark.catalog import load_table
+from couchwarehouse_spark.plans.registry import query
+
+# Tiny English-stopword profile for the language-ID heuristic and
+# quality scoring (public-knowledge stopword list).
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+@query(
+    "token_frequency",
+    oracle="""
+    SELECT term, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 20
+    """,
+)
+def token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency, top-20 (X4: tokenize → explode → count).
+
+    Scale: partial map-side combine collapses each partition's counts
+    before the term shuffle; top-k is TakeOrderedAndProject. Tie-broken
+    by term so the result is deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(20)
+    )
+
+
+@query(
+    "tf_idf_top_terms",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    ORDER BY tfidf DESC, tf.doc_id, tf.term
+    LIMIT 25
+    """,
+)
+def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (X4): the most distinctive (doc, term) pairs.
+
+    Two hash aggregates (term-frequency per doc, document-frequency
+    per term) + a join on term. Scale: the DF side is |vocabulary|
+    rows — tiny relative to the corpus — so Catalyst broadcasts it;
+    the corpus count is a scalar broadcast. Deterministic ordering by
+    (tfidf, doc_id, term).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; one job, folded into the expression
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), "doc_id", "term")
+        .limit(25)
+    )
+
+
+@query(
+    "language_id_heuristic",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> list_contains({list(EN_STOPWORDS)!r}, t))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN stop_ratio >= 0.04 THEN 'en_like' ELSE 'other' END AS predicted,
+           count(*) AS n_docs,
+           round(avg(stop_ratio), 4) AS avg_stop_ratio
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (X4): stopword-profile scoring.
+
+    A real pipeline scores per-language n-gram/stopword profiles and
+    argmaxes; here one English profile → binary call, crossed with the
+    labelled ``lang`` so the output doubles as a confusion summary.
+    Pure array expressions — ``filter``/``array_contains`` — no UDF.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    ).cast("double") / F.size(toks)
+    return (
+        d.select("lang", stop_ratio.alias("stop_ratio"))
+        .select(
+            "lang",
+            F.when(F.col("stop_ratio") >= 0.04, "en_like")
+            .otherwise("other")
+            .alias("predicted"),
+            "stop_ratio",
+        )
+        .groupBy("lang", "predicted")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+        )
+    )
+
+
+@query(
+    "quality_scores",
+    oracle=f"""
+    WITH feat AS (
+      SELECT source,
+             n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> list_contains({list(EN_STOPWORDS)!r}, t))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_tokens >= 20 AND avg_token_len BETWEEN 3 AND 12
+                          AND stop_ratio <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           round(avg(avg_token_len), 4) AS mean_token_len
+    FROM feat
+    GROUP BY source
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (X4): length / mean-token-length / stopword-ratio
+    gates — the standard cheap pre-filters of LLM data pipelines
+    (C4/Gopher-style rules, public knowledge). Pure expressions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    feat = d.select(
+        "source",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        (F.col("n_chars").cast("double") / F.size(toks)).alias("avg_token_len"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+            / F.size(toks)
+        ).alias("stop_ratio"),
+    )
+    is_q = (
+        (F.col("n_tokens") >= 20)
+        & F.col("avg_token_len").between(3, 12)
+        & (F.col("stop_ratio") <= 0.5)
+    )
+    return feat.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(is_q.cast("int")).cast("long").alias("n_quality"),
+        F.round(F.avg("avg_token_len"), 4).alias("mean_token_len"),
+    )
+
+
+@query(
+    "token_count_bpe_ish",
+    oracle="""
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def token_count_bpe_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (X4): whitespace tokens vs a BPE-ish regex
+    tokenizer (letter runs / digit runs / single other-chars) — the
+    cheap token-budget estimator used before real BPE. JVM regex.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)))).alias(
+            "n_bpe_tokens"
+        ),
+        F.sum(F.size(_tokens())).alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    WITH shingled AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(toks) >= 3 THEN
+               list_min(list_transform(range(1, len(toks) - 1),
+                 i -> md5(concat_ws(' ', list_extract(toks, i),
+                                         list_extract(toks, i + 1),
+                                         list_extract(toks, i + 2)))))
+             ELSE md5(concat_ws(' ', list_sort(toks))) END AS fingerprint
+      FROM shingled
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT fingerprint) AS n_fingerprints
+    FROM fp
+    GROUP BY lang
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (X4): winnowing-style — the minimum
+    hash over word-3-gram shingles is a stable content fingerprint
+    robust to local edits (MOSS/winnowing family, public knowledge).
+
+    Built entirely from higher-order array functions: ``transform``
+    over a shingle index range → ``md5`` → ``array_min``. Fingerprint
+    collisions across distinct docs ≈ near-duplicates — the cheap
+    pre-screen before MinHash (see plans.dedup).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            )
+        ),
+    )
+    fingerprint = F.when(F.size(toks) >= 3, F.array_min(shingle_hashes)).otherwise(
+        F.md5(F.concat_ws(" ", F.array_sort(toks)))
+    )
+    return (
+        d.select("lang", fingerprint.alias("fingerprint"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_fingerprints"),
+        )
+    )

@@ -1,0 +1,54 @@
+"""Smoke tests for rows-only (non-SQL-expressible) query entries —
+the driver records a weaker rows-only check for these, so locally we
+at least pin their behavior on data with known duplicates.
+"""
+
+from __future__ import annotations
+
+import couchwarehouse_spark.plans.all  # noqa: F401
+from couchwarehouse_spark.plans import ORACLES, QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def _rows_only_names():
+    return sorted(n for n in QUERIES if n not in ORACLES)
+
+
+def test_rows_only_queries_execute(spark):
+    for name in _rows_only_names():
+        df = QUERIES[name](spark, SF_SMOKE)
+        df.limit(5).collect()  # runs the plan end-to-end
+
+
+def test_minhash_finds_exact_duplicates(spark, tmp_path):
+    """A corpus with planted exact dups: MinHash-LSH must surface them
+    (identical docs collide in every band; jaccard = 1.0)."""
+    import pandas as pd
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "spark structured streaming with watermarks handles late data well",
+        "completely different text about warehouse analytics and queries",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t))
+    rows.append((100, base[0]))  # exact dup of doc 0
+    rows.append((101, base[1]))  # exact dup of doc 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "s"
+    pdf["n_chars"] = pdf["text"].str.len()
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+
+    from couchwarehouse_spark.plans.dedup import minhash_lsh_candidates, simhash_near_dup
+
+    out = minhash_lsh_candidates(spark, str(tmp_path)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    assert pairs[(0, 100)] == 1.0
+    assert pairs[(1, 101)] == 1.0
+
+    sim = {(r["doc_a"], r["doc_b"]) for r in simhash_near_dup(spark, str(tmp_path)).collect()}
+    assert (0, 100) in sim and (1, 101) in sim
