@@ -1,0 +1,155 @@
+"""D4 — event-time windows over the ``events`` table: tumbling,
+sliding, session (SURVEY.md §2.D).
+
+The reference has no event-time ops (its only time axis is the
+changes-feed seq); these are the Spark-native windowed aggregations a
+warehouse needs for the ``events`` stream table. Batch mode here
+(same ``window()``/``session_window()`` expressions power the
+streaming lane in streaming.ingest — identical semantics, plus
+watermarks there).
+
+Scale: window assignment is a projection (no shuffle); the aggregate
+shuffles on (window, keys) — partial aggregation collapses rows
+map-side. Session windows shuffle on user_id and sort within the
+partition — state is one user's events, never global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from couchwarehouse_spark.catalog import load_table
+from couchwarehouse_spark.plans.registry import query
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "tumbling_window_counts",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{DUCK_FMT}') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows × event_type (D4).
+
+    ``window(ts, '1 hour')`` assigns each row to exactly one bucket —
+    a pure projection; the aggregate is an ordinary hash agg on
+    (window, type). Window start is emitted as a formatted string so
+    both engines hash identically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_counts",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS window_start,
+             value
+      FROM events
+    )
+    SELECT strftime(window_start, '{DUCK_FMT}') AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows, 1-hour length / 30-minute slide (D4).
+
+    Each event lands in length/slide = 2 overlapping windows —
+    Spark's ``window(ts, '1 hour', '30 minutes')`` expands exactly
+    like the oracle's 2-way unnest of 30-minute-grid starts. Row
+    amplification is the length/slide ratio: keep it small at scale
+    or aggregate per-slide first and roll up.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "session_window_stats",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '10 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(min(ts), '{DUCK_FMT}') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 10-minute inactivity gap, per user (D4).
+
+    Spark's native ``session_window(ts, '10 minutes')`` — windows
+    merge while events arrive within the gap. The oracle derives the
+    identical sessions with the classic gaps-and-islands lag/cumsum
+    SQL, so this checks Spark's session semantics against first
+    principles. Scale: shuffle on user_id only; session state is
+    per-user and bounded by the gap (watermark evicts it in the
+    streaming lane).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            F.min("ts").alias("first_ts"),
+        )
+        .select(
+            "user_id",
+            F.date_format("first_ts", TS_FMT).alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -1,0 +1,77 @@
+"""X3 — multimodal query entries: binary payload columns with typed
+metadata, exercised over the documents table (text bytes as the
+payload stand-in — the container has no codec libs, so the payloads
+are real bytes and the decode stage is the documented stub).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from couchwarehouse_spark.catalog import load_table
+from couchwarehouse_spark.multimodal import extract_features, media_struct
+from couchwarehouse_spark.plans.registry import query
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT source,
+           count(*) AS n_items,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           count(DISTINCT md5(text)) AS n_unique_payloads,
+           max(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    GROUP BY source
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata scan (X3): payload sizes and content
+    digests per source WITHOUT any decode — the query shape that must
+    stay payload-column-pruned at 100 TB (only byte counts and
+    digests computed, all JVM-side).
+
+    The payload is the utf-8 text bytes via a real ``media`` struct
+    (multimodal.media_struct) — same column layout an image/audio
+    table uses.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    with_media = d.withColumn(
+        "media",
+        media_struct(F.encode("text", "utf-8"), F.lit("text/plain")),
+    )
+    return with_media.groupBy("source").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.length(F.col("media.data"))).alias("total_bytes"),
+        F.countDistinct(F.md5(F.col("media.data"))).alias("n_unique_payloads"),
+        F.max(F.length(F.col("media.data"))).alias("max_bytes"),
+    )
+
+
+@query("multimodal_feature_extract")  # rows-only: mapInPandas fake encoder
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads (X3) — the Arrow-batched
+    ``mapInPandas`` pipeline with the deterministic fake encoder
+    (multimodal.extract_features; real deployments swap the encoder
+    line). Output: per-source count, total bytes, mean first feature
+    dimension. Rows-only: the md5-seeded fake features are not worth
+    re-deriving in SQL — the byte accounting IS oracle-checked via
+    ``multimodal_metadata``.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    with_media = d.withColumn(
+        "media",
+        media_struct(F.encode("text", "utf-8"), F.lit("text/plain")),
+    )
+    feats = extract_features(with_media)
+    return (
+        feats.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg(F.element_at("feature", 1)), 4).alias("mean_feat0"),
+        )
+        .orderBy("source")
+    )

@@ -71,6 +71,8 @@ def read_changes_feed(
 
     if "deleted" not in env.columns:
         env = env.withColumn("deleted", F.lit(None).cast("boolean"))
+    if "doc" not in env.columns:  # tombstone-only feed page
+        env = env.withColumn("doc", F.lit(None).cast("struct<_id: string>"))
     return env.withColumn("_cw_seq", seq_number_col("seq"))
 
 
@@ -92,5 +94,12 @@ def split_envelopes(env: DataFrame, split_field: str | None) -> DataFrame:
     if split_field is None:
         type_col = F.lit("_default")
     else:
-        type_col = F.col(f"doc.{split_field}")
+        doc_fields = [
+            f.name
+            for f in env.schema["doc"].dataType.fields
+        ] if hasattr(env.schema["doc"].dataType, "fields") else []
+        if split_field in doc_fields:
+            type_col = F.col(f"doc.{split_field}")
+        else:  # batch carries no doc with the split field (e.g. all tombstones)
+            type_col = F.lit(None).cast("string")
     return env.withColumn("_cw_type", type_col)

@@ -1,0 +1,88 @@
+"""Stateful streaming operators (D3/D5; SURVEY.md §2.D).
+
+* ``dedup_late_events`` — watermarked streaming dedup: the
+  latest-wins/late-data guard (D3). The reference's monitor mode
+  re-delivers docs as new seqs and the upsert makes replays harmless
+  (reference index.js:143-170 + lib/sqlite.js:82); in a true stream
+  the same idempotence is ``withWatermark + dropDuplicates`` — state
+  is bounded by the watermark horizon, not the stream length.
+
+* ``running_user_totals`` — arbitrary stateful aggregation via
+  ``applyInPandasWithState`` (D5): per-key state the built-in
+  aggregates can't express (here: running count/total emitted per
+  batch with explicit state handling and timeout-based eviction).
+
+Scale: state lives in the state store, partitioned by key — shuffle
+on the key once, each micro-batch touches only keys present in the
+batch; the watermark/timeout bounds total state size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def dedup_late_events(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-per-id dedup with bounded state (D3).
+
+    Duplicate event_ids arriving within the watermark horizon are
+    dropped; state older than the watermark is evicted. This is the
+    streaming analog of the upsert kernel's idempotence.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+RUNNING_TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+RUNNING_TOTALS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _update_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    state.setTimeoutDuration(3_600_000)  # evict idle keys after 1h
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful aggregation (D5): per-user running event count
+    and value total, emitted on every micro-batch that touches the
+    user — ``applyInPandasWithState`` with processing-time timeout.
+    """
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_totals,
+            outputStructType=RUNNING_TOTALS_OUTPUT,
+            stateStructType=RUNNING_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

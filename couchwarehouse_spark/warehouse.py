@@ -173,11 +173,17 @@ class Warehouse:
         head = env.agg(F.max_by("seq", SEQ_COL).alias("s")).collect()
         last_seq = head[0]["s"] if head else None
 
-        types = [
+        types = {
             r["_cw_type"]
             for r in live.select("_cw_type").distinct().collect()
             if r["_cw_type"] is not None
-        ]
+        }
+        # Tombstones must reach EVERY existing table, including types
+        # with no live doc in this batch (a batch of pure deletes) —
+        # CouchDB tombstones carry no type (reference lib/sqlite.js:95-98
+        # deletes by id wherever the row lives).
+        if tombstones.limit(1).count() > 0:
+            types |= set(self.schemas.keys())
         for doc_type in sorted(types):
             self._merge_type(live, tombstones, doc_type)
         self._save_schemas()

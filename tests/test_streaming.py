@@ -1,0 +1,140 @@
+"""Streaming-lane tests: foreachBatch warehouse sync (D1/D2),
+watermarked dedup (D3), applyInPandasWithState (D5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import time
+
+from pyspark.sql import functions as F
+
+from couchwarehouse_spark.streaming.ingest import monitor_warehouse
+from couchwarehouse_spark.streaming.stateful import (
+    dedup_late_events,
+    running_user_totals,
+)
+from couchwarehouse_spark.warehouse import Warehouse
+
+from .fixtures import envelope, order_doc
+
+
+def _write_feed_page(feed_dir: str, name: str, envs: list[dict]) -> None:
+    os.makedirs(feed_dir, exist_ok=True)
+    tmp = os.path.join(feed_dir, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for e in envs:
+            f.write(json.dumps(e) + "\n")
+    os.rename(tmp, os.path.join(feed_dir, name))
+
+
+def test_streaming_spool_matches_batch(spark, tmp_path):
+    """AvailableNow drain of a 2-page landing dir == batch spool
+    result: upserts, deletes and per-page ordering all preserved."""
+    rng = random.Random(21)
+    feed_dir = str(tmp_path / "feed")
+    page1 = [envelope(i + 1, order_doc(i, rng)) for i in range(8)]
+    d0v2 = dict(order_doc(0, rng), status="updated", _rev="2-zz")
+    page2 = [
+        envelope(9, d0v2),
+        envelope(10, None, doc_id="order00003", deleted=True),
+    ]
+    _write_feed_page(feed_dir, "page1.json", page1)
+    _write_feed_page(feed_dir, "page2.json", page2)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), "streamdata")
+    q = monitor_warehouse(
+        wh, feed_dir, checkpoint_dir=str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    df = wh.table()
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 7  # 8 inserts, 1 delete
+    assert rows["order00000"]["status"] == "updated"
+    assert "order00003" not in rows
+    # The warehouse-level checkpoint followed the stream (R14/D2).
+    assert wh.checkpoints.read("streamdata").startswith("10-")
+
+    # Restart the stream with the same checkpoint: nothing reprocessed,
+    # then a new page applies incrementally.
+    page3 = [envelope(11, None, doc_id="order00001", deleted=True)]
+    _write_feed_page(feed_dir, "page3.json", page3)
+    q2 = monitor_warehouse(
+        wh, feed_dir, checkpoint_dir=str(tmp_path / "ckpt"), available_now=True
+    )
+    q2.awaitTermination(120)
+    assert wh.table().count() == 6
+
+
+def test_watermark_dedup(spark, tmp_path):
+    """D3: duplicate event_ids within the watermark horizon are dropped."""
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "value": 5.0},
+        {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 1, "value": 7.0},
+        {"event_id": 1, "ts": "2024-01-01 10:02:00", "user_id": 1, "value": 5.0},  # dup
+    ]
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("event_id LONG, ts STRING, user_id LONG, value DOUBLE")
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = dedup_late_events(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_out ORDER BY event_id").collect()
+    assert [r["event_id"] for r in got] == [1, 2]
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """D5: applyInPandasWithState accumulates across micro-batches."""
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+
+    def write(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write("a.json", [
+        {"user_id": 1, "value": 10.0},
+        {"user_id": 1, "value": 5.0},
+        {"user_id": 2, "value": 1.0},
+    ])
+
+    stream = spark.readStream.schema("user_id LONG, value DOUBLE").option(
+        "maxFilesPerTrigger", "1"
+    ).json(src)
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("totals_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            "SELECT * FROM (SELECT user_id, n_events, total_value, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn "
+            "FROM totals_out) WHERE rn = 1"
+        ).collect()
+    }
+    assert got[1] == (2, 15.0)
+    assert got[2] == (1, 1.0)
