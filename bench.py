@@ -17,10 +17,19 @@ import couchwarehouse_spark.plans.all  # noqa: F401  (populate registry)
 from couchwarehouse_spark.plans import QUERIES
 from couchwarehouse_spark.session import get_spark
 
-# Headline set: exercised every round; keep it representative of the
-# operator families (scan/agg, join, window, dedup, similarity, text).
+# Headline set: exercised every round; representative of the operator
+# families (scan/agg, join, window, ETL kernel, dedup, similarity,
+# text, event-time). Every other registered query still runs after.
 HEADLINE = [
-    "pricing_summary",
+    "pricing_summary",          # scan → filter → hash agg (TPC-H Q1 shape)
+    "nation_revenue",           # multi-way broadcast join + agg
+    "window_top_orders",        # ranking/analytic windows
+    "latest_event_per_user",    # upsert kernel (latest-wins window dedup)
+    "exact_dedup",              # X1 hash-agg dedup census
+    "minhash_lsh_candidates",   # X1 MinHash-LSH near-dup (sub-quadratic path)
+    "knn_cosine_topk",          # X2 vector top-k
+    "token_frequency",          # X4 tokenize/explode/count
+    "tumbling_window_counts",   # D4 event-time windows
 ]
 
 

@@ -117,8 +117,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     small vocabulary (most of this corpus scores ≥0.5) while shingle
     Jaccard only fires on genuinely shared word sequences — the
     standard formulation (Broder resemblance, public knowledge).
-    |A∩B|/|A∪B| via one ``array_intersect`` pass + inclusion-
-    exclusion.
+
+    Performance: shingles are hashed to 64-bit longs BEFORE the pair
+    join — Jaccard needs only intersect/union SIZES, which are
+    invariant under an (effectively) injective hash, so the expensive
+    ``array_intersect`` runs on longs, not ~20-char strings (~5×
+    faster, and the shuffled pair payload shrinks the same way). The
+    oracle computes the same sizes on the raw strings. A cheap
+    size-ratio bound (|A|≥τ|B| is necessary for J≥τ) prunes pairs
+    before any intersect.
 
     Scale: all-pairs-within-block only (lang here). When blocks are
     still too big, ``minhash_lsh_candidates`` replaces the blocked
@@ -126,17 +133,32 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
-        "doc_id", "lang", F.array_distinct(_shingles(F.split("text", " "))).alias("sh")
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.transform(_shingles(F.split("text", " ")), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     )
-    a = t.alias("a")
-    b = t.alias("b")
+    # Parallelism follows COMPUTE here, not input bytes: a small
+    # parquet file scans as 1 partition, but the pair join fans out
+    # quadratically — spread the probe side across all cores and
+    # broadcast the build side (hashed sets are a few MB per 5k docs;
+    # at larger N, bucket the join on lang instead).
+    par = spark.sparkContext.defaultParallelism
+    a = t.repartition(par).alias("a")
+    b = F.broadcast(t).alias("b")
+    size_a, size_b = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    union = size_a + size_b - inter
     jac = inter / union
     return (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # J >= τ forces |A| >= τ|B| and |B| >= τ|A| — prune cheap.
+            & (size_a.cast("double") >= JACCARD_THRESHOLD * size_b)
+            & (size_b.cast("double") >= JACCARD_THRESHOLD * size_a),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -195,8 +217,15 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric itself is oracle-checked via ``ngram_jaccard_pairs``.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh_set = F.array_distinct(_shingles(F.split("text", " ")))
-    sig = d.select("doc_id", sh_set.alias("toks"), *minhash_signature(F.split("text", " ")))
+    # Hashed shingle sets (longs) — see ngram_jaccard_pairs: Jaccard
+    # only needs sizes, and long arrays intersect/shuffle far cheaper.
+    sh_set = F.array_distinct(
+        F.transform(_shingles(F.split("text", " ")), lambda s: F.xxhash64(s))
+    )
+    sig = d.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", sh_set.alias("sh"), *minhash_signature(F.split("text", " "))
+    )
+    sig.cache()  # reused: band buckets + both sides of the verify join
 
     r = N_MINHASH // N_BANDS
     bands = [
@@ -206,11 +235,13 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     ]
-    buckets = sig.select(
-        "doc_id", "toks", F.explode(F.array(*bands)).alias("bb")
-    ).select("doc_id", "toks", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    buckets = sig.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
 
     a, b = buckets.alias("a"), buckets.alias("b")
+    # Candidate id-pairs first, deduped BEFORE any array is attached —
+    # the band join shuffles only (id, band, hash) triples.
     cand = (
         a.join(
             b,
@@ -218,20 +249,18 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.toks").alias("toks_a"),
-            F.col("b.toks").alias("toks_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-    union = F.size("toks_a") + F.size("toks_b") - inter
+    sh_tbl = sig.select("doc_id", "sh")
+    pairs = (
+        cand.join(sh_tbl.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh_tbl.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.select(
-            "doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard")
-        )
+        pairs.select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
@@ -254,7 +283,9 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-count uses, so it scales the same way. Declared rows-only
     (hash engine differs across systems).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
     ).select("doc_id", F.xxhash64("t").alias("h"))
@@ -332,17 +363,23 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plans.similarity).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    t = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
-    a, b = t.alias("a"), t.alias("b")
 
     def dot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
         )
 
-    cos = dot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    # Norms once per vector (N evaluations), not once per pair (N²):
+    # each pair then costs a single dot product.
+    v = F.col("embedding").cast("array<double>")
+    t = e.select(
+        "vec_id", "label", v.alias("v"), F.sqrt(dot(v, v)).alias("norm")
     )
+    # Compute-dense pair join: spread the probe side, broadcast the
+    # build side (see ngram_jaccard_pairs rationale).
+    a = t.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = F.broadcast(t).alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
     return (
         a.join(
             b,

@@ -298,16 +298,18 @@ def price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides; bucket one side first.
     """
     part = load_table(spark, sf_dir, "part")
+    # VALUES relation, not createDataFrame: a Python-built DataFrame
+    # scans an ExistingRDD through a Python worker on EVERY execution;
+    # the parsed literal is pure JVM (LocalRelation) and free.
     bands = F.broadcast(
-        spark.createDataFrame(
-            [
-                ("band0", 0.0, 920.0),
-                ("band1", 920.0, 940.0),
-                ("band2", 940.0, 960.0),
-                ("band3", 960.0, 980.0),
-                ("band4", 980.0, 1e18),
-            ],
-            "band STRING, lo DOUBLE, hi DOUBLE",
+        spark.sql(
+            """
+            SELECT * FROM VALUES
+              ('band0', 0.0D, 920.0D), ('band1', 920.0D, 940.0D),
+              ('band2', 940.0D, 960.0D), ('band3', 960.0D, 980.0D),
+              ('band4', 980.0D, 1e18D)
+            AS bands(band, lo, hi)
+            """
         )
     )
     return (

@@ -263,7 +263,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions across distinct docs ≈ near-duplicates — the cheap
     pre-screen before MinHash (see plans.dedup).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # md5-per-shingle is compute-dense; don't let one input file = one task
     toks = _tokens()
     shingle_hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),

@@ -1,0 +1,79 @@
+"""Sink adapters (S17/S18/S19/R20): DDL, JDBC option assembly, ES
+bulk-file lane, full-text fallback.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from couchwarehouse_spark.operators.document import generate_create_table_sql
+from couchwarehouse_spark.sinks.elasticsearch import (
+    bulk_action_lines,
+    full_text_search,
+    strip_es_metadata,
+    write_bulk_files,
+)
+from couchwarehouse_spark.sinks.jdbc import jdbc_column_types
+
+
+def test_ddl_create_drop_roundtrip(spark, tmp_path):
+    """S17: the generated DDL runs through spark.sql (R10 → Catalyst)."""
+    schema = {"id": "string", "total": "number", "dispatched": "boolean"}
+    for stmt in generate_create_table_sql("cw_ddl_test", schema, reset=True):
+        spark.sql(stmt)
+    try:
+        cols = {f.name: f.dataType.simpleString() for f in spark.table("cw_ddl_test").schema}
+        assert cols == {"id": "string", "total": "double", "dispatched": "boolean"}
+        spark.sql("INSERT INTO cw_ddl_test VALUES ('a', 1.5, true)")
+        assert spark.table("cw_ddl_test").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cw_ddl_test")
+
+
+def test_jdbc_column_types():
+    """S18: frozen logical schema → createTableColumnTypes option."""
+    assert (
+        jdbc_column_types({"id": "string", "total": "number", "ok": "boolean"})
+        == "id STRING, total DOUBLE, ok BOOLEAN"
+    )
+
+
+def test_es_bulk_file_lane(spark, tmp_path):
+    """S19/R20: metadata strip + exact bulk-API wire format."""
+    df = spark.createDataFrame(
+        [
+            ("doc1", "1-a", None, "Alice", False),
+            ("doc2", "1-b", "blob", "Bob", True),
+        ],
+        "`id` string, `_rev` string, `_attachments` string, name string, deleted boolean",
+    )
+    stripped = strip_es_metadata(df)
+    assert "_rev" not in stripped.columns and "_attachments" not in stripped.columns
+
+    lines = bulk_action_lines(stripped, "myindex", deleted_col="deleted").collect()
+    payload = "\n".join(r["value"] for r in lines)
+    actions = [json.loads(line) for line in payload.split("\n")]
+    kinds = [next(iter(a)) for a in actions if ("index" in a or "delete" in a)]
+    assert sorted(kinds) == ["delete", "index"]
+    idx = next(a for a in actions if "index" in a)
+    assert idx["index"]["_index"] == "myindex" and idx["index"]["_id"] == "doc1"
+    src = next(a for a in actions if "name" in a)
+    assert src["name"] == "Alice" and "deleted" not in src
+
+    out = str(tmp_path / "bulk")
+    write_bulk_files(df.filter(~F.col("deleted")), "myindex", out)
+    back = spark.read.text(out).count()
+    assert back == 2  # one action line + one source line
+
+
+def test_full_text_search(spark):
+    """S19 native fallback: term match + tf relevance ranking."""
+    df = spark.createDataFrame(
+        [(1, "new york city"), (2, "york york york"), (3, "boston")],
+        "id long, name string",
+    )
+    got = full_text_search(df, "name", "york").select("id", "_score").collect()
+    assert [r["id"] for r in got] == [2, 1]  # 3 hits ranks above 1 hit
+    assert all(r["_score"] > 0 for r in got)
