@@ -8,13 +8,20 @@ runtime (DataFrame / Structured Streaming) and the warehouse
 (Spark SQL / Catalyst), so the query surface is implemented natively.
 
 Layout:
-  session     — SparkSession builder tuned for local[N] and cluster use
-  catalog     — testdata table loading / view registration
-  operators/  — document-model kernel (flatten, schema, conform, mango,
-                upsert) and scale extensions (dedup, similarity, text)
-  sources/    — changes-feed reader, warehouse API, external sinks
-  plans/      — the query surface (queries + DuckDB oracle SQL)
-  streaming/  — structured-streaming ingest & event-time windows
+  session      — SparkSession builder tuned for local[N] and cluster use
+  catalog      — testdata table loading / view registration
+  warehouse    — end-to-end ETL orchestration (spool → discover →
+                 conform → merge → SQL) with checkpoints and reset
+  multimodal   — binary media columns + Arrow feature-extraction (X3)
+  operators/   — document kernel (flatten/schema/conform/DDL), upsert/
+                 tombstone merge, checkpoint store, bucketed joins
+  functions/   — Mango selector→Column compiler, scalar helpers
+  sources/     — changes-feed batch reader (split/design-doc/transform)
+  sinks/       — JDBC adapters, Elasticsearch bulk lane + full-text
+  plans/       — the query registry: 50+ operators from SURVEY.md §2,
+                 each a (spark_query, duckdb_oracle) pair
+  streaming/   — structured-streaming ingest (AvailableNow spool /
+                 monitor), stateful ops, progress listeners
 """
 
 from couchwarehouse_spark.session import get_spark

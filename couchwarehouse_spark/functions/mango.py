@@ -66,10 +66,18 @@ def _compile_field(field: str, cond, flattened: bool) -> Column:
         elif op == "$size":
             parts.append(F.size(col) == F.lit(val))
         elif op == "$not":
-            parts.append(~_compile_field(field, val, flattened))
+            parts.append(_negate(_compile_field(field, val, flattened)))
         else:
             raise MangoError(f"unsupported Mango operator {op!r} on field {field!r}")
     return _and_all(parts)
+
+
+def _negate(cond: Column) -> Column:
+    """Mango negation complements the MATCHED set: a doc whose field is
+    missing doesn't match the inner condition (NULL in SQL), so it
+    MUST match the negation — coalesce NULL→false before ``~`` or
+    three-valued logic silently drops those docs."""
+    return ~F.coalesce(cond, F.lit(False))
 
 
 def _and_all(parts: list[Column]) -> Column:
@@ -108,9 +116,9 @@ def compile_selector(selector: Mapping, flattened: bool = True) -> Column:
         elif key == "$or":
             parts.append(_or_all([compile_selector(s, flattened) for s in val]))
         elif key == "$nor":
-            parts.append(~_or_all([compile_selector(s, flattened) for s in val]))
+            parts.append(_negate(_or_all([compile_selector(s, flattened) for s in val])))
         elif key == "$not":
-            parts.append(~compile_selector(val, flattened))
+            parts.append(_negate(compile_selector(val, flattened)))
         elif key.startswith("$"):
             raise MangoError(f"unsupported top-level Mango operator {key!r}")
         else:

@@ -209,10 +209,17 @@ class Warehouse:
 
         # Snapshot-rewrite via a temp dir: Spark can't overwrite a
         # parquet dir it is concurrently reading (self-join on source).
+        # Swap = rename-rename-delete so the table path is missing only
+        # for the instant between the two renames (readers also retry,
+        # see table()); Delta/Iceberg make this a true atomic commit.
         tmp = path + "._tmp"
+        trash = path + "._old"
         new_state.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path, ignore_errors=True)
-        os.replace(tmp, path)
+        shutil.rmtree(trash, ignore_errors=True)
+        if os.path.isdir(path):
+            os.rename(path, trash)
+        os.rename(tmp, path)
+        shutil.rmtree(trash, ignore_errors=True)
         self.register_view(doc_type)
 
     def _freeze_schema(self, flat: DataFrame) -> dict[str, str]:
@@ -245,8 +252,19 @@ class Warehouse:
         return df
 
     def table(self, doc_type: str = DEFAULT_TYPE) -> DataFrame:
-        """The current conformed state of one type's table (no seq col)."""
-        return self.spark.read.parquet(self._table_path(doc_type)).drop(SEQ_COL)
+        """The current conformed state of one type's table (no seq col).
+
+        Retries once: a concurrent snapshot swap leaves the path
+        missing for an instant between its two renames.
+        """
+        import time
+
+        path = self._table_path(doc_type)
+        try:
+            return self.spark.read.parquet(path).drop(SEQ_COL)
+        except Exception:
+            time.sleep(0.2)
+            return self.spark.read.parquet(path).drop(SEQ_COL)
 
     def query(self, sql: str) -> DataFrame:
         """SQL passthrough over the warehouse tables (R17; the seam the

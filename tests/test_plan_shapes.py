@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: the plan SHAPE is part of the
+contract at 100 TB — a query that silently loses its pushdown,
+broadcast, or partial aggregation still passes value checks at small
+SF and then dies at scale. These pin the shapes.
+"""
+
+from __future__ import annotations
+
+import couchwarehouse_spark.plans.all  # noqa: F401
+from couchwarehouse_spark.plans import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def explain_str(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    """Filter + projection reach the parquet scan; agg is two-phase."""
+    plan = explain_str(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # Column pruning: only the 7 referenced columns are read.
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read_schema
+    assert read_schema.count(":") - 1 <= 8  # struct<...7 fields...>
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_nation_revenue_broadcasts_dims(spark):
+    """nation/region must come in as broadcast joins — never shuffle a
+    25-row dim table against a fact table."""
+    plan = plan_of(spark, "nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_semi_anti_join_shapes(spark):
+    plan_semi = plan_of(spark, "big_spenders_semi")
+    assert "LeftSemi" in plan_semi
+    plan_anti = plan_of(spark, "no_big_order_anti")
+    assert "LeftAnti" in plan_anti
+
+
+def test_topk_uses_take_ordered(spark):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
+    partition heaps), not a global sort."""
+    plan = plan_of(spark, "top_revenue_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no standalone global sort
+
+
+def test_left_join_null_probe_filter_pushed(spark):
+    """The big-order filter must shrink the outer join's right side AT
+    THE SCAN (pushed into parquet), not after the join."""
+    plan = plan_of(spark, "customer_order_gaps")
+    assert "LeftOuter" in plan
+    assert "GreaterThan(o_totalprice,450000.0)" in plan
+
+
+def test_no_python_in_hot_paths(spark):
+    """Declarative queries must stay JVM-side: no BatchEvalPython
+    (row-at-a-time UDF) anywhere; Arrow stages appear ONLY in the
+    explicitly-UDF entries."""
+    for name in ("pricing_summary", "nation_revenue", "exact_dedup",
+                 "token_frequency", "knn_cosine_topk", "embedding_near_dup"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_mango_predicate_pushes_to_scan(spark):
+    """The compiled Mango selector must reach the parquet reader."""
+    plan = explain_str(spark, "mango_selector_filter")
+    assert "PushedFilters" in plan
+    # $gte 150 on value / event_type IN — at least one reaches the scan
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "Or(" in pushed or "In(" in pushed or "GreaterThanOrEqual" in pushed
