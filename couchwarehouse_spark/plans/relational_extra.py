@@ -1,0 +1,126 @@
+"""Additional relational surface: recursive CTE, RANGE window frames,
+full-text relevance search (S15/S16/S19 completions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from couchwarehouse_spark.catalog import load_table, register_views
+from couchwarehouse_spark.plans.registry import query
+from couchwarehouse_spark.sinks.elasticsearch import full_text_search
+
+# Same ANSI text runs in spark.sql AND DuckDB — the R17 passthrough
+# seam exercised with the hardest SQL feature both engines share.
+RECURSIVE_SPINE_SQL = """
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1992-01-01'
+      UNION ALL
+      SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+      WHERE m < DATE '1998-12-01'
+    ),
+    revenue AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             round(sum(o_totalprice), 2) AS monthly_revenue,
+             count(*) AS n_orders
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT strftime(months.m, '%Y-%m') AS month,
+           coalesce(monthly_revenue, 0.0) AS monthly_revenue,
+           coalesce(n_orders, 0) AS n_orders
+    FROM months LEFT JOIN revenue ON months.m = revenue.m
+"""
+
+# Spark uses date_format, DuckDB strftime — one token differs, the
+# rest of the text is shared verbatim.
+_SPARK_SPINE_SQL = RECURSIVE_SPINE_SQL.replace(
+    "strftime(months.m, '%Y-%m')", "date_format(months.m, 'yyyy-MM')"
+)
+
+
+@query("recursive_cte_month_spine", oracle=RECURSIVE_SPINE_SQL)
+def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE calendar spine + gap-filling LEFT JOIN (S16).
+
+    The classic warehouse report shape: a generated month axis joined
+    to actual revenue so empty months surface as zeros. Exercises
+    Spark 4's WITH RECURSIVE through the SQL passthrough lane (R17);
+    DuckDB runs the same text. Scale: the spine is 84 rows — broadcast;
+    the aggregate is one shuffle on month.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_SPARK_SPINE_SQL)
+
+
+@query(
+    "range_frame_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2) AS revenue_90d
+    FROM orders
+    WHERE o_custkey < 50
+    """,
+)
+def range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (S15): per customer, the rolling 90-day
+    revenue ending at each order — a VALUE-based frame (all orders
+    within 90 days = 7,776,000 s), not a row-count frame; ties in the
+    ordering column are handled identically by definition.
+
+    Scale: one shuffle on o_custkey; frame evaluation is a sliding
+    pointer over each partition's sorted orders.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_90d"),
+        )
+    )
+
+
+FT_QUERY = "data table"
+
+
+@query(
+    "full_text_relevance",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             (length(lower(text)) - length(replace(lower(text), 'data', ''))) / 4.0
+           + (length(lower(text)) - length(replace(lower(text), 'table', ''))) / 5.0
+               AS _score
+      FROM documents
+    )
+    SELECT doc_id, lang, round(_score, 2) AS score
+    FROM scored
+    WHERE _score > 0
+    ORDER BY _score DESC, doc_id
+    LIMIT 15
+    """,
+)
+def full_text_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text search fallback (S19): the reference delegates search
+    to Elasticsearch (reference README.md:147-148 ``?q=name:"York"``);
+    natively it's term matching + tf relevance ranking — the actual
+    ``sinks.elasticsearch.full_text_search`` operator, top-15 with a
+    deterministic tiebreak.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hits = full_text_search(d, "text", FT_QUERY)
+    return (
+        hits.orderBy(F.col("_score").desc(), "doc_id")
+        .limit(15)
+        .select("doc_id", "lang", F.round("_score", 2).alias("score"))
+    )

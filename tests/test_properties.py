@@ -1,0 +1,111 @@
+"""Property-based tests (Hypothesis) for the pure-Python document
+kernel — invariants that hold for ANY JSON document, not just the
+fixtures. The reference has no property tests (SURVEY.md §5); these
+guard the semantics the whole pipeline rests on.
+"""
+
+from __future__ import annotations
+
+import json
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from couchwarehouse_spark.operators.document import (
+    discover_schema,
+    extract_seq_number,
+    flatten_doc,
+    sanitize_identifier,
+    typeof,
+)
+
+# JSON-ish documents: keys are simple identifiers (as in real Couch
+# docs), values nest dicts/lists/scalars a few levels deep.
+keys = st.text(string.ascii_lowercase, min_size=1, max_size=8)
+scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=20),
+)
+json_values = st.recursive(
+    scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(keys, children, max_size=4),
+    ),
+    max_leaves=12,
+)
+documents = st.dictionaries(keys, json_values, max_size=6)
+
+
+@settings(max_examples=200, deadline=None)
+@given(documents)
+def test_flatten_produces_only_scalars(doc):
+    """Post-flatten, every value is a scalar (dicts recursed away,
+    lists serialized, Nones dropped) — the invariant that makes the
+    wide row valid (reference lib/flatten.js contract)."""
+    flat = flatten_doc(doc)
+    for k, v in flat.items():
+        assert not isinstance(v, (dict, list)), (k, v)
+        assert v is not None
+
+
+@settings(max_examples=200, deadline=None)
+@given(documents)
+def test_flatten_idempotent_on_flat_docs(doc):
+    """Flattening an already-flat doc is the identity (minus renames)."""
+    once = flatten_doc(doc)
+    twice = flatten_doc(once)
+    assert once == twice
+
+
+@settings(max_examples=200, deadline=None)
+@given(documents)
+def test_discover_types_are_valid_and_match_values(doc):
+    """discover() emits only the 3 logical types, one per flattened
+    column, consistent with each value's typeof."""
+    flat = flatten_doc(doc)
+    schema = discover_schema(doc)
+    assert set(schema) == set(flat)
+    for col, logical in schema.items():
+        assert logical in ("string", "number", "boolean")
+        assert typeof(flat[col]) == logical
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.dictionaries(keys, json_values, max_size=4))
+def test_flatten_arrays_are_valid_json(doc):
+    """Serialized arrays must parse back to the original list."""
+    flat = flatten_doc(doc)
+
+    def walk(obj, prefix=""):
+        for k, v in obj.items():
+            name = f"{prefix}_{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, name)
+            elif isinstance(v, (list, tuple)):
+                assert json.loads(flat[name]) == json.loads(
+                    json.dumps(list(v))
+                ), name
+
+    walk({("id" if k == "_id" else "rev" if k == "_rev" else k): v for k, v in doc.items()})
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**53),
+    st.text(string.ascii_letters + string.digits + "-_", max_size=10),
+)
+def test_seq_roundtrip(n, suffix):
+    # CouchDB seq tokens are '<n>-<opaque base64-ish>' — single line.
+    token = f"{n}-{suffix}"
+    assert extract_seq_number(token) == n
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=30))
+def test_sanitize_removes_every_dash(name):
+    assert "-" not in sanitize_identifier(name)
