@@ -1,0 +1,112 @@
+"""End-to-end warehouse pipeline under the oracle gate.
+
+The E2E golden tests (tests/test_warehouse.py) replay fixture feeds;
+this entry goes further: it derives a changes feed FROM the orders
+table deterministically — inserts, amendments (higher seq) and
+tombstones — spools it through the REAL Warehouse (flatten → frozen
+schema → conform → latest-wins merge → delete propagation →
+checkpoint), then aggregates the resulting table. The DuckDB oracle
+states the expected post-ETL semantics directly over ``orders``, so a
+hash match certifies the whole R1→R14 kernel, not just one operator.
+
+Feed construction is itself distributed (``to_json`` + text write);
+nothing transits the driver but the per-type first doc.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from couchwarehouse_spark.catalog import load_table
+from couchwarehouse_spark.plans.registry import query
+from couchwarehouse_spark.warehouse import Warehouse
+
+AMEND = 7  # orders with o_orderkey % 7 == 0 get amended (status overwrite)
+DELETE = 10  # orders with o_orderkey % 10 == 0 get tombstoned
+
+
+def _build_feed(spark: SparkSession, sf_dir: str, feed_dir: str) -> None:
+    orders = load_table(spark, sf_dir, "orders")
+    doc = F.struct(
+        F.concat(F.lit("order"), F.col("o_orderkey").cast("string")).alias("_id"),
+        F.lit("1-x").alias("_rev"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+        # nested struct → exercises flatten into customer_id
+        F.struct(F.col("o_custkey").alias("id")).alias("customer"),
+    )
+
+    def envelope(seq_col, doc_col, deleted: bool):
+        fields = [
+            F.concat(seq_col.cast("string"), F.lit("-seq")).alias("seq"),
+            F.concat(F.lit("order"), F.col("o_orderkey").cast("string")).alias("id"),
+        ]
+        if deleted:
+            fields.append(F.lit(True).alias("deleted"))
+        if doc_col is not None:
+            fields.append(doc_col.alias("doc"))
+        return F.to_json(F.struct(*fields))
+
+    inserts = orders.select(envelope(F.col("o_orderkey"), doc, False).alias("value"))
+    amended_doc = F.struct(
+        doc["_id"].alias("_id"),
+        F.lit("2-x").alias("_rev"),
+        F.lit("amended").alias("status"),
+        doc["total"].alias("total"),
+        doc["customer"].alias("customer"),
+    )
+    amendments = orders.filter(F.col("o_orderkey") % AMEND == 0).select(
+        envelope(F.col("o_orderkey") + F.lit(1_000_000_000), amended_doc, False).alias(
+            "value"
+        )
+    )
+    tombstones = orders.filter(F.col("o_orderkey") % DELETE == 0).select(
+        envelope(F.col("o_orderkey") + F.lit(2_000_000_000), None, True).alias("value")
+    )
+    feed = inserts.unionByName(amendments).unionByName(tombstones)
+    feed.write.mode("overwrite").text(feed_dir)
+
+
+@query(
+    "warehouse_e2e_pipeline",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % {AMEND} = 0 THEN 'amended'
+                ELSE o_orderstatus END        AS status,
+           count(*)                           AS n_orders,
+           round(sum(o_totalprice), 2)        AS total_revenue,
+           count(DISTINCT o_custkey)          AS n_customers
+    FROM orders
+    WHERE o_orderkey % {DELETE} <> 0
+    GROUP BY 1
+    """,
+)
+def warehouse_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1→R14 end-to-end: orders → changes feed (insert + amend +
+    tombstone) → Warehouse spool → SQL over the conformed table.
+
+    The oracle never sees the warehouse — it states what correct ETL
+    must produce straight from the source rows: amendments win by seq,
+    tombstoned orders vanish, everything else survives exactly once.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_e2e_{tag}")
+    feed_dir = os.path.join(base, "feed")
+    wh_dir = os.path.join(base, "wh")
+    shutil.rmtree(base, ignore_errors=True)
+
+    _build_feed(spark, sf_dir, feed_dir)
+    wh = Warehouse(spark, wh_dir, "e2eorders", reset=True)
+    wh.spool(feed_dir)
+
+    t = wh.table()
+    return t.groupBy("status").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("total"), 2).alias("total_revenue"),
+        F.countDistinct("customer_id").cast("long").alias("n_customers"),
+    )
