@@ -272,6 +272,32 @@ class Warehouse:
         ``spark.sql`` with full Catalyst planning)."""
         return self.spark.sql(sql)
 
+    def start(
+        self,
+        feed_dir: str,
+        checkpoint_dir: str | None = None,
+        monitor: bool = False,
+        processing_time: str = "10 seconds",
+    ):
+        """Reference-lifecycle entry point (reference index.js:181-255):
+        spool everything currently in the landing zone, then — when
+        ``monitor=True`` — keep tailing it with a processing-time
+        trigger. Returns the StreamingQuery when monitoring, else the
+        last spooled seq token.
+        """
+        from couchwarehouse_spark.streaming.ingest import monitor_warehouse
+
+        ckpt = checkpoint_dir or os.path.join(self.warehouse_dir, "_stream_ckpt")
+        spool_q = monitor_warehouse(self, feed_dir, ckpt, available_now=True)
+        spool_q.awaitTermination()
+        if self.verbose:
+            self.message()
+        if monitor:
+            return monitor_warehouse(
+                self, feed_dir, ckpt, available_now=False, processing_time=processing_time
+            )
+        return self.checkpoints.read(self.db_name)
+
     def message(self) -> None:
         """R18 — tell the user how to query (reference lib/sqlite.js:172-179)."""
         for doc_type in self.schemas:
