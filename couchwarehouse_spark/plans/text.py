@@ -89,14 +89,17 @@ def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = d.select("doc_id", F.explode(_tokens()).alias("term"))
     tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar; one job, folded into the expression
+    # Corpus size joins in as a broadcast single-row aggregate — one
+    # lazy plan, no eager driver-side count() job.
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
     return (
         tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "term",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
             ).alias("tfidf"),
         )
         .orderBy(F.col("tfidf").desc(), "doc_id", "term")

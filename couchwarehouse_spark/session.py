@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spill sizing: 128 MB input splits keep a partition's
+        # decompressed working set well inside executor memory even at
+        # high SF; AQE coalescing (above) merges the small ones back.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert in the catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
