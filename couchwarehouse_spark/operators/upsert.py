@@ -116,9 +116,23 @@ class CheckpointStore:
     def read(self, tablename: str) -> str | None:
         if not os.path.isdir(self.path):
             return None
-        df = self.spark.read.parquet(self.path).filter(F.col("tablename") == tablename)
-        rows = df.agg(F.max_by("seq", "ord").alias("seq")).collect()
-        return rows[0]["seq"] if rows and rows[0]["seq"] is not None else None
+        # Tolerate concurrent appends: the writer's commit protocol
+        # keeps a _temporary dir while a checkpoint row lands, and a
+        # read racing it can fail or see a partial listing — retry.
+        import time
+
+        last_err: Exception | None = None
+        for _ in range(3):
+            try:
+                df = self.spark.read.parquet(self.path).filter(
+                    F.col("tablename") == tablename
+                )
+                rows = df.agg(F.max_by("seq", "ord").alias("seq")).collect()
+                return rows[0]["seq"] if rows and rows[0]["seq"] is not None else None
+            except Exception as err:  # transient mid-commit read
+                last_err = err
+                time.sleep(0.3)
+        raise last_err
 
     def reset(self) -> None:
         """R19 — forget all checkpoints (next run starts from seq 0)."""

@@ -164,6 +164,90 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_ORACLE = f"""
+    WITH flat AS (
+      SELECT label,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+             unnest(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label AS cell, dim, round(avg(x), 6) AS c FROM flat GROUP BY label, dim
+    ),
+    cents AS (
+      SELECT cell, list(c ORDER BY dim) AS centroid FROM dims GROUP BY cell
+    ),
+    v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, label, v,
+             min_by(cell, list_distance(v, centroid)) AS cell
+      FROM v CROSS JOIN cents
+      GROUP BY vec_id, label, v
+    ),
+    q AS (SELECT v AS qv, cell AS qcell FROM assigned WHERE vec_id = {QUERY_VEC_ID})
+    SELECT a.vec_id, a.label, a.cell,
+           round(list_cosine_similarity(a.v, q.qv), 4) AS cos_sim
+    FROM assigned a CROSS JOIN q
+    WHERE a.cell = q.qcell AND a.vec_id <> {QUERY_VEC_ID}
+    ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id
+    LIMIT {TOP_K}
+"""
+
+
+@query("ivf_topk", oracle=IVF_ORACLE)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k (X2): coarse quantizer = per-label
+    mean centroids (the k-means seed step); every vector is assigned
+    to its NEAREST centroid cell (argmin L2 — which may not be its own
+    label's); the query probes only its own cell.
+
+    Same shape as a trained IVF index: |cells| ≪ N, a query scores
+    N/|cells| vectors; nprobe>1 re-adds neighbor cells for recall.
+    Both lanes round centroids to 6 decimals BEFORE distances so cell
+    assignment cannot flip on last-ulp average differences between
+    engines. Scale: centroids broadcast (|cells|×d doubles); the
+    assignment pass is a projection over a broadcast cross join —
+    one scan, no shuffle beyond the final agg.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+
+    dims = (
+        v.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy(F.col("label").alias("cell"), "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    cents = dims.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc")
+    ).select("cell", F.col("dc.c").alias("centroid"))
+
+    dist2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id", "label", "v")
+        .agg(F.min_by("cell", dist2).alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("cell").alias("qcell")
+    )
+    cos = cosine(F.col("v"), F.col("qv"))
+    return (
+        assigned.crossJoin(F.broadcast(q))
+        .filter((F.col("cell") == F.col("qcell")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .withColumn("_cos", cos)
+        .orderBy(F.col("_cos").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "label", "cell", F.round("_cos", 4).alias("cos_sim"))
+    )
+
+
 @query(
     "centroid_similarity_per_label",
     oracle="""
