@@ -65,23 +65,57 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "exact_dedup_canonical",
     oracle="""
-    SELECT md5(text) AS content_hash,
+    WITH fp AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               list_min(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> md5(concat_ws(' ', list_extract(string_split(text, ' '), i),
+                                         list_extract(string_split(text, ' '), i + 1),
+                                         list_extract(string_split(text, ' '), i + 2)))))
+             ELSE md5(text) END AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint,
            min(doc_id) AS canonical_id,
            count(*) AS n_copies
-    FROM documents
-    GROUP BY md5(text)
+    FROM fp
+    GROUP BY fingerprint
     HAVING count(*) > 1
     """,
 )
 def exact_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup, canonical-survivor form (X1): for every duplicated
-    content hash, the kept doc (min id) and the copy count — the
-    latest/first-wins pattern shared with the upsert kernel (R11).
+    """Canonical-survivor dedup (X1): one kept doc (min id) per
+    content-fingerprint cluster — the survivor-selection pattern
+    shared with the upsert kernel (R11).
+
+    Keyed on the winnowing fingerprint (min shingle hash, see
+    doc_fingerprints) rather than md5(text): exact duplicates share
+    ALL shingles so they always cluster, and the key also folds in
+    near-dups that share the minimal shingle — giving a non-trivial
+    result at every SF (pure md5-exact groups exist only at sf0.1,
+    which would make the oracle check vacuous below that).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split("text", " ")
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            )
+        ),
+    )
+    fingerprint = F.when(F.size(toks) >= 3, F.array_min(shingle_hashes)).otherwise(
+        F.md5("text")
+    )
     return (
-        d.select(F.md5("text").alias("content_hash"), "doc_id")
-        .groupBy("content_hash")
+        d.select(fingerprint.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
         .filter(F.col("n_copies") > 1)
     )

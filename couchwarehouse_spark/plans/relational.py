@@ -389,14 +389,16 @@ def set_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand FROM part WHERE p_size > 25
     INTERSECT
-    SELECT p_brand FROM part WHERE p_retailprice > 1500
+    SELECT p_brand FROM part WHERE p_retailprice > 905
     """,
 )
 def set_intersect_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT of two derived sets (S13)."""
+    """INTERSECT of two derived sets (S13). Thresholds calibrated to
+    the testdata (retail prices top out near 920-1000 depending on SF) so the result is
+    non-empty at every SF — an empty set would pass trivially."""
     part = load_table(spark, sf_dir, "part")
     a = part.filter(F.col("p_size") > 25).select("p_brand")
-    b = part.filter(F.col("p_retailprice") > 1500).select("p_brand")
+    b = part.filter(F.col("p_retailprice") > 905).select("p_brand")
     return a.intersect(b)
 
 
