@@ -16,9 +16,12 @@ the streaming checkpoint (D2: offsets/commits under
 the reference's couchwarehouse_checkpoints table on top).
 
 The feed source here is a JSON-lines landing directory (what a real
-deployment's HTTP tailer writes page by page); a custom DataSourceV2
-longpoll source would slot in without touching anything below
-``readStream``.
+deployment's HTTP tailer writes page by page). A first-class
+``couchdb_changes`` format also exists
+(sources.changes_source.ChangesFeedDataSource — Spark 4 Python Data
+Source with offset-tracked micro-batches and ``maxPagesPerBatch``
+rate limiting); the file stream stays the default because Python
+sources don't support ``Trigger.AvailableNow`` yet.
 """
 
 from __future__ import annotations
