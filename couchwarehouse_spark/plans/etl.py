@@ -26,7 +26,8 @@ from couchwarehouse_spark.plans.registry import query
 @query(
     "latest_event_per_user",
     oracle="""
-    SELECT user_id, event_id, event_type, round(value, 2) AS value, ts
+    SELECT user_id, event_id, event_type, round(value, 2) AS value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
     FROM (
       SELECT user_id, event_id, event_type, value, ts,
              row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
@@ -47,7 +48,11 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     latest = latest_wins(ev, key="user_id", seq="event_id")
     return latest.select(
-        "user_id", "event_id", "event_type", F.round("value", 2).alias("value"), "ts"
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
     )
 
 

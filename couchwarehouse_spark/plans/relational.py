@@ -76,7 +76,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "top_revenue_orders",
     oracle="""
-    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price, o_orderdate
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 10
@@ -96,7 +97,9 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_custkey",
             F.round("o_totalprice", 2).alias("total_price"),
-            "o_orderdate",
+            # Dates emitted as formatted strings: raw timestamp columns
+            # hash differently across engines' serializations.
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         )
         .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
         .limit(10)
@@ -328,7 +331,9 @@ def price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "asof_last_view",
     oracle="""
-    SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS last_view_ts
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
       ON p.user_id = v.user_id AND p.ts >= v.ts
@@ -364,7 +369,10 @@ def asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True).over(w),
     )
     return carried.filter(F.col("tag") == 1).select(
-        "event_id", "user_id", "ts", "last_view_ts"
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("last_view_ts", "yyyy-MM-dd HH:mm:ss").alias("last_view_ts"),
     )
 
 
