@@ -1,0 +1,114 @@
+"""Statistical aggregate surface: exact percentiles, moments/
+correlation, and PIVOT — warehouse staples beyond basic SUM/AVG
+(S7 extensions; reference README.md:68 "aggregations ... and much
+more" delegated to the target engine's SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from couchwarehouse_spark.catalog import load_table, register_views
+from couchwarehouse_spark.plans.registry import query
+
+
+PERCENTILE_SQL = """
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rp,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           max(CASE WHEN rp = CAST(ceil(0.50 * n) AS BIGINT) THEN l_extendedprice END) AS p50_price,
+           max(CASE WHEN rp = CAST(ceil(0.90 * n) AS BIGINT) THEN l_extendedprice END) AS p90_price,
+           max(CASE WHEN rp = CAST(ceil(0.99 * n) AS BIGINT) THEN l_extendedprice END) AS p99_price
+    FROM ranked
+    GROUP BY l_returnflag
+"""
+
+
+@query("percentile_stats", oracle=PERCENTILE_SQL)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (p50/p90/p99) per group — element at rank
+    ⌈q·n⌉ under a total order, so the result is an actual data value
+    and IDENTICAL across engines (interpolated percentiles differ in
+    the last ulp between implementations and flip under rounding; a
+    discrete definition cannot). Same ANSI text runs in both lanes
+    (R17 passthrough).
+
+    Scale note: this window formulation sorts each partition; at
+    100 TB use ``approx_percentile`` (t-digest sketch, mergeable
+    map-side) — exact ranks kept here for the oracle.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(PERCENTILE_SQL)
+
+
+@query(
+    "moment_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 2)             AS price_stddev,
+           round(var_samp(l_quantity), 4)                     AS qty_var,
+           round(corr(l_quantity, l_extendedprice), 4)        AS qty_price_corr,
+           round(covar_samp(l_discount, l_tax), 6)            AS disc_tax_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates: stddev/variance/correlation/covariance
+    — single-pass, mergeable (Welford-style partial states), so they
+    scale exactly like SUM: partial map-side, merge at the exchange.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_covar"),
+    )
+
+
+ORDER_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)        AS urgent,
+           CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT)          AS high,
+           CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT)        AS medium,
+           CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS not_specified,
+           CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT)           AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts, status × priority as a cross-tab.
+
+    ``groupBy().pivot(col, values)`` with EXPLICIT pivot values — at
+    scale never let Spark scan for distinct pivot values first (that
+    is an extra pass over the data); the oracle states the same table
+    as conditional counts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ORDER_PRIORITIES)
+        .agg(F.count(F.lit(1)))  # star is invalid inside pivot
+        .na.fill(0)
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        F.col("`1-URGENT`").alias("urgent"),
+        F.col("`2-HIGH`").alias("high"),
+        F.col("`3-MEDIUM`").alias("medium"),
+        F.col("`4-NOT SPECIFIED`").alias("not_specified"),
+        F.col("`5-LOW`").alias("low"),
+    )
