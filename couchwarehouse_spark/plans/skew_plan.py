@@ -18,7 +18,7 @@ from couchwarehouse_spark.plans.registry import query
     "salted_skew_aggregate",
     oracle="""
     SELECT event_type,
-           count(*) AS n_events,
+           count(value) AS n_events,
            round(sum(value), 2) AS total_value,
            round(max(value), 2) AS max_value
     FROM events
@@ -32,7 +32,9 @@ def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cores exist; the salted plan's first shuffle has 5×16 keys — full
     parallelism — and the second merges 16 tiny partials per key.
     Value-identical to the oracle's plain GROUP BY by construction
-    (sum/count/max are algebraic).
+    (sum/count/max are algebraic). Note the oracle counts
+    ``count(value)`` — ``salted_aggregate``'s count is a per-column
+    (non-null) count, not ``count(*)``.
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     out = salted_aggregate(

@@ -115,12 +115,16 @@ def full_text_search(df: DataFrame, text_col: str, query: str) -> DataFrame:
     """Native fallback for ES's query_string search (S19; reference
     README.md:147-148 ``?q=name:"York"``): case-insensitive term
     match + a naive term-frequency relevance score, as expressions."""
+    import re as _re
+
     terms = [t for t in query.lower().split() if t]
     score: Column = F.lit(0)
     for t in terms:
+        # Terms are LITERALS: escape regex metacharacters ("c++",
+        # "3.5") or regexp_replace would treat them as patterns.
         occurrences = (
             F.length(F.lower(F.col(text_col)))
-            - F.length(F.regexp_replace(F.lower(F.col(text_col)), t, ""))
+            - F.length(F.regexp_replace(F.lower(F.col(text_col)), _re.escape(t), ""))
         ) / len(t)
         score = score + occurrences
     return (
