@@ -152,53 +152,70 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard only fires on genuinely shared word sequences — the
     standard formulation (Broder resemblance, public knowledge).
 
-    Performance: shingles are hashed to 64-bit longs BEFORE the pair
-    join — Jaccard needs only intersect/union SIZES, which are
-    invariant under an (effectively) injective hash, so the expensive
-    ``array_intersect`` runs on longs, not ~20-char strings (~5×
-    faster, and the shuffled pair payload shrinks the same way). The
-    oracle computes the same sizes on the raw strings. A cheap
-    size-ratio bound (|A|≥τ|B| is necessary for J≥τ) prunes pairs
-    before any intersect.
+    Performance: shingles are hashed to 64-bit longs BEFORE any join —
+    Jaccard needs only intersect/union SIZES, which are invariant
+    under an (effectively) injective hash, so the expensive
+    ``array_intersect`` runs on longs, not ~20-char strings, and the
+    shuffled payload shrinks the same way. The oracle computes the
+    same sizes on the raw strings.
 
-    Scale: all-pairs-within-block only (lang here). When blocks are
-    still too big, ``minhash_lsh_candidates`` replaces the blocked
-    join with LSH buckets and runs THIS verify on candidates only.
+    Scale — exact prefix filtering (Bayardo/Ma/Srikant "Scaling Up
+    All Pairs Similarity Search", WWW'07; public knowledge), never
+    all-pairs: with shingle hashes globally ordered (array_sort), a
+    pair with J >= τ must overlap in >= ceil(τ·|A|) elements, so doc
+    A's first |A| - ceil(τ·|A|) + 1 hashes (its "prefix") must hit
+    SOME element of B — pigeonhole, zero recall loss. Candidate
+    generation is therefore an equi-join of exploded prefixes against
+    exploded full sets on (lang, shingle-hash): linear in shared
+    shingles rather than quadratic in block size, and it shuffles/
+    scales like word-count. The exact Jaccard verify then runs on
+    candidates only. ``minhash_lsh_candidates`` is the probabilistic
+    alternative when even prefix-join fan-out is too hot.
     """
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        "lang",
-        F.array_distinct(
-            F.transform(_shingles(F.split("text", " ")), lambda s: F.xxhash64(s))
-        ).alias("sh"),
-    )
-    # Parallelism follows COMPUTE here, not input bytes: a small
-    # parquet file scans as 1 partition, but the pair join fans out
-    # quadratically — spread the probe side across all cores and
-    # broadcast the build side (hashed sets are a few MB per 5k docs;
-    # at larger N, bucket the join on lang instead).
     par = spark.sparkContext.defaultParallelism
-    a = t.repartition(par).alias("a")
-    b = F.broadcast(t).alias("b")
-    size_a, size_b = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
-    union = size_a + size_b - inter
-    jac = inter / union
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # J >= τ forces |A| >= τ|B| and |B| >= τ|A| — prune cheap.
-            & (size_a.cast("double") >= JACCARD_THRESHOLD * size_b)
-            & (size_b.cast("double") >= JACCARD_THRESHOLD * size_a),
-        )
+    t = (
+        d.repartition(par)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
+            "doc_id",
+            "lang",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        _shingles(F.split("text", " ")), lambda s: F.xxhash64(s)
+                    )
+                )
+            ).alias("sh"),
         )
+        .cache()  # reused: probe prefixes, build tokens, verify arrays
+    )
+    # Prefix length for τ: n - ceil(τn) + 1 (pigeonhole bound above).
+    n = F.size("sh")
+    plen = (n - F.ceil(F.lit(JACCARD_THRESHOLD) * n) + 1).cast("int")
+    probe = t.select(
+        "lang",
+        F.col("doc_id").alias("doc_a"),
+        F.explode(F.slice("sh", 1, plen)).alias("tok"),
+    )
+    build = t.select(
+        "lang", F.col("doc_id").alias("doc_b"), F.explode("sh").alias("tok")
+    )
+    cand = (
+        probe.join(build, ["lang", "tok"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_tbl = t.select("doc_id", "sh")
+    pairs = cand.join(
+        F.broadcast(sh_tbl.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"})), "doc_a"
+    ).join(
+        F.broadcast(sh_tbl.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"})), "doc_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -310,12 +327,15 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage, the Hamming check is the precision stage.
 
     Implementation: explode distinct tokens, hash each ONCE
-    (xxhash64), then one hash aggregate computing all 64 bit-balances
-    as conditional sums (map-side partial agg), and a final projection
-    reassembling the 64 signs into the long with shiftleft/bitwise-or.
-    One explode + one shuffle on doc_id — the explode-groupBy shape
-    word-count uses, so it scales the same way. Declared rows-only
-    (hash engine differs across systems).
+    (xxhash64), then one hash aggregate computing all 64 per-bit
+    popcounts as SIXTEEN branch-free packed sums — four 16-bit
+    counters per long (`sum(((h>>b)&1) << 16j)`), safe to 65 535
+    tokens/doc — instead of 64 separate `when()` sums. Same single
+    explode + single shuffle on doc_id (the word-count shape), but a
+    4× narrower aggregation buffer and far less generated code to
+    JIT. Bit b of the simhash is 1 iff popcount_b > n_tokens/2
+    (equivalent to the classic ±1 balance being positive). Declared
+    rows-only (hash engine differs across systems).
     """
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
@@ -324,19 +344,26 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
     ).select("doc_id", F.xxhash64("t").alias("h"))
 
-    balances = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = tok.groupBy("doc_id").agg(*balances)
+    def packed_sum(g: int):
+        parts = [
+            F.shiftleft(F.shiftright("h", 4 * g + j).bitwiseAND(F.lit(1)), 16 * j)
+            for j in range(4)
+        ]
+        e = parts[0]
+        for p in parts[1:]:
+            e = e + p
+        return F.sum(e).alias(f"s{g}")
+
+    agg = tok.groupBy("doc_id").agg(
+        *[packed_sum(g) for g in range(SIMHASH_BITS // 4)],
+        F.count("*").alias("n_tok"),
+    )
 
     simhash = None
     for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        g, j = divmod(b, 4)
+        popcount = F.shiftright(F.col(f"s{g}"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+        bit = (popcount * 2 > F.col("n_tok")).cast("long")
         term = F.shiftleft(bit, b)
         simhash = term if simhash is None else simhash.bitwiseOR(term)
 

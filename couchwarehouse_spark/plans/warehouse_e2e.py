@@ -53,7 +53,6 @@ def _build_feed(spark: SparkSession, sf_dir: str, feed_dir: str) -> None:
             fields.append(doc_col.alias("doc"))
         return F.to_json(F.struct(*fields))
 
-    inserts = orders.select(envelope(F.col("o_orderkey"), doc, False).alias("value"))
     amended_doc = F.struct(
         doc["_id"].alias("_id"),
         F.lit("2-x").alias("_rev"),
@@ -61,15 +60,23 @@ def _build_feed(spark: SparkSession, sf_dir: str, feed_dir: str) -> None:
         doc["total"].alias("total"),
         doc["customer"].alias("customer"),
     )
-    amendments = orders.filter(F.col("o_orderkey") % AMEND == 0).select(
-        envelope(F.col("o_orderkey") + F.lit(1_000_000_000), amended_doc, False).alias(
-            "value"
-        )
+    # One scan of orders, not three union branches: each row emits its
+    # insert envelope plus (conditionally) an amendment and a tombstone,
+    # null-filtered and exploded — the same rows, a third of the I/O.
+    envs = F.array(
+        envelope(F.col("o_orderkey"), doc, False),
+        F.when(
+            F.col("o_orderkey") % AMEND == 0,
+            envelope(F.col("o_orderkey") + F.lit(1_000_000_000), amended_doc, False),
+        ),
+        F.when(
+            F.col("o_orderkey") % DELETE == 0,
+            envelope(F.col("o_orderkey") + F.lit(2_000_000_000), None, True),
+        ),
     )
-    tombstones = orders.filter(F.col("o_orderkey") % DELETE == 0).select(
-        envelope(F.col("o_orderkey") + F.lit(2_000_000_000), None, True).alias("value")
+    feed = orders.select(
+        F.explode(F.filter(envs, lambda x: x.isNotNull())).alias("value")
     )
-    feed = inserts.unionByName(amendments).unionByName(tombstones)
     feed.write.mode("overwrite").text(feed_dir)
 
 

@@ -160,6 +160,12 @@ class Warehouse:
         reference index.js:105-125). Returns the batch's max seq token."""
         env = filter_design_docs(env)
         env = split_envelopes(env, self.split)
+        # One JSON parse, many consumers: this batch is read by the
+        # max-seq probe, type discovery, the tombstone probe, and every
+        # per-type merge — without a persist each action re-parses the
+        # feed from disk. Micro-batches are bounded, and persist()
+        # spills to disk, so this holds at scale too.
+        env = env.persist()
 
         # Tombstones: deletes apply to every type's table — CouchDB
         # tombstones carry no body, so no type (reference
@@ -184,9 +190,12 @@ class Warehouse:
         # deletes by id wherever the row lives).
         if tombstones.limit(1).count() > 0:
             types |= set(self.schemas.keys())
-        for doc_type in sorted(types):
-            self._merge_type(live, tombstones, doc_type)
-        self._save_schemas()
+        try:
+            for doc_type in sorted(types):
+                self._merge_type(live, tombstones, doc_type)
+            self._save_schemas()
+        finally:
+            env.unpersist()
         return last_seq
 
     def _merge_type(self, live: DataFrame, tombstones: DataFrame, doc_type: str) -> None:
