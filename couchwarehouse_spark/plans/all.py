@@ -6,6 +6,7 @@ import couchwarehouse_spark.plans.events_windows  # noqa: F401
 import couchwarehouse_spark.plans.multimodal_plan  # noqa: F401
 import couchwarehouse_spark.plans.relational  # noqa: F401
 import couchwarehouse_spark.plans.relational_extra  # noqa: F401
+import couchwarehouse_spark.plans.sampling  # noqa: F401
 import couchwarehouse_spark.plans.scalar  # noqa: F401
 import couchwarehouse_spark.plans.similarity  # noqa: F401
 import couchwarehouse_spark.plans.skew_plan  # noqa: F401

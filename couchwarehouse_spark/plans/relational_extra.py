@@ -124,3 +124,55 @@ def full_text_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .select("doc_id", "lang", F.round("_score", 2).alias("score"))
     )
+
+
+@query(
+    "order_cohort_full_outer",
+    oracle="""
+    WITH y95 AS (SELECT o_custkey, count(*) AS n_1995 FROM orders
+                 WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+         y96 AS (SELECT o_custkey, count(*) AS n_1996 FROM orders
+                 WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+    SELECT CASE WHEN n_1995 IS NOT NULL AND n_1996 IS NOT NULL THEN 'both'
+                WHEN n_1995 IS NOT NULL THEN 'only_1995'
+                ELSE 'only_1996' END        AS cohort,
+           count(*)                         AS n_customers,
+           CAST(coalesce(sum(n_1995), 0) AS BIGINT) AS orders_1995,
+           CAST(coalesce(sum(n_1996), 0) AS BIGINT) AS orders_1996
+    FROM y95 FULL OUTER JOIN y96 USING (o_custkey)
+    GROUP BY 1
+    """,
+)
+def order_cohort_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (S10 completeness): customer retention cohorts —
+    who ordered in 1995, 1996, or both. The outer join is the only
+    join flavor that keeps unmatched rows from BOTH sides, which is
+    exactly what a year-over-year reconciliation needs.
+
+    Scale: both inputs are pre-aggregated to one row per customer
+    BEFORE the join (partial aggregation upstream of the shuffle), so
+    the full-outer join is key-to-key on already-reduced sides — never
+    outer-join raw fact tables when an aggregate precedes the compare.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_1995"))
+    )
+    y96 = (
+        orders.filter(F.year("o_orderdate") == 1996)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_1996"))
+    )
+    joined = y95.join(y96, "o_custkey", "full_outer")
+    cohort = (
+        F.when(F.col("n_1995").isNotNull() & F.col("n_1996").isNotNull(), "both")
+        .when(F.col("n_1995").isNotNull(), "only_1995")
+        .otherwise("only_1996")
+    )
+    return joined.groupBy(cohort.alias("cohort")).agg(
+        F.count("*").alias("n_customers"),
+        F.coalesce(F.sum("n_1995"), F.lit(0)).alias("orders_1995"),
+        F.coalesce(F.sum("n_1996"), F.lit(0)).alias("orders_1996"),
+    )

@@ -1,0 +1,267 @@
+"""Training-data curation operators: deterministic splits, stratified
+sampling, benchmark decontamination, cross-split leakage detection.
+
+These are the dataset-assembly steps an LLM training pipeline runs
+after dedup (plans.dedup) and quality scoring (plans.text): assign
+every document to train/val/test REPRODUCIBLY, draw deterministic
+stratified samples for eval, check the corpus for verbatim benchmark
+contamination, and prove near-duplicates don't straddle split
+boundaries (leakage). All pure DataFrame ops, all DuckDB-oracle-backed.
+
+Scale stance: split assignment and sampling are projections + one
+window/agg on low-cardinality strata — no driver participation, no
+skew (md5 buckets are uniform). Decontamination is an equi-join on
+shingle strings with the (small) benchmark side broadcast — the shape
+survives any corpus size because the benchmark set, not the corpus,
+bounds the build side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from couchwarehouse_spark.catalog import load_table
+from couchwarehouse_spark.plans.registry import query
+
+TRAIN_PCT = 80  # buckets 0-79 → train
+VAL_PCT = 10  # buckets 80-89 → val; 90-99 → test
+SAMPLE_K = 20  # stratified sample size per stratum
+DECON_NGRAM = 4  # word n-gram length for contamination matching
+BENCH_MOD = 50  # doc_id % 50 == 0 plays the "benchmark suite" role
+
+
+def _split_bucket(id_col):
+    """Deterministic uniform bucket in [0, 100) from the document id.
+
+    First 8 hex chars of md5 → integer → mod 100: reproducible across
+    engines and runs (unlike ``rand()``/``TABLESAMPLE``), uniform
+    (unlike ``id % 100`` when ids carry arrival order), and stable
+    under repartitioning — the property a training split must have so
+    that re-running the pipeline never moves a document across splits.
+    """
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+
+
+def _split_label(bucket):
+    return (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+_SPLIT_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+_LABEL_SQL = (
+    f"CASE WHEN {_SPLIT_SQL} < {TRAIN_PCT} THEN 'train' "
+    f"WHEN {_SPLIT_SQL} < {TRAIN_PCT + VAL_PCT} THEN 'val' ELSE 'test' END"
+)
+
+
+@query(
+    "deterministic_split",
+    oracle=f"""
+    SELECT lang,
+           {_LABEL_SQL}                    AS split,
+           count(*)                        AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)    AS total_chars
+    FROM documents
+    GROUP BY lang, 2
+    """,
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based train/val/test split census per language.
+
+    80/10/10 by md5 bucket (see ``_split_bucket``). The census per
+    (lang, split) is what a pipeline materializes to audit stratum
+    balance before training. One projection + one hash aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            _split_label(_split_bucket(F.col("doc_id"))).alias("split"),
+            "n_chars",
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, sample_rank
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS sample_rank
+      FROM documents
+    )
+    WHERE sample_rank <= {SAMPLE_K}
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: K docs per language, chosen by
+    md5 order — a reproducible "random" draw (same K docs every run,
+    any cluster size), the property eval-set construction needs.
+
+    Scale: one window over the stratum key. Strata are few, so at
+    extreme scale swap ``row_number`` for a per-stratum rank cutoff
+    computed from ``approxQuantile`` on the hash to avoid one giant
+    window partition per stratum; semantics identical.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= SAMPLE_K)
+    )
+
+
+def _shingles_n(toks, n: int):
+    """Word n-gram shingles of a token array (1-based indexing)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+
+
+@query(
+    "benchmark_decontamination",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(w) - {DECON_NGRAM - 2}),
+               i -> array_to_string(list_slice(w, i, i + {DECON_NGRAM - 1}), ' '))) AS s
+      FROM t WHERE len(w) >= {DECON_NGRAM}
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+    cont AS (
+      SELECT DISTINCT doc_id, lang FROM sh
+      WHERE doc_id % {BENCH_MOD} <> 0 AND s IN (SELECT s FROM bench)
+    )
+    SELECT c.lang,
+           c.n_corpus_docs,
+           CAST(coalesce(k.n, 0) AS BIGINT) AS n_contaminated
+    FROM (SELECT lang, count(*) AS n_corpus_docs FROM documents
+          WHERE doc_id % {BENCH_MOD} <> 0 GROUP BY lang) c
+    LEFT JOIN (SELECT lang, count(*) AS n FROM cont GROUP BY lang) k
+      ON c.lang = k.lang
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination scan: corpus documents sharing any
+    verbatim word-{4}-gram with a held-out benchmark set (here, the
+    ``doc_id % {50}`` slice standing in for an eval suite).
+
+    The shape every decontamination pass uses (public practice, e.g.
+    GPT-2/3 and Dolma reports): shingle both sides, equi-join on the
+    shingle, flag corpus docs with any hit. Scale: the benchmark side
+    is distinct-shingled and BROADCAST — corpus size never enters the
+    shuffle; the corpus side streams map-side through the hash join.
+    """
+    # Compute-dense (per-row shingle explosion): spread across cores —
+    # one small parquet file would otherwise run as a single task.
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split("text", " ")
+    sh = (
+        d.filter(F.size(toks) >= DECON_NGRAM)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(_shingles_n(toks, DECON_NGRAM)).alias("s"),
+        )
+    )
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench_sh = sh.filter(is_bench).select("s").distinct()
+    contaminated = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench_sh), "s", "left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = (
+        d.filter(~is_bench).groupBy("lang").agg(F.count("*").alias("n_corpus_docs"))
+    )
+    return totals.join(contaminated, "lang", "left").select(
+        "lang",
+        "n_corpus_docs",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_contaminated"),
+    )
+
+
+@query(
+    "split_leakage_check",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             {_LABEL_SQL} AS split,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               list_min(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> md5(array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))))
+             ELSE md5(text) END AS fingerprint
+      FROM documents
+    ),
+    leaky AS (
+      SELECT fingerprint, count(*) AS n_docs
+      FROM fp GROUP BY fingerprint
+      HAVING count(DISTINCT split) > 1
+    )
+    SELECT count(*)                          AS leaky_fingerprints,
+           CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS docs_affected
+    FROM leaky
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit: near-dup clusters (same winnowing
+    fingerprint — see ``exact_dedup_canonical``) that straddle split
+    boundaries, i.e. a test document whose near-duplicate sits in
+    train. The check a split must pass before the split is trusted;
+    the fix is assigning splits by fingerprint instead of doc_id.
+
+    Scale: fingerprint + split are projections; the audit is one hash
+    aggregate on the fingerprint. Same shuffle as exact dedup.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split("text", " ")
+    shingle_hashes = F.transform(
+        _shingles_n(toks, 3), lambda s: F.md5(s)
+    )
+    fingerprint = F.when(
+        F.size(toks) >= 3, F.array_min(shingle_hashes)
+    ).otherwise(F.md5("text"))
+    fp = d.select(
+        fingerprint.alias("fingerprint"),
+        _split_label(_split_bucket(F.col("doc_id"))).alias("split"),
+    )
+    leaky = (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+    return leaky.agg(
+        F.count("*").alias("leaky_fingerprints"),
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("docs_affected"),
+    )
