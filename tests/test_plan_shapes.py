@@ -83,3 +83,32 @@ def test_mango_predicate_pushes_to_scan(spark):
     # $gte 150 on value / event_type IN — at least one reaches the scan
     pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "Or(" in pushed or "In(" in pushed or "GreaterThanOrEqual" in pushed
+
+
+def test_decontamination_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must broadcast — corpus size must
+    never enter that shuffle."""
+    plan = plan_of(spark, "benchmark_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_sampling_plans_are_jvm_only(spark):
+    """Curation operators are pure DataFrame expressions — no Python
+    evaluation anywhere in their physical plans."""
+    for name in (
+        "deterministic_split",
+        "stratified_sample",
+        "benchmark_decontamination",
+        "split_leakage_check",
+    ):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_full_outer_preaggregates_before_join(spark):
+    """Both sides reduce to one row per customer BEFORE the full-outer
+    join (partial aggregation upstream of the join exchange)."""
+    plan = plan_of(spark, "order_cohort_full_outer")
+    assert "FullOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
