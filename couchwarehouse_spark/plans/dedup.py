@@ -121,26 +121,31 @@ def exact_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ngram_jaccard_pairs",
-    oracle="""
-    WITH t AS (
+_JACCARD_PAIRS_SQL = """
+    t AS (
       SELECT doc_id, lang,
              list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
                i -> concat_ws(' ', list_extract(string_split(text, ' '), i),
                                    list_extract(string_split(text, ' '), i + 1),
                                    list_extract(string_split(text, ' '), i + 2)))) AS sh
       FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+               AS jaccard
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
-             AS jaccard
-    FROM t a JOIN t b
-      ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
-    """,
+"""
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"WITH {_JACCARD_PAIRS_SQL} SELECT doc_a, doc_b, jaccard FROM pairs",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram (shingle) Jaccard near-dup pairs (X1), blocked by
@@ -449,4 +454,93 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= COSINE_DUP_THRESHOLD)
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .orderBy("vec_a", "vec_b")
+    )
+
+
+N_CC_MAX_ITERS = 20  # safety bound; components converge in O(diameter)
+
+
+@query(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_SQL},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT cluster_id, count(*) AS cluster_size
+    FROM comp GROUP BY cluster_id
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment (X1): connected components over the
+    verified Jaccard pair graph — the step that turns pairwise
+    near-dup evidence into dedup clusters (keep ``cluster_id`` = the
+    component's min doc_id as the canonical survivor, drop the rest).
+
+    Iterative min-label propagation on DataFrames: every vertex
+    repeatedly takes the min label among itself and its neighbors;
+    converges in O(component diameter) rounds — near-dup components
+    are shallow (pairs share a template), so 2-4 rounds in practice,
+    with a hard safety bound. Each round is one equi-join + one hash
+    aggregate; only a scalar convergence count ever reaches the
+    driver. At extreme scale the round count drops with the
+    large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce", public knowledge); the per-round plan
+    here is unchanged. Oracle: transitive closure via a recursive CTE
+    — same components, declaratively.
+    """
+    edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # The pair graph is orders of magnitude smaller than the corpus
+    # (only near-dup docs appear): shrink to a handful of partitions so
+    # each propagation round is a few tasks, not a full-width shuffle.
+    # repartition, NOT coalesce — coalesce would propagate upstream and
+    # collapse the (compute-dense) pair-generation pipeline itself to 4
+    # tasks; the exchange keeps it wide. At larger |E| raise the target.
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .withColumnsRenamed({"doc_a": "a", "doc_b": "b"})
+        .repartition(4)
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .persist()
+    )
+    # Labels only ever decrease, so sum(label) strictly decreases while
+    # anything changes — one scalar agg per round is the whole
+    # convergence test (no join against the previous labels).
+    prev = labels.agg(F.sum("label")).first()[0]
+
+    for _ in range(N_CC_MAX_ITERS):
+        nbr = sym.join(labels, sym.b == labels.doc).select(
+            F.col("a").alias("doc"), "label"
+        )
+        new_labels = (
+            labels.unionByName(nbr).groupBy("doc").agg(F.min("label").alias("label"))
+        ).persist()
+        cur = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if cur == prev:
+            break
+        prev = cur
+    sym.unpersist()
+
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count("*").alias("cluster_size"))
     )
