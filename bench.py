@@ -58,6 +58,10 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        # Drop caches a query left behind (several operators persist
+        # intermediates they cannot unpersist before returning) so later
+        # queries aren't measured under accumulated memory pressure.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
