@@ -265,3 +265,118 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("leaky_fingerprints"),
         F.coalesce(F.sum("n_docs"), F.lit(0)).alias("docs_affected"),
     )
+
+
+CTX_WINDOW = 512  # tokens per training context window (packing target)
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_tok,
+             sum(len(string_split(text, ' ')))
+               OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    )
+    SELECT lang,
+           CAST(sum(n_tok) AS BIGINT)                       AS total_tokens,
+           CAST(ceil(sum(n_tok) / {CTX_WINDOW}.0) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN (cum - n_tok) // {CTX_WINDOW} <> (cum - 1) // {CTX_WINDOW}
+                         THEN 1 ELSE 0 END) AS BIGINT)       AS n_straddling
+    FROM t
+    GROUP BY lang
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing audit — the standard LM pretraining
+    batching step (concatenate the shuffled document stream, slice
+    into fixed context windows): per language, how many windows the
+    corpus fills and how many documents straddle a window boundary
+    (straddlers lose coherence; packing-efficiency work minimizes
+    them).
+
+    Stream order is the md5 shuffle (same determinism argument as
+    ``stratified_sample``); a doc straddles when its first and last
+    token fall in different windows. One window function (running
+    token total) + one hash aggregate. Scale: the running sum is a
+    per-stratum window — at extreme scale compute per-partition
+    offsets with a two-pass prefix-sum (partial sums per partition,
+    broadcast the offsets), same results.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "lang", n_tok.alias("n_tok")).withColumn(
+        "cum", F.sum("n_tok").over(w)
+    )
+    straddles = (
+        ((F.col("cum") - F.col("n_tok")) / CTX_WINDOW).cast("long")
+        != ((F.col("cum") - 1) / CTX_WINDOW).cast("long")
+    ).cast("long")
+    return t.groupBy("lang").agg(
+        F.sum("n_tok").alias("total_tokens"),
+        F.ceil(F.sum("n_tok") / float(CTX_WINDOW)).alias("n_windows"),
+        F.sum(straddles).alias("n_straddling"),
+    )
+
+
+MIN_CHARS = 200  # funnel stage 1: minimum document length
+MIN_TOKENS = 40  # funnel stage 2: minimum whitespace token count
+MAX_DUP_TOKEN_RATIO = 0.5  # stage 3: distinct/total token ratio floor
+
+
+@query(
+    "quality_filter_funnel",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             n_chars >= {MIN_CHARS}                                   AS p1,
+             len(string_split(text, ' ')) >= {MIN_TOKENS}             AS p2,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) >= {MAX_DUP_TOKEN_RATIO} AS p3
+      FROM documents
+    )
+    SELECT source,
+           count(*)                                             AS n_docs,
+           CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT)  AS pass_length,
+           CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_tokens,
+           CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+    FROM t
+    GROUP BY source
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel per source: survivors after each
+    cumulative filter stage (length → token count → lexical
+    diversity), the audit table a corpus-cleaning pipeline publishes
+    so each stage's cost is visible (RefinedWeb/Dolma-style reporting,
+    public practice).
+
+    All three predicates are pure projections; the funnel is one hash
+    aggregate of conjunction flags — conditional sums share the same
+    partial-aggregation path as any SUM.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    p1 = F.col("n_chars") >= MIN_CHARS
+    p2 = F.size(toks) >= MIN_TOKENS
+    p3 = (
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        >= MAX_DUP_TOKEN_RATIO
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return d.select("source", p1.alias("p1"), p2.alias("p2"), p3.alias("p3")).groupBy(
+        "source"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        flag(F.col("p1")).alias("pass_length"),
+        flag(F.col("p1") & F.col("p2")).alias("pass_tokens"),
+        flag(F.col("p1") & F.col("p2") & F.col("p3")).alias("pass_all"),
+    )

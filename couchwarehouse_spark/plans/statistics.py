@@ -6,7 +6,7 @@ more" delegated to the target engine's SQL).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table, register_views
@@ -111,4 +111,64 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`3-MEDIUM`").alias("medium"),
         F.col("`4-NOT SPECIFIED`").alias("not_specified"),
         F.col("`5-LOW`").alias("low"),
+    )
+
+
+@query(
+    "spend_quartiles_ntile",
+    oracle="""
+    WITH spend AS (
+      SELECT c_mktsegment, c_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o_totalprice), 2) AS spent
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment, c_custkey
+    ),
+    q AS (
+      SELECT c_mktsegment,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY spent DESC, c_custkey) AS quartile,
+             n_orders, spent
+      FROM spend
+    )
+    SELECT c_mktsegment, quartile,
+           count(*)                    AS n_customers,
+           CAST(sum(n_orders) AS BIGINT) AS total_orders,
+           round(sum(spent), 2)        AS total_spent
+    FROM q
+    GROUP BY c_mktsegment, quartile
+    """,
+)
+def spend_quartiles_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartile segmentation (S15 ranking-family completeness):
+    customers bucketed into spend quartiles within their market
+    segment, then rolled up per (segment, quartile) — the standard
+    customer-value segmentation query.
+
+    Deterministic tie-break (spent DESC, custkey) so both engines cut
+    quartile boundaries identically. Scale: the window partitions on
+    the low-cardinality segment but ranks customers, so the heavy
+    lifting is the upstream per-customer aggregate (full shuffle on
+    custkey); the quartile window then runs over already-reduced rows.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spent"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("spent").desc(), F.col("c_custkey")
+    )
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("n_orders").alias("total_orders"),
+            F.round(F.sum("spent"), 2).alias("total_spent"),
+        )
     )
