@@ -295,3 +295,54 @@ def grouped_demean_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3) AS ks
+      FROM documents
+    )
+    SELECT lang,
+           CAST(sum(len(ks)) AS BIGINT)                    AS total_keys,
+           CAST(sum(list_sum(list_transform(ks, k -> len(k)))) AS BIGINT)
+                                                           AS total_key_len,
+           CAST(sum(CASE WHEN list_contains(ks, 'the') THEN 1 ELSE 0 END) AS BIGINT)
+                                                           AS docs_keyed_the,
+           CAST(sum(len(list_filter(ks, k -> len(k) > 4))) AS BIGINT)
+                                                           AS long_keys
+    FROM t
+    GROUP BY lang
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family (§2.C array/map lane): build a per-document map
+    (first three distinct tokens in sorted order → their lengths) with
+    ``map_from_arrays``, then drive ``map_keys`` / ``map_values`` /
+    ``element_at`` / ``map_filter`` — the typed key-value lane the
+    reference's flatten collapses to JSON text (lib/flatten.js:45).
+
+    Outputs are scalars (map column types don't hash portably across
+    engines), so the oracle states the same numbers via list ops —
+    the semantics, not the representation, are what's checked. All
+    map expressions are JVM built-ins inside codegen.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ks = F.slice(F.array_sort(F.array_distinct(F.split("text", " "))), 1, 3)
+    m = F.map_from_arrays(ks, F.transform(ks, lambda k: F.length(k)))
+    t = d.select("lang", m.alias("m"))
+    vals = F.map_values(F.col("m"))
+    return t.groupBy("lang").agg(
+        F.sum(F.size(F.map_keys(F.col("m")))).alias("total_keys"),
+        F.sum(F.aggregate(vals, F.lit(0), lambda a, v: a + v)).cast("long").alias(
+            "total_key_len"
+        ),
+        F.sum(
+            F.when(F.element_at(F.col("m"), "the").isNotNull(), 1).otherwise(0)
+        ).alias("docs_keyed_the"),
+        F.sum(
+            F.size(F.map_filter(F.col("m"), lambda k, v: v > 4))
+        ).alias("long_keys"),
+    )
