@@ -20,12 +20,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
-from couchwarehouse_spark.plans.registry import query
+from couchwarehouse_spark.plans.registry import query, scoped_persist, scoped_register
 
 N_MINHASH = 16  # minhash permutations
 N_BANDS = 4  # LSH bands → r = 4 rows/band; P(candidate) = 1-(1-s^4)^4
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 64
+SIMHASH_MAX_TOKENS = 32_767  # packed-lane overflow bound (see simhash_near_dup)
 # Calibrated to the synthetic embeddings (max blocked-pair cosine is
 # ~0.475; nearest value below threshold is ≥6e-4 away at every SF, so
 # the ≥ decision is stable across float32/float64 engines).
@@ -62,17 +63,35 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "exact_dedup_canonical",
-    oracle="""
-    WITH fp AS (
-      SELECT doc_id,
-             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+# Winnowing fingerprint — THE near-dup cluster key. One definition,
+# shared by exact_dedup_canonical here and the split-leakage audit
+# (plans.sampling), in both the Spark and oracle lanes, so the audit
+# can never silently drift from what dedup actually clusters on.
+FINGERPRINT_SQL = """CASE WHEN len(string_split(text, ' ')) >= 3 THEN
                list_min(list_transform(range(1, len(string_split(text, ' ')) - 1),
                  i -> md5(concat_ws(' ', list_extract(string_split(text, ' '), i),
                                          list_extract(string_split(text, ' '), i + 1),
                                          list_extract(string_split(text, ' '), i + 2)))))
-             ELSE md5(text) END AS fingerprint
+             ELSE md5(text) END"""
+
+
+def fingerprint_col():
+    """Winnowing fingerprint of the ``text`` column: min md5 3-gram
+    shingle, falling back to md5(text) for sub-3-token docs."""
+    toks = F.split("text", " ")
+    shingle_hashes = F.transform(
+        _shingles(toks), lambda s: F.md5(s)
+    )
+    return F.when(F.size(toks) >= 3, F.array_min(shingle_hashes)).otherwise(
+        F.md5("text")
+    )
+
+
+@query(
+    "exact_dedup_canonical",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, {FINGERPRINT_SQL} AS fingerprint
       FROM documents
     )
     SELECT fingerprint,
@@ -98,23 +117,8 @@ def exact_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = F.split("text", " ")
-    shingle_hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            )
-        ),
-    )
-    fingerprint = F.when(F.size(toks) >= 3, F.array_min(shingle_hashes)).otherwise(
-        F.md5("text")
-    )
     return (
-        d.select(fingerprint.alias("fingerprint"), "doc_id")
+        d.select(fingerprint_col().alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
         .filter(F.col("n_copies") > 1)
@@ -192,8 +196,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("sh"),
         )
-        .cache()  # reused: probe prefixes, build tokens, verify arrays
     )
+    # reused: probe prefixes, build tokens, verify arrays; released by
+    # the registry when the next query runs (see scoped_persist)
+    t = scoped_persist(t)
     # Prefix length for τ: n - ceil(τn) + 1 (pigeonhole bound above).
     n = F.size("sh")
     plen = (n - F.ceil(F.lit(JACCARD_THRESHOLD) * n) + 1).cast("int")
@@ -281,7 +287,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = d.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", sh_set.alias("sh"), *minhash_signature(F.split("text", " "))
     )
-    sig.cache()  # reused: band buckets + both sides of the verify join
+    sig = scoped_persist(sig)  # reused: band buckets + verify join sides
 
     r = N_MINHASH // N_BANDS
     bands = [
@@ -334,8 +340,9 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Implementation: explode distinct tokens, hash each ONCE
     (xxhash64), then one hash aggregate computing all 64 per-bit
     popcounts as SIXTEEN branch-free packed sums — four 16-bit
-    counters per long (`sum(((h>>b)&1) << 16j)`), safe to 65 535
-    tokens/doc — instead of 64 separate `when()` sums. Same single
+    counters per long (`sum(((h>>b)&1) << 16j)`), with the per-doc
+    token sample capped so the top lane cannot overflow a signed
+    long — instead of 64 separate `when()` sums. Same single
     explode + single shuffle on doc_id (the word-count shape), but a
     4× narrower aggregation buffer and far less generated code to
     JIT. Bit b of the simhash is 1 iff popcount_b > n_tokens/2
@@ -345,8 +352,16 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    # Cap the signature at the first 32 767 distinct tokens per doc:
+    # each packed lane carries a popcount shifted up to bit 48, so the
+    # running sum stays below 2^63 under ANSI (overflow-checked)
+    # arithmetic. Sampling a bounded token prefix for monster docs is
+    # standard SimHash practice and also bounds per-doc compute.
     tok = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+        "doc_id",
+        F.explode(
+            F.slice(F.array_distinct(F.split("text", " ")), 1, SIMHASH_MAX_TOKENS)
+        ).alias("t"),
     ).select("doc_id", F.xxhash64("t").alias("h"))
 
     def packed_sum(g: int):
@@ -525,6 +540,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # convergence test (no join against the previous labels).
     prev = labels.agg(F.sum("label")).first()[0]
 
+    converged = False
     for _ in range(N_CC_MAX_ITERS):
         nbr = sym.join(labels, sym.b == labels.doc).select(
             F.col("a").alias("doc"), "label"
@@ -536,9 +552,20 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if cur == prev:
+            converged = True
             break
         prev = cur
     sym.unpersist()
+    if not converged:
+        # Never return silently-wrong clusters: a component with
+        # diameter > N_CC_MAX_ITERS hasn't finished propagating.
+        labels.unpersist()
+        raise RuntimeError(
+            f"near_dup_clusters: no fixpoint after {N_CC_MAX_ITERS} rounds "
+            "(component diameter exceeds the bound); raise N_CC_MAX_ITERS "
+            "or switch to large-star/small-star rounds"
+        )
+    scoped_register(labels)  # released when the next query runs
 
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))

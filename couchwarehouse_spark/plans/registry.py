@@ -18,6 +18,35 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+# DataFrames persisted INSIDE a query body (some operators reuse an
+# intermediate across several subtrees and cannot unpersist it before
+# returning their lazy result). Registered here so the next query
+# invocation releases them — callers that run many queries in one
+# session (the driver gate, pytest, bench) never accumulate caches.
+_SCOPED_PERSISTS: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` until the NEXT registered query is invoked."""
+    out = df.persist()
+    _SCOPED_PERSISTS.append(out)
+    return out
+
+
+def scoped_register(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted frame for next-query release."""
+    _SCOPED_PERSISTS.append(df)
+    return df
+
+
+def release_scoped() -> None:
+    while _SCOPED_PERSISTS:
+        try:
+            _SCOPED_PERSISTS.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query under ``name`` with an optional DuckDB oracle.
 
@@ -26,11 +55,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """
 
     def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_scoped()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco

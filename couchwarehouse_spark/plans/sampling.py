@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
+from couchwarehouse_spark.plans.dedup import FINGERPRINT_SQL, fingerprint_col
 from couchwarehouse_spark.plans.registry import query
 
 TRAIN_PCT = 80  # buckets 0-79 → train
@@ -213,10 +214,7 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH fp AS (
       SELECT doc_id,
              {_LABEL_SQL} AS split,
-             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-               list_min(list_transform(range(1, len(string_split(text, ' ')) - 1),
-                 i -> md5(array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))))
-             ELSE md5(text) END AS fingerprint
+             {FINGERPRINT_SQL} AS fingerprint
       FROM documents
     ),
     leaky AS (
@@ -231,7 +229,7 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split leakage audit: near-dup clusters (same winnowing
-    fingerprint — see ``exact_dedup_canonical``) that straddle split
+    fingerprint — ``dedup.fingerprint_col``, the SAME definition ``exact_dedup_canonical`` clusters on) that straddle split
     boundaries, i.e. a test document whose near-duplicate sits in
     train. The check a split must pass before the split is trusted;
     the fix is assigning splits by fingerprint instead of doc_id.
@@ -242,15 +240,8 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = F.split("text", " ")
-    shingle_hashes = F.transform(
-        _shingles_n(toks, 3), lambda s: F.md5(s)
-    )
-    fingerprint = F.when(
-        F.size(toks) >= 3, F.array_min(shingle_hashes)
-    ).otherwise(F.md5("text"))
     fp = d.select(
-        fingerprint.alias("fingerprint"),
+        fingerprint_col().alias("fingerprint"),
         _split_label(_split_bucket(F.col("doc_id"))).alias("split"),
     )
     leaky = (

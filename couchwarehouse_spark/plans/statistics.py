@@ -119,7 +119,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH spend AS (
       SELECT c_mktsegment, c_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-             round(sum(o_totalprice), 2) AS spent
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spent
       FROM customer JOIN orders ON c_custkey = o_custkey
       GROUP BY c_mktsegment, c_custkey
     ),
@@ -133,7 +133,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment, quartile,
            count(*)                    AS n_customers,
            CAST(sum(n_orders) AS BIGINT) AS total_orders,
-           round(sum(spent), 2)        AS total_spent
+           round(CAST(sum(spent) AS DOUBLE), 2) AS total_spent
     FROM q
     GROUP BY c_mktsegment, quartile
     """,
@@ -144,8 +144,10 @@ def spend_quartiles_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment, then rolled up per (segment, quartile) — the standard
     customer-value segmentation query.
 
-    Deterministic tie-break (spent DESC, custkey) so both engines cut
-    quartile boundaries identically. Scale: the window partitions on
+    Deterministic tie-break (spent DESC, custkey) and an EXACT
+    decimal sort key so both engines cut quartile boundaries
+    identically — a double sum's last-ulp wobble could flip a rounded
+    key and shift an ntile cut. Scale: the window partitions on
     the low-cardinality segment but ranks customers, so the heavy
     lifting is the upstream per-customer aggregate (full shuffle on
     custkey); the quartile window then runs over already-reduced rows.
@@ -157,7 +159,12 @@ def spend_quartiles_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "c_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("spent"),
+            # DECIMAL, not DOUBLE: the quartile cut is an exact integer
+            # comparison downstream, so the sort key must be identical
+            # across engines — decimal sums are exact (prices carry two
+            # decimals), double sums differ in the last ulp with
+            # aggregation order and can flip a rounded key.
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spent"),
         )
     )
     w = Window.partitionBy("c_mktsegment").orderBy(
@@ -169,6 +176,6 @@ def spend_quartiles_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_customers"),
             F.sum("n_orders").alias("total_orders"),
-            F.round(F.sum("spent"), 2).alias("total_spent"),
+            F.round(F.sum("spent").cast("double"), 2).alias("total_spent"),
         )
     )

@@ -7,6 +7,27 @@ from couchwarehouse_spark.plans.registry import QUERIES
 from .conftest import SF_SMOKE
 
 
+def _union_find_components(edges):
+    """Independent in-test oracle: exact components via union-find."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for v in list(parent):
+        comps.setdefault(find(v), set()).add(v)
+    return comps
+
+
 def test_clusters_partition_pair_graph_vertices(spark):
     pairs = QUERIES["ngram_jaccard_pairs"](spark, SF_SMOKE).toPandas()
     clusters = QUERIES["near_dup_clusters"](spark, SF_SMOKE).toPandas()
@@ -17,6 +38,13 @@ def test_clusters_partition_pair_graph_vertices(spark):
     assert (clusters["cluster_size"] >= 2).all()
     # canonical ids are themselves vertices
     assert set(clusters["cluster_id"]) <= vertices
-    # transitivity spot-check: both endpoints of every edge share a cluster
-    # (implied by the oracle match, but cheap to assert directly)
-    assert len(clusters) <= len(vertices) // 2
+    # Exact-component check against an independent union-find on the
+    # same edges: identical (canonical_id -> size) mapping. Catches
+    # label-propagation truncation (a split component) that the
+    # size-only assertions above would miss.
+    comps = _union_find_components(
+        zip(pairs["doc_a"].tolist(), pairs["doc_b"].tolist())
+    )
+    expected = {min(members): len(members) for members in comps.values()}
+    got = dict(zip(clusters["cluster_id"].tolist(), clusters["cluster_size"].tolist()))
+    assert got == expected
