@@ -1,5 +1,6 @@
 """Import every plan module so the registry is fully populated."""
 
+import couchwarehouse_spark.plans.curation  # noqa: F401
 import couchwarehouse_spark.plans.dedup  # noqa: F401
 import couchwarehouse_spark.plans.etl  # noqa: F401
 import couchwarehouse_spark.plans.events_windows  # noqa: F401

@@ -1,0 +1,200 @@
+"""Training-data curation signals: repetition detection, length
+histograms, and domain-mixture reweighting over ``documents``.
+
+These are the per-corpus audits an LLM-data pipeline runs between
+dedup and sampling (repetition is the classic Gopher-style quality
+gate; mixture weights drive the sampler). Reference scope: the
+reference warehouse exposes arbitrary SQL over synced tables
+(/root/reference/README.md:68); these entries are the LLM-pipeline
+extension mandated on top of that surface.
+
+Determinism-by-construction: every ratio in an oracle-compared column
+is a SINGLE IEEE-754 division of two exactly-aggregated BIGINTs
+(then one round()) — never a sum of per-row doubles, whose last ulp
+depends on aggregation order and differs between engines. Threshold
+comparisons are integer-only (``k*dup > total`` instead of
+``dup/total > 1/k``).
+
+Scale: all three operators are scan → narrow per-row compute → hash
+aggregate on a low-cardinality key (source / bucket). Partial
+aggregation reduces each of the 1000 executors' output to ~20 rows
+before the shuffle, so the exchange is trivially small at 100 TB; no
+joins, no windows over big partitions, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from couchwarehouse_spark.catalog import load_table
+from couchwarehouse_spark.plans.dedup import _shingles
+from couchwarehouse_spark.plans.registry import query
+
+REP_FLAG_NUM = 5  # flag a doc when dup_trigrams/total_trigrams > 1/5
+LEN_BUCKET = 16  # histogram bucket width, in tokens
+MIX_CAP = 3.0  # max upsampling weight for a starved domain
+
+
+@query(
+    "repetition_census",
+    oracle=f"""
+    WITH tri AS (
+      SELECT source,
+             CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN len(string_split(text, ' ')) - 2 ELSE 0 END AS total_tri,
+             CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN len(string_split(text, ' ')) - 2
+                       - len(list_distinct(list_transform(
+                           range(1, len(string_split(text, ' ')) - 1),
+                           i -> concat_ws(' ',
+                                list_extract(string_split(text, ' '), i),
+                                list_extract(string_split(text, ' '), i + 1),
+                                list_extract(string_split(text, ' '), i + 2)))))
+                  ELSE 0 END AS dup_tri
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(dup_tri) AS BIGINT)  AS dup_trigrams,
+           CAST(sum(total_tri) AS BIGINT) AS total_trigrams,
+           round(CAST(sum(dup_tri) AS DOUBLE) / sum(total_tri), 6) AS repetition_rate,
+           CAST(sum(CASE WHEN {REP_FLAG_NUM} * dup_tri > total_tri
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM tri
+    GROUP BY source
+    """,
+)
+def repetition_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source repetition audit: what fraction of word 3-grams are
+    duplicates (1 − distinct/total), plus a count of docs over the
+    1/5-duplicate flag line — the Gopher-style repetitive-content gate.
+
+    The per-doc signal is two BIGINTs (dup, total); the flag is the
+    integer comparison ``5·dup > total``; the only floating point is
+    one division of the two exact sums at the end. At scale this is a
+    word-count-shaped plan: the trigram arrays never leave the mapper
+    (no explode — ``array_distinct`` on the in-row array), and the
+    aggregate carries 20 groups.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split("text", " ")
+    total_tri = F.when(F.size(toks) >= 3, F.size(toks) - 2).otherwise(F.lit(0))
+    dup_tri = F.when(
+        F.size(toks) >= 3, F.size(toks) - 2 - F.size(F.array_distinct(_shingles(toks)))
+    ).otherwise(F.lit(0))
+    per_doc = d.select(
+        "source",
+        total_tri.cast("long").alias("total_tri"),
+        dup_tri.cast("long").alias("dup_tri"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dup_tri").alias("dup_trigrams"),
+        F.sum("total_tri").alias("total_trigrams"),
+        F.round(
+            F.sum("dup_tri").cast("double") / F.sum("total_tri"), 6
+        ).alias("repetition_rate"),
+        F.sum(
+            (F.lit(REP_FLAG_NUM) * F.col("dup_tri") > F.col("total_tri")).cast("long")
+        ).alias("n_flagged"),
+    )
+
+
+@query(
+    "doc_length_histogram",
+    oracle=f"""
+    SELECT (len(string_split(text, ' ')) // {LEN_BUCKET}) * {LEN_BUCKET} AS bucket_start,
+           CAST(count(*) AS BIGINT)              AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)          AS total_chars,
+           CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram of the corpus in 16-token buckets, with
+    per-bucket char volume — the length profile every curation run
+    inspects before choosing truncation/packing parameters.
+
+    All-integer arithmetic (floor-div bucketing), so the hash match is
+    exact by construction. The aggregate key is the bucket id
+    (~dozens of groups): partial aggregation collapses each partition
+    to the bucket count before any shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    return (
+        d.select(
+            (F.floor(n_tok / LEN_BUCKET) * LEN_BUCKET).alias("bucket_start"),
+            n_tok.alias("n_tok"),
+            "n_chars",
+        )
+        .groupBy("bucket_start")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+    )
+
+
+@query(
+    "domain_mixture_weights",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT)     AS n_chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT source, n_docs, n_chars,
+             sum(n_docs) OVER ()              AS total_docs,
+             count(*)    OVER ()              AS n_sources
+      FROM per_source
+    )
+    SELECT source, n_docs, n_chars,
+           round(CAST(n_docs AS DOUBLE) / total_docs, 6) AS actual_share,
+           round(least(CAST(total_docs AS DOUBLE) / (n_sources * n_docs),
+                       {MIX_CAP}), 6)                    AS resample_weight
+    FROM tot
+    """,
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source doc/char counts, the
+    source's actual share of the corpus, and the resampling weight
+    that moves the mixture toward uniform across sources (capped at
+    3× upsampling, the usual guard against over-replicating a tiny
+    domain). This is the table a weighted sampler consumes.
+
+    Both ratios are one double division of exact counts. The corpus
+    total comes from a broadcast cross-join of a one-row aggregate
+    over the already-reduced per-source frame — not an empty-partition
+    window, which would funnel rows through a single task.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    totals = per_source.agg(
+        F.sum("n_docs").alias("_total_docs"), F.count("*").alias("_n_sources")
+    )
+    total_docs = F.col("_total_docs")
+    n_sources = F.col("_n_sources")
+    return per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(F.col("n_docs").cast("double") / total_docs, 6).alias("actual_share"),
+        F.round(
+            F.least(
+                total_docs.cast("double") / (n_sources * F.col("n_docs")),
+                F.lit(MIX_CAP),
+            ),
+            6,
+        ).alias("resample_weight"),
+    )

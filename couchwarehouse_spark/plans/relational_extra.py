@@ -176,3 +176,69 @@ def order_cohort_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n_1995"), F.lit(0)).alias("orders_1995"),
         F.coalesce(F.sum("n_1996"), F.lit(0)).alias("orders_1996"),
     )
+
+
+@query(
+    "balance_distribution_ranks",
+    oracle="""
+    SELECT n_name, s_name, s_acctbal,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def balance_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank analytics (S15 completion): percent_rank and
+    cume_dist of each supplier's account balance within its nation.
+
+    Both ranks are single divisions of exact integer rank/row counts
+    ((rank−1)/(n−1), rows≤x/n), so the doubles agree bit-for-bit
+    across engines; the tie-break on s_suppkey pins the row order.
+    Scale: partitioned by nation — 25 independent window partitions,
+    each sorted locally after the hash exchange; no global sort.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy("s_acctbal", "s_suppkey")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "s_name",
+            "s_acctbal",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )
+
+
+@query(
+    "priority_multiset_diff",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS surplus
+    FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (S13 multiset completion): per-priority surplus of
+    open orders over fulfilled ones — bag difference keeps
+    max(0, n_open − n_fulfilled) copies per value, unlike EXCEPT
+    which collapses to distinct membership.
+
+    Spark's exceptAll plan is a partial-aggregated count-difference
+    generate (no row-by-row anti join), so both sides reduce to
+    ~5 priority counts before the exchange — exactly how a bag
+    difference should execute over billions of rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    open_p = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    done_p = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return open_p.exceptAll(done_p).groupBy("o_orderpriority").count().select(
+        "o_orderpriority", F.col("count").alias("surplus")
+    )
