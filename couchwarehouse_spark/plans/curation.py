@@ -31,7 +31,10 @@ from couchwarehouse_spark.catalog import load_table
 from couchwarehouse_spark.plans.dedup import _shingles
 from couchwarehouse_spark.plans.registry import query
 
-REP_FLAG_NUM = 5  # flag a doc when dup_trigrams/total_trigrams > 1/5
+REP_FLAG_NUM = 50  # flag a doc when dup_trigrams/total_trigrams > 1/50
+# (1/50 calibrated to the synthetic corpus: per-doc dup fractions top out
+# near 0.07, so a web-scale 0.2 gate would never fire here and the flag
+# column would be vacuously zero at every SF; 2% fires at all three SFs.)
 LEN_BUCKET = 16  # histogram bucket width, in tokens
 MIX_CAP = 3.0  # max upsampling weight for a starved domain
 
