@@ -292,3 +292,49 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fingerprint").alias("n_fingerprints"),
         )
     )
+
+
+@query(
+    "token_position_census",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' '))                         AS t,
+             unnest(range(1, len(string_split(text, ' ')) + 1))      AS pos
+      FROM documents
+    )
+    SELECT CAST(pos AS BIGINT)        AS pos,
+           CAST(count(*) AS BIGINT)   AS n_tokens,
+           CAST(count(DISTINCT t) AS BIGINT) AS n_distinct,
+           min(t)                     AS first_token
+    FROM tok
+    WHERE pos <= 8
+    GROUP BY pos
+    """,
+)
+def token_position_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional vocabulary census via ``posexplode`` (the ordinal
+    explode the C-arr family needs): for each of the first 8 token
+    positions, corpus-wide token volume, vocabulary size, and the
+    lexicographic first token. The DuckDB lane zips two parallel
+    ``unnest`` calls, since it lacks WITH ORDINALITY.
+
+    Scale: the position filter lands IN the generator's child (only 8
+    positions survive the explode per doc before any shuffle), and the
+    aggregate key has 8 groups — partial aggregation makes the
+    exchange negligible.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select(
+        F.posexplode(F.slice(F.split("text", " "), 1, 8)).alias("pos0", "t")
+    )
+    return (
+        tok.select((F.col("pos0") + 1).cast("long").alias("pos"), "t")
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("t").alias("n_distinct"),
+            F.min("t").alias("first_token"),
+        )
+    )
