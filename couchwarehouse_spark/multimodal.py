@@ -125,3 +125,87 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", media_col: str = "me
             )
 
     return df.select(id_col, media_col).mapInPandas(run, FEATURES_SCHEMA)
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, media_col: str = "media"
+) -> DataFrame:
+    """Resize every image payload to ``width×height`` (X3 resize lane).
+
+    Real plumbing, stubbed codec: binary in → binary out with the
+    metadata struct updated to the target dimensions. The fake
+    "resampled" payload is the payload digest repeated to the target
+    byte budget (w·h/64) — deterministic, so tests can assert sizes
+    and schemas without PIL; a real deployment swaps `_resample` for
+    an actual decode→resize→encode.
+    """
+    target_len = max(1, (width * height) // 64)
+
+    def _resample(payload: bytes) -> bytes:
+        digest = hashlib.md5(payload or b"").digest()
+        return (digest * (target_len // len(digest) + 1))[:target_len]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[media_col] = out[media_col].map(
+                lambda m: {
+                    "data": _resample(m["data"] if m else b""),
+                    "mime": (m or {}).get("mime"),
+                    "meta": {"width": width, "height": height, "duration_ms": None},
+                }
+            )
+            yield out
+
+    return df.mapInPandas(run, df.schema)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Sample one frame every ``every_ms`` from each video payload
+    (X3 frame-sample lane) — the row-expanding ``mapInPandas`` shape:
+    one input row fans out to ``duration_ms // every_ms + 1`` frame
+    rows (t=0 always sampled). Frames are 16-byte digest stubs keyed
+    on (payload, ts); a real deployment replaces the digest with an
+    ffmpeg seek+decode at ts.
+
+    Scale: fan-out happens executor-side inside the Arrow batch — no
+    explode of a driver-built array, no shuffle; downstream ops see an
+    ordinary DataFrame of frames.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for _, row in pdf.iterrows():
+                m = row[media_col]
+                data = m["data"] if m else b""
+                duration = (m.get("meta") or {}).get("duration_ms") if m else None
+                n = (int(duration) // every_ms + 1) if duration is not None else 1
+                for k in range(n):
+                    ts = k * every_ms
+                    ids.append(row[id_col])
+                    idxs.append(k)
+                    tss.append(ts)
+                    frames.append(
+                        hashlib.md5((data or b"") + ts.to_bytes(8, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, FRAMES_SCHEMA)

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
-from couchwarehouse_spark.multimodal import extract_features, media_struct
+from couchwarehouse_spark.multimodal import extract_features, media_struct, sample_frames
 from couchwarehouse_spark.plans.registry import query
 
 
@@ -74,4 +74,48 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.element_at("feature", 1)), 4).alias("mean_feat0"),
         )
         .orderBy("source")
+    )
+
+
+FRAME_EVERY_MS = 250
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT)                  AS n_videos,
+           CAST(sum(n_chars // {FRAME_EVERY_MS} + 1) AS BIGINT)    AS n_frames,
+           CAST(sum((n_chars // {FRAME_EVERY_MS} + 1) * 16) AS BIGINT) AS frame_bytes
+    FROM documents
+    GROUP BY source
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads (X3): every payload is
+    treated as a clip whose duration_ms := n_chars, and
+    ``sample_frames`` fans each row out to one 16-byte frame stub per
+    250 ms executor-side (multimodal.sample_frames). The oracle
+    predicts the fan-out arithmetic straight from the source table —
+    so the hash match certifies that the mapInPandas row expansion
+    produced exactly the right number and size of frames per doc.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    with_media = d.withColumn(
+        "media",
+        media_struct(
+            F.encode("text", "utf-8"),
+            F.lit("video/fake"),
+            duration_ms=F.col("n_chars").cast("int"),
+        ),
+    )
+    frames = sample_frames(with_media, FRAME_EVERY_MS)
+    return (
+        frames.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_videos"),
+            F.count("*").alias("n_frames"),
+            F.sum(F.length("frame")).alias("frame_bytes"),
+        )
     )

@@ -68,3 +68,47 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(None)
+
+
+def test_resize_media_sets_dims_and_budget(spark):
+    from couchwarehouse_spark.multimodal import resize_media
+
+    df = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
+    with_media = df.withColumn(
+        "media", media_struct(F.encode("text", "utf-8"), F.lit("image/fake"))
+    )
+    out = {r["doc_id"]: r["media"] for r in resize_media(with_media, 64, 32).collect()}
+    for m in out.values():
+        assert m["meta"]["width"] == 64 and m["meta"]["height"] == 32
+        assert len(m["data"]) == (64 * 32) // 64  # byte budget w*h/64
+        assert m["mime"] == "image/fake"
+    # deterministic: same payload → same resampled bytes
+    again = {r["doc_id"]: r["media"] for r in resize_media(with_media, 64, 32).collect()}
+    assert out[1]["data"] == again[1]["data"]
+
+
+def test_sample_frames_fanout_contiguous(spark):
+    from couchwarehouse_spark.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, "x", 1000), (2, "y", 0), (3, "z", 499)],
+        "doc_id long, text string, dur int",
+    )
+    with_media = df.withColumn(
+        "media",
+        media_struct(
+            F.encode("text", "utf-8"), F.lit("video/fake"), duration_ms=F.col("dur")
+        ),
+    )
+    rows = sample_frames(with_media, 250).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # duration 1000 → frames at 0,250,500,750,1000 = 5; 0 → 1; 499 → 2
+    assert {d: len(v) for d, v in by_doc.items()} == {1: 5, 2: 1, 3: 2}
+    for d, v in by_doc.items():
+        idxs = sorted(r["frame_idx"] for r in v)
+        assert idxs == list(range(len(v)))
+        for r in v:
+            assert r["ts_ms"] == r["frame_idx"] * 250
+            assert len(r["frame"]) == 16
