@@ -112,3 +112,43 @@ def test_full_outer_preaggregates_before_join(spark):
     plan = plan_of(spark, "order_cohort_full_outer")
     assert "FullOuter" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final per side
+
+
+def test_repetition_census_stays_narrow(spark):
+    """The repetition audit must stay a word-count shape: no explode
+    (the trigram arrays never leave the mapper), two-phase agg, and a
+    scan pruned to exactly (text, source)."""
+    plan = plan_of(spark, "repetition_census")
+    assert "Generate" not in plan  # no explode
+    assert "partial_sum" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in read_schema and "source" in read_schema
+    assert "doc_id" not in read_schema and "n_chars" not in read_schema
+
+
+def test_multiset_diff_is_count_difference(spark):
+    """exceptAll must compile to the ±1-count replicate-rows shape
+    (partial-aggregated), not a row-by-row join; both branch scans
+    push the status filter into parquet."""
+    plan = plan_of(spark, "priority_multiset_diff")
+    assert "replicaterows" in plan
+    assert "partial_sum" in plan
+    assert plan.count("EqualTo(o_orderstatus") == 2
+    assert "Join" not in plan
+
+
+def test_frame_sample_fanout_stays_executor_side(spark):
+    """Frame sampling: the fan-out is a mapInPandas (ArrowEvalPython /
+    MapInPandas node), not a driver-built explode; the final agg is
+    two-phase."""
+    plan = plan_of(spark, "multimodal_frame_sample")
+    assert "MapInPandas" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_mixture_weights_broadcasts_total(spark):
+    """The corpus total joins in as a broadcast of one row — never a
+    shuffle or a single-partition window over the data."""
+    plan = plan_of(spark, "domain_mixture_weights")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
