@@ -32,7 +32,13 @@ DELETE = 10  # orders with o_orderkey % 10 == 0 get tombstoned
 
 
 def _build_feed(spark: SparkSession, sf_dir: str, feed_dir: str) -> None:
-    orders = load_table(spark, sf_dir, "orders")
+    # One parquet file = one task: without this the whole JSON
+    # serialization runs on a single core AND the spooler inherits a
+    # near-sequential read of one big text file. Widening here
+    # parallelizes both sides of the feed.
+    orders = load_table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     doc = F.struct(
         F.concat(F.lit("order"), F.col("o_orderkey").cast("string")).alias("_id"),
         F.lit("1-x").alias("_rev"),
