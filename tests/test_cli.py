@@ -1,0 +1,97 @@
+"""CLI (couchwarehouse_spark.cli) — the reference's bin surface
+(reference bin/couchwarehouse.bin.js:6-21) driven end-to-end over a
+fixture feed: spool, split routing, Mango --query, --transform,
+--reset, and the --sql passthrough."""
+
+from __future__ import annotations
+
+import random
+
+from couchwarehouse_spark.cli import build_parser, main
+
+from .fixtures import envelope, order_doc, user_doc, write_feed
+
+
+def _mixed_feed(path: str) -> str:
+    rng = random.Random(7)
+    envs = [envelope(i + 1, order_doc(i, rng)) for i in range(8)]
+    envs += [envelope(100 + i, user_doc(i, rng)) for i in range(3)]
+    return write_feed(path, envs)
+
+
+def test_parser_mirrors_reference_options():
+    p = build_parser()
+    a = p.parse_args(
+        ["-f", "feed", "-d", "mydb", "-r", "-s", "type", "-q", "{}", "--quiet"]
+    )
+    assert a.feed == "feed" and a.database == "mydb"
+    assert a.reset and a.split == "type" and a.query == "{}"
+
+
+def test_cli_spools_and_queries(spark, tmp_path, capsys):
+    feed = _mixed_feed(str(tmp_path / "feed"))
+    wh_dir = str(tmp_path / "wh")
+    rc = main(
+        [
+            "--feed", feed,
+            "--database", "clidb",
+            "--warehouse-dir", wh_dir,
+            "--split", "type",
+            "--sql", "SELECT count(*) AS n FROM clidb_order",
+            "--reset",  # verbose stays on: exercises message()
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "spooled through seq" in out
+    assert "8" in out  # the --sql result shows the 8 orders
+
+
+def test_cli_mango_query_filters(spark, tmp_path, capsys):
+    feed = _mixed_feed(str(tmp_path / "feed"))
+    wh_dir = str(tmp_path / "wh")
+    rc = main(
+        [
+            "--feed", feed,
+            "--database", "clifil",
+            "--warehouse-dir", wh_dir,
+            "--split", "type",
+            "--query", '{"status": "paid"}',
+            "--sql", "SELECT count(*) AS n FROM clifil_order",
+            "--reset",
+        ]
+    )
+    assert rc == 0
+    # orders cycle paid/dispatched/returned → 3 of 8 are 'paid'
+    assert "3" in capsys.readouterr().out
+
+
+def test_cli_transform_hook(spark, tmp_path, capsys):
+    feed = _mixed_feed(str(tmp_path / "feed"))
+    tf = tmp_path / "tf.py"
+    tf.write_text(
+        "def transform(doc):\n"
+        "    doc['upper_status'] = doc.get('status', '').upper()\n"
+        "    return doc\n"
+    )
+    rc = main(
+        [
+            "--feed", feed,
+            "--database", "clitf",
+            "--warehouse-dir", str(tmp_path / "wh"),
+            "--split", "type",
+            "--transform", str(tf),
+            "--sql",
+            "SELECT count(*) AS n FROM clitf_order WHERE upper_status = 'PAID'",
+            "--reset",
+        ]
+    )
+    assert rc == 0
+    assert "3" in capsys.readouterr().out
+
+
+def test_cli_rejects_bad_selector(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["-f", "x", "-d", "y", "--query", "{not json"])
