@@ -300,3 +300,120 @@ def centroid_similarity_per_label(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.avg(cos), 4).alias("avg_cos_to_centroid"),
         )
     )
+
+
+RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+RRF_LANE_DEPTH = 50  # candidates taken from each retrieval lane
+RRF_TOP = 10
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             (length(lower(text)) - length(replace(lower(text), 'data', ''))) / 4.0
+           + (length(lower(text)) - length(replace(lower(text), 'table', ''))) / 5.0
+               AS _score
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY _score DESC, doc_id) AS rt
+      FROM scored WHERE _score > 0 AND doc_id <> {QUERY_VEC_ID}
+      ORDER BY _score DESC, doc_id LIMIT {RRF_LANE_DEPTH}
+    ),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    s AS (
+      SELECT e.vec_id AS id,
+             row_number() OVER (
+               ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id) AS rv
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+      LIMIT {RRF_LANE_DEPTH}
+    ),
+    f AS (
+      SELECT coalesce(t.id, s.id) AS doc_id,
+             CAST(rt AS BIGINT) AS text_rank,
+             CAST(rv AS BIGINT) AS vec_rank,
+             coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + rt), 0)
+           + coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + rv), 0) AS rrf
+      FROM t FULL OUTER JOIN s ON t.id = s.id
+    )
+    SELECT doc_id, text_rank, vec_rank, round(rrf, 6) AS rrf_score
+    FROM f ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (X2 + X4 capstone): fuse a term-match lane over
+    ``documents`` with a cosine lane over ``embeddings`` (vec_id ==
+    doc_id) by reciprocal-rank fusion — ``Σ 1/(60 + rank)`` — the
+    standard way RAG pipelines combine lexical and vector retrieval.
+
+    Determinism: the fused score is arithmetic on INTEGER ranks, so no
+    engine-level float drift can reorder it; both lanes' orderings are
+    themselves oracle-certified (``full_text_relevance``,
+    ``knn_cosine_topk``). Scale: each lane reduces with a distributed
+    top-k heap (TakeOrderedAndProject) BEFORE any window — row_number
+    runs over 50 rows, never the corpus — and the fusion join is
+    50×50.
+    """
+    from pyspark.sql import Window
+
+    from couchwarehouse_spark.sinks.elasticsearch import full_text_search
+
+    d = load_table(spark, sf_dir, "documents")
+    hits = full_text_search(d, "text", "data table").filter(
+        (F.col("_score") > 0) & (F.col("doc_id") != QUERY_VEC_ID)
+    )
+    t = (
+        hits.orderBy(F.col("_score").desc(), "doc_id")
+        .limit(RRF_LANE_DEPTH)
+        .withColumn(
+            "rt",
+            F.row_number().over(Window.orderBy(F.col("_score").desc(), "doc_id")),
+        )
+        .select(F.col("doc_id").alias("id"), "rt")
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    cos = cosine(F.col("v"), F.col("qv"))
+    s = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("_cos", cos)
+        .orderBy(F.col("_cos").desc(), "vec_id")
+        .limit(RRF_LANE_DEPTH)
+        .withColumn(
+            "rv", F.row_number().over(Window.orderBy(F.col("_cos").desc(), "vec_id"))
+        )
+        .select(F.col("vec_id").alias("id"), "rv")
+    )
+
+    one = F.lit(1.0)
+    fused = (
+        t.join(s, "id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(one / (F.lit(RRF_K) + F.col("rt")), F.lit(0.0))
+            + F.coalesce(one / (F.lit(RRF_K) + F.col("rv")), F.lit(0.0)),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "id")
+        .limit(RRF_TOP)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("rt").alias("text_rank"),
+            F.col("rv").alias("vec_rank"),
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )
