@@ -376,7 +376,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RRF_LANE_DEPTH)
         .withColumn(
             "rt",
-            F.row_number().over(Window.orderBy(F.col("_score").desc(), "doc_id")),
+            F.row_number()
+            .over(Window.orderBy(F.col("_score").desc(), "doc_id"))
+            .cast("long"),  # match the oracle's BIGINT rank
         )
         .select(F.col("doc_id").alias("id"), "rt")
     )
@@ -393,7 +395,10 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("_cos").desc(), "vec_id")
         .limit(RRF_LANE_DEPTH)
         .withColumn(
-            "rv", F.row_number().over(Window.orderBy(F.col("_cos").desc(), "vec_id"))
+            "rv",
+            F.row_number()
+            .over(Window.orderBy(F.col("_cos").desc(), "vec_id"))
+            .cast("long"),
         )
         .select(F.col("vec_id").alias("id"), "rv")
     )
