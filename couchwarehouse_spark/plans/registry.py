@@ -23,6 +23,12 @@ ORACLES: dict[str, str] = {}
 # returning their lazy result). Registered here so the next query
 # invocation releases them — callers that run many queries in one
 # session (the driver gate, pytest, bench) never accumulate caches.
+#
+# ORDERING CONSTRAINT: release happens on ENTRY to every registered
+# query, including nested calls (near_dup_clusters → ngram_jaccard_
+# pairs). A query body must therefore invoke other registered queries
+# BEFORE its own scoped_persist/scoped_register calls, or the nested
+# entry would release the caller's still-needed frames.
 _SCOPED_PERSISTS: list[DataFrame] = []
 
 
