@@ -349,16 +349,26 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @F.pandas_udf(T.DoubleType())
-def _median_udaf(v: pd.Series) -> float:  # Series → scalar = GROUPED_AGG
-    # Vectorized UDAF: the whole group arrives as one Series.
-    return float(v.median())
+def _weighted_median_udaf(value: pd.Series, weight: pd.Series) -> float:
+    # Series → scalar = GROUPED_AGG: the whole (pre-reduced) group
+    # arrives as one Arrow batch. Exact order statistics over
+    # (value, count) pairs — identical to the median of the expanded
+    # multiset: for even totals, the mean of the two central values.
+    df = pd.DataFrame({"v": value, "w": weight}).sort_values("v")
+    cum = df["w"].cumsum()
+    total = int(cum.iloc[-1])
+    lo_pos = (total + 1) // 2  # 1-based central position(s)
+    hi_pos = total // 2 + 1
+    lo = df["v"][cum >= lo_pos].iloc[0]
+    hi = df["v"][cum >= hi_pos].iloc[0]
+    return (float(lo) + float(hi)) / 2.0
 
 
 @F.pandas_udf(T.LongType())
-def _count_udaf(v: pd.Series) -> int:
+def _weight_sum_udaf(weight: pd.Series) -> int:
     # Spark disallows mixing grouped-agg pandas UDFs with built-in
     # aggregates in one agg(), so the row count rides the same lane.
-    return len(v)
+    return int(weight.sum())
 
 
 @query(
@@ -373,19 +383,25 @@ def _count_udaf(v: pd.Series) -> int:
 )
 def grouped_agg_median_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDAF surface (§2.C C-udf completion): GROUPED_AGG ``pandas_udf``
-    — a whole group lands in one Arrow batch and the UDF reduces it to
-    a scalar. Median over integer-cast quantities is order-independent
-    (sort-based), so the value matches DuckDB's interpolated median
-    bit-for-bit.
+    computing an exact median — but over a PRE-REDUCED input, which is
+    the pattern that makes custom reductions viable at 100 TB.
 
-    Scale note: a grouped-agg UDF cannot partial-aggregate — every row
-    of a group crosses the shuffle to one task, so it is for moderate
-    per-group volumes or pre-reduced inputs; at 100 TB reach for the
-    built-in ``percentile_approx`` (see ``percentile_stats``) and keep
-    this lane for genuinely custom reductions.
+    A grouped-agg UDF cannot partial-aggregate, so feeding it raw rows
+    ships every row of a group through one Arrow batch to one task.
+    Instead the JVM hash-aggregate first collapses lineitem to
+    (returnflag, quantity) → count — partial aggregation, tiny
+    exchange — and the UDAF computes the exact weighted median from
+    ≤|distinct quantities| pairs per group. Same answer as DuckDB's
+    row-level median (interpolated central order statistics),
+    bit-for-bit, at a fraction of the transfer.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        _median_udaf(F.col("l_quantity").cast("long")).alias("median_qty"),
-        _count_udaf(F.col("l_quantity")).alias("n"),
+    reduced = (
+        li.select("l_returnflag", F.col("l_quantity").cast("long").alias("qty"))
+        .groupBy("l_returnflag", "qty")
+        .agg(F.count("*").alias("w"))
+    )
+    return reduced.groupBy("l_returnflag").agg(
+        _weighted_median_udaf(F.col("qty"), F.col("w")).alias("median_qty"),
+        _weight_sum_udaf(F.col("w")).alias("n"),
     )
