@@ -28,7 +28,9 @@ HEADLINE = [
     "exact_dedup",              # X1 hash-agg dedup census
     "minhash_lsh_candidates",   # X1 MinHash-LSH near-dup (sub-quadratic path)
     "knn_cosine_topk",          # X2 vector top-k
+    "hybrid_search_rrf",        # X2+X4 lexical+vector fusion
     "token_frequency",          # X4 tokenize/explode/count
+    "repetition_census",        # X+ curation quality gate
     "tumbling_window_counts",   # D4 event-time windows
 ]
 
