@@ -109,8 +109,15 @@ class CheckpointStore:
     def write(self, tablename: str, seq: str) -> None:
         import time
 
-        row = [(tablename, seq, time.time_ns())]
-        df = self.spark.createDataFrame(row, "tablename STRING, seq STRING, ord LONG")
+        # Parameterized literal SELECT, not createDataFrame: a Python
+        # list literal becomes an RDD scan that boots a Python worker
+        # for one row (~seconds); this stays JVM-only.
+        df = self.spark.sql(
+            "SELECT CAST(:t AS STRING) AS tablename,"
+            "       CAST(:s AS STRING) AS seq,"
+            "       CAST(:o AS LONG)   AS ord",
+            args={"t": tablename, "s": seq, "o": time.time_ns()},
+        )
         df.coalesce(1).write.mode("append").parquet(self.path)
 
     def read(self, tablename: str) -> str | None:

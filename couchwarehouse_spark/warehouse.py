@@ -176,19 +176,22 @@ class Warehouse:
             F.col("doc").isNotNull()
         )
 
-        head = env.agg(F.max_by("seq", SEQ_COL).alias("s")).collect()
-        last_seq = head[0]["s"] if head else None
-
-        types = {
-            r["_cw_type"]
-            for r in live.select("_cw_type").distinct().collect()
-            if r["_cw_type"] is not None
-        }
+        # One probe job, not three: batch max-seq, the set of live doc
+        # types, and does-this-batch-delete-anything all come out of a
+        # single aggregation over the persisted batch.
+        is_live = (~deleted | F.col("deleted").isNull()) & F.col("doc").isNotNull()
+        stats = env.agg(
+            F.max_by("seq", SEQ_COL).alias("last_seq"),
+            F.collect_set(F.when(is_live, F.col("_cw_type"))).alias("types"),
+            F.max(deleted).alias("has_tombstones"),
+        ).collect()[0]
+        last_seq = stats["last_seq"]
+        types = set(stats["types"])
         # Tombstones must reach EVERY existing table, including types
         # with no live doc in this batch (a batch of pure deletes) —
         # CouchDB tombstones carry no type (reference lib/sqlite.js:95-98
         # deletes by id wherever the row lives).
-        if tombstones.limit(1).count() > 0:
+        if stats["has_tombstones"]:
             types |= set(self.schemas.keys())
         try:
             for doc_type in sorted(types):
