@@ -337,17 +337,21 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bit_count(xor) ≤ 3`` — band collision alone is the recall
     stage, the Hamming check is the precision stage.
 
-    Implementation: explode distinct tokens, hash each ONCE
-    (xxhash64), then one hash aggregate computing all 64 per-bit
-    popcounts as SIXTEEN branch-free packed sums — four 16-bit
-    counters per long (`sum(((h>>b)&1) << 16j)`), with the per-doc
-    token sample capped so the top lane cannot overflow a signed
-    long — instead of 64 separate `when()` sums. Same single
-    explode + single shuffle on doc_id (the word-count shape), but a
-    4× narrower aggregation buffer and far less generated code to
-    JIT. Bit b of the simhash is 1 iff popcount_b > n_tokens/2
-    (equivalent to the classic ±1 balance being positive). Declared
-    rows-only (hash engine differs across systems).
+    Implementation: the whole signature is ONE map-side projection —
+    hash the distinct tokens in-array (xxhash64), then a single-pass
+    ``aggregate`` accumulates all 64 per-bit popcounts as SIXTEEN
+    branch-free packed lanes — four 16-bit counters per long
+    (`acc[g] += ((h>>b)&1) << 16j`), with the per-doc token sample
+    capped so the top lane cannot overflow a signed long. No explode,
+    no shuffle: the classic explode+groupBy word-count shape moves
+    |tokens| rows through an exchange to compute a per-doc reduction
+    that is embarrassingly parallel per row. Bit b of the simhash is
+    1 iff popcount_b > n_tokens/2 (equivalent to the classic ±1
+    balance being positive). The signature table is persisted before
+    the band self-join — it is tiny (doc_id, int64), and inlining the
+    wide signature expression into both join sides would double the
+    compute and blow up codegen. Declared rows-only (hash engine
+    differs across systems).
     """
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
@@ -357,37 +361,43 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # running sum stays below 2^63 under ANSI (overflow-checked)
     # arithmetic. Sampling a bounded token prefix for monster docs is
     # standard SimHash practice and also bounds per-doc compute.
-    tok = d.select(
-        "doc_id",
-        F.explode(
-            F.slice(F.array_distinct(F.split("text", " ")), 1, SIMHASH_MAX_TOKENS)
-        ).alias("t"),
-    ).select("doc_id", F.xxhash64("t").alias("h"))
+    hashes = F.transform(
+        F.slice(F.array_distinct(F.split("text", " ")), 1, SIMHASH_MAX_TOKENS),
+        lambda t: F.xxhash64(t),
+    )
 
-    def packed_sum(g: int):
+    def contrib(h, g: int):
         parts = [
-            F.shiftleft(F.shiftright("h", 4 * g + j).bitwiseAND(F.lit(1)), 16 * j)
+            F.shiftleft(F.shiftright(h, 4 * g + j).bitwiseAND(F.lit(1)), 16 * j)
             for j in range(4)
         ]
         e = parts[0]
         for p in parts[1:]:
             e = e + p
-        return F.sum(e).alias(f"s{g}")
+        return e
 
-    agg = tok.groupBy("doc_id").agg(
-        *[packed_sum(g) for g in range(SIMHASH_BITS // 4)],
-        F.count("*").alias("n_tok"),
+    packed = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS // 4),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[contrib(h, g) for g in range(SIMHASH_BITS // 4)]),
+            lambda a, c: a + c,
+        ),
     )
+    agg = d.select("doc_id", packed.alias("p"), F.size(hashes).alias("n_tok"))
 
     simhash = None
     for b in range(SIMHASH_BITS):
         g, j = divmod(b, 4)
-        popcount = F.shiftright(F.col(f"s{g}"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+        popcount = F.shiftright(F.element_at("p", g + 1), 16 * j).bitwiseAND(
+            F.lit(0xFFFF)
+        )
         bit = (popcount * 2 > F.col("n_tok")).cast("long")
         term = F.shiftleft(bit, b)
         simhash = term if simhash is None else simhash.bitwiseOR(term)
 
-    sh = agg.select("doc_id", simhash.alias("simhash"))
+    sh = scoped_persist(agg.select("doc_id", simhash.alias("simhash")))
     bands = [
         F.struct(
             F.lit(q).alias("band"),
