@@ -37,6 +37,11 @@ REP_FLAG_NUM = 50  # flag a doc when dup_trigrams/total_trigrams > 1/50
 # column would be vacuously zero at every SF; 2% fires at all three SFs.)
 LEN_BUCKET = 16  # histogram bucket width, in tokens
 MIX_CAP = 3.0  # max upsampling weight for a starved domain
+XDOC_N = 5  # cross-doc dup audit n-gram order (5-grams)
+XDOC_FLAG_DEN = 2  # flag a doc when shared/total > 1/2 (9-10% of this corpus)
+VOCAB_SIZE = 24  # top-V token vocabulary for the OOV audit
+# (the synthetic corpus has 31 distinct tokens at every SF, so a 24-token
+# vocab leaves real OOV mass — both columns non-trivial at sf0.001/0.01/0.1)
 
 
 @query(
@@ -200,4 +205,146 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("resample_weight"),
+    )
+
+
+@query(
+    "crossdoc_ngram_dup",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, len(string_split(text, ' ')) - {XDOC_N - 2}),
+               i -> concat_ws(' ', list_extract(string_split(text, ' '), i),
+                                   list_extract(string_split(text, ' '), i + 1),
+                                   list_extract(string_split(text, ' '), i + 2),
+                                   list_extract(string_split(text, ' '), i + 3),
+                                   list_extract(string_split(text, ' '), i + 4)))) AS g
+      FROM documents WHERE len(string_split(text, ' ')) >= {XDOC_N}
+    ),
+    ex AS (SELECT doc_id, source, unnest(g) AS g5 FROM sh),
+    cnt AS (SELECT g5, count(*) AS nd FROM ex GROUP BY g5),
+    per_doc AS (
+      SELECT e.doc_id, e.source, count(*) AS total_g,
+             sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS shared_g
+      FROM ex e JOIN cnt c USING (g5) GROUP BY e.doc_id, e.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)       AS n_docs,
+           CAST(sum(shared_g) AS BIGINT)  AS shared_ngrams,
+           CAST(sum(total_g) AS BIGINT)   AS total_ngrams,
+           round(CAST(sum(shared_g) AS DOUBLE) / sum(total_g), 6) AS crossdup_rate,
+           CAST(sum(CASE WHEN {XDOC_FLAG_DEN} * shared_g > total_g
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def crossdoc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-n-gram audit (X1/X+): per source, the
+    fraction of distinct word 5-grams that also occur in at least one
+    OTHER document, plus a count of docs that are majority-shared —
+    the corpus-level companion to the within-doc ``repetition_census``
+    (this is the signal behind "remove documents made of boilerplate
+    shared across the crawl").
+
+    Plan: per-doc distinct shingles explode to (doc, shingle-hash)
+    pairs; one word-count-shaped aggregate computes each shingle's
+    document frequency; an equi-join back on the hash marks shared
+    shingles; two more low-cardinality aggregates reduce to per-source
+    totals. Shingles travel as xxhash64 longs (the count of docs per
+    shingle is invariant under an injective hash — the oracle groups
+    the raw strings), so the widest shuffle carries (long, long) pairs.
+    No broadcast of corpus-sized state: the doc-frequency join is a
+    plain shuffled equi-join that scales with the shingle table.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (XDOC_N - 1)),
+        lambda i: F.xxhash64(
+            F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(XDOC_N)]
+            )
+        ),
+    )
+    ex = (
+        d.filter(F.size(toks) >= XDOC_N)
+        .select("doc_id", "source", F.explode(F.array_distinct(grams)).alias("g"))
+    )
+    cnt = ex.groupBy("g").agg(F.count("*").alias("nd"))
+    per_doc = (
+        ex.join(cnt, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("total_g"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("shared_g"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("shared_g").alias("shared_ngrams"),
+        F.sum("total_g").alias("total_ngrams"),
+        F.round(
+            F.sum("shared_g").cast("double") / F.sum("total_g"), 6
+        ).alias("crossdup_rate"),
+        F.sum(
+            (F.lit(XDOC_FLAG_DEN) * F.col("shared_g") > F.col("total_g")).cast("long")
+        ).alias("n_flagged"),
+    )
+
+
+@query(
+    "vocab_oov_audit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    vocab AS (SELECT t FROM cnt ORDER BY c DESC, t LIMIT {VOCAB_SIZE})
+    SELECT tok.source,
+           CAST(count(*) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+           round(CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab v ON tok.t = v.t
+    GROUP BY tok.source
+    """,
+)
+def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate audit (X4/X+): build the top-V
+    corpus vocabulary (count desc, token asc — a total order, so the
+    boundary is deterministic even on count ties), then measure each
+    source's out-of-vocabulary token mass. This is the
+    tokenizer-coverage check a pipeline runs before committing to a
+    vocab: a source with high OOV rate will shatter into bytes.
+
+    Plan: one word-count aggregate, a V-row top-k
+    (TakeOrderedAndProject — per-partition heaps, no global sort),
+    then a LEFT broadcast join of the token stream against the
+    vocabulary. The broadcast is correct at ANY corpus size: V is a
+    constant by construction, the one kind of build side that never
+    outgrows the broadcast threshold.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("t"))
+    cnt = tok.groupBy("t").agg(F.count("*").alias("c"))
+    vocab = (
+        cnt.orderBy(F.col("c").desc(), "t")
+        .limit(VOCAB_SIZE)
+        .select("t", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.sum(F.col("_in_vocab").isNull().cast("long")).alias("oov_tokens"),
+            F.round(
+                F.sum(F.col("_in_vocab").isNull().cast("long")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
     )

@@ -75,3 +75,74 @@ def test_mixture_weights_normalized(spark):
     # source gets the smallest weight
     top = pdf.sort_values("n_docs").iloc[-1]
     assert top.resample_weight == pdf.resample_weight.min()
+
+
+def test_crossdoc_ngram_dup_bounds(spark):
+    pdf = QUERIES["crossdoc_ngram_dup"](spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.shared_ngrams <= pdf.total_ngrams).all()
+    assert ((pdf.crossdup_rate >= 0) & (pdf.crossdup_rate <= 1)).all()
+    assert (pdf.n_flagged <= pdf.n_docs).all()
+    assert pdf.n_flagged.sum() > 0, "majority-shared gate never fired — vacuous"
+    # every document with >= 5 tokens is audited exactly once
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/documents.parquet' "
+        "WHERE len(string_split(text, ' ')) >= 5"
+    ).fetchone()[0]
+    assert pdf.n_docs.sum() == n
+
+
+def test_crossdoc_planted_duplicates(spark):
+    """Two identical docs share 100% of 5-grams; a unique doc shares
+    none: the flag must separate them."""
+    from pyspark.sql import functions as F
+
+    from couchwarehouse_spark.plans.curation import XDOC_FLAG_DEN, XDOC_N
+
+    df = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (1, 'the quick brown fox jumps over the lazy dog'),
+          (2, 'the quick brown fox jumps over the lazy dog'),
+          (3, 'completely different words with no overlap at all here')
+          AS t(doc_id, text)
+        """
+    )
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (XDOC_N - 1)),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(XDOC_N)])
+        ),
+    )
+    ex = df.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+    cnt = ex.groupBy("g").agg(F.count("*").alias("nd"))
+    per_doc = (
+        ex.join(cnt, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_g"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("shared_g"),
+        )
+        .withColumn(
+            "flagged", F.lit(XDOC_FLAG_DEN) * F.col("shared_g") > F.col("total_g")
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert bool(per_doc.loc[1, "flagged"]) and bool(per_doc.loc[2, "flagged"])
+    assert not bool(per_doc.loc[3, "flagged"])
+    assert per_doc.loc[3, "shared_g"] == 0
+
+
+def test_vocab_oov_audit_bounds(spark):
+    pdf = QUERIES["vocab_oov_audit"](spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.oov_tokens <= pdf.total_tokens).all()
+    assert ((pdf.oov_rate >= 0) & (pdf.oov_rate < 1)).all()
+    # the 24-token vocab must leave real OOV mass on this corpus...
+    assert pdf.oov_tokens.sum() > 0, "vocab covers everything — audit is vacuous"
+    # ...but in-vocab tokens must still be the majority everywhere
+    assert (2 * pdf.oov_tokens < pdf.total_tokens).all()
