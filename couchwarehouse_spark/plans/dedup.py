@@ -244,20 +244,34 @@ def _shingles(toks):
     )
 
 
-def minhash_signature(toks) -> list:
-    """N_MINHASH independent min-hashes of the shingle set.
+_LONG_MAX = (1 << 63) - 1
 
-    Each permutation is xxhash64 salted with the permutation index;
-    ``array_min(transform(...))`` keeps everything JVM-side — no UDF,
-    one projection.
+
+def minhash_signature(toks):
+    """N_MINHASH independent min-hashes of the shingle set, as ONE
+    ``array<long>`` column.
+
+    Each permutation is xxhash64 salted with the permutation index
+    (appended as a second hash input). All 16 lanes fold in a single
+    ``aggregate`` pass over the shingle array — 16 separate
+    ``array_min(transform(...))`` projections would rescan the array
+    per lane. Entirely JVM-side, no UDF, no shuffle.
+
+    NB: the per-lane salt is injected via a Python comprehension over
+    literal ints, NOT a two-argument ``transform`` lambda — PySpark
+    dispatches two-parameter lambdas as (element, index), which would
+    silently shadow the salt with the array position and collapse all
+    permutations into one.
     """
-    sh = _shingles(toks)
-    return [
-        F.array_min(
-            F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-        ).alias(f"mh{i}")
-        for i in range(N_MINHASH)
-    ]
+    return F.aggregate(
+        _shingles(toks),
+        F.array_repeat(F.lit(_LONG_MAX), N_MINHASH),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(N_MINHASH)]),
+            lambda a, h: F.least(a, h),
+        ),
+    )
 
 
 @query("minhash_lsh_candidates")  # rows-only: xxhash64 not reproducible in DuckDB
@@ -267,8 +281,11 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle → 16-permutation minhash signature → 4 bands of 4 →
     band-bucket self-join → exact shingle-Jaccard verify on candidates
     only. Output: verified pairs (doc_a, doc_b, jaccard ≥ 0.5) — the
-    same metric ``ngram_jaccard_pairs`` computes exhaustively, so the
-    LSH result is a (high-recall) subset of that oracle-backed one.
+    same metric ``ngram_jaccard_pairs`` computes exhaustively within
+    lang blocks, so restricted to same-lang pairs the LSH result is a
+    (high-recall) subset of that oracle-backed one — and, being
+    unblocked, it additionally surfaces cross-lang near-dups the
+    blocked scan structurally cannot see.
 
     Scale: the only join is on (band, band_hash) — docs collide only
     when a whole band matches, so the candidate set is ~linear for
@@ -285,7 +302,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(_shingles(F.split("text", " ")), lambda s: F.xxhash64(s))
     )
     sig = d.repartition(spark.sparkContext.defaultParallelism).select(
-        "doc_id", sh_set.alias("sh"), *minhash_signature(F.split("text", " "))
+        "doc_id", sh_set.alias("sh"), minhash_signature(F.split("text", " ")).alias("mh")
     )
     sig = scoped_persist(sig)  # reused: band buckets + verify join sides
 
@@ -293,7 +310,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias("bh"),
+            F.xxhash64(
+                *[F.element_at("mh", b * r + j + 1) for j in range(r)]
+            ).alias("bh"),
         )
         for b in range(N_BANDS)
     ]

@@ -52,3 +52,29 @@ def test_minhash_finds_exact_duplicates(spark, tmp_path):
 
     sim = {(r["doc_a"], r["doc_b"]) for r in simhash_near_dup(spark, str(tmp_path)).collect()}
     assert (0, 100) in sim and (1, 101) in sim
+
+
+def test_minhash_recall_vs_exhaustive(spark):
+    """With 16 real permutations (4 bands of 4), every same-lang pair
+    the exhaustive prefix-filter scan certifies at J >= 0.5 must also
+    come out of the LSH path: P(band collision) = 1-(1-s^4)^4 >= 0.93
+    at s = 0.5 per pair, and the smoke corpus's true pairs sit far
+    above threshold. This pins the permutation-salting bug class: a
+    collapsed (single-permutation) signature drops recall through the
+    floor."""
+    from couchwarehouse_spark.plans.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(spark, SF_SMOKE).collect()
+    }
+    exhaustive = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(spark, SF_SMOKE).collect()
+    }
+    assert exhaustive, "smoke corpus lost its planted near-dups"
+    missed = exhaustive - lsh
+    assert not missed, f"LSH missed same-lang verified pairs: {sorted(missed)[:10]}"
