@@ -178,8 +178,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded full sets on (lang, shingle-hash): linear in shared
     shingles rather than quadratic in block size, and it shuffles/
     scales like word-count. The exact Jaccard verify then runs on
-    candidates only. ``minhash_lsh_candidates`` is the probabilistic
-    alternative when even prefix-join fan-out is too hot.
+    candidates only. The pigeonhole bound holds for ANY fixed total
+    order of the shingle universe — hash order here; the documented
+    refinement when candidate volume gets hot is ascending corpus
+    document-frequency order (rare shingles first in every prefix, the
+    full Bayardo ordering), which costs one extra frequency join.
+    ``minhash_lsh_candidates`` is the probabilistic alternative when
+    even prefix-join fan-out is too hot.
     """
     d = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
