@@ -256,6 +256,13 @@ def crossdoc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw strings), so the widest shuffle carries (long, long) pairs.
     No broadcast of corpus-sized state: the doc-frequency join is a
     plain shuffled equi-join that scales with the shingle table.
+
+    Deliberately a groupBy+join, NOT ``count over (partition by g)``:
+    the window form is one scan cheaper but puts every occurrence of a
+    hot shingle (boilerplate shared by millions of docs) into a single
+    window task with no remedy — whereas here partial aggregation
+    collapses the hot key map-side and AQE skew-join splits the probe
+    side of the join back. The skew-robust shape wins at 100 TB.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
