@@ -79,8 +79,12 @@ def read_changes_feed(
 def filter_design_docs(env: DataFrame) -> DataFrame:
     """Drop ``_design/*`` documents (R9; reference index.js:55,
     lib/sqlite.js:70 — excluded from both schema discovery and
-    inserts)."""
-    return env.filter(~F.col("id").rlike(DESIGN_DOC_RE))
+    inserts) — and corrupt feed lines, which PERMISSIVE JSON parsing
+    surfaces as all-null envelopes. The ``isNotNull`` guard makes that
+    drop explicit rather than a side effect of three-valued ``rlike``:
+    a malformed page line can never reach the merge with a null id.
+    """
+    return env.filter(F.col("id").isNotNull() & ~F.col("id").rlike(DESIGN_DOC_RE))
 
 
 def split_envelopes(env: DataFrame, split_field: str | None) -> DataFrame:

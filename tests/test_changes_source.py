@@ -86,3 +86,26 @@ def test_stream_read_with_rate_limit(registered, tmp_path):
         assert row_batches and max(row_batches) <= 4
     finally:
         q.stop()
+
+
+def test_spool_survives_corrupt_feed_lines(spark, tmp_path):
+    """PERMISSIVE JSON parsing turns malformed feed lines into all-null
+    envelopes; the ingest filter must drop them explicitly so they
+    never reach schema discovery or the merge — the good changes on
+    the same page still land and the checkpoint advances to their max
+    seq."""
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "page1.jsonl").write_text(
+        '{"seq":"1-a","id":"doc1","doc":{"_id":"doc1","_rev":"1-x","name":"alice"}}\n'
+        "THIS IS NOT JSON {{{\n"
+        '{"seq":"2-a","id":"doc2","doc":{"_id":"doc2","_rev":"1-x","name":"bob"}}\n'
+        '{"seq":"3-a"\n'  # truncated envelope
+    )
+    from couchwarehouse_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), "robustdb", reset=True)
+    last = wh.spool(str(feed))
+    assert last == "2-a"
+    rows = {r["id"]: r["name"] for r in wh.table().collect()}
+    assert rows == {"doc1": "alice", "doc2": "bob"}
