@@ -355,3 +355,55 @@ def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+PSEUDO_SALT = "cw-release-salt:"  # fixed salt — same tokenization across runs
+
+
+@query(
+    "user_pseudonymization",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)               AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT substr(md5(concat('{PSEUDO_SALT}',
+                CAST(user_id AS VARCHAR))), 1, 16)) AS BIGINT) AS n_pseudonyms,
+           count(DISTINCT user_id) = count(DISTINCT substr(md5(concat('{PSEUDO_SALT}',
+                CAST(user_id AS VARCHAR))), 1, 16)) AS injective,
+           min(substr(md5(concat('{PSEUDO_SALT}',
+                CAST(user_id AS VARCHAR))), 1, 16)) AS first_pseudonym
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def user_pseudonymization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity pseudonymization audit (X+): replace the direct
+    identifier ``user_id`` with a salted-hash token (the PII-safe
+    release transform a pipeline applies before data leaves the
+    trust boundary), then verify per event_type that the tokenization
+    is injective — distinct users == distinct pseudonyms, i.e. no
+    collisions collapsed two identities and no per-partition state
+    forked one identity into two tokens.
+
+    Plan: the token is a narrow per-row md5 projection (JVM codegen,
+    no UDF, no shuffle of raw identifiers beyond the hash input);
+    the only exchange is the 5-group distinct aggregate. At 100 TB
+    the two exact distinct counts become a two-level partial
+    aggregate on (event_type, token) — same plan family Spark already
+    picks here; the 16-hex-char (64-bit) token space makes real
+    collisions negligible while the ``injective`` column is the audit
+    that proves it on THIS corpus rather than assuming it.
+    """
+    e = load_table(spark, sf_dir, "events")
+    token = F.substring(
+        F.md5(F.concat(F.lit(PSEUDO_SALT), F.col("user_id").cast("string"))), 1, 16
+    )
+    return e.select("event_type", F.col("user_id"), token.alias("tok")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("tok").alias("n_pseudonyms"),
+        (F.countDistinct("user_id") == F.countDistinct("tok")).alias("injective"),
+        F.min("tok").alias("first_pseudonym"),
+    )

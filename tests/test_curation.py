@@ -146,3 +146,13 @@ def test_vocab_oov_audit_bounds(spark):
     assert pdf.oov_tokens.sum() > 0, "vocab covers everything — audit is vacuous"
     # ...but in-vocab tokens must still be the majority everywhere
     assert (2 * pdf.oov_tokens < pdf.total_tokens).all()
+
+
+def test_user_pseudonymization_semantics(spark):
+    pdf = QUERIES["user_pseudonymization"](spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    # the tokenization must be injective on this corpus (the audit's point)
+    assert pdf.injective.all()
+    assert (pdf.n_pseudonyms == pdf.n_users).all()
+    # tokens are 16 lowercase-hex chars and never echo a raw user_id
+    assert pdf.first_pseudonym.str.fullmatch(r"[0-9a-f]{16}").all()
