@@ -222,11 +222,27 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # Persisted: the candidate list feeds BOTH verify-join broadcasts
+    # below — without this the (expensive) prefix join re-runs inside
+    # the second broadcast's lineage.
+    cand = scoped_persist(cand)
+    # Verify join: broadcast the CANDIDATE side, never the shingle
+    # table. The pair list is id-pairs only and linear-ish by
+    # prefix-filter construction; the shingle table is corpus-sized —
+    # broadcasting it (the tempting local shape) is exactly the plan
+    # that dies at 100 TB, and leaving both sides unhinted costs an
+    # extra corpus shuffle before AQE can flip the build side. With
+    # the candidate side broadcast in both steps, the corpus streams
+    # past it twice with ZERO shuffle of the (wide) shingle arrays.
+    # If pair volume ever outgrows broadcast, the fallback is two
+    # shuffle-hash joins keyed on doc id — still never a corpus
+    # broadcast.
     sh_tbl = t.select("doc_id", "sh")
-    pairs = cand.join(
-        F.broadcast(sh_tbl.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"})), "doc_a"
-    ).join(
-        F.broadcast(sh_tbl.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"})), "doc_b"
+    with_a = sh_tbl.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}).join(
+        F.broadcast(cand), "doc_a"
+    )
+    pairs = sh_tbl.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}).join(
+        F.broadcast(with_a), "doc_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a") + F.size("sh_b") - inter
