@@ -83,11 +83,25 @@ def salted_join(
     on: str,
     n_salts: int = 16,
     how: str = "inner",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side, explode the small side
-    N× (one copy per salt value), join on (key, salt)."""
+    N× (one copy per salt value), join on (key, salt).
+
+    ``partitions``: explicitly hash-partition BOTH sides on
+    (key, salt) with this exact count before joining. Needed when the
+    join is compute-dense but byte-light (pair generation, per-row
+    hashing): AQE sizes post-shuffle partitions by BYTES and will
+    happily coalesce a kilobyte-sized but quadratic-compute shuffle
+    down to one task, undoing the salt's parallelism. An explicit
+    ``repartition(n, keys)`` is exempt from AQE coalescing and, with
+    both sides partitioned identically on the join keys, the join
+    reuses it instead of adding its own exchange."""
     salted_big = with_salt(big, n_salts)
     replicated = small.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
+    if partitions:
+        salted_big = salted_big.repartition(partitions, on, SALT_COL)
+        replicated = replicated.repartition(partitions, on, SALT_COL)
     return salted_big.join(replicated, on=[on, SALT_COL], how=how).drop(SALT_COL)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
+from couchwarehouse_spark.operators.skew import salted_join
 from couchwarehouse_spark.plans.registry import query, scoped_persist, scoped_register
 
 N_MINHASH = 16  # minhash permutations
@@ -492,6 +493,16 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     COSINE_DUP_THRESHOLD). Scale: blocked pairs only; the unblocked
     scale path is the LSH bucketing of ``ann_lsh_topk``
     (plans.similarity).
+
+    Join shape: a SALTED equi-join on the label block key
+    (operators.skew.salted_join) — never a broadcast of the vector
+    table, which is corpus-sized. Salting matters twice here: the
+    block key is low-cardinality by design (10 labels in the test
+    corpus), so an unsalted shuffle join caps parallelism at
+    n_labels AND pins every hot block's quadratic pair compute on
+    one reducer; with the probe side salted and the build side
+    replicated per salt, each block's pair generation spreads over
+    n_salts reducers at zero recall loss.
     """
     e = load_table(spark, sf_dir, "embeddings")
 
@@ -506,18 +517,33 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = e.select(
         "vec_id", "label", v.alias("v"), F.sqrt(dot(v, v)).alias("norm")
     )
-    # Compute-dense pair join: spread the probe side, broadcast the
-    # build side (see ngram_jaccard_pairs rationale).
-    a = t.repartition(spark.sparkContext.defaultParallelism).alias("a")
-    b = F.broadcast(t).alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    a_side = t.select(
+        "label",
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("v_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b_side = t.select(
+        "label",
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("v_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("norm_a") * F.col("norm_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        salted_join(
+            a_side,
+            b_side,
+            on="label",
+            n_salts=16,
+            # Explicit partition count: the pair shuffle is bytes-tiny
+            # but compute-quadratic; without this AQE coalesces it to
+            # one task (see salted_join docstring).
+            partitions=spark.sparkContext.defaultParallelism,
         )
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= COSINE_DUP_THRESHOLD)
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .select("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")
     )
 
