@@ -81,9 +81,13 @@ def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two hash aggregates (term-frequency per doc, document-frequency
     per term) + a join on term. Scale: the DF side is |vocabulary|
-    rows — tiny relative to the corpus — so Catalyst broadcasts it;
-    the corpus count is a scalar broadcast. Deterministic ordering by
-    (tfidf, doc_id, term).
+    rows — deliberately UNHINTED, because a web-corpus vocabulary has
+    a heavy tail (typos, ids) and is not guaranteed broadcastable;
+    left to AQE the join broadcasts only when the vocabulary actually
+    fits, else runs term-keyed (word-count-shaped, no hot key: df of
+    a term caps at n_docs but the shuffle key space is the whole
+    vocabulary). The corpus count is a scalar broadcast. Deterministic
+    ordering by (tfidf, doc_id, term).
     """
     d = load_table(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(_tokens()).alias("term"))
@@ -93,7 +97,7 @@ def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy plan, no eager driver-side count() job.
     n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
