@@ -15,6 +15,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -41,14 +42,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as long
-        # nanoseconds. Integer-division to micros (exact — double
-        # division would lose precision above 2^53) matches DuckDB's
-        # own nanos→micros truncation.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+        # events.ts may be parquet TIMESTAMP(NANOS): with
+        # spark.sql.legacy.parquet.nanosAsLong it would arrive as long
+        # nanoseconds, in which case integer-division to micros (exact —
+        # double division would lose precision above 2^53) matches
+        # DuckDB's nanos→micros truncation. Current testdata is
+        # TIMESTAMP_MICROS and arrives as a timestamp already — probe
+        # the actual dtype, never assume the file's physical type.
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        # TIMESTAMP_NTZ (the TIMESTAMP_MICROS case) is left as-is: the
+        # session TZ is UTC so NTZ semantics already match the DuckDB
+        # oracle's naive timestamps, and event-time windows accept NTZ.
     return df
 
 
