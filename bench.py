@@ -52,31 +52,37 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.monotonic()
-        df = QUERIES[name](spark, sf_dir)
-        # Materialize every column of every row (noop sink) — count()
-        # would let Catalyst prune the very columns the query computes.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
-        # Drop caches a query left behind (several operators persist
-        # intermediates they cannot unpersist before returning) so later
-        # queries aren't measured under accumulated memory pressure.
-        spark.catalog.clearCache()
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            # Materialize every column of every row (noop sink) — count()
+            # would let Catalyst prune the very columns the query computes.
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # one broken query costs one line, not the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name].splitlines()[0]}", file=sys.stderr)
+        else:
+            timings[name] = round(time.monotonic() - t0, 3)
+            print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        finally:
+            # Drop caches a query left behind (several operators persist
+            # intermediates they cannot unpersist before returning) so later
+            # queries aren't measured under accumulated memory pressure.
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
