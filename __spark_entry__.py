@@ -23,11 +23,89 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# The driver evaluates the FIRST 50 registered queries, so ordering is
+# coverage policy: one-plus representatives of every SURVEY.md §2 family
+# (ETL kernel R*, relational S*, streaming D*, scalar C*, and the X1-X4
+# LLM-pipeline operators) land inside the window; remaining depth
+# entries (extra variants per family) follow after and stay fully
+# registered, pytest-covered, and bench-timed.
+PRIORITY = [
+    # ETL kernel (R4, R6, R11, R12, R13, R15)
+    "latest_event_per_user",
+    "delete_propagation",
+    "flatten_props",
+    "conform_projection",
+    "seq_extraction",
+    "mango_selector_filter",
+    # end-to-end warehouse pipeline (R1→R14)
+    "warehouse_e2e_pipeline",
+    # event-time windows (D4)
+    "tumbling_window_counts",
+    "session_window_stats",
+    # dedup (X1)
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "simhash_near_dup",
+    "embedding_near_dup",
+    "near_dup_clusters",
+    # similarity (X2)
+    "knn_cosine_topk",
+    "ivf_topk",
+    "hybrid_search_rrf",
+    # text analysis (X4)
+    "tf_idf_top_terms",
+    "language_id_heuristic",
+    "quality_scores",
+    "token_count_bpe_ish",
+    "doc_fingerprints",
+    # curation
+    "repetition_census",
+    "vocab_oov_audit",
+    "user_pseudonymization",
+    # sampling / splits
+    "deterministic_split",
+    "benchmark_decontamination",
+    "sequence_packing",
+    # scalar families (C-str, C-json, C-arr, C-date+math+cond, C-udf)
+    "string_functions",
+    "json_functions",
+    "array_functions",
+    "scalar_kitchen_sink",
+    "pandas_udf_disc_price",
+    # statistics / skew
+    "percentile_stats",
+    "salted_skew_aggregate",
+    # multimodal (X3)
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    # relational (S5-S16, S19)
+    "pricing_summary",
+    "top_revenue_orders",
+    "agg_stats",
+    "distinct_segments",
+    "nation_revenue",
+    "big_spenders_semi",
+    "asof_last_view",
+    "priority_multiset_diff",
+    "grouping_sets_orders",
+    "window_top_orders",
+    "cte_above_avg_customers",
+    "full_text_relevance",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    head = {n: mapping[n] for n in PRIORITY if n in mapping}
+    tail = {n: mapping[n] for n in sorted(mapping) if n not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return _ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; omitted keys → rows-only check."""
-    return dict(ORACLES)
+    return _ordered(dict(ORACLES))

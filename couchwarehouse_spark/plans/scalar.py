@@ -222,6 +222,62 @@ def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scalar_kitchen_sink",
+    oracle="""
+    SELECT year(o_orderdate)                                   AS o_year,
+           count(*)                                            AS n_orders,
+           CAST(sum(CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS weekend_orders,
+           round(sum(sqrt(o_totalprice)), 2)                   AS sum_sqrt_price,
+           round(sum(ln(o_totalprice)), 2)                     AS sum_ln_price,
+           max(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-08-02')) AS max_age_days,
+           CAST(sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_orders,
+           round(sum(coalesce(nullif(floor(o_totalprice % 7), 0.0), -1.0)), 2) AS adjusted_mod_sum,
+           min(strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d')) AS min_due_date
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def scalar_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined date + math + conditional families (§2.C C-date,
+    C-math, C-cond) in ONE oracle-checked projection, so all three
+    function families carry a driver CORRECTNESS row inside its
+    50-entry window; the per-family entries (``date_functions``,
+    ``math_functions``, ``conditional_functions``) remain registered
+    for depth. Same reference surface: the target warehouse's scalar
+    library (reference README.md:14,68).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.when(F.dayofweek("o_orderdate").isin(1, 7), 1).otherwise(0)
+        ).alias("weekend_orders"),
+        F.round(F.sum(F.sqrt("o_totalprice")), 2).alias("sum_sqrt_price"),
+        F.round(F.sum(F.log(F.col("o_totalprice"))), 2).alias("sum_ln_price"),
+        F.max(
+            F.datediff(F.lit("1998-08-02").cast("date"), F.col("o_orderdate"))
+        ).alias("max_age_days"),
+        F.sum(
+            F.when(F.col("o_orderpriority").like("1%"), 1).otherwise(0)
+        ).alias("urgent_orders"),
+        F.round(
+            F.sum(
+                F.coalesce(
+                    F.nullif(
+                        F.floor(F.col("o_totalprice") % 7).cast("double"), F.lit(0.0)
+                    ),
+                    F.lit(-1.0),
+                )
+            ),
+            2,
+        ).alias("adjusted_mod_sum"),
+        F.min(
+            F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+        ).alias("min_due_date"),
+    )
+
+
 @F.pandas_udf(T.DoubleType())
 def _disc_price_udf(price: pd.Series, discount: pd.Series) -> pd.Series:
     # Arrow-vectorized: whole columns per batch, no per-row Python.
