@@ -291,21 +291,51 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Stream order is the md5 shuffle (same determinism argument as
     ``stratified_sample``); a doc straddles when its first and last
-    token fall in different windows. One window function (running
-    token total) + one hash aggregate. Scale: the running sum is a
-    per-stratum window — at extreme scale compute per-partition
-    offsets with a two-pass prefix-sum (partial sums per partition,
-    broadcast the offsets), same results.
+    token fall in different windows.
+
+    Scale: the naive shape — ``sum() OVER (PARTITION BY lang ORDER BY
+    h)`` — serializes each language onto ONE reducer (|langs| ≈ 10
+    tasks for the whole corpus). Instead, a distributed two-pass
+    prefix sum: (1) range-partition the stream by (lang, h) so
+    partition-id order IS stream order, (2) aggregate per-partition
+    per-lang subtotals (≤ P×|langs| rows), turn them into exclusive
+    offsets with a window over that TINY table, broadcast them back,
+    (3) local running sum within each (partition, lang) slice + offset
+    = the exact global running sum. Parallelism now scales with the
+    partition count, not the language count; identical results (the
+    oracle below is unchanged).
     """
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " "))
-    w = (
+    t = d.select(
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        n_tok.alias("n_tok"),
+    )
+    # Persisted so pass 1 and pass 2 see the SAME range partitioning
+    # (boundaries come from sampling; two independent executions could
+    # legally draw different cuts).
+    parts = (
+        t.repartitionByRange(spark.sparkContext.defaultParallelism, "lang", "h")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = parts.groupBy("pid", "lang").agg(F.sum("n_tok").alias("psum"))
+    w_off = (
         Window.partitionBy("lang")
-        .orderBy(F.md5(F.col("doc_id").cast("string")))
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = psums.select(
+        "pid", "lang", F.coalesce(F.sum("psum").over(w_off), F.lit(0)).alias("off")
+    )
+    w_loc = (
+        Window.partitionBy("pid", "lang")
+        .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    t = d.select("doc_id", "lang", n_tok.alias("n_tok")).withColumn(
-        "cum", F.sum("n_tok").over(w)
+    t = parts.join(F.broadcast(offsets), ["pid", "lang"]).withColumn(
+        "cum", F.sum("n_tok").over(w_loc) + F.col("off")
     )
     straddles = (
         ((F.col("cum") - F.col("n_tok")) / CTX_WINDOW).cast("long")

@@ -208,9 +208,12 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     N/|cells| vectors; nprobe>1 re-adds neighbor cells for recall.
     Both lanes round centroids to 6 decimals BEFORE distances so cell
     assignment cannot flip on last-ulp average differences between
-    engines. Scale: centroids broadcast (|cells|×d doubles); the
-    assignment pass is a projection over a broadcast cross join —
-    one scan, no shuffle beyond the final agg.
+    engines. Scale: the whole centroid table (|cells|×d doubles — KB)
+    collapses to ONE row of array<struct<cell,centroid>>, broadcast,
+    and cell assignment is a pure projection: an ``aggregate`` argmin
+    over that array. No shuffle touches the corpus between the scan
+    and the final top-k heap (the old shape grouped corpus×|cells|
+    rows BY THE FULL VECTOR — a |cells|× shuffle amplification).
     """
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
@@ -223,16 +226,35 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = dims.groupBy("cell").agg(
         F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc")
     ).select("cell", F.col("dc.c").alias("centroid"))
-
-    dist2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, z: acc + z,
+    # One row holding every (cell, centroid), cell-sorted so the argmin
+    # scan order (and therefore tie-breaking: strict < keeps the first,
+    # i.e. lowest, cell) is deterministic.
+    cents_row = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("cents")
     )
-    assigned = (
-        v.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id", "label", "v")
-        .agg(F.min_by("cell", dist2).alias("cell"))
+
+    cell_type = cents.schema["cell"].dataType
+
+    def _argmin_cell(vcol: Column, cents_col: Column) -> Column:
+        init = F.struct(
+            F.lit(None).cast(cell_type).alias("cell"),
+            F.lit(float("inf")).alias("d"),
+        )
+
+        def step(acc: Column, c: Column) -> Column:
+            d2 = F.aggregate(
+                F.zip_with(vcol, c["centroid"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda s, z: s + z,
+            )
+            return F.when(
+                d2 < acc["d"], F.struct(c["cell"].alias("cell"), d2.alias("d"))
+            ).otherwise(acc)
+
+        return F.aggregate(cents_col, init, step)["cell"]
+
+    assigned = v.crossJoin(F.broadcast(cents_row)).select(
+        "vec_id", "label", "v", _argmin_cell(F.col("v"), F.col("cents")).alias("cell")
     )
     q = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv"), F.col("cell").alias("qcell")

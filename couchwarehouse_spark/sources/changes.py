@@ -31,6 +31,7 @@ def read_changes_feed(
     spark: SparkSession,
     path: str,
     doc_transform: Callable[[dict], dict] | None = None,
+    doc_schema: str | None = None,
 ) -> DataFrame:
     """Read a JSON-lines changes feed into an envelope DataFrame.
 
@@ -46,6 +47,15 @@ def read_changes_feed(
     :class:`~couchwarehouse_spark.warehouse.Warehouse` when the
     transform is expressible in columns (the README's example —
     drop/trim/concat — is).
+
+    ``doc_schema`` (strict mode): a DDL string for the transformed
+    ``doc`` struct, e.g. ``"_id string, name string"``. When given,
+    the transform lane parses envelopes with ONE ``from_json``
+    projection — no RDD round-trip, no inference scan — the shape to
+    use when the doc type is known (the warehouse's frozen schema can
+    supply it). When omitted, the lane falls back to full-union
+    inference over the transformed lines (an extra scan, batch lane
+    only).
     """
     if doc_transform is None:
         env = spark.read.json(path)
@@ -67,7 +77,17 @@ def read_changes_feed(
                 yield pd.DataFrame({"value": out})
 
         transformed = lines.mapInPandas(_tx, "value string")
-        env = spark.read.json(transformed.rdd.map(lambda r: r.value))
+        if doc_schema is not None:
+            envelope_ddl = (
+                "seq string, id string, deleted boolean, "
+                "changes array<struct<rev: string>>, "
+                f"doc struct<{doc_schema}>"
+            )
+            env = transformed.select(
+                F.from_json("value", envelope_ddl).alias("e")
+            ).select("e.*")
+        else:
+            env = spark.read.json(transformed.rdd.map(lambda r: r.value))
 
     if "deleted" not in env.columns:
         env = env.withColumn("deleted", F.lit(None).cast("boolean"))

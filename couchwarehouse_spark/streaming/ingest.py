@@ -109,14 +109,23 @@ def monitor_warehouse(
 def _parse_docs(spark: SparkSession, batch_df: DataFrame) -> DataFrame:
     """Parse the batch's doc JSON strings into a struct column.
 
-    Per-batch inference over the (small) micro-batch — acceptable
-    because the warehouse's frozen schema decides the table columns
-    regardless; a fixed registry schema can replace it for strict
-    streams.
+    Schema = ``schema_of_json`` on the batch's first live doc — the
+    reference's own first-doc schema discovery (R7, reference
+    lib/schema.js) applied per micro-batch, evaluated as ONE constant-
+    folded JVM expression. No ``.rdd`` round-trip, no full-batch
+    Python re-scan in the streaming hot path; the warehouse's frozen
+    per-type schema still decides the final table columns (conformance
+    nulls missing fields / drops extras), so a first-doc miss cannot
+    corrupt the table.
     """
-    docs = batch_df.select("doc").rdd.map(lambda r: r[0] or "{}")
-    doc_schema = spark.read.json(docs).schema
+    sample = (
+        batch_df.select("doc").filter(F.col("doc").isNotNull()).first()
+    )
+    sample_json = sample[0] if sample is not None else "{}"
+    ddl = spark.range(1).select(
+        F.schema_of_json(F.lit(sample_json)).alias("s")
+    ).first()["s"]
     return (
-        batch_df.withColumn("doc", F.from_json("doc", doc_schema))
+        batch_df.withColumn("doc", F.from_json("doc", ddl))
         .withColumn(SEQ_COL, seq_number_col("seq"))
     )

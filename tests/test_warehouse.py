@@ -183,3 +183,28 @@ def test_design_docs_excluded(spark, tmp_path):
     wh.spool(feed)
     assert wh.table().count() == 1
     assert not [c for c in wh.table().columns if c.startswith("views")]
+
+
+def test_doc_transform_strict_schema(spark, tmp_path):
+    """Strict mode: doc_schema parses the transform lane with one
+    from_json projection (no RDD inference round-trip)."""
+    from couchwarehouse_spark.sources.changes import read_changes_feed
+
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=10)
+
+    def doc_tx(doc):
+        doc = dict(doc)
+        doc["name"] = doc["name"].upper()
+        return doc
+
+    env = read_changes_feed(
+        spark,
+        feed,
+        doc_transform=doc_tx,
+        doc_schema="_id string, _rev string, name string, age bigint",
+    )
+    rows = env.orderBy("id").collect()
+    assert len(rows) == 10
+    assert rows[3]["doc"]["name"] == "PERSON 3"
+    assert rows[3]["doc"]["age"] == 23
+    assert env.schema["doc"].dataType.fieldNames() == ["_id", "_rev", "name", "age"]
