@@ -590,19 +590,25 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     here is unchanged. Oracle: transitive closure via a recursive CTE
     — same components, declaratively.
     """
-    edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
     # The pair graph is orders of magnitude smaller than the corpus
-    # (only near-dup docs appear): shrink to a handful of partitions so
-    # each propagation round is a few tasks, not a full-width shuffle.
+    # (only near-dup docs appear): shrink it so each propagation round
+    # is a few tasks, not a full-width shuffle — but DERIVE the width
+    # from the edge count (~1M edges per partition, capped at the
+    # session's parallelism) rather than hardcoding it, so a bigger
+    # pair graph automatically gets a wider loop. The count() also
+    # materializes the persisted pair pipeline exactly once.
     # repartition, NOT coalesce — coalesce would propagate upstream and
-    # collapse the (compute-dense) pair-generation pipeline itself to 4
-    # tasks; the exchange keeps it wide. At larger |E| raise the target.
+    # collapse the (compute-dense) pair-generation pipeline itself to a
+    # handful of tasks; the exchange keeps it wide.
+    n_edges = edges.count()
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 1_000_000 + 1))
     sym = (
         edges.unionByName(
             edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
         .withColumnsRenamed({"doc_a": "a", "doc_b": "b"})
-        .repartition(4)
+        .repartition(n_parts)
         .persist()
     )
     labels = (
@@ -615,6 +621,9 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anything changes — one scalar agg per round is the whole
     # convergence test (no join against the previous labels).
     prev = labels.agg(F.sum("label")).first()[0]
+    # sym (and labels) are materialized now; the raw pair cache has
+    # served both union branches and can go.
+    edges.unpersist(blocking=False)
 
     converged = False
     for _ in range(N_CC_MAX_ITERS):
