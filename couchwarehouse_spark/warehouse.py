@@ -15,10 +15,14 @@ Streaming ``foreachBatch`` (streaming.ingest), which is the
 micro-batch analog of the reference's 'batch' event loop
 (reference index.js:105-125).
 
-Scale: tables are snapshot-rewritten per spool (parquet has no MERGE);
-at 100 TB swap the writer for Delta/Iceberg ``MERGE INTO`` keyed on
-``id`` — the merge plan (window latest-wins + tombstone union) is
-unchanged, only the sink becomes incremental. State never transits the
+Scale: tables are hash-bucket-partitioned on ``id`` (parquet
+``_cw_bucket=K`` directories); a batch rewrites ONLY the buckets its
+ids hash into — per-batch I/O is proportional to the batch, not the
+table (the reference's per-row ``REPLACE INTO``, reference
+lib/sqlite.js:82, expressed as partition-level merge). Ids never
+change buckets, so the merge plan (window latest-wins + tombstone
+union) runs bucket-pruned; Delta/Iceberg ``MERGE INTO`` remains the
+documented upgrade for true atomic commits. State never transits the
 driver; the widest shuffle is one hash partition on the document id.
 """
 
@@ -86,6 +90,7 @@ class Warehouse:
         selector: Mapping | None = None,
         reset: bool = False,
         verbose: bool = False,
+        n_buckets: int = 16,
     ):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
@@ -95,6 +100,12 @@ class Warehouse:
         self.doc_transform = doc_transform
         self.selector_col = compile_selector(selector) if selector else None
         self.verbose = verbose
+        # Bucket count for incremental merge: ids are stable under
+        # pmod(xxhash64(id), n_buckets), so a micro-batch touches (and
+        # rewrites) at most min(|batch ids|, n_buckets) partitions.
+        # Size so one bucket ≈ a comfortable rewrite unit (e.g. 1024
+        # buckets for a 1 TB table ⇒ ~1 GB rewrites).
+        self.n_buckets = n_buckets
         self.schemas: dict[str, dict[str, str]] = {}
         self.checkpoints = CheckpointStore(spark, os.path.join(warehouse_dir, "_checkpoints"))
         if reset:
@@ -216,21 +227,76 @@ class Warehouse:
         conformed = conform_frame(flat, struct, keep=[SEQ_COL])
 
         path = self._table_path(doc_type)
-        state = self.spark.read.parquet(path) if os.path.isdir(path) else None
-        new_state = merge_batch(state, conformed, tombstones)
+        bucket_of = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(self.n_buckets)).cast(  # noqa: E731
+            "int"
+        )
 
-        # Snapshot-rewrite via a temp dir: Spark can't overwrite a
-        # parquet dir it is concurrently reading (self-join on source).
-        # Swap = rename-rename-delete so the table path is missing only
-        # for the instant between the two renames (readers also retry,
-        # see table()); Delta/Iceberg make this a true atomic commit.
+        state = None
+        affected: list[int] | None = None
+        if os.path.isdir(path):
+            state = self.spark.read.parquet(path)
+            if "_cw_bucket" in state.columns:
+                # Incremental lane: only buckets this batch's ids (or
+                # tombstone ids) hash into are read — a partition-pruned
+                # scan (`PartitionFilters: [_cw_bucket IN ...]`) — and
+                # only those directories are rewritten below. Bucket ids
+                # are ≤ n_buckets scalars; collecting them is not data.
+                affected = sorted(
+                    r["b"]
+                    for r in conformed.select(bucket_of("id").alias("b"))
+                    .unionByName(tombstones.select(bucket_of("id").alias("b")))
+                    .distinct()
+                    .collect()
+                )
+                state = state.filter(F.col("_cw_bucket").isin(affected)).drop(
+                    "_cw_bucket"
+                )
+        new_state = merge_batch(state, conformed, tombstones).withColumn(
+            "_cw_bucket", bucket_of("id")
+        )
+
+        # Write the merged (affected) buckets to a temp dir, then swap
+        # per bucket directory: Spark can't overwrite a parquet dir it
+        # is concurrently reading (self-join on source), and per-bucket
+        # renames keep untouched buckets' files byte-identical.
+        # Delta/Iceberg make this a true atomic commit.
         tmp = path + "._tmp"
         trash = path + "._old"
-        new_state.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(trash, ignore_errors=True)
-        if os.path.isdir(path):
-            os.rename(path, trash)
-        os.rename(tmp, path)
+        new_state.write.mode("overwrite").partitionBy("_cw_bucket").parquet(tmp)
+        if affected is None:
+            # Fresh table (or legacy unpartitioned state): whole swap.
+            if not any(e.startswith("_cw_bucket=") for e in os.listdir(tmp)):
+                # Zero rows (e.g. a selector filtered every doc of this
+                # type): a partitioned empty write has no part files and
+                # cannot be re-read — store a schema-bearing
+                # unpartitioned empty state instead.
+                shutil.rmtree(tmp, ignore_errors=True)
+                new_state.drop("_cw_bucket").write.mode("overwrite").parquet(tmp)
+            if os.path.isdir(path):
+                os.rename(path, trash)
+            os.rename(tmp, path)
+        else:
+            os.makedirs(trash, exist_ok=True)
+            for b in affected:
+                part = f"_cw_bucket={b}"
+                old_dir = os.path.join(path, part)
+                new_dir = os.path.join(tmp, part)
+                if os.path.isdir(old_dir):
+                    os.rename(old_dir, os.path.join(trash, part))
+                if os.path.isdir(new_dir):
+                    os.rename(new_dir, old_dir)
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not any(e.startswith("_cw_bucket=") for e in os.listdir(path)):
+                # Every remaining row was deleted: leave a readable
+                # empty (unpartitioned) state so table() keeps working;
+                # the next merge treats it as a fresh table.
+                new_state.limit(0).drop("_cw_bucket").write.mode(
+                    "overwrite"
+                ).parquet(tmp)
+                os.rename(path, os.path.join(trash, "_all"))
+                os.rename(tmp, path)
         shutil.rmtree(trash, ignore_errors=True)
         self.register_view(doc_type)
 
@@ -273,10 +339,10 @@ class Warehouse:
 
         path = self._table_path(doc_type)
         try:
-            return self.spark.read.parquet(path).drop(SEQ_COL)
+            return self.spark.read.parquet(path).drop(SEQ_COL, "_cw_bucket")
         except Exception:
             time.sleep(0.2)
-            return self.spark.read.parquet(path).drop(SEQ_COL)
+            return self.spark.read.parquet(path).drop(SEQ_COL, "_cw_bucket")
 
     def query(self, sql: str) -> DataFrame:
         """SQL passthrough over the warehouse tables (R17; the seam the

@@ -208,3 +208,54 @@ def test_doc_transform_strict_schema(spark, tmp_path):
     assert rows[3]["doc"]["name"] == "PERSON 3"
     assert rows[3]["doc"]["age"] == 23
     assert env.schema["doc"].dataType.fieldNames() == ["_id", "_rev", "name", "age"]
+
+
+def test_incremental_bucket_merge(spark, tmp_path):
+    """A second spool rewrites ONLY the bucket partitions its batch ids
+    hash into; untouched buckets' files stay byte-identical (the
+    incremental analog of the reference's per-row REPLACE INTO,
+    reference lib/sqlite.js:82)."""
+    import os
+
+    rng = random.Random(11)
+    feed1 = write_feed(
+        str(tmp_path / "feed1.jsonl"),
+        [envelope(i + 1, person_doc(i, rng)) for i in range(100)],
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"), "sampledata", n_buckets=8)
+    wh.spool(feed1)
+    table_dir = wh._table_path("_default")
+    buckets = sorted(e for e in os.listdir(table_dir) if e.startswith("_cw_bucket="))
+    assert buckets, "table should be bucket-partitioned"
+
+    def snapshot(d):
+        out = {}
+        for b in os.listdir(d):
+            if not b.startswith("_cw_bucket="):
+                continue
+            bd = os.path.join(d, b)
+            out[b] = {f: os.path.getmtime(os.path.join(bd, f)) for f in os.listdir(bd)}
+        return out
+
+    before = snapshot(table_dir)
+
+    # Batch 2: update one doc, delete another.
+    upd = person_doc(7, random.Random(7))
+    upd["name"] = "Updated 7"
+    feed2 = write_feed(
+        str(tmp_path / "feed2.jsonl"),
+        [envelope(101, upd), envelope(102, None, deleted=True, doc_id="person0003")],
+    )
+    wh.spool(feed2)
+    after = snapshot(table_dir)
+
+    untouched = [b for b in before if before[b] == after.get(b)]
+    changed = [b for b in after if before.get(b) != after[b]]
+    assert len(changed) <= 2, f"batch of 2 ids must touch <=2 buckets, got {changed}"
+    assert len(untouched) >= len(before) - 2
+
+    # Semantics unchanged: update applied, delete applied.
+    t = wh.table()
+    assert t.count() == 99
+    assert t.filter(F.col("id") == "person0007").collect()[0]["name"] == "Updated 7"
+    assert t.filter(F.col("id") == "person0003").count() == 0
