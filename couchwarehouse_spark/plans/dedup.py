@@ -4,14 +4,14 @@ embedding-cosine near-dup.
 
 Design for 100 TB: exact dedup is a hash aggregate (one shuffle on
 the content hash). Near-dup NEVER goes all-pairs at scale — the
-oracle-checkable entries here block on a key (lang / LSH bucket /
-label) so the quadratic term is bounded per block; MinHash-LSH is the
-canonical sub-quadratic path (shingle → minhash signature → band
-buckets → candidates only within buckets) and SimHash the
-bit-sampling variant. Hash-based signatures (xxhash64) are not
-reproducible in DuckDB, so those two entries are declared
-rows-only — the Jaccard verification both run on their candidates IS
-oracle-checked via ``ngram_jaccard_pairs``.
+entries here block on a key (lang / LSH bucket / label) so the
+quadratic term is bounded per block; MinHash-LSH is the canonical
+sub-quadratic path (shingle → minhash signature → band buckets →
+candidates only within buckets) and SimHash the bit-sampling variant.
+Signatures use an md5-derived 60-bit hash (``md5_long``) that DuckDB
+computes bit-identically, so even the approximate LSH operators are
+EXACTLY oracle-checked — same signatures, same bands, same candidate
+pairs in both engines.
 """
 
 from __future__ import annotations
@@ -26,8 +26,24 @@ from couchwarehouse_spark.plans.registry import query, scoped_persist, scoped_re
 N_MINHASH = 16  # minhash permutations
 N_BANDS = 4  # LSH bands → r = 4 rows/band; P(candidate) = 1-(1-s^4)^4
 JACCARD_THRESHOLD = 0.5
-SIMHASH_BITS = 64
+SIMHASH_BITS = 60  # = md5_long width; 4 bands of 15 bits
 SIMHASH_MAX_TOKENS = 32_767  # packed-lane overflow bound (see simhash_near_dup)
+# Kirsch-Mitzenmacher second-hash modulus: lane_i = h1 + i*h2' stays
+# < 2^60 + 15*2^55 < 2^61 — no overflow under ANSI arithmetic, in
+# either engine.
+H2_MOD = 1 << 55
+
+
+def md5_long(col):
+    """First 15 md5 hex chars as a non-negative 60-bit long — the
+    engine-portable hash: DuckDB's ``CAST(('0x' || substr(md5(x), 1,
+    15)) AS BIGINT)`` produces the identical value, which is what lets
+    the LSH signatures below be oracle-checked exactly."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _md5_long_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 # Calibrated to the synthetic embeddings (max blocked-pair cosine is
 # ~0.475; nearest value below threshold is ≥6e-4 away at every SF, so
 # the ≥ decision is stable across float32/float64 engines).
@@ -273,30 +289,79 @@ def minhash_signature(toks):
     """N_MINHASH independent min-hashes of the shingle set, as ONE
     ``array<long>`` column.
 
-    Each permutation is xxhash64 salted with the permutation index
-    (appended as a second hash input). All 16 lanes fold in a single
-    ``aggregate`` pass over the shingle array — 16 separate
-    ``array_min(transform(...))`` projections would rescan the array
-    per lane. Entirely JVM-side, no UDF, no shuffle.
+    Permutation family = Kirsch-Mitzenmacher double hashing (public
+    knowledge): ``lane_i = h1(s) + i * h2(s)`` with two md5-derived
+    60-bit hashes — exactly reproducible in DuckDB, which is what
+    makes the LSH entry oracle-checked rather than rows-only. The
+    shingle array is first mapped to (h1, h2) structs (two md5s per
+    shingle total), then all 16 lanes fold in a single ``aggregate``
+    pass — 16 separate ``array_min(transform(...))`` projections would
+    rescan the array per lane. Entirely JVM-side, no UDF, no shuffle.
 
-    NB: the per-lane salt is injected via a Python comprehension over
+    NB: the per-lane index is injected via a Python comprehension over
     literal ints, NOT a two-argument ``transform`` lambda — PySpark
     dispatches two-parameter lambdas as (element, index), which would
     silently shadow the salt with the array position and collapse all
     permutations into one.
     """
-    return F.aggregate(
+    pre = F.transform(
         _shingles(toks),
+        lambda s: F.struct(
+            md5_long(s).alias("h1"),
+            (md5_long(F.concat(F.lit("#"), s)) % H2_MOD).alias("h2"),
+        ),
+    )
+    return F.aggregate(
+        pre,
         F.array_repeat(F.lit(_LONG_MAX), N_MINHASH),
-        lambda acc, s: F.zip_with(
+        lambda acc, p: F.zip_with(
             acc,
-            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(N_MINHASH)]),
+            F.array(*[p["h1"] + F.lit(i) * p["h2"] for i in range(N_MINHASH)]),
             lambda a, h: F.least(a, h),
         ),
     )
 
 
-@query("minhash_lsh_candidates")  # rows-only: xxhash64 not reproducible in DuckDB
+_SHINGLE_LIST_SQL = """list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+               i -> concat_ws(' ', list_extract(w, i),
+                                   list_extract(w, i + 1),
+                                   list_extract(w, i + 2)))"""
+
+_R = N_MINHASH // N_BANDS
+
+MINHASH_ORACLE = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLE_LIST_SQL}) AS s FROM t),
+    mh AS (
+      SELECT doc_id, s,
+             list_transform(range(0, {N_MINHASH}), i ->
+               list_min(list_transform(s, g ->
+                 {_md5_long_sql('g')}
+                 + i * ({_md5_long_sql("'#' || g")} % {H2_MOD})))) AS mh
+      FROM sh
+    ),
+    buckets AS (
+      SELECT doc_id, band,
+             array_to_string(list_slice(mh, band * {_R} + 1, band * {_R} + {_R}), '|') AS bh
+      FROM mh CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS band) bands
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    v AS (
+      SELECT doc_a, doc_b,
+             round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                   / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 4) AS jaccard
+      FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+                JOIN sh y ON cand.doc_b = y.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("minhash_lsh_candidates", oracle=MINHASH_ORACLE)
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (X1) — the sub-quadratic path.
 
@@ -309,13 +374,14 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     unblocked, it additionally surfaces cross-lang near-dups the
     blocked scan structurally cannot see.
 
-    Scale: the only join is on (band, band_hash) — docs collide only
+    Scale: the only join is on (band, band_key) — docs collide only
     when a whole band matches, so the candidate set is ~linear for
     realistic similarity distributions (LSH, Broder/MMDS, public
     knowledge). No all-pairs anywhere: this is what replaces
-    ``ngram_jaccard_pairs``'s blocked join at 100 TB. Declared
-    rows-only because DuckDB cannot reproduce xxhash64; the verify
-    metric itself is oracle-checked via ``ngram_jaccard_pairs``.
+    ``ngram_jaccard_pairs``'s blocked join at 100 TB. Oracle-checked
+    EXACTLY (not rows-only): the md5-derived signature hashes are
+    engine-portable, so DuckDB reproduces the same signatures, bands,
+    candidates and verified pairs bit-for-bit.
     """
     d = load_table(spark, sf_dir, "documents")
     # Hashed shingle sets (longs) — see ngram_jaccard_pairs: Jaccard
@@ -329,11 +395,14 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = scoped_persist(sig)  # reused: band buckets + verify join sides
 
     r = N_MINHASH // N_BANDS
+    # Band key = the band's lanes joined as text — small (4 decimal
+    # longs), exactly portable; hashing it again (xxhash64) would save
+    # a few bytes per key at the cost of oracle reproducibility.
     bands = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.element_at("mh", b * r + j + 1) for j in range(r)]
+            F.concat_ws(
+                "|", *[F.element_at("mh", b * r + j + 1) for j in range(r)]
             ).alias("bh"),
         )
         for b in range(N_BANDS)
@@ -369,30 +438,60 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_near_dup")  # rows-only: xxhash64 not reproducible in DuckDB
+_SIMHASH_BIT_TERMS = " + ".join(
+    f"(CASE WHEN 2 * list_sum(list_transform(hv, h -> (h >> {b}) & 1)) > n_tok "
+    f"THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+    for b in range(SIMHASH_BITS)
+)
+
+SIMHASH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_slice(list_distinct(string_split(text, ' ')), 1, {SIMHASH_MAX_TOKENS}) AS tk
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id, len(tk) AS n_tok,
+             list_transform(tk, t -> {_md5_long_sql('t')}) AS hv
+      FROM toks
+    ),
+    sim AS (SELECT doc_id, {_SIMHASH_BIT_TERMS} AS simhash FROM hs),
+    bk AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (band * {SIMHASH_BITS // 4})) & {(1 << (SIMHASH_BITS // 4)) - 1} AS bh
+      FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bk a JOIN bk b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@query("simhash_near_dup", oracle=SIMHASH_ORACLE)
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (X1): 64-bit sign-aggregated token
-    hashes (Charikar, public knowledge); docs sharing any 16-bit
+    """SimHash near-dup pairs (X1): 60-bit sign-aggregated token
+    hashes (Charikar, public knowledge); docs sharing any 15-bit
     quarter-band are candidates (Hamming ≤ 3 guaranteed caught by
     4-band pigeonhole), then candidates are VERIFIED with
     ``bit_count(xor) ≤ 3`` — band collision alone is the recall
     stage, the Hamming check is the precision stage.
 
     Implementation: the whole signature is ONE map-side projection —
-    hash the distinct tokens in-array (xxhash64), then a single-pass
-    ``aggregate`` accumulates all 64 per-bit popcounts as SIXTEEN
-    branch-free packed lanes — four 16-bit counters per long
-    (`acc[g] += ((h>>b)&1) << 16j`), with the per-doc token sample
-    capped so the top lane cannot overflow a signed long. No explode,
-    no shuffle: the classic explode+groupBy word-count shape moves
-    |tokens| rows through an exchange to compute a per-doc reduction
-    that is embarrassingly parallel per row. Bit b of the simhash is
-    1 iff popcount_b > n_tokens/2 (equivalent to the classic ±1
-    balance being positive). The signature table is persisted before
-    the band self-join — it is tiny (doc_id, int64), and inlining the
-    wide signature expression into both join sides would double the
-    compute and blow up codegen. Declared rows-only (hash engine
-    differs across systems).
+    hash the distinct tokens in-array (md5-derived 60-bit ``md5_long``
+    — engine-portable, so the ENTIRE pipeline is oracle-checked
+    exactly), then a single-pass ``aggregate`` accumulates all 60
+    per-bit popcounts as FIFTEEN branch-free packed lanes — four
+    16-bit counters per long (`acc[g] += ((h>>b)&1) << 16j`), with the
+    per-doc token sample capped so the top lane cannot overflow a
+    signed long. No explode, no shuffle: the classic explode+groupBy
+    word-count shape moves |tokens| rows through an exchange to
+    compute a per-doc reduction that is embarrassingly parallel per
+    row. Bit b of the simhash is 1 iff popcount_b > n_tokens/2
+    (equivalent to the classic ±1 balance being positive). The
+    signature table is persisted before the band self-join — it is
+    tiny (doc_id, int64), and inlining the wide signature expression
+    into both join sides would double the compute and blow up codegen.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
@@ -404,7 +503,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # standard SimHash practice and also bounds per-doc compute.
     hashes = F.transform(
         F.slice(F.array_distinct(F.split("text", " ")), 1, SIMHASH_MAX_TOKENS),
-        lambda t: F.xxhash64(t),
+        lambda t: md5_long(t),
     )
 
     def contrib(h, g: int):
@@ -439,10 +538,14 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash = term if simhash is None else simhash.bitwiseOR(term)
 
     sh = scoped_persist(agg.select("doc_id", simhash.alias("simhash")))
+    band_bits = SIMHASH_BITS // 4
+    band_mask = (1 << band_bits) - 1
     bands = [
         F.struct(
             F.lit(q).alias("band"),
-            F.shiftright(F.col("simhash"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+            F.shiftright(F.col("simhash"), q * band_bits)
+            .bitwiseAND(F.lit(band_mask))
+            .alias("bh"),
         )
         for q in range(4)
     ]
@@ -464,7 +567,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            hamming.cast("long").alias("hamming"),  # match the oracle's BIGINT
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")

@@ -49,15 +49,31 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_feature_extract")  # rows-only: mapInPandas fake encoder
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT source,
+           count(*) AS n_items,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           round(avg(round(CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER)
+                           / 65535.0, 6)), 4) AS mean_feat0
+    FROM documents
+    GROUP BY source
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads (X3) — the Arrow-batched
     ``mapInPandas`` pipeline with the deterministic fake encoder
     (multimodal.extract_features; real deployments swap the encoder
     line). Output: per-source count, total bytes, mean first feature
-    dimension. Rows-only: the md5-seeded fake features are not worth
-    re-deriving in SQL — the byte accounting IS oracle-checked via
-    ``multimodal_metadata``.
+    dimension.
+
+    Oracle-checked EXACTLY: the fake encoder's feature dim 0 is the
+    first two md5 bytes of the payload scaled by 1/65535 — DuckDB
+    re-derives the same value from ``md5(text)`` hex (the payload IS
+    the utf-8 text bytes), so the hash match certifies the whole
+    Python worker path: Arrow batching, binary handling, and the
+    per-item encoder arithmetic.
     """
     d = load_table(spark, sf_dir, "documents")
     with_media = d.withColumn(
