@@ -242,3 +242,42 @@ def priority_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return open_p.exceptAll(done_p).groupBy("o_orderpriority").count().select(
         "o_orderpriority", F.col("count").alias("surplus")
     )
+
+
+@query(
+    "unpivot_order_metrics",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS DOUBLE)          AS n_orders,
+             round(sum(o_totalprice), 2)       AS total_price,
+             round(avg(o_totalprice), 2)       AS avg_price
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    UNPIVOT m ON n_orders, total_price, avg_price
+    INTO NAME metric VALUE value
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (S-surface completion, the inverse of
+    ``pivot_status_by_priority``): wide per-priority metrics stacked
+    to (priority, metric, value) rows — the reshape reporting layers
+    ask of a warehouse.
+
+    Scale: unpivot is a pure projection (``expand``: one input row →
+    |metrics| output rows, no shuffle); the only exchange is the
+    upstream priority aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+    return m.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_price", "avg_price"],
+        "metric",
+        "value",
+    )

@@ -444,3 +444,70 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf", 6).alias("rrf_score"),
         )
     )
+
+
+BATCH_QUERY_MOD = 100  # vec_id % 100 == 0 plays the query-batch role
+BATCH_TOP_K = 3
+
+
+@query(
+    "ann_batch_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {BATCH_QUERY_MOD} = 0),
+    s AS (
+      SELECT q.qid, e.vec_id,
+             row_number() OVER (PARTITION BY q.qid
+                                ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                                         e.vec_id) AS rank,
+             round(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, rank, cos_sim FROM s WHERE rank <= {BATCH_TOP_K}
+    """,
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch similarity search (X2): top-k cosine neighbors for a
+    BATCH of query vectors at once (every vec_id % 100 == 0) — the
+    shape embedding-pipeline retrieval actually runs (N queries per
+    job, not one).
+
+    Scale: queries broadcast (Q ≪ N); scoring is a projection over
+    the corpus scan. Top-k is TWO-STAGE so no single reducer ever
+    sees a query's full score column: stage 1 ranks within
+    (query, input-partition) — P×Q balanced window partitions — and
+    keeps k per cell; stage 2 ranks the surviving P·k rows per query.
+    Same result as one global window (rank order is total: cosine
+    desc, vec_id), verified by the single-window oracle.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = v.filter(F.col("vec_id") % BATCH_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        v.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("_cos", cosine(F.col("v"), F.col("qv")))
+        .withColumn("_pid", F.spark_partition_id())
+        .select("qid", "vec_id", "_cos", "_pid")
+    )
+    w_local = Window.partitionBy("qid", "_pid").orderBy(
+        F.col("_cos").desc(), "vec_id"
+    )
+    survivors = scored.withColumn("_r", F.row_number().over(w_local)).filter(
+        F.col("_r") <= BATCH_TOP_K
+    )
+    w_final = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "vec_id")
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_final).cast("long"))
+        .filter(F.col("rank") <= BATCH_TOP_K)
+        .select("qid", "vec_id", "rank", F.round("_cos", 4).alias("cos_sim"))
+    )

@@ -342,3 +342,111 @@ def token_position_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("t").alias("first_token"),
         )
     )
+
+
+@query(
+    "token_entropy_per_source",
+    oracle="""
+    WITH tc AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, term, count(*) AS c FROM tc GROUP BY source, term
+    ),
+    tot AS (
+      SELECT source, CAST(sum(c) AS DOUBLE) AS n, count(*) AS n_terms
+      FROM counts GROUP BY source
+    )
+    SELECT counts.source,
+           CAST(tot.n AS BIGINT)                                   AS total_tokens,
+           tot.n_terms                                             AS distinct_terms,
+           round(-sum((c / tot.n) * ln(c / tot.n)), 4)             AS token_entropy
+    FROM counts JOIN tot ON counts.source = tot.source
+    GROUP BY counts.source, tot.n, tot.n_terms
+    """,
+)
+def token_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon token entropy per source (X4 corpus-diversity signal):
+    ``-Σ p ln p`` over the source's token distribution — low entropy
+    flags template-y / repetitive sources before they skew a training
+    mix (the aggregate cousin of ``repetition_census``'s per-doc
+    ratios).
+
+    Scale: word-count shuffle on (source, term) with map-side partial
+    aggregation, then per-source totals join back — the totals table
+    is |sources| rows, broadcast. Entropy sums doubles; emitted
+    rounded to 4 so last-ulp association order can't flip the hash.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = counts.groupBy("source").agg(
+        F.sum("c").cast("double").alias("n"), F.count("*").alias("n_terms")
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        counts.join(F.broadcast(tot), "source")
+        .groupBy("source", "n", "n_terms")
+        .agg(F.round(-F.sum(p * F.log(p)), 4).alias("token_entropy"))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("total_tokens"),
+            F.col("n_terms").alias("distinct_terms"),
+            "token_entropy",
+        )
+    )
+
+
+@query(
+    "bigram_stats",
+    oracle="""
+    WITH t AS (
+      SELECT lang, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(w)),
+               i -> concat_ws(' ', list_extract(w, i), list_extract(w, i + 1)))) AS bigram
+      FROM t WHERE len(w) >= 2
+    )
+    SELECT lang,
+           count(*)                    AS total_bigrams,
+           count(DISTINCT bigram)      AS distinct_bigrams,
+           min(bigram)                 AS min_bigram,
+           max(bigram)                 AS max_bigram
+    FROM bg
+    GROUP BY lang
+    """,
+)
+def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram census per lang (X4 n-gram statistics — the
+    counting kernel under any n-gram LM / contamination scan): total
+    and distinct bigram counts plus lexicographic extrema.
+
+    Scale: same word-count shape as ``token_frequency`` — the bigram
+    explode doubles row width, the (lang, bigram) aggregate partial-
+    combines map-side; distinct-count rides the same shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        d.filter(F.size(toks) >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("total_bigrams"),
+            F.countDistinct("bigram").alias("distinct_bigrams"),
+            F.min("bigram").alias("min_bigram"),
+            F.max("bigram").alias("max_bigram"),
+        )
+    )
