@@ -152,3 +152,46 @@ def test_mixture_weights_broadcasts_total(spark):
     plan = plan_of(spark, "domain_mixture_weights")
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_ivf_assignment_is_projection(spark):
+    """IVF cell assignment must be a projection argmin over the
+    broadcast centroid row — the corpus path (scan → assign → top-k)
+    may contain NO exchange; the only exchanges allowed are on the
+    tiny centroid branch (label/dim aggregates + single-row collect)."""
+    plan = plan_of(spark, "ivf_topk")
+    assert "TakeOrderedAndProject" in plan
+    # No hash-partitioning on the full vector (the old corpus-shuffle
+    # shape grouped by v); all groupings are on centroid-branch keys.
+    assert "hashpartitioning(vec_id" not in plan
+    assert "hashpartitioning(v#" not in plan
+
+
+def test_batch_ann_two_stage_topk(spark):
+    """Batch ANN: queries broadcast; two window stages (local per
+    (query, partition) rank, then final per-query rank over survivors)
+    so no reducer sees a query's full score column."""
+    plan = plan_of(spark, "ann_batch_topk")
+    assert "BroadcastNestedLoopJoin" in plan  # Q-row query side broadcast
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
+
+
+def test_sequence_packing_distributed_prefix_sum(spark):
+    """The running sum must be the two-pass shape: offsets come from a
+    window over the TINY per-partition subtotal table (partitioned by
+    lang, ordered by pid) and rejoin as a broadcast; the full stream's
+    window is partitioned by (pid, lang) — never by lang alone."""
+    plan = plan_of(spark, "sequence_packing")
+    assert "BroadcastHashJoin" in plan
+    import re
+    full_stream_windows = re.findall(r"Window .*windowspecdefinition\(lang[^,]*, h", plan)
+    assert not full_stream_windows, "found a lang-partitioned window over the stream"
+
+
+def test_minhash_band_join_shuffles_triples_only(spark):
+    """The LSH band join must key on (band, band-key) with no shingle
+    arrays in the join exchange, and no Python anywhere."""
+    plan = plan_of(spark, "minhash_lsh_candidates")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    joins = [l for l in plan.splitlines() if "SortMergeJoin" in l or "ShuffledHashJoin" in l]
+    assert not any("sh#" in l for l in joins), "shingle arrays entered a shuffled join key"
