@@ -9,10 +9,13 @@ direct pushdown analog: Catalyst forwards it into the parquet scan.
 
 Supported operators (CouchDB Mango, public API docs):
 ``$eq $ne $gt $gte $lt $lte $in $nin $exists $regex $and $or $not
-$nor $size`` plus the implicit forms — ``{field: value}`` ≡
-``{field: {"$eq": value}}`` and multiple keys ≡ ``$and``. Nested
-field paths use dotted keys (``"address.city"``) which map to the
-flattened ``address_city`` column when ``flattened=True``.
+$nor $size $mod $all $elemMatch $allMatch $type $beginsWith`` plus
+the implicit forms — ``{field: value}`` ≡ ``{field: {"$eq": value}}``
+and multiple keys ≡ ``$and``. Nested field paths use dotted keys
+(``"address.city"``) which map to the flattened ``address_city``
+column when ``flattened=True``. Array-element conditions
+(``$elemMatch``/``$allMatch``) compile to ``exists``/``forall``
+higher-order expressions — JVM-side, per-row, no explode.
 """
 
 from __future__ import annotations
@@ -65,11 +68,95 @@ def _compile_field(field: str, cond, flattened: bool) -> Column:
             parts.append(col.rlike(val))
         elif op == "$size":
             parts.append(F.size(col) == F.lit(val))
+        elif op == "$mod":
+            try:
+                divisor, remainder = val
+            except (TypeError, ValueError):
+                raise MangoError("$mod takes [divisor, remainder]") from None
+            parts.append(col % F.lit(divisor) == F.lit(remainder))
+        elif op == "$all":
+            parts.append(
+                _and_all([F.array_contains(col, F.lit(v)) for v in val])
+            )
+        elif op == "$elemMatch":
+            parts.append(F.exists(col, _elem_predicate(val)))
+        elif op == "$allMatch":
+            parts.append(F.forall(col, _elem_predicate(val)))
+        elif op == "$type":
+            parts.append(_type_predicate(col, val))
+        elif op == "$beginsWith":
+            parts.append(col.startswith(val))
         elif op == "$not":
             parts.append(_negate(_compile_field(field, val, flattened)))
         else:
             raise MangoError(f"unsupported Mango operator {op!r} on field {field!r}")
     return _and_all(parts)
+
+
+def _elem_predicate(cond):
+    """Element-level condition for ``$elemMatch``/``$allMatch``:
+    operator maps and implicit ``$eq`` apply to the array element
+    itself; plain field keys address struct-element fields."""
+
+    def pred(e: Column) -> Column:
+        if not isinstance(cond, Mapping):
+            return e == F.lit(cond)
+        parts: list[Column] = []
+        for op, val in cond.items():
+            if op == "$eq":
+                parts.append(e == F.lit(val))
+            elif op == "$ne":
+                parts.append((e != F.lit(val)) | e.isNull())
+            elif op == "$gt":
+                parts.append(e > F.lit(val))
+            elif op == "$gte":
+                parts.append(e >= F.lit(val))
+            elif op == "$lt":
+                parts.append(e < F.lit(val))
+            elif op == "$lte":
+                parts.append(e <= F.lit(val))
+            elif op == "$in":
+                parts.append(e.isin(list(val)))
+            elif op == "$regex":
+                parts.append(e.rlike(val))
+            elif op == "$beginsWith":
+                parts.append(e.startswith(val))
+            elif not op.startswith("$"):
+                # struct-element field, e.g. {"price": {"$gt": 10}}
+                sub = val if isinstance(val, Mapping) else {"$eq": val}
+                inner = _elem_predicate(sub)
+                parts.append(inner(e[op]))
+            else:
+                raise MangoError(f"unsupported $elemMatch operator {op!r}")
+        return _and_all(parts)
+
+    return pred
+
+
+_MANGO_NUMERIC_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+)
+
+
+def _type_predicate(col: Column, val) -> Column:
+    """``$type``: runtime type tag check via ``typeof`` (Mango types:
+    null/boolean/number/string/array/object)."""
+    t = F.typeof(col)
+    if val == "null":
+        return col.isNull()
+    if val == "boolean":
+        return t == "boolean"
+    if val == "string":
+        return col.isNotNull() & (t == "string")
+    if val == "number":
+        return col.isNotNull() & (
+            t.isin(*_MANGO_NUMERIC_TYPES) | t.startswith("decimal")
+        )
+    if val == "array":
+        return col.isNotNull() & t.startswith("array")
+    if val == "object":
+        return col.isNotNull() & t.startswith("struct")
+    raise MangoError(f"unsupported $type value {val!r}")
 
 
 def _negate(cond: Column) -> Column:

@@ -85,3 +85,61 @@ def test_errors():
         compile_selector({"a": {"$bogus": 1}})
     with pytest.raises(MangoError):
         compile_selector({"$bogus": [{"a": 1}]})
+
+
+@pytest.fixture(scope="module")
+def carts(spark):
+    return spark.createDataFrame(
+        [
+            (1, ["apple", "pear"], [2.0, 8.0]),
+            (2, ["apple"], [12.0]),
+            (3, ["fig", "pear", "plum"], [3.0, 4.0, 5.0]),
+            (4, [], []),
+        ],
+        "id long, items array<string>, prices array<double>",
+    )
+
+
+def test_mod(people):
+    assert ids(people, {"age": {"$mod": [20, 0]}}) == [3, 4]
+    with pytest.raises(MangoError):
+        compile_selector({"age": {"$mod": 3}})
+
+
+def test_all(carts):
+    assert ids(carts, {"items": {"$all": ["apple"]}}) == [1, 2]
+    assert ids(carts, {"items": {"$all": ["pear", "plum"]}}) == [3]
+
+
+def test_elem_match_and_all_match(carts):
+    assert ids(carts, {"prices": {"$elemMatch": {"$gt": 10}}}) == [2]
+    assert ids(carts, {"prices": {"$elemMatch": {"$gte": 3, "$lt": 5}}}) == [3]
+    # $allMatch: vacuously true on empty arrays (CouchDB semantics)
+    assert ids(carts, {"prices": {"$allMatch": {"$lt": 10}}}) == [1, 3, 4]
+    assert ids(carts, {"items": {"$elemMatch": {"$beginsWith": "p"}}}) == [1, 3]
+    with pytest.raises(MangoError):
+        compile_selector({"prices": {"$elemMatch": {"$bogus": 1}}})
+
+
+def test_elem_match_struct_fields(spark):
+    orders = spark.createDataFrame(
+        [(1, [(5.0, "a")]), (2, [(20.0, "b"), (1.0, "a")]), (3, [])],
+        "id long, basket array<struct<price: double, sku: string>>",
+    )
+    got = sorted(
+        r["id"]
+        for r in orders.filter(
+            compile_selector({"basket": {"$elemMatch": {"price": {"$gt": 10}}}})
+        ).collect()
+    )
+    assert got == [2]
+
+
+def test_type_and_begins_with(people, carts):
+    assert ids(people, {"tag": {"$type": "null"}}) == [1, 4]
+    assert ids(people, {"tag": {"$type": "string"}}) == [2, 3]
+    assert ids(people, {"age": {"$type": "number"}}) == [1, 2, 3, 4]
+    assert ids(carts, {"items": {"$type": "array"}}) == [1, 2, 3, 4]
+    assert ids(people, {"name": {"$beginsWith": "c"}}) == [3]
+    with pytest.raises(MangoError):
+        compile_selector({"age": {"$type": "wat"}})
