@@ -652,6 +652,13 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_CC_MAX_ITERS = 20  # safety bound; components converge in O(diameter)
+# Below this edge count the component step finishes on the driver
+# (union-find over collected id-pairs — ≤ ~32 MB). The verified pair
+# graph is orders of magnitude smaller than the corpus, so this is the
+# common case; the distributed label-propagation loop remains the path
+# for genuinely large pair graphs. Same adaptive final-phase shape AQE
+# itself uses (plan small things locally once their size is known).
+CC_DRIVER_EDGE_BOUND = 1_000_000
 
 
 @query(
@@ -705,6 +712,35 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapse the (compute-dense) pair-generation pipeline itself to a
     # handful of tasks; the exchange keeps it wide.
     n_edges = edges.count()
+    if n_edges <= CC_DRIVER_EDGE_BOUND:
+        # Small-graph fast path: union-find over the collected pairs.
+        # The expensive part (shingling, prefix-filter join, Jaccard
+        # verify) stayed fully distributed; only the verified id-pairs
+        # land on the driver, and the iterative-join loop's ~N driver
+        # round-trips collapse to one.
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in edges.collect():
+            a, b = row["doc_a"], row["doc_b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        edges.unpersist(blocking=False)
+        sizes: dict[int, int] = {}
+        for v in parent:
+            sizes[find(v)] = sizes.get(find(v), 0) + 1
+        return spark.createDataFrame(
+            [(cid, n) for cid, n in sorted(sizes.items())],
+            "cluster_id long, cluster_size long",
+        )
     n_parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 1_000_000 + 1))
     sym = (
         edges.unionByName(

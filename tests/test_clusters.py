@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import couchwarehouse_spark.plans.all  # noqa: F401  (populate registry)
 from couchwarehouse_spark.plans.registry import QUERIES
 
 from .conftest import SF_SMOKE
@@ -48,3 +49,18 @@ def test_clusters_partition_pair_graph_vertices(spark):
     expected = {min(members): len(members) for members in comps.values()}
     got = dict(zip(clusters["cluster_id"].tolist(), clusters["cluster_size"].tolist()))
     assert got == expected
+
+
+def test_distributed_lane_matches_driver_lane(spark, monkeypatch):
+    """Force the label-propagation loop (bound = 0 ⇒ no driver
+    fast-path) and require the identical cluster map — the distributed
+    lane is the 100 TB path and must never drift from union-find."""
+    import couchwarehouse_spark.plans.dedup as dedup
+
+    fast = QUERIES["near_dup_clusters"](spark, SF_SMOKE).toPandas()
+    monkeypatch.setattr(dedup, "CC_DRIVER_EDGE_BOUND", -1)
+    dist = QUERIES["near_dup_clusters"](spark, SF_SMOKE).toPandas()
+    to_map = lambda df: dict(  # noqa: E731
+        zip(df["cluster_id"].tolist(), df["cluster_size"].tolist())
+    )
+    assert to_map(dist) == to_map(fast)
