@@ -46,10 +46,14 @@ def main() -> None:
     if not names:
         sys.exit("no queries registered — check couchwarehouse_spark.plans.all imports")
 
-    # Neutral warm-up (JIT + a parquet read) so the first benchmarked
-    # query isn't measured colder than the rest.
+    # Neutral warm-up (JIT, codegen, parquet reader + footers) so the
+    # first benchmarked query isn't measured colder than the rest.
+    # limit(1) touches each table's footer/schema without precomputing
+    # any benchmark result (and caches are cleared between queries).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    spark.range(100).groupBy("id").count().collect()
+    for tbl in ("region", "lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{tbl}.parquet")).limit(1).collect()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
