@@ -290,13 +290,14 @@ def minhash_signature(toks):
     ``array<long>`` column.
 
     Permutation family = Kirsch-Mitzenmacher double hashing (public
-    knowledge): ``lane_i = h1(s) + i * h2(s)`` with two md5-derived
-    60-bit hashes — exactly reproducible in DuckDB, which is what
-    makes the LSH entry oracle-checked rather than rows-only. The
-    shingle array is first mapped to (h1, h2) structs (two md5s per
-    shingle total), then all 16 lanes fold in a single ``aggregate``
-    pass — 16 separate ``array_min(transform(...))`` projections would
-    rescan the array per lane. Entirely JVM-side, no UDF, no shuffle.
+    knowledge): ``lane_i = h1(s) + i * h2(s)`` with two 60-bit values
+    cut from ONE md5 digest (hex chars 1-15 / 16-30) — exactly
+    reproducible in DuckDB, which is what makes the LSH entry
+    oracle-checked rather than rows-only. The shingle array maps to
+    digests, digests to (h1, h2) structs, then all 16 lanes fold in a
+    single ``aggregate`` pass — 16 separate ``array_min(transform())``
+    projections would rescan the array per lane. Entirely JVM-side,
+    no UDF, no shuffle.
 
     NB: the per-lane index is injected via a Python comprehension over
     literal ints, NOT a two-argument ``transform`` lambda — PySpark
@@ -304,11 +305,17 @@ def minhash_signature(toks):
     silently shadow the salt with the array position and collapse all
     permutations into one.
     """
+    # ONE md5 per shingle: h1 = hex chars 1-15, h2 = chars 16-30 —
+    # two independent 60-bit values from the same digest, and the
+    # digest is computed once (explicit two-pass transform, no reliance
+    # on subexpression elimination inside lambdas).
     pre = F.transform(
-        _shingles(toks),
-        lambda s: F.struct(
-            md5_long(s).alias("h1"),
-            (md5_long(F.concat(F.lit("#"), s)) % H2_MOD).alias("h2"),
+        F.transform(_shingles(toks), lambda s: F.md5(s)),
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("h1"),
+            (F.conv(F.substring(m, 16, 15), 16, 10).cast("long") % H2_MOD).alias(
+                "h2"
+            ),
         ),
     )
     return F.aggregate(
@@ -332,13 +339,18 @@ _R = N_MINHASH // N_BANDS
 MINHASH_ORACLE = f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS (SELECT doc_id, list_distinct({_SHINGLE_LIST_SQL}) AS s FROM t),
+    hp AS (
+      SELECT doc_id, s,
+             list_transform(list_transform(s, g -> md5(g)), m ->
+               {{'h1': CAST(('0x' || substr(m, 1, 15)) AS BIGINT),
+                 'h2': CAST(('0x' || substr(m, 16, 15)) AS BIGINT) % {H2_MOD}}}) AS hp
+      FROM sh
+    ),
     mh AS (
       SELECT doc_id, s,
              list_transform(range(0, {N_MINHASH}), i ->
-               list_min(list_transform(s, g ->
-                 {_md5_long_sql('g')}
-                 + i * ({_md5_long_sql("'#' || g")} % {H2_MOD})))) AS mh
-      FROM sh
+               list_min(list_transform(hp, p -> p.h1 + i * p.h2))) AS mh
+      FROM hp
     ),
     buckets AS (
       SELECT doc_id, band,
