@@ -153,3 +153,69 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@query(
+    "event_conversion_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS vt FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS ct
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts >= v.vt AND e.ts <= v.vt + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= c.ct AND e.ts <= c.ct + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked_after_view,
+           (SELECT count(*) FROM p) AS n_purchased_after_click
+    """,
+)
+def event_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: users who
+    viewed, then clicked within 24 h of their first view, then
+    purchased within 24 h of that first qualifying click — the
+    product-analytics staple that exercises ordered event-time
+    semantics beyond plain windows (D4 companion).
+
+    Scale: three hash aggregates keyed on user_id with equi-joins
+    between stages; each stage's survivor set only shrinks, so the
+    later joins broadcast. No window over the full stream, no
+    per-user sort — min-timestamps via partial-aggregated ``min``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    day = F.expr("INTERVAL 24 HOURS")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") >= F.col("vt")) & (F.col("ts") <= F.col("vt") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") >= F.col("ct")) & (F.col("ts") <= F.col("ct") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )

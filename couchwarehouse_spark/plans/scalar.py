@@ -461,3 +461,44 @@ def grouped_agg_median_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         _weighted_median_udaf(F.col("qty"), F.col("w")).alias("median_qty"),
         _weight_sum_udaf(F.col("w")).alias("n"),
     )
+
+
+@query(
+    "variant_json_functions",
+    oracle="""
+    SELECT event_type,
+           count(*)                                                    AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER))     AS max_k,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)                 AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless lane on Spark 4's VARIANT type (§2.C JSON family,
+    modern form): ``parse_json`` once into a binary variant column,
+    then typed ``variant_get`` path extraction — the engine-native
+    answer to the reference's JSON-text storage (lib/flatten.js:45):
+    no re-parse per extraction, open schema preserved.
+
+    Scale: parse is a projection; variant extraction is JVM-side and
+    columnar — at 100 TB this replaces repeated ``get_json_object``
+    string scans (one parse, many typed reads). ``try_variant_get``
+    probes an absent path without erroring.
+    """
+    from couchwarehouse_spark.catalog import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    vr = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "int")
+    missing = F.try_variant_get("v", "$.missing", "string")
+    return vr.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.sum(F.when(missing.isNull(), 1).otherwise(0)).alias("n_missing"),
+    )
