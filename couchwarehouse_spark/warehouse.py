@@ -371,10 +371,20 @@ class Warehouse:
         if self.verbose:
             self.message()
         if monitor:
-            return monitor_warehouse(
+            self._active_query = monitor_warehouse(
                 self, feed_dir, ckpt, available_now=False, processing_time=processing_time
             )
+            return self._active_query
         return self.checkpoints.read(self.db_name)
+
+    def stop(self) -> None:
+        """Stop a running monitor (the reference's exported ``stop``,
+        reference index.js:257-260 / 172-178). Idempotent: no-op when
+        nothing is monitoring."""
+        q = getattr(self, "_active_query", None)
+        if q is not None and q.isActive:
+            q.stop()
+        self._active_query = None
 
     def message(self) -> None:
         """R18 — tell the user how to query (reference lib/sqlite.js:172-179)."""

@@ -74,3 +74,19 @@ def test_monitor_tails_new_pages(spark, tmp_path):
     assert listener.rows >= 6
     done, head = sync_lag(spark, feed_dir, wh)
     assert head == 6 and done == 6
+
+
+def test_start_and_stop_lifecycle(spark, tmp_path):
+    """Warehouse.start(monitor=True) hands back the active query and
+    Warehouse.stop() shuts it down (reference exports {start, stop},
+    reference index.js:257-260)."""
+    rng = random.Random(41)
+    feed_dir = str(tmp_path / "feed")
+    _write_page(feed_dir, "p1.json", [envelope(i + 1, order_doc(i, rng)) for i in range(4)])
+    wh = Warehouse(spark, str(tmp_path / "wh"), "lifecycledata")
+    q = wh.start(feed_dir, monitor=True, processing_time="1 seconds")
+    assert q.isActive
+    assert wh.table().count() == 4  # spool phase drained the page
+    wh.stop()
+    assert not q.isActive
+    wh.stop()  # idempotent
