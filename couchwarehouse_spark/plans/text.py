@@ -427,9 +427,12 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting kernel under any n-gram LM / contamination scan): total
     and distinct bigram counts plus lexicographic extrema.
 
-    Scale: same word-count shape as ``token_frequency`` — the bigram
-    explode doubles row width, the (lang, bigram) aggregate partial-
-    combines map-side; distinct-count rides the same shuffle.
+    Scale: same word-count shape as ``token_frequency``, but staged as
+    TWO aggregates — (lang, bigram) counts first (map-side partial
+    combine collapses repeats before the shuffle), then per-lang
+    totals derived from the count table. One ``agg`` mixing count(*)
+    with countDistinct would instead plan an Expand (every row
+    duplicated per aggregate group) and shuffle twice the rows.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens()
@@ -439,14 +442,18 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(toks, i), F.element_at(toks, i + 1)
         ),
     )
-    return (
-        d.filter(F.size(toks) >= 2)
+    # Compute-dense per-row explosion: widen first — one small parquet
+    # file would otherwise run the whole explode as a single task.
+    counts = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size(toks) >= 2)
         .select("lang", F.explode(bigrams).alias("bigram"))
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("total_bigrams"),
-            F.countDistinct("bigram").alias("distinct_bigrams"),
-            F.min("bigram").alias("min_bigram"),
-            F.max("bigram").alias("max_bigram"),
-        )
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy("lang").agg(
+        F.sum("c").alias("total_bigrams"),
+        F.count("*").alias("distinct_bigrams"),
+        F.min("bigram").alias("min_bigram"),
+        F.max("bigram").alias("max_bigram"),
     )
