@@ -344,6 +344,27 @@ class Warehouse:
             time.sleep(0.2)
             return self.spark.read.parquet(path).drop(SEQ_COL, "_cw_bucket")
 
+    def lookup(self, doc_id: str, doc_type: str = DEFAULT_TYPE) -> DataFrame:
+        """Point lookup by document id — the reference's ``id PRIMARY
+        KEY`` access path (reference lib/sqlite.js:38-40, ``WHERE id =
+        ?`` at :83). On the bucket-partitioned layout this prunes to
+        ONE ``_cw_bucket=K`` directory (PartitionFilters) before the
+        id predicate even runs — at 100 TB a lookup reads 1/n_buckets
+        of the table, not all of it.
+        """
+        import time
+
+        path = self._table_path(doc_type)
+        bucket = F.pmod(F.xxhash64(F.lit(doc_id)), F.lit(self.n_buckets)).cast("int")
+        try:
+            df = self.spark.read.parquet(path)
+        except Exception:
+            time.sleep(0.2)
+            df = self.spark.read.parquet(path)
+        if "_cw_bucket" in df.columns:
+            df = df.filter(F.col("_cw_bucket") == bucket)
+        return df.filter(F.col("id") == doc_id).drop(SEQ_COL, "_cw_bucket")
+
     def query(self, sql: str) -> DataFrame:
         """SQL passthrough over the warehouse tables (R17; the seam the
         reference documents at README.md:306-328 — here it's real:

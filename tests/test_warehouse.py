@@ -259,3 +259,23 @@ def test_incremental_bucket_merge(spark, tmp_path):
     assert t.count() == 99
     assert t.filter(F.col("id") == "person0007").collect()[0]["name"] == "Updated 7"
     assert t.filter(F.col("id") == "person0003").count() == 0
+
+
+def test_lookup_prunes_to_one_bucket(spark, tmp_path):
+    """Point lookup must read ONE bucket partition (PartitionFilters
+    on _cw_bucket) and return the right row."""
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=50)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "lookupdata", n_buckets=8)
+    wh.spool(feed)
+
+    df = wh.lookup("person0009")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["name"] == "Person 9"
+
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "_cw_bucket" in pf and " = " in pf  # equality prune to one bucket
+    # id predicate also pushed to the parquet reader
+    assert "PushedFilters" in plan and "EqualTo(id,person0009)" in plan
