@@ -511,3 +511,56 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BATCH_TOP_K)
         .select("qid", "vec_id", "rank", F.round("_cos", 4).alias("cos_sim"))
     )
+
+
+MULTIPROBE_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {_bucket_expr_sql('embedding', _PLANES)} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = {QUERY_VEC_ID})
+    SELECT b.vec_id, b.label, b.bucket,
+           round(list_cosine_similarity(b.v, q.qv), 4) AS cos_sim
+    FROM b CROSS JOIN q
+    WHERE bit_count(xor(CAST(b.bucket AS BIGINT), CAST(q.qb AS BIGINT))) <= 1
+      AND b.vec_id <> {QUERY_VEC_ID}
+    ORDER BY list_cosine_similarity(b.v, q.qv) DESC, b.vec_id
+    LIMIT {TOP_K}
+"""
+
+
+@query("ann_multiprobe_topk", oracle=MULTIPROBE_ORACLE)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (X2): like ``ann_lsh_topk`` but the query
+    also probes every Hamming-1 neighbor bucket — ``bit_count(bucket ^
+    qb) <= 1`` admits the 6 buckets one sign-flip away, recovering the
+    near-misses single-bucket SRP loses (multi-probe LSH, Lv et al.
+    VLDB'07, public knowledge). Scored set ≈ 7/64 of the corpus
+    instead of 1/64: the standard recall/compute dial.
+
+    Scale: identical shape to the single-probe entry — bucket id is
+    the partition key, a query touches the 1+n_planes bucket
+    partitions, scoring stays a projection, top-k a per-partition
+    heap. Oracle-checked exactly (shared hyperplane literals).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("bucket", _bucket_expr_spark("v", _PLANES))
+    q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    cos = cosine(F.col("v"), F.col("qv"))
+    near = F.bit_count(
+        F.col("bucket").cast("long").bitwiseXOR(F.col("qb").cast("long"))
+    ) <= 1
+    return (
+        v.crossJoin(F.broadcast(q))
+        .filter(near & (F.col("vec_id") != QUERY_VEC_ID))
+        .withColumn("_cos", cos)
+        .orderBy(F.col("_cos").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "label", "bucket", F.round("_cos", 4).alias("cos_sim"))
+    )
