@@ -10,7 +10,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
-from couchwarehouse_spark.multimodal import extract_features, media_struct, sample_frames
+from couchwarehouse_spark.multimodal import (
+    extract_features,
+    media_struct,
+    resize_media,
+    sample_frames,
+)
 from couchwarehouse_spark.plans.registry import query
 
 
@@ -134,4 +139,48 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_frames"),
             F.sum(F.length("frame")).alias("frame_bytes"),
         )
+    )
+
+
+RESIZE_W, RESIZE_H = 64, 48  # target dims → digest-stub payload of w*h/64 bytes
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_items,
+           CAST(sum({(RESIZE_W * RESIZE_H) // 64}) AS BIGINT)  AS resized_bytes,
+           count(DISTINCT md5(text))                           AS n_unique_payloads,
+           CAST(min({RESIZE_W}) AS INTEGER)                    AS out_width,
+           CAST(min({RESIZE_H}) AS INTEGER)                    AS out_height
+    FROM documents
+    GROUP BY source
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize lane (X3): every payload re-encoded to the target
+    dimensions via Arrow ``mapInPandas`` (multimodal.resize_media;
+    the codec is the documented digest-stub — a real deployment swaps
+    one function). The oracle predicts the output byte budget and
+    payload-distinct counts straight from the source table, so the
+    hash match certifies the mapInPandas rewrite produced exactly the
+    declared payload size and updated metadata for every row.
+
+    Scale: binary-in/binary-out projection through Arrow batches — no
+    shuffle; partition sizing by bytes (see multimodal module
+    docstring) keeps payload batches inside executor memory.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    with_media = d.withColumn(
+        "media",
+        media_struct(F.encode("text", "utf-8"), F.lit("image/fake")),
+    )
+    resized = resize_media(with_media, RESIZE_W, RESIZE_H)
+    return resized.groupBy("source").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.length(F.col("media.data"))).alias("resized_bytes"),
+        F.countDistinct(F.md5("text")).alias("n_unique_payloads"),
+        F.min(F.col("media.meta.width")).alias("out_width"),
+        F.min(F.col("media.meta.height")).alias("out_height"),
     )
