@@ -279,3 +279,38 @@ def test_lookup_prunes_to_one_bucket(spark, tmp_path):
     assert "_cw_bucket" in pf and " = " in pf  # equality prune to one bucket
     # id predicate also pushed to the parquet reader
     assert "PushedFilters" in plan and "EqualTo(id,person0009)" in plan
+
+
+def test_random_replay_matches_dict_oracle(spark, tmp_path):
+    """Randomized multi-batch replay: shuffled inserts / amendments /
+    deletes / recreates split across three spools must end in exactly
+    the state a dict latest-wins replay predicts — the merge + bucket
+    + checkpoint stack under adversarial orderings."""
+    rng = random.Random(1234)
+    n_docs = 40
+    seq = 0
+    envs = []
+    expected: dict[str, dict | None] = {}
+    for _ in range(200):
+        i = rng.randrange(n_docs)
+        doc_id = f"person{i:04d}"
+        seq += 1
+        if rng.random() < 0.25 and expected.get(doc_id) is not None:
+            envs.append(envelope(seq, None, doc_id=doc_id, deleted=True))
+            expected[doc_id] = None
+        else:
+            doc = person_doc(i, rng)
+            doc["age"] = seq  # trace which version won
+            envs.append(envelope(seq, doc))
+            expected[doc_id] = doc
+    wh = Warehouse(spark, str(tmp_path / "wh"), "replaydata", n_buckets=4)
+    # Split into three spools at random cut points (feed stays seq-ordered).
+    cuts = sorted(rng.sample(range(1, len(envs)), 2))
+    for n, chunk in enumerate([envs[: cuts[0]], envs[cuts[0]: cuts[1]], envs[cuts[1]:]]):
+        wh.spool(write_feed(str(tmp_path / f"feed{n}.jsonl"), chunk))
+
+    live = {k: v for k, v in expected.items() if v is not None}
+    rows = {r["id"]: r for r in wh.table().collect()}
+    assert set(rows) == set(live)
+    for doc_id, doc in live.items():
+        assert rows[doc_id]["age"] == float(doc["age"]), doc_id
