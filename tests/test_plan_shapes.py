@@ -195,3 +195,36 @@ def test_minhash_band_join_shuffles_triples_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     joins = [l for l in plan.splitlines() if "SortMergeJoin" in l or "ShuffledHashJoin" in l]
     assert not any("sh#" in l for l in joins), "shingle arrays entered a shuffled join key"
+
+
+# Entries whose PLANS legitimately contain Arrow-batched Python stages
+# (the documented UDF/mapInPandas surface) or a driver-materialized
+# result (near_dup_clusters' small-graph union-find lane).
+ARROW_ALLOWED = {
+    "pandas_udf_disc_price",
+    "grouped_agg_median_qty",
+    "grouped_demean_applyinpandas",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "near_dup_clusters",
+}
+
+
+def test_no_python_anywhere_except_udf_surface(spark):
+    """Sweeping invariant over EVERY registered entry: row-at-a-time
+    Python (BatchEvalPython) appears in NO plan at all, and Arrow
+    stages appear only in the declared UDF-surface entries."""
+    arrow_tokens = (
+        "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
+        "AggregateInPandas", "ExistingRDD",
+    )
+    violations = {}
+    for name in sorted(QUERIES):
+        plan = plan_of(spark, name)
+        if "BatchEvalPython" in plan:
+            violations[name] = "BatchEvalPython"
+        elif name not in ARROW_ALLOWED and any(t in plan for t in arrow_tokens):
+            violations[name] = [t for t in arrow_tokens if t in plan]
+        spark.catalog.clearCache()
+    assert not violations, violations
