@@ -564,3 +564,53 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", "label", "bucket", F.round("_cos", 4).alias("cos_sim"))
     )
+
+
+@query(
+    "embedding_norm_audit",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+             len(embedding) AS dim
+      FROM embeddings
+    )
+    SELECT label,
+           count(*)                              AS n_vectors,
+           CAST(min(dim) AS INTEGER)             AS min_dim,
+           CAST(max(dim) AS INTEGER)             AS max_dim,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           round(min(nrm), 4)                    AS min_norm,
+           round(max(nrm), 4)                    AS max_norm,
+           round(avg(nrm), 4)                    AS avg_norm
+    FROM v
+    GROUP BY label
+    """,
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding sanity gate (X2 pre-index audit): per label, vector
+    counts, dimension extrema (a mixed-dim corpus breaks every ANN
+    index), zero-norm vectors (cosine-undefined), and L2-norm
+    extrema/mean — the checks an embedding pipeline runs before
+    building an index or trusting cosine scores.
+
+    Scale: pure projection + one hash aggregate; norms never leave
+    the mapper unreduced. All JVM higher-order expressions.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "label",
+        F.sqrt(dot(F.col("embedding").cast("array<double>"),
+                   F.col("embedding").cast("array<double>"))).alias("nrm"),
+        F.size("embedding").alias("dim"),
+    )
+    return v.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).alias("n_zero"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+    )
