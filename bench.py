@@ -9,6 +9,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -55,10 +56,23 @@ def main() -> None:
     for tbl in ("region", "lineitem", "orders", "events", "documents", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{tbl}.parquet")).limit(1).collect()
 
+    # Per-query hang guard: each query runs in its own job group and a
+    # watchdog cancels the group after PER_QUERY_TIMEOUT_S — a wedged
+    # query costs one error line, never the whole bench.
+    per_query_timeout = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT_S", "180"))
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         t0 = time.monotonic()
+        sc = spark.sparkContext
+        sc.setJobGroup(f"bench:{name}", name, interruptOnCancel=True)
+        timer = threading.Timer(
+            per_query_timeout,
+            lambda g=f"bench:{name}": sc.cancelJobGroup(g),  # bind NOW, not at fire
+        )
+        timer.daemon = True
+        timer.start()
         try:
             df = QUERIES[name](spark, sf_dir)
             # Materialize every column of every row (noop sink) — count()
@@ -71,6 +85,8 @@ def main() -> None:
             timings[name] = round(time.monotonic() - t0, 3)
             print(f"# {name}: {timings[name]}s", file=sys.stderr)
         finally:
+            timer.cancel()
+            sc.setLocalProperty("spark.jobGroup.id", None)
             # Drop caches a query left behind (several operators persist
             # intermediates they cannot unpersist before returning) so later
             # queries aren't measured under accumulated memory pressure.
