@@ -109,3 +109,92 @@ def test_seq_roundtrip(n, suffix):
 @given(st.text(max_size=30))
 def test_sanitize_removes_every_dash(name):
     assert "-" not in sanitize_identifier(name)
+
+
+# ---- Mango selector compiler vs reference evaluator ------------------
+
+from hypothesis import settings
+from pyspark.sql import Row
+
+from couchwarehouse_spark.functions.mango import compile_selector
+
+_ROWS = [
+    Row(id=i, age=a, city=c, tag=t)
+    for i, (a, c, t) in enumerate(
+        [
+            (30.0, "york", None), (45.0, "leeds", "x"), (20.0, "york", "y"),
+            (60.0, None, None), (None, "hull", "x"), (25.0, "york", "x"),
+            (None, None, None), (45.0, "hull", None),
+        ]
+    )
+]
+
+_leaf_ops = st.sampled_from(["$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$exists"])
+_fields = st.sampled_from(["age", "city", "tag"])
+_values = {
+    "age": st.sampled_from([20.0, 30.0, 45.0, 61.0]),
+    "city": st.sampled_from(["york", "hull", "nope"]),
+    "tag": st.sampled_from(["x", "y", "z"]),
+}
+
+
+@st.composite
+def _selectors(draw, depth=2):
+    if depth == 0 or draw(st.booleans()):
+        f = draw(_fields)
+        op = draw(_leaf_ops)
+        if op == "$exists":
+            return {f: {"$exists": draw(st.booleans())}}
+        if op == "$in":
+            vals = draw(st.lists(_values[f], min_size=1, max_size=3))
+            return {f: {"$in": vals}}
+        return {f: {op: draw(_values[f])}}
+    kind = draw(st.sampled_from(["$and", "$or", "$not"]))
+    if kind == "$not":
+        return {"$not": draw(_selectors(depth=depth - 1))}
+    subs = draw(st.lists(_selectors(depth=depth - 1), min_size=2, max_size=3))
+    return {kind: subs}
+
+
+def _eval(sel, row) -> bool:
+    """Reference Mango evaluator: leaves are False on any NULL
+    involvement except $ne/$exists — outcome-equivalent to Spark's
+    three-valued logic under filter (only TRUE survives)."""
+    out = True
+    for key, val in sel.items():
+        if key == "$and":
+            out = out and all(_eval(s, row) for s in val)
+        elif key == "$or":
+            out = out and any(_eval(s, row) for s in val)
+        elif key == "$not":
+            out = out and not _eval(val, row)
+        else:
+            v = row[key]
+            for op, arg in val.items():
+                if op == "$eq":
+                    ok = v is not None and v == arg
+                elif op == "$ne":
+                    ok = v is None or v != arg
+                elif op == "$gt":
+                    ok = v is not None and v > arg
+                elif op == "$gte":
+                    ok = v is not None and v >= arg
+                elif op == "$lt":
+                    ok = v is not None and v < arg
+                elif op == "$lte":
+                    ok = v is not None and v <= arg
+                elif op == "$in":
+                    ok = v is not None and v in arg
+                elif op == "$exists":
+                    ok = (v is not None) if arg else (v is None)
+                out = out and ok
+    return out
+
+
+@given(sel=_selectors())
+@settings(max_examples=25, deadline=None)
+def test_mango_matches_reference_semantics(spark, sel):
+    df = spark.createDataFrame(_ROWS)
+    got = sorted(r["id"] for r in df.filter(compile_selector(sel)).collect())
+    want = sorted(r["id"] for r in _ROWS if _eval(sel, r.asDict()))
+    assert got == want, sel
