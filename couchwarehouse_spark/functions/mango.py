@@ -75,13 +75,18 @@ def _compile_field(field: str, cond, flattened: bool) -> Column:
                 raise MangoError("$mod takes [divisor, remainder]") from None
             parts.append(col % F.lit(divisor) == F.lit(remainder))
         elif op == "$all":
+            if not val:
+                raise MangoError("$all requires a non-empty array")
             parts.append(
                 _and_all([F.array_contains(col, F.lit(v)) for v in val])
             )
-        elif op == "$elemMatch":
-            parts.append(F.exists(col, _elem_predicate(val)))
-        elif op == "$allMatch":
-            parts.append(F.forall(col, _elem_predicate(val)))
+        elif op in ("$elemMatch", "$allMatch"):
+            if isinstance(cond_ := val, Mapping) and not cond_:
+                raise MangoError(f"{op} requires a non-empty condition")
+            pred = _elem_predicate(val)
+            parts.append(
+                F.exists(col, pred) if op == "$elemMatch" else F.forall(col, pred)
+            )
         elif op == "$type":
             parts.append(_type_predicate(col, val))
         elif op == "$beginsWith":
@@ -145,7 +150,7 @@ def _type_predicate(col: Column, val) -> Column:
     if val == "null":
         return col.isNull()
     if val == "boolean":
-        return t == "boolean"
+        return col.isNotNull() & (t == "boolean")
     if val == "string":
         return col.isNotNull() & (t == "string")
     if val == "number":
@@ -168,6 +173,8 @@ def _negate(cond: Column) -> Column:
 
 
 def _and_all(parts: list[Column]) -> Column:
+    if not parts:  # vacuous conjunction (e.g. {field: {}}): match all
+        return F.lit(True)
     out = parts[0]
     for p in parts[1:]:
         out = out & p
@@ -175,6 +182,8 @@ def _and_all(parts: list[Column]) -> Column:
 
 
 def _or_all(parts: list[Column]) -> Column:
+    if not parts:  # vacuous disjunction: match none
+        return F.lit(False)
     out = parts[0]
     for p in parts[1:]:
         out = out | p

@@ -457,17 +457,15 @@ _SIMHASH_BIT_TERMS = " + ".join(
 )
 
 SIMHASH_ORACLE = f"""
-    WITH toks AS (
+    WITH hs AS (
       SELECT doc_id,
-             list_slice(list_distinct(string_split(text, ' ')), 1, {SIMHASH_MAX_TOKENS}) AS tk
+             list_slice(list_sort(list_transform(list_distinct(string_split(text, ' ')),
+                                                 t -> {_md5_long_sql('t')})),
+                        1, {SIMHASH_MAX_TOKENS}) AS hv
       FROM documents
     ),
-    hs AS (
-      SELECT doc_id, len(tk) AS n_tok,
-             list_transform(tk, t -> {_md5_long_sql('t')}) AS hv
-      FROM toks
-    ),
-    sim AS (SELECT doc_id, {_SIMHASH_BIT_TERMS} AS simhash FROM hs),
+    hn AS (SELECT doc_id, hv, len(hv) AS n_tok FROM hs),
+    sim AS (SELECT doc_id, {_SIMHASH_BIT_TERMS} AS simhash FROM hn),
     bk AS (
       SELECT doc_id, simhash, band,
              (simhash >> (band * {SIMHASH_BITS // 4})) & {(1 << (SIMHASH_BITS // 4)) - 1} AS bh
@@ -508,14 +506,21 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    # Cap the signature at the first 32 767 distinct tokens per doc:
-    # each packed lane carries a popcount shifted up to bit 48, so the
-    # running sum stays below 2^63 under ANSI (overflow-checked)
-    # arithmetic. Sampling a bounded token prefix for monster docs is
-    # standard SimHash practice and also bounds per-doc compute.
-    hashes = F.transform(
-        F.slice(F.array_distinct(F.split("text", " ")), 1, SIMHASH_MAX_TOKENS),
-        lambda t: md5_long(t),
+    # Cap the signature at 32 767 tokens per doc: each packed lane
+    # carries a popcount shifted up to bit 48, so the running sum
+    # stays below 2^63 under ANSI (overflow-checked) arithmetic.
+    # Sampling a bounded token subset for monster docs is standard
+    # SimHash practice and also bounds per-doc compute. The subset is
+    # the SMALLEST 32 767 token hashes (sort before slice) — a
+    # set-determined choice, so the capped selection is identical in
+    # any engine regardless of array order (DuckDB's list_distinct
+    # scrambles order; first-N would silently diverge above the cap).
+    hashes = F.slice(
+        F.array_sort(
+            F.transform(F.array_distinct(F.split("text", " ")), lambda t: md5_long(t))
+        ),
+        1,
+        SIMHASH_MAX_TOKENS,
     )
 
     def contrib(h, g: int):

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
 from couchwarehouse_spark.plans.dedup import FINGERPRINT_SQL, fingerprint_col
-from couchwarehouse_spark.plans.registry import query
+from couchwarehouse_spark.plans.registry import query, scoped_persist
 
 TRAIN_PCT = 80  # buckets 0-79 → train
 VAL_PCT = 10  # buckets 80-89 → val; 90-99 → test
@@ -315,10 +315,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted so pass 1 and pass 2 see the SAME range partitioning
     # (boundaries come from sampling; two independent executions could
     # legally draw different cuts).
-    parts = (
+    parts = scoped_persist(
         t.repartitionByRange(spark.sparkContext.defaultParallelism, "lang", "h")
         .withColumn("pid", F.spark_partition_id())
-        .persist()
     )
     psums = parts.groupBy("pid", "lang").agg(F.sum("n_tok").alias("psum"))
     w_off = (

@@ -109,23 +109,27 @@ def monitor_warehouse(
 def _parse_docs(spark: SparkSession, batch_df: DataFrame) -> DataFrame:
     """Parse the batch's doc JSON strings into a struct column.
 
-    Schema = ``schema_of_json`` on the batch's first live doc — the
-    reference's own first-doc schema discovery (R7, reference
-    lib/schema.js) applied per micro-batch, evaluated as ONE constant-
-    folded JVM expression. No ``.rdd`` round-trip, no full-batch
-    Python re-scan in the streaming hot path; the warehouse's frozen
-    per-type schema still decides the final table columns (conformance
-    nulls missing fields / drops extras), so a first-doc miss cannot
-    corrupt the table.
+    Schema = ``spark.read.json`` union inference over ALL docs in the
+    micro-batch — lossless: a field carried by any doc of the batch
+    becomes a struct field (first-doc-only inference would null it
+    out, and latest-wins merge would then overwrite stored values).
+    The inference pass is JVM-only: the doc strings are spooled to a
+    temp text dir and re-read — no ``.rdd``, no per-row Python in the
+    streaming hot path. Micro-batches are bounded, so the extra write
+    is one bounded sequential pass.
     """
-    sample = (
-        batch_df.select("doc").filter(F.col("doc").isNotNull()).first()
-    )
-    sample_json = sample[0] if sample is not None else "{}"
-    ddl = spark.range(1).select(
-        F.schema_of_json(F.lit(sample_json)).alias("s")
-    ).first()["s"]
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="cw_docschema_")
+    try:
+        batch_df.select(
+            F.coalesce(F.col("doc"), F.lit("{}")).alias("value")
+        ).write.mode("overwrite").text(tmp)
+        doc_schema = spark.read.json(tmp).schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return (
-        batch_df.withColumn("doc", F.from_json("doc", ddl))
+        batch_df.withColumn("doc", F.from_json("doc", doc_schema))
         .withColumn(SEQ_COL, seq_number_col("seq"))
     )

@@ -212,6 +212,55 @@ class Warehouse:
             env.unpersist()
         return last_seq
 
+    # -- swap journal: crash-safe bucket swaps --------------------------
+    #
+    # A swap is a sequence of directory renames; a crash between a
+    # bucket's rename-out and rename-in would otherwise leave a table
+    # that READS fine but silently lacks that bucket. The journal
+    # marker (written only after the new data is fully on disk) lets
+    # the next open roll the table back to its exact pre-swap state;
+    # the interrupted batch replays from the unadvanced checkpoint and
+    # the merge is idempotent by seq. Delta/Iceberg's atomic commit is
+    # still the documented upgrade.
+
+    def _swap_marker(self, path: str) -> str:
+        return path + "._swap.json"
+
+    def _begin_swap(self, path: str, affected: list[int] | None) -> None:
+        with open(self._swap_marker(path), "w") as f:
+            json.dump({"affected": affected}, f)
+
+    def _finish_swap(self, path: str) -> None:
+        try:
+            os.remove(self._swap_marker(path))
+        except FileNotFoundError:
+            pass
+
+    def _recover_swap(self, path: str) -> None:
+        marker = self._swap_marker(path)
+        if not os.path.exists(marker):
+            return
+        with open(marker) as f:
+            info = json.load(f)
+        trash = path + "._old"
+        affected = info.get("affected")
+        if affected is None:
+            if not os.path.isdir(path) and os.path.isdir(trash):
+                os.rename(trash, path)
+        else:
+            whole = os.path.join(trash, "_all")
+            if not os.path.isdir(path) and os.path.isdir(whole):
+                os.rename(whole, path)
+            for b in affected:
+                part = f"_cw_bucket={b}"
+                old = os.path.join(trash, part)
+                cur = os.path.join(path, part)
+                if os.path.isdir(old) and not os.path.isdir(cur):
+                    os.rename(old, cur)
+        shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(path + "._tmp", ignore_errors=True)
+        os.remove(marker)
+
     def _merge_type(self, live: DataFrame, tombstones: DataFrame, doc_type: str) -> None:
         sub = live.filter(F.col("_cw_type") == doc_type).select(SEQ_COL, "doc.*")
         flat = flatten_frame(sub)
@@ -224,13 +273,18 @@ class Warehouse:
             self.schemas[doc_type] = self._freeze_schema(flat)
         struct = schema_to_struct(self.schemas[doc_type])
 
-        conformed = conform_frame(flat, struct, keep=[SEQ_COL])
+        # Persisted: the incremental lane reads this frame twice (the
+        # affected-bucket probe and the merge write) — without a persist
+        # the flatten/transform/selector/conform pipeline would run
+        # twice per micro-batch. Released after the write below.
+        conformed = conform_frame(flat, struct, keep=[SEQ_COL]).persist()
 
         path = self._table_path(doc_type)
         bucket_of = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(self.n_buckets)).cast(  # noqa: E731
             "int"
         )
 
+        self._recover_swap(path)  # heal any interrupted swap first
         state = None
         affected: list[int] | None = None
         if os.path.isdir(path):
@@ -265,6 +319,10 @@ class Warehouse:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(trash, ignore_errors=True)
         new_state.write.mode("overwrite").partitionBy("_cw_bucket").parquet(tmp)
+        # New data is fully on disk — journal the swap so a crash
+        # between any two renames below rolls back instead of losing a
+        # bucket (see _recover_swap).
+        self._begin_swap(path, affected)
         if affected is None:
             # Fresh table (or legacy unpartitioned state): whole swap.
             if not any(e.startswith("_cw_bucket=") for e in os.listdir(tmp)):
@@ -298,6 +356,8 @@ class Warehouse:
                 os.rename(path, os.path.join(trash, "_all"))
                 os.rename(tmp, path)
         shutil.rmtree(trash, ignore_errors=True)
+        self._finish_swap(path)
+        conformed.unpersist(blocking=False)
         self.register_view(doc_type)
 
     def _freeze_schema(self, flat: DataFrame) -> dict[str, str]:

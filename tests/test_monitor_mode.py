@@ -90,3 +90,46 @@ def test_start_and_stop_lifecycle(spark, tmp_path):
     wh.stop()
     assert not q.isActive
     wh.stop()  # idempotent
+
+
+def test_mixed_field_batch_is_lossless(spark, tmp_path):
+    """A micro-batch whose FIRST doc lacks a field another doc carries
+    must still land that field's value (first-doc-only inference would
+    null it and latest-wins would persist the loss)."""
+    rng = random.Random(51)
+    feed_dir = str(tmp_path / "feed")
+    # Batch 1 freezes the schema from full docs (has 'total').
+    _write_page(feed_dir, "p1.json", [envelope(i + 1, order_doc(i, rng)) for i in range(3)])
+    wh = Warehouse(spark, str(tmp_path / "wh"), "lossdata")
+    q = wh.start(feed_dir, monitor=True, processing_time="1 seconds")
+    try:
+        import time as _t
+
+        deadline = _t.time() + 60
+        while _t.time() < deadline and _count(wh) != 3:
+            _t.sleep(0.5)
+        assert _count(wh) == 3
+
+        # Batch 2: first doc drops 'total'; second doc updates doc 0's
+        # total — the update must survive schema inference.
+        slim = order_doc(10, rng)
+        slim.pop("total", None)
+        upd = order_doc(0, rng)
+        upd["total"] = 999.5
+        upd["_rev"] = "2-zz"
+        _write_page(feed_dir, "p2.json", [envelope(4, slim), envelope(5, upd)])
+        deadline = _t.time() + 60
+        while _t.time() < deadline and _count(wh) != 4:
+            _t.sleep(0.5)
+        assert _count(wh) == 4  # 3 originals + 1 new doc; the 4th envelope updates doc 0
+        row = {r["id"]: r for r in wh.table().collect()}
+        assert row["order00000"]["total"] == 999.5
+    finally:
+        q.stop()
+
+
+def _count(wh):
+    try:
+        return wh.table().count()
+    except Exception:
+        return -1

@@ -314,3 +314,37 @@ def test_random_replay_matches_dict_oracle(spark, tmp_path):
     assert set(rows) == set(live)
     for doc_id, doc in live.items():
         assert rows[doc_id]["age"] == float(doc["age"]), doc_id
+
+
+def test_swap_crash_recovery_restores_missing_bucket(spark, tmp_path):
+    """Simulated crash between a bucket's rename-out and rename-in:
+    the journal marker must roll the table back to its pre-swap state
+    on the next open — never a silently-missing bucket."""
+    import json as _json
+    import os
+    import shutil
+
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=60)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "crashdata", n_buckets=8)
+    wh.spool(feed)
+    path = wh._table_path("_default")
+    before = {r["id"]: r["name"] for r in wh.table().collect()}
+
+    # Fake the torn state: pick a bucket, move it to trash, write the
+    # journal marker as _merge_type would have just before the crash.
+    bucket = next(e for e in sorted(os.listdir(path)) if e.startswith("_cw_bucket="))
+    b_id = int(bucket.split("=")[1])
+    trash = path + "._old"
+    os.makedirs(trash, exist_ok=True)
+    os.rename(os.path.join(path, bucket), os.path.join(trash, bucket))
+    with open(path + "._swap.json", "w") as f:
+        _json.dump({"affected": [b_id]}, f)
+
+    # Recovery runs on the next merge; use a no-op-ish second spool.
+    wh2 = Warehouse(spark, str(tmp_path / "wh"), "crashdata", n_buckets=8)
+    wh2._recover_swap(path)
+    after = {r["id"]: r["name"] for r in wh2.table().collect()}
+    assert after == before
+    assert not os.path.exists(path + "._swap.json")
+    assert not os.path.isdir(trash)
+    shutil.rmtree(path + "._tmp", ignore_errors=True)
