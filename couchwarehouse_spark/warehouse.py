@@ -111,6 +111,16 @@ class Warehouse:
         if reset:
             self.reset()
         self._load_schemas()
+        # Heal any swap a crashed previous process left torn. Safe here
+        # and ONLY here (plus the merge path itself): at construction no
+        # swap of ours can be in flight, whereas healing from table()
+        # could roll back a live concurrent merge.
+        if os.path.isdir(warehouse_dir):
+            for entry in os.listdir(warehouse_dir):
+                if entry.endswith("._swap.json"):
+                    self._recover_swap(
+                        os.path.join(warehouse_dir, entry[: -len("._swap.json")])
+                    )
 
     # -- persistence of the frozen schema registry ---------------------
 

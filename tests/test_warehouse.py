@@ -340,9 +340,9 @@ def test_swap_crash_recovery_restores_missing_bucket(spark, tmp_path):
     with open(path + "._swap.json", "w") as f:
         _json.dump({"affected": [b_id]}, f)
 
-    # Recovery runs on the next merge; use a no-op-ish second spool.
+    # Recovery runs at construction (a crashed process's swap can no
+    # longer be in flight when a new Warehouse opens the directory).
     wh2 = Warehouse(spark, str(tmp_path / "wh"), "crashdata", n_buckets=8)
-    wh2._recover_swap(path)
     after = {r["id"]: r["name"] for r in wh2.table().collect()}
     assert after == before
     assert not os.path.exists(path + "._swap.json")
