@@ -188,17 +188,23 @@ def conform_frame(
     columns the batch lacks become typed NULLs, extra columns are
     dropped — matching reference lib/sqlite.js:87-92 (insert iterates
     schema keys, binding missing values as NULL) as verified by
-    reference test/run_evolve.js:53-69. Existing columns are cast to
-    the frozen type so a doc that flips e.g. number→string cannot
-    poison the table. ``keep`` carries named passthrough columns
-    (e.g. the change-seq) alongside the conformed schema.
+    reference test/run_evolve.js:53-69. Existing columns are
+    ``try_cast`` to the frozen type: a doc that flips e.g.
+    number→string lands as NULL in that column instead of poisoning
+    the table — and, under Spark 4's default ANSI mode, instead of
+    throwing CAST_INVALID_INPUT and wedging the stream on a single
+    poison doc (the batch would replay and fail forever). ``keep``
+    carries named passthrough columns (e.g. the change-seq) alongside
+    the conformed schema.
     """
     struct = schema if isinstance(schema, T.StructType) else schema_to_struct(schema)
     have = set(df.columns)
     cols = [
-        (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(
-            f.name
-        )
+        (
+            F.col(f.name).try_cast(f.dataType)
+            if f.name in have
+            else F.lit(None).cast(f.dataType)
+        ).alias(f.name)
         for f in struct.fields
     ]
     cols += [F.col(k) for k in (keep or []) if k in have]

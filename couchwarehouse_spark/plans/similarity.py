@@ -571,8 +571,8 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
       SELECT label,
-             sqrt(list_sum(list_transform(embedding,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+             sqrt(coalesce(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0)) AS nrm,
              len(embedding) AS dim
       FROM embeddings
     )

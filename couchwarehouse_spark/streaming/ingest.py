@@ -26,6 +26,8 @@ sources don't support ``Trigger.AvailableNow`` yet.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -92,7 +94,10 @@ def monitor_warehouse(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        last = warehouse._process_batch(_parse_docs(warehouse.spark, batch_df))
+        scratch = os.path.join(warehouse.warehouse_dir, "_scratch", f"docschema_{batch_id}")
+        last = warehouse._process_batch(
+            _parse_docs(warehouse.spark, batch_df, scratch)
+        )
         if last is not None:
             warehouse.checkpoints.write(warehouse.db_name, last)
 
@@ -106,7 +111,9 @@ def monitor_warehouse(
     return writer.start()
 
 
-def _parse_docs(spark: SparkSession, batch_df: DataFrame) -> DataFrame:
+def _parse_docs(
+    spark: SparkSession, batch_df: DataFrame, scratch_dir: str | None = None
+) -> DataFrame:
     """Parse the batch's doc JSON strings into a struct column.
 
     Schema = ``spark.read.json`` union inference over ALL docs in the
@@ -114,14 +121,20 @@ def _parse_docs(spark: SparkSession, batch_df: DataFrame) -> DataFrame:
     becomes a struct field (first-doc-only inference would null it
     out, and latest-wins merge would then overwrite stored values).
     The inference pass is JVM-only: the doc strings are spooled to a
-    temp text dir and re-read — no ``.rdd``, no per-row Python in the
-    streaming hot path. Micro-batches are bounded, so the extra write
-    is one bounded sequential pass.
+    scratch text dir and re-read — no ``.rdd``, no per-row Python in
+    the streaming hot path. Micro-batches are bounded, so the extra
+    write is one bounded sequential pass.
+
+    ``scratch_dir`` must be on storage BOTH executors and driver can
+    see (the warehouse dir qualifies — monitor_warehouse passes
+    ``<warehouse_dir>/_scratch/...``). A node-local /tmp default would
+    silently break on a multi-node cluster: executors would write
+    their part files locally while the driver reads an empty dir.
     """
     import shutil
     import tempfile
 
-    tmp = tempfile.mkdtemp(prefix="cw_docschema_")
+    tmp = scratch_dir or tempfile.mkdtemp(prefix="cw_docschema_")
     try:
         batch_df.select(
             F.coalesce(F.col("doc"), F.lit("{}")).alias("value")

@@ -131,12 +131,19 @@ class Warehouse:
     def _load_schemas(self) -> None:
         if os.path.exists(self._schema_path):
             with open(self._schema_path) as f:
-                self.schemas = json.load(f)
+                stored = json.load(f)
+            meta = stored.pop("__meta__", None)
+            self.schemas = stored
+            if meta and "n_buckets" in meta:
+                # The ON-DISK bucket count wins over the constructor
+                # arg: ids were hashed with it, so a different value
+                # would silently mis-route lookups and merge pruning.
+                self.n_buckets = int(meta["n_buckets"])
 
     def _save_schemas(self) -> None:
         os.makedirs(self.warehouse_dir, exist_ok=True)
         with open(self._schema_path, "w") as f:
-            json.dump(self.schemas, f, indent=1)
+            json.dump({"__meta__": {"n_buckets": self.n_buckets}, **self.schemas}, f, indent=1)
 
     # -- naming --------------------------------------------------------
 
@@ -222,6 +229,12 @@ class Warehouse:
             env.unpersist()
         return last_seq
 
+    def _bucket_of(self, col) -> "F.Column":
+        """THE bucket formula — one definition shared by merge pruning
+        and point lookup, so the two can never drift apart."""
+        c = F.col(col) if isinstance(col, str) else col
+        return F.pmod(F.xxhash64(c), F.lit(self.n_buckets)).cast("int")
+
     # -- swap journal: crash-safe bucket swaps --------------------------
     #
     # A swap is a sequence of directory renames; a crash between a
@@ -237,8 +250,12 @@ class Warehouse:
         return path + "._swap.json"
 
     def _begin_swap(self, path: str, affected: list[int] | None) -> None:
-        with open(self._swap_marker(path), "w") as f:
+        # write-to-temp + rename: the marker itself must be atomic — a
+        # truncated marker would otherwise wedge every future open.
+        marker = self._swap_marker(path)
+        with open(marker + ".tmp", "w") as f:
             json.dump({"affected": affected}, f)
+        os.rename(marker + ".tmp", marker)
 
     def _finish_swap(self, path: str) -> None:
         try:
@@ -247,26 +264,43 @@ class Warehouse:
             pass
 
     def _recover_swap(self, path: str) -> None:
+        """Roll an interrupted swap back to the EXACT pre-swap state:
+        every old copy in trash is restored over whatever is in place
+        (already-swapped buckets included — their new data is from the
+        uncommitted batch, which replays from the unadvanced
+        checkpoint), and affected buckets with no old copy (newly
+        created) are removed."""
         marker = self._swap_marker(path)
         if not os.path.exists(marker):
             return
-        with open(marker) as f:
-            info = json.load(f)
+        try:
+            with open(marker) as f:
+                info = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # Truncated marker = crash DURING _begin_swap, i.e. before
+            # any rename: the table is untouched; just clean up.
+            info = None
         trash = path + "._old"
-        affected = info.get("affected")
-        if affected is None:
-            if not os.path.isdir(path) and os.path.isdir(trash):
-                os.rename(trash, path)
-        else:
-            whole = os.path.join(trash, "_all")
-            if not os.path.isdir(path) and os.path.isdir(whole):
-                os.rename(whole, path)
-            for b in affected:
-                part = f"_cw_bucket={b}"
-                old = os.path.join(trash, part)
-                cur = os.path.join(path, part)
-                if os.path.isdir(old) and not os.path.isdir(cur):
-                    os.rename(old, cur)
+        if info is not None:
+            affected = info.get("affected")
+            if affected is None:
+                if os.path.isdir(trash):
+                    shutil.rmtree(path, ignore_errors=True)
+                    os.rename(trash, path)
+            else:
+                whole = os.path.join(trash, "_all")
+                if os.path.isdir(whole):
+                    shutil.rmtree(path, ignore_errors=True)
+                    os.rename(whole, path)
+                for b in affected:
+                    part = f"_cw_bucket={b}"
+                    old = os.path.join(trash, part)
+                    cur = os.path.join(path, part)
+                    if os.path.isdir(old):
+                        shutil.rmtree(cur, ignore_errors=True)
+                        os.rename(old, cur)
+                    elif os.path.isdir(cur):
+                        shutil.rmtree(cur)  # newly created bucket: discard
         shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(path + "._tmp", ignore_errors=True)
         os.remove(marker)
@@ -286,13 +320,20 @@ class Warehouse:
         # Persisted: the incremental lane reads this frame twice (the
         # affected-bucket probe and the merge write) — without a persist
         # the flatten/transform/selector/conform pipeline would run
-        # twice per micro-batch. Released after the write below.
+        # twice per micro-batch. Released in the finally below so a
+        # failed write cannot leak the cached frame for the session.
         conformed = conform_frame(flat, struct, keep=[SEQ_COL]).persist()
+        try:
+            self._merge_conformed(conformed, tombstones, doc_type)
+        finally:
+            conformed.unpersist(blocking=False)
+        self.register_view(doc_type)
 
+    def _merge_conformed(
+        self, conformed: DataFrame, tombstones: DataFrame, doc_type: str
+    ) -> None:
         path = self._table_path(doc_type)
-        bucket_of = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(self.n_buckets)).cast(  # noqa: E731
-            "int"
-        )
+        bucket_of = self._bucket_of
 
         self._recover_swap(path)  # heal any interrupted swap first
         state = None
@@ -367,8 +408,6 @@ class Warehouse:
                 os.rename(tmp, path)
         shutil.rmtree(trash, ignore_errors=True)
         self._finish_swap(path)
-        conformed.unpersist(blocking=False)
-        self.register_view(doc_type)
 
     def _freeze_schema(self, flat: DataFrame) -> dict[str, str]:
         """First-doc-wins schema freeze (R7; reference index.js:55-68).
@@ -425,7 +464,7 @@ class Warehouse:
         import time
 
         path = self._table_path(doc_type)
-        bucket = F.pmod(F.xxhash64(F.lit(doc_id)), F.lit(self.n_buckets)).cast("int")
+        bucket = self._bucket_of(F.lit(doc_id))
         try:
             df = self.spark.read.parquet(path)
         except Exception:

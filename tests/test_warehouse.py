@@ -348,3 +348,17 @@ def test_swap_crash_recovery_restores_missing_bucket(spark, tmp_path):
     assert not os.path.exists(path + "._swap.json")
     assert not os.path.isdir(trash)
     shutil.rmtree(path + "._tmp", ignore_errors=True)
+
+
+def test_n_buckets_persisted_across_reopen(spark, tmp_path):
+    """The on-disk bucket count must win over the constructor default:
+    a reopen with a different n_buckets would otherwise silently
+    mis-route point lookups and merge pruning."""
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=30)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "bucketmeta", n_buckets=4)
+    wh.spool(feed)
+
+    wh2 = Warehouse(spark, str(tmp_path / "wh"), "bucketmeta")  # default 16
+    assert wh2.n_buckets == 4
+    rows = wh2.lookup("person0011").collect()
+    assert len(rows) == 1 and rows[0]["name"] == "Person 11"
