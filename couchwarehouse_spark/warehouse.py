@@ -249,12 +249,19 @@ class Warehouse:
     def _swap_marker(self, path: str) -> str:
         return path + "._swap.json"
 
-    def _begin_swap(self, path: str, affected: list[int] | None) -> None:
+    def _begin_swap(
+        self, path: str, affected: list[int] | None, had_old: list[int] | None = None
+    ) -> None:
         # write-to-temp + rename: the marker itself must be atomic — a
         # truncated marker would otherwise wedge every future open.
+        # ``had_old`` records which affected buckets had pre-existing
+        # data BEFORE any rename: recovery needs it to distinguish "new
+        # data placed for a fresh bucket" (discard) from "old data not
+        # yet touched" (keep) — both look like a bucket dir with no
+        # trash copy.
         marker = self._swap_marker(path)
         with open(marker + ".tmp", "w") as f:
-            json.dump({"affected": affected}, f)
+            json.dump({"affected": affected, "had_old": had_old}, f)
         os.rename(marker + ".tmp", marker)
 
     def _finish_swap(self, path: str) -> None:
@@ -292,13 +299,20 @@ class Warehouse:
                 if os.path.isdir(whole):
                     shutil.rmtree(path, ignore_errors=True)
                     os.rename(whole, path)
+                had_old = set(info.get("had_old") or [])
                 for b in affected:
                     part = f"_cw_bucket={b}"
                     old = os.path.join(trash, part)
                     cur = os.path.join(path, part)
                     if os.path.isdir(old):
+                        # Old copy secured in trash: exact restore
+                        # (whatever is in place is uncommitted new data).
                         shutil.rmtree(cur, ignore_errors=True)
                         os.rename(old, cur)
+                    elif b in had_old:
+                        # Crash BEFORE this bucket's rename-out: what is
+                        # in place IS the old data — leave it alone.
+                        pass
                     elif os.path.isdir(cur):
                         shutil.rmtree(cur)  # newly created bucket: discard
         shutil.rmtree(trash, ignore_errors=True)
@@ -373,7 +387,14 @@ class Warehouse:
         # New data is fully on disk — journal the swap so a crash
         # between any two renames below rolls back instead of losing a
         # bucket (see _recover_swap).
-        self._begin_swap(path, affected)
+        had_old = None
+        if affected is not None:
+            had_old = [
+                b
+                for b in affected
+                if os.path.isdir(os.path.join(path, f"_cw_bucket={b}"))
+            ]
+        self._begin_swap(path, affected, had_old)
         if affected is None:
             # Fresh table (or legacy unpartitioned state): whole swap.
             if not any(e.startswith("_cw_bucket=") for e in os.listdir(tmp)):

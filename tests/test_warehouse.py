@@ -362,3 +362,33 @@ def test_n_buckets_persisted_across_reopen(spark, tmp_path):
     assert wh2.n_buckets == 4
     rows = wh2.lookup("person0011").collect()
     assert len(rows) == 1 and rows[0]["name"] == "Person 11"
+
+
+def test_swap_crash_recovery_keeps_untouched_buckets(spark, tmp_path):
+    """Crash AFTER bucket A swapped but BEFORE bucket B's rename-out:
+    recovery must restore A's old copy AND leave B's (still in-place)
+    old data alone — had_old in the journal disambiguates B from a
+    freshly created bucket."""
+    import json as _json
+    import os
+
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=60)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "crash2data", n_buckets=8)
+    wh.spool(feed)
+    path = wh._table_path("_default")
+    before = {r["id"]: r["name"] for r in wh.table().collect()}
+
+    buckets = sorted(
+        int(e.split("=")[1]) for e in os.listdir(path) if e.startswith("_cw_bucket=")
+    )
+    a, b = buckets[0], buckets[1]
+    trash = path + "._old"
+    os.makedirs(trash, exist_ok=True)
+    # A: fully torn (old moved out, nothing moved in). B: untouched.
+    os.rename(os.path.join(path, f"_cw_bucket={a}"), os.path.join(trash, f"_cw_bucket={a}"))
+    with open(path + "._swap.json", "w") as f:
+        _json.dump({"affected": [a, b], "had_old": [a, b]}, f)
+
+    wh2 = Warehouse(spark, str(tmp_path / "wh"), "crash2data", n_buckets=8)
+    after = {r["id"]: r["name"] for r in wh2.table().collect()}
+    assert after == before
