@@ -107,5 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; omitted keys → rows-only check."""
+    """DuckDB-equivalent SQL per query. The driver treats omitted keys
+    as rows-only checks, but this repo registers an oracle for EVERY
+    entry (enforced by tests/test_registry_contract.py)."""
     return _ordered(dict(ORACLES))

@@ -67,9 +67,14 @@ def main() -> None:
         t0 = time.monotonic()
         sc = spark.sparkContext
         sc.setJobGroup(f"bench:{name}", name, interruptOnCancel=True)
+        # cancelJobGroupAndFutureJobs (Spark 4) also kills jobs the
+        # query submits AFTER the timer fires — a plain cancelJobGroup
+        # is a no-op if the query happens to be between jobs (driver-
+        # side work) at fire time and the hang guard wouldn't hold.
+        cancel = getattr(sc, "cancelJobGroupAndFutureJobs", sc.cancelJobGroup)
         timer = threading.Timer(
             per_query_timeout,
-            lambda g=f"bench:{name}": sc.cancelJobGroup(g),  # bind NOW, not at fire
+            lambda g=f"bench:{name}": cancel(g),  # bind NOW, not at fire
         )
         timer.daemon = True
         timer.start()

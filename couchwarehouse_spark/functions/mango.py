@@ -69,10 +69,12 @@ def _compile_field(field: str, cond, flattened: bool) -> Column:
         elif op == "$size":
             parts.append(F.size(col) == F.lit(val))
         elif op == "$mod":
-            try:
-                divisor, remainder = val
-            except (TypeError, ValueError):
-                raise MangoError("$mod takes [divisor, remainder]") from None
+            # Strict shape check: a dict or string also unpacks into
+            # two values (keys / characters) and would silently compile
+            # to nonsense — only a 2-element list/tuple is valid Mango.
+            if not isinstance(val, (list, tuple)) or len(val) != 2:
+                raise MangoError("$mod takes [divisor, remainder]")
+            divisor, remainder = val
             parts.append(col % F.lit(divisor) == F.lit(remainder))
         elif op == "$all":
             if not val:

@@ -462,7 +462,7 @@ SIMHASH_ORACLE = f"""
              list_slice(list_sort(list_transform(list_distinct(string_split(text, ' ')),
                                                  t -> {_md5_long_sql('t')})),
                         1, {SIMHASH_MAX_TOKENS}) AS hv
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     hn AS (SELECT doc_id, hv, len(hv) AS n_tok FROM hs),
     sim AS (SELECT doc_id, {_SIMHASH_BIT_TERMS} AS simhash FROM hn),
@@ -503,8 +503,13 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny (doc_id, int64), and inlining the wide signature expression
     into both join sides would double the compute and blow up codegen.
     """
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    # Null text carries no signature — filtered in BOTH lanes (the
+    # oracle's bit terms would otherwise give every null-text doc
+    # simhash 0 while Spark's NULL band keys drop them from the join).
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     # Cap the signature at 32 767 tokens per doc: each packed lane
     # carries a popcount shifted up to bit 48, so the running sum

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
-from couchwarehouse_spark.plans.registry import query
+from couchwarehouse_spark.plans.registry import query, scoped_persist
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 DUCK_FMT = "%Y-%m-%d %H:%M:%S"
@@ -194,13 +194,16 @@ def event_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user sort — min-timestamps via partial-aggregated ``min``.
     """
     ev = load_table(spark, sf_dir, "events")
-    v = (
+    # v and c each feed TWO consumers (their own stage count and the
+    # next stage's join) — persist so the events scan and stage aggs
+    # run once, not once per consumer in the final crossJoin tree.
+    v = scoped_persist(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("vt"))
     )
     day = F.expr("INTERVAL 24 HOURS")
-    c = (
+    c = scoped_persist(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter((F.col("ts") >= F.col("vt")) & (F.col("ts") <= F.col("vt") + day))

@@ -488,9 +488,7 @@ def variant_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     string scans (one parse, many typed reads). ``try_variant_get``
     probes an absent path without erroring.
     """
-    from couchwarehouse_spark.catalog import load_table as _lt
-
-    ev = _lt(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events")
     vr = ev.select(
         "event_type", F.parse_json("props").alias("v")
     )

@@ -459,20 +459,31 @@ class Warehouse:
         df.createOrReplaceTempView(self.table_name(doc_type))
         return df
 
-    def table(self, doc_type: str = DEFAULT_TYPE) -> DataFrame:
-        """The current conformed state of one type's table (no seq col).
-
-        Retries once: a concurrent snapshot swap leaves the path
-        missing for an instant between its two renames.
-        """
+    def _read_state(self, path: str) -> DataFrame:
+        """ONE read path for table() and lookup(): wait out an active
+        swap (journal marker present — the rename phase is pure
+        directory renames, so the wait is milliseconds; recovery at
+        construction clears stale markers from dead processes), then
+        read with one retry for the residual rename instant. A reader
+        that raced the marker could otherwise silently miss a bucket
+        mid-swap; Delta/Iceberg snapshots are the true fix and remain
+        the documented upgrade."""
         import time
 
-        path = self._table_path(doc_type)
+        deadline = time.monotonic() + 5.0
+        while os.path.exists(self._swap_marker(path)) and time.monotonic() < deadline:
+            time.sleep(0.05)
         try:
-            return self.spark.read.parquet(path).drop(SEQ_COL, "_cw_bucket")
+            return self.spark.read.parquet(path)
         except Exception:
             time.sleep(0.2)
-            return self.spark.read.parquet(path).drop(SEQ_COL, "_cw_bucket")
+            return self.spark.read.parquet(path)
+
+    def table(self, doc_type: str = DEFAULT_TYPE) -> DataFrame:
+        """The current conformed state of one type's table (no seq col)."""
+        return self._read_state(self._table_path(doc_type)).drop(
+            SEQ_COL, "_cw_bucket"
+        )
 
     def lookup(self, doc_id: str, doc_type: str = DEFAULT_TYPE) -> DataFrame:
         """Point lookup by document id — the reference's ``id PRIMARY
@@ -482,17 +493,9 @@ class Warehouse:
         id predicate even runs — at 100 TB a lookup reads 1/n_buckets
         of the table, not all of it.
         """
-        import time
-
-        path = self._table_path(doc_type)
-        bucket = self._bucket_of(F.lit(doc_id))
-        try:
-            df = self.spark.read.parquet(path)
-        except Exception:
-            time.sleep(0.2)
-            df = self.spark.read.parquet(path)
+        df = self._read_state(self._table_path(doc_type))
         if "_cw_bucket" in df.columns:
-            df = df.filter(F.col("_cw_bucket") == bucket)
+            df = df.filter(F.col("_cw_bucket") == self._bucket_of(F.lit(doc_id)))
         return df.filter(F.col("id") == doc_id).drop(SEQ_COL, "_cw_bucket")
 
     def query(self, sql: str) -> DataFrame:

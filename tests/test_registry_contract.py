@@ -37,3 +37,6 @@ def test_every_entry_is_oracle_backed():
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(qs) == set(osql), sorted(set(qs) - set(osql))
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
+    # Registry floor: entries may only be added, never silently lost.
+    # Raise the floor when new operators land.
+    assert len(qs) >= 93, len(qs)
