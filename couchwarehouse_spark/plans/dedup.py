@@ -44,6 +44,8 @@ def md5_long(col):
 
 def _md5_long_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 # Calibrated to the synthetic embeddings (max blocked-pair cosine is
 # ~0.475; nearest value below threshold is ≥6e-4 away at every SF, so
 # the ≥ decision is stable across float32/float64 engines).
