@@ -457,3 +457,58 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("bigram").alias("min_bigram"),
         F.max("bigram").alias("max_bigram"),
     )
+
+
+COVERAGE_TOP_K = 10
+
+
+@query(
+    "token_coverage_topk",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, term, count(*) AS c
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY lang, term
+    ),
+    ranked AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, term) AS rnk
+      FROM counts
+    )
+    SELECT lang,
+           CAST(sum(c) AS BIGINT)                                   AS total_tokens,
+           CAST(sum(CASE WHEN rnk <= {COVERAGE_TOP_K} THEN c ELSE 0 END) AS BIGINT)
+                                                                    AS topk_tokens,
+           round(CAST(sum(CASE WHEN rnk <= {COVERAGE_TOP_K} THEN c ELSE 0 END) AS DOUBLE)
+                 / sum(c), 6)                                       AS topk_coverage
+    FROM ranked
+    GROUP BY lang
+    """,
+)
+def token_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-coverage curve point (X4): the fraction of ALL token
+    occurrences accounted for by each language's top-10 terms — high
+    coverage means a head-heavy (template-y) corpus, low coverage a
+    diverse one; the number tokenizer/vocab sizing decisions read.
+
+    Scale: word-count aggregate first (map-side combine collapses the
+    corpus to its vocabulary), THEN the rank window runs over the
+    per-lang vocabulary table — thousands of rows per stratum, never
+    the corpus. Deterministic tie-break (count desc, term asc).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(_tokens()).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "term")
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    topk = F.when(F.col("rnk") <= COVERAGE_TOP_K, F.col("c")).otherwise(0)
+    return ranked.groupBy("lang").agg(
+        F.sum("c").alias("total_tokens"),
+        F.sum(topk).alias("topk_tokens"),
+        F.round(F.sum(topk).cast("double") / F.sum("c"), 6).alias("topk_coverage"),
+    )
