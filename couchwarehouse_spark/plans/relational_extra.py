@@ -281,3 +281,39 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+# Same ANSI text runs in spark.sql AND DuckDB (the R17 passthrough
+# seam): a correlated EXISTS + a correlated scalar subquery — the
+# decorrelation workout.
+CORRELATED_EXISTS_SQL = """
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+              AND o.o_totalprice > (
+                    SELECT avg(o2.o_totalprice) FROM orders o2
+                    WHERE o2.o_custkey = o.o_custkey
+              )
+          )
+    GROUP BY c_mktsegment
+"""
+
+
+@query("correlated_exists_orders", oracle=CORRELATED_EXISTS_SQL)
+def correlated_exists_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a nested correlated scalar subquery
+    (S16 depth): customers holding an urgent order priced above their
+    OWN average order value — identical ANSI text in both engines.
+
+    Scale: Catalyst decorrelates both subqueries into aggregates +
+    joins on o_custkey (no per-row re-execution — the naive nested-
+    loop reading of this SQL); the per-customer average is a hash
+    aggregate feeding a join, same shuffle key throughout.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(CORRELATED_EXISTS_SQL)
