@@ -144,6 +144,49 @@ def exact_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH fp AS (
+      SELECT DISTINCT source, {{fingerprint}} AS fingerprint FROM documents
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           count(*) AS shared_fingerprints
+    FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.source < b.source
+    GROUP BY a.source, b.source
+    """.replace("{fingerprint}", FINGERPRINT_SQL),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (X1/curation): for every pair
+    of sources, how many distinct content fingerprints they share —
+    the audit that tells a pipeline which crawl sources mirror each
+    other (so their joint weight can be corrected before training).
+    Companion to ``crossdoc_ngram_dup`` (per-source shingle overlap):
+    this one localizes overlap to source PAIRS at whole-doc
+    granularity.
+
+    Scale: the distinct (source, fingerprint) table is ≤ one row per
+    doc; the self-join is keyed on the fingerprint — word-count shape,
+    AQE-splittable if one fingerprint is boilerplate-hot — and the
+    output is |sources|² max. The fingerprint table persists across
+    its two join sides so shingle hashing runs once.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # md5-per-shingle is compute-dense; don't let one file = one task
+    fp = scoped_persist(
+        d.select("source", fingerprint_col().alias("fingerprint")).distinct()
+    )
+    a = fp.select(F.col("source").alias("src_a"), "fingerprint")
+    b = fp.select(F.col("source").alias("src_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared_fingerprints"))
+    )
+
+
 _JACCARD_PAIRS_SQL = """
     t AS (
       SELECT doc_id, lang,
@@ -265,9 +308,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # Threshold on the RAW ratio (like the oracle's WHERE), round only
+    # for emission: filtering on the rounded value would admit pairs up
+    # to 5e-5 below τ once unions reach ~10⁴ shingles (big docs).
     return (
-        pairs.select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        pairs.select("doc_a", "doc_b", (inter / union).alias("_j"))
+        .filter(F.col("_j") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("_j", 4).alias("jaccard"))
     )
 
 
@@ -685,10 +732,9 @@ N_CC_MAX_ITERS = 20  # safety bound; components converge in O(diameter)
 CC_DRIVER_EDGE_BOUND = 1_000_000
 
 
-@query(
-    "near_dup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_JACCARD_PAIRS_SQL},
+# Recursive-CTE transitive closure shared by every component-level
+# oracle (cluster census, survivor selection).
+_COMPONENTS_SQL = f"""{_JACCARD_PAIRS_SQL},
     sym AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION ALL
@@ -702,15 +748,14 @@ CC_DRIVER_EDGE_BOUND = 1_000_000
     comp AS (
       SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
     )
-    SELECT cluster_id, count(*) AS cluster_size
-    FROM comp GROUP BY cluster_id
-    """,
-)
-def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster assignment (X1): connected components over the
-    verified Jaccard pair graph — the step that turns pairwise
-    near-dup evidence into dedup clusters (keep ``cluster_id`` = the
-    component's min doc_id as the canonical survivor, drop the rest).
+"""
+
+
+def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc component labels ``(doc_id, cluster_id)`` over the
+    verified Jaccard pair graph — ``cluster_id`` = the component's min
+    doc_id. Shared kernel of ``near_dup_clusters`` (census) and
+    ``dedup_survivors`` (survivor selection).
 
     Iterative min-label propagation on DataFrames: every vertex
     repeatedly takes the min label among itself and its neighbors;
@@ -721,8 +766,12 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver. At extreme scale the round count drops with the
     large-star/small-star variant (Kiveris et al., "Connected
     Components in MapReduce", public knowledge); the per-round plan
-    here is unchanged. Oracle: transitive closure via a recursive CTE
-    — same components, declaratively.
+    here is unchanged.
+
+    NOTE: callers are registered queries; this helper calls the
+    registered ``ngram_jaccard_pairs`` FIRST, so per the registry's
+    ordering constraint callers must not scoped_persist anything
+    before invoking it.
     """
     edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
     # The pair graph is orders of magnitude smaller than the corpus
@@ -758,12 +807,9 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         edges.unpersist(blocking=False)
-        sizes: dict[int, int] = {}
-        for v in parent:
-            sizes[find(v)] = sizes.get(find(v), 0) + 1
         return spark.createDataFrame(
-            [(cid, n) for cid, n in sorted(sizes.items())],
-            "cluster_id long, cluster_size long",
+            sorted((v, find(v)) for v in parent),
+            "doc_id long, cluster_id long",
         )
     n_parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 1_000_000 + 1))
     sym = (
@@ -809,13 +855,94 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # diameter > N_CC_MAX_ITERS hasn't finished propagating.
         labels.unpersist()
         raise RuntimeError(
-            f"near_dup_clusters: no fixpoint after {N_CC_MAX_ITERS} rounds "
+            f"near-dup components: no fixpoint after {N_CC_MAX_ITERS} rounds "
             "(component diameter exceeds the bound); raise N_CC_MAX_ITERS "
             "or switch to large-star/small-star rounds"
         )
     scoped_register(labels)  # released when the next query runs
+    return labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id"))
 
+
+@query(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_COMPONENTS_SQL}
+    SELECT cluster_id, count(*) AS cluster_size
+    FROM comp GROUP BY cluster_id
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster census (X1): connected components over the
+    verified Jaccard pair graph — the step that turns pairwise
+    near-dup evidence into dedup clusters. See ``_component_labels``
+    for the propagation algorithm; the oracle computes the same
+    components declaratively via a recursive-CTE transitive closure.
+    """
+    labels = _component_labels(spark, sf_dir)
+    return labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+
+
+@query(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_COMPONENTS_SQL},
+    m AS (
+      SELECT c.cluster_id, d.doc_id, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id) AS rn
+      FROM m
+    ),
+    agg AS (
+      SELECT cluster_id,
+             count(*)                    AS n_members,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM m GROUP BY cluster_id
+    )
+    SELECT a.cluster_id,
+           r.doc_id                                  AS survivor_doc_id,
+           r.n_chars                                 AS survivor_chars,
+           a.n_members,
+           a.total_chars - r.n_chars                 AS dropped_chars
+    FROM agg a JOIN ranked r ON a.cluster_id = r.cluster_id AND r.rn = 1
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection over near-dup clusters (X1): per component,
+    KEEP the highest-quality member (longest text, ties to the lowest
+    doc_id) and account for what the dedup drops — the policy step a
+    training pipeline runs between clustering and the final corpus
+    (keep-longest is the common heuristic; the interface is any total
+    order over members).
+
+    Scale: members (near-dup docs only — orders of magnitude smaller
+    than the corpus) broadcast into the documents scan, so the corpus
+    never shuffles; survivor choice is ONE hash aggregate via an
+    argmax struct — ``max(struct(n_chars, -doc_id))`` — not a window,
+    so a giant cluster costs a partial-aggregated hot key (AQE-
+    splittable) instead of a single window task. The oracle uses the
+    equivalent window formulation.
+    """
+    labels = _component_labels(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = d.join(F.broadcast(labels), "doc_id")
+    # argmax-by-struct: (n_chars asc, -doc_id asc) maximized = longest
+    # text, then LOWEST doc_id — deterministic without a window.
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))
     return (
-        labels.groupBy(F.col("label").alias("cluster_id"))
-        .agg(F.count("*").alias("cluster_size"))
+        m.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("n_chars").alias("total_chars"),
+            best.alias("_best"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("_best.neg_id")).alias("survivor_doc_id"),
+            F.col("_best.n_chars").alias("survivor_chars"),
+            "n_members",
+            (F.col("total_chars") - F.col("_best.n_chars")).alias("dropped_chars"),
+        )
     )

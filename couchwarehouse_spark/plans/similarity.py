@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
-from couchwarehouse_spark.plans.registry import query
+from couchwarehouse_spark.plans.registry import query, scoped_persist
 
 QUERY_VEC_ID = 0  # the corpus vector used as the search query
 TOP_K = 10
@@ -164,6 +164,31 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def argmin_cell(vcol: Column, cents_col: Column, cell_type) -> Column:
+    """Nearest-centroid assignment as a PURE PROJECTION: an
+    ``aggregate`` argmin over a broadcast array of (cell, centroid)
+    structs — squared-L2 per candidate, strict ``<`` keeps the first
+    (lowest) cell on ties. No shuffle touches the vector table; this
+    is the IVF/k-means assignment kernel shared by ``ivf_topk`` and
+    ``kmeans_lloyd_step``."""
+    init = F.struct(
+        F.lit(None).cast(cell_type).alias("cell"),
+        F.lit(float("inf")).alias("d"),
+    )
+
+    def step(acc: Column, c: Column) -> Column:
+        d2 = F.aggregate(
+            F.zip_with(vcol, c["centroid"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, z: s + z,
+        )
+        return F.when(
+            d2 < acc["d"], F.struct(c["cell"].alias("cell"), d2.alias("d"))
+        ).otherwise(acc)
+
+    return F.aggregate(cents_col, init, step)["cell"]
+
+
 IVF_ORACLE = f"""
     WITH flat AS (
       SELECT label,
@@ -233,28 +258,13 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("cents")
     )
 
-    cell_type = cents.schema["cell"].dataType
-
-    def _argmin_cell(vcol: Column, cents_col: Column) -> Column:
-        init = F.struct(
-            F.lit(None).cast(cell_type).alias("cell"),
-            F.lit(float("inf")).alias("d"),
-        )
-
-        def step(acc: Column, c: Column) -> Column:
-            d2 = F.aggregate(
-                F.zip_with(vcol, c["centroid"], lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda s, z: s + z,
-            )
-            return F.when(
-                d2 < acc["d"], F.struct(c["cell"].alias("cell"), d2.alias("d"))
-            ).otherwise(acc)
-
-        return F.aggregate(cents_col, init, step)["cell"]
-
     assigned = v.crossJoin(F.broadcast(cents_row)).select(
-        "vec_id", "label", "v", _argmin_cell(F.col("v"), F.col("cents")).alias("cell")
+        "vec_id",
+        "label",
+        "v",
+        argmin_cell(F.col("v"), F.col("cents"), cents.schema["cell"].dataType).alias(
+            "cell"
+        ),
     )
     q = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv"), F.col("cell").alias("qcell")
@@ -613,4 +623,198 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nrm"), 4).alias("min_norm"),
         F.round(F.max("nrm"), 4).alias("max_norm"),
         F.round(F.avg("nrm"), 4).alias("avg_norm"),
+    )
+
+
+QUANT_ORACLE = """
+    WITH flat AS (
+      SELECT unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+             unnest(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ),
+    dims AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM flat GROUP BY dim),
+    mm AS (
+      SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM dims
+    ),
+    v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    errs AS (
+      SELECT label,
+             list_transform(range(0, len(v)), i ->
+               CASE WHEN (mxs[i+1] - mns[i+1]) = 0 THEN 0.0
+               ELSE abs((v[i+1] - mns[i+1]) -
+                    ((least(floor(((v[i+1] - mns[i+1]) / (mxs[i+1] - mns[i+1])) * 256),
+                            255) + 0.5)
+                     * (mxs[i+1] - mns[i+1])) / 256)
+               END) AS e
+      FROM v CROSS JOIN mm
+    )
+    SELECT label,
+           count(*)                       AS n_vectors,
+           round(avg(list_max(e)), 6)     AS avg_max_err,
+           round(max(list_max(e)), 6)     AS max_max_err
+    FROM errs GROUP BY label
+"""
+
+
+@query("int8_quantization_audit", oracle=QUANT_ORACLE)
+def int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization round-trip audit (X2): per-dimension
+    global min/max → 256-bin uniform quantizer (``floor``, midpoint
+    reconstruction) → per-vector max absolute reconstruction error,
+    reduced per label. The go/no-go check before shipping a quantized
+    ANN index: if max error rivals inter-vector distances, 8 bits is
+    too coarse for this corpus.
+
+    ``floor`` binning, not ``round``: both engines define floor
+    identically, while round-half placement differs across engines —
+    the quantizer itself must be engine-portable for the oracle to be
+    exact. Scale: the min/max pass is a (dim)-keyed partial aggregate
+    (64 rows out); the quantize+error pass is a pure projection
+    against the broadcast bounds row; the final reduce is per-label.
+    Two corpus scans, zero corpus shuffles.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+
+    dims = (
+        v.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    mm = dims.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("dmm")
+    ).select(F.col("dmm.mn").alias("mns"), F.col("dmm.mx").alias("mxs"))
+
+    def err_arr(vcol: Column, mns: Column, mxs: Column) -> Column:
+        d = F.zip_with(vcol, mns, lambda x, m: x - m)
+        r = F.zip_with(mxs, mns, lambda a, b: a - b)
+
+        def one(dd: Column, rr: Column) -> Column:
+            q = F.least(F.floor(((dd / rr) * 256)), F.lit(255))
+            return F.when(rr == 0, F.lit(0.0)).otherwise(
+                F.abs(dd - ((q + 0.5) * rr) / 256)
+            )
+
+        return F.zip_with(d, r, one)
+
+    errs = v.crossJoin(F.broadcast(mm)).select(
+        "label", F.array_max(err_arr(F.col("v"), F.col("mns"), F.col("mxs"))).alias("me")
+    )
+    return errs.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("me"), 6).alias("avg_max_err"),
+        F.round(F.max("me"), 6).alias("max_max_err"),
+    )
+
+
+KMEANS_ORACLE = """
+    WITH flat AS (
+      SELECT label,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+             unnest(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label AS cell, dim, round(avg(x), 6) AS c FROM flat GROUP BY label, dim
+    ),
+    cents AS (
+      SELECT cell, list(c ORDER BY dim) AS centroid FROM dims GROUP BY cell
+    ),
+    v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, v,
+             min_by(cell, list_distance(v, centroid)) AS cell
+      FROM v CROSS JOIN cents
+      GROUP BY vec_id, label, v
+    ),
+    newflat AS (
+      SELECT cell, unnest(v) AS x, unnest(range(0, len(v))) AS dim FROM assigned
+    ),
+    newdims AS (
+      SELECT cell, dim, round(avg(x), 6) AS c FROM newflat GROUP BY cell, dim
+    ),
+    newcents AS (
+      SELECT cell, list(c ORDER BY dim) AS newcentroid FROM newdims GROUP BY cell
+    ),
+    members AS (
+      SELECT cell, count(*) AS n_members FROM assigned GROUP BY cell
+    )
+    SELECT m.cell, m.n_members,
+           round(list_distance(c.centroid, n.newcentroid), 6) AS centroid_shift
+    FROM members m JOIN cents c USING (cell) JOIN newcents n USING (cell)
+"""
+
+
+@query("kmeans_lloyd_step", oracle=KMEANS_ORACLE)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means (X2 index-training kernel):
+    seed centroids = per-label means (the IVF coarse quantizer), hard
+    argmin assignment, then the centroid UPDATE step — emitting per
+    cell its member count and how far the centroid moved (the
+    convergence signal a training loop monitors). Iterating this
+    operator IS k-means; one audited step keeps the oracle
+    declarative (the recursive form is ``near_dup_clusters``-style).
+
+    Scale — the canonical distributed k-means shape: centroids are
+    KB-sized and broadcast; assignment is a pure projection (argmin
+    ``aggregate`` over the broadcast array — no shuffle of the corpus,
+    see ``argmin_cell``); the update is a (cell, dim)-keyed partial
+    aggregate that collapses map-side exactly like word-count. Both
+    lanes round centroids to 6 dp before distances so assignment
+    can't flip on last-ulp mean differences between engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+
+    dims = (
+        v.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy(F.col("label").alias("cell"), "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    cents = dims.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc")
+    ).select("cell", F.col("dc.c").alias("centroid"))
+    cents_row = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("cents")
+    )
+
+    assigned = v.crossJoin(F.broadcast(cents_row)).select(
+        "vec_id",
+        "v",
+        argmin_cell(F.col("v"), F.col("cents"), cents.schema["cell"].dataType).alias(
+            "cell"
+        ),
+    )
+    assigned = scoped_persist(assigned)  # feeds the update agg + member census
+
+    newdims = (
+        assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    newcents = newdims.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc")
+    ).select("cell", F.col("dc.c").alias("newcentroid"))
+    members = assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
+
+    shift = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("centroid"), F.col("newcentroid"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda s, z: s + z,
+        )
+    )
+    # |cells| rows per side — broadcast joins, nothing shuffles.
+    return (
+        members.join(F.broadcast(cents), "cell")
+        .join(F.broadcast(newcents), "cell")
+        .select("cell", "n_members", F.round(shift, 6).alias("centroid_shift"))
     )
