@@ -317,3 +317,32 @@ def correlated_exists_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(CORRELATED_EXISTS_SQL)
+
+
+# Same ANSI text in both engines: top-2 orders PER customer via a
+# correlated LATERAL subquery with ORDER BY + LIMIT.
+LATERAL_TOPN_SQL = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_custkey <= 100
+"""
+
+
+@query("lateral_topn_per_customer", oracle=LATERAL_TOPN_SQL)
+def lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with LIMIT (S16 depth): each
+    customer's two most expensive orders — the top-N-per-group idiom
+    written as a lateral join instead of a window.
+
+    Scale: Catalyst decorrelates the per-row subquery into a
+    ``WindowGroupLimit`` — a PARTIAL group-limit runs before the
+    o_custkey exchange (each map task keeps ≤2 rows per key), then the
+    final limit after; no per-customer re-execution and no full
+    per-group sort crosses the wire. Deterministic by the (price,
+    orderkey) tiebreak.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(LATERAL_TOPN_SQL)

@@ -112,6 +112,57 @@ def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unigram_surprisal_scores",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (
+      SELECT term, count(*) AS c FROM tokens GROUP BY term
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tokens)
+    SELECT t.doc_id,
+           count(*)                              AS n_tokens,
+           round(avg(-ln(freq.c / tot.n)), 6)    AS avg_surprisal
+    FROM tokens t JOIN freq USING (term) CROSS JOIN tot
+    GROUP BY t.doc_id
+    ORDER BY avg_surprisal DESC, t.doc_id
+    LIMIT 20
+    """,
+)
+def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring (X4): per-doc average negative log
+    probability of its tokens under the corpus unigram distribution —
+    the model-free stand-in for the perplexity filter CCNet-style
+    pipelines run (docs far above corpus-typical surprisal are noise;
+    far below are boilerplate). Top-20 most surprising docs.
+
+    Scale: one word-count aggregate builds the LM (|vocabulary| rows);
+    scoring joins tokens back on term — deliberately UNHINTED like
+    ``tf_idf_top_terms`` (AQE broadcasts a small vocab, shuffles a
+    heavy-tailed one); the total-token count is a scalar broadcast;
+    per-doc reduce is (doc_id)-keyed. Top-k is a per-partition heap.
+    ``-ln(c/n)`` is evaluated identically in both engines (division
+    then natural log).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    freq = tokens.groupBy("term").agg(F.count("*").alias("c"))
+    tot = tokens.agg(F.count("*").cast("double").alias("n"))
+    return (
+        tokens.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias("avg_surprisal"),
+        )
+        .orderBy(F.col("avg_surprisal").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
     "language_id_heuristic",
     oracle=f"""
     WITH scored AS (

@@ -31,10 +31,19 @@ def dedup_late_events(stream: DataFrame, watermark: str = "1 hour") -> DataFrame
     """Streaming exactly-once-per-id dedup with bounded state (D3).
 
     Duplicate event_ids arriving within the watermark horizon are
-    dropped; state older than the watermark is evicted. This is the
-    streaming analog of the upsert kernel's idempotence.
+    dropped — INCLUDING reissues that carry a different event time
+    (the replayed-feed case: a retry gets a fresh timestamp but the
+    same id) — and each id's state is evicted one watermark horizon
+    after first sight. ``dropDuplicatesWithinWatermark``, NOT plain
+    ``dropDuplicates``: with the plain form, dedup state is only
+    evicted when the event-time column is part of the dedup keys, so
+    keying on event_id alone would grow state with every id ever seen
+    — the bounded-state claim this operator exists for would be false.
+    This is the streaming analog of the upsert kernel's idempotence.
     """
-    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 RUNNING_TOTALS_OUTPUT = T.StructType(

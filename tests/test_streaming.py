@@ -70,13 +70,17 @@ def test_streaming_spool_matches_batch(spark, tmp_path):
 
 
 def test_watermark_dedup(spark, tmp_path):
-    """D3: duplicate event_ids within the watermark horizon are dropped."""
+    """D3: duplicate event_ids within the watermark horizon are
+    dropped — including a reissue carrying a DIFFERENT event time
+    (dropDuplicatesWithinWatermark semantics; a replayed feed retry
+    gets a fresh timestamp but the same id)."""
     src = str(tmp_path / "events")
     os.makedirs(src)
     rows = [
         {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "value": 5.0},
         {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 1, "value": 7.0},
-        {"event_id": 1, "ts": "2024-01-01 10:02:00", "user_id": 1, "value": 5.0},  # dup
+        # reissued id with a LATER ts — still inside the 1h horizon
+        {"event_id": 1, "ts": "2024-01-01 10:02:00", "user_id": 1, "value": 5.0},
     ]
     with open(os.path.join(src, "a.json"), "w") as f:
         for r in rows:
