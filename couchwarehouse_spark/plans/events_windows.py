@@ -222,3 +222,50 @@ def event_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
         .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    f AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, wk FROM e)
+    SELECT strftime(f.cw, '%Y-%m-%d')                        AS cohort_week,
+           CAST(date_diff('day', f.cw, a.wk) / 7 AS INTEGER) AS week_offset,
+           count(*)                                          AS n_active
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (D4/event analytics): users
+    grouped by first-activity week, counted active at each week
+    offset — the classic retention triangle product analytics runs on
+    an events stream.
+
+    Scale: two aggregates keyed on user_id (first-week + distinct
+    active weeks) share the same shuffle key, so the cohort join is
+    co-partitioned — no extra exchange; the final reduce is on the
+    tiny (cohort, offset) grid. ``count(*)`` suffices for distinct
+    users because the activity table is already (user, week)-unique
+    and a user has exactly one cohort. Week arithmetic is day-exact
+    (both engines truncate weeks to Monday; offsets are exact
+    multiples of 7 days).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+    f = e.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    a = e.distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            # Emitted as a string: Spark DATE → pandas object vs
+            # DuckDB DATE → datetime64 breaks the dtype compare
+            # (date_format / strftime — one token differs per lane).
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cw") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )

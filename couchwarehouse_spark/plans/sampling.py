@@ -400,3 +400,70 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag(F.col("p1") & F.col("p2")).alias("pass_tokens"),
         flag(F.col("p1") & F.col("p2") & F.col("p3")).alias("pass_all"),
     )
+
+
+RESAMPLE_BP = 10_000  # basis-point resolution of the keep-rate hash gate
+_BUCKET_10K_SQL = (
+    f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+    f"% {RESAMPLE_BP}"
+)
+
+
+@query(
+    "mixture_resample_counts",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    mn AS (SELECT min(n_docs) AS m FROM counts),
+    rates AS (
+      SELECT lang, n_docs,
+             CAST(floor(mn.m * {RESAMPLE_BP}.0 / n_docs) AS BIGINT) AS rate_bp
+      FROM counts CROSS JOIN mn
+    )
+    SELECT d.lang,
+           r.n_docs,
+           r.rate_bp,
+           CAST(sum(CASE WHEN {_BUCKET_10K_SQL} < r.rate_bp THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_docs
+    FROM documents d JOIN rates r USING (lang)
+    GROUP BY d.lang, r.n_docs, r.rate_bp
+    """,
+)
+def mixture_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling (sampling/X+): downsample every
+    language to the SMALLEST language's size (uniform target mixture)
+    via a hash gate — keep a doc iff its md5 bucket (of {RESAMPLE_BP})
+    falls below the language's integer keep-rate. The reweighting step
+    training pipelines run after measuring ``domain_mixture_weights``;
+    hash-gated (not ``rand()``) so re-running the pipeline keeps
+    exactly the same documents.
+
+    The keep-rate is ``floor(m·10⁴/n)`` with an EXPLICIT floor in both
+    lanes: DuckDB's ``/`` yields a double whose plain BIGINT cast
+    rounds-to-nearest while Spark's cast truncates — floor is the one
+    binning both engines define identically (same reasoning as the
+    int8 quantizer). Scale: one aggregate for per-stratum counts
+    (broadcast back), then one projection + aggregate over the corpus
+    — the gate never shuffles the data, and MATERIALIZING the
+    resample is the same predicate as a WHERE clause.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    mn = counts.agg(F.min("n_docs").alias("m"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n_docs",
+        F.floor(F.col("m") * float(RESAMPLE_BP) / F.col("n_docs")).alias("rate_bp"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % RESAMPLE_BP
+    )
+    return (
+        d.select("lang", bucket.alias("_b"))
+        .join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_docs", "rate_bp")
+        .agg(F.sum(F.when(F.col("_b") < F.col("rate_bp"), 1).otherwise(0)).alias("kept_docs"))
+    )
