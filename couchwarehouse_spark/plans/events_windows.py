@@ -245,14 +245,16 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset — the classic retention triangle product analytics runs on
     an events stream.
 
-    Scale: two aggregates keyed on user_id (first-week + distinct
-    active weeks) share the same shuffle key, so the cohort join is
-    co-partitioned — no extra exchange; the final reduce is on the
-    tiny (cohort, offset) grid. ``count(*)`` suffices for distinct
-    users because the activity table is already (user, week)-unique
-    and a user has exactly one cohort. Week arithmetic is day-exact
-    (both engines truncate weeks to Monday; offsets are exact
-    multiples of 7 days).
+    Scale: two hash aggregates (per-user first week; distinct (user,
+    week) activity), then an UNHINTED join on user_id — the cohort
+    table is one row per user, far smaller than the event stream, so
+    AQE broadcasts it while it fits and falls back to a user_id-keyed
+    shuffle join beyond that; the final reduce is on the tiny
+    (cohort, offset) grid. ``count(*)`` suffices for distinct users
+    because the activity table is already (user, week)-unique and a
+    user has exactly one cohort. Week arithmetic is day-exact (both
+    engines truncate weeks to Monday; offsets are exact multiples of
+    7 days).
     """
     ev = load_table(spark, sf_dir, "events")
     e = ev.select("user_id", F.date_trunc("week", "ts").alias("wk"))

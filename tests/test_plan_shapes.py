@@ -197,9 +197,66 @@ def test_minhash_band_join_shuffles_triples_only(spark):
     assert not any("sh#" in l for l in joins), "shingle arrays entered a shuffled join key"
 
 
+def test_survivor_selection_is_aggregate_not_window(spark):
+    """Survivor choice must be the argmax-struct aggregate (partial-
+    aggregated, AQE-splittable on a giant cluster), never a window;
+    the member labels broadcast into the documents scan."""
+    plan = plan_of(spark, "dedup_survivors")
+    assert "Window" not in plan
+    assert "partial_max" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_assignment_is_projection(spark):
+    """Lloyd assignment must be the broadcast-argmin projection: no
+    exchange keyed on the vector id or the raw vector anywhere."""
+    plan = plan_of(spark, "kmeans_lloyd_step")
+    assert "hashpartitioning(vec_id" not in plan
+    assert "hashpartitioning(v#" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quantization_two_scans_no_corpus_shuffle(spark):
+    """The int8 audit: bounds reduce per dimension (partial agg), the
+    quantize/error pass is a projection against the broadcast bounds
+    row, and nothing exchanges on vec_id."""
+    plan = plan_of(spark, "int8_quantization_audit")
+    assert "BroadcastNestedLoopJoin" in plan  # one-row bounds side
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "hashpartitioning(vec_id" not in plan
+
+
+def test_lateral_topn_decorrelates_to_group_limit(spark):
+    """The correlated LATERAL + LIMIT must decorrelate into a
+    WindowGroupLimit with a PARTIAL pass before the exchange — never
+    per-row subquery re-execution."""
+    plan = plan_of(spark, "lateral_topn_per_customer")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_unigram_surprisal_topk_heap(spark):
+    """LM scoring ends in a distributed top-k heap and partial-
+    aggregated word counts; no Python anywhere."""
+    plan = plan_of(spark, "unigram_surprisal_scores")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_resample_gate_is_projection(spark):
+    """The per-stratum keep-rates join back as a broadcast; the hash
+    gate itself is a projection (no corpus shuffle before the final
+    per-stratum aggregate)."""
+    plan = plan_of(spark, "mixture_resample_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
 # Entries whose PLANS legitimately contain Arrow-batched Python stages
 # (the documented UDF/mapInPandas surface) or a driver-materialized
-# result (near_dup_clusters' small-graph union-find lane).
+# result (the small-graph union-find lane shared by the component
+# queries near_dup_clusters / dedup_survivors).
 ARROW_ALLOWED = {
     "pandas_udf_disc_price",
     "grouped_agg_median_qty",
@@ -208,6 +265,7 @@ ARROW_ALLOWED = {
     "multimodal_frame_sample",
     "multimodal_resize",
     "near_dup_clusters",
+    "dedup_survivors",
 }
 
 
