@@ -413,12 +413,12 @@ MINHASH_ORACLE = f"""
     ),
     v AS (
       SELECT doc_a, doc_b,
-             round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-                   / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 4) AS jaccard
+             CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                   / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
       FROM cand JOIN sh x ON cand.doc_a = x.doc_id
                 JOIN sh y ON cand.doc_b = y.doc_id
     )
-    SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= {JACCARD_THRESHOLD}
+    SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM v WHERE j >= {JACCARD_THRESHOLD}
 """
 
 
@@ -492,9 +492,13 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # Raw-ratio threshold, rounded only for emission — keeps the LSH
+    # verify's admission rule identical to ngram_jaccard_pairs' (the
+    # subset invariant the docstring promises).
     return (
-        pairs.select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        pairs.select("doc_a", "doc_b", (inter / union).alias("_j"))
+        .filter(F.col("_j") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("_j", 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -751,11 +755,15 @@ _COMPONENTS_SQL = f"""{_JACCARD_PAIRS_SQL},
 """
 
 
-def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _component_labels(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, bool]:
     """Per-doc component labels ``(doc_id, cluster_id)`` over the
     verified Jaccard pair graph — ``cluster_id`` = the component's min
     doc_id. Shared kernel of ``near_dup_clusters`` (census) and
-    ``dedup_survivors`` (survivor selection).
+    ``dedup_survivors`` (survivor selection). Returns ``(labels,
+    driver_lane)`` — ``driver_lane`` tells callers the label table is
+    provably small (≤ CC_DRIVER_EDGE_BOUND edges), i.e. safe to
+    broadcast-hint; in the distributed lane its size is unbounded and
+    join hints must be left to AQE.
 
     Iterative min-label propagation on DataFrames: every vertex
     repeatedly takes the min label among itself and its neighbors;
@@ -807,9 +815,12 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         edges.unpersist(blocking=False)
-        return spark.createDataFrame(
-            sorted((v, find(v)) for v in parent),
-            "doc_id long, cluster_id long",
+        return (
+            spark.createDataFrame(
+                sorted((v, find(v)) for v in parent),
+                "doc_id long, cluster_id long",
+            ),
+            True,
         )
     n_parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 1_000_000 + 1))
     sym = (
@@ -860,7 +871,10 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "or switch to large-star/small-star rounds"
         )
     scoped_register(labels)  # released when the next query runs
-    return labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id"))
+    return (
+        labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")),
+        False,
+    )
 
 
 @query(
@@ -878,7 +892,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the propagation algorithm; the oracle computes the same
     components declaratively via a recursive-CTE transitive closure.
     """
-    labels = _component_labels(spark, sf_dir)
+    labels, _ = _component_labels(spark, sf_dir)
     return labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
 
 
@@ -917,17 +931,22 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keep-longest is the common heuristic; the interface is any total
     order over members).
 
-    Scale: members (near-dup docs only — orders of magnitude smaller
-    than the corpus) broadcast into the documents scan, so the corpus
-    never shuffles; survivor choice is ONE hash aggregate via an
-    argmax struct — ``max(struct(n_chars, -doc_id))`` — not a window,
-    so a giant cluster costs a partial-aggregated hot key (AQE-
-    splittable) instead of a single window task. The oracle uses the
-    equivalent window formulation.
+    Scale: the member labels join into the documents scan with a
+    broadcast hint ONLY when the driver lane proves them small
+    (≤ CC_DRIVER_EDGE_BOUND edges); the distributed lane's label
+    table is unbounded (web corpora run 30-50% near-dup), so there
+    the join is left UNHINTED — a forced broadcast would die on
+    Spark's 8 GB broadcast cap instead of degrading to a doc_id-keyed
+    shuffle, and AQE still broadcasts when runtime stats allow.
+    Survivor choice is ONE hash aggregate via an argmax struct —
+    ``max(struct(n_chars, -doc_id))`` — not a window, so a giant
+    cluster costs a partial-aggregated hot key (AQE-splittable)
+    instead of a single window task. The oracle uses the equivalent
+    window formulation.
     """
-    labels = _component_labels(spark, sf_dir)
+    labels, driver_lane = _component_labels(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    m = d.join(F.broadcast(labels), "doc_id")
+    m = d.join(F.broadcast(labels) if driver_lane else labels, "doc_id")
     # argmax-by-struct: (n_chars asc, -doc_id asc) maximized = longest
     # text, then LOWEST doc_id — deterministic without a window.
     best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))

@@ -32,18 +32,34 @@ DECON_NGRAM = 4  # word n-gram length for contamination matching
 BENCH_MOD = 50  # doc_id % 50 == 0 plays the "benchmark suite" role
 
 
-def _split_bucket(id_col):
-    """Deterministic uniform bucket in [0, 100) from the document id.
+def _hash_bucket(id_col, mod: int, salt: str = ""):
+    """Deterministic uniform bucket in [0, mod) from the document id.
 
-    First 8 hex chars of md5 → integer → mod 100: reproducible across
+    First 8 hex chars of md5 → integer → mod: reproducible across
     engines and runs (unlike ``rand()``/``TABLESAMPLE``), uniform
-    (unlike ``id % 100`` when ids carry arrival order), and stable
+    (unlike ``id % mod`` when ids carry arrival order), and stable
     under repartitioning — the property a training split must have so
     that re-running the pipeline never moves a document across splits.
+
+    ``salt`` namespaces the hash PER PURPOSE: two gates drawn from the
+    same md5 bits are perfectly correlated (with mod 100 | mod 10⁴,
+    ``bucket10k < r`` directly constrains ``bucket100``), so an
+    unsalted resample gate would e.g. land every kept doc of a heavily
+    downsampled stratum in the 'train' split. One definition here —
+    drift between the Spark and SQL forms of this expression breaks
+    every oracle downstream, so neither is ever re-implemented inline.
     """
-    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    ) % 100
+    key = F.concat(F.lit(salt), id_col.cast("string")) if salt else id_col.cast("string")
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % mod
+
+
+def _hash_bucket_sql(mod: int, salt: str = "") -> str:
+    key = f"'{salt}' || CAST(doc_id AS VARCHAR)" if salt else "CAST(doc_id AS VARCHAR)"
+    return f"CAST(('0x' || substr(md5({key}), 1, 8)) AS BIGINT) % {mod}"
+
+
+def _split_bucket(id_col):
+    return _hash_bucket(id_col, 100)
 
 
 def _split_label(bucket):
@@ -54,9 +70,7 @@ def _split_label(bucket):
     )
 
 
-_SPLIT_SQL = (
-    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
-)
+_SPLIT_SQL = _hash_bucket_sql(100)
 _LABEL_SQL = (
     f"CASE WHEN {_SPLIT_SQL} < {TRAIN_PCT} THEN 'train' "
     f"WHEN {_SPLIT_SQL} < {TRAIN_PCT + VAL_PCT} THEN 'val' ELSE 'test' END"
@@ -403,10 +417,10 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RESAMPLE_BP = 10_000  # basis-point resolution of the keep-rate hash gate
-_BUCKET_10K_SQL = (
-    f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
-    f"% {RESAMPLE_BP}"
-)
+# Salted: see _hash_bucket — unsalted, this gate would be perfectly
+# correlated with the train/val/test split buckets.
+RESAMPLE_SALT = "resample:"
+_BUCKET_10K_SQL = _hash_bucket_sql(RESAMPLE_BP, RESAMPLE_SALT)
 
 
 @query(
@@ -456,11 +470,7 @@ def mixture_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.floor(F.col("m") * float(RESAMPLE_BP) / F.col("n_docs")).alias("rate_bp"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % RESAMPLE_BP
-    )
+    bucket = _hash_bucket(F.col("doc_id"), RESAMPLE_BP, RESAMPLE_SALT)
     return (
         d.select("lang", bucket.alias("_b"))
         .join(F.broadcast(rates), "lang")

@@ -120,7 +120,7 @@ def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq AS (
       SELECT term, count(*) AS c FROM tokens GROUP BY term
     ),
-    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tokens)
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq)
     SELECT t.doc_id,
            count(*)                              AS n_tokens,
            round(avg(-ln(freq.c / tot.n)), 6)    AS avg_surprisal
@@ -140,15 +140,17 @@ def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one word-count aggregate builds the LM (|vocabulary| rows);
     scoring joins tokens back on term — deliberately UNHINTED like
     ``tf_idf_top_terms`` (AQE broadcasts a small vocab, shuffles a
-    heavy-tailed one); the total-token count is a scalar broadcast;
-    per-doc reduce is (doc_id)-keyed. Top-k is a per-partition heap.
-    ``-ln(c/n)`` is evaluated identically in both engines (division
-    then natural log).
+    heavy-tailed one); the total-token scalar reduces the vocab-sized
+    ``freq`` frame, NOT the corpus — summing per-term counts is the
+    same number without a third tokenize-and-explode pass over every
+    document. Per-doc reduce is (doc_id)-keyed; top-k is a
+    per-partition heap. ``-ln(c/n)`` is evaluated identically in both
+    engines (division then natural log).
     """
     d = load_table(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(_tokens()).alias("term"))
     freq = tokens.groupBy("term").agg(F.count("*").alias("c"))
-    tot = tokens.agg(F.count("*").cast("double").alias("n"))
+    tot = freq.agg(F.sum("c").cast("double").alias("n"))
     return (
         tokens.join(freq, "term")
         .crossJoin(F.broadcast(tot))

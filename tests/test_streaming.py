@@ -70,24 +70,51 @@ def test_streaming_spool_matches_batch(spark, tmp_path):
 
 
 def test_watermark_dedup(spark, tmp_path):
-    """D3: duplicate event_ids within the watermark horizon are
-    dropped — including a reissue carrying a DIFFERENT event time
-    (dropDuplicatesWithinWatermark semantics; a replayed feed retry
-    gets a fresh timestamp but the same id)."""
+    """D3: the three behaviors that distinguish
+    ``dropDuplicatesWithinWatermark`` from plain ``dropDuplicates``:
+    a reissue with a DIFFERENT event time inside the horizon is
+    dropped, the id's state is EVICTED once the watermark passes its
+    horizon, and a reissue after eviction is re-admitted. Plain
+    dropDuplicates keyed on event_id alone would pass the first check
+    but fail the third (state never evicted → the late reissue
+    silently dropped) — which is exactly the unbounded-state bug the
+    operator switched away from."""
     src = str(tmp_path / "events")
     os.makedirs(src)
-    rows = [
+
+    def write(name, rows, mtime):
+        p = os.path.join(src, name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (mtime, mtime))  # FileStreamSource orders by mtime
+
+    # Batch 1: first sightings + an in-horizon reissue of id 1 with a
+    # different ts (dropped). Watermark after: 10:02 - 1h.
+    write("a.json", [
         {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "value": 5.0},
         {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 1, "value": 7.0},
-        # reissued id with a LATER ts — still inside the 1h horizon
         {"event_id": 1, "ts": "2024-01-01 10:02:00", "user_id": 1, "value": 5.0},
-    ]
-    with open(os.path.join(src, "a.json"), "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
+    ], 1_000_000)
+    # Batch 2: advances the watermark to 11:30 — past id 1's 11:00
+    # expiry (first-seen 10:00 + 1h horizon).
+    write("b.json", [
+        {"event_id": 3, "ts": "2024-01-01 12:30:00", "user_id": 2, "value": 1.0},
+    ], 1_000_100)
+    # Batch 3: spacer — state cleanup runs at batch END, with the
+    # watermark as of batch START (the previous batch's commit), so
+    # id 1's eviction lands at the end of THIS batch.
+    write("c.json", [
+        {"event_id": 4, "ts": "2024-01-01 12:31:00", "user_id": 2, "value": 2.0},
+    ], 1_000_200)
+    # Batch 4: id 1 reissued AFTER eviction → re-admitted.
+    write("d.json", [
+        {"event_id": 1, "ts": "2024-01-01 13:00:00", "user_id": 1, "value": 5.0},
+    ], 1_000_300)
 
     stream = (
         spark.readStream.schema("event_id LONG, ts STRING, user_id LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
         .json(src)
         .withColumn("ts", F.to_timestamp("ts"))
     )
@@ -101,7 +128,7 @@ def test_watermark_dedup(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = spark.sql("SELECT event_id FROM dedup_out ORDER BY event_id").collect()
-    assert [r["event_id"] for r in got] == [1, 2]
+    assert [r["event_id"] for r in got] == [1, 1, 2, 3, 4]
 
 
 def test_stateful_running_totals(spark, tmp_path):
