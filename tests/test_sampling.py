@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import couchwarehouse_spark.plans.all  # noqa: F401  (populate registry)
 from couchwarehouse_spark.catalog import load_table
 from couchwarehouse_spark.plans.sampling import SAMPLE_K
 from couchwarehouse_spark.plans.registry import QUERIES
@@ -58,3 +59,55 @@ def test_full_outer_cohorts_cover_all_customers(spark):
     n96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
     expected_total = n95.union(n96).distinct().count()
     assert r["n_customers"].sum() == expected_total
+
+
+def test_resample_gate_decorrelated_from_split():
+    """The salted resample gate must be independent of the split
+    bucket: at a harsh keep-rate the kept set still lands ~80/10/10
+    across train/val/test. The UNSALTED gate is provably correlated
+    (100 | 10000 ⇒ bucket10k < 40 forces bucket100 < 40 ⇒ every kept
+    doc is 'train') — this pins the salt so a refactor can never drop
+    it silently. DuckDB evaluates the exact SQL forms the oracles use."""
+    import duckdb
+
+    from couchwarehouse_spark.plans.sampling import (
+        RESAMPLE_BP,
+        RESAMPLE_SALT,
+        _hash_bucket_sql,
+    )
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW ids AS SELECT range AS doc_id FROM range(0, 20000)")
+    salted = _hash_bucket_sql(RESAMPLE_BP, RESAMPLE_SALT).replace("doc_id", "ids.doc_id")
+    unsalted = _hash_bucket_sql(RESAMPLE_BP).replace("doc_id", "ids.doc_id")
+    split = _hash_bucket_sql(100).replace("doc_id", "ids.doc_id")
+    rate = 40  # keep 0.4% — the harsh-downsample regime
+    got = con.sql(
+        f"""SELECT
+              count(*) FILTER ({salted} < {rate})                          AS kept,
+              count(*) FILTER ({salted} < {rate} AND {split} >= 80)        AS kept_eval,
+              count(*) FILTER ({unsalted} < {rate} AND {split} >= 80)      AS unsalted_eval
+            FROM ids"""
+    ).fetchone()
+    kept, kept_eval, unsalted_eval = got
+    assert kept > 40  # the gate actually fires at this resolution
+    # Salted: ~20% of kept docs belong to val/test (loose bounds).
+    assert 0.05 < kept_eval / kept < 0.4
+    # Unsalted: provably zero kept docs outside train.
+    assert unsalted_eval == 0
+
+
+def test_quantizer_error_within_theoretical_bound(spark):
+    """int8 midpoint reconstruction error is bounded by half a bin:
+    max_abs_err ≤ max_dim_range/512 (+ float slack). Catches any
+    regression that breaks the quantizer arithmetic while leaving both
+    lanes consistently wrong (which the oracle alone cannot see)."""
+    audit = QUERIES["int8_quantization_audit"](spark, SF_SMOKE).toPandas()
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    rng = emb.groupBy("dim").agg((F.max("x") - F.min("x")).alias("r")).toPandas()
+    bound = rng["r"].max() / 512 + 1e-9
+    assert (audit["max_max_err"] <= bound).all()
+    assert (audit["avg_max_err"] <= audit["max_max_err"]).all()
+    assert (audit["max_max_err"] > 0).all()  # non-vacuous
