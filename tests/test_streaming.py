@@ -169,3 +169,54 @@ def test_stateful_running_totals(spark, tmp_path):
     }
     assert got[1] == (2, 15.0)
     assert got[2] == (1, 1.0)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """D-depth: watermarked stream-stream interval join — a click
+    matches a view by the same user within 10 minutes; later clicks
+    don't."""
+    from couchwarehouse_spark.streaming.joins import interval_join_streams
+
+    views_dir = str(tmp_path / "views")
+    clicks_dir = str(tmp_path / "clicks")
+    os.makedirs(views_dir)
+    os.makedirs(clicks_dir)
+    with open(os.path.join(views_dir, "v.json"), "w") as f:
+        for r in [
+            {"user_id": 1, "view_ts": "2024-01-01 10:00:00", "page": "a"},
+            {"user_id": 2, "view_ts": "2024-01-01 10:00:00", "page": "b"},
+        ]:
+            f.write(json.dumps(r) + "\n")
+    with open(os.path.join(clicks_dir, "c.json"), "w") as f:
+        for r in [
+            # user 1 clicks 5 min after the view → matches
+            {"user_id": 1, "click_ts": "2024-01-01 10:05:00", "target": "x"},
+            # user 2 clicks 1 h after the view → outside the interval
+            {"user_id": 2, "click_ts": "2024-01-01 11:00:00", "target": "y"},
+        ]:
+            f.write(json.dumps(r) + "\n")
+
+    views = (
+        spark.readStream.schema("user_id LONG, view_ts STRING, page STRING")
+        .json(views_dir)
+        .withColumn("view_ts", F.to_timestamp("view_ts"))
+    )
+    clicks = (
+        spark.readStream.schema("user_id LONG, click_ts STRING, target STRING")
+        .json(clicks_dir)
+        .withColumn("click_ts", F.to_timestamp("click_ts"))
+    )
+    joined = interval_join_streams(
+        views, clicks, key="user_id", left_ts="view_ts", right_ts="click_ts"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT user_id, page, target FROM ssj_out").collect()
+    assert len(got) == 1
+    assert (got[0]["user_id"], got[0]["page"], got[0]["target"]) == (1, "a", "x")
