@@ -23,8 +23,8 @@ def interval_join_streams(
     left: DataFrame,
     right: DataFrame,
     key: str,
-    left_ts: str = "ts",
-    right_ts: str = "ts",
+    left_ts: str,
+    right_ts: str,
     watermark: str = "1 hour",
     interval: str = "10 minutes",
 ) -> DataFrame:
@@ -32,7 +32,9 @@ def interval_join_streams(
     ``key`` and the right event lands in ``[left_ts, left_ts +
     interval]``. Column names on the two sides must differ except for
     ``key`` (rename before calling — the result carries both sides'
-    columns).
+    columns); ``left_ts``/``right_ts`` are therefore REQUIRED and must
+    name distinct columns, or the joined frame would carry an
+    ambiguous event-time column no downstream select could reference.
 
     Scale: state is partitioned by the join key (one shuffle per
     side); the interval bound plus the watermark give each buffered
@@ -41,6 +43,10 @@ def interval_join_streams(
     stay in the join condition — filtering after the join would
     rebuild the unbounded-state plan.
     """
+    if left_ts == right_ts:
+        raise ValueError(
+            f"left_ts and right_ts must be distinct columns, both are {left_ts!r}"
+        )
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = (

@@ -107,7 +107,10 @@ def test_quantizer_error_within_theoretical_bound(spark):
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
     )
     rng = emb.groupBy("dim").agg((F.max("x") - F.min("x")).alias("r")).toPandas()
-    bound = rng["r"].max() / 512 + 1e-9
+    # Slack covers the audit's round(...,6) half-up emission: the true
+    # max error can be EXACTLY range/512, whose 6-dp rounding may
+    # exceed the raw bound by up to half the rounding quantum.
+    bound = rng["r"].max() / 512 + 5e-7
     assert (audit["max_max_err"] <= bound).all()
     assert (audit["avg_max_err"] <= audit["max_max_err"]).all()
     assert (audit["max_max_err"] > 0).all()  # non-vacuous
