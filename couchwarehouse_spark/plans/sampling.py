@@ -477,3 +477,65 @@ def mixture_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "n_docs", "rate_bp")
         .agg(F.sum(F.when(F.col("_b") < F.col("rate_bp"), 1).otherwise(0)).alias("kept_docs"))
     )
+
+
+@query(
+    "corpus_build_pipeline",
+    oracle=f"""
+    WITH q AS (
+      SELECT * FROM documents
+      WHERE n_chars >= {MIN_CHARS}
+        AND len(string_split(text, ' ')) >= {MIN_TOKENS}
+    ),
+    fp AS (SELECT doc_id, {{fingerprint}} AS f FROM q),
+    canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+    kept AS (SELECT q.* FROM q JOIN canon USING (doc_id))
+    SELECT lang,
+           {{label}}                                             AS split,
+           count(*)                                              AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)     AS total_tokens
+    FROM kept GROUP BY lang, 2
+    """.replace("{fingerprint}", FINGERPRINT_SQL).replace("{label}", _LABEL_SQL),
+)
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build (X+ capstone): quality gate →
+    canonical content dedup (keep min-id per winnowing fingerprint) →
+    deterministic split assignment → per-(lang, split) doc/token
+    census — the whole dataset-assembly chain as ONE oracle-backed
+    composition of the components each proved alone (quality_filter_
+    funnel, exact_dedup_canonical, deterministic_split). This is the
+    query a user runs to ship a training corpus, and the oracle never
+    sees any intermediate.
+
+    Scale: the quality gate is a pushed filter; survivor selection is
+    a fingerprint-keyed aggregate (word-count shape) whose canonical
+    id set joins back UNHINTED on doc_id (AQE broadcasts it while the
+    near-dup survivor set fits, shuffles beyond); the census is a
+    low-cardinality hash aggregate. No window over the corpus, no
+    driver participation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    q = d.filter(
+        (F.col("n_chars") >= MIN_CHARS) & (F.size(toks) >= MIN_TOKENS)
+    )
+    q = scoped_persist(q)  # feeds fingerprinting AND the canonical join-back
+    canon = (
+        q.select("doc_id", fingerprint_col().alias("f"))
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = q.join(canon, "doc_id", "left_semi")
+    return (
+        kept.select(
+            "lang",
+            _split_label(_split_bucket(F.col("doc_id"))).alias("split"),
+            F.size(toks).alias("_n_tok"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n_tok").cast("long").alias("total_tokens"),
+        )
+    )
