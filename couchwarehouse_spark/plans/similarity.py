@@ -818,3 +818,60 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(newcents), "cell")
         .select("cell", "n_members", F.round(shift, 6).alias("centroid_shift"))
     )
+
+
+KNN_GRAPH_K = 3
+
+KNN_GRAPH_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {_bucket_expr_sql('embedding', _PLANES)} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id, a.bucket,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                                         b.vec_id) AS rank,
+             round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, nbr_id, rank, cos_sim FROM scored WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
+@query("knn_graph_bucketed", oracle=KNN_GRAPH_ORACLE)
+def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed k-NN graph construction (X2): every vector's top-k
+    cosine neighbors WITHIN its SRP-LSH bucket — the all-nodes
+    companion to the single-query ANN entries, and the build step for
+    graph-based near-dup clustering and HNSW-style index seeding.
+
+    Scale: the self-join keys on the bucket id — SRP buckets are
+    near-uniform by construction (random hyperplanes), so the
+    quadratic pair work is N·(N/2^planes) spread evenly, never
+    all-pairs; plane count is the dial that keeps per-bucket size
+    bounded as N grows. The per-node rank window partitions on
+    (vec_id) over only that node's bucket candidates; if buckets ever
+    get hot the two-stage heap of ``ann_batch_topk`` is the drop-in
+    refinement. Identical hyperplane literals in both lanes keep even
+    this approximate structure exactly oracle-checked.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("bucket", _bucket_expr_spark("v", _PLANES))
+    a = v.select(F.col("vec_id"), F.col("v").alias("va"), "bucket")
+    b = v.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb"), "bucket")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), "nbr_id")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .withColumn("_cos", cosine(F.col("va"), F.col("vb")))
+        .select("vec_id", "nbr_id", "bucket", "_cos")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .select("vec_id", "nbr_id", "rank", F.round("_cos", 4).alias("cos_sim"))
+    )

@@ -286,3 +286,11 @@ def test_no_python_anywhere_except_udf_surface(spark):
             violations[name] = [t for t in arrow_tokens if t in plan]
         spark.catalog.clearCache()
     assert not violations, violations
+
+
+def test_knn_graph_group_limit_and_no_python(spark):
+    """The per-node rank filter must compile to a WindowGroupLimit
+    (k rows kept per node before the full window), JVM-only."""
+    plan = plan_of(spark, "knn_graph_bucketed")
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
