@@ -452,6 +452,68 @@ class Warehouse:
             schema[name] = _logical_of(field.dataType)
         return schema
 
+    def compact(
+        self, doc_type: str = DEFAULT_TYPE, max_files_per_bucket: int = 4
+    ) -> int:
+        """Compact fragmented bucket directories (operational kernel).
+
+        Every micro-batch merge rewrites its affected buckets with the
+        session's task parallelism, so a hot bucket accumulates small
+        part-files over time — the classic small-files problem that
+        degrades scan throughput at scale. This rewrites every bucket
+        holding more than ``max_files_per_bucket`` parquet parts down
+        to ~one file, reusing the crash-safe swap journal: a crash
+        mid-compaction rolls back to the exact pre-compaction state on
+        the next open (content is unchanged either way — compaction
+        only re-clusters bytes). Returns the number of buckets
+        rewritten. Delta/Iceberg's OPTIMIZE is the managed-table
+        equivalent and remains the documented upgrade.
+        """
+        path = self._table_path(doc_type)
+        self._recover_swap(path)
+        if not os.path.isdir(path):
+            return 0
+        todo: list[int] = []
+        for entry in sorted(os.listdir(path)):
+            if not entry.startswith("_cw_bucket="):
+                continue
+            n_parts = sum(
+                1
+                for f in os.listdir(os.path.join(path, entry))
+                if f.endswith(".parquet")
+            )
+            if n_parts > max_files_per_bucket:
+                todo.append(int(entry.split("=", 1)[1]))
+        if not todo:
+            return 0
+
+        tmp = path + "._tmp"
+        trash = path + "._old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+        # basePath keeps _cw_bucket as a partition column while reading
+        # ONLY the fragmented bucket dirs; repartition by the bucket
+        # column so each bucket lands in one task → ~one output file.
+        df = (
+            self.spark.read.option("basePath", path)
+            .parquet(*[os.path.join(path, f"_cw_bucket={b}") for b in todo])
+            .repartition(len(todo), "_cw_bucket")
+        )
+        df.write.mode("overwrite").partitionBy("_cw_bucket").parquet(tmp)
+
+        # Journal + per-bucket swap — same protocol as the merge; every
+        # affected bucket has pre-existing data by construction.
+        self._begin_swap(path, todo, had_old=list(todo))
+        os.makedirs(trash, exist_ok=True)
+        for b in todo:
+            part = f"_cw_bucket={b}"
+            os.rename(os.path.join(path, part), os.path.join(trash, part))
+            os.rename(os.path.join(tmp, part), os.path.join(path, part))
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+        self._finish_swap(path)
+        return len(todo)
+
     # -- query surface (R17) -------------------------------------------
 
     def register_view(self, doc_type: str = DEFAULT_TYPE) -> DataFrame:

@@ -392,3 +392,83 @@ def test_swap_crash_recovery_keeps_untouched_buckets(spark, tmp_path):
     wh2 = Warehouse(spark, str(tmp_path / "wh"), "crash2data", n_buckets=8)
     after = {r["id"]: r["name"] for r in wh2.table().collect()}
     assert after == before
+
+
+def test_compact_reduces_files_preserves_content(spark, tmp_path):
+    """Bucket compaction: repeated merges fragment bucket dirs into
+    multiple part-files; compact() rewrites fragmented buckets to ~one
+    file via the crash-safe swap journal, changing layout but not one
+    row of content."""
+    import os
+
+    import shutil
+
+    rng = random.Random(5)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "compactdata", n_buckets=4)
+    feed1 = str(tmp_path / "f1.jsonl")
+    write_feed(feed1, [envelope(i + 1, order_doc(i, rng)) for i in range(60)])
+    wh.spool(feed1)
+    feed2 = str(tmp_path / "f2.jsonl")
+    write_feed(
+        feed2,
+        [
+            envelope(
+                1000 + i, dict(order_doc(i, rng), status="amended", _rev="2-z")
+            )
+            for i in range(60)
+        ],
+    )
+    wh.spool(feed2)
+
+    path = wh._table_path("_default")
+
+    # At production scale the merge's write tasks spread a bucket's
+    # rows over many part-files; at test size AQE coalesces to one
+    # task, so fabricate that state: re-split two bucket dirs into 3
+    # parts each (content byte-identical, layout fragmented).
+    frag = [e for e in sorted(os.listdir(path)) if e.startswith("_cw_bucket=")][:2]
+    for part in frag:
+        bdir = os.path.join(path, part)
+        split_tmp = str(tmp_path / f"split_{part}")
+        spark.read.parquet(bdir).repartition(3).write.mode("overwrite").parquet(
+            split_tmp
+        )
+        shutil.rmtree(bdir)
+        os.makedirs(bdir)
+        for f in os.listdir(split_tmp):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(split_tmp, f), os.path.join(bdir, f))
+
+    def files_per_bucket():
+        out = {}
+        for e in os.listdir(path):
+            if e.startswith("_cw_bucket="):
+                out[e] = sum(
+                    1
+                    for f in os.listdir(os.path.join(path, e))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before_rows = sorted(
+        (r["id"], r["status"]) for r in wh.table().collect()
+    )
+    before_files = files_per_bucket()
+    assert any(n > 1 for n in before_files.values()), "fixture must fragment"
+
+    n = wh.compact(max_files_per_bucket=1)
+    assert n >= 1
+
+    after_files = files_per_bucket()
+    assert set(after_files) == set(before_files)  # no bucket lost
+    for part, n_files in after_files.items():
+        if before_files[part] > 1:
+            assert n_files == 1, part
+    after_rows = sorted((r["id"], r["status"]) for r in wh.table().collect())
+    assert after_rows == before_rows
+    assert all(r[1] == "amended" for r in after_rows)
+    # Journal clean: no marker, no trash, no tmp.
+    assert not os.path.exists(wh._swap_marker(path))
+    assert not os.path.isdir(path + "._old") and not os.path.isdir(path + "._tmp")
+    # Second pass is a no-op.
+    assert wh.compact(max_files_per_bucket=1) == 0
