@@ -271,3 +271,75 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active"))
     )
+
+
+ANOMALY_TRAIL = 24  # trailing window (hours) for the rate baseline
+ANOMALY_TOP = 10
+
+
+@query(
+    "event_rate_anomaly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    scored AS (
+      SELECT h, n,
+             avg(n)         OVER w AS mu,
+             stddev_samp(n) OVER w AS sd,
+             count(*)       OVER w AS n_base
+      FROM hourly
+      WINDOW w AS (ORDER BY h ROWS BETWEEN {ANOMALY_TRAIL} PRECEDING
+                                       AND 1 PRECEDING)
+    )
+    SELECT strftime(h, '%Y-%m-%d %H') AS hour,
+           n                          AS n_events,
+           round((n - mu) / sd, 4)    AS z_score
+    FROM scored
+    WHERE n_base = {ANOMALY_TRAIL} AND sd > 0
+    ORDER BY abs((n - mu) / sd) DESC, h
+    LIMIT {ANOMALY_TOP}
+    """,
+)
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly scan (D4/observability): hourly event counts
+    z-scored against the trailing {24}-hour baseline; top-{10} most
+    anomalous hours. The alerting query an ingest pipeline runs over
+    its own event stream (rate spike = upstream replay; dip = stalled
+    feed).
+
+    Scale: the corpus reduces to the HOURLY GRID first (one hash
+    aggregate, partial map-side) — the trailing window then runs over
+    rows-per-hour, thousands of rows per YEAR, so the single-ordered-
+    window concern never applies; warm-up hours (incomplete baseline)
+    and zero-variance baselines are excluded in both lanes rather
+    than scored against undefined denominators.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(F.date_trunc("hour", "ts").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("h").rowsBetween(-ANOMALY_TRAIL, -1)
+    scored = hourly.select(
+        "h",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_base"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter((F.col("n_base") == ANOMALY_TRAIL) & (F.col("sd") > 0))
+        .orderBy(F.abs(z).desc(), "h")
+        .limit(ANOMALY_TOP)
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH").alias("hour"),
+            F.col("n").alias("n_events"),
+            F.round(z, 4).alias("z_score"),
+        )
+    )
