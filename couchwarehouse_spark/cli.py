@@ -70,6 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="monitor-mode trigger interval")
     p.add_argument("--sql", default=None,
                    help="SQL to run against the warehouse after spooling (R17)")
+    p.add_argument("--compact", action="store_true",
+                   help="after spooling, compact fragmented bucket dirs")
     p.add_argument("--quiet", action="store_true",
                    help="suppress progress/instruction output")
     return p
@@ -113,6 +115,11 @@ def main(argv: list[str] | None = None) -> int:
     last = wh.spool(args.feed)
     if not args.quiet:
         print(f"couchwarehouse: spooled through seq {last}")
+    if args.compact:
+        for doc_type in wh.schemas:
+            n = wh.compact(doc_type)
+            if n and not args.quiet:
+                print(f"couchwarehouse: compacted {n} buckets of {doc_type}")
     if args.sql:
         wh.query(args.sql).show(50, truncate=False)
     return 0

@@ -95,3 +95,23 @@ def test_cli_rejects_bad_selector(tmp_path):
 
     with pytest.raises(SystemExit):
         main(["-f", "x", "-d", "y", "--query", "{not json"])
+
+
+def test_cli_compact_flag(spark, tmp_path, capsys):
+    """--compact runs compaction over every discovered doc type after
+    the spool (a no-op on an unfragmented fresh table) and the
+    warehouse stays queryable."""
+    feed = _mixed_feed(str(tmp_path / "feed"))
+    rc = main(
+        [
+            "--feed", feed,
+            "--database", "compactdb",
+            "--warehouse-dir", str(tmp_path / "wh"),
+            "--split", "type",
+            "--compact",
+            "--sql", "SELECT count(*) AS n FROM compactdb_order",
+            "--reset",
+        ]
+    )
+    assert rc == 0
+    assert "8" in capsys.readouterr().out
