@@ -294,3 +294,44 @@ def test_knn_graph_group_limit_and_no_python(spark):
     plan = plan_of(spark, "knn_graph_bucketed")
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_build_pushes_quality_gate(spark):
+    """The quality gate must reach the parquet scan; dedup survivor
+    filtering is a LeftSemi join; JVM-only throughout."""
+    plan = plan_of(spark, "corpus_build_pipeline")
+    assert "GreaterThanOrEqual(n_chars,200)" in plan
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cohort_retention_prunes_scan(spark):
+    """Both event scans read exactly (ts, user_id) — retention never
+    touches the payload columns."""
+    plan = explain_str(spark, "cohort_retention")
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "ts" in line and "user_id" in line
+            assert "props" not in line and "value" not in line
+    assert "BatchEvalPython" not in plan
+
+
+def test_event_rate_anomaly_windows_hourly_grid_only(spark):
+    """The stream reduces to the hourly grid (partial-aggregated)
+    BEFORE the single ordered window runs — the window input is
+    rows-per-hour, never raw events."""
+    plan = plan_of(spark, "event_rate_anomaly")
+    assert "partial_count" in plan
+    assert "Window" in plan
+    # The window must sit above the hour aggregate: find positions.
+    agg_pos = plan.index("partial_count")
+    win_pos = plan.index("Window")
+    assert win_pos < agg_pos  # executed plan prints top-down
+
+
+def test_source_overlap_keys_on_fingerprint(spark):
+    """The source-pair self-join must key on the fingerprint — JVM-
+    only, partial-aggregated output."""
+    plan = plan_of(spark, "source_overlap_matrix")
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
