@@ -91,6 +91,43 @@ def merge_batch(
     return winners.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
 
 
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str = "id", seq: str = SEQ_COL
+) -> DataFrame:
+    """Change-data-capture between two table states (ETL-kernel
+    companion to the merge): every key classified as ``insert`` (only
+    in ``new``), ``delete`` (only in ``old``) or ``update`` (in both
+    with a different seq — the seq IS the version stamp the merge
+    maintains, so no column-by-column compare is needed). Unchanged
+    keys are dropped. This is the change feed a downstream consumer
+    (the reference's ES/JDBC sinks, an audit log, an incremental
+    materialized view) applies to follow the warehouse.
+
+    Scale: one full-outer join on the key — both sides are table
+    states with the same bucket layout, and the output is only the
+    changed keys. Seq comparison, not row comparison: O(1) per key
+    regardless of column count.
+    """
+    o = old.select(F.col(key).alias("_k"), F.col(seq).alias("_seq_old"))
+    n = new.select(F.col(key).alias("_k"), F.col(seq).alias("_seq_new"))
+    joined = o.join(n, "_k", "full_outer")
+    change = (
+        F.when(F.col("_seq_old").isNull(), F.lit("insert"))
+        .when(F.col("_seq_new").isNull(), F.lit("delete"))
+        .when(F.col("_seq_old") != F.col("_seq_new"), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            F.col("_k").alias(key),
+            "change_type",
+            F.col("_seq_old").alias("old_seq"),
+            F.col("_seq_new").alias("new_seq"),
+        )
+    )
+
+
 class CheckpointStore:
     """Append-only ``(tablename, seq)`` checkpoint log (R14).
 

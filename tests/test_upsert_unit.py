@@ -112,3 +112,27 @@ def test_sample_frames_fanout_contiguous(spark):
         for r in v:
             assert r["ts_ms"] == r["frame_idx"] * 250
             assert len(r["frame"]) == 16
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    """CDC between two table states: insert/update/delete by seq
+    comparison; unchanged keys emit nothing."""
+    from couchwarehouse_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z")],
+        "id string, _cw_seq long, payload string",
+    )
+    new = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 5, "y2"), ("d", 6, "w")],
+        "id string, _cw_seq long, payload string",
+    )
+    got = {
+        r["id"]: (r["change_type"], r["old_seq"], r["new_seq"])
+        for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        "b": ("update", 2, 5),
+        "c": ("delete", 3, None),
+        "d": ("insert", None, 6),
+    }  # 'a' unchanged → absent
