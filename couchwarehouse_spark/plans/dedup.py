@@ -965,3 +965,85 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total_chars") - F.col("_best.n_chars")).alias("dropped_chars"),
         )
     )
+
+
+# The minhash oracle's CTE list (everything before its final SELECT),
+# reused verbatim by the recall audit; the jaccard CTEs get their `t`
+# renamed to avoid colliding with minhash's `t`.
+_MINHASH_CTES = MINHASH_ORACLE.strip()[len("WITH "):].rsplit("SELECT doc_a", 1)[0].rstrip()
+_JACCARD_RENAMED = _JACCARD_PAIRS_SQL.replace("t AS (", "jt AS (").replace(
+    "FROM t a JOIN t b", "FROM jt a JOIN jt b"
+)
+
+RECALL_ORACLE = f"""
+    WITH {_MINHASH_CTES},
+    {_JACCARD_RENAMED},
+    lsh AS (SELECT doc_a, doc_b FROM v WHERE j >= {JACCARD_THRESHOLD}),
+    lsh_lang AS (
+      SELECT l.doc_a, l.doc_b
+      FROM lsh l JOIN documents x ON l.doc_a = x.doc_id
+                 JOIN documents y ON l.doc_b = y.doc_id
+      WHERE x.lang = y.lang
+    ),
+    m AS (
+      SELECT count(*) AS c FROM (
+        SELECT doc_a, doc_b FROM lsh_lang
+        INTERSECT SELECT doc_a, doc_b FROM pairs
+      )
+    )
+    SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT)    AS n_exact,
+           CAST((SELECT count(*) FROM lsh_lang) AS BIGINT) AS n_lsh_same_lang,
+           CAST((SELECT c FROM m) AS BIGINT)               AS n_matched,
+           round((SELECT c FROM m) * 1.0
+                 / nullif((SELECT count(*) FROM pairs), 0), 4) AS recall
+"""
+
+
+@query("lsh_recall_audit", oracle=RECALL_ORACLE)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the approximate near-dup path (X1 self-check):
+    MinHash-LSH's verified same-lang pairs measured against the
+    exhaustive prefix-filtered Jaccard pair set — the audit a pipeline
+    runs before trusting LSH band parameters on a new corpus (recall
+    <1 means band/row settings are dropping true near-dups; the dial
+    is N_BANDS x rows-per-band).
+
+    Scale: both inputs are the already-scale-safe operators; the
+    audit itself joins only PAIR tables (near-dup pairs, orders of
+    magnitude smaller than the corpus — broadcast) plus a doc_id-
+    keyed lang lookup. Runs both pipelines, so cost ≈ their sum — an
+    audit run, not a production step.
+    """
+    exact = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # NOTE: this nested registered call releases the previous call's
+    # scoped persists (registry ordering constraint) — `exact` stays a
+    # valid lazy plan and recomputes where needed.
+    lsh = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+
+    # Lang attachment: the PAIR side broadcasts into the two doc
+    # scans (the corpus side must never broadcast).
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    a_lang = d.withColumnsRenamed({"doc_id": "doc_a", "lang": "lang_a"}).join(
+        F.broadcast(lsh), "doc_a"
+    )
+    lsh_lang = (
+        d.withColumnsRenamed({"doc_id": "doc_b", "lang": "lang_b"})
+        .join(F.broadcast(a_lang), "doc_b")
+        .filter(F.col("lang_a") == F.col("lang_b"))
+        .select("doc_a", "doc_b")
+    )
+    matched = lsh_lang.join(exact, ["doc_a", "doc_b"], "left_semi")
+
+    ne = exact.agg(F.count("*").alias("n_exact"))
+    nl = lsh_lang.agg(F.count("*").alias("n_lsh_same_lang"))
+    nm = matched.agg(F.count("*").alias("n_matched"))
+    return (
+        ne.crossJoin(nl)
+        .crossJoin(nm)
+        .select(
+            "n_exact",
+            "n_lsh_same_lang",
+            "n_matched",
+            F.expr("round(n_matched * 1.0 / nullif(n_exact, 0), 4)").alias("recall"),
+        )
+    )
