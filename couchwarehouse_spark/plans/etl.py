@@ -203,3 +203,66 @@ def mango_selector_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+@query(
+    "snapshot_cdc",
+    oracle="""
+    WITH thr AS (SELECT max(event_id) // 2 AS t FROM events),
+    old_state AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events, thr WHERE event_id <= thr.t
+      ) WHERE rn = 1
+    ),
+    new_all AS (
+      SELECT user_id, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    new_state AS (
+      SELECT user_id, event_id FROM new_all
+      WHERE user_id NOT IN (SELECT user_id FROM new_all WHERE event_type = 'error')
+    )
+    SELECT * FROM (
+      SELECT coalesce(o.user_id, n.user_id) AS user_id,
+             CASE WHEN o.user_id IS NULL THEN 'insert'
+                  WHEN n.user_id IS NULL THEN 'delete'
+                  WHEN o.event_id != n.event_id THEN 'update' END AS change_type,
+             o.event_id AS old_seq, n.event_id AS new_seq
+      FROM old_state o FULL OUTER JOIN new_state n ON o.user_id = n.user_id
+    ) WHERE change_type IS NOT NULL
+    """,
+)
+def snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two warehouse states via the real
+    ``operators.upsert.snapshot_diff`` (ETL-kernel companion — the
+    change feed the reference's ES/JDBC sinks would apply to follow
+    the warehouse, reference lib/elasticsearch.js:16-44 upsert/delete
+    per change).
+
+    The "old" state is the latest-wins merge over the first half of
+    the feed (event_id ≤ max/2); the "new" state is the full merge
+    with error-tombstoned users deleted — so all three change classes
+    (insert / update / delete) appear and are hash-checked.
+
+    Scale: the halfway threshold is a broadcast one-row aggregate
+    (no driver round-trip); the diff itself is one full-outer join on
+    the key comparing seq stamps only — O(1) per key regardless of
+    row width, and only changed keys survive.
+    """
+    from couchwarehouse_spark.operators.upsert import snapshot_diff
+
+    ev = load_table(spark, sf_dir, "events")
+    thr = ev.agg(F.expr("max(event_id) DIV 2").alias("_thr"))
+    old_half = ev.join(F.broadcast(thr), F.col("event_id") <= F.col("_thr")).drop(
+        "_thr"
+    )
+    old_state = latest_wins(old_half, key="user_id", seq="event_id")
+    new_all = latest_wins(ev, key="user_id", seq="event_id")
+    tombs = new_all.filter(F.col("event_type") == "error").select("user_id")
+    new_state = apply_deletes(new_all, tombs, key="user_id")
+    return snapshot_diff(old_state, new_state, key="user_id", seq="event_id")

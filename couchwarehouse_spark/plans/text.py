@@ -565,3 +565,59 @@ def token_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(topk).alias("topk_tokens"),
         F.round(F.sum(topk).cast("double") / F.sum("c"), 6).alias("topk_coverage"),
     )
+
+
+CHUNK_WINDOW = 32   # tokens per training chunk
+CHUNK_STRIDE = 16   # overlap = window - stride
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS s FROM t)
+    SELECT doc_id,
+           s // {CHUNK_STRIDE} AS chunk_id,
+           len(list_slice(toks, s + 1, s + {CHUNK_WINDOW})) AS n_tokens,
+           array_to_string(list_slice(toks, s + 1, s + {CHUNK_WINDOW}), ' ') AS chunk_text
+    FROM c
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (X4/X+): split every document
+    into overlapping CHUNK_WINDOW-token chunks at stride
+    CHUNK_STRIDE — the standard context-window packing prep for LLM
+    training (each token appears in ≤2 chunks; boundaries never lose
+    context). Companion to ``sequence_packing``, which bins whole
+    documents; this op SPLITS documents that exceed the window.
+
+    Scale: pure per-row work — ``sequence`` + ``explode`` + ``slice``
+    are all JVM-side array expressions, zero shuffles, zero Python.
+    Chunk fan-out is bounded (len/stride per doc) so partition sizes
+    grow by a constant factor; the explode keeps the scan's partition
+    pruning and column projection intact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chunks = (
+        d.select("doc_id", _tokens().alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE)
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"s DIV {CHUNK_STRIDE}").alias("chunk_id"),
+            F.slice(F.col("toks"), F.col("s") + 1, CHUNK_WINDOW).alias("chunk"),
+        )
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )

@@ -352,3 +352,22 @@ def test_recall_audit_broadcasts_pairs_only(spark):
     plan = plan_of(spark, "lsh_recall_audit")
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_doc_chunking_no_shuffle_no_python(spark):
+    """Chunking is pure per-row array work: explode + slice must
+    compile to Generate/Project with NO exchange and NO Python."""
+    plan = plan_of(spark, "doc_chunking")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan
+
+
+def test_snapshot_cdc_broadcasts_threshold(spark):
+    """The halfway threshold is a one-row aggregate joined by
+    broadcast (no driver round-trip); the diff is a single
+    key join producing only changed keys."""
+    plan = plan_of(spark, "snapshot_cdc")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "FullOuter" in plan
