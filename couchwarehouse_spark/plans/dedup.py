@@ -815,11 +815,16 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, bool
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         edges.unpersist(blocking=False)
+        # Arrow-path createDataFrame (pandas input): the rows convert
+        # to Arrow batches ONCE here; later executions replay JVM-side
+        # bytes. A plain list-of-tuples input would re-run a pickled
+        # Python scan on every action that touches the labels.
+        import pandas as pd
+
+        rows = sorted((v, find(v)) for v in parent)
+        pdf = pd.DataFrame(rows, columns=["doc_id", "cluster_id"], dtype="int64")
         return (
-            spark.createDataFrame(
-                sorted((v, find(v)) for v in parent),
-                "doc_id long, cluster_id long",
-            ),
+            spark.createDataFrame(pdf, "doc_id long, cluster_id long"),
             True,
         )
     n_parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 1_000_000 + 1))
@@ -1012,13 +1017,18 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit itself joins only PAIR tables (near-dup pairs, orders of
     magnitude smaller than the corpus — broadcast) plus a doc_id-
     keyed lang lookup. Runs both pipelines, so cost ≈ their sum — an
-    audit run, not a production step.
+    audit run, not a production step. Each pair table is persisted
+    after BOTH nested registered calls return (a nested entry
+    releases earlier scoped persists), so the three counts and the
+    semi-join each read a cached pair table instead of re-running a
+    whole dedup pipeline per reference.
     """
     exact = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     # NOTE: this nested registered call releases the previous call's
     # scoped persists (registry ordering constraint) — `exact` stays a
-    # valid lazy plan and recomputes where needed.
+    # valid lazy plan; it is persisted below, after this call.
     lsh = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    exact = scoped_persist(exact)
 
     # Lang attachment: the PAIR side broadcasts into the two doc
     # scans (the corpus side must never broadcast).
@@ -1026,7 +1036,7 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_lang = d.withColumnsRenamed({"doc_id": "doc_a", "lang": "lang_a"}).join(
         F.broadcast(lsh), "doc_a"
     )
-    lsh_lang = (
+    lsh_lang = scoped_persist(
         d.withColumnsRenamed({"doc_id": "doc_b", "lang": "lang_b"})
         .join(F.broadcast(a_lang), "doc_b")
         .filter(F.col("lang_a") == F.col("lang_b"))

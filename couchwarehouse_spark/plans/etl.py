@@ -266,3 +266,83 @@ def snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tombs = new_all.filter(F.col("event_type") == "error").select("user_id")
     new_state = apply_deletes(new_all, tombs, key="user_id")
     return snapshot_diff(old_state, new_state, key="user_id", seq="event_id")
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    WITH thr AS (SELECT max(event_id) // 2 AS t FROM events),
+    new_all AS (
+      SELECT user_id, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    new_state AS (
+      SELECT user_id, event_type FROM new_all
+      WHERE user_id NOT IN (SELECT user_id FROM new_all WHERE event_type = 'error')
+    )
+    SELECT event_type, count(*) AS n_users
+    FROM new_state
+    GROUP BY event_type
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over the upsert
+    stream: a per-event_type user count of the warehouse state is kept
+    current by applying ONLY the CDC delta (insert→+1 at the new type,
+    delete→-1 at the old type, update→-1 old / +1 new), never
+    recomputing from the full state. The oracle recomputes the view
+    directly from the final state — a green hash certifies delta
+    maintenance ≡ full recompute, the invariant an incremental sink
+    (the reference's ES/JDBC followers, lib/elasticsearch.js:16-44)
+    relies on.
+
+    Scale: the delta path touches old_agg (|distinct types| rows) +
+    the changed keys only — for a 100 TB state with a 0.1% daily
+    churn that is a 1000× smaller input than recompute. The changed-
+    key joins are keyed on user_id against the two states, and the
+    final merge is a union of tiny per-type deltas.
+    """
+    from couchwarehouse_spark.operators.upsert import snapshot_diff
+
+    ev = load_table(spark, sf_dir, "events")
+    thr = ev.agg(F.expr("max(event_id) DIV 2").alias("_thr"))
+    old_half = ev.join(F.broadcast(thr), F.col("event_id") <= F.col("_thr")).drop(
+        "_thr"
+    )
+    old_state = latest_wins(old_half, key="user_id", seq="event_id")
+    new_all = latest_wins(ev, key="user_id", seq="event_id")
+    tombs = new_all.filter(F.col("event_type") == "error").select("user_id")
+    new_state = apply_deletes(new_all, tombs, key="user_id")
+
+    # The maintained view's base: aggregate of the OLD state.
+    base = old_state.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("delta")
+    )
+
+    # CDC delta → per-type +1/-1 contributions. Changed keys join back
+    # to the states to learn each key's old/new group.
+    diff = snapshot_diff(old_state, new_state, key="user_id", seq="event_id")
+    minus = (
+        diff.filter(F.col("change_type").isin("delete", "update"))
+        .join(old_state.select("user_id", "event_type"), "user_id")
+        .groupBy("event_type")
+        .agg((-F.count("*")).cast("long").alias("delta"))
+    )
+    plus = (
+        diff.filter(F.col("change_type").isin("insert", "update"))
+        .join(new_state.select("user_id", "event_type"), "user_id")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("delta"))
+    )
+
+    merged = (
+        base.unionByName(minus)
+        .unionByName(plus)
+        .groupBy("event_type")
+        .agg(F.sum("delta").cast("long").alias("n_users"))
+        .filter(F.col("n_users") > 0)
+    )
+    return merged

@@ -371,3 +371,13 @@ def test_snapshot_cdc_broadcasts_threshold(spark):
     plan = plan_of(spark, "snapshot_cdc")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "FullOuter" in plan
+
+
+def test_incremental_agg_delta_path_no_python(spark):
+    """The maintained-view merge must stay JVM-side and key its
+    changed-key joins on user_id (no corpus-wide recompute artifacts
+    like windows over the full feed in the delta branches)."""
+    plan = plan_of(spark, "incremental_agg_maintenance")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FullOuter" in plan  # the CDC diff feeding the delta
