@@ -519,6 +519,11 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = d.filter(
         (F.col("n_chars") >= MIN_CHARS) & (F.size(toks) >= MIN_TOKENS)
     )
+    # One small parquet file scans as ONE task; widen before the
+    # compute-dense winnowing fingerprints so they run at session
+    # parallelism (the persisted frame then serves both consumers
+    # already distributed).
+    q = q.repartition(spark.sparkContext.defaultParallelism)
     q = scoped_persist(q)  # feeds fingerprinting AND the canonical join-back
     canon = (
         q.select("doc_id", fingerprint_col().alias("f"))

@@ -861,8 +861,18 @@ def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("bucket", _bucket_expr_spark("v", _PLANES))
-    a = v.select(F.col("vec_id"), F.col("v").alias("va"), "bucket")
-    b = v.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb"), "bucket")
+    # Explicit-width bucket partitioning on BOTH join sides: the pair
+    # cosine work is compute-dense but byte-light, so AQE's size-based
+    # coalescing would collapse the join to one task; a user-specified
+    # partition count is exempt from coalescing and the bucket join
+    # reuses the partitioning with no extra exchange.
+    par = spark.sparkContext.defaultParallelism
+    a = v.select(F.col("vec_id"), F.col("v").alias("va"), "bucket").repartition(
+        par, "bucket"
+    )
+    b = v.select(
+        F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb"), "bucket"
+    ).repartition(par, "bucket")
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), "nbr_id")
