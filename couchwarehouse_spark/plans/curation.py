@@ -407,3 +407,44 @@ def user_pseudonymization(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.countDistinct("user_id") == F.countDistinct("tok")).alias("injective"),
         F.min("tok").alias("first_pseudonym"),
     )
+
+
+K_ANONYMITY = 20  # minimum distinct users per quasi-identifier combo
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    SELECT event_type,
+           hour(ts) AS hod,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events,
+           count(DISTINCT user_id) < {K_ANONYMITY} AS at_risk
+    FROM events
+    GROUP BY event_type, hour(ts)
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (X+ governance
+    companion to ``user_pseudonymization``): pseudonymizing the direct
+    identifier is not enough if a (event_type, hour-of-day) combination
+    maps to fewer than k distinct users — those rows re-identify by
+    linkage. Flags every quasi-identifier equivalence class below
+    k = K_ANONYMITY; the release gate a privacy review runs before
+    data leaves the trust boundary.
+
+    Scale: one exact distinct-count aggregate on low-cardinality
+    grouping keys — Spark expands to a two-level partial aggregate
+    over (event_type, hod, user_id), map-side combined; no window,
+    no join, no Python.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.hour("ts").alias("hod"), "user_id")
+        .groupBy("event_type", "hod")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn("at_risk", F.col("n_users") < K_ANONYMITY)
+    )

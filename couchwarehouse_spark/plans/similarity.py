@@ -885,3 +885,79 @@ def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= KNN_GRAPH_K)
         .select("vec_id", "nbr_id", "rank", F.round("_cos", 4).alias("cos_sim"))
     )
+
+
+PR_DAMPING = 0.85
+
+PAGERANK_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {_bucket_expr_sql('embedding', _PLANES)} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                                         b.vec_id) AS rank
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    edges AS (SELECT vec_id, nbr_id FROM scored WHERE rank <= {KNN_GRAPH_K}),
+    od AS (SELECT vec_id, count(*) AS od FROM edges GROUP BY vec_id),
+    contrib AS (
+      SELECT e.nbr_id AS v,
+             CAST(sum(6 // o.od) AS BIGINT) AS s,
+             count(*) AS in_deg
+      FROM edges e JOIN od o ON e.vec_id = o.vec_id
+      GROUP BY e.nbr_id
+    )
+    SELECT emb.vec_id,
+           coalesce(c.in_deg, 0) AS in_deg,
+           round({1 - PR_DAMPING} + {PR_DAMPING} * coalesce(c.s, 0) / 6.0, 6)
+             AS rank_score
+    FROM embeddings emb LEFT JOIN contrib c ON emb.vec_id = c.v
+"""
+
+
+@query("graph_pagerank_step", oracle=PAGERANK_ORACLE)
+def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power-iteration over the bucketed k-NN graph (X2
+    companion): from uniform init, each node's next score is
+    (1-d) + d·Σ_in 1/outdeg(u) (scores normalized ×N so the uniform
+    start is 1). The per-iteration kernel of centrality-based corpus
+    curation (rank-weighted sampling, hub detection in near-dup
+    graphs); iterating is re-running this plan on the previous scores.
+
+    Determinism by construction: out-degrees are ≤ KNN_GRAPH_K = 3, so
+    each in-edge contributes the INTEGER 6/outdeg ∈ {6, 3, 2} — the sum
+    is exact integer arithmetic in both lanes and only ONE float
+    division happens per row, after aggregation. No float-sum ordering
+    sensitivity anywhere.
+
+    Scale: edges = N·k rows; out-degree and contribution are key-local
+    hash aggregates (map-side combined); the outdeg join keys on the
+    edge source (unhinted — AQE broadcasts while N fits); the final
+    left join keys on vec_id. No window over the corpus, no driver
+    loop inside the step.
+    """
+    edges = knn_graph_bucketed(spark, sf_dir).select("vec_id", "nbr_id")
+    od = edges.groupBy("vec_id").agg(F.count("*").alias("od"))
+    contrib = (
+        edges.join(od, "vec_id")
+        .groupBy(F.col("nbr_id").alias("v"))
+        .agg(
+            F.sum(F.expr("6 DIV od")).cast("long").alias("s"),
+            F.count("*").alias("in_deg"),
+        )
+    )
+    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    joined = nodes.join(contrib, nodes.vec_id == contrib.v, "left")
+    return joined.select(
+        "vec_id",
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        F.round(
+            F.lit(1 - PR_DAMPING)
+            + F.lit(PR_DAMPING) * F.coalesce("s", F.lit(0)) / F.lit(6.0),
+            6,
+        ).alias("rank_score"),
+    )

@@ -381,3 +381,20 @@ def test_incremental_agg_delta_path_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "FullOuter" in plan  # the CDC diff feeding the delta
+
+
+def test_pagerank_step_partial_aggregates_no_python(spark):
+    """The PR step must stay JVM-side with map-side combined
+    aggregates; the contribution sum is integer (one float division
+    per row at the end)."""
+    plan = explain_str(spark, "graph_pagerank_step")
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_k_anonymity_two_level_distinct_aggregate(spark):
+    """Exact distinct-count must expand to the two-level partial
+    aggregate (no single-reducer exact distinct)."""
+    plan = explain_str(spark, "k_anonymity_audit")
+    assert "partial_count(distinct" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
