@@ -346,3 +346,106 @@ def lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(LATERAL_TOPN_SQL)
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# Robertson idf as used by Lucene: ln(1 + (N - df + 0.5)/(df + 0.5)).
+# Both lanes build avgdl from EXACT integer sums (one division), and
+# tf/df/dl/N are all integers — the only float work is the final
+# per-term expression, written identically in both dialects.
+_BM25_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS dl,
+             len(list_filter(string_split(text, ' '), x -> x = 'data'))  AS tf1,
+             len(list_filter(string_split(text, ' '), x -> x = 'table')) AS tf2
+      FROM documents
+    ),
+    g AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+             count(*) FILTER (tf1 > 0) AS df1,
+             count(*) FILTER (tf2 > 0) AS df2
+      FROM t
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * ({BM25_K1} + 1))
+               / (tf1 + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl * n_docs / CAST(sum_dl AS DOUBLE)))
+           + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+               * (tf2 * ({BM25_K1} + 1))
+               / (tf2 + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl * n_docs / CAST(sum_dl AS DOUBLE)))
+               AS _score,
+             tf1 + tf2 AS _hits
+      FROM t, g
+    )
+    SELECT doc_id, lang, round(_score, 4) AS score
+    FROM scored WHERE _hits > 0
+    ORDER BY _score DESC, doc_id
+    LIMIT 15
+"""
+
+
+@query("bm25_relevance", oracle=_BM25_ORACLE)
+def bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking for the full-text lane (S19 upgrade over the tf
+    scorer in ``full_text_relevance``): Robertson idf with tf
+    saturation (k1) and length normalization (b) — what Elasticsearch
+    actually scores with (its default similarity), so this is the
+    native equivalent of the reference's delegated search
+    (reference README.md:147-148).
+
+    Determinism: tf/df/dl/N are integers; avgdl enters as the exact
+    integer sum_dl with ONE division; the float scoring expression is
+    written identically in both lanes and rounded to 4 decimals.
+
+    Scale: per-doc tf/dl is a pure projection over the scan; the
+    corpus statistics (N, sum_dl, df per term) are a ONE-ROW aggregate
+    broadcast back via crossJoin — two passes total, no shuffle wider
+    than one row, top-15 via TakeOrderedAndProject heaps.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("dl"),
+        F.size(F.filter(toks, lambda x: x == "data")).alias("tf1"),
+        F.size(F.filter(toks, lambda x: x == "table")).alias("tf2"),
+    )
+    g = t.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        F.count_if(F.col("tf1") > 0).alias("df1"),
+        F.count_if(F.col("tf2") > 0).alias("df2"),
+    )
+
+    def bm25_term(tf: str, df: str):
+        idf = F.log(
+            1 + (F.col("n_docs") - F.col(df) + 0.5) / (F.col(df) + 0.5)
+        )
+        norm = F.col(tf) + BM25_K1 * (
+            1
+            - BM25_B
+            + BM25_B
+            * F.col("dl")
+            * F.col("n_docs")
+            / F.col("sum_dl").cast("double")
+        )
+        return idf * (F.col(tf) * (BM25_K1 + 1)) / norm
+
+    scored = t.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        "lang",
+        (bm25_term("tf1", "df1") + bm25_term("tf2", "df2")).alias("_score"),
+        (F.col("tf1") + F.col("tf2")).alias("_hits"),
+    )
+    return (
+        scored.filter(F.col("_hits") > 0)
+        .orderBy(F.col("_score").desc(), "doc_id")
+        .limit(15)
+        .select("doc_id", "lang", F.round("_score", 4).alias("score"))
+    )

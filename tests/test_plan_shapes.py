@@ -398,3 +398,12 @@ def test_k_anonymity_two_level_distinct_aggregate(spark):
     plan = explain_str(spark, "k_anonymity_audit")
     assert "partial_count(distinct" in plan or "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_one_row_stats_broadcast_and_topk_heap(spark):
+    """Corpus statistics come back as a broadcast one-row aggregate;
+    top-15 is per-partition heaps, all JVM-side."""
+    plan = plan_of(spark, "bm25_relevance")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
