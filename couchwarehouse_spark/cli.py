@@ -2,15 +2,14 @@
 
 Mirrors ``reference bin/couchwarehouse.bin.js:6-21`` option for
 option: ``--database``, ``--reset``, ``--split``, ``--transform``,
-``--query`` (Mango selector), ``--verbose``. Two deltas, both forced
-by the environment rather than design:
-
-* the source is a spooled changes-feed directory (JSON lines) instead
-  of a live CouchDB URL — the network client is out of scope here,
-  and every downstream semantic (spool → monitor lifecycle, resume,
-  split, transform, selector) is identical;
-* ``--databaseType`` is gone — the warehouse IS the target (parquet
-  tables + Spark SQL); JDBC/ES egress lives in ``sinks/``.
+``--query`` (Mango selector), ``--verbose``, and ``--url`` /
+``$COUCH_URL`` (the reference's CouchDB URL option). With ``--url``
+the CLI tails ``{url}/{db}/_changes`` over HTTP into the ``--feed``
+landing dir (``sources.http_changes``) before — and, under
+``--monitor``, concurrently with — the Spark pipeline; without it
+``--feed`` is a pre-spooled directory. One delta vs the reference:
+``--databaseType`` is gone — the warehouse IS the target (parquet
+tables + Spark SQL); JDBC/ES egress lives in ``sinks/``.
 
 Usage::
 
@@ -24,7 +23,9 @@ from __future__ import annotations
 import argparse
 import importlib.util
 import json
+import os
 import sys
+import threading
 from collections.abc import Callable
 
 
@@ -52,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--feed", "-f", required=True,
                    help="directory of spooled changes-feed JSON lines")
+    p.add_argument("--url", "-u", default=os.environ.get("COUCH_URL"),
+                   help="CouchDB base URL (default $COUCH_URL); when set, "
+                        "tail {url}/{db}/_changes into --feed over HTTP "
+                        "before (and, with --monitor, while) processing")
     p.add_argument("--database", "--db", "-d", required=True,
                    help="database name (table name prefix)")
     p.add_argument("--warehouse-dir", "-w", default="./couchwarehouse",
@@ -104,12 +109,41 @@ def main(argv: list[str] | None = None) -> int:
         verbose=not args.quiet,
     )
 
+    tailer_stop = threading.Event()
+    if args.url:
+        # R1: drain the live feed into the landing dir before the Spark
+        # pipeline reads it (reference index.js:74-140 spoolChanges).
+        from couchwarehouse_spark.sources.http_changes import (
+            ChangesHTTPClient,
+            monitor_to_dir,
+            spool_to_dir,
+        )
+
+        client = ChangesHTTPClient(args.url, args.database, selector=selector)
+        on_batch = (
+            None
+            if args.quiet
+            else lambda n, seq: print(f"couchwarehouse: landed {n} changes @ {seq}")
+        )
+        last_seq = spool_to_dir(client, args.feed, on_batch=on_batch)
+        if args.monitor:
+            # R2: repeated longpolls on a driver-side thread while the
+            # streaming job tails the landing dir (index.js:143-170).
+            threading.Thread(
+                target=monitor_to_dir,
+                args=(client, args.feed, last_seq, tailer_stop.is_set),
+                kwargs={"on_batch": on_batch},
+                daemon=True,
+            ).start()
+
     if args.monitor:
         q = wh.start(args.feed, monitor=True, processing_time=args.processing_time)
         try:
             q.awaitTermination()
         except KeyboardInterrupt:  # reference stops on SIGINT
             q.stop()
+        finally:
+            tailer_stop.set()
         return 0
 
     last = wh.spool(args.feed)
