@@ -77,6 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SQL to run against the warehouse after spooling (R17)")
     p.add_argument("--compact", action="store_true",
                    help="after spooling, compact fragmented bucket dirs")
+    p.add_argument("--sqlite", default=None, metavar="PATH",
+                   help="after spooling, egress every table into this "
+                        "SQLite file (the reference's default target)")
     p.add_argument("--quiet", action="store_true",
                    help="suppress progress/instruction output")
     return p
@@ -154,6 +157,23 @@ def main(argv: list[str] | None = None) -> int:
             n = wh.compact(doc_type)
             if n and not args.quiet:
                 print(f"couchwarehouse: compacted {n} buckets of {doc_type}")
+    if args.sqlite:
+        # Reference default target: REPLACE-INTO egress of the merged
+        # state per table (lib/sqlite.js:60-110), stdlib sqlite3.
+        from couchwarehouse_spark.sinks.sqlite import SQLiteSink
+
+        sink = SQLiteSink(args.sqlite)
+        try:
+            for doc_type, schema in wh.schemas.items():
+                name = wh.table_name(doc_type)
+                full = {"id": "string", **schema}
+                sink.create_table(name, full)
+                n = sink.insert_bulk(name, wh.table(doc_type), full)
+                sink.write_checkpoint(name, last or "0")
+                if not args.quiet:
+                    print(f"couchwarehouse: {n} rows -> sqlite table {name}")
+        finally:
+            sink.close()
     if args.sql:
         wh.query(args.sql).show(50, truncate=False)
     return 0

@@ -111,6 +111,69 @@ def write_elasticsearch(
     return "bulk-file"
 
 
+def push_bulk_http(
+    df: DataFrame,
+    index: str,
+    url: str,
+    id_col: str = "id",
+    deleted_col: str | None = None,
+    chunk_actions: int = 500,
+    timeout: float = 60.0,
+) -> None:
+    """Live ES egress: POST the exact reference wire format to the
+    ``_bulk`` endpoint (reference lib/elasticsearch.js:16-44 — one
+    ``index``/``delete`` action per change, doc id as ``_id``), via
+    stdlib urllib with NO client library.
+
+    Scale shape: the payload rows are built JVM-side
+    (``bulk_action_lines``) and each EXECUTOR partition posts its own
+    chunked ``_bulk`` requests straight to the ingest endpoint —
+    egress bandwidth scales with the cluster instead of funnelling
+    through the driver (the reference's single client is the
+    single-node degenerate case). A bulk response with
+    ``errors: true`` raises — partial indexing must not pass
+    silently.
+    """
+    endpoint = url.rstrip("/") + "/_bulk"
+    lines = bulk_action_lines(
+        strip_es_metadata(df), index, id_col=id_col, deleted_col=deleted_col
+    )
+
+    def _post_partition(rows) -> None:
+        import json as _json
+        import urllib.request as _rq
+
+        buf: list[str] = []
+
+        def flush() -> None:
+            if not buf:
+                return
+            body = ("\n".join(buf) + "\n").encode("utf-8")
+            req = _rq.Request(
+                endpoint,
+                data=body,
+                headers={"Content-Type": "application/x-ndjson"},
+                method="POST",
+            )
+            with _rq.urlopen(req, timeout=timeout) as resp:
+                reply = _json.load(resp)
+            if reply.get("errors"):
+                bad = [
+                    it for it in reply.get("items", [])
+                    if next(iter(it.values()), {}).get("status", 200) >= 300
+                ]
+                raise RuntimeError(f"ES bulk rejected {len(bad)} actions: {bad[:3]}")
+            buf.clear()
+
+        for row in rows:
+            buf.append(row.value)  # one action (1 or 2 NDJSON lines)
+            if len(buf) >= chunk_actions:
+                flush()
+        flush()
+
+    lines.foreachPartition(_post_partition)
+
+
 def full_text_search(df: DataFrame, text_col: str, query: str) -> DataFrame:
     """Native fallback for ES's query_string search (S19; reference
     README.md:147-148 ``?q=name:"York"``): case-insensitive term

@@ -1,0 +1,237 @@
+"""Live sink round-trips, in-container: SQLite (the reference's
+default target, stdlib sqlite3) and Elasticsearch ``_bulk`` over HTTP
+(stdlib fake server) — closing the loop past option-assembly and
+wire-format files.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from couchwarehouse_spark.sinks.elasticsearch import push_bulk_http
+from couchwarehouse_spark.sinks.sqlite import (
+    CHECKPOINT_TABLE,
+    SQLiteSink,
+    sqlite_create_table_sql,
+)
+
+SCHEMA = {"id": "string", "name": "string", "price": "number", "paid": "boolean"}
+
+
+def _frame(spark, rows):
+    values = ", ".join(
+        "({}, {}, {}, {}, {})".format(
+            f"'{r[0]}'",
+            "NULL" if r[1] is None else f"'{r[1]}'",
+            "NULL" if r[2] is None else r[2],
+            "NULL" if r[3] is None else str(r[3]).lower(),
+            str(r[4]).lower(),
+        )
+        for r in rows
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {values} AS t(id, name, price, paid, deleted)"
+    )
+
+
+# -- SQLite ------------------------------------------------------------
+def test_sqlite_ddl_matches_reference_dialect():
+    stmts = sqlite_create_table_sql("mydb", SCHEMA, reset=True)
+    assert stmts[0] == 'DROP TABLE IF EXISTS "mydb"'
+    assert '"id" TEXT PRIMARY KEY' in stmts[1]
+    assert '"price" REAL' in stmts[1]
+    assert '"paid" INTEGER' in stmts[1]
+
+
+def test_sqlite_replace_into_upsert_and_delete(spark, tmp_path):
+    sink = SQLiteSink(str(tmp_path / "wh.sqlite"))
+    sink.create_table("mydb", SCHEMA)
+    df1 = _frame(spark, [("a", "ann", 1.5, True, False),
+                         ("b", "bob", 2.0, False, False)])
+    assert sink.insert_bulk("mydb", df1, SCHEMA, deleted_col="deleted") == 2
+    # Second batch: REPLACE upserts 'a', tombstone deletes 'b',
+    # inserts 'c' — idempotent replay applies cleanly.
+    df2 = _frame(spark, [("a", "ann2", 9.0, True, False),
+                         ("b", None, None, None, True),
+                         ("c", "cal", 3.0, False, False)])
+    sink.insert_bulk("mydb", df2, SCHEMA, deleted_col="deleted")
+    sink.insert_bulk("mydb", df2, SCHEMA, deleted_col="deleted")  # replay
+    rows = dict(
+        (r[0], r) for r in sink.query('SELECT id, name, price FROM "mydb"')
+    )
+    assert set(rows) == {"a", "c"}
+    assert rows["a"][1] == "ann2" and rows["a"][2] == 9.0
+    sink.close()
+
+
+def test_sqlite_checkpoint_roundtrip(tmp_path):
+    sink = SQLiteSink(str(tmp_path / "ck.sqlite"))
+    assert sink.read_checkpoint("mydb") is None
+    sink.write_checkpoint("mydb", "42-abc")
+    sink.write_checkpoint("mydb", "99-zzz")
+    assert sink.read_checkpoint("mydb") == "99-zzz"
+    assert sink.query(f'SELECT count(*) FROM "{CHECKPOINT_TABLE}"')[0][0] == 2
+    sink.close()
+
+
+def test_sqlite_end_to_end_from_warehouse_feed(spark, tmp_path):
+    """Feed fixtures → warehouse merge → SQLite egress: the sqlite
+    file answers the same count the warehouse does."""
+    import random
+
+    from couchwarehouse_spark.warehouse import Warehouse
+
+    from .fixtures import envelope, order_doc, write_feed
+
+    rng = random.Random(11)
+    feed = write_feed(
+        str(tmp_path / "feed"),
+        [envelope(i + 1, order_doc(i, rng)) for i in range(9)],
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"), "sldb", verbose=False)
+    wh.spool(feed)
+    state = wh.table("_default")
+    schema = {"id": "string", **{
+        c: "string" for c in state.columns if c != "id"
+    }}
+    sink = SQLiteSink(str(tmp_path / "out.sqlite"))
+    sink.create_table("sldb", schema)
+    sink.insert_bulk("sldb", state, schema)
+    assert sink.query('SELECT count(*) FROM "sldb"')[0][0] == state.count() == 9
+    sink.close()
+
+
+# -- Elasticsearch _bulk over HTTP ------------------------------------
+class FakeES:
+    def __init__(self):
+        self.bodies: list[str] = []
+        self.lock = threading.Lock()
+
+    def actions(self) -> list[dict]:
+        out = []
+        with self.lock:
+            for body in self.bodies:
+                out.extend(json.loads(l) for l in body.splitlines() if l.strip())
+        return out
+
+
+def _serve_es(fake: FakeES):
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            assert urllib.parse.urlparse(self.path).path == "/_bulk"
+            assert self.headers["Content-Type"] == "application/x-ndjson"
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode()
+            with fake.lock:
+                fake.bodies.append(body)
+            reply = json.dumps({"errors": False, "items": []}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(reply)))
+            self.end_headers()
+            self.wfile.write(reply)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+@pytest.fixture()
+def fake_es():
+    fake = FakeES()
+    srv, url = _serve_es(fake)
+    yield fake, url
+    srv.shutdown()
+
+
+def test_push_bulk_http_posts_reference_wire_format(spark, fake_es):
+    fake, url = fake_es
+    df = _frame(spark, [("a", "ann", 1.5, True, False),
+                        ("b", "bob", 2.0, False, False),
+                        ("c", None, None, None, True)])
+    push_bulk_http(df, "couchwarehouse", url, deleted_col="deleted")
+    acts = fake.actions()
+    index_meta = [a["index"] for a in acts if "index" in a]
+    deletes = [a["delete"] for a in acts if "delete" in a]
+    sources = [a for a in acts if "index" not in a and "delete" not in a]
+    assert {m["_id"] for m in index_meta} == {"a", "b"}
+    assert all(m["_index"] == "couchwarehouse" for m in index_meta)
+    assert [d["_id"] for d in deletes] == ["c"]
+    assert len(sources) == len(index_meta)  # one source line per index action
+    assert all("deleted" not in s for s in sources)  # control col stripped
+
+
+def test_push_bulk_http_chunks_requests(spark, fake_es):
+    fake, url = fake_es
+    df = _frame(spark, [(f"d{i}", f"n{i}", float(i), True, False)
+                        for i in range(10)]).coalesce(1)
+    push_bulk_http(df, "cw", url, deleted_col="deleted", chunk_actions=4)
+    assert len(fake.bodies) == 3  # 4 + 4 + 2 actions from one partition
+    assert len([a for a in fake.actions() if "index" in a]) == 10
+
+
+def test_push_bulk_http_raises_on_es_errors(spark):
+    fake = FakeES()
+
+    class RejectingHandler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(n)
+            reply = json.dumps({
+                "errors": True,
+                "items": [{"index": {"_id": "a", "status": 400}}],
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(reply)))
+            self.end_headers()
+            self.wfile.write(reply)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), RejectingHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    df = _frame(spark, [("a", "ann", 1.5, True, False)])
+    with pytest.raises(Exception, match="bulk rejected|ES bulk"):
+        push_bulk_http(df, "cw", url)
+    srv.shutdown()
+
+
+def test_cli_sqlite_egress(spark, tmp_path, capsys):
+    """--sqlite lands every warehouse table in a queryable SQLite
+    file with a checkpoint row (reference default databaseType)."""
+    import random
+    import sqlite3
+
+    from couchwarehouse_spark.cli import main
+
+    from .fixtures import envelope, order_doc, write_feed
+
+    rng = random.Random(5)
+    feed = write_feed(
+        str(tmp_path / "feed"),
+        [envelope(i + 1, order_doc(i, rng)) for i in range(7)],
+    )
+    out = str(tmp_path / "egress.sqlite")
+    rc = main([
+        "--feed", feed, "--database", "clisl",
+        "--warehouse-dir", str(tmp_path / "wh"),
+        "--sqlite", out, "--quiet",
+    ])
+    assert rc == 0
+    con = sqlite3.connect(out)
+    assert con.execute('SELECT count(*) FROM "clisl"').fetchone()[0] == 7
+    seq = con.execute(
+        f'SELECT seq FROM "{CHECKPOINT_TABLE}" WHERE tablename = ?', ("clisl",)
+    ).fetchone()[0]
+    assert seq not in (None, "0")
+    con.close()
