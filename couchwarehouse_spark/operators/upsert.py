@@ -128,6 +128,27 @@ def snapshot_diff(
     )
 
 
+def cdc_payload(
+    diff: DataFrame, new_state: DataFrame, key: str = "id"
+) -> DataFrame:
+    """Join a ``snapshot_diff`` back to the new state: one row per
+    CHANGED key carrying the new column values (NULLs for deletes)
+    plus boolean ``_cw_deleted`` — exactly the shape both live sinks
+    apply directly (``SQLiteSink.insert_bulk(deleted_col=...)``
+    REPLACE/DELETEs it; ``push_bulk_http(deleted_col=...)`` turns it
+    into index/delete bulk actions). This is the incremental follow:
+    a 0.1%-churn batch ships 0.1% of the state, not a re-export.
+
+    Scale: one key join between the (small) changed-key set and the
+    new state — AQE broadcasts the diff side while it fits.
+    """
+    marked = diff.select(
+        F.col(key),
+        (F.col("change_type") == "delete").alias(DELETED_COL),
+    )
+    return marked.join(new_state, key, "left")
+
+
 class CheckpointStore:
     """Append-only ``(tablename, seq)`` checkpoint log (R14).
 

@@ -235,3 +235,35 @@ def test_cli_sqlite_egress(spark, tmp_path, capsys):
     ).fetchone()[0]
     assert seq not in (None, "0")
     con.close()
+
+
+def test_cdc_payload_incremental_sqlite_follow(spark, tmp_path):
+    """Incremental follow: apply ONLY the snapshot_diff delta to the
+    sqlite sink and land exactly the full new state — the 0.1%-churn
+    path that never re-exports the table."""
+    from couchwarehouse_spark.operators.upsert import (
+        DELETED_COL,
+        cdc_payload,
+        snapshot_diff,
+    )
+
+    old = spark.sql(
+        "SELECT * FROM VALUES ('a', 1, 'ann'), ('b', 1, 'bob'), ('c', 1, 'cal') "
+        "AS t(id, _cw_seq, name)"
+    )
+    new = spark.sql(
+        "SELECT * FROM VALUES ('a', 2, 'ann2'), ('c', 1, 'cal'), ('d', 1, 'dee') "
+        "AS t(id, _cw_seq, name)"
+    )
+    sink = SQLiteSink(str(tmp_path / "follow.sqlite"))
+    schema = {"id": "string", "name": "string"}
+    sink.create_table("t", schema)
+    sink.insert_bulk("t", old, schema)  # initial full export
+
+    diff = snapshot_diff(old, new)
+    payload = cdc_payload(diff, new)
+    n = sink.insert_bulk("t", payload, schema, deleted_col=DELETED_COL)
+    assert n == 3  # a updated, b deleted, d inserted — c never shipped
+    rows = dict(sink.query('SELECT id, name FROM "t"'))
+    assert rows == {"a": "ann2", "c": "cal", "d": "dee"}
+    sink.close()
