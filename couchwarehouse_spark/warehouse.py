@@ -91,6 +91,7 @@ class Warehouse:
         reset: bool = False,
         verbose: bool = False,
         n_buckets: int = 16,
+        followers: list[Callable] | None = None,
     ):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
@@ -106,6 +107,12 @@ class Warehouse:
         # Size so one bucket ≈ a comfortable rewrite unit (e.g. 1024
         # buckets for a 1 TB table ⇒ ~1 GB rewrites).
         self.n_buckets = n_buckets
+        # Sink followers: callables (wh, doc_type, conformed_batch,
+        # tombstones) invoked per merged micro-batch with the SAME
+        # conformed frame the merge applied — the reference's per-batch
+        # insertBulk fan-out to secondary targets (lib/sqlite.js:60,
+        # lib/elasticsearch.js:16). See sinks.sqlite.sqlite_follower.
+        self.followers: list[Callable] = list(followers or [])
         self.schemas: dict[str, dict[str, str]] = {}
         self.checkpoints = CheckpointStore(spark, os.path.join(warehouse_dir, "_checkpoints"))
         if reset:
@@ -339,6 +346,11 @@ class Warehouse:
         conformed = conform_frame(flat, struct, keep=[SEQ_COL]).persist()
         try:
             self._merge_conformed(conformed, tombstones, doc_type)
+            # Followers see the exact conformed frame the merge applied
+            # (still persisted), so secondary targets can never drift
+            # from the warehouse's own semantics.
+            for follower in self.followers:
+                follower(self, doc_type, conformed, tombstones)
         finally:
             conformed.unpersist(blocking=False)
         self.register_view(doc_type)

@@ -267,3 +267,51 @@ def test_cdc_payload_incremental_sqlite_follow(spark, tmp_path):
     rows = dict(sink.query('SELECT id, name FROM "t"'))
     assert rows == {"a": "ann2", "c": "cal", "d": "dee"}
     sink.close()
+
+
+def test_sqlite_follower_mirrors_warehouse_per_batch(spark, tmp_path):
+    """Continuous sync: a follower registered on the Warehouse mirrors
+    every merged batch into SQLite — amendments win, tombstones
+    delete, delete-then-recreate resolves to the recreate, and the
+    sqlite table ends exactly equal to the warehouse table."""
+    import random
+    import sqlite3
+
+    from couchwarehouse_spark.sinks.sqlite import sqlite_follower
+    from couchwarehouse_spark.warehouse import Warehouse
+
+    from .fixtures import envelope, order_doc, write_feed
+
+    rng = random.Random(13)
+    docs = {i: order_doc(i, rng) for i in range(6)}
+    out = str(tmp_path / "mirror.sqlite")
+    wh = Warehouse(spark, str(tmp_path / "wh"), "fol", verbose=False,
+                   followers=[sqlite_follower(out)])
+
+    # Batch 1: 6 inserts.
+    feed1 = write_feed(str(tmp_path / "f1"), [
+        envelope(i + 1, docs[i]) for i in range(6)
+    ])
+    wh.spool(feed1)
+    # Batch 2: amend doc0, tombstone doc1, delete-then-recreate doc2.
+    amended = dict(docs[0], customerEmail="new@x.com", _rev="2-x")
+    recreated = dict(docs[2], customerEmail="back@x.com", _rev="3-x")
+    feed2 = write_feed(str(tmp_path / "f2"), [
+        envelope(10, amended),
+        envelope(11, None, doc_id=docs[1]["_id"], deleted=True),
+        envelope(12, None, doc_id=docs[2]["_id"], deleted=True),
+        envelope(13, recreated),
+    ])
+    wh.spool(feed2)
+
+    wh_rows = {
+        r["id"]: r["customerEmail"]
+        for r in wh.table().select("id", "customerEmail").collect()
+    }
+    con = sqlite3.connect(out)
+    sl_rows = dict(con.execute('SELECT id, customerEmail FROM "fol"'))
+    con.close()
+    assert sl_rows == wh_rows
+    assert len(sl_rows) == 5  # 6 - tombstoned doc1
+    assert sl_rows[docs[0]["_id"]] == "new@x.com"
+    assert sl_rows[docs[2]["_id"]] == "back@x.com"
