@@ -174,6 +174,36 @@ def push_bulk_http(
     lines.foreachPartition(_post_partition)
 
 
+def es_follower(url: str, index: str = "couchwarehouse"):
+    """Warehouse follower: mirror every merged micro-batch into a live
+    ES index over ``_bulk`` — the reference's elasticsearch
+    databaseType in monitor mode (lib/elasticsearch.js:16-44, one
+    index/delete action per change). Same seq-ordered live+tombstone
+    union the sqlite follower (and the merge itself) applies, so a
+    stale tombstone never deletes a newer document.
+
+    Usage::
+
+        wh = Warehouse(spark, dir, "mydb",
+                       followers=[es_follower("http://localhost:9200")])
+    """
+    from couchwarehouse_spark.operators.upsert import SEQ_COL, latest_wins
+
+    def follow(wh, doc_type: str, conformed: DataFrame, tombstones: DataFrame) -> None:
+        live = conformed.withColumn("_cw_del", F.lit(False))
+        tomb = tombstones.select("id", SEQ_COL).withColumn("_cw_del", F.lit(True))
+        merged = live.unionByName(tomb, allowMissingColumns=True)
+        winners = latest_wins(merged, key="id", seq=SEQ_COL)
+        push_bulk_http(
+            winners.drop(SEQ_COL),
+            f"{index}_{doc_type}" if doc_type != "_default" else index,
+            url,
+            deleted_col="_cw_del",
+        )
+
+    return follow
+
+
 def full_text_search(df: DataFrame, text_col: str, query: str) -> DataFrame:
     """Native fallback for ES's query_string search (S19; reference
     README.md:147-148 ``?q=name:"York"``): case-insensitive term

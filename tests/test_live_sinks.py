@@ -315,3 +315,33 @@ def test_sqlite_follower_mirrors_warehouse_per_batch(spark, tmp_path):
     assert len(sl_rows) == 5  # 6 - tombstoned doc1
     assert sl_rows[docs[0]["_id"]] == "new@x.com"
     assert sl_rows[docs[2]["_id"]] == "back@x.com"
+
+
+def test_es_follower_mirrors_batches_over_http(spark, tmp_path, fake_es):
+    """The ES follower posts index actions for merged docs and delete
+    actions for tombstones, per micro-batch, to a live endpoint."""
+    import random
+
+    from couchwarehouse_spark.sinks.elasticsearch import es_follower
+    from couchwarehouse_spark.warehouse import Warehouse
+
+    from .fixtures import envelope, order_doc, write_feed
+
+    fake, url = fake_es
+    rng = random.Random(17)
+    docs = [order_doc(i, rng) for i in range(4)]
+    wh = Warehouse(spark, str(tmp_path / "wh"), "esf", verbose=False,
+                   followers=[es_follower(url)])
+    wh.spool(write_feed(str(tmp_path / "f1"),
+                        [envelope(i + 1, d) for i, d in enumerate(docs)]))
+    wh.spool(write_feed(str(tmp_path / "f2"), [
+        envelope(9, None, doc_id=docs[0]["_id"], deleted=True),
+    ]))
+    acts = fake.actions()
+    indexed = {a["index"]["_id"] for a in acts if "index" in a}
+    deleted = [a["delete"]["_id"] for a in acts if "delete" in a]
+    assert indexed == {d["_id"] for d in docs}
+    assert deleted == [docs[0]["_id"]]
+    assert all(
+        a["index"]["_index"] == "couchwarehouse" for a in acts if "index" in a
+    )
