@@ -407,3 +407,11 @@ def test_bm25_one_row_stats_broadcast_and_topk_heap(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_approx_percentile_sketches_are_partial(spark):
+    """GK sketches must partial-aggregate map-side (mergeable state),
+    no Python anywhere."""
+    plan = explain_str(spark, "approx_percentile_audit")
+    assert "partial_percentile_approx" in plan or "partial_" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
