@@ -30,17 +30,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries (extra variants per family) follow after and stay fully
 # registered, pytest-covered, and bench-timed.
 PRIORITY = [
-    # ETL kernel (R4, R6, R11, R12, R13, R15)
+    # ETL kernel (R4, R6, R11, R12, R13, R15) + CDC / incremental MV
     "latest_event_per_user",
     "delete_propagation",
     "flatten_props",
     "conform_projection",
     "seq_extraction",
     "mango_selector_filter",
+    "snapshot_cdc",
+    "incremental_agg_maintenance",
     # end-to-end warehouse pipeline (R1→R14)
     "warehouse_e2e_pipeline",
-    # event-time windows (D4)
+    # event-time windows (D4 — all three window kinds)
     "tumbling_window_counts",
+    "sliding_window_counts",
     "session_window_stats",
     # dedup (X1)
     "exact_dedup",
@@ -53,19 +56,18 @@ PRIORITY = [
     "knn_cosine_topk",
     "ivf_topk",
     "hybrid_search_rrf",
+    "graph_pagerank_step",
     # text analysis (X4)
     "tf_idf_top_terms",
     "language_id_heuristic",
-    "quality_scores",
-    "token_count_bpe_ish",
-    "doc_fingerprints",
-    # curation
+    "doc_chunking",
+    # curation / governance
     "repetition_census",
     "vocab_oov_audit",
     "user_pseudonymization",
+    "k_anonymity_audit",
     # sampling / splits
     "deterministic_split",
-    "benchmark_decontamination",
     "sequence_packing",
     # scalar families (C-str, C-json, C-arr, C-date+math+cond, C-udf)
     "string_functions",
@@ -78,20 +80,18 @@ PRIORITY = [
     "salted_skew_aggregate",
     # multimodal (X3)
     "multimodal_metadata",
-    "multimodal_frame_sample",
-    # relational (S5-S16, S19)
+    # relational (S5-S16, S19) incl. BM25 full-text and recursive CTE
     "pricing_summary",
-    "top_revenue_orders",
     "agg_stats",
-    "distinct_segments",
     "nation_revenue",
     "big_spenders_semi",
     "asof_last_view",
-    "priority_multiset_diff",
     "grouping_sets_orders",
     "window_top_orders",
     "cte_above_avg_customers",
+    "recursive_cte_month_spine",
     "full_text_relevance",
+    "bm25_relevance",
 ]
 
 
