@@ -415,3 +415,39 @@ def test_approx_percentile_sketches_are_partial(spark):
     plan = explain_str(spark, "approx_percentile_audit")
     assert "partial_percentile_approx" in plan or "partial_" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Scale feature pin: with a selective dimension side on a SHUFFLE
+    join, Catalyst injects a runtime bloom filter that prunes the fact
+    scan before the exchange (the 100 TB semi-join reduction). Local
+    SFs sit under the default application-side threshold, so the test
+    lowers it — asserting the capability stays wired into this
+    session's optimizer, not that tiny data triggers it."""
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan  # filter applied on the fact side
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
