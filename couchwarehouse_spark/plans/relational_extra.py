@@ -449,3 +449,84 @@ def bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .select("doc_id", "lang", F.round("_score", 4).alias("score"))
     )
+
+
+ZBITS = 8  # 8 bits per dimension -> 16-bit z-values, 64 prefix cells
+
+# Bit-interleave (Morton/Z-order) of two quantized dimensions,
+# written once per dialect over integer ops only.
+_Z_SQL = " | ".join(
+    f"(((bx >> {i}) & 1) << {2 * i + 1}) | (((by >> {i}) & 1) << {2 * i})"
+    for i in range(ZBITS)
+)
+
+
+@query(
+    "zorder_layout_cells",
+    oracle=f"""
+    WITH mx AS (
+      SELECT max(o_orderkey) // {2**ZBITS} + 1 AS sx,
+             max(o_custkey)  // {2**ZBITS} + 1 AS sy
+      FROM orders
+    ),
+    q AS (
+      SELECT o_orderkey // sx AS bx, o_custkey // sy AS by
+      FROM orders, mx
+    ),
+    z AS (SELECT bx, by, {_Z_SQL} AS zval FROM q)
+    SELECT zval >> {2 * ZBITS - 6} AS zprefix,
+           count(*) AS n_rows,
+           count(DISTINCT bx) AS n_bx,
+           count(DISTINCT by) AS n_by,
+           min(zval) AS min_z,
+           max(zval) AS max_z
+    FROM z
+    GROUP BY 1
+    """,
+)
+def zorder_layout_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit — the multi-dimensional data
+    clustering a lakehouse writer applies so range predicates on
+    EITHER dimension prune files (Delta OPTIMIZE ZORDER BY /
+    Iceberg sort orders; public Morton-code technique). Quantize
+    (o_orderkey, o_custkey) to 8-bit cells, interleave the bits, and
+    census the 64 z-prefix cells: each prefix pins the top THREE bits
+    of BOTH dimensions, confining every cell to a 32-slab of each
+    (n_bx, n_by ≤ 32 by construction, while a naive concatenated sort
+    would leave the second dimension unbounded at 256) — the locality
+    property that makes the layout prune on either predicate.
+
+    To materialize the layout, ``repartitionByRange(zval)`` + write;
+    this entry certifies the z-value arithmetic and the locality
+    census under the oracle (everything integer — quantization steps
+    are exact ceil-divisions broadcast from a one-row aggregate).
+
+    Scale: quantization + interleave is a pure projection; the census
+    is one hash aggregate on 64 cells with two small exact distincts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(
+        F.expr(f"max(o_orderkey) DIV {2**ZBITS} + 1").alias("sx"),
+        F.expr(f"max(o_custkey) DIV {2**ZBITS} + 1").alias("sy"),
+    )
+    q = o.crossJoin(F.broadcast(mx)).select(
+        F.expr("o_orderkey DIV sx").alias("bx"),
+        F.expr("o_custkey DIV sy").alias("by"),
+    )
+    zval = F.lit(0).cast("long")
+    for i in range(ZBITS):
+        zval = zval.bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("bx"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("by"), i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    z = q.select("bx", "by", zval.alias("zval"))
+    return z.groupBy(
+        F.shiftright("zval", 2 * ZBITS - 6).alias("zprefix")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("bx").alias("n_bx"),
+        F.countDistinct("by").alias("n_by"),
+        F.min("zval").alias("min_z"),
+        F.max("zval").alias("max_z"),
+    )

@@ -451,3 +451,12 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_zorder_interleave_is_projection(spark):
+    """Morton encoding must stay a pure projection (broadcast one-row
+    quantization steps, no Python, no extra shuffle before the
+    64-cell aggregate)."""
+    plan = plan_of(spark, "zorder_layout_cells")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
