@@ -961,3 +961,60 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rank_score"),
     )
+
+
+# Deterministic literal model: 64 rational weights + bias — the same
+# numbers appear verbatim in both lanes.
+ML_WEIGHTS = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+ML_BIAS = 0.1
+ML_TOP = 50
+
+_W_SQL = "[" + ", ".join(str(w) for w in ML_WEIGHTS) + "]"
+
+ML_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, label,
+             1 / (1 + exp(-(list_dot_product(v, {_W_SQL}) + {ML_BIAS}))) AS p
+      FROM v
+    )
+    SELECT vec_id, label, round(p, 4) AS score
+    FROM s
+    ORDER BY p DESC, vec_id
+    LIMIT {ML_TOP}
+"""
+
+
+@query("ml_inference_scores", oracle=ML_ORACLE)
+def ml_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL ML inference (operator fusion — scoring a trained
+    model as relational expressions, per the public ICDE'25 line of
+    work on in-SQL inference pipelines): logistic regression over the
+    embedding column with literal weights, fused into the scan
+    projection — no UDF, no model server, no Python. This is how a
+    trained quality/toxicity classifier scores a 100 TB corpus: the
+    model ships as literals in the plan, scoring is embarrassingly
+    parallel, and the top-k heap returns the review queue.
+
+    Determinism: identical weight literals in both lanes; the dot
+    product is a sequential fold; ranking uses the raw score with a
+    vec_id tiebreak and only the 4-decimal rounding crosses engines.
+
+    Scale: projection + TakeOrderedAndProject — zero shuffles.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in ML_WEIGHTS])
+    v = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot(F.col("v"), w) + F.lit(ML_BIAS))))
+    scored = v.select("vec_id", "label", p.alias("_p"))
+    return (
+        scored.orderBy(F.col("_p").desc(), "vec_id")
+        .limit(ML_TOP)
+        .select("vec_id", "label", F.round("_p", 4).alias("score"))
+    )

@@ -460,3 +460,12 @@ def test_zorder_interleave_is_projection(spark):
     plan = plan_of(spark, "zorder_layout_cells")
     assert "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ml_inference_is_fused_projection(spark):
+    """In-SQL model scoring must fuse into the scan projection: no
+    Python, no shuffle, top-k via per-partition heaps."""
+    plan = plan_of(spark, "ml_inference_scores")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
