@@ -12,6 +12,12 @@
   aggregates can't express (here: running count/total emitted per
   batch with explicit state handling and timeout-based eviction).
 
+* ``running_user_totals_tws`` — the same aggregation on Spark 4's
+  ``transformWithStateInPandas`` (typed ValueState + state-store TTL;
+  the forward path for custom stateful operators). Its wire protocol
+  needs protobuf, absent in this container — the operator is plain
+  public API usage and its test skips without protobuf.
+
 Scale: state lives in the state store, partitioned by key — shuffle
 on the key once, each micro-batch touches only keys present in the
 batch; the watermark/timeout bounds total state size.
@@ -93,5 +99,63 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
             stateStructType=RUNNING_TOTALS_STATE,
             outputMode="update",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+class _RunningTotalsProcessor:
+    """Spark-4 ``StatefulProcessor`` computing the same per-user
+    running totals as ``running_user_totals`` on the new
+    ``transformWithStateInPandas`` API — typed ValueState instead of
+    one opaque tuple, with TTL-based eviction handled by the state
+    store itself (requires ProcessingTime time mode) rather than
+    hand-rolled timeout bookkeeping."""
+
+    def __new__(cls):
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class Impl(StatefulProcessor):
+            def init(self, handle) -> None:
+                self._totals = handle.getValueState(
+                    "totals", RUNNING_TOTALS_STATE,
+                    ttlDurationMs=3_600_000,  # evict idle keys after 1h
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                n, total = (
+                    tuple(self._totals.get()) if self._totals.exists() else (0, 0.0)
+                )
+                for pdf in rows:
+                    n += len(pdf)
+                    total += float(pdf["value"].sum())
+                self._totals.update((n, total))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "total_value": [round(total, 2)],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return Impl()
+
+
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """D5 on the Spark-4 arbitrary-state API: per-user running
+    count/total via ``transformWithStateInPandas`` — the forward path
+    for custom stateful operators (typed composite state, timers,
+    state TTL; same key-partitioned state-store scaling as
+    ``applyInPandasWithState``)."""
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningTotalsProcessor(),
+            outputStructType=RUNNING_TOTALS_OUTPUT,
+            outputMode="Update",
+            timeMode="ProcessingTime",
         )
     )

@@ -9,6 +9,8 @@ import os
 import random
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from couchwarehouse_spark.streaming.ingest import monitor_warehouse
@@ -220,3 +222,52 @@ def test_stream_stream_interval_join(spark, tmp_path):
     got = spark.sql("SELECT user_id, page, target FROM ssj_out").collect()
     assert len(got) == 1
     assert (got[0]["user_id"], got[0]["page"], got[0]["target"]) == (1, "a", "x")
+
+
+def test_stateful_running_totals_transform_with_state(spark, tmp_path):
+    """D5 on the Spark-4 API: transformWithStateInPandas accumulates
+    identically to the applyInPandasWithState lane.
+
+    Requires protobuf (the API's state-server wire protocol) — absent
+    in this container, so the test skips there; the operator itself is
+    plain Spark-4 API usage."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server needs protobuf (not in container)",
+    )
+    from couchwarehouse_spark.streaming.stateful import running_user_totals_tws
+
+    src = str(tmp_path / "events_tws")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for r in [
+            {"user_id": 1, "value": 10.0},
+            {"user_id": 1, "value": 5.0},
+            {"user_id": 2, "value": 1.0},
+        ]:
+            f.write(json.dumps(r) + "\n")
+    with open(os.path.join(src, "b.json"), "w") as f:
+        f.write(json.dumps({"user_id": 1, "value": 2.5}) + "\n")
+
+    stream = spark.readStream.schema("user_id LONG, value DOUBLE").option(
+        "maxFilesPerTrigger", "1"
+    ).json(src)
+    out = running_user_totals_tws(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("totals_tws_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            "SELECT * FROM (SELECT user_id, n_events, total_value, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn "
+            "FROM totals_tws_out) WHERE rn = 1"
+        ).collect()
+    }
+    assert got[1] == (3, 17.5)  # accumulated ACROSS micro-batches
+    assert got[2] == (1, 1.0)
