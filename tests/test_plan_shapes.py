@@ -469,3 +469,12 @@ def test_ml_inference_is_fused_projection(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pagerank_3iter_reuses_cached_edges(spark):
+    """Three rounds must reuse the weighted edge table (one cache,
+    three key-join+aggregate rounds) — no Python, partial aggregation
+    everywhere."""
+    plan = plan_of(spark, "graph_pagerank_3iter")
+    assert plan.count("InMemoryTableScan") >= 2  # ew read by later rounds
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
