@@ -140,6 +140,14 @@ def main(argv: list[str] | None = None) -> int:
             ).start()
 
     if args.monitor:
+        if args.sqlite:
+            # Continuous CouchDB→SQLite sync: mirror every merged
+            # micro-batch via the follower (the reference's sqlite
+            # databaseType in monitor mode) instead of a one-shot
+            # post-spool egress that monitor mode would never reach.
+            from couchwarehouse_spark.sinks.sqlite import sqlite_follower
+
+            wh.followers.append(sqlite_follower(args.sqlite))
         q = wh.start(args.feed, monitor=True, processing_time=args.processing_time)
         try:
             q.awaitTermination()
@@ -169,7 +177,12 @@ def main(argv: list[str] | None = None) -> int:
                 full = {"id": "string", **schema}
                 sink.create_table(name, full)
                 n = sink.insert_bulk(name, wh.table(doc_type), full)
-                sink.write_checkpoint(name, last or "0")
+                # An already-caught-up spool returns None — appending a
+                # "0" row would rewind the newest-rowid checkpoint, so
+                # fall back to the warehouse's stored seq instead.
+                seq = last or wh.checkpoints.read(wh.db_name)
+                if seq is not None:
+                    sink.write_checkpoint(name, seq)
                 if not args.quiet:
                     print(f"couchwarehouse: {n} rows -> sqlite table {name}")
         finally:

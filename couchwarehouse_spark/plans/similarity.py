@@ -940,7 +940,13 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join keys on vec_id. No window over the corpus, no driver
     loop inside the step.
     """
-    edges = knn_graph_bucketed(spark, sf_dir).select("vec_id", "nbr_id")
+    # Persisted AFTER the nested registered call (registry ordering
+    # constraint): `edges` feeds both the out-degree aggregate and the
+    # contribution join — without the cache the whole bucketed
+    # self-join + rank window would execute once per reference.
+    edges = scoped_persist(
+        knn_graph_bucketed(spark, sf_dir).select("vec_id", "nbr_id")
+    )
     od = edges.groupBy("vec_id").agg(F.count("*").alias("od"))
     contrib = (
         edges.join(od, "vec_id")

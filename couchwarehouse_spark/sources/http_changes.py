@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import urllib.parse
 import urllib.request
 from collections.abc import Callable, Iterator
@@ -82,7 +83,14 @@ class ChangesHTTPClient:
         body = None
         if self.selector is not None:
             params["filter"] = "_selector"
-            body = {"selector": self.selector}
+            # Deliberate delta vs the reference (index.js:101-104 pushes
+            # the selector verbatim): a server-side selector drops
+            # deletion tombstones — their {_id,_rev,_deleted} stub never
+            # matches — so downstream delete propagation would silently
+            # stop. OR-ing `_deleted` keeps tombstones flowing; the
+            # warehouse applies the user selector to live docs locally
+            # and handles tombstones on its own path.
+            body = {"selector": {"$or": [self.selector, {"_deleted": True}]}}
         if feed:
             params["feed"] = feed
             params["timeout"] = int(self.longpoll_wait_s * 1000)
@@ -117,14 +125,20 @@ class ChangesHTTPClient:
 
 
 # -- landing-directory bridge -----------------------------------------
-def _existing_page_count(landing_dir: str) -> int:
+def _next_page_no(landing_dir: str) -> int:
+    """max(existing page number) + 1 — NOT the file count: archiving
+    or pruning already-processed pages must never make a later write
+    reuse (and silently clobber) a still-live page name, and file-
+    stream readers track paths, so a reused name would also be
+    skipped unread."""
     if not os.path.isdir(landing_dir):
         return 0
-    return sum(
-        1
+    nums = [
+        int(m.group(1))
         for f in os.listdir(landing_dir)
-        if not f.startswith(".") and not f.startswith("_")
-    )
+        if (m := re.match(r"page-(\d+)\.jsonl$", f))
+    ]
+    return max(nums) + 1 if nums else 0
 
 
 def _write_page(landing_dir: str, page_no: int, results: list[dict]) -> str:
@@ -176,7 +190,7 @@ def spool_to_dir(
     os.makedirs(landing_dir, exist_ok=True)
     if since is None:
         since = resume_since(landing_dir)
-    page_no = _existing_page_count(landing_dir)
+    page_no = _next_page_no(landing_dir)
     last = since
     for results, last in client.spool(since):
         _write_page(landing_dir, page_no, results)
@@ -198,7 +212,7 @@ def monitor_to_dir(
     Returns the last seq token. Run on a driver-side thread; the
     Spark streaming job tails the landing dir independently."""
     os.makedirs(landing_dir, exist_ok=True)
-    page_no = _existing_page_count(landing_dir)
+    page_no = _next_page_no(landing_dir)
     while not should_stop():
         results, last = client.longpoll(since)
         if results:

@@ -103,44 +103,44 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
-class _RunningTotalsProcessor:
-    """Spark-4 ``StatefulProcessor`` computing the same per-user
-    running totals as ``running_user_totals`` on the new
+def _make_running_totals_processor():
+    """Build the Spark-4 ``StatefulProcessor`` computing the same
+    per-user running totals as ``running_user_totals`` on the new
     ``transformWithStateInPandas`` API — typed ValueState instead of
     one opaque tuple, with TTL-based eviction handled by the state
     store itself (requires ProcessingTime time mode) rather than
-    hand-rolled timeout bookkeeping."""
+    hand-rolled timeout bookkeeping. A factory (not a module-level
+    subclass) because importing the base class pulls in the API's
+    protobuf wire layer, absent in some environments."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
-    def __new__(cls):
-        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    class Impl(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState(
+                "totals", RUNNING_TOTALS_STATE,
+                ttlDurationMs=3_600_000,  # evict idle keys after 1h
+            )
 
-        class Impl(StatefulProcessor):
-            def init(self, handle) -> None:
-                self._totals = handle.getValueState(
-                    "totals", RUNNING_TOTALS_STATE,
-                    ttlDurationMs=3_600_000,  # evict idle keys after 1h
-                )
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
 
-            def handleInputRows(self, key, rows, timerValues):
-                n, total = (
-                    tuple(self._totals.get()) if self._totals.exists() else (0, 0.0)
-                )
-                for pdf in rows:
-                    n += len(pdf)
-                    total += float(pdf["value"].sum())
-                self._totals.update((n, total))
-                yield pd.DataFrame(
-                    {
-                        "user_id": [key[0]],
-                        "n_events": [n],
-                        "total_value": [round(total, 2)],
-                    }
-                )
+        def close(self) -> None:
+            pass
 
-            def close(self) -> None:
-                pass
-
-        return Impl()
+    return Impl()
 
 
 def running_user_totals_tws(stream: DataFrame) -> DataFrame:
@@ -153,7 +153,7 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
         stream.select("user_id", "value")
         .groupBy("user_id")
         .transformWithStateInPandas(
-            statefulProcessor=_RunningTotalsProcessor(),
+            statefulProcessor=_make_running_totals_processor(),
             outputStructType=RUNNING_TOTALS_OUTPUT,
             outputMode="Update",
             timeMode="ProcessingTime",

@@ -51,18 +51,24 @@ class FakeCouch:
         self.changes = changes
         self.requests: list[dict] = []
 
+    def _matches(self, env: dict, sel: dict) -> bool:
+        """Minimal Mango: {"type": v} equality, {"_deleted": true},
+        and one $or level — what the tailer actually sends."""
+        if "$or" in sel:
+            return any(self._matches(env, s) for s in sel["$or"])
+        if sel.get("_deleted") is True:
+            return bool(env.get("deleted"))
+        want = sel.get("type")
+        return (env.get("doc") or {}).get("type") == want
+
     def page(self, since: str, limit: int, selector: dict | None) -> dict:
         start = 0 if since == "0" else int(str(since).split("-", 1)[0])
         rows = [
             c for c in self.changes
             if int(c["seq"].split("-", 1)[0]) > start
         ]
-        if selector:  # minimal Mango: {"type": value} equality
-            want = selector.get("type")
-            rows = [
-                r for r in rows
-                if (r.get("doc") or {}).get("type") == want
-            ]
+        if selector:
+            rows = [r for r in rows if self._matches(r, selector)]
         out = rows[:limit]
         last = out[-1]["seq"] if out else (
             self.changes[-1]["seq"] if self.changes and start else since
@@ -162,7 +168,11 @@ def test_selector_forwarded_as_mango_filter(fake_couch, tmp_path):
     )
     spool_to_dir(client, landing)
     assert fake.requests[0]["params"]["filter"] == "_selector"
-    assert fake.requests[0]["selector"] == {"type": "order"}
+    # The tailer ORs `_deleted` into the pushed selector so deletion
+    # tombstones keep flowing to delete propagation.
+    assert fake.requests[0]["selector"] == {
+        "$or": [{"type": "order"}, {"_deleted": True}]
+    }
     lines = [
         json.loads(l)
         for p in sorted(os.listdir(landing))
@@ -173,7 +183,9 @@ def test_selector_forwarded_as_mango_filter(fake_couch, tmp_path):
         for e in lines
         if e.get("doc")
     )
-    assert len(lines) == 24  # 25 live docs minus the invoice (tombstone kept)
+    # 25 live docs minus the invoice, PLUS the tombstone.
+    assert len(lines) == 25
+    assert sum(1 for e in lines if e.get("deleted")) == 1
 
 
 def test_monitor_longpoll_lands_new_batches(fake_couch, tmp_path):
@@ -230,3 +242,20 @@ def test_cli_url_tails_http_into_warehouse(fake_couch, tmp_path, spark, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "25" in out  # 25 live orders (the tombstone never lands a row)
+
+
+def test_pruned_pages_never_reused_or_clobbered(fake_couch, tmp_path):
+    """Page numbering is max+1, not file count: archiving old pages
+    must not make the tailer overwrite a still-live page name."""
+    fake, url = fake_couch
+    landing = str(tmp_path / "feed")
+    client = ChangesHTTPClient(url, "mydb", batch_size=10)
+    spool_to_dir(client, landing)  # pages 0,1,2
+    os.remove(os.path.join(landing, "page-00000000.jsonl"))  # archive oldest
+    keep = open(os.path.join(landing, "page-00000002.jsonl")).read()
+    fake.changes.extend(_mkchange(i) for i in (27, 28))
+    spool_to_dir(client, landing)
+    assert sorted(os.listdir(landing)) == [
+        "page-00000001.jsonl", "page-00000002.jsonl", "page-00000003.jsonl",
+    ]
+    assert open(os.path.join(landing, "page-00000002.jsonl")).read() == keep
