@@ -1123,3 +1123,103 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr3.select(
         "vec_id", F.round(F.col("r") / F.lit(float(PR3_SCALE)), 6).alias("rank3")
     )
+
+
+TRIANGLE_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {_bucket_expr_sql('embedding', _PLANES)} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                                         b.vec_id) AS rank
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    und AS (
+      SELECT DISTINCT least(vec_id, nbr_id) AS a, greatest(vec_id, nbr_id) AS c
+      FROM scored WHERE rank <= {KNN_GRAPH_K}
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT c AS node FROM und
+      ) GROUP BY node
+    ),
+    wedges AS (
+      SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM und e1
+      JOIN und e2 ON e1.c = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.c = e2.c
+    )
+    SELECT (SELECT count(*) FROM und)      AS n_edges,
+           (SELECT n_wedges FROM wedges)   AS n_wedges,
+           (SELECT n_triangles FROM tri)   AS n_triangles,
+           round(3.0 * (SELECT n_triangles FROM tri)
+                 / nullif((SELECT n_wedges FROM wedges), 0), 6) AS clustering_coeff
+"""
+
+
+@query("graph_triangle_count", oracle=TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the k-NN
+    graph (the third classic distributed graph kernel after CC and
+    PageRank): triangles reveal how clique-y near-neighbor structure
+    is — high coefficient means dense near-dup communities, a
+    pre-clustering signal for dedup policy.
+
+    Ordered-edge formulation (public standard): undirect + dedup to
+    a < c edges once, then each triangle is counted exactly once by
+    joining e1=(a,b), e2=(b,c) and closing with e3=(a,c) — never the
+    6-fold over-count of the naive join, and the join fan-out is
+    bounded by per-node degree (≤ 2·KNN_GRAPH_K here). Wedges come
+    from a degree aggregate: Σ d(d-1)/2, all integer; ONE float
+    division produces the coefficient.
+
+    Scale: two key joins over an N·k edge table + integer aggregates —
+    at 100 TB the standard refinement is degree-ordered orientation
+    (high-degree nodes get fewer out-edges), same plan shape.
+    """
+    edges = scoped_persist(
+        knn_graph_bucketed(spark, sf_dir)
+        .select(
+            F.least("vec_id", "nbr_id").alias("a"),
+            F.greatest("vec_id", "nbr_id").alias("c"),
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges")
+    )
+    e1 = edges.select(F.col("a"), F.col("c").alias("b"))
+    e2 = edges.select(F.col("a").alias("b"), F.col("c"))
+    closing = edges.select(F.col("a"), F.col("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(closing, ["a", "c"], "left_semi")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        n_edges.crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.nullif("n_wedges", F.lit(0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -478,3 +478,12 @@ def test_pagerank_3iter_reuses_cached_edges(spark):
     plan = plan_of(spark, "graph_pagerank_3iter")
     assert plan.count("InMemoryTableScan") >= 2  # ew read by later rounds
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangle_count_semi_join_closure(spark):
+    """The closing edge must apply as a LEFT SEMI join (existence
+    check, no fan-out) over the cached undirected edge table."""
+    plan = plan_of(spark, "graph_triangle_count")
+    assert "LeftSemi" in plan
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
