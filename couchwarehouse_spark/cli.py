@@ -57,8 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CouchDB base URL (default $COUCH_URL); when set, "
                         "tail {url}/{db}/_changes into --feed over HTTP "
                         "before (and, with --monitor, while) processing")
-    p.add_argument("--database", "--db", "-d", required=True,
-                   help="database name (table name prefix)")
+    p.add_argument("--database", "--db", "-d",
+                   default=os.environ.get("COUCH_DATABASE"),
+                   required="COUCH_DATABASE" not in os.environ,
+                   help="database name (default $COUCH_DATABASE)")
     p.add_argument("--warehouse-dir", "-w", default="./couchwarehouse",
                    help="directory holding the warehouse tables")
     p.add_argument("--reset", "-r", action="store_true",
@@ -67,8 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="doc field that routes documents into per-type tables")
     p.add_argument("--query", "-q", default=None,
                    help="Mango selector JSON filtering the feed")
-    p.add_argument("--transform", "-t", default=None,
-                   help="path to a Python file defining transform(doc) -> doc")
+    p.add_argument("--transform", "-t",
+                   default=os.environ.get("COUCH_TRANSFORM"),
+                   help="path to a Python file defining transform(doc) -> doc "
+                        "(default $COUCH_TRANSFORM)")
     p.add_argument("--monitor", action="store_true",
                    help="after spooling, keep tailing the feed continuously")
     p.add_argument("--processing-time", default="10 seconds",
@@ -80,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sqlite", default=None, metavar="PATH",
                    help="after spooling, egress every table into this "
                         "SQLite file (the reference's default target)")
+    p.add_argument("--es", default=os.environ.get("ESCONFIG"), metavar="URL",
+                   help="Elasticsearch base URL (default $ESCONFIG): bulk-"
+                        "index every table after spooling; with --monitor, "
+                        "mirror each merged batch continuously")
     p.add_argument("--quiet", action="store_true",
                    help="suppress progress/instruction output")
     return p
@@ -148,6 +156,10 @@ def main(argv: list[str] | None = None) -> int:
             from couchwarehouse_spark.sinks.sqlite import sqlite_follower
 
             wh.followers.append(sqlite_follower(args.sqlite))
+        if args.es:
+            from couchwarehouse_spark.sinks.elasticsearch import es_follower
+
+            wh.followers.append(es_follower(args.es))
         q = wh.start(args.feed, monitor=True, processing_time=args.processing_time)
         try:
             q.awaitTermination()
@@ -187,6 +199,21 @@ def main(argv: list[str] | None = None) -> int:
                     print(f"couchwarehouse: {n} rows -> sqlite table {name}")
         finally:
             sink.close()
+    if args.es:
+        # One-shot bulk index of the merged state (the reference's
+        # elasticsearch databaseType, lib/elasticsearch.js:16-44);
+        # split-mode types land in per-type indices.
+        from couchwarehouse_spark.sinks.elasticsearch import push_bulk_http
+
+        for doc_type in wh.schemas:
+            index = (
+                f"couchwarehouse_{doc_type}"
+                if doc_type != "_default"
+                else "couchwarehouse"
+            )
+            push_bulk_http(wh.table(doc_type), index, args.es)
+            if not args.quiet:
+                print(f"couchwarehouse: indexed {wh.table_name(doc_type)} -> {index}")
     if args.sql:
         wh.query(args.sql).show(50, truncate=False)
     return 0

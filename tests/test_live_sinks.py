@@ -345,3 +345,30 @@ def test_es_follower_mirrors_batches_over_http(spark, tmp_path, fake_es):
     assert all(
         a["index"]["_index"] == "couchwarehouse" for a in acts if "index" in a
     )
+
+
+def test_cli_es_egress_bulk_indexes_tables(spark, tmp_path, fake_es):
+    """--es bulk-indexes the merged state into a live endpoint (the
+    reference's elasticsearch databaseType)."""
+    import random
+
+    from couchwarehouse_spark.cli import main
+
+    from .fixtures import envelope, order_doc, write_feed
+
+    fake, url = fake_es
+    rng = random.Random(23)
+    feed = write_feed(
+        str(tmp_path / "feed"),
+        [envelope(i + 1, order_doc(i, rng)) for i in range(5)],
+    )
+    rc = main([
+        "--feed", feed, "--database", "cles",
+        "--warehouse-dir", str(tmp_path / "wh"),
+        "--es", url, "--quiet",
+    ])
+    assert rc == 0
+    acts = fake.actions()
+    indexed = [a["index"] for a in acts if "index" in a]
+    assert len(indexed) == 5
+    assert all(m["_index"] == "couchwarehouse" for m in indexed)
