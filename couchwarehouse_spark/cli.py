@@ -8,8 +8,12 @@ the CLI tails ``{url}/{db}/_changes`` over HTTP into the ``--feed``
 landing dir (``sources.http_changes``) before — and, under
 ``--monitor``, concurrently with — the Spark pipeline; without it
 ``--feed`` is a pre-spooled directory. One delta vs the reference:
-``--databaseType`` is gone — the warehouse IS the target (parquet
-tables + Spark SQL); JDBC/ES egress lives in ``sinks/``.
+``--databaseType`` becomes per-target flags: the warehouse itself is
+the default target (parquet tables + Spark SQL), ``--sqlite PATH``
+adds the reference's sqlite target (one-shot egress, or per-batch
+follower under ``--monitor``), ``--es URL`` / ``$ESCONFIG`` the
+elasticsearch target (live ``_bulk``); postgresql/mysql ride the
+JDBC adapter (``sinks/jdbc.py``) where a driver jar exists.
 
 Usage::
 
