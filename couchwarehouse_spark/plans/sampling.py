@@ -544,3 +544,72 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_n_tok").cast("long").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "dataset_card",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_tok,
+             {FINGERPRINT_SQL} AS fingerprint,
+             n_chars >= {MIN_CHARS}
+               AND len(string_split(text, ' ')) >= {MIN_TOKENS} AS passes_quality
+      FROM documents
+    )
+    SELECT count(*)                                   AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)                 AS n_tokens,
+           count(DISTINCT lang)                       AS n_langs,
+           count(DISTINCT source)                     AS n_sources,
+           count(DISTINCT fingerprint)                AS n_unique_contents,
+           count(*) - count(DISTINCT fingerprint)     AS n_exact_dups,
+           round((count(*) - count(DISTINCT fingerprint)) * 1.0
+                 / count(*), 6)                       AS dup_rate,
+           CAST(count(*) FILTER (passes_quality) AS BIGINT) AS n_quality_pass,
+           round(count(*) FILTER (passes_quality) * 1.0
+                 / count(*), 6)                       AS quality_pass_rate,
+           min(n_tok)                                 AS min_tokens,
+           max(n_tok)                                 AS max_tokens
+    FROM base
+    """,
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics in ONE row (X+ capstone): the release
+    numbers a corpus ships with — document/token counts, language and
+    source diversity, content-fingerprint duplication rate, and the
+    quality-gate pass rate — composed from the SAME definitions the
+    individual audits certify (winnowing fingerprint from the dedup
+    family, MIN_CHARS/MIN_TOKENS from the quality funnel), so the
+    card can never disagree with the pipeline that produced it.
+
+    Scale: a single pass over the corpus — one projection computing
+    token counts / fingerprints / the gate, then one global aggregate
+    whose exact distincts expand to two-level partial aggregates.
+    Integer counts + two final divisions; no joins, no windows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select(
+        "lang",
+        "source",
+        F.size(toks).alias("n_tok"),
+        fingerprint_col().alias("fingerprint"),
+        (
+            (F.col("n_chars") >= MIN_CHARS) & (F.size(toks) >= MIN_TOKENS)
+        ).alias("passes_quality"),
+    )
+    n_dups = F.count("*") - F.countDistinct("fingerprint")
+    n_pass = F.count_if(F.col("passes_quality"))
+    return base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("fingerprint").alias("n_unique_contents"),
+        n_dups.alias("n_exact_dups"),
+        F.round(n_dups * F.lit(1.0) / F.count("*"), 6).alias("dup_rate"),
+        n_pass.cast("long").alias("n_quality_pass"),
+        F.round(n_pass * F.lit(1.0) / F.count("*"), 6).alias("quality_pass_rate"),
+        F.min("n_tok").alias("min_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
