@@ -621,3 +621,63 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").cast("long").alias("n_tokens"),
         F.array_join("chunk", " ").alias("chunk_text"),
     )
+
+
+@query(
+    "bpe_pair_census",
+    oracle="""
+    WITH words AS (
+      SELECT word, count(*) AS wc
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) >= 2
+      GROUP BY word
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+                                   i -> substr(word, CAST(i AS INTEGER), 2))) AS pair,
+             wc
+      FROM words
+    )
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 10
+    """,
+)
+def bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge-selection kernel (X4 tokenizer-training prep):
+    corpus-frequency of every ADJACENT CHARACTER PAIR, weighted by
+    word occurrence counts — the statistic byte-pair encoding
+    maximizes at each merge step (Sennrich et al., public method).
+    Iterating = apply the top pair as a merge and re-run; this entry
+    certifies one step's counts exactly.
+
+    Scale: the corpus collapses to its VOCABULARY first (word-count
+    aggregate, map-side combined — the heavy-hitter shuffle never
+    carries document payloads), then pair explosion runs over
+    distinct words only (thousands of rows, not the corpus); the
+    pair aggregate is another word-count shape and top-10 is a heap.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_tokens()).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(10)
+    )
