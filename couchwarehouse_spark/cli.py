@@ -62,8 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "tail {url}/{db}/_changes into --feed over HTTP "
                         "before (and, with --monitor, while) processing")
     p.add_argument("--database", "--db", "-d",
-                   default=os.environ.get("COUCH_DATABASE"),
-                   required="COUCH_DATABASE" not in os.environ,
+                   default=os.environ.get("COUCH_DATABASE") or None,
+                   required=not os.environ.get("COUCH_DATABASE"),
                    help="database name (default $COUCH_DATABASE)")
     p.add_argument("--warehouse-dir", "-w", default="./couchwarehouse",
                    help="directory holding the warehouse tables")
@@ -205,17 +205,33 @@ def main(argv: list[str] | None = None) -> int:
             sink.close()
     if args.es:
         # One-shot bulk index of the merged state (the reference's
-        # elasticsearch databaseType, lib/elasticsearch.js:16-44);
-        # split-mode types land in per-type indices.
-        from couchwarehouse_spark.sinks.elasticsearch import push_bulk_http
+        # elasticsearch databaseType, lib/elasticsearch.js:16-44),
+        # PLUS delete actions for the feed's tombstones — without
+        # them a re-run over a feed containing deletions would leave
+        # stale documents searchable forever (ES delete of an absent
+        # id is a no-op, so this is idempotent). Index naming shared
+        # with the monitor-mode follower via es_index_name.
+        from pyspark.sql import functions as F
 
+        from couchwarehouse_spark.sinks.elasticsearch import (
+            es_index_name,
+            push_bulk_http,
+        )
+        from couchwarehouse_spark.sources.changes import read_changes_feed
+
+        env = read_changes_feed(spark, args.feed)
+        tombs = (
+            env.filter(F.col("deleted").isNotNull() & F.col("deleted"))
+            .select("id")
+            .distinct()
+            .withColumn("_cw_del", F.lit(True))
+        )
         for doc_type in wh.schemas:
-            index = (
-                f"couchwarehouse_{doc_type}"
-                if doc_type != "_default"
-                else "couchwarehouse"
-            )
+            index = es_index_name(doc_type)
             push_bulk_http(wh.table(doc_type), index, args.es)
+            # Tombstones carry no type: route deletes to every index,
+            # exactly as the warehouse routes them to every table.
+            push_bulk_http(tombs, index, args.es, deleted_col="_cw_del")
             if not args.quiet:
                 print(f"couchwarehouse: indexed {wh.table_name(doc_type)} -> {index}")
     if args.sql:

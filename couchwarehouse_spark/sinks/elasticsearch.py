@@ -174,6 +174,14 @@ def push_bulk_http(
     lines.foreachPartition(_post_partition)
 
 
+def es_index_name(doc_type: str, base: str = "couchwarehouse") -> str:
+    """ONE naming rule for warehouse→ES egress: split-mode types get
+    per-type indices, the default type the base index. Shared by the
+    one-shot CLI egress and the monitor-mode follower so the two can
+    never write the same pipeline into different indices."""
+    return f"{base}_{doc_type}" if doc_type != "_default" else base
+
+
 def es_follower(url: str, index: str = "couchwarehouse"):
     """Warehouse follower: mirror every merged micro-batch into a live
     ES index over ``_bulk`` — the reference's elasticsearch
@@ -196,7 +204,7 @@ def es_follower(url: str, index: str = "couchwarehouse"):
         winners = latest_wins(merged, key="id", seq=SEQ_COL)
         push_bulk_http(
             winners.drop(SEQ_COL),
-            f"{index}_{doc_type}" if doc_type != "_default" else index,
+            es_index_name(doc_type, base=index),
             url,
             deleted_col="_cw_del",
         )

@@ -372,3 +372,31 @@ def test_cli_es_egress_bulk_indexes_tables(spark, tmp_path, fake_es):
     indexed = [a["index"] for a in acts if "index" in a]
     assert len(indexed) == 5
     assert all(m["_index"] == "couchwarehouse" for m in indexed)
+
+
+def test_cli_es_egress_propagates_feed_tombstones(spark, tmp_path, fake_es):
+    """One-shot --es must also emit delete actions for tombstoned ids
+    so a deleted document never lingers searchable in the index."""
+    import random
+
+    from couchwarehouse_spark.cli import main
+
+    from .fixtures import envelope, order_doc, write_feed
+
+    fake, url = fake_es
+    rng = random.Random(29)
+    docs = [order_doc(i, rng) for i in range(4)]
+    envs = [envelope(i + 1, d) for i, d in enumerate(docs)]
+    envs.append(envelope(9, None, doc_id=docs[1]["_id"], deleted=True))
+    feed = write_feed(str(tmp_path / "feed"), envs)
+    rc = main([
+        "--feed", feed, "--database", "clesd",
+        "--warehouse-dir", str(tmp_path / "wh"),
+        "--es", url, "--quiet",
+    ])
+    assert rc == 0
+    acts = fake.actions()
+    indexed = {a["index"]["_id"] for a in acts if "index" in a}
+    deleted = [a["delete"]["_id"] for a in acts if "delete" in a]
+    assert docs[1]["_id"] not in indexed  # tombstoned doc not re-indexed
+    assert deleted == [docs[1]["_id"]]
