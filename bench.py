@@ -33,6 +33,12 @@ HEADLINE = [
     "token_frequency",          # X4 tokenize/explode/count
     "repetition_census",        # X+ curation quality gate
     "tumbling_window_counts",   # D4 event-time windows
+    "warehouse_e2e_pipeline",   # R1→R14 full ETL kernel
+    "snapshot_cdc",             # CDC between merged states
+    "bm25_relevance",           # S19 full-text BM25
+    "doc_chunking",             # X4 context-window chunking
+    "graph_pagerank_3iter",     # X2 iterative graph kernel
+    "dataset_card",             # X+ one-row corpus release stats
 ]
 
 
