@@ -198,3 +198,47 @@ def test_mango_matches_reference_semantics(spark, sel):
     got = sorted(r["id"] for r in df.filter(compile_selector(sel)).collect())
     want = sorted(r["id"] for r in _ROWS if _eval(sel, r.asDict()))
     assert got == want, sel
+
+
+# -- CDC invariant: applying the delta reproduces the new state -------
+_states = st.dictionaries(
+    st.integers(min_value=0, max_value=15),          # key space forces overlap
+    st.integers(min_value=1, max_value=100),         # seq / version stamp
+    max_size=10,
+)
+
+
+@given(old_map=_states, new_map=_states)
+@settings(max_examples=12, deadline=None)
+def test_cdc_payload_apply_reproduces_new_state(spark, old_map, new_map):
+    """For ANY pair of keyed states: applying snapshot_diff's
+    cdc_payload (upsert changed/inserted keys, drop deleted keys)
+    onto the old state yields EXACTLY the new state — the invariant
+    every incremental sink follow relies on."""
+    import pandas as pd
+
+    from couchwarehouse_spark.operators.upsert import (
+        DELETED_COL,
+        cdc_payload,
+        snapshot_diff,
+    )
+
+    def frame(m):
+        pdf = pd.DataFrame(
+            {"id": [f"d{k}" for k in m], "_cw_seq": list(m.values())},
+        )
+        if pdf.empty:
+            pdf = pd.DataFrame({"id": pd.Series(dtype="str"),
+                                "_cw_seq": pd.Series(dtype="int64")})
+        return spark.createDataFrame(pdf, "id string, _cw_seq long")
+
+    old, new = frame(old_map), frame(new_map)
+    payload = cdc_payload(snapshot_diff(old, new), new).collect()
+
+    model = {f"d{k}": v for k, v in old_map.items()}
+    for row in payload:
+        if row[DELETED_COL]:
+            model.pop(row["id"], None)
+        else:
+            model[row["id"]] = row["_cw_seq"]
+    assert model == {f"d{k}": v for k, v in new_map.items()}
