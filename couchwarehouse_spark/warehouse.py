@@ -572,11 +572,23 @@ class Warehouse:
             df = df.filter(F.col("_cw_bucket") == self._bucket_of(F.lit(doc_id)))
         return df.filter(F.col("id") == doc_id).drop(SEQ_COL, "_cw_bucket")
 
-    def query(self, sql: str) -> DataFrame:
+    def query(
+        self, sql: str, substitutions: dict | list | None = None
+    ) -> DataFrame:
         """SQL passthrough over the warehouse tables (R17; the seam the
         reference documents at README.md:306-328 — here it's real:
-        ``spark.sql`` with full Catalyst planning)."""
-        return self.spark.sql(sql)
+        ``spark.sql`` with full Catalyst planning).
+
+        ``substitutions`` mirrors the reference's
+        ``query(sql, substitutions)`` (lib/sqlite.js:123-134 prepared-
+        statement params) via Spark's parameterized SQL: named
+        (``:name`` + dict) or positional (``?`` + list) markers —
+        values bind as literals, never string-spliced, so user input
+        cannot inject SQL.
+        """
+        if substitutions is None:
+            return self.spark.sql(sql)
+        return self.spark.sql(sql, args=substitutions)
 
     def start(
         self,

@@ -472,3 +472,35 @@ def test_compact_reduces_files_preserves_content(spark, tmp_path):
     assert not os.path.isdir(path + "._old") and not os.path.isdir(path + "._tmp")
     # Second pass is a no-op.
     assert wh.compact(max_files_per_bucket=1) == 0
+
+
+def test_query_substitutions_bind_as_parameters(spark, tmp_path):
+    """R17 parity with the reference's query(sql, substitutions)
+    (lib/sqlite.js:123-134): named and positional parameters bind as
+    literals — never string-spliced."""
+    import random
+
+    from .fixtures import envelope, order_doc, write_feed
+
+    rng = random.Random(31)
+    feed = write_feed(
+        str(tmp_path / "feed"),
+        [envelope(i + 1, order_doc(i, rng)) for i in range(6)],
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"), "subst", verbose=False)
+    wh.spool(feed)
+    some_id = wh.table().select("id").orderBy("id").first()["id"]
+    named = wh.query(
+        "SELECT count(*) AS n FROM subst WHERE id = :target",
+        {"target": some_id},
+    ).first()["n"]
+    positional = wh.query(
+        "SELECT count(*) AS n FROM subst WHERE id = ?", [some_id]
+    ).first()["n"]
+    assert named == positional == 1
+    # Malicious input binds as a literal, not as SQL.
+    hostile = wh.query(
+        "SELECT count(*) AS n FROM subst WHERE id = :target",
+        {"target": "x' OR '1'='1"},
+    ).first()["n"]
+    assert hostile == 0
