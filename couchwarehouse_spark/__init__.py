@@ -28,4 +28,70 @@ from couchwarehouse_spark.session import get_spark
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+# The reference exports {start, stop} (reference index.js:257-260) and
+# DOCUMENTS query() without exporting it (a reference bug, see
+# SURVEY.md §2.A R17) — here all three are real. `start` mirrors
+# `couchwarehouse.start(opts)`: spool the feed into the warehouse,
+# optionally keep monitoring; the returned Warehouse exposes
+# `.query(sql, substitutions)`.
+_ACTIVE_QUERY = None
+
+
+def start(
+    database: str,
+    feed: str,
+    url: str | None = None,
+    warehouse_dir: str = "./couchwarehouse",
+    split: str | None = None,
+    transform=None,
+    doc_transform=None,
+    query: dict | None = None,
+    reset: bool = False,
+    monitor: bool = False,
+    verbose: bool = True,
+    spark=None,
+):
+    """Programmatic entry point (reference ``couchwarehouse.start``,
+    index.js:181-255): spool ``feed`` (tailing ``url`` over HTTP
+    first when given) into the warehouse; with ``monitor=True`` keep
+    a streaming query tailing the landing dir — stop it with
+    :func:`stop`. Returns the :class:`~.warehouse.Warehouse`."""
+    global _ACTIVE_QUERY
+    from couchwarehouse_spark.warehouse import Warehouse
+
+    spark = spark or get_spark(app_name=f"couchwarehouse_{database}")
+    wh = Warehouse(
+        spark,
+        warehouse_dir,
+        database,
+        split=split,
+        transform=transform,
+        doc_transform=doc_transform,
+        selector=query,
+        reset=reset,
+        verbose=verbose,
+    )
+    if url is not None:
+        from couchwarehouse_spark.sources.http_changes import (
+            ChangesHTTPClient,
+            spool_to_dir,
+        )
+
+        spool_to_dir(ChangesHTTPClient(url, database, selector=query), feed)
+    if monitor:
+        _ACTIVE_QUERY = wh.start(feed, monitor=True)
+    else:
+        wh.spool(feed)
+    return wh
+
+
+def stop() -> None:
+    """Stop the monitor started by :func:`start` (reference ``stop``,
+    index.js:173-179). No-op when nothing is monitoring."""
+    global _ACTIVE_QUERY
+    if _ACTIVE_QUERY is not None:
+        _ACTIVE_QUERY.stop()
+        _ACTIVE_QUERY = None
+
+
+__all__ = ["get_spark", "start", "stop", "__version__"]

@@ -115,3 +115,36 @@ def test_cli_compact_flag(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "8" in capsys.readouterr().out
+
+
+def test_library_start_query_stop_api(spark, tmp_path):
+    """Reference export parity (index.js:257-260): start() spools and
+    returns a queryable warehouse; monitor mode is stoppable via
+    stop(); query() is real (the reference documents but never
+    exports it)."""
+    import couchwarehouse_spark as cw
+
+    feed = _mixed_feed(str(tmp_path / "feed"))
+    wh = cw.start(
+        "apidb", feed,
+        warehouse_dir=str(tmp_path / "wh"),
+        split="type", verbose=False, spark=spark,
+    )
+    assert wh.query("SELECT count(*) AS n FROM apidb_order").first()["n"] == 8
+    # Monitor lifecycle: start tailing a feed DIRECTORY (streaming
+    # file source contract), then stop() terminates it.
+    import os
+    import shutil
+
+    feed_dir = str(tmp_path / "feeddir")
+    os.makedirs(feed_dir)
+    shutil.copy(feed, os.path.join(feed_dir, "page0.jsonl"))
+    wh2 = cw.start(
+        "apimon", feed_dir,
+        warehouse_dir=str(tmp_path / "wh2"),
+        monitor=True, verbose=False, spark=spark,
+    )
+    assert cw._ACTIVE_QUERY is not None and cw._ACTIVE_QUERY.isActive
+    cw.stop()
+    assert cw._ACTIVE_QUERY is None
+    assert wh2 is not None
