@@ -35,6 +35,7 @@ __version__ = "0.1.0"
 # optionally keep monitoring; the returned Warehouse exposes
 # `.query(sql, substitutions)`.
 _ACTIVE_QUERY = None
+_TAILER_STOP = None
 
 
 def start(
@@ -71,14 +72,32 @@ def start(
         reset=reset,
         verbose=verbose,
     )
+    last_seq = None
+    client = None
     if url is not None:
         from couchwarehouse_spark.sources.http_changes import (
             ChangesHTTPClient,
             spool_to_dir,
         )
 
-        spool_to_dir(ChangesHTTPClient(url, database, selector=query), feed)
+        client = ChangesHTTPClient(url, database, selector=query)
+        last_seq = spool_to_dir(client, feed)
     if monitor:
+        if client is not None:
+            # Keep longpolling CouchDB on a daemon thread while the
+            # streaming query tails the landing dir (reference
+            # monitorChanges, index.js:143-170); stop() ends both.
+            import threading
+
+            from couchwarehouse_spark.sources.http_changes import monitor_to_dir
+
+            global _TAILER_STOP
+            _TAILER_STOP = threading.Event()
+            threading.Thread(
+                target=monitor_to_dir,
+                args=(client, feed, last_seq, _TAILER_STOP.is_set),
+                daemon=True,
+            ).start()
         _ACTIVE_QUERY = wh.start(feed, monitor=True)
     else:
         wh.spool(feed)
@@ -87,8 +106,12 @@ def start(
 
 def stop() -> None:
     """Stop the monitor started by :func:`start` (reference ``stop``,
-    index.js:173-179). No-op when nothing is monitoring."""
-    global _ACTIVE_QUERY
+    index.js:173-179) — the streaming query AND the HTTP tailer
+    thread, when one is running. No-op when nothing is monitoring."""
+    global _ACTIVE_QUERY, _TAILER_STOP
+    if _TAILER_STOP is not None:
+        _TAILER_STOP.set()
+        _TAILER_STOP = None
     if _ACTIVE_QUERY is not None:
         _ACTIVE_QUERY.stop()
         _ACTIVE_QUERY = None

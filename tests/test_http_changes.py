@@ -259,3 +259,44 @@ def test_pruned_pages_never_reused_or_clobbered(fake_couch, tmp_path):
         "page-00000001.jsonl", "page-00000002.jsonl", "page-00000003.jsonl",
     ]
     assert open(os.path.join(landing, "page-00000002.jsonl")).read() == keep
+
+
+def test_library_start_monitor_tails_http_and_stop_ends_it(
+    fake_couch, tmp_path, spark
+):
+    """Full reference loop through the library API: start(url=...,
+    monitor=True) spools over HTTP, keeps longpolling AND streaming;
+    a change injected later lands in the warehouse; stop() ends both
+    loops."""
+    import time
+
+    import couchwarehouse_spark as cw
+
+    fake, url = fake_couch
+    wh = cw.start(
+        "mydb", str(tmp_path / "landing"),
+        url=url,
+        warehouse_dir=str(tmp_path / "wh"),
+        monitor=True, verbose=False, spark=spark,
+    )
+    try:
+        # Wait for the initial 25 live docs to merge.
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if wh.table().count() == 25:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        assert wh.table().count() == 25
+        # Inject a change server-side; the longpoll tailer must land it
+        # and the stream must merge it.
+        fake.changes.append(_mkchange(27))
+        deadline = time.time() + 90
+        while time.time() < deadline and wh.table().count() != 26:
+            time.sleep(1)
+        assert wh.table().count() == 26
+    finally:
+        cw.stop()
+    assert cw._ACTIVE_QUERY is None and cw._TAILER_STOP is None
