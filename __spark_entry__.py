@@ -24,74 +24,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
-# coverage policy: one-plus representatives of every SURVEY.md §2 family
-# (ETL kernel R*, relational S*, streaming D*, scalar C*, and the X1-X4
-# LLM-pipeline operators) land inside the window; remaining depth
-# entries (extra variants per family) follow after and stay fully
-# registered, pytest-covered, and bench-timed.
+# coverage policy. Round-4 rotation (VERDICT r3, Next-round #1): keep 15
+# never-regressed anchors (ETL kernel + e2e + one representative per
+# family), fill the other 35 slots with entries that have never had a
+# driver CORRECTNESS row (r01–r03 union = 70 of 123); the remaining 18
+# never-verified entries rotate into the round-5 window. Every entry
+# outside the window stays registered, oracle-checked by tests/t2_sim.py,
+# pytest-covered, and bench-timed.
 PRIORITY = [
-    # ETL kernel (R4, R6, R11, R12, R13, R15) + CDC / incremental MV
+    # --- 15 anchors (all green in CORRECTNESS_r03) ---
     "latest_event_per_user",
     "delete_propagation",
     "flatten_props",
     "conform_projection",
     "seq_extraction",
     "mango_selector_filter",
-    "snapshot_cdc",
-    "incremental_agg_maintenance",
-    # end-to-end warehouse pipeline (R1→R14)
     "warehouse_e2e_pipeline",
-    # event-time windows (D4 — all three window kinds)
-    "tumbling_window_counts",
-    "sliding_window_counts",
-    "session_window_stats",
-    # dedup (X1)
-    "exact_dedup",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_candidates",
-    "simhash_near_dup",
-    "embedding_near_dup",
-    "near_dup_clusters",
-    # similarity (X2)
-    "knn_cosine_topk",
-    "ivf_topk",
-    "hybrid_search_rrf",
-    "graph_pagerank_step",
-    # text analysis (X4)
-    "tf_idf_top_terms",
-    "language_id_heuristic",
-    "doc_chunking",
-    # curation / governance
-    "repetition_census",
-    "vocab_oov_audit",
-    "user_pseudonymization",
-    "k_anonymity_audit",
-    # sampling / splits
-    "deterministic_split",
-    "sequence_packing",
-    # scalar families (C-str, C-json, C-arr, C-date+math+cond, C-udf)
-    "string_functions",
-    "json_functions",
-    "array_functions",
-    "scalar_kitchen_sink",
-    "pandas_udf_disc_price",
-    # statistics / skew
-    "percentile_stats",
-    "salted_skew_aggregate",
-    # multimodal (X3)
-    "multimodal_metadata",
-    # relational (S5-S16, S19) incl. BM25 full-text and recursive CTE
     "pricing_summary",
-    "agg_stats",
     "nation_revenue",
-    "big_spenders_semi",
-    "asof_last_view",
-    "grouping_sets_orders",
-    "window_top_orders",
-    "cte_above_avg_customers",
-    "recursive_cte_month_spine",
-    "full_text_relevance",
-    "bm25_relevance",
+    "tumbling_window_counts",
+    "exact_dedup",
+    "minhash_lsh_candidates",
+    "knn_cosine_topk",
+    "string_functions",
+    "pandas_udf_disc_price",
+    # --- 35 never-driver-verified entries (rotation round 4) ---
+    # similarity / ANN / graph / ML (X2)
+    "ann_lsh_topk",
+    "ann_multiprobe_topk",
+    "ann_batch_topk",
+    "knn_graph_bucketed",
+    "graph_pagerank_3iter",
+    "graph_triangle_count",
+    "kmeans_lloyd_step",
+    "centroid_similarity_per_label",
+    "ml_inference_scores",
+    "int8_quantization_audit",
+    "embedding_norm_audit",
+    # dedup depth (X1)
+    "dedup_survivors",
+    "doc_fingerprints",
+    "lsh_recall_audit",
+    "source_overlap_matrix",
+    # text analysis depth (X4)
+    "token_frequency",
+    "token_count_bpe_ish",
+    "unigram_surprisal_scores",
+    "bigram_stats",
+    "bpe_pair_census",
+    "quality_scores",
+    "token_entropy_per_source",
+    # statistics / sketches
+    "approx_distinct_audit",
+    "approx_percentile_audit",
+    "hll_union_audit",
+    "moment_stats",
+    "regression_price_qty",
+    # sampling / curation / layout
+    "stratified_sample",
+    "benchmark_decontamination",
+    "corpus_build_pipeline",
+    "dataset_card",
+    "zorder_layout_cells",
+    "quality_filter_funnel",
+    # scalar + multimodal depth
+    "variant_json_functions",
+    "multimodal_resize",
 ]
 
 

@@ -33,9 +33,13 @@ __version__ = "0.1.0"
 # SURVEY.md §2.A R17) — here all three are real. `start` mirrors
 # `couchwarehouse.start(opts)`: spool the feed into the warehouse,
 # optionally keep monitoring; the returned Warehouse exposes
-# `.query(sql, substitutions)`.
-_ACTIVE_QUERY = None
-_TAILER_STOP = None
+# `.query(sql, substitutions)` and owns its monitor handles
+# (``wh.stop()``), so concurrent monitors on different warehouses
+# are each stoppable. The module-level handle below only backs the
+# zero-argument ``stop()`` convenience, tracking the MOST RECENT
+# monitor; ``start`` never orphans an earlier one — it keeps its
+# handles on that monitor's own Warehouse.
+_ACTIVE_WH = None
 
 
 def start(
@@ -56,8 +60,9 @@ def start(
     index.js:181-255): spool ``feed`` (tailing ``url`` over HTTP
     first when given) into the warehouse; with ``monitor=True`` keep
     a streaming query tailing the landing dir — stop it with
-    :func:`stop`. Returns the :class:`~.warehouse.Warehouse`."""
-    global _ACTIVE_QUERY
+    ``wh.stop()`` / :func:`stop`. Returns the
+    :class:`~.warehouse.Warehouse`."""
+    global _ACTIVE_WH
     from couchwarehouse_spark.warehouse import Warehouse
 
     spark = spark or get_spark(app_name=f"couchwarehouse_{database}")
@@ -86,35 +91,38 @@ def start(
         if client is not None:
             # Keep longpolling CouchDB on a daemon thread while the
             # streaming query tails the landing dir (reference
-            # monitorChanges, index.js:143-170); stop() ends both.
+            # monitorChanges, index.js:143-170); wh.stop() ends both.
             import threading
 
             from couchwarehouse_spark.sources.http_changes import monitor_to_dir
 
-            global _TAILER_STOP
-            _TAILER_STOP = threading.Event()
+            wh._tailer_stop = threading.Event()
             threading.Thread(
                 target=monitor_to_dir,
-                args=(client, feed, last_seq, _TAILER_STOP.is_set),
+                args=(client, feed, last_seq, wh._tailer_stop.is_set),
                 daemon=True,
             ).start()
-        _ACTIVE_QUERY = wh.start(feed, monitor=True)
+        wh.start(feed, monitor=True)
+        _ACTIVE_WH = wh
     else:
         wh.spool(feed)
     return wh
 
 
-def stop() -> None:
-    """Stop the monitor started by :func:`start` (reference ``stop``,
+def stop(wh=None) -> None:
+    """Stop a monitor started by :func:`start` (reference ``stop``,
     index.js:173-179) — the streaming query AND the HTTP tailer
-    thread, when one is running. No-op when nothing is monitoring."""
-    global _ACTIVE_QUERY, _TAILER_STOP
-    if _TAILER_STOP is not None:
-        _TAILER_STOP.set()
-        _TAILER_STOP = None
-    if _ACTIVE_QUERY is not None:
-        _ACTIVE_QUERY.stop()
-        _ACTIVE_QUERY = None
+    thread, when one is running. Pass the Warehouse returned by
+    ``start`` to stop that specific monitor (equivalent to
+    ``wh.stop()``); with no argument, stops the most recently started
+    one. No-op when nothing is monitoring."""
+    global _ACTIVE_WH
+    if wh is None:
+        wh, _ACTIVE_WH = _ACTIVE_WH, None
+    elif wh is _ACTIVE_WH:
+        _ACTIVE_WH = None
+    if wh is not None:
+        wh.stop()
 
 
 __all__ = ["get_spark", "start", "stop", "__version__"]

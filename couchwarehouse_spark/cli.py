@@ -181,9 +181,32 @@ def main(argv: list[str] | None = None) -> int:
             n = wh.compact(doc_type)
             if n and not args.quiet:
                 print(f"couchwarehouse: compacted {n} buckets of {doc_type}")
+    if args.sqlite or args.es:
+        # Tombstone set shared by both one-shot egress targets: ids
+        # whose LATEST envelope (by _cw_seq) is a deletion. Filtering
+        # on "any deleted change" would be wrong — CouchDB feeds
+        # legitimately contain delete-then-recreate histories, and the
+        # warehouse (merge_batch) resolves those to the recreate; the
+        # egress targets must agree or they silently diverge.
+        from pyspark.sql import functions as F
+
+        from couchwarehouse_spark.operators.upsert import latest_wins
+        from couchwarehouse_spark.sources.changes import read_changes_feed
+
+        env = read_changes_feed(spark, args.feed)
+        latest_deleted_ids = (
+            latest_wins(env.select("id", "_cw_seq", "deleted"))
+            .filter(F.col("deleted").isNotNull() & F.col("deleted"))
+            .select("id")
+            .withColumn("_cw_del", F.lit(True))
+        )
     if args.sqlite:
         # Reference default target: REPLACE-INTO egress of the merged
-        # state per table (lib/sqlite.js:60-110), stdlib sqlite3.
+        # state per table (lib/sqlite.js:60-110), stdlib sqlite3 —
+        # plus DELETE-by-id for latest-deleted feed ids, the parity
+        # path for the reference's per-change DELETE (lib/sqlite.js:
+        # 95-98). Without it a re-run against an existing sqlite file
+        # after deletions would leave stale rows queryable forever.
         from couchwarehouse_spark.sinks.sqlite import SQLiteSink
 
         sink = SQLiteSink(args.sqlite)
@@ -193,6 +216,9 @@ def main(argv: list[str] | None = None) -> int:
                 full = {"id": "string", **schema}
                 sink.create_table(name, full)
                 n = sink.insert_bulk(name, wh.table(doc_type), full)
+                sink.insert_bulk(
+                    name, latest_deleted_ids, full, deleted_col="_cw_del"
+                )
                 # An already-caught-up spool returns None — appending a
                 # "0" row would rewind the newest-rowid checkpoint, so
                 # fall back to the warehouse's stored seq instead.
@@ -206,32 +232,25 @@ def main(argv: list[str] | None = None) -> int:
     if args.es:
         # One-shot bulk index of the merged state (the reference's
         # elasticsearch databaseType, lib/elasticsearch.js:16-44),
-        # PLUS delete actions for the feed's tombstones — without
-        # them a re-run over a feed containing deletions would leave
-        # stale documents searchable forever (ES delete of an absent
-        # id is a no-op, so this is idempotent). Index naming shared
+        # PLUS delete actions for ids whose latest feed state is a
+        # deletion (latest_deleted_ids above) — without them a re-run
+        # over a feed containing deletions would leave stale documents
+        # searchable forever (ES delete of an absent id is a no-op, so
+        # this is idempotent), and with the naive "any deleted change"
+        # set a delete-then-recreate doc would be wrongly purged from
+        # ES while remaining in the warehouse. Index naming shared
         # with the monitor-mode follower via es_index_name.
-        from pyspark.sql import functions as F
-
         from couchwarehouse_spark.sinks.elasticsearch import (
             es_index_name,
             push_bulk_http,
         )
-        from couchwarehouse_spark.sources.changes import read_changes_feed
 
-        env = read_changes_feed(spark, args.feed)
-        tombs = (
-            env.filter(F.col("deleted").isNotNull() & F.col("deleted"))
-            .select("id")
-            .distinct()
-            .withColumn("_cw_del", F.lit(True))
-        )
         for doc_type in wh.schemas:
             index = es_index_name(doc_type)
             push_bulk_http(wh.table(doc_type), index, args.es)
             # Tombstones carry no type: route deletes to every index,
             # exactly as the warehouse routes them to every table.
-            push_bulk_http(tombs, index, args.es, deleted_col="_cw_del")
+            push_bulk_http(latest_deleted_ids, index, args.es, deleted_col="_cw_del")
             if not args.quiet:
                 print(f"couchwarehouse: indexed {wh.table_name(doc_type)} -> {index}")
     if args.sql:

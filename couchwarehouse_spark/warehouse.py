@@ -619,8 +619,14 @@ class Warehouse:
 
     def stop(self) -> None:
         """Stop a running monitor (the reference's exported ``stop``,
-        reference index.js:257-260 / 172-178). Idempotent: no-op when
+        reference index.js:257-260 / 172-178) — the streaming query
+        AND the HTTP tailer thread when the package-level ``start``
+        attached one (``_tailer_stop``). Idempotent: no-op when
         nothing is monitoring."""
+        ev = getattr(self, "_tailer_stop", None)
+        if ev is not None:
+            ev.set()
+        self._tailer_stop = None
         q = getattr(self, "_active_query", None)
         if q is not None and q.isActive:
             q.stop()

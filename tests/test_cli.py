@@ -144,7 +144,40 @@ def test_library_start_query_stop_api(spark, tmp_path):
         warehouse_dir=str(tmp_path / "wh2"),
         monitor=True, verbose=False, spark=spark,
     )
-    assert cw._ACTIVE_QUERY is not None and cw._ACTIVE_QUERY.isActive
+    assert wh2._active_query is not None and wh2._active_query.isActive
+    assert cw._ACTIVE_WH is wh2
     cw.stop()
-    assert cw._ACTIVE_QUERY is None
-    assert wh2 is not None
+    assert cw._ACTIVE_WH is None
+    assert wh2._active_query is None
+
+
+def test_library_concurrent_monitors_each_stoppable(spark, tmp_path):
+    """Two concurrent start(monitor=True) calls must not orphan the
+    first monitor: each Warehouse owns its handles, stop(wh) / wh.stop()
+    targets one, and the zero-arg stop() targets the most recent."""
+    import os
+    import shutil
+
+    import couchwarehouse_spark as cw
+
+    feed = _mixed_feed(str(tmp_path / "feed"))
+    whs = []
+    for name in ("mona", "monb"):
+        feed_dir = str(tmp_path / f"feed_{name}")
+        os.makedirs(feed_dir)
+        shutil.copy(feed, os.path.join(feed_dir, "page0.jsonl"))
+        whs.append(cw.start(
+            name, feed_dir,
+            warehouse_dir=str(tmp_path / f"wh_{name}"),
+            monitor=True, verbose=False, spark=spark,
+        ))
+    a, b = whs
+    # Starting b did NOT orphan a: its query is still tracked + active.
+    assert a._active_query is not None and a._active_query.isActive
+    assert b._active_query is not None and b._active_query.isActive
+    cw.stop(a)  # targeted stop of the NON-latest monitor
+    assert a._active_query is None
+    assert b._active_query is not None and b._active_query.isActive
+    cw.stop()  # zero-arg: latest
+    assert b._active_query is None
+    cw.stop()  # idempotent no-op

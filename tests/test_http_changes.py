@@ -299,4 +299,5 @@ def test_library_start_monitor_tails_http_and_stop_ends_it(
         assert wh.table().count() == 26
     finally:
         cw.stop()
-    assert cw._ACTIVE_QUERY is None and cw._TAILER_STOP is None
+    assert cw._ACTIVE_WH is None
+    assert wh._active_query is None and wh._tailer_stop is None

@@ -400,3 +400,82 @@ def test_cli_es_egress_propagates_feed_tombstones(spark, tmp_path, fake_es):
     deleted = [a["delete"]["_id"] for a in acts if "delete" in a]
     assert docs[1]["_id"] not in indexed  # tombstoned doc not re-indexed
     assert deleted == [docs[1]["_id"]]
+
+
+def test_cli_es_egress_delete_then_recreate_stays_indexed(spark, tmp_path, fake_es):
+    """A doc deleted then recreated at a later seq (a valid CouchDB
+    history) is live in the warehouse — the one-shot --es egress must
+    NOT emit a trailing delete for it, or ES silently diverges from
+    the warehouse. Only ids whose LATEST envelope is a deletion may
+    produce delete actions."""
+    import random
+
+    from couchwarehouse_spark.cli import main
+
+    from .fixtures import envelope, order_doc, write_feed
+
+    fake, url = fake_es
+    rng = random.Random(31)
+    docs = [order_doc(i, rng) for i in range(3)]
+    envs = [envelope(i + 1, d) for i, d in enumerate(docs)]
+    # doc0: delete at seq 4, recreate at seq 5 → live.
+    envs.append(envelope(4, None, doc_id=docs[0]["_id"], deleted=True))
+    recreated = dict(docs[0], _rev=f"3-{rng.getrandbits(64):016x}")
+    envs.append(envelope(5, recreated))
+    # doc2: deleted at seq 6 and never recreated → gone.
+    envs.append(envelope(6, None, doc_id=docs[2]["_id"], deleted=True))
+    feed = write_feed(str(tmp_path / "feed"), envs)
+    rc = main([
+        "--feed", feed, "--database", "clesr",
+        "--warehouse-dir", str(tmp_path / "wh"),
+        "--es", url, "--quiet",
+    ])
+    assert rc == 0
+    acts = fake.actions()
+    indexed = {a["index"]["_id"] for a in acts if "index" in a}
+    deleted = {a["delete"]["_id"] for a in acts if "delete" in a}
+    assert docs[0]["_id"] in indexed  # recreated doc indexed...
+    assert docs[0]["_id"] not in deleted  # ...and never purged
+    assert deleted == {docs[2]["_id"]}
+
+
+def test_cli_sqlite_egress_deletes_tombstoned_rows(spark, tmp_path):
+    """Re-running one-shot --sqlite against an existing file after a
+    deletion must remove the stale row (parity with the reference's
+    per-change DELETE, lib/sqlite.js:95-98) — while a delete-then-
+    recreate id stays present."""
+    import random
+    import sqlite3
+
+    from couchwarehouse_spark.cli import main
+
+    from .fixtures import envelope, order_doc, write_feed
+
+    rng = random.Random(37)
+    docs = [order_doc(i, rng) for i in range(4)]
+    out = str(tmp_path / "egress.sqlite")
+    wh_dir = str(tmp_path / "wh")
+    feed1 = write_feed(
+        str(tmp_path / "feed1"), [envelope(i + 1, d) for i, d in enumerate(docs)]
+    )
+    assert main(["--feed", feed1, "--database", "clisd",
+                 "--warehouse-dir", wh_dir, "--sqlite", out, "--quiet"]) == 0
+    con = sqlite3.connect(out)
+    assert con.execute('SELECT count(*) FROM "clisd"').fetchone()[0] == 4
+    con.close()
+    # Second run over an extended feed: doc1 deleted; doc0 deleted
+    # then recreated (must survive).
+    envs = [envelope(i + 1, d) for i, d in enumerate(docs)]
+    envs.append(envelope(5, None, doc_id=docs[1]["_id"], deleted=True))
+    envs.append(envelope(6, None, doc_id=docs[0]["_id"], deleted=True))
+    envs.append(envelope(7, dict(docs[0], _rev=f"4-{rng.getrandbits(64):016x}")))
+    feed2 = write_feed(str(tmp_path / "feed2"), envs)
+    assert main(["--feed", feed2, "--database", "clisd",
+                 "--warehouse-dir", str(tmp_path / "wh2"),
+                 "--sqlite", out, "--quiet"]) == 0
+    con = sqlite3.connect(out)
+    ids = {r[0] for r in con.execute('SELECT id FROM "clisd"')}
+    con.close()
+    assert docs[1]["_id"] not in ids  # stale row removed
+    assert docs[0]["_id"] in ids  # recreate survives
+    assert len(ids) == 3
