@@ -46,8 +46,8 @@ PRIORITY = [
     "exact_dedup",
     "minhash_lsh_candidates",
     "knn_cosine_topk",
-    "string_functions",
-    "pandas_udf_disc_price",
+    "k_anonymity_audit",
+    "salted_skew_aggregate",
     # --- 35 never-driver-verified entries (rotation round 4) ---
     # similarity / ANN / graph / ML (X2)
     "ann_lsh_topk",

@@ -92,6 +92,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Elasticsearch base URL (default $ESCONFIG): bulk-"
                         "index every table after spooling; with --monitor, "
                         "mirror each merged batch continuously")
+    p.add_argument("--jdbc", default=os.environ.get("JDBCCONFIG"), metavar="URL",
+                   help="JDBC URL (default $JDBCCONFIG), e.g. "
+                        "jdbc:postgresql://host/db or jdbc:mysql://host/db: "
+                        "after spooling, write every table via df.write.jdbc "
+                        "with dialect-exact column DDL — the reference's "
+                        "postgresql/mysql databaseType targets")
+    p.add_argument("--jdbc-user", default=None, help="JDBC username")
+    p.add_argument("--jdbc-password", default=None, help="JDBC password")
     p.add_argument("--quiet", action="store_true",
                    help="suppress progress/instruction output")
     return p
@@ -253,6 +261,32 @@ def main(argv: list[str] | None = None) -> int:
             push_bulk_http(latest_deleted_ids, index, args.es, deleted_col="_cw_del")
             if not args.quiet:
                 print(f"couchwarehouse: indexed {wh.table_name(doc_type)} -> {index}")
+    if args.jdbc:
+        # The reference's postgresql/mysql databaseType targets
+        # (bin/couchwarehouse.bin.js:9, lib/postgresql.js,
+        # lib/mysql.js) ride Spark's parallel JDBC writer: a full
+        # overwrite of each table's merged state needs no tombstone
+        # pass (deleted rows simply aren't in the state), and
+        # createTableColumnTypes carries the dialect DDL. Dialect-
+        # exact per-row upsert/delete statements live in
+        # sinks.dialects for follower-style incremental egress.
+        from couchwarehouse_spark.sinks import jdbc as jdbc_sink
+
+        for doc_type, schema in wh.schemas.items():
+            name = wh.table_name(doc_type)
+            full = {"id": "string", **schema}
+            table_df = wh.table(doc_type)
+            jdbc_sink.write_jdbc(
+                table_df.select(*[c for c in full if c in table_df.columns]),
+                args.jdbc,
+                name,
+                user=args.jdbc_user,
+                password=args.jdbc_password,
+                mode="overwrite",
+                schema=full,
+            )
+            if not args.quiet:
+                print(f"couchwarehouse: wrote {name} -> {args.jdbc}")
     if args.sql:
         wh.query(args.sql).show(50, truncate=False)
     return 0

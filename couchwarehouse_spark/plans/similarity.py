@@ -26,7 +26,30 @@ from couchwarehouse_spark.plans.registry import query, scoped_persist
 
 QUERY_VEC_ID = 0  # the corpus vector used as the search query
 TOP_K = 10
-N_PLANES = 6  # LSH hyperplanes → 64 buckets
+
+# SRP-LSH plane count is DERIVED from the corpus size, not fixed:
+# planes = clamp(ceil(log2(N / TARGET_BUCKET_ROWS)), P_MIN, P_MAX), so
+# the expected bucket holds ~TARGET_BUCKET_ROWS vectors at any scale —
+# per-bucket pair/score work stays bounded at 100× data with no
+# retuning (more data → more planes → same bucket size). Both lanes
+# evaluate the SAME formula (Python over count(), SQL over a scalar
+# COUNT subquery) against the SAME P_MAX plane literals, so even the
+# derived geometry is exactly oracle-checked.
+P_MIN, P_MAX = 4, 24
+TARGET_BUCKET_ROWS = 1024
+
+
+def derive_planes(n_rows: int) -> int:
+    """Plane count for an N-row corpus; mirrors ``_NP_SQL`` exactly.
+    Both sides are IEEE-double log2/ceil; the only values where a ULP
+    could flip ceil are exact powers of two, which log2 computes
+    exactly on both engines."""
+    import math
+
+    return min(
+        P_MAX,
+        max(P_MIN, math.ceil(math.log2(max(n_rows, 2) / float(TARGET_BUCKET_ROWS)))),
+    )
 
 
 def dot(x: Column, y: Column) -> Column:
@@ -78,7 +101,7 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(dim: int = 64, n: int = N_PLANES) -> list[list[float]]:
+def _hyperplanes(dim: int = 64, n: int = P_MAX) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (hash-derived, seedless
     of any RNG state so both lanes can inline identical literals)."""
     planes = []
@@ -112,13 +135,43 @@ def _bucket_expr_sql(vexpr: str, planes: list[list[float]]) -> str:
     return " + ".join(terms)
 
 
-_PLANES = _hyperplanes()
+_ALL_PLANES = _hyperplanes()
+
+_COUNT_CACHE: dict[str, int] = {}
+
+
+def corpus_planes(spark: SparkSession, sf_dir: str, table: str = "embeddings"):
+    """The derived plane prefix for this corpus (count cached per
+    table path — one tiny count job per bench/session, not per
+    query). Pre-register a known row count in ``_COUNT_CACHE`` to
+    skip the probe entirely (the 'passed hint' path)."""
+    key = f"{sf_dir.rstrip('/')}/{table}"
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = load_table(spark, sf_dir, table).count()
+    return _ALL_PLANES[: derive_planes(_COUNT_CACHE[key])]
+
+
+# SQL twin of derive_planes(); GREATEST(.., 2) mirrors max(n, 2).
+_NP_SQL = (
+    f"LEAST({P_MAX}, GREATEST({P_MIN}, CAST(ceil(log2("
+    f"GREATEST((SELECT count(*) FROM embeddings), 2) / {TARGET_BUCKET_ROWS}.0"
+    f")) AS INT)))"
+)
+
+
+def _bucket_expr_sql_derived(vexpr: str) -> str:
+    """Masked full-width bucket: bit i of the SRP signature depends
+    only on plane i, so ``full_bucket & ((1 << np) - 1)`` equals the
+    bucket computed from the first ``np`` planes — which is exactly
+    what the Spark lane computes from the ``corpus_planes`` prefix."""
+    full = _bucket_expr_sql(vexpr, _ALL_PLANES)
+    return f"(({full}) & ((1 << ({_NP_SQL})) - 1))"
 
 ANN_ORACLE = f"""
     WITH b AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-             {_bucket_expr_sql('embedding', _PLANES)} AS bucket
+             {_bucket_expr_sql_derived('embedding')} AS bucket
       FROM embeddings
     ),
     q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = {QUERY_VEC_ID})
@@ -135,12 +188,15 @@ ANN_ORACLE = f"""
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (X2 scale path).
 
-    Random-hyperplane (SRP) LSH: 6 sign-bits → 64 buckets; the query
-    probes only its own bucket, so the scored set is ~N/64 — at 100 TB
-    the bucket id is the partition/cluster key and a query touches one
-    partition instead of the corpus. Identical hyperplane literals are
-    inlined into both lanes, so even this approximate operator is
-    oracle-checked exactly (same buckets, same winners).
+    Random-hyperplane (SRP) LSH: the corpus-derived plane count (see
+    ``derive_planes``) gives sign-bit buckets of ~TARGET_BUCKET_ROWS
+    vectors at any N; the query probes only its own bucket — at
+    100 TB the bucket id is the partition/cluster key and a query
+    touches one bounded partition instead of the corpus, with no
+    retuning as data grows. Identical hyperplane literals and the
+    identical derivation are inlined into both lanes, so even this
+    approximate operator is oracle-checked exactly (same buckets,
+    same winners).
 
     Recall knob: more planes → smaller buckets, lower recall;
     multi-probe (flip one bit) trades compute back for recall. IVF =
@@ -149,7 +205,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("bucket", _bucket_expr_spark("v", _PLANES))
+    ).withColumn("bucket", _bucket_expr_spark("v", corpus_planes(spark, sf_dir)))
     q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qb")
     )
@@ -527,7 +583,7 @@ MULTIPROBE_ORACLE = f"""
     WITH b AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-             {_bucket_expr_sql('embedding', _PLANES)} AS bucket
+             {_bucket_expr_sql_derived('embedding')} AS bucket
       FROM embeddings
     ),
     q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = {QUERY_VEC_ID})
@@ -545,10 +601,11 @@ MULTIPROBE_ORACLE = f"""
 def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH top-k (X2): like ``ann_lsh_topk`` but the query
     also probes every Hamming-1 neighbor bucket — ``bit_count(bucket ^
-    qb) <= 1`` admits the 6 buckets one sign-flip away, recovering the
+    qb) <= 1`` admits the ``n_planes`` buckets one sign-flip away,
+    recovering the
     near-misses single-bucket SRP loses (multi-probe LSH, Lv et al.
-    VLDB'07, public knowledge). Scored set ≈ 7/64 of the corpus
-    instead of 1/64: the standard recall/compute dial.
+    VLDB'07, public knowledge). Scored set ≈ (1+n_planes) buckets
+    instead of 1: the standard recall/compute dial.
 
     Scale: identical shape to the single-probe entry — bucket id is
     the partition key, a query touches the 1+n_planes bucket
@@ -558,7 +615,7 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("bucket", _bucket_expr_spark("v", _PLANES))
+    ).withColumn("bucket", _bucket_expr_spark("v", corpus_planes(spark, sf_dir)))
     q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qb")
     )
@@ -825,7 +882,7 @@ KNN_GRAPH_K = 3
 KNN_GRAPH_ORACLE = f"""
     WITH b AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-             {_bucket_expr_sql('embedding', _PLANES)} AS bucket
+             {_bucket_expr_sql_derived('embedding')} AS bucket
       FROM embeddings
     ),
     scored AS (
@@ -849,7 +906,8 @@ def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the self-join keys on the bucket id — SRP buckets are
     near-uniform by construction (random hyperplanes), so the
-    quadratic pair work is N·(N/2^planes) spread evenly, never
+    quadratic pair work is N·(N/2^planes) ≈ N·TARGET_BUCKET_ROWS
+    spread evenly (plane count is corpus-derived), never
     all-pairs; plane count is the dial that keeps per-bucket size
     bounded as N grows. The per-node rank window partitions on
     (vec_id) over only that node's bucket candidates; if buckets ever
@@ -860,7 +918,7 @@ def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("bucket", _bucket_expr_spark("v", _PLANES))
+    ).withColumn("bucket", _bucket_expr_spark("v", corpus_planes(spark, sf_dir)))
     # Explicit-width bucket partitioning on BOTH join sides: the pair
     # cosine work is compute-dense but byte-light, so AQE's size-based
     # coalescing would collapse the join to one task; a user-specified
@@ -892,7 +950,7 @@ PR_DAMPING = 0.85
 PAGERANK_ORACLE = f"""
     WITH b AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-             {_bucket_expr_sql('embedding', _PLANES)} AS bucket
+             {_bucket_expr_sql_derived('embedding')} AS bucket
       FROM embeddings
     ),
     scored AS (
@@ -1035,7 +1093,7 @@ PR3_SCALE = 120**3  # 1,728,000
 PR3_ORACLE = f"""
     WITH b AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-             {_bucket_expr_sql('embedding', _PLANES)} AS bucket
+             {_bucket_expr_sql_derived('embedding')} AS bucket
       FROM embeddings
     ),
     scored AS (
@@ -1128,7 +1186,7 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRIANGLE_ORACLE = f"""
     WITH b AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-             {_bucket_expr_sql('embedding', _PLANES)} AS bucket
+             {_bucket_expr_sql_derived('embedding')} AS bucket
       FROM embeddings
     ),
     scored AS (

@@ -32,6 +32,7 @@ def read_changes_feed(
     path: str,
     doc_transform: Callable[[dict], dict] | None = None,
     doc_schema: str | None = None,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Read a JSON-lines changes feed into an envelope DataFrame.
 
@@ -54,8 +55,9 @@ def read_changes_feed(
     projection — no RDD round-trip, no inference scan — the shape to
     use when the doc type is known (the warehouse's frozen schema can
     supply it). When omitted, the lane falls back to full-union
-    inference over the transformed lines (an extra scan, batch lane
-    only).
+    inference over a scratch-dir spool of the transformed lines (one
+    extra bounded write + JVM-side inference scan, batch lane only;
+    ``scratch_dir`` must be shared storage on a multi-node cluster).
     """
     if doc_transform is None:
         env = spark.read.json(path)
@@ -87,7 +89,31 @@ def read_changes_feed(
                 F.from_json("value", envelope_ddl).alias("e")
             ).select("e.*")
         else:
-            env = spark.read.json(transformed.rdd.map(lambda r: r.value))
+            # Schemaless fallback: spool the transformed lines to a
+            # scratch text dir once and let the JVM json reader infer
+            # the envelope schema from the spooled copy — the same
+            # trick as the streaming lane (streaming/ingest.py:
+            # _parse_docs). The Python transform executes exactly once
+            # for the inference pass (during the write); the
+            # alternative `.rdd` round-trip re-ran it for inference
+            # AND left a Python-RDD scan in the plan. Parsing is then
+            # a from_json projection over the transformed lines —
+            # whole-stage-codegen'd, schema known up front. On a
+            # multi-node cluster pass `scratch_dir` on shared storage
+            # (a node-local /tmp default only works in local mode) —
+            # or better, supply `doc_schema` and skip inference.
+            import shutil
+            import tempfile
+
+            tmp = scratch_dir or tempfile.mkdtemp(prefix="cw_feedschema_")
+            try:
+                transformed.write.mode("overwrite").text(tmp)
+                inferred = spark.read.json(tmp).schema
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            env = transformed.select(
+                F.from_json("value", inferred).alias("e")
+            ).select("e.*")
 
     if "deleted" not in env.columns:
         env = env.withColumn("deleted", F.lit(None).cast("boolean"))

@@ -355,6 +355,84 @@ class Warehouse:
             conformed.unpersist(blocking=False)
         self.register_view(doc_type)
 
+    def _prune_bucket_files(
+        self,
+        path: str,
+        affected: list[int],
+        conformed: DataFrame,
+        tombstones: DataFrame,
+    ) -> tuple[list[str], dict[int, list[str]]]:
+        """File-level merge pruning WITHIN affected buckets: a part
+        file whose footer ``id`` min/max range contains no batch id
+        needs no rewrite — its rows can't compete in the latest-wins
+        window (state holds exactly one row per id, so a touched id's
+        single copy always lives in a file whose range covers it).
+        Returns (files to merge, per-bucket untouched files to carry
+        forward). Footer reads are metadata-scale (driver-side, ≤
+        files-per-affected-bucket); the range-vs-batch-id check is a
+        broadcast semi join, not a collect of ids. Files without id
+        statistics are conservatively merged. This is the hand-rolled
+        version of Delta/Iceberg's manifest min/max file skipping;
+        those remain the managed upgrade path."""
+        import pyarrow.parquet as pq
+
+        def id_range(fp: str) -> tuple[str, str] | None:
+            md = pq.ParquetFile(fp).metadata
+            idx = next(
+                (i for i in range(md.num_columns) if md.schema.column(i).name == "id"),
+                None,
+            )
+            if idx is None:
+                return None
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn = st.min if mn is None or st.min < mn else mn
+                mx = st.max if mx is None or st.max > mx else mx
+            return None if mn is None else (mn, mx)
+
+        metas: list[tuple[int, str, str, str]] = []
+        read_files: list[str] = []
+        for b in affected:
+            bdir = os.path.join(path, f"_cw_bucket={b}")
+            if not os.path.isdir(bdir):
+                continue
+            for fn in sorted(os.listdir(bdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(bdir, fn)
+                rng = id_range(fp)
+                if rng is None:
+                    read_files.append(fp)
+                else:
+                    metas.append((b, fp, rng[0], rng[1]))
+        hit: set[str] = set()
+        if metas:
+            meta_df = self.spark.createDataFrame(
+                metas, "b int, file string, min_id string, max_id string"
+            )
+            touched = conformed.select("id").unionByName(tombstones.select("id"))
+            hit = {
+                r["file"]
+                for r in meta_df.join(
+                    touched,
+                    (F.col("id") >= F.col("min_id"))
+                    & (F.col("id") <= F.col("max_id")),
+                    "left_semi",
+                )
+                .select("file")
+                .collect()
+            }
+        untouched: dict[int, list[str]] = {}
+        for b, fp, _, _ in metas:
+            if fp in hit:
+                read_files.append(fp)
+            else:
+                untouched.setdefault(b, []).append(fp)
+        return read_files, untouched
+
     def _merge_conformed(
         self, conformed: DataFrame, tombstones: DataFrame, doc_type: str
     ) -> None:
@@ -364,14 +442,17 @@ class Warehouse:
         self._recover_swap(path)  # heal any interrupted swap first
         state = None
         affected: list[int] | None = None
+        untouched: dict[int, list[str]] = {}
         if os.path.isdir(path):
             state = self.spark.read.parquet(path)
             if "_cw_bucket" in state.columns:
                 # Incremental lane: only buckets this batch's ids (or
-                # tombstone ids) hash into are read — a partition-pruned
-                # scan (`PartitionFilters: [_cw_bucket IN ...]`) — and
-                # only those directories are rewritten below. Bucket ids
-                # are ≤ n_buckets scalars; collecting them is not data.
+                # tombstone ids) hash into are considered — and within
+                # those, only part files whose id range intersects the
+                # batch are read and rewritten (_prune_bucket_files);
+                # untouched files carry forward byte-identical via
+                # hardlink below. Bucket ids are ≤ n_buckets scalars;
+                # collecting them is not data.
                 affected = sorted(
                     r["b"]
                     for r in conformed.select(bucket_of("id").alias("b"))
@@ -379,8 +460,11 @@ class Warehouse:
                     .distinct()
                     .collect()
                 )
-                state = state.filter(F.col("_cw_bucket").isin(affected)).drop(
-                    "_cw_bucket"
+                read_files, untouched = self._prune_bucket_files(
+                    path, affected, conformed, tombstones
+                )
+                state = (
+                    self.spark.read.parquet(*read_files) if read_files else None
                 )
         new_state = merge_batch(state, conformed, tombstones).withColumn(
             "_cw_bucket", bucket_of("id")
@@ -396,6 +480,20 @@ class Warehouse:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(trash, ignore_errors=True)
         new_state.write.mode("overwrite").partitionBy("_cw_bucket").parquet(tmp)
+        # Carry untouched part files into the new bucket dirs as
+        # hardlinks: byte-identical, no copy cost, and the swap/
+        # rollback protocol is unchanged — the old bucket dir (with
+        # its own directory entries to the same inodes) still moves to
+        # trash whole, so recovery restores the exact pre-swap state.
+        for b, files in untouched.items():
+            dst_dir = os.path.join(tmp, f"_cw_bucket={b}")
+            os.makedirs(dst_dir, exist_ok=True)
+            for fp in files:
+                dst = os.path.join(dst_dir, os.path.basename(fp))
+                try:
+                    os.link(fp, dst)
+                except OSError:  # filesystem without hardlinks
+                    shutil.copy2(fp, dst)
         # New data is fully on disk — journal the swap so a crash
         # between any two renames below rolls back instead of losing a
         # bucket (see _recover_swap).

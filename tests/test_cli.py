@@ -151,6 +151,49 @@ def test_library_start_query_stop_api(spark, tmp_path):
     assert wh2._active_query is None
 
 
+def test_cli_jdbc_egress_assembles_dialect_write(spark, tmp_path, monkeypatch):
+    """--jdbc routes every warehouse table through the JDBC writer
+    with dialect column DDL (the reference's postgresql/mysql
+    databaseType). No driver jar exists in this container, so the
+    write call itself is captured and its options asserted."""
+    import random
+
+    import couchwarehouse_spark.sinks.jdbc as jdbc_sink
+    from couchwarehouse_spark.cli import main
+
+    from .fixtures import envelope, order_doc, write_feed
+
+    calls = []
+
+    def fake_write(df, url, table, user=None, password=None,
+                   mode="append", schema=None):
+        calls.append({
+            "rows": df.count(), "cols": df.columns, "url": url,
+            "table": table, "user": user, "mode": mode,
+            "types": jdbc_sink.jdbc_column_types(schema),
+        })
+
+    monkeypatch.setattr(jdbc_sink, "write_jdbc", fake_write)
+    rng = random.Random(41)
+    feed = write_feed(
+        str(tmp_path / "feed"),
+        [envelope(i + 1, order_doc(i, rng)) for i in range(6)],
+    )
+    rc = main([
+        "--feed", feed, "--database", "clijd",
+        "--warehouse-dir", str(tmp_path / "wh"),
+        "--jdbc", "jdbc:postgresql://h/db", "--jdbc-user", "u", "--quiet",
+    ])
+    assert rc == 0
+    assert len(calls) == 1
+    call = calls[0]
+    assert call["rows"] == 6 and call["table"] == "clijd"
+    assert call["url"] == "jdbc:postgresql://h/db"
+    assert call["user"] == "u" and call["mode"] == "overwrite"
+    assert call["cols"][0] == "id" and "_cw_seq" not in call["cols"]
+    assert call["types"].startswith("id STRING")
+
+
 def test_library_concurrent_monitors_each_stoppable(spark, tmp_path):
     """Two concurrent start(monitor=True) calls must not orphan the
     first monitor: each Warehouse owns its handles, stop(wh) / wh.stop()

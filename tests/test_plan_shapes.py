@@ -288,6 +288,25 @@ def test_no_python_anywhere_except_udf_surface(spark):
     assert not violations, violations
 
 
+def test_no_rdd_round_trips_in_package():
+    """Source-level sweep: no ``.rdd`` access anywhere in the package
+    — every lane is DataFrame-native (the last holdout, the
+    schemaless-transform batch lane in sources/changes.py, now spools
+    to a scratch dir and infers JVM-side). AST-based so docstrings
+    and comments that merely mention .rdd don't count."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).parent.parent / "couchwarehouse_spark"
+    offenders = []
+    for path in sorted(root.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Attribute) and node.attr == "rdd":
+                offenders.append(f"{path.name}:{node.lineno}")
+    assert not offenders, offenders
+
+
 def test_knn_graph_group_limit_and_no_python(spark):
     """The per-node rank filter must compile to a WindowGroupLimit
     (k rows kept per node before the full window), JVM-only."""
