@@ -143,11 +143,27 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         client = ChangesHTTPClient(args.url, args.database, selector=selector)
-        on_batch = (
-            None
-            if args.quiet
-            else lambda n, seq: print(f"couchwarehouse: landed {n} changes @ {seq}")
-        )
+        on_batch = None
+        if not args.quiet:
+            # Progress-bar sizing parity (reference index.js:218-229):
+            # one since=now&limit=1 probe gives the feed-head seq "to
+            # aim for"; each landed batch reports percent toward it.
+            target = 0
+            try:
+                target = client.head_seq()
+            except Exception:
+                pass  # probe failure must never block the spool
+            print(f"couchwarehouse: feed head at seq {target}")
+
+            def on_batch(n, seq, _t=target):
+                from couchwarehouse_spark.operators.document import (
+                    extract_seq_number,
+                )
+
+                pos = extract_seq_number(seq) or 0
+                pct = f" ({min(100, 100 * pos // _t)}%)" if _t else ""
+                print(f"couchwarehouse: landed {n} changes @ {seq}{pct}")
+
         last_seq = spool_to_dir(client, args.feed, on_batch=on_batch)
         if args.monitor:
             # R2: repeated longpolls on a driver-side thread while the

@@ -123,6 +123,16 @@ class ChangesHTTPClient:
         page = self.fetch(since, feed="longpoll")
         return page.get("results", []), str(page.get("last_seq", since))
 
+    def head_seq(self) -> int:
+        """The feed-head sequence number: one ``since=now&limit=1``
+        probe (the reference's progress-bar target, index.js:218-229)
+        — ``last_seq`` with ``since=now`` is the database's current
+        update seq, i.e. the total a fresh spool is aiming for."""
+        from couchwarehouse_spark.operators.document import extract_seq_number
+
+        page = self._request({"since": "now", "limit": 1}, None)
+        return extract_seq_number(str(page.get("last_seq", "0"))) or 0
+
 
 # -- landing-directory bridge -----------------------------------------
 def _next_page_no(landing_dir: str) -> int:

@@ -62,6 +62,9 @@ class FakeCouch:
         return (env.get("doc") or {}).get("type") == want
 
     def page(self, since: str, limit: int, selector: dict | None) -> dict:
+        if since == "now":  # head probe: no rows, current update seq
+            last = self.changes[-1]["seq"] if self.changes else "0"
+            return {"results": [], "last_seq": last, "pending": 0}
         start = 0 if since == "0" else int(str(since).split("-", 1)[0])
         rows = [
             c for c in self.changes
@@ -242,6 +245,29 @@ def test_cli_url_tails_http_into_warehouse(fake_couch, tmp_path, spark, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "25" in out  # 25 live orders (the tombstone never lands a row)
+
+
+def test_head_seq_probe_and_cli_progress_percent(fake_couch, tmp_path, spark, capsys):
+    """head_seq() = the reference's since=now&limit=1 progress-bar
+    target (index.js:218-229); the verbose CLI spool reports percent
+    toward it per landed batch."""
+    from couchwarehouse_spark.cli import main
+
+    fake, url = fake_couch
+    client = ChangesHTTPClient(url, "mydb")
+    assert client.head_seq() == 26  # newest change in the fixture
+    probe = fake.requests[-1]["params"]
+    assert probe["since"] == "now" and probe["limit"] == "1"
+    rc = main([
+        "--feed", str(tmp_path / "landing"),
+        "--database", "mydb",
+        "--warehouse-dir", str(tmp_path / "wh"),
+        "--url", url,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "feed head at seq 26" in out
+    assert "(100%)" in out  # the final landed batch reaches the target
 
 
 def test_pruned_pages_never_reused_or_clobbered(fake_couch, tmp_path):
