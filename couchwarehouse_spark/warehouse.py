@@ -21,9 +21,18 @@ ids hash into — per-batch I/O is proportional to the batch, not the
 table (the reference's per-row ``REPLACE INTO``, reference
 lib/sqlite.js:82, expressed as partition-level merge). Ids never
 change buckets, so the merge plan (window latest-wins + tombstone
-union) runs bucket-pruned; Delta/Iceberg ``MERGE INTO`` remains the
-documented upgrade for true atomic commits. State never transits the
-driver; the widest shuffle is one hash partition on the document id.
+union) runs bucket-pruned. Commits are MANIFEST SNAPSHOTS in the
+Delta-lake style: a merge writes new part files alongside the old
+ones and then atomically renames one JSON manifest listing exactly
+the files that make up the new version — readers resolve the latest
+manifest, so they see a complete snapshot before OR after a commit,
+never a torn mid-swap directory, and a reader holding version N keeps
+a consistent view while version N+1 commits (old files are retained
+until an explicit ``vacuum``). A crash mid-commit leaves orphan part
+files that no manifest references — invisible to readers, reclaimed
+by ``vacuum`` — and the unadvanced checkpoint replays the batch
+idempotently. State never transits the driver; the widest shuffle is
+one hash partition on the document id.
 """
 
 from __future__ import annotations
@@ -118,16 +127,11 @@ class Warehouse:
         if reset:
             self.reset()
         self._load_schemas()
-        # Heal any swap a crashed previous process left torn. Safe here
-        # and ONLY here (plus the merge path itself): at construction no
-        # swap of ours can be in flight, whereas healing from table()
-        # could roll back a live concurrent merge.
-        if os.path.isdir(warehouse_dir):
-            for entry in os.listdir(warehouse_dir):
-                if entry.endswith("._swap.json"):
-                    self._recover_swap(
-                        os.path.join(warehouse_dir, entry[: -len("._swap.json")])
-                    )
+        # No crash-heal pass is needed at open: commits are atomic
+        # manifest renames, so the only residue a crashed process can
+        # leave is orphan part files / a stale ._tmp dir — both
+        # invisible to readers (no manifest references them) and
+        # reclaimed by vacuum() / the next merge respectively.
 
     # -- persistence of the frozen schema registry ---------------------
 
@@ -242,89 +246,205 @@ class Warehouse:
         c = F.col(col) if isinstance(col, str) else col
         return F.pmod(F.xxhash64(c), F.lit(self.n_buckets)).cast("int")
 
-    # -- swap journal: crash-safe bucket swaps --------------------------
+    # -- manifest snapshot commits (Delta-lake style) -------------------
     #
-    # A swap is a sequence of directory renames; a crash between a
-    # bucket's rename-out and rename-in would otherwise leave a table
-    # that READS fine but silently lacks that bucket. The journal
-    # marker (written only after the new data is fully on disk) lets
-    # the next open roll the table back to its exact pre-swap state;
-    # the interrupted batch replays from the unadvanced checkpoint and
-    # the merge is idempotent by seq. Delta/Iceberg's atomic commit is
-    # still the documented upgrade.
+    # A table version is ONE JSON manifest under ``<table>/_cw_versions/
+    # v<N>.json`` listing, per bucket, exactly the part files that make
+    # up that snapshot (plus the table schema, so even a zero-row
+    # version is readable). Commit = write-to-temp + rename of the
+    # manifest — atomic on POSIX — AFTER every new part file is fully
+    # on disk. Readers resolve the highest complete manifest and read
+    # that explicit file list: a concurrent commit is invisible until
+    # its rename, and superseded files stay on disk (shared by older
+    # manifests) until vacuum(), so an already-planned DataFrame keeps
+    # reading a consistent older snapshot. This is the same
+    # snapshot-isolation contract as Delta's _delta_log, hand-rolled on
+    # parquet + JSON (Delta Lake paper, Armbrust et al., VLDB 2020).
+    # Single writer per table (the reference is single-process too,
+    # reference index.js:181); multi-writer coordination is what the
+    # managed formats add on top.
 
-    def _swap_marker(self, path: str) -> str:
-        return path + "._swap.json"
+    _VERSIONS_DIR = "_cw_versions"
 
-    def _begin_swap(
-        self, path: str, affected: list[int] | None, had_old: list[int] | None = None
-    ) -> None:
-        # write-to-temp + rename: the marker itself must be atomic — a
-        # truncated marker would otherwise wedge every future open.
-        # ``had_old`` records which affected buckets had pre-existing
-        # data BEFORE any rename: recovery needs it to distinguish "new
-        # data placed for a fresh bucket" (discard) from "old data not
-        # yet touched" (keep) — both look like a bucket dir with no
-        # trash copy.
-        marker = self._swap_marker(path)
-        with open(marker + ".tmp", "w") as f:
-            json.dump({"affected": affected, "had_old": had_old}, f)
-        os.rename(marker + ".tmp", marker)
+    def _versions_path(self, path: str) -> str:
+        return os.path.join(path, self._VERSIONS_DIR)
 
-    def _finish_swap(self, path: str) -> None:
-        try:
-            os.remove(self._swap_marker(path))
-        except FileNotFoundError:
-            pass
+    def _list_versions(self, path: str) -> list[int]:
+        vdir = self._versions_path(path)
+        if not os.path.isdir(vdir):
+            return []
+        out = []
+        for fn in os.listdir(vdir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    out.append(int(fn[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
 
-    def _recover_swap(self, path: str) -> None:
-        """Roll an interrupted swap back to the EXACT pre-swap state:
-        every old copy in trash is restored over whatever is in place
-        (already-swapped buckets included — their new data is from the
-        uncommitted batch, which replays from the unadvanced
-        checkpoint), and affected buckets with no old copy (newly
-        created) are removed."""
-        marker = self._swap_marker(path)
-        if not os.path.exists(marker):
-            return
-        try:
-            with open(marker) as f:
-                info = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            # Truncated marker = crash DURING _begin_swap, i.e. before
-            # any rename: the table is untouched; just clean up.
-            info = None
-        trash = path + "._old"
-        if info is not None:
-            affected = info.get("affected")
-            if affected is None:
-                if os.path.isdir(trash):
-                    shutil.rmtree(path, ignore_errors=True)
-                    os.rename(trash, path)
-            else:
-                whole = os.path.join(trash, "_all")
-                if os.path.isdir(whole):
-                    shutil.rmtree(path, ignore_errors=True)
-                    os.rename(whole, path)
-                had_old = set(info.get("had_old") or [])
-                for b in affected:
-                    part = f"_cw_bucket={b}"
-                    old = os.path.join(trash, part)
-                    cur = os.path.join(path, part)
-                    if os.path.isdir(old):
-                        # Old copy secured in trash: exact restore
-                        # (whatever is in place is uncommitted new data).
-                        shutil.rmtree(cur, ignore_errors=True)
-                        os.rename(old, cur)
-                    elif b in had_old:
-                        # Crash BEFORE this bucket's rename-out: what is
-                        # in place IS the old data — leave it alone.
-                        pass
-                    elif os.path.isdir(cur):
-                        shutil.rmtree(cur)  # newly created bucket: discard
-        shutil.rmtree(trash, ignore_errors=True)
+    def _manifest_file(self, path: str, version: int) -> str:
+        return os.path.join(self._versions_path(path), f"v{version:010d}.json")
+
+    def _load_manifest(self, path: str, version: int | None = None) -> dict | None:
+        """The manifest for ``version`` (default: latest). Walks back
+        past a torn/unreadable newest file — impossible under the
+        rename protocol, but cheap insurance against a dying disk."""
+        versions = self._list_versions(path)
+        if version is not None:
+            versions = [v for v in versions if v == version]
+            if not versions:
+                raise ValueError(
+                    f"no version {version} for table at {path}; "
+                    f"available: {self._list_versions(path)}"
+                )
+        for v in reversed(versions):
+            try:
+                with open(self._manifest_file(path, v)) as f:
+                    return json.load(f)
+            except (json.JSONDecodeError, OSError):
+                if version is not None:
+                    raise
+                continue
+        return None
+
+    def _commit_manifest(
+        self, path: str, op: str, buckets: dict[int, list[str]], schema_json: str
+    ) -> int:
+        """Atomically publish a new table version. ``buckets`` maps
+        bucket id → part-file names relative to that bucket's dir."""
+        import time
+
+        vdir = self._versions_path(path)
+        os.makedirs(vdir, exist_ok=True)
+        version = (self._list_versions(path) or [0])[-1] + 1
+        manifest = {
+            "version": version,
+            "op": op,
+            "ts": time.time(),
+            "schema": schema_json,
+            "buckets": {str(b): sorted(files) for b, files in sorted(buckets.items())},
+        }
+        target = self._manifest_file(path, version)
+        with open(target + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.rename(target + ".tmp", target)
+        return version
+
+    def _manifest_files(self, path: str, manifest: dict) -> list[str]:
+        """Absolute part-file paths of one manifest's snapshot."""
+        return [
+            os.path.join(path, f"_cw_bucket={b}", fn)
+            for b, files in manifest["buckets"].items()
+            for fn in files
+        ]
+
+    def _adopt_legacy(self, path: str) -> dict | None:
+        """Migrate a pre-manifest table directory (plain bucket-
+        partitioned parquet) by publishing an 'adopt' manifest that
+        references its files in place — a one-time metadata write, no
+        data movement."""
+        if not os.path.isdir(path):
+            return None
+        buckets: dict[int, list[str]] = {}
+        for entry in sorted(os.listdir(path)):
+            if entry.startswith("_cw_bucket="):
+                buckets[int(entry.split("=", 1)[1])] = [
+                    fn
+                    for fn in sorted(os.listdir(os.path.join(path, entry)))
+                    if fn.endswith(".parquet")
+                ]
+        if not buckets:
+            return None
+        schema_json = (
+            self.spark.read.parquet(path).schema.json()
+        )
+        self._commit_manifest(path, "adopt", buckets, schema_json)
+        return self._load_manifest(path)
+
+    def vacuum(
+        self,
+        doc_type: str = DEFAULT_TYPE,
+        retain_versions: int = 1,
+        min_age_seconds: float = 0.0,
+    ) -> int:
+        """Reclaim part files no retained version references.
+
+        Keeps the newest ``retain_versions`` manifests (≥1) and every
+        file they reference; deletes all other parquet files in the
+        table's bucket dirs — superseded snapshots AND orphans from a
+        crashed commit — plus the dropped manifests. ``min_age_seconds``
+        guards files newer than the cutoff (Delta's RETAIN n HOURS),
+        for operators who vacuum from a cron while a writer runs.
+        Returns the number of files deleted. Time travel to a dropped
+        version stops working, exactly like Delta's VACUUM.
+        """
+        import time
+
+        path = self._table_path(doc_type)
+        versions = self._list_versions(path)
+        if not versions:
+            return 0
+        retain_versions = max(1, retain_versions)
+        keep_versions = versions[-retain_versions:]
+        referenced: set[str] = set()
+        for v in keep_versions:
+            manifest = self._load_manifest(path, v)
+            referenced.update(self._manifest_files(path, manifest))
+        cutoff = time.time() - min_age_seconds
+        deleted = 0
+        for fn in os.listdir(path):
+            # Root-level parquet = a superseded pre-manifest layout;
+            # no manifest ever references root files.
+            fp = os.path.join(path, fn)
+            if (
+                fn.endswith(".parquet")
+                and os.path.isfile(fp)
+                and os.path.getmtime(fp) <= cutoff
+            ):
+                os.remove(fp)
+                deleted += 1
+        for entry in os.listdir(path):
+            if not entry.startswith("_cw_bucket="):
+                continue
+            bdir = os.path.join(path, entry)
+            for fn in os.listdir(bdir):
+                fp = os.path.join(bdir, fn)
+                if (
+                    fn.endswith(".parquet")
+                    and fp not in referenced
+                    and os.path.getmtime(fp) <= cutoff
+                ):
+                    os.remove(fp)
+                    deleted += 1
+            if not os.listdir(bdir):
+                os.rmdir(bdir)
+        for v in versions[:-retain_versions]:
+            try:
+                os.remove(self._manifest_file(path, v))
+            except FileNotFoundError:
+                pass
         shutil.rmtree(path + "._tmp", ignore_errors=True)
-        os.remove(marker)
+        return deleted
+
+    def history(self, doc_type: str = DEFAULT_TYPE) -> DataFrame:
+        """The table's commit log (Delta's DESCRIBE HISTORY): one row
+        per retained version with op, timestamp and file count. Driver-
+        side metadata — bounded by version count, never data-sized."""
+        path = self._table_path(doc_type)
+        rows = []
+        for v in self._list_versions(path):
+            m = self._load_manifest(path, v)
+            rows.append(
+                (
+                    m["version"],
+                    m["op"],
+                    float(m["ts"]),
+                    sum(len(fs) for fs in m["buckets"].values()),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows, "version int, op string, ts double, n_files int"
+        )
 
     def _merge_type(self, live: DataFrame, tombstones: DataFrame, doc_type: str) -> None:
         sub = live.filter(F.col("_cw_type") == doc_type).select(SEQ_COL, "doc.*")
@@ -357,8 +477,7 @@ class Warehouse:
 
     def _prune_bucket_files(
         self,
-        path: str,
-        affected: list[int],
+        bucket_files: dict[int, list[str]],
         conformed: DataFrame,
         tombstones: DataFrame,
     ) -> tuple[list[str], dict[int, list[str]]]:
@@ -367,13 +486,15 @@ class Warehouse:
         needs no rewrite — its rows can't compete in the latest-wins
         window (state holds exactly one row per id, so a touched id's
         single copy always lives in a file whose range covers it).
-        Returns (files to merge, per-bucket untouched files to carry
-        forward). Footer reads are metadata-scale (driver-side, ≤
-        files-per-affected-bucket); the range-vs-batch-id check is a
-        broadcast semi join, not a collect of ids. Files without id
-        statistics are conservatively merged. This is the hand-rolled
-        version of Delta/Iceberg's manifest min/max file skipping;
-        those remain the managed upgrade path."""
+        ``bucket_files`` is the current manifest's view of the affected
+        buckets (bucket id → absolute part-file paths). Returns (files
+        to merge, per-bucket untouched files the next manifest carries
+        forward by reference). Footer reads are metadata-scale
+        (driver-side, ≤ files-per-affected-bucket); the range-vs-batch-
+        id check is a broadcast semi join, not a collect of ids. Files
+        without id statistics are conservatively merged. This is
+        manifest min/max file skipping, the same idea Delta/Iceberg
+        file stats serve."""
         import pyarrow.parquet as pq
 
         def id_range(fp: str) -> tuple[str, str] | None:
@@ -395,14 +516,8 @@ class Warehouse:
 
         metas: list[tuple[int, str, str, str]] = []
         read_files: list[str] = []
-        for b in affected:
-            bdir = os.path.join(path, f"_cw_bucket={b}")
-            if not os.path.isdir(bdir):
-                continue
-            for fn in sorted(os.listdir(bdir)):
-                if not fn.endswith(".parquet"):
-                    continue
-                fp = os.path.join(bdir, fn)
+        for b, files in bucket_files.items():
+            for fp in files:
                 rng = id_range(fp)
                 if rng is None:
                     read_files.append(fp)
@@ -433,112 +548,108 @@ class Warehouse:
                 untouched.setdefault(b, []).append(fp)
         return read_files, untouched
 
+    def _publish_tmp(self, path: str, tmp: str) -> dict[int, list[str]]:
+        """Move a scratch write's part files into the live bucket dirs.
+        Spark part-file names embed a per-job UUID, so the moves can
+        never collide with (or overwrite) a committed file; nothing
+        existing is touched, so readers of the current version are
+        unaffected. Returns bucket id → moved file names."""
+        moved: dict[int, list[str]] = {}
+        for entry in os.listdir(tmp):
+            if not entry.startswith("_cw_bucket="):
+                continue
+            b = int(entry.split("=", 1)[1])
+            dst_dir = os.path.join(path, entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            names = []
+            for fn in os.listdir(os.path.join(tmp, entry)):
+                if fn.endswith(".parquet"):
+                    os.rename(os.path.join(tmp, entry, fn), os.path.join(dst_dir, fn))
+                    names.append(fn)
+            moved[b] = names
+        shutil.rmtree(tmp, ignore_errors=True)
+        return moved
+
     def _merge_conformed(
         self, conformed: DataFrame, tombstones: DataFrame, doc_type: str
     ) -> None:
         path = self._table_path(doc_type)
         bucket_of = self._bucket_of
 
-        self._recover_swap(path)  # heal any interrupted swap first
+        manifest = self._load_manifest(path)
+        if manifest is None:
+            manifest = self._adopt_legacy(path)
         state = None
         affected: list[int] | None = None
         untouched: dict[int, list[str]] = {}
-        if os.path.isdir(path):
+        prev_buckets: dict[int, list[str]] = {}
+        if manifest is not None:
+            prev_buckets = {int(b): fs for b, fs in manifest["buckets"].items()}
+            # Incremental lane: only buckets this batch's ids (or
+            # tombstone ids) hash into are considered — and within
+            # those, only part files whose id range intersects the
+            # batch are read and rewritten (_prune_bucket_files);
+            # every other file carries forward BY REFERENCE in the
+            # next manifest — zero I/O, not even a rename. Bucket ids
+            # are ≤ n_buckets scalars; collecting them is not data.
+            affected = sorted(
+                r["b"]
+                for r in conformed.select(bucket_of("id").alias("b"))
+                .unionByName(tombstones.select(bucket_of("id").alias("b")))
+                .distinct()
+                .collect()
+            )
+            aff_files = {
+                b: [
+                    os.path.join(path, f"_cw_bucket={b}", fn)
+                    for fn in prev_buckets.get(b, [])
+                ]
+                for b in affected
+                if prev_buckets.get(b)
+            }
+            read_files, untouched = self._prune_bucket_files(
+                aff_files, conformed, tombstones
+            )
+            state = self.spark.read.parquet(*read_files) if read_files else None
+        elif os.path.isdir(path) and any(
+            fn.endswith(".parquet") for fn in os.listdir(path)
+        ):
+            # Pre-manifest unpartitioned layout: fold the whole state
+            # in; the first commit re-buckets it and the root-level
+            # files become vacuum-able orphans.
             state = self.spark.read.parquet(path)
-            if "_cw_bucket" in state.columns:
-                # Incremental lane: only buckets this batch's ids (or
-                # tombstone ids) hash into are considered — and within
-                # those, only part files whose id range intersects the
-                # batch are read and rewritten (_prune_bucket_files);
-                # untouched files carry forward byte-identical via
-                # hardlink below. Bucket ids are ≤ n_buckets scalars;
-                # collecting them is not data.
-                affected = sorted(
-                    r["b"]
-                    for r in conformed.select(bucket_of("id").alias("b"))
-                    .unionByName(tombstones.select(bucket_of("id").alias("b")))
-                    .distinct()
-                    .collect()
-                )
-                read_files, untouched = self._prune_bucket_files(
-                    path, affected, conformed, tombstones
-                )
-                state = (
-                    self.spark.read.parquet(*read_files) if read_files else None
-                )
         new_state = merge_batch(state, conformed, tombstones).withColumn(
             "_cw_bucket", bucket_of("id")
         )
 
-        # Write the merged (affected) buckets to a temp dir, then swap
-        # per bucket directory: Spark can't overwrite a parquet dir it
-        # is concurrently reading (self-join on source), and per-bucket
-        # renames keep untouched buckets' files byte-identical.
-        # Delta/Iceberg make this a true atomic commit.
+        # Write ONLY the merged (affected-bucket) rows to a scratch
+        # dir, slide the uniquely-named part files into the live bucket
+        # dirs, then COMMIT by atomically publishing the next manifest.
+        # A crash anywhere before the manifest rename leaves the table
+        # at its previous version (the new files are unreferenced
+        # orphans vacuum() reclaims) and the unadvanced checkpoint
+        # replays the batch — idempotent by seq.
         tmp = path + "._tmp"
-        trash = path + "._old"
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(trash, ignore_errors=True)
         new_state.write.mode("overwrite").partitionBy("_cw_bucket").parquet(tmp)
-        # Carry untouched part files into the new bucket dirs as
-        # hardlinks: byte-identical, no copy cost, and the swap/
-        # rollback protocol is unchanged — the old bucket dir (with
-        # its own directory entries to the same inodes) still moves to
-        # trash whole, so recovery restores the exact pre-swap state.
-        for b, files in untouched.items():
-            dst_dir = os.path.join(tmp, f"_cw_bucket={b}")
-            os.makedirs(dst_dir, exist_ok=True)
-            for fp in files:
-                dst = os.path.join(dst_dir, os.path.basename(fp))
-                try:
-                    os.link(fp, dst)
-                except OSError:  # filesystem without hardlinks
-                    shutil.copy2(fp, dst)
-        # New data is fully on disk — journal the swap so a crash
-        # between any two renames below rolls back instead of losing a
-        # bucket (see _recover_swap).
-        had_old = None
-        if affected is not None:
-            had_old = [
-                b
-                for b in affected
-                if os.path.isdir(os.path.join(path, f"_cw_bucket={b}"))
-            ]
-        self._begin_swap(path, affected, had_old)
+        schema_json = new_state.drop("_cw_bucket").schema.json()
+        new_buckets = self._publish_tmp(path, tmp)
+
         if affected is None:
-            # Fresh table (or legacy unpartitioned state): whole swap.
-            if not any(e.startswith("_cw_bucket=") for e in os.listdir(tmp)):
-                # Zero rows (e.g. a selector filtered every doc of this
-                # type): a partitioned empty write has no part files and
-                # cannot be re-read — store a schema-bearing
-                # unpartitioned empty state instead.
-                shutil.rmtree(tmp, ignore_errors=True)
-                new_state.drop("_cw_bucket").write.mode("overwrite").parquet(tmp)
-            if os.path.isdir(path):
-                os.rename(path, trash)
-            os.rename(tmp, path)
+            next_buckets = new_buckets
         else:
-            os.makedirs(trash, exist_ok=True)
+            next_buckets = {
+                b: fs for b, fs in prev_buckets.items() if b not in set(affected)
+            }
             for b in affected:
-                part = f"_cw_bucket={b}"
-                old_dir = os.path.join(path, part)
-                new_dir = os.path.join(tmp, part)
-                if os.path.isdir(old_dir):
-                    os.rename(old_dir, os.path.join(trash, part))
-                if os.path.isdir(new_dir):
-                    os.rename(new_dir, old_dir)
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not any(e.startswith("_cw_bucket=") for e in os.listdir(path)):
-                # Every remaining row was deleted: leave a readable
-                # empty (unpartitioned) state so table() keeps working;
-                # the next merge treats it as a fresh table.
-                new_state.limit(0).drop("_cw_bucket").write.mode(
-                    "overwrite"
-                ).parquet(tmp)
-                os.rename(path, os.path.join(trash, "_all"))
-                os.rename(tmp, path)
-        shutil.rmtree(trash, ignore_errors=True)
-        self._finish_swap(path)
+                files = new_buckets.get(b, []) + [
+                    os.path.basename(fp) for fp in untouched.get(b, [])
+                ]
+                if files:
+                    next_buckets[b] = files
+                # A bucket whose every row was deleted simply has no
+                # entry in the new version.
+        self._commit_manifest(path, "merge", next_buckets, schema_json)
 
     def _freeze_schema(self, flat: DataFrame) -> dict[str, str]:
         """First-doc-wins schema freeze (R7; reference index.js:55-68).
@@ -567,61 +678,49 @@ class Warehouse:
     ) -> int:
         """Compact fragmented bucket directories (operational kernel).
 
-        Every micro-batch merge rewrites its affected buckets with the
-        session's task parallelism, so a hot bucket accumulates small
-        part-files over time — the classic small-files problem that
-        degrades scan throughput at scale. This rewrites every bucket
-        holding more than ``max_files_per_bucket`` parquet parts down
-        to ~one file, reusing the crash-safe swap journal: a crash
-        mid-compaction rolls back to the exact pre-compaction state on
-        the next open (content is unchanged either way — compaction
-        only re-clusters bytes). Returns the number of buckets
-        rewritten. Delta/Iceberg's OPTIMIZE is the managed-table
-        equivalent and remains the documented upgrade.
+        Every micro-batch merge adds new part files to its affected
+        buckets, so a hot bucket accumulates small files over time —
+        the classic small-files problem that degrades scan throughput
+        at scale. This rewrites every bucket whose CURRENT VERSION
+        references more than ``max_files_per_bucket`` parquet parts
+        down to ~one file and commits it as a new manifest version.
+        Content is unchanged — compaction only re-clusters bytes — and
+        the superseded fragments stay on disk for older snapshots
+        until ``vacuum()`` reclaims them: the OPTIMIZE/VACUUM split
+        Delta makes, for the same reason (never disturb a concurrent
+        reader). Returns the number of buckets rewritten.
         """
         path = self._table_path(doc_type)
-        self._recover_swap(path)
-        if not os.path.isdir(path):
+        manifest = self._load_manifest(path)
+        if manifest is None:
+            manifest = self._adopt_legacy(path)
+        if manifest is None:
             return 0
-        todo: list[int] = []
-        for entry in sorted(os.listdir(path)):
-            if not entry.startswith("_cw_bucket="):
-                continue
-            n_parts = sum(
-                1
-                for f in os.listdir(os.path.join(path, entry))
-                if f.endswith(".parquet")
-            )
-            if n_parts > max_files_per_bucket:
-                todo.append(int(entry.split("=", 1)[1]))
+        prev = {int(b): fs for b, fs in manifest["buckets"].items()}
+        todo = sorted(b for b, fs in prev.items() if len(fs) > max_files_per_bucket)
         if not todo:
             return 0
 
         tmp = path + "._tmp"
-        trash = path + "._old"
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(trash, ignore_errors=True)
         # basePath keeps _cw_bucket as a partition column while reading
-        # ONLY the fragmented bucket dirs; repartition by the bucket
-        # column so each bucket lands in one task → ~one output file.
+        # ONLY the fragmented buckets' referenced files; repartition by
+        # the bucket column so each bucket lands in one task → ~one
+        # output file.
+        files = [
+            os.path.join(path, f"_cw_bucket={b}", fn) for b in todo for fn in prev[b]
+        ]
         df = (
             self.spark.read.option("basePath", path)
-            .parquet(*[os.path.join(path, f"_cw_bucket={b}") for b in todo])
+            .parquet(*files)
             .repartition(len(todo), "_cw_bucket")
         )
         df.write.mode("overwrite").partitionBy("_cw_bucket").parquet(tmp)
-
-        # Journal + per-bucket swap — same protocol as the merge; every
-        # affected bucket has pre-existing data by construction.
-        self._begin_swap(path, todo, had_old=list(todo))
-        os.makedirs(trash, exist_ok=True)
+        moved = self._publish_tmp(path, tmp)
+        next_buckets = dict(prev)
         for b in todo:
-            part = f"_cw_bucket={b}"
-            os.rename(os.path.join(path, part), os.path.join(trash, part))
-            os.rename(os.path.join(tmp, part), os.path.join(path, part))
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(trash, ignore_errors=True)
-        self._finish_swap(path)
+            next_buckets[b] = moved.get(b, [])
+        self._commit_manifest(path, "compact", next_buckets, manifest["schema"])
         return len(todo)
 
     # -- query surface (R17) -------------------------------------------
@@ -631,29 +730,32 @@ class Warehouse:
         df.createOrReplaceTempView(self.table_name(doc_type))
         return df
 
-    def _read_state(self, path: str) -> DataFrame:
-        """ONE read path for table() and lookup(): wait out an active
-        swap (journal marker present — the rename phase is pure
-        directory renames, so the wait is milliseconds; recovery at
-        construction clears stale markers from dead processes), then
-        read with one retry for the residual rename instant. A reader
-        that raced the marker could otherwise silently miss a bucket
-        mid-swap; Delta/Iceberg snapshots are the true fix and remain
-        the documented upgrade."""
-        import time
-
-        deadline = time.monotonic() + 5.0
-        while os.path.exists(self._swap_marker(path)) and time.monotonic() < deadline:
-            time.sleep(0.05)
-        try:
+    def _read_state(self, path: str, version: int | None = None) -> DataFrame:
+        """ONE read path for table() and lookup(): resolve a manifest
+        (the latest, or an explicit time-travel ``version``) and read
+        exactly its file list. ``basePath`` keeps ``_cw_bucket`` a
+        partition column, so point lookups still partition-prune. The
+        explicit file list IS the snapshot: a commit that lands after
+        this plan is built changes nothing the plan reads, and a
+        zero-row version reads as an empty frame from the manifest's
+        stored schema. Pre-manifest directories fall back to a plain
+        parquet read."""
+        manifest = self._load_manifest(path, version)
+        if manifest is None:
             return self.spark.read.parquet(path)
-        except Exception:
-            time.sleep(0.2)
-            return self.spark.read.parquet(path)
+        files = self._manifest_files(path, manifest)
+        if not files:
+            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.option("basePath", path).parquet(*files)
 
-    def table(self, doc_type: str = DEFAULT_TYPE) -> DataFrame:
-        """The current conformed state of one type's table (no seq col)."""
-        return self._read_state(self._table_path(doc_type)).drop(
+    def table(
+        self, doc_type: str = DEFAULT_TYPE, version: int | None = None
+    ) -> DataFrame:
+        """The conformed state of one type's table (no seq col) —
+        current, or any retained snapshot via ``version`` (time
+        travel, Delta's ``VERSION AS OF``; see ``history()``)."""
+        return self._read_state(self._table_path(doc_type), version=version).drop(
             SEQ_COL, "_cw_bucket"
         )
 

@@ -316,11 +316,11 @@ def test_random_replay_matches_dict_oracle(spark, tmp_path):
         assert rows[doc_id]["age"] == float(doc["age"]), doc_id
 
 
-def test_swap_crash_recovery_restores_missing_bucket(spark, tmp_path):
-    """Simulated crash between a bucket's rename-out and rename-in:
-    the journal marker must roll the table back to its pre-swap state
-    on the next open — never a silently-missing bucket."""
-    import json as _json
+def test_commit_crash_orphans_invisible_and_vacuumed(spark, tmp_path):
+    """Simulated crash mid-commit — new part files landed in bucket
+    dirs but the manifest rename never happened: readers (same or new
+    process) must see the previous version untouched, and vacuum()
+    must reclaim the orphans."""
     import os
     import shutil
 
@@ -330,24 +330,33 @@ def test_swap_crash_recovery_restores_missing_bucket(spark, tmp_path):
     path = wh._table_path("_default")
     before = {r["id"]: r["name"] for r in wh.table().collect()}
 
-    # Fake the torn state: pick a bucket, move it to trash, write the
-    # journal marker as _merge_type would have just before the crash.
-    bucket = next(e for e in sorted(os.listdir(path)) if e.startswith("_cw_bucket="))
-    b_id = int(bucket.split("=")[1])
-    trash = path + "._old"
-    os.makedirs(trash, exist_ok=True)
-    os.rename(os.path.join(path, bucket), os.path.join(trash, bucket))
-    with open(path + "._swap.json", "w") as f:
-        _json.dump({"affected": [b_id]}, f)
+    # Fake the torn state: drop orphan parquet files (unreferenced by
+    # any manifest) into two bucket dirs, plus a leftover scratch dir —
+    # exactly what a crash between _publish_tmp and _commit_manifest
+    # leaves behind.
+    buckets = [
+        e for e in sorted(os.listdir(path)) if e.startswith("_cw_bucket=")
+    ][:2]
+    orphans = []
+    for bdir in buckets:
+        src = next(
+            f
+            for f in os.listdir(os.path.join(path, bdir))
+            if f.endswith(".parquet")
+        )
+        dst = os.path.join(path, bdir, "part-99999-deadbeef-orphan.parquet")
+        shutil.copy2(os.path.join(path, bdir, src), dst)
+        orphans.append(dst)
+    os.makedirs(path + "._tmp", exist_ok=True)
 
-    # Recovery runs at construction (a crashed process's swap can no
-    # longer be in flight when a new Warehouse opens the directory).
     wh2 = Warehouse(spark, str(tmp_path / "wh"), "crashdata", n_buckets=8)
     after = {r["id"]: r["name"] for r in wh2.table().collect()}
-    assert after == before
-    assert not os.path.exists(path + "._swap.json")
-    assert not os.path.isdir(trash)
-    shutil.rmtree(path + "._tmp", ignore_errors=True)
+    assert after == before  # orphans invisible: no duplicate rows
+
+    assert wh2.vacuum(retain_versions=1) >= len(orphans)
+    assert not any(os.path.exists(fp) for fp in orphans)
+    assert not os.path.isdir(path + "._tmp")
+    assert {r["id"]: r["name"] for r in wh2.table().collect()} == before
 
 
 def test_n_buckets_persisted_across_reopen(spark, tmp_path):
@@ -364,82 +373,105 @@ def test_n_buckets_persisted_across_reopen(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["name"] == "Person 11"
 
 
-def test_swap_crash_recovery_keeps_untouched_buckets(spark, tmp_path):
-    """Crash AFTER bucket A swapped but BEFORE bucket B's rename-out:
-    recovery must restore A's old copy AND leave B's (still in-place)
-    old data alone — had_old in the journal disambiguates B from a
-    freshly created bucket."""
-    import json as _json
-    import os
-
-    feed = person_feed(str(tmp_path / "feed.jsonl"), n=60)
-    wh = Warehouse(spark, str(tmp_path / "wh"), "crash2data", n_buckets=8)
-    wh.spool(feed)
-    path = wh._table_path("_default")
-    before = {r["id"]: r["name"] for r in wh.table().collect()}
-
-    buckets = sorted(
-        int(e.split("=")[1]) for e in os.listdir(path) if e.startswith("_cw_bucket=")
+def test_reader_snapshot_isolated_from_concurrent_merge(spark, tmp_path):
+    """Snapshot isolation: a DataFrame planned against version N keeps
+    reading version N's exact state even after a later merge commits
+    version N+1 — the manifest's explicit file list is the snapshot,
+    and superseded files persist until vacuum()."""
+    rng = random.Random(77)
+    feed1 = write_feed(
+        str(tmp_path / "feed1.jsonl"),
+        [envelope(i + 1, person_doc(i, rng)) for i in range(50)],
     )
-    a, b = buckets[0], buckets[1]
-    trash = path + "._old"
-    os.makedirs(trash, exist_ok=True)
-    # A: fully torn (old moved out, nothing moved in). B: untouched.
-    os.rename(os.path.join(path, f"_cw_bucket={a}"), os.path.join(trash, f"_cw_bucket={a}"))
-    with open(path + "._swap.json", "w") as f:
-        _json.dump({"affected": [a, b], "had_old": [a, b]}, f)
-
-    wh2 = Warehouse(spark, str(tmp_path / "wh"), "crash2data", n_buckets=8)
-    after = {r["id"]: r["name"] for r in wh2.table().collect()}
-    assert after == before
-
-
-def test_compact_reduces_files_preserves_content(spark, tmp_path):
-    """Bucket compaction: repeated merges fragment bucket dirs into
-    multiple part-files; compact() rewrites fragmented buckets to ~one
-    file via the crash-safe swap journal, changing layout but not one
-    row of content."""
-    import os
-
-    import shutil
-
-    rng = random.Random(5)
-    wh = Warehouse(spark, str(tmp_path / "wh"), "compactdata", n_buckets=4)
-    feed1 = str(tmp_path / "f1.jsonl")
-    write_feed(feed1, [envelope(i + 1, order_doc(i, rng)) for i in range(60)])
+    wh = Warehouse(spark, str(tmp_path / "wh"), "snapdata", n_buckets=8)
     wh.spool(feed1)
-    feed2 = str(tmp_path / "f2.jsonl")
-    write_feed(
-        feed2,
-        [
-            envelope(
-                1000 + i, dict(order_doc(i, rng), status="amended", _rev="2-z")
-            )
-            for i in range(60)
-        ],
+
+    old_view = wh.table()  # planned at version 1, collected later
+
+    upd = person_doc(3, random.Random(3))
+    upd["name"] = "Renamed 3"
+    feed2 = write_feed(
+        str(tmp_path / "feed2.jsonl"),
+        [envelope(51, upd), envelope(52, None, doc_id="person0001", deleted=True)],
     )
     wh.spool(feed2)
 
+    old_rows = {r["id"]: r["name"] for r in old_view.collect()}
+    assert old_rows["person0003"] == "Person 3"  # pre-update value
+    assert "person0001" in old_rows  # pre-delete row still visible
+    new_rows = {r["id"]: r["name"] for r in wh.table().collect()}
+    assert new_rows["person0003"] == "Renamed 3"
+    assert "person0001" not in new_rows
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    """table(version=N) reads any retained snapshot; history() lists
+    the commit log; vacuum(retain_versions=1) drops old versions."""
+    import pytest
+
+    rng = random.Random(88)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "traveldata", n_buckets=4)
+    wh.spool(
+        write_feed(
+            str(tmp_path / "f1.jsonl"),
+            [envelope(i + 1, person_doc(i, rng)) for i in range(20)],
+        )
+    )
+    upd = person_doc(5, random.Random(5))
+    upd["name"] = "V2 name"
+    wh.spool(write_feed(str(tmp_path / "f2.jsonl"), [envelope(21, upd)]))
+
+    hist = {r["version"]: r["op"] for r in wh.history().collect()}
+    assert hist == {1: "merge", 2: "merge"}
+    v1 = wh.table(version=1)
+    assert v1.filter(F.col("id") == "person0005").collect()[0]["name"] == "Person 5"
+    v2 = wh.table(version=2)
+    assert v2.filter(F.col("id") == "person0005").collect()[0]["name"] == "V2 name"
+    assert v1.count() == v2.count() == 20
+
+    wh.vacuum(retain_versions=1)
+    assert [r["version"] for r in wh.history().collect()] == [2]
+    with pytest.raises(ValueError):
+        wh.table(version=1)
+    assert (
+        wh.table().filter(F.col("id") == "person0005").collect()[0]["name"]
+        == "V2 name"
+    )
+
+
+def test_compact_reduces_files_preserves_content(spark, tmp_path):
+    """Bucket compaction: disjoint-id-range batches accumulate carried-
+    forward part files in a bucket (file-level pruning never rewrites
+    them); compact() rewrites fragmented buckets to ~one file in a new
+    manifest version, and vacuum() reclaims the superseded fragments —
+    layout changes, not one row of content."""
+    import os
+
+    rng = random.Random(5)
+    # n_buckets=1 so every disjoint-prefix batch lands (as a new
+    # carried-forward file) in the same bucket.
+    wh = Warehouse(spark, str(tmp_path / "wh"), "compactdata", n_buckets=1)
+
+    def doc(i, prefix):
+        d = order_doc(i, rng)
+        d["_id"] = f"{prefix}{i:04d}"
+        return d
+
+    seq = 0
+    for prefix in ("aaa", "bbb", "ccc", "ddd"):
+        envs = []
+        for i in range(10):
+            seq += 1
+            envs.append(envelope(seq, doc(i, prefix)))
+        wh.spool(write_feed(str(tmp_path / f"f_{prefix}.jsonl"), envs))
+
     path = wh._table_path("_default")
 
-    # At production scale the merge's write tasks spread a bucket's
-    # rows over many part-files; at test size AQE coalesces to one
-    # task, so fabricate that state: re-split two bucket dirs into 3
-    # parts each (content byte-identical, layout fragmented).
-    frag = [e for e in sorted(os.listdir(path)) if e.startswith("_cw_bucket=")][:2]
-    for part in frag:
-        bdir = os.path.join(path, part)
-        split_tmp = str(tmp_path / f"split_{part}")
-        spark.read.parquet(bdir).repartition(3).write.mode("overwrite").parquet(
-            split_tmp
-        )
-        shutil.rmtree(bdir)
-        os.makedirs(bdir)
-        for f in os.listdir(split_tmp):
-            if f.endswith(".parquet"):
-                os.rename(os.path.join(split_tmp, f), os.path.join(bdir, f))
+    def referenced_per_bucket():
+        m = wh._load_manifest(path)
+        return {b: len(fs) for b, fs in m["buckets"].items()}
 
-    def files_per_bucket():
+    def disk_files_per_bucket():
         out = {}
         for e in os.listdir(path):
             if e.startswith("_cw_bucket="):
@@ -450,26 +482,28 @@ def test_compact_reduces_files_preserves_content(spark, tmp_path):
                 )
         return out
 
-    before_rows = sorted(
-        (r["id"], r["status"]) for r in wh.table().collect()
-    )
-    before_files = files_per_bucket()
-    assert any(n > 1 for n in before_files.values()), "fixture must fragment"
+    before_rows = sorted((r["id"], r["status"]) for r in wh.table().collect())
+    before_refs = referenced_per_bucket()
+    assert any(n > 1 for n in before_refs.values()), "fixture must fragment"
 
     n = wh.compact(max_files_per_bucket=1)
     assert n >= 1
 
-    after_files = files_per_bucket()
-    assert set(after_files) == set(before_files)  # no bucket lost
-    for part, n_files in after_files.items():
-        if before_files[part] > 1:
-            assert n_files == 1, part
+    after_refs = referenced_per_bucket()
+    assert set(after_refs) == set(before_refs)  # no bucket lost
+    for b, n_files in after_refs.items():
+        if before_refs[b] > 1:
+            assert n_files == 1, b
     after_rows = sorted((r["id"], r["status"]) for r in wh.table().collect())
     assert after_rows == before_rows
-    assert all(r[1] == "amended" for r in after_rows)
-    # Journal clean: no marker, no trash, no tmp.
-    assert not os.path.exists(wh._swap_marker(path))
-    assert not os.path.isdir(path + "._old") and not os.path.isdir(path + "._tmp")
+
+    # Superseded fragments persist for older snapshots until vacuum.
+    assert wh.vacuum(retain_versions=1) > 0
+    assert disk_files_per_bucket() == {
+        f"_cw_bucket={b}": n for b, n in after_refs.items()
+    }
+    assert sorted((r["id"], r["status"]) for r in wh.table().collect()) == before_rows
+    assert not os.path.isdir(path + "._tmp")
     # Second pass is a no-op.
     assert wh.compact(max_files_per_bucket=1) == 0
 
