@@ -24,20 +24,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
-# coverage policy. Round-4 rotation (VERDICT r3, Next-round #1): keep 15
+# coverage policy. Round-4 rotation (VERDICT r3, Next-round #1): keep 13
 # never-regressed anchors (ETL kernel + e2e + one representative per
-# family), fill the other 35 slots with entries that have never had a
-# driver CORRECTNESS row (r01–r03 union = 70 of 123); the remaining 18
-# never-verified entries rotate into the round-5 window. Every entry
-# outside the window stays registered, oracle-checked by tests/t2_sim.py,
-# pytest-covered, and bench-timed.
+# family), add the two operators NEW this round (scd2_user_state_history,
+# time_travel_cdc — the manifest-snapshot e2e certifier), and fill the
+# other 35 slots with entries that have never had a driver CORRECTNESS
+# row (r01–r03 union = 70 of 123); the remaining never-verified entries
+# rotate into the round-5 window. Every entry outside the window stays
+# registered, oracle-checked by tests/t2_sim.py, pytest-covered, and
+# bench-timed.
 PRIORITY = [
-    # --- 15 anchors (all green in CORRECTNESS_r03) ---
+    # --- 13 anchors (all green in CORRECTNESS_r03) + 2 new this round ---
     "latest_event_per_user",
     "delete_propagation",
-    "flatten_props",
+    "time_travel_cdc",
     "conform_projection",
-    "seq_extraction",
+    "scd2_user_state_history",
     "mango_selector_filter",
     "warehouse_e2e_pipeline",
     "pricing_summary",

@@ -34,7 +34,9 @@ HEADLINE = [
     "repetition_census",        # X+ curation quality gate
     "tumbling_window_counts",   # D4 event-time windows
     "warehouse_e2e_pipeline",   # R1→R14 full ETL kernel
+    "time_travel_cdc",          # manifest snapshot versions + time travel
     "snapshot_cdc",             # CDC between merged states
+    "scd2_user_state_history",  # SCD Type-2 validity intervals
     "bm25_relevance",           # S19 full-text BM25
     "doc_chunking",             # X4 context-window chunking
     "graph_pagerank_3iter",     # X2 iterative graph kernel

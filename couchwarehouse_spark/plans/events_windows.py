@@ -343,3 +343,70 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z_score"),
         )
     )
+
+
+@query(
+    "scd2_user_state_history",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), intervals AS (
+      SELECT user_id, event_type AS state, ts AS vf,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+      FROM marked
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, state,
+           strftime(vf, '{DUCK_FMT}') AS valid_from,
+           coalesce(strftime(vt, '{DUCK_FMT}'), 'current') AS valid_to,
+           vt IS NULL AS is_current
+    FROM intervals
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 history (Kimball dimension
+    modeling) derived from the ``events`` change stream: each user's
+    ``event_type`` is treated as a tracked attribute, consecutive
+    duplicates are compressed (lag-based change detection), and each
+    surviving change opens a validity interval closed by the next
+    change (lead) — the standard warehouse pattern for auditable
+    attribute history, here built declaratively instead of the
+    row-at-a-time UPDATE/INSERT dance. Complements the warehouse's
+    latest-wins merge (operators/upsert.py): latest-wins keeps the
+    current state, SCD2 keeps every state with its validity window.
+
+    Scale: two windows over the SAME partitioning (user_id) and the
+    SAME ordering — one shuffle on the high-cardinality user key, the
+    second window reuses the sort (no second exchange); per-partition
+    state is one user's events. No joins, no Python.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = marked.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    closed = changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("vf"),
+        F.lead("ts").over(w).alias("vt"),
+    )
+    return closed.select(
+        "user_id",
+        "state",
+        F.date_format("vf", TS_FMT).alias("valid_from"),
+        F.coalesce(F.date_format("vt", TS_FMT), F.lit("current")).alias("valid_to"),
+        F.col("vt").isNull().alias("is_current"),
+    )

@@ -31,7 +31,13 @@ AMEND = 7  # orders with o_orderkey % 7 == 0 get amended (status overwrite)
 DELETE = 10  # orders with o_orderkey % 10 == 0 get tombstoned
 
 
-def _build_feed(spark: SparkSession, sf_dir: str, feed_dir: str) -> None:
+def _build_feed(
+    spark: SparkSession, sf_dir: str, feed_dir: str, phase: int | None = None
+) -> None:
+    """``phase=None``: one feed with inserts + amendments + tombstones.
+    ``phase=1``: inserts only. ``phase=2``: amendments + tombstones
+    only (the later changes) — the two-phase split time_travel_cdc
+    spools to produce two distinct table versions."""
     # One parquet file = one task: without this the whole JSON
     # serialization runs on a single core AND the spooler inherits a
     # near-sequential read of one big text file. Widening here
@@ -69,17 +75,24 @@ def _build_feed(spark: SparkSession, sf_dir: str, feed_dir: str) -> None:
     # One scan of orders, not three union branches: each row emits its
     # insert envelope plus (conditionally) an amendment and a tombstone,
     # null-filtered and exploded — the same rows, a third of the I/O.
-    envs = F.array(
-        envelope(F.col("o_orderkey"), doc, False),
-        F.when(
-            F.col("o_orderkey") % AMEND == 0,
-            envelope(F.col("o_orderkey") + F.lit(1_000_000_000), amended_doc, False),
-        ),
-        F.when(
-            F.col("o_orderkey") % DELETE == 0,
-            envelope(F.col("o_orderkey") + F.lit(2_000_000_000), None, True),
-        ),
+    insert_env = envelope(F.col("o_orderkey"), doc, False)
+    amend_env = F.when(
+        F.col("o_orderkey") % AMEND == 0,
+        envelope(F.col("o_orderkey") + F.lit(1_000_000_000), amended_doc, False),
     )
+    tomb_env = F.when(
+        F.col("o_orderkey") % DELETE == 0,
+        envelope(F.col("o_orderkey") + F.lit(2_000_000_000), None, True),
+    )
+    if phase == 1:
+        envs = F.array(insert_env)
+    elif phase == 2:
+        envs = F.array(amend_env, tomb_env)
+        orders = orders.filter(
+            (F.col("o_orderkey") % AMEND == 0) | (F.col("o_orderkey") % DELETE == 0)
+        )
+    else:
+        envs = F.array(insert_env, amend_env, tomb_env)
     feed = orders.select(
         F.explode(F.filter(envs, lambda x: x.isNotNull())).alias("value")
     )
@@ -122,4 +135,62 @@ def warehouse_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("total"), 2).alias("total_revenue"),
         F.countDistinct("customer_id").cast("long").alias("n_customers"),
+    )
+
+
+@query(
+    "time_travel_cdc",
+    oracle=f"""
+    SELECT 'delete' AS change_type, count(*) AS n_ids
+    FROM orders WHERE o_orderkey % {DELETE} = 0
+    UNION ALL
+    SELECT 'update', count(*)
+    FROM orders WHERE o_orderkey % {AMEND} = 0 AND o_orderkey % {DELETE} <> 0
+    UNION ALL
+    SELECT 'unchanged', count(*)
+    FROM orders WHERE o_orderkey % {AMEND} <> 0 AND o_orderkey % {DELETE} <> 0
+    """,
+)
+def time_travel_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two MANIFEST SNAPSHOT VERSIONS of the same table
+    (warehouse.py time travel): spool the insert feed (commits version
+    1), spool the amendment + tombstone feed (commits version 2), then
+    read BOTH versions with ``table(version=N)`` and classify every id
+    as delete / update / unchanged. The oracle states the expected
+    change census straight from ``orders``, so a hash match certifies
+    the manifest layer end-to-end: version 1 must still read exactly
+    as committed AFTER version 2 superseded some of its files, and
+    version 2 must reflect precisely the second feed's changes.
+
+    Scale: the diff is one full-outer join on the id key between two
+    snapshots sharing the same bucket layout, then a 3-group count —
+    the same shape as snapshot_cdc (operators/upsert.py:snapshot_diff),
+    here applied across table VERSIONS instead of table copies.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_ttcdc_{tag}")
+    feed1 = os.path.join(base, "feed1")
+    feed2 = os.path.join(base, "feed2")
+    wh_dir = os.path.join(base, "wh")
+    shutil.rmtree(base, ignore_errors=True)
+
+    _build_feed(spark, sf_dir, feed1, phase=1)
+    _build_feed(spark, sf_dir, feed2, phase=2)
+    wh = Warehouse(spark, wh_dir, "ttorders", reset=True)
+    wh.spool(feed1)
+    wh.spool(feed2)
+
+    v1 = wh.table(version=1).select("id", F.col("status").alias("s1"))
+    v2 = wh.table(version=2).select("id", F.col("status").alias("s2"))
+    change = (
+        F.when(F.col("s2").isNull(), F.lit("delete"))
+        .when(F.col("s1").isNull(), F.lit("insert"))
+        .when(F.col("s1") != F.col("s2"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        v1.join(v2, "id", "full_outer")
+        .select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n_ids"))
     )
