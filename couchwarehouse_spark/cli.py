@@ -84,7 +84,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sql", default=None,
                    help="SQL to run against the warehouse after spooling (R17)")
     p.add_argument("--compact", action="store_true",
-                   help="after spooling, compact fragmented bucket dirs")
+                   help="after spooling, compact fragmented buckets into a "
+                        "new table version")
+    p.add_argument("--vacuum", type=int, default=None, metavar="KEEP",
+                   help="after spooling (and --compact), reclaim part files "
+                        "not referenced by each table's newest KEEP manifest "
+                        "versions (snapshot retention; see Warehouse.vacuum)")
+    p.add_argument("--history", action="store_true",
+                   help="after spooling, print each table's manifest commit "
+                        "log (version, op, timestamp, file count)")
     p.add_argument("--sqlite", default=None, metavar="PATH",
                    help="after spooling, egress every table into this "
                         "SQLite file (the reference's default target)")
@@ -205,6 +213,18 @@ def main(argv: list[str] | None = None) -> int:
             n = wh.compact(doc_type)
             if n and not args.quiet:
                 print(f"couchwarehouse: compacted {n} buckets of {doc_type}")
+    if args.vacuum is not None:
+        for doc_type in wh.schemas:
+            n = wh.vacuum(doc_type, retain_versions=args.vacuum)
+            if not args.quiet:
+                print(
+                    f"couchwarehouse: vacuumed {n} files of "
+                    f"{wh.table_name(doc_type)} (kept {max(1, args.vacuum)} versions)"
+                )
+    if args.history:
+        for doc_type in wh.schemas:
+            print(f"couchwarehouse: history of {wh.table_name(doc_type)}")
+            wh.history(doc_type).show(50, truncate=False)
     if args.sqlite or args.es:
         # Tombstone set shared by both one-shot egress targets: ids
         # whose LATEST envelope (by _cw_seq) is a deletion. Filtering

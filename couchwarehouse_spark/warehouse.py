@@ -67,6 +67,11 @@ from couchwarehouse_spark.sources.changes import (
 DEFAULT_TYPE = "_default"  # reference index.js:52
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Two writers raced to commit the same table version; the loser
+    gets this instead of silently clobbering the winner's manifest."""
+
+
 def _logical_of(dtype: T.DataType) -> str:
     if isinstance(dtype, T.BooleanType):
         return "boolean"
@@ -325,9 +330,26 @@ class Warehouse:
             "buckets": {str(b): sorted(files) for b, files in sorted(buckets.items())},
         }
         target = self._manifest_file(path, version)
-        with open(target + ".tmp", "w") as f:
+        tmp = target + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.rename(target + ".tmp", target)
+        # Optimistic concurrency: link() (unlike rename()) fails if the
+        # target exists, so two writers racing to commit the same next
+        # version produce one winner and one LOUD loser instead of a
+        # silent lost update — the same put-if-absent contract Delta
+        # asks of its log store. The loser's work is orphan files that
+        # vacuum reclaims; re-running its batch re-merges against the
+        # winner's state.
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} of {path} was committed by another "
+                "writer; re-run the batch (its data files are unreferenced "
+                "orphans until vacuum)"
+            ) from None
+        finally:
+            os.remove(tmp)
         return version
 
     def _manifest_files(self, path: str, manifest: dict) -> list[str]:

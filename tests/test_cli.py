@@ -224,3 +224,34 @@ def test_library_concurrent_monitors_each_stoppable(spark, tmp_path):
     cw.stop()  # zero-arg: latest
     assert b._active_query is None
     cw.stop()  # idempotent no-op
+
+
+def test_cli_maintenance_vacuum_and_history(spark, tmp_path, capsys):
+    """--vacuum and --history maintenance verbs: two spools produce two
+    manifest versions; --vacuum 1 retains only the newest and --history
+    prints the remaining commit log."""
+    feed = _mixed_feed(str(tmp_path / "feed"))
+    wh_dir = str(tmp_path / "wh")
+    base = [
+        "--feed", feed,
+        "--database", "maintdb",
+        "--warehouse-dir", wh_dir,
+    ]
+    assert main([*base, "--reset", "--quiet"]) == 0
+    # Second run re-reads the same feed; checkpoint makes it a no-op
+    # spool, so fabricate a second version with a fresh envelope.
+    rng = random.Random(9)
+    upd = order_doc(0, rng)
+    upd["status"] = "amended"
+    feed2 = write_feed(str(tmp_path / "feed2"), [envelope(200, upd)])
+    assert main(["--feed", feed2, "--database", "maintdb",
+                 "--warehouse-dir", wh_dir, "--vacuum", "1",
+                 "--history"]) == 0
+    out = capsys.readouterr().out
+    assert "vacuumed" in out and "history of maintdb" in out
+    # Only the newest version survives the vacuum.
+    from couchwarehouse_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, wh_dir, "maintdb")
+    versions = [r["version"] for r in wh.history().collect()]
+    assert len(versions) == 1

@@ -538,3 +538,33 @@ def test_query_substitutions_bind_as_parameters(spark, tmp_path):
         {"target": "x' OR '1'='1"},
     ).first()["n"]
     assert hostile == 0
+
+
+def test_concurrent_commit_loses_loudly(spark, tmp_path):
+    """Optimistic concurrency: a second writer racing the same next
+    version must get ConcurrentCommitError, never silently clobber the
+    winner's manifest."""
+    from unittest import mock
+
+    import pytest
+
+    from couchwarehouse_spark.warehouse import ConcurrentCommitError
+
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=10)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "racedata", n_buckets=2)
+    wh.spool(feed)
+    path = wh._table_path("_default")
+    manifest = wh._load_manifest(path)
+    buckets = {int(b): fs for b, fs in manifest["buckets"].items()}
+
+    # Another writer commits version 2 first...
+    wh._commit_manifest(path, "merge", buckets, manifest["schema"])
+    # ...while our in-flight commit read the version list BEFORE that
+    # landed (the stale-read race window): it targets v2 too and must
+    # lose loudly.
+    with mock.patch.object(Warehouse, "_list_versions", return_value=[1]):
+        with pytest.raises(ConcurrentCommitError):
+            wh._commit_manifest(path, "merge", {}, manifest["schema"])
+    # The winner's commit log is intact and readable.
+    assert [r["version"] for r in wh.history().collect()] == [1, 2]
+    assert wh.table().count() == 10
