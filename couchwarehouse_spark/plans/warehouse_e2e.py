@@ -29,22 +29,31 @@ from couchwarehouse_spark.warehouse import Warehouse
 
 AMEND = 7  # orders with o_orderkey % 7 == 0 get amended (status overwrite)
 DELETE = 10  # orders with o_orderkey % 10 == 0 get tombstoned
+TT_SUBSET = 3  # time_travel_cdc feeds only o_orderkey % 3 == 0 (spool
+# throughput is already benchmarked by warehouse_e2e_pipeline; the
+# manifest-layer certification doesn't need a second full-corpus spool)
 
 
 def _build_feed(
-    spark: SparkSession, sf_dir: str, feed_dir: str, phase: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    feed_dir: str,
+    phase: int | None = None,
+    subset: int | None = None,
 ) -> None:
     """``phase=None``: one feed with inserts + amendments + tombstones.
     ``phase=1``: inserts only. ``phase=2``: amendments + tombstones
     only (the later changes) — the two-phase split time_travel_cdc
-    spools to produce two distinct table versions."""
+    spools to produce two distinct table versions. ``subset=k`` keeps
+    only orders with ``o_orderkey % k == 0``."""
     # One parquet file = one task: without this the whole JSON
     # serialization runs on a single core AND the spooler inherits a
     # near-sequential read of one big text file. Widening here
     # parallelizes both sides of the feed.
-    orders = load_table(spark, sf_dir, "orders").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    orders = load_table(spark, sf_dir, "orders")
+    if subset is not None:
+        orders = orders.filter(F.col("o_orderkey") % subset == 0)
+    orders = orders.repartition(spark.sparkContext.defaultParallelism)
     doc = F.struct(
         F.concat(F.lit("order"), F.col("o_orderkey").cast("string")).alias("_id"),
         F.lit("1-x").alias("_rev"),
@@ -141,14 +150,15 @@ def warehouse_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "time_travel_cdc",
     oracle=f"""
+    WITH sub AS (SELECT * FROM orders WHERE o_orderkey % {TT_SUBSET} = 0)
     SELECT 'delete' AS change_type, count(*) AS n_ids
-    FROM orders WHERE o_orderkey % {DELETE} = 0
+    FROM sub WHERE o_orderkey % {DELETE} = 0
     UNION ALL
     SELECT 'update', count(*)
-    FROM orders WHERE o_orderkey % {AMEND} = 0 AND o_orderkey % {DELETE} <> 0
+    FROM sub WHERE o_orderkey % {AMEND} = 0 AND o_orderkey % {DELETE} <> 0
     UNION ALL
     SELECT 'unchanged', count(*)
-    FROM orders WHERE o_orderkey % {AMEND} <> 0 AND o_orderkey % {DELETE} <> 0
+    FROM sub WHERE o_orderkey % {AMEND} <> 0 AND o_orderkey % {DELETE} <> 0
     """,
 )
 def time_travel_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,8 +184,8 @@ def time_travel_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh_dir = os.path.join(base, "wh")
     shutil.rmtree(base, ignore_errors=True)
 
-    _build_feed(spark, sf_dir, feed1, phase=1)
-    _build_feed(spark, sf_dir, feed2, phase=2)
+    _build_feed(spark, sf_dir, feed1, phase=1, subset=TT_SUBSET)
+    _build_feed(spark, sf_dir, feed2, phase=2, subset=TT_SUBSET)
     wh = Warehouse(spark, wh_dir, "ttorders", reset=True)
     wh.spool(feed1)
     wh.spool(feed2)

@@ -106,6 +106,7 @@ class Warehouse:
         verbose: bool = False,
         n_buckets: int = 16,
         followers: list[Callable] | None = None,
+        auto_vacuum: int | None = None,
     ):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
@@ -127,6 +128,13 @@ class Warehouse:
         # insertBulk fan-out to secondary targets (lib/sqlite.js:60,
         # lib/elasticsearch.js:16). See sinks.sqlite.sqlite_follower.
         self.followers: list[Callable] = list(followers or [])
+        # Retention policy for continuous ingest: every merged batch
+        # commits a manifest version, so an unattended monitor would
+        # accumulate manifests + superseded files without bound.
+        # auto_vacuum=N vacuums each merged type down to its newest N
+        # versions after every batch (explicit vacuum() remains for
+        # operator-driven retention). None = keep everything.
+        self.auto_vacuum = auto_vacuum
         self.schemas: dict[str, dict[str, str]] = {}
         self.checkpoints = CheckpointStore(spark, os.path.join(warehouse_dir, "_checkpoints"))
         if reset:
@@ -240,6 +248,8 @@ class Warehouse:
         try:
             for doc_type in sorted(types):
                 self._merge_type(live, tombstones, doc_type)
+                if self.auto_vacuum is not None:
+                    self.vacuum(doc_type, retain_versions=self.auto_vacuum)
             self._save_schemas()
         finally:
             env.unpersist()

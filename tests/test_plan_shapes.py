@@ -506,3 +506,17 @@ def test_triangle_count_semi_join_closure(spark):
     assert "LeftSemi" in plan
     assert "InMemoryTableScan" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """scd2_user_state_history: the lag (change-detect) and lead
+    (interval-close) windows use the SAME partitioning and ordering,
+    so the plan must carry exactly ONE Exchange and ONE Sort — the
+    second window rides the first's sorted partitions. A second
+    exchange here would double the shuffle of the whole events table
+    at 100 TB for no semantic gain."""
+    plan = explain_str(spark, "scd2_user_state_history")
+    tree = plan.split("\n\n")[0]  # the numbered operator tree
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Sort") == 1, tree
+    assert tree.count("Window") == 2, tree

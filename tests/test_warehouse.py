@@ -568,3 +568,25 @@ def test_concurrent_commit_loses_loudly(spark, tmp_path):
     # The winner's commit log is intact and readable.
     assert [r["version"] for r in wh.history().collect()] == [1, 2]
     assert wh.table().count() == 10
+
+
+def test_auto_vacuum_bounds_retained_versions(spark, tmp_path):
+    """auto_vacuum=N: continuous ingest (many spools) retains at most N
+    manifest versions per table, with the newest state always intact —
+    the retention policy an unattended monitor needs."""
+    rng = random.Random(21)
+    wh = Warehouse(
+        spark, str(tmp_path / "wh"), "autovacdata", n_buckets=2, auto_vacuum=2
+    )
+    for n in range(4):
+        envs = [
+            envelope(10 * n + i + 1, dict(person_doc(i, rng), age=n))
+            for i in range(5)
+        ]
+        wh.spool(write_feed(str(tmp_path / f"f{n}.jsonl"), envs))
+
+    versions = [r["version"] for r in wh.history().collect()]
+    assert len(versions) == 2 and versions[-1] == 4
+    rows = wh.table().collect()
+    assert len(rows) == 5
+    assert all(r["age"] == 3.0 for r in rows)  # newest batch won
