@@ -72,6 +72,31 @@ class ConcurrentCommitError(RuntimeError):
     gets this instead of silently clobbering the winner's manifest."""
 
 
+def _parquet_id_range(fp: str) -> tuple[str, str] | None:
+    """The ``id`` column's min/max across a part file's row groups,
+    from the parquet footer — None when statistics are absent. Read
+    ONCE at commit time and recorded in the manifest (Delta's
+    stats-in-log), so later merges and lookups prune files from
+    metadata alone."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fp).metadata
+    idx = next(
+        (i for i in range(md.num_columns) if md.schema.column(i).name == "id"),
+        None,
+    )
+    if idx is None:
+        return None
+    mn = mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mn = st.min if mn is None or st.min < mn else mn
+        mx = st.max if mx is None or st.max > mx else mx
+    return None if mn is None else (mn, mx)
+
+
 def _logical_of(dtype: T.DataType) -> str:
     if isinstance(dtype, T.BooleanType):
         return "boolean"
@@ -323,10 +348,17 @@ class Warehouse:
         return None
 
     def _commit_manifest(
-        self, path: str, op: str, buckets: dict[int, list[str]], schema_json: str
+        self,
+        path: str,
+        op: str,
+        buckets: dict[int, list[str]],
+        schema_json: str,
+        stats: dict[int, dict[str, list | None]] | None = None,
     ) -> int:
         """Atomically publish a new table version. ``buckets`` maps
-        bucket id → part-file names relative to that bucket's dir."""
+        bucket id → part-file names relative to that bucket's dir;
+        ``stats`` carries each file's [min_id, max_id] (or None when
+        footer statistics were absent) for metadata-only pruning."""
         import time
 
         vdir = self._versions_path(path)
@@ -338,6 +370,10 @@ class Warehouse:
             "ts": time.time(),
             "schema": schema_json,
             "buckets": {str(b): sorted(files) for b, files in sorted(buckets.items())},
+            "stats": {
+                str(b): dict(sorted(per.items()))
+                for b, per in sorted((stats or {}).items())
+            },
         }
         target = self._manifest_file(path, version)
         tmp = target + f".tmp.{os.getpid()}"
@@ -378,19 +414,24 @@ class Warehouse:
         if not os.path.isdir(path):
             return None
         buckets: dict[int, list[str]] = {}
+        stats: dict[int, dict[str, list | None]] = {}
         for entry in sorted(os.listdir(path)):
             if entry.startswith("_cw_bucket="):
-                buckets[int(entry.split("=", 1)[1])] = [
+                b = int(entry.split("=", 1)[1])
+                buckets[b] = [
                     fn
                     for fn in sorted(os.listdir(os.path.join(path, entry)))
                     if fn.endswith(".parquet")
                 ]
+                for fn in buckets[b]:
+                    rng = _parquet_id_range(os.path.join(path, entry, fn))
+                    stats.setdefault(b, {})[fn] = list(rng) if rng else None
         if not buckets:
             return None
         schema_json = (
             self.spark.read.parquet(path).schema.json()
         )
-        self._commit_manifest(path, "adopt", buckets, schema_json)
+        self._commit_manifest(path, "adopt", buckets, schema_json, stats)
         return self._load_manifest(path)
 
     def vacuum(
@@ -512,45 +553,32 @@ class Warehouse:
         bucket_files: dict[int, list[str]],
         conformed: DataFrame,
         tombstones: DataFrame,
+        stats_by_path: dict[str, list | None] | None = None,
     ) -> tuple[list[str], dict[int, list[str]]]:
         """File-level merge pruning WITHIN affected buckets: a part
-        file whose footer ``id`` min/max range contains no batch id
-        needs no rewrite — its rows can't compete in the latest-wins
-        window (state holds exactly one row per id, so a touched id's
-        single copy always lives in a file whose range covers it).
+        file whose ``id`` min/max range contains no batch id needs no
+        rewrite — its rows can't compete in the latest-wins window
+        (state holds exactly one row per id, so a touched id's single
+        copy always lives in a file whose range covers it).
         ``bucket_files`` is the current manifest's view of the affected
-        buckets (bucket id → absolute part-file paths). Returns (files
-        to merge, per-bucket untouched files the next manifest carries
-        forward by reference). Footer reads are metadata-scale
-        (driver-side, ≤ files-per-affected-bucket); the range-vs-batch-
-        id check is a broadcast semi join, not a collect of ids. Files
-        without id statistics are conservatively merged. This is
-        manifest min/max file skipping, the same idea Delta/Iceberg
-        file stats serve."""
-        import pyarrow.parquet as pq
-
-        def id_range(fp: str) -> tuple[str, str] | None:
-            md = pq.ParquetFile(fp).metadata
-            idx = next(
-                (i for i in range(md.num_columns) if md.schema.column(i).name == "id"),
-                None,
-            )
-            if idx is None:
-                return None
-            mn = mx = None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    return None
-                mn = st.min if mn is None or st.min < mn else mn
-                mx = st.max if mx is None or st.max > mx else mx
-            return None if mn is None else (mn, mx)
-
+        buckets (bucket id → absolute part-file paths);
+        ``stats_by_path`` is the manifest's recorded id ranges, so the
+        common case never touches a parquet footer here (stats were
+        read once at commit — Delta's stats-in-log). Returns (files to
+        merge, per-bucket untouched files the next manifest carries
+        forward by reference). The range-vs-batch-id check is a
+        broadcast semi join, not a collect of ids. Files without id
+        statistics are conservatively merged."""
+        stats_by_path = stats_by_path or {}
         metas: list[tuple[int, str, str, str]] = []
         read_files: list[str] = []
         for b, files in bucket_files.items():
             for fp in files:
-                rng = id_range(fp)
+                rng = stats_by_path.get(fp)
+                if rng is None:
+                    # Pre-stats manifest (or absent footer stats at
+                    # commit): one fallback footer read.
+                    rng = _parquet_id_range(fp)
                 if rng is None:
                     read_files.append(fp)
                 else:
@@ -580,13 +608,18 @@ class Warehouse:
                 untouched.setdefault(b, []).append(fp)
         return read_files, untouched
 
-    def _publish_tmp(self, path: str, tmp: str) -> dict[int, list[str]]:
+    def _publish_tmp(
+        self, path: str, tmp: str
+    ) -> tuple[dict[int, list[str]], dict[int, dict[str, list | None]]]:
         """Move a scratch write's part files into the live bucket dirs.
         Spark part-file names embed a per-job UUID, so the moves can
         never collide with (or overwrite) a committed file; nothing
         existing is touched, so readers of the current version are
-        unaffected. Returns bucket id → moved file names."""
+        unaffected. Each moved file's footer is read ONCE here to
+        record its id min/max in the manifest. Returns (bucket id →
+        moved file names, bucket id → per-file id-range stats)."""
         moved: dict[int, list[str]] = {}
+        stats: dict[int, dict[str, list | None]] = {}
         for entry in os.listdir(tmp):
             if not entry.startswith("_cw_bucket="):
                 continue
@@ -596,11 +629,14 @@ class Warehouse:
             names = []
             for fn in os.listdir(os.path.join(tmp, entry)):
                 if fn.endswith(".parquet"):
-                    os.rename(os.path.join(tmp, entry, fn), os.path.join(dst_dir, fn))
+                    dst = os.path.join(dst_dir, fn)
+                    os.rename(os.path.join(tmp, entry, fn), dst)
                     names.append(fn)
+                    rng = _parquet_id_range(dst)
+                    stats.setdefault(b, {})[fn] = list(rng) if rng else None
             moved[b] = names
         shutil.rmtree(tmp, ignore_errors=True)
-        return moved
+        return moved, stats
 
     def _merge_conformed(
         self, conformed: DataFrame, tombstones: DataFrame, doc_type: str
@@ -615,8 +651,12 @@ class Warehouse:
         affected: list[int] | None = None
         untouched: dict[int, list[str]] = {}
         prev_buckets: dict[int, list[str]] = {}
+        prev_stats: dict[int, dict[str, list | None]] = {}
         if manifest is not None:
             prev_buckets = {int(b): fs for b, fs in manifest["buckets"].items()}
+            prev_stats = {
+                int(b): per for b, per in manifest.get("stats", {}).items()
+            }
             # Incremental lane: only buckets this batch's ids (or
             # tombstone ids) hash into are considered — and within
             # those, only part files whose id range intersects the
@@ -639,8 +679,13 @@ class Warehouse:
                 for b in affected
                 if prev_buckets.get(b)
             }
+            stats_by_path = {
+                os.path.join(path, f"_cw_bucket={b}", fn): rng
+                for b, per in prev_stats.items()
+                for fn, rng in per.items()
+            }
             read_files, untouched = self._prune_bucket_files(
-                aff_files, conformed, tombstones
+                aff_files, conformed, tombstones, stats_by_path
             )
             state = self.spark.read.parquet(*read_files) if read_files else None
         elif os.path.isdir(path) and any(
@@ -665,23 +710,30 @@ class Warehouse:
         shutil.rmtree(tmp, ignore_errors=True)
         new_state.write.mode("overwrite").partitionBy("_cw_bucket").parquet(tmp)
         schema_json = new_state.drop("_cw_bucket").schema.json()
-        new_buckets = self._publish_tmp(path, tmp)
+        new_buckets, new_stats = self._publish_tmp(path, tmp)
 
         if affected is None:
-            next_buckets = new_buckets
+            next_buckets, next_stats = new_buckets, new_stats
         else:
+            aff = set(affected)
             next_buckets = {
-                b: fs for b, fs in prev_buckets.items() if b not in set(affected)
+                b: fs for b, fs in prev_buckets.items() if b not in aff
+            }
+            next_stats = {
+                b: per for b, per in prev_stats.items() if b not in aff
             }
             for b in affected:
-                files = new_buckets.get(b, []) + [
-                    os.path.basename(fp) for fp in untouched.get(b, [])
-                ]
+                carried = [os.path.basename(fp) for fp in untouched.get(b, [])]
+                files = new_buckets.get(b, []) + carried
                 if files:
                     next_buckets[b] = files
+                    per = dict(new_stats.get(b, {}))
+                    for fn in carried:
+                        per[fn] = prev_stats.get(b, {}).get(fn)
+                    next_stats[b] = per
                 # A bucket whose every row was deleted simply has no
                 # entry in the new version.
-        self._commit_manifest(path, "merge", next_buckets, schema_json)
+        self._commit_manifest(path, "merge", next_buckets, schema_json, next_stats)
 
     def _freeze_schema(self, flat: DataFrame) -> dict[str, str]:
         """First-doc-wins schema freeze (R7; reference index.js:55-68).
@@ -748,11 +800,17 @@ class Warehouse:
             .repartition(len(todo), "_cw_bucket")
         )
         df.write.mode("overwrite").partitionBy("_cw_bucket").parquet(tmp)
-        moved = self._publish_tmp(path, tmp)
+        moved, moved_stats = self._publish_tmp(path, tmp)
         next_buckets = dict(prev)
+        next_stats = {
+            int(b): per for b, per in manifest.get("stats", {}).items()
+        }
         for b in todo:
             next_buckets[b] = moved.get(b, [])
-        self._commit_manifest(path, "compact", next_buckets, manifest["schema"])
+            next_stats[b] = moved_stats.get(b, {})
+        self._commit_manifest(
+            path, "compact", next_buckets, manifest["schema"], next_stats
+        )
         return len(todo)
 
     # -- query surface (R17) -------------------------------------------
@@ -794,12 +852,31 @@ class Warehouse:
     def lookup(self, doc_id: str, doc_type: str = DEFAULT_TYPE) -> DataFrame:
         """Point lookup by document id — the reference's ``id PRIMARY
         KEY`` access path (reference lib/sqlite.js:38-40, ``WHERE id =
-        ?`` at :83). On the bucket-partitioned layout this prunes to
-        ONE ``_cw_bucket=K`` directory (PartitionFilters) before the
-        id predicate even runs — at 100 TB a lookup reads 1/n_buckets
-        of the table, not all of it.
+        ?`` at :83). Two pruning levels compose: the manifest's
+        recorded per-file id ranges drop every part file whose
+        [min, max] cannot contain the id BEFORE any Spark plan exists
+        (stats-in-log file skipping — at 100 TB this reads the one or
+        two files that can hold the row), and the bucket partition
+        filter (PartitionFilters on ``_cw_bucket``) prunes whatever
+        survives. Files without recorded stats are kept conservatively.
         """
-        df = self._read_state(self._table_path(doc_type))
+        path = self._table_path(doc_type)
+        manifest = self._load_manifest(path)
+        if manifest is not None and manifest.get("stats"):
+            cand = []
+            for b, files in manifest["buckets"].items():
+                per = manifest["stats"].get(b, {})
+                for fn in files:
+                    rng = per.get(fn)
+                    if rng is None or (rng[0] <= doc_id <= rng[1]):
+                        cand.append(os.path.join(path, f"_cw_bucket={b}", fn))
+            if not cand:
+                schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+                df = self.spark.createDataFrame([], schema)
+            else:
+                df = self.spark.read.option("basePath", path).parquet(*cand)
+        else:
+            df = self._read_state(path)
         if "_cw_bucket" in df.columns:
             df = df.filter(F.col("_cw_bucket") == self._bucket_of(F.lit(doc_id)))
         return df.filter(F.col("id") == doc_id).drop(SEQ_COL, "_cw_bucket")

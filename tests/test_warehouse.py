@@ -590,3 +590,54 @@ def test_auto_vacuum_bounds_retained_versions(spark, tmp_path):
     rows = wh.table().collect()
     assert len(rows) == 5
     assert all(r["age"] == 3.0 for r in rows)  # newest batch won
+
+
+def test_lookup_skips_files_via_manifest_stats(spark, tmp_path):
+    """Stats-in-log file skipping: with disjoint-range part files in
+    one bucket, the manifest's recorded min/max ranges decide which
+    files a point lookup reads before any Spark plan exists."""
+    import random as _random
+
+    rng = _random.Random(61)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "statskip", n_buckets=1)
+
+    def doc(i, prefix):
+        d = person_doc(i, rng)
+        d["_id"] = f"{prefix}{i:04d}"
+        return d
+
+    seq = 0
+    for prefix in ("aaa", "mmm", "zzz"):
+        envs = []
+        for i in range(6):
+            seq += 1
+            envs.append(envelope(seq, doc(i, prefix)))
+        wh.spool(write_feed(str(tmp_path / f"f_{prefix}.jsonl"), envs))
+
+    path = wh._table_path("_default")
+    manifest = wh._load_manifest(path)
+    n_files = sum(len(fs) for fs in manifest["buckets"].values())
+    assert n_files >= 3  # disjoint batches carried forward as separate files
+    # Every referenced file has recorded stats.
+    n_stats = sum(
+        1
+        for per in manifest["stats"].values()
+        for rng_ in per.values()
+        if rng_ is not None
+    )
+    assert n_stats == n_files
+
+    # The skipping decision: exactly ONE file's range covers the key.
+    covering = [
+        fn
+        for b, fs in manifest["buckets"].items()
+        for fn in fs
+        if manifest["stats"][b][fn][0] <= "mmm0003" <= manifest["stats"][b][fn][1]
+    ]
+    assert len(covering) == 1
+
+    rows = wh.lookup("mmm0003").collect()
+    assert len(rows) == 1 and rows[0]["name"] == "Person 3"
+    # An id outside every recorded range reads zero files (empty-frame
+    # fast path) and returns no rows.
+    assert wh.lookup("qqq9999").count() == 0
