@@ -815,9 +815,18 @@ class Warehouse:
 
     # -- query surface (R17) -------------------------------------------
 
-    def register_view(self, doc_type: str = DEFAULT_TYPE) -> DataFrame:
-        df = self.table(doc_type)
-        df.createOrReplaceTempView(self.table_name(doc_type))
+    def register_view(
+        self, doc_type: str = DEFAULT_TYPE, version: int | None = None
+    ) -> DataFrame:
+        """Expose a table to SQL. With ``version``, registers that
+        snapshot as ``<table>_vN`` (alongside the unversioned current
+        view) so time travel composes with query(): e.g.
+        ``SELECT ... FROM mydb_v3`` — the SQL-side ``VERSION AS OF``."""
+        df = self.table(doc_type, version=version)
+        name = self.table_name(doc_type)
+        if version is not None:
+            name = f"{name}_v{version}"
+        df.createOrReplaceTempView(name)
         return df
 
     def _read_state(self, path: str, version: int | None = None) -> DataFrame:
@@ -847,6 +856,46 @@ class Warehouse:
         travel, Delta's ``VERSION AS OF``; see ``history()``)."""
         return self._read_state(self._table_path(doc_type), version=version).drop(
             SEQ_COL, "_cw_bucket"
+        )
+
+    def changes(
+        self, since_version: int, doc_type: str = DEFAULT_TYPE
+    ) -> DataFrame:
+        """Change feed BETWEEN table versions (Delta's
+        ``table_changes`` / CDF, built on the manifest snapshots): one
+        row per key that differs between ``since_version`` and the
+        current version, carrying ``change_type`` (insert / update /
+        delete), the new column values (NULLs for deletes) and
+        ``_cw_deleted`` — exactly the shape the live sinks apply
+        (``SQLiteSink.insert_bulk(deleted_col=...)``,
+        ``push_bulk_http(deleted_col=...)``), so a downstream consumer
+        that missed N batches catches up with ONE incremental diff
+        instead of a re-export.
+
+        Scale: one full-outer join on the id key between two snapshots
+        sharing the same bucket layout (seq comparison, not row
+        comparison), then one join of the changed-key set back to the
+        new state — the changed set is batch-sized, so AQE broadcasts
+        it.
+        """
+        from couchwarehouse_spark.operators.upsert import (
+            DELETED_COL,
+            snapshot_diff,
+        )
+
+        path = self._table_path(doc_type)
+        old = self._read_state(path, version=since_version)
+        new = self._read_state(path)
+        diff = snapshot_diff(old, new)
+        # cdc_payload's shape plus the change_type label (the sinks
+        # ignore labels; a consumer routing on insert-vs-update wants it).
+        marked = diff.select(
+            "id",
+            "change_type",
+            (F.col("change_type") == "delete").alias(DELETED_COL),
+        )
+        return marked.join(
+            new.drop("_cw_bucket", SEQ_COL), "id", "left"
         )
 
     def lookup(self, doc_id: str, doc_type: str = DEFAULT_TYPE) -> DataFrame:

@@ -641,3 +641,68 @@ def test_lookup_skips_files_via_manifest_stats(spark, tmp_path):
     # An id outside every recorded range reads zero files (empty-frame
     # fast path) and returns no rows.
     assert wh.lookup("qqq9999").count() == 0
+
+
+def test_versioned_view_composes_with_sql(spark, tmp_path):
+    """register_view(version=N) exposes a snapshot as <table>_vN, so
+    time travel composes with the query() SQL surface."""
+    rng = random.Random(91)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "sqltravel", n_buckets=2)
+    wh.spool(
+        write_feed(
+            str(tmp_path / "f1.jsonl"),
+            [envelope(i + 1, person_doc(i, rng)) for i in range(10)],
+        )
+    )
+    wh.spool(
+        write_feed(
+            str(tmp_path / "f2.jsonl"),
+            [envelope(11, None, doc_id="person0004", deleted=True)],
+        )
+    )
+    wh.register_view(version=1)
+    wh.register_view()  # current
+    n = wh.query(
+        "SELECT (SELECT count(*) FROM sqltravel_v1) - "
+        "(SELECT count(*) FROM sqltravel) AS delta"
+    ).collect()[0]["delta"]
+    assert n == 1  # version 1 has the row the delete removed
+
+
+def test_changes_between_versions_cdc_feed(spark, tmp_path):
+    """changes(since_version=N): the CDF-style incremental diff between
+    a retained snapshot and the current version — insert/update/delete
+    classified per key, new values attached, deletes flagged."""
+    rng = random.Random(101)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "cdfdata", n_buckets=2)
+    wh.spool(
+        write_feed(
+            str(tmp_path / "f1.jsonl"),
+            [envelope(i + 1, person_doc(i, rng)) for i in range(10)],
+        )
+    )
+    upd = person_doc(2, random.Random(2))
+    upd["name"] = "Changed 2"
+    new = person_doc(77, rng)
+    wh.spool(
+        write_feed(
+            str(tmp_path / "f2.jsonl"),
+            [
+                envelope(11, upd),
+                envelope(12, new),
+                envelope(13, None, doc_id="person0005", deleted=True),
+            ],
+        )
+    )
+
+    feed = {r["id"]: r for r in wh.changes(since_version=1).collect()}
+    assert {r["change_type"] for r in feed.values()} == {
+        "insert", "update", "delete",
+    }
+    assert feed["person0002"]["change_type"] == "update"
+    assert feed["person0002"]["name"] == "Changed 2"
+    assert feed["person0077"]["change_type"] == "insert"
+    assert feed["person0005"]["change_type"] == "delete"
+    assert feed["person0005"]["_cw_deleted"] is True
+    assert feed["person0005"]["name"] is None  # no values for deletes
+    assert len(feed) == 3  # unchanged keys never appear
