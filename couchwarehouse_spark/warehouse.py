@@ -708,7 +708,13 @@ class Warehouse:
         # replays the batch — idempotent by seq.
         tmp = path + "._tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        new_state.write.mode("overwrite").partitionBy("_cw_bucket").parquet(tmp)
+        # Local (no-shuffle) sort by id inside each write task: row
+        # groups land id-ordered, so the parquet reader's pushed
+        # id-filters prune at row-group granularity even after
+        # compaction collapses a bucket to one wide-range file.
+        new_state.sortWithinPartitions("_cw_bucket", "id").write.mode(
+            "overwrite"
+        ).partitionBy("_cw_bucket").parquet(tmp)
         schema_json = new_state.drop("_cw_bucket").schema.json()
         new_buckets, new_stats = self._publish_tmp(path, tmp)
 
@@ -798,6 +804,7 @@ class Warehouse:
             self.spark.read.option("basePath", path)
             .parquet(*files)
             .repartition(len(todo), "_cw_bucket")
+            .sortWithinPartitions("_cw_bucket", "id")
         )
         df.write.mode("overwrite").partitionBy("_cw_bucket").parquet(tmp)
         moved, moved_stats = self._publish_tmp(path, tmp)
