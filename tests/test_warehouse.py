@@ -304,10 +304,16 @@ def test_random_replay_matches_dict_oracle(spark, tmp_path):
             envs.append(envelope(seq, doc))
             expected[doc_id] = doc
     wh = Warehouse(spark, str(tmp_path / "wh"), "replaydata", n_buckets=4)
-    # Split into three spools at random cut points (feed stays seq-ordered).
+    # Split into three spools at random cut points (feed stays seq-
+    # ordered), with maintenance ops (compact + vacuum) interleaved —
+    # neither may change one row of state.
     cuts = sorted(rng.sample(range(1, len(envs)), 2))
     for n, chunk in enumerate([envs[: cuts[0]], envs[cuts[0]: cuts[1]], envs[cuts[1]:]]):
         wh.spool(write_feed(str(tmp_path / f"feed{n}.jsonl"), chunk))
+        if n == 0:
+            wh.compact(max_files_per_bucket=1)
+        elif n == 1:
+            wh.vacuum(retain_versions=1)
 
     live = {k: v for k, v in expected.items() if v is not None}
     rows = {r["id"]: r for r in wh.table().collect()}
