@@ -712,3 +712,28 @@ def test_changes_between_versions_cdc_feed(spark, tmp_path):
     assert feed["person0005"]["_cw_deleted"] is True
     assert feed["person0005"]["name"] is None  # no values for deletes
     assert len(feed) == 3  # unchanged keys never appear
+
+
+def test_corrupt_newest_manifest_walks_back(spark, tmp_path):
+    """A torn/unreadable newest manifest (impossible under the rename
+    protocol, cheap insurance against a dying disk) must not brick the
+    table: the reader walks back to the newest COMPLETE version."""
+    rng = random.Random(111)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "tornlog", n_buckets=2)
+    wh.spool(
+        write_feed(
+            str(tmp_path / "f1.jsonl"),
+            [envelope(i + 1, person_doc(i, rng)) for i in range(8)],
+        )
+    )
+    path = wh._table_path("_default")
+    # Fabricate a torn next version.
+    with open(wh._manifest_file(path, 2), "w") as f:
+        f.write('{"version": 2, "op": "merge", "buck')  # truncated
+
+    assert wh.table().count() == 8  # walked back to v1
+    # An explicit read of the torn version raises instead of guessing.
+    import pytest
+
+    with pytest.raises(Exception):
+        wh.table(version=2).count()
