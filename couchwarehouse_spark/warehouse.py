@@ -458,11 +458,28 @@ class Warehouse:
         if not versions:
             return 0
         retain_versions = max(1, retain_versions)
-        keep_versions = versions[-retain_versions:]
+        # Retention counts READABLE manifests: a torn newest file (never
+        # readable, so never anyone's snapshot) must not consume a
+        # retention slot — readers walk back past it, and vacuuming
+        # "through" it would otherwise delete the walk-back version's
+        # files out from under them. Torn files newer than the oldest
+        # kept readable version are left in place (harmless, zero refs);
+        # older ones are dropped with the expired manifests.
+        keep_versions: list[int] = []
         referenced: set[str] = set()
-        for v in keep_versions:
-            manifest = self._load_manifest(path, v)
+        for v in reversed(versions):
+            if len(keep_versions) == retain_versions:
+                break
+            try:
+                manifest = self._load_manifest(path, v)
+            except (ValueError, OSError, json.JSONDecodeError):
+                continue
+            keep_versions.append(v)
             referenced.update(self._manifest_files(path, manifest))
+        if not keep_versions:
+            # Every manifest is unreadable: nothing can be proven
+            # unreferenced, so delete nothing.
+            return 0
         cutoff = time.time() - min_age_seconds
         deleted = 0
         for fn in os.listdir(path):
@@ -491,11 +508,13 @@ class Warehouse:
                     deleted += 1
             if not os.listdir(bdir):
                 os.rmdir(bdir)
-        for v in versions[:-retain_versions]:
-            try:
-                os.remove(self._manifest_file(path, v))
-            except FileNotFoundError:
-                pass
+        oldest_kept = min(keep_versions)
+        for v in versions:
+            if v < oldest_kept:
+                try:
+                    os.remove(self._manifest_file(path, v))
+                except FileNotFoundError:
+                    pass
         shutil.rmtree(path + "._tmp", ignore_errors=True)
         return deleted
 
@@ -506,7 +525,10 @@ class Warehouse:
         path = self._table_path(doc_type)
         rows = []
         for v in self._list_versions(path):
-            m = self._load_manifest(path, v)
+            try:
+                m = self._load_manifest(path, v)
+            except (ValueError, OSError, json.JSONDecodeError):
+                continue  # torn file: readers walk past it; so does the log
             rows.append(
                 (
                     m["version"],

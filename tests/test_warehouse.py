@@ -737,3 +737,29 @@ def test_corrupt_newest_manifest_walks_back(spark, tmp_path):
 
     with pytest.raises(Exception):
         wh.table(version=2).count()
+
+
+def test_vacuum_never_deletes_walkback_version_under_torn_newest(spark, tmp_path):
+    """Retention counts READABLE manifests: with a torn newest file,
+    vacuum(retain_versions=1) must keep the walk-back version's files —
+    deleting 'through' the torn manifest would destroy the snapshot
+    readers actually resolve."""
+    rng = random.Random(131)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "tornvac", n_buckets=2)
+    wh.spool(
+        write_feed(
+            str(tmp_path / "f1.jsonl"),
+            [envelope(i + 1, person_doc(i, rng)) for i in range(8)],
+        )
+    )
+    path = wh._table_path("_default")
+    with open(wh._manifest_file(path, 2), "w") as f:
+        f.write('{"torn')
+
+    wh.vacuum(retain_versions=1)
+    assert wh.table().count() == 8  # v1's files survived
+
+    # Pathological total loss: every manifest torn → vacuum refuses.
+    with open(wh._manifest_file(path, 1), "w") as f:
+        f.write('{"also torn')
+    assert wh.vacuum(retain_versions=1) == 0
