@@ -212,6 +212,9 @@ class Warehouse:
         """R19 — truncate & reload: drop all state and checkpoints."""
         shutil.rmtree(self.warehouse_dir, ignore_errors=True)
         self.schemas = {}
+        # Also drops the store's in-process seq cache — a live reset
+        # must not leave a cached resume point pointing past seq 0.
+        self.checkpoints.reset()
 
     def spool(self, feed_path: str) -> str | None:
         """Batch-replay a spooled changes feed into the warehouse (R1).
