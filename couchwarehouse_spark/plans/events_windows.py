@@ -410,3 +410,89 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.date_format("vt", TS_FMT), F.lit("current")).alias("valid_to"),
         F.col("vt").isNull().alias("is_current"),
     )
+
+
+LOCF_USER_MOD = 10  # gap-fill audits 1-in-10 users: the spine explode
+# multiplies rows (users × hours), so the entry bounds its output while
+# every mechanism (spine, join, LOCF window) still runs at full width.
+
+
+@query(
+    "event_locf_gap_fill",
+    oracle=f"""
+    WITH e AS (SELECT * FROM events WHERE user_id % {LOCF_USER_MOD} = 0),
+    hourly AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+             round(sum(value), 2) AS v, count(*) AS n
+      FROM e GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+      FROM bounds
+    ),
+    joined AS (
+      SELECT s.user_id, s.h, hourly.v, hourly.n
+      FROM spine s LEFT JOIN hourly ON s.user_id = hourly.user_id AND s.h = hourly.h
+    )
+    SELECT user_id,
+           strftime(h, '{DUCK_FMT}') AS hour,
+           coalesce(n, 0) AS n_events,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf,
+           v IS NULL AS gap_filled
+    FROM joined
+    """,
+)
+def event_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with last-observation-carried-forward
+    (TimescaleDB's ``locf`` / Pandas ``ffill``, distributed): build
+    each user's dense hourly spine between their first and last
+    active hour (``sequence`` + ``explode`` — a projection, no
+    shuffle), left-join the observed hourly aggregates onto it, and
+    fill silent hours with the most recent observed value via
+    ``last(ignorenulls=True)`` over an unbounded-preceding window.
+    The downstream consumer (rate monitors, per-user state charts,
+    feature snapshots for training) sees a gapless series with
+    ``gap_filled`` marking imputed rows.
+
+    Scale: the spine explode multiplies rows before the join, so the
+    join key (user_id, hour) stays co-partitioned with the aggregate;
+    the LOCF window shuffles once on the high-cardinality user key
+    with per-partition state = one user's hours. No Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % LOCF_USER_MOD == 0
+    )
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.round(F.sum("value"), 2).alias("v"),
+            F.count("*").alias("n"),
+        )
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("h", TS_FMT).alias("hour"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("v", ignorenulls=True).over(w).alias("v_locf"),
+        F.col("v").isNull().alias("gap_filled"),
+    )
