@@ -90,6 +90,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="after spooling (and --compact), reclaim part files "
                         "not referenced by each table's newest KEEP manifest "
                         "versions (snapshot retention; see Warehouse.vacuum)")
+    p.add_argument("--vacuum-min-age", type=float, default=None,
+                   metavar="SECONDS",
+                   help="age guard for --vacuum: files newer than this are "
+                        "kept even when unreferenced (default: a 10-minute "
+                        "grace so a writer mid-commit in ANOTHER process "
+                        "can't lose in-flight files; pass 0 only when this "
+                        "is the sole writer)")
     p.add_argument("--history", action="store_true",
                    help="after spooling, print each table's manifest commit "
                         "log (version, op, timestamp, file count)")
@@ -214,8 +221,15 @@ def main(argv: list[str] | None = None) -> int:
             if n and not args.quiet:
                 print(f"couchwarehouse: compacted {n} buckets of {doc_type}")
     if args.vacuum is not None:
+        min_age = (
+            args.vacuum_min_age
+            if args.vacuum_min_age is not None
+            else Warehouse.DEFAULT_VACUUM_GRACE_SECONDS
+        )
         for doc_type in wh.schemas:
-            n = wh.vacuum(doc_type, retain_versions=args.vacuum)
+            n = wh.vacuum(
+                doc_type, retain_versions=args.vacuum, min_age_seconds=min_age
+            )
             if not args.quiet:
                 print(
                     f"couchwarehouse: vacuumed {n} files of "

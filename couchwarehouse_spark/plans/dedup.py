@@ -999,7 +999,7 @@ RECALL_ORACLE = f"""
     SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT)    AS n_exact,
            CAST((SELECT count(*) FROM lsh_lang) AS BIGINT) AS n_lsh_same_lang,
            CAST((SELECT c FROM m) AS BIGINT)               AS n_matched,
-           round((SELECT c FROM m) * 1.0
+           round(CAST((SELECT c FROM m) AS DOUBLE)
                  / nullif((SELECT count(*) FROM pairs), 0), 4) AS recall
 """
 
@@ -1054,6 +1054,11 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_lsh_same_lang",
             "n_matched",
-            F.expr("round(n_matched * 1.0 / nullif(n_exact, 0), 4)").alias("recall"),
+            # CAST AS DOUBLE, not * 1.0: a 1.0 literal is DECIMAL(2,1)
+            # in Spark SQL, so the division (and the driver's value
+            # hash) would carry decimal scale the oracle's double lacks.
+            F.expr(
+                "round(CAST(n_matched AS DOUBLE) / nullif(n_exact, 0), 4)"
+            ).alias("recall"),
         )
     )

@@ -139,8 +139,8 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(pow(l_discount, 2)), 4)            AS sum_disc_sq,
            round(sum(ln(l_extendedprice)), 2)           AS sum_ln_price,
            round(sum(abs(l_quantity - 25.0)), 2)        AS sum_abs_dev,
-           sum(CAST(floor(l_tax * 100) AS BIGINT))      AS sum_floor_tax,
-           sum(CAST(ceil(l_discount * 100) AS BIGINT))  AS sum_ceil_disc,
+           CAST(sum(CAST(floor(l_tax * 100) AS BIGINT)) AS BIGINT)     AS sum_floor_tax,
+           CAST(sum(CAST(ceil(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_ceil_disc,
            round(max(l_quantity % 7), 2)                AS max_mod
     FROM lineitem
     GROUP BY l_returnflag

@@ -54,7 +54,7 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(stddev_samp(l_extendedprice), 2)             AS price_stddev,
            round(var_samp(l_quantity), 4)                     AS qty_var,
            round(corr(l_quantity, l_extendedprice), 4)        AS qty_price_corr,
-           round(covar_samp(l_discount, l_tax), 6)            AS disc_tax_covar
+           round(covar_samp(l_discount, l_tax), 6) + 0.0      AS disc_tax_covar
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -63,13 +63,21 @@ def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment aggregates: stddev/variance/correlation/covariance
     — single-pass, mergeable (Welford-style partial states), so they
     scale exactly like SUM: partial map-side, merge at the exchange.
+
+    The near-zero covariance gets ``+ 0.0`` after rounding in BOTH
+    lanes: a covariance a hair below zero rounds to IEEE -0.0 on one
+    engine and +0.0 on the other (observed: DuckDB -0.0 vs Spark 0.0
+    on the N flag), and the driver's value hash distinguishes the two
+    zeros. ``-0.0 + 0.0`` is +0.0 by IEEE 754, normalizing both.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
         F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_covar"),
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias(
+            "disc_tax_covar"
+        ),
     )
 
 

@@ -159,6 +159,10 @@ class Warehouse:
         # auto_vacuum=N vacuums each merged type down to its newest N
         # versions after every batch (explicit vacuum() remains for
         # operator-driven retention). None = keep everything.
+        # RETENTION BOUNDS TIME TRAVEL: changes(since_version)/
+        # table(version=...) only reach retained versions, so CDF
+        # consumers must poll within N batches or fall back to a full
+        # re-export (same contract as Delta CDF + VACUUM).
         self.auto_vacuum = auto_vacuum
         self.schemas: dict[str, dict[str, str]] = {}
         self.checkpoints = CheckpointStore(spark, os.path.join(warehouse_dir, "_checkpoints"))
@@ -277,7 +281,14 @@ class Warehouse:
             for doc_type in sorted(types):
                 self._merge_type(live, tombstones, doc_type)
                 if self.auto_vacuum is not None:
-                    self.vacuum(doc_type, retain_versions=self.auto_vacuum)
+                    # Zero grace is safe HERE only: this runs inside
+                    # the (single) writer between its own commits, so
+                    # no other commit can be in flight.
+                    self.vacuum(
+                        doc_type,
+                        retain_versions=self.auto_vacuum,
+                        min_age_seconds=0.0,
+                    )
             self._save_schemas()
         finally:
             env.unpersist()
@@ -357,16 +368,30 @@ class Warehouse:
         buckets: dict[int, list[str]],
         schema_json: str,
         stats: dict[int, dict[str, list | None]] | None = None,
+        base_version: int | None = None,
     ) -> int:
         """Atomically publish a new table version. ``buckets`` maps
         bucket id → part-file names relative to that bucket's dir;
         ``stats`` carries each file's [min_id, max_id] (or None when
-        footer statistics were absent) for metadata-only pruning."""
+        footer statistics were absent) for metadata-only pruning.
+
+        ``base_version`` pins the commit to exactly ``base + 1`` — the
+        version of the manifest the caller READ when planning its write
+        (0 for a fresh table). This is Delta's read-version+1 protocol:
+        if any other writer committed after our read, our target name
+        is taken and the put-if-absent below collides LOUDLY. Without
+        the pin (base_version=None, re-listing at commit time) a commit
+        that landed between our read and our commit is silently built
+        over — its files absent from our manifest (lost update) — so
+        every internal caller passes the base it merged against."""
         import time
 
         vdir = self._versions_path(path)
         os.makedirs(vdir, exist_ok=True)
-        version = (self._list_versions(path) or [0])[-1] + 1
+        if base_version is not None:
+            version = base_version + 1
+        else:
+            version = (self._list_versions(path) or [0])[-1] + 1
         manifest = {
             "version": version,
             "op": op,
@@ -397,6 +422,24 @@ class Warehouse:
                 "writer; re-run the batch (its data files are unreferenced "
                 "orphans until vacuum)"
             ) from None
+        except OSError:
+            # Filesystems without hardlinks (some FUSE/object-store
+            # mounts) raise EPERM/ENOTSUP: fall back to a portable
+            # put-if-absent — O_CREAT|O_EXCL preserves the exactly-one-
+            # winner contract that rename() (silently overwriting)
+            # would not.
+            try:
+                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise ConcurrentCommitError(
+                    f"version {version} of {path} was committed by another "
+                    "writer; re-run the batch (its data files are "
+                    "unreferenced orphans until vacuum)"
+                ) from None
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
         finally:
             os.remove(tmp)
         return version
@@ -434,14 +477,19 @@ class Warehouse:
         schema_json = (
             self.spark.read.parquet(path).schema.json()
         )
-        self._commit_manifest(path, "adopt", buckets, schema_json, stats)
+        # Adoption only happens on a pre-manifest directory: base 0, so
+        # two processes racing to adopt collide on v1 instead of
+        # double-publishing.
+        self._commit_manifest(path, "adopt", buckets, schema_json, stats, base_version=0)
         return self._load_manifest(path)
+
+    DEFAULT_VACUUM_GRACE_SECONDS = 600.0
 
     def vacuum(
         self,
         doc_type: str = DEFAULT_TYPE,
         retain_versions: int = 1,
-        min_age_seconds: float = 0.0,
+        min_age_seconds: float = DEFAULT_VACUUM_GRACE_SECONDS,
     ) -> int:
         """Reclaim part files no retained version references.
 
@@ -449,10 +497,18 @@ class Warehouse:
         file they reference; deletes all other parquet files in the
         table's bucket dirs — superseded snapshots AND orphans from a
         crashed commit — plus the dropped manifests. ``min_age_seconds``
-        guards files newer than the cutoff (Delta's RETAIN n HOURS),
-        for operators who vacuum from a cron while a writer runs.
-        Returns the number of files deleted. Time travel to a dropped
-        version stops working, exactly like Delta's VACUUM.
+        guards files newer than the cutoff (Delta's RETAIN n HOURS) and
+        DEFAULTS to a 10-minute grace period: a concurrent writer's
+        in-flight files sit unreferenced in live bucket dirs between
+        ``_publish_tmp`` and its manifest commit, so a zero-grace
+        vacuum from another process (cron/CLI) would delete data the
+        about-to-land version references — a broken current version,
+        not just a lost batch. Pass ``min_age_seconds=0`` ONLY when no
+        other writer can be mid-commit (single process, e.g. the
+        in-writer ``auto_vacuum`` path). Returns the number of files
+        deleted. Time travel to a dropped version stops working,
+        exactly like Delta's VACUUM; see ``changes()`` for what that
+        means for CDF consumers.
         """
         import time
 
@@ -764,7 +820,14 @@ class Warehouse:
                     next_stats[b] = per
                 # A bucket whose every row was deleted simply has no
                 # entry in the new version.
-        self._commit_manifest(path, "merge", next_buckets, schema_json, next_stats)
+        self._commit_manifest(
+            path,
+            "merge",
+            next_buckets,
+            schema_json,
+            next_stats,
+            base_version=manifest["version"] if manifest is not None else 0,
+        )
 
     def _freeze_schema(self, flat: DataFrame) -> dict[str, str]:
         """First-doc-wins schema freeze (R7; reference index.js:55-68).
@@ -841,7 +904,12 @@ class Warehouse:
             next_buckets[b] = moved.get(b, [])
             next_stats[b] = moved_stats.get(b, {})
         self._commit_manifest(
-            path, "compact", next_buckets, manifest["schema"], next_stats
+            path,
+            "compact",
+            next_buckets,
+            manifest["schema"],
+            next_stats,
+            base_version=manifest["version"],
         )
         return len(todo)
 
@@ -909,6 +977,13 @@ class Warehouse:
         comparison), then one join of the changed-key set back to the
         new state — the changed set is batch-sized, so AQE broadcasts
         it.
+
+        Retention bounds how far back ``since_version`` can reach:
+        ``vacuum()`` / ``auto_vacuum=N`` drop old manifests AND their
+        files, so a consumer that lags past the retention window gets
+        a ``ValueError`` (missing version) and must re-baseline from a
+        full ``table()`` export — the same contract as Delta CDF after
+        VACUUM. Size retention to your slowest consumer's poll period.
         """
         from couchwarehouse_spark.operators.upsert import (
             DELETED_COL,

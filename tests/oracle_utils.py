@@ -9,6 +9,7 @@ themselves round aggregates so both engines agree to the hash).
 from __future__ import annotations
 
 import math
+import struct
 
 import pandas as pd
 
@@ -41,14 +42,27 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            # Both-float dtype families must agree: a Spark DECIMAL
+            # column arrives as object dtype and hashes differently at
+            # the driver even when values print the same (seen on
+            # lsh_recall_audit r04: decimal 1.0000 vs double 1.0).
+            assert pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv), (
+                f"{name}.{c}: dtype family mismatch spark={av.dtype} duck={bv.dtype}"
+            )
             for i, (x, y) in enumerate(zip(av.tolist(), bv.tolist())):
                 xn = x is None or (isinstance(x, float) and math.isnan(x))
                 yn = y is None or (isinstance(y, float) and math.isnan(y))
                 if xn or yn:
                     assert xn and yn, f"{name}.{c}[{i}]: {x!r} vs {y!r}"
                 else:
-                    assert math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9), (
-                        f"{name}.{c}[{i}]: {x!r} vs {y!r}"
+                    # BIT-exact, including the sign of zero — the
+                    # driver hashes values, so -0.0 vs 0.0 is a miss
+                    # (seen on moment_stats r04). Queries are expected
+                    # to round/normalize floats to engine-portable
+                    # values; isclose would hide exactly the failures
+                    # the driver flags.
+                    assert struct.pack("<d", float(x)) == struct.pack("<d", float(y)), (
+                        f"{name}.{c}[{i}]: {x!r} vs {y!r} (bit-exact float check)"
                     )
         else:
             same = av.astype(object).where(pd.notna(av), None).tolist() == bv.astype(

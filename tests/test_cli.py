@@ -244,9 +244,12 @@ def test_cli_maintenance_vacuum_and_history(spark, tmp_path, capsys):
     upd = order_doc(0, rng)
     upd["status"] = "amended"
     feed2 = write_feed(str(tmp_path / "feed2"), [envelope(200, upd)])
+    # --vacuum-min-age 0: this test IS the sole writer; the default is
+    # a 10-minute grace that would (correctly) keep the just-written
+    # superseded files.
     assert main(["--feed", feed2, "--database", "maintdb",
                  "--warehouse-dir", wh_dir, "--vacuum", "1",
-                 "--history"]) == 0
+                 "--vacuum-min-age", "0", "--history"]) == 0
     out = capsys.readouterr().out
     assert "vacuumed" in out and "history of maintdb" in out
     # Only the newest version survives the vacuum.

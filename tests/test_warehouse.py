@@ -313,7 +313,7 @@ def test_random_replay_matches_dict_oracle(spark, tmp_path):
         if n == 0:
             wh.compact(max_files_per_bucket=1)
         elif n == 1:
-            wh.vacuum(retain_versions=1)
+            wh.vacuum(retain_versions=1, min_age_seconds=0)
 
     live = {k: v for k, v in expected.items() if v is not None}
     rows = {r["id"]: r for r in wh.table().collect()}
@@ -359,7 +359,7 @@ def test_commit_crash_orphans_invisible_and_vacuumed(spark, tmp_path):
     after = {r["id"]: r["name"] for r in wh2.table().collect()}
     assert after == before  # orphans invisible: no duplicate rows
 
-    assert wh2.vacuum(retain_versions=1) >= len(orphans)
+    assert wh2.vacuum(retain_versions=1, min_age_seconds=0) >= len(orphans)
     assert not any(os.path.exists(fp) for fp in orphans)
     assert not os.path.isdir(path + "._tmp")
     assert {r["id"]: r["name"] for r in wh2.table().collect()} == before
@@ -435,7 +435,7 @@ def test_time_travel_and_history(spark, tmp_path):
     assert v2.filter(F.col("id") == "person0005").collect()[0]["name"] == "V2 name"
     assert v1.count() == v2.count() == 20
 
-    wh.vacuum(retain_versions=1)
+    wh.vacuum(retain_versions=1, min_age_seconds=0)
     assert [r["version"] for r in wh.history().collect()] == [2]
     with pytest.raises(ValueError):
         wh.table(version=1)
@@ -504,7 +504,7 @@ def test_compact_reduces_files_preserves_content(spark, tmp_path):
     assert after_rows == before_rows
 
     # Superseded fragments persist for older snapshots until vacuum.
-    assert wh.vacuum(retain_versions=1) > 0
+    assert wh.vacuum(retain_versions=1, min_age_seconds=0) > 0
     assert disk_files_per_bucket() == {
         f"_cw_bucket={b}": n for b, n in after_refs.items()
     }
@@ -547,11 +547,12 @@ def test_query_substitutions_bind_as_parameters(spark, tmp_path):
 
 
 def test_concurrent_commit_loses_loudly(spark, tmp_path):
-    """Optimistic concurrency: a second writer racing the same next
-    version must get ConcurrentCommitError, never silently clobber the
-    winner's manifest."""
-    from unittest import mock
-
+    """Optimistic concurrency via read-version pinning: a writer that
+    planned against version N commits exactly N+1; any commit landing
+    in between takes that name first, so the stale writer gets
+    ConcurrentCommitError — no mocking needed, the pin turns the whole
+    read→commit window into a detectable conflict (the ADVICE r4
+    lost-update scenario)."""
     import pytest
 
     from couchwarehouse_spark.warehouse import ConcurrentCommitError
@@ -563,17 +564,57 @@ def test_concurrent_commit_loses_loudly(spark, tmp_path):
     manifest = wh._load_manifest(path)
     buckets = {int(b): fs for b, fs in manifest["buckets"].items()}
 
-    # Another writer commits version 2 first...
-    wh._commit_manifest(path, "merge", buckets, manifest["schema"])
-    # ...while our in-flight commit read the version list BEFORE that
-    # landed (the stale-read race window): it targets v2 too and must
-    # lose loudly.
-    with mock.patch.object(Warehouse, "_list_versions", return_value=[1]):
-        with pytest.raises(ConcurrentCommitError):
-            wh._commit_manifest(path, "merge", {}, manifest["schema"])
+    # We read v1 and start planning a commit against it... meanwhile
+    # another writer (who also read v1) commits v2 first.
+    wh._commit_manifest(
+        path, "merge", buckets, manifest["schema"], base_version=manifest["version"]
+    )
+    # Our commit is pinned to the version we READ (v1 → target v2),
+    # not to a re-listing at commit time — so the interloper's v2 is a
+    # LOUD collision instead of a silently-dropped lost update.
+    with pytest.raises(ConcurrentCommitError):
+        wh._commit_manifest(
+            path, "merge", {}, manifest["schema"], base_version=manifest["version"]
+        )
     # The winner's commit log is intact and readable.
     assert [r["version"] for r in wh.history().collect()] == [1, 2]
     assert wh.table().count() == 10
+
+
+def test_commit_without_hardlink_support(spark, tmp_path):
+    """Filesystems without hardlinks (FUSE/object-store mounts raise
+    EPERM/ENOTSUP from link()): commits must fall back to a portable
+    put-if-absent with the same one-winner contract, not fail."""
+    import errno
+    from unittest import mock
+
+    import pytest
+
+    from couchwarehouse_spark.warehouse import ConcurrentCommitError
+
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=6)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "nolinkdata", n_buckets=2)
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.ENOTSUP, "hardlinks not supported", dst)
+
+    with mock.patch("os.link", side_effect=no_link):
+        wh.spool(feed)  # every commit goes through the fallback
+        path = wh._table_path("_default")
+        manifest = wh._load_manifest(path)
+        assert manifest is not None and manifest["version"] == 1
+        # Put-if-absent still loses loudly on a taken version name.
+        wh._commit_manifest(
+            path,
+            "merge",
+            {int(b): fs for b, fs in manifest["buckets"].items()},
+            manifest["schema"],
+            base_version=1,
+        )
+        with pytest.raises(ConcurrentCommitError):
+            wh._commit_manifest(path, "merge", {}, manifest["schema"], base_version=1)
+    assert wh.table().count() == 6
+    assert [r["version"] for r in wh.history().collect()] == [1, 2]
 
 
 def test_auto_vacuum_bounds_retained_versions(spark, tmp_path):
@@ -756,10 +797,10 @@ def test_vacuum_never_deletes_walkback_version_under_torn_newest(spark, tmp_path
     with open(wh._manifest_file(path, 2), "w") as f:
         f.write('{"torn')
 
-    wh.vacuum(retain_versions=1)
+    wh.vacuum(retain_versions=1, min_age_seconds=0)
     assert wh.table().count() == 8  # v1's files survived
 
     # Pathological total loss: every manifest torn → vacuum refuses.
     with open(wh._manifest_file(path, 1), "w") as f:
         f.write('{"also torn')
-    assert wh.vacuum(retain_versions=1) == 0
+    assert wh.vacuum(retain_versions=1, min_age_seconds=0) == 0
