@@ -448,3 +448,141 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("at_risk", F.col("n_users") < K_ANONYMITY)
     )
+
+
+# Per-source adaptive quality cut: keep the top fraction of each
+# source by a quality score, with the threshold derived from the
+# source's own score distribution (FineWeb/CCNet-style per-shard
+# filtering) instead of one global constant that over-prunes weak
+# sources and under-prunes strong ones.
+QUALITY_KEEP_FRACTION = 0.6
+
+
+@query(
+    "per_source_quality_cut",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, doc_id,
+             -- integer-exact score: 100*n_chars/n_tokens (mean token
+             -- length in centi-chars) — a single int division, no
+             -- per-row float whose ulp could reorder the rank
+             (100 * n_chars) // len(string_split(text, ' ')) AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    )
+    SELECT source,
+           CAST(any_value(n) AS BIGINT)                       AS n_docs,
+           CAST(count(*) FILTER (rk <= CAST(ceil({QUALITY_KEEP_FRACTION} * n) AS BIGINT)) AS BIGINT)
+                                                              AS n_kept,
+           CAST(min(score) FILTER (rk <= CAST(ceil({QUALITY_KEEP_FRACTION} * n) AS BIGINT)) AS BIGINT)
+                                                              AS cut_score
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def per_source_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source adaptive quality filtering (curation): each source
+    keeps its own top {QUALITY_KEEP_FRACTION:.0%} of documents by a
+    quality score; the cut threshold adapts to the source's score
+    distribution (the FineWeb-style per-dump filter). Output: per
+    source, total docs, kept count, and the realized cut score.
+
+    The score is an integer (100·chars/tokens) and the rank tie-break
+    is doc_id, so the cut boundary is identical in both engines — no
+    float percentile straddles the decision.
+
+    Scale: one window over source partitions — source cardinality is
+    ~1000s and each partition ranks independently, so the shuffle is
+    the same source-keyed exchange the final aggregate needs anyway.
+    At extreme per-source volume, swap row_number for an
+    approx_percentile threshold (sketch, map-side mergeable) and keep
+    the same output contract.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        "doc_id",
+        F.expr("CAST(100 * n_chars AS BIGINT) DIV size(split(text, ' '))").alias(
+            "score"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = scored.select(
+        "source",
+        "score",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    kept = F.col("rk") <= F.ceil(F.lit(QUALITY_KEEP_FRACTION) * F.col("n")).cast(
+        "long"
+    )
+    return ranked.groupBy("source").agg(
+        F.any_value(F.col("n")).cast("long").alias("n_docs"),
+        F.count_if(kept).cast("long").alias("n_kept"),
+        F.min(F.when(kept, F.col("score"))).cast("long").alias("cut_score"),
+    )
+
+
+@query(
+    "pii_id_masking_census",
+    oracle="""
+    WITH scanned AS (
+      SELECT c_mktsegment,
+             c_name,
+             regexp_matches(c_name, 'Customer#[0-9]+')          AS has_id,
+             len(regexp_extract_all(c_name, '[0-9]+'))          AS n_digit_runs,
+             regexp_replace(c_name, '[0-9]', 'X', 'g')          AS masked
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)                             AS n_rows,
+           CAST(count(*) FILTER (has_id) AS BIGINT)             AS n_with_id,
+           CAST(sum(n_digit_runs) AS BIGINT)                    AS n_digit_runs,
+           CAST(count(DISTINCT masked) AS BIGINT)               AS n_masked_forms
+    FROM scanned
+    GROUP BY c_mktsegment
+    """,
+)
+def pii_id_masking_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/identifier redaction census (curation): detect structured
+    identifiers in a text column by regex, mask their digits, and
+    report per-segment detection counts plus the distinct masked
+    forms — the detect→redact→audit kernel of a privacy pass (the
+    same shape scans emails/phones/SSNs on a real corpus; this
+    synthetic schema's identifier pattern is ``Customer#NNN``).
+    Companion to ``user_pseudonymization`` (which rekeys ids) and
+    ``k_anonymity_audit`` (which verifies the result).
+
+    Scale: pure per-row regex projections (JVM-side, codegen'd) into a
+    low-cardinality hash aggregate — zero joins, zero Python; the
+    distinct-masked count is the only per-group distinct and rides the
+    same exchange. Dialect trap pinned by the oracle: DuckDB's
+    regexp_replace replaces the FIRST match unless given the 'g' flag;
+    Spark's always replaces all.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    scanned = c.select(
+        "c_mktsegment",
+        F.col("c_name").rlike("Customer#[0-9]+").alias("has_id"),
+        # idx 0 = whole match (Spark defaults to capture group 1;
+        # DuckDB's regexp_extract_all defaults to the whole match)
+        F.size(F.expr("regexp_extract_all(c_name, '[0-9]+', 0)")).alias(
+            "n_digit_runs"
+        ),
+        F.regexp_replace("c_name", "[0-9]", "X").alias("masked"),
+    )
+    return scanned.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if("has_id").alias("n_with_id"),
+        F.sum("n_digit_runs").cast("long").alias("n_digit_runs"),
+        F.countDistinct("masked").alias("n_masked_forms"),
+    )

@@ -1062,3 +1062,120 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# Exact-substring dedup granularity: a word n-gram this long that
+# occurs more than once in the corpus marks every word it covers for
+# removal (Lee et al., "Deduplicating Training Data Makes Language
+# Models Better", ACL 2022 — their 50-BPE-token threshold, scaled to
+# this corpus's short documents).
+DUP_NGRAM_K = 8
+
+_DUP_REMOVAL_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, s,
+             array_to_string(list_slice(toks, s + 1, s + {DUP_NGRAM_K}), ' ') AS gram
+      FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - {DUP_NGRAM_K} + 1)) AS s
+            FROM t)
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+    removed AS (
+      SELECT DISTINCT g.doc_id, s + off AS pos
+      FROM g JOIN dup USING (gram)
+           CROSS JOIN (SELECT unnest(range(0, {DUP_NGRAM_K})) AS off)
+    ),
+    words AS (
+      SELECT doc_id, unnest(toks) AS word,
+             generate_subscripts(toks, 1) - 1 AS pos
+      FROM t
+    ),
+    kept AS (
+      SELECT w.doc_id, w.pos, w.word
+      FROM words w ANTI JOIN removed r ON w.doc_id = r.doc_id AND w.pos = r.pos
+    )
+    SELECT w.doc_id,
+           CAST(any_value(len(t.toks)) AS BIGINT)          AS n_tokens_before,
+           CAST(count(k.pos) AS BIGINT)                    AS n_tokens_after,
+           coalesce(string_agg(k.word, ' ' ORDER BY k.pos), '') AS cleaned_text
+    FROM (SELECT DISTINCT doc_id FROM t) w
+    JOIN t USING (doc_id)
+    LEFT JOIN kept k ON k.doc_id = w.doc_id
+    GROUP BY w.doc_id
+"""
+
+
+@query("duplicate_ngram_removal", oracle=_DUP_REMOVAL_ORACLE)
+def duplicate_ngram_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication at word-n-gram granularity (X1;
+    Lee et al. 2022): any {DUP_NGRAM_K}-gram occurring >1 time in the
+    corpus marks every word position it covers; documents are
+    reassembled from the surviving positions. Unlike document-level
+    dedup (exact_dedup / minhash) this removes REPEATED SPANS inside
+    otherwise-unique documents — the memorization-risk shape.
+
+    Scale: the corpus explodes to ~n_tokens gram rows keyed by the
+    gram string (production: 60-bit gram hash) — one hash aggregate
+    finds duplicated grams (map-side partial combine absorbs heavy
+    hitters), one semi join marks occurrences, and span→position
+    fan-out is a bounded K× explode. Reassembly is one groupBy(doc_id)
+    with a sort inside the aggregated array, NOT a global sort. No
+    driver-side data, no Python, no all-pairs anything.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # token/gram explode is compute-dense; don't let one file = one task
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    # filter BEFORE the sequence explode: Spark's sequence(0, n-K)
+    # DESCENDS for n < K (DuckDB's range() is empty) — a sub-K doc has
+    # no grams in either engine only if we say so explicitly.
+    grams = toks.filter(F.size("toks") >= DUP_NGRAM_K).select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - DUP_NGRAM_K)
+        ).alias("s"),
+        "toks",
+    ).select(
+        "doc_id",
+        "s",
+        F.array_join(F.slice("toks", F.col("s") + 1, DUP_NGRAM_K), " ").alias("gram"),
+    )
+    dup = grams.groupBy("gram").count().filter(F.col("count") > 1).select("gram")
+    removed = (
+        grams.join(dup, "gram", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + DUP_NGRAM_K - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    words = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "word")
+    )
+    kept = words.join(removed, ["doc_id", "pos"], "left_anti")
+    survived = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens_before"))
+        .join(survived, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens_before",
+            F.coalesce(F.col("n_tokens_after"), F.lit(0)).cast("long").alias(
+                "n_tokens_after"
+            ),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )

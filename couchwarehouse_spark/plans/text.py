@@ -681,3 +681,79 @@ def bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(10)
     )
+
+
+# Posting-list head size: the index stores each term's first block
+# of postings inline (block-max / skip-list head); the tail lives in
+# further blocks. Bounding the block keeps any one reducer's state
+# fixed-size regardless of how hot the term is.
+POSTINGS_BLOCK = 32
+
+
+@query(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    df AS (SELECT term, count(*) AS df FROM tokens GROUP BY term),
+    ranked AS (
+      SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM tokens
+    )
+    SELECT r.term,
+           CAST(any_value(df.df) AS BIGINT) AS df,
+           string_agg(r.doc_id, ',' ORDER BY r.doc_id) AS postings_head
+    FROM ranked r JOIN df ON r.term = df.term
+    WHERE r.rn <= {POSTINGS_BLOCK}
+    GROUP BY r.term
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (S19/X4 — the distributed index-construction
+    kernel behind every full-text engine): term → document frequency +
+    the first {POSTINGS_BLOCK}-entry posting block (sorted doc_ids,
+    CSV-serialized — the delta-encodable byte shape a real index
+    stores; the tail would live in further blocks keyed (term,
+    block_no)).
+
+    Scale: tokenize → per-doc DISTINCT (map-side, bounded by doc
+    length) → df is one word-count-shaped hash aggregate; the posting
+    head uses row_number ≤ K, which Spark executes as
+    WindowGroupLimit — each map task forwards at most K candidate
+    postings per term BEFORE the shuffle, so a stopword-hot term costs
+    K rows per partition, never its full posting list on one reducer.
+    The df table is vocab-sized: the join back is a broadcast. This is
+    exactly the segment shape ES/Lucene builds per shard (the
+    reference's ES target delegates it; couchwarehouse feeds it via
+    the _bulk egress, sinks/elasticsearch.py).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tokens = d.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("term")
+    )
+    df_tbl = tokens.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    heads = (
+        tokens.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= POSTINGS_BLOCK)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head")
+        )
+    )
+    return heads.join(F.broadcast(df_tbl), "term").select(
+        "term", "df", "postings_head"
+    )
