@@ -24,17 +24,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
-# coverage policy. Round-4 rotation (VERDICT r3, Next-round #1): keep 13
-# never-regressed anchors (ETL kernel + e2e + one representative per
-# family), add the two operators NEW this round (scd2_user_state_history,
-# time_travel_cdc — the manifest-snapshot e2e certifier), and fill the
-# other 35 slots with entries that have never had a driver CORRECTNESS
-# row (r01–r03 union = 70 of 123); the remaining never-verified entries
-# rotate into the round-5 window. Every entry outside the window stays
+# coverage policy. Round-5 rotation: 13 never-regressed anchors (ETL
+# kernel + e2e + one representative per family), the 3 entries whose
+# r04 rows were hash-red or dtype-risky and are FIXED this round
+# (lsh_recall_audit, moment_stats, math_functions — the window must
+# prove the fix), all 27 entries that have never had a driver
+# CORRECTNESS row (19 carried + 8 NEW this round), and 7 stalest
+# last-seen-r01 entries. Every entry outside the window stays
 # registered, oracle-checked by tests/t2_sim.py, pytest-covered, and
 # bench-timed.
 PRIORITY = [
-    # --- 13 anchors (all green in CORRECTNESS_r03) + 2 new this round ---
+    # --- 13 anchors (green in CORRECTNESS_r03 AND r04) ---
     "latest_event_per_user",
     "delete_propagation",
     "time_travel_cdc",
@@ -48,50 +48,47 @@ PRIORITY = [
     "exact_dedup",
     "minhash_lsh_candidates",
     "knn_cosine_topk",
-    "k_anonymity_audit",
-    "salted_skew_aggregate",
-    # --- 35 never-driver-verified entries (rotation round 4) ---
-    # similarity / ANN / graph / ML (X2)
-    "ann_lsh_topk",
-    "ann_multiprobe_topk",
-    "ann_batch_topk",
-    "knn_graph_bucketed",
-    "graph_pagerank_3iter",
-    "graph_triangle_count",
-    "kmeans_lloyd_step",
-    "centroid_similarity_per_label",
-    "ml_inference_scores",
-    "int8_quantization_audit",
-    "embedding_norm_audit",
-    # dedup depth (X1)
-    "dedup_survivors",
-    "doc_fingerprints",
+    # --- 3 fixed-this-round entries (r04 red / latent) ---
     "lsh_recall_audit",
-    "source_overlap_matrix",
-    # text analysis depth (X4)
-    "token_frequency",
-    "token_count_bpe_ish",
-    "unigram_surprisal_scores",
-    "bigram_stats",
-    "bpe_pair_census",
-    "quality_scores",
-    "token_entropy_per_source",
-    # statistics / sketches
-    "approx_distinct_audit",
-    "approx_percentile_audit",
-    "hll_union_audit",
     "moment_stats",
-    "regression_price_qty",
-    # sampling / curation / layout
-    "stratified_sample",
-    "benchmark_decontamination",
-    "corpus_build_pipeline",
-    "dataset_card",
-    "zorder_layout_cells",
-    "quality_filter_funnel",
-    # scalar + multimodal depth
-    "variant_json_functions",
-    "multimodal_resize",
+    "math_functions",
+    # --- 8 NEW operators this round ---
+    "duplicate_ngram_removal",
+    "inverted_index_postings",
+    "per_source_quality_cut",
+    "pii_id_masking_census",
+    "event_debounce",
+    "winsorized_stats",
+    "udtf_token_runs",
+    "salted_skew_join",
+    "seeded_global_shuffle",
+    "ivf_recall_audit",
+    # --- 18 never-driver-verified entries (rotation round 5) ---
+    "cohort_retention",
+    "conditional_functions",
+    "correlated_exists_orders",
+    "date_functions",
+    "event_conversion_funnel",
+    "event_locf_gap_fill",
+    "event_rate_anomaly",
+    "grouped_agg_median_qty",
+    "grouped_demean_applyinpandas",
+    "lateral_topn_per_customer",
+    "map_functions",
+    "mixture_resample_counts",
+    "pivot_status_by_priority",
+    "spend_quartiles_ntile",
+    "split_leakage_check",
+    "token_coverage_topk",
+    "token_position_census",
+    "unpivot_order_metrics",
+    # --- 7 stalest (last driver row: r01) ---
+    "exact_dedup_canonical",
+    "balance_distribution_ranks",
+    "crossdoc_ngram_dup",
+    "cube_flag_status",
+    "customer_order_gaps",
+    "multimodal_frame_sample",  # also restores multimodal family coverage
 ]
 
 

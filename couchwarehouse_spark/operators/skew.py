@@ -84,6 +84,7 @@ def salted_join(
     n_salts: int = 16,
     how: str = "inner",
     partitions: int | None = None,
+    keep_salt: bool = False,
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side, explode the small side
     N× (one copy per salt value), join on (key, salt).
@@ -104,4 +105,8 @@ def salted_join(
     if partitions:
         salted_big = salted_big.repartition(partitions, on, SALT_COL)
         replicated = replicated.repartition(partitions, on, SALT_COL)
-    return salted_big.join(replicated, on=[on, SALT_COL], how=how).drop(SALT_COL)
+    joined = salted_big.join(replicated, on=[on, SALT_COL], how=how)
+    # keep_salt: a downstream same-key aggregate can partial-aggregate
+    # per (key, salt) — riding the salted exchange — before the final
+    # |n_salts|-row-per-key merge (see plans.skew_plan.salted_skew_join).
+    return joined if keep_salt else joined.drop(SALT_COL)

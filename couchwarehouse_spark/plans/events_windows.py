@@ -16,7 +16,7 @@ partition — state is one user's events, never global.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
@@ -495,4 +495,91 @@ def event_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.last("v", ignorenulls=True).over(w).alias("v_locf"),
         F.col("v").isNull().alias("gap_filled"),
+    )
+
+
+DEBOUNCE_GAP_SECONDS = 3600  # calibrated: 14/184/1788 intra-burst
+# gaps at sf0.001/0.01/0.1 (and zero gaps exactly ON the boundary at
+# any SF, so the > decision is engine-stable); a 5s web-click window
+# would be vacuously empty on this synthetic feed's hour-scale traffic
+
+
+@query(
+    "event_debounce",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_type, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > {DEBOUNCE_GAP_SECONDS}
+                  THEN 1 ELSE 0 END AS is_burst_head
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ),
+    isl AS (
+      SELECT user_id, event_type, ts, value,
+             sum(is_burst_head) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, value
+                                      ROWS UNBOUNDED PRECEDING) AS burst_id
+      FROM g
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT)                 AS n_events,
+           CAST(count(DISTINCT burst_id) AS BIGINT) AS n_kept,
+           CAST(count(*) - count(DISTINCT burst_id) AS BIGINT) AS n_suppressed
+    FROM isl
+    GROUP BY user_id, event_type
+    HAVING count(*) > count(DISTINCT burst_id)
+    """,
+)
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event debouncing via gaps-and-islands (D4 depth): collapse
+    bursts of same-(user, type) events separated by ≤{DEBOUNCE_GAP_SECONDS}s
+    into one kept event — duplicate-click / retry-storm suppression,
+    the telemetry cousin of dedup. A burst head starts wherever the
+    gap from the previous event exceeds the threshold; the running sum
+    of heads numbers the islands; one event survives per island.
+
+    Scale: two windows over the SAME (user_id, event_type) partition
+    key — one exchange + one in-partition sort serve both (Spark
+    reuses the sort; no second shuffle) — then a hash aggregate on the
+    same key. Per-partition state is one user's one-type events. The
+    streaming twin is applyInPandasWithState with a last-ts register
+    (streaming/stateful.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    heads = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > DEBOUNCE_GAP_SECONDS
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_burst_head"),
+    )
+    wrun = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = heads.select(
+        "user_id",
+        "event_type",
+        F.sum("is_burst_head").over(wrun).alias("burst_id"),
+    )
+    return (
+        isl.groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("burst_id").alias("n_kept"),
+            (F.count("*") - F.countDistinct("burst_id")).alias("n_suppressed"),
+        )
+        .filter(F.col("n_suppressed") > 0)
     )

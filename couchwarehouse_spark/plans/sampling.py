@@ -613,3 +613,48 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tok").alias("min_tokens"),
         F.max("n_tok").alias("max_tokens"),
     )
+
+
+SHUFFLE_SEED = "epoch0"  # seed string folded into the shuffle hash
+SHUFFLE_HEAD = 25  # rows of the shuffled order the entry materializes
+
+
+@query(
+    "seeded_global_shuffle",
+    oracle=f"""
+    SELECT doc_id, source,
+           md5(concat('{SHUFFLE_SEED}:', CAST(doc_id AS VARCHAR))) AS shuffle_key,
+           row_number() OVER (
+             ORDER BY md5(concat('{SHUFFLE_SEED}:', CAST(doc_id AS VARCHAR))), doc_id
+           ) AS position
+    FROM documents
+    ORDER BY position
+    LIMIT {SHUFFLE_HEAD}
+    """,
+)
+def seeded_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle (dataset assembly): the training
+    order is ORDER BY md5(seed || doc_id) — reproducible across runs,
+    engines, and partitionings (rand() is none of those), re-seedable
+    per epoch by changing the seed string. The entry materializes the
+    first {SHUFFLE_HEAD} positions; a training run would write the
+    full ordering out partitioned by position range.
+
+    Scale: a full-order materialization would be a range-partitioned
+    sort by a uniform 128-bit key (sample → range boundaries →
+    per-partition sort — skew-free by construction, with positions as
+    partition_offset + local rank, the two-pass prefix sum of
+    sequence_packing). This HEAD entry never pays that: the top-K by
+    key is TakeOrderedAndProject (per-partition heaps) and only the
+    K survivors get numbered — the global row_number window runs over
+    {SHUFFLE_HEAD} rows, not the corpus (pinned in plan-shape tests).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(f"{SHUFFLE_SEED}:"), F.col("doc_id").cast("string")))
+    head = (
+        d.select("doc_id", "source", key.alias("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(SHUFFLE_HEAD)
+    )
+    w = Window.orderBy("shuffle_key", "doc_id")  # over K rows only
+    return head.withColumn("position", F.row_number().over(w))

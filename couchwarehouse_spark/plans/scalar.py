@@ -500,3 +500,78 @@ def variant_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.sum(F.when(missing.isNull(), 1).otherwise(0)).alias("n_missing"),
     )
+
+
+MIN_RUN_LEN = 2
+
+
+@query(
+    "udtf_token_runs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    w AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS pos
+      FROM t
+    ),
+    flagged AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN lag(tok) OVER w IS DISTINCT FROM tok THEN 1 ELSE 0 END
+               AS is_head
+      FROM w
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    runs AS (
+      SELECT doc_id, tok, pos,
+             sum(is_head) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    )
+    SELECT doc_id, any_value(tok) AS token,
+           CAST(min(pos) AS BIGINT)  AS start_pos,
+           CAST(count(*) AS BIGINT)  AS run_len
+    FROM runs
+    GROUP BY doc_id, run_id
+    HAVING count(*) >= {MIN_RUN_LEN}
+    """,
+)
+def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (§2.C C-udf — the table-function corner of the UDF
+    surface, completing pandas_udf / applyInPandas / UDAF): run-length
+    encode each document's token stream, emitting one row per maximal
+    run of a repeated token (the stutter artifacts a cleaning pass
+    strips). A UDTF maps ONE input row to MANY output rows with
+    imperative per-row logic — the case built-in arrays handle
+    awkwardly and lateral-join engines express as table functions.
+
+    Scale: the UDTF is a per-row flatMap — embarrassingly parallel,
+    no shuffle, no state across rows; Arrow moves the batches. The
+    oracle states the same runs via gaps-and-islands SQL (two windows
+    + aggregate), which is ALSO how you'd write it shuffle-free if the
+    tokens arrived pre-exploded. Python-in-the-loop is the cost of the
+    imperative form — the declared UDF-surface demo trade (see module
+    docstring); everything else in this module stays JVM-side.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id: bigint, token: string, start_pos: bigint, run_len: bigint",
+        useArrow=True,  # Arrow-batched UDTF: no row-at-a-time pickling
+    )
+    class TokenRuns:
+        def eval(self, doc_id, text: str):
+            toks = text.split(" ")
+            start = 0
+            for i in range(1, len(toks) + 1):
+                if i == len(toks) or toks[i] != toks[start]:
+                    if i - start >= MIN_RUN_LEN:
+                        yield doc_id, toks[start], start, i - start
+                    start = i
+
+    d = load_table(spark, sf_dir, "documents")
+    d.select("doc_id", "text").createOrReplaceTempView("_udtf_docs_in")
+    spark.udtf.register("token_runs", TokenRuns)
+    return spark.sql(
+        "SELECT r.doc_id, r.token, r.start_pos, r.run_len "
+        "FROM _udtf_docs_in d, LATERAL token_runs(d.doc_id, d.text) r"
+    )

@@ -1281,3 +1281,61 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+_IVF_RECALL_ORACLE = f"""
+    WITH ivf AS ({IVF_ORACLE}),
+    v2 AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q2 AS (SELECT v AS qv FROM v2 WHERE vec_id = {QUERY_VEC_ID}),
+    exact AS (
+      SELECT v2.vec_id
+      FROM v2 CROSS JOIN q2
+      WHERE v2.vec_id <> {QUERY_VEC_ID}
+      ORDER BY list_cosine_similarity(v2.v, q2.qv) DESC, v2.vec_id
+      LIMIT {TOP_K}
+    )
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM ivf) AS BIGINT)   AS n_ivf,
+           CAST((SELECT count(*) FROM ivf JOIN exact USING (vec_id)) AS BIGINT)
+                                                        AS n_matched,
+           round(CAST((SELECT count(*) FROM ivf JOIN exact USING (vec_id)) AS DOUBLE)
+                 / nullif((SELECT count(*) FROM exact), 0), 4) AS recall_at_k
+"""
+
+
+@query("ivf_recall_audit", oracle=_IVF_RECALL_ORACLE)
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the IVF path against the brute-force scan
+    (X2 self-check — the ANN-side twin of ``lsh_recall_audit``): how
+    many of the exact top-{TOP_K} neighbors the single-probe IVF query
+    returns. Recall < 1 here is not a bug — it is the IVF trade
+    (neighbors whose nearest cell differs from the query's are
+    unreachable at nprobe=1); the audit MEASURES that trade so an
+    operator can choose nprobe / |cells| before trusting the index.
+
+    Scale: runs both audited pipelines (their plans are the
+    scale-safe ones pinned in test_plan_shapes) and joins two ≤k-row
+    id lists — the audit itself adds broadcast-sized work only.
+    """
+    ivf = ivf_topk(spark, sf_dir).select("vec_id")
+    exact = knn_cosine_topk(spark, sf_dir).select("vec_id")
+    ivf = scoped_persist(ivf)
+    exact = scoped_persist(exact)
+    ne = exact.agg(F.count("*").alias("n_exact"))
+    ni = ivf.agg(F.count("*").alias("n_ivf"))
+    nm = ivf.join(exact, "vec_id", "left_semi").agg(F.count("*").alias("n_matched"))
+    return (
+        ne.crossJoin(ni)
+        .crossJoin(nm)
+        .select(
+            "n_exact",
+            "n_ivf",
+            "n_matched",
+            F.expr(
+                "round(CAST(n_matched AS DOUBLE) / nullif(n_exact, 0), 4)"
+            ).alias("recall_at_k"),
+        )
+    )

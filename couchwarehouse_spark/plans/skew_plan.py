@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
-from couchwarehouse_spark.operators.skew import salted_aggregate
+from couchwarehouse_spark.operators.skew import SALT_COL, salted_aggregate, salted_join
 from couchwarehouse_spark.plans.registry import query
 
 
@@ -52,4 +52,61 @@ def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("_sum_value", 2).alias("total_value"),
         F.round("_max_value", 2).alias("max_value"),
+    )
+
+
+@query(
+    "salted_skew_join",
+    oracle="""
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT)            AS n_events,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,6)) * m.weight) AS DOUBLE), 2)
+                                               AS weighted_value
+    FROM events e
+    JOIN (SELECT 'click' AS event_type, CAST(1.0 AS DECIMAL(3,1)) AS weight UNION ALL
+          SELECT 'view', 0.1 UNION ALL
+          SELECT 'purchase', 10.0 UNION ALL
+          SELECT 'signup', 5.0 UNION ALL
+          SELECT 'error', 0.0) m
+      ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew JOIN on a 5-value key (the join-side companion of
+    ``salted_skew_aggregate``): events join a tiny per-type weight dim
+    on event_type — a textbook hot-key join (5 keys; a plain
+    shuffle-hash join puts ~20% of 100 TB on ONE reducer). The salted
+    plan replicates the dim n_salts× and joins on (key, salt), so
+    each hot key spreads over 16 tasks; results are value-identical
+    to the oracle's plain join by construction.
+
+    When the dim is THIS small, broadcast is the first answer (see
+    nation_revenue) — salting is for when the big side must shuffle
+    anyway (e.g. the join feeds a same-key aggregate, as here) or the
+    dim exceeds broadcast but keys are hot. The weighted sum rides
+    the salted exchange: phase-1 partials per (key, salt), phase-2
+    merges 16 tiny rows per key — no unsalted whole-key shuffle ever
+    happens.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    weights = spark.sql(
+        """SELECT * FROM VALUES ('click', 1.0), ('view', 0.1),
+           ('purchase', 10.0), ('signup', 5.0), ('error', 0.0)
+           AS m(event_type, weight)"""
+    )
+    joined = salted_join(ev, weights, on="event_type", n_salts=16, keep_salt=True)
+    partial = joined.groupBy("event_type", SALT_COL).agg(
+        F.count("*").alias("_n"),
+        # DECIMAL product: exact partial sums in any merge order, so
+        # the salted two-phase total is bit-identical to the oracle's
+        # single-pass sum (a double sum's last ulp depends on order).
+        F.sum(
+            F.col("value").cast("decimal(18,6)")
+            * F.col("weight").cast("decimal(3,1)")
+        ).alias("_wv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n_events"),
+        F.round(F.sum("_wv").cast("double"), 2).alias("weighted_value"),
     )

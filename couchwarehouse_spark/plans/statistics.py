@@ -343,3 +343,97 @@ def approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(approx50 - exact50) <= PCTL_TOL * exact50).alias("p50_within_tol"),
         (F.abs(approx90 - exact90) <= PCTL_TOL * exact90).alias("p90_within_tol"),
     )
+
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+_WINSOR_ORACLE = f"""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rp,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    cuts AS (
+      SELECT l_returnflag,
+             max(CASE WHEN rp = CAST(ceil({WINSOR_LO} * n) AS BIGINT)
+                      THEN l_extendedprice END) AS lo,
+             max(CASE WHEN rp = CAST(ceil({WINSOR_HI} * n) AS BIGINT)
+                      THEN l_extendedprice END) AS hi
+      FROM ranked GROUP BY l_returnflag
+    )
+    SELECT r.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (r.l_extendedprice < c.lo) AS BIGINT) AS n_floor,
+           CAST(count(*) FILTER (r.l_extendedprice > c.hi) AS BIGINT) AS n_ceil,
+           round(CAST(sum(CAST(greatest(least(r.l_extendedprice, c.hi), c.lo)
+                               AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+             AS winsorized_mean
+    FROM ranked r JOIN cuts c USING (l_returnflag)
+    GROUP BY r.l_returnflag
+"""
+
+
+@query("winsorized_stats", oracle=_WINSOR_ORACLE)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clamped-tail) statistics: per group, clamp values
+    below the p05 / above the p95 DISCRETE percentile to the cut value
+    and report the robust mean plus how many rows each tail clamped —
+    the outlier-robust aggregate a curation pass uses where a raw mean
+    would be dominated by a corrupt tail.
+
+    Determinism: cuts are actual data values at rank ⌈q·n⌉ (see
+    percentile_stats — discrete, so identical across engines); the
+    clamped sum runs in DECIMAL (prices carry 2 decimals → exact),
+    and the single final division is the only float op.
+
+    Scale: the cuts table is |groups| rows → broadcast back onto the
+    scan; at 100 TB replace the exact-rank window with
+    approx_percentile cuts (sketch, map-side mergeable) under the same
+    output contract. The window sort here exists for the oracle's
+    exactness, like percentile_stats.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rp"),
+        F.count("*").over(wn).alias("n"),
+    )
+    cuts = ranked.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(
+                F.col("rp") == F.ceil(WINSOR_LO * F.col("n")).cast("long"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rp") == F.ceil(WINSOR_HI * F.col("n")).cast("long"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("hi"),
+    )
+    clamped = ranked.join(F.broadcast(cuts), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        (F.col("l_extendedprice") < F.col("lo")).alias("floored"),
+        (F.col("l_extendedprice") > F.col("hi")).alias("ceiled"),
+        F.greatest(F.least("l_extendedprice", "hi"), F.col("lo"))
+        .cast("decimal(18,2)")
+        .alias("wz"),
+    )
+    return clamped.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if("floored").alias("n_floor"),
+        F.count_if("ceiled").alias("n_ceil"),
+        F.round(F.sum("wz").cast("double") / F.count("*"), 4).alias(
+            "winsorized_mean"
+        ),
+    )

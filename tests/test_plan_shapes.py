@@ -266,6 +266,7 @@ ARROW_ALLOWED = {
     "multimodal_resize",
     "near_dup_clusters",
     "dedup_survivors",
+    "udtf_token_runs",  # ArrowEvalPythonUDTF — the declared UDTF demo
 }
 
 
@@ -276,7 +277,7 @@ def test_no_python_anywhere_except_udf_surface(spark):
     arrow_tokens = (
         "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
         "AggregateInPandas", "ExistingRDD",
-    )
+    )  # ArrowEvalPythonUDTF matches the ArrowEvalPython prefix
     violations = {}
     for name in sorted(QUERIES):
         plan = plan_of(spark, name)
@@ -520,3 +521,62 @@ def test_scd2_windows_share_one_exchange(spark):
     assert tree.count("Exchange") == 1, tree
     assert tree.count("Sort") == 1, tree
     assert tree.count("Window") == 2, tree
+
+
+def test_inverted_index_group_limit_before_shuffle(spark):
+    """Posting heads must run as WindowGroupLimit (partial, map-side):
+    a stopword-hot term then ships ≤K candidate rows per map task
+    instead of its whole posting list to one reducer. The df table is
+    vocab-sized and must broadcast back."""
+    plan = plan_of(spark, "inverted_index_postings")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan or "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_duplicate_ngram_removal_no_cartesian_no_python(spark):
+    """Exact-substring dedup: gram census is a partial-aggregated hash
+    agg; dup-gram marking is a semi join on the gram key; no all-pairs
+    join and no Python anywhere."""
+    plan = plan_of(spark, "duplicate_ngram_removal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "LeftSemi" in plan
+    assert "partial_count" in plan or "Partial" in plan
+
+
+def test_salted_join_two_phase_aggregate(spark):
+    """The weighted aggregate must partial-aggregate per (key, salt)
+    — riding the salted exchange — then merge a bounded number of
+    partials per key; no unsalted whole-key shuffle of raw rows."""
+    plan = plan_of(spark, "salted_skew_join")
+    assert "_cw_salt" in plan  # the salted key reaches the physical plan
+    assert "partial_sum" in plan or "Partial" in plan
+
+
+def test_event_debounce_single_exchange_for_both_windows(spark):
+    """Both windows partition on (user_id, event_type): Spark must
+    plan ONE exchange + sort pair reused by both window operators and
+    the final aggregate — not three shuffles."""
+    plan = plan_of(spark, "event_debounce")
+    assert plan.count("Exchange hashpartitioning") <= 2  # windows + agg reuse
+    assert "PythonUDF" not in plan
+
+
+def test_winsorized_cuts_broadcast_back(spark):
+    """The |groups|-row cuts table must broadcast onto the ranked scan
+    — never shuffle the fact side a second time for a 3-row join."""
+    plan = plan_of(spark, "winsorized_stats")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_seeded_shuffle_head_is_take_ordered(spark):
+    """The shuffle-head entry must heap-select K rows per partition
+    (TakeOrderedAndProject) BEFORE the single-partition numbering
+    window — the window input is K rows, never the corpus."""
+    plan = plan_of(spark, "seeded_global_shuffle")
+    assert "TakeOrderedAndProject" in plan
+    # The window runs AFTER the take: in the tree string the Window
+    # operator's child subtree must contain the TakeOrdered node.
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
