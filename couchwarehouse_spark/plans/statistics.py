@@ -420,7 +420,13 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hi"),
     )
-    clamped = ranked.join(F.broadcast(cuts), "l_returnflag").select(
+    # Clamp from the RAW scan, not the ranked frame: the window sort
+    # exists only to find the two cut values; re-using `ranked` here
+    # would run the per-group sort a second time for rows that no
+    # longer need their rank.
+    clamped = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(cuts), "l_returnflag"
+    ).select(
         "l_returnflag",
         "l_extendedprice",
         (F.col("l_extendedprice") < F.col("lo")).alias("floored"),
