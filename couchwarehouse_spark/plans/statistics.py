@@ -334,14 +334,30 @@ def approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exists for the oracle, not for scale.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    exact50 = F.expr("percentile(l_extendedprice, 0.5)")
-    exact90 = F.expr("percentile(l_extendedprice, 0.9)")
-    approx50 = F.expr("percentile_approx(l_extendedprice, 0.5, 10000)")
-    approx90 = F.expr("percentile_approx(l_extendedprice, 0.9, 10000)")
-    return li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n_rows"),
-        (F.abs(approx50 - exact50) <= PCTL_TOL * exact50).alias("p50_within_tol"),
-        (F.abs(approx90 - exact90) <= PCTL_TOL * exact90).alias("p90_within_tol"),
+    # ARRAY quantile form: ONE buffered exact-percentile aggregate and
+    # ONE GK sketch serve both cut points — the two-calls-per-quantile
+    # form pays the (memory-heavy) exact buffer twice per group.
+    exact = F.expr("percentile(l_extendedprice, array(0.5, 0.9))")
+    approx = F.expr("percentile_approx(l_extendedprice, array(0.5, 0.9), 10000)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            exact.alias("_ex"),
+            approx.alias("_ap"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            (
+                F.abs(F.col("_ap")[0] - F.col("_ex")[0])
+                <= PCTL_TOL * F.col("_ex")[0]
+            ).alias("p50_within_tol"),
+            (
+                F.abs(F.col("_ap")[1] - F.col("_ex")[1])
+                <= PCTL_TOL * F.col("_ex")[1]
+            ).alias("p90_within_tol"),
+        )
     )
 
 

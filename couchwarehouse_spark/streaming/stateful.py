@@ -159,3 +159,79 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
             timeMode="ProcessingTime",
         )
     )
+
+
+DEBOUNCE_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+DEBOUNCE_STATE = T.StructType([T.StructField("last_kept_epoch", T.DoubleType())])
+
+
+def _make_debounce_updater(gap_seconds: float):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user_id, event_type = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (last,) = state.get if state.exists else (None,)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        kept = []
+        for r in rows.itertuples(index=False):
+            epoch = r.ts.timestamp()
+            if last is None or epoch - last > gap_seconds:
+                kept.append(r)
+            # NOT kept events still advance the register: a burst is
+            # "events each within gap of the PREVIOUS event", matching
+            # the batch gaps-and-islands definition (an island head
+            # starts only after a gap from the last event, kept or not).
+            last = epoch
+        state.update((last,))
+        # Evict a key's register once it has been silent for one gap
+        # horizon — after that any arrival starts a fresh island anyway,
+        # so dropping the state changes nothing. Bounded state.
+        state.setTimeoutDuration(int(gap_seconds * 1000))
+        if kept:
+            yield pd.DataFrame(kept, columns=list(rows.columns))
+
+    return update
+
+
+def debounce_stream(
+    stream: DataFrame, gap_seconds: float = 3600.0
+) -> DataFrame:
+    """Streaming twin of ``plans.events_windows.event_debounce`` (D5):
+    per (user_id, event_type), emit only island-head events — an
+    event is suppressed when it lands within ``gap_seconds`` of the
+    previous event (kept or suppressed) of the same key. State is one
+    float (the last-seen epoch) per live key, evicted by processing-
+    time timeout after a silent gap horizon — constant-size state per
+    key, the applyInPandasWithState analog of the batch operator's
+    lag()-over-window island head.
+
+    Caveat vs the batch twin: correctness of the gap chain assumes
+    per-key event-time order, which micro-batches preserve only
+    per-batch (each batch is sorted here); a late event that belongs
+    INSIDE an already-processed burst would start a new island. The
+    batch operator over the warehouse table is the reconciliation
+    path, exactly like latest-wins upsert vs the streaming lane.
+    """
+    return (
+        stream.select("user_id", "event_type", "event_id", "ts", "value")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _make_debounce_updater(gap_seconds),
+            outputStructType=DEBOUNCE_OUTPUT,
+            stateStructType=DEBOUNCE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -201,3 +201,59 @@ class TestIvfRecallAudit:
         assert r["n_exact"] > 0
         assert 0 <= r["n_matched"] <= r["n_exact"]
         assert 0.0 <= r["recall_at_k"] <= 1.0
+
+
+def _py_duplicate_ngram_removal(texts, k=8):
+    """Pure-Python model of the operator: duplicated k-gram spans
+    removed, docs reassembled. The independent implementation the
+    distributed plan must agree with on ANY corpus."""
+    from collections import Counter
+
+    toks = [t.split(" ") for t in texts]
+    grams = Counter()
+    for ts in toks:
+        for s in range(len(ts) - k + 1):
+            grams[" ".join(ts[s : s + k])] += 1
+    out = []
+    for i, ts in enumerate(toks):
+        removed = set()
+        for s in range(len(ts) - k + 1):
+            if grams[" ".join(ts[s : s + k])] > 1:
+                removed.update(range(s, s + k))
+        kept = [w for p, w in enumerate(ts) if p not in removed]
+        out.append((i, len(ts), len(kept), " ".join(kept)))
+    return out
+
+
+def test_duplicate_ngram_removal_matches_python_model(spark, tmp_path):
+    """Randomized-corpus equivalence: on corpora drawn from a tiny
+    vocabulary (forcing plenty of colliding 8-grams, including
+    within-doc repeats and partial overlaps), the distributed plan
+    must equal an independent pure-Python implementation exactly."""
+    import os
+    import random
+
+    from couchwarehouse_spark.plans.dedup import duplicate_ngram_removal
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        vocab = ["a", "b", "c", "d"]  # tiny vocab → dense collisions
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+            for _ in range(40)
+        ]
+        d = str(tmp_path / f"sf{seed}")
+        os.makedirs(d, exist_ok=True)
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+        got = sorted(
+            tuple(r)
+            for r in duplicate_ngram_removal(spark, d)
+            .toPandas()
+            .itertuples(index=False)
+        )
+        want = sorted(_py_duplicate_ngram_removal(texts))
+        assert got == want, f"seed {seed}: first diff {next((a, b) for a, b in zip(got, want) if a != b)}"

@@ -271,3 +271,68 @@ def test_stateful_running_totals_transform_with_state(spark, tmp_path):
     }
     assert got[1] == (3, 17.5)  # accumulated ACROSS micro-batches
     assert got[2] == (1, 1.0)
+
+
+def test_debounce_stream(spark, tmp_path):
+    """D5 streaming debounce: within one key, events inside the gap of
+    their predecessor are suppressed (including chains where every hop
+    is small but the total span is large), a gap starts a new island,
+    and other keys are untouched."""
+    from couchwarehouse_spark.streaming.stateful import debounce_stream
+
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+
+    def write(name, rows, mtime):
+        p = os.path.join(src, name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    write("a.json", [
+        # key (1, click): head, then two chained suppressions (each hop
+        # < 60s even though the chain spans > 60s), then a >60s gap.
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 10:00:40", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+        {"event_id": 3, "ts": "2024-01-01 10:01:15", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+        {"event_id": 4, "ts": "2024-01-01 10:05:00", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+        # different key, same user: independent register
+        {"event_id": 5, "ts": "2024-01-01 10:00:10", "user_id": 1,
+         "event_type": "view", "value": 1.0},
+    ], 1_000_000)
+    # Second batch: state carries across batches — 6 is within the gap
+    # of 4's island tail (event 4 at 10:05), so it is suppressed.
+    write("b.json", [
+        {"event_id": 6, "ts": "2024-01-01 10:05:30", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+    ], 1_000_100)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = debounce_stream(stream, gap_seconds=60.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("debounce_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        r["event_id"]
+        for r in spark.sql(
+            "SELECT event_id FROM debounce_out ORDER BY event_id"
+        ).collect()
+    ]
+    assert got == [1, 4, 5]
