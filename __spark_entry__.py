@@ -63,6 +63,7 @@ PRIORITY = [
     "salted_skew_join",
     "seeded_global_shuffle",
     "ivf_recall_audit",
+    "semdedup_prune",
     # --- 18 never-driver-verified entries (rotation round 5) ---
     "cohort_retention",
     "conditional_functions",
@@ -87,7 +88,6 @@ PRIORITY = [
     "balance_distribution_ranks",
     "crossdoc_ngram_dup",
     "cube_flag_status",
-    "customer_order_gaps",
     "multimodal_frame_sample",  # also restores multimodal family coverage
 ]
 

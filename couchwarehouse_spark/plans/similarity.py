@@ -1339,3 +1339,128 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# SemDeDup prune threshold — deliberately the same margin-checked
+# value as the X1 embedding dedup (min |cos - t| over CELL-blocked
+# pairs: 4.3e-3 / 9.7e-3 / 1.2e-4 at sf0.001/0.01/0.1 — orders of
+# magnitude above cross-engine double-summation noise).
+SEMDEDUP_THRESHOLD = 0.45
+
+_SEMDEDUP_ORACLE = f"""
+    WITH flat AS (
+      SELECT label, unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+             unnest(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ),
+    dims AS (SELECT label AS cell, dim, round(avg(x), 6) AS c FROM flat GROUP BY label, dim),
+    cents AS (SELECT cell, list(c ORDER BY dim) AS centroid FROM dims GROUP BY cell),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, v, min_by(cell, list_distance(v, centroid)) AS cell
+      FROM v CROSS JOIN cents GROUP BY vec_id, v
+    ),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT s.cell,
+           CAST(count(*) AS BIGINT)                                    AS n_vectors,
+           CAST(count(*) FILTER (p.vec_id IS NOT NULL) AS BIGINT)      AS n_pruned,
+           CAST(count(*) FILTER (p.vec_id IS NULL) AS BIGINT)          AS n_kept
+    FROM assigned s LEFT JOIN pruned p ON s.vec_id = p.vec_id
+    GROUP BY s.cell
+"""
+
+
+@query("semdedup_prune", oracle=_SEMDEDUP_ORACLE)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic deduplication by
+    k-means cell — cluster the embedding space (coarse cells from the
+    per-label mean seed, the same quantizer as ``ivf_topk``), compare
+    pairs ONLY within a cell, and prune every vector that has a
+    lower-id semantic duplicate (cos ≥ {SEMDEDUP_THRESHOLD}) in its
+    cell. Census per cell: total / pruned / kept. Unlike
+    ``embedding_near_dup`` (which blocks on the given label), the
+    blocking key here is LEARNED — which is what makes the method
+    work on unlabeled web-scale corpora (the paper prunes ~50% of
+    LAION with no quality loss).
+
+    Scale: cell assignment is the broadcast-argmin projection (no
+    shuffle); within-cell pair generation is a salted self-join on
+    the cell key (n_cells is small by design — the paper uses ~11k
+    cells for 5B points — so salting, not AQE, supplies parallelism);
+    the prune decision is one semi-join-shaped DISTINCT on the loser
+    ids. Keep-lowest-id is the deterministic stand-in for the paper's
+    keep-farthest-from-centroid policy, whose float comparison would
+    not be engine-stable under the oracle gate (policy choice is
+    orthogonal to the dataflow).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+
+    dims = (
+        v.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy(F.col("label").alias("cell"), "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    cents = dims.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc")
+    ).select("cell", F.col("dc.c").alias("centroid"))
+    cents_row = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("cents")
+    )
+    assigned = scoped_persist(
+        v.crossJoin(F.broadcast(cents_row)).select(
+            "vec_id",
+            "v",
+            argmin_cell(
+                F.col("v"), F.col("cents"), cents.schema["cell"].dataType
+            ).alias("cell"),
+        )
+    )
+
+    norm = F.sqrt(dot(F.col("v"), F.col("v")))
+    t = assigned.select("cell", "vec_id", "v", norm.alias("norm"))
+    a_side = t.select(
+        "cell",
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("v_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b_side = t.select(
+        "cell",
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("v_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    from couchwarehouse_spark.operators.skew import salted_join
+
+    pairs = salted_join(
+        b_side,
+        a_side,
+        on="cell",
+        n_salts=8,
+        partitions=spark.sparkContext.defaultParallelism,
+    ).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("norm_a") * F.col("norm_b"))
+    pruned = (
+        pairs.filter(cos >= SEMDEDUP_THRESHOLD).select("vec_b").distinct()
+    )
+    flagged = assigned.join(
+        pruned.withColumnRenamed("vec_b", "vec_id").withColumn(
+            "_pruned", F.lit(1)
+        ),
+        "vec_id",
+        "left",
+    )
+    return flagged.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        F.count("_pruned").alias("n_pruned"),
+        (F.count("*") - F.count("_pruned")).alias("n_kept"),
+    )

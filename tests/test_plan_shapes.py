@@ -580,3 +580,19 @@ def test_seeded_shuffle_head_is_take_ordered(spark):
     # The window runs AFTER the take: in the tree string the Window
     # operator's child subtree must contain the TakeOrdered node.
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_semdedup_assignment_projection_and_salted_pairs(spark):
+    """SemDeDup: cell assignment must be the broadcast-argmin
+    projection (no corpus shuffle before assignment) and pair
+    generation must join on the salted cell key — never a cartesian
+    or an unsalted low-cardinality shuffle."""
+    plan = plan_of(spark, "semdedup_prune")
+    assert "CartesianProduct" not in plan
+    # Every nested-loop join must be the 1-row cents broadcast attach
+    # (BuildRight Cross) — never a data-sized cross product.
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight, Cross" in line, line
+    assert "_cw_salt" in plan
+    assert "BroadcastHashJoin [cell" in plan  # pair join keys on (cell, salt)
