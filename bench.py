@@ -41,6 +41,10 @@ HEADLINE = [
     "doc_chunking",             # X4 context-window chunking
     "graph_pagerank_3iter",     # X2 iterative graph kernel
     "dataset_card",             # X+ one-row corpus release stats
+    "duplicate_ngram_removal",  # X1 exact-substring span dedup (r5)
+    "semdedup_prune",           # X2 learned-cell semantic dedup (r5)
+    "inverted_index_postings",  # X4 index build via WindowGroupLimit (r5)
+    "event_debounce",           # D4 gaps-and-islands burst suppression (r5)
 ]
 
 

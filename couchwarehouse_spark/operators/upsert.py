@@ -170,6 +170,12 @@ class CheckpointStore:
         # A fresh process (new store) still resumes from the log.
         self._cache: dict[str, str | None] = {}
 
+    # Compact the log once it fragments past this many part files —
+    # every micro-batch appends one tiny file, so an unattended monitor
+    # would otherwise accumulate unbounded files and resume scans
+    # would slow with uptime.
+    COMPACT_THRESHOLD = 64
+
     def write(self, tablename: str, seq: str) -> None:
         import time
 
@@ -184,6 +190,43 @@ class CheckpointStore:
         )
         df.coalesce(1).write.mode("append").parquet(self.path)
         self._cache[tablename] = seq
+        if len(self._part_files()) > self.COMPACT_THRESHOLD:
+            self.compact()
+
+    def _part_files(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return [
+            f
+            for f in os.listdir(self.path)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+
+    def compact(self) -> int:
+        """Collapse the log to its latest row per table. Crash-safe by
+        ordering, not atomicity: the surviving rows (with their
+        ORIGINAL ords) are APPENDED as one new file first, and only
+        then are the pre-existing files deleted — a crash at any point
+        leaves duplicates at worst, and ``max_by(seq, ord)`` reads the
+        same resume point through duplicates. Returns files removed."""
+        before = self._part_files()
+        if len(before) <= 1:
+            return 0
+        latest = (
+            self.spark.read.parquet(self.path)
+            .groupBy("tablename")
+            .agg(F.max_by(F.struct("seq", "ord"), "ord").alias("m"))
+            .select("tablename", F.col("m.seq").alias("seq"), F.col("m.ord").alias("ord"))
+        )
+        latest.coalesce(1).write.mode("append").parquet(self.path)
+        removed = 0
+        for fn in before:
+            try:
+                os.remove(os.path.join(self.path, fn))
+                removed += 1
+            except FileNotFoundError:
+                pass
+        return removed
 
     def read(self, tablename: str) -> str | None:
         if tablename in self._cache:

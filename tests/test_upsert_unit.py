@@ -136,3 +136,28 @@ def test_snapshot_diff_classifies_changes(spark):
         "c": ("delete", 3, None),
         "d": ("insert", None, 6),
     }  # 'a' unchanged → absent
+
+
+def test_checkpoint_log_compaction(spark, tmp_path):
+    """The append-only checkpoint log self-compacts past the file
+    threshold, preserving every table's latest resume point — and a
+    fresh store (new process) reads the same seqs afterwards."""
+    from couchwarehouse_spark.operators.upsert import CheckpointStore
+
+    path = str(tmp_path / "ckpt")
+    store = CheckpointStore(spark, path)
+    store.COMPACT_THRESHOLD = 6  # keep the test fast
+    for i in range(1, 9):
+        store.write("t_a", f"{i}-seq")
+        store.write("t_b", f"{100 + i}-seq")
+    n_files = len(store._part_files())
+    assert n_files <= 7, n_files  # compaction fired at least once
+    # Fresh store = fresh process: resume points survive compaction.
+    fresh = CheckpointStore(spark, path)
+    assert fresh.read("t_a") == "8-seq"
+    assert fresh.read("t_b") == "108-seq"
+    # Explicit compact collapses to a single file and stays correct.
+    fresh.compact()
+    again = CheckpointStore(spark, path)
+    assert again.read("t_a") == "8-seq"
+    assert again.read("t_b") == "108-seq"
