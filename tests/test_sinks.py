@@ -77,3 +77,44 @@ def test_full_text_search(spark):
     got = full_text_search(df, "name", "york").select("id", "_score").collect()
     assert [r["id"] for r in got] == [2, 1]  # 3 hits ranks above 1 hit
     assert all(r["_score"] > 0 for r in got)
+
+
+def test_corpus_export_round_trip(spark, tmp_path):
+    """Sharded JSONL export: deterministic shard assignment, manifest
+    stats derived from the frame, and the consumer-side verify pass
+    re-deriving them from the written bytes."""
+    from couchwarehouse_spark.sinks.corpus_export import (
+        export_corpus,
+        verify_export,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "corpus")
+    m = export_corpus(df, out, key="doc_id", n_shards=4)
+    assert m["total_rows"] == df.count()
+    assert set(m["shards"]) <= set(range(4))
+    # Verify pass recomputes rows/bytes/checksums from disk.
+    v = verify_export(spark, out)
+    assert v["ok"], v
+    # Determinism: a re-export produces the identical manifest.
+    out2 = str(tmp_path / "corpus2")
+    m2 = export_corpus(df, out2, key="doc_id", n_shards=4)
+    assert m2 == m
+    # Tampering with a shard fails the verify pass.
+    import glob
+    import json as _json
+
+    shard_file = sorted(glob.glob(f"{out}/_cw_shard=*/part-*.txt"))[0]
+    with open(shard_file, "a") as f:
+        f.write(_json.dumps({"doc_id": -1, "text": "injected"}) + "\n")
+    # Drop Hadoop's local-FS .crc sidecar for the tampered file: on a
+    # checksummed local FS Hadoop flags the edit before our manifest
+    # can; object stores (the 100 TB deployment) have no sidecar, and
+    # the manifest checksum is then the only integrity layer — which
+    # is what this asserts.
+    import os as _os
+
+    d, fn = _os.path.split(shard_file)
+    _os.remove(_os.path.join(d, f".{fn}.crc"))
+    v2 = verify_export(spark, out)
+    assert not v2["ok"] and v2["mismatched_shards"]
