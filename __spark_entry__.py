@@ -64,6 +64,7 @@ PRIORITY = [
     "seeded_global_shuffle",
     "ivf_recall_audit",
     "semdedup_prune",
+    "dedup_savings_histogram",
     # --- 18 never-driver-verified entries (rotation round 5) ---
     "cohort_retention",
     "conditional_functions",
@@ -86,7 +87,6 @@ PRIORITY = [
     # --- 7 stalest (last driver row: r01) ---
     "exact_dedup_canonical",
     "balance_distribution_ranks",
-    "crossdoc_ngram_dup",
     "cube_flag_status",
     "multimodal_frame_sample",  # also restores multimodal family coverage
 ]

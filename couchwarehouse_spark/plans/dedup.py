@@ -1179,3 +1179,63 @@ def duplicate_ngram_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+@query(
+    "dedup_savings_histogram",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, n_chars, {FINGERPRINT_SQL} AS fingerprint
+      FROM documents
+    ),
+    clusters AS (
+      SELECT fingerprint,
+             CAST(count(*) AS BIGINT)      AS cluster_size,
+             CAST(sum(n_chars) AS BIGINT)  AS cluster_chars,
+             CAST(max(n_chars) AS BIGINT)  AS survivor_chars
+      FROM fp GROUP BY fingerprint
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT)                          AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT)                 AS n_docs,
+           CAST(sum(cluster_size - 1) AS BIGINT)             AS removable_docs,
+           CAST(sum(cluster_chars - survivor_chars) AS BIGINT) AS removable_chars
+    FROM clusters
+    GROUP BY cluster_size
+    """,
+)
+def dedup_savings_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings profile (X1 planning audit): the distribution of
+    duplicate-cluster sizes under the canonical content fingerprint,
+    with the docs and chars a keep-one policy would remove — the
+    number a pipeline owner looks at BEFORE running dedup (is it
+    worth a corpus pass?) and the regression metric after (did the
+    dup mass shrink?). Savings assume the keep-longest survivor
+    policy of ``dedup_survivors`` (chars saved = cluster total minus
+    its longest member).
+
+    Scale: two chained hash aggregates — per-fingerprint then
+    per-size — both map-side partial; the first shuffles one row per
+    distinct fingerprint, the second one row per cluster SIZE
+    (a handful). No joins, no windows, no Python.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    clusters = (
+        d.select("doc_id", "n_chars", fingerprint_col().alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sum("n_chars").alias("cluster_chars"),
+            F.max("n_chars").alias("survivor_chars"),
+        )
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).alias("removable_docs"),
+        F.sum(F.col("cluster_chars") - F.col("survivor_chars")).alias(
+            "removable_chars"
+        ),
+    )
