@@ -165,6 +165,8 @@ class Warehouse:
         # re-export (same contract as Delta CDF + VACUUM).
         self.auto_vacuum = auto_vacuum
         self.schemas: dict[str, dict[str, str]] = {}
+        import itertools as _it
+        self._scratch_counter = _it.count()
         self.checkpoints = CheckpointStore(spark, os.path.join(warehouse_dir, "_checkpoints"))
         if reset:
             self.reset()
@@ -574,7 +576,18 @@ class Warehouse:
                     os.remove(self._manifest_file(path, v))
                 except FileNotFoundError:
                     pass
-        shutil.rmtree(path + "._tmp", ignore_errors=True)
+        # Reclaim scratch dirs from crashed writers: any sibling
+        # <table>._tmp.* older than the age cutoff (a LIVE writer's
+        # scratch is younger than the grace period by construction).
+        parent, base = os.path.split(path.rstrip("/"))
+        for entry in os.listdir(parent or "."):
+            full = os.path.join(parent, entry)
+            if (
+                entry.startswith(base + "._tmp")
+                and os.path.isdir(full)
+                and os.path.getmtime(full) <= cutoff
+            ):
+                shutil.rmtree(full, ignore_errors=True)
         return deleted
 
     def history(self, doc_type: str = DEFAULT_TYPE) -> DataFrame:
@@ -719,6 +732,18 @@ class Warehouse:
         shutil.rmtree(tmp, ignore_errors=True)
         return moved, stats
 
+
+    def _scratch_dir(self, path: str) -> str:
+        """Per-process-unique scratch dir for one write. The fixed
+        ``path + "._tmp"`` name was a concurrency bug: two writers
+        racing the same table would rmtree/publish EACH OTHER's
+        in-flight part files (the commit protocol only guards the
+        manifest name, not a shared scratch). PID + monotonic counter
+        make collisions impossible within the single-host contract;
+        vacuum reclaims any ._tmp.* a crashed writer leaves behind."""
+        n = next(self._scratch_counter)
+        return f"{path}._tmp.{os.getpid()}.{n}"
+
     def _merge_conformed(
         self, conformed: DataFrame, tombstones: DataFrame, doc_type: str
     ) -> None:
@@ -787,8 +812,7 @@ class Warehouse:
         # at its previous version (the new files are unreferenced
         # orphans vacuum() reclaims) and the unadvanced checkpoint
         # replays the batch — idempotent by seq.
-        tmp = path + "._tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        tmp = self._scratch_dir(path)
         # Local (no-shuffle) sort by id inside each write task: row
         # groups land id-ordered, so the parquet reader's pushed
         # id-filters prune at row-group granularity even after
@@ -879,8 +903,7 @@ class Warehouse:
         if not todo:
             return 0
 
-        tmp = path + "._tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        tmp = self._scratch_dir(path)
         # basePath keeps _cw_bucket as a partition column while reading
         # ONLY the fragmented buckets' referenced files; repartition by
         # the bucket column so each bucket lands in one task → ~one
