@@ -65,6 +65,7 @@ PRIORITY = [
     "ivf_recall_audit",
     "semdedup_prune",
     "dedup_savings_histogram",
+    "bpe_apply_merges",
     # --- 18 never-driver-verified entries (rotation round 5) ---
     "cohort_retention",
     "conditional_functions",
@@ -87,7 +88,6 @@ PRIORITY = [
     # --- 7 stalest (last driver row: r01) ---
     "exact_dedup_canonical",
     "balance_distribution_ranks",
-    "cube_flag_status",
     "multimodal_frame_sample",  # also restores multimodal family coverage
 ]
 

@@ -757,3 +757,134 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heads.join(F.broadcast(df_tbl), "term").select(
         "term", "df", "postings_head"
     )
+
+
+N_BPE_MERGES = 3  # merges applied from one census (batched-BPE shortcut)
+
+
+@query(
+    "bpe_apply_merges",
+    oracle=f"""
+    WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+    bg AS (
+      SELECT list_extract(toks, i) AS a, list_extract(toks, i + 1) AS b
+      FROM t, (SELECT unnest(range(1, 4096)) AS i) g
+      WHERE i < len(toks)
+    ),
+    top3 AS (
+      SELECT a, b, row_number() OVER (ORDER BY count(*) DESC, a, b) AS rk
+      FROM bg GROUP BY a, b
+      ORDER BY count(*) DESC, a, b LIMIT {N_BPE_MERGES}
+    ),
+    padded AS (
+      SELECT lang, ' ' || replace(array_to_string(toks, ' '), ' ', '  ') || ' ' AS s,
+             len(toks) AS n_before
+      FROM t
+    ),
+    m1 AS (SELECT lang, n_before, replace(s,
+             (SELECT ' ' || a || '  ' || b || ' ' FROM top3 WHERE rk = 1),
+             (SELECT ' ' || a || '_' || b || ' ' FROM top3 WHERE rk = 1)) AS s FROM padded),
+    m2 AS (SELECT lang, n_before, replace(s,
+             (SELECT ' ' || a || '  ' || b || ' ' FROM top3 WHERE rk = 2),
+             (SELECT ' ' || a || '_' || b || ' ' FROM top3 WHERE rk = 2)) AS s FROM m1),
+    m3 AS (SELECT lang, n_before, replace(s,
+             (SELECT ' ' || a || '  ' || b || ' ' FROM top3 WHERE rk = 3),
+             (SELECT ' ' || a || '_' || b || ' ' FROM top3 WHERE rk = 3)) AS s FROM m2)
+    SELECT lang,
+           CAST(count(*) AS BIGINT)          AS n_docs,
+           CAST(sum(n_before) AS BIGINT)     AS tokens_before,
+           CAST(sum(len(regexp_split_to_array(trim(s), ' +'))) AS BIGINT)
+                                             AS tokens_after,
+           CAST(sum(len(s) - len(replace(s, '_', ''))) AS BIGINT)
+                                             AS merged_units
+    FROM m3
+    GROUP BY lang
+    """,
+)
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-apply kernel (X4, companion to ``bpe_pair_census``):
+    select the corpus's top-{N_BPE_MERGES} adjacent-pair merges (exact
+    census, deterministic (count DESC, pair) tie-break) and APPLY them
+    to every document, reporting per-lang token counts before/after
+    and merged-unit occurrences — the batched-BPE shortcut (k merges
+    from one census; true BPE re-censuses between merges, which is
+    this same job iterated, cf. graph_pagerank_3iter for the
+    iterate-a-kernel pattern).
+
+    Adjacency via the space-doubling trick: inter-token gaps become
+    two spaces, so each literal ``' a  b '`` replacement consumes one
+    space from each side and NEVER overlaps its neighbor's match —
+    plain left-to-right replace-all, identical semantics in both
+    engines, no regex anywhere (tokens here are alphanumeric; a
+    general tokenizer would hash tokens to ids first, same dataflow).
+
+    Scale: the census is the word-count shuffle (map-side partial);
+    the 3 winning merges collapse to a 3-row broadcast array and
+    application is a pure per-row fold projection (``F.aggregate``
+    over the broadcast merges) — no second shuffle, no Python; the
+    final per-lang aggregate is ~5 groups.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = d.select("lang", _tokens().alias("toks"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            ).otherwise(F.array())
+        ).alias("p")
+    )
+    top3 = (
+        bigrams.groupBy("p.a", "p.b")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b")
+        .limit(N_BPE_MERGES)
+        .select(
+            F.concat(F.lit(" "), "a", F.lit("  "), "b", F.lit(" ")).alias("pat"),
+            F.concat(F.lit(" "), "a", F.lit("_"), "b", F.lit(" ")).alias("rep"),
+            # Sort key reproducing the census rank EXACTLY: (-n, a, b)
+            # ascending ≡ (n DESC, a ASC, b ASC). reverse(array_sort)
+            # would flip the a/b tie-break and reorder tied merges
+            # relative to the oracle's rk sequence.
+            F.struct((-F.col("n")).alias("negn"), "a", "b").alias("ord"),
+        )
+    )
+    # One row holding the ranked merges, in census-rank order.
+    merges_row = top3.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ord"), F.col("pat"), F.col("rep")))
+        ).alias("ms")
+    ).select(
+        F.transform("ms", lambda m: F.struct(m["pat"].alias("pat"), m["rep"].alias("rep"))).alias("ms")
+    )
+
+    padded = d.select(
+        "lang",
+        F.size(_tokens()).alias("n_before"),
+        F.concat(
+            F.lit(" "), F.replace(F.col("text"), F.lit(" "), F.lit("  ")), F.lit(" ")
+        ).alias("s"),
+    )
+    applied = padded.crossJoin(F.broadcast(merges_row)).select(
+        "lang",
+        "n_before",
+        F.aggregate(
+            "ms",
+            F.col("s"),
+            lambda acc, m: F.replace(acc, m["pat"], m["rep"]),
+        ).alias("s"),
+    )
+    return applied.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_before").cast("long").alias("tokens_before"),
+        F.sum(F.size(F.split(F.trim("s"), " +"))).cast("long").alias("tokens_after"),
+        F.sum(
+            F.length("s") - F.length(F.replace(F.col("s"), F.lit("_"), F.lit("")))
+        ).cast("long").alias("merged_units"),
+    )

@@ -257,3 +257,31 @@ def test_duplicate_ngram_removal_matches_python_model(spark, tmp_path):
         )
         want = sorted(_py_duplicate_ngram_removal(texts))
         assert got == want, f"seed {seed}: first diff {next((a, b) for a, b in zip(got, want) if a != b)}"
+
+
+class TestBpeApplyMerges:
+    def test_planted_merges(self, spark, tmp_path):
+        """Known corpus: 'x y' dominates the census; applying merges
+        must fuse every adjacent x-y (including runs, non-overlapping
+        left-to-right) and report exact token counts."""
+        import os
+
+        from couchwarehouse_spark.plans.text import bpe_apply_merges
+
+        d = str(tmp_path / "sf")
+        os.makedirs(d, exist_ok=True)
+        texts = [
+            "x y x y x y q",   # 3 fused pairs
+            "x y y q q x y",   # 2 fused (middle y unpaired after 1st)
+            "a b c a b c",     # next-ranked pairs
+        ]
+        _docs_df(spark, texts).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        out = bpe_apply_merges(spark, d).toPandas().iloc[0]
+        # census: 'x y'×5 > 'a b'×2 = 'b c'×2 = ... top3 = x y, a b, b c
+        # (count desc, then lexicographic) → after x_y and a_b fuse,
+        # 'b c' no longer matches (b consumed) — batched-BPE semantics.
+        assert out["tokens_before"] == 7 + 7 + 6
+        assert out["merged_units"] == 5 + 2  # five x_y + two a_b
+        assert out["tokens_after"] == out["tokens_before"] - out["merged_units"]
