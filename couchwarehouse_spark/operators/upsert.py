@@ -191,7 +191,13 @@ class CheckpointStore:
         df.coalesce(1).write.mode("append").parquet(self.path)
         self._cache[tablename] = seq
         if len(self._part_files()) > self.COMPACT_THRESHOLD:
-            self.compact()
+            # Best-effort maintenance: a compaction racing another HA
+            # writer's compaction may lose files mid-read — never let
+            # that kill the ingest loop; the next write retries.
+            try:
+                self.compact()
+            except Exception:
+                pass
 
     def _part_files(self) -> list[str]:
         if not os.path.isdir(self.path):
@@ -209,16 +215,36 @@ class CheckpointStore:
         then are the pre-existing files deleted — a crash at any point
         leaves duplicates at worst, and ``max_by(seq, ord)`` reads the
         same resume point through duplicates. Returns files removed."""
+        import time
+
         before = self._part_files()
         if len(before) <= 1:
             return 0
-        latest = (
-            self.spark.read.parquet(self.path)
-            .groupBy("tablename")
-            .agg(F.max_by(F.struct("seq", "ord"), "ord").alias("m"))
-            .select("tablename", F.col("m.seq").alias("seq"), F.col("m.ord").alias("ord"))
-        )
-        latest.coalesce(1).write.mode("append").parquet(self.path)
+        # Same concurrent-append tolerance as read(): another writer
+        # deleting ITS compacted-away files between our listing and
+        # our scan is survivable — retry the read+append.
+        last_err: Exception | None = None
+        for _ in range(3):
+            try:
+                latest = (
+                    self.spark.read.parquet(self.path)
+                    .groupBy("tablename")
+                    .agg(F.max_by(F.struct("seq", "ord"), "ord").alias("m"))
+                    .select(
+                        "tablename",
+                        F.col("m.seq").alias("seq"),
+                        F.col("m.ord").alias("ord"),
+                    )
+                )
+                latest.coalesce(1).write.mode("append").parquet(self.path)
+                last_err = None
+                break
+            except Exception as err:  # transient mid-compact read
+                last_err = err
+                before = self._part_files()
+                time.sleep(0.3)
+        if last_err is not None:
+            raise last_err
         removed = 0
         for fn in before:
             try:

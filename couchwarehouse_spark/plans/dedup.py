@@ -1127,7 +1127,14 @@ def duplicate_ngram_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )  # token/gram explode is compute-dense; don't let one file = one task
-    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    # toks feeds three consumers (grams, the word posexplode, the
+    # final before-count) and grams feeds two (census + semi join):
+    # persist both so the corpus tokenizes once and gram-explodes
+    # once per run, not 3x/2x (r5 review finding). Registry-scoped —
+    # released when the entry finishes.
+    toks = scoped_persist(
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+    )
     # filter BEFORE the sequence explode: Spark's sequence(0, n-K)
     # DESCENDS for n < K (DuckDB's range() is empty) — a sub-K doc has
     # no grams in either engine only if we say so explicitly.
@@ -1142,6 +1149,7 @@ def duplicate_ngram_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
         F.array_join(F.slice("toks", F.col("s") + 1, DUP_NGRAM_K), " ").alias("gram"),
     )
+    grams = scoped_persist(grams)
     dup = grams.groupBy("gram").count().filter(F.col("count") > 1).select("gram")
     removed = (
         grams.join(dup, "gram", "left_semi")

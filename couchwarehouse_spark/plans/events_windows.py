@@ -508,7 +508,7 @@ DEBOUNCE_GAP_SECONDS = 3600  # calibrated: 14/184/1788 intra-burst
     "event_debounce",
     oracle=f"""
     WITH g AS (
-      SELECT user_id, event_type, ts, value,
+      SELECT user_id, event_type, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) > {DEBOUNCE_GAP_SECONDS}
                   THEN 1 ELSE 0 END AS is_burst_head
@@ -516,9 +516,9 @@ DEBOUNCE_GAP_SECONDS = 3600  # calibrated: 14/184/1788 intra-burst
       WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
     ),
     isl AS (
-      SELECT user_id, event_type, ts, value,
+      SELECT user_id, event_type,
              sum(is_burst_head) OVER (PARTITION BY user_id, event_type
-                                      ORDER BY ts, value
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS burst_id
       FROM g
     )
@@ -551,8 +551,8 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     heads = ev.select(
         "user_id",
         "event_type",
+        "event_id",
         "ts",
-        "value",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
@@ -564,9 +564,14 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_burst_head"),
     )
+    # SAME total order as the head-flag window ((ts, event_id)): a
+    # running sum ordered differently would renumber tied-ts rows
+    # relative to their head flags — phantom islands on simultaneous
+    # events and (ts, value)-tie nondeterminism (r5 review finding,
+    # reproduced: tied-ts bursts returned no suppression row at all).
     wrun = (
         Window.partitionBy("user_id", "event_type")
-        .orderBy("ts", "value")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     isl = heads.select(

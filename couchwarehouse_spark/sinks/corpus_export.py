@@ -55,8 +55,12 @@ def export_corpus(
     the same key keeps their docs aligned.
     """
     shard = F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards)).cast("int")
-    payload = df.withColumn("_cw_shard", shard).withColumn(
-        "_cw_line", F.to_json(F.struct(*[c for c in df.columns]))
+    payload = (
+        df.withColumn("_cw_shard", shard)
+        .withColumn("_cw_line", F.to_json(F.struct(*[c for c in df.columns])))
+        .persist()  # serialized ONCE: both the stats pass and the
+        # sharded write read this frame; without the persist the
+        # source scan + to_json + hashing run twice (r5 review)
     )
 
     # Stats and data from one frame: per-shard rows, serialized bytes,
@@ -65,8 +69,11 @@ def export_corpus(
         payload.groupBy("_cw_shard")
         .agg(
             F.count("*").alias("rows"),
-            # +1 per row: the newline the JSONL writer appends.
-            (F.sum(F.length("_cw_line")) + F.count("*")).alias("bytes"),
+            # octet_length, NOT length: manifest bytes must match
+            # on-disk file sizes for a transfer check, and length()
+            # counts CODEPOINTS — wrong for any non-ASCII corpus
+            # (r5 review finding). +1 per row: the JSONL newline.
+            (F.sum(F.octet_length("_cw_line")) + F.count("*")).alias("bytes"),
             F.pmod(
                 F.sum(_row_hash(F.col("_cw_line")).cast("decimal(38,0)")),
                 F.lit(CHECKSUM_MOD).cast("decimal(38,0)"),
@@ -85,6 +92,7 @@ def export_corpus(
         .text(out_dir)
     )
 
+    payload.unpersist(blocking=False)
     manifest = {
         "format": "jsonl/sharded",
         "key": key,
@@ -125,7 +133,7 @@ def verify_export(spark, out_dir: str) -> dict:
         lines.groupBy("_cw_shard")
         .agg(
             F.count("*").alias("rows"),
-            (F.sum(F.length("value")) + F.count("*")).alias("bytes"),
+            (F.sum(F.octet_length("value")) + F.count("*")).alias("bytes"),
             F.pmod(
                 F.sum(_row_hash(F.col("value")).cast("decimal(38,0)")),
                 F.lit(CHECKSUM_MOD).cast("decimal(38,0)"),

@@ -283,14 +283,15 @@ class Warehouse:
             for doc_type in sorted(types):
                 self._merge_type(live, tombstones, doc_type)
                 if self.auto_vacuum is not None:
-                    # Zero grace is safe HERE only: this runs inside
-                    # the (single) writer between its own commits, so
-                    # no other commit can be in flight.
-                    self.vacuum(
-                        doc_type,
-                        retain_versions=self.auto_vacuum,
-                        min_age_seconds=0.0,
-                    )
+                    # Default grace, NOT zero: redundant HA ingestors
+                    # (tests/test_multiprocess_race.py) may race this
+                    # table, and a zero-grace vacuum here could delete
+                    # a peer's published-but-not-yet-committed files.
+                    # Expired MANIFESTS still drop immediately (version
+                    # retention is not age-guarded), so auto_vacuum
+                    # keeps bounding the log; superseded data files
+                    # are reclaimed once older than the grace.
+                    self.vacuum(doc_type, retain_versions=self.auto_vacuum)
             self._save_schemas()
         finally:
             env.unpersist()
@@ -417,34 +418,86 @@ class Warehouse:
         # vacuum reclaims; re-running its batch re-merges against the
         # winner's state.
         try:
-            os.link(tmp, target)
-        except FileExistsError:
-            raise ConcurrentCommitError(
-                f"version {version} of {path} was committed by another "
-                "writer; re-run the batch (its data files are unreferenced "
-                "orphans until vacuum)"
-            ) from None
-        except OSError:
-            # Filesystems without hardlinks (some FUSE/object-store
-            # mounts) raise EPERM/ENOTSUP: fall back to a portable
-            # put-if-absent — O_CREAT|O_EXCL preserves the exactly-one-
-            # winner contract that rename() (silently overwriting)
-            # would not.
-            try:
-                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                raise ConcurrentCommitError(
-                    f"version {version} of {path} was committed by another "
-                    "writer; re-run the batch (its data files are "
-                    "unreferenced orphans until vacuum)"
-                ) from None
-            with os.fdopen(fd, "w") as f:
-                json.dump(manifest, f)
-                f.flush()
-                os.fsync(f.fileno())
+            self._put_if_absent(tmp, target, manifest, path, version)
         finally:
             os.remove(tmp)
         return version
+
+    # A torn manifest at the committed name (possible only via the
+    # no-hardlink fallback: a crash between O_EXCL creation and the
+    # completed write) is reclaimable once its writer has clearly
+    # died — younger torn files may still be mid-write.
+    TORN_MANIFEST_STALENESS_SECONDS = 60.0
+
+    def _put_if_absent(
+        self, tmp: str, target: str, manifest: dict, path: str, version: int
+    ) -> None:
+        """Publish ``tmp`` at ``target`` with exactly-one-winner
+        semantics, preferring ``link()`` (atomic content: the target
+        is absent or complete). The O_EXCL fallback for no-hardlink
+        filesystems can leave a TORN target if the writer crashes
+        mid-write — without repair, every retry would collide on the
+        name forever and the table would wedge one version behind
+        (r5 review finding). Repair: a target that exists but does
+        not parse AND is older than the staleness bound belongs to a
+        dead writer — remove it and retry the creation race once
+        (O_EXCL itself re-arbitrates a winner among repairers)."""
+
+        def _collide() -> ConcurrentCommitError:
+            return ConcurrentCommitError(
+                f"version {version} of {path} was committed by another "
+                "writer; re-run the batch (its data files are unreferenced "
+                "orphans until vacuum)"
+            )
+
+        for attempt in (0, 1):
+            try:
+                os.link(tmp, target)
+                return
+            except FileExistsError:
+                pass
+            except OSError:
+                # No hardlinks (FUSE/object-store mounts → EPERM/
+                # ENOTSUP): portable put-if-absent. O_EXCL preserves
+                # one-winner; fsync before close so a complete target
+                # implies durable content.
+                try:
+                    fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    pass
+                else:
+                    with os.fdopen(fd, "w") as f:
+                        json.dump(manifest, f)
+                        f.flush()
+                        os.fsync(f.fileno())
+                    return
+            # Target exists. Complete manifest → genuine loss. Torn
+            # and stale → dead writer's residue: reclaim, retry once.
+            if attempt == 0 and self._is_stale_torn(target):
+                try:
+                    os.remove(target)
+                except FileNotFoundError:
+                    pass  # another repairer got it first
+                continue
+            raise _collide() from None
+        raise _collide() from None
+
+    def _is_stale_torn(self, target: str) -> bool:
+        import time
+
+        try:
+            with open(target) as f:
+                json.load(f)
+            return False  # complete manifest: a real commit
+        except FileNotFoundError:
+            return False  # vanished: retry the creation race directly
+        except (json.JSONDecodeError, OSError):
+            pass
+        try:
+            age = time.time() - os.path.getmtime(target)
+        except OSError:
+            return False
+        return age > self.TORN_MANIFEST_STALENESS_SECONDS
 
     def _manifest_files(self, path: str, manifest: dict) -> list[str]:
         """Absolute part-file paths of one manifest's snapshot."""
@@ -576,17 +629,23 @@ class Warehouse:
                     os.remove(self._manifest_file(path, v))
                 except FileNotFoundError:
                     pass
-        # Reclaim scratch dirs from crashed writers: any sibling
-        # <table>._tmp.* older than the age cutoff (a LIVE writer's
-        # scratch is younger than the grace period by construction).
+        # Reclaim scratch dirs from CRASHED writers only: the dir name
+        # carries the owning pid (<table>._tmp.<pid>.<n>) — reclaim
+        # requires BOTH the age cutoff and a dead owner, because a
+        # long-running write job's scratch mtime alone says nothing
+        # (nested _temporary writes don't touch the top dir's mtime).
         parent, base = os.path.split(path.rstrip("/"))
         for entry in os.listdir(parent or "."):
             full = os.path.join(parent, entry)
-            if (
-                entry.startswith(base + "._tmp")
-                and os.path.isdir(full)
-                and os.path.getmtime(full) <= cutoff
-            ):
+            if not (entry.startswith(base + "._tmp") and os.path.isdir(full)):
+                continue
+            try:
+                pid = int(entry[len(base + "._tmp.") :].split(".", 1)[0])
+            except ValueError:
+                pid = None  # legacy fixed-name ._tmp: age-gate only
+            if pid is not None and _pid_alive(pid):
+                continue
+            if os.path.getmtime(full) <= cutoff:
                 shutil.rmtree(full, ignore_errors=True)
         return deleted
 
@@ -725,6 +784,15 @@ class Warehouse:
                 if fn.endswith(".parquet"):
                     dst = os.path.join(dst_dir, fn)
                     os.rename(os.path.join(tmp, entry, fn), dst)
+                    # Restart the vacuum age clock AT PUBLISH: rename
+                    # preserves the task-write mtime, so files from a
+                    # job's early tasks would otherwise look older
+                    # than the grace period the moment they land —
+                    # and a cron vacuum could delete them before the
+                    # manifest commits (r5 review finding). With the
+                    # touch, the exposed window is publish→commit
+                    # (milliseconds), far inside any sane grace.
+                    os.utime(dst)
                     names.append(fn)
                     rng = _parquet_id_range(dst)
                     stats.setdefault(b, {})[fn] = list(rng) if rng else None
@@ -1127,3 +1195,16 @@ class Warehouse:
                 f"couchwarehouse: table {self.table_name(doc_type)!r} ready — "
                 f'query with spark.sql("SELECT * FROM {self.table_name(doc_type)} LIMIT 10")'
             )
+
+
+def _pid_alive(pid: int) -> bool:
+    """Is a process with this pid alive on THIS host? (Scratch-dir
+    ownership check — single-host contract, same as the hardlink
+    commit protocol.)"""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True

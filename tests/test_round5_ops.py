@@ -112,6 +112,38 @@ class TestEventDebounce:
         assert (r["user_id"], r["event_type"]) == (1, "click")
         assert (r["n_events"], r["n_kept"], r["n_suppressed"]) == (4, 2, 2)
 
+    def test_simultaneous_events_are_one_island(self, spark, tmp_path):
+        """Tied timestamps (same user/type at the same instant): the
+        head-flag and island-numbering windows must share ONE total
+        order — with mismatched orders (the r5 review bug) tied rows
+        were renumbered into phantom islands and the suppression
+        vanished entirely."""
+        import os
+
+        from couchwarehouse_spark.plans.events_windows import event_debounce
+
+        d = str(tmp_path / "sf")
+        os.makedirs(d, exist_ok=True)
+        rows = [
+            # Two simultaneous clicks — with value DESCENDING so a
+            # (ts, value) island order disagrees with (ts, event_id).
+            (1, "2024-01-01 10:00:00", 1, "click", 5.0, "{}"),
+            (2, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+            "value", "props",
+        )
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = event_debounce(spark, d).toPandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["n_events"], r["n_kept"], r["n_suppressed"]) == (2, 1, 1)
+
 
 class TestPerSourceQualityCut:
     def test_adaptive_cut_is_per_source(self, spark, tmp_path):

@@ -804,3 +804,56 @@ def test_vacuum_never_deletes_walkback_version_under_torn_newest(spark, tmp_path
     with open(wh._manifest_file(path, 1), "w") as f:
         f.write('{"also torn')
     assert wh.vacuum(retain_versions=1, min_age_seconds=0) == 0
+
+
+def test_torn_manifest_repair_on_no_hardlink_fs(spark, tmp_path):
+    """A crash mid-write in the no-hardlink fallback leaves a TORN
+    manifest at the committed name; without repair every retry
+    collides forever and the table wedges one version behind. A torn
+    target older than the staleness bound must be reclaimed and the
+    retried commit must land."""
+    import errno
+    import os
+    from unittest import mock
+
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=6)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "torndata", n_buckets=2)
+    wh.spool(feed)
+    path = wh._table_path("_default")
+    manifest = wh._load_manifest(path)
+    buckets = {int(b): fs for b, fs in manifest["buckets"].items()}
+
+    # Simulate the crash residue: a half-written v2 manifest, old
+    # enough that its writer is clearly dead.
+    torn = wh._manifest_file(path, 2)
+    with open(torn, "w") as f:
+        f.write('{"version": 2, "op": "mer')  # truncated JSON
+    old = os.path.getmtime(torn) - 120
+    os.utime(torn, (old, old))
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.ENOTSUP, "hardlinks not supported", dst)
+
+    with mock.patch("os.link", side_effect=no_link):
+        v = wh._commit_manifest(
+            path, "merge", buckets, manifest["schema"], base_version=1
+        )
+    assert v == 2
+    # The repaired v2 is complete and readable; state intact.
+    assert wh._load_manifest(path, 2)["op"] == "merge"
+    assert wh.table().count() == 6
+
+    # A FRESH torn file (writer may still be mid-write) is NOT
+    # reclaimed: the commit must lose loudly instead.
+    import pytest
+
+    from couchwarehouse_spark.warehouse import ConcurrentCommitError
+
+    torn3 = wh._manifest_file(path, 3)
+    with open(torn3, "w") as f:
+        f.write('{"version": 3, "op": "mer')
+    with mock.patch("os.link", side_effect=no_link):
+        with pytest.raises(ConcurrentCommitError):
+            wh._commit_manifest(
+                path, "merge", buckets, manifest["schema"], base_version=2
+            )
