@@ -25,22 +25,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
 # coverage policy. Round-5 rotation — ACTUAL composition (13 + 3 + 13
-# + 18 + 3 = 50; keep these counts in sync with the list, next round's
+# + 18 + 2 = 50 (14 NEW after graph_label_propagation landed); keep these counts in sync with the list, next round's
 # rotation is planned from them):
 #  - 13 never-regressed anchors (ETL kernel + e2e + one representative
 #    per family),
 #  - 3 entries whose r04 rows were hash-red or dtype-risky and are
 #    FIXED this round (lsh_recall_audit, moment_stats, math_functions
 #    — the window must prove the fix),
-#  - 13 operators NEW this round (never driver-verified by construction),
+#  - 14 operators NEW this round (never driver-verified by construction),
 #  - 18 carried never-driver-verified entries (the full remainder of
 #    the never-seen set from r01-r04),
-#  - 3 stalest last-seen-r01 entries (exact_dedup_canonical,
-#    balance_distribution_ranks, multimodal_frame_sample — the last
-#    also restores multimodal family coverage). The other last-seen-r01
-#    entries (crossdoc_ngram_dup, cube_flag_status, customer_order_gaps,
-#    distinct_segments, doc_length_histogram, domain_mixture_weights)
-#    rotate into the round-6 window.
+#  - 2 stalest last-seen-r01 entries (exact_dedup_canonical,
+#    multimodal_frame_sample — the latter also restores multimodal
+#    family coverage). The other last-seen-r01 entries
+#    (balance_distribution_ranks, crossdoc_ngram_dup, cube_flag_status,
+#    customer_order_gaps, distinct_segments, doc_length_histogram,
+#    domain_mixture_weights) rotate into the round-6 window.
 # Every entry outside the window stays registered, oracle-checked by
 # tests/t2_sim.py, pytest-covered, and bench-timed.
 PRIORITY = [
@@ -62,7 +62,7 @@ PRIORITY = [
     "lsh_recall_audit",
     "moment_stats",
     "math_functions",
-    # --- 13 NEW operators this round ---
+    # --- 14 NEW operators this round ---
     "duplicate_ngram_removal",
     "inverted_index_postings",
     "per_source_quality_cut",
@@ -76,6 +76,7 @@ PRIORITY = [
     "semdedup_prune",
     "dedup_savings_histogram",
     "bpe_apply_merges",
+    "graph_label_propagation",
     # --- 18 never-driver-verified entries (rotation round 5) ---
     "cohort_retention",
     "conditional_functions",
@@ -95,9 +96,8 @@ PRIORITY = [
     "token_coverage_topk",
     "token_position_census",
     "unpivot_order_metrics",
-    # --- 3 stalest (last driver row: r01) ---
+    # --- 2 stalest (last driver row: r01) ---
     "exact_dedup_canonical",
-    "balance_distribution_ranks",
     "multimodal_frame_sample",  # also restores multimodal family coverage
 ]
 

@@ -1464,3 +1464,135 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_pruned").alias("n_pruned"),
         (F.count("*") - F.count("_pruned")).alias("n_kept"),
     )
+
+
+LPA_ITERS = 3
+
+_LPA_EDGES_CTE = f"""
+    b AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {{bucket}} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                                         b.vec_id) AS rank
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    kedges AS (SELECT vec_id, nbr_id FROM scored WHERE rank <= {KNN_GRAPH_K}),
+    sym AS (
+      SELECT vec_id, nbr_id FROM kedges
+      UNION
+      SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM kedges
+    )
+"""
+
+
+def _lpa_iter_sql(i: int) -> str:
+    prev = "l0" if i == 1 else f"l{i - 1}"
+    return f"""
+    c{i} AS (
+      SELECT s.vec_id, p.label, count(*) AS n
+      FROM sym s JOIN {prev} p ON s.nbr_id = p.vec_id
+      GROUP BY s.vec_id, p.label
+    ),
+    w{i} AS (
+      SELECT vec_id, label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY n DESC, label) AS rk
+      FROM c{i}
+    ),
+    l{i} AS (
+      SELECT n.vec_id, coalesce(w.label, n.vec_id) AS label
+      FROM (SELECT vec_id FROM embeddings) n
+      LEFT JOIN (SELECT vec_id, label FROM w{i} WHERE rk = 1) w
+        ON n.vec_id = w.vec_id
+    )"""
+
+
+_LPA_ORACLE = (
+    "    WITH "
+    + _LPA_EDGES_CTE.format(bucket=_bucket_expr_sql_derived("embedding")).strip()
+    + ",\n    l0 AS (SELECT vec_id, vec_id AS label FROM embeddings),"
+    + ",".join(_lpa_iter_sql(i) for i in range(1, LPA_ITERS + 1))
+    + f"""
+    SELECT label AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(vec_id) AS BIGINT) AS min_member,
+           CAST(max(vec_id) AS BIGINT) AS max_member
+    FROM l{LPA_ITERS}
+    GROUP BY label
+    HAVING count(*) > 1
+"""
+)
+
+
+@query("graph_label_propagation", oracle=_LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by label propagation (X2 graph family,
+    Raghavan et al. 2007): every node starts as its own community;
+    each of {LPA_ITERS} synchronous iterations relabels a node to the
+    most frequent label among its (symmetrized k-NN) neighbors, ties
+    to the smallest label. Output: communities with ≥2 members — the
+    corpus's near-duplicate/topic neighborhoods, cheaper than
+    connected components when the graph has bridges CC would collapse
+    across.
+
+    Determinism by construction: label counts are integers and the
+    winner is row_number over (count DESC, label ASC) — the same total
+    order in both engines; isolated nodes keep their own label via
+    the left join. Scale: per iteration, ONE join of the edge table
+    to the current |N|-row label map (both keyed on vec_id — AQE
+    broadcasts the label side while it fits, else it's a co-keyed
+    shuffle) + one hash agg + one per-node group-limit window
+    (WindowGroupLimit: ≤1 candidate row per node survives map-side).
+    The edge table persists across iterations, exactly like
+    graph_pagerank_3iter; iterations is the dial, each a fixed plan.
+    """
+    edges = scoped_persist(
+        knn_graph_bucketed(spark, sf_dir).select("vec_id", "nbr_id")
+    )
+    sym = scoped_persist(
+        edges.unionByName(
+            edges.select(
+                F.col("nbr_id").alias("vec_id"), F.col("vec_id").alias("nbr_id")
+            )
+        ).distinct()
+    )
+    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    labels = nodes.select("vec_id", F.col("vec_id").alias("label"))
+
+    from pyspark.sql import Window
+
+    for _ in range(LPA_ITERS):
+        counts = (
+            sym.join(
+                labels.select(
+                    F.col("vec_id").alias("nbr_id"), F.col("label")
+                ),
+                "nbr_id",
+            )
+            .groupBy("vec_id", "label")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("n").desc(), "label")
+        best = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "label")
+        )
+        labels = nodes.join(best, "vec_id", "left").select(
+            "vec_id", F.coalesce("label", "vec_id").alias("label")
+        )
+
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("vec_id").alias("min_member"),
+            F.max("vec_id").alias("max_member"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
