@@ -1247,3 +1247,86 @@ def dedup_savings_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "removable_chars"
         ),
     )
+
+
+SPARSE_COSINE_ORACLE = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> concat_ws(' ', list_extract(w, i),
+                                        list_extract(w, i + 1),
+                                        list_extract(w, i + 2)))) AS g
+           FROM t),
+    tf AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
+           FROM sh GROUP BY doc_id, g),
+    nr AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+           FROM tf GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+             CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+      FROM tf a JOIN tf b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_1, doc_id_2,
+           round(dot / sqrt(CAST(x.n2 AS DOUBLE) * y.n2), 6) AS cos_sim
+    FROM dots
+    JOIN nr x ON doc_id_1 = x.doc_id
+    JOIN nr y ON doc_id_2 = y.doc_id
+    WHERE 4 * dot * dot >= x.n2 * y.n2
+"""
+
+
+@query("sparse_cosine_pairs", oracle=SPARSE_COSINE_ORACLE)
+def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-vector cosine near-dup pairs (X1): document pairs
+    with cosine ≥ 0.5 over word-3-gram term-frequency vectors — the
+    MULTISET cousin of ``ngram_jaccard_pairs`` (Jaccard ignores how
+    often a shingle repeats; tf-cosine catches boilerplate that loops
+    the same spans). The decision is integer-exact: with integer dot
+    products and squared norms, cos ≥ ½ ⇔ 4·dot² ≥ n1·n2 — no float
+    enters the predicate, only the emitted similarity is rounded.
+
+    Scale: candidate generation joins the (doc, shingle, tf) posting
+    table on the shingle key, so pair work is Σ df(g)² — bounded by
+    shingle diversity (word-3-grams are heavy-tailed-free by
+    construction; unigrams would be all-pairs and are NOT used). The
+    same df-cutoff/prefix-filter levers as the Jaccard entry apply
+    if a corpus ever has hot shingles. Norms reduce the posting
+    table, not the corpus; everything is a hash aggregate or an
+    equi-join — no window, no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(_shingles(toks)).alias("g"))
+    )
+    tf = sh.groupBy("doc_id", "g").agg(F.count("*").alias("tf"))
+    tf = scoped_persist(tf)  # feeds norms AND the pair join
+    nr = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a = tf.select(F.col("doc_id").alias("doc_id_1"), "g", F.col("tf").alias("tf1"))
+    b = tf.select(F.col("doc_id").alias("doc_id_2"), "g", F.col("tf").alias("tf2"))
+    dots = (
+        a.join(b, "g")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.sum(F.col("tf1") * F.col("tf2")).alias("dot"))
+    )
+    n1 = nr.select(F.col("doc_id").alias("doc_id_1"), F.col("n2").alias("n2_1"))
+    n2 = nr.select(F.col("doc_id").alias("doc_id_2"), F.col("n2").alias("n2_2"))
+    return (
+        dots.join(n1, "doc_id_1")
+        .join(n2, "doc_id_2")
+        .filter(4 * F.col("dot") * F.col("dot") >= F.col("n2_1") * F.col("n2_2"))
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(
+                F.col("dot")
+                / F.sqrt(F.col("n2_1").cast("double") * F.col("n2_2")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )

@@ -510,7 +510,8 @@ DEBOUNCE_GAP_SECONDS = 3600  # calibrated: 14/184/1788 intra-burst
     WITH g AS (
       SELECT user_id, event_type, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch(ts) - epoch(lag(ts) OVER w) > {DEBOUNCE_GAP_SECONDS}
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > {DEBOUNCE_GAP_SECONDS} * CAST(1000000 AS BIGINT)
                   THEN 1 ELSE 0 END AS is_burst_head
       FROM events
       WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
@@ -555,9 +556,15 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.when(
             F.lag("ts").over(w).isNull()
+            # Microsecond-exact gap (unix_timestamp truncates to whole
+            # seconds: a 3600.8s gap would read 3600 here while the
+            # oracle's fractional epoch_us exceeded the threshold).
+            # ts is TIMESTAMP_NTZ; the cast is a pure reinterpretation
+            # under the session's pinned UTC timezone (session.py).
             | (
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-                > DEBOUNCE_GAP_SECONDS
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                > DEBOUNCE_GAP_SECONDS * 1_000_000
             ),
             1,
         )
@@ -588,3 +595,72 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_suppressed") > 0)
     )
+
+
+PIT_WINDOW_US = 86_400_000_000  # 24h trailing feature window, microseconds
+
+
+@query(
+    "point_in_time_features",
+    oracle=f"""
+    WITH e AS (SELECT *, epoch_us(ts) AS ts_us FROM events),
+    feats AS (
+      SELECT event_id, event_type,
+             CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+                  OVER w AS BIGINT)  AS n_views_24h,
+             CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                  OVER w AS BIGINT)  AS n_clicks_24h,
+             CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
+                  OVER w AS BIGINT)  AS n_errors_24h,
+             round(coalesce(sum(value) OVER w, 0), 2) AS sum_value_24h
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN {PIT_WINDOW_US} PRECEDING
+                         AND 1 PRECEDING)
+    )
+    SELECT event_id, n_views_24h, n_clicks_24h, n_errors_24h, sum_value_24h
+    FROM feats WHERE event_type = 'purchase'
+    """,
+)
+def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature backfill (D4 × feature store):
+    for every purchase (the label event), trailing-24h behavioral
+    features — view/click/error counts and value sum — computed over
+    STRICTLY PRIOR events only. The microsecond range frame ends at
+    1 µs before the label, so the label row and any same-instant
+    events are excluded: no training-serving leakage, the property
+    feature stores call point-in-time correctness and ASOF backfills
+    approximate.
+
+    Scale: ONE window over the (user_id)-partitioned, time-ordered
+    stream computes every feature — one exchange + one sort serve all
+    four aggregates (same-frame expressions share the window buffer);
+    purchases filter AFTER, so there is no per-label range probe and
+    no self-join. Frame width is bounded by a user's 24h activity,
+    not corpus size. The streaming twin is the watermarked interval
+    join (streaming/joins.py) with the same 24h bound.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-PIT_WINDOW_US, -1)
+    )
+    feats = ev.select(
+        "event_id",
+        "event_type",
+        F.count(F.when(F.col("event_type") == "view", 1)).over(w).alias("n_views_24h"),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .over(w)
+        .alias("n_clicks_24h"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .over(w)
+        .alias("n_errors_24h"),
+        F.round(F.coalesce(F.sum("value").over(w), F.lit(0.0)), 2).alias(
+            "sum_value_24h"
+        ),
+    )
+    return feats.filter(F.col("event_type") == "purchase").drop("event_type")

@@ -503,6 +503,7 @@ def variant_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIN_RUN_LEN = 2
+_UDTF_CALL_SEQ = 0  # monotonic suffix for per-call view/UDTF names
 
 
 @query(
@@ -569,9 +570,17 @@ def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     start = i
 
     d = load_table(spark, sf_dir, "documents")
-    d.select("doc_id", "text").createOrReplaceTempView("_udtf_docs_in")
-    spark.udtf.register("token_runs", TokenRuns)
+    # Per-call unique view/UDTF names: the registrations are
+    # session-global, so a fixed name would let concurrent or
+    # interleaved invocations in one SparkSession clobber each
+    # other's input view (r5 review finding).
+    global _UDTF_CALL_SEQ
+    _UDTF_CALL_SEQ += 1
+    view = f"_udtf_docs_in_{_UDTF_CALL_SEQ}"
+    fn = f"token_runs_{_UDTF_CALL_SEQ}"
+    d.select("doc_id", "text").createOrReplaceTempView(view)
+    spark.udtf.register(fn, TokenRuns)
     return spark.sql(
-        "SELECT r.doc_id, r.token, r.start_pos, r.run_len "
-        "FROM _udtf_docs_in d, LATERAL token_runs(d.doc_id, d.text) r"
+        f"SELECT r.doc_id, r.token, r.start_pos, r.run_len "
+        f"FROM {view} d, LATERAL {fn}(d.doc_id, d.text) r"
     )

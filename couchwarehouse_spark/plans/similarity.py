@@ -1596,3 +1596,188 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") > 1)
     )
+
+
+LABEL_PURITY_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {_bucket_expr_sql_derived('embedding')} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id, a.label AS own, bb.label AS nbr_label,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY list_cosine_similarity(a.v, bb.v) DESC,
+                                         bb.vec_id) AS rank
+      FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id
+    ),
+    per_vec AS (
+      SELECT vec_id, any_value(own) AS label,
+             CAST(sum(CASE WHEN nbr_label = own THEN 1 ELSE 0 END) AS BIGINT)
+               AS matches,
+             CAST(count(*) AS BIGINT) AS k_actual
+      FROM scored WHERE rank <= {KNN_GRAPH_K}
+      GROUP BY vec_id
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(matches) AS DOUBLE) / sum(k_actual), 6) AS avg_purity,
+           CAST(sum(CASE WHEN 2 * matches < k_actual THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_noisy
+    FROM per_vec GROUP BY label
+"""
+
+
+@query("knn_label_purity", oracle=LABEL_PURITY_ORACLE)
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit via k-NN purity (X2 × curation): for every
+    vector, the fraction of its k nearest neighbors (within its SRP
+    bucket — the ``knn_graph_bucketed`` edges) sharing its label,
+    aggregated per label. Low purity flags mislabeled or boundary
+    examples — the classic dataset-auditing signal (confident-learning
+    style) run BEFORE training, here over the same bucketed graph the
+    dedup/community operators already build. ``n_noisy`` counts
+    vectors whose neighbor majority disagrees (2·matches < k).
+
+    Scale: reuses the bucketed k-NN edge plan (N·bucket-width pair
+    work, never all-pairs — see ``knn_graph_bucketed``); the label
+    joins are against the (vec_id, label) projection — a slim dim
+    Catalyst broadcasts — and the rollup is a 10-group hash aggregate.
+    Integer-exact: matches and k are counts; the single division
+    happens once per label on exact integer sums.
+    """
+    edges = knn_graph_bucketed(spark, sf_dir)  # vec_id, nbr_id, rank, cos_sim
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    per_vec = (
+        edges.join(lab, "vec_id")
+        .join(
+            lab.select(
+                F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label")
+            ),
+            "nbr_id",
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.when(F.col("nbr_label") == F.col("label"), 1).otherwise(0)
+            ).alias("matches"),
+            F.count("*").alias("k_actual"),
+        )
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum("matches").cast("double") / F.sum("k_actual"), 6
+        ).alias("avg_purity"),
+        F.sum(
+            F.when(2 * F.col("matches") < F.col("k_actual"), 1).otherwise(0)
+        ).alias("n_noisy"),
+    )
+
+
+EVAL_QUERY_MOD = 10  # vec_id % 10 == 0 plays the held-out query role
+EVAL_TOP_K = 10
+_RR_LCM = 2520  # lcm(1..10): 2520/rank is an exact integer for rank<=10
+
+RETRIEVAL_EVAL_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid, label AS qlabel, v AS qv
+      FROM e WHERE vec_id % {EVAL_QUERY_MOD} = 0
+    ),
+    s AS (
+      SELECT q.qid, q.qlabel, e.label,
+             row_number() OVER (PARTITION BY q.qid
+                                ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                                         e.vec_id) AS rank
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    per_q AS (
+      SELECT qid, any_value(qlabel) AS qlabel,
+             CAST(coalesce(max(CASE WHEN label = qlabel THEN {_RR_LCM} // rank
+                                    END), 0) AS BIGINT) AS rr_scaled,
+             CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits
+      FROM s WHERE rank <= {EVAL_TOP_K}
+      GROUP BY qid
+    )
+    SELECT qlabel AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           round(CAST(sum(rr_scaled) AS DOUBLE)
+                 / (count(*) * {_RR_LCM}), 6) AS mrr_at_10,
+           round(CAST(sum(hits) AS DOUBLE)
+                 / (count(*) * {EVAL_TOP_K}), 6) AS precision_at_10
+    FROM per_q GROUP BY qlabel
+"""
+
+
+@query("retrieval_eval_mrr", oracle=RETRIEVAL_EVAL_ORACLE)
+def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation (X2 eval harness): MRR@10 and
+    precision@10 of brute-force cosine retrieval, scored per label
+    with label-match as the relevance judgment — the embedding-quality
+    gate a training-data pipeline runs before trusting an encoder for
+    semantic dedup or ANN curation. Every vec_id % {EVAL_QUERY_MOD}
+    == 0 is a held-out query; first-relevant rank feeds MRR.
+
+    Scale: the bounded query sample broadcasts (Q ≪ N); scoring is a
+    projection over one corpus scan; top-10 selection is the same
+    TWO-STAGE heap as ``ann_batch_topk`` (rank within (query,
+    input-partition), keep k, re-rank P·k survivors) so no reducer
+    sees a query's full score column. The eval reduce is integer
+    arithmetic on ≤ Q·k rows: reciprocal ranks are kept exact as
+    {_RR_LCM}/rank (lcm(1..10) — always an integer), divided once per
+    label at emit.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = v.filter(F.col("vec_id") % EVAL_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        v.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("_cos", cosine(F.col("v"), F.col("qv")))
+        .withColumn("_pid", F.spark_partition_id())
+        .select("qid", "qlabel", "vec_id", "label", "_cos", "_pid")
+    )
+    w_local = Window.partitionBy("qid", "_pid").orderBy(F.col("_cos").desc(), "vec_id")
+    survivors = scored.withColumn("_r", F.row_number().over(w_local)).filter(
+        F.col("_r") <= EVAL_TOP_K
+    )
+    w_final = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "vec_id")
+    topk = survivors.withColumn("rank", F.row_number().over(w_final)).filter(
+        F.col("rank") <= EVAL_TOP_K
+    )
+    rel_rr = F.when(
+        F.col("label") == F.col("qlabel"), F.lit(_RR_LCM) / F.col("rank")
+    ).cast("long")
+    per_q = topk.groupBy("qid").agg(
+        F.first("qlabel").alias("qlabel"),
+        F.coalesce(F.max(rel_rr), F.lit(0)).alias("rr_scaled"),
+        F.sum(
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+        ).alias("hits"),
+    )
+    return per_q.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count("*").alias("n_queries"),
+        F.round(
+            F.sum("rr_scaled").cast("double") / (F.count("*") * _RR_LCM), 6
+        ).alias("mrr_at_10"),
+        F.round(
+            F.sum("hits").cast("double") / (F.count("*") * EVAL_TOP_K), 6
+        ).alias("precision_at_10"),
+    )

@@ -110,3 +110,79 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").alias("n_events"),
         F.round(F.sum("_wv").cast("double"), 2).alias("weighted_value"),
     )
+
+
+def _skew_audit_sql(key: str) -> str:
+    return f"""
+    SELECT '{key}' AS key_col,
+           CAST(count(*) AS BIGINT)   AS n_keys,
+           CAST(sum(c) AS BIGINT)     AS n_rows,
+           CAST(max(c) AS BIGINT)     AS max_rows,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top1_share,
+           round(CAST(sum((2 * rk - n - 1) * c) AS DOUBLE)
+                 / (CAST(count(*) AS BIGINT) * sum(c)), 6) AS gini
+    FROM (
+      SELECT c, row_number() OVER (ORDER BY c, k) AS rk,
+             count(*) OVER () AS n
+      FROM (SELECT {key} AS k, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1)
+    )
+    """
+
+
+@query(
+    "key_skew_audit",
+    oracle=" UNION ALL ".join(_skew_audit_sql(k) for k in ("event_type", "user_id")),
+)
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics (the MEASURE step before choosing
+    the salting/AQE levers the ``salted_*`` entries apply): per
+    candidate key column, the per-key row-count distribution — key
+    cardinality, max key size, top-1 share, and the Gini coefficient
+    of the count distribution (0 = perfectly even reducers, → 1 = one
+    hot key owns the shuffle). ``event_type`` (5 hot keys) audits as
+    skewed-by-cardinality; ``user_id`` as healthy — the numbers that
+    justify ``salted_skew_aggregate``'s plan.
+
+    Scale: each audit is a per-key count (map-side combined, one
+    shuffle on the key) followed by stats over the |keys|-row count
+    table — the sort behind the Gini rank touches key-cardinality
+    rows, never the corpus. Gini is integer-exact: the numerator
+    Σ(2·rank − n − 1)·cᵢ over counts sorted ascending is integer
+    arithmetic; one division at emit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    outs = []
+    for key in ("event_type", "user_id"):
+        counts = (
+            ev.groupBy(F.col(key).cast("string").alias("k"))
+            .agg(F.count("*").alias("c"))
+        )
+        from pyspark.sql import Window
+
+        rk = F.row_number().over(Window.orderBy("c", "k"))
+        ranked = counts.select("c", rk.alias("rk"), F.count("*").over(
+            Window.partitionBy()
+        ).alias("n"))
+        outs.append(
+            ranked.agg(
+                F.lit(key).alias("key_col"),
+                F.count("*").alias("n_keys"),
+                F.sum("c").alias("n_rows"),
+                F.max("c").alias("max_rows"),
+                F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+                    "top1_share"
+                ),
+                F.round(
+                    F.sum((2 * F.col("rk") - F.col("n") - 1) * F.col("c")).cast(
+                        "double"
+                    )
+                    / (F.count("*") * F.sum("c")),
+                    6,
+                ).alias("gini"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

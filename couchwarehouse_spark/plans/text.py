@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
-from couchwarehouse_spark.plans.registry import query
+from couchwarehouse_spark.plans.registry import query, scoped_persist
 
 # Tiny English-stopword profile for the language-ID heuristic and
 # quality scoring (public-knowledge stopword list).
@@ -887,4 +887,82 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.length("s") - F.length(F.replace(F.col("s"), F.lit("_"), F.lit("")))
         ).cast("long").alias("merged_units"),
+    )
+
+
+@query(
+    "bigram_surprisal_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(toks) AS w,
+             generate_subscripts(toks, 1) AS p
+      FROM t
+    ),
+    big AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS n FROM c12 GROUP BY w1)
+    SELECT big.doc_id,
+           CAST(count(*) AS BIGINT)                       AS n_bigrams,
+           round(avg(-ln(c12.c / CAST(c1.n AS DOUBLE))), 6) AS avg_surprisal
+    FROM big
+    JOIN c12 USING (w1, w2)
+    JOIN c1 USING (w1)
+    GROUP BY big.doc_id
+    ORDER BY avg_surprisal DESC, big.doc_id
+    LIMIT 20
+    """,
+)
+def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal scoring (X4 — the conditional-probability
+    step up from ``unigram_surprisal_scores``): per-doc average
+    -ln p(w2|w1) under the corpus bigram model (c12/c1), surfacing the
+    20 most surprising documents. The bigram LM catches scrambled or
+    machine-garbled text that unigram frequency scoring misses — token
+    sets look normal, transitions don't — which is exactly the CCNet/
+    Gopher-style perplexity-filter role, model-free.
+
+    Scale: bigrams come from ONE pass per document (array zip of the
+    token list with its tail — no position self-join; the oracle's
+    join states the same pairs declaratively). The LM is a (w1,w2)
+    hash aggregate with map-side combine; conditional totals reduce
+    the c12 table, not the corpus; scoring joins bigrams back
+    UNHINTED (AQE broadcasts a small LM, shuffles a heavy-tailed
+    one — the ``tf_idf_top_terms`` stance). Per-doc reduce is
+    (doc_id)-keyed; top-20 is a per-partition heap. ``-ln(c/n)`` is
+    division-then-log in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    bigram_structs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigram_structs).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    big = scoped_persist(big)
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").alias("n"))
+    return (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log(F.col("c") / F.col("n").cast("double"))), 6
+            ).alias("avg_surprisal"),
+        )
+        .orderBy(F.col("avg_surprisal").desc(), "doc_id")
+        .limit(20)
     )

@@ -559,8 +559,10 @@ class Warehouse:
         vacuum from another process (cron/CLI) would delete data the
         about-to-land version references — a broken current version,
         not just a lost batch. Pass ``min_age_seconds=0`` ONLY when no
-        other writer can be mid-commit (single process, e.g. the
-        in-writer ``auto_vacuum`` path). Returns the number of files
+        other writer can be mid-commit (e.g. an offline single-process
+        compaction); the in-writer ``auto_vacuum`` path deliberately
+        keeps the default grace because redundant HA ingestors may
+        race the same table. Returns the number of files
         deleted. Time travel to a dropped version stops working,
         exactly like Delta's VACUUM; see ``changes()`` for what that
         means for CDF consumers.
@@ -596,32 +598,50 @@ class Warehouse:
             return 0
         cutoff = time.time() - min_age_seconds
         deleted = 0
+        # Two vacuums may race on one table (the HA multi-process
+        # topology this package supports): the peer can delete a file
+        # between our listdir and stat/remove, so every per-file
+        # getmtime/remove tolerates FileNotFoundError — the file being
+        # gone IS the goal state, whoever got there first.
         for fn in os.listdir(path):
             # Root-level parquet = a superseded pre-manifest layout;
             # no manifest ever references root files.
             fp = os.path.join(path, fn)
-            if (
-                fn.endswith(".parquet")
-                and os.path.isfile(fp)
-                and os.path.getmtime(fp) <= cutoff
-            ):
-                os.remove(fp)
-                deleted += 1
-        for entry in os.listdir(path):
-            if not entry.startswith("_cw_bucket="):
-                continue
-            bdir = os.path.join(path, entry)
-            for fn in os.listdir(bdir):
-                fp = os.path.join(bdir, fn)
+            try:
                 if (
                     fn.endswith(".parquet")
-                    and fp not in referenced
+                    and os.path.isfile(fp)
                     and os.path.getmtime(fp) <= cutoff
                 ):
                     os.remove(fp)
                     deleted += 1
-            if not os.listdir(bdir):
-                os.rmdir(bdir)
+            except FileNotFoundError:
+                continue
+        for entry in os.listdir(path):
+            if not entry.startswith("_cw_bucket="):
+                continue
+            bdir = os.path.join(path, entry)
+            try:
+                bucket_files = os.listdir(bdir)
+            except FileNotFoundError:
+                continue  # racing vacuum already removed the empty dir
+            for fn in bucket_files:
+                fp = os.path.join(bdir, fn)
+                try:
+                    if (
+                        fn.endswith(".parquet")
+                        and fp not in referenced
+                        and os.path.getmtime(fp) <= cutoff
+                    ):
+                        os.remove(fp)
+                        deleted += 1
+                except FileNotFoundError:
+                    continue
+            try:
+                if not os.listdir(bdir):
+                    os.rmdir(bdir)
+            except OSError:
+                pass  # refilled by a writer or removed by a peer
         oldest_kept = min(keep_versions)
         for v in versions:
             if v < oldest_kept:
@@ -645,7 +665,11 @@ class Warehouse:
                 pid = None  # legacy fixed-name ._tmp: age-gate only
             if pid is not None and _pid_alive(pid):
                 continue
-            if os.path.getmtime(full) <= cutoff:
+            try:
+                reclaim = os.path.getmtime(full) <= cutoff
+            except FileNotFoundError:
+                continue  # peer vacuum reclaimed it between listdir and stat
+            if reclaim:
                 shutil.rmtree(full, ignore_errors=True)
         return deleted
 
