@@ -658,3 +658,59 @@ def seeded_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("shuffle_key", "doc_id")  # over K rows only
     return head.withColumn("position", F.row_number().over(w))
+
+
+@query(
+    "temperature_sampling_weights",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+             sum(sqrt(n_docs / CAST((SELECT sum(n_docs) FROM c) AS DOUBLE))) AS z
+      FROM c
+    )
+    SELECT lang, n_docs,
+           round(n_docs / CAST(tot.n AS DOUBLE), 6)            AS p_raw,
+           round(sqrt(n_docs / CAST(tot.n AS DOUBLE)) / tot.z, 6) AS w_temp,
+           round(sqrt(n_docs / CAST(tot.n AS DOUBLE)) / tot.z
+                 / (n_docs / CAST(tot.n AS DOUBLE)), 6)        AS boost
+    FROM c CROSS JOIN tot
+    """,
+)
+def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-mixture weights (sampling/splits —
+    the multilingual rebalancing rule of mBERT/XLM-R): raw language
+    share p_i is flattened to q_i ∝ p_i^α with α = ½, so low-resource
+    languages are upsampled (boost > 1) and dominant ones damped —
+    the planning numbers ``mixture_resample_counts``' hash gate then
+    enforces. α = ½ keeps the exponent an IEEE ``sqrt`` (correctly
+    rounded, bit-identical across engines) rather than a libm ``pow``.
+
+    Scale: one per-lang count aggregate (map-side combined); the
+    total and the normalizer Z reduce the |langs|-row count table and
+    ride back as a broadcast one-row frame — the corpus is scanned
+    once, nothing else is data-sized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    c = scoped_persist(c)  # feeds the normalizer AND the emit join
+    n_row = c.agg(F.sum("n_docs").alias("n"))
+    z_row = (
+        c.crossJoin(F.broadcast(n_row))
+        .agg(F.sum(F.sqrt(F.col("n_docs") / F.col("n").cast("double"))).alias("z"))
+    )
+    p = F.col("n_docs") / F.col("n").cast("double")
+    q = F.sqrt(p) / F.col("z")
+    return (
+        c.crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(z_row))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(p, 6).alias("p_raw"),
+            F.round(q, 6).alias("w_temp"),
+            F.round(q / p, 6).alias("boost"),
+        )
+    )

@@ -1781,3 +1781,138 @@ def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hits").cast("double") / (F.count("*") * EVAL_TOP_K), 6
         ).alias("precision_at_10"),
     )
+
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = 16  # 64 dims / 4 subspaces
+
+PQ_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, label, ms.m,
+             list_slice(v, ms.m * {PQ_SUBDIM} + 1,
+                           ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+      FROM v CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) ms
+    ),
+    flat AS (
+      SELECT m, label, unnest(sv) AS x, unnest(range(0, len(sv))) AS dim
+      FROM subs
+    ),
+    dims AS (
+      SELECT m, label AS cell, dim, round(avg(x), 6) AS c
+      FROM flat GROUP BY m, label, dim
+    ),
+    cents AS (
+      SELECT m, cell, list(c ORDER BY dim) AS centroid
+      FROM dims GROUP BY m, cell
+    ),
+    assigned AS (
+      SELECT s.vec_id, s.label, s.m,
+             min_by(c.cell, list_distance(s.sv, c.centroid)) AS cell,
+             min(list_distance(s.sv, c.centroid)) AS dist
+      FROM subs s JOIN cents c ON s.m = c.m
+      GROUP BY s.vec_id, s.label, s.m, s.sv
+    )
+    SELECT m, cell,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(sum(CASE WHEN label = cell THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_label_match,
+           round(avg(dist), 6) AS avg_dist
+    FROM assigned GROUP BY m, cell
+"""
+
+
+@query("pq_quantization_audit", oracle=PQ_ORACLE)
+def pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization audit (X2 — the PQ/IVFADC compression
+    kernel, Jégou et al. 2011): the embedding splits into {PQ_M}
+    {PQ_SUBDIM}-dim subvectors; each subspace gets a 10-cell codebook
+    (per-label subvector means — the same deterministic seeding as
+    ``kmeans_lloyd_step``/``ivf_topk``); every subvector is assigned
+    to its nearest code. The audit emits, per (subspace, cell),
+    occupancy, how often the code agrees with the vector's own label,
+    and mean assignment distance — the numbers that size a PQ index's
+    distortion before it replaces raw vectors at 100 TB.
+
+    Scale: codebooks are (M·cells·subdim) floats — KB-sized,
+    broadcast; subvector explosion is a projection (M rows per
+    vector, each {PQ_SUBDIM} floats — SMALLER than the input row);
+    assignment is the ``argmin_cell`` fold, a pure projection, so the
+    corpus never shuffles; the audit reduce is an (m, cell) hash
+    aggregate with map-side combine. Centroids round to 6 dp in both
+    lanes before distances so assignment can't flip on last-ulp mean
+    differences (the ``kmeans_lloyd_step`` rule).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    subs = v.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "label", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    subs = scoped_persist(subs)  # feeds codebook build AND assignment
+
+    dims = (
+        subs.select("m", "label", F.posexplode("sv").alias("dim", "x"))
+        .groupBy("m", F.col("label").alias("cell"), "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    cents = (
+        dims.groupBy("m", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select("m", "cell", F.col("dc.c").alias("centroid"))
+    )
+    books = cents.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("cents")
+    )
+
+    # Fold argmin over the broadcast per-subspace codebook, keeping
+    # BOTH the winning cell and its (squared) distance; strict < keeps
+    # the lowest cell on exact ties, matching the oracle's min_by over
+    # the same rounded centroids.
+    init = F.struct(
+        F.lit(None).cast("int").alias("cell"),
+        F.lit(float("inf")).alias("d"),
+    )
+
+    def step(acc, c):
+        d2 = F.aggregate(
+            F.zip_with(F.col("sv"), c["centroid"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, z: s + z,
+        )
+        return F.when(
+            d2 < acc["d"], F.struct(c["cell"].alias("cell"), d2.alias("d"))
+        ).otherwise(acc)
+
+    assigned = subs.join(F.broadcast(books), "m").select(
+        "m",
+        "label",
+        F.aggregate(F.col("cents"), init, step).alias("best"),
+    )
+    return (
+        assigned.groupBy("m", F.col("best.cell").alias("cell"))
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.sum(
+                F.when(F.col("label") == F.col("best.cell"), 1).otherwise(0)
+            ).alias("n_label_match"),
+            F.round(F.avg(F.sqrt(F.col("best.d"))), 6).alias("avg_dist"),
+        )
+    )

@@ -596,3 +596,74 @@ def test_semdedup_assignment_projection_and_salted_pairs(spark):
             assert "BuildRight, Cross" in line, line
     assert "_cw_salt" in plan
     assert "BroadcastHashJoin [cell" in plan  # pair join keys on (cell, salt)
+
+
+def test_pq_assignment_is_projection(spark):
+    """PQ code assignment: the 4-row codebook side broadcasts; the
+    corpus path never exchanges on vec_id; no Python anywhere."""
+    plan = plan_of(spark, "pq_quantization_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(vec_id" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_retrieval_eval_two_stage_topk(spark):
+    """Retrieval eval: query sample broadcasts; two window stages so
+    no reducer sees a query's full score column (ann_batch_topk's
+    shape); no Python."""
+    plan = plan_of(spark, "retrieval_eval_mrr")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Window") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sparse_cosine_is_join_agg_pipeline(spark):
+    """tf-cosine pairs: pure join + hash-agg pipeline — no window, no
+    Python; posting and pair aggregates combine map-side."""
+    plan = plan_of(spark, "sparse_cosine_pairs")
+    assert "Window" not in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_point_in_time_single_user_exchange(spark):
+    """All four trailing features ride ONE (user_id)-keyed window —
+    exactly one exchange on user_id, no self-join."""
+    plan = plan_of(spark, "point_in_time_features")
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Join" not in plan
+
+
+def test_label_purity_label_joins_broadcast(spark):
+    """The (vec_id, label) dim joins broadcast onto the edge table;
+    no Python; the rollup partial-aggregates."""
+    plan = plan_of(spark, "knn_label_purity")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_surprisal_topk_heap(spark):
+    """Bigram LM scoring: partial-aggregated counts, distributed
+    top-k heap, no Python."""
+    plan = plan_of(spark, "bigram_surprisal_scores")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_key_skew_audit_counts_partial_aggregate(spark):
+    """The per-key counts behind the skew stats combine map-side; the
+    Gini rank window runs over the count table, not the corpus (no
+    corpus-row window partitioning)."""
+    plan = plan_of(spark, "key_skew_audit")
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_weights_one_scan_broadcast_scalars(spark):
+    """The total and normalizer attach as one-row broadcasts; the
+    corpus is scanned once into a partial-aggregated lang count."""
+    plan = plan_of(spark, "temperature_sampling_weights")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan
