@@ -24,27 +24,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
-# coverage policy. Round-5 rotation — ACTUAL composition (13 + 3 + 13
-# + 18 + 2 = 50 (14 NEW after graph_label_propagation landed); keep these counts in sync with the list, next round's
+# coverage policy. Round-6 rotation — ACTUAL composition (13 + 2 + 8
+# + 1 + 26 = 50; keep these counts in sync with the list, next round's
 # rotation is planned from them):
 #  - 13 never-regressed anchors (ETL kernel + e2e + one representative
 #    per family),
-#  - 3 entries whose r04 rows were hash-red or dtype-risky and are
-#    FIXED this round (lsh_recall_audit, moment_stats, math_functions
-#    — the window must prove the fix),
-#  - 14 operators NEW this round (never driver-verified by construction),
-#  - 18 carried never-driver-verified entries (the full remainder of
-#    the never-seen set from r01-r04),
-#  - 2 stalest last-seen-r01 entries (exact_dedup_canonical,
-#    multimodal_frame_sample — the latter also restores multimodal
-#    family coverage). The other last-seen-r01 entries
-#    (balance_distribution_ranks, crossdoc_ngram_dup, cube_flag_status,
-#    customer_order_gaps, distinct_segments, doc_length_histogram,
-#    domain_mixture_weights) rotate into the round-6 window.
+#  - 2 entries whose IMPLEMENTATION changed this round and must be
+#    re-proven (event_debounce — microsecond-exact gaps;
+#    udtf_token_runs — per-call view/UDTF names),
+#  - 8 operators NEW this round (never driver-verified by
+#    construction),
+#  - 1 never-driver-green entry (multimodal_feature_extract — its only
+#    driver row was an r02 infra err; locally green every round),
+#  - 26 stalest entries by last green driver row (all 17 last-green-r02
+#    + the first 9 last-green-r03 alphabetically). After this window,
+#    every remaining entry's last driver green is r03+; next round's
+#    staleness rotation continues from flatten_props /
+#    full_text_relevance / graph_pagerank_step alphabetically.
 # Every entry outside the window stays registered, oracle-checked by
 # tests/t2_sim.py, pytest-covered, and bench-timed.
 PRIORITY = [
-    # --- 13 anchors (green in CORRECTNESS_r03 AND r04) ---
+    # --- 13 anchors (green in every round they ran) ---
     "latest_event_per_user",
     "delete_propagation",
     "time_travel_cdc",
@@ -58,47 +58,47 @@ PRIORITY = [
     "exact_dedup",
     "minhash_lsh_candidates",
     "knn_cosine_topk",
-    # --- 3 fixed-this-round entries (r04 red / latent) ---
-    "lsh_recall_audit",
-    "moment_stats",
-    "math_functions",
-    # --- 14 NEW operators this round ---
-    "duplicate_ngram_removal",
-    "inverted_index_postings",
-    "per_source_quality_cut",
-    "pii_id_masking_census",
+    # --- 2 changed-this-round entries (re-prove the new impl) ---
     "event_debounce",
-    "winsorized_stats",
     "udtf_token_runs",
-    "salted_skew_join",
-    "seeded_global_shuffle",
-    "ivf_recall_audit",
-    "semdedup_prune",
-    "dedup_savings_histogram",
-    "bpe_apply_merges",
-    "graph_label_propagation",
-    # --- 18 never-driver-verified entries (rotation round 5) ---
-    "cohort_retention",
-    "conditional_functions",
-    "correlated_exists_orders",
-    "date_functions",
-    "event_conversion_funnel",
-    "event_locf_gap_fill",
-    "event_rate_anomaly",
-    "grouped_agg_median_qty",
-    "grouped_demean_applyinpandas",
-    "lateral_topn_per_customer",
-    "map_functions",
-    "mixture_resample_counts",
-    "pivot_status_by_priority",
-    "spend_quartiles_ntile",
-    "split_leakage_check",
-    "token_coverage_topk",
-    "token_position_census",
-    "unpivot_order_metrics",
-    # --- 2 stalest (last driver row: r01) ---
-    "exact_dedup_canonical",
-    "multimodal_frame_sample",  # also restores multimodal family coverage
+    # --- 8 NEW operators this round ---
+    "knn_label_purity",
+    "retrieval_eval_mrr",
+    "bigram_surprisal_scores",
+    "sparse_cosine_pairs",
+    "point_in_time_features",
+    "key_skew_audit",
+    "pq_quantization_audit",
+    "temperature_sampling_weights",
+    # --- 1 never-driver-green (r02 infra err was its only row) ---
+    "multimodal_feature_extract",
+    # --- 26 stalest by last green driver row (17×r02 + 9×r03) ---
+    "balance_distribution_ranks",
+    "crossdoc_ngram_dup",
+    "cube_flag_status",
+    "customer_order_gaps",
+    "distinct_segments",
+    "doc_length_histogram",
+    "domain_mixture_weights",
+    "no_big_order_anti",
+    "order_cohort_full_outer",
+    "price_band_join",
+    "priority_multiset_diff",
+    "range_frame_revenue",
+    "rollup_priority_status",
+    "set_except_nations",
+    "set_intersect_brands",
+    "set_union_nations",
+    "top_revenue_orders",
+    "agg_stats",
+    "array_functions",
+    "asof_last_view",
+    "big_spenders_semi",
+    "bm25_relevance",
+    "cte_above_avg_customers",
+    "deterministic_split",
+    "doc_chunking",
+    "embedding_near_dup",
 ]
 
 
