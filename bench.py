@@ -45,6 +45,10 @@ HEADLINE = [
     "semdedup_prune",           # X2 learned-cell semantic dedup (r5)
     "inverted_index_postings",  # X4 index build via WindowGroupLimit (r5)
     "event_debounce",           # D4 gaps-and-islands burst suppression (r5)
+    "sparse_cosine_pairs",      # X1 integer-exact tf-cosine pairs (r6)
+    "pq_quantization_audit",    # X2 product-quantization distortion (r6)
+    "point_in_time_features",   # D4 leakage-safe feature backfill (r6)
+    "retrieval_eval_mrr",       # X2 retrieval eval harness (r6)
 ]
 
 

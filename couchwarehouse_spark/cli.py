@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--history", action="store_true",
                    help="after spooling, print each table's manifest commit "
                         "log (version, op, timestamp, file count)")
+    p.add_argument("--restore", type=int, default=None, metavar="VERSION",
+                   help="BEFORE spooling, roll every table back to this "
+                        "manifest version as a new commit (Delta RESTORE "
+                        "semantics; fails loudly if the version was "
+                        "vacuumed)")
     p.add_argument("--sqlite", default=None, metavar="PATH",
                    help="after spooling, egress every table into this "
                         "SQLite file (the reference's default target)")
@@ -146,6 +151,17 @@ def main(argv: list[str] | None = None) -> int:
         reset=args.reset,
         verbose=not args.quiet,
     )
+
+    if args.restore is not None:
+        # Roll back BEFORE new changes land, so the spool merges onto
+        # the restored state rather than the bad head version.
+        for doc_type in wh.schemas:
+            v = wh.restore(args.restore, doc_type)
+            if not args.quiet:
+                print(
+                    f"couchwarehouse: restored {wh.table_name(doc_type)} "
+                    f"to version {args.restore} (as new version {v})"
+                )
 
     tailer_stop = threading.Event()
     if args.url:

@@ -115,6 +115,15 @@ def read_changes_feed(
                 F.from_json("value", inferred).alias("e")
             ).select("e.*")
 
+    # Null-fill any missing envelope column — an EMPTY feed (a
+    # maintenance-only CLI run, a fully caught-up monitor poll) infers
+    # no columns at all, and a tombstone-only page lacks ``doc``; both
+    # must flow through as zero/partial envelopes, not crash on an
+    # unresolved ``seq``.
+    if "seq" not in env.columns:
+        env = env.withColumn("seq", F.lit(None).cast("string"))
+    if "id" not in env.columns:
+        env = env.withColumn("id", F.lit(None).cast("string"))
     if "deleted" not in env.columns:
         env = env.withColumn("deleted", F.lit(None).cast("boolean"))
     if "doc" not in env.columns:  # tombstone-only feed page

@@ -1028,6 +1028,43 @@ class Warehouse:
         )
         return len(todo)
 
+    def restore(self, version: int, doc_type: str = DEFAULT_TYPE) -> int:
+        """Roll the table back to ``version`` AS A NEW COMMIT (Delta's
+        RESTORE TABLE ... TO VERSION): the new manifest re-references
+        the old version's exact file list, so the rollback is itself
+        versioned — ``history()`` shows it, ``changes()`` diffs across
+        it, and nothing is rewritten or deleted (pure metadata, O(1)
+        data I/O). The bad version's files stay on disk for time
+        travel until ``vacuum()`` ages them out.
+
+        Fails loudly if any file the target version references was
+        already vacuumed (the same hazard Delta's RESTORE documents
+        after VACUUM) — a restore that silently dropped rows would be
+        worse than no restore.
+        """
+        path = self._table_path(doc_type)
+        manifest = self._load_manifest(path, version)
+        latest = self._load_manifest(path)
+        missing = [
+            fp
+            for fp in self._manifest_files(path, manifest)
+            if not os.path.isfile(fp)
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {self.db_name}/{doc_type} to version "
+                f"{version}: {len(missing)} referenced file(s) were "
+                f"vacuumed, e.g. {missing[0]!r}"
+            )
+        return self._commit_manifest(
+            path,
+            "restore",
+            {int(b): fs for b, fs in manifest["buckets"].items()},
+            manifest["schema"],
+            {int(b): per for b, per in manifest.get("stats", {}).items()},
+            base_version=latest["version"],
+        )
+
     # -- query surface (R17) -------------------------------------------
 
     def register_view(

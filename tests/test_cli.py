@@ -258,3 +258,31 @@ def test_cli_maintenance_vacuum_and_history(spark, tmp_path, capsys):
     wh = Warehouse(spark, wh_dir, "maintdb")
     versions = [r["version"] for r in wh.history().collect()]
     assert len(versions) == 1
+
+
+def test_cli_restore_flag(spark, tmp_path, capsys):
+    """--restore N rolls every table back to version N as a new commit
+    BEFORE the (empty) spool, Delta RESTORE semantics."""
+    feed = _mixed_feed(str(tmp_path / "feed"))
+    wh_dir = str(tmp_path / "wh")
+    base = ["--feed", feed, "--database", "restdb", "--warehouse-dir", wh_dir]
+    assert main([*base, "--reset", "--quiet"]) == 0
+    rng = random.Random(11)
+    upd = order_doc(0, rng)
+    upd["status"] = "bad-batch"
+    feed2 = write_feed(str(tmp_path / "feed2"), [envelope(300, upd)])
+    assert main(["--feed", feed2, "--database", "restdb",
+                 "--warehouse-dir", wh_dir, "--quiet"]) == 0
+
+    feed3 = write_feed(str(tmp_path / "feed3"), [])  # maintenance-only run
+    assert main(["--feed", feed3, "--database", "restdb",
+                 "--warehouse-dir", wh_dir, "--restore", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "restored" in out
+
+    from couchwarehouse_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, wh_dir, "restdb")
+    for doc_type in wh.schemas:
+        ops = {r["version"]: r["op"] for r in wh.history(doc_type).collect()}
+        assert ops[max(ops)] == "restore"

@@ -857,3 +857,56 @@ def test_torn_manifest_repair_on_no_hardlink_fs(spark, tmp_path):
             wh._commit_manifest(
                 path, "merge", buckets, manifest["schema"], base_version=2
             )
+
+
+def test_restore_rolls_back_as_new_version(spark, tmp_path):
+    """restore(version) re-references the old snapshot as a NEW commit:
+    content equals the restored version, history shows op='restore',
+    CDF diffs across it, and nothing was rewritten (pure metadata)."""
+    import pytest
+
+    rng = random.Random(99)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "restoredata", n_buckets=4)
+    wh.spool(
+        write_feed(
+            str(tmp_path / "f1.jsonl"),
+            [envelope(i + 1, person_doc(i, rng)) for i in range(20)],
+        )
+    )
+    bad = person_doc(5, random.Random(5))
+    bad["name"] = "CORRUPTED"
+    wh.spool(
+        write_feed(
+            str(tmp_path / "f2.jsonl"),
+            [
+                envelope(21, bad),
+                envelope(22, None, doc_id="person0001", deleted=True),
+            ],
+        )
+    )
+    assert wh.table().count() == 19
+
+    new_v = wh.restore(1)
+    assert new_v == 3
+    hist = {r["version"]: r["op"] for r in wh.history().collect()}
+    assert hist == {1: "merge", 2: "merge", 3: "restore"}
+    # Current state == version 1 exactly (delete undone, update undone).
+    cur = {r["id"]: r["name"] for r in wh.table().collect()}
+    assert len(cur) == 20
+    assert cur["person0005"] == "Person 5"
+    assert "person0001" in cur
+    # The bad version remains time-travelable until vacuumed.
+    assert wh.table(version=2).count() == 19
+    # Restore referenced the SAME files — no new parquet was written.
+    from couchwarehouse_spark.warehouse import DEFAULT_TYPE
+
+    tpath = wh._table_path(DEFAULT_TYPE)
+    m1 = wh._load_manifest(tpath, 1)
+    m3 = wh._load_manifest(tpath, 3)
+    assert m1["buckets"] == m3["buckets"]
+
+    # After vacuuming history away, restoring to a dropped version
+    # must fail loudly, not silently lose rows.
+    wh.vacuum(retain_versions=1, min_age_seconds=0)
+    with pytest.raises((FileNotFoundError, ValueError)):
+        wh.restore(2)
