@@ -37,10 +37,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #  - 1 never-driver-green entry (multimodal_feature_extract — its only
 #    driver row was an r02 infra err; locally green every round),
 #  - 26 stalest entries by last green driver row (all 17 last-green-r02
-#    + the first 9 last-green-r03 alphabetically). After this window,
-#    every remaining entry's last driver green is r03+; next round's
-#    staleness rotation continues from flatten_props /
-#    full_text_relevance / graph_pagerank_step alphabetically.
+#    + 9 last-green-r03: the first 8 alphabetically, then
+#    percentile_stats swapped in for embedding_near_dup so the window
+#    keeps covering the statistics family —
+#    test_registry_contract.py::test_window_covers_every_family).
+#    After this window, every remaining entry's last driver green is
+#    r03+; next round's staleness rotation continues from
+#    embedding_near_dup / flatten_props / full_text_relevance
+#    alphabetically.
 # Every entry outside the window stays registered, oracle-checked by
 # tests/t2_sim.py, pytest-covered, and bench-timed.
 PRIORITY = [
@@ -98,7 +102,7 @@ PRIORITY = [
     "cte_above_avg_customers",
     "deterministic_split",
     "doc_chunking",
-    "embedding_near_dup",
+    "percentile_stats",
 ]
 
 
