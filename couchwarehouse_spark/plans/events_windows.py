@@ -664,3 +664,75 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return feats.filter(F.col("event_type") == "purchase").drop("event_type")
+
+
+WAU_DAYS = 7  # trailing window for weekly-active-users
+
+
+@query(
+    "rolling_active_users",
+    oracle=f"""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM du),
+    contrib AS (
+      SELECT unnest(generate_series(d, d + INTERVAL {WAU_DAYS - 1} DAY,
+                                    INTERVAL 1 DAY)) AS wday,
+             user_id
+      FROM du
+    ),
+    wau AS (
+      SELECT CAST(wday AS DATE) AS day, count(DISTINCT user_id) AS wau
+      FROM contrib GROUP BY 1
+    ),
+    dau AS (SELECT d AS day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1)
+    SELECT strftime(day, '%Y-%m-%d')          AS day,
+           CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT)              AS wau,
+           round(coalesce(dau.dau, 0) / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+    FROM wau LEFT JOIN dau USING (day) CROSS JOIN bounds
+    WHERE day BETWEEN bounds.d0 AND bounds.d1
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (D4 — the sliding DISTINCT
+    aggregate, which plain window frames cannot express because
+    count(DISTINCT) isn't frame-able): each (day, user) activity pair
+    is exploded onto the {WAU_DAYS} window-end days it keeps the user
+    "active" for, then distinct-counted per day — DAU/WAU and the
+    stickiness ratio, the retention dashboard numbers.
+
+    Scale: the corpus collapses FIRST to distinct (day, user) pairs
+    (one map-side-combined aggregate — bounded by users × days, not
+    events); the ×{WAU_DAYS} explosion happens on that deduped pair
+    table; the per-day distinct is a two-level aggregate on
+    (day, user). No frame ever holds a user set in memory and no day
+    sees more than its window's pairs. Day-spine bounds ride in as a
+    broadcast one-row frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    du = scoped_persist(du)  # feeds contrib, dau AND the bounds probe
+    bounds = du.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add("d", WAU_DAYS - 1), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    wau = contrib.distinct().groupBy("day").agg(F.count("*").alias("wau"))
+    dau = du.groupBy(F.col("d").alias("day")).agg(F.count("*").alias("dau"))
+    return (
+        wau.join(dau, "day", "left")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("day").between(F.col("d0"), F.col("d1")))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            "wau",
+            F.round(
+                F.coalesce("dau", F.lit(0)) / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )

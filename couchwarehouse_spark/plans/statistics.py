@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table, register_views
-from couchwarehouse_spark.plans.registry import query
+from couchwarehouse_spark.plans.registry import query, scoped_persist
 
 
 PERCENTILE_SQL = """
@@ -458,4 +458,88 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("wz").cast("double") / F.count("*"), 4).alias(
             "winsorized_mean"
         ),
+    )
+
+
+PMI_MIN_SUPPORT = 3  # co-occurrence count floor (noise gate)
+PMI_TOP_K = 20
+
+
+@query(
+    "cooccurrence_pmi_pairs",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li),
+    ca AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {PMI_MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, c_ab,
+           round(ln(c_ab * CAST(n.n_orders AS DOUBLE) / (x.c * y.c)), 6) AS pmi
+    FROM pairs
+    JOIN ca x ON part_a = x.l_partkey
+    JOIN ca y ON part_b = y.l_partkey
+    CROSS JOIN n
+    ORDER BY ln(c_ab * CAST(n.n_orders AS DOUBLE) / (x.c * y.c)) DESC,
+             part_a, part_b
+    LIMIT {PMI_TOP_K}
+    """,
+)
+def cooccurrence_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information pair mining over order baskets
+    (statistics — the co-occurrence kernel under word-embedding
+    training, market-basket lift, and feature-association audits):
+    part pairs sharing an order, support-floored at
+    {PMI_MIN_SUPPORT}, ranked by PMI = ln(c_ab·N / (c_a·c_b)); the
+    top-{PMI_TOP_K} strongest associations.
+
+    Scale: pair generation is a self-join keyed on the BASKET id, so
+    pair work is Σ basket_size² — bounded per order, never corpus-
+    quadratic; the distinct projection first collapses duplicate
+    (order, part) rows map-side. Marginals reduce the deduped posting
+    table; the pair census partial-aggregates before its shuffle;
+    everything after the HAVING gate is broadcast-joinable-sized at
+    any SF, and emit is a TakeOrderedAndProject heap. All inputs to
+    the single ln() are exact integers, so both engines order and
+    round the same doubles.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    li = scoped_persist(li)  # feeds marginals, the pair join, and N
+    n_row = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ca = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_SUPPORT)
+    )
+    pmi = F.log(
+        F.col("c_ab") * F.col("n_orders").cast("double") / (F.col("ca_a") * F.col("ca_b"))
+    )
+    return (
+        pairs.join(
+            ca.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca_a")),
+            "part_a",
+        )
+        .join(
+            ca.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("ca_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_row))
+        .withColumn("_pmi", pmi)
+        .orderBy(F.col("_pmi").desc(), "part_a", "part_b")
+        .limit(PMI_TOP_K)
+        .select("part_a", "part_b", "c_ab", F.round("_pmi", 6).alias("pmi"))
     )

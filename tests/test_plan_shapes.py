@@ -667,3 +667,21 @@ def test_temperature_weights_one_scan_broadcast_scalars(spark):
     plan = plan_of(spark, "temperature_sampling_weights")
     assert "BroadcastNestedLoopJoin" in plan
     assert "partial_count" in plan
+
+
+def test_rolling_active_users_dedups_before_explosion(spark):
+    """The corpus collapses to distinct (day, user) BEFORE the ×7
+    explosion (partial aggregation on the dedup), and the final
+    distinct-count is a two-level aggregate; no Python."""
+    plan = plan_of(spark, "rolling_active_users")
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pmi_pairs_basket_join_and_topk_heap(spark):
+    """Pair generation keys on the basket id; emit is a distributed
+    top-k heap; the pair census partial-aggregates; no Python."""
+    plan = plan_of(spark, "cooccurrence_pmi_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -253,3 +253,85 @@ class TestRetrievalEvalMrr:
         assert out.loc[0, "n_queries"] == 1
         assert out.loc[0, "mrr_at_10"] == 1.0
         assert out.loc[0, "precision_at_10"] == 0.1
+
+
+class TestRollingActiveUsers:
+    def test_planted_wau_window(self, spark, tmp_path):
+        """User 1 active on day 1 only; user 2 on days 1 and 9.
+        Day 1: DAU {1,2}; day 7 window [1..7] still holds both; day 8
+        window [2..8] holds nobody... (no events) — day 8 has no
+        window row only if no contribution; user 1's day-1 activity
+        contributes to days 1-7, user 2's day-9 to days 9-15 capped at
+        max day 9."""
+        from couchwarehouse_spark.plans.events_windows import (
+            rolling_active_users,
+        )
+
+        t = dt.datetime(2024, 3, 1, 10, 0, 0)
+        rows = [
+            (1, t, 1, "view", 0.0, "{}"),
+            (2, t, 2, "click", 0.0, "{}"),
+            (3, t + dt.timedelta(days=8), 2, "view", 0.0, "{}"),
+        ]
+        d = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                rows, "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"
+            ),
+            d,
+            "events",
+        )
+        out = rolling_active_users(spark, d).toPandas().set_index("day")
+        assert out.loc["2024-03-01", "dau"] == 2
+        assert out.loc["2024-03-01", "wau"] == 2
+        assert out.loc["2024-03-01", "stickiness"] == 1.0
+        # days 2-7: both users still inside the trailing window, dau 0
+        assert out.loc["2024-03-07", "wau"] == 2
+        assert out.loc["2024-03-07", "dau"] == 0
+        # day 8: nobody active in [day2..day8] → no row at all
+        assert "2024-03-08" not in out.index
+        assert out.loc["2024-03-09", "wau"] == 1
+        assert out.loc["2024-03-09", "dau"] == 1
+
+
+class TestCooccurrencePmiPairs:
+    def test_planted_association(self, spark, tmp_path):
+        """Parts 10+20 co-occur in 3 of 4 orders; each appears in 3
+        orders alone → PMI = ln(3·4/(3·3)) = ln(4/3). A pair below the
+        support floor never appears."""
+        import math
+
+        from couchwarehouse_spark.plans.statistics import (
+            cooccurrence_pmi_pairs,
+        )
+
+        rows = []
+        ln = 0
+        for ok in range(1, 4):  # orders 1-3: {10, 20}
+            for pk in (10, 20):
+                ln += 1
+                rows.append((ok, pk, ln))
+        rows.append((4, 30, ln + 1))  # order 4: {30} alone
+        rows.append((4, 40, ln + 2))  # pair (30,40) support 1 < floor
+        d = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                [
+                    (ok, pk, 1, n, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                     dt.datetime(2024, 1, 1))
+                    for ok, pk, n in rows
+                ],
+                "l_orderkey long, l_partkey long, l_suppkey long, "
+                "l_linenumber int, l_quantity double, l_extendedprice double, "
+                "l_discount double, l_tax double, l_returnflag string, "
+                "l_linestatus string, l_shipdate timestamp",
+            ),
+            d,
+            "lineitem",
+        )
+        out = cooccurrence_pmi_pairs(spark, d).toPandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert (row["part_a"], row["part_b"], row["c_ab"]) == (10, 20, 3)
+        assert abs(row["pmi"] - math.log(4 / 3)) < 1e-6
