@@ -132,6 +132,7 @@ class Warehouse:
         n_buckets: int = 16,
         followers: list[Callable] | None = None,
         auto_vacuum: int | None = None,
+        merge_retries: int = 0,
     ):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
@@ -164,6 +165,12 @@ class Warehouse:
         # consumers must poll within N batches or fall back to a full
         # re-export (same contract as Delta CDF + VACUUM).
         self.auto_vacuum = auto_vacuum
+        # Optimistic-concurrency retry budget for redundant HA
+        # ingestors: on ConcurrentCommitError the merge replays against
+        # the winner's head up to this many times (idempotent by seq).
+        # 0 (default) = conflicts stay loud — single-writer topologies
+        # should never silently mask a protocol violation.
+        self.merge_retries = merge_retries
         self.schemas: dict[str, dict[str, str]] = {}
         import itertools as _it
         self._scratch_counter = _it.count()
@@ -715,7 +722,21 @@ class Warehouse:
         # failed write cannot leak the cached frame for the session.
         conformed = conform_frame(flat, struct, keep=[SEQ_COL]).persist()
         try:
-            self._merge_conformed(conformed, tombstones, doc_type)
+            # Opt-in optimistic-concurrency retry (merge_retries > 0):
+            # a losing HA ingestor re-merges the SAME conformed batch
+            # against the winner's new head — _merge_conformed re-reads
+            # the latest manifest on entry, and latest-wins by seq makes
+            # the replay idempotent, so retrying is exactly Delta's
+            # commit-loop semantics. The loser's first-attempt part
+            # files become unreferenced orphans vacuum() reclaims. With
+            # the default merge_retries=0 the conflict stays LOUD.
+            for attempt in range(self.merge_retries + 1):
+                try:
+                    self._merge_conformed(conformed, tombstones, doc_type)
+                    break
+                except ConcurrentCommitError:
+                    if attempt == self.merge_retries:
+                        raise
             # Followers see the exact conformed frame the merge applied
             # (still persisted), so secondary targets can never drift
             # from the warehouse's own semantics.

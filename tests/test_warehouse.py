@@ -910,3 +910,60 @@ def test_restore_rolls_back_as_new_version(spark, tmp_path):
     wh.vacuum(retain_versions=1, min_age_seconds=0)
     with pytest.raises((FileNotFoundError, ValueError)):
         wh.restore(2)
+
+
+def test_merge_retries_replay_against_winner(spark, tmp_path):
+    """merge_retries=1: a writer that loses the commit race replays
+    its batch against the winner's head and converges — both batches'
+    rows land, the conflict costs one orphaned attempt, history shows
+    the interloper's commit plus the retried merge. With the default
+    merge_retries=0 the same interleaving raises loudly."""
+    rng = random.Random(41)
+    wh = Warehouse(
+        spark, str(tmp_path / "wh"), "retrydata", n_buckets=2, merge_retries=1
+    )
+    wh.spool(
+        write_feed(
+            str(tmp_path / "f1.jsonl"),
+            [envelope(i + 1, person_doc(i, rng)) for i in range(10)],
+        )
+    )
+
+    # Interpose on _publish_tmp: the FIRST publish of the next spool
+    # lets a rival writer commit first (advancing the head past our
+    # pinned base), then proceeds — forcing ConcurrentCommitError on
+    # our commit and exercising the retry replay.
+    real_publish = wh._publish_tmp
+    state = {"fired": False}
+
+    def racing_publish(path, tmp):
+        out = real_publish(path, tmp)
+        if not state["fired"]:
+            state["fired"] = True
+            rival = Warehouse(spark, str(tmp_path / "wh"), "retrydata", n_buckets=2)
+            rival.spool(
+                write_feed(
+                    str(tmp_path / "rival.jsonl"),
+                    [envelope(100, person_doc(50, random.Random(50)))],
+                )
+            )
+        return out
+
+    wh._publish_tmp = racing_publish
+    try:
+        wh.spool(
+            write_feed(
+                str(tmp_path / "f2.jsonl"),
+                [envelope(200, person_doc(60, random.Random(60)))],
+            )
+        )
+    finally:
+        wh._publish_tmp = real_publish
+
+    assert state["fired"]
+    ids = {r["id"] for r in wh.table().collect()}
+    assert "person0050" in ids  # rival's row survived
+    assert "person0060" in ids  # our retried row landed
+    assert len(ids) == 12
+    ops = [r["op"] for r in wh.history().collect()]
+    assert ops.count("merge") >= 3  # initial + rival + retried commit
