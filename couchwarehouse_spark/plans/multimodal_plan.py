@@ -184,3 +184,109 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("media.meta.width")).alias("out_width"),
         F.min(F.col("media.meta.height")).alias("out_height"),
     )
+
+
+AUDIO_SR = 16_000  # Hz (16-bit mono PCM stand-in)
+AUDIO_WIN = 400  # samples per analysis window (25 ms @ 16 kHz)
+AUDIO_HOP = 160  # hop between windows (10 ms @ 16 kHz)
+
+
+@query(
+    "multimodal_audio_framing",
+    oracle=f"""
+    WITH clips AS (
+      SELECT source,
+             octet_length(encode(text)) * {AUDIO_SR} // 1000 AS n_samples
+      FROM documents
+    ),
+    framed AS (
+      SELECT source, n_samples,
+             CASE WHEN n_samples >= {AUDIO_WIN}
+                  THEN 1 + (n_samples - {AUDIO_WIN}) // {AUDIO_HOP}
+                  ELSE 0 END AS n_frames
+      FROM clips
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                    AS n_clips,
+           CAST(sum(n_frames) AS BIGINT)               AS n_frames,
+           CAST(sum(n_samples) * 1000 // {AUDIO_SR} AS BIGINT) AS total_ms,
+           round(CAST(sum(n_frames) AS DOUBLE) / count(*), 6) AS avg_frames
+    FROM framed GROUP BY source
+    """,
+)
+def multimodal_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame-grid planning (X3 — the STFT/feature-window
+    arithmetic an ASR/audio-embedding pipeline runs before any codec
+    touches bytes): payloads are 16-bit mono PCM stand-ins
+    (n_samples := bytes/2 at {AUDIO_SR} Hz); each clip fans out to
+    overlapping 25 ms windows at a 10 ms hop ({AUDIO_WIN}/{AUDIO_HOP}
+    samples), and the census sizes the downstream feature-extract job
+    per source. The fan-out itself is exercised JVM-side (sequence +
+    explode of frame indices — the Arrow-free counterpart of
+    ``multimodal_frame_sample``'s mapInPandas lane); the oracle states
+    the closed-form frame count, so the hash match certifies the
+    explode produced exactly the right grid.
+
+    Scale: payload column pruned (only octet_length reaches the
+    scan); the explosion multiplies rows by frames-per-clip but
+    carries three ints per row — byte-light; the census is a
+    per-source hash aggregate with map-side combine. All integer
+    arithmetic; one division at emit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    with_media = d.withColumn(
+        "media",
+        media_struct(
+            F.encode("text", "utf-8"),
+            F.lit("audio/pcm16"),
+        ),
+    )
+    clips = with_media.select(
+        "doc_id",
+        "source",
+        # Integer div (not double-divide-then-cast): a double quotient
+        # can round UP across an integer boundary where the oracle's
+        # // floors — exactness demands the same integer semantics.
+        F.expr(
+            f"CAST(octet_length(media.data) AS BIGINT) * {AUDIO_SR} div 1000"
+        ).alias("n_samples"),
+    )
+    frames = clips.select(
+        "doc_id",
+        "source",
+        "n_samples",
+        F.explode(
+            F.when(
+                F.col("n_samples") >= AUDIO_WIN,
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.expr(f"(n_samples - {AUDIO_WIN}) div {AUDIO_HOP}"),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_samples",
+        (F.col("frame_idx") * AUDIO_HOP).alias("start_sample"),
+        (F.col("frame_idx") * AUDIO_HOP + AUDIO_WIN).alias("end_sample"),
+    )
+    per_clip = frames.groupBy("doc_id", "source", "n_samples").agg(
+        F.count("*").alias("n_frames")
+    )
+    # Clips too short for one window still count (0 frames).
+    all_clips = clips.join(
+        per_clip.select("doc_id", "n_frames"), "doc_id", "left"
+    ).select(
+        "source",
+        "n_samples",
+        F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+    )
+    return all_clips.groupBy("source").agg(
+        F.count("*").alias("n_clips"),
+        F.sum("n_frames").alias("n_frames"),
+        F.expr(f"(sum(n_samples) * 1000) div {AUDIO_SR}").alias("total_ms"),
+        F.round(F.sum("n_frames").cast("double") / F.count("*"), 6).alias(
+            "avg_frames"
+        ),
+    )

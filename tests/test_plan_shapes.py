@@ -685,3 +685,11 @@ def test_pmi_pairs_basket_join_and_topk_heap(spark):
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_audio_framing_payload_pruned_jvm_only(spark):
+    """The frame-grid fan-out is sequence+explode — all JVM, no
+    Arrow/Python stage — and only byte lengths reach the aggregate."""
+    plan = plan_of(spark, "multimodal_audio_framing")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
