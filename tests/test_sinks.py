@@ -118,3 +118,87 @@ def test_corpus_export_round_trip(spark, tmp_path):
     _os.remove(_os.path.join(d, f".{fn}.crc"))
     v2 = verify_export(spark, out)
     assert not v2["ok"] and v2["mismatched_shards"]
+
+
+class TestMaterializedView:
+    """Incrementally-maintained sum/count aggregate follower
+    (sinks/materialized.py): equals a full recompute after inserts,
+    cross-group updates and deletes, refreshes O(batch), and falls
+    back to a full recompute when the incremental chain breaks."""
+
+    def _check_equals_full(self, spark, wh):
+        from couchwarehouse_spark.sinks.materialized import read_mv
+
+        mv = {
+            r["status"]: (r["mv_sum"], r["mv_count"])
+            for r in read_mv(wh, "rev_by_status").collect()
+        }
+        full = {
+            r["status"]: (r["s"], r["n"])
+            for r in wh.table()
+            .groupBy("status")
+            .agg(F.sum("total").alias("s"), F.count("*").alias("n"))
+            .collect()
+        }
+        assert set(mv) == set(full)
+        for k in full:
+            assert mv[k][1] == full[k][1], k
+            assert abs(mv[k][0] - full[k][0]) < 1e-6, k
+
+    def test_incremental_matches_full_recompute(self, spark, tmp_path):
+        import random
+
+        from couchwarehouse_spark.sinks.materialized import (
+            sum_count_mv_follower,
+        )
+        from couchwarehouse_spark.warehouse import Warehouse
+
+        from .fixtures import envelope, order_doc, write_feed
+
+        rng = random.Random(7)
+        wh = Warehouse(
+            spark,
+            str(tmp_path / "wh"),
+            "mvdata",
+            n_buckets=4,
+            followers=[sum_count_mv_follower("rev_by_status", "status", "total")],
+        )
+        # Batch 1: bootstrap (full compute at v1).
+        wh.spool(
+            write_feed(
+                str(tmp_path / "f1.jsonl"),
+                [envelope(i + 1, order_doc(i, rng)) for i in range(30)],
+            )
+        )
+        self._check_equals_full(spark, wh)
+
+        # Batch 2: an update that MOVES a row across groups (retraction
+        # must fire), a delete, and a fresh insert.
+        moved = order_doc(3, random.Random(3))
+        moved["status"] = "mv-moved"
+        moved["total"] = 123.45
+        envs = [
+            envelope(31, moved),
+            envelope(32, None, doc_id="order0005", deleted=True),
+            envelope(33, order_doc(90, rng)),
+        ]
+        wh.spool(write_feed(str(tmp_path / "f2.jsonl"), envs))
+        self._check_equals_full(spark, wh)
+
+        # Batch 3 lands WITHOUT the follower attached (chain breaks)...
+        wh.followers.clear()
+        gone = order_doc(91, rng)
+        wh.spool(write_feed(str(tmp_path / "f3.jsonl"), [envelope(34, gone)]))
+        # ...then batch 4 with the follower again: the gap is detected
+        # and the MV full-recomputes back to correctness.
+        from couchwarehouse_spark.sinks.materialized import (
+            sum_count_mv_follower as mk,
+        )
+
+        wh.followers.append(mk("rev_by_status", "status", "total"))
+        wh.spool(
+            write_feed(
+                str(tmp_path / "f4.jsonl"), [envelope(35, order_doc(92, rng))]
+            )
+        )
+        self._check_equals_full(spark, wh)
