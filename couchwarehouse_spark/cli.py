@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--history", action="store_true",
                    help="after spooling, print each table's manifest commit "
                         "log (version, op, timestamp, file count)")
+    p.add_argument("--mv", default=None, metavar="NAME:GROUP:VALUE",
+                   help="maintain an incremental materialized aggregate "
+                        "NAME over the warehouse: per-GROUP sum/count of "
+                        "VALUE, refreshed after every merged batch "
+                        "(sinks/materialized.py); printed after spooling")
     p.add_argument("--restore", type=int, default=None, metavar="VERSION",
                    help="BEFORE spooling, roll every table back to this "
                         "manifest version as a new commit (Delta RESTORE "
@@ -151,6 +156,22 @@ def main(argv: list[str] | None = None) -> int:
         reset=args.reset,
         verbose=not args.quiet,
     )
+
+    if args.mv:
+        try:
+            mv_name, mv_group, mv_value = args.mv.split(":")
+        except ValueError:
+            print(
+                f"couchwarehouse: bad --mv spec {args.mv!r} "
+                "(want NAME:GROUP:VALUE)",
+                file=sys.stderr,
+            )
+            return 1
+        from couchwarehouse_spark.sinks.materialized import (
+            sum_count_mv_follower,
+        )
+
+        wh.followers.append(sum_count_mv_follower(mv_name, mv_group, mv_value))
 
     if args.restore is not None:
         # Roll back BEFORE new changes land, so the spool merges onto
@@ -251,6 +272,12 @@ def main(argv: list[str] | None = None) -> int:
                     f"couchwarehouse: vacuumed {n} files of "
                     f"{wh.table_name(doc_type)} (kept {max(1, args.vacuum)} versions)"
                 )
+    if args.mv and not args.quiet:
+        mv_name = args.mv.split(":")[0]
+        for doc_type in wh.schemas:
+            print(f"couchwarehouse: materialized view {mv_name} of "
+                  f"{wh.table_name(doc_type)}")
+            wh.materialized(mv_name, doc_type).show(50, truncate=False)
     if args.history:
         for doc_type in wh.schemas:
             print(f"couchwarehouse: history of {wh.table_name(doc_type)}")

@@ -1049,6 +1049,14 @@ class Warehouse:
         )
         return len(todo)
 
+    def materialized(self, name: str, doc_type: str = DEFAULT_TYPE) -> DataFrame:
+        """Current snapshot of an incrementally-maintained aggregate
+        (attach the writer side via ``followers=[sinks.materialized.
+        sum_count_mv_follower(...)]``); see sinks/materialized.py."""
+        from couchwarehouse_spark.sinks.materialized import read_mv
+
+        return read_mv(self, name, doc_type)
+
     def restore(self, version: int, doc_type: str = DEFAULT_TYPE) -> int:
         """Roll the table back to ``version`` AS A NEW COMMIT (Delta's
         RESTORE TABLE ... TO VERSION): the new manifest re-references

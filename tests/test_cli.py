@@ -286,3 +286,31 @@ def test_cli_restore_flag(spark, tmp_path, capsys):
     for doc_type in wh.schemas:
         ops = {r["version"]: r["op"] for r in wh.history(doc_type).collect()}
         assert ops[max(ops)] == "restore"
+
+
+def test_cli_mv_flag(spark, tmp_path, capsys):
+    """--mv NAME:GROUP:VALUE attaches the incremental MV follower and
+    prints the maintained aggregate after spooling."""
+    feed = _mixed_feed(str(tmp_path / "feed"))
+    wh_dir = str(tmp_path / "wh")
+    assert main(["--feed", feed, "--database", "mvclidb",
+                 "--warehouse-dir", wh_dir, "--reset",
+                 "--mv", "rev:status:total"]) == 0
+    out = capsys.readouterr().out
+    assert "materialized view rev" in out
+
+    from couchwarehouse_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, wh_dir, "mvclidb")
+    mv = {r["status"]: r["mv_count"] for r in wh.materialized("rev").collect()}
+    from pyspark.sql import functions as F
+
+    full = {
+        r["status"]: r["n"]
+        for r in wh.table().groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    assert mv == full
+
+    # Bad spec fails loudly, not silently.
+    assert main(["--feed", feed, "--database", "mvclidb",
+                 "--warehouse-dir", wh_dir, "--mv", "nope"]) == 1
