@@ -24,26 +24,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
-# coverage policy. Round-6 rotation — ACTUAL composition (13 + 2 + 10
-# + 1 + 24 = 50; keep these counts in sync with the list, next round's
+# coverage policy. Round-6 rotation — ACTUAL composition (13 + 2 + 13
+# + 1 + 21 = 50; keep these counts in sync with the list, next round's
 # rotation is planned from them):
 #  - 13 never-regressed anchors (ETL kernel + e2e + one representative
 #    per family),
 #  - 2 entries whose IMPLEMENTATION changed this round and must be
 #    re-proven (event_debounce — microsecond-exact gaps;
 #    udtf_token_runs — per-call view/UDTF names),
-#  - 10 operators NEW this round (never driver-verified by
+#  - 13 operators NEW this round (never driver-verified by
 #    construction),
 #  - 1 never-driver-green entry (multimodal_feature_extract — its only
 #    driver row was an r02 infra err; locally green every round),
-#  - 24 stalest entries by last green driver row (all 17 last-green-r02
-#    + 7 last-green-r03: the first 6 alphabetically plus
+#  - 21 stalest entries by last green driver row (all 17 last-green-r02
+#    + 4 last-green-r03: the first 3 alphabetically plus
 #    percentile_stats, which keeps the statistics family in the
 #    window — test_registry_contract.py::test_window_covers_every_
 #    family). After this window, every remaining entry's last driver
 #    green is r03+; next round's staleness rotation continues from
-#    deterministic_split / doc_chunking / embedding_near_dup /
-#    flatten_props alphabetically.
+#    big_spenders_semi / bm25_relevance / cte_above_avg_customers /
+#    deterministic_split alphabetically.
 # Every entry outside the window stays registered, oracle-checked by
 # tests/t2_sim.py, pytest-covered, and bench-timed.
 PRIORITY = [
@@ -64,7 +64,7 @@ PRIORITY = [
     # --- 2 changed-this-round entries (re-prove the new impl) ---
     "event_debounce",
     "udtf_token_runs",
-    # --- 10 NEW operators this round ---
+    # --- 13 NEW operators this round ---
     "knn_label_purity",
     "retrieval_eval_mrr",
     "bigram_surprisal_scores",
@@ -75,9 +75,12 @@ PRIORITY = [
     "temperature_sampling_weights",
     "rolling_active_users",
     "cooccurrence_pmi_pairs",
+    "multimodal_audio_framing",
+    "contrastive_pair_mining",
+    "span_corruption_census",
     # --- 1 never-driver-green (r02 infra err was its only row) ---
     "multimodal_feature_extract",
-    # --- 24 stalest by last green driver row (17×r02 + 7×r03) ---
+    # --- 21 stalest by last green driver row (17×r02 + 4×r03) ---
     "balance_distribution_ranks",
     "crossdoc_ngram_dup",
     "cube_flag_status",
@@ -98,9 +101,6 @@ PRIORITY = [
     "agg_stats",
     "array_functions",
     "asof_last_view",
-    "big_spenders_semi",
-    "bm25_relevance",
-    "cte_above_avg_customers",
     "percentile_stats",
 ]
 

@@ -1916,3 +1916,92 @@ def pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.sqrt(F.col("best.d"))), 6).alias("avg_dist"),
         )
     )
+
+
+CONTRASTIVE_COS_MIN = 0.35  # candidate-pair floor; margin-checked: nearest
+# within-bucket cosine sits ≥3.6e-5 away at sf0.01 AND sf0.1, so the float
+# threshold cannot flip between engines (the COSINE_DUP_THRESHOLD discipline)
+
+CONTRASTIVE_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {_bucket_expr_sql_derived('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT least(a.label, bb.label)    AS label_a,
+             greatest(a.label, bb.label) AS label_b,
+             list_cosine_similarity(a.v, bb.v) AS cos
+      FROM b a JOIN b bb
+        ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+      WHERE list_cosine_similarity(a.v, bb.v) >= {CONTRASTIVE_COS_MIN}
+    )
+    SELECT label_a, label_b,
+           (label_a = label_b)                  AS is_positive,
+           CAST(count(*) AS BIGINT)             AS n_pairs,
+           round(avg(cos), 6)                   AS avg_cos,
+           round(max(cos), 6)                   AS max_cos
+    FROM pairs GROUP BY label_a, label_b
+"""
+
+
+@query("contrastive_pair_mining", oracle=CONTRASTIVE_ORACLE)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair census (X2 — the mining step under
+    SimCSE/CLIP-style embedding training): within-bucket vector pairs
+    above cosine {CONTRASTIVE_COS_MIN}, grouped by (label, label).
+    Diagonal rows (is_positive) size the positive-pair pool per
+    class; off-diagonal rows are the HARD negatives — high-similarity
+    cross-label pairs, exactly the examples a contrastive loss needs
+    and random negative sampling misses. ``max_cos`` off-diagonal
+    flags label pairs so confusable they deserve a curation look
+    (cf. ``knn_label_purity``).
+
+    Scale: pair generation is the SRP-bucket self-join (N·bucket-width
+    work, plane count corpus-derived — never all-pairs; the
+    ``knn_graph_bucketed`` geometry), the cosine floor prunes pairs
+    before the shuffle, and the census is a ≤|labels|² hash aggregate
+    with map-side combine.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("bucket", _bucket_expr_spark("v", corpus_planes(spark, sf_dir)))
+    par = spark.sparkContext.defaultParallelism
+    a = v.select("vec_id", "label", F.col("v").alias("va"), "bucket").repartition(
+        par, "bucket"
+    )
+    b = v.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label").alias("nbr_label"),
+        F.col("v").alias("vb"),
+        "bucket",
+    ).repartition(par, "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id") < F.col("nbr_id"))
+        .withColumn("_cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("_cos") >= CONTRASTIVE_COS_MIN)
+        .select(
+            F.least("label", "nbr_label").alias("label_a"),
+            F.greatest("label", "nbr_label").alias("label_b"),
+            "_cos",
+        )
+    )
+    return (
+        pairs.groupBy("label_a", "label_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("_cos"), 6).alias("avg_cos"),
+            F.round(F.max("_cos"), 6).alias("max_cos"),
+        )
+        .select(
+            "label_a",
+            "label_b",
+            (F.col("label_a") == F.col("label_b")).alias("is_positive"),
+            "n_pairs",
+            "avg_cos",
+            "max_cos",
+        )
+    )

@@ -14,7 +14,7 @@ two hash aggregates + one broadcast-able join on term.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
@@ -965,4 +965,131 @@ def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("avg_surprisal").desc(), "doc_id")
         .limit(20)
+    )
+
+
+SPAN_START_MOD = 7  # ≈1/7 of positions seed a corruption span
+SPAN_LEN_MOD = 3  # span length 1 + h%3 ∈ {1,2,3}
+
+
+@query(
+    "span_corruption_census",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+    pos AS (
+      SELECT doc_id, source, len(toks) AS n_tokens,
+             unnest(range(0, len(toks))) AS p
+      FROM t
+    ),
+    starts AS (
+      SELECT doc_id, source, n_tokens, p,
+             1 + CAST(('0x' || substr(md5(doc_id || ':' || p), 17, 2))
+                      AS BIGINT) % {SPAN_LEN_MOD} AS span_len
+      FROM pos
+      WHERE CAST(('0x' || substr(md5(doc_id || ':' || p), 1, 15)) AS BIGINT)
+            % {SPAN_START_MOD} = 0
+    ),
+    masked AS (
+      SELECT DISTINCT doc_id, source, n_tokens,
+             unnest(range(p, least(p + span_len, n_tokens))) AS mp
+      FROM starts
+    ),
+    runs AS (
+      SELECT doc_id, source, n_tokens, mp,
+             CASE WHEN lag(mp) OVER (PARTITION BY doc_id ORDER BY mp)
+                       IS DISTINCT FROM mp - 1 THEN 1 ELSE 0 END AS is_head
+      FROM masked
+    ),
+    per_doc AS (
+      SELECT doc_id, any_value(source) AS source,
+             any_value(n_tokens) AS n_tokens,
+             count(*) AS n_masked, sum(is_head) AS n_spans
+      FROM runs GROUP BY doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)        AS n_docs_masked,
+           CAST(sum(n_tokens) AS BIGINT)   AS total_tokens,
+           CAST(sum(n_masked) AS BIGINT)   AS total_masked,
+           CAST(sum(n_spans) AS BIGINT)    AS total_spans,
+           round(CAST(sum(n_masked) AS DOUBLE) / sum(n_tokens), 6)
+             AS mask_ratio
+    FROM per_doc GROUP BY source
+    """,
+)
+def span_corruption_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption mask planning (X4 — the T5/UL2 pretraining
+    objective's data-prep kernel): deterministic hash-seeded span
+    starts (≈1/{SPAN_START_MOD} of positions) each mask 1..{SPAN_LEN_MOD}
+    tokens; overlapping spans merge into islands. The census reports,
+    per source, how much text the objective would corrupt and into
+    how many spans — the numbers that calibrate noise density before
+    a pretraining run (and the same salted-hash determinism the
+    split/resample entries use, so masks are reproducible across
+    epochs and engines).
+
+    Scale: position explosion is a projection; span fan-out is ≤
+    {SPAN_LEN_MOD}× the start rows; island heads come from ONE
+    (doc_id)-keyed window over masked positions (per-partition state
+    = one doc's masks); the rollup is a per-source hash aggregate.
+    Entirely JVM-side md5 arithmetic — no Python, no RNG state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    pos = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "source",
+            F.size(toks).alias("n_tokens"),
+            F.explode(F.sequence(F.lit(0), F.size(toks) - 1)).alias("p"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    key = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("p")))
+    h_start = F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % SPAN_START_MOD
+    span_len = 1 + F.conv(F.substring(key, 17, 2), 16, 10).cast("long") % SPAN_LEN_MOD
+    starts = pos.filter(h_start == 0).select(
+        "doc_id", "source", "n_tokens", "p", span_len.alias("span_len")
+    )
+    masked = (
+        starts.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.explode(
+                F.sequence(
+                    F.col("p"),
+                    F.least(
+                        F.col("p") + F.col("span_len") - 1, F.col("n_tokens") - 1
+                    ),
+                )
+            ).alias("mp"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("mp")
+    runs = masked.withColumn(
+        "is_head",
+        F.when(
+            F.lag("mp").over(w).isNull() | (F.lag("mp").over(w) != F.col("mp") - 1),
+            1,
+        ).otherwise(0),
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.count("*").alias("n_masked"),
+        F.sum("is_head").alias("n_spans"),
+    )
+    # Docs whose hash seeded no span at all drop from the census —
+    # n_docs_masked counts corrupted docs, not the corpus.
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs_masked"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_masked").alias("total_masked"),
+        F.sum("n_spans").alias("total_spans"),
+        F.round(
+            F.sum("n_masked").cast("double") / F.sum("n_tokens"), 6
+        ).alias("mask_ratio"),
     )

@@ -693,3 +693,19 @@ def test_audio_framing_payload_pruned_jvm_only(spark):
     plan = plan_of(spark, "multimodal_audio_framing")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_contrastive_mining_bucket_join_no_python(spark):
+    """Pair mining keys on the SRP bucket (never all-pairs), prunes on
+    the cosine floor before the census shuffle; no Python."""
+    plan = plan_of(spark, "contrastive_pair_mining")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan
+
+
+def test_span_corruption_jvm_hash_single_doc_window(spark):
+    """Mask seeding is JVM md5 arithmetic (no Python, no RNG); the
+    island window is (doc_id)-keyed over masked positions only."""
+    plan = plan_of(spark, "span_corruption_census")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "md5" in plan
