@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ignore previously loaded data and start again")
     p.add_argument("--split", "-s", default=None,
                    help="doc field that routes documents into per-type tables")
+    p.add_argument("--evolve-schema", action="store_true",
+                   help="let later batches ADD columns (null-backfilled, "
+                        "versioned — Delta mergeSchema) instead of the "
+                        "reference's frozen-schema drop")
     p.add_argument("--query", "-q", default=None,
                    help="Mango selector JSON filtering the feed")
     p.add_argument("--transform", "-t",
@@ -155,6 +159,7 @@ def main(argv: list[str] | None = None) -> int:
         selector=selector,
         reset=args.reset,
         verbose=not args.quiet,
+        evolve_schema=args.evolve_schema,
     )
 
     if args.mv:

@@ -133,6 +133,7 @@ class Warehouse:
         followers: list[Callable] | None = None,
         auto_vacuum: int | None = None,
         merge_retries: int = 0,
+        evolve_schema: bool = False,
     ):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
@@ -165,6 +166,13 @@ class Warehouse:
         # consumers must poll within N batches or fall back to a full
         # re-export (same contract as Delta CDF + VACUUM).
         self.auto_vacuum = auto_vacuum
+        # Opt-in schema evolution (Delta's mergeSchema): later batches
+        # may ADD columns (null-backfilled for existing rows, visible
+        # from the version that added them); existing columns keep
+        # their frozen type. False (default) = the reference's exact
+        # frozen-schema semantics — extra fields silently dropped
+        # (reference README.md:300-304, test/run_evolve.js).
+        self.evolve_schema = evolve_schema
         # Optimistic-concurrency retry budget for redundant HA
         # ingestors: on ConcurrentCommitError the merge replays against
         # the winner's head up to this many times (idempotent by seq).
@@ -713,6 +721,8 @@ class Warehouse:
 
         if doc_type not in self.schemas:
             self.schemas[doc_type] = self._freeze_schema(flat)
+        elif self.evolve_schema:
+            self._evolve_schema(flat, doc_type)
         struct = schema_to_struct(self.schemas[doc_type])
 
         # Persisted: the incremental lane reads this frame twice (the
@@ -906,7 +916,19 @@ class Warehouse:
             read_files, untouched = self._prune_bucket_files(
                 aff_files, conformed, tombstones, stats_by_path
             )
-            state = self.spark.read.parquet(*read_files) if read_files else None
+            if read_files:
+                # Explicit schema (CURRENT frozen schema + seq): under
+                # evolution the affected files may predate a column —
+                # a schema-less read would sample one file's footer
+                # and silently drop or misalign; explicit schema makes
+                # pre-evolution files read the new column as NULL.
+                state_schema = T.StructType(
+                    list(schema_to_struct(self.schemas[doc_type]).fields)
+                    + [T.StructField(SEQ_COL, T.LongType())]
+                )
+                state = self.spark.read.schema(state_schema).parquet(*read_files)
+            else:
+                state = None
         elif os.path.isdir(path) and any(
             fn.endswith(".parquet") for fn in os.listdir(path)
         ):
@@ -965,6 +987,32 @@ class Warehouse:
             next_stats,
             base_version=manifest["version"] if manifest is not None else 0,
         )
+
+    def _evolve_schema(self, flat: DataFrame, doc_type: str) -> list[str]:
+        """Widen the frozen schema with columns this batch introduces
+        (``evolve_schema=True`` only — Delta's mergeSchema). New
+        columns APPEND with the logical type their Spark dtype maps
+        to; existing columns are never retyped or dropped, so every
+        already-written file stays readable and conformance semantics
+        for known columns are unchanged. Returns the added names."""
+        schema = self.schemas[doc_type]
+        added = []
+        for field in flat.schema.fields:
+            if field.name == SEQ_COL or field.name in schema:
+                continue
+            if isinstance(field.dataType, T.BooleanType):
+                logical = "boolean"
+            elif isinstance(
+                field.dataType,
+                (T.DoubleType, T.FloatType, T.LongType, T.IntegerType,
+                 T.ShortType, T.ByteType, T.DecimalType),
+            ):
+                logical = "number"
+            else:
+                logical = "string"
+            schema[field.name] = logical
+            added.append(field.name)
+        return added
 
     def _freeze_schema(self, flat: DataFrame) -> dict[str, str]:
         """First-doc-wins schema freeze (R7; reference index.js:55-68).
@@ -1124,10 +1172,27 @@ class Warehouse:
         if manifest is None:
             return self.spark.read.parquet(path)
         files = self._manifest_files(path, manifest)
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         if not files:
-            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.option("basePath", path).parquet(*files)
+        # Read with THIS version's manifest schema, explicitly: under
+        # schema evolution a bucket legitimately mixes files written
+        # before and after a column was added (pre-evolution files
+        # carry forward by reference), and a schema-less parquet read
+        # would take whichever file it samples first — silently
+        # dropping the new column or failing. Explicit schema makes
+        # missing columns typed NULLs per file, and makes each table
+        # VERSION read with the schema it committed (Delta's
+        # schema-per-log-entry). _cw_bucket rides along as the
+        # partition column.
+        read_schema = T.StructType(
+            list(schema.fields) + [T.StructField("_cw_bucket", T.IntegerType())]
+        )
+        return (
+            self.spark.read.option("basePath", path)
+            .schema(read_schema)
+            .parquet(*files)
+        )
 
     def table(
         self, doc_type: str = DEFAULT_TYPE, version: int | None = None

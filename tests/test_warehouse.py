@@ -967,3 +967,49 @@ def test_merge_retries_replay_against_winner(spark, tmp_path):
     assert len(ids) == 12
     ops = [r["op"] for r in wh.history().collect()]
     assert ops.count("merge") >= 3  # initial + rival + retried commit
+
+
+def test_schema_evolution_opt_in(spark, tmp_path):
+    """evolve_schema=True (Delta mergeSchema): a later batch ADDS a
+    column — null-backfilled for existing rows, visible from the
+    version that added it; earlier versions keep their own schema;
+    pre-evolution bucket files read correctly (explicit-schema read).
+    The default remains the reference's frozen-drop semantics."""
+    rng = random.Random(13)
+    wh = Warehouse(
+        spark, str(tmp_path / "wh"), "evodata", n_buckets=2, evolve_schema=True
+    )
+    wh.spool(
+        write_feed(
+            str(tmp_path / "f1.jsonl"),
+            [envelope(i + 1, person_doc(i, rng)) for i in range(12)],
+        )
+    )
+    assert "loyalty_tier" not in wh.table().columns
+
+    doc = person_doc(50, random.Random(50))
+    doc["loyalty_tier"] = "gold"
+    doc["visits"] = 7
+    wh.spool(write_feed(str(tmp_path / "f2.jsonl"), [envelope(13, doc)]))
+
+    t = wh.table()
+    assert "loyalty_tier" in t.columns and "visits" in t.columns
+    assert dict(t.dtypes)["visits"] == "double"  # number → double lane
+    rows = {r["id"]: (r["loyalty_tier"], r["visits"]) for r in t.collect()}
+    assert rows["person0050"] == ("gold", 7.0)
+    # Pre-evolution rows (files carried forward by reference in
+    # untouched buckets) read the new columns as NULL.
+    assert rows["person0001"] == (None, None)
+    assert len(rows) == 13
+    # Time travel: version 1 still reads with ITS schema.
+    assert "loyalty_tier" not in wh.table(version=1).columns
+    # The widened schema persists across a reopen.
+    wh2 = Warehouse(spark, str(tmp_path / "wh"), "evodata", n_buckets=2)
+    assert "loyalty_tier" in wh2.schemas["_default"]
+    # A third batch updating an OLD doc must not disturb the new cols.
+    upd = person_doc(1, random.Random(1))
+    upd["name"] = "Updated 1"
+    wh.spool(write_feed(str(tmp_path / "f3.jsonl"), [envelope(14, upd)]))
+    rows3 = {r["id"]: r["loyalty_tier"] for r in wh.table().collect()}
+    assert rows3["person0050"] == "gold"
+    assert rows3["person0001"] is None
