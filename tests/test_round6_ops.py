@@ -335,3 +335,52 @@ class TestCooccurrencePmiPairs:
         row = out.iloc[0]
         assert (row["part_a"], row["part_b"], row["c_ab"]) == (10, 20, 3)
         assert abs(row["pmi"] - math.log(4 / 3)) < 1e-6
+
+
+class TestSparseCosineRandomizedModel:
+    def test_matches_pure_python_model(self, spark, tmp_path):
+        """Randomized-corpus equivalence: an independent pure-Python
+        tf-cosine implementation must produce exactly the same pair
+        set and (rounded) similarities — the duplicate_ngram_removal
+        test strategy applied to the newest dedup operator."""
+        import random
+        from collections import Counter
+
+        from couchwarehouse_spark.plans.dedup import sparse_cosine_pairs
+
+        rng = random.Random(1234)
+        vocab = [f"w{i}" for i in range(12)]  # small vocab → real overlap
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+            for _ in range(40)
+        ]
+
+        def shingles(text):
+            toks = text.split(" ")
+            if len(toks) < 3:
+                return None
+            return Counter(
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            )
+
+        tf = {i: s for i, t in enumerate(texts) if (s := shingles(t))}
+        expected = {}
+        ids = sorted(tf)
+        for a in ids:
+            for b in ids:
+                if a >= b:
+                    continue
+                dot = sum(tf[a][g] * tf[b][g] for g in tf[a] if g in tf[b])
+                n1 = sum(v * v for v in tf[a].values())
+                n2 = sum(v * v for v in tf[b].values())
+                if 4 * dot * dot >= n1 * n2 and dot > 0:
+                    expected[(a, b)] = round(dot / math.sqrt(n1 * n2), 6)
+
+        d = str(tmp_path / "sf")
+        _write(_docs(spark, texts), d, "documents")
+        out = sparse_cosine_pairs(spark, d).toPandas()
+        got = {
+            (int(r["doc_id_1"]), int(r["doc_id_2"])): round(r["cos_sim"], 6)
+            for _, r in out.iterrows()
+        }
+        assert got == expected
