@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
 from couchwarehouse_spark.plans.dedup import _shingles
-from couchwarehouse_spark.plans.registry import query
+from couchwarehouse_spark.plans.registry import query, scoped_persist
 
 REP_FLAG_NUM = 50  # flag a doc when dup_trigrams/total_trigrams > 1/50
 # (1/50 calibrated to the synthetic corpus: per-doc dup fractions top out
@@ -586,3 +586,99 @@ def pii_id_masking_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_digit_runs").cast("long").alias("n_digit_runs"),
         F.countDistinct("masked").alias("n_masked_forms"),
     )
+
+
+@query(
+    "source_tvd_matrix",
+    oracle="""
+    WITH tc AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    c AS (SELECT source, term, count(*) AS c FROM tc GROUP BY source, term),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY source),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(sum(abs(a.c * tb.t - b.c * ta.t)) AS BIGINT) AS shared_abs,
+             CAST(sum(a.c) AS BIGINT) AS shared_a,
+             CAST(sum(b.c) AS BIGINT) AS shared_b
+      FROM c a JOIN c b ON a.term = b.term AND a.source < b.source
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b,
+           shared_abs + (ta.t - shared_a) * tb.t + (tb.t - shared_b) * ta.t
+                                                 AS tvd_numerator,
+           ta.t * tb.t                           AS tvd_denominator,
+           round((shared_abs + (ta.t - shared_a) * tb.t
+                  + (tb.t - shared_b) * ta.t)
+                 / CAST(2 * ta.t * tb.t AS DOUBLE), 6) AS tvd
+    FROM shared
+    JOIN tot ta ON ta.source = shared.src_a
+    JOIN tot tb ON tb.source = shared.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def source_tvd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise total-variation distance between per-source unigram
+    distributions (curation: the mixture-drift / domain-shift audit
+    run before reweighting a training mix — TVD(P,Q) = ½ Σ|p-q| is
+    the blunt, bounded [0,1] cousin of KL that never divides by a
+    zero count). INTEGER-EXACT by construction: with per-source
+    totals T_a, T_b, the statistic is computed as the integer
+    numerator Σ|c_a·T_b - c_b·T_a| over shared terms plus the
+    disjoint-mass terms (T_a - Σc_a_shared)·T_b + (T_b - Σc_b_shared)
+    ·T_a, over the integer denominator T_a·T_b — only the final
+    display ratio is a rounded double, so the oracle hash can never
+    drift on float summation order.
+
+    Scale: one word-count shuffle builds the (source, term) count
+    table (map-side combine), the pair terms come from a TERM-keyed
+    self-join of that already-collapsed table (|sources|² blowup per
+    term, with |sources| small — never a corpus×corpus join), and the
+    per-source totals are a |sources|-row broadcast. Output is one
+    row per source pair.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    c = scoped_persist(c)
+    tot = c.groupBy("source").agg(F.sum("c").alias("t"))
+    a = c.select(F.col("source").alias("src_a"), "term", F.col("c").alias("ca"))
+    b = c.select(F.col("source").alias("src_b"), "term", F.col("c").alias("cb"))
+    ta = F.broadcast(tot.select(F.col("source").alias("src_a"), F.col("t").alias("ta")))
+    tb = F.broadcast(tot.select(F.col("source").alias("src_b"), F.col("t").alias("tb")))
+    shared = (
+        a.join(b, ["term"])
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(ta, "src_a")
+        .join(tb, "src_b")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta"))).alias(
+                "shared_abs"
+            ),
+            F.sum("ca").alias("shared_a"),
+            F.sum("cb").alias("shared_b"),
+            F.first("ta").alias("ta"),
+            F.first("tb").alias("tb"),
+        )
+    )
+    num = (
+        F.col("shared_abs")
+        + (F.col("ta") - F.col("shared_a")) * F.col("tb")
+        + (F.col("tb") - F.col("shared_b")) * F.col("ta")
+    )
+    return shared.select(
+        "src_a",
+        "src_b",
+        num.alias("tvd_numerator"),
+        (F.col("ta") * F.col("tb")).alias("tvd_denominator"),
+        F.round(
+            num / (F.lit(2) * F.col("ta") * F.col("tb")).cast("double"), 6
+        ).alias("tvd"),
+    ).orderBy("src_a", "src_b")

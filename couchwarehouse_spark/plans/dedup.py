@@ -1330,3 +1330,62 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+
+
+BOUNDARY_K = 3  # boundary shingle width (words)
+
+
+@query(
+    "doc_boundary_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    edges AS (
+      SELECT doc_id,
+             array_to_string(list_slice(w, 1, {BOUNDARY_K}), ' ')  AS head,
+             array_to_string(
+               list_slice(w, len(w) - {BOUNDARY_K} + 1, len(w)), ' ') AS tail
+      FROM t WHERE len(w) >= {BOUNDARY_K}
+    )
+    SELECT a.doc_id AS tail_doc, b.doc_id AS head_doc, a.tail AS shingle
+    FROM edges a JOIN edges b ON a.tail = b.head AND a.doc_id <> b.doc_id
+    ORDER BY tail_doc, head_doc
+    LIMIT 50
+    """,
+)
+def doc_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation-boundary contamination scan (X1): pairs of
+    documents where one document's TRAILING BOUNDARY_K-word shingle
+    reappears as another's LEADING shingle — the signature of a
+    corpus assembled by naive splitting of a larger stream (web
+    crawls chunked mid-page, books sharded mid-paragraph). Training
+    on such a corpus double-counts every boundary span and leaks
+    context across supposed document boundaries; the pairs are also
+    stitch candidates for re-joining split docs.
+
+    Scale: one projection computes both boundary shingles per doc (no
+    explode — two array slices), then a single equi-join of the
+    tails table against the heads table ON THE SHINGLE STRING — an
+    ordinary key-partitioned hash join whose key cardinality is the
+    number of distinct boundary shingles (heavy-hitter boilerplate
+    shingles are exactly what AQE skew-split handles). Never an
+    all-pairs compare; top-50 is TakeOrderedAndProject.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    edges = d.filter(F.size(w) >= BOUNDARY_K).select(
+        "doc_id",
+        F.array_join(F.slice(w, 1, BOUNDARY_K), " ").alias("head"),
+        F.array_join(F.slice(w, -BOUNDARY_K, BOUNDARY_K), " ").alias("tail"),
+    )
+    edges = scoped_persist(edges)
+    tails = edges.select(F.col("doc_id").alias("tail_doc"), F.col("tail").alias("shingle"))
+    heads = edges.select(F.col("doc_id").alias("head_doc"), F.col("head").alias("shingle"))
+    return (
+        tails.join(heads, "shingle")
+        .filter(F.col("tail_doc") != F.col("head_doc"))
+        .select("tail_doc", "head_doc", "shingle")
+        .orderBy("tail_doc", "head_doc")
+        .limit(50)
+    )

@@ -714,3 +714,175 @@ def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(q / p, 6).alias("boost"),
         )
     )
+
+
+BON_GROUP = 4  # best-of-n pool size (docs per prompt group)
+REWARD_SALT = "rm1"  # reward-model version tag baked into the hash
+
+
+@query(
+    "best_of_n_selection",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, doc_id // {BON_GROUP} AS grp,
+             CAST(('0x' || substr(md5('{REWARD_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS reward
+      FROM documents
+    ),
+    best AS (
+      SELECT grp, max_by(doc_id, reward) AS chosen_doc,
+             max(reward) AS chosen_reward,
+             CAST(sum(reward) AS BIGINT) AS pool_reward, count(*) AS pool_n,
+             max_by(source, reward) AS source
+      FROM scored GROUP BY grp
+    )
+    SELECT source,
+           count(*)                                    AS n_groups,
+           CAST(sum(chosen_reward) AS BIGINT)          AS sum_chosen_reward,
+           CAST(sum(pool_reward) AS BIGINT)            AS sum_pool_reward,
+           CAST(sum(pool_n) AS BIGINT)                 AS n_candidates,
+           round(sum(chosen_reward) / CAST(sum(pool_reward) AS DOUBLE)
+                 * sum(pool_n) / count(*), 6)          AS reward_lift
+    FROM best
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def best_of_n_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n (rejection sampling) harvest census (sampling — the
+    RLHF/RFT data-collection step: n candidate completions per
+    prompt, keep the argmax under a reward model). Prompt groups are
+    consecutive doc_id blocks of BON_GROUP; the reward is a salted
+    md5-derived integer — a deterministic stand-in with the exact
+    join/agg shape of a real scored corpus (swap the hash for a
+    model-score column and nothing else changes). Output: per-source
+    group counts, integer reward mass of chosen vs pool, and the
+    reward lift of selection over random draw.
+
+    Scale: scoring is a pure projection fused into the scan; argmax
+    per group is ONE hash aggregate via max_by (no window, no
+    self-join — partial aggregates combine map-side); the per-source
+    rollup reduces the already-|groups|-sized table. Integer rewards
+    summed exactly; only the display lift is a rounded double.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    reward = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{REWARD_SALT}:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.floor(F.col("doc_id") / BON_GROUP).cast("long").alias("grp"),
+        reward.alias("reward"),
+    )
+    best = scored.groupBy("grp").agg(
+        F.max_by("doc_id", "reward").alias("chosen_doc"),
+        F.max("reward").alias("chosen_reward"),
+        F.sum("reward").alias("pool_reward"),
+        F.count("*").alias("pool_n"),
+        F.max_by("source", "reward").alias("source"),
+    )
+    return (
+        best.groupBy("source")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("chosen_reward").alias("sum_chosen_reward"),
+            F.sum("pool_reward").alias("sum_pool_reward"),
+            F.sum("pool_n").alias("n_candidates"),
+            F.round(
+                F.sum("chosen_reward")
+                / F.sum("pool_reward").cast("double")
+                * F.sum("pool_n")
+                / F.count("*"),
+                6,
+            ).alias("reward_lift"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "preference_pair_harvest",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, doc_id // {BON_GROUP} AS grp, n_chars,
+             CAST(('0x' || substr(md5('{REWARD_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS reward
+      FROM documents
+    ),
+    pairs AS (
+      SELECT grp,
+             max_by(doc_id, reward)  AS chosen_doc,
+             min_by(doc_id, reward)  AS rejected_doc,
+             max(reward) - min(reward) AS reward_margin,
+             max_by(n_chars, reward) AS chosen_chars,
+             min_by(n_chars, reward) AS rejected_chars,
+             count(*) AS pool_n
+      FROM scored GROUP BY grp
+      HAVING count(*) >= 2
+    )
+    SELECT grp, chosen_doc, rejected_doc, reward_margin,
+           chosen_chars, rejected_chars
+    FROM pairs
+    ORDER BY reward_margin DESC, grp
+    LIMIT 30
+    """,
+)
+def preference_pair_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair mining (sampling): within each prompt
+    group, emit (chosen, rejected) = (argmax, argmin) of the reward,
+    with the margin — the widest-margin pairs are the highest-signal
+    training pairs and surface first (a real pipeline thresholds on
+    margin; length columns ride along because chosen-vs-rejected
+    LENGTH bias is the standard DPO failure mode to audit before
+    training). Same deterministic salted-hash reward as
+    ``best_of_n_selection``.
+
+    Scale: one hash aggregate per group (max_by/min_by — no window,
+    no self-join), groups with a single candidate dropped by HAVING;
+    top-30 by margin is TakeOrderedAndProject. All-integer output.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    reward = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{REWARD_SALT}:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        F.floor(F.col("doc_id") / BON_GROUP).cast("long").alias("grp"),
+        reward.alias("reward"),
+    )
+    return (
+        scored.groupBy("grp")
+        .agg(
+            F.max_by("doc_id", "reward").alias("chosen_doc"),
+            F.min_by("doc_id", "reward").alias("rejected_doc"),
+            (F.max("reward") - F.min("reward")).alias("reward_margin"),
+            F.max_by("n_chars", "reward").alias("chosen_chars"),
+            F.min_by("n_chars", "reward").alias("rejected_chars"),
+            F.count("*").alias("pool_n"),
+        )
+        .filter(F.col("pool_n") >= 2)
+        .select(
+            "grp",
+            "chosen_doc",
+            "rejected_doc",
+            "reward_margin",
+            "chosen_chars",
+            "rejected_chars",
+        )
+        .orderBy(F.col("reward_margin").desc(), "grp")
+        .limit(30)
+    )

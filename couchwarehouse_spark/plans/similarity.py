@@ -2005,3 +2005,71 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cos",
         )
     )
+
+
+GRAM_SCALE = 1000  # fixed-point quantization for integer-exact Gram sums
+GRAM_TOP_K = 20
+
+
+@query(
+    "embedding_gram_matrix",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {GRAM_SCALE}) AS BIGINT))) AS q,
+             generate_subscripts(embedding, 1) - 1 AS i
+      FROM embeddings
+    )
+    SELECT a.i AS dim_i, b.i AS dim_j, CAST(sum(a.q * b.q) AS BIGINT) AS gram,
+           count(*) AS n_rows
+    FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND b.i > a.i
+    GROUP BY a.i, b.i
+    ORDER BY abs(sum(a.q * b.q)) DESC, dim_i, dim_j
+    LIMIT {GRAM_TOP_K}
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram-matrix step (X2 — the X'X kernel under PCA /
+    whitening / covariance estimation over an embedding corpus): the
+    top-GRAM_TOP_K strongest off-diagonal second-moment entries
+    G[i,j] = Σ_rows x_i·x_j. Strong off-diagonals mean correlated
+    dimensions — wasted capacity an index (OPQ rotation, PCA
+    truncation) should remove; near-diagonal Gram means the space is
+    already decorrelated. INTEGER-EXACT: components are fixed-point
+    quantized (floor(x·1000) — floor, not round: round-half placement
+    differs across engines) so the sums are exact longs and the
+    oracle hash cannot drift on float association order.
+
+    Scale: this is the map-reduce Gram construction — each row emits
+    its upper-triangle products and a (i,j)-keyed hash aggregate with
+    MAP-SIDE PARTIAL COMBINE collapses them; the shuffle carries at
+    most d²/2 = 2016 running sums PER MAP PARTITION regardless of
+    row count (the classic reason Gram/covariance scales linearly in
+    N on a cluster). The double explode is JVM-side (posexplode);
+    nothing all-pairs, nothing driver-side.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * GRAM_SCALE).cast("long"),
+    )
+    v = e.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id", q.alias("q")
+    )
+    a = v.select("vec_id", "q", F.posexplode("q").alias("i", "qi"))
+    b = a.select("i", "qi", F.posexplode("q").alias("j", "qj")).filter(
+        F.col("j") > F.col("i")
+    )
+    return (
+        b.groupBy(
+            F.col("i").cast("long").alias("dim_i"),
+            F.col("j").cast("long").alias("dim_j"),
+        )
+        .agg(
+            F.sum(F.col("qi") * F.col("qj")).alias("gram"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy(F.abs(F.col("gram")).desc(), "dim_i", "dim_j")
+        .limit(GRAM_TOP_K)
+    )

@@ -1093,3 +1093,81 @@ def span_corruption_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_masked").cast("double") / F.sum("n_tokens"), 6
         ).alias("mask_ratio"),
     )
+
+
+KN_TOP_K = 20
+
+
+@query(
+    "kn_continuation_counts",
+    oracle=f"""
+    WITH t AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+    ),
+    big AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+               i -> {{'w1': list_extract(w, i), 'w2': list_extract(w, i + 1)}}),
+             recursive := true)
+      FROM t WHERE len(w) >= 2
+    ),
+    types AS (SELECT DISTINCT w1, w2 FROM big),
+    n_types AS (SELECT count(*) AS n FROM types)
+    SELECT w2                            AS term,
+           count(*)                      AS left_continuation,
+           round(count(*) / (SELECT CAST(n AS DOUBLE) FROM n_types), 6)
+                                         AS p_continuation
+    FROM types
+    GROUP BY w2
+    ORDER BY left_continuation DESC, term
+    LIMIT {KN_TOP_K}
+    """,
+)
+def kn_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney continuation counts (X4 — the smoothing statistic
+    under interpolated-KN n-gram LMs, Kneser & Ney 1995): for each
+    word, N1+(· w) = how many DISTINCT left contexts it follows, and
+    the KN lower-order probability p_cont(w) = N1+(· w) / |bigram
+    types|. Words with high raw frequency but low continuation count
+    ("Francisco") get correctly down-weighted as backoff candidates —
+    the classic motivation for the statistic — which also makes it a
+    boilerplate detector: templated corpora show token types locked
+    to few contexts.
+
+    Scale: bigrams from one array zip per document (no position
+    self-join), then a (w1, w2) DISTINCT — a hash aggregate with
+    map-side partial dedup — and a (w2) count over the TYPE table,
+    which is already far smaller than the corpus. The |types|
+    denominator is a one-row aggregate cross-joined (broadcast) onto
+    the result; top-k is TakeOrderedAndProject. Integer counts; only
+    the final ratio is a rounded double.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    bigram_structs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    types = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size(toks) >= 2)
+        .select(F.explode(bigram_structs).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .distinct()
+    )
+    types = scoped_persist(types)
+    n_types = types.agg(F.count("*").cast("double").alias("n"))
+    return (
+        types.groupBy(F.col("w2").alias("term"))
+        .agg(F.count("*").alias("left_continuation"))
+        .crossJoin(F.broadcast(n_types))
+        .select(
+            "term",
+            "left_continuation",
+            F.round(F.col("left_continuation") / F.col("n"), 6).alias(
+                "p_continuation"
+            ),
+        )
+        .orderBy(F.col("left_continuation").desc(), "term")
+        .limit(KN_TOP_K)
+    )

@@ -29,6 +29,13 @@ from couchwarehouse_spark.warehouse import Warehouse
 
 AMEND = 7  # orders with o_orderkey % 7 == 0 get amended (status overwrite)
 DELETE = 10  # orders with o_orderkey % 10 == 0 get tombstoned
+# Declared doc schema for the derived feed (strict mode): the spool
+# parses with one schema-declared read instead of inference + read —
+# the production posture for a known doc type.
+FEED_DOC_DDL = (
+    "_id string, _rev string, status string, total double, "
+    "customer struct<id: bigint>"
+)
 TT_SUBSET = 3  # time_travel_cdc feeds only o_orderkey % 3 == 0 (spool
 # throughput is already benchmarked by warehouse_e2e_pipeline; the
 # manifest-layer certification doesn't need a second full-corpus spool)
@@ -136,7 +143,7 @@ def warehouse_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
 
     _build_feed(spark, sf_dir, feed_dir)
-    wh = Warehouse(spark, wh_dir, "e2eorders", reset=True)
+    wh = Warehouse(spark, wh_dir, "e2eorders", reset=True, feed_schema=FEED_DOC_DDL)
     wh.spool(feed_dir)
 
     t = wh.table()
@@ -186,7 +193,7 @@ def time_travel_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _build_feed(spark, sf_dir, feed1, phase=1, subset=TT_SUBSET)
     _build_feed(spark, sf_dir, feed2, phase=2, subset=TT_SUBSET)
-    wh = Warehouse(spark, wh_dir, "ttorders", reset=True)
+    wh = Warehouse(spark, wh_dir, "ttorders", reset=True, feed_schema=FEED_DOC_DDL)
     wh.spool(feed1)
     wh.spool(feed2)
 

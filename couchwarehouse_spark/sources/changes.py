@@ -27,6 +27,15 @@ from couchwarehouse_spark.operators.document import seq_number_col
 DESIGN_DOC_RE = "^_design"
 
 
+def _envelope_ddl(doc_schema: str) -> str:
+    """Full ``_changes`` envelope DDL around a declared doc schema."""
+    return (
+        "seq string, id string, deleted boolean, "
+        "changes array<struct<rev: string>>, "
+        f"doc struct<{doc_schema}>"
+    )
+
+
 def read_changes_feed(
     spark: SparkSession,
     path: str,
@@ -60,7 +69,15 @@ def read_changes_feed(
     ``scratch_dir`` must be shared storage on a multi-node cluster).
     """
     if doc_transform is None:
-        env = spark.read.json(path)
+        if doc_schema is not None:
+            # Strict mode, no-transform lane: a declared doc schema
+            # skips the JSON inference scan entirely — one read of the
+            # feed instead of two. At 100 TB feeds the inference pass
+            # is a full extra scan; production spools should always
+            # declare the envelope.
+            env = spark.read.schema(_envelope_ddl(doc_schema)).json(path)
+        else:
+            env = spark.read.json(path)
     else:
         import pandas as pd
 
@@ -80,13 +97,8 @@ def read_changes_feed(
 
         transformed = lines.mapInPandas(_tx, "value string")
         if doc_schema is not None:
-            envelope_ddl = (
-                "seq string, id string, deleted boolean, "
-                "changes array<struct<rev: string>>, "
-                f"doc struct<{doc_schema}>"
-            )
             env = transformed.select(
-                F.from_json("value", envelope_ddl).alias("e")
+                F.from_json("value", _envelope_ddl(doc_schema)).alias("e")
             ).select("e.*")
         else:
             # Schemaless fallback: spool the transformed lines to a

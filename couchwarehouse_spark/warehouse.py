@@ -134,6 +134,7 @@ class Warehouse:
         auto_vacuum: int | None = None,
         merge_retries: int = 0,
         evolve_schema: bool = False,
+        feed_schema: str | None = None,
     ):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
@@ -179,6 +180,13 @@ class Warehouse:
         # 0 (default) = conflicts stay loud — single-writer topologies
         # should never silently mask a protocol violation.
         self.merge_retries = merge_retries
+        # Strict-mode feed contract: a DDL string for the doc struct
+        # (e.g. "_id string, total double"). When set, every spool
+        # parses the feed with ONE schema-declared read — no JSON
+        # inference scan (at production feed sizes inference is a
+        # full extra pass over the feed). None = infer (the
+        # reference's schemaless posture).
+        self.feed_schema = feed_schema
         self.schemas: dict[str, dict[str, str]] = {}
         import itertools as _it
         self._scratch_counter = _it.count()
@@ -243,7 +251,12 @@ class Warehouse:
         Resumes from the last checkpoint unless the store is fresh
         (reference index.js:240-243); returns the new last-seq token.
         """
-        env = read_changes_feed(self.spark, feed_path, doc_transform=self.doc_transform)
+        env = read_changes_feed(
+            self.spark,
+            feed_path,
+            doc_transform=self.doc_transform,
+            doc_schema=self.feed_schema,
+        )
         since = self.checkpoints.read(self.db_name)
         if since is not None:
             from couchwarehouse_spark.operators.document import extract_seq_number

@@ -19,6 +19,32 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _stop_leaked_streams(request):
+    """Stop any streaming query a test leaves running — and say which
+    test leaked it. A leaked query keeps submitting micro-batches (and
+    can pin Python workers at full CPU) for the REST of the suite,
+    silently inflating every later test's wall time."""
+    yield
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return
+    leaked = list(s.streams.active)
+    for q in leaked:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    if leaked:
+        names = [q.name or str(q.id) for q in leaked]
+        print(
+            f"\n[stream-leak] {request.node.nodeid} left active queries: {names}",
+            file=sys.stderr,
+        )
+
+
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
