@@ -25,25 +25,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
 # coverage policy. Round-6 rotation — ACTUAL composition (13 + 2 + 13
-# + 1 + 21 = 50; keep these counts in sync with the list, next round's
-# rotation is planned from them):
+# + 6 + 1 + 15 = 50; keep these counts in sync with the list, next
+# round's rotation is planned from them):
 #  - 13 never-regressed anchors (ETL kernel + e2e + one representative
 #    per family),
 #  - 2 entries whose IMPLEMENTATION changed this round and must be
 #    re-proven (event_debounce — microsecond-exact gaps;
 #    udtf_token_runs — per-call view/UDTF names),
-#  - 13 operators NEW this round (never driver-verified by
+#  - 13 operators new early this round (never driver-verified by
 #    construction),
+#  - 6 operators new LATE this round (second batch — source TVD, KN
+#    continuation, boundary overlap, best-of-n, preference pairs,
+#    Gram matrix),
 #  - 1 never-driver-green entry (multimodal_feature_extract — its only
 #    driver row was an r02 infra err; locally green every round),
-#  - 21 stalest entries by last green driver row (all 17 last-green-r02
-#    + 4 last-green-r03: the first 3 alphabetically plus
-#    percentile_stats, which keeps the statistics family in the
-#    window — test_registry_contract.py::test_window_covers_every_
-#    family). After this window, every remaining entry's last driver
-#    green is r03+; next round's staleness rotation continues from
-#    big_spenders_semi / bm25_relevance / cte_above_avg_customers /
-#    deterministic_split alphabetically.
+#  - 15 stalest entries by last green driver row (last-green-r02 +
+#    percentile_stats keeping the statistics family in the window —
+#    test_registry_contract.py::test_window_covers_every_family).
+#    Displaced to make room for the second batch (still t2-sim
+#    checked): cube_flag_status, distinct_segments,
+#    priority_multiset_diff, set_except_nations, set_intersect_brands,
+#    set_union_nations — all single-operator relational entries whose
+#    family stays represented. Next round's staleness rotation starts
+#    from them plus agg_stats/array_functions/asof_last_view
+#    alphabetically.
 # Every entry outside the window stays registered, oracle-checked by
 # tests/t2_sim.py, pytest-covered, and bench-timed.
 PRIORITY = [
@@ -78,25 +83,26 @@ PRIORITY = [
     "multimodal_audio_framing",
     "contrastive_pair_mining",
     "span_corruption_census",
+    # --- 6 NEW operators, second batch this round ---
+    "source_tvd_matrix",
+    "kn_continuation_counts",
+    "doc_boundary_overlap",
+    "best_of_n_selection",
+    "preference_pair_harvest",
+    "embedding_gram_matrix",
     # --- 1 never-driver-green (r02 infra err was its only row) ---
     "multimodal_feature_extract",
-    # --- 21 stalest by last green driver row (17×r02 + 4×r03) ---
+    # --- 15 stalest by last green driver row ---
     "balance_distribution_ranks",
     "crossdoc_ngram_dup",
-    "cube_flag_status",
     "customer_order_gaps",
-    "distinct_segments",
     "doc_length_histogram",
     "domain_mixture_weights",
     "no_big_order_anti",
     "order_cohort_full_outer",
     "price_band_join",
-    "priority_multiset_diff",
     "range_frame_revenue",
     "rollup_priority_status",
-    "set_except_nations",
-    "set_intersect_brands",
-    "set_union_nations",
     "top_revenue_orders",
     "agg_stats",
     "array_functions",

@@ -49,6 +49,8 @@ HEADLINE = [
     "pq_quantization_audit",    # X2 product-quantization distortion (r6)
     "point_in_time_features",   # D4 leakage-safe feature backfill (r6)
     "retrieval_eval_mrr",       # X2 retrieval eval harness (r6)
+    "source_tvd_matrix",        # X+ integer-exact mixture-drift audit (r6b)
+    "embedding_gram_matrix",    # X2 distributed X'X kernel (r6b)
 ]
 
 

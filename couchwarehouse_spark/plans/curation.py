@@ -605,17 +605,20 @@ def pii_id_masking_census(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN tot ta ON ta.source = a.source
       JOIN tot tb ON tb.source = b.source
       GROUP BY a.source, b.source
+    ),
+    pairs AS (
+      SELECT ta.source AS src_a, ta.t AS ta, tb.source AS src_b, tb.t AS tb
+      FROM tot ta JOIN tot tb ON ta.source < tb.source
     )
     SELECT src_a, src_b,
-           shared_abs + (ta.t - shared_a) * tb.t + (tb.t - shared_b) * ta.t
-                                                 AS tvd_numerator,
-           ta.t * tb.t                           AS tvd_denominator,
-           round((shared_abs + (ta.t - shared_a) * tb.t
-                  + (tb.t - shared_b) * ta.t)
-                 / CAST(2 * ta.t * tb.t AS DOUBLE), 6) AS tvd
-    FROM shared
-    JOIN tot ta ON ta.source = shared.src_a
-    JOIN tot tb ON tb.source = shared.src_b
+           coalesce(shared_abs, 0) + (ta - coalesce(shared_a, 0)) * tb
+             + (tb - coalesce(shared_b, 0)) * ta AS tvd_numerator,
+           ta * tb                               AS tvd_denominator,
+           round((coalesce(shared_abs, 0) + (ta - coalesce(shared_a, 0)) * tb
+                  + (tb - coalesce(shared_b, 0)) * ta)
+                 / CAST(2 * ta * tb AS DOUBLE), 6) AS tvd
+    FROM pairs
+    LEFT JOIN shared USING (src_a, src_b)
     ORDER BY src_a, src_b
     """,
 )
@@ -637,7 +640,9 @@ def source_tvd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join of that already-collapsed table (|sources|² blowup per
     term, with |sources| small — never a corpus×corpus join), and the
     per-source totals are a |sources|-row broadcast. Output is one
-    row per source pair.
+    row per source pair — INCLUDING pairs sharing no term at all
+    (TVD exactly 1): the pair spine comes from the tiny totals table,
+    with the shared-term aggregate LEFT-joined on.
     """
     d = load_table(spark, sf_dir, "documents")
     c = (
@@ -664,9 +669,14 @@ def source_tvd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.sum("ca").alias("shared_a"),
             F.sum("cb").alias("shared_b"),
-            F.first("ta").alias("ta"),
-            F.first("tb").alias("tb"),
         )
+    )
+    # Pair spine from the tiny totals table: pairs sharing NO term
+    # must still appear (TVD = 1), so the shared-term aggregate is
+    # LEFT-joined onto the full |sources|² / 2 pair list.
+    pairs = ta.crossJoin(tb).filter(F.col("src_a") < F.col("src_b"))
+    shared = pairs.join(shared, ["src_a", "src_b"], "left").na.fill(
+        0, ["shared_abs", "shared_a", "shared_b"]
     )
     num = (
         F.col("shared_abs")

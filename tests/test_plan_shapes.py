@@ -709,3 +709,65 @@ def test_span_corruption_jvm_hash_single_doc_window(spark):
     plan = plan_of(spark, "span_corruption_census")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "md5" in plan
+
+
+def test_source_tvd_join_on_term_with_broadcast_totals(spark):
+    """TVD pairs come from a TERM-keyed join of the collapsed count
+    table (never corpus×corpus); totals/pair spine attach as
+    broadcasts; word counts partial-aggregate map-side; no Python."""
+    plan = plan_of(spark, "source_tvd_matrix")
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kn_continuation_distinct_then_small_agg(spark):
+    """Bigram TYPE table is a hash-distinct with map-side partial
+    dedup; the |types| denominator is a one-row broadcast; top-k is a
+    per-partition heap; no Python."""
+    plan = plan_of(spark, "kn_continuation_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row denominator attach
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_boundary_overlap_is_shingle_equi_join(spark):
+    """Head/tail shingles join on the shingle string — an ordinary
+    shuffle hash/broadcast equi-join, never a cartesian; top-50 is a
+    heap; no Python."""
+    plan = plan_of(spark, "doc_boundary_overlap")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_best_of_n_single_hash_agg_no_window(spark):
+    """Argmax per group is max_by in ONE two-phase hash aggregate —
+    no window function, no self-join; scoring is fused into the
+    scan projection."""
+    plan = plan_of(spark, "best_of_n_selection")
+    assert "partial_max_by" in plan or "partial_max" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_preference_pairs_single_hash_agg_topk(spark):
+    plan = plan_of(spark, "preference_pair_harvest")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_gram_matrix_partial_agg_after_explode(spark):
+    """The (i, j) product stream partial-aggregates map-side (the
+    shuffle carries ≤ d²/2 sums per map partition, not N·d² rows);
+    explodes are JVM-side Generate operators; no Python."""
+    plan = plan_of(spark, "embedding_gram_matrix")
+    assert "partial_sum" in plan
+    assert "Generate explode" in plan or "Generate posexplode" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,204 @@
+"""Planted-fixture golden tests for the round-6 second-batch operators
+(boundary overlap, KN continuation, source TVD, best-of-n / preference
+pairs, embedding Gram). The oracle lane proves Spark ≡ DuckDB; these
+prove both are RIGHT on hand-built inputs whose correct output is
+known by construction (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+
+def _write(df, sf_dir: str, name: str) -> None:
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs(spark, rows):
+    """rows: list of (doc_id, text, source)."""
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _reward(doc_id: int) -> int:
+    """Mirror of the salted md5 reward in plans/sampling.py."""
+    return int(hashlib.md5(f"rm1:{doc_id}".encode()).hexdigest()[:8], 16)
+
+
+class TestDocBoundaryOverlap:
+    def test_tail_matches_head_once(self, spark, tmp_path):
+        """Doc 0's last 3 words are doc 1's first 3 words — exactly one
+        stitch pair, in the (tail_doc, head_doc) direction only."""
+        from couchwarehouse_spark.plans.dedup import doc_boundary_overlap
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [
+                    (0, "p q r s t u", "src0"),
+                    (1, "s t u v w x", "src0"),
+                    (2, "zz zz zz zz", "src0"),
+                ],
+            ),
+            d,
+            "documents",
+        )
+        out = doc_boundary_overlap(spark, d).toPandas()
+        # doc 2's head == its own tail ("zz zz zz") but self-pairs are
+        # excluded, so only the 0→1 stitch survives.
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert (row["tail_doc"], row["head_doc"], row["shingle"]) == (0, 1, "s t u")
+
+    def test_short_docs_excluded(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.dedup import doc_boundary_overlap
+
+        d = str(tmp_path / "sf")
+        _write(_docs(spark, [(0, "a b", "src0"), (1, "a b", "src0")]), d, "documents")
+        assert len(doc_boundary_overlap(spark, d).toPandas()) == 0
+
+
+class TestKnContinuationCounts:
+    def test_distinct_left_contexts_counted_once(self, spark, tmp_path):
+        """'x' follows three distinct words (a, b, c) — repetition of
+        the (a, x) bigram must NOT raise its continuation count; 'y'
+        follows only 'a'."""
+        from couchwarehouse_spark.plans.text import kn_continuation_counts
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [
+                    (0, "a x a x a x", "src0"),  # (a,x) ×3 → one TYPE
+                    (1, "b x", "src0"),
+                    (2, "c x", "src0"),
+                    (3, "a y", "src0"),
+                ],
+            ),
+            d,
+            "documents",
+        )
+        out = kn_continuation_counts(spark, d).toPandas().set_index("term")
+        # bigram types: (a,x) (x,a) (b,x) (c,x) (a,y) → 5 types
+        assert out.loc["x", "left_continuation"] == 3
+        assert out.loc["a", "left_continuation"] == 1  # only (x, a)
+        assert out.loc["y", "left_continuation"] == 1
+        assert out.loc["x", "p_continuation"] == round(3 / 5, 6)
+
+
+class TestSourceTvdMatrix:
+    def _run(self, spark, tmp_path, rows):
+        from couchwarehouse_spark.plans.curation import source_tvd_matrix
+
+        d = str(tmp_path / "sf")
+        _write(_docs(spark, rows), d, "documents")
+        return source_tvd_matrix(spark, d).toPandas()
+
+    def test_identical_distributions_zero(self, spark, tmp_path):
+        out = self._run(
+            spark,
+            tmp_path,
+            [(0, "a b", "srcA"), (1, "a b a b", "srcB")],
+        )
+        assert len(out) == 1
+        assert out.iloc[0]["tvd_numerator"] == 0
+        assert out.iloc[0]["tvd"] == 0.0
+
+    def test_disjoint_distributions_one(self, spark, tmp_path):
+        """No shared term: the pair must still appear, TVD = 1."""
+        out = self._run(
+            spark,
+            tmp_path,
+            [(0, "a a b", "srcA"), (1, "c d", "srcB")],
+        )
+        assert len(out) == 1
+        row = out.iloc[0]
+        # numerator = Ta*Tb + Tb*Ta = 2*3*2 = 12, denominator 6, /2 → 1
+        assert row["tvd_numerator"] == 12
+        assert row["tvd_denominator"] == 6
+        assert row["tvd"] == 1.0
+
+    def test_half_overlap(self, spark, tmp_path):
+        """P = {a: 1}, Q = {a: ½, b: ½} → TVD = ½."""
+        out = self._run(
+            spark,
+            tmp_path,
+            [(0, "a a", "srcA"), (1, "a b", "srcB")],
+        )
+        assert len(out) == 1
+        assert out.iloc[0]["tvd"] == 0.5
+
+
+class TestBestOfN:
+    def test_argmax_and_margin_match_hash(self, spark, tmp_path):
+        """One full group (doc_ids 0..3): chosen/rejected/margin are
+        exactly the argmax/argmin of the salted md5 reward."""
+        from couchwarehouse_spark.plans.sampling import (
+            best_of_n_selection,
+            preference_pair_harvest,
+        )
+
+        rows = [(i, "w x y z", "src0") for i in range(4)]
+        d = str(tmp_path / "sf")
+        _write(_docs(spark, rows), d, "documents")
+
+        rewards = {i: _reward(i) for i in range(4)}
+        best = max(rewards, key=rewards.get)
+        worst = min(rewards, key=rewards.get)
+
+        sel = best_of_n_selection(spark, d).toPandas()
+        assert len(sel) == 1
+        assert sel.iloc[0]["n_groups"] == 1
+        assert sel.iloc[0]["n_candidates"] == 4
+        assert sel.iloc[0]["sum_chosen_reward"] == rewards[best]
+        assert sel.iloc[0]["sum_pool_reward"] == sum(rewards.values())
+
+        pairs = preference_pair_harvest(spark, d).toPandas()
+        assert len(pairs) == 1
+        row = pairs.iloc[0]
+        assert row["chosen_doc"] == best
+        assert row["rejected_doc"] == worst
+        assert row["reward_margin"] == rewards[best] - rewards[worst]
+
+    def test_singleton_groups_dropped_from_pairs(self, spark, tmp_path):
+        """A lone doc in its group yields no preference pair (but still
+        a best-of-n selection)."""
+        from couchwarehouse_spark.plans.sampling import (
+            best_of_n_selection,
+            preference_pair_harvest,
+        )
+
+        d = str(tmp_path / "sf")
+        _write(_docs(spark, [(8, "a b", "src0")]), d, "documents")
+        assert len(preference_pair_harvest(spark, d).toPandas()) == 0
+        sel = best_of_n_selection(spark, d).toPandas()
+        assert len(sel) == 1 and sel.iloc[0]["n_candidates"] == 1
+
+
+class TestEmbeddingGramMatrix:
+    def test_known_second_moments(self, spark, tmp_path):
+        """Two 3-d vectors with hand-computable fixed-point products:
+        v1 = (1, 0, 2), v2 = (1, 1, 0) quantized ×1000 →
+        G[0,1] = 0 + 1e6, G[0,2] = 2e6 + 0, G[1,2] = 0 + 0."""
+        from couchwarehouse_spark.plans.similarity import embedding_gram_matrix
+
+        d = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                [(0, [1.0, 0.0, 2.0], 0), (1, [1.0, 1.0, 0.0], 1)],
+                "vec_id long, embedding array<float>, label int",
+            ),
+            d,
+            "embeddings",
+        )
+        out = embedding_gram_matrix(spark, d).toPandas()
+        got = {
+            (r["dim_i"], r["dim_j"]): r["gram"] for _, r in out.iterrows()
+        }
+        assert got == {(0, 1): 1_000_000, (0, 2): 2_000_000, (1, 2): 0}
+        assert (out["n_rows"] == 2).all()
