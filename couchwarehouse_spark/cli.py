@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compact", action="store_true",
                    help="after spooling, compact fragmented buckets into a "
                         "new table version")
+    p.add_argument("--zorder", default=None, metavar="COL[,COL...]",
+                   help="after spooling (and --compact), rewrite every "
+                        "bucket z-ordered by these columns as a new table "
+                        "version (OPTIMIZE ZORDER BY: tight parquet "
+                        "row-group stats in every listed dimension)")
     p.add_argument("--vacuum", type=int, default=None, metavar="KEEP",
                    help="after spooling (and --compact), reclaim part files "
                         "not referenced by each table's newest KEEP manifest "
@@ -262,6 +267,20 @@ def main(argv: list[str] | None = None) -> int:
             n = wh.compact(doc_type)
             if n and not args.quiet:
                 print(f"couchwarehouse: compacted {n} buckets of {doc_type}")
+    if args.zorder:
+        zcols = [c.strip() for c in args.zorder.split(",") if c.strip()]
+        for doc_type in wh.schemas:
+            # Split mode: each type has its own frozen schema — apply
+            # only the columns that exist there, skip types with none.
+            cols_t = [c for c in zcols if c in wh.schemas[doc_type]]
+            if not cols_t:
+                continue
+            n = wh.optimize_zorder(cols_t, doc_type)
+            if n and not args.quiet:
+                print(
+                    f"couchwarehouse: z-ordered {n} buckets of "
+                    f"{wh.table_name(doc_type)} by {','.join(cols_t)}"
+                )
     if args.vacuum is not None:
         min_age = (
             args.vacuum_min_age

@@ -117,6 +117,28 @@ def test_cli_compact_flag(spark, tmp_path, capsys):
     assert "8" in capsys.readouterr().out
 
 
+def test_cli_zorder_flag(spark, tmp_path, capsys):
+    """--zorder rewrites every discovered type's buckets ordered by
+    the given columns as a new version; the warehouse stays queryable
+    with identical content."""
+    feed = _mixed_feed(str(tmp_path / "feed"))
+    rc = main(
+        [
+            "--feed", feed,
+            "--database", "zdb",
+            "--warehouse-dir", str(tmp_path / "wh"),
+            "--split", "type",
+            "--zorder", "total,customerId",
+            "--sql", "SELECT count(*) AS n FROM zdb_order",
+            "--reset",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "z-ordered" in out
+    assert "8" in out
+
+
 def test_library_start_query_stop_api(spark, tmp_path):
     """Reference export parity (index.js:257-260): start() spools and
     returns a queryable warehouse; monitor mode is stoppable via

@@ -1013,3 +1013,73 @@ def test_schema_evolution_opt_in(spark, tmp_path):
     rows3 = {r["id"]: r["loyalty_tier"] for r in wh.table().collect()}
     assert rows3["person0050"] == "gold"
     assert rows3["person0001"] is None
+
+
+def test_optimize_zorder_relayouts_preserves_content(spark, tmp_path):
+    """OPTIMIZE ZORDER: rewrites every bucket's bytes ordered by the
+    Morton interleave of the given columns, committed as a new
+    manifest version — not one row of content changes, older
+    snapshots still read, and within each rewritten file the rows are
+    monotone in z-value (the property that makes parquet row-group
+    min/max tight in every z-dimension)."""
+    import os
+
+    rng = random.Random(11)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "zorderdata", n_buckets=2)
+    envs = [envelope(i + 1, order_doc(i, rng)) for i in range(60)]
+    wh.spool(write_feed(str(tmp_path / "f.jsonl"), envs))
+
+    path = wh._table_path("_default")
+    v_before = wh._load_manifest(path)["version"]
+    before_rows = sorted((r["id"], r["total"]) for r in wh.table().collect())
+
+    n = wh.optimize_zorder(["total", "customerId"])
+    assert n == 2  # both buckets rewritten
+
+    m = wh._load_manifest(path)
+    assert m["version"] == v_before + 1
+    assert m["op"] == "zorder" or "zorder" in str(m.get("op", ""))
+
+    after_rows = sorted((r["id"], r["total"]) for r in wh.table().collect())
+    assert after_rows == before_rows
+    # Old snapshot still reads (superseded files retained pre-vacuum).
+    assert wh.table(version=v_before).count() == 60
+
+    # Physical layout (single-column z-order so the z-value is
+    # recomputable here): after zorder(["total"]) every rewritten
+    # file's quantized-total sequence must be NON-DECREASING — the
+    # property that makes parquet row-group min/max on `total` tight.
+    wh.optimize_zorder(["total"])
+    m2 = wh._load_manifest(path)
+    assert sorted((r["id"], r["total"]) for r in wh.table().collect()) == before_rows
+
+    import pyarrow.parquet as pq
+
+    totals = [t for _, t in before_rows]
+    mn = min(int(t) for t in totals)
+    st = (max(int(t) for t in totals) - mn) // 256 + 1
+    checked = 0
+    for b, fnames in m2["buckets"].items():
+        bdir = os.path.join(path, f"_cw_bucket={b}")
+        for fn in fnames:
+            seq = [
+                (int(t) - mn) // st
+                for t in pq.read_table(
+                    os.path.join(bdir, fn), columns=["total"]
+                ).to_pandas()["total"]
+            ]
+            assert seq == sorted(seq), f"bucket {b} file not z-ordered"
+            checked += len(seq)
+    assert checked == 60
+
+
+def test_optimize_zorder_unknown_column_raises(spark, tmp_path):
+    rng = random.Random(12)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "zordererr", n_buckets=1)
+    envs = [envelope(i + 1, order_doc(i, rng)) for i in range(5)]
+    wh.spool(write_feed(str(tmp_path / "f.jsonl"), envs))
+    try:
+        wh.optimize_zorder(["no_such_col"])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "no_such_col" in str(e)
