@@ -290,3 +290,54 @@ def multimodal_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_frames"
         ),
     )
+
+
+@query(
+    "modality_pairing_audit",
+    oracle="""
+    WITH pairing AS (
+      SELECT coalesce(d.lang, '<unpaired>') AS lang,
+             CASE WHEN d.doc_id IS NULL THEN 'vector_only'
+                  WHEN e.vec_id IS NULL THEN 'text_only'
+                  ELSE 'paired' END AS pairing
+      FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT lang, pairing, count(*) AS n
+    FROM pairing
+    GROUP BY lang, pairing
+    ORDER BY lang, pairing
+    """,
+)
+def modality_pairing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pairing integrity audit (X3): a multimodal training
+    set is only as good as its ALIGNMENT — every text row should have
+    its embedding/media row and vice versa. One full-outer join on
+    the pairing key classifies every row as paired / text_only /
+    vector_only, rolled up per language: the census run before any
+    contrastive (CLIP-style) training, where silent unpaired rows
+    become wasted batch slots or, worse, mislabeled negatives.
+
+    Scale: a single id-keyed full-outer shuffle join (both sides
+    hash-partition on the key — no broadcast needed and no skew:
+    pairing keys are unique per side) followed by a tiny
+    (lang, pairing) aggregate. At 100 TB this is the cheapest join
+    shape there is; the audit's value is that it runs BEFORE the
+    expensive encoder pass.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    pairing = (
+        F.when(F.col("doc_id").isNull(), F.lit("vector_only"))
+        .when(F.col("vec_id").isNull(), F.lit("text_only"))
+        .otherwise(F.lit("paired"))
+    )
+    return (
+        d.join(e, d["doc_id"] == e["vec_id"], "full_outer")
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<unpaired>")).alias("lang"),
+            pairing.alias("pairing"),
+        )
+        .groupBy("lang", "pairing")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pairing")
+    )

@@ -886,3 +886,90 @@ def preference_pair_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("reward_margin").desc(), "grp")
         .limit(30)
     )
+
+
+@query(
+    "heldout_perplexity_eval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    split AS (
+      SELECT *, {_SPLIT_SQL} AS bucket FROM toks
+    ),
+    train AS (SELECT lang, term FROM split WHERE bucket < {TRAIN_PCT}),
+    test  AS (SELECT lang, term FROM split WHERE bucket >= {TRAIN_PCT + VAL_PCT}),
+    lm AS (SELECT lang, term, count(*) AS c FROM train GROUP BY lang, term),
+    tot AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS t, count(*) AS v
+      FROM lm GROUP BY lang
+    )
+    SELECT test.lang,
+           count(*)                               AS n_eval_tokens,
+           CAST(count(*) FILTER (WHERE lm.c IS NULL) AS BIGINT)
+                                                  AS n_oov_tokens,
+           round(avg(-ln((coalesce(lm.c, 0) + 1)
+                         / CAST(tot.t + tot.v + 1 AS DOUBLE))), 6)
+                                                  AS avg_surprisal
+    FROM test
+    LEFT JOIN lm USING (lang, term)
+    JOIN tot USING (lang)
+    GROUP BY test.lang
+    ORDER BY test.lang
+    """,
+)
+def heldout_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM evaluation harness (sampling × text — the actual
+    train/eval loop shape): fit an add-1-smoothed unigram LM per
+    language on the TRAIN split, score the TEST split's tokens, and
+    report per-language held-out token count, OOV count, and average
+    surprisal. High held-out surprisal relative to a source's
+    in-sample entropy is the distribution-shift warning a data
+    pipeline reads before trusting a quality-filter LM; the split
+    gates reuse ``deterministic_split``'s salted-hash buckets, so the
+    eval can never leak training documents (same gate = same split,
+    bit-identical across engines and runs).
+
+    Scale: the LM is a (lang, term) hash aggregate over the train
+    split; scoring is a LEFT join of the test token stream against
+    the LM on (lang, term) — the LM table is vocabulary-sized and
+    AQE-broadcastable per language; per-language totals attach as a
+    |langs|-row broadcast. -ln((c+1)/(T+V+1)) is division-then-log
+    identically in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        _split_bucket(F.col("doc_id")).alias("bucket"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    train = toks.filter(F.col("bucket") < TRAIN_PCT)
+    test = toks.filter(F.col("bucket") >= TRAIN_PCT + VAL_PCT)
+    lm = train.groupBy("lang", "term").agg(F.count("*").alias("c"))
+    tot = lm.groupBy("lang").agg(
+        F.sum("c").alias("t"), F.count("*").alias("v")
+    )
+    scored = (
+        test.join(lm, ["lang", "term"], "left")
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            F.col("c").isNull().alias("oov"),
+            (
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("t") + F.col("v") + 1).cast("double")
+                )
+            ).alias("surprisal"),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_eval_tokens"),
+            F.count_if("oov").alias("n_oov_tokens"),
+            F.round(F.avg("surprisal"), 6).alias("avg_surprisal"),
+        )
+        .orderBy("lang")
+    )

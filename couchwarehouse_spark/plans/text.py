@@ -1171,3 +1171,89 @@ def kn_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("left_continuation").desc(), "term")
         .limit(KN_TOP_K)
     )
+
+
+COVERAGE_THRESHOLDS = (50, 90, 99)  # percent of token mass to cover
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH counts AS (
+      SELECT term, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    ),
+    ranked AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c DESC, term) AS rnk,
+             sum(c) OVER (ORDER BY c DESC, term
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER () AS total
+      FROM counts
+    )
+    SELECT t.threshold_pct,
+           min(rnk)                       AS vocab_size,
+           CAST(min(cum) AS BIGINT)       AS tokens_covered,
+           CAST(min(total) AS BIGINT)     AS total_tokens
+    FROM ranked
+    JOIN (VALUES {', '.join(f'({t})' for t in COVERAGE_THRESHOLDS)})
+         AS t(threshold_pct) ON cum * 100 >= total * t.threshold_pct
+    GROUP BY t.threshold_pct
+    ORDER BY t.threshold_pct
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size sizing curve (X4 — the tokenizer budget
+    question): the smallest head-vocabulary covering 50 / 90 / 99 %
+    of all token occurrences. The knee of this curve is how vocab
+    sizes get chosen; a tiny 99 %-vocab flags a template corpus, a
+    huge one flags noise/typos that BPE will spend merges on.
+
+    Scale: the corpus collapses to its vocabulary in one word-count
+    aggregate (map-side combine); the rank/cumsum window runs over
+    the VOCAB table ordered by count — vocabulary-sized, not
+    corpus-sized (single-partition window over ~10⁵-10⁷ vocab rows is
+    the standard and acceptable cost; for web-scale vocabularies the
+    same curve is computed on the count histogram instead). The
+    threshold probe is a 3-row broadcast join; ``cum·100 ≥ total·t``
+    stays in integers. Tie-break (count desc, term) makes the curve
+    deterministic.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "term")
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    thresholds = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in COVERAGE_THRESHOLDS])).alias(
+            "threshold_pct"
+        )
+    )
+    return (
+        ranked.join(
+            F.broadcast(thresholds),
+            F.col("cum") * 100 >= F.col("total") * F.col("threshold_pct"),
+        )
+        .groupBy("threshold_pct")
+        .agg(
+            F.min("rnk").alias("vocab_size"),
+            F.min("cum").alias("tokens_covered"),
+            F.min("total").alias("total_tokens"),
+        )
+        .orderBy("threshold_pct")
+    )

@@ -325,11 +325,22 @@ class Warehouse:
             env.unpersist()
         return last_seq
 
-    def _bucket_of(self, col) -> "F.Column":
+    def _bucket_of(self, col, n_buckets: int | None = None) -> "F.Column":
         """THE bucket formula — one definition shared by merge pruning
-        and point lookup, so the two can never drift apart."""
+        and point lookup, so the two can never drift apart.
+        ``n_buckets`` overrides the warehouse default with a specific
+        VERSION's recorded count (manifests are authoritative once a
+        table exists — see ``rebucket``)."""
         c = F.col(col) if isinstance(col, str) else col
-        return F.pmod(F.xxhash64(c), F.lit(self.n_buckets)).cast("int")
+        return F.pmod(F.xxhash64(c), F.lit(n_buckets or self.n_buckets)).cast("int")
+
+    def _manifest_buckets_n(self, manifest: dict | None) -> int:
+        """The bucket count a manifest's layout was written with.
+        Manifests predating the field default to the warehouse
+        setting (their layout was built with it)."""
+        if manifest is None:
+            return self.n_buckets
+        return int(manifest.get("n_buckets", self.n_buckets))
 
     # -- manifest snapshot commits (Delta-lake style) -------------------
     #
@@ -400,6 +411,7 @@ class Warehouse:
         schema_json: str,
         stats: dict[int, dict[str, list | None]] | None = None,
         base_version: int | None = None,
+        n_buckets: int | None = None,
     ) -> int:
         """Atomically publish a new table version. ``buckets`` maps
         bucket id → part-file names relative to that bucket's dir;
@@ -427,6 +439,10 @@ class Warehouse:
             "version": version,
             "op": op,
             "ts": time.time(),
+            # The layout's bucket count IS version state: a rebucket
+            # changes it, and every reader/merger of this version must
+            # hash ids with exactly this value.
+            "n_buckets": int(n_buckets or self.n_buckets),
             "schema": schema_json,
             "buckets": {str(b): sorted(files) for b, files in sorted(buckets.items())},
             "stats": {
@@ -884,11 +900,15 @@ class Warehouse:
         self, conformed: DataFrame, tombstones: DataFrame, doc_type: str
     ) -> None:
         path = self._table_path(doc_type)
-        bucket_of = self._bucket_of
-
         manifest = self._load_manifest(path)
         if manifest is None:
             manifest = self._adopt_legacy(path)
+        # Hash with the CURRENT VERSION's bucket count — after a
+        # rebucket it differs from the constructor default, and a
+        # merge that hashed with the wrong count would prune the
+        # wrong buckets and write files no reader looks for.
+        n_cur = self._manifest_buckets_n(manifest)
+        bucket_of = lambda c: self._bucket_of(c, n_cur)  # noqa: E731
         state = None
         affected: list[int] | None = None
         untouched: dict[int, list[str]] = {}
@@ -999,6 +1019,7 @@ class Warehouse:
             schema_json,
             next_stats,
             base_version=manifest["version"] if manifest is not None else 0,
+            n_buckets=n_cur,
         )
 
     def _evolve_schema(self, flat: DataFrame, doc_type: str) -> list[str]:
@@ -1107,6 +1128,7 @@ class Warehouse:
             manifest["schema"],
             next_stats,
             base_version=manifest["version"],
+            n_buckets=self._manifest_buckets_n(manifest),
         )
         return len(todo)
 
@@ -1117,6 +1139,79 @@ class Warehouse:
         from couchwarehouse_spark.sinks.materialized import read_mv
 
         return read_mv(self, name, doc_type)
+
+    def rebucket(self, n_buckets: int, doc_type: str | None = None) -> int:
+        """Change the id-hash bucket count — the partition-strategy
+        evolution lever. A bucket count sized for today's table is
+        wrong at 100× the data (buckets become multi-GB rewrite
+        units) and wasteful at 1/100th (thousands of near-empty
+        dirs); ``rebucket`` rewrites the CURRENT snapshot of each
+        table under ``pmod(xxhash64(id), n_buckets)`` and commits it
+        as a new manifest version carrying the new count. The count
+        is VERSION STATE: every manifest records the ``n_buckets``
+        its layout was hashed with, and merges / point lookups /
+        pruning always hash with the count of the version they read —
+        so older versions keep reading (and even restoring) their own
+        layout, and a crash between types leaves every table
+        individually consistent.
+
+        ``doc_type=None`` rebuckets every discovered type and then
+        persists the new count as the warehouse default for future
+        fresh tables. Returns the number of tables rewritten.
+        """
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        types = list(self.schemas) if doc_type is None else [doc_type]
+        done = 0
+        for t in types:
+            path = self._table_path(t)
+            manifest = self._load_manifest(path)
+            if manifest is None:
+                manifest = self._adopt_legacy(path)
+            if manifest is None:
+                continue
+            prev = {int(b): fs for b, fs in manifest["buckets"].items()}
+            files = [
+                os.path.join(path, f"_cw_bucket={b}", fn)
+                for b, fs in prev.items()
+                for fn in fs
+            ]
+            if not files:
+                # Zero-row table: commit the (empty) layout under the
+                # new count so future merges hash consistently.
+                self._commit_manifest(
+                    path, "rebucket", {}, manifest["schema"], {},
+                    base_version=manifest["version"], n_buckets=n_buckets,
+                )
+                done += 1
+                continue
+            tmp = self._scratch_dir(path)
+            (
+                self.spark.read.option("basePath", path)
+                .parquet(*files)
+                .drop("_cw_bucket")
+                .withColumn("_cw_bucket", self._bucket_of("id", n_buckets))
+                .repartition(n_buckets, "_cw_bucket")
+                .sortWithinPartitions("_cw_bucket", "id")
+                .write.mode("overwrite")
+                .partitionBy("_cw_bucket")
+                .parquet(tmp)
+            )
+            moved, moved_stats = self._publish_tmp(path, tmp)
+            self._commit_manifest(
+                path,
+                "rebucket",
+                moved,
+                manifest["schema"],
+                moved_stats,
+                base_version=manifest["version"],
+                n_buckets=n_buckets,
+            )
+            done += 1
+        if doc_type is None:
+            self.n_buckets = n_buckets
+            self._save_schemas()
+        return done
 
     def optimize_zorder(
         self,
@@ -1224,6 +1319,7 @@ class Warehouse:
             manifest["schema"],
             next_stats,
             base_version=manifest["version"],
+            n_buckets=self._manifest_buckets_n(manifest),
         )
         return len(todo)
 
@@ -1262,6 +1358,8 @@ class Warehouse:
             manifest["schema"],
             {int(b): per for b, per in manifest.get("stats", {}).items()},
             base_version=latest["version"],
+            # Restoring a layout restores its bucket count too.
+            n_buckets=self._manifest_buckets_n(manifest),
         )
 
     # -- query surface (R17) -------------------------------------------
@@ -1402,7 +1500,10 @@ class Warehouse:
         else:
             df = self._read_state(path)
         if "_cw_bucket" in df.columns:
-            df = df.filter(F.col("_cw_bucket") == self._bucket_of(F.lit(doc_id)))
+            df = df.filter(
+                F.col("_cw_bucket")
+                == self._bucket_of(F.lit(doc_id), self._manifest_buckets_n(manifest))
+            )
         return df.filter(F.col("id") == doc_id).drop(SEQ_COL, "_cw_bucket")
 
     def query(

@@ -771,3 +771,32 @@ def test_gram_matrix_partial_agg_after_explode(spark):
     assert "partial_sum" in plan
     assert "Generate explode" in plan or "Generate posexplode" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_curve_window_over_vocab_threshold_broadcast(spark):
+    """The cumsum window runs over the collapsed VOCAB table (word
+    counts partial-aggregate first); the 3-row threshold probe is a
+    broadcast nested-loop (non-equi), never a cartesian; no Python."""
+    plan = plan_of(spark, "vocab_coverage_curve")
+    assert "partial_count" in plan
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_heldout_eval_lm_join_broadcast_totals(spark):
+    """LM counts partial-aggregate; per-lang totals attach as a
+    broadcast; scoring is an equi-join, no Python."""
+    plan = plan_of(spark, "heldout_perplexity_eval")
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_modality_pairing_full_outer_no_cartesian(spark):
+    plan = plan_of(spark, "modality_pairing_audit")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

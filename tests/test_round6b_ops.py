@@ -202,3 +202,68 @@ class TestEmbeddingGramMatrix:
         }
         assert got == {(0, 1): 1_000_000, (0, 2): 2_000_000, (1, 2): 0}
         assert (out["n_rows"] == 2).all()
+
+
+class TestVocabCoverageCurve:
+    def test_hand_counted_curve(self, spark, tmp_path):
+        """Counts a:4 b:2 c:1 d:1 (total 8): 50% needs only {a};
+        90% (7.2 tokens) and 99% (7.92) need the full vocabulary."""
+        from couchwarehouse_spark.plans.text import vocab_coverage_curve
+
+        d = str(tmp_path / "sf")
+        _write(_docs(spark, [(0, "a a a a b b c d", "src0")]), d, "documents")
+        out = vocab_coverage_curve(spark, d).toPandas().set_index("threshold_pct")
+        assert out.loc[50, "vocab_size"] == 1
+        assert out.loc[50, "tokens_covered"] == 4
+        assert out.loc[90, "vocab_size"] == 4
+        assert out.loc[99, "vocab_size"] == 4
+        assert (out["total_tokens"] == 8).all()
+
+
+class TestHeldoutPerplexityEval:
+    def test_oov_and_smoothed_surprisal(self, spark, tmp_path):
+        """doc_id 0 hashes into the train split, doc_id 8 into test
+        (salted-md5 buckets). LM on train: a:3 b:1 (T=4, V=2); test
+        tokens 'a z': p(a) = 4/7, p(z OOV) = 1/7 under add-1."""
+        import math
+
+        from couchwarehouse_spark.plans.sampling import heldout_perplexity_eval
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(spark, [(0, "a a a b", "src0"), (8, "a z", "src0")]),
+            d,
+            "documents",
+        )
+        out = heldout_perplexity_eval(spark, d).toPandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row["n_eval_tokens"] == 2
+        assert row["n_oov_tokens"] == 1
+        expected = round((-math.log(4 / 7) - math.log(1 / 7)) / 2, 6)
+        assert row["avg_surprisal"] == expected
+
+
+class TestModalityPairingAudit:
+    def test_classifies_all_three_ways(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.multimodal_plan import (
+            modality_pairing_audit,
+        )
+
+        d = str(tmp_path / "sf")
+        _write(_docs(spark, [(0, "t", "src0"), (1, "t", "src0")]), d, "documents")
+        _write(
+            spark.createDataFrame(
+                [(1, [0.0], 0), (2, [0.0], 0)],
+                "vec_id long, embedding array<float>, label int",
+            ),
+            d,
+            "embeddings",
+        )
+        out = modality_pairing_audit(spark, d).toPandas()
+        got = {(r["lang"], r["pairing"]): r["n"] for _, r in out.iterrows()}
+        assert got == {
+            ("en", "paired"): 1,
+            ("en", "text_only"): 1,
+            ("<unpaired>", "vector_only"): 1,
+        }

@@ -1083,3 +1083,63 @@ def test_optimize_zorder_unknown_column_raises(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "no_such_col" in str(e)
+
+
+def test_rebucket_changes_layout_keeps_contract(spark, tmp_path):
+    """Partition-strategy evolution: rebucket(5) rewrites the table
+    under the new id-hash count as a new version; later merges hash
+    with the NEW count (files land where readers look), lookups still
+    prune to one bucket, the pre-rebucket version still reads, and
+    restore() brings back the OLD layout *and* its count."""
+    import os
+
+    rng = random.Random(21)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "rebucketdata", n_buckets=2)
+    envs = [envelope(i + 1, order_doc(i, rng)) for i in range(40)]
+    wh.spool(write_feed(str(tmp_path / "f1.jsonl"), envs))
+
+    path = wh._table_path("_default")
+    v1 = wh._load_manifest(path)["version"]
+    before = sorted((r["id"], r["status"]) for r in wh.table().collect())
+
+    assert wh.rebucket(5) == 1
+    m = wh._load_manifest(path)
+    assert m["op"] == "rebucket" and m["n_buckets"] == 5
+    assert len([b for b, fs in m["buckets"].items() if fs]) > 2
+    assert sorted((r["id"], r["status"]) for r in wh.table().collect()) == before
+    # Old version still reads its own 2-bucket layout.
+    assert wh.table(version=v1).count() == 40
+
+    # CRITICAL: a merge after rebucket must hash with the new count.
+    amend = [
+        envelope(100 + i, order_doc(i, rng, extra={"status": "amended"}))
+        for i in range(0, 40, 5)
+    ]
+    wh.spool(write_feed(str(tmp_path / "f2.jsonl"), amend))
+    t = wh.table()
+    assert t.count() == 40
+    assert t.filter(F.col("status") == "amended").count() == 8
+    m2 = wh._load_manifest(path)
+    assert m2["n_buckets"] == 5  # merge preserved the rebucketed count
+
+    # Point lookup prunes against the new layout and finds the row.
+    row = wh.lookup("order00005").collect()
+    assert len(row) == 1 and row[0]["status"] == "amended"
+
+    # Reopen from disk: the persisted default follows the rebucket.
+    wh2 = Warehouse(spark, str(tmp_path / "wh"), "rebucketdata")
+    assert wh2.n_buckets == 5
+    assert wh2.table().count() == 40
+
+    # Restore to the pre-rebucket version: layout AND count roll back,
+    # and a merge on top of the restored version hashes with 2 again.
+    wh.restore(v1)
+    m3 = wh._load_manifest(path)
+    assert m3["op"] == "restore" and m3["n_buckets"] == 2
+    assert wh.table().count() == 40
+    wh.spool(write_feed(str(tmp_path / "f3.jsonl"), [
+        envelope(200, order_doc(0, rng, extra={"status": "postrestore"}))
+    ]))
+    assert wh._load_manifest(path)["n_buckets"] == 2
+    row = wh.lookup("order00000").collect()
+    assert len(row) == 1 and row[0]["status"] == "postrestore"
