@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compact", action="store_true",
                    help="after spooling, compact fragmented buckets into a "
                         "new table version")
+    p.add_argument("--rebucket", type=int, default=None, metavar="N",
+                   help="after spooling, rewrite every table under an "
+                        "N-bucket id-hash layout as a new version "
+                        "(partition-strategy evolution; the count is "
+                        "recorded per manifest version)")
     p.add_argument("--zorder", default=None, metavar="COL[,COL...]",
                    help="after spooling (and --compact), rewrite every "
                         "bucket z-ordered by these columns as a new table "
@@ -267,6 +272,13 @@ def main(argv: list[str] | None = None) -> int:
             n = wh.compact(doc_type)
             if n and not args.quiet:
                 print(f"couchwarehouse: compacted {n} buckets of {doc_type}")
+    if args.rebucket:
+        n = wh.rebucket(args.rebucket)
+        if not args.quiet:
+            print(
+                f"couchwarehouse: rebucketed {n} table(s) to "
+                f"{args.rebucket} buckets"
+            )
     if args.zorder:
         zcols = [c.strip() for c in args.zorder.split(",") if c.strip()]
         for doc_type in wh.schemas:

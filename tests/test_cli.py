@@ -139,6 +139,27 @@ def test_cli_zorder_flag(spark, tmp_path, capsys):
     assert "8" in out
 
 
+def test_cli_rebucket_flag(spark, tmp_path, capsys):
+    """--rebucket N resizes every table's id-hash layout; content and
+    queryability are unchanged."""
+    feed = _mixed_feed(str(tmp_path / "feed"))
+    rc = main(
+        [
+            "--feed", feed,
+            "--database", "rbdb",
+            "--warehouse-dir", str(tmp_path / "wh"),
+            "--split", "type",
+            "--rebucket", "3",
+            "--sql", "SELECT count(*) AS n FROM rbdb_order",
+            "--reset",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "rebucketed 2 table(s) to 3 buckets" in out  # order + user types
+    assert "8" in out
+
+
 def test_library_start_query_stop_api(spark, tmp_path):
     """Reference export parity (index.js:257-260): start() spools and
     returns a queryable warehouse; monitor mode is stoppable via
