@@ -736,3 +736,88 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+ATTRIB_LOOKBACK_S = 86400  # last-touch attribution window (24 h)
+
+
+@query(
+    "conversion_attribution",
+    oracle=f"""
+    WITH touched AS (
+      SELECT user_id, ts, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_ts
+      FROM events
+    )
+    SELECT CASE WHEN touch_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(touch_ts)
+                     <= CAST({ATTRIB_LOOKBACK_S} AS BIGINT) * 1000000
+                THEN touch_type ELSE 'organic' END AS attributed_to,
+           count(*)                                AS n_conversions,
+           count(DISTINCT user_id)                 AS n_users
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY attributed_to
+    """,
+)
+def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (D4 — the marketing/funnel
+    twin of the as-of join): every ``purchase`` is attributed to the
+    most recent PRECEDING non-purchase event by the same user within
+    a 24 h lookback, else ``organic``. The census per attributed
+    touch type is the number a growth team reads daily; the same
+    shape (latest prior state as of an event) backs feature
+    attribution and label provenance in training pipelines.
+
+    Scale: ONE user-keyed window pass computes the last prior touch
+    for every event (no self-join, no range join — `last_value
+    IGNORE NULLS` over rows-between), then a filter to conversions
+    and a tiny (touch_type) aggregate. Microsecond-exact lookback
+    comparison on both engines (unix_micros/epoch_us), so a
+    boundary-straddling touch can't diverge.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    np_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    touched = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(non_purchase, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(np_ts, ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    in_window = F.col("touch_ts").isNotNull() & (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("touch_ts").cast("timestamp"))
+        <= ATTRIB_LOOKBACK_S * 1_000_000
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(in_window, F.col("touch_type"))
+            .otherwise(F.lit("organic"))
+            .alias("attributed_to"),
+            "user_id",
+        )
+        .groupBy("attributed_to")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("attributed_to")
+    )

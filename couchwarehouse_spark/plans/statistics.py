@@ -543,3 +543,187 @@ def cooccurrence_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PMI_TOP_K)
         .select("part_a", "part_b", "c_ab", F.round("_pmi", 6).alias("pmi"))
     )
+
+
+CMS_DEPTH = 4     # independent hash rows
+CMS_WIDTH = 256   # counters per row
+CMS_TOP_K = 20    # audited heavy hitters
+
+
+@query(
+    "count_min_sketch_audit",
+    oracle=f"""
+    WITH counts AS (
+      SELECT term, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    ),
+    cells AS (
+      SELECT r,
+             CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 8))
+                  AS BIGINT) % {CMS_WIDTH} AS col,
+             CAST(sum(c) AS BIGINT) AS counter
+      FROM counts, range({CMS_DEPTH}) t(r)
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT term, c FROM counts ORDER BY c DESC, term LIMIT {CMS_TOP_K}
+    )
+    SELECT top.term,
+           top.c                    AS true_count,
+           min(cells.counter)       AS cms_estimate,
+           min(cells.counter) - top.c AS overestimate
+    FROM top CROSS JOIN range({CMS_DEPTH}) t(r)
+    JOIN cells
+      ON cells.r = t.r
+     AND cells.col = CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || top.term), 1, 8))
+                          AS BIGINT) % {CMS_WIDTH}
+    GROUP BY top.term, top.c
+    ORDER BY true_count DESC, term
+    """,
+)
+def count_min_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch build + audit (Cormode & Muthukrishnan 2005 —
+    the streaming frequency sketch under heavy-hitter detection and
+    join-size estimation at 100 TB): build a {CMS_DEPTH}×{CMS_WIDTH}
+    sketch over the corpus term stream with md5-derived row hashes,
+    then audit the top-{CMS_TOP_K} true heavy hitters: the CMS
+    estimate (min over rows of the hashed counter) must NEVER
+    underestimate, and the overestimate column shows the collision
+    error the width bounds by N/width. Deterministic hashes make even
+    this approximate structure exactly oracle-checkable.
+
+    Scale: the sketch is CMS_DEPTH hash aggregates expressed as one —
+    the term stream collapses to (term, c) with map-side combine, the
+    per-row fan-out is a {CMS_DEPTH}-element explode of the already-
+    vocabulary-sized table, and the sketch itself is ≤ D·W = 1024
+    rows — broadcastable to wherever the estimate is consumed. The
+    audit joins the top-k probe against those 1024 rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    counts = scoped_persist(counts)
+    rows = F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("r")
+
+    def cms_col(r_col, term_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(r_col.cast("string"), F.lit(":"), term_col)),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_WIDTH
+        )
+
+    cells = (
+        counts.select("term", "c", rows)
+        .select("r", cms_col(F.col("r"), F.col("term")).alias("col"), "c")
+        .groupBy("r", "col")
+        .agg(F.sum("c").alias("counter"))
+    )
+    top = counts.orderBy(F.col("c").desc(), "term").limit(CMS_TOP_K)
+    probes = top.select("term", "c", rows).select(
+        "term", "c", "r", cms_col(F.col("r"), F.col("term")).alias("col")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "col"])
+        .groupBy(F.col("term"), F.col("c").alias("true_count"))
+        .agg(F.min("counter").alias("cms_estimate"))
+        .select(
+            "term",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("true_count").desc(), "term")
+    )
+
+
+BLOOM_M = 4096  # filter bits
+BLOOM_K = 3     # hash functions
+
+
+@query(
+    "bloom_filter_build_audit",
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT md5(text) AS fp FROM documents),
+    bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || fp), 1, 8))
+                  AS BIGINT) % {BLOOM_M} AS bit
+      FROM keys, range({BLOOM_K}) t(j)
+    )
+    SELECT (SELECT count(*) FROM keys)  AS n_keys,
+           (SELECT count(*) FROM bits)  AS n_bits_set,
+           {BLOOM_M}                    AS m_bits,
+           {BLOOM_K}                    AS k_hashes,
+           round(pow((SELECT count(*) FROM bits) / CAST({BLOOM_M} AS DOUBLE),
+                     {BLOOM_K}), 6)     AS fp_rate_est
+    """,
+)
+def bloom_filter_build_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter construction audit (Bloom 1970 — the membership
+    sketch under benchmark decontamination and anti-join pre-filters
+    at 100 TB, where shipping a few KB of bits replaces shuffling a
+    key column): hash every distinct document fingerprint through
+    BLOOM_K md5-derived hash functions into BLOOM_M bits, and report
+    the exact bit occupancy plus the classic (n_set/m)^k false-
+    positive estimate — the number that says whether the filter is
+    sized right BEFORE it gates a corpus-wide join. Deterministic
+    hashes make the whole structure exactly oracle-checkable.
+
+    Scale: fingerprints collapse via hash-distinct (map-side partial
+    dedup), the k-way fan-out explodes the already-deduped key set,
+    and the bit set is a second distinct over ≤ m integers — the
+    filter itself is m bits, broadcastable by construction. One row
+    out.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    keys = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    keys = scoped_persist(keys)
+    js = F.explode(F.array(*[F.lit(j) for j in range(BLOOM_K)])).alias("j")
+    bits = (
+        keys.select("fp", js)
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("fp"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % BLOOM_M
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    n_keys = keys.agg(F.count("*").alias("n_keys"))
+    n_bits = bits.agg(F.count("*").alias("n_bits_set"))
+    return (
+        n_keys.crossJoin(n_bits)
+        .select(
+            "n_keys",
+            "n_bits_set",
+            F.lit(BLOOM_M).cast("int").alias("m_bits"),
+            F.lit(BLOOM_K).cast("int").alias("k_hashes"),
+            F.round(
+                F.pow(F.col("n_bits_set") / F.lit(float(BLOOM_M)), F.lit(BLOOM_K)),
+                6,
+            ).alias("fp_rate_est"),
+        )
+    )

@@ -800,3 +800,31 @@ def test_modality_pairing_full_outer_no_cartesian(spark):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_sketch_small_broadcast_join(spark):
+    """The sketch table (≤ D·W rows) broadcasts to the probe; word
+    counts partial-aggregate; no Python; no cartesian."""
+    plan = plan_of(spark, "count_min_sketch_audit")
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_audit_distinct_then_one_row(spark):
+    """Key dedup and bit dedup are hash-distincts with map-side
+    partial dedup; the final combine is a 1-row broadcast cross."""
+    plan = plan_of(spark, "bloom_filter_build_audit")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_attribution_single_user_window_no_join(spark):
+    """Last-touch attribution is ONE user-keyed window pass — no
+    self-join, no range join; the census is a tiny aggregate."""
+    plan = plan_of(spark, "conversion_attribution")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

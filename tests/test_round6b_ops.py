@@ -267,3 +267,88 @@ class TestModalityPairingAudit:
             ("en", "text_only"): 1,
             ("<unpaired>", "vector_only"): 1,
         }
+
+
+class TestCountMinSketch:
+    def test_no_collision_estimates_exact(self, spark, tmp_path):
+        """Two terms in a 4×256 sketch: no collisions, so every
+        estimate equals the true count and overestimate is 0 — and
+        the CMS guarantee (never underestimate) holds by assertion."""
+        from couchwarehouse_spark.plans.statistics import count_min_sketch_audit
+
+        d = str(tmp_path / "sf")
+        _write(_docs(spark, [(0, "a a a b", "src0")]), d, "documents")
+        out = count_min_sketch_audit(spark, d).toPandas().set_index("term")
+        assert out.loc["a", "true_count"] == 3
+        assert out.loc["b", "true_count"] == 1
+        assert (out["cms_estimate"] >= out["true_count"]).all()
+        assert (out["overestimate"] == 0).all()
+
+
+class TestBloomFilter:
+    def test_bits_match_hash_mirror(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.statistics import (
+            BLOOM_K,
+            BLOOM_M,
+            bloom_filter_build_audit,
+        )
+
+        texts = ["alpha beta", "gamma delta"]
+        d = str(tmp_path / "sf")
+        _write(_docs(spark, list(enumerate_src(texts))), d, "documents")
+        out = bloom_filter_build_audit(spark, d).toPandas().iloc[0]
+
+        bits = set()
+        for t in texts:
+            fp = hashlib.md5(t.encode()).hexdigest()
+            for j in range(BLOOM_K):
+                bits.add(
+                    int(hashlib.md5(f"{j}:{fp}".encode()).hexdigest()[:8], 16)
+                    % BLOOM_M
+                )
+        assert out["n_keys"] == 2
+        assert out["n_bits_set"] == len(bits)
+        assert out["fp_rate_est"] == round((len(bits) / BLOOM_M) ** BLOOM_K, 6)
+
+
+def enumerate_src(texts):
+    return [(i, t, "src0") for i, t in enumerate(texts)]
+
+
+class TestConversionAttribution:
+    def test_last_touch_window_and_organic(self, spark, tmp_path):
+        """click 1h before purchase → attributed; view 25h before →
+        organic (outside the 24h lookback); bare purchase → organic;
+        error 1min before → attributed to error."""
+        import datetime as dt
+
+        from couchwarehouse_spark.plans.events_windows import (
+            conversion_attribution,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def ev(eid, uid, etype, minutes):
+            return (eid, t0 + dt.timedelta(minutes=minutes), uid, etype, 1.0, "{}")
+
+        rows = [
+            ev(1, 1, "click", 0), ev(2, 1, "purchase", 60),
+            ev(3, 2, "view", 0), ev(4, 2, "purchase", 25 * 60),
+            ev(5, 3, "purchase", 0),
+            ev(6, 4, "error", 0), ev(7, 4, "purchase", 1),
+        ]
+        d = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string",
+            ),
+            d,
+            "events",
+        )
+        out = conversion_attribution(spark, d).toPandas()
+        got = {r["attributed_to"]: r["n_conversions"] for _, r in out.iterrows()}
+        assert got == {"click": 1, "organic": 2, "error": 1}
+        n_users = {r["attributed_to"]: r["n_users"] for _, r in out.iterrows()}
+        assert n_users == {"click": 1, "organic": 2, "error": 1}
