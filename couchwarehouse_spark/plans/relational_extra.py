@@ -530,3 +530,191 @@ def zorder_layout_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zval").alias("min_z"),
         F.max("zval").alias("max_z"),
     )
+
+
+SKY_CELLS = 256  # price-grid cells for the distributed skyline prune
+
+
+@query(
+    "skyline_cheap_early_orders",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS p, min(o_orderdate) AS d
+      FROM orders GROUP BY o_totalprice
+    ),
+    pr AS (
+      SELECT p, d,
+             min(d) OVER (ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM g
+    )
+    SELECT o.o_orderkey,
+           o.o_totalprice,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM orders o
+    JOIN pr ON pr.p = o.o_totalprice
+    WHERE o.o_orderdate = pr.d AND (pr.pm IS NULL OR pr.d < pr.pm)
+    ORDER BY o.o_totalprice, o.o_orderkey
+    """,
+)
+def skyline_cheap_early_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) — the classic SKYLINE OF
+    operator (Börzsönyi et al. 2001): orders not dominated on
+    (cheaper, earlier). The ORACLE derives the frontier with the
+    exact O(n log n) sort/prefix-min identity (a row survives iff it
+    holds its price group's min date AND that min strictly precedes
+    every cheaper group's min — the naive NOT-EXISTS pair semantics
+    is asserted against it on planted fixtures in
+    tests/test_round6b_ops.py); the engine implements the
+    DISTRIBUTED plan: a price-grid prune first — per price cell,
+    the minimum date; a row survives the prune only if its date
+    precedes every strictly-cheaper CELL's minimum (a ≤SKY_CELLS-row
+    broadcast) — then the exact dominance test runs as a broadcast
+    anti-join over the SURVIVORS only. The prune is lossless
+    (any row it removes is dominated by the prior cell's minimum
+    row, which has strictly smaller price and ≤ date) and collapses
+    the candidate set to ~O(cells + skyline): the O(n²) pair test
+    never touches the corpus. Same two-phase local-prune/global-
+    verify shape published for parallel skylines.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    bounds = o.agg(
+        F.min("o_totalprice").alias("mn"),
+        F.expr(f"(max(o_totalprice) - min(o_totalprice)) / {SKY_CELLS}").alias("st"),
+    )
+    cell = F.when(F.col("st") <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("mn")) / F.col("st")),
+            F.lit(SKY_CELLS - 1),
+        )
+    ).cast("int")
+    with_cell = o.crossJoin(F.broadcast(bounds)).withColumn("cell", cell)
+    cell_min = (
+        with_cell.groupBy("cell").agg(F.min("o_orderdate").alias("cd"))
+    )
+    w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+    prior = cell_min.select(
+        "cell", F.min("cd").over(w).alias("prior_min_date")
+    )
+    cand = (
+        with_cell.join(F.broadcast(prior), "cell")
+        .filter(
+            F.col("prior_min_date").isNull()
+            | (F.col("o_orderdate") < F.col("prior_min_date"))
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+    from couchwarehouse_spark.plans.registry import scoped_persist
+
+    cand = scoped_persist(cand)
+    b = cand.select(
+        F.col("o_totalprice").alias("bp"), F.col("o_orderdate").alias("bd")
+    )
+    dominated = (
+        (F.col("bp") <= F.col("o_totalprice"))
+        & (F.col("bd") <= F.col("o_orderdate"))
+        & (
+            (F.col("bp") < F.col("o_totalprice"))
+            | (F.col("bd") < F.col("o_orderdate"))
+        )
+    )
+    return (
+        cand.join(F.broadcast(b), dominated, "left_anti")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+
+
+KS_SRC_A, KS_SRC_B = "src0", "src1"
+
+
+@query(
+    "ks_drift_doclen",
+    oracle=f"""
+    WITH a AS (
+      SELECT n_chars AS v, count(*) AS c FROM documents
+      WHERE source = '{KS_SRC_A}' GROUP BY n_chars
+    ),
+    b AS (
+      SELECT n_chars AS v, count(*) AS c FROM documents
+      WHERE source = '{KS_SRC_B}' GROUP BY n_chars
+    ),
+    merged AS (
+      SELECT coalesce(a.v, b.v) AS v,
+             coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+      FROM a FULL OUTER JOIN b ON a.v = b.v
+    ),
+    cum AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+             sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+             sum(ca) OVER () AS ta, sum(cb) OVER () AS tb
+      FROM merged
+    )
+    SELECT CAST(max(abs(cum_a * tb - cum_b * ta)) AS BIGINT) AS ks_numerator,
+           CAST(min(ta * tb) AS BIGINT)                      AS ks_denominator,
+           round(max(abs(cum_a * tb - cum_b * ta))
+                 / CAST(min(ta * tb) AS DOUBLE), 6)          AS ks_statistic
+    FROM cum
+    """,
+)
+def ks_drift_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between two
+    sources' document-length distributions (the distribution-shift
+    monitor a data pipeline runs between crawl snapshots or mixture
+    revisions — TVD's order-aware cousin: KS sees a LOCATION shift
+    that identical histograms-of-buckets would hide). INTEGER-EXACT:
+    D = max|ECDF_a - ECDF_b| is computed as max|cum_a·T_b - cum_b·T_a|
+    over the merged support, divided by T_a·T_b only in the final
+    rounded display column.
+
+    Scale: per-source length histograms collapse via hash aggregate
+    (support-sized, not corpus-sized); the ECDF cumsum window runs
+    over the merged SUPPORT (distinct lengths — bounded by the value
+    domain, not the row count), which is the standard place a
+    single-partition window is acceptable; one row out.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    a = (
+        d.filter(F.col("source") == KS_SRC_A)
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count("*").alias("ca"))
+    )
+    b = (
+        d.filter(F.col("source") == KS_SRC_B)
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count("*").alias("cb"))
+    )
+    merged = (
+        a.join(b, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = merged.select(
+        F.sum("ca").over(wc).alias("cum_a"),
+        F.sum("cb").over(wc).alias("cum_b"),
+        F.sum("ca").over(wt).alias("ta"),
+        F.sum("cb").over(wt).alias("tb"),
+    )
+    diff = F.abs(F.col("cum_a") * F.col("tb") - F.col("cum_b") * F.col("ta"))
+    return cum.agg(
+        F.max(diff).alias("ks_numerator"),
+        F.min(F.col("ta") * F.col("tb")).alias("ks_denominator"),
+        F.round(
+            F.max(diff) / F.min(F.col("ta") * F.col("tb")).cast("double"), 6
+        ).alias("ks_statistic"),
+    )

@@ -828,3 +828,23 @@ def test_attribution_single_user_window_no_join(spark):
     assert "Window" in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_skyline_prunes_before_pair_test(spark):
+    """The exact dominance anti-join runs over grid-prune SURVIVORS
+    with a broadcast build side — never a corpus-wide pair join; the
+    prefix-min window runs over ≤256 cell rows."""
+    plan = plan_of(spark, "skyline_cheap_early_orders")
+    assert "BroadcastNestedLoopJoin" in plan  # dominance test, bounded side
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ks_drift_support_sized_window(spark):
+    """Histograms partial-aggregate; the ECDF window runs over the
+    merged SUPPORT, not the corpus; no Python."""
+    plan = plan_of(spark, "ks_drift_doclen")
+    assert "partial_count" in plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -352,3 +352,109 @@ class TestConversionAttribution:
         assert got == {"click": 1, "organic": 2, "error": 1}
         n_users = {r["attributed_to"]: r["n_users"] for _, r in out.iterrows()}
         assert n_users == {"click": 1, "organic": 2, "error": 1}
+
+
+class TestSkyline:
+    def test_matches_naive_dominance(self, spark, tmp_path):
+        """Duplicates survive together (no strict edge), same-price
+        later dates fall, and the output equals the brute-force
+        NOT-EXISTS semantics computed here."""
+        import datetime as dt
+
+        from couchwarehouse_spark.plans.relational_extra import (
+            skyline_cheap_early_orders,
+        )
+
+        rows = [
+            (1, 10.0, dt.date(2024, 1, 5)),
+            (2, 10.0, dt.date(2024, 1, 5)),   # exact duplicate of 1
+            (3, 10.0, dt.date(2024, 1, 7)),   # same price, later → out
+            (4, 5.0, dt.date(2024, 1, 10)),   # cheapest → in
+            (5, 20.0, dt.date(2024, 1, 1)),   # earliest → in
+            (6, 15.0, dt.date(2024, 1, 3)),   # incomparable → in
+            (7, 25.0, dt.date(2024, 1, 2)),   # dominated by 5 → out
+        ]
+        d = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                rows, "o_orderkey long, o_totalprice double, o_orderdate date"
+            ),
+            d,
+            "orders",
+        )
+        out = skyline_cheap_early_orders(spark, d).toPandas()
+
+        naive = {
+            k
+            for k, p, dd in rows
+            if not any(
+                (p2 <= p and d2 <= dd and (p2 < p or d2 < dd))
+                for _, p2, d2 in rows
+            )
+        }
+        assert set(out["o_orderkey"]) == naive == {1, 2, 4, 5, 6}
+
+    def test_uniform_price_degenerate_grid(self, spark, tmp_path):
+        """All prices equal (grid step 0): skyline = the min-date rows."""
+        import datetime as dt
+
+        from couchwarehouse_spark.plans.relational_extra import (
+            skyline_cheap_early_orders,
+        )
+
+        rows = [
+            (1, 7.0, dt.date(2024, 2, 1)),
+            (2, 7.0, dt.date(2024, 2, 1)),
+            (3, 7.0, dt.date(2024, 2, 9)),
+        ]
+        d = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                rows, "o_orderkey long, o_totalprice double, o_orderdate date"
+            ),
+            d,
+            "orders",
+        )
+        out = skyline_cheap_early_orders(spark, d).toPandas()
+        assert set(out["o_orderkey"]) == {1, 2}
+
+
+class TestKsDrift:
+    def test_hand_computed_statistic(self, spark, tmp_path):
+        """src0 lens {10,10,20}, src1 lens {20,30}: max cross-
+        multiplied ECDF gap = |2·2 − 0·3| = 4 over denominator 6."""
+        from couchwarehouse_spark.plans.relational_extra import ks_drift_doclen
+
+        rows = [
+            (0, "x", "src0", 10), (1, "x", "src0", 10), (2, "x", "src0", 20),
+            (3, "x", "src1", 20), (4, "x", "src1", 30),
+        ]
+        d = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                [(i, t, "en", s, n) for i, t, s, n in rows],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            d,
+            "documents",
+        )
+        out = ks_drift_doclen(spark, d).toPandas().iloc[0]
+        assert out["ks_numerator"] == 4
+        assert out["ks_denominator"] == 6
+        assert out["ks_statistic"] == round(4 / 6, 6)
+
+    def test_identical_distributions_zero(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.relational_extra import ks_drift_doclen
+
+        rows = [(0, "x", "src0", 10), (1, "x", "src1", 10)]
+        d = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                [(i, t, "en", s, n) for i, t, s, n in rows],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            d,
+            "documents",
+        )
+        out = ks_drift_doclen(spark, d).toPandas().iloc[0]
+        assert out["ks_numerator"] == 0 and out["ks_statistic"] == 0.0
