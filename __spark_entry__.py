@@ -34,21 +34,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #    udtf_token_runs — per-call view/UDTF names),
 #  - 13 operators new early this round (never driver-verified by
 #    construction),
-#  - 6 operators new LATE this round (second batch — source TVD, KN
+#  - 14 operators new LATE this round (batches 2-5: source TVD, KN
 #    continuation, boundary overlap, best-of-n, preference pairs,
-#    Gram matrix),
+#    Gram matrix, vocab curve, held-out LM eval, modality pairing,
+#    CMS audit, Bloom audit, conversion attribution, skyline, KS
+#    drift),
 #  - 1 never-driver-green entry (multimodal_feature_extract — its only
 #    driver row was an r02 infra err; locally green every round),
-#  - 15 stalest entries by last green driver row (last-green-r02 +
+#  - 7 stalest entries by last green driver row (incl.
 #    percentile_stats keeping the statistics family in the window —
 #    test_registry_contract.py::test_window_covers_every_family).
-#    Displaced to make room for the second batch (still t2-sim
+#    Displaced to make room for the new operators (all still t2-sim
 #    checked): cube_flag_status, distinct_segments,
-#    priority_multiset_diff, set_except_nations, set_intersect_brands,
-#    set_union_nations — all single-operator relational entries whose
-#    family stays represented. Next round's staleness rotation starts
-#    from them plus agg_stats/array_functions/asof_last_view
-#    alphabetically.
+#    priority_multiset_diff, set_*_nations/brands,
+#    balance_distribution_ranks, crossdoc_ngram_dup,
+#    customer_order_gaps, doc_length_histogram,
+#    domain_mixture_weights, no_big_order_anti,
+#    order_cohort_full_outer, range_frame_revenue — single-operator
+#    relational/curation entries whose families stay represented.
+#    Next round's staleness rotation starts from them.
 # Every entry outside the window stays registered, oracle-checked by
 # tests/t2_sim.py, pytest-covered, and bench-timed.
 PRIORITY = [
@@ -83,25 +87,25 @@ PRIORITY = [
     "multimodal_audio_framing",
     "contrastive_pair_mining",
     "span_corruption_census",
-    # --- 6 NEW operators, second batch this round ---
+    # --- 14 NEW operators, batches 2-5 this round ---
     "source_tvd_matrix",
     "kn_continuation_counts",
     "doc_boundary_overlap",
     "best_of_n_selection",
     "preference_pair_harvest",
     "embedding_gram_matrix",
+    "vocab_coverage_curve",
+    "heldout_perplexity_eval",
+    "modality_pairing_audit",
+    "count_min_sketch_audit",
+    "bloom_filter_build_audit",
+    "conversion_attribution",
+    "skyline_cheap_early_orders",
+    "ks_drift_doclen",
     # --- 1 never-driver-green (r02 infra err was its only row) ---
     "multimodal_feature_extract",
-    # --- 15 stalest by last green driver row ---
-    "balance_distribution_ranks",
-    "crossdoc_ngram_dup",
-    "customer_order_gaps",
-    "doc_length_histogram",
-    "domain_mixture_weights",
-    "no_big_order_anti",
-    "order_cohort_full_outer",
+    # --- 7 stalest by last green driver row ---
     "price_band_join",
-    "range_frame_revenue",
     "rollup_priority_status",
     "top_revenue_orders",
     "agg_stats",
