@@ -727,3 +727,189 @@ def bloom_filter_build_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_rate_est"),
         )
     )
+
+
+KS_A, KS_B = "src0", "src1"
+CHI2_TOP_K = 20
+CHI2_MIN_COUNT = 5  # classic chi-square validity floor per cell probe
+
+
+@query(
+    "chi2_term_keyness",
+    oracle=f"""
+    WITH tc AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    st AS (SELECT source, term, count(*) AS a FROM tc GROUP BY source, term),
+    src_tot AS (SELECT source, CAST(sum(a) AS BIGINT) AS ts FROM st GROUP BY source),
+    term_tot AS (SELECT term, CAST(sum(a) AS BIGINT) AS tt FROM st GROUP BY term),
+    n AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM st),
+    cells AS (
+      SELECT st.source, st.term, st.a,
+             src_tot.ts - st.a AS b,
+             term_tot.tt - st.a AS c,
+             n.n - src_tot.ts - term_tot.tt + st.a AS d,
+             n.n AS n
+      FROM st
+      JOIN src_tot USING (source)
+      JOIN term_tot USING (term)
+      CROSS JOIN n
+    )
+    SELECT source, term, a, b, c, d,
+           round(CAST(n AS DOUBLE)
+                 * CAST(a * d - b * c AS DOUBLE)
+                 * CAST(a * d - b * c AS DOUBLE)
+                 / ((a + b) * (c + d))
+                 / ((a + c) * (b + d)), 4) AS chi2
+    FROM cells
+    WHERE a >= {CHI2_MIN_COUNT}
+    ORDER BY chi2 DESC, term, source
+    LIMIT {CHI2_TOP_K}
+    """,
+)
+def chi2_term_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square keyness (Dunning/Rayson corpus-linguistics staple —
+    which terms are statistically OVER-represented in one source vs
+    the rest): per (source, term), the 2×2 contingency cells a/b/c/d
+    and χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)), top-CHI2_TOP_K.
+    High-χ² terms are domain markers — the evidence a mixture
+    re-weighting or a domain-classifier feature list reads. The
+    contingency cells stay INTEGER; χ² is computed with one fixed
+    parenthesization (cast-to-double of N and (ad−bc), two integer
+    denominator products) so both engines produce the identical
+    double, and a ≥ CHI2_MIN_COUNT applies the classic small-cell
+    validity floor.
+
+    Scale: one word-count shuffle to (source, term); source totals
+    are a |sources|-row broadcast, term totals reduce the count
+    table itself; everything after is a projection; top-k is a
+    per-partition heap. The integer cell products fit comfortably in
+    longs at audit scale; re-scale (per-million counts) before the
+    cast if N·ad exceeds 2⁶³ on a full corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("a"))
+    )
+    st = scoped_persist(st)
+    src_tot = st.groupBy("source").agg(F.sum("a").alias("ts"))
+    term_tot = st.groupBy("term").agg(F.sum("a").alias("tt"))
+    n = st.agg(F.sum("a").alias("n"))
+    cells = (
+        st.join(F.broadcast(src_tot), "source")
+        .join(term_tot, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            "a",
+            (F.col("ts") - F.col("a")).alias("b"),
+            (F.col("tt") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("ts") - F.col("tt") + F.col("a")).alias("d"),
+            "n",
+        )
+    )
+    dd = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    chi2 = F.round(
+        F.col("n").cast("double")
+        * dd
+        * dd
+        / ((F.col("a") + F.col("b")) * (F.col("c") + F.col("d")))
+        / ((F.col("a") + F.col("c")) * (F.col("b") + F.col("d"))),
+        4,
+    )
+    return (
+        cells.filter(F.col("a") >= CHI2_MIN_COUNT)
+        .select("source", "term", "a", "b", "c", "d", chi2.alias("chi2"))
+        .orderBy(F.col("chi2").desc(), "term", "source")
+        .limit(CHI2_TOP_K)
+    )
+
+
+@query(
+    "mannwhitney_drift_doclen",
+    oracle=f"""
+    WITH a AS (
+      SELECT n_chars AS v, count(*) AS ca FROM documents
+      WHERE source = '{KS_A}' GROUP BY n_chars
+    ),
+    b AS (
+      SELECT n_chars AS v, count(*) AS cb FROM documents
+      WHERE source = '{KS_B}' GROUP BY n_chars
+    ),
+    merged AS (
+      SELECT coalesce(a.v, b.v) AS v,
+             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM a FULL OUTER JOIN b ON a.v = b.v
+    ),
+    cum AS (
+      SELECT v, ca, cb,
+             sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_a,
+             sum(ca) OVER () AS ta, sum(cb) OVER () AS tb
+      FROM merged
+    )
+    SELECT CAST(sum(cb * (2 * coalesce(prev_a, 0) + ca)) AS BIGINT)
+                                            AS u2_statistic,
+           CAST(min(ta) AS BIGINT)          AS n_a,
+           CAST(min(tb) AS BIGINT)          AS n_b,
+           round(sum(cb * (2 * coalesce(prev_a, 0) + ca))
+                 / CAST(2 * min(ta) * min(tb) AS DOUBLE), 6)
+                                            AS auc
+    FROM cum
+    """,
+)
+def mannwhitney_drift_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between two sources' document-length
+    distributions — the rank-sum drift test that complements
+    ``ks_drift_doclen``: KS finds the largest LOCAL gap, U measures
+    the global stochastic ordering (its normalization U/(n_a·n_b) is
+    exactly the AUC "probability a random B doc is longer than a
+    random A doc", ties counted half). INTEGER-EXACT via the
+    doubled statistic: U2 = Σ_v c_b(v)·(2·|A < v| + c_a(v)) sums the
+    per-value win/tie census in integers; only the final AUC display
+    is a rounded double.
+
+    Scale: identical shape to the KS entry — per-source histograms
+    via hash aggregate, one window over the merged SUPPORT (value
+    domain, not row count), one row out.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    a = (
+        d.filter(F.col("source") == KS_A)
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count("*").alias("ca"))
+    )
+    b = (
+        d.filter(F.col("source") == KS_B)
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count("*").alias("cb"))
+    )
+    merged = a.join(b, "v", "full_outer").select(
+        "v",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = merged.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum("ca").over(wp), F.lit(0)).alias("prev_a"),
+        F.sum("ca").over(wt).alias("ta"),
+        F.sum("cb").over(wt).alias("tb"),
+    )
+    u2 = F.sum(F.col("cb") * (2 * F.col("prev_a") + F.col("ca")))
+    return cum.agg(
+        u2.alias("u2_statistic"),
+        F.min("ta").alias("n_a"),
+        F.min("tb").alias("n_b"),
+        F.round(
+            u2 / (F.lit(2) * F.min("ta") * F.min("tb")).cast("double"), 6
+        ).alias("auc"),
+    )

@@ -848,3 +848,20 @@ def test_ks_drift_support_sized_window(spark):
     assert "partial_count" in plan
     assert "Window" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chi2_keyness_broadcast_totals_topk_heap(spark):
+    """Word counts partial-aggregate; source totals and N attach as
+    broadcasts; top-k is a per-partition heap; no Python."""
+    plan = plan_of(spark, "chi2_term_keyness")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mannwhitney_support_sized_window(spark):
+    plan = plan_of(spark, "mannwhitney_drift_doclen")
+    assert "partial_count" in plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -458,3 +458,68 @@ class TestKsDrift:
         )
         out = ks_drift_doclen(spark, d).toPandas().iloc[0]
         assert out["ks_numerator"] == 0 and out["ks_statistic"] == 0.0
+
+
+class TestChi2Keyness:
+    def test_hand_contingency(self, spark, tmp_path):
+        """srcA = 'x'×6, srcB = 'y'×6: for (srcA, 'x') the 2×2 table is
+        a=6 b=0 c=0 d=6 → χ² = N = 12 (perfect association)."""
+        from couchwarehouse_spark.plans.statistics import chi2_term_keyness
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [(0, "x x x x x x", "srcA"), (1, "y y y y y y", "srcB")],
+            ),
+            d,
+            "documents",
+        )
+        out = chi2_term_keyness(spark, d).toPandas()
+        assert len(out) == 2  # both (srcA, x) and (srcB, y) hit the floor
+        for _, r in out.iterrows():
+            assert (r["a"], r["b"], r["c"], r["d"]) == (6, 0, 0, 6)
+            assert r["chi2"] == 12.0
+
+
+class TestMannWhitney:
+    def test_complete_separation_auc_one(self, spark, tmp_path):
+        """All src1 lengths above all src0 lengths → AUC = 1."""
+        from couchwarehouse_spark.plans.statistics import (
+            mannwhitney_drift_doclen,
+        )
+
+        rows = [(0, "x", "src0", 10), (1, "x", "src0", 20),
+                (2, "x", "src1", 30), (3, "x", "src1", 40)]
+        d = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                [(i, t, "en", s, n) for i, t, s, n in rows],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            d,
+            "documents",
+        )
+        out = mannwhitney_drift_doclen(spark, d).toPandas().iloc[0]
+        assert out["u2_statistic"] == 2 * 4  # every B beats every A, doubled
+        assert out["auc"] == 1.0
+
+    def test_ties_count_half(self, spark, tmp_path):
+        """Identical singleton distributions: one tie → U2 = 1, AUC = ½."""
+        from couchwarehouse_spark.plans.statistics import (
+            mannwhitney_drift_doclen,
+        )
+
+        rows = [(0, "x", "src0", 10), (1, "x", "src1", 10)]
+        d = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                [(i, t, "en", s, n) for i, t, s, n in rows],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            d,
+            "documents",
+        )
+        out = mannwhitney_drift_doclen(spark, d).toPandas().iloc[0]
+        assert out["u2_statistic"] == 1
+        assert out["auc"] == 0.5
