@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compact", action="store_true",
                    help="after spooling, compact fragmented buckets into a "
                         "new table version")
+    p.add_argument("--clone", default=None, metavar="SRC:DST",
+                   help="after spooling, zero-copy-clone table SRC to DST "
+                        "(hardlinked snapshot; each side then evolves and "
+                        "vacuums independently)")
     p.add_argument("--rebucket", type=int, default=None, metavar="N",
                    help="after spooling, rewrite every table under an "
                         "N-bucket id-hash layout as a new version "
@@ -272,6 +276,16 @@ def main(argv: list[str] | None = None) -> int:
             n = wh.compact(doc_type)
             if n and not args.quiet:
                 print(f"couchwarehouse: compacted {n} buckets of {doc_type}")
+    if args.clone:
+        src_t, _, dst_t = args.clone.partition(":")
+        if not dst_t:
+            raise SystemExit("couchwarehouse: --clone needs SRC:DST")
+        n = wh.clone(src_t, dst_t)
+        if not args.quiet:
+            print(
+                f"couchwarehouse: cloned {wh.table_name(src_t)} -> "
+                f"{wh.table_name(dst_t)} ({n} files linked)"
+            )
     if args.rebucket:
         n = wh.rebucket(args.rebucket)
         if not args.quiet:

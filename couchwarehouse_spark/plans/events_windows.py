@@ -821,3 +821,86 @@ def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("attributed_to")
     )
+
+
+LATE_BUCKETS_S = (0, 60, 600, 3600)  # lateness histogram edges (seconds)
+
+
+@query(
+    "event_lateness_census",
+    oracle="""
+    WITH arr AS (
+      SELECT ts,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS watermark_ts
+      FROM events
+    ),
+    late AS (
+      SELECT CASE
+               WHEN watermark_ts IS NULL
+                 OR epoch_us(watermark_ts) - epoch_us(ts) <= 0 THEN 'on_time'
+               WHEN epoch_us(watermark_ts) - epoch_us(ts)
+                    <= CAST(60 AS BIGINT) * 1000000 THEN 'late_1m'
+               WHEN epoch_us(watermark_ts) - epoch_us(ts)
+                    <= CAST(600 AS BIGINT) * 1000000 THEN 'late_10m'
+               WHEN epoch_us(watermark_ts) - epoch_us(ts)
+                    <= CAST(3600 AS BIGINT) * 1000000 THEN 'late_1h'
+               ELSE 'late_over_1h'
+             END AS lateness,
+             epoch_us(watermark_ts) - epoch_us(ts) AS lag_us
+      FROM arr
+    )
+    SELECT lateness,
+           count(*) AS n_events,
+           CAST(max(CASE WHEN lag_us > 0 THEN lag_us ELSE 0 END) AS BIGINT)
+                    AS max_lag_us
+    FROM late
+    GROUP BY lateness
+    ORDER BY lateness
+    """,
+)
+def event_lateness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness census (D4 — the measurement that SIZES a
+    streaming watermark): treating arrival order as the ingestion
+    sequence (event_id) and the running max event-time as the
+    would-be watermark, classify every event by how far BEHIND that
+    watermark it arrived — on time, within 1 m / 10 m / 1 h, or
+    beyond. ``withWatermark('1 hour')`` silently DROPS the last
+    bucket; this census is how you pick the delay with evidence
+    instead of folklore (late data beyond the watermark is exactly
+    what D3's latest-wins merge must absorb).
+
+    Scale: one global arrival-ordered running-max window. In batch
+    audit form this is a single-partition pass by definition (one
+    total arrival order — the census is usually run per ingestion
+    shard); the streaming twin gets the same number for free from
+    ``StreamingQueryProgress.eventTime`` watermark lag. Microsecond-
+    exact comparisons both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    arr = e.select(
+        "ts", F.max("ts").over(w).alias("watermark_ts")
+    )
+    lag_us = F.unix_micros(F.col("watermark_ts").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    lateness = (
+        F.when(F.col("watermark_ts").isNull() | (lag_us <= 0), "on_time")
+        .when(lag_us <= 60 * 1_000_000, "late_1m")
+        .when(lag_us <= 600 * 1_000_000, "late_10m")
+        .when(lag_us <= 3600 * 1_000_000, "late_1h")
+        .otherwise("late_over_1h")
+    )
+    return (
+        arr.select(lateness.alias("lateness"), lag_us.alias("lag_us"))
+        .groupBy("lateness")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(
+                F.when(F.col("lag_us") > 0, F.col("lag_us")).otherwise(F.lit(0))
+            ).alias("max_lag_us"),
+        )
+        .orderBy("lateness")
+    )

@@ -226,10 +226,14 @@ class Warehouse:
     # -- naming --------------------------------------------------------
 
     def table_name(self, doc_type: str = DEFAULT_TYPE) -> str:
+        # A non-default type always takes the suffixed name: in split
+        # mode that's the reference's db_docType; in an UNSPLIT
+        # warehouse the only way a non-default type exists is clone(),
+        # whose target must not collide with the source table's name.
         return usable_table_name(
             self.db_name,
             None if doc_type == DEFAULT_TYPE else doc_type,
-            split=self.split is not None,
+            split=self.split is not None or doc_type != DEFAULT_TYPE,
         )
 
     def _table_path(self, doc_type: str) -> str:
@@ -1139,6 +1143,61 @@ class Warehouse:
         from couchwarehouse_spark.sinks.materialized import read_mv
 
         return read_mv(self, name, doc_type)
+
+    def clone(self, src_type: str, dst_type: str) -> int:
+        """Zero-copy table clone (Delta CLONE semantics): create
+        ``dst_type`` as a new table whose version 1 references the
+        SAME bytes as ``src_type``'s current snapshot — via HARDLINKS,
+        so no data is rewritten and the clone is O(files), not
+        O(bytes). Each table keeps its own manifest log and vacuums
+        only its own directory entries; the shared inodes are freed
+        when the last table's link goes, which makes the clone safe
+        under either side's vacuum (the shallow-clone dangling-file
+        hazard Delta documents cannot happen). Typical use: branch a
+        production table into a dev/test sandbox before a risky
+        transform. Returns the number of files linked.
+
+        The clone starts with the source's CURRENT data but its own
+        empty checkpoint lineage — future spools into either table
+        diverge independently (copy-on-write at bucket granularity
+        via the ordinary merge path).
+        """
+        if dst_type in self.schemas:
+            raise ValueError(f"clone target {dst_type!r} already exists")
+        if src_type not in self.schemas:
+            raise ValueError(f"clone source {src_type!r} unknown")
+        src_path = self._table_path(src_type)
+        manifest = self._load_manifest(src_path)
+        if manifest is None:
+            manifest = self._adopt_legacy(src_path)
+        if manifest is None:
+            raise ValueError(f"clone source {src_type!r} has no committed version")
+        dst_path = self._table_path(dst_type)
+        n_linked = 0
+        for b, files in manifest["buckets"].items():
+            dst_dir = os.path.join(dst_path, f"_cw_bucket={b}")
+            os.makedirs(dst_dir, exist_ok=True)
+            for fn in files:
+                src_fp = os.path.join(src_path, f"_cw_bucket={b}", fn)
+                dst_fp = os.path.join(dst_dir, fn)
+                try:
+                    os.link(src_fp, dst_fp)
+                except OSError:
+                    shutil.copy2(src_fp, dst_fp)  # no-hardlink filesystem
+                n_linked += 1
+        self._commit_manifest(
+            dst_path,
+            "clone",
+            {int(b): list(fs) for b, fs in manifest["buckets"].items()},
+            manifest["schema"],
+            {int(b): dict(per) for b, per in manifest.get("stats", {}).items()},
+            base_version=0,
+            n_buckets=self._manifest_buckets_n(manifest),
+        )
+        self.schemas[dst_type] = dict(self.schemas[src_type])
+        self._save_schemas()
+        self.register_view(dst_type)
+        return n_linked
 
     def rebucket(self, n_buckets: int, doc_type: str | None = None) -> int:
         """Change the id-hash bucket count — the partition-strategy

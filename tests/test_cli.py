@@ -160,6 +160,26 @@ def test_cli_rebucket_flag(spark, tmp_path, capsys):
     assert "8" in out
 
 
+def test_cli_clone_flag(spark, tmp_path, capsys):
+    """--clone SRC:DST snapshots a table zero-copy; both stay queryable."""
+    feed = _mixed_feed(str(tmp_path / "feed"))
+    rc = main(
+        [
+            "--feed", feed,
+            "--database", "clonedb",
+            "--warehouse-dir", str(tmp_path / "wh"),
+            "--split", "type",
+            "--clone", "order:order_dev",
+            "--sql", "SELECT count(*) AS n FROM clonedb_order_dev",
+            "--reset",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "cloned clonedb_order -> clonedb_order_dev" in out
+    assert "8" in out
+
+
 def test_library_start_query_stop_api(spark, tmp_path):
     """Reference export parity (index.js:257-260): start() spools and
     returns a queryable warehouse; monitor mode is stoppable via

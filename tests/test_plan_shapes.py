@@ -865,3 +865,10 @@ def test_mannwhitney_support_sized_window(spark):
     assert "partial_count" in plan
     assert "Window" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lateness_census_single_window_no_join(spark):
+    plan = plan_of(spark, "event_lateness_census")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

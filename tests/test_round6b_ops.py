@@ -523,3 +523,37 @@ class TestMannWhitney:
         out = mannwhitney_drift_doclen(spark, d).toPandas().iloc[0]
         assert out["u2_statistic"] == 1
         assert out["auc"] == 0.5
+
+
+class TestEventLatenessCensus:
+    def test_buckets_and_max_lag(self, spark, tmp_path):
+        """Arrival order: t=100, t=40 (60s late → late_1m boundary
+        inclusive), t=200, t=199 (1s late), t=0 (200s late →
+        late_10m). Running max watermark; first event on time."""
+        import datetime as dt
+
+        from couchwarehouse_spark.plans.events_windows import (
+            event_lateness_census,
+        )
+
+        t0 = dt.datetime(2024, 3, 1)
+
+        def ev(eid, sec):
+            return (eid, t0 + dt.timedelta(seconds=sec), 1, "view", 1.0, "{}")
+
+        rows = [ev(1, 100), ev(2, 40), ev(3, 200), ev(4, 199), ev(5, 0)]
+        d = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string",
+            ),
+            d,
+            "events",
+        )
+        out = event_lateness_census(spark, d).toPandas().set_index("lateness")
+        assert out.loc["on_time", "n_events"] == 2  # first + new max t=200
+        assert out.loc["late_1m", "n_events"] == 2  # 60s (boundary) + 1s
+        assert out.loc["late_10m", "n_events"] == 1  # 200s
+        assert out.loc["late_10m", "max_lag_us"] == 200_000_000

@@ -1143,3 +1143,80 @@ def test_rebucket_changes_layout_keeps_contract(spark, tmp_path):
     assert wh._load_manifest(path)["n_buckets"] == 2
     row = wh.lookup("order00000").collect()
     assert len(row) == 1 and row[0]["status"] == "postrestore"
+
+
+def test_clone_zero_copy_then_diverge(spark, tmp_path):
+    """clone(): the target's version 1 hardlinks the source's bytes
+    (no rewrite), reads identically, then DIVERGES independently —
+    a spool into the clone never touches the source, and vacuuming
+    the source never breaks the clone (hardlinked inodes survive
+    until the last link drops)."""
+    import os
+
+    rng = random.Random(31)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "clonedata", n_buckets=2)
+    envs = [envelope(i + 1, order_doc(i, rng)) for i in range(30)]
+    wh.spool(write_feed(str(tmp_path / "f1.jsonl"), envs))
+
+    src_rows = sorted((r["id"], r["status"]) for r in wh.table().collect())
+    n = wh.clone("_default", "sandbox")
+    assert n > 0
+
+    # Same bytes: every clone file shares its inode with the source.
+    src_path, dst_path = wh._table_path("_default"), wh._table_path("sandbox")
+    assert dst_path != src_path
+    m = wh._load_manifest(dst_path)
+    assert m["op"] == "clone" and m["version"] == 1
+    shared = 0
+    for b, files in m["buckets"].items():
+        for fn in files:
+            s = os.stat(os.path.join(src_path, f"_cw_bucket={b}", fn))
+            d = os.stat(os.path.join(dst_path, f"_cw_bucket={b}", fn))
+            if s.st_ino == d.st_ino:
+                shared += 1
+    assert shared == n  # hardlinks, not copies (POSIX tmp supports them)
+
+    assert sorted(
+        (r["id"], r["status"]) for r in wh.table("sandbox").collect()
+    ) == src_rows
+
+    # Diverge: amend 5 orders in the CLONE only (higher seq).
+    amend = [
+        envelope(1000 + i, order_doc(i, rng, extra={"status": "sandboxed"}))
+        for i in range(5)
+    ]
+    # Spool targets every type in the batch's route; write directly
+    # through the merge path for the sandbox type.
+    from couchwarehouse_spark.sources.changes import read_changes_feed
+
+    env = read_changes_feed(spark, write_feed(str(tmp_path / "f2.jsonl"), amend))
+    from couchwarehouse_spark.operators.document import seq_number_col  # noqa: F401
+
+    live = env.withColumn("_cw_type", F.lit("sandbox"))
+    wh._merge_type(live, live.filter(F.lit(False)).select("id", "_cw_seq"), "sandbox")
+
+    sandboxed = wh.table("sandbox").filter(F.col("status") == "sandboxed").count()
+    assert sandboxed == 5
+    # Source untouched.
+    assert sorted((r["id"], r["status"]) for r in wh.table().collect()) == src_rows
+
+    # Vacuum the SOURCE hard (retain 1, no grace): the clone still reads.
+    wh.vacuum("_default", retain_versions=1, min_age_seconds=0)
+    assert wh.table("sandbox").count() == 30
+    assert sorted((r["id"], r["status"]) for r in wh.table().collect()) == src_rows
+
+    # Reopened warehouse still knows the clone.
+    wh2 = Warehouse(spark, str(tmp_path / "wh"), "clonedata")
+    assert wh2.table("sandbox").count() == 30
+
+    # Guard rails.
+    try:
+        wh.clone("_default", "sandbox")
+        raise AssertionError("expected ValueError for existing target")
+    except ValueError:
+        pass
+    try:
+        wh.clone("nope", "other")
+        raise AssertionError("expected ValueError for unknown source")
+    except ValueError:
+        pass
