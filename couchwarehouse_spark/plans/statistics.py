@@ -913,3 +913,116 @@ def mannwhitney_drift_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
             u2 / (F.lit(2) * F.min("ta") * F.min("tb")).cast("double"), 6
         ).alias("auc"),
     )
+
+
+@query(
+    "cms_join_size_audit",
+    oracle=f"""
+    WITH ca AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+    cb AS (SELECT c_custkey AS k, count(*) AS c FROM customer GROUP BY 1),
+    cells_a AS (
+      SELECT r,
+             CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {CMS_WIDTH} AS col,
+             CAST(sum(c) AS BIGINT) AS ctr
+      FROM ca CROSS JOIN range({CMS_DEPTH}) t(r) GROUP BY 1, 2
+    ),
+    cells_b AS (
+      SELECT r,
+             CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {CMS_WIDTH} AS col,
+             CAST(sum(c) AS BIGINT) AS ctr
+      FROM cb CROSS JOIN range({CMS_DEPTH}) t(r) GROUP BY 1, 2
+    ),
+    per_row AS (
+      SELECT cells_a.r, CAST(sum(cells_a.ctr * cells_b.ctr) AS BIGINT) AS est
+      FROM cells_a JOIN cells_b USING (r, col)
+      GROUP BY cells_a.r
+    ),
+    actual AS (
+      SELECT CAST(sum(ca.c * cb.c) AS BIGINT) AS n
+      FROM ca JOIN cb USING (k)
+    )
+    SELECT (SELECT min(est) FROM per_row)              AS estimated_join_size,
+           (SELECT n FROM actual)                      AS actual_join_size,
+           (SELECT min(est) FROM per_row)
+             - (SELECT n FROM actual)                  AS overestimate
+    """,
+)
+def cms_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based JOIN-SIZE estimation audit (the AGMS/CMS inner-
+    product estimator behind cost-based join ordering: |A ⋈ B| =
+    Σ_k c_A(k)·c_B(k), estimated as min over sketch rows of the
+    sketch inner product — Cormode & Muthukrishnan 2005, §4.2).
+    Both sides' key histograms are sketched into {CMS_DEPTH}×
+    {CMS_WIDTH} counters with the SAME hash family; the estimate is
+    provably ≥ the true size (collisions only add), and the audit
+    reports estimate, exact size, and the gap — the number that says
+    whether a W-wide sketch is enough to order YOUR joins.
+    Deterministic md5 hashes make the whole estimator exactly
+    oracle-checkable.
+
+    Scale: each side collapses to its key histogram (hash agg,
+    map-side combine), sketches are ≤ D·W rows each — the inner
+    product is a join of two 1024-row tables, broadcastable; the
+    exact size is a count-table join, never a row-level join. This
+    is precisely how a planner estimates a join it cannot afford to
+    run.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    ca = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    cb = customer.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    ca, cb = scoped_persist(ca), scoped_persist(cb)
+    rows = F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("r")
+
+    def sketch(counts):
+        return (
+            counts.select("k", "c", rows)
+            .select(
+                "r",
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("r").cast("string"),
+                                    F.lit(":"),
+                                    F.col("k").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % CMS_WIDTH
+                ).alias("col"),
+                "c",
+            )
+            .groupBy("r", "col")
+            .agg(F.sum("c").alias("ctr"))
+        )
+    per_row = (
+        sketch(ca)
+        .join(sketch(cb).withColumnRenamed("ctr", "ctr_b"), ["r", "col"])
+        .groupBy("r")
+        .agg(F.sum(F.col("ctr") * F.col("ctr_b")).alias("est"))
+        .agg(F.min("est").alias("estimated_join_size"))
+    )
+    actual = (
+        ca.join(cb.withColumnRenamed("c", "c_b"), "k")
+        .agg(F.sum(F.col("c") * F.col("c_b")).alias("actual_join_size"))
+    )
+    return per_row.crossJoin(F.broadcast(actual)).select(
+        "estimated_join_size",
+        "actual_join_size",
+        (F.col("estimated_join_size") - F.col("actual_join_size")).alias(
+            "overestimate"
+        ),
+    )

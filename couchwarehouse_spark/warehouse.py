@@ -1144,6 +1144,42 @@ class Warehouse:
 
         return read_mv(self, name, doc_type)
 
+    def describe_detail(self, doc_type: str = DEFAULT_TYPE) -> DataFrame:
+        """One-row operational summary of a table (Delta's DESCRIBE
+        DETAIL): current version + op, bucket count, referenced file
+        count and total bytes, retained version count, and schema
+        width. The numbers an operator reads before deciding to
+        compact / rebucket / vacuum — all from the manifest log and
+        file metadata, no data scan.
+        """
+        path = self._table_path(doc_type)
+        manifest = self._load_manifest(path)
+        versions = self._list_versions(path) or []
+        n_files = 0
+        n_bytes = 0
+        if manifest is not None:
+            for b, files in manifest["buckets"].items():
+                for fn in files:
+                    n_files += 1
+                    try:
+                        n_bytes += os.path.getsize(
+                            os.path.join(path, f"_cw_bucket={b}", fn)
+                        )
+                    except FileNotFoundError:
+                        pass  # racing vacuum on an OLD version's file
+        row = {
+            "table_name": self.table_name(doc_type),
+            "location": path,
+            "version": manifest["version"] if manifest else 0,
+            "last_op": manifest["op"] if manifest else None,
+            "n_buckets": self._manifest_buckets_n(manifest),
+            "n_files": n_files,
+            "size_bytes": n_bytes,
+            "n_versions_retained": len(versions),
+            "n_columns": len(self.schemas.get(doc_type, {})),
+        }
+        return self.spark.createDataFrame([row])
+
     def clone(self, src_type: str, dst_type: str) -> int:
         """Zero-copy table clone (Delta CLONE semantics): create
         ``dst_type`` as a new table whose version 1 references the

@@ -872,3 +872,13 @@ def test_lateness_census_single_window_no_join(spark):
     assert "Window" in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_join_size_small_sketch_join(spark):
+    """Key histograms partial-aggregate; the estimator joins two
+    ≤D·W-row sketches (broadcast-eligible); no row-level join of the
+    base tables anywhere in the plan."""
+    plan = plan_of(spark, "cms_join_size_audit")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

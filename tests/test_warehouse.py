@@ -1220,3 +1220,22 @@ def test_clone_zero_copy_then_diverge(spark, tmp_path):
         raise AssertionError("expected ValueError for unknown source")
     except ValueError:
         pass
+
+
+def test_describe_detail_reads_manifest_only(spark, tmp_path):
+    rng = random.Random(41)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "detaildata", n_buckets=2)
+    envs = [envelope(i + 1, order_doc(i, rng)) for i in range(10)]
+    wh.spool(write_feed(str(tmp_path / "f.jsonl"), envs))
+    row = wh.describe_detail().collect()[0]
+    assert row["table_name"] == "detaildata"
+    assert row["version"] == 1 and row["last_op"] == "merge"
+    assert row["n_buckets"] == 2
+    assert row["n_files"] >= 1 and row["size_bytes"] > 0
+    assert row["n_versions_retained"] == 1
+    assert row["n_columns"] > 5
+    wh.rebucket(4)
+    row2 = wh.describe_detail().collect()[0]
+    assert row2["version"] == 2 and row2["last_op"] == "rebucket"
+    assert row2["n_buckets"] == 4
+    assert row2["n_versions_retained"] == 2
