@@ -973,3 +973,145 @@ def heldout_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+TOKEN_BUDGET = 10_000_000  # planned training-token budget
+MAX_EPOCHS = 4  # data-constrained repetition cap (public scaling result)
+
+
+@query(
+    "mixture_epoch_plan",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens
+      FROM (SELECT lang, unnest(string_split(text, ' ')) FROM documents)
+      GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS n,
+             sum(sqrt(n_tokens / CAST((SELECT sum(n_tokens) FROM tok) AS DOUBLE)))
+               AS z
+      FROM tok
+    )
+    SELECT lang, n_tokens,
+           CAST(floor({TOKEN_BUDGET}
+                      * (sqrt(n_tokens / CAST(tot.n AS DOUBLE)) / tot.z))
+                AS BIGINT)                                  AS planned_tokens,
+           round({TOKEN_BUDGET}
+                 * (sqrt(n_tokens / CAST(tot.n AS DOUBLE)) / tot.z)
+                 / n_tokens, 4)                             AS epochs,
+           CAST(least(
+                 CAST(floor({TOKEN_BUDGET}
+                      * (sqrt(n_tokens / CAST(tot.n AS DOUBLE)) / tot.z))
+                      AS BIGINT),
+                 {MAX_EPOCHS} * n_tokens) AS BIGINT)        AS effective_tokens
+    FROM tok CROSS JOIN tot
+    ORDER BY lang
+    """,
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch planner (sampling — the data-constrained
+    training plan): allocate a TOKEN_BUDGET across languages by the
+    α=½ temperature weights, then report per language the planned
+    token draw, the implied EPOCH count (planned/available), and the
+    effective tokens after capping repetition at MAX_EPOCHS — the
+    public data-constrained-scaling result that value decays past ~4
+    epochs. The boost that ``temperature_sampling_weights`` plans in
+    ratios becomes here an actionable sampling schedule in tokens.
+
+    Scale: one word-count aggregate per language (map-side combine);
+    the budget math is a projection over the |langs|-row table with
+    one-row broadcast totals. sqrt not pow (bit-identical); floor
+    not round for the integer token plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_tokens"))
+    )
+    tok = scoped_persist(tok)
+    n_row = tok.agg(F.sum("n_tokens").alias("n"))
+    z_row = (
+        tok.crossJoin(F.broadcast(n_row))
+        .agg(F.sum(F.sqrt(F.col("n_tokens") / F.col("n").cast("double"))).alias("z"))
+    )
+    w = F.sqrt(F.col("n_tokens") / F.col("n").cast("double")) / F.col("z")
+    planned = F.floor(F.lit(TOKEN_BUDGET) * w).cast("long")
+    return (
+        tok.crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(z_row))
+        .select(
+            "lang",
+            "n_tokens",
+            planned.alias("planned_tokens"),
+            F.round(F.lit(TOKEN_BUDGET) * w / F.col("n_tokens"), 4).alias("epochs"),
+            F.least(planned, F.lit(MAX_EPOCHS) * F.col("n_tokens"))
+            .cast("long")
+            .alias("effective_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+CAL_BINS = 10
+CAL_SCALE = 2**32
+
+
+@query(
+    "score_calibration_bins",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(('0x' || substr(md5('cal:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    )
+    SELECT CAST(s * {CAL_BINS} // {CAL_SCALE} AS INTEGER) AS bin,
+           count(*)                           AS n,
+           CAST(sum(y) AS BIGINT)             AS n_pos,
+           round(sum(y) / CAST(count(*) AS DOUBLE), 6)   AS pos_rate,
+           round(sum(s) / CAST(count(*) AS DOUBLE)
+                 / {CAL_SCALE}, 6)                       AS avg_confidence
+    FROM scored
+    GROUP BY 1
+    ORDER BY bin
+    """,
+)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration / reliability table (the eval kernel
+    under quality-filter models: per confidence decile, predicted
+    confidence vs realized positive rate — the table ECE and a
+    reliability diagram read directly). The score is the salted-hash
+    stand-in this repo uses for model outputs (swap in a score
+    column, nothing else changes); the label is a real column
+    (lang = 'en'). Sum-of-integer scores keeps avg_confidence exact
+    before the final rounded divide.
+
+    Scale: scoring and binning are projections fused into the scan;
+    the table is ONE hash aggregate over CAL_BINS groups with
+    map-side combine — the cheapest possible shape for an eval that
+    runs after every classifier retrain.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = F.conv(
+        F.substring(F.md5(F.concat(F.lit("cal:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    scored = d.select(s.alias("s"), y.alias("y"))
+    return (
+        scored.groupBy(
+            F.floor(F.col("s") * CAL_BINS / CAL_SCALE).cast("int").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.round(F.sum("y") / F.count("*").cast("double"), 6).alias("pos_rate"),
+            F.round(
+                F.sum("s") / F.count("*").cast("double") / CAL_SCALE, 6
+            ).alias("avg_confidence"),
+        )
+        .orderBy("bin")
+    )

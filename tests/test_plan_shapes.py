@@ -882,3 +882,20 @@ def test_cms_join_size_small_sketch_join(spark):
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_epoch_plan_one_scan_broadcast_totals(spark):
+    plan = plan_of(spark, "mixture_epoch_plan")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_calibration_single_hash_agg(spark):
+    """Scoring + binning fuse into the scan projection; ONE hash
+    aggregate over CAL_BINS groups; no window, no join."""
+    plan = plan_of(spark, "score_calibration_bins")
+    assert "partial_count" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -557,3 +557,64 @@ class TestEventLatenessCensus:
         assert out.loc["late_1m", "n_events"] == 2  # 60s (boundary) + 1s
         assert out.loc["late_10m", "n_events"] == 1  # 200s
         assert out.loc["late_10m", "max_lag_us"] == 200_000_000
+
+
+class TestMixtureEpochPlan:
+    def test_budget_allocation_and_cap(self, spark, tmp_path):
+        """Two equal languages split the budget evenly; the epoch cap
+        binds when the planned draw exceeds MAX_EPOCHS x available."""
+        from couchwarehouse_spark.plans.sampling import (
+            MAX_EPOCHS,
+            TOKEN_BUDGET,
+            mixture_epoch_plan,
+        )
+
+        d = str(tmp_path / "sf")
+        df = spark.createDataFrame(
+            [(0, "a b c d", "en", "src0", 7), (1, "w x y z", "fr", "src0", 7)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = mixture_epoch_plan(spark, d).toPandas().set_index("lang")
+        # equal token mass → w = 1/2 each → planned = budget/2
+        assert out.loc["en", "planned_tokens"] == TOKEN_BUDGET // 2
+        assert out.loc["fr", "planned_tokens"] == TOKEN_BUDGET // 2
+        # only 4 tokens available → cap at MAX_EPOCHS * 4
+        assert out.loc["en", "effective_tokens"] == MAX_EPOCHS * 4
+        assert out.loc["en", "epochs"] == round(TOKEN_BUDGET / 2 / 4, 4)
+
+
+class TestScoreCalibration:
+    def test_bins_partition_and_rates(self, spark, tmp_path):
+        """Every doc lands in exactly one decile; per-bin positive
+        rate matches a Python mirror of the hash score."""
+        from couchwarehouse_spark.plans.sampling import (
+            CAL_BINS,
+            CAL_SCALE,
+            score_calibration_bins,
+        )
+
+        rows = [(i, "t", "en" if i % 3 == 0 else "fr", "src0", 1) for i in range(60)]
+        d = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            d,
+            "documents",
+        )
+        out = score_calibration_bins(spark, d).toPandas()
+        assert out["n"].sum() == 60
+        mirror = {}
+        for i, _, lang, _, _ in rows:
+            s = int(hashlib.md5(f"cal:{i}".encode()).hexdigest()[:8], 16)
+            b = s * CAL_BINS // CAL_SCALE
+            n, p = mirror.get(b, (0, 0))
+            mirror[b] = (n + 1, p + (1 if lang == "en" else 0))
+        for _, r in out.iterrows():
+            n, p = mirror[r["bin"]]
+            assert r["n"] == n and r["n_pos"] == p
