@@ -188,6 +188,11 @@ class Warehouse:
         # reference's schemaless posture).
         self.feed_schema = feed_schema
         self.schemas: dict[str, dict[str, str]] = {}
+        # Tables created by clone(): branches, not doc types — the
+        # feed's tombstone fan-out must never reach them (a clone is
+        # a frozen-lineage snapshot; only EXPLICIT merges into it
+        # evolve it). Persisted in _schemas.json meta.
+        self.clone_types: set[str] = set()
         import itertools as _it
         self._scratch_counter = _it.count()
         self.checkpoints = CheckpointStore(spark, os.path.join(warehouse_dir, "_checkpoints"))
@@ -212,6 +217,8 @@ class Warehouse:
                 stored = json.load(f)
             meta = stored.pop("__meta__", None)
             self.schemas = stored
+            if meta and "clones" in meta:
+                self.clone_types = set(meta["clones"])
             if meta and "n_buckets" in meta:
                 # The ON-DISK bucket count wins over the constructor
                 # arg: ids were hashed with it, so a different value
@@ -221,7 +228,17 @@ class Warehouse:
     def _save_schemas(self) -> None:
         os.makedirs(self.warehouse_dir, exist_ok=True)
         with open(self._schema_path, "w") as f:
-            json.dump({"__meta__": {"n_buckets": self.n_buckets}, **self.schemas}, f, indent=1)
+            json.dump(
+                {
+                    "__meta__": {
+                        "n_buckets": self.n_buckets,
+                        "clones": sorted(self.clone_types),
+                    },
+                    **self.schemas,
+                },
+                f,
+                indent=1,
+            )
 
     # -- naming --------------------------------------------------------
 
@@ -310,7 +327,9 @@ class Warehouse:
         # CouchDB tombstones carry no type (reference lib/sqlite.js:95-98
         # deletes by id wherever the row lives).
         if stats["has_tombstones"]:
-            types |= set(self.schemas.keys())
+            # Fan out to every DOC-TYPE table — but never to clone()
+            # branches, whose lineage is frozen at clone time.
+            types |= set(self.schemas.keys()) - self.clone_types
         try:
             for doc_type in sorted(types):
                 self._merge_type(live, tombstones, doc_type)
@@ -1196,7 +1215,9 @@ class Warehouse:
         The clone starts with the source's CURRENT data but its own
         empty checkpoint lineage — future spools into either table
         diverge independently (copy-on-write at bucket granularity
-        via the ordinary merge path).
+        via the ordinary merge path). Clones are excluded from the
+        feed's tombstone fan-out (a delete in the live feed must not
+        reach a frozen branch); only explicit merges evolve them.
         """
         if dst_type in self.schemas:
             raise ValueError(f"clone target {dst_type!r} already exists")
@@ -1231,6 +1252,7 @@ class Warehouse:
             n_buckets=self._manifest_buckets_n(manifest),
         )
         self.schemas[dst_type] = dict(self.schemas[src_type])
+        self.clone_types.add(dst_type)
         self._save_schemas()
         self.register_view(dst_type)
         return n_linked

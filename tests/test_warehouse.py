@@ -1239,3 +1239,65 @@ def test_describe_detail_reads_manifest_only(spark, tmp_path):
     assert row2["version"] == 2 and row2["last_op"] == "rebucket"
     assert row2["n_buckets"] == 4
     assert row2["n_versions_retained"] == 2
+
+
+def test_random_maintenance_ops_preserve_content(spark, tmp_path):
+    """Model check: a seeded random interleaving of spool batches with
+    EVERY maintenance operation (compact, zorder, rebucket, vacuum,
+    clone) keeps the table exactly equal to a dict model — layout ops
+    may move bytes but never rows, and merges after layout changes
+    stay correct."""
+    rng = random.Random(1234)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "modeldata", n_buckets=2)
+    model: dict[str, str] = {}
+    seq = 0
+    feed_no = 0
+
+    def spool_batch():
+        nonlocal seq, feed_no
+        envs = []
+        for _ in range(rng.randrange(3, 9)):
+            seq += 1
+            i = rng.randrange(25)
+            if model and rng.random() < 0.25:
+                victim = rng.choice(sorted(model))
+                envs.append(envelope(seq, None, doc_id=victim, deleted=True))
+                model.pop(victim)
+            else:
+                status = rng.choice(["paid", "dispatched", "returned", "amended"])
+                doc = order_doc(i, rng)
+                doc["status"] = status
+                envs.append(envelope(seq, doc))
+                model[doc["_id"]] = status
+        feed_no += 1
+        wh.spool(write_feed(str(tmp_path / f"feed_{feed_no}.jsonl"), envs))
+
+    spool_batch()
+    ops = ["spool", "compact", "zorder", "rebucket", "vacuum", "spool", "clone"]
+    rng.shuffle(ops)
+    clone_no = 0
+    for op in ops + ["spool"]:
+        if op == "spool":
+            spool_batch()
+        elif op == "compact":
+            wh.compact(max_files_per_bucket=1)
+        elif op == "zorder":
+            wh.optimize_zorder(["total"])
+        elif op == "rebucket":
+            wh.rebucket(rng.randrange(1, 6))
+        elif op == "vacuum":
+            wh.vacuum(retain_versions=1, min_age_seconds=0)
+        elif op == "clone":
+            clone_no += 1
+            wh.clone("_default", f"branch{clone_no}")
+            clone_snapshot = dict(model)
+        got = {r["id"]: r["status"] for r in wh.table().collect()}
+        assert got == model, f"divergence after {op}"
+    # The clone froze the model state AT CLONE TIME: later spools into
+    # the source must never leak into it.
+    if clone_no:
+        branch = {
+            r["id"]: r["status"]
+            for r in wh.table(f"branch{clone_no}").collect()
+        }
+        assert branch == clone_snapshot
