@@ -24,51 +24,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
-# coverage policy. Round-6 rotation — ACTUAL composition (13 + 2 + 13
-# + 6 + 1 + 15 = 50; keep these counts in sync with the list, next
+# coverage policy. Round-6 rotation — ACTUAL composition (9 + 2 + 13
+# + 14 + 12 = 50; keep these counts in sync with the list, next
 # round's rotation is planned from them):
-#  - 13 never-regressed anchors (ETL kernel + e2e + one representative
+#  - 9 never-regressed anchors (ETL kernel + e2e + one representative
 #    per family),
 #  - 2 entries whose IMPLEMENTATION changed this round and must be
 #    re-proven (event_debounce — microsecond-exact gaps;
 #    udtf_token_runs — per-call view/UDTF names),
 #  - 13 operators new early this round (never driver-verified by
 #    construction),
-#  - 14 operators new LATE this round (batches 2-5: source TVD, KN
+#  - 14 operators new mid-round (batches 2-5: source TVD, KN
 #    continuation, boundary overlap, best-of-n, preference pairs,
 #    Gram matrix, vocab curve, held-out LM eval, modality pairing,
 #    CMS audit, Bloom audit, conversion attribution, skyline, KS
 #    drift),
-#  - 1 never-driver-green entry (multimodal_feature_extract — its only
-#    driver row was an r02 infra err; locally green every round),
-#  - 7 stalest entries by last green driver row (incl.
-#    percentile_stats keeping the statistics family in the window —
-#    test_registry_contract.py::test_window_covers_every_family).
-#    Displaced to make room for the new operators (all still t2-sim
-#    checked): cube_flag_status, distinct_segments,
-#    priority_multiset_diff, set_*_nations/brands,
-#    balance_distribution_ranks, crossdoc_ngram_dup,
-#    customer_order_gaps, doc_length_histogram,
-#    domain_mixture_weights, no_big_order_anti,
-#    order_cohort_full_outer, range_frame_revenue — single-operator
-#    relational/curation entries whose families stay represented.
-#    Next round's staleness rotation starts from them.
+#  - 12 operators new LATE this round (batches 6-7: Mann-Whitney, χ²
+#    keyness, lateness census, CMS join-size, epoch planner,
+#    calibration bins, containment pairs, Gopher census, feature
+#    hashing, Heaps' law, MAD outliers, JL projection audit).
+#    Together the window covers EVERY entry that has never produced a
+#    driver CORRECTNESS row (39 of them, all round-6 additions).
+#    Displaced to fit (all r04/r05-green and still t2-sim checked):
+#    anchors conform_projection, scd2_user_state_history,
+#    mango_selector_filter, minhash_lsh_candidates;
+#    multimodal_feature_extract (r04-green); the 7 round-6 staleness
+#    slots (price_band_join, rollup_priority_status,
+#    top_revenue_orders, agg_stats, array_functions, asof_last_view,
+#    percentile_stats). Next round's staleness rotation starts from
+#    the r03-and-earlier greens.
 # Every entry outside the window stays registered, oracle-checked by
 # tests/t2_sim.py, pytest-covered, and bench-timed.
 PRIORITY = [
-    # --- 13 anchors (green in every round they ran) ---
+    # --- 9 anchors (green in every round they ran) ---
     "latest_event_per_user",
     "delete_propagation",
     "time_travel_cdc",
-    "conform_projection",
-    "scd2_user_state_history",
-    "mango_selector_filter",
     "warehouse_e2e_pipeline",
     "pricing_summary",
     "nation_revenue",
     "tumbling_window_counts",
     "exact_dedup",
-    "minhash_lsh_candidates",
     "knn_cosine_topk",
     # --- 2 changed-this-round entries (re-prove the new impl) ---
     "event_debounce",
@@ -102,16 +98,19 @@ PRIORITY = [
     "conversion_attribution",
     "skyline_cheap_early_orders",
     "ks_drift_doclen",
-    # --- 1 never-driver-green (r02 infra err was its only row) ---
-    "multimodal_feature_extract",
-    # --- 7 stalest by last green driver row ---
-    "price_band_join",
-    "rollup_priority_status",
-    "top_revenue_orders",
-    "agg_stats",
-    "array_functions",
-    "asof_last_view",
-    "percentile_stats",
+    # --- 12 NEW operators, batches 6-7 this round ---
+    "mannwhitney_drift_doclen",
+    "chi2_term_keyness",
+    "event_lateness_census",
+    "cms_join_size_audit",
+    "mixture_epoch_plan",
+    "score_calibration_bins",
+    "containment_dup_pairs",
+    "gopher_quality_flags",
+    "feature_hashing_vectorizer",
+    "heaps_law_vocab_growth",
+    "mad_outlier_census",
+    "random_projection_audit",
 ]
 
 

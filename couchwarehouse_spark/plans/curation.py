@@ -692,3 +692,121 @@ def source_tvd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             num / (F.lit(2) * F.col("ta") * F.col("tb")).cast("double"), 6
         ).alias("tvd"),
     ).orderBy("src_a", "src_b")
+
+
+# Gopher-style rule census (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1) with
+# bounds recalibrated to this synthetic corpus so every rule is
+# non-vacuous at sf0.01 (docs span 10-99 tokens, mean word length
+# 3.96-5.04, dup-bigram fraction tops out near 0.10):
+GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS = 20, 80
+GOPHER_WL_LO_X10, GOPHER_WL_HI_X10 = 43, 48  # mean word length in [4.3, 4.8]
+GOPHER_MIN_STOPWORDS = 2  # distinct stopwords required
+GOPHER_DUP2_DEN = 16  # fail when dup_bigrams/total_bigrams > 1/16
+_GOPHER_STOPS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH feat AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_tok,
+             len(text) - len(string_split(text, ' ')) + 1 AS word_chars,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                                {list(_GOPHER_STOPS)!r})) AS n_stops,
+             len(string_split(text, ' ')) - 1 AS tot_bi,
+             len(string_split(text, ' ')) - 1
+               - len(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' '))),
+                   i -> concat_ws(' ',
+                        list_extract(string_split(text, ' '), i),
+                        list_extract(string_split(text, ' '), i + 1))))) AS dup_bi
+      FROM documents
+    ),
+    flags AS (
+      SELECT lang,
+             CASE WHEN n_tok < {GOPHER_MIN_TOKENS} OR n_tok > {GOPHER_MAX_TOKENS}
+                  THEN 1 ELSE 0 END AS f_wc,
+             CASE WHEN 10 * word_chars < {GOPHER_WL_LO_X10} * n_tok
+                    OR 10 * word_chars > {GOPHER_WL_HI_X10} * n_tok
+                  THEN 1 ELSE 0 END AS f_wl,
+             CASE WHEN n_stops < {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END AS f_stop,
+             CASE WHEN {GOPHER_DUP2_DEN} * dup_bi > tot_bi THEN 1 ELSE 0 END AS f_dup
+      FROM feat
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           CAST(sum(f_wc) AS BIGINT)  AS n_fail_wordcount,
+           CAST(sum(f_wl) AS BIGINT)  AS n_fail_wordlen,
+           CAST(sum(f_stop) AS BIGINT) AS n_fail_stopwords,
+           CAST(sum(f_dup) AS BIGINT) AS n_fail_dupbigram,
+           CAST(sum(CASE WHEN f_wc + f_wl + f_stop + f_dup = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM flags
+    GROUP BY lang
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality census (curation): per-lang counts of docs
+    failing each of four document-quality rules from the Gopher data
+    pipeline (Rae et al. 2021) — token-count bounds, mean-word-length
+    band, minimum distinct-stopword presence, and a duplicate-bigram
+    ceiling — plus the all-rules-pass count the sampler actually
+    keeps. Complements ``quality_scores`` (one combined boolean per
+    source): this is the per-RULE breakdown that tells a pipeline
+    WHICH gate is responsible for per-language attrition before it
+    tunes thresholds.
+
+    Every rule is an integer comparison (mean word length is the
+    cross-multiplication ``10·word_chars <> bound·n_tokens``, the
+    bigram ceiling is ``16·dup > total``), so both engines agree bit
+    for bit; there is no floating point anywhere.
+
+    Scale: scan → per-row array ops (no explode — the bigram dup count
+    is ``array_distinct`` on the in-row array) → one hash aggregate on
+    lang. Word-count shape; partial aggregation reduces every
+    partition to ≤|langs| rows before the shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    bigrams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    )
+    n_tok = F.size(toks)
+    word_chars = F.length("text") - n_tok + 1
+    n_stops = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    tot_bi = n_tok - 1
+    dup_bi = tot_bi - F.size(F.array_distinct(bigrams))
+    feat = d.select(
+        "lang",
+        ((n_tok < GOPHER_MIN_TOKENS) | (n_tok > GOPHER_MAX_TOKENS))
+        .cast("int")
+        .alias("f_wc"),
+        (
+            (10 * word_chars < GOPHER_WL_LO_X10 * n_tok)
+            | (10 * word_chars > GOPHER_WL_HI_X10 * n_tok)
+        )
+        .cast("int")
+        .alias("f_wl"),
+        (n_stops < GOPHER_MIN_STOPWORDS).cast("int").alias("f_stop"),
+        (GOPHER_DUP2_DEN * dup_bi > tot_bi).cast("int").alias("f_dup"),
+    )
+    return feat.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("f_wc").alias("n_fail_wordcount"),
+        F.sum("f_wl").alias("n_fail_wordlen"),
+        F.sum("f_stop").alias("n_fail_stopwords"),
+        F.sum("f_dup").alias("n_fail_dupbigram"),
+        F.sum(
+            (F.col("f_wc") + F.col("f_wl") + F.col("f_stop") + F.col("f_dup") == 0).cast(
+                "int"
+            )
+        )
+        .cast("long")
+        .alias("n_pass"),
+    )

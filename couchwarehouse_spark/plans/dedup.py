@@ -1389,3 +1389,89 @@ def doc_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("tail_doc", "head_doc")
         .limit(50)
     )
+
+
+CONT_NUM, CONT_DEN = 3, 5  # containment threshold 3/5 = 0.6
+
+
+@query(
+    "containment_dup_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+               i -> concat_ws(' ', list_extract(string_split(text, ' '), i),
+                                   list_extract(string_split(text, ' '), i + 1),
+                                   list_extract(string_split(text, ' '), i + 2)))) AS sh
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    p AS (SELECT doc_id, lang, len(sh) AS n, unnest(sh) AS h FROM t),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             min(a.n) AS na, min(b.n) AS nb, count(*) AS inter
+      FROM p a JOIN p b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / least(na, nb), 4) AS containment
+    FROM pairs
+    WHERE {CONT_DEN} * inter >= {CONT_NUM} * least(na, nb)
+    """,
+)
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT near-dup pairs (X1): max-containment
+    ``|A∩B| / min(|A|, |B|)`` over distinct word-3-gram sets, blocked
+    by lang — Broder's containment coefficient, the measure Jaccard
+    misses: a short doc fully embedded in a long one (quote farms,
+    boilerplate wrappers, doc-in-doc crawls) scores near 1.0 here but
+    near |A|/|B| ≈ 0 on Jaccard, so resemblance-only dedup keeps both
+    copies. Reference scope: the LLM-pipeline dedup tier mandated on
+    top of the reference's SQL surface (/root/reference/README.md:68).
+
+    EXACT, not approximate: any pair at containment ≥ 3/5 shares at
+    least one shingle, so generating candidates from the shingle
+    inverted index (explode → equi-join on the shingle hash →
+    count = intersection size) finds every qualifying pair — recall 1
+    by construction, never an all-pairs compare. The threshold test is
+    the integer cross-multiplication ``5·inter ≥ 3·min(na, nb)``; the
+    only float is the one reported division.
+
+    Scale: postings are (doc, 64-bit shingle hash) pairs; the
+    self-join is keyed on the hash, so work concentrates exactly on
+    shared shingles (boilerplate-hot keys are AQE-skew-splittable; at
+    web scale the standard df-cap on stop-shingles bounds the worst
+    key before the join — a filter on the same postings table). The
+    oracle joins raw shingle strings — intersection SIZES are
+    invariant under the injective hash, the ``ngram_jaccard_pairs``
+    argument.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split("text", " ")
+    sh = F.array_distinct(F.transform(_shingles(toks), md5_long))
+    docs = d.filter(F.size(toks) >= 3).select(
+        "doc_id", "lang", sh.alias("sh"), F.size(sh).alias("n")
+    )
+    post = docs.select("doc_id", "lang", "n", F.explode("sh").alias("h"))
+    a = post.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("n").alias("na"), "h"
+    )
+    b = post.select(
+        F.col("doc_id").alias("doc_b"), "lang", F.col("n").alias("nb"), "h"
+    )
+    return (
+        a.join(b, ["h", "lang"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("na").alias("na"), F.min("nb").alias("nb"), F.count("*").alias("inter"))
+        .filter(CONT_DEN * F.col("inter") >= CONT_NUM * F.least("na", "nb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double") / F.least("na", "nb"), 4
+            ).alias("containment"),
+        )
+    )

@@ -2073,3 +2073,91 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("gram")).desc(), "dim_i", "dim_j")
         .limit(GRAM_TOP_K)
     )
+
+
+# Johnson-Lindenstrauss sign-projection audit. RP_K Rademacher (±1)
+# sign rows, generated by the same seedless LCG mix as _hyperplanes so
+# both lanes inline identical literals.
+RP_K = 8
+
+
+def _rp_signs(dim: int = 64, k: int = RP_K) -> list[list[float]]:
+    rows = []
+    for j in range(k):
+        row = []
+        for d in range(dim):
+            x = (1103515245 * (j * 64 + d + 999331) + 12345) % 2147483647
+            row.append(1.0 if x % 2 == 0 else -1.0)
+        rows.append(row)
+    return rows
+
+
+_RP_ROWS = _rp_signs()
+_RP_PROJ_SQL = ", ".join(
+    "list_dot_product(v, ["
+    + ", ".join(repr(w) for w in row)
+    + f"]) AS p{j}"
+    for j, row in enumerate(_RP_ROWS)
+)
+_RP_NORM_SQL = " + ".join(f"p{j} * p{j}" for j in range(RP_K))
+
+
+@query(
+    "random_projection_audit",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id, label,
+             list_dot_product(v, v) AS norm_sq,
+             {_RP_PROJ_SQL}
+      FROM v
+    )
+    SELECT vec_id, label,
+           round(norm_sq, 4) AS norm_sq,
+           round(({_RP_NORM_SQL}) / ({RP_K} * norm_sq), 4) AS jl_distortion
+    FROM proj
+    ORDER BY vec_id
+    LIMIT 20
+    """,
+)
+def random_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection distortion audit (X2):
+    project each embedding onto RP_K fixed Rademacher (±1) sign
+    vectors (Achlioptas 2003, "Database-friendly random projections")
+    and report ‖Px‖²/(k·‖x‖²) — the per-vector norm-distortion ratio
+    the JL lemma bounds near 1. This is the go/no-go check before
+    swapping full-dimension distances for projected ones in a
+    blocking/ANN stage: heavy-tailed distortion → raise k.
+
+    Both lanes inline the SAME literal sign matrix (seedless LCG mix,
+    the ``_hyperplanes`` idiom); all arithmetic is in-row fold-order
+    dot products — no shuffle at all until the top-20-by-id heap
+    (TakeOrderedAndProject). At 100 TB this is a pure projection
+    pass; the ±1 signs make each of the k projections an add/subtract
+    sweep, the cheapest possible matvec.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    ve = e.select("vec_id", "label", v.alias("v"))
+    projs = [
+        dot(F.col("v"), F.array(*[F.lit(w) for w in row])).alias(f"p{j}")
+        for j, row in enumerate(_RP_ROWS)
+    ]
+    proj = ve.select(
+        "vec_id", "label", dot(F.col("v"), F.col("v")).alias("norm_sq"), *projs
+    )
+    pn = sum((F.col(f"p{j}") * F.col(f"p{j}") for j in range(RP_K)), F.lit(0.0))
+    return (
+        proj.select(
+            "vec_id",
+            "label",
+            F.round("norm_sq", 4).alias("norm_sq"),
+            F.round(pn / (RP_K * F.col("norm_sq")), 4).alias("jl_distortion"),
+        )
+        .orderBy("vec_id")
+        .limit(20)
+    )

@@ -1026,3 +1026,73 @@ def cms_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overestimate"
         ),
     )
+
+
+# Robust-outlier census: discrete medians (element at rank ⌈n/2⌉, the
+# percentile_stats argument — interpolated medians differ in the last
+# ulp between engines; a data value cannot), then the classic
+# |x − median| > 3·MAD robust z-score gate (Hampel identifier,
+# public knowledge; the robust alternative to mean±3σ, which a single
+# extreme order can drag arbitrarily).
+MAD_SQL = """
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rp,
+             count(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    ),
+    med AS (
+      SELECT o_orderstatus,
+             max(CASE WHEN rp = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN o_totalprice END) AS med
+      FROM ranked GROUP BY o_orderstatus
+    ),
+    dev AS (
+      SELECT o.o_orderstatus, o.o_orderkey,
+             abs(o.o_totalprice - m.med) AS adev, m.med AS med
+      FROM orders o JOIN med m ON o.o_orderstatus = m.o_orderstatus
+    ),
+    devranked AS (
+      SELECT o_orderstatus, adev, med,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY adev, o_orderkey) AS rp,
+             count(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT o_orderstatus, max(med) AS med,
+             max(CASE WHEN rp = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN adev END) AS mad
+      FROM devranked GROUP BY o_orderstatus
+    )
+    SELECT d.o_orderstatus,
+           CAST(count(*) AS BIGINT)     AS n_orders,
+           round(max(m.med), 2)         AS median_price,
+           round(max(m.mad), 2)         AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT)              AS n_outliers,
+           round(CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS outlier_rate
+    FROM dev d JOIN mad m ON d.o_orderstatus = m.o_orderstatus
+    GROUP BY d.o_orderstatus
+"""
+
+
+@query("mad_outlier_census", oracle=MAD_SQL)
+def mad_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier census per order status —
+    the robust anomaly gate (|x − med| > 3·MAD) a pipeline runs on
+    value columns where a handful of corrupt rows would poison a
+    mean/stddev gate. Same ANSI text in both lanes (R17 passthrough);
+    medians are DISCRETE ranks so every compared quantity is an
+    actual data value and the 3·MAD comparison is a single IEEE
+    product on both engines.
+
+    Scale note: the two rank windows sort each status partition —
+    exact-rank medians kept for the oracle; the 100 TB substitution
+    is ``approx_percentile(0.5)`` (t-digest, mergeable map-side) for
+    both median and MAD, same downstream comparison.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(MAD_SQL)

@@ -1257,3 +1257,164 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_pct")
     )
+
+
+FH_DIM = 32  # hashed feature-space dimensionality (buckets)
+
+
+@query(
+    "feature_hashing_vectorizer",
+    oracle=f"""
+    WITH tf AS (
+      SELECT term, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    ),
+    h AS (
+      SELECT term, c,
+             CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % {FH_DIM} AS bucket,
+             CASE WHEN CAST(('0x' || substr(md5('sgn:' || term), 1, 15)) AS BIGINT)
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tf
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT)     AS n_terms,
+           CAST(sum(c) AS BIGINT)       AS total_count,
+           CAST(sum(sgn * c) AS BIGINT) AS signed_mass
+    FROM h
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def feature_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing ("hashing trick") vectorizer census (X4):
+    corpus term frequencies folded into a fixed FH_DIM-bucket hashed
+    feature space with md5-derived signed hashing (Weinberger et al.
+    2009, "Feature Hashing for Large Scale Multitask Learning") — the
+    fixed-width text featurizer used when the vocabulary is unbounded.
+    Per bucket: how many distinct terms collided into it, the raw
+    token mass, and the SIGNED mass (the sign hash makes collisions
+    cancel in expectation — the paper's variance argument). All three
+    are exact integers; the md5-derived bucket/sign evaluate
+    identically in both engines (the ``md5_long`` idiom).
+
+    Scale: the corpus reduces to the VOCABULARY-sized term-frequency
+    table first (word-count shuffle with map-side combine); hashing
+    and the FH_DIM-group aggregate then run on |vocab| rows, not
+    |tokens| — at 100 TB the second aggregate's input is millions of
+    rows, its output {FH_DIM}.
+    """
+    from couchwarehouse_spark.plans.dedup import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    sgn = F.when(
+        md5_long(F.concat(F.lit("sgn:"), F.col("term"))) % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        tf.select(
+            (md5_long(F.col("term")) % FH_DIM).alias("bucket"),
+            "c",
+            sgn.alias("sgn"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("c").alias("total_count"),
+            F.sum(F.col("sgn") * F.col("c")).alias("signed_mass"),
+        )
+        .orderBy("bucket")
+    )
+
+
+HEAPS_CHECKPOINTS = (10, 25, 50, 100)  # percent-of-corpus prefixes
+
+
+@query(
+    "heaps_law_vocab_growth",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    pct AS (SELECT unnest({list(HEAPS_CHECKPOINTS)!r}) AS pct),
+    cut AS (SELECT pct, (n_docs * pct + 99) // 100 AS cutoff FROM pct CROSS JOIN n),
+    first_seen AS (
+      SELECT term, min(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    ),
+    doc_tok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    )
+    SELECT c.pct,
+           CAST(c.cutoff AS BIGINT) AS cutoff_docs,
+           (SELECT CAST(sum(n_tok) AS BIGINT) FROM doc_tok
+             WHERE doc_id < c.cutoff) AS n_tokens_cum,
+           (SELECT CAST(count(*) AS BIGINT) FROM first_seen
+             WHERE first_doc < c.cutoff) AS vocab_size
+    FROM cut c
+    ORDER BY pct
+    """,
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (X4): distinct-vocabulary
+    size after the first 10/25/50/100% of the corpus (by doc_id
+    order), with the cumulative token mass at each prefix — the
+    V(n) ~ K·n^β sublinear-growth check every corpus QA pass runs
+    (flat growth → boilerplate/duplication; superlinear → encoding
+    noise or tokenizer breakage). Heaps' law is public knowledge
+    (Heaps 1978).
+
+    Exactness: a term counts toward checkpoint p iff its FIRST
+    occurrence (min doc_id — an integer aggregate) lands before the
+    integer cutoff ``ceil(n_docs·p/100)`` computed as
+    ``(n·p + 99) // 100`` in both engines; everything is integers.
+
+    Scale: one word-count aggregate produces the vocabulary-sized
+    (term, first_doc) table; the checkpoint fan-out crosses it (and
+    the per-doc token counts) with a 4-row literal dim — ≤4× a
+    vocab-sized frame through a 4-group aggregate. The corpus itself
+    is scanned once. No windows, no sort until the 4-row output.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    pct = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({p})" for p in HEAPS_CHECKPOINTS)
+        + " AS t(pct)"
+    )
+    cut = pct.crossJoin(F.broadcast(n_docs)).select(
+        "pct",
+        F.expr("(n_docs * pct + 99) div 100").alias("cutoff"),
+    )
+    first_seen = (
+        d.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    doc_tok = d.select("doc_id", F.size(_tokens()).alias("n_tok"))
+    vocab = (
+        first_seen.crossJoin(F.broadcast(cut))
+        .filter(F.col("first_doc") < F.col("cutoff"))
+        .groupBy("pct", "cutoff")
+        .agg(F.count("*").alias("vocab_size"))
+    )
+    mass = (
+        doc_tok.crossJoin(F.broadcast(cut))
+        .filter(F.col("doc_id") < F.col("cutoff"))
+        .groupBy("pct", "cutoff")
+        .agg(F.sum("n_tok").alias("n_tokens_cum"))
+    )
+    return (
+        vocab.join(mass, ["pct", "cutoff"])
+        .select(
+            "pct",
+            F.col("cutoff").alias("cutoff_docs"),
+            "n_tokens_cum",
+            "vocab_size",
+        )
+        .orderBy("pct")
+    )

@@ -1,0 +1,236 @@
+"""Planted-fixture golden tests for the round-6 third-batch operators
+(containment pairs, Gopher rule census, feature hashing, Heaps' law,
+MAD outliers, JL projection audit). The oracle lane proves
+Spark ≡ DuckDB; these prove both are RIGHT on hand-built inputs whose
+correct output is known by construction (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+
+def _write(df, sf_dir: str, name: str) -> None:
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs(spark, rows):
+    """rows: list of (doc_id, text, lang, source)."""
+    return spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+class TestContainmentDupPairs:
+    def test_subset_doc_scores_full_containment(self, spark, tmp_path):
+        """Doc 0's shingle set is a strict subset of doc 1's → max
+        containment 1.0 even though Jaccard is low; the unrelated doc
+        pairs with nobody."""
+        from couchwarehouse_spark.plans.dedup import containment_dup_pairs
+
+        d = str(tmp_path / "sf")
+        long_text = "a b c d " + " ".join(f"w{i}" for i in range(20))
+        _write(
+            _docs(
+                spark,
+                [
+                    (0, "a b c d", "en", "s0"),  # shingles: abc, bcd
+                    (1, long_text, "en", "s0"),  # superset of doc 0's
+                    (2, "x y z x y z x", "en", "s0"),
+                ],
+            ),
+            d,
+            "documents",
+        )
+        out = containment_dup_pairs(spark, d).toPandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert (row["doc_a"], row["doc_b"]) == (0, 1)
+        assert row["containment"] == 1.0
+
+    def test_lang_blocking(self, spark, tmp_path):
+        """Identical texts in different langs never pair."""
+        from couchwarehouse_spark.plans.dedup import containment_dup_pairs
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [(0, "a b c d e", "en", "s0"), (1, "a b c d e", "de", "s0")],
+            ),
+            d,
+            "documents",
+        )
+        assert containment_dup_pairs(spark, d).count() == 0
+
+    def test_below_threshold_excluded(self, spark, tmp_path):
+        """Two docs sharing 1 of their 3 shingles (containment 1/3 <
+        3/5) produce no pair."""
+        from couchwarehouse_spark.plans.dedup import containment_dup_pairs
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [
+                    (0, "a b c p q", "en", "s0"),  # abc, bcp, cpq
+                    (1, "a b c r s", "en", "s0"),  # abc, bcr, crs
+                ],
+            ),
+            d,
+            "documents",
+        )
+        assert containment_dup_pairs(spark, d).count() == 0
+
+
+class TestGopherQualityFlags:
+    def test_each_rule_fires_on_its_planted_doc(self, spark, tmp_path):
+        """One doc per failure mode + one passing doc; each failing doc
+        trips EXACTLY its intended rule. Bands: wordcount [20, 80],
+        mean word length [4.3, 4.8], ≥2 distinct stopwords, dup-bigram
+        gate 16·dup > total."""
+        from couchwarehouse_spark.plans.curation import gopher_quality_flags
+
+        d = str(tmp_path / "sf")
+        # Passing: 30 tokens, all bigrams distinct, word_chars =
+        # 3+2 + 20·4 + 8·6 = 133 → mean 4.433 ∈ [4.3, 4.8].
+        passing = (
+            "the of "
+            + " ".join(f"ab{i:02d}" for i in range(20))
+            + " "
+            + " ".join(f"cdef{i:02d}" for i in range(8))
+        )
+        # Short: 4 tokens < 20 (also mean-length low — wordcount AND
+        # wordlen fire; asserted below).
+        short = "the of abcd abcde"
+        # No stopwords: 30 distinct tokens, word_chars = 18·4 + 12·5 =
+        # 132 → mean 4.4 in band; only the stopword rule fires.
+        no_stops = (
+            " ".join(f"wx{i:02d}" for i in range(18))
+            + " "
+            + " ".join(f"qrs{i:02d}" for i in range(12))
+        )
+        # Repeaty: "abc abcdef" ×14 → 30 tokens, word_chars =
+        # 5 + 14·(3+6) = 131 → mean 4.366 in band; 29 bigrams but only
+        # 4 distinct → dup rule fires alone.
+        repeaty = "the of " + " ".join("abc abcdef" for _ in range(14))
+        rows = [
+            (0, passing, "en", "s0"),
+            (1, short, "en", "s0"),
+            (2, no_stops, "en", "s0"),
+            (3, repeaty, "en", "s0"),
+        ]
+        _write(_docs(spark, rows), d, "documents")
+        out = gopher_quality_flags(spark, d).toPandas().set_index("lang")
+        r = out.loc["en"]
+        assert r["n_docs"] == 4
+        assert r["n_fail_wordcount"] == 1  # short
+        assert r["n_fail_wordlen"] == 1  # short (14·10 < 43·4)
+        assert r["n_fail_stopwords"] == 1  # no_stops
+        assert r["n_fail_dupbigram"] == 1  # repeaty
+        assert r["n_pass"] == 1  # passing
+
+
+class TestFeatureHashingVectorizer:
+    @staticmethod
+    def _bucket(term: str) -> int:
+        return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % 32
+
+    @staticmethod
+    def _sign(term: str) -> int:
+        h = int(hashlib.md5(f"sgn:{term}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    def test_signed_masses_match_hand_hash(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.text import feature_hashing_vectorizer
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(spark, [(0, "cat cat dog", "en", "s0"), (1, "dog emu", "en", "s0")]),
+            d,
+            "documents",
+        )
+        out = feature_hashing_vectorizer(spark, d).toPandas()
+        expected: dict[int, list] = {}
+        for term, c in [("cat", 2), ("dog", 2), ("emu", 1)]:
+            b = self._bucket(term)
+            e = expected.setdefault(b, [0, 0, 0])
+            e[0] += 1
+            e[1] += c
+            e[2] += self._sign(term) * c
+        got = {
+            int(r["bucket"]): [int(r["n_terms"]), int(r["total_count"]), int(r["signed_mass"])]
+            for _, r in out.iterrows()
+        }
+        assert got == expected
+
+
+class TestHeapsLawVocabGrowth:
+    def test_prefix_vocab_counts(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.text import heaps_law_vocab_growth
+
+        d = str(tmp_path / "sf")
+        # 4 docs; ceil-cutoffs at 10/25/50/100% of 4 docs = 1, 1, 2, 4.
+        _write(
+            _docs(
+                spark,
+                [
+                    (0, "a b", "en", "s0"),
+                    (1, "a c", "en", "s0"),
+                    (2, "a b c", "en", "s0"),
+                    (3, "d d d", "en", "s0"),
+                ],
+            ),
+            d,
+            "documents",
+        )
+        out = heaps_law_vocab_growth(spark, d).toPandas().set_index("pct")
+        assert out.loc[10]["cutoff_docs"] == 1
+        assert out.loc[10]["vocab_size"] == 2  # {a, b}
+        assert out.loc[10]["n_tokens_cum"] == 2
+        assert out.loc[50]["cutoff_docs"] == 2
+        assert out.loc[50]["vocab_size"] == 3  # {a, b, c}
+        assert out.loc[50]["n_tokens_cum"] == 4
+        assert out.loc[100]["vocab_size"] == 4
+        assert out.loc[100]["n_tokens_cum"] == 10
+
+
+class TestMadOutlierCensus:
+    def test_hand_computed_median_mad_outliers(self, spark):
+        from couchwarehouse_spark.plans.statistics import MAD_SQL
+
+        # Status A: values 1..9 plus one wild 1000.
+        # n=10 → median = element at rank ceil(5) = 5 → value 5.0.
+        # adevs: 4,3,2,1,0,1,2,3,4,995 → sorted 0,1,1,2,2,3,3,4,4,995;
+        # MAD = rank-5 element = 2.0; 3·MAD = 6 → only 1000 (adev 995)
+        # is an outlier.
+        rows = [(k, "A", float(v)) for k, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+        ).createOrReplaceTempView("orders")
+        out = spark.sql(MAD_SQL).toPandas().set_index("o_orderstatus")
+        r = out.loc["A"]
+        assert r["n_orders"] == 10
+        assert r["median_price"] == 5.0
+        assert r["mad"] == 2.0
+        assert r["n_outliers"] == 1
+        assert r["outlier_rate"] == 0.1
+
+
+class TestRandomProjectionAudit:
+    def test_unit_basis_vector_has_exact_unit_distortion(self, spark, tmp_path):
+        """embedding = e_0 → ‖x‖² = 1 and every projection is ±1, so
+        ‖Px‖² = k and the distortion ratio is exactly 1.0."""
+        from couchwarehouse_spark.plans.similarity import random_projection_audit
+
+        d = str(tmp_path / "sf")
+        e0 = [1.0] + [0.0] * 63
+        spark.createDataFrame(
+            [(0, e0, 7)], "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        out = random_projection_audit(spark, d).toPandas()
+        assert len(out) == 1
+        assert out.iloc[0]["norm_sq"] == 1.0
+        assert out.iloc[0]["jl_distortion"] == 1.0
