@@ -1115,3 +1115,132 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by the log importance
+# ratio of a TARGET-domain hashed-n-gram LM over the RAW-corpus LM,
+# then resample proportionally. Here the target domain is lang='en'
+# (the paper's "formal text" slot); features are word bigrams hashed
+# into DSIR_DIM buckets (the paper's hashed n-gram featurization).
+DSIR_DIM = 128
+DSIR_TOP_K = 15
+_DSIR_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) % " + str(DSIR_DIM)
+)
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(string_split(text, ' '))),
+               i -> concat_ws(' ', list_extract(string_split(text, ' '), i),
+                                   list_extract(string_split(text, ' '), i + 1))))
+               AS bg
+      FROM documents
+    ),
+    feat AS (SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS f FROM bg),
+    tgt AS (SELECT f, count(*) AS ct FROM feat WHERE lang = 'en' GROUP BY f),
+    raw AS (SELECT f, count(*) AS cr FROM feat GROUP BY f),
+    tots AS (
+      SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS nt,
+             (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr
+    ),
+    w AS (
+      SELECT raw.f,
+             CAST(round(1000000 * (
+               ln((coalesce(tgt.ct, 0) + 1) / CAST(tots.nt + {DSIR_DIM} AS DOUBLE))
+               - ln((raw.cr + 1) / CAST(tots.nr + {DSIR_DIM} AS DOUBLE))
+             )) AS BIGINT) AS w_micro
+      FROM raw LEFT JOIN tgt USING (f) CROSS JOIN tots
+    )
+    SELECT feat.doc_id,
+           min(feat.lang)             AS lang,
+           CAST(count(*) AS BIGINT)   AS n_feats,
+           round(CAST(sum(w.w_micro) AS DOUBLE) / 1000000, 6) AS dsir_logw
+    FROM feat JOIN w USING (f)
+    GROUP BY feat.doc_id
+    ORDER BY sum(w.w_micro) DESC, feat.doc_id
+    LIMIT {DSIR_TOP_K}
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (sampling): per-document log importance
+    ratio log p_target(x)/p_raw(x) under add-1-smoothed hashed-bigram
+    bag-of-ngrams LMs (Xie et al. 2023) — the principled
+    target-domain-aware alternative to uniform sampling; weights feed
+    a Gumbel-top-k / systematic resample. Top-15 most target-like
+    docs.
+
+    Exactness: each FEATURE's log-ratio is computed once from exact
+    integer counts and immediately quantized to integer micro-nats
+    (``round(1e6·ln ratio)``); a document's weight is then an INTEGER
+    sum over its feature occurrences — no float accumulation order
+    anywhere, so both engines agree exactly (ties broken by doc_id).
+
+    Scale: two word-count-shaped aggregates build the target/raw
+    feature tables (both ≤ DSIR_DIM rows after hashing — that is the
+    POINT of the hashing trick); the weight table is {DSIR_DIM} rows,
+    broadcast onto the doc-feature stream; the per-doc reduce is one
+    hash aggregate; top-k is per-partition heaps. One corpus scan for
+    the feature stream (persisted across the two LM aggregates and
+    the scoring join).
+    """
+    from couchwarehouse_spark.plans.dedup import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    )
+    feat = scoped_persist(
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(bigrams).alias("bg"),
+        ).select("doc_id", "lang", (md5_long(F.col("bg")) % DSIR_DIM).alias("f"))
+    )
+    tgt = feat.filter(F.col("lang") == "en").groupBy("f").agg(F.count("*").alias("ct"))
+    raw = feat.groupBy("f").agg(F.count("*").alias("cr"))
+    nt = tgt.agg(F.sum("ct").alias("nt"))
+    nr = raw.agg(F.sum("cr").alias("nr"))
+    w = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "f",
+            F.round(
+                1_000_000
+                * (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        / (F.col("nt") + DSIR_DIM).cast("double")
+                    )
+                    - F.log((F.col("cr") + 1) / (F.col("nr") + DSIR_DIM).cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("w_micro"),
+        )
+    )
+    return (
+        feat.join(F.broadcast(w), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count("*").alias("n_feats"),
+            F.sum("w_micro").alias("w_sum"),
+        )
+        .orderBy(F.col("w_sum").desc(), "doc_id")
+        .limit(DSIR_TOP_K)
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            F.round(F.col("w_sum").cast("double") / 1_000_000, 6).alias("dsir_logw"),
+        )
+    )

@@ -2161,3 +2161,78 @@ def random_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(20)
     )
+
+
+PCA_SCALE = 1000  # fixed-point quantization (the embedding_gram_matrix idiom)
+PCA_TOP_DIMS = 10
+
+
+@query(
+    "pca_power_iteration",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {PCA_SCALE}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    srow AS (
+      SELECT vec_id, qv, CAST(list_sum(qv) AS BIGINT) AS s FROM q
+    ),
+    flat AS (
+      SELECT vec_id, s, unnest(qv) AS qe,
+             generate_subscripts(qv, 1) - 1 AS i
+      FROM srow
+    ),
+    v1 AS (
+      SELECT i AS dim_i, CAST(sum(qe * s) AS BIGINT) AS v1
+      FROM flat GROUP BY i
+    ),
+    ray AS (SELECT CAST(sum(s * s) AS BIGINT) AS rayleigh_num FROM srow)
+    SELECT dim_i, v1, rayleigh_num
+    FROM v1 CROSS JOIN ray
+    ORDER BY abs(v1) DESC, dim_i
+    LIMIT {PCA_TOP_DIMS}
+    """,
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed power-iteration step toward the top principal
+    component (X2): v₁ = Gv₀ with v₀ = 1 and G = XᵀX the (uncentered)
+    Gram matrix — evaluated WITHOUT materializing G, via the identity
+    Gv₀ = Σ_rows x·(xᵀ1): each row contributes its quantized vector
+    scaled by its own coordinate sum. Also reports the Rayleigh
+    numerator v₀ᵀGv₀ = Σ s² (the iteration's convergence statistic).
+    Power iteration is textbook numerical linear algebra (Mises &
+    Pollaczek-Geiringer 1929); this is the PCA/whitening training
+    kernel that pairs with ``embedding_gram_matrix``.
+
+    Exactness: coordinates quantize to integers (floor(x·{PCA_SCALE}),
+    the Gram idiom); the row sum s is an in-row integer fold; every
+    aggregate is an integer SUM — bit-exact on both engines.
+
+    Scale: one scan; the per-dim reduce carries d=64 groups with
+    map-side partials (each executor emits ≤64 longs), the Rayleigh
+    reduce one long — the whole matvec is a word-count-shaped
+    aggregate, the reason power iteration (and its production cousin,
+    randomized SVD) distributes trivially where full eigendecomposition
+    does not. Top dims by |v₁| are per-partition heaps.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * PCA_SCALE).cast("long")
+    )
+    srow = e.select(
+        qv.alias("qv"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias("s"),
+    )
+    srow = scoped_persist(srow)
+    flat = srow.select("s", F.posexplode("qv").alias("i", "qe"))
+    v1 = flat.groupBy(F.col("i").alias("dim_i")).agg(
+        F.sum(F.col("qe") * F.col("s")).alias("v1")
+    )
+    ray = srow.agg(F.sum(F.col("s") * F.col("s")).alias("rayleigh_num"))
+    return (
+        v1.crossJoin(F.broadcast(ray))
+        .orderBy(F.abs("v1").desc(), "dim_i")
+        .limit(PCA_TOP_DIMS)
+    )

@@ -1418,3 +1418,139 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+SB_ALPHA_NUM, SB_ALPHA_DEN = 2, 5  # stupid-backoff α = 0.4 (Brants 2007)
+
+
+from couchwarehouse_spark.plans.sampling import _SPLIT_SQL as _SB_SPLIT_SQL, TRAIN_PCT as _SB_TRAIN, VAL_PCT as _SB_VAL  # noqa: E402
+
+
+@query(
+    "stupid_backoff_scores",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, lang, text, {_SB_SPLIT_SQL} AS hash_bucket FROM documents
+    ),
+    train_bg AS (
+      SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+               AS bg
+      FROM split WHERE hash_bucket < {_SB_TRAIN}
+    ),
+    bgc AS (
+      SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+             count(*) AS b FROM train_bg GROUP BY 1, 2
+    ),
+    ctx AS (SELECT w1, CAST(sum(b) AS BIGINT) AS c FROM bgc GROUP BY w1),
+    uni AS (
+      SELECT w, count(*) AS u FROM (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM split WHERE hash_bucket < {_SB_TRAIN}
+      ) GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(u) AS BIGINT) AS n, count(*) AS v FROM uni),
+    test_bg AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+               AS bg
+      FROM split WHERE hash_bucket >= {_SB_TRAIN + _SB_VAL}
+    ),
+    scored AS (
+      SELECT t.lang,
+             bgc.b IS NULL AS backoff,
+             CASE WHEN bgc.b IS NOT NULL
+                  THEN -ln(bgc.b / CAST(ctx.c AS DOUBLE))
+                  ELSE -ln(({SB_ALPHA_NUM} * (coalesce(uni.u, 0) + 1))
+                           / CAST({SB_ALPHA_DEN} * (tot.n + tot.v + 1) AS DOUBLE))
+             END AS nls
+      FROM test_bg t
+      LEFT JOIN bgc ON string_split(t.bg, ' ')[1] = bgc.w1
+                   AND string_split(t.bg, ' ')[2] = bgc.w2
+      LEFT JOIN ctx ON string_split(t.bg, ' ')[1] = ctx.w1
+      LEFT JOIN uni ON string_split(t.bg, ' ')[2] = uni.w
+      CROSS JOIN tot
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+           round(avg(nls), 6) AS avg_surprisal
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (X4): fit bigram counts on the
+    TRAIN split, score the TEST split's transitions with Brants et
+    al. 2007's non-normalized backoff — S(w₂|w₁) = B(w₁w₂)/C(w₁) when
+    the bigram was seen, else α·P₁(w₂) with α = 0.4 and an
+    add-1-smoothed unigram (the paper's web-scale recipe: no
+    discounting, no normalization, "stupid" and effective). Reports
+    per-language held-out transition count, how often the model had
+    to back off (the coverage signal), and average surprisal — the
+    quality-filter twin of ``heldout_perplexity_eval`` one Markov
+    order up.
+
+    The split gates are ``deterministic_split``'s salted-hash buckets
+    (same literal SQL, leak-proof by construction). Backoff-vs-hit is
+    an exact NULL test on the joined bigram table; each surprisal is
+    one division + ln on identical integers in both engines.
+
+    Scale: the LM tables are bigram-vocabulary-sized hash aggregates;
+    scoring is the test transition stream LEFT-joined against them on
+    the bigram key (AQE broadcasts small LMs, shuffles heavy-tailed
+    ones); per-language reduce carries |langs| groups.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from couchwarehouse_spark.plans.sampling import _split_bucket
+
+    bucket = _split_bucket(F.col("doc_id"))
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    )
+    base = d.select("lang", bucket.alias("hash_bucket"), bigrams.alias("bgs"), toks.alias("toks"))
+    train = base.filter(F.col("hash_bucket") < _SB_TRAIN)
+    test = base.filter(F.col("hash_bucket") >= _SB_TRAIN + _SB_VAL)
+    train_bg = train.select(F.explode("bgs").alias("bg")).select(
+        F.split("bg", " ")[0].alias("w1"), F.split("bg", " ")[1].alias("w2")
+    )
+    bgc = train_bg.groupBy("w1", "w2").agg(F.count("*").alias("b"))
+    bgc = scoped_persist(bgc)
+    ctx = bgc.groupBy("w1").agg(F.sum("b").alias("c"))
+    uni = (
+        train.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("u"))
+    )
+    tot = uni.agg(F.sum("u").alias("n"), F.count("*").alias("v"))
+    t = test.select("lang", F.explode("bgs").alias("bg")).select(
+        "lang",
+        F.split("bg", " ")[0].alias("w1"),
+        F.split("bg", " ")[1].alias("w2"),
+    )
+    nls = F.when(
+        F.col("b").isNotNull(), -F.log(F.col("b") / F.col("c").cast("double"))
+    ).otherwise(
+        -F.log(
+            (SB_ALPHA_NUM * (F.coalesce(F.col("u"), F.lit(0)) + 1))
+            / (SB_ALPHA_DEN * (F.col("n") + F.col("v") + 1)).cast("double")
+        )
+    )
+    return (
+        t.join(bgc, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(uni.withColumnRenamed("w", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("lang", F.col("b").isNull().alias("backoff"), nls.alias("nls"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.sum(F.col("backoff").cast("int")).cast("long").alias("n_backoff"),
+            F.round(F.avg("nls"), 6).alias("avg_surprisal"),
+        )
+        .orderBy("lang")
+    )

@@ -234,3 +234,96 @@ class TestRandomProjectionAudit:
         assert len(out) == 1
         assert out.iloc[0]["norm_sq"] == 1.0
         assert out.iloc[0]["jl_distortion"] == 1.0
+
+
+class TestDsirImportanceWeights:
+    def test_target_like_doc_outranks_offdomain(self, spark, tmp_path):
+        """Docs repeating the target (en) corpus's bigrams must score
+        above docs made of off-domain bigrams."""
+        from couchwarehouse_spark.plans.dedup import md5_long  # noqa: F401
+        from couchwarehouse_spark.plans.sampling import dsir_importance_weights
+
+        d = str(tmp_path / "sf")
+        en = "alpha beta gamma delta alpha beta"
+        _write(
+            _docs(
+                spark,
+                [
+                    (0, en, "en", "s0"),
+                    (1, en, "en", "s0"),
+                    (2, "alpha beta gamma delta", "de", "s0"),  # target-like
+                    (3, "omega psi chi phi omega psi", "de", "s0"),  # off-domain
+                ],
+            ),
+            d,
+            "documents",
+        )
+        out = dsir_importance_weights(spark, d).toPandas()
+        w = {int(r["doc_id"]): r["dsir_logw"] for _, r in out.iterrows()}
+        # The target-like de doc must outscore the off-domain de doc.
+        assert w[2] > w[3]
+        # Docs made purely of target bigrams outscore everything else.
+        assert min(w[0], w[1], w[2]) > w[3]
+
+
+class TestPcaPowerIteration:
+    def test_matvec_matches_numpy(self, spark, tmp_path):
+        import numpy as np
+
+        from couchwarehouse_spark.plans.similarity import (
+            PCA_SCALE,
+            pca_power_iteration,
+        )
+
+        rng = np.random.RandomState(7)
+        X = rng.randn(20, 64).astype("float32")
+        spark.createDataFrame(
+            [(i, [float(x) for x in X[i]], 0) for i in range(20)],
+            "vec_id long, embedding array<float>, label int",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/sf/embeddings.parquet")
+        out = pca_power_iteration(spark, str(tmp_path / "sf")).toPandas()
+        Q = np.floor(X.astype("float64") * PCA_SCALE).astype("int64")
+        s = Q.sum(axis=1)
+        v1 = (Q * s[:, None]).sum(axis=0)
+        ray = int((s * s).sum())
+        got = {int(r["dim_i"]): int(r["v1"]) for _, r in out.iterrows()}
+        for dim, val in got.items():
+            assert val == int(v1[dim]), dim
+        assert set(out["rayleigh_num"]) == {ray}
+        # rows are the top-|v1| dims
+        top = sorted(range(64), key=lambda i: (-abs(int(v1[i])), i))[:10]
+        assert sorted(got) == sorted(top)
+
+
+class TestStupidBackoffScores:
+    def test_backoff_fires_only_on_unseen_bigrams(self, spark, tmp_path):
+        """Train/test split is the deterministic hash gate; craft ids
+        so one test doc repeats a train bigram (no backoff) and one
+        introduces a novel bigram (backoff)."""
+        from couchwarehouse_spark.plans.sampling import TRAIN_PCT, VAL_PCT, _split_bucket
+        from couchwarehouse_spark.plans.text import stupid_backoff_scores
+        import hashlib
+
+        def bucket(doc_id: int) -> int:
+            return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+        train_ids = [i for i in range(200) if bucket(i) < TRAIN_PCT][:2]
+        test_ids = [i for i in range(200) if bucket(i) >= TRAIN_PCT + VAL_PCT][:2]
+        rows = [
+            (train_ids[0], "aa bb cc", "en", "s0"),
+            (train_ids[1], "aa bb dd", "en", "s0"),
+            (test_ids[0], "aa bb", "en", "s0"),  # seen bigram → no backoff
+            (test_ids[1], "cc aa", "en", "s0"),  # novel bigram → backoff
+        ]
+        d = str(tmp_path / "sf")
+        _write(_docs(spark, rows), d, "documents")
+        out = stupid_backoff_scores(spark, d).toPandas()
+        r = out[out["lang"] == "en"].iloc[0]
+        assert r["n_transitions"] == 2
+        assert r["n_backoff"] == 1
+        # "aa bb": B=2, C(aa)=2 → S=1 → -ln S = 0. "cc aa": backoff,
+        # S = 0.4·(u(aa)+1)/(N+V+1) = 0.4·3/(6+4+1) = 12/110.
+        import math
+
+        expected = round((0.0 + -math.log(0.4 * 3 / 11)) / 2, 6)
+        assert abs(r["avg_surprisal"] - expected) < 1e-6
