@@ -1190,7 +1190,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from couchwarehouse_spark.plans.dedup import md5_long
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # one parquet file = one task; bigram hashing is compute-dense
     toks = F.split("text", " ")
     bigrams = F.transform(
         F.slice(toks, 1, F.size(toks) - 1),

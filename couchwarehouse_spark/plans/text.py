@@ -1503,7 +1503,9 @@ def stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bigram key (AQE broadcasts small LMs, shuffles heavy-tailed
     ones); per-language reduce carries |langs| groups.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # one parquet file = one task; per-row bigram work is compute-dense
     from couchwarehouse_spark.plans.sampling import _split_bucket
 
     bucket = _split_bucket(F.col("doc_id"))
