@@ -104,6 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "bucket z-ordered by these columns as a new table "
                         "version (OPTIMIZE ZORDER BY: tight parquet "
                         "row-group stats in every listed dimension)")
+    p.add_argument("--analyze", action="store_true",
+                   help="after spooling, collect per-file column statistics "
+                        "into the manifest as a metadata-only version "
+                        "(incremental by file; Delta ANALYZE semantics) and "
+                        "print the folded table stats")
     p.add_argument("--vacuum", type=int, default=None, metavar="KEEP",
                    help="after spooling (and --compact), reclaim part files "
                         "not referenced by each table's newest KEEP manifest "
@@ -307,6 +312,15 @@ def main(argv: list[str] | None = None) -> int:
                     f"couchwarehouse: z-ordered {n} buckets of "
                     f"{wh.table_name(doc_type)} by {','.join(cols_t)}"
                 )
+    if args.analyze:
+        for doc_type in wh.schemas:
+            n = wh.analyze(doc_type)
+            if not args.quiet:
+                print(
+                    f"couchwarehouse: analyzed {n} new file(s) of "
+                    f"{wh.table_name(doc_type)}"
+                )
+                wh.describe_stats(doc_type).show(truncate=False)
     if args.vacuum is not None:
         min_age = (
             args.vacuum_min_age

@@ -435,6 +435,7 @@ class Warehouse:
         stats: dict[int, dict[str, list | None]] | None = None,
         base_version: int | None = None,
         n_buckets: int | None = None,
+        column_stats: dict | None = None,
     ) -> int:
         """Atomically publish a new table version. ``buckets`` maps
         bucket id → part-file names relative to that bucket's dir;
@@ -473,6 +474,12 @@ class Warehouse:
                 for b, per in sorted((stats or {}).items())
             },
         }
+        if column_stats is not None:
+            # ANALYZE output: {bucket: {file: {col: {min, max, nulls,
+            # ndv}, "_rows": n}}} — per-FILE so stats survive any
+            # metadata-only commit by file identity (files are
+            # immutable) and re-ANALYZE scans only new files.
+            manifest["column_stats"] = column_stats
         target = self._manifest_file(path, version)
         tmp = target + f".tmp.{os.getpid()}"
         with open(tmp, "w") as f:
@@ -1198,6 +1205,185 @@ class Warehouse:
             "n_columns": len(self.schemas.get(doc_type, {})),
         }
         return self.spark.createDataFrame([row])
+
+    def analyze(
+        self, doc_type: str = DEFAULT_TYPE, columns: list[str] | None = None
+    ) -> int:
+        """Collect per-FILE column statistics (min / max / null count /
+        approx NDV / row count) for the current version and commit them
+        as a metadata-only ``analyze`` version — Delta's
+        ``ANALYZE TABLE ... COMPUTE STATISTICS``/Iceberg's per-file
+        metrics, the inputs a cost-based planner uses for join ordering
+        and that stat-based file skipping reads (the same role the
+        manifest's per-file id ranges already play for point lookups,
+        reference lib/sqlite.js has no equivalent — SQLite ANALYZE is
+        the closest cousin).
+
+        INCREMENTAL by file identity: files are immutable, so a file
+        already carrying stats in the previous version is never
+        rescanned — after a merge touches 2 of 16 buckets, re-ANALYZE
+        scans only the rewritten files. One distributed pass computes
+        every pending file's stats (grouped by ``input_file_name``);
+        only the per-file RESULT rows (≤ file count) transit the
+        driver, same order as the bucket-id collects. NDV is
+        ``approx_count_distinct`` (HyperLogLog++) — per-file sketch
+        results are stored as counts; the 100 TB upgrade is storing the
+        mergeable sketch bytes instead, noted not implemented.
+
+        Returns the number of files scanned (0 = stats were already
+        complete; no new version is committed in that case).
+        """
+        path = self._table_path(doc_type)
+        manifest = self._load_manifest(path)
+        if manifest is None:
+            raise FileNotFoundError(f"no committed table for {doc_type!r}")
+        # Ordinary commits (merge/compact/...) don't carry column_stats
+        # forward; recover the newest ANALYZE's stats by walking back —
+        # sound because stats are keyed by IMMUTABLE file, and pruned
+        # below to files the current version still references.
+        prev: dict = manifest.get("column_stats", {})
+        if not prev:
+            for v in reversed(self._list_versions(path) or []):
+                older = self._load_manifest(path, v)
+                if older and "column_stats" in older:
+                    prev = older["column_stats"]
+                    break
+        pending: list[tuple[str, str, str]] = []  # (bucket, fname, full)
+        for b, fns in manifest["buckets"].items():
+            have = prev.get(b, {})
+            for fn in fns:
+                if fn not in have:
+                    pending.append(
+                        (b, fn, os.path.join(path, f"_cw_bucket={b}", fn))
+                    )
+        # Carry forward only stats for files this version still
+        # references (files dropped by compact/rebucket fall away).
+        new_stats: dict = {
+            b: {fn: prev[b][fn] for fn in fns if b in prev and fn in prev.get(b, {})}
+            for b, fns in manifest["buckets"].items()
+        }
+        if not pending:
+            return 0
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        df = (
+            self.spark.read.schema(schema)
+            .parquet(*[fp for _, _, fp in pending])
+            .withColumn("_cw_file", F.input_file_name())
+        )
+        cols = [c for c in (columns or [f.name for f in schema.fields])]
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"min__{c}"),
+                F.max(c).alias(f"max__{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"nulls__{c}"),
+                F.approx_count_distinct(c).alias(f"ndv__{c}"),
+            ]
+        # Key by (bucket, basename): one partitioned write task emits
+        # the SAME part-file basename into every bucket dir it touches,
+        # so basename alone collides across buckets.
+        by_key = {(b, os.path.basename(fp)): (b, fn) for b, fn, fp in pending}
+
+        def _json_safe(v):
+            if v is None or isinstance(v, (int, float, str, bool)):
+                return v
+            return str(v)  # dates, decimals, timestamps
+
+        import re as _re
+        from urllib.parse import unquote as _unquote
+
+        for row in df.groupBy("_cw_file").agg(*aggs).collect():
+            full = _unquote(row["_cw_file"])
+            bucket_m = _re.search(r"_cw_bucket=(\d+)", full)
+            b, fn = by_key[(bucket_m.group(1), os.path.basename(full))]
+            entry: dict = {"_rows": row["_rows"]}
+            for c in cols:
+                entry[c] = {
+                    "min": _json_safe(row[f"min__{c}"]),
+                    "max": _json_safe(row[f"max__{c}"]),
+                    "nulls": row[f"nulls__{c}"],
+                    "ndv": row[f"ndv__{c}"],
+                }
+            new_stats.setdefault(b, {})[fn] = entry
+        self._commit_manifest(
+            path,
+            "analyze",
+            {int(b): fs for b, fs in manifest["buckets"].items()},
+            manifest["schema"],
+            {int(b): per for b, per in manifest.get("stats", {}).items()},
+            base_version=manifest["version"],
+            n_buckets=self._manifest_buckets_n(manifest),
+            column_stats=new_stats,
+        )
+        return len(pending)
+
+    def describe_stats(self, doc_type: str = DEFAULT_TYPE) -> DataFrame:
+        """Table-level column statistics folded from the manifest's
+        per-file ANALYZE entries — one row per column with global
+        min/max (min-of-mins / max-of-maxs), total null count, row
+        count coverage, and the SUM of per-file NDVs (an upper bound
+        on true NDV — exact union needs the mergeable sketch, see
+        ``analyze``). Metadata-only: no data scan, any schema.
+        """
+        path = self._table_path(doc_type)
+        manifest = self._load_manifest(path)
+        cstats = (manifest or {}).get("column_stats", {})
+        if manifest is not None and not cstats:
+            # Same walk-back as analyze(): stats ride the newest
+            # ANALYZE version, pruned to files still referenced now.
+            for v in reversed(self._list_versions(path) or []):
+                older = self._load_manifest(path, v)
+                if older and "column_stats" in older:
+                    cstats = {
+                        b: {
+                            fn: st
+                            for fn, st in per.items()
+                            if fn in set(manifest["buckets"].get(b, []))
+                        }
+                        for b, per in older["column_stats"].items()
+                    }
+                    break
+        per_col: dict[str, dict] = {}
+        n_rows = 0
+        n_files = 0
+        for per_file in cstats.values():
+            for entry in per_file.values():
+                n_files += 1
+                n_rows += entry.get("_rows", 0)
+                for c, st in entry.items():
+                    if c == "_rows":
+                        continue
+                    agg = per_col.setdefault(
+                        c, {"min": None, "max": None, "nulls": 0, "ndv_ub": 0}
+                    )
+                    if st["min"] is not None and (
+                        agg["min"] is None or st["min"] < agg["min"]
+                    ):
+                        agg["min"] = st["min"]
+                    if st["max"] is not None and (
+                        agg["max"] is None or st["max"] > agg["max"]
+                    ):
+                        agg["max"] = st["max"]
+                    agg["nulls"] += st["nulls"]
+                    agg["ndv_ub"] += st["ndv"]
+        rows = [
+            {
+                "column": c,
+                "min_value": str(a["min"]),
+                "max_value": str(a["max"]),
+                "null_count": a["nulls"],
+                "ndv_upper_bound": a["ndv_ub"],
+                "n_rows": n_rows,
+                "n_files_with_stats": n_files,
+            }
+            for c, a in sorted(per_col.items())
+        ]
+        schema = (
+            "column string, min_value string, max_value string, "
+            "null_count long, ndv_upper_bound long, n_rows long, "
+            "n_files_with_stats long"
+        )
+        return self.spark.createDataFrame(rows, schema)
 
     def clone(self, src_type: str, dst_type: str) -> int:
         """Zero-copy table clone (Delta CLONE semantics): create

@@ -377,3 +377,22 @@ def test_cli_mv_flag(spark, tmp_path, capsys):
     # Bad spec fails loudly, not silently.
     assert main(["--feed", feed, "--database", "mvclidb",
                  "--warehouse-dir", wh_dir, "--mv", "nope"]) == 1
+
+
+def test_cli_analyze_flag(spark, tmp_path, capsys):
+    """--analyze commits per-file column stats as a metadata-only
+    version and prints the folded table statistics."""
+    feed = _mixed_feed(str(tmp_path / "feed"))
+    rc = main(
+        [
+            "--feed", feed,
+            "--database", "adb",
+            "--warehouse-dir", str(tmp_path / "wh"),
+            "--analyze",
+            "--reset",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "analyzed" in out
+    assert "ndv_upper_bound" in out  # describe_stats header printed

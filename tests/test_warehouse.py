@@ -1301,3 +1301,64 @@ def test_random_maintenance_ops_preserve_content(spark, tmp_path):
             for r in wh.table(f"branch{clone_no}").collect()
         }
         assert branch == clone_snapshot
+
+
+def test_analyze_stats_match_direct_scan(spark, tmp_path):
+    """ANALYZE's folded table stats equal a direct scan's min/max/null
+    counts; NDV upper bound ≥ true NDV; row counts exact."""
+    rng = random.Random(5)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "statsdata", n_buckets=2)
+    envs = [envelope(i + 1, order_doc(i, rng)) for i in range(40)]
+    wh.spool(write_feed(str(tmp_path / "feed.jsonl"), envs))
+    n_scanned = wh.analyze()
+    assert n_scanned > 0
+    stats = {r["column"]: r for r in wh.describe_stats().collect()}
+    t = wh.table()
+    direct = t.agg(
+        F.min("total").alias("mn"),
+        F.max("total").alias("mx"),
+        F.count("*").alias("n"),
+        F.countDistinct("status").alias("ndv_status"),
+    ).collect()[0]
+    assert float(stats["total"]["min_value"]) == direct["mn"]
+    assert float(stats["total"]["max_value"]) == direct["mx"]
+    assert stats["total"]["n_rows"] == direct["n"]
+    assert stats["total"]["null_count"] == 0
+    assert stats["status"]["ndv_upper_bound"] >= direct["ndv_status"]
+    # Idempotent: nothing pending → no scan, no new version.
+    v_before = wh.describe_detail().collect()[0]["version"]
+    assert wh.analyze() == 0
+    assert wh.describe_detail().collect()[0]["version"] == v_before
+
+
+def test_analyze_is_incremental_by_file(spark, tmp_path):
+    """A merge that touches one bucket leaves the other bucket's
+    analyzed files alone: re-ANALYZE scans only the rewritten files,
+    and stats survive the intervening non-analyze commit."""
+    rng = random.Random(6)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "incrdata", n_buckets=4)
+    envs = [envelope(i + 1, order_doc(i, rng)) for i in range(40)]
+    wh.spool(write_feed(str(tmp_path / "f1.jsonl"), envs))
+    first = wh.analyze()
+    assert first > 0
+    # One updated doc → merge rewrites only its bucket's file(s).
+    doc = order_doc(3, rng)
+    doc["status"] = "amended"
+    wh.spool(write_feed(str(tmp_path / "f2.jsonl"), [envelope(100, doc)]))
+    second = wh.analyze()
+    assert 0 < second < first
+    # Folded stats reflect the post-merge table exactly.
+    stats = {r["column"]: r for r in wh.describe_stats().collect()}
+    assert stats["status"]["n_rows"] == wh.table().count()
+    amended_max = wh.table().agg(F.max("status")).collect()[0][0]
+    # 'amended' sorts after nothing else here unless statuses exceed it;
+    # just assert the folded max matches the scan's max.
+    assert stats["status"]["max_value"] == amended_max
+
+
+def test_describe_stats_without_analyze_is_empty(spark, tmp_path):
+    rng = random.Random(7)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "nostats", n_buckets=2)
+    envs = [envelope(i + 1, order_doc(i, rng)) for i in range(5)]
+    wh.spool(write_feed(str(tmp_path / "f.jsonl"), envs))
+    assert wh.describe_stats().count() == 0
