@@ -904,3 +904,65 @@ def event_lateness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lateness")
     )
+
+
+@query(
+    "markov_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    totals AS (
+      SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
+      FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type,
+           CAST(t.n AS BIGINT) AS n_transitions,
+           round(CAST(t.n AS DOUBLE) / tot.row_total, 6) AS p_transition
+    FROM trans t JOIN totals tot USING (prev_type)
+    """,
+)
+def markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (D4 analytics): P(next event type | current), the
+    user-journey kernel under funnel design, anomaly scoring
+    (improbable transitions), and synthetic-session generation.
+    Transitions are counted within each user's ts-ordered stream
+    (ties broken by event_id so the chain is deterministic); each
+    row-stochastic probability is ONE division of two exact integers.
+
+    Scale: the lag window partitions by user_id — millions of small
+    independent partitions, the shape Spark windows parallelize
+    perfectly (no global sort); the transition count is a
+    |types|²-group hash aggregate with map-side partials, and the
+    row-normalizing totals table is |types| rows, broadcast back.
+    One shuffle on user_id, one on the tiny transition key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        trans.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").alias("n_transitions"),
+            F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias(
+                "p_transition"
+            ),
+        )
+    )

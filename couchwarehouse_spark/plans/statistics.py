@@ -1096,3 +1096,87 @@ def mad_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(MAD_SQL)
+
+
+# Benford's-law expected first-digit shares log10(1 + 1/d), inlined as
+# literals so both lanes share identical constants (no engine log10).
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {e!r}" for d, e in _BENFORD.items()
+) + " END"
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM cents
+    ),
+    obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_orders FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n FROM obs)
+    SELECT digit, n_orders,
+           round(CAST(n_orders AS DOUBLE) / tot.n, 6)      AS observed_share,
+           {_BENFORD_SQL_CASE}                             AS benford_share,
+           round((n_orders - ({_BENFORD_SQL_CASE}) * tot.n)
+                 * (n_orders - ({_BENFORD_SQL_CASE}) * tot.n)
+                 / (({_BENFORD_SQL_CASE}) * tot.n), 6)     AS chi2_term
+    FROM obs CROSS JOIN tot
+    ORDER BY digit
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over order totals —
+    the classic data-quality / fabrication screen (Benford 1938,
+    Nigrini's forensic-accounting use): natural multi-scale amounts
+    follow P(d) = log10(1 + 1/d); synthetic, truncated, or fabricated
+    columns don't, and the per-digit χ² terms localize the deviation.
+    A pipeline runs this on money-like and count-like columns as an
+    ingest sanity gate.
+
+    Engine-exactness: the value is first made INTEGER CENTS with
+    ``floor(x·100 + 0.5)`` (DuckDB CAST rounds while Spark's
+    truncates, so neither engine's double→int cast is used); the
+    leading digit is then the first character of the integer's decimal
+    string — identical strings on both engines. Benford shares are
+    inlined literals, so the χ² arithmetic sees identical doubles.
+
+    Scale: scan → per-row digit projection → one 9-group hash
+    aggregate with map-side partials; the grand total attaches as a
+    one-row broadcast. Word-count shape, no window, no join.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n_orders")
+    )
+    tot = obs.agg(F.sum("n_orders").alias("n"))
+    benford = F.create_map(
+        *[F.lit(x) for kv in _BENFORD.items() for x in kv]
+    )[F.col("digit")]
+    exp_n = benford * F.col("n")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(F.col("n_orders").cast("double") / F.col("n"), 6).alias(
+                "observed_share"
+            ),
+            benford.alias("benford_share"),
+            F.round(
+                (F.col("n_orders") - exp_n) * (F.col("n_orders") - exp_n) / exp_n, 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

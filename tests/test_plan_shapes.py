@@ -993,3 +993,25 @@ def test_stupid_backoff_lm_joins_no_cartesian(spark):
     assert plan.count("BroadcastHashJoin") >= 3  # bigram/context/unigram LMs
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_markov_user_window_then_tiny_agg(spark):
+    """One user-partitioned lag window (no global sort), a |types|²
+    hash aggregate with partials, totals attached by broadcast."""
+    plan = plan_of(spark, "markov_transition_matrix")
+    assert "Window" in plan
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_benford_single_agg_broadcast_total(spark):
+    """Digit projection fuses into the scan; ONE 9-group aggregate;
+    the grand total attaches as a one-row broadcast cross."""
+    plan = plan_of(spark, "benford_first_digit_audit")
+    assert "partial_count" in plan
+    assert "Window" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

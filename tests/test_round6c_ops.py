@@ -327,3 +327,65 @@ class TestStupidBackoffScores:
 
         expected = round((0.0 + -math.log(0.4 * 3 / 11)) / 2, 6)
         assert abs(r["avg_surprisal"] - expected) < 1e-6
+
+
+class TestMarkovTransitionMatrix:
+    def test_hand_built_chain(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.events_windows import (
+            markov_transition_matrix,
+        )
+
+        rows = [
+            # user 1: a -> b -> a -> b   (a->b ×2, b->a ×1)
+            (1, "2024-01-01 00:00:00", 1, "a", 0.0, "{}"),
+            (2, "2024-01-01 00:01:00", 1, "b", 0.0, "{}"),
+            (3, "2024-01-01 00:02:00", 1, "a", 0.0, "{}"),
+            (4, "2024-01-01 00:03:00", 1, "b", 0.0, "{}"),
+            # user 2: a -> c            (a->c ×1)
+            (5, "2024-01-01 00:00:00", 2, "a", 0.0, "{}"),
+            (6, "2024-01-01 00:01:00", 2, "c", 0.0, "{}"),
+        ]
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.write.mode("overwrite").parquet(f"{tmp_path}/sf/events.parquet")
+        out = markov_transition_matrix(spark, str(tmp_path / "sf")).toPandas()
+        got = {
+            (r["prev_type"], r["next_type"]): (
+                int(r["n_transitions"]), r["p_transition"]
+            )
+            for _, r in out.iterrows()
+        }
+        assert got[("a", "b")] == (2, round(2 / 3, 6))
+        assert got[("a", "c")] == (1, round(1 / 3, 6))
+        assert got[("b", "a")] == (1, 1.0)
+        assert len(got) == 3  # no cross-user transition (2's a -> 1's b)
+
+
+class TestBenfordFirstDigitAudit:
+    def test_digits_and_chi2_terms(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.statistics import (
+            _BENFORD,
+            benford_first_digit_audit,
+        )
+
+        # 123.45 -> cents 12345 -> digit 1; 999.99 -> 99999 -> 9;
+        # 0.07 -> 7 -> 7; 850.00 -> 85000 -> 8.
+        rows = [
+            (1, "A", 123.45), (2, "A", 999.99), (3, "A", 0.07), (4, "A", 850.00),
+        ]
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/sf/orders.parquet")
+        out = benford_first_digit_audit(spark, str(tmp_path / "sf")).toPandas()
+        got = {int(r["digit"]): r for _, r in out.iterrows()}
+        assert sorted(got) == [1, 7, 8, 9]
+        assert all(int(got[d]["n_orders"]) == 1 for d in got)
+        assert got[1]["observed_share"] == 0.25
+        assert got[1]["benford_share"] == _BENFORD[1]
+        e = _BENFORD[1] * 4
+        assert abs(got[1]["chi2_term"] - round((1 - e) ** 2 / e, 6)) < 1e-9
