@@ -51,6 +51,9 @@ HEADLINE = [
     "retrieval_eval_mrr",       # X2 retrieval eval harness (r6)
     "source_tvd_matrix",        # X+ integer-exact mixture-drift audit (r6b)
     "embedding_gram_matrix",    # X2 distributed X'X kernel (r6b)
+    "containment_dup_pairs",    # X1 doc-in-doc containment pairs (r6c)
+    "dsir_importance_weights",  # X+ DSIR target-domain sampling weights (r6c)
+    "markov_transition_matrix", # D4 user-journey transition kernel (r6c)
 ]
 
 

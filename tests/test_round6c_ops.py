@@ -389,3 +389,54 @@ class TestBenfordFirstDigitAudit:
         assert got[1]["benford_share"] == _BENFORD[1]
         e = _BENFORD[1] * 4
         assert abs(got[1]["chi2_term"] - round((1 - e) ** 2 / e, 6)) < 1e-9
+
+
+class TestContainmentRandomizedModel:
+    def test_matches_bruteforce_on_random_corpus(self, spark, tmp_path):
+        """Seeded random corpus; expected pairs computed by a
+        brute-force Python model over the same shingle/threshold
+        definition — validates candidate generation loses nothing."""
+        import random
+
+        from couchwarehouse_spark.plans.dedup import (
+            CONT_DEN,
+            CONT_NUM,
+            containment_dup_pairs,
+        )
+
+        rng = random.Random(99)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = []
+        texts = {}
+        for i in range(40):
+            if i % 7 == 3 and i > 0:
+                # Plant partial dups: doc i embeds a prior doc's text.
+                base = texts[rng.randrange(i)]
+                text = base + " " + " ".join(rng.choice(vocab) for _ in range(6))
+            else:
+                text = " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 15)))
+            texts[i] = text
+            rows.append((i, text, "en", "s0"))
+        d = str(tmp_path / "sf")
+        _write(_docs(spark, rows), d, "documents")
+
+        def shingles(t: str) -> set:
+            w = t.split(" ")
+            return {" ".join(w[j : j + 3]) for j in range(len(w) - 2)}
+
+        expected = {}
+        sh = {i: shingles(t) for i, t in texts.items() if len(t.split(" ")) >= 3}
+        for a in sh:
+            for b in sh:
+                if a < b:
+                    inter = len(sh[a] & sh[b])
+                    m = min(len(sh[a]), len(sh[b]))
+                    if inter and CONT_DEN * inter >= CONT_NUM * m:
+                        expected[(a, b)] = round(inter / m, 4)
+        out = containment_dup_pairs(spark, d).toPandas()
+        got = {
+            (int(r["doc_a"]), int(r["doc_b"])): r["containment"]
+            for _, r in out.iterrows()
+        }
+        assert got == expected
+        assert len(expected) >= 3  # the planted dups actually fired
