@@ -5,6 +5,7 @@ bulk-file lane, full-text fallback.
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -202,3 +203,80 @@ class TestMaterializedView:
             )
         )
         self._check_equals_full(spark, wh)
+
+
+class TestWebdatasetExport:
+    def _frame(self, spark):
+        rows = [
+            (i, f"text body {i}", "en", bytes([i % 256, 255 - i % 256]))
+            for i in range(25)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, payload binary"
+        )
+
+    def test_export_verify_roundtrip(self, spark, tmp_path):
+        from couchwarehouse_spark.sinks.webdataset_export import (
+            export_webdataset,
+            verify_webdataset,
+        )
+
+        out = str(tmp_path / "wds")
+        m = export_webdataset(
+            self._frame(spark), out, key="doc_id",
+            text_col="text", payload_col="payload", n_shards=4,
+        )
+        assert m["total_rows"] == 25
+        assert set(m["shards"]) <= set(range(4))
+        v = verify_webdataset(out)
+        assert v["ok"], v["errors"]
+        assert v["samples"] == 25
+        # Members group by key with all three extensions present.
+        import tarfile
+
+        sid = sorted(m["shards"])[0]
+        with tarfile.open(f"{out}/shard-{sid:05d}.tar") as tf:
+            names = tf.getnames()
+            base = names[0].rsplit(".", 1)[0]
+            assert {f"{base}.txt", f"{base}.json", f"{base}.bin"} <= set(names)
+            meta = __import__("json").loads(
+                tf.extractfile(f"{base}.json").read()
+            )
+            assert meta["lang"] == "en" and "text" not in meta
+            body = tf.extractfile(f"{base}.txt").read().decode()
+            assert body == f"text body {int(base)}"
+
+    def test_reexport_is_bit_identical(self, spark, tmp_path):
+        import hashlib
+
+        from couchwarehouse_spark.sinks.webdataset_export import export_webdataset
+
+        def digest(d):
+            h = hashlib.md5()
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".tar"):
+                    h.update(open(os.path.join(d, fn), "rb").read())
+            return h.hexdigest()
+
+        out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+        export_webdataset(self._frame(spark), out1, key="doc_id",
+                          text_col="text", payload_col="payload", n_shards=4)
+        export_webdataset(self._frame(spark), out2, key="doc_id",
+                          text_col="text", payload_col="payload", n_shards=4)
+        assert digest(out1) == digest(out2)
+
+    def test_verify_flags_truncated_shard(self, spark, tmp_path):
+        from couchwarehouse_spark.sinks.webdataset_export import (
+            export_webdataset,
+            verify_webdataset,
+        )
+
+        out = str(tmp_path / "wds")
+        m = export_webdataset(self._frame(spark), out, key="doc_id",
+                              text_col="text", n_shards=2)
+        sid = sorted(m["shards"])[0]
+        p = f"{out}/shard-{sid:05d}.tar"
+        data = open(p, "rb").read()
+        open(p, "wb").write(data[: len(data) // 2])
+        v = verify_webdataset(out)
+        assert not v["ok"]
