@@ -966,3 +966,79 @@ def markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+FUNNEL_RE = "v.*c.*p"  # view ... click ... purchase, in order
+DOUBLE_ERROR_RE = "ee"  # two consecutive errors
+
+
+@query(
+    "event_pattern_regex_census",
+    oracle=f"""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT substr(seq, 1, 1) AS first_event,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN regexp_matches(seq, '{FUNNEL_RE}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel,
+           CAST(sum(CASE WHEN regexp_matches(seq, '{DOUBLE_ERROR_RE}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_double_error,
+           CAST(sum(len(seq)) AS BIGINT) AS total_events
+    FROM seqs
+    GROUP BY 1
+    """,
+)
+def event_pattern_regex_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern census over per-user event streams (D4): each
+    user's ts-ordered event-type initials become one string; regexes
+    over it answer MATCH_RECOGNIZE-style questions — how many users
+    complete the view→click→purchase funnel IN ORDER (with anything
+    between), how many hit back-to-back errors — grouped by how the
+    journey STARTED. The regex-over-sequence-string encoding is the
+    classic poor-man's sequence mining (SQL MATCH_RECOGNIZE's row
+    pattern semantics, which Spark lacks natively) and stays entirely
+    declarative.
+
+    Determinism: the per-user string is built under the total order
+    (ts, event_id) in BOTH engines (Spark: sort_array over structs —
+    collect_list alone has no order guarantee; DuckDB: ordered
+    string_agg); all outputs are integers.
+
+    Scale: one user-keyed aggregate builds the sequences (per-user
+    strings are session-sized); the census is a second tiny aggregate
+    on the first-letter key. A user's whole history must fit one
+    row — true for bounded event streams; unbounded journeys get
+    windowed sessionization first (session_window_stats).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c")).alias(
+                "s"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("s")), lambda s: s["c"]), ""
+            ).alias("seq")
+        )
+    )
+    return (
+        seqs.groupBy(F.substring("seq", 1, 1).alias("first_event"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.col("seq").rlike(FUNNEL_RE).cast("int")).cast("long").alias(
+                "n_funnel"
+            ),
+            F.sum(F.col("seq").rlike(DOUBLE_ERROR_RE).cast("int"))
+            .cast("long")
+            .alias("n_double_error"),
+            F.sum(F.length("seq")).alias("total_events"),
+        )
+    )

@@ -718,3 +718,53 @@ def ks_drift_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(diff) / F.min(F.col("ta") * F.col("tb")).cast("double"), 6
         ).alias("ks_statistic"),
     )
+
+
+# RFM quartiles: ntile(4) under TOTAL orders (metric, customer key) so
+# both engines assign identical tiles (ntile over a partial order is
+# engine-dependent at ties; a total order cannot be).
+RFM_SQL = """
+    WITH cust AS (
+      SELECT o_custkey,
+             max(o_orderdate)                  AS last_order,
+             count(*)                          AS frequency,
+             CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS monetary
+      FROM orders
+      GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, frequency, monetary,
+             ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey)  AS f_q,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey)   AS m_q
+      FROM cust
+    )
+    SELECT r_q, f_q, m_q,
+           CAST(count(*) AS BIGINT)            AS n_customers,
+           CAST(sum(frequency) AS BIGINT)      AS total_orders,
+           round(sum(monetary), 2)             AS total_monetary
+    FROM scored
+    GROUP BY r_q, f_q, m_q
+"""
+
+
+@query("rfm_segmentation", oracle=RFM_SQL)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic marketing-analytics quartile grid (Hughes 1994; every
+    warehouse's first segmentation query): per-customer last order
+    date, order count, and total spend, each cut into quartiles by
+    ``ntile(4)``, then the 4×4×4 segment census. Same ANSI text in
+    both lanes (R17 passthrough); tiles are assigned under TOTAL
+    orders (tie-broken by customer key) so the grid is
+    engine-identical, and per-customer monetary is rounded BEFORE the
+    segment sum so the final sum adds identical doubles.
+
+    Scale note: the three ntile windows are unpartitioned (global
+    rank) — fine at dim-table cardinality (customers), and the exact
+    formulation the oracle needs; the 100 TB substitution is quantile
+    cuts from ``approx_percentile`` applied as projections, same
+    downstream census.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(RFM_SQL)

@@ -72,6 +72,13 @@ class ConcurrentCommitError(RuntimeError):
     gets this instead of silently clobbering the winner's manifest."""
 
 
+class ConstraintViolationError(RuntimeError):
+    """A batch contained rows violating a CHECK constraint while the
+    warehouse runs in the default ``constraint_mode='error'`` — the
+    batch is rejected whole (Delta CHECK semantics: the write fails,
+    the table never holds a violating row)."""
+
+
 def _parquet_id_range(fp: str) -> tuple[str, str] | None:
     """The ``id`` column's min/max across a part file's row groups,
     from the parquet footer — None when statistics are absent. Read
@@ -135,6 +142,7 @@ class Warehouse:
         merge_retries: int = 0,
         evolve_schema: bool = False,
         feed_schema: str | None = None,
+        constraint_mode: str = "error",
     ):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
@@ -193,6 +201,14 @@ class Warehouse:
         # a frozen-lineage snapshot; only EXPLICIT merges into it
         # evolve it). Persisted in _schemas.json meta.
         self.clone_types: set[str] = set()
+        # Delta-style CHECK constraints per doc type: {type: {name:
+        # sql_expr}}. NULL passes (SQL-standard CHECK); enforcement
+        # mode is 'error' (reject the batch) or 'quarantine' (divert
+        # offenders to _quarantine/<type>/ and merge the rest).
+        self.constraints: dict[str, dict[str, str]] = {}
+        if constraint_mode not in ("error", "quarantine"):
+            raise ValueError(f"unknown constraint_mode {constraint_mode!r}")
+        self.constraint_mode = constraint_mode
         import itertools as _it
         self._scratch_counter = _it.count()
         self.checkpoints = CheckpointStore(spark, os.path.join(warehouse_dir, "_checkpoints"))
@@ -219,6 +235,8 @@ class Warehouse:
             self.schemas = stored
             if meta and "clones" in meta:
                 self.clone_types = set(meta["clones"])
+            if meta and "constraints" in meta:
+                self.constraints = meta["constraints"]
             if meta and "n_buckets" in meta:
                 # The ON-DISK bucket count wins over the constructor
                 # arg: ids were hashed with it, so a different value
@@ -233,6 +251,7 @@ class Warehouse:
                     "__meta__": {
                         "n_buckets": self.n_buckets,
                         "clones": sorted(self.clone_types),
+                        "constraints": self.constraints,
                     },
                     **self.schemas,
                 },
@@ -791,6 +810,7 @@ class Warehouse:
         # failed write cannot leak the cached frame for the session.
         conformed = conform_frame(flat, struct, keep=[SEQ_COL]).persist()
         try:
+            conformed = self._enforce_constraints(conformed, doc_type)
             # Opt-in optimistic-concurrency retry (merge_retries > 0):
             # a losing HA ingestor re-merges the SAME conformed batch
             # against the winner's new head — _merge_conformed re-reads
@@ -1205,6 +1225,73 @@ class Warehouse:
             "n_columns": len(self.schemas.get(doc_type, {})),
         }
         return self.spark.createDataFrame([row])
+
+    def add_constraint(
+        self, name: str, expr: str, doc_type: str = DEFAULT_TYPE
+    ) -> None:
+        """Register a CHECK constraint (Delta ``ALTER TABLE ... ADD
+        CONSTRAINT ... CHECK (expr)``): every future batch merged into
+        ``doc_type`` must satisfy ``expr`` row-wise (NULL passes —
+        SQL-standard CHECK). Mode 'error' rejects the whole batch with
+        ConstraintViolationError BEFORE anything is written; mode
+        'quarantine' diverts offenders to ``_quarantine/<type>/`` as
+        parquet and merges the rest — the dead-letter pattern for
+        unattended monitors. Existing rows are NOT re-validated (also
+        Delta's choice for ADD CONSTRAINT without a table scan —
+        validate with ``query()`` first if needed)."""
+        F.expr(expr)  # parse NOW: a typo fails at ADD time, not merge
+        self.constraints.setdefault(doc_type, {})[name] = expr
+        self._save_schemas()
+
+    def drop_constraint(self, name: str, doc_type: str = DEFAULT_TYPE) -> None:
+        self.constraints.get(doc_type, {}).pop(name, None)
+        self._save_schemas()
+
+    def _enforce_constraints(
+        self, conformed: DataFrame, doc_type: str
+    ) -> DataFrame:
+        """Apply CHECK constraints to a conformed batch; returns the
+        frame to merge. One extra aggregate per batch WHEN constraints
+        exist (violation counts per constraint — partial-aggregated,
+        output is |constraints| longs); zero cost otherwise."""
+        cons = self.constraints.get(doc_type, {})
+        if not cons:
+            return conformed
+        import functools as _ft
+
+        passes = {
+            n: F.coalesce(F.expr(e), F.lit(True)) for n, e in cons.items()
+        }
+        counts = conformed.agg(
+            *[
+                F.sum((~p).cast("long")).alias(n)
+                for n, p in passes.items()
+            ]
+        ).collect()[0]
+        violated = {n: int(counts[n] or 0) for n in passes if counts[n]}
+        if not violated:
+            return conformed
+        if self.constraint_mode == "error":
+            detail = ", ".join(
+                f"{n} ({c} rows): CHECK ({cons[n]})" for n, c in violated.items()
+            )
+            raise ConstraintViolationError(
+                f"batch for {self.db_name}/{doc_type} violates {detail}"
+            )
+        all_pass = _ft.reduce(lambda a, b: a & b, passes.values())
+        qdir = os.path.join(self.warehouse_dir, "_quarantine", doc_type)
+        conformed.filter(~all_pass).write.mode("append").parquet(qdir)
+        if self.verbose:
+            print(
+                f"couchwarehouse: quarantined {sum(violated.values())} "
+                f"row(s) of {doc_type} -> {qdir}"
+            )
+        return conformed.filter(all_pass)
+
+    def quarantined(self, doc_type: str = DEFAULT_TYPE) -> DataFrame:
+        """Read the dead-letter rows diverted by quarantine mode."""
+        qdir = os.path.join(self.warehouse_dir, "_quarantine", doc_type)
+        return self.spark.read.parquet(qdir)
 
     def analyze(
         self, doc_type: str = DEFAULT_TYPE, columns: list[str] | None = None

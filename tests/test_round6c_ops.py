@@ -440,3 +440,68 @@ class TestContainmentRandomizedModel:
         }
         assert got == expected
         assert len(expected) >= 3  # the planted dups actually fired
+
+
+class TestEventPatternRegexCensus:
+    def test_funnel_and_double_error_detection(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from couchwarehouse_spark.plans.events_windows import (
+            event_pattern_regex_census,
+        )
+
+        rows = [
+            # user 1: view→signup→click→purchase  => funnel (v.*c.*p)
+            (1, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+            (2, "2024-01-01 00:01:00", 1, "signup", 0.0, "{}"),
+            (3, "2024-01-01 00:02:00", 1, "click", 0.0, "{}"),
+            (4, "2024-01-01 00:03:00", 1, "purchase", 0.0, "{}"),
+            # user 2: purchase→click→view  => out of order, no funnel
+            (5, "2024-01-01 00:00:00", 2, "purchase", 0.0, "{}"),
+            (6, "2024-01-01 00:01:00", 2, "click", 0.0, "{}"),
+            (7, "2024-01-01 00:02:00", 2, "view", 0.0, "{}"),
+            # user 3: error→error  => double error; starts with 'e'
+            (8, "2024-01-01 00:00:00", 3, "error", 0.0, "{}"),
+            (9, "2024-01-01 00:01:00", 3, "error", 0.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.write.mode("overwrite").parquet(f"{tmp_path}/sf/events.parquet")
+        out = event_pattern_regex_census(spark, str(tmp_path / "sf")).toPandas()
+        got = {r["first_event"]: r for _, r in out.iterrows()}
+        assert int(got["v"]["n_funnel"]) == 1
+        assert int(got["v"]["n_double_error"]) == 0
+        assert int(got["p"]["n_funnel"]) == 0  # order matters
+        assert int(got["e"]["n_double_error"]) == 1
+        assert int(got["e"]["total_events"]) == 2
+
+
+class TestRfmSegmentation:
+    def test_quartiles_and_census_on_tiny_dim(self, spark):
+        from couchwarehouse_spark.plans.relational_extra import RFM_SQL
+
+        # 4 customers, clean quartile separation on every metric.
+        rows = []
+        key = 0
+        for cust, (n_orders, price, day) in enumerate(
+            [(8, 900.0, 28), (6, 700.0, 21), (4, 500.0, 14), (2, 300.0, 7)], start=1
+        ):
+            for _ in range(n_orders):
+                key += 1
+                rows.append((key, cust, f"2024-01-{day:02d}", price))
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderdate string, "
+            "o_totalprice double",
+        ).createOrReplaceTempView("orders")
+        out = spark.sql(RFM_SQL).toPandas()
+        # Customer 1 is best on all three metrics → segment (1,1,1).
+        seg = {(int(r["r_q"]), int(r["f_q"]), int(r["m_q"])): r for _, r in out.iterrows()}
+        assert set(seg) == {(1, 1, 1), (2, 2, 2), (3, 3, 3), (4, 4, 4)}
+        best = seg[(1, 1, 1)]
+        assert int(best["n_customers"]) == 1
+        assert int(best["total_orders"]) == 8
+        assert best["total_monetary"] == 7200.0

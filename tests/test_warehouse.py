@@ -1362,3 +1362,71 @@ def test_describe_stats_without_analyze_is_empty(spark, tmp_path):
     envs = [envelope(i + 1, order_doc(i, rng)) for i in range(5)]
     wh.spool(write_feed(str(tmp_path / "f.jsonl"), envs))
     assert wh.describe_stats().count() == 0
+
+
+def test_check_constraint_error_mode_rejects_batch(spark, tmp_path):
+    """Default mode: a violating batch fails whole — the table never
+    holds a violating row and stays at its prior version."""
+    from couchwarehouse_spark.warehouse import ConstraintViolationError
+
+    rng = random.Random(11)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "consdata", n_buckets=2)
+    good = [envelope(i + 1, order_doc(i, rng)) for i in range(5)]
+    wh.spool(write_feed(str(tmp_path / "f1.jsonl"), good))
+    wh.add_constraint("positive_total", "total > 0")
+    v_before = wh.describe_detail().collect()[0]["version"]
+
+    bad_doc = order_doc(99, rng)
+    bad_doc["total"] = -5.0
+    ok_doc = order_doc(50, rng)
+    try:
+        wh.spool(write_feed(str(tmp_path / "f2.jsonl"),
+                            [envelope(10, ok_doc), envelope(11, bad_doc)]))
+        raise AssertionError("expected ConstraintViolationError")
+    except ConstraintViolationError as e:
+        assert "positive_total" in str(e)
+    assert wh.describe_detail().collect()[0]["version"] == v_before
+    assert wh.table().filter(F.col("total") < 0).count() == 0
+    # The whole batch was rejected: the OK doc didn't land either.
+    assert wh.table().filter(F.col("id") == ok_doc["_id"]).count() == 0
+
+
+def test_check_constraint_quarantine_mode_diverts_offenders(spark, tmp_path):
+    rng = random.Random(12)
+    wh = Warehouse(
+        spark, str(tmp_path / "wh"), "qdata", n_buckets=2,
+        constraint_mode="quarantine",
+    )
+    good = [envelope(i + 1, order_doc(i, rng)) for i in range(5)]
+    wh.spool(write_feed(str(tmp_path / "f1.jsonl"), good))
+    wh.add_constraint("positive_total", "total > 0")
+
+    bad_doc = order_doc(99, rng)
+    bad_doc["total"] = -5.0
+    ok_doc = order_doc(50, rng)
+    wh.spool(write_feed(str(tmp_path / "f2.jsonl"),
+                        [envelope(10, ok_doc), envelope(11, bad_doc)]))
+    t = wh.table()
+    assert t.filter(F.col("id") == ok_doc["_id"]).count() == 1  # merged
+    assert t.filter(F.col("total") < 0).count() == 0  # diverted
+    q = wh.quarantined()
+    assert q.count() == 1
+    assert q.collect()[0]["id"] == bad_doc["_id"]
+
+
+def test_check_constraint_null_passes_and_persistence(spark, tmp_path):
+    """SQL-standard CHECK: NULL evaluates as pass; constraints persist
+    across Warehouse reopen (stored in _schemas.json meta)."""
+    rng = random.Random(13)
+    whdir = str(tmp_path / "wh")
+    wh = Warehouse(spark, whdir, "nulldata", n_buckets=2)
+    wh.spool(write_feed(str(tmp_path / "f1.jsonl"),
+                        [envelope(1, order_doc(0, rng))]))
+    wh.add_constraint("positive_total", "total > 0")
+    del wh
+    wh2 = Warehouse(spark, whdir, "nulldata", n_buckets=2)
+    assert wh2.constraints["_default"]["positive_total"] == "total > 0"
+    # A doc with no total (NULL after conform) passes the check.
+    doc = order_doc(7, rng, drop={"total"})
+    wh2.spool(write_feed(str(tmp_path / "f2.jsonl"), [envelope(5, doc)]))
+    assert wh2.table().filter(F.col("id") == doc["_id"]).count() == 1
