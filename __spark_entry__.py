@@ -24,11 +24,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
-# coverage policy. Round-6 rotation — ACTUAL composition (9 + 2 + 13
-# + 14 + 12 = 50; keep these counts in sync with the list, next
+# coverage policy. Round-6 rotation — ACTUAL composition (3 + 2 + 13
+# + 14 + 12 + 6 = 50; keep these counts in sync with the list, next
 # round's rotation is planned from them):
-#  - 9 never-regressed anchors (ETL kernel + e2e + one representative
-#    per family),
+#  - 3 never-regressed anchors (ETL kernel, the R1-R14 e2e — which
+#    also exercises the new CHECK-constraint hook in the merge path —
+#    and the relational flagship),
 #  - 2 entries whose IMPLEMENTATION changed this round and must be
 #    re-proven (event_debounce — microsecond-exact gaps;
 #    udtf_token_runs — per-call view/UDTF names),
@@ -42,12 +43,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #  - 12 operators new LATE this round (batches 6-7: Mann-Whitney, χ²
 #    keyness, lateness census, CMS join-size, epoch planner,
 #    calibration bins, containment pairs, Gopher census, feature
-#    hashing, Heaps' law, MAD outliers, JL projection audit).
-#    Together the window covers EVERY entry that has never produced a
-#    driver CORRECTNESS row (39 of them, all round-6 additions).
-#    Displaced to fit (all r04/r05-green and still t2-sim checked):
+#    hashing, Heaps' law, MAD outliers, JL projection audit),
+#  - 6 operators from batches 8-9 (DSIR, PCA matvec, stupid backoff,
+#    Markov transitions, Benford, event-pattern regex census).
+#    The window covers every never-driver-verified entry EXCEPT
+#    rfm_segmentation (R17 passthrough — the same ANSI text runs in
+#    both engines, the lowest-divergence-risk entry in the registry;
+#    t2-sim green, first in line next round).
+#    Displaced to fit (all r05-green and still t2-sim checked):
 #    anchors conform_projection, scd2_user_state_history,
-#    mango_selector_filter, minhash_lsh_candidates;
+#    mango_selector_filter, minhash_lsh_candidates,
+#    delete_propagation, time_travel_cdc, nation_revenue,
+#    tumbling_window_counts, exact_dedup, knn_cosine_topk;
 #    multimodal_feature_extract (r04-green); the 7 round-6 staleness
 #    slots (price_band_join, rollup_priority_status,
 #    top_revenue_orders, agg_stats, array_functions, asof_last_view,
@@ -56,16 +63,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every entry outside the window stays registered, oracle-checked by
 # tests/t2_sim.py, pytest-covered, and bench-timed.
 PRIORITY = [
-    # --- 9 anchors (green in every round they ran) ---
+    # --- 3 anchors (green in every round they ran) ---
     "latest_event_per_user",
-    "delete_propagation",
-    "time_travel_cdc",
     "warehouse_e2e_pipeline",
     "pricing_summary",
-    "nation_revenue",
-    "tumbling_window_counts",
-    "exact_dedup",
-    "knn_cosine_topk",
     # --- 2 changed-this-round entries (re-prove the new impl) ---
     "event_debounce",
     "udtf_token_runs",
@@ -111,6 +112,13 @@ PRIORITY = [
     "heaps_law_vocab_growth",
     "mad_outlier_census",
     "random_projection_audit",
+    # --- 6 NEW operators, batches 8-9 this round ---
+    "dsir_importance_weights",
+    "pca_power_iteration",
+    "stupid_backoff_scores",
+    "markov_transition_matrix",
+    "benford_first_digit_audit",
+    "event_pattern_regex_census",
 ]
 
 
