@@ -104,6 +104,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "bucket z-ordered by these columns as a new table "
                         "version (OPTIMIZE ZORDER BY: tight parquet "
                         "row-group stats in every listed dimension)")
+    p.add_argument("--constraint", action="append", default=None,
+                   metavar="NAME:EXPR",
+                   help="add a CHECK constraint before spooling (repeatable; "
+                        "e.g. --constraint positive_total:'total > 0'); "
+                        "violating batches fail, or divert with --quarantine")
+    p.add_argument("--quarantine", action="store_true",
+                   help="with --constraint: divert violating rows to the "
+                        "dead-letter dir instead of rejecting the batch")
     p.add_argument("--analyze", action="store_true",
                    help="after spooling, collect per-file column statistics "
                         "into the manifest as a metadata-only version "
@@ -179,7 +187,16 @@ def main(argv: list[str] | None = None) -> int:
         reset=args.reset,
         verbose=not args.quiet,
         evolve_schema=args.evolve_schema,
+        constraint_mode="quarantine" if args.quarantine else "error",
     )
+    for spec in args.constraint or []:
+        cname, _, cexpr = spec.partition(":")
+        if not cexpr:
+            print("couchwarehouse: --constraint wants NAME:EXPR", file=sys.stderr)
+            return 1
+        wh.add_constraint(cname, cexpr)
+        if not args.quiet:
+            print(f"couchwarehouse: CHECK constraint {cname}: {cexpr}")
 
     if args.mv:
         try:

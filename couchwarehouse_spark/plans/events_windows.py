@@ -1042,3 +1042,100 @@ def event_pattern_regex_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("seq")).alias("total_events"),
         )
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    dim AS (
+      SELECT user_id, event_type AS state,
+             epoch_us(ts) AS vf_us,
+             coalesce(epoch_us(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)),
+               9223372036854775807) AS vt_us
+      FROM marked
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    fact AS (
+      SELECT user_id, epoch_us(ts) - 1 AS lookup_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT coalesce(d.state, 'none') AS prior_state,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users
+    FROM fact f
+    LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND d.vf_us <= f.lookup_us AND f.lookup_us < d.vt_us
+    GROUP BY 1
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 history (the
+    Kimball fact-to-Type-2-dimension join): for every purchase, find
+    the state interval that was valid ONE MICROSECOND BEFORE the
+    purchase — "what state was the user in when they bought" — and
+    report the prior-state census. The 1 µs offset is the leakage
+    guard (the purchase's own interval must not answer for itself),
+    the same frame-exclusive trick as ``point_in_time_features``; a
+    first-ever-event purchase has no prior interval and reports
+    'none' (LEFT join).
+
+    Exactness: interval bounds and lookups compare as integer
+    MICROSECONDS (epoch_us/unix_micros — engine-identical), the open
+    'current' interval as MAX_LONG.
+
+    Scale: the join is an EQUI join on user_id with the interval
+    containment as a residual filter — a plain hash join (each user's
+    dimension rows are few), never an unbounded theta join; both
+    windows building the dimension share one user-keyed sort. This is
+    how a fact stream joins an SCD2 dimension at any scale: co-hash on
+    the entity key, test intervals per entity.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    dim = (
+        marked.filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("vf_us"),
+            F.coalesce(
+                F.unix_micros(F.lead("ts").over(w).cast("timestamp")),
+                F.lit((1 << 63) - 1),
+            ).alias("vt_us"),
+        )
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) - 1).alias("lookup_us"),
+    )
+    joined = fact.join(
+        dim,
+        (fact["user_id"] == dim["user_id"])
+        & (dim["vf_us"] <= fact["lookup_us"])
+        & (fact["lookup_us"] < dim["vt_us"]),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce(dim["state"], F.lit("none")).alias("prior_state")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.countDistinct(fact["user_id"]).cast("long").alias("n_users"),
+    )

@@ -396,3 +396,39 @@ def test_cli_analyze_flag(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "analyzed" in out
     assert "ndv_upper_bound" in out  # describe_stats header printed
+
+
+def test_cli_constraint_quarantine_flag(spark, tmp_path, capsys):
+    """--constraint + --quarantine diverts violating rows to the
+    dead-letter dir while the rest of the batch merges."""
+    import json as _json
+    import os as _os
+
+    feed_dir = str(tmp_path / "feed")
+    _os.makedirs(feed_dir)
+    envs = [
+        {"seq": "1-x", "id": "a", "doc": {"_id": "a", "total": 5.0}},
+        {"seq": "2-x", "id": "b", "doc": {"_id": "b", "total": -1.0}},
+    ]
+    with open(_os.path.join(feed_dir, "feed.jsonl"), "w") as f:
+        for e in envs:
+            f.write(_json.dumps(e) + "\n")
+    rc = main(
+        [
+            "--feed", feed_dir,
+            "--database", "cdb",
+            "--warehouse-dir", str(tmp_path / "wh"),
+            "--constraint", "positive_total:total > 0",
+            "--quarantine",
+            "--sql", "SELECT count(*) AS n FROM cdb",
+            "--reset",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "CHECK constraint positive_total" in out
+    from couchwarehouse_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), "cdb")
+    assert wh.table().count() == 1
+    assert wh.quarantined().count() == 1

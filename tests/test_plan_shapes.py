@@ -1015,3 +1015,25 @@ def test_benford_single_agg_broadcast_total(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_event_pattern_two_aggregates_no_window(spark):
+    """Sequences build in ONE user-keyed aggregate (sort_array is
+    in-row); the census is a second tiny aggregate — no window, no
+    join, no Python."""
+    plan = plan_of(spark, "event_pattern_regex_census")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scd2_pit_join_is_hash_join_on_user(spark):
+    """The fact-to-SCD2 lookup must be an equi hash/sort-merge join on
+    user_id with the interval test as a residual — never a nested-loop
+    theta join over unbounded sides."""
+    plan = plan_of(spark, "scd2_point_in_time_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

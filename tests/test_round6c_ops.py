@@ -505,3 +505,35 @@ class TestRfmSegmentation:
         assert int(best["n_customers"]) == 1
         assert int(best["total_orders"]) == 8
         assert best["total_monetary"] == 7200.0
+
+
+class TestScd2PointInTimeJoin:
+    def test_prior_state_lookup_with_first_event_none(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from couchwarehouse_spark.plans.events_windows import (
+            scd2_point_in_time_join,
+        )
+
+        rows = [
+            # user 1: view, then purchase → prior state 'view'
+            (1, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+            (2, "2024-01-01 01:00:00", 1, "purchase", 0.0, "{}"),
+            # user 2: purchase first ever → prior state 'none'
+            (3, "2024-01-01 00:00:00", 2, "purchase", 0.0, "{}"),
+            # user 1 again: second purchase right after the first →
+            # prior interval is the 'purchase' state opened at 01:00
+            (4, "2024-01-01 02:00:00", 1, "purchase", 0.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.write.mode("overwrite").parquet(f"{tmp_path}/sf/events.parquet")
+        out = scd2_point_in_time_join(spark, str(tmp_path / "sf")).toPandas()
+        got = {r["prior_state"]: (int(r["n_purchases"]), int(r["n_users"]))
+               for _, r in out.iterrows()}
+        assert got["view"] == (1, 1)
+        assert got["none"] == (1, 1)
+        assert got["purchase"] == (1, 1)
