@@ -810,3 +810,89 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_pass"),
     )
+
+
+@query(
+    "source_kl_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    sc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY source, w),
+    st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sc GROUP BY source),
+    cc AS (SELECT w, CAST(sum(c) AS BIGINT) AS cc FROM sc GROUP BY w),
+    ct AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM cc),
+    terms AS (
+      SELECT sc.source, st.ns,
+             CAST(round(1000000 * sc.c *
+               ln((CAST(sc.c AS DOUBLE) * ct.nc) / (CAST(st.ns AS DOUBLE) * cc.cc))
+             ) AS BIGINT) AS t_micro
+      FROM sc JOIN st USING (source) JOIN cc USING (w) CROSS JOIN ct
+    )
+    SELECT source,
+           CAST(min(ns) AS BIGINT) AS n_tokens,
+           round(CAST(sum(t_micro) AS DOUBLE) / 1000000 / min(ns), 6)
+             AS kl_nats
+    FROM terms
+    GROUP BY source
+    """,
+)
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence KL(p_source ‖ p_corpus) over unigram
+    distributions — the information-theoretic mixture-drift audit
+    (Kullback-Leibler 1951; the statistic behind data-mixture tuning
+    and domain-shift alarms). Sources far from the corpus distribution
+    are the ones temperature sampling reweights; the sibling of
+    ``source_tvd_matrix`` (pairwise, L1-like) with corpus-relative,
+    likelihood-ratio semantics. MLE source distribution: only terms
+    the source actually uses contribute (0·ln0 = 0), so no smoothing
+    enters.
+
+    Exactness: each (source, term) contribution c·ln((c·N_c)/(N_s·c_c))
+    is computed once from exact integers and quantized to integer
+    micro-nats; the per-source reduce is an INTEGER sum — no float
+    accumulation order (the DSIR idiom).
+
+    Scale: one tokenize pass → (source, term) counts (word-count
+    shuffle); source totals are |sources| rows and corpus term counts
+    vocabulary-sized — both attach to the term table by
+    AQE-broadcastable joins; the final reduce carries |sources|
+    groups.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    sc = scoped_persist(sc)
+    st = sc.groupBy("source").agg(F.sum("c").alias("ns"))
+    cc = sc.groupBy("w").agg(F.sum("c").alias("cc"))
+    ct = cc.agg(F.sum("cc").alias("nc"))
+    terms = (
+        sc.join(F.broadcast(st), "source")
+        .join(cc, "w")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "source",
+            "ns",
+            F.round(
+                1_000_000
+                * F.col("c")
+                * F.log(
+                    (F.col("c").cast("double") * F.col("nc"))
+                    / (F.col("ns").cast("double") * F.col("cc"))
+                )
+            )
+            .cast("long")
+            .alias("t_micro"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.min("ns").alias("n_tokens"),
+        F.round(
+            F.sum("t_micro").cast("double") / 1_000_000 / F.min("ns"), 6
+        ).alias("kl_nats"),
+    )

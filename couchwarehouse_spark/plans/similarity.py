@@ -2236,3 +2236,75 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs("v1").desc(), "dim_i")
         .limit(PCA_TOP_DIMS)
     )
+
+
+CONF_THRESHOLD = 0.5  # decision threshold for the confusion table
+
+
+@query(
+    "binary_classifier_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT vec_id,
+             label % 2 = 0 AS y_true,
+             1.0 / (1.0 + exp(-(list_dot_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               {_W_SQL}) + {ML_BIAS}))) >= {CONF_THRESHOLD} AS y_pred
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN y_true AND y_pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN NOT y_true AND y_pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN y_true AND NOT y_pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN NOT y_true AND NOT y_pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           round(CAST(tp AS DOUBLE) / (tp + fp), 6)        AS precision,
+           round(CAST(tp AS DOUBLE) / (tp + fn), 6)        AS recall,
+           round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS f1,
+           round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+    FROM cells
+    """,
+)
+def binary_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix eval of the in-SQL logistic classifier
+    (X2 eval tier): the fused-projection scores of
+    ``ml_inference_scores`` thresholded at {CONF_THRESHOLD} against a
+    deterministic ground truth (even label = positive), reduced to the
+    TP/FP/FN/TN cells plus precision / recall / F1 / accuracy — the
+    table every quality-filter model review starts from (companion of
+    ``score_calibration_bins``: that one asks "are the probabilities
+    honest", this one "is the decision rule any good").
+
+    All four cells are exact integer sums (the threshold compare runs
+    on identical doubles in both engines); every metric is ONE
+    division of those integers, rounded once.
+
+    Scale: scoring fuses into the scan projection (the
+    ml_inference_scores argument); the reduce is a single
+    partial-aggregated global sum — four longs per partition cross
+    the exchange. Zero joins, zero windows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in ML_WEIGHTS])
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot(v, w) + F.lit(ML_BIAS))))
+    scored = e.select(
+        (F.col("label") % 2 == 0).alias("y_true"),
+        (p >= CONF_THRESHOLD).alias("y_pred"),
+    )
+    cells = scored.agg(
+        F.sum((F.col("y_true") & F.col("y_pred")).cast("long")).alias("tp"),
+        F.sum((~F.col("y_true") & F.col("y_pred")).cast("long")).alias("fp"),
+        F.sum((F.col("y_true") & ~F.col("y_pred")).cast("long")).alias("fn"),
+        F.sum((~F.col("y_true") & ~F.col("y_pred")).cast("long")).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return cells.select(
+        "tp", "fp", "fn", "tn",
+        F.round(tp.cast("double") / (tp + fp), 6).alias("precision"),
+        F.round(tp.cast("double") / (tp + fn), 6).alias("recall"),
+        F.round((2 * tp).cast("double") / (2 * tp + fp + fn), 6).alias("f1"),
+        F.round((tp + tn).cast("double") / (tp + fp + fn + tn), 6).alias("accuracy"),
+    )

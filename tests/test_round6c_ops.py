@@ -537,3 +537,90 @@ class TestScd2PointInTimeJoin:
         assert got["view"] == (1, 1)
         assert got["none"] == (1, 1)
         assert got["purchase"] == (1, 1)
+
+
+class TestBinaryClassifierConfusion:
+    def test_cells_sum_to_n_and_metrics_consistent(self, spark, tmp_path):
+        import numpy as np
+
+        from couchwarehouse_spark.plans.similarity import (
+            binary_classifier_confusion,
+        )
+
+        rng = np.random.RandomState(3)
+        X = rng.randn(30, 64).astype("float32")
+        spark.createDataFrame(
+            [(i, [float(x) for x in X[i]], i % 5) for i in range(30)],
+            "vec_id long, embedding array<float>, label int",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/sf/embeddings.parquet")
+        out = binary_classifier_confusion(spark, str(tmp_path / "sf")).toPandas()
+        r = out.iloc[0]
+        tp, fp, fn, tn = int(r["tp"]), int(r["fp"]), int(r["fn"]), int(r["tn"])
+        assert tp + fp + fn + tn == 30
+        # positives = labels 0, 2, 4 → 18 of 30 (i % 5 even)
+        assert tp + fn == sum(1 for i in range(30) if (i % 5) % 2 == 0)
+        if tp + fp:
+            assert abs(r["precision"] - round(tp / (tp + fp), 6)) < 1e-9
+        assert abs(r["accuracy"] - round((tp + tn) / 30, 6)) < 1e-9
+
+
+class TestSourceKlDivergence:
+    def test_uniform_source_has_zero_kl_skewed_positive(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.curation import source_kl_divergence
+
+        # srcA matches the corpus distribution exactly (KL = 0 is only
+        # possible when p_source == p_corpus for every term); srcB is
+        # maximally skewed.
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [
+                    (0, "x x y y", "en", "srcA"),
+                    (1, "x x y y", "en", "srcB"),
+                ],
+            ),
+            d,
+            "documents",
+        )
+        out = source_kl_divergence(spark, d).toPandas().set_index("source")
+        # Both sources have the same distribution as the corpus → 0.
+        assert out.loc["srcA"]["kl_nats"] == 0.0
+        assert out.loc["srcB"]["kl_nats"] == 0.0
+
+    def test_skewed_source_positive(self, spark, tmp_path):
+        import math
+
+        from couchwarehouse_spark.plans.curation import source_kl_divergence
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [
+                    (0, "x x x y", "en", "srcA"),  # corpus: x=6, y=2 (N=8)
+                    (1, "x x x y", "en", "srcB"),
+                ],
+            ),
+            d,
+            "documents",
+        )
+        # Each source: x=3/4, y=1/4 == corpus 6/8, 2/8 → KL = 0 again.
+        out = source_kl_divergence(spark, d).toPandas()
+        assert (out["kl_nats"] == 0.0).all()
+        # Now make them differ.
+        _write(
+            _docs(
+                spark,
+                [
+                    (0, "x x x x", "en", "srcA"),  # all x
+                    (1, "y y y y", "en", "srcB"),  # all y
+                ],
+            ),
+            d,
+            "documents",
+        )
+        out = source_kl_divergence(spark, d).toPandas().set_index("source")
+        # p_srcA(x)=1 vs p_c(x)=1/2 → KL = ln 2.
+        assert abs(out.loc["srcA"]["kl_nats"] - round(math.log(2), 6)) < 1e-6
+        assert abs(out.loc["srcB"]["kl_nats"] - round(math.log(2), 6)) < 1e-6
