@@ -25,11 +25,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
 # coverage policy. Round-6 rotation — ACTUAL composition (3 + 2 + 13
-# + 14 + 12 + 6 = 50; keep these counts in sync with the list, next
+# + 14 + 11 + 7 = 50; keep these counts in sync with the list, next
 # round's rotation is planned from them):
-#  - 3 never-regressed anchors (ETL kernel, the R1-R14 e2e — which
-#    also exercises the new CHECK-constraint hook in the merge path —
-#    and the relational flagship),
+#  - 3 never-regressed anchors (ETL kernel — also the required
+#    etl-family representative — the R1-R14 e2e, which exercises the
+#    new CHECK-constraint hook in the merge path, and the relational
+#    flagship),
 #  - 2 entries whose IMPLEMENTATION changed this round and must be
 #    re-proven (event_debounce — microsecond-exact gaps;
 #    udtf_token_runs — per-call view/UDTF names),
@@ -40,16 +41,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #    Gram matrix, vocab curve, held-out LM eval, modality pairing,
 #    CMS audit, Bloom audit, conversion attribution, skyline, KS
 #    drift),
-#  - 12 operators new LATE this round (batches 6-7: Mann-Whitney, χ²
+#  - 11 operators new LATE this round (batches 6-7: Mann-Whitney, χ²
 #    keyness, lateness census, CMS join-size, epoch planner,
 #    calibration bins, containment pairs, Gopher census, feature
-#    hashing, Heaps' law, MAD outliers, JL projection audit),
-#  - 6 operators from batches 8-9 (DSIR, PCA matvec, stupid backoff,
-#    Markov transitions, Benford, event-pattern regex census).
-#    The window covers every never-driver-verified entry EXCEPT
-#    rfm_segmentation (R17 passthrough — the same ANSI text runs in
-#    both engines, the lowest-divergence-risk entry in the registry;
-#    t2-sim green, first in line next round).
+#    hashing, Heaps' law, JL projection audit),
+#  - 7 operators from batches 8-10 (DSIR, PCA matvec, stupid backoff,
+#    event-pattern regex census, SCD2 point-in-time join, source KL
+#    divergence, classifier confusion).
+#    The window covers every never-driver-verified entry EXCEPT the
+#    four lowest-divergence-risk ones, deferred to round 7 (all
+#    t2-sim green, first in line next round): rfm_segmentation and
+#    mad_outlier_census (R17 passthroughs — the same ANSI text runs
+#    in both engines), benford_first_digit_audit (integer-cents digit
+#    census with inlined Benford constants), and
+#    markov_transition_matrix (integer-exact transition counts,
+#    model-checked in tests).
 #    Displaced to fit (all r05-green and still t2-sim checked):
 #    anchors conform_projection, scd2_user_state_history,
 #    mango_selector_filter, minhash_lsh_candidates,
@@ -63,7 +69,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every entry outside the window stays registered, oracle-checked by
 # tests/t2_sim.py, pytest-covered, and bench-timed.
 PRIORITY = [
-    # --- 3 anchors (green in every round they ran) ---
+    # --- 3 anchors (green in every round they ran; latest_event_per_user
+    # is also the window's required etl-family representative) ---
     "latest_event_per_user",
     "warehouse_e2e_pipeline",
     "pricing_summary",
@@ -110,15 +117,15 @@ PRIORITY = [
     "gopher_quality_flags",
     "feature_hashing_vectorizer",
     "heaps_law_vocab_growth",
-    "mad_outlier_census",
     "random_projection_audit",
-    # --- 6 NEW operators, batches 8-9 this round ---
+    # --- 9 NEW operators, batches 8-10 this round ---
     "dsir_importance_weights",
     "pca_power_iteration",
     "stupid_backoff_scores",
-    "markov_transition_matrix",
-    "benford_first_digit_audit",
     "event_pattern_regex_census",
+    "scd2_point_in_time_join",
+    "source_kl_divergence",
+    "binary_classifier_confusion",
 ]
 
 
