@@ -872,8 +872,8 @@ class Warehouse:
                     metas.append((b, fp, rng[0], rng[1]))
         hit: set[str] = set()
         if metas:
-            meta_df = self.spark.createDataFrame(
-                metas, "b int, file string, min_id string, max_id string"
+            meta_df = self._literal_frame(
+                metas, ["b", "file", "min_id", "max_id"]
             )
             touched = conformed.select("id").unionByName(tombstones.select("id"))
             hit = {
@@ -894,6 +894,44 @@ class Warehouse:
             else:
                 untouched.setdefault(b, []).append(fp)
         return read_files, untouched
+
+    _LITERAL_CHUNK = 500  # structs per explode()d array literal
+    _LITERAL_MAX = 20_000  # above this, fall back to createDataFrame
+
+    def _literal_frame(self, rows: list[tuple], names: list[str]) -> DataFrame:
+        """Small driver-side row list → DataFrame as a PURE EXPRESSION
+        plan (explode of struct-array literals), not a parallelized
+        Python RDD: ``spark.createDataFrame(list)`` plans a Python-RDD
+        scan whose per-use worker round-trip costs ~1-2 s inside every
+        join it feeds — measured directly on the merge prune at sf0.1.
+        Chunked arrays bound expression depth; beyond _LITERAL_MAX rows
+        (a table with tens of thousands of live files per affected set)
+        the literal plan itself would dominate, so fall back."""
+        if len(rows) > self._LITERAL_MAX:
+            schema = ", ".join(
+                f"{n} {'int' if isinstance(rows[0][i], int) else 'string'}"
+                for i, n in enumerate(names)
+            )
+            return self.spark.createDataFrame(rows, schema)
+        chunks = []
+        for i in range(0, len(rows), self._LITERAL_CHUNK):
+            arr = F.array(
+                *[
+                    F.struct(
+                        *[F.lit(v).alias(n) for v, n in zip(row, names)]
+                    )
+                    for row in rows[i : i + self._LITERAL_CHUNK]
+                ]
+            )
+            chunks.append(
+                self.spark.range(1)
+                .select(F.explode(arr).alias("_s"))
+                .select("_s.*")
+            )
+        out = chunks[0]
+        for c in chunks[1:]:
+            out = out.unionByName(c)
+        return out
 
     def _publish_tmp(
         self, path: str, tmp: str
