@@ -1139,3 +1139,54 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_purchases"),
         F.countDistinct(fact["user_id"]).cast("long").alias("n_users"),
     )
+
+
+@query(
+    "user_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    seq AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS len
+      FROM seq GROUP BY user_id, grp
+    ),
+    best AS (SELECT user_id, max(len) AS streak_days FROM runs GROUP BY user_id)
+    SELECT streak_days, CAST(count(*) AS BIGINT) AS n_users
+    FROM best GROUP BY streak_days ORDER BY streak_days
+    """,
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user, reduced to the
+    streak-length histogram — the gaps-and-islands engagement kernel
+    (day − row_number() is constant exactly across consecutive days),
+    the distributed form of the classic "current streak" interview
+    query and the retention siblings' (cohort_retention,
+    rolling_active_users) long-run companion.
+
+    Exactness: calendar-day truncation, integer day arithmetic and
+    integer counts end to end — nothing floating anywhere.
+
+    Scale: the dedup to (user, day) pairs and the row_number window
+    share the same user-keyed exchange; runs/best/histogram are hash
+    aggregates with map-side partials. No self-join — the naive
+    streak formulation joins events to events on day±1; this plan
+    touches each pair once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = days.withColumn("grp", F.date_sub("day", F.row_number().over(w)))
+    runs = seq.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    best = runs.groupBy("user_id").agg(F.max("len").alias("streak_days"))
+    return (
+        best.groupBy("streak_days")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("streak_days")
+    )

@@ -768,3 +768,80 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(RFM_SQL)
+
+
+# FK edges of the star schema: (edge name, child table, child key,
+# parent table, parent key). One row per edge in the audit.
+FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_FK_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{name}' AS fk_edge,
+           CAST(count(*) AS BIGINT) AS n_child_rows,
+           CAST(sum(CASE WHEN p.{pk} IS NULL AND c.{ck} IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           CAST(sum(CASE WHEN c.{ck} IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_keys
+    FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+      ON c.{ck} = p.{pk}
+    """
+    for name, child, ck, parent, pk in FK_EDGES
+)
+
+
+@query(
+    "referential_integrity_audit",
+    oracle=f"SELECT * FROM ({_FK_ORACLE}) ORDER BY fk_edge",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan census over every FK edge of the star schema
+    — the referential-integrity DQ gate (the check constraint engines
+    like DuckDB/PG enforce declaratively; a lakehouse has to AUDIT it,
+    cf. Delta constraints / dbt relationship tests). One row per edge:
+    child cardinality, orphaned children (non-null key with no parent),
+    and NULL keys (counted separately — a NULL FK is 'unknown', not an
+    orphan, per ANSI MATCH SIMPLE semantics).
+
+    Scale: each edge is one LEFT join of the child against the
+    DISTINCT parent-key projection — dimension keys broadcast (nation,
+    region, customer, supplier, part), and the one fact-fact edge
+    (lineitem->orders) is an equi hash join on the already
+    co-partitionable order key; the reduce is a partial-aggregated
+    3-counter sum. Edges are independent unions — at 1000 executors
+    they run concurrently.
+    """
+    out = None
+    for name, child, ck, parent, pk in FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        row = (
+            c.join(p, "k", "left")
+            .agg(
+                F.lit(name).alias("fk_edge"),
+                F.count("*").alias("n_child_rows"),
+                F.sum(
+                    (F.col("_hit").isNull() & F.col("k").isNotNull()).cast("int")
+                )
+                .cast("long")
+                .alias("n_orphans"),
+                F.sum(F.col("k").isNull().cast("int")).cast("long").alias(
+                    "n_null_keys"
+                ),
+            )
+            .select("fk_edge", "n_child_rows", "n_orphans", "n_null_keys")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_edge")

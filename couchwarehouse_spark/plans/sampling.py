@@ -1246,3 +1246,152 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("w_sum").cast("double") / 1_000_000, 6).alias("dsir_logw"),
         )
     )
+
+
+AES_SEED = "aes0"  # salt for the A-ES uniform draws
+AES_K = 15  # sample size
+_AES_U_SQL = (
+    f"((CAST(('0x' || substr(md5('{AES_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) + 1) / 4294967296.0)"
+)
+
+
+@query(
+    "weighted_sample_topk",
+    oracle=f"""
+    SELECT doc_id, source, n_chars AS weight,
+           CAST(round(1e9 * ln({_AES_U_SQL}) / n_chars) AS BIGINT) AS key_nano
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY key_nano DESC, doc_id
+    LIMIT {AES_K}
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–
+    Spirakis A-ES key (2006): each row draws u ∈ (0,1] and the sample
+    is the top-k by u^(1/w) — here rank-equivalently by ln(u)/w, with
+    n_chars as the weight (probability-proportional-to-size, the
+    standard trick for byte-budgeted corpus subsampling). One pass,
+    any k, no sequential reservoir — the distributed form of weighted
+    reservoir sampling.
+
+    Determinism/exactness: u is the md5-derived uniform (the
+    seeded_global_shuffle idiom — reproducible across engines, runs,
+    and repartitioning); the key is quantized to integer NANO units in
+    both lanes before the sort, ties broken by doc_id, so the top-k
+    frontier is engine-stable.
+
+    Scale: pure projection → TakeOrderedAndProject (per-partition
+    heaps, k rows per partition cross to the driver). No shuffle, no
+    window.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{AES_SEED}:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    key = F.round(F.lit(1e9) * F.log(u) / F.col("n_chars")).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").alias("weight"),
+            key.alias("key_nano"),
+        )
+        .orderBy(F.col("key_nano").desc(), "doc_id")
+        .limit(AES_K)
+    )
+
+
+NOVELTY_N = 3  # word n-gram order for the novelty/memorization audit
+
+
+@query(
+    "ngram_novelty_audit",
+    oracle=f"""
+    WITH lab AS (
+      SELECT lang, string_split(text, ' ') AS t, {_LABEL_SQL} AS split
+      FROM documents
+    ),
+    grams AS (
+      SELECT lang, split,
+             unnest(list_transform(
+               range(1, len(t) - {NOVELTY_N} + 2),
+               i -> array_to_string(t[i:i+{NOVELTY_N}-1], ' ')
+             )) AS g
+      FROM lab WHERE len(t) >= {NOVELTY_N}
+    ),
+    train AS (SELECT DISTINCT lang, g FROM grams WHERE split = 'train'),
+    test AS (SELECT lang, g FROM grams WHERE split = 'test')
+    SELECT test.lang,
+           CAST(count(*) AS BIGINT) AS n_test_ngrams,
+           CAST(sum(CASE WHEN train.g IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_seen_in_train,
+           round(1.0 - CAST(sum(CASE WHEN train.g IS NULL THEN 0 ELSE 1 END)
+                 AS DOUBLE) / count(*), 6) AS novelty_rate
+    FROM test LEFT JOIN train USING (lang, g)
+    GROUP BY test.lang
+    ORDER BY test.lang
+    """,
+)
+def ngram_novelty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test n-gram novelty (memorization-exposure) audit: the
+    share of the test split's {NOVELTY_N}-gram OCCURRENCES never seen
+    in the train split, per language — the n-gram-level refinement of
+    doc-level decontamination (the memorization literature's
+    'duplicated n-gram' exposure metric, cf. Lee et al. 2022; a test
+    set whose n-grams are mostly present in train measures recall of
+    training text, not generalization). Splits come from the SAME
+    md5 hash gates as deterministic_split, so this audits the actual
+    shipped split, leak-proof by construction.
+
+    Exactness: integer occurrence counts; one division, rounded once.
+
+    Scale: n-gram explosion → the train side collapses to DISTINCT
+    (lang, gram) with map-side partials; the probe is one equi hash
+    join on (lang, gram) — the heavy side stays occurrence-shaped but
+    never aggregates globally; the reduce is per-lang counters.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    lab = d.select(
+        "lang",
+        t.alias("t"),
+        _split_label(_split_bucket(F.col("doc_id"))).alias("split"),
+    ).filter(F.size("t") >= NOVELTY_N)
+    grams = lab.select(
+        "lang",
+        "split",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - NOVELTY_N),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, NOVELTY_N)),
+            )
+        ).alias("g"),
+    )
+    train = grams.filter(F.col("split") == "train").select("lang", "g").distinct()
+    test = grams.filter(F.col("split") == "test").select("lang", "g")
+    seen = F.sum(F.col("_hit").isNotNull().cast("int")).cast("long")
+    return (
+        test.join(train.withColumn("_hit", F.lit(1)), ["lang", "g"], "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_test_ngrams"),
+            seen.alias("n_seen_in_train"),
+            F.round(
+                F.lit(1.0)
+                - seen.cast("double") / F.count("*"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -1556,3 +1556,186 @@ def stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+SPECTRUM_TOP = 20  # smallest frequencies shown (the spectrum head)
+
+
+@query(
+    "zipf_frequency_spectrum",
+    oracle=f"""
+    WITH tf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ),
+    spec AS (
+      SELECT c AS freq, CAST(count(*) AS BIGINT) AS n_terms
+      FROM tf GROUP BY c
+    ),
+    v AS (SELECT CAST(sum(n_terms) AS BIGINT) AS vocab FROM spec)
+    SELECT freq, n_terms,
+           round(CAST(n_terms AS DOUBLE) / v.vocab, 6) AS vocab_share
+    FROM spec CROSS JOIN v
+    ORDER BY freq
+    LIMIT {SPECTRUM_TOP}
+    """,
+)
+def zipf_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequency spectrum (Zipf/Good-Turing head): how
+    many vocabulary terms occur exactly c times, for the smallest
+    {SPECTRUM_TOP} frequencies. The spectrum is THE input to
+    Good-Turing smoothing (N_1, N_2, ... — Gale & Sampson 1995), and
+    its head is the corpus-health dial every tokenizer/dedup pass
+    watches: hapax share spikes under OCR noise and collapses under
+    aggressive dedup.
+
+    Exactness: both levels are integer counts; the only division is
+    the final vocab share, rounded once.
+
+    Scale: word-count shuffle (map-side combined) → a second tiny
+    aggregate keyed by count (≤ distinct-frequency groups, heavy-hit
+    absorbed map-side) → the vocab total attaches as a one-row
+    broadcast. The ORDER BY ... LIMIT head is TakeOrderedAndProject.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    spec = tf.groupBy(F.col("c").alias("freq")).agg(
+        F.count("*").alias("n_terms")
+    )
+    vocab = spec.agg(F.sum("n_terms").alias("vocab"))
+    return (
+        spec.crossJoin(F.broadcast(vocab))
+        .select(
+            "freq",
+            "n_terms",
+            F.round(F.col("n_terms").cast("double") / F.col("vocab"), 6).alias(
+                "vocab_share"
+            ),
+        )
+        .orderBy("freq")
+        .limit(SPECTRUM_TOP)
+    )
+
+
+BLEU_MAX_N = 2  # modified-precision orders reported (BLEU-2 components)
+
+
+def _duck_ngrams(n: int) -> str:
+    return (
+        f"unnest(list_transform(range(1, len(t) - {n} + 2), "
+        f"i -> array_to_string(t[i:i+{n}-1], ' ')))"
+    )
+
+
+@query(
+    "bleu_ngram_eval",
+    oracle=f"""
+    WITH cand AS (
+      SELECT doc_id // 2 AS pair, string_split(text, ' ') AS t
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    ref AS (
+      SELECT doc_id // 2 AS pair, string_split(text, ' ') AS t
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    pairs AS (SELECT cand.pair FROM cand JOIN ref USING (pair)),
+    cg AS (
+      SELECT pair, n, g, count(*) AS c FROM (
+        SELECT pair, 1 AS n, {_duck_ngrams(1)} AS g FROM cand
+        UNION ALL
+        SELECT pair, 2 AS n, {_duck_ngrams(2)} AS g FROM cand WHERE len(t) >= 2
+      ) WHERE pair IN (SELECT pair FROM pairs) GROUP BY pair, n, g
+    ),
+    rg AS (
+      SELECT pair, n, g, count(*) AS c FROM (
+        SELECT pair, 1 AS n, {_duck_ngrams(1)} AS g FROM ref
+        UNION ALL
+        SELECT pair, 2 AS n, {_duck_ngrams(2)} AS g FROM ref WHERE len(t) >= 2
+      ) WHERE pair IN (SELECT pair FROM pairs) GROUP BY pair, n, g
+    )
+    SELECT cg.n AS ngram_n,
+           CAST(sum(cg.c) AS BIGINT) AS n_cand_ngrams,
+           CAST(sum(least(cg.c, coalesce(rg.c, 0))) AS BIGINT) AS n_clipped,
+           round(CAST(sum(least(cg.c, coalesce(rg.c, 0))) AS DOUBLE)
+                 / sum(cg.c), 6) AS precision
+    FROM cg LEFT JOIN rg USING (pair, n, g)
+    GROUP BY cg.n
+    ORDER BY ngram_n
+    """,
+)
+def bleu_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level modified n-gram precision — the BLEU-{BLEU_MAX_N}
+    components (Papineni et al. 2002): candidate/reference pairs are
+    the deterministic (even doc_id, odd doc_id) pairing, per-pair
+    n-gram counts are CLIPPED at the reference count, and precision_n
+    is the corpus ratio Σclipped/Σcandidate — the eval kernel behind
+    every generation-quality dashboard (the brevity penalty's exp()
+    is deliberately left out: these are the integer-exact components
+    it multiplies).
+
+    Exactness: clipping is min() of integer counts; the only division
+    is the final corpus ratio, rounded once.
+
+    Scale: n-gram explosion → per-(pair, n, gram) counts with map-side
+    partials; the clip is ONE equi hash join on (pair, n, gram) —
+    pair-local, so a co-partitioned layout makes it shuffle-free; the
+    reduce is a 2-group sum. No windows, no UDFs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    cand = d.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("long").alias("pair"), t.alias("t")
+    )
+    ref = d.filter(F.col("doc_id") % 2 == 1).select(
+        ((F.col("doc_id") - 1) / 2).cast("long").alias("pair"), t.alias("t")
+    )
+    pairs = cand.select("pair").join(ref.select("pair"), "pair")
+
+    def gram_at(n: int):
+        # NB: a UNARY lambda on purpose — PySpark arity-sniffs
+        # higher-order-function lambdas, and a second (defaulted)
+        # parameter silently turns this into the (element, index)
+        # binary form, feeding the array INDEX where n belongs.
+        return lambda i: F.concat_ws(" ", F.slice("t", i + 1, n))
+
+    def grams(side: DataFrame) -> DataFrame:
+        parts = []
+        for n in range(1, BLEU_MAX_N + 1):
+            parts.append(
+                side.filter(F.size("t") >= n).select(
+                    "pair",
+                    F.lit(n).alias("n"),
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("t") - n),
+                            gram_at(n),
+                        )
+                    ).alias("g"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return (
+            out.join(F.broadcast(pairs), "pair")
+            .groupBy("pair", "n", "g")
+            .agg(F.count("*").alias("c"))
+        )
+
+    cg, rg = grams(cand), grams(ref).withColumnRenamed("c", "rc")
+    clipped = F.sum(F.least(F.col("c"), F.coalesce(F.col("rc"), F.lit(0))))
+    return (
+        cg.join(rg, ["pair", "n", "g"], "left")
+        .groupBy(F.col("n").alias("ngram_n"))
+        .agg(
+            F.sum("c").alias("n_cand_ngrams"),
+            clipped.cast("long").alias("n_clipped"),
+            F.round(clipped.cast("double") / F.sum("c"), 6).alias("precision"),
+        )
+        .orderBy("ngram_n")
+    )

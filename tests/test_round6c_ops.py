@@ -624,3 +624,220 @@ class TestSourceKlDivergence:
         # p_srcA(x)=1 vs p_c(x)=1/2 → KL = ln 2.
         assert abs(out.loc["srcA"]["kl_nats"] - round(math.log(2), 6)) < 1e-6
         assert abs(out.loc["srcB"]["kl_nats"] - round(math.log(2), 6)) < 1e-6
+
+
+class TestZipfFrequencySpectrum:
+    def test_spectrum_counts_by_construction(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.text import zipf_frequency_spectrum
+
+        d = str(tmp_path / "sf")
+        # Corpus: a×3, b×2, c×2, d,e,f,g ×1 → N_1=4, N_2=2, N_3=1.
+        _write(
+            _docs(spark, [(0, "a a a b b", "en", "s"), (1, "c c d e f g", "en", "s")]),
+            d,
+            "documents",
+        )
+        out = zipf_frequency_spectrum(spark, d).toPandas().set_index("freq")
+        assert int(out.loc[1]["n_terms"]) == 4
+        assert int(out.loc[2]["n_terms"]) == 2
+        assert int(out.loc[3]["n_terms"]) == 1
+        # vocab = 7 → hapax share 4/7
+        assert abs(out.loc[1]["vocab_share"] - round(4 / 7, 6)) < 1e-9
+
+
+class TestReferentialIntegrityAudit:
+    def test_planted_orphans_and_nulls(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.relational_extra import (
+            referential_integrity_audit,
+        )
+
+        d = str(tmp_path / "sf")
+        # Minimal star: 2 regions, 2 nations (one pointing at a MISSING
+        # region), 2 customers (one NULL nation key), 1 supplier,
+        # 1 part, 2 orders (one orphan custkey), 2 lineitems.
+        _write(spark.createDataFrame([(0, "R0"), (1, "R1")], "r_regionkey long, r_name string"), d, "region")
+        _write(spark.createDataFrame([(0, "N0", 0), (1, "N1", 9)], "n_nationkey long, n_name string, n_regionkey long"), d, "nation")
+        _write(spark.createDataFrame([(0, 0), (1, None)], "c_custkey long, c_nationkey long"), d, "customer")
+        _write(spark.createDataFrame([(0, 0)], "s_suppkey long, s_nationkey long"), d, "supplier")
+        _write(spark.createDataFrame([(0,)], "p_partkey long"), d, "part")
+        _write(spark.createDataFrame([(0, 0), (1, 77)], "o_orderkey long, o_custkey long"), d, "orders")
+        _write(spark.createDataFrame([(0, 0, 0), (1, 0, 0)], "l_orderkey long, l_partkey long, l_suppkey long"), d, "lineitem")
+        out = (
+            referential_integrity_audit(spark, d)
+            .toPandas()
+            .set_index("fk_edge")
+        )
+        assert int(out.loc["nation.n_regionkey->region"]["n_orphans"]) == 1
+        assert int(out.loc["orders.o_custkey->customer"]["n_orphans"]) == 1
+        row = out.loc["customer.c_nationkey->nation"]
+        assert (int(row["n_orphans"]), int(row["n_null_keys"])) == (0, 1)
+        li = out.loc["lineitem.l_orderkey->orders"]
+        assert (int(li["n_child_rows"]), int(li["n_orphans"])) == (2, 0)
+
+
+class TestUserActivityStreaks:
+    def test_streak_histogram_by_construction(self, spark, tmp_path):
+        import datetime as dt
+
+        from couchwarehouse_spark.plans.events_windows import user_activity_streaks
+
+        d = str(tmp_path / "sf")
+        day = lambda n, h=9: dt.datetime(2024, 1, n, h)  # noqa: E731
+        rows = [
+            # user 1: days 1,2,3 then 5 → best streak 3
+            (1, day(1)), (1, day(2)), (1, day(3)), (1, day(5)),
+            # user 2: two events same day → streak 1
+            (2, day(7)), (2, day(7, 15)),
+            # user 3: days 1,2 → streak 2
+            (3, day(1)), (3, day(2)),
+        ]
+        _write(
+            spark.createDataFrame(
+                [(i, ts, u, "view", 1.0, "{}") for i, (u, ts) in enumerate(rows)],
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+            ),
+            d,
+            "events",
+        )
+        out = user_activity_streaks(spark, d).toPandas().set_index("streak_days")
+        assert int(out.loc[1]["n_users"]) == 1  # user 2
+        assert int(out.loc[2]["n_users"]) == 1  # user 3
+        assert int(out.loc[3]["n_users"]) == 1  # user 1
+
+
+class TestWeightedSampleTopk:
+    def test_topk_matches_bruteforce_aes(self, spark, tmp_path):
+        import hashlib as hl
+        import math
+
+        from couchwarehouse_spark.plans.sampling import (
+            AES_K,
+            AES_SEED,
+            weighted_sample_topk,
+        )
+
+        d = str(tmp_path / "sf")
+        rows = [(i, "x " * (i + 1), "en", "s") for i in range(40)]
+        _write(_docs(spark, rows), d, "documents")
+        out = weighted_sample_topk(spark, d).toPandas()
+        assert len(out) == min(AES_K, 40)
+
+        def key(i, w):
+            u = (int(hl.md5(f"{AES_SEED}:{i}".encode()).hexdigest()[:8], 16) + 1) / 2**32
+            return round(1e9 * math.log(u) / w)
+
+        expect = sorted(
+            ((key(i, len(t)), -i) for i, t, _, _ in rows), reverse=True
+        )[:AES_K]
+        got = list(zip(out["key_nano"].astype(int), -out["doc_id"].astype(int)))
+        assert got == expect
+
+    def test_heavier_docs_win_more(self, spark, tmp_path):
+        """With one doc vastly heavier than the rest, it must be in the
+        sample: ln(u)/w → 0⁻ as w grows, beating any light doc's key
+        unless its u is pathologically close to 1 for all light docs."""
+        from couchwarehouse_spark.plans.sampling import weighted_sample_topk
+
+        d = str(tmp_path / "sf")
+        rows = [(0, "y" * 100000, "en", "s")] + [
+            (i, "x", "en", "s") for i in range(1, 60)
+        ]
+        _write(_docs(spark, rows), d, "documents")
+        out = weighted_sample_topk(spark, d).toPandas()
+        assert 0 in set(out["doc_id"])
+
+
+class TestBleuNgramEval:
+    def test_identical_pair_scores_one(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.text import bleu_ngram_eval
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [(0, "a b c d", "en", "s"), (1, "a b c d", "en", "s")],
+            ),
+            d,
+            "documents",
+        )
+        out = bleu_ngram_eval(spark, d).toPandas().set_index("ngram_n")
+        assert out.loc[1]["precision"] == 1.0
+        assert out.loc[2]["precision"] == 1.0
+        assert int(out.loc[2]["n_cand_ngrams"]) == 3
+
+    def test_clipping_caps_repeats(self, spark, tmp_path):
+        """'the the the the' vs 'the cat': unigram clip = min(4,1)=1
+        → p1 = 1/4; no shared bigram → p2 = 0."""
+        from couchwarehouse_spark.plans.text import bleu_ngram_eval
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [(0, "the the the the", "en", "s"), (1, "the cat", "en", "s")],
+            ),
+            d,
+            "documents",
+        )
+        out = bleu_ngram_eval(spark, d).toPandas().set_index("ngram_n")
+        assert out.loc[1]["precision"] == 0.25
+        assert int(out.loc[1]["n_clipped"]) == 1
+        assert out.loc[2]["precision"] == 0.0
+
+    def test_unpaired_candidate_excluded(self, spark, tmp_path):
+        """doc 2 has no odd partner → contributes nothing."""
+        from couchwarehouse_spark.plans.text import bleu_ngram_eval
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [
+                    (0, "a b", "en", "s"),
+                    (1, "a b", "en", "s"),
+                    (2, "z z z", "en", "s"),
+                ],
+            ),
+            d,
+            "documents",
+        )
+        out = bleu_ngram_eval(spark, d).toPandas().set_index("ngram_n")
+        assert int(out.loc[1]["n_cand_ngrams"]) == 2
+
+
+class TestNgramNoveltyAudit:
+    def test_novelty_by_construction(self, spark, tmp_path):
+        """Pick ids landing in train/test via the real hash gates, then
+        plant a test doc whose trigrams are half-seen in train."""
+        from couchwarehouse_spark.plans.sampling import (
+            _split_bucket,
+            ngram_novelty_audit,
+        )
+        from pyspark.sql import functions as F
+
+        # Find one train id and one test id with the REAL gate.
+        ids = spark.range(200).select(
+            F.col("id"), _split_bucket(F.col("id")).alias("b")
+        ).toPandas()
+        train_id = int(ids[ids["b"] < 80].iloc[0]["id"])
+        test_id = int(ids[ids["b"] >= 90].iloc[0]["id"])
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [
+                    (train_id, "a b c d", "en", "s"),  # trigrams: abc, bcd
+                    # test doc: trigrams (a b c)=seen, (x y z)=novel
+                    (test_id, "a b c", "en", "s"),
+                ]
+                + [(test_id + 1000 if (test_id + 1000) != train_id else test_id + 2000,
+                    "", "en", "s")],
+            ),
+            d,
+            "documents",
+        )
+        out = ngram_novelty_audit(spark, d).toPandas()
+        row = out[out["lang"] == "en"].iloc[0]
+        assert int(row["n_test_ngrams"]) == 1
+        assert int(row["n_seen_in_train"]) == 1
+        assert row["novelty_rate"] == 0.0
