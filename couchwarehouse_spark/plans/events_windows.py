@@ -1173,14 +1173,21 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: calendar-day truncation, integer day arithmetic and
     integer counts end to end — nothing floating anywhere.
 
-    Scale: the dedup to (user, day) pairs and the row_number window
-    share the same user-keyed exchange; runs/best/histogram are hash
-    aggregates with map-side partials. No self-join — the naive
-    streak formulation joins events to events on day±1; this plan
-    touches each pair once.
+    Scale: ONE user-keyed exchange serves the whole pipeline — the
+    explicit user_id repartition ahead of the (user, day) dedup is
+    deliberately a SUBSET of the dedup keys, which still satisfies its
+    clustering requirement, so the dedup aggregate, the row_number
+    window, and the run/best aggregates all reuse that partitioning
+    (pinned in test_plan_shapes). No self-join — the naive streak
+    formulation joins events to events on day±1; this plan touches
+    each row once.
     """
     e = load_table(spark, sf_dir, "events")
-    days = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    days = (
+        e.select("user_id", F.col("ts").cast("date").alias("day"))
+        .repartition("user_id")
+        .distinct()
+    )
     w = Window.partitionBy("user_id").orderBy("day")
     seq = days.withColumn("grp", F.date_sub("day", F.row_number().over(w)))
     runs = seq.groupBy("user_id", "grp").agg(F.count("*").alias("len"))

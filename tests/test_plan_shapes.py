@@ -1037,3 +1037,47 @@ def test_scd2_pit_join_is_hash_join_on_user(spark):
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_is_heap_topk_no_shuffle(spark):
+    """A-ES sampling must be projection → TakeOrderedAndProject:
+    no exchange, no window, no Python."""
+    plan = plan_of(spark, "weighted_sample_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zipf_spectrum_partial_aggregates(spark):
+    """Both count levels must map-side combine; the vocab total joins
+    as a one-row broadcast; the head is a bounded top-k sort."""
+    plan = plan_of(spark, "zipf_frequency_spectrum")
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_fk_audit_broadcasts_dimension_keys(spark):
+    """Every dimension-edge probe must broadcast the distinct parent
+    keys; counters are partial-aggregated."""
+    plan = plan_of(spark, "referential_integrity_audit")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "partial_count" in plan
+
+
+def test_streaks_single_user_exchange(spark):
+    """The dedup, the row_number window, and the run aggregate must
+    share ONE user-keyed exchange — no second shuffle on user_id, no
+    self-join."""
+    plan = plan_of(spark, "user_activity_streaks")
+    assert plan.count("hashpartitioning(user_id") <= 1
+    assert "Join" not in plan
+
+
+def test_ngram_novelty_distinct_combines_mapside(spark):
+    """The train-gram DISTINCT must partial-aggregate before its
+    exchange; the probe is one hash join keyed on (lang, gram)."""
+    plan = plan_of(spark, "ngram_novelty_audit")
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
