@@ -896,3 +896,66 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("t_micro").cast("double") / 1_000_000 / F.min("ns"), 6
         ).alias("kl_nats"),
     )
+
+
+@query(
+    "text_normalization_census",
+    oracle="""
+    WITH norm AS (
+      SELECT source, text,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               '  +', ' ', 'g')) AS ntext
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ntext <> text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(sum(len(text) - len(ntext)) AS BIGINT) AS chars_removed,
+           round(CAST(sum(len(text) - len(ntext)) AS DOUBLE)
+                 / sum(len(text)), 6) AS removal_rate
+    FROM norm
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_normalization_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-lite text-normalization impact census: lowercase →
+    strip non-[a-z0-9 ] → collapse runs of spaces → trim, the
+    canonical pre-dedup normalizer (C4/Gopher normalize-before-hash
+    step), reported per source as docs changed / characters removed /
+    removal rate. Run BEFORE committing a normalizer: a source whose
+    removal rate spikes is markup- or emoji-heavy and will over-merge
+    under normalized exact-dedup.
+
+    Exactness: identical replace-all regex pipelines in both engines
+    (Spark regexp_replace is replace-all by default; DuckDB needs the
+    'g' flag); counts and char deltas are exact integers, one division
+    rounded once.
+
+    Scale: pure per-row projection (JVM regex) → one |sources|-group
+    partial-aggregated reduce; no explode, no join, no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            "  +",
+            " ",
+        )
+    )
+    changed = F.sum((ntext != F.col("text")).cast("int")).cast("long")
+    removed = F.sum(F.length("text") - F.length(ntext))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            changed.alias("n_changed"),
+            removed.alias("chars_removed"),
+            F.round(
+                removed.cast("double") / F.sum(F.length("text")), 6
+            ).alias("removal_rate"),
+        )
+        .orderBy("source")
+    )

@@ -1180,3 +1180,123 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "burstiness_fano_census",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, day
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, s AS n_events,
+           round(CAST(s AS DOUBLE) / n_days, 6) AS mean_daily,
+           round(CAST(n_days * ss - s * s AS DOUBLE) / (n_days * s), 6)
+             AS fano_factor
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def burstiness_fano_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio, population form) of the
+    DAILY event-count series per event type — the burstiness dial for
+    stream capacity planning: a Poisson arrival process sits at 1;
+    campaign-driven or incident-driven types sit far above, and that
+    ratio is what sizes shuffle-partition headroom and watermark
+    buffers for the streaming lane.
+
+    Exactness: Var/Mean = (n·Σc² − (Σc)²)/(n·Σc) — every term an
+    exact integer; ONE division, rounded once (the winsorized_stats /
+    moment_stats cross-multiplication idiom, no float accumulation).
+
+    Scale: two stacked hash aggregates (day grid, then |types| rows),
+    both map-side combined; nothing else moves.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("s").alias("n_events"),
+        F.round(F.col("s").cast("double") / F.col("n_days"), 6).alias("mean_daily"),
+        F.round(
+            (F.col("n_days") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+            / (F.col("n_days") * F.col("s")),
+            6,
+        ).alias("fano_factor"),
+    ).orderBy("event_type")
+
+
+@query(
+    "jackknife_source_sensitivity",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_s,
+             CAST(sum(n_chars) AS BIGINT) AS t_s
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_s) AS BIGINT) AS n, CAST(sum(t_s) AS BIGINT) AS t
+      FROM per
+    )
+    SELECT source, n_s AS n_docs,
+           round(CAST(t AS DOUBLE) / n, 6) AS mean_all,
+           round(CAST(t - t_s AS DOUBLE) / (n - n_s), 6) AS mean_without,
+           round(CAST(t - t_s AS DOUBLE) / (n - n_s)
+                 - CAST(t AS DOUBLE) / n, 6) AS jackknife_delta
+    FROM per CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def jackknife_source_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-SOURCE-out jackknife of mean document length — the
+    deterministic influence audit (Quenouille/Tukey jackknife over
+    groups): how much would the corpus statistic move if a whole
+    source were dropped? Large |delta| flags sources that dominate a
+    metric — the first question when a mixture change shifts an eval.
+    Group-level jackknife needs no resampling RNG, so it is exactly
+    reproducible — the bootstrap's auditable sibling.
+
+    Exactness: leave-out means are ratios of exact integer sums
+    ((T−T_s)/(N−N_s)); each output is one division, rounded once.
+
+    Scale: one |sources|-group aggregate; the grand total attaches as
+    a one-row broadcast. The corpus is scanned ONCE.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_s"), F.sum("n_chars").alias("t_s")
+    )
+    tot = per.agg(F.sum("n_s").alias("n"), F.sum("t_s").alias("t"))
+    mean_all = F.col("t").cast("double") / F.col("n")
+    mean_wo = (F.col("t") - F.col("t_s")).cast("double") / (
+        F.col("n") - F.col("n_s")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            F.round(mean_all, 6).alias("mean_all"),
+            F.round(mean_wo, 6).alias("mean_without"),
+            F.round(mean_wo - mean_all, 6).alias("jackknife_delta"),
+        )
+        .orderBy("source")
+    )

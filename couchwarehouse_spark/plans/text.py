@@ -1739,3 +1739,54 @@ def bleu_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ngram_n")
     )
+
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"  # token_count_bpe_ish's tokenizer
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
+             AS n_subword_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+           round(CAST(sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS DOUBLE)
+                 / sum(len(string_split(text, ' '))), 6) AS fertility
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY (subword tokens per whitespace word) per
+    language — the metric tokenizer papers report per script (e.g.
+    the XLM-R and NLLB analyses): high fertility means the vocabulary
+    fragments that language, inflating its effective sequence length
+    and training cost. Uses the same BPE-ish regex tokenizer as
+    token_count_bpe_ish over the same corpus, so the two entries
+    reconcile.
+
+    Exactness: both token counts are integers summed exactly; one
+    division per language, rounded once.
+
+    Scale: a single scan with two per-row counts (regexp + split are
+    JVM-side projections), one |langs|-group partial-aggregated
+    reduce. No explode — counts, not token rows, cross the exchange.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sub = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+    words = F.size(_tokens())
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(sub).alias("n_subword_tokens"),
+            F.sum(words).alias("n_words"),
+            F.round(
+                F.sum(sub).cast("double") / F.sum(words), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )

@@ -841,3 +841,96 @@ class TestNgramNoveltyAudit:
         assert int(row["n_test_ngrams"]) == 1
         assert int(row["n_seen_in_train"]) == 1
         assert row["novelty_rate"] == 0.0
+
+
+class TestTokenizerFertility:
+    def test_fertility_by_hand(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.text import tokenizer_fertility_by_lang
+
+        d = str(tmp_path / "sf")
+        # "ab1c d!" → subwords: ab,1,c,d,! = 5; words: 2 → fertility 2.5
+        _write(_docs(spark, [(0, "ab1c d!", "en", "s")]), d, "documents")
+        out = tokenizer_fertility_by_lang(spark, d).toPandas().iloc[0]
+        assert int(out["n_subword_tokens"]) == 5
+        assert int(out["n_words"]) == 2
+        assert out["fertility"] == 2.5
+
+
+class TestBurstinessFano:
+    def test_poisson_like_vs_bursty(self, spark, tmp_path):
+        import datetime as dt
+
+        from couchwarehouse_spark.plans.statistics import burstiness_fano_census
+
+        d = str(tmp_path / "sf")
+        rows = []
+        # 'steady': 2 events every day for 4 days → variance 0, fano 0.
+        for day in range(1, 5):
+            for k in range(2):
+                rows.append(("steady", dt.datetime(2024, 1, day, 8 + k)))
+        # 'bursty': 6 events day 1, 0-0-0, 2 events day 5 → days observed
+        # are only those WITH events: counts [6, 2] → n=2, s=8, ss=40,
+        # fano = (2*40 - 64) / (2*8) = 1.0
+        for k in range(6):
+            rows.append(("bursty", dt.datetime(2024, 1, 1, 6 + k)))
+        for k in range(2):
+            rows.append(("bursty", dt.datetime(2024, 1, 5, 6 + k)))
+        _write(
+            spark.createDataFrame(
+                [(i, ts, 1, et, 1.0, "{}") for i, (et, ts) in enumerate(rows)],
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+            ),
+            d,
+            "events",
+        )
+        out = burstiness_fano_census(spark, d).toPandas().set_index("event_type")
+        assert out.loc["steady"]["fano_factor"] == 0.0
+        assert out.loc["bursty"]["fano_factor"] == 1.0
+        assert int(out.loc["bursty"]["n_days"]) == 2
+
+
+class TestJackknifeSourceSensitivity:
+    def test_leave_out_means_by_hand(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.curation import load_table  # noqa: F401
+        from couchwarehouse_spark.plans.statistics import (
+            jackknife_source_sensitivity,
+        )
+
+        d = str(tmp_path / "sf")
+        # s0: lengths 10, 20 (sum 30); s1: length 60. Overall mean 30.
+        _write(
+            _docs(
+                spark,
+                [(0, "x" * 10, "en", "s0"), (1, "x" * 20, "en", "s0"), (2, "x" * 60, "en", "s1")],
+            ),
+            d,
+            "documents",
+        )
+        out = jackknife_source_sensitivity(spark, d).toPandas().set_index("source")
+        assert out.loc["s0"]["mean_without"] == 60.0  # only s1 left
+        assert out.loc["s0"]["jackknife_delta"] == 30.0
+        assert out.loc["s1"]["mean_without"] == 15.0  # s0's mean
+        assert out.loc["s1"]["jackknife_delta"] == -15.0
+
+
+class TestTextNormalizationCensus:
+    def test_removal_accounting(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.curation import text_normalization_census
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [
+                    (0, "Hello,  World!", "en", "s0"),  # 14 chars → "hello world" 11
+                    (1, "clean text", "en", "s0"),  # unchanged
+                ],
+            ),
+            d,
+            "documents",
+        )
+        out = text_normalization_census(spark, d).toPandas().iloc[0]
+        assert int(out["n_docs"]) == 2
+        assert int(out["n_changed"]) == 1
+        assert int(out["chars_removed"]) == 3  # ',', '!', one space
+        assert out["removal_rate"] == round(3 / 24, 6)
