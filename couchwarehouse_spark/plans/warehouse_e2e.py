@@ -115,6 +115,70 @@ def _build_feed(
     feed.write.mode("overwrite").text(feed_dir)
 
 
+def _build_two_phase_feeds(
+    spark: SparkSession, sf_dir: str, base: str, subset: int
+) -> tuple[str, str]:
+    """Both time-travel feeds from ONE orders scan: every row emits its
+    phase-1 insert envelope plus any phase-2 amendment/tombstone, and a
+    partitionBy('phase') text write routes them into phase=1/ and
+    phase=2/ subdirectories — the two spool inputs — in a single job
+    (halves the feed-construction I/O vs two _build_feed passes)."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % subset == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    doc = F.struct(
+        F.concat(F.lit("order"), F.col("o_orderkey").cast("string")).alias("_id"),
+        F.lit("1-x").alias("_rev"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+        F.struct(F.col("o_custkey").alias("id")).alias("customer"),
+    )
+    amended_doc = F.struct(
+        doc["_id"].alias("_id"),
+        F.lit("2-x").alias("_rev"),
+        F.lit("amended").alias("status"),
+        doc["total"].alias("total"),
+        doc["customer"].alias("customer"),
+    )
+
+    def envelope(seq_col, doc_col, deleted: bool):
+        fields = [
+            F.concat(seq_col.cast("string"), F.lit("-seq")).alias("seq"),
+            F.concat(F.lit("order"), F.col("o_orderkey").cast("string")).alias("id"),
+        ]
+        if deleted:
+            fields.append(F.lit(True).alias("deleted"))
+        if doc_col is not None:
+            fields.append(doc_col.alias("doc"))
+        return F.to_json(F.struct(*fields))
+
+    tagged = F.filter(
+        F.array(
+            F.struct(F.lit(1).alias("phase"), envelope(F.col("o_orderkey"), doc, False).alias("value")),
+            F.struct(
+                F.lit(2).alias("phase"),
+                F.when(
+                    F.col("o_orderkey") % AMEND == 0,
+                    envelope(F.col("o_orderkey") + F.lit(1_000_000_000), amended_doc, False),
+                ).alias("value"),
+            ),
+            F.struct(
+                F.lit(2).alias("phase"),
+                F.when(
+                    F.col("o_orderkey") % DELETE == 0,
+                    envelope(F.col("o_orderkey") + F.lit(2_000_000_000), None, True),
+                ).alias("value"),
+            ),
+        ),
+        lambda s: s["value"].isNotNull(),
+    )
+    feed = orders.select(F.explode(tagged).alias("e")).select("e.phase", "e.value")
+    feed.write.mode("overwrite").partitionBy("phase").text(base)
+    return os.path.join(base, "phase=1"), os.path.join(base, "phase=2")
+
+
 @query(
     "warehouse_e2e_pipeline",
     oracle=f"""
@@ -186,13 +250,12 @@ def time_travel_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), f"cw_ttcdc_{tag}")
-    feed1 = os.path.join(base, "feed1")
-    feed2 = os.path.join(base, "feed2")
     wh_dir = os.path.join(base, "wh")
     shutil.rmtree(base, ignore_errors=True)
 
-    _build_feed(spark, sf_dir, feed1, phase=1, subset=TT_SUBSET)
-    _build_feed(spark, sf_dir, feed2, phase=2, subset=TT_SUBSET)
+    feed1, feed2 = _build_two_phase_feeds(
+        spark, sf_dir, os.path.join(base, "feeds"), TT_SUBSET
+    )
     wh = Warehouse(spark, wh_dir, "ttorders", reset=True, feed_schema=FEED_DOC_DDL)
     wh.spool(feed1)
     wh.spool(feed2)
