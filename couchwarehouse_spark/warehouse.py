@@ -1220,6 +1220,137 @@ class Warehouse:
         )
         return len(todo)
 
+    def delete_where(
+        self, condition, doc_type: str = DEFAULT_TYPE
+    ) -> int:
+        """Row-level DELETE by predicate (Delta's ``DELETE FROM ...
+        WHERE``): rows where ``condition`` is TRUE leave the CURRENT
+        version; NULL/false rows stay (ANSI DELETE semantics). Commits
+        one new manifest version (op ``delete_where``) — older
+        snapshots still read the rows until ``vacuum()``; ``restore``
+        undoes it. Returns the number of rows deleted.
+
+        Scale: one probe aggregate finds the matching rows' buckets
+        AND the match count in a single job (bucket ids are ≤
+        n_buckets scalars); only those buckets are read and rewritten
+        — every untouched bucket carries forward in the manifest by
+        reference, zero I/O. The predicate reaches the parquet scan of
+        the probe as a pushed filter.
+        """
+        return self._rewrite_where(condition, doc_type, "delete_where", None)
+
+    def update_where(
+        self,
+        condition,
+        assignments: Mapping[str, object],
+        doc_type: str = DEFAULT_TYPE,
+    ) -> int:
+        """Row-level UPDATE by predicate (Delta's ``UPDATE ... SET``):
+        rows where ``condition`` is TRUE get each ``assignments``
+        column replaced by its expression (a SQL string or Column;
+        evaluated against the row's CURRENT values, so ``{"total":
+        "total * 1.1"}`` compounds correctly). Commits one new
+        manifest version (op ``update_where``). Returns the number of
+        rows updated.
+
+        CHECK constraints apply to the POST-update rows: ``error``
+        mode raises on any violating update (version NOT committed);
+        ``quarantine`` mode writes the attempted new rows to the
+        quarantine dir and RETAINS the old rows — an update is never
+        allowed to destroy data it couldn't legally write.
+
+        Scale: identical bucket-pruned copy-on-write as delete_where;
+        assignments are projections fused into the rewrite scan.
+        """
+        if not assignments:
+            raise ValueError("update_where needs at least one assignment")
+        return self._rewrite_where(condition, doc_type, "update_where", assignments)
+
+    def _rewrite_where(
+        self,
+        condition,
+        doc_type: str,
+        op: str,
+        assignments: Mapping[str, object] | None,
+    ) -> int:
+        path = self._table_path(doc_type)
+        manifest = self._load_manifest(path)
+        if manifest is None:
+            manifest = self._adopt_legacy(path)
+        if manifest is None:
+            raise FileNotFoundError(f"no committed table for {doc_type!r}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        state = self._read_state(path)
+        # One job: matching buckets AND the total match count.
+        probe = (
+            state.filter(cond)
+            .groupBy(F.col("_cw_bucket").alias("b"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        affected = sorted(int(r["b"]) for r in probe)
+        n_matched = int(sum(r["c"] for r in probe))
+        if not affected:
+            return 0
+        aff = state.filter(F.col("_cw_bucket").isin(affected))
+        if assignments is None:
+            # DELETE: keep rows where the predicate is NOT TRUE.
+            new_state = aff.filter(~F.coalesce(cond, F.lit(False)))
+        else:
+            matched = aff.filter(cond)
+            keep = aff.filter(~F.coalesce(cond, F.lit(False)))
+            updated = matched
+            for col, expr in assignments.items():
+                if col not in state.columns or col in (SEQ_COL, "_cw_bucket", "id"):
+                    raise ValueError(f"cannot update column {col!r}")
+                updated = updated.withColumn(
+                    col, F.expr(expr) if isinstance(expr, str) else expr
+                )
+            cons = self.constraints.get(doc_type, {})
+            if cons:
+                enforced = self._enforce_constraints(updated, doc_type)
+                if self.constraint_mode != "error":
+                    # Quarantined updates keep their OLD row: re-add the
+                    # originals of every id the enforcement dropped.
+                    dropped = updated.join(
+                        enforced.select("id"), "id", "left_anti"
+                    ).select("id")
+                    n_matched -= dropped.count()
+                    retained = matched.join(
+                        F.broadcast(dropped), "id", "left_semi"
+                    )
+                    updated = enforced.unionByName(retained)
+                else:
+                    updated = enforced
+            new_state = keep.unionByName(updated)
+
+        tmp = self._scratch_dir(path)
+        new_state.sortWithinPartitions("_cw_bucket", "id").write.mode(
+            "overwrite"
+        ).partitionBy("_cw_bucket").parquet(tmp)
+        moved, moved_stats = self._publish_tmp(path, tmp)
+        prev = {int(b): fs for b, fs in manifest["buckets"].items()}
+        prev_stats = {int(b): per for b, per in manifest.get("stats", {}).items()}
+        aff_set = set(affected)
+        next_buckets = {b: fs for b, fs in prev.items() if b not in aff_set}
+        next_stats = {b: per for b, per in prev_stats.items() if b not in aff_set}
+        for b in affected:
+            files = moved.get(b, [])
+            if files:
+                next_buckets[b] = files
+                next_stats[b] = moved_stats.get(b, {})
+        self._commit_manifest(
+            path,
+            op,
+            next_buckets,
+            manifest["schema"],
+            next_stats,
+            base_version=manifest["version"],
+            n_buckets=self._manifest_buckets_n(manifest),
+        )
+        self.register_view(doc_type)
+        return n_matched
+
     def materialized(self, name: str, doc_type: str = DEFAULT_TYPE) -> DataFrame:
         """Current snapshot of an incrementally-maintained aggregate
         (attach the writer side via ``followers=[sinks.materialized.
@@ -1843,14 +1974,40 @@ class Warehouse:
         )
 
     def table(
-        self, doc_type: str = DEFAULT_TYPE, version: int | None = None
+        self,
+        doc_type: str = DEFAULT_TYPE,
+        version: int | None = None,
+        as_of_ts: float | None = None,
     ) -> DataFrame:
         """The conformed state of one type's table (no seq col) —
-        current, or any retained snapshot via ``version`` (time
-        travel, Delta's ``VERSION AS OF``; see ``history()``)."""
+        current, any retained snapshot via ``version`` (Delta's
+        ``VERSION AS OF``), or the snapshot current AT a unix
+        timestamp via ``as_of_ts`` (``TIMESTAMP AS OF``: the highest
+        retained version committed at or before that instant; see
+        ``history()`` for commit timestamps)."""
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_ts, not both")
+            version = self._version_at(self._table_path(doc_type), as_of_ts)
         return self._read_state(self._table_path(doc_type), version=version).drop(
             SEQ_COL, "_cw_bucket"
         )
+
+    def _version_at(self, path: str, ts: float) -> int:
+        """Highest retained version whose commit timestamp ≤ ``ts``.
+        Manifests are tiny JSONs; retention (vacuum) bounds how many
+        exist, so this scan is a handful of local reads."""
+        best = None
+        for v in self._list_versions(path):
+            m = self._load_manifest(path, v)
+            if m is not None and float(m.get("ts", 0.0)) <= ts:
+                best = v if best is None else max(best, v)
+        if best is None:
+            raise ValueError(
+                f"no version committed at or before ts={ts} for table at {path} "
+                f"(earliest retained: {self._list_versions(path)[:1]})"
+            )
+        return best
 
     def changes(
         self, since_version: int, doc_type: str = DEFAULT_TYPE

@@ -1430,3 +1430,85 @@ def test_check_constraint_null_passes_and_persistence(spark, tmp_path):
     doc = order_doc(7, rng, drop={"total"})
     wh2.spool(write_feed(str(tmp_path / "f2.jsonl"), [envelope(5, doc)]))
     assert wh2.table().filter(F.col("id") == doc["_id"]).count() == 1
+
+
+def test_delete_where_predicate_and_time_travel(spark, tmp_path):
+    """DELETE WHERE removes only TRUE-predicate rows, commits a new
+    version, leaves the old snapshot intact, and untouched buckets
+    carry forward by reference (same file names in both manifests)."""
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=100)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "deldata", n_buckets=8)
+    wh.spool(feed)
+    v1 = wh._load_manifest(wh._table_path("_default"))["version"]
+
+    n_young = wh.table().filter(F.col("age") < 30).count()
+    assert n_young > 0
+    deleted = wh.delete_where("age < 30")
+    assert deleted == n_young
+    assert wh.table().filter(F.col("age") < 30).count() == 0
+    assert wh.table().count() == 100 - n_young
+    # Old snapshot unchanged.
+    assert wh.table(version=v1).count() == 100
+    # Untouched buckets carried forward by reference.
+    m1 = wh._load_manifest(wh._table_path("_default"), v1)
+    m2 = wh._load_manifest(wh._table_path("_default"))
+    assert m2["op"] == "delete_where"
+    # A bucket present in v2 either kept v1's exact file list (carried
+    # by reference — zero I/O) or was rewritten with all-new files;
+    # a rewrite never mixes old and new parts in one bucket.
+    for b, fs in m2["buckets"].items():
+        old = set(m1["buckets"].get(b, []))
+        assert set(fs) == old or not (set(fs) & old)
+    # No-match delete is a no-op (no new version).
+    assert wh.delete_where("age < 0") == 0
+    assert wh._load_manifest(wh._table_path("_default"))["version"] == m2["version"]
+
+
+def test_update_where_assignments(spark, tmp_path):
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=50)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "upddata", n_buckets=8)
+    wh.spool(feed)
+    before = {r["id"]: r["age"] for r in wh.table().collect()}
+
+    n = wh.update_where("age >= 40", {"age": "age + 100"})
+    assert n == sum(1 for a in before.values() if a >= 40)
+    after = {r["id"]: r["age"] for r in wh.table().collect()}
+    for pid, age in before.items():
+        assert after[pid] == (age + 100 if age >= 40 else age)
+    # protected columns refuse updates
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        wh.update_where("age > 0", {"id": "'x'"})
+
+
+def test_update_where_respects_check_constraints(spark, tmp_path):
+    from couchwarehouse_spark.warehouse import ConstraintViolationError
+
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=30)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "consdata", n_buckets=4)
+    wh.spool(feed)
+    wh.add_constraint("age_cap", "age <= 200")
+    import pytest as _pt
+    with _pt.raises(ConstraintViolationError):
+        wh.update_where("age > 0", {"age": "age + 500"})
+    # error mode aborted BEFORE committing: table unchanged
+    assert wh.table().filter(F.col("age") > 200).count() == 0
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    import time as _time
+
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=20)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "ttsdata", n_buckets=4)
+    wh.spool(feed)
+    t_between = _time.time()
+    _time.sleep(0.05)
+    wh.delete_where("age < 100")  # deletes everything (ages < 100)
+    n_now = wh.table().count()
+    assert wh.table(as_of_ts=t_between).count() == 20
+    assert wh.table(as_of_ts=_time.time()).count() == n_now
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        wh.table(as_of_ts=1.0)  # before the first commit
+    with _pt.raises(ValueError):
+        wh.table(version=1, as_of_ts=t_between)
