@@ -136,6 +136,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "NAME over the warehouse: per-GROUP sum/count of "
                         "VALUE, refreshed after every merged batch "
                         "(sinks/materialized.py); printed after spooling")
+    p.add_argument("--delete-where", default=None, metavar="EXPR",
+                   help="row-level DELETE: remove rows where the SQL "
+                        "predicate is TRUE from every table that has the "
+                        "referenced columns (commits a new version; old "
+                        "snapshots keep the rows until --vacuum)")
+    p.add_argument("--update-where", default=None, metavar="EXPR::COL=EXPR[,COL=EXPR...]",
+                   help="row-level UPDATE: for rows matching the predicate "
+                        "before '::', apply the comma-separated column "
+                        "assignments (e.g. --update-where \"age > 40::age=age+1\")")
     p.add_argument("--restore", type=int, default=None, metavar="VERSION",
                    help="BEFORE spooling, roll every table back to this "
                         "manifest version as a new commit (Delta RESTORE "
@@ -298,6 +307,47 @@ def main(argv: list[str] | None = None) -> int:
             n = wh.compact(doc_type)
             if n and not args.quiet:
                 print(f"couchwarehouse: compacted {n} buckets of {doc_type}")
+    if args.delete_where:
+        for doc_type in wh.schemas:
+            try:
+                n = wh.delete_where(args.delete_where, doc_type)
+            except Exception as err:  # type missing a referenced column
+                if not args.quiet:
+                    print(
+                        f"couchwarehouse: --delete-where skipped "
+                        f"{wh.table_name(doc_type)}: {err}",
+                        file=sys.stderr,
+                    )
+                continue
+            if not args.quiet:
+                print(
+                    f"couchwarehouse: deleted {n} row(s) from "
+                    f"{wh.table_name(doc_type)}"
+                )
+    if args.update_where:
+        pred, sep, rest = args.update_where.partition("::")
+        if not sep or not rest:
+            raise SystemExit(
+                "couchwarehouse: --update-where wants PREDICATE::COL=EXPR[,...]"
+            )
+        assigns = {}
+        for part in rest.split(","):
+            col, eq, expr = part.partition("=")
+            if not eq:
+                raise SystemExit(
+                    "couchwarehouse: --update-where assignment wants COL=EXPR"
+                )
+            assigns[col.strip()] = expr.strip()
+        for doc_type in wh.schemas:
+            cols = set(wh.schemas[doc_type])
+            if not set(assigns) <= cols:
+                continue  # split mode: apply only where the columns exist
+            n = wh.update_where(pred, assigns, doc_type)
+            if not args.quiet:
+                print(
+                    f"couchwarehouse: updated {n} row(s) of "
+                    f"{wh.table_name(doc_type)}"
+                )
     if args.clone:
         src_t, _, dst_t = args.clone.partition(":")
         if not dst_t:

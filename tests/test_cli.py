@@ -432,3 +432,58 @@ def test_cli_constraint_quarantine_flag(spark, tmp_path, capsys):
     wh = Warehouse(spark, str(tmp_path / "wh"), "cdb")
     assert wh.table().count() == 1
     assert wh.quarantined().count() == 1
+
+
+def test_cli_delete_where_flag(spark, tmp_path, capsys):
+    feed = _mixed_feed(str(tmp_path / "feed"))
+    wh_dir = str(tmp_path / "wh")
+    rc = main(
+        [
+            "--feed", feed,
+            "--database", "deldb",
+            "--warehouse-dir", wh_dir,
+            "--split", "type",
+            "--reset",
+            "--delete-where", "status = 'returned'",
+            "--sql", "SELECT count(*) AS n FROM deldb_order WHERE status = 'returned'",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "deleted" in out
+    assert "| 0   |" in out or "|0" in out.replace(" ", "")
+
+
+def test_cli_update_where_flag(spark, tmp_path, capsys):
+    feed = _mixed_feed(str(tmp_path / "feed"))
+    wh_dir = str(tmp_path / "wh")
+    rc = main(
+        [
+            "--feed", feed,
+            "--database", "upddb",
+            "--warehouse-dir", wh_dir,
+            "--split", "type",
+            "--reset",
+            "--update-where", "status = 'paid'::status='settled'",
+            "--sql", "SELECT count(*) AS n FROM upddb_order WHERE status = 'settled'",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "updated" in out
+
+
+def test_cli_update_where_rejects_bad_syntax(spark, tmp_path):
+    import pytest as _pt
+
+    feed = _mixed_feed(str(tmp_path / "feed"))
+    with _pt.raises(SystemExit):
+        main(
+            [
+                "--feed", feed,
+                "--database", "baddb",
+                "--warehouse-dir", str(tmp_path / "wh"),
+                "--reset",
+                "--update-where", "status = 'paid'",  # no :: assignments
+            ]
+        )
