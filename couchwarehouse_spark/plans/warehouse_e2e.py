@@ -274,3 +274,76 @@ def time_travel_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count("*").alias("n_ids"))
     )
+
+
+PD_SUBSET = 5  # predicate_delete_cdc feeds only o_orderkey % 5 == 0
+PD_CUT = 150_000.0  # delete_where threshold on the flattened total
+
+
+@query(
+    "predicate_delete_cdc",
+    oracle=f"""
+    WITH sub AS (
+      SELECT * FROM orders
+      WHERE o_orderkey % {PD_SUBSET} = 0 AND o_orderkey % {DELETE} <> 0
+    )
+    SELECT CASE WHEN o_orderkey % {AMEND} = 0 THEN 'amended'
+                ELSE o_orderstatus END AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_totalprice > {PD_CUT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_deleted,
+           CAST(sum(CASE WHEN o_totalprice > {PD_CUT} THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_surviving
+    FROM sub
+    GROUP BY 1
+    """,
+)
+def predicate_delete_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level predicate DELETE under the oracle gate: spool the
+    full insert+amend+tombstone feed, run ``delete_where("total >
+    cut")`` (bucket-pruned copy-on-write, a new manifest version),
+    then reconcile THREE reads — the pre-delete snapshot
+    (``table(version=pre)``), the post-delete head, and the CDF diff
+    ``changes(since_version=pre)`` — into one census per status. The
+    DuckDB oracle states the expected row/delete/survivor counts
+    straight from ``orders``, so a hash match certifies delete_where's
+    predicate semantics, the version isolation of the snapshot it
+    left behind, AND that the change feed reports exactly the deleted
+    keys (every ``changes`` row must be a delete here; asserted by
+    construction since n_rows = n_deleted + n_surviving).
+
+    Scale: delete_where's probe is one filter+group job (pushed
+    predicate); the rewrite touches only matching buckets; the final
+    reconciliation joins the CDF diff (delete-count sized) to the
+    pre-delete snapshot on the bucket-colocated id key.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_pdel_{tag}")
+    feed_dir = os.path.join(base, "feed")
+    wh_dir = os.path.join(base, "wh")
+    shutil.rmtree(base, ignore_errors=True)
+
+    _build_feed(spark, sf_dir, feed_dir, subset=PD_SUBSET)
+    wh = Warehouse(spark, wh_dir, "pdorders", reset=True, feed_schema=FEED_DOC_DDL)
+    wh.spool(feed_dir)
+    pre = wh._load_manifest(wh._table_path("_default"))["version"]
+
+    wh.delete_where(F.col("total") > PD_CUT)
+
+    snap = wh.table(version=pre).select("id", "status")
+    deleted_ids = (
+        wh.changes(since_version=pre)
+        .filter(F.col("change_type") == "delete")
+        .select("id", F.lit(1).alias("_del"))
+    )
+    return (
+        snap.join(F.broadcast(deleted_ids), "id", "left")
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.coalesce(F.col("_del"), F.lit(0))).cast("long").alias("n_deleted"),
+            F.sum(F.when(F.col("_del").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_surviving"),
+        )
+    )
