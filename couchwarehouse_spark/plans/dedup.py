@@ -1475,3 +1475,88 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+_NORM_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " '  +', ' ', 'g'))"
+)
+
+
+@query(
+    "normalized_dedup_gain",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT source, md5(text) AS raw_h, md5({_NORM_DUCK}) AS norm_h
+      FROM documents
+    ),
+    raw_g AS (
+      SELECT source, CAST(sum(c - 1) AS BIGINT) AS extra
+      FROM (SELECT source, raw_h, count(*) AS c FROM hashed GROUP BY 1, 2)
+      GROUP BY source
+    ),
+    norm_g AS (
+      SELECT source, CAST(sum(c - 1) AS BIGINT) AS extra
+      FROM (SELECT source, norm_h, count(*) AS c FROM hashed GROUP BY 1, 2)
+      GROUP BY source
+    )
+    SELECT r.source,
+           r.extra AS raw_dup_rows,
+           n.extra AS normalized_dup_rows,
+           n.extra - r.extra AS dedup_gain
+    FROM raw_g r JOIN norm_g n USING (source)
+    ORDER BY r.source
+    """,
+)
+def normalized_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many MORE duplicate rows exact-dedup finds after text
+    normalization (lowercase → strip non-alnum → collapse spaces —
+    the text_normalization_census pipeline), per source. This is the
+    dedup-side justification for normalizing before hashing (C4
+    normalizes, CCNet lowercases; the gain column is the evidence):
+    raw md5-exact dup count vs normalized-hash dup count, computed in
+    one scan.
+
+    Exactness: both lanes hash with md5 over identical strings
+    (Spark md5 == DuckDB md5 on UTF-8); dup rows per group = Σ(c−1),
+    all integers.
+
+    Scale: one scan emits both hashes; two (source, hash) hash
+    aggregates with map-side partials — hash strings, never document
+    bodies, cross the exchange; the final join is |sources| rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            "  +",
+            " ",
+        )
+    )
+    both = d.select(
+        "source", F.md5("text").alias("raw_h"), F.md5(norm).alias("norm_h")
+    )
+    both = scoped_persist(both)
+
+    def extra(col, name):
+        return (
+            both.groupBy("source", col)
+            .agg(F.count("*").alias("c"))
+            .groupBy("source")
+            .agg(F.sum(F.col("c") - 1).alias(name))
+        )
+
+    r = extra("raw_h", "raw_dup_rows")
+    n = extra("norm_h", "normalized_dup_rows")
+    return (
+        r.join(n, "source")
+        .select(
+            "source",
+            "raw_dup_rows",
+            "normalized_dup_rows",
+            (F.col("normalized_dup_rows") - F.col("raw_dup_rows")).alias(
+                "dedup_gain"
+            ),
+        )
+        .orderBy("source")
+    )

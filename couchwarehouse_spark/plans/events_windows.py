@@ -1197,3 +1197,176 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("streak_days")
     )
+
+
+@query(
+    "markov_conditional_entropy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    terms AS (
+      SELECT prev_type, n,
+             CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+             CAST(round(1000000 * n * ln(
+               CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) / n
+             )) AS BIGINT) AS h_micro
+      FROM trans
+    )
+    SELECT prev_type,
+           CAST(min(row_total) AS BIGINT) AS n_transitions,
+           CAST(count(*) AS BIGINT) AS n_next_types,
+           round(CAST(sum(h_micro) AS DOUBLE) / 1000000 / min(row_total), 6)
+             AS h_next_nats
+    FROM terms
+    GROUP BY prev_type
+    ORDER BY prev_type
+    """,
+)
+def markov_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy H(next | current) per current
+    state, from the SAME per-user transition chains as
+    markov_transition_matrix — the journey-predictability dial: a
+    state near 0 nats has a deterministic next step (good prefetch /
+    cache candidate); a state near ln(|types|) is anarchic (no model
+    will predict it). Σ p·ln(1/p) with p = n/row_total.
+
+    Exactness: each transition's n·ln(total/n) term is quantized to
+    integer MICRO-NATS once (the source_kl_divergence / DSIR idiom),
+    so the per-state reduce is an integer sum; one division, rounded
+    once.
+
+    Scale: one user-keyed lag window → |types|²-group hash aggregate;
+    the per-state total is a window over that TINY matrix (≤ |types|²
+    rows), not over events. Nothing event-sized shuffles twice.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    tw = Window.partitionBy("prev_type")
+    terms = trans.select(
+        "prev_type",
+        F.sum("n").over(tw).alias("row_total"),
+        F.round(
+            1_000_000
+            * F.col("n")
+            * F.log(F.sum("n").over(tw).cast("double") / F.col("n"))
+        )
+        .cast("long")
+        .alias("h_micro"),
+    )
+    return (
+        terms.groupBy("prev_type")
+        .agg(
+            F.min("row_total").alias("n_transitions"),
+            F.count("*").alias("n_next_types"),
+            F.round(
+                F.sum("h_micro").cast("double") / 1_000_000 / F.min("row_total"),
+                6,
+            ).alias("h_next_nats"),
+        )
+        .orderBy("prev_type")
+    )
+
+
+@query(
+    "funnel_latency_percentiles",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS vt FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id,
+             min(epoch_us(e.ts) - epoch_us(v.vt)) AS lat_us
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= v.vt
+      GROUP BY e.user_id
+    ),
+    ranked AS (
+      SELECT lat_us,
+             row_number() OVER (ORDER BY lat_us, user_id) AS rp,
+             count(*) OVER () AS n
+      FROM p
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(max(CASE WHEN rp = CAST(ceil(0.50 * n) AS BIGINT)
+                         THEN lat_us END) AS BIGINT) AS p50_latency_us,
+           CAST(max(CASE WHEN rp = CAST(ceil(0.90 * n) AS BIGINT)
+                         THEN lat_us END) AS BIGINT) AS p90_latency_us,
+           CAST(max(CASE WHEN rp = CAST(ceil(0.99 * n) AS BIGINT)
+                         THEN lat_us END) AS BIGINT) AS p99_latency_us
+    FROM ranked
+    """,
+)
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles: each user's latency from FIRST
+    view to their FIRST subsequent purchase, reduced to discrete-rank
+    p50/p90/p99 — the question after event_conversion_funnel answers
+    'how many': how LONG does conversion take (SLA for nudge timing,
+    attribution-window sizing — the 24 h lookbacks elsewhere in this
+    module should cover ~p99 of real latencies; this measures that).
+
+    Exactness: latencies are integer MICROSECONDS (epoch_us /
+    unix_micros, the event_debounce idiom); percentiles are discrete
+    ranks (⌈q·n⌉ under a total order), so every output is an actual
+    data value — identical across engines.
+
+    Scale: two user-keyed hash aggregates + one equi join (the
+    survivor set only shrinks, AQE broadcasts it); the rank window
+    runs over the CONVERTED-USERS table (funnel-tail sized), never
+    the event stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    lat = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("vt"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("vt").cast("timestamp"))
+            ).alias("lat_us")
+        )
+    )
+    w = Window.orderBy("lat_us", "user_id")
+    ranked = lat.select(
+        "lat_us",
+        F.row_number().over(w).alias("rp"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+
+    def at(q):
+        return F.max(
+            F.when(
+                F.col("rp") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+                F.col("lat_us"),
+            )
+        ).cast("long")
+
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        at(0.50).alias("p50_latency_us"),
+        at(0.90).alias("p90_latency_us"),
+        at(0.99).alias("p99_latency_us"),
+    )

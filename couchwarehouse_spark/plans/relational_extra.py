@@ -845,3 +845,58 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fk_edge")
+
+
+LAG_BUCKET_DAYS = 30  # shipping-lag histogram bucket width
+
+
+@query(
+    "shipping_lag_census",
+    oracle=f"""
+    SELECT o.o_orderpriority AS priority,
+           CAST(floor(date_diff('day', o.o_orderdate, l.l_shipdate)
+                / {LAG_BUCKET_DAYS}) AS BIGINT) AS lag_bucket,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(min(date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+             AS min_lag_days,
+           CAST(max(date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+             AS max_lag_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def shipping_lag_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency histogram per order priority ({LAG_BUCKET_DAYS}-day
+    buckets) — the fulfillment-SLA census (TPC-H Q4's question asked
+    distributionally): how long after the order date do its line items
+    actually ship, and does priority buy anything? The fact-to-fact
+    join every operational dashboard starts from.
+
+    Exactness: day arithmetic on DATE columns is integer in both
+    engines; bucket = floor(lag / width) on integers.
+
+    Scale: ONE equi hash join lineitem⋈orders on the order key — the
+    natural co-partition key both tables should be bucketed by (and
+    are, in the warehouse lane) — then a small (priority × bucket)
+    hash aggregate with map-side partials. Only the 3 needed columns
+    scan (pushed projection).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(lag / LAG_BUCKET_DAYS).cast("long").alias("lag_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.min(lag).cast("long").alias("min_lag_days"),
+            F.max(lag).cast("long").alias("max_lag_days"),
+        )
+        .orderBy("priority", "lag_bucket")
+    )

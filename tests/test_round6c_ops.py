@@ -934,3 +934,125 @@ class TestTextNormalizationCensus:
         assert int(out["n_changed"]) == 1
         assert int(out["chars_removed"]) == 3  # ',', '!', one space
         assert out["removal_rate"] == round(3 / 24, 6)
+
+
+class TestMarkovConditionalEntropy:
+    def test_deterministic_vs_uniform_states(self, spark, tmp_path):
+        import datetime as dt
+        import math
+
+        from couchwarehouse_spark.plans.events_windows import (
+            markov_conditional_entropy,
+        )
+
+        d = str(tmp_path / "sf")
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # user 1 ×4: a -> b always (H(a)=0). users carry b -> (c|d) 50/50.
+        for u in range(1, 5):
+            rows += [(u, t0, "a"), (u, t0.replace(hour=1), "b"),
+                     (u, t0.replace(hour=2), "c" if u % 2 else "d")]
+        _write(
+            spark.createDataFrame(
+                [(i, ts, u, et, 1.0, "{}") for i, (u, ts, et) in enumerate(rows)],
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+            ),
+            d,
+            "events",
+        )
+        out = markov_conditional_entropy(spark, d).toPandas().set_index("prev_type")
+        assert out.loc["a"]["h_next_nats"] == 0.0
+        assert int(out.loc["a"]["n_transitions"]) == 4
+        assert abs(out.loc["b"]["h_next_nats"] - round(math.log(2), 6)) < 1e-6
+
+
+class TestShippingLagCensus:
+    def test_buckets_by_hand(self, spark, tmp_path):
+        import datetime as dt
+
+        from couchwarehouse_spark.plans.relational_extra import (
+            LAG_BUCKET_DAYS,
+            shipping_lag_census,
+        )
+
+        d = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                [(1, 1, "1-URGENT", dt.date(2024, 1, 1), 100.0)],
+                "o_orderkey long, o_custkey long, o_orderpriority string, o_orderdate date, o_totalprice double",
+            ),
+            d,
+            "orders",
+        )
+        _write(
+            spark.createDataFrame(
+                [
+                    (1, dt.date(2024, 1, 6)),    # lag 5  → bucket 0
+                    (1, dt.date(2024, 2, 15)),   # lag 45 → bucket 1
+                ],
+                "l_orderkey long, l_shipdate date",
+            ),
+            d,
+            "lineitem",
+        )
+        out = shipping_lag_census(spark, d).toPandas()
+        assert LAG_BUCKET_DAYS == 30
+        b0 = out[out["lag_bucket"] == 0].iloc[0]
+        assert (int(b0["n_lineitems"]), int(b0["min_lag_days"])) == (1, 5)
+        b1 = out[out["lag_bucket"] == 1].iloc[0]
+        assert int(b1["max_lag_days"]) == 45
+
+
+class TestNormalizedDedupGain:
+    def test_gain_counts(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.dedup import normalized_dedup_gain
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [
+                    (0, "Hello World", "en", "s0"),
+                    (1, "hello,  world!", "en", "s0"),  # dup only after norm
+                    (2, "same text", "en", "s0"),
+                    (3, "same text", "en", "s0"),  # raw dup
+                    (4, "unique", "en", "s0"),
+                ],
+            ),
+            d,
+            "documents",
+        )
+        out = normalized_dedup_gain(spark, d).toPandas().iloc[0]
+        assert int(out["raw_dup_rows"]) == 1
+        assert int(out["normalized_dup_rows"]) == 2
+        assert int(out["dedup_gain"]) == 1
+
+
+class TestFunnelLatencyPercentiles:
+    def test_single_user_latency(self, spark, tmp_path):
+        import datetime as dt
+
+        from couchwarehouse_spark.plans.events_windows import (
+            funnel_latency_percentiles,
+        )
+
+        d = str(tmp_path / "sf")
+        t0 = dt.datetime(2024, 1, 1, 9)
+        rows = [
+            (1, t0, "view"),
+            (1, t0 + dt.timedelta(seconds=90), "purchase"),
+            (2, t0, "view"),  # never converts
+            (3, t0 + dt.timedelta(hours=1), "purchase"),  # no view first
+        ]
+        _write(
+            spark.createDataFrame(
+                [(i, ts, u, et, 1.0, "{}") for i, (u, ts, et) in enumerate(rows)],
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+            ),
+            d,
+            "events",
+        )
+        out = funnel_latency_percentiles(spark, d).toPandas().iloc[0]
+        assert int(out["n_converted"]) == 1
+        assert int(out["p50_latency_us"]) == 90_000_000
+        assert int(out["p99_latency_us"]) == 90_000_000
