@@ -54,6 +54,10 @@ HEADLINE = [
     "containment_dup_pairs",    # X1 doc-in-doc containment pairs (r6c)
     "dsir_importance_weights",  # X+ DSIR target-domain sampling weights (r6c)
     "markov_transition_matrix", # D4 user-journey transition kernel (r6c)
+    "predicate_delete_cdc",     # R11+ delete_where + CDF certification (r6d)
+    "ngram_novelty_audit",      # X+ train→test memorization exposure (r6d)
+    "weighted_sample_topk",     # X+ A-ES weighted sampling, zero-shuffle (r6d)
+    "referential_integrity_audit",  # S10+ FK orphan census (r6d)
 ]
 
 
