@@ -1281,8 +1281,12 @@ def jackknife_source_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     a one-row broadcast. The corpus is scanned ONCE.
     """
     d = load_table(spark, sf_dir, "documents")
-    per = d.groupBy("source").agg(
-        F.count("*").alias("n_s"), F.sum("n_chars").alias("t_s")
+    # per feeds TWO consumers (the output rows and the grand total):
+    # persist so the corpus scans once, not once per consumer.
+    per = scoped_persist(
+        d.groupBy("source").agg(
+            F.count("*").alias("n_s"), F.sum("n_chars").alias("t_s")
+        )
     )
     tot = per.agg(F.sum("n_s").alias("n"), F.sum("t_s").alias("t"))
     mean_all = F.col("t").cast("double") / F.col("n")

@@ -1081,3 +1081,55 @@ def test_ngram_novelty_distinct_combines_mapside(spark):
     plan = plan_of(spark, "ngram_novelty_audit")
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fertility_counts_not_tokens_cross_exchange(spark):
+    """Fertility must aggregate per-row COUNT projections — no explode
+    (Generate) anywhere, partial aggregation before the exchange."""
+    plan = plan_of(spark, "tokenizer_fertility_by_lang")
+    assert "Generate" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_fano_two_stacked_aggregates(spark):
+    """Fano: day-grid aggregate then type aggregate, both map-side
+    combined; no window, no join."""
+    plan = plan_of(spark, "burstiness_fano_census")
+    assert "partial_count" in plan
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_jackknife_single_scan_broadcast_total(spark):
+    """Jackknife: the per-source table persists (both consumers read
+    the cache, the corpus scans once); the grand total attaches as a
+    one-row broadcast."""
+    plan = plan_of(spark, "jackknife_source_sensitivity")
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_normalized_dedup_gain_one_scan(spark):
+    """Both hash lanes must read the persisted single scan — two
+    InMemoryTableScans over one cached projection (the FileScan lines
+    in the plan text are the cache's lineage, printed per consumer,
+    not executed per consumer)."""
+    plan = plan_of(spark, "normalized_dedup_gain")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_shipping_lag_prunes_columns(spark):
+    """The lineitem scan must read only the join key and ship date."""
+    plan = plan_of(spark, "shipping_lag_census")
+    import re
+    li_scans = [l for l in plan.splitlines() if "lineitem.parquet" in l]
+    assert li_scans and all(
+        "l_orderkey" in l and "l_shipdate" in l and "l_quantity" not in l
+        for l in li_scans
+    )
+
+
+def test_markov_entropy_single_event_exchange(spark):
+    """The events stream crosses one user-keyed exchange; the entropy
+    window runs over the tiny transition matrix only."""
+    plan = plan_of(spark, "markov_conditional_entropy")
+    assert plan.count("hashpartitioning(user_id") <= 1
