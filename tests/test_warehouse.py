@@ -1512,3 +1512,62 @@ def test_timestamp_time_travel(spark, tmp_path):
         wh.table(as_of_ts=1.0)  # before the first commit
     with _pt.raises(ValueError):
         wh.table(version=1, as_of_ts=t_between)
+
+
+def test_random_dml_and_maintenance_model(spark, tmp_path):
+    """Model check for the ROW-LEVEL DML verbs: a seeded random
+    interleaving of spool batches, delete_where, update_where, and the
+    layout ops keeps the table exactly equal to a dict model — the
+    same harness as test_random_maintenance_ops_preserve_content with
+    predicate DML in the mix, so bucket pruning, carried-forward
+    files, and version commits are exercised against arbitrary
+    interleavings."""
+    rng = random.Random(99)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "dmlmodel", n_buckets=2)
+    model: dict[str, str] = {}
+    seq = 0
+    feed_no = 0
+    statuses = ["paid", "dispatched", "returned", "archived"]
+
+    def spool_batch():
+        nonlocal seq, feed_no
+        envs = []
+        for _ in range(rng.randrange(3, 9)):
+            seq += 1
+            i = rng.randrange(25)
+            doc = order_doc(i, rng)
+            doc["status"] = rng.choice(statuses[:3])
+            envs.append(envelope(seq, doc))
+            model[doc["_id"]] = doc["status"]
+        feed_no += 1
+        wh.spool(write_feed(str(tmp_path / f"dml_feed_{feed_no}.jsonl"), envs))
+
+    spool_batch()
+    ops = [
+        "delete", "spool", "update", "compact", "delete",
+        "spool", "update", "vacuum", "spool",
+    ]
+    rng.shuffle(ops)
+    for op in ops + ["spool", "delete"]:
+        if op == "spool":
+            spool_batch()
+        elif op == "delete":
+            victim = rng.choice(statuses[:3])
+            n = wh.delete_where(f"status = '{victim}'")
+            expect = [k for k, v in model.items() if v == victim]
+            assert n == len(expect)
+            for k in expect:
+                model.pop(k)
+        elif op == "update":
+            src = rng.choice(statuses[:3])
+            n = wh.update_where(f"status = '{src}'", {"status": "'archived'"})
+            expect = [k for k, v in model.items() if v == src]
+            assert n == len(expect)
+            for k in expect:
+                model[k] = "archived"
+        elif op == "compact":
+            wh.compact(max_files_per_bucket=1)
+        elif op == "vacuum":
+            wh.vacuum(retain_versions=1, min_age_seconds=0)
+        got = {r["id"]: r["status"] for r in wh.table().collect()}
+        assert got == model, f"divergence after {op}"
