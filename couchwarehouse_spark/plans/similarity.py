@@ -18,7 +18,7 @@ centroids instead of random planes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
@@ -2307,4 +2307,81 @@ def binary_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tp.cast("double") / (tp + fn), 6).alias("recall"),
         F.round((2 * tp).cast("double") / (2 * tp + fp + fn), 6).alias("f1"),
         F.round((tp + tn).cast("double") / (tp + fp + fn + tn), 6).alias("accuracy"),
+    )
+
+
+N_SHARDS = 8  # target index shards for the balance plan
+
+
+@query(
+    "ann_shard_balance_plan",
+    oracle=f"""
+    WITH b AS (
+      SELECT {_bucket_expr_sql_derived('embedding')} AS bucket
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bucket
+    ),
+    ranked AS (
+      SELECT bucket, n,
+             CAST((row_number() OVER (ORDER BY n DESC, bucket) - 1)
+                  % {N_SHARDS} AS BIGINT) AS shard
+      FROM cells
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM ranked)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_vectors,
+           round(CAST(sum(n) AS DOUBLE) * {N_SHARDS} / tot.t, 6)
+             AS load_vs_ideal
+    FROM ranked CROSS JOIN tot
+    GROUP BY shard, tot.t
+    ORDER BY shard
+    """,
+)
+def ann_shard_balance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-shard layout plan for the SRP-LSH bucketed ANN index:
+    bucket census → size-ranked round-robin assignment onto
+    {N_SHARDS} shards → per-shard load vs the ideal equal split. This
+    is the placement question every distributed vector index answers
+    before serving (route hot cells apart, keep shard fan-in flat);
+    round-robin over the size-sorted cells is the deterministic,
+    windowable proxy for LPT packing, and load_vs_ideal ≈ 1.0
+    everywhere is the 'safe to ship' signal.
+
+    Exactness: buckets from the shared derived-plane literals (the
+    ann_lsh_topk seam — identical in both lanes); ranks, shards and
+    counts all integers; one division, rounded once.
+
+    Scale: the bucket census is the word-count shape; the rank window
+    runs over the CELL table (2^planes rows ≈ N/1024, never the
+    corpus); the total attaches as a one-row broadcast.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = corpus_planes(spark, sf_dir)
+    cells = (
+        e.select(_bucket_expr_spark("embedding", planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "bucket")
+    ranked = cells.select(
+        "n",
+        ((F.row_number().over(w) - 1) % N_SHARDS).cast("long").alias("shard"),
+    )
+    tot = ranked.agg(F.sum("n").alias("t"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("shard", "t")
+        .agg(F.count("*").alias("n_buckets"), F.sum("n").alias("n_vectors"))
+        .select(
+            "shard",
+            "n_buckets",
+            "n_vectors",
+            F.round(
+                F.col("n_vectors").cast("double") * N_SHARDS / F.col("t"), 6
+            ).alias("load_vs_ideal"),
+        )
+        .orderBy("shard")
     )
