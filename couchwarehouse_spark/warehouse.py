@@ -1220,6 +1220,72 @@ class Warehouse:
         )
         return len(todo)
 
+    def merge_into(
+        self,
+        df: DataFrame,
+        doc_type: str = DEFAULT_TYPE,
+        delete_col: str | None = None,
+    ) -> int:
+        """Direct-DataFrame MERGE (Delta's ``MERGE INTO ... WHEN
+        MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT``, keyed on
+        ``id``): upsert ``df``'s rows into the table as ONE new
+        manifest version, without going through a changes feed. Rows
+        are stamped with a seq ONE PAST the table's current maximum,
+        so the same latest-wins window that orders feed merges applies
+        — an existing row loses to its incoming twin, replaying the
+        same frame is idempotent-by-content, and a later feed batch
+        (higher seq) still wins over this merge. ``delete_col`` names
+        an optional boolean column: TRUE rows become deletes (Delta's
+        WHEN MATCHED ... DELETE). CHECK constraints gate the incoming
+        rows exactly as they gate feed batches. Returns the number of
+        rows applied.
+
+        Scale: the seq probe is one partial-aggregated max; everything
+        else reuses the bucket-pruned incremental merge (only buckets
+        the incoming ids hash into rewrite; untouched files carry
+        forward by reference).
+        """
+        if "id" not in df.columns:
+            raise ValueError("merge_into frame needs an 'id' column")
+        path = self._table_path(doc_type)
+        base_seq = 0
+        if self._load_manifest(path) is not None:
+            row = self._read_state(path).agg(F.max(SEQ_COL).alias("m")).collect()[0]
+            base_seq = int(row["m"] or 0)
+        if delete_col is not None:
+            deleted = F.coalesce(F.col(delete_col), F.lit(False))
+            live = df.filter(~deleted).drop(delete_col)
+            tombstones = (
+                df.filter(deleted)
+                .select("id")
+                .withColumn(SEQ_COL, F.lit(base_seq + 1))
+            )
+        else:
+            live = df
+            tombstones = self.spark.range(0).select(
+                F.lit("").alias("id"), F.lit(0).cast("long").alias(SEQ_COL)
+            )
+        flat = live.withColumn(SEQ_COL, F.lit(base_seq + 1))
+        if doc_type not in self.schemas:
+            self.schemas[doc_type] = self._freeze_schema(flat)
+        elif self.evolve_schema:
+            self._evolve_schema(flat, doc_type)
+        struct = schema_to_struct(self.schemas[doc_type])
+        conformed = conform_frame(flat, struct, keep=[SEQ_COL]).persist()
+        try:
+            conformed = self._enforce_constraints(conformed, doc_type)
+            n = conformed.count()
+            self._merge_conformed(conformed, tombstones, doc_type)
+            for follower in self.followers:
+                follower(self, doc_type, conformed, tombstones)
+        finally:
+            conformed.unpersist(blocking=False)
+        self._save_schemas()
+        self.register_view(doc_type)
+        if delete_col is not None:
+            n += tombstones.count()
+        return n
+
     def delete_where(
         self, condition, doc_type: str = DEFAULT_TYPE
     ) -> int:

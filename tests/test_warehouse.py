@@ -1571,3 +1571,52 @@ def test_random_dml_and_maintenance_model(spark, tmp_path):
             wh.vacuum(retain_versions=1, min_age_seconds=0)
         got = {r["id"]: r["status"] for r in wh.table().collect()}
         assert got == model, f"divergence after {op}"
+
+
+def test_merge_into_dataframe_upsert(spark, tmp_path):
+    """merge_into: inserts new ids, updates existing ones (winning by
+    the stamped seq), honors delete_col, and a later FEED batch still
+    outranks the merge."""
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=10)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "midata", n_buckets=4)
+    wh.spool(feed)
+    t0 = wh.table()
+    cols = t0.columns
+    assert "name" in cols
+
+    incoming = spark.createDataFrame(
+        [("person0001", "Renamed One", False),
+         ("newdoc0001", "Brand New", False),
+         ("person0002", None, True)],
+        "id string, name string, gone boolean",
+    )
+    n = wh.merge_into(incoming, delete_col="gone")
+    assert n == 3
+    got = {r["id"]: r["name"] for r in wh.table().collect()}
+    assert got["person0001"] == "Renamed One"
+    assert got["newdoc0001"] == "Brand New"
+    assert "person0002" not in got
+    assert len(got) == 10  # 10 - 1 deleted + 1 inserted
+    # conformance: columns the frame lacked are NULL, schema unchanged
+    row = [r for r in wh.table().collect() if r["id"] == "newdoc0001"][0]
+    assert row["age"] is None
+    # a later feed amendment (higher seq) still wins over the merge
+    from .fixtures import envelope, person_doc
+    import random as _r
+    doc = person_doc(1, _r.Random(0))
+    doc["name"] = "Feed Wins"
+    wh.spool(write_feed(str(tmp_path / "feed2.jsonl"), [envelope(1000, doc)]))
+    got2 = {r["id"]: r["name"] for r in wh.table().collect()}
+    assert got2["person0001"] == "Feed Wins"
+
+
+def test_merge_into_idempotent_replay(spark, tmp_path):
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=6)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "midem", n_buckets=2)
+    wh.spool(feed)
+    inc = spark.createDataFrame([("person0001", "X")], "id string, name string")
+    wh.merge_into(inc)
+    snap1 = sorted((r["id"], r["name"]) for r in wh.table().collect())
+    wh.merge_into(inc)  # replay: content-identical
+    snap2 = sorted((r["id"], r["name"]) for r in wh.table().collect())
+    assert snap1 == snap2
