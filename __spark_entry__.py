@@ -56,6 +56,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #    census with inlined Benford constants), and
 #    markov_transition_matrix (integer-exact transition counts,
 #    model-checked in tests).
+# ROUND-7 ROTATION QUEUE (never driver-verified; all t2-sim green at
+# sf0.01 this round): the 4 deferred above plus the late-round-6
+# batches 11-15 — zipf_frequency_spectrum, referential_integrity_audit,
+# user_activity_streaks, weighted_sample_topk, bleu_ngram_eval,
+# ngram_novelty_audit, tokenizer_fertility_by_lang,
+# burstiness_fano_census, jackknife_source_sensitivity,
+# text_normalization_census, predicate_delete_cdc,
+# markov_conditional_entropy, funnel_latency_percentiles,
+# shipping_lag_census, normalized_dedup_gain, ann_shard_balance_plan
+# (20 total). Keep the 3 anchors + any round-7-changed entries, fill
+# the rest with this queue, then backfill with the stalest greens
+# (r03-and-earlier).
 #    Displaced to fit (all r05-green and still t2-sim checked):
 #    anchors conform_projection, scd2_user_state_history,
 #    mango_selector_filter, minhash_lsh_candidates,
