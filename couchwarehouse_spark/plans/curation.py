@@ -959,3 +959,61 @@ def text_normalization_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+SUFFIX_K = 2  # trailing-token window treated as the page footer
+SUFFIX_MIN_DOCS = 2  # a suffix is boilerplate when ≥ this many docs end with it
+
+
+@query(
+    "boilerplate_suffix_census",
+    oracle=f"""
+    WITH tails AS (
+      SELECT source,
+             array_to_string(t[GREATEST(1, len(t) - {SUFFIX_K} + 1):len(t)], ' ')
+               AS suffix
+      FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= {SUFFIX_K}
+    ),
+    census AS (
+      SELECT source, suffix, CAST(count(*) AS BIGINT) AS n_docs
+      FROM tails GROUP BY source, suffix
+    )
+    SELECT source, suffix, n_docs
+    FROM census
+    WHERE n_docs >= {SUFFIX_MIN_DOCS}
+    ORDER BY n_docs DESC, source, suffix
+    LIMIT 50
+    """,
+)
+def boilerplate_suffix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-document-SUFFIX census: the trailing {SUFFIX_K}-token
+    window of every doc, grouped per source, surfacing suffixes that
+    ≥{SUFFIX_MIN_DOCS} docs end with — the footer-boilerplate detector
+    (copyright lines, 'subscribe to our newsletter', forum
+    signatures). Trailing boilerplate is the classic residue crawl
+    extraction leaves behind, and the census output IS the strip-list
+    a cleanup pass consumes — the positional complement of
+    crossdoc_ngram_dup (anywhere) and doc_boundary_overlap (joins).
+
+    Exactness: identical 1-based tail slicing in both lanes
+    (GREATEST-clamped); integer counts; deterministic top-50 head.
+
+    Scale: one projection (no explode — the tail slice is O(k) per
+    row) → (source, suffix) hash aggregate with map-side partials →
+    TakeOrderedAndProject head.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    suffix = F.concat_ws(
+        " ", F.slice(t, F.greatest(F.lit(1), F.size(t) - SUFFIX_K + 1), SUFFIX_K)
+    )
+    return (
+        d.filter(F.size(t) >= SUFFIX_K)
+        .select("source", suffix.alias("suffix"))
+        .groupBy("source", "suffix")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= SUFFIX_MIN_DOCS)
+        .orderBy(F.col("n_docs").desc(), "source", "suffix")
+        .limit(50)
+    )

@@ -900,3 +900,86 @@ def shipping_lag_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "lag_bucket")
     )
+
+
+STAR_HEAD = 50  # exported head rows (deterministic key order)
+
+
+@query(
+    "star_flatten_export",
+    oracle=f"""
+    SELECT l.l_orderkey, l.l_linenumber,
+           o.o_orderdate, o.o_orderpriority,
+           c.c_mktsegment,
+           cn.n_name AS cust_nation, cr.r_name AS cust_region,
+           p.p_brand, p.p_type,
+           s.s_name AS supplier_name, sn.n_name AS supp_nation,
+           round(l.l_extendedprice * (1 - l.l_discount), 2) AS net_price
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN region cr   ON cn.n_regionkey = cr.r_regionkey
+    JOIN part p      ON l.l_partkey = p.p_partkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    ORDER BY l.l_orderkey, l.l_linenumber
+    LIMIT {STAR_HEAD}
+    """,
+)
+def star_flatten_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full star-schema denormalization — the 7-way dimension join
+    producing the WIDE fact extract every BI export / feature-store
+    materialization runs (TPC-H's whole schema in one plan): lineitem
+    ⋈ orders ⋈ customer ⋈ nation ⋈ region ⋈ part ⋈ supplier ⋈ nation,
+    with the derived net price. The join-PLANNING showcase: Catalyst
+    must broadcast every dimension and keep the two facts on the
+    order-key hash join.
+
+    Scale: customer/part/supplier/nation/region all broadcast (AQE
+    sizes them); the only shuffle join is lineitem⋈orders on the
+    co-partitionable order key; every scan is column-pruned to the
+    exported fields. The head is a bounded TopK — production exports
+    drop the LIMIT and write partitioned parquet with the same plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_orderdate",
+            "o_orderpriority",
+            "c_mktsegment",
+            "cust_nation",
+            F.col("r_name").alias("cust_region"),
+            "p_brand",
+            "p_type",
+            F.col("s_name").alias("supplier_name"),
+            "supp_nation",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("net_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(STAR_HEAD)
+    )

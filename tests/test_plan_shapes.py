@@ -1133,3 +1133,24 @@ def test_markov_entropy_single_event_exchange(spark):
     window runs over the tiny transition matrix only."""
     plan = plan_of(spark, "markov_conditional_entropy")
     assert plan.count("hashpartitioning(user_id") <= 1
+
+
+def test_star_flatten_broadcasts_all_dimensions(spark):
+    """Every dimension must broadcast; the only shuffle join is the
+    fact-fact order-key join; scans are column-pruned."""
+    plan = plan_of(spark, "star_flatten_export")
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "TakeOrderedAndProject" in plan
+    li_scans = [l for l in plan.splitlines()
+                if "lineitem.parquet" in l and "ReadSchema" in l]
+    assert li_scans and all("l_comment" not in l and "l_tax" not in l
+                            for l in li_scans)
+
+
+def test_boilerplate_suffix_no_explode(spark):
+    """The tail slice is a projection — no Generate (explode), one
+    map-side-combined aggregate, bounded TopK head."""
+    plan = plan_of(spark, "boilerplate_suffix_census")
+    assert "Generate" not in plan
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
