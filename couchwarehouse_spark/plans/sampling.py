@@ -1395,3 +1395,116 @@ def ngram_novelty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+WF_BUDGET_NUM, WF_BUDGET_DEN = 6, 10  # budget = 60% of corpus tokens
+
+
+@query(
+    "waterfill_budget_allocation",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS x
+      FROM documents GROUP BY lang
+    ),
+    ranked AS (
+      SELECT lang, x,
+             CAST(row_number() OVER (ORDER BY x, lang) AS BIGINT) AS i,
+             CAST(sum(x) OVER (ORDER BY x, lang
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(x) OVER () AS BIGINT) AS t
+      FROM per
+    ),
+    b AS (SELECT ({WF_BUDGET_NUM} * max(t)) // {WF_BUDGET_DEN} AS budget FROM ranked),
+    istar AS (
+      SELECT min(i) AS s FROM ranked, b
+      WHERE b.budget - (cum - x) <= x * (n - i + 1)
+    ),
+    lvl AS (
+      SELECT r.i AS s, b.budget - (r.cum - r.x) AS num, r.n - r.i + 1 AS den
+      FROM ranked r, b, istar WHERE r.i = istar.s
+    )
+    SELECT r.lang, r.x AS available,
+           CAST(CASE
+             WHEN istar.s IS NULL OR r.i < istar.s THEN r.x
+             ELSE (lvl.num // lvl.den)
+                  + CASE WHEN r.i - istar.s + 1 <= lvl.num % lvl.den
+                         THEN 1 ELSE 0 END
+           END AS BIGINT) AS allocated,
+           (istar.s IS NOT NULL AND r.i >= istar.s) AS capped
+    FROM ranked r
+    LEFT JOIN istar ON TRUE
+    LEFT JOIN lvl ON TRUE
+    ORDER BY r.lang
+    """,
+)
+def waterfill_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across languages: spend a
+    {WF_BUDGET_NUM}/{WF_BUDGET_DEN} corpus budget so small languages
+    are taken whole and large ones are capped at a common level — the
+    max-min-fair allocator (information theory's water-filling;
+    data-mixture papers' 'cap the head, keep the tail' rule made
+    exact). Σ allocated == budget BY CONSTRUCTION: the integer level
+    floor(L) goes to every capped language and the remainder
+    distributes one token each to the first (budget mod) capped ranks.
+
+    Exactness: the cap rank i* is found with the CROSS-MULTIPLIED
+    integer test budget − cum_{{i−1}} ≤ xᵢ·(n−i+1) (no division
+    enters a comparison); allocations are integer floor-div +
+    remainder. Engine-identical by construction.
+
+    Scale: one tokenize-count aggregate (word-count shape); every
+    window runs over the |langs| row table; the level attaches as a
+    one-row broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("x")
+    )
+    w = Window.orderBy("x", "lang")
+    ranked = per.select(
+        "lang",
+        "x",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+        F.sum("x").over(Window.partitionBy()).alias("t"),
+    )
+    ranked = scoped_persist(ranked)
+    budget = (F.lit(WF_BUDGET_NUM) * F.col("t")) / WF_BUDGET_DEN
+    b = F.floor(budget).cast("long")
+    cond = (b - (F.col("cum") - F.col("x"))) <= F.col("x") * (
+        F.col("n") - F.col("i") + 1
+    )
+    head = ranked.agg(
+        F.min(F.when(cond, F.col("i"))).alias("s"),
+        F.max(b).alias("budget"),
+    )
+    lvl = (
+        ranked.crossJoin(F.broadcast(head))
+        .filter(F.col("i") == F.col("s"))
+        .select(
+            (F.col("budget") - (F.col("cum") - F.col("x"))).alias("num"),
+            (F.col("n") - F.col("i") + 1).alias("den"),
+        )
+    )
+    alloc = F.when(
+        F.col("s").isNull() | (F.col("i") < F.col("s")), F.col("x")
+    ).otherwise(
+        F.floor(F.col("num") / F.col("den")).cast("long")
+        + F.when(
+            (F.col("i") - F.col("s") + 1) <= F.col("num") % F.col("den"), 1
+        ).otherwise(0)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(head.select("s")))
+        .crossJoin(F.broadcast(lvl))
+        .select(
+            "lang",
+            F.col("x").alias("available"),
+            alloc.cast("long").alias("allocated"),
+            (F.col("s").isNotNull() & (F.col("i") >= F.col("s"))).alias("capped"),
+        )
+        .orderBy("lang")
+    )

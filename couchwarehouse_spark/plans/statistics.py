@@ -1304,3 +1304,59 @@ def jackknife_source_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "gini_source_concentration",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS x
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, source) AS i,
+             count(*) OVER () AS n,
+             CAST(sum(x) OVER () AS BIGINT) AS t
+      FROM per
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_sources,
+           CAST(max(t) AS BIGINT) AS total_chars,
+           round(CAST(2 * sum(i * x) AS DOUBLE) / (max(n) * max(t))
+                 - CAST(max(n) + 1 AS DOUBLE) / max(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def gini_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of character mass across sources — the
+    corpus-concentration dial (Lorenz 1905/Gini 1912, the
+    data-governance twin of domain_mixture_weights): 0 = every source
+    contributes equally, →1 = one source dominates. High concentration
+    is what temperature sampling and per-source caps exist to fix;
+    this is the single number that says whether you need them.
+
+    Exactness: G = 2·Σ(i·xᵢ)/(n·T) − (n+1)/n over ranks of the
+    ascending sort — Σ(i·x) is an exact integer sum; one division
+    pair, rounded once.
+
+    Scale: one |sources|-group aggregate; the rank window runs over
+    the SOURCE table (handfuls of rows), never documents.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.sum("n_chars").alias("x"))
+    w = Window.orderBy("x", "source")
+    ranked = per.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum("x").over(Window.partitionBy()).alias("t"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_sources"),
+        F.max("t").cast("long").alias("total_chars"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("x"))).cast("double")
+            / (F.max("n") * F.max("t"))
+            - (F.max("n") + 1).cast("double") / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -1056,3 +1056,70 @@ class TestFunnelLatencyPercentiles:
         assert int(out["n_converted"]) == 1
         assert int(out["p50_latency_us"]) == 90_000_000
         assert int(out["p99_latency_us"]) == 90_000_000
+
+
+class TestGiniSourceConcentration:
+    def test_equal_and_skewed(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.statistics import (
+            gini_source_concentration,
+        )
+
+        d = str(tmp_path / "sf")
+        # Equal masses → Gini 0.
+        _write(
+            _docs(spark, [(0, "x" * 50, "en", "a"), (1, "x" * 50, "en", "b")]),
+            d,
+            "documents",
+        )
+        out = gini_source_concentration(spark, d).toPandas().iloc[0]
+        assert out["gini"] == 0.0
+        # 10 vs 90 of 100 → G = 2*(1*10+2*90)/(2*100) - 3/2 = 0.4
+        _write(
+            _docs(spark, [(0, "x" * 10, "en", "a"), (1, "x" * 90, "en", "b")]),
+            d,
+            "documents",
+        )
+        out = gini_source_concentration(spark, d).toPandas().iloc[0]
+        assert out["gini"] == 0.4
+
+
+class TestWaterfillBudgetAllocation:
+    def test_sum_equals_budget_and_maxmin_fair(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.sampling import (
+            WF_BUDGET_DEN,
+            WF_BUDGET_NUM,
+            waterfill_budget_allocation,
+        )
+
+        d = str(tmp_path / "sf")
+        # tokens per lang: a=2, b=10, c=30, d=100 (total 142, budget 85)
+        _write(
+            _docs(
+                spark,
+                [
+                    (0, "t " * 1 + "t", "aa", "s"),      # 2 tokens
+                    (1, ("t " * 9) + "t", "bb", "s"),    # 10
+                    (2, ("t " * 29) + "t", "cc", "s"),   # 30
+                    (3, ("t " * 99) + "t", "dd", "s"),   # 100
+                ],
+            ),
+            d,
+            "documents",
+        )
+        out = waterfill_budget_allocation(spark, d).toPandas().set_index("lang")
+        total = 142
+        budget = WF_BUDGET_NUM * total // WF_BUDGET_DEN  # 85
+        assert int(out["allocated"].sum()) == budget
+        # small langs taken whole
+        assert int(out.loc["aa"]["allocated"]) == 2
+        assert int(out.loc["bb"]["allocated"]) == 10
+        assert bool(out.loc["aa"]["capped"]) is False
+        # cc's 30 sits BELOW the would-be shared level (73/2 = 36.5),
+        # so the water-fill takes cc whole and only dd is capped, at
+        # the remaining budget 85 - 42 = 43.
+        assert int(out.loc["cc"]["allocated"]) == 30
+        assert bool(out.loc["cc"]["capped"]) is False
+        assert int(out.loc["dd"]["allocated"]) == 43
+        assert bool(out.loc["dd"]["capped"]) is True
+        # no allocation exceeds availability
+        assert (out["allocated"] <= out["available"]).all()
