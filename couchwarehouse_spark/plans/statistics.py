@@ -1360,3 +1360,69 @@ def gini_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+EQD_BUCKETS = 8  # equi-depth histogram bucket count
+
+
+@query(
+    "equidepth_histogram_bounds",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rp,
+             count(*) OVER () AS n
+      FROM orders
+    ),
+    bounds AS (
+      SELECT CAST(ceil(CAST(rp AS DOUBLE) * {EQD_BUCKETS} / n) AS BIGINT)
+               AS bucket,
+             o_totalprice
+      FROM ranked
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_totalprice) AS lower_bound,
+           max(o_totalprice) AS upper_bound
+    FROM bounds
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def equidepth_histogram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of order totals — THE
+    optimizer statistic behind selectivity estimation (Piatetsky-
+    Shapiro & Connell 1984; what ANALYZE ... FOR COLUMNS builds):
+    {EQD_BUCKETS} buckets of equal row count with their value
+    boundaries. Skew moves the BOUNDS, not the counts — exactly why
+    equi-depth beats equi-width for range-predicate estimates, and
+    the artifact describe_stats() would feed a cost model.
+
+    Exactness: bucket of rank r is ⌈r·B/n⌉ under a total order
+    (deterministic tie-break), so boundaries are actual data values —
+    engine-identical.
+
+    Scale note: the rank window is a global sort — exact bounds kept
+    for the oracle; the 100 TB substitution is approx_percentile's
+    t-digest at the same B cut points, same downstream shape.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_totalprice",
+        F.row_number().over(w).alias("rp"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    bucket = F.ceil(
+        F.col("rp").cast("double") * EQD_BUCKETS / F.col("n")
+    ).cast("long")
+    return (
+        ranked.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("lower_bound"),
+            F.max("o_totalprice").alias("upper_bound"),
+        )
+        .orderBy("bucket")
+    )

@@ -2003,6 +2003,40 @@ class Warehouse:
         df.createOrReplaceTempView(name)
         return df
 
+    def create_masked_view(
+        self,
+        name: str,
+        rules: Mapping[str, object],
+        doc_type: str = DEFAULT_TYPE,
+        drop: list[str] | None = None,
+    ) -> DataFrame:
+        """Read-side column-masking policy (Delta/Unity dynamic-view
+        masking, Snowflake masking-policy semantics): register SQL
+        view ``name`` over the CURRENT table with each ``rules``
+        column replaced by its masking expression (SQL string or
+        Column — e.g. ``{"email": "sha2(email, 256)"}``, ``{"age":
+        "CASE WHEN age > 90 THEN 90 ELSE age END"}``) and ``drop``
+        columns removed entirely. The underlying data is untouched —
+        this is the governance seam: analysts query the view, the raw
+        table stays ACL'd. Masks are applied per-read, so the view
+        always reflects the latest committed version. Unknown rule or
+        drop columns raise (a policy that silently no-ops is a leak).
+        """
+        df = self.table(doc_type)
+        missing = [c for c in rules if c not in df.columns] + [
+            c for c in (drop or []) if c not in df.columns
+        ]
+        if missing:
+            raise ValueError(f"masking policy names unknown columns: {missing}")
+        for col, expr in rules.items():
+            df = df.withColumn(
+                col, F.expr(expr) if isinstance(expr, str) else expr
+            )
+        if drop:
+            df = df.drop(*drop)
+        df.createOrReplaceTempView(name)
+        return df
+
     def _read_state(self, path: str, version: int | None = None) -> DataFrame:
         """ONE read path for table() and lookup(): resolve a manifest
         (the latest, or an explicit time-travel ``version``) and read

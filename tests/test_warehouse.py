@@ -1620,3 +1620,26 @@ def test_merge_into_idempotent_replay(spark, tmp_path):
     wh.merge_into(inc)  # replay: content-identical
     snap2 = sorted((r["id"], r["name"]) for r in wh.table().collect())
     assert snap1 == snap2
+
+
+def test_create_masked_view_policies(spark, tmp_path):
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=8)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "maskdata", n_buckets=2)
+    wh.spool(feed)
+    wh.create_masked_view(
+        "people_masked",
+        {"name": "sha2(name, 256)", "age": "CASE WHEN age > 30 THEN 31 ELSE age END"},
+        drop=["address_street"],
+    )
+    out = spark.sql("SELECT * FROM people_masked")
+    assert "address_street" not in out.columns
+    rows = out.collect()
+    assert all(len(r["name"]) == 64 for r in rows)  # sha2 hex
+    assert all(r["age"] <= 31 for r in rows)
+    # raw table untouched
+    raw = wh.table().collect()
+    assert any(r["name"].startswith("Person") for r in raw)
+    # unknown column in the policy is loud
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        wh.create_masked_view("bad", {"nope": "1"})
