@@ -2110,7 +2110,10 @@ class Warehouse:
         return best
 
     def changes(
-        self, since_version: int, doc_type: str = DEFAULT_TYPE
+        self,
+        since_version: int,
+        doc_type: str = DEFAULT_TYPE,
+        to_version: int | None = None,
     ) -> DataFrame:
         """Change feed BETWEEN table versions (Delta's
         ``table_changes`` / CDF, built on the manifest snapshots): one
@@ -2143,7 +2146,11 @@ class Warehouse:
 
         path = self._table_path(doc_type)
         old = self._read_state(path, version=since_version)
-        new = self._read_state(path)
+        # ``to_version`` bounds the window (Delta's table_changes(start,
+        # end)): the diff is between two PINNED retained snapshots, so a
+        # consumer can replay history version-pair by version-pair even
+        # while new commits keep landing. Default: the current head.
+        new = self._read_state(path, version=to_version)
         diff = snapshot_diff(old, new)
         # cdc_payload's shape plus the change_type label (the sinks
         # ignore labels; a consumer routing on insert-vs-update wants it).

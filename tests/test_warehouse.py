@@ -1643,3 +1643,21 @@ def test_create_masked_view_policies(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         wh.create_masked_view("bad", {"nope": "1"})
+
+
+def test_changes_bounded_window(spark, tmp_path):
+    """changes(since, to_version=...) diffs two PINNED snapshots: the
+    v1→v2 window reports only the delete_where effects even after a
+    later merge created v3."""
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=12)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "cdfwin", n_buckets=2)
+    wh.spool(feed)  # v1
+    n_del = wh.delete_where("age < 30")  # v2
+    inc = spark.createDataFrame([("zzz1", "Late Row")], "id string, name string")
+    wh.merge_into(inc)  # v3
+    win = wh.changes(1, to_version=2).collect()
+    assert len(win) == n_del
+    assert all(r["change_type"] == "delete" for r in win)
+    # unbounded reaches the head: the v3 insert appears too
+    full = {r["id"]: r["change_type"] for r in wh.changes(1).collect()}
+    assert full["zzz1"] == "insert"
