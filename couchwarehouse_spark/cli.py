@@ -330,10 +330,30 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(
                 "couchwarehouse: --update-where wants PREDICATE::COL=EXPR[,...]"
             )
+        # Split assignments on top-level commas only, so expressions
+        # like COL=concat(a, b) survive; commas inside (...) or quotes
+        # never separate assignments.
         assigns = {}
-        for part in rest.split(","):
+        parts, depth, buf, quote = [], 0, [], None
+        for ch in rest:
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(buf))
+                buf = []
+                continue
+            buf.append(ch)
+        parts.append("".join(buf))
+        for part in parts:
             col, eq, expr = part.partition("=")
-            if not eq:
+            if not eq or not col.strip() or not expr.strip():
                 raise SystemExit(
                     "couchwarehouse: --update-where assignment wants COL=EXPR"
                 )

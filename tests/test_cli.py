@@ -487,3 +487,23 @@ def test_cli_update_where_rejects_bad_syntax(spark, tmp_path):
                 "--update-where", "status = 'paid'",  # no :: assignments
             ]
         )
+
+
+def test_cli_update_where_expr_with_commas(spark, tmp_path, capsys):
+    feed = _mixed_feed(str(tmp_path / "feed"))
+    rc = main(
+        [
+            "--feed", feed,
+            "--database", "upd2db",
+            "--warehouse-dir", str(tmp_path / "wh"),
+            "--split", "type",
+            "--reset",
+            "--update-where",
+            "status = 'paid'::status=concat('settled', '-', currency),currency='XXX'",
+            "--sql",
+            "SELECT count(*) AS n FROM upd2db_order WHERE currency = 'XXX'",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "updated" in out
