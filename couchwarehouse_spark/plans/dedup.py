@@ -1560,3 +1560,74 @@ def normalized_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+DF_CAP = 50  # document-frequency cap: shingles in more docs are "stop shingles"
+
+
+@query(
+    "stop_shingle_cap_audit",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' ')
+             )) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    ),
+    df AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s)
+    SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df > {DF_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_stop_shingles,
+           CAST(sum(df * df) AS BIGINT) AS pair_work_total,
+           CAST(sum(CASE WHEN df > {DF_CAP} THEN df * df ELSE 0 END) AS BIGINT)
+             AS pair_work_capped,
+           round(CAST(sum(CASE WHEN df > {DF_CAP} THEN df * df ELSE 0 END)
+                 AS DOUBLE) / sum(df * df), 6) AS pair_work_saved_share
+    FROM df
+    """,
+)
+def stop_shingle_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document-frequency cap audit behind every inverted-index
+    pair generator here (ngram_jaccard_pairs, containment_dup_pairs):
+    a shingle appearing in df documents contributes df² candidate-pair
+    work, so the handful of boilerplate 'stop shingles' above a df cap
+    dominate the join — this measures exactly how much (Σdf² mass
+    above the cap / total). pair_work_saved_share near 1 on web-scale
+    corpora is WHY the cap is standard practice (the Bayardo/prefix-
+    filter companion number); the audit is the evidence to set DF_CAP
+    before running the expensive pair stage.
+
+    Exactness: document frequencies and Σdf² are exact integers; one
+    division, rounded once.
+
+    Scale: per-doc DISTINCT shingles (map-side array_distinct — no
+    cross-doc shuffle of shingle arrays), one shingle-keyed count, one
+    global sum. This audit is LINEAR in the corpus; the join it sizes
+    is quadratic per key — the point.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = (
+        d.filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(_shingles(toks))).alias("s"),
+        )
+    )
+    df = sh.groupBy("s").agg(F.count("*").alias("df"))
+    work = F.col("df") * F.col("df")
+    capped = F.when(F.col("df") > DF_CAP, work).otherwise(F.lit(0))
+    return df.agg(
+        F.count("*").alias("n_shingles"),
+        F.sum((F.col("df") > DF_CAP).cast("int")).cast("long").alias(
+            "n_stop_shingles"
+        ),
+        F.sum(work).alias("pair_work_total"),
+        F.sum(capped).alias("pair_work_capped"),
+        F.round(
+            F.sum(capped).cast("double") / F.sum(work), 6
+        ).alias("pair_work_saved_share"),
+    )

@@ -1790,3 +1790,98 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "ngram_entropy_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    big AS (
+      SELECT lang, t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    bc AS (
+      SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c
+      FROM big GROUP BY lang, w1, w2
+    ),
+    terms AS (
+      SELECT lang, c,
+             CAST(sum(c) OVER (PARTITION BY lang, w1) AS BIGINT) AS ctx,
+             CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n,
+             CAST(round(1000000 * c * ln(
+               CAST(sum(c) OVER (PARTITION BY lang, w1) AS DOUBLE) / c
+             )) AS BIGINT) AS h_micro
+      FROM bc
+    )
+    SELECT lang,
+           CAST(min(n) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(h_micro) AS DOUBLE) / 1000000 / min(n), 6)
+             AS entropy_rate_nats
+    FROM terms
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram ENTROPY RATE per language — H(w₂|w₁) under the MLE
+    bigram model, Σ p(w₁,w₂)·ln(1/p(w₂|w₁)): Shannon's per-symbol
+    uncertainty of the language (Shannon 1951's printed-English
+    estimate, the statistic LM perplexity targets). Low entropy rate
+    = templated/repetitive text (an independent quality signal);
+    across languages it normalizes perplexity comparisons. The text
+    twin of markov_conditional_entropy (same micro-nats reduce over a
+    different chain), and the CONDITIONAL refinement of
+    token_entropy_per_source's unigram entropy.
+
+    Exactness: each bigram's c·ln(ctx/c) quantizes to integer
+    micro-nats once; the per-language reduce is an integer sum; one
+    division, rounded once.
+
+    Scale: adjacent-pair projection (no self-join — ``slice`` pairs
+    within the token array) → (lang, w1, w2) hash aggregate; both
+    windows run over the BIGRAM TYPE table (vocabulary-sized), never
+    token occurrences.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    big = (
+        d.filter(F.size(t) >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.zip_with(
+                    F.slice(t, 1, F.size(t) - 1),
+                    F.slice(t, 2, F.size(t) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("lang", "p.w1", "p.w2")
+    )
+    bc = big.groupBy("lang", "w1", "w2").agg(F.count("*").alias("c"))
+    wctx = Window.partitionBy("lang", "w1")
+    wlang = Window.partitionBy("lang")
+    terms = bc.select(
+        "lang",
+        F.sum("c").over(wlang).alias("n"),
+        F.round(
+            1_000_000
+            * F.col("c")
+            * F.log(F.sum("c").over(wctx).cast("double") / F.col("c"))
+        )
+        .cast("long")
+        .alias("h_micro"),
+    )
+    return (
+        terms.groupBy("lang")
+        .agg(
+            F.min("n").alias("n_bigrams"),
+            F.round(
+                F.sum("h_micro").cast("double") / 1_000_000 / F.min("n"), 6
+            ).alias("entropy_rate_nats"),
+        )
+        .orderBy("lang")
+    )

@@ -1123,3 +1123,50 @@ class TestWaterfillBudgetAllocation:
         assert bool(out.loc["dd"]["capped"]) is True
         # no allocation exceeds availability
         assert (out["allocated"] <= out["available"]).all()
+
+
+class TestNgramEntropyRate:
+    def test_deterministic_vs_coin_flip_language(self, spark, tmp_path):
+        import math
+
+        from couchwarehouse_spark.plans.text import ngram_entropy_rate
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [
+                    # aa: every next token is determined → H = 0
+                    (0, "a b a b a b a b", "aa", "s"),
+                    # bb: after 'x' comes y or z 50/50 (4 of each) → each
+                    # of the 8 x-transitions contributes ln2; the 7
+                    # returns (y→x, z→x) are deterministic.
+                    (1, "x y x z x y x z x y x z x y x z", "bb", "s"),
+                ],
+            ),
+            d,
+            "documents",
+        )
+        out = ngram_entropy_rate(spark, d).toPandas().set_index("lang")
+        assert out.loc["aa"]["entropy_rate_nats"] == 0.0
+        # bb: 15 bigrams, 8 x→{y,z} each ln2, 7 returns 0 → 8·ln2/15
+        expect = round(8 * math.log(2) / 15, 6)
+        assert abs(out.loc["bb"]["entropy_rate_nats"] - expect) < 2e-6
+
+
+class TestStopShingleCapAudit:
+    def test_pair_work_accounting(self, spark, tmp_path):
+        from couchwarehouse_spark.plans import dedup as D
+
+        d = str(tmp_path / "sf")
+        # 60 docs share shingle "a b c" (df=60 > cap 50); one doc has a
+        # unique shingle tail.
+        rows = [(i, "a b c", "en", "s") for i in range(60)]
+        rows.append((100, "p q r", "en", "s"))
+        _write(_docs(spark, rows), d, "documents")
+        out = D.stop_shingle_cap_audit(spark, d).toPandas().iloc[0]
+        assert int(out["n_shingles"]) == 2
+        assert int(out["n_stop_shingles"]) == 1
+        assert int(out["pair_work_total"]) == 60 * 60 + 1
+        assert int(out["pair_work_capped"]) == 3600
+        assert out["pair_work_saved_share"] == round(3600 / 3601, 6)
