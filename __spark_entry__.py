@@ -64,10 +64,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # burstiness_fano_census, jackknife_source_sensitivity,
 # text_normalization_census, predicate_delete_cdc,
 # markov_conditional_entropy, funnel_latency_percentiles,
-# shipping_lag_census, normalized_dedup_gain, ann_shard_balance_plan
-# (20 total). Keep the 3 anchors + any round-7-changed entries, fill
-# the rest with this queue, then backfill with the stalest greens
-# (r03-and-earlier).
+# shipping_lag_census, normalized_dedup_gain, ann_shard_balance_plan,
+# boilerplate_suffix_census, star_flatten_export,
+# gini_source_concentration, waterfill_budget_allocation,
+# equidepth_histogram_bounds, ngram_entropy_rate,
+# stop_shingle_cap_audit (27 total). Keep the 3 anchors + any
+# round-7-changed entries, fill the rest with this queue, then
+# backfill with the stalest greens (r03-and-earlier).
 #    Displaced to fit (all r05-green and still t2-sim checked):
 #    anchors conform_projection, scd2_user_state_history,
 #    mango_selector_filter, minhash_lsh_candidates,
