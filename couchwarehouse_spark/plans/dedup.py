@@ -1631,3 +1631,80 @@ def stop_shingle_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(capped).cast("double") / F.sum(work), 6
         ).alias("pair_work_saved_share"),
     )
+
+
+INC_BATCH_MOD = 10  # doc_id % 10 == 0 plays the "incoming batch" role
+
+
+@query(
+    "incremental_dedup_probe",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) AS nh,
+             doc_id % {INC_BATCH_MOD} = 0 AS is_new
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT nh FROM h WHERE NOT is_new),
+    batch AS (SELECT source, nh FROM h WHERE is_new)
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_incoming,
+           CAST(sum(CASE WHEN c.nh IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_already_present,
+           round(CAST(sum(CASE WHEN c.nh IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+                 / count(*), 6) AS dup_vs_corpus_rate
+    FROM batch b LEFT JOIN corpus c USING (nh)
+    GROUP BY b.source
+    ORDER BY b.source
+    """,
+)
+def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the production shape: a new ingest batch
+    (stand-in: doc_id % {INC_BATCH_MOD} == 0) probed against the
+    ALREADY-COMMITTED corpus's normalized-hash index, per source. A
+    steady-state pipeline never re-dedups the corpus against itself on
+    every ingest; it maintains the hash index and runs exactly this
+    batch-vs-index semi-probe — cost proportional to the BATCH, not
+    the corpus (Lee et al. 2022 practice; the streaming complement of
+    exact_dedup's full-corpus census).
+
+    Exactness: md5 over the shared normalization pipeline; integer
+    counts, one division rounded once.
+
+    Scale: corpus side reduces to DISTINCT hashes once (map-side
+    combined; in production it IS the stored index — here derived in
+    the same query for the oracle); the probe is one equi hash join
+    keyed on the hash — the batch side is small, so AQE broadcasts it.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            "  +",
+            " ",
+        )
+    )
+    h = d.select(
+        "source",
+        F.md5(norm).alias("nh"),
+        (F.col("doc_id") % INC_BATCH_MOD == 0).alias("is_new"),
+    )
+    h = scoped_persist(h)
+    corpus = h.filter(~F.col("is_new")).select("nh").distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    batch = h.filter(F.col("is_new")).select("source", "nh")
+    hits = F.sum(F.col("_hit").isNotNull().cast("int")).cast("long")
+    return (
+        batch.join(corpus, "nh", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_incoming"),
+            hits.alias("n_already_present"),
+            F.round(hits.cast("double") / F.count("*"), 6).alias(
+                "dup_vs_corpus_rate"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1170,3 +1170,29 @@ class TestStopShingleCapAudit:
         assert int(out["pair_work_total"]) == 60 * 60 + 1
         assert int(out["pair_work_capped"]) == 3600
         assert out["pair_work_saved_share"] == round(3600 / 3601, 6)
+
+
+class TestIncrementalDedupProbe:
+    def test_batch_vs_corpus_hits(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.dedup import incremental_dedup_probe
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [
+                    # corpus (ids not % 10): one doc with text "same"
+                    (1, "same text here", "en", "s0"),
+                    (2, "other corpus doc", "en", "s0"),
+                    # batch (ids % 10 == 0): one dup (after norm), one new
+                    (10, "Same, Text HERE!", "en", "s0"),
+                    (20, "genuinely new", "en", "s0"),
+                ],
+            ),
+            d,
+            "documents",
+        )
+        out = incremental_dedup_probe(spark, d).toPandas().iloc[0]
+        assert int(out["n_incoming"]) == 2
+        assert int(out["n_already_present"]) == 1
+        assert out["dup_vs_corpus_rate"] == 0.5
