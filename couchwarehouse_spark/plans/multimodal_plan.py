@@ -341,3 +341,67 @@ def modality_pairing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("lang", "pairing")
     )
+
+
+PHASH_BITS = 12  # perceptual-hash band width for the bucket census
+
+
+@query(
+    "multimodal_phash_buckets",
+    oracle=f"""
+    WITH h AS (
+      SELECT source,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+               % {1 << PHASH_BITS} AS phash_band
+      FROM documents
+    ),
+    cells AS (
+      SELECT phash_band, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM h GROUP BY phash_band
+    )
+    SELECT phash_band, n_items, n_sources
+    FROM cells
+    WHERE n_items >= 2
+    ORDER BY n_items DESC, phash_band
+    LIMIT 40
+    """,
+)
+def multimodal_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash BAND buckets over binary media payloads — the
+    image-dedup blocking step (pHash/aHash banding, the visual twin of
+    MinHash-LSH): items whose hash band collides are near-dup
+    CANDIDATES for the expensive visual-verify stage, and the census
+    of multi-item bands (with their cross-source spread) is the
+    dedup-planning number. The hash here is the deterministic
+    stand-in (md5 band of the payload bytes — the container ships no
+    image libs; a real pHash is a drop-in for the hash expression),
+    but the PLUMBING is the real thing: binary column in, band key
+    out, band-keyed census, no decode, payload never shuffles.
+
+    Scale: one projection computes the band (bytes → 8 hex chars →
+    {PHASH_BITS}-bit band); the census is a band-keyed hash aggregate
+    whose exchange carries (band, counts) — never payload bytes; the
+    head is a bounded TopK.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    with_media = d.withColumn(
+        "media",
+        media_struct(F.encode("text", "utf-8"), F.lit("text/plain")),
+    )
+    band = (
+        F.conv(F.substring(F.md5(F.col("media.data")), 1, 8), 16, 10)
+        .cast("long")
+        % (1 << PHASH_BITS)
+    )
+    return (
+        with_media.select("source", band.alias("phash_band"))
+        .groupBy("phash_band")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .filter(F.col("n_items") >= 2)
+        .orderBy(F.col("n_items").desc(), "phash_band")
+        .limit(40)
+    )
