@@ -1196,3 +1196,81 @@ class TestIncrementalDedupProbe:
         assert int(out["n_incoming"]) == 2
         assert int(out["n_already_present"]) == 1
         assert out["dup_vs_corpus_rate"] == 0.5
+
+
+class TestWaterfillRandomizedModel:
+    @staticmethod
+    def _model(avail: dict, num: int, den: int) -> dict:
+        """Independent pure-Python water-fill: simulate pouring the
+        budget one 'round' at a time (exact integer arithmetic)."""
+        budget = num * sum(avail.values()) // den
+        alloc = dict.fromkeys(avail, 0)
+        remaining = dict(avail)
+        while budget > 0 and any(remaining.values()):
+            live = sorted(k for k, v in remaining.items() if v > 0)
+            level = budget // len(live)
+            if level == 0:
+                # distribute the last few units to the first ranks of
+                # the CAPPED set in ascending-availability order — the
+                # same deterministic remainder rule as the operator
+                order = sorted(live, key=lambda k: (avail[k], k))
+                for k in order[:budget]:
+                    alloc[k] += 1
+                    remaining[k] -= 1
+                budget = 0
+                break
+            take_any = False
+            for k in live:
+                t = min(level, remaining[k])
+                if t:
+                    alloc[k] += t
+                    remaining[k] -= t
+                    budget -= t
+                    take_any = True
+            if not take_any:
+                break
+        return alloc
+
+    def test_random_corpora_match_model_invariants(self, spark, tmp_path):
+        import random
+
+        from couchwarehouse_spark.plans.sampling import (
+            WF_BUDGET_DEN,
+            WF_BUDGET_NUM,
+            waterfill_budget_allocation,
+        )
+
+        rng = random.Random(7)
+        for trial in range(4):
+            langs = [f"l{j}" for j in range(rng.randrange(2, 7))]
+            rows, avail = [], {}
+            for j, lg in enumerate(langs):
+                n_tok = rng.randrange(1, 40)
+                avail[lg] = n_tok
+                rows.append((trial * 100 + j, " ".join(["t"] * n_tok), lg, "s"))
+            d = str(tmp_path / f"sf{trial}")
+            _write(_docs(spark, rows), d, "documents")
+            out = (
+                waterfill_budget_allocation(spark, d)
+                .toPandas()
+                .set_index("lang")
+            )
+            total = sum(avail.values())
+            budget = WF_BUDGET_NUM * total // WF_BUDGET_DEN
+            # hard invariants
+            assert int(out["allocated"].sum()) == budget, (trial, avail)
+            assert (out["allocated"] <= out["available"]).all()
+            # max-min fairness: no uncapped language may receive less
+            # than any capped language's allocation
+            capped_alloc = out[out["capped"]]["allocated"]
+            if len(capped_alloc):
+                floor_cap = int(capped_alloc.min())
+                uncapped = out[~out["capped"]]
+                assert (uncapped["allocated"] <= floor_cap + 1).all(), (
+                    trial,
+                    avail,
+                )
+            # exact match against the independent pouring model
+            model = self._model(avail, WF_BUDGET_NUM, WF_BUDGET_DEN)
+            got = {lg: int(out.loc[lg]["allocated"]) for lg in avail}
+            assert got == model, (trial, avail)
