@@ -1426,3 +1426,80 @@ def equidepth_histogram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "mutual_information_audit",
+    oracle="""
+    WITH cell AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT a, b, c,
+             CAST(sum(c) OVER (PARTITION BY a) AS BIGINT) AS ca,
+             CAST(sum(c) OVER (PARTITION BY b) AS BIGINT) AS cb,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM cell
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(CAST(sum(CAST(round(1000000 * c * ln(
+                   (CAST(c AS DOUBLE) * n) / (CAST(ca AS DOUBLE) * cb)
+                 )) AS BIGINT)) AS DOUBLE) / 1000000 / max(n), 6)
+             AS mi_nats
+    FROM terms
+    """,
+)
+def mutual_information_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(priority; status) from the exact
+    contingency table — the feature-selection / leakage screen
+    (Cover & Thomas; what MI-based filters and the G-test both reduce
+    to): near 0 nats means the columns are independent (dropping one
+    costs nothing, joining on both wins nothing); large MI on a
+    (feature, label) pair before a split is the classic
+    target-leakage alarm. Σ p(a,b)·ln(p(a,b)/(p(a)p(b))).
+
+    Exactness: each cell's c·ln(cN/(c_a·c_b)) quantizes to integer
+    micro-nats once (the source_kl_divergence idiom — marginals are
+    window sums over the CELL table, all integers); the reduce is an
+    integer sum; one division, rounded once.
+
+    Scale: one |A|×|B|-group hash aggregate with map-side partials;
+    every window runs over the contingency CELLS (dozens of rows),
+    never the fact table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+    ).agg(F.count("*").alias("c"))
+    wa, wb, wall = (
+        Window.partitionBy("a"),
+        Window.partitionBy("b"),
+        Window.partitionBy(),
+    )
+    terms = cell.select(
+        "c",
+        F.sum("c").over(wall).alias("n"),
+        F.round(
+            1_000_000
+            * F.col("c")
+            * F.log(
+                (F.col("c").cast("double") * F.sum("c").over(wall))
+                / (
+                    F.sum("c").over(wa).cast("double")
+                    * F.sum("c").over(wb)
+                )
+            )
+        )
+        .cast("long")
+        .alias("mi_micro"),
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.count("*").alias("n_cells"),
+        F.round(
+            F.sum("mi_micro").cast("double") / 1_000_000 / F.max("n"), 6
+        ).alias("mi_nats"),
+    )

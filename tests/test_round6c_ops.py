@@ -1274,3 +1274,36 @@ class TestWaterfillRandomizedModel:
             model = self._model(avail, WF_BUDGET_NUM, WF_BUDGET_DEN)
             got = {lg: int(out.loc[lg]["allocated"]) for lg in avail}
             assert got == model, (trial, avail)
+
+
+class TestMutualInformationAudit:
+    def test_independent_and_dependent(self, spark, tmp_path):
+        import datetime as dt
+        import math
+
+        from couchwarehouse_spark.plans.statistics import (
+            mutual_information_audit,
+        )
+
+        d = str(tmp_path / "sf")
+
+        def orders(rows):
+            return spark.createDataFrame(
+                [
+                    (i, 1, pr, stat, dt.date(2024, 1, 1), 10.0)
+                    for i, (pr, stat) in enumerate(rows)
+                ],
+                "o_orderkey long, o_custkey long, o_orderpriority string, "
+                "o_orderstatus string, o_orderdate date, o_totalprice double",
+            )
+
+        # Independent: every (priority, status) combo equally likely.
+        rows = [(p, s) for p in ("HI", "LO") for s in ("O", "F")] * 5
+        _write(orders(rows), d, "orders")
+        out = mutual_information_audit(spark, d).toPandas().iloc[0]
+        assert out["mi_nats"] == 0.0
+        # Perfectly dependent binary pair → MI = ln 2.
+        rows = [("HI", "O")] * 10 + [("LO", "F")] * 10
+        _write(orders(rows), d, "orders")
+        out = mutual_information_audit(spark, d).toPandas().iloc[0]
+        assert abs(out["mi_nats"] - round(math.log(2), 6)) < 1e-6
