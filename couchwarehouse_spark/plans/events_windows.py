@@ -1370,3 +1370,85 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(0.90).alias("p90_latency_us"),
         at(0.99).alias("p99_latency_us"),
     )
+
+
+ACF_MAX_LAG = 7  # autocorrelation lags reported (days)
+
+
+@query(
+    "event_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY day
+    ),
+    lagk AS (
+      SELECT k.lag AS lag, d.c AS x, l.c AS y
+      FROM (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag) k
+      JOIN daily d ON TRUE
+      JOIN daily l ON l.day = d.day + CAST(k.lag AS INTEGER)
+    ),
+    m AS (
+      SELECT lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM lagk GROUP BY lag
+    )
+    SELECT lag, n AS n_pairs,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS acf
+    FROM m
+    ORDER BY lag
+    """,
+)
+def event_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..{ACF_MAX_LAG} autocorrelation of the daily event-count
+    series — the seasonality detector (Box-Jenkins ACF): a spike at
+    lag 7 is weekly rhythm, slow decay is trend, white noise hovers
+    near 0 — what decides whether the anomaly gates elsewhere in this
+    module need seasonal baselines. Pearson r between the series and
+    its k-day shift, pairs matched on exact calendar dates (gaps
+    excluded, both engines identically).
+
+    Exactness: all five sufficient statistics (Σx Σy Σx² Σy² Σxy) are
+    exact integer sums per lag; ONE float expression (the normalized
+    ratio) evaluates on identical doubles in both engines, rounded
+    once — the moment_stats discipline.
+
+    Scale: the daily series is |days| rows (one partial-aggregated
+    count); the lag join and per-lag reduce run over that tiny series
+    × {ACF_MAX_LAG} lags. Nothing event-sized moves twice.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    daily = scoped_persist(daily)
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    d = daily.select(F.col("day").alias("d0"), F.col("c").alias("x"))
+    l = daily.select(F.col("day").alias("d1"), F.col("c").alias("y"))
+    lagk = (
+        d.crossJoin(F.broadcast(lags))
+        .join(l, F.col("d1") == F.date_add(F.col("d0"), F.col("lag")))
+    )
+    n, sx, sy = F.count("*"), F.sum("x"), F.sum("y")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    sxy = F.sum(F.col("x") * F.col("y"))
+    num = n.cast("double") * sxy - sx.cast("double") * sy
+    den = F.sqrt(
+        (n.cast("double") * sxx - sx.cast("double") * sx)
+        * (n.cast("double") * syy - sy.cast("double") * sy)
+    )
+    return (
+        lagk.groupBy("lag")
+        .agg(n.alias("n_pairs"), F.round(num / den, 6).alias("acf"))
+        .orderBy("lag")
+    )

@@ -983,3 +983,68 @@ def star_flatten_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey", "l_linenumber")
         .limit(STAR_HEAD)
     )
+
+
+# Candidate functional dependencies to audit: (name, table, det, dep).
+FD_CANDIDATES = [
+    ("nation->region", "nation", "n_nationkey", "n_regionkey"),
+    ("custkey->nationkey", "customer", "c_custkey", "c_nationkey"),
+    ("custkey->mktsegment", "customer", "c_custkey", "c_mktsegment"),
+    ("orderpriority->orderstatus", "orders", "o_orderpriority", "o_orderstatus"),
+    ("partbrand->parttype", "part", "p_brand", "p_type"),
+]
+
+_FD_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{name}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_keys,
+           round(CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS violation_rate
+    FROM (
+      SELECT {det}, count(DISTINCT {dep}) AS ndep
+      FROM {table} GROUP BY {det}
+    )
+    """
+    for name, table, det, dep in FD_CANDIDATES
+)
+
+
+@query(
+    "functional_dependency_audit",
+    oracle=f"SELECT * FROM ({_FD_ORACLE}) ORDER BY fd",
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (the profiling step behind
+    normalization and dbt `unique`/`accepted_values`-style contracts,
+    cf. TANE/Metanome FD discovery): for each candidate X→Y, how many
+    X keys map to MORE than one Y — 0 violating keys certifies the
+    dependency (safe to normalize Y out / join on X alone); a nonzero
+    rate quantifies how far the data is from it. True FDs here
+    (nation→region, custkey→*) audit at zero; the deliberately-false
+    candidates (priority→status, brand→type) show the measure.
+
+    Exactness: per-key distinct counts and the violation census are
+    exact integers; one division per FD, rounded once.
+
+    Scale: each candidate is one (det)-keyed count-distinct aggregate
+    (two-level partial agg — the k_anonymity_audit shape) reduced to
+    three counters; candidates are independent unions and run
+    concurrently.
+    """
+    out = None
+    for name, table, det, dep in FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table)
+        per = t.groupBy(det).agg(F.countDistinct(dep).alias("ndep"))
+        viol = F.sum((F.col("ndep") > 1).cast("int")).cast("long")
+        row = per.agg(
+            F.lit(name).alias("fd"),
+            F.count("*").alias("n_keys"),
+            viol.alias("n_violating_keys"),
+            F.round(viol.cast("double") / F.count("*"), 6).alias(
+                "violation_rate"
+            ),
+        ).select("fd", "n_keys", "n_violating_keys", "violation_rate")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fd")

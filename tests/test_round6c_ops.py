@@ -1307,3 +1307,65 @@ class TestMutualInformationAudit:
         _write(orders(rows), d, "orders")
         out = mutual_information_audit(spark, d).toPandas().iloc[0]
         assert abs(out["mi_nats"] - round(math.log(2), 6)) < 1e-6
+
+
+class TestFunctionalDependencyAudit:
+    def test_true_and_violated_fd(self, spark, tmp_path):
+        import datetime as dt
+
+        from couchwarehouse_spark.plans.relational_extra import (
+            functional_dependency_audit,
+        )
+
+        d = str(tmp_path / "sf")
+        _write(spark.createDataFrame([(0, 0), (1, 0)], "n_nationkey long, n_regionkey long"), d, "nation")
+        _write(spark.createDataFrame([(0, 0, "A"), (1, 1, "B")], "c_custkey long, c_nationkey long, c_mktsegment string"), d, "customer")
+        _write(
+            spark.createDataFrame(
+                # priority HI maps to TWO statuses → 1 violating key of 2
+                [(0, 0, "HI", "O", dt.date(2024, 1, 1), 1.0),
+                 (1, 0, "HI", "F", dt.date(2024, 1, 1), 1.0),
+                 (2, 0, "LO", "O", dt.date(2024, 1, 1), 1.0)],
+                "o_orderkey long, o_custkey long, o_orderpriority string, o_orderstatus string, o_orderdate date, o_totalprice double",
+            ),
+            d,
+            "orders",
+        )
+        _write(spark.createDataFrame([(0, "B1", "T1")], "p_partkey long, p_brand string, p_type string"), d, "part")
+        out = functional_dependency_audit(spark, d).toPandas().set_index("fd")
+        assert int(out.loc["nation->region"]["n_violating_keys"]) == 0
+        row = out.loc["orderpriority->orderstatus"]
+        assert (int(row["n_keys"]), int(row["n_violating_keys"])) == (2, 1)
+        assert row["violation_rate"] == 0.5
+
+
+class TestEventAutocorrelation:
+    def test_alternating_series_lag_signs(self, spark, tmp_path):
+        import datetime as dt
+
+        from couchwarehouse_spark.plans.events_windows import (
+            event_autocorrelation,
+        )
+
+        d = str(tmp_path / "sf")
+        rows = []
+        eid = 0
+        # daily counts alternate 1,3,1,3,... over 10 days → ACF(1) = -1,
+        # ACF(2) = +1 exactly.
+        for day in range(1, 11):
+            n = 1 if day % 2 else 3
+            for k in range(n):
+                rows.append((eid, dt.datetime(2024, 1, day, 8 + k), 1, "view", 1.0, "{}"))
+                eid += 1
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+            ),
+            d,
+            "events",
+        )
+        out = event_autocorrelation(spark, d).toPandas().set_index("lag")
+        assert out.loc[1]["acf"] == -1.0
+        assert out.loc[2]["acf"] == 1.0
+        assert int(out.loc[1]["n_pairs"]) == 9
