@@ -1452,3 +1452,84 @@ def event_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(n.alias("n_pairs"), F.round(num / den, 6).alias("acf"))
         .orderBy("lag")
     )
+
+
+@query(
+    "cusum_changepoint_scan",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY day
+    ),
+    pre AS (
+      SELECT day, c,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+             CAST(sum(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS pfx,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(c) OVER () AS BIGINT) AS t
+      FROM daily
+    ),
+    s AS (
+      SELECT day, k, n, t,
+             abs(n * pfx - k * t) AS s_abs,
+             -- single-integer argmax key: peak first, EARLIEST day on
+             -- ties (k < 1e6 always; s_abs * 1e6 stays in BIGINT)
+             abs(n * pfx - k * t) * 1000000 - k AS akey
+      FROM pre
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_days,
+           strftime(max_by(day, akey), '%Y-%m-%d') AS changepoint_day,
+           CAST(max_by(k, akey) AS BIGINT) AS changepoint_rank,
+           round(CAST(max(s_abs) AS DOUBLE) / (max(n) * max(t)), 6)
+             AS cusum_peak_share
+    FROM s
+    """,
+)
+def cusum_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily event-count series (Page
+    1954; the binary-segmentation pivot every drift monitor computes):
+    the day k maximizing |Σ_{i≤k}(cᵢ − mean)| is the single best
+    level-shift estimate, and the normalized peak says how sharp the
+    break is (≈0 for a flat series). The alarm that tells a pipeline
+    'ingest volume changed regime HERE — resegment your baselines'.
+
+    Exactness: the CUSUM is kept SCALED BY n: n·prefix_k − k·total is
+    an exact integer identical to n·Σ(cᵢ−mean) — no division enters
+    until the single reported share, and the argmax is tie-broken to
+    the earliest day in both engines.
+
+    Scale: one day-keyed partial-aggregated count; every window and
+    the argmax run over the |days| series.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("day")
+    pre = daily.select(
+        "day",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("pfx"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+        F.sum("c").over(Window.partitionBy()).alias("t"),
+    )
+    s_scaled = F.col("n") * F.col("pfx") - F.col("k") * F.col("t")
+    s = pre.select(
+        "day",
+        "k",
+        "n",
+        "t",
+        F.abs(s_scaled).alias("s_abs"),
+        (F.abs(s_scaled) * 1_000_000 - F.col("k")).alias("akey"),
+    )
+    return s.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.date_format(F.max_by("day", F.col("akey")), "yyyy-MM-dd").alias(
+            "changepoint_day"
+        ),
+        F.max_by("k", F.col("akey")).cast("long").alias("changepoint_rank"),
+        F.round(
+            F.max("s_abs").cast("double") / (F.max("n") * F.max("t")), 6
+        ).alias("cusum_peak_share"),
+    )

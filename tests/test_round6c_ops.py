@@ -1369,3 +1369,33 @@ class TestEventAutocorrelation:
         assert out.loc[1]["acf"] == -1.0
         assert out.loc[2]["acf"] == 1.0
         assert int(out.loc[1]["n_pairs"]) == 9
+
+
+class TestCusumChangepointScan:
+    def test_level_shift_found_at_break(self, spark, tmp_path):
+        import datetime as dt
+
+        from couchwarehouse_spark.plans.events_windows import (
+            cusum_changepoint_scan,
+        )
+
+        d = str(tmp_path / "sf")
+        rows, eid = [], 0
+        # 1 event/day for days 1-6, then 5/day for days 7-12 →
+        # |CUSUM| peaks at the last pre-break day (rank 6).
+        for day in range(1, 13):
+            for k in range(1 if day <= 6 else 5):
+                rows.append((eid, dt.datetime(2024, 1, day, 8 + k), 1, "view", 1.0, "{}"))
+                eid += 1
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+            ),
+            d,
+            "events",
+        )
+        out = cusum_changepoint_scan(spark, d).toPandas().iloc[0]
+        assert out["changepoint_day"] == "2024-01-06"
+        assert int(out["changepoint_rank"]) == 6
+        assert out["cusum_peak_share"] > 0.1
