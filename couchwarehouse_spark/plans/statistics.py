@@ -1503,3 +1503,87 @@ def mutual_information_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("mi_micro").cast("double") / 1_000_000 / F.max("n"), 6
         ).alias("mi_nats"),
     )
+
+
+@query(
+    "abtest_two_proportion_z",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, user_id % 2 = 0 AS in_a,
+             CAST(CASE WHEN
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             THEN 1 ELSE 0 END AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN in_a THEN converted ELSE 0 END) AS BIGINT) AS x_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE converted END) AS BIGINT) AS x_b
+      FROM assign
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           round(CAST(x_a AS DOUBLE) / n_a, 6) AS p_a,
+           round(CAST(x_b AS DOUBLE) / n_b, 6) AS p_b,
+           round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
+    FROM cells
+    """,
+)
+def abtest_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test — THE A/B-test readout (the
+    two-sample binomial z with pooled variance every experimentation
+    platform reports): per-user conversion (any purchase) under a
+    deterministic 50/50 assignment (user_id parity — the hash-bucket
+    stand-in for a real experiment key), reduced to the four counts
+    and the z statistic. |z| > 1.96 is the classic 95% call; on
+    parity-assigned synthetic data it should hover near 0 — which is
+    exactly the A/A-test sanity check experimentation platforms run.
+
+    Exactness: all four cells are integer sums (conversion is one
+    integer comparison per user); ONE float
+    expression forms the z on identical doubles, rounded once.
+
+    Scale: one user-keyed aggregate (partial max) then a single
+    4-counter global sum. Nothing else moves.
+    """
+    e = load_table(spark, sf_dir, "events")
+    assign = (
+        e.groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("event_type") == "purchase").cast("int"))
+                > F.sum((F.col("event_type") == "view").cast("int"))
+            )
+            .cast("long")
+            .alias("converted")
+        )
+        .select((F.col("user_id") % 2 == 0).alias("in_a"), "converted")
+    )
+    cells = assign.agg(
+        F.sum(F.col("in_a").cast("int")).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("in_a"), F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x_a"),
+        F.sum((~F.col("in_a")).cast("int")).cast("long").alias("n_b"),
+        F.sum(F.when(~F.col("in_a"), F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+    pa = F.col("x_a").cast("double") / F.col("n_a")
+    pb = F.col("x_b").cast("double") / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (pa - pb) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return cells.select(
+        "n_a", "x_a", "n_b", "x_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(z, 6).alias("z_stat"),
+    )

@@ -1399,3 +1399,44 @@ class TestCusumChangepointScan:
         assert out["changepoint_day"] == "2024-01-06"
         assert int(out["changepoint_rank"]) == 6
         assert out["cusum_peak_share"] > 0.1
+
+
+class TestAbtestTwoProportionZ:
+    def test_planted_lift_z_by_hand(self, spark, tmp_path):
+        import datetime as dt
+        import math
+
+        from couchwarehouse_spark.plans.statistics import (
+            abtest_two_proportion_z,
+        )
+
+        d = str(tmp_path / "sf")
+        rows, eid = [], 0
+        t0 = dt.datetime(2024, 1, 1, 9)
+
+        def user(u, purchases, views):
+            nonlocal eid
+            for _ in range(purchases):
+                rows.append((eid, t0, u, "purchase", 1.0, "{}")); eid += 1
+            for _ in range(views):
+                rows.append((eid, t0, u, "view", 1.0, "{}")); eid += 1
+
+        # A (even ids): 4 users, 3 convert. B (odd): 4 users, 1 converts.
+        for u, conv in ((0, 1), (2, 1), (4, 1), (6, 0)):
+            user(u, 2 if conv else 1, 1 if conv else 2)
+        for u, conv in ((1, 1), (3, 0), (5, 0), (7, 0)):
+            user(u, 2 if conv else 1, 1 if conv else 2)
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+            ),
+            d,
+            "events",
+        )
+        out = abtest_two_proportion_z(spark, d).toPandas().iloc[0]
+        assert (int(out["n_a"]), int(out["x_a"])) == (4, 3)
+        assert (int(out["n_b"]), int(out["x_b"])) == (4, 1)
+        pool = 4 / 8
+        z = (0.75 - 0.25) / math.sqrt(pool * (1 - pool) * (1 / 4 + 1 / 4))
+        assert abs(out["z_stat"] - round(z, 6)) < 1e-9
