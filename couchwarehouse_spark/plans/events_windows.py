@@ -1533,3 +1533,84 @@ def cusum_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("s_abs").cast("double") / (F.max("n") * F.max("t")), 6
         ).alias("cusum_peak_share"),
     )
+
+
+@query(
+    "churn_hazard_table",
+    oracle="""
+    WITH life AS (
+      SELECT user_id,
+             date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+               AS lifetime_days
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT lifetime_days AS t, CAST(count(*) AS BIGINT) AS d_t
+      FROM life GROUP BY lifetime_days
+    ),
+    tot AS (SELECT CAST(sum(d_t) AS BIGINT) AS n FROM d),
+    haz AS (
+      SELECT t, d_t,
+             tot.n - CAST(coalesce(sum(d_t) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS n_at_risk
+      FROM d CROSS JOIN tot
+    )
+    SELECT t AS lifetime_days, n_at_risk, d_t AS n_ended,
+           round(CAST(d_t AS DOUBLE) / n_at_risk, 6) AS hazard
+    FROM haz
+    ORDER BY t
+    LIMIT 30
+    """,
+)
+def churn_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time hazard table of user lifetimes (observed span
+    from first to last event, in days) — the Kaplan-Meier / life-table
+    input (Kaplan & Meier 1958): at each lifetime t, how many users
+    were still 'at risk' and how many ended exactly there; hazard =
+    d_t / n_t. The survival curve is the running product of
+    (1 − hazard) — kept OUT of the query so every reported number
+    stays one exact integer division (the product is one
+    driver-side fold over ≤30 rows). The retention sibling of
+    cohort_retention: that one fixes calendar cohorts; this one is
+    calendar-free time-to-churn.
+
+    Exactness: lifetimes are integer day spans; n_at_risk is the
+    reverse cumulative sum N − Σ_{s<t} d_s — exact integers; one
+    division per row, rounded once.
+
+    Scale: one user-keyed min/max aggregate (partial-combined), then
+    every window runs over the |distinct lifetimes| table. Head is a
+    bounded TopK.
+    """
+    e = load_table(spark, sf_dir, "events")
+    life = e.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts")).cast("date"), F.min(F.col("ts")).cast("date")
+        ).alias("t")
+    )
+    d = life.groupBy("t").agg(F.count("*").alias("d_t"))
+    tot = d.agg(F.sum("d_t").alias("n"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    haz = (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "d_t",
+            (F.col("n") - F.coalesce(F.sum("d_t").over(w), F.lit(0))).alias(
+                "n_at_risk"
+            ),
+        )
+    )
+    return (
+        haz.select(
+            F.col("t").alias("lifetime_days"),
+            "n_at_risk",
+            F.col("d_t").alias("n_ended"),
+            F.round(F.col("d_t").cast("double") / F.col("n_at_risk"), 6).alias(
+                "hazard"
+            ),
+        )
+        .orderBy("lifetime_days")
+        .limit(30)
+    )

@@ -1440,3 +1440,36 @@ class TestAbtestTwoProportionZ:
         pool = 4 / 8
         z = (0.75 - 0.25) / math.sqrt(pool * (1 - pool) * (1 / 4 + 1 / 4))
         assert abs(out["z_stat"] - round(z, 6)) < 1e-9
+
+
+class TestChurnHazardTable:
+    def test_life_table_by_hand(self, spark, tmp_path):
+        import datetime as dt
+
+        from couchwarehouse_spark.plans.events_windows import churn_hazard_table
+
+        d = str(tmp_path / "sf")
+        rows, eid = [], 0
+
+        def user(u, days):
+            nonlocal eid
+            for dd in days:
+                rows.append((eid, dt.datetime(2024, 1, dd, 9), u, "view", 1.0, "{}"))
+                eid += 1
+
+        # lifetimes: u1=0 (one day), u2=0, u3=2, u4=5
+        user(1, [3]); user(2, [7]); user(3, [1, 3]); user(4, [2, 7])
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+            ),
+            d,
+            "events",
+        )
+        out = churn_hazard_table(spark, d).toPandas().set_index("lifetime_days")
+        assert (int(out.loc[0]["n_at_risk"]), int(out.loc[0]["n_ended"])) == (4, 2)
+        assert out.loc[0]["hazard"] == 0.5
+        assert (int(out.loc[2]["n_at_risk"]), int(out.loc[2]["n_ended"])) == (2, 1)
+        assert (int(out.loc[5]["n_at_risk"]), int(out.loc[5]["n_ended"])) == (1, 1)
+        assert out.loc[5]["hazard"] == 1.0
