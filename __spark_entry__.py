@@ -68,9 +68,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # boilerplate_suffix_census, star_flatten_export,
 # gini_source_concentration, waterfill_budget_allocation,
 # equidepth_histogram_bounds, ngram_entropy_rate,
-# stop_shingle_cap_audit (27 total). Keep the 3 anchors + any
-# round-7-changed entries, fill the rest with this queue, then
-# backfill with the stalest greens (r03-and-earlier).
+# stop_shingle_cap_audit, incremental_dedup_probe,
+# multimodal_phash_buckets, mutual_information_audit,
+# functional_dependency_audit, event_autocorrelation,
+# cusum_changepoint_scan, abtest_two_proportion_z,
+# churn_hazard_table (34 total — more than one window's spare
+# capacity, so round 7 rotates ~30 in and round 8 takes the rest).
+# Keep the 3 anchors + any round-7-changed entries, fill the rest
+# with this queue, then backfill with the stalest greens
+# (r03-and-earlier).
 #    Displaced to fit (all r05-green and still t2-sim checked):
 #    anchors conform_projection, scd2_user_state_history,
 #    mango_selector_filter, minhash_lsh_candidates,
