@@ -1365,13 +1365,19 @@ class Warehouse:
         else:
             matched = aff.filter(cond)
             keep = aff.filter(~F.coalesce(cond, F.lit(False)))
-            updated = matched
-            for col, expr in assignments.items():
+            for col in assignments:
                 if col not in state.columns or col in (SEQ_COL, "_cw_bucket", "id"):
                     raise ValueError(f"cannot update column {col!r}")
-                updated = updated.withColumn(
-                    col, F.expr(expr) if isinstance(expr, str) else expr
-                )
+            # ONE simultaneous projection (ANSI UPDATE semantics): every
+            # SET expression evaluates against the OLD row — a chained
+            # withColumn loop would leak earlier assignments into later
+            # RHS expressions and make the result order-dependent.
+            updated = matched.withColumns(
+                {
+                    col: F.expr(expr) if isinstance(expr, str) else expr
+                    for col, expr in assignments.items()
+                }
+            )
             cons = self.constraints.get(doc_type, {})
             if cons:
                 enforced = self._enforce_constraints(updated, doc_type)

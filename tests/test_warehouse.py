@@ -1661,3 +1661,19 @@ def test_changes_bounded_window(spark, tmp_path):
     # unbounded reaches the head: the v3 insert appears too
     full = {r["id"]: r["change_type"] for r in wh.changes(1).collect()}
     assert full["zzz1"] == "insert"
+
+
+def test_update_where_simultaneous_set_semantics(spark, tmp_path):
+    """ANSI UPDATE: every SET expression sees the OLD row — a swap
+    assignment {a: b, b: a} must actually swap, not copy."""
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=5)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "swapdata", n_buckets=2)
+    wh.spool(feed)
+    before = {r["id"]: (r["name"], r["address_street"]) for r in wh.table().collect()}
+    n = wh.update_where(
+        "age >= 0", {"name": "address_street", "address_street": "name"}
+    )
+    assert n == 5
+    after = {r["id"]: (r["name"], r["address_street"]) for r in wh.table().collect()}
+    for pid, (nm, st) in before.items():
+        assert after[pid] == (st, nm), pid
