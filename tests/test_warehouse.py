@@ -1677,3 +1677,37 @@ def test_update_where_simultaneous_set_semantics(spark, tmp_path):
     after = {r["id"]: (r["name"], r["address_street"]) for r in wh.table().collect()}
     for pid, (nm, st) in before.items():
         assert after[pid] == (st, nm), pid
+
+
+def test_delete_where_crash_before_commit_leaves_table_intact(spark, tmp_path):
+    """Crash injection: if the manifest commit dies AFTER the rewrite
+    published its part files, the table still reads the previous
+    version (orphans are invisible), and vacuum(min_age_seconds=0)
+    reclaims them."""
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=20)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "crashdml", n_buckets=2)
+    wh.spool(feed)
+    v1 = wh._load_manifest(wh._table_path("_default"))["version"]
+    before = sorted(r["id"] for r in wh.table().collect())
+
+    orig = Warehouse._commit_manifest
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected crash before manifest commit")
+
+    Warehouse._commit_manifest = boom
+    try:
+        import pytest as _pt
+        with _pt.raises(RuntimeError, match="injected"):
+            wh.delete_where("age >= 0")
+    finally:
+        Warehouse._commit_manifest = orig
+    # Table unchanged, version unchanged.
+    assert wh._load_manifest(wh._table_path("_default"))["version"] == v1
+    assert sorted(r["id"] for r in wh.table().collect()) == before
+    # The published-but-uncommitted part files are reclaimable orphans.
+    wh.vacuum(min_age_seconds=0)
+    assert sorted(r["id"] for r in wh.table().collect()) == before
+    # And the verb still works afterwards.
+    n = wh.delete_where("age >= 0")
+    assert n == 20 and wh.table().count() == 0
