@@ -2385,3 +2385,84 @@ def ann_shard_balance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+DIM_TOP = 10  # most-variant dimensions reported
+
+
+@query(
+    "embedding_dim_stats_audit",
+    oracle=f"""
+    WITH flat AS (
+      SELECT unnest(range(0, len(embedding))) AS dim,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      FROM embeddings
+    ),
+    per AS (
+      SELECT dim,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(round(x * 1000000) AS BIGINT)
+                    * CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS sxx
+      FROM flat GROUP BY dim
+    )
+    SELECT dim,
+           round(CAST(sx AS DOUBLE) / n / 1000000, 6) AS mean_val,
+           round((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 / (CAST(n AS DOUBLE) * n) / 1e12, 6) AS pop_variance
+    FROM per
+    ORDER BY pop_variance DESC, dim
+    LIMIT {DIM_TOP}
+    """,
+)
+def embedding_dim_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding statistics, top-{DIM_TOP} by variance —
+    the embedding-health audit that catches dead dimensions (variance
+    ≈ 0: wasted capacity), runaway dimensions (variance ≫ others:
+    they dominate every dot product), and mean offsets (uncentered
+    spaces break cosine assumptions) — the per-axis complement of
+    embedding_norm_audit (per-vector) and the diagnostic read before
+    the whitening the Gram/PCA entries implement.
+
+    Exactness: values quantize to integer MICRO units once; per-dim
+    moments are integer sums and the population variance is the
+    cross-multiplied form (n·Σx²−(Σx)²)/n² — one division pair,
+    rounded once (the moment_stats discipline in fixed point).
+
+    Scale: posexplode fans each vector into (dim, value) rows — d×N,
+    map-side partial-aggregated down to d rows before the exchange;
+    the top-k head is a bounded sort over d rows. At 100 TB do the
+    same with per-partition Σ/Σ² accumulated via fold — same shape,
+    no explode; kept explicit here for the oracle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        )
+    )
+    q = F.round(F.col("x") * 1_000_000).cast("long")
+    per = flat.select("dim", q.alias("qx")).groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("qx").alias("sx"),
+        F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+    )
+    return (
+        per.select(
+            "dim",
+            F.round(F.col("sx").cast("double") / F.col("n") / 1_000_000, 6).alias(
+                "mean_val"
+            ),
+            F.round(
+                (
+                    F.col("n").cast("double") * F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+                / (F.col("n").cast("double") * F.col("n"))
+                / 1e12,
+                6,
+            ).alias("pop_variance"),
+        )
+        .orderBy(F.col("pop_variance").desc(), "dim")
+        .limit(DIM_TOP)
+    )

@@ -1473,3 +1473,35 @@ class TestChurnHazardTable:
         assert (int(out.loc[2]["n_at_risk"]), int(out.loc[2]["n_ended"])) == (2, 1)
         assert (int(out.loc[5]["n_at_risk"]), int(out.loc[5]["n_ended"])) == (1, 1)
         assert out.loc[5]["hazard"] == 1.0
+
+
+class TestEmbeddingDimStatsAudit:
+    def test_planted_dims(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.similarity import (
+            embedding_dim_stats_audit,
+        )
+
+        d = str(tmp_path / "sf")
+        # dim0 constant 0.5 (variance 0), dim1 alternates ±1 (pop var 1,
+        # mean 0); remaining dims zero.
+        vecs = []
+        for i in range(10):
+            v = [0.5, 1.0 if i % 2 else -1.0] + [0.0] * 62
+            vecs.append((i, v, 0))
+        _write(
+            spark.createDataFrame(
+                vecs, "vec_id long, embedding array<float>, label int"
+            ),
+            d,
+            "embeddings",
+        )
+        out = embedding_dim_stats_audit(spark, d).toPandas()
+        top = out.iloc[0]
+        assert int(top["dim"]) == 1
+        assert top["pop_variance"] == 1.0
+        assert top["mean_val"] == 0.0
+        # dim0 appears with variance 0 and mean 0.5
+        d0 = out[out["dim"] == 0]
+        if len(d0):
+            assert d0.iloc[0]["pop_variance"] == 0.0
+            assert d0.iloc[0]["mean_val"] == 0.5
