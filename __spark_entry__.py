@@ -127,7 +127,7 @@ PRIORITY = [
     "conversion_attribution",
     "skyline_cheap_early_orders",
     "ks_drift_doclen",
-    # --- 12 NEW operators, batches 6-7 this round ---
+    # --- 11 NEW operators, batches 6-7 this round ---
     "mannwhitney_drift_doclen",
     "chi2_term_keyness",
     "event_lateness_census",
@@ -139,7 +139,7 @@ PRIORITY = [
     "feature_hashing_vectorizer",
     "heaps_law_vocab_growth",
     "random_projection_audit",
-    # --- 9 NEW operators, batches 8-10 this round ---
+    # --- 7 NEW operators, batches 8-10 this round ---
     "dsir_importance_weights",
     "pca_power_iteration",
     "stupid_backoff_scores",
