@@ -72,7 +72,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # multimodal_phash_buckets, mutual_information_audit,
 # functional_dependency_audit, event_autocorrelation,
 # cusum_changepoint_scan, abtest_two_proportion_z,
-# churn_hazard_table, embedding_dim_stats_audit (35 total — more than one window's spare
+# churn_hazard_table, embedding_dim_stats_audit,
+# retrieval_eval_ndcg (36 total — more than one window's spare
 # capacity, so round 7 rotates ~30 in and round 8 takes the rest).
 # Keep the 3 anchors + any round-7-changed entries, fill the rest
 # with this queue, then backfill with the stalest greens

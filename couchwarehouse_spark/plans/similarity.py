@@ -2466,3 +2466,156 @@ def embedding_dim_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pop_variance").desc(), "dim")
         .limit(DIM_TOP)
     )
+
+
+import math as _math
+
+# Integer DCG gain table: round(1e6 / log2(rank+1)) for ranks 1..k —
+# TEN literal constants inlined in both lanes (the Benford-share
+# idiom), so no engine evaluates a log in the scoring path.
+_DCG_GAIN = {
+    r: round(1_000_000 / _math.log2(r + 1)) for r in range(1, EVAL_TOP_K + 1)
+}
+_DCG_CASE = "CASE rank " + " ".join(
+    f"WHEN {r} THEN {g}" for r, g in _DCG_GAIN.items()
+) + " ELSE 0 END"
+_IDCG_PREFIX = {  # ideal DCG for m relevant docs (m = 1..k), scaled
+    m: sum(_DCG_GAIN[r] for r in range(1, m + 1))
+    for m in range(1, EVAL_TOP_K + 1)
+}
+_IDCG_CASE = "CASE LEAST(n_rel, " + str(EVAL_TOP_K) + ") " + " ".join(
+    f"WHEN {m} THEN {v}" for m, v in _IDCG_PREFIX.items()
+) + " ELSE 0 END"
+
+
+@query(
+    "retrieval_eval_ndcg",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    lbl AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members FROM e GROUP BY label),
+    q AS (
+      SELECT vec_id AS qid, label AS qlabel, v AS qv
+      FROM e WHERE vec_id % {EVAL_QUERY_MOD} = 0
+    ),
+    s AS (
+      SELECT q.qid, q.qlabel, e.label,
+             row_number() OVER (PARTITION BY q.qid
+                                ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                                         e.vec_id) AS rank
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    per_q AS (
+      SELECT qid, any_value(qlabel) AS qlabel,
+             CAST(sum(CASE WHEN label = qlabel THEN {_DCG_CASE} ELSE 0 END)
+                  AS BIGINT) AS dcg_scaled
+      FROM s WHERE rank <= {EVAL_TOP_K}
+      GROUP BY qid
+    ),
+    scored AS (
+      SELECT p.qlabel,
+             CAST(round(1000000.0 * p.dcg_scaled / ({_IDCG_CASE}))
+                  AS BIGINT) AS ndcg_micro
+      FROM (SELECT per_q.*, lbl.n_members - 1 AS n_rel
+            FROM per_q JOIN lbl ON per_q.qlabel = lbl.label) p
+    )
+    SELECT qlabel AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           round(CAST(sum(ndcg_micro) AS DOUBLE) / count(*) / 1000000, 6)
+             AS ndcg_at_10
+    FROM scored GROUP BY qlabel
+    ORDER BY qlabel
+    """,
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{EVAL_TOP_K} retrieval eval (Järvelin & Kekäläinen 2002)
+    — the graded, position-discounted standard that MRR and
+    precision@k summarize away: DCG over the same label-relevance
+    ranking as retrieval_eval_mrr, normalized by the IDEAL DCG given
+    how many relevant neighbors exist (label size − 1, capped at k).
+    The metric leaderboards report for embedding retrieval.
+
+    Exactness: the 1/log2(rank+1) gains are TEN inlined integer
+    literals shared by both lanes (no engine computes a log); DCG and
+    IDCG are integer sums, each query's nDCG quantizes to integer
+    micro units once, and the per-label mean is an integer sum with
+    one final division.
+
+    Scale: same two-stage shape as retrieval_eval_mrr (queries
+    broadcast; per-partition heaps bound every ranking); the
+    label-size table is |labels| rows, broadcast.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = scoped_persist(e)
+    lbl = e.groupBy("label").agg(F.count("*").alias("n_members"))
+    q = e.filter(F.col("vec_id") % EVAL_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    s = (
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "label",
+            cosine(F.col("v"), F.col("qv")).alias("_cos"),
+            "vec_id",
+            F.spark_partition_id().alias("_pid"),
+        )
+    )
+    # Two-stage top-k (the retrieval_eval_mrr shape): a per-(query,
+    # partition) local rank bounds every heap, then the final rank
+    # runs over ≤ k·partitions survivors per query.
+    w_local = Window.partitionBy("qid", "_pid").orderBy(
+        F.col("_cos").desc(), "vec_id"
+    )
+    survivors = s.withColumn("_r", F.row_number().over(w_local)).filter(
+        F.col("_r") <= EVAL_TOP_K
+    )
+    w_final = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "vec_id")
+    ranked = survivors.select(
+        "qid", "qlabel", "label", F.row_number().over(w_final).alias("rank")
+    ).filter(F.col("rank") <= EVAL_TOP_K)
+    gain = F.create_map(
+        *[F.lit(x) for kv in _DCG_GAIN.items() for x in kv]
+    )[F.col("rank")]
+    per_q = ranked.groupBy("qid", "qlabel").agg(
+        F.sum(
+            F.when(F.col("label") == F.col("qlabel"), gain).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg_scaled")
+    )
+    idcg = F.create_map(
+        *[F.lit(x) for kv in _IDCG_PREFIX.items() for x in kv]
+    )[F.least(F.col("n_members") - 1, F.lit(EVAL_TOP_K))]
+    scored = per_q.join(
+        F.broadcast(lbl), per_q.qlabel == lbl.label
+    ).select(
+        "qlabel",
+        F.round(F.lit(1_000_000.0) * F.col("dcg_scaled") / idcg)
+        .cast("long")
+        .alias("ndcg_micro"),
+    )
+    return (
+        scored.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.round(
+                F.sum("ndcg_micro").cast("double") / F.count("*") / 1_000_000,
+                6,
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("label")
+    )

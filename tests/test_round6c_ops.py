@@ -1505,3 +1505,36 @@ class TestEmbeddingDimStatsAudit:
         if len(d0):
             assert d0.iloc[0]["pop_variance"] == 0.0
             assert d0.iloc[0]["mean_val"] == 0.5
+
+
+class TestRetrievalEvalNdcg:
+    def test_perfect_and_partial_ranking(self, spark, tmp_path):
+        import math
+
+        from couchwarehouse_spark.plans.similarity import (
+            EVAL_QUERY_MOD,
+            retrieval_eval_ndcg,
+        )
+
+        d = str(tmp_path / "sf")
+        # Query vec_id 0 (label 7): its only relevant neighbor (also
+        # label 7) is planted as the EXACT same direction → rank 1 →
+        # perfect nDCG 1.0. Ten orthogonal-ish fillers with other labels.
+        assert EVAL_QUERY_MOD != 1
+        base = [1.0] + [0.0] * 63
+        rel = [0.9] + [0.1] * 63  # same direction-ish → top cosine
+        rows = [(0, base, 7), (1, rel, 7)]
+        for i in range(2, 12):
+            v = [0.0] * 64
+            v[i] = 1.0
+            rows.append((i, v, i % 5 + 10))
+        _write(
+            spark.createDataFrame(
+                [(i, [float(x) for x in v], l) for i, v, l in rows],
+                "vec_id long, embedding array<float>, label int",
+            ),
+            d,
+            "embeddings",
+        )
+        out = retrieval_eval_ndcg(spark, d).toPandas().set_index("label")
+        assert out.loc[7]["ndcg_at_10"] == 1.0
