@@ -1017,3 +1017,63 @@ def boilerplate_suffix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "source", "suffix")
         .limit(50)
     )
+
+
+L_DIVERSITY = 3  # minimum distinct sensitive values per equivalence class
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH cls AS (
+      SELECT event_type, hour(ts) AS hod,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(count(DISTINCT CAST(floor(value / 50) AS BIGINT))
+                  AS BIGINT) AS l_sensitive
+      FROM events GROUP BY event_type, hour(ts)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN l_sensitive < {L_DIVERSITY} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below_l,
+           CAST(min(l_sensitive) AS BIGINT) AS min_l,
+           round(CAST(sum(CASE WHEN l_sensitive < {L_DIVERSITY} THEN n_users
+                               ELSE 0 END) AS DOUBLE)
+                 / sum(n_users), 6) AS users_at_risk_share
+    FROM cls
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    standard companion: k-anonymity stops re-identification, but a
+    class where every member shares the SAME sensitive value still
+    leaks it (the homogeneity attack). Over the same (event_type,
+    hour) quasi-identifier classes as k_anonymity_audit, this counts
+    distinct sensitive-value BANDS (value//50) per class and flags
+    classes below l={L_DIVERSITY}, plus the share of users sitting in
+    a leaky class — the number a release review asks for after k
+    passes.
+
+    Exactness: class sizes, distinct bands, and the flag census are
+    exact integers; one division, rounded once.
+
+    Scale: one two-level distinct aggregate over (QI, band) — the
+    k_anonymity shape — then a global 4-counter reduce.
+    """
+    e = load_table(spark, sf_dir, "events")
+    band = F.floor(F.col("value") / 50).cast("long")
+    cls = e.groupBy("event_type", F.hour("ts").alias("hod")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(band).alias("l_sensitive"),
+    )
+    below = F.sum((F.col("l_sensitive") < L_DIVERSITY).cast("int")).cast("long")
+    risk_users = F.sum(
+        F.when(F.col("l_sensitive") < L_DIVERSITY, F.col("n_users")).otherwise(0)
+    )
+    return cls.agg(
+        F.count("*").alias("n_classes"),
+        below.alias("n_below_l"),
+        F.min("l_sensitive").cast("long").alias("min_l"),
+        F.round(risk_users.cast("double") / F.sum("n_users"), 6).alias(
+            "users_at_risk_share"
+        ),
+    )

@@ -1587,3 +1587,97 @@ def abtest_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pb, 6).alias("p_b"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+@query(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY day
+    ),
+    idx AS (
+      SELECT c, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+      FROM daily
+    ),
+    slopes AS (
+      SELECT CAST(round(1000000.0 * (b.c - a.c) / (b.i - a.i)) AS BIGINT)
+               AS s_micro
+      FROM idx a JOIN idx b ON b.i > a.i
+    ),
+    ranked AS (
+      SELECT s_micro,
+             row_number() OVER (ORDER BY s_micro) AS rp,
+             count(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+           round(CAST(max(CASE WHEN rp = CAST(ceil(0.5 * n) AS BIGINT)
+                              THEN s_micro END) AS DOUBLE) / 1000000, 6)
+             AS slope_per_day,
+           CAST(min(s_micro) AS BIGINT) AS min_slope_micro,
+           CAST(max(s_micro) AS BIGINT) AS max_slope_micro
+    FROM ranked
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily event-count series: the
+    MEDIAN of all pairwise slopes (Theil 1950/Sen 1968) — the trend
+    estimator a single outlier day cannot drag (OLS's breakdown point
+    is one bad point; Theil-Sen tolerates ~29%). The slope the
+    capacity planner trusts when incident days pollute the series;
+    complements regression_price_qty's parametric OLS and
+    cusum_changepoint_scan's level-shift view.
+
+    Exactness: each pairwise slope Δc/Δi quantizes to integer MICRO
+    units once (one division of exact integers, identically rounded
+    in both engines); the median is the DISCRETE rank ⌈n/2⌉ element,
+    so the reported slope is an actual pairwise value.
+
+    Scale: pairwise slopes are |days|²/2 over the TINY daily table
+    (one partial-aggregated count upstream) — at a year of days that
+    is ~66k pairs, nothing. The event stream itself is touched once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    idx = daily.select(
+        "c", F.row_number().over(Window.orderBy("day")).cast("long").alias("i")
+    )
+    idx = scoped_persist(idx)
+    a = idx.select(F.col("c").alias("ca"), F.col("i").alias("ia"))
+    b = idx.select(F.col("c").alias("cb"), F.col("i").alias("ib"))
+    slopes = (
+        a.join(b, F.col("ib") > F.col("ia"))
+        .select(
+            F.round(
+                F.lit(1_000_000.0)
+                * (F.col("cb") - F.col("ca"))
+                / (F.col("ib") - F.col("ia"))
+            )
+            .cast("long")
+            .alias("s_micro")
+        )
+    )
+    w = Window.orderBy("s_micro")
+    ranked = slopes.select(
+        "s_micro",
+        F.row_number().over(w).alias("rp"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rp") == F.ceil(F.lit(0.5) * F.col("n")).cast("long"),
+                    F.col("s_micro"),
+                )
+            ).cast("double")
+            / 1_000_000,
+            6,
+        ).alias("slope_per_day"),
+        F.min("s_micro").cast("long").alias("min_slope_micro"),
+        F.max("s_micro").cast("long").alias("max_slope_micro"),
+    )

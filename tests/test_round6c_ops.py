@@ -1538,3 +1538,59 @@ class TestRetrievalEvalNdcg:
         )
         out = retrieval_eval_ndcg(spark, d).toPandas().set_index("label")
         assert out.loc[7]["ndcg_at_10"] == 1.0
+
+
+class TestLDiversityAudit:
+    def test_homogeneous_class_flagged(self, spark, tmp_path):
+        import datetime as dt
+
+        from couchwarehouse_spark.plans.curation import l_diversity_audit
+
+        d = str(tmp_path / "sf")
+        rows = []
+        # class (view, 9h): 3 users, all value band 0 → l=1, at risk.
+        for i, u in enumerate((1, 2, 3)):
+            rows.append((i, dt.datetime(2024, 1, 1, 9), u, "view", 10.0, "{}"))
+        # class (click, 10h): 2 users, bands 0/1/2 → l=3, safe.
+        rows.append((10, dt.datetime(2024, 1, 1, 10), 4, "click", 10.0, "{}"))
+        rows.append((11, dt.datetime(2024, 1, 1, 10), 5, "click", 60.0, "{}"))
+        rows.append((12, dt.datetime(2024, 1, 1, 10), 5, "click", 110.0, "{}"))
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+            ),
+            d,
+            "events",
+        )
+        out = l_diversity_audit(spark, d).toPandas().iloc[0]
+        assert int(out["n_classes"]) == 2
+        assert int(out["n_below_l"]) == 1
+        assert int(out["min_l"]) == 1
+        assert out["users_at_risk_share"] == 0.6  # 3 of 5 users
+
+
+class TestTheilSenTrend:
+    def test_outlier_resistant_slope(self, spark, tmp_path):
+        import datetime as dt
+
+        from couchwarehouse_spark.plans.statistics import theil_sen_trend
+
+        d = str(tmp_path / "sf")
+        rows, eid = [], 0
+        # counts 1,2,3,4,50,6,7 — an outlier day 5; TS slope stays 1.
+        for day, n in enumerate([1, 2, 3, 4, 50, 6, 7], start=1):
+            for k in range(n):
+                rows.append((eid, dt.datetime(2024, 1, day, 8, k % 60), 1, "view", 1.0, "{}"))
+                eid += 1
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+            ),
+            d,
+            "events",
+        )
+        out = theil_sen_trend(spark, d).toPandas().iloc[0]
+        assert int(out["n_pairs"]) == 21
+        assert out["slope_per_day"] == 1.0  # the median slope ignores day 5
