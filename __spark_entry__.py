@@ -73,7 +73,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # functional_dependency_audit, event_autocorrelation,
 # cusum_changepoint_scan, abtest_two_proportion_z,
 # churn_hazard_table, embedding_dim_stats_audit,
-# retrieval_eval_ndcg, l_diversity_audit, theil_sen_trend (38 total — more than one window's spare
+# retrieval_eval_ndcg, l_diversity_audit, theil_sen_trend,
+# seasonal_naive_backtest (39 total — more than one window's spare
 # capacity, so round 7 rotates ~30 in and round 8 takes the rest).
 # Keep the 3 anchors + any round-7-changed entries, fill the rest
 # with this queue, then backfill with the stalest greens

@@ -1614,3 +1614,71 @@ def churn_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lifetime_days")
         .limit(30)
     )
+
+
+SNAIVE_LAG = 7  # seasonal-naive horizon: forecast today = 7 days ago
+
+
+@query(
+    "seasonal_naive_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY day
+    ),
+    paired AS (
+      SELECT a.day, a.c AS actual, f.c AS forecast
+      FROM daily a JOIN daily f ON a.day = f.day + {SNAIVE_LAG}
+    ),
+    err AS (
+      SELECT actual, forecast,
+             abs(actual - forecast) AS ae,
+             CAST(round(1000000.0 * abs(actual - forecast)
+                  / actual) AS BIGINT) AS ape_micro
+      FROM paired WHERE actual > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(ae) AS DOUBLE) / count(*), 6) AS mae,
+           round(CAST(sum(ape_micro) AS DOUBLE) / count(*) / 1000000, 6)
+             AS mape,
+           CAST(max(ae) AS BIGINT) AS worst_abs_error
+    FROM err
+    """,
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's event
+    count with the value {SNAIVE_LAG} days earlier and score MAE /
+    MAPE / worst error — the BASELINE every forecasting effort must
+    beat (Hyndman's forecasting texts make it the benchmark; M-series
+    competitions report skill relative to it). If a fancy model can't
+    beat seasonal-naive on this table, the capacity plan shouldn't
+    use it; run this first.
+
+    Exactness: absolute errors are integers; per-day APE quantizes to
+    integer micro units once (one division of exact integers per day);
+    both means are integer sums with one final division each.
+
+    Scale: one day-keyed partial-aggregated count; the self-join and
+    reduce run over the |days| series.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    daily = scoped_persist(daily)
+    a = daily.select(F.col("day").alias("d0"), F.col("c").alias("actual"))
+    f = daily.select(F.col("day").alias("d1"), F.col("c").alias("forecast"))
+    paired = a.join(
+        f, F.col("d0") == F.date_add(F.col("d1"), SNAIVE_LAG)
+    ).filter(F.col("actual") > 0)
+    ae = F.abs(F.col("actual") - F.col("forecast"))
+    ape_micro = F.round(F.lit(1_000_000.0) * ae / F.col("actual")).cast("long")
+    err = paired.select(ae.alias("ae"), ape_micro.alias("ape_micro"))
+    return err.agg(
+        F.count("*").alias("n_days"),
+        F.round(F.sum("ae").cast("double") / F.count("*"), 6).alias("mae"),
+        F.round(
+            F.sum("ape_micro").cast("double") / F.count("*") / 1_000_000, 6
+        ).alias("mape"),
+        F.max("ae").cast("long").alias("worst_abs_error"),
+    )

@@ -1594,3 +1594,35 @@ class TestTheilSenTrend:
         out = theil_sen_trend(spark, d).toPandas().iloc[0]
         assert int(out["n_pairs"]) == 21
         assert out["slope_per_day"] == 1.0  # the median slope ignores day 5
+
+
+class TestSeasonalNaiveBacktest:
+    def test_perfect_weekly_cycle_scores_zero(self, spark, tmp_path):
+        import datetime as dt
+
+        from couchwarehouse_spark.plans.events_windows import (
+            seasonal_naive_backtest,
+        )
+
+        d = str(tmp_path / "sf")
+        rows, eid = [], 0
+        # A perfect 7-day cycle over 21 days → seasonal-naive is exact
+        # on the 14 scored days: MAE = MAPE = 0.
+        cycle = [1, 2, 3, 4, 5, 2, 1]
+        for day in range(1, 22):
+            for k in range(cycle[(day - 1) % 7]):
+                rows.append((eid, dt.datetime(2024, 1, day, 8, k), 1, "view", 1.0, "{}"))
+                eid += 1
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+            ),
+            d,
+            "events",
+        )
+        out = seasonal_naive_backtest(spark, d).toPandas().iloc[0]
+        assert int(out["n_days"]) == 14
+        assert out["mae"] == 0.0
+        assert out["mape"] == 0.0
+        assert int(out["worst_abs_error"]) == 0
