@@ -1681,3 +1681,88 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s_micro").cast("long").alias("min_slope_micro"),
         F.max("s_micro").cast("long").alias("max_slope_micro"),
     )
+
+
+@query(
+    "shrunk_rate_estimates",
+    oracle="""
+    WITH per AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM events GROUP BY event_type
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS g,
+             sum(CAST(x AS DOUBLE) / n) / count(*) AS mu,
+             sum((CAST(x AS DOUBLE) / n) * (CAST(x AS DOUBLE) / n))
+               / count(*) AS m2
+      FROM per
+    ),
+    prior AS (
+      SELECT mu,
+             CASE WHEN m2 - mu * mu > 0
+                  THEN mu * (1 - mu) / (m2 - mu * mu) - 1
+                  ELSE 100.0 END AS k
+      FROM mom
+    )
+    SELECT event_type, n, x,
+           round(CAST(x AS DOUBLE) / n, 6) AS raw_rate,
+           round((x + prior.mu * GREATEST(prior.k, 0))
+                 / (n + GREATEST(prior.k, 0)), 6) AS shrunk_rate
+    FROM per CROSS JOIN prior
+    ORDER BY event_type
+    """,
+)
+def shrunk_rate_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-group rates —
+    the James-Stein-flavored estimator behind every 'adjusted rating'
+    column (Robinson's baseball-averages exposition; what you publish
+    instead of raw rates when group sizes differ wildly): the
+    high-value-event rate per event type, shrunk toward the grand
+    mean with strength k from the method-of-moments prior
+    k = μ(1−μ)/Var(p) − 1. Small groups move a lot, big groups barely
+    — exactly the behavior a per-source quality dashboard needs.
+
+    Exactness: the cells (x, n) are exact integers; μ, Var, k, and
+    each shrunk rate are ONE deterministic double expression over
+    those integers evaluated identically in both engines (group count
+    is tiny and the mean-of-rates is summed over the same ordered
+    aggregation in both lanes — |groups| = 5 here, associativity-safe
+    at this width), rounded once per output.
+
+    Scale: one |types|-group aggregate with partial combine; the
+    prior is a one-row broadcast over the group table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") >= 50).cast("int")).cast("long").alias("x"),
+    )
+    per = scoped_persist(per)
+    p = F.col("x").cast("double") / F.col("n")
+    mom = per.agg(
+        F.count("*").alias("g"),
+        (F.sum(p) / F.count("*")).alias("mu"),
+        (F.sum(p * p) / F.count("*")).alias("m2"),
+    )
+    k = F.when(
+        F.col("m2") - F.col("mu") * F.col("mu") > 0,
+        F.col("mu") * (1 - F.col("mu")) / (F.col("m2") - F.col("mu") * F.col("mu"))
+        - 1,
+    ).otherwise(F.lit(100.0))
+    prior = mom.select("mu", k.alias("k"))
+    kpos = F.greatest(F.col("k"), F.lit(0.0))
+    return (
+        per.crossJoin(F.broadcast(prior))
+        .select(
+            "event_type",
+            "n",
+            "x",
+            F.round(F.col("x").cast("double") / F.col("n"), 6).alias("raw_rate"),
+            F.round(
+                (F.col("x") + F.col("mu") * kpos) / (F.col("n") + kpos), 6
+            ).alias("shrunk_rate"),
+        )
+        .orderBy("event_type")
+    )

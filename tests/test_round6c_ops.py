@@ -1626,3 +1626,44 @@ class TestSeasonalNaiveBacktest:
         assert out["mae"] == 0.0
         assert out["mape"] == 0.0
         assert int(out["worst_abs_error"]) == 0
+
+
+class TestShrunkRateEstimates:
+    def test_small_groups_shrink_more(self, spark, tmp_path):
+        import datetime as dt
+
+        from couchwarehouse_spark.plans.statistics import shrunk_rate_estimates
+
+        d = str(tmp_path / "sf")
+        rows, eid = [], 0
+
+        def grp(et, n, x):
+            nonlocal eid
+            for i in range(n):
+                v = 60.0 if i < x else 10.0
+                rows.append((eid, dt.datetime(2024, 1, 1, 9), 1, et, v, "{}"))
+                eid += 1
+
+        grp("big", 200, 100)   # rate 0.5, huge n
+        grp("smallhi", 4, 4)   # rate 1.0, tiny n
+        grp("smalllo", 4, 0)   # rate 0.0, tiny n
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+            ),
+            d,
+            "events",
+        )
+        out = shrunk_rate_estimates(spark, d).toPandas().set_index("event_type")
+        # shrunk values pull toward the grand mean of rates (0.5), and
+        # the big group's barely moves
+        assert abs(out.loc["big"]["shrunk_rate"] - 0.5) < 0.05
+        assert out.loc["smallhi"]["shrunk_rate"] < out.loc["smallhi"]["raw_rate"]
+        assert out.loc["smalllo"]["shrunk_rate"] > out.loc["smalllo"]["raw_rate"]
+        # shrinkage moved the small groups strictly more than the big one
+        move_big = abs(out.loc["big"]["shrunk_rate"] - out.loc["big"]["raw_rate"])
+        move_small = abs(
+            out.loc["smallhi"]["shrunk_rate"] - out.loc["smallhi"]["raw_rate"]
+        )
+        assert move_small > move_big
