@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table, register_views
-from couchwarehouse_spark.plans.registry import query
+from couchwarehouse_spark.plans.registry import query, scoped_persist
 from couchwarehouse_spark.sinks.elasticsearch import full_text_search
 
 # Same ANSI text runs in spark.sql AND DuckDB — the R17 passthrough
@@ -1048,3 +1048,96 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("fd", "n_keys", "n_violating_keys", "violation_rate")
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fd")
+
+
+SPX_CUT = 150_000.0  # a 'high-value' order
+
+
+@query(
+    "simpsons_paradox_scan",
+    oracle=f"""
+    WITH o AS (
+      SELECT c.c_mktsegment AS seg,
+             o_orderpriority = '1-URGENT' AS urgent,
+             CASE WHEN o_totalprice > {SPX_CUT} THEN 1 ELSE 0 END AS hi
+      FROM orders JOIN customer c ON o_custkey = c_custkey
+    ),
+    strata AS (
+      SELECT seg,
+             CAST(sum(CASE WHEN urgent THEN 1 ELSE 0 END) AS BIGINT) AS n_u,
+             CAST(sum(CASE WHEN urgent THEN hi ELSE 0 END) AS BIGINT) AS x_u,
+             CAST(sum(CASE WHEN urgent THEN 0 ELSE 1 END) AS BIGINT) AS n_o,
+             CAST(sum(CASE WHEN urgent THEN 0 ELSE hi END) AS BIGINT) AS x_o
+      FROM o GROUP BY seg
+    ),
+    agg AS (
+      SELECT CAST(sum(x_u) AS BIGINT) AS xu, CAST(sum(n_u) AS BIGINT) AS nu,
+             CAST(sum(x_o) AS BIGINT) AS xo, CAST(sum(n_o) AS BIGINT) AS no
+      FROM strata
+    )
+    SELECT seg, n_u, x_u, n_o, x_o,
+           x_u * n_o > x_o * n_u AS urgent_better_here,
+           (x_u * n_o > x_o * n_u) = (agg.xu * agg.no > agg.xo * agg.nu)
+             AS agrees_with_aggregate
+    FROM strata CROSS JOIN agg
+    ORDER BY seg
+    """,
+)
+def simpsons_paradox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox scan (Simpson 1951; the aggregation trap
+    behind the Berkeley-admissions case): does 'urgent orders are
+    likelier to be high-value' hold in AGGREGATE but flip inside
+    market segments (or vice versa)? One row per stratum with its own
+    direction and whether it agrees with the pooled direction — any
+    FALSE in the last column means per-segment mix, not the headline
+    rate, is driving the aggregate, and every dashboard built on the
+    pooled number is lying. The stats-literacy audit run before
+    shipping any rate comparison.
+
+    Exactness: every direction test is the CROSS-MULTIPLIED integer
+    compare x_u·n_o vs x_o·n_u — no rate is ever materialized as a
+    float, so no engine can disagree at a boundary.
+
+    Scale: one broadcast join (customer dim) → |segments|-group
+    4-counter aggregate; the pooled row broadcasts back over the
+    stratum table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+        (F.col("o_totalprice") > SPX_CUT).cast("int").alias("hi"),
+    )
+    strata = j.groupBy("seg").agg(
+        F.sum(F.col("urgent").cast("int")).cast("long").alias("n_u"),
+        F.sum(F.when(F.col("urgent"), F.col("hi")).otherwise(0))
+        .cast("long")
+        .alias("x_u"),
+        F.sum((~F.col("urgent")).cast("int")).cast("long").alias("n_o"),
+        F.sum(F.when(~F.col("urgent"), F.col("hi")).otherwise(0))
+        .cast("long")
+        .alias("x_o"),
+    )
+    strata = scoped_persist(strata)
+    agg = strata.agg(
+        F.sum("x_u").alias("xu"),
+        F.sum("n_u").alias("nu"),
+        F.sum("x_o").alias("xo"),
+        F.sum("n_o").alias("no"),
+    )
+    here = F.col("x_u") * F.col("n_o") > F.col("x_o") * F.col("n_u")
+    pooled = F.col("xu") * F.col("no") > F.col("xo") * F.col("nu")
+    return (
+        strata.crossJoin(F.broadcast(agg))
+        .select(
+            "seg",
+            "n_u",
+            "x_u",
+            "n_o",
+            "x_o",
+            here.alias("urgent_better_here"),
+            (here == pooled).alias("agrees_with_aggregate"),
+        )
+        .orderBy("seg")
+    )

@@ -2619,3 +2619,117 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+DBSCAN_EPS_COS = 0.55  # neighbor when cosine >= eps (margin-checked)
+DBSCAN_MIN_PTS = 3  # core point when >= minPts neighbors (excl. self)
+
+
+@query(
+    "dbscan_core_census",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {_bucket_expr_sql_derived('embedding')} AS bucket
+      FROM embeddings
+    ),
+    nbr AS (
+      SELECT a.vec_id, a.label,
+             CAST(sum(CASE WHEN list_cosine_similarity(a.v, c.v)
+                                >= {DBSCAN_EPS_COS}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_nbrs
+      FROM b a JOIN b c
+        ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+      GROUP BY a.vec_id, a.label
+    ),
+    allpts AS (
+      SELECT b.vec_id, b.label, coalesce(nbr.n_nbrs, 0) AS n_nbrs
+      FROM b LEFT JOIN nbr ON b.vec_id = nbr.vec_id
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN n_nbrs >= {DBSCAN_MIN_PTS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_core,
+           CAST(sum(CASE WHEN n_nbrs > 0 AND n_nbrs < {DBSCAN_MIN_PTS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_border_or_edge,
+           CAST(sum(CASE WHEN n_nbrs = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_isolated
+    FROM allpts
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def dbscan_core_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core-point census (Ester et al. 1996) within SRP-LSH
+    buckets: a point is CORE when ≥{DBSCAN_MIN_PTS} neighbors sit at
+    cosine ≥ {DBSCAN_EPS_COS} in its bucket — the density primitive
+    under density-based dedup/clustering, and the census (core /
+    sparse / isolated per label) is the readout that says whether a
+    label's region is dense enough for density clustering to mean
+    anything (all-isolated ⇒ use k-means; all-core ⇒ tighten ε). The
+    density sibling of knn_label_purity over the same blocking.
+
+    Exactness: neighbor counts are integers from a fixed threshold
+    compare (identical doubles both engines; ε sits away from the
+    data's cosine values — the COSINE_DUP_THRESHOLD margin
+    discipline); the census is pure integer sums.
+
+    Scale: the self-join keys on the corpus-derived SRP bucket
+    (~TARGET_BUCKET_ROWS per bucket at ANY corpus size — never
+    all-pairs); the census is a |labels|-group aggregate.
+    """
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    planes = corpus_planes(spark, sf_dir)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    pts = e.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        _bucket_expr_spark("embedding", planes).alias("bucket"),
+    )
+    pts = scoped_persist(pts)
+    a = pts.select(
+        F.col("vec_id").alias("ia"), F.col("label").alias("la"),
+        F.col("v").alias("va"), "bucket",
+    )
+    c = pts.select(
+        F.col("vec_id").alias("ic"), F.col("v").alias("vc"), "bucket"
+    )
+    nbr = (
+        a.join(c, ["bucket"])
+        .filter(F.col("ia") != F.col("ic"))
+        .groupBy("ia", "la")
+        .agg(
+            F.sum(
+                (cosine(F.col("va"), F.col("vc")) >= DBSCAN_EPS_COS).cast("int")
+            )
+            .cast("long")
+            .alias("n_nbrs")
+        )
+    )
+    allpts = pts.select(
+        F.col("vec_id").alias("ia"), F.col("label").alias("label")
+    ).join(nbr.drop("la"), "ia", "left").na.fill({"n_nbrs": 0})
+    return (
+        allpts.groupBy("label")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum((F.col("n_nbrs") >= DBSCAN_MIN_PTS).cast("int"))
+            .cast("long")
+            .alias("n_core"),
+            F.sum(
+                ((F.col("n_nbrs") > 0) & (F.col("n_nbrs") < DBSCAN_MIN_PTS)).cast(
+                    "int"
+                )
+            )
+            .cast("long")
+            .alias("n_border_or_edge"),
+            F.sum((F.col("n_nbrs") == 0).cast("int")).cast("long").alias(
+                "n_isolated"
+            ),
+        )
+        .orderBy("label")
+    )

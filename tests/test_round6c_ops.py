@@ -1667,3 +1667,87 @@ class TestShrunkRateEstimates:
             out.loc["smallhi"]["shrunk_rate"] - out.loc["smallhi"]["raw_rate"]
         )
         assert move_small > move_big
+
+
+class TestDbscanCoreCensus:
+    def test_dense_cluster_vs_isolated(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.similarity import dbscan_core_census
+
+        d = str(tmp_path / "sf")
+        # 5 near-identical vectors (label 1) → each has 4 neighbors at
+        # cosine ≈ 1 → all core. One orthogonal point (label 2) →
+        # isolated (different bucket or cosine ≈ 0 < 0.55 anyway).
+        rows = []
+        for i in range(5):
+            v = [1.0] + [0.001 * i] + [0.0] * 62
+            rows.append((i, v, 1))
+        v2 = [0.0] * 64
+        v2[5] = 1.0
+        rows.append((9, v2, 2))
+        _write(
+            spark.createDataFrame(
+                [(i, [float(x) for x in v], l) for i, v, l in rows],
+                "vec_id long, embedding array<float>, label int",
+            ),
+            d,
+            "embeddings",
+        )
+        out = dbscan_core_census(spark, d).toPandas().set_index("label")
+        assert int(out.loc[1]["n_core"]) == 5
+        assert int(out.loc[2]["n_isolated"]) == 1
+
+
+class TestSimpsonsParadoxScan:
+    def test_planted_reversal_detected(self, spark, tmp_path):
+        import datetime as dt
+
+        from couchwarehouse_spark.plans.relational_extra import (
+            SPX_CUT,
+            simpsons_paradox_scan,
+        )
+
+        d = str(tmp_path / "sf")
+        hi, lo = SPX_CUT + 1000, SPX_CUT - 1000
+        _write(
+            spark.createDataFrame(
+                [(1, "SEG_A"), (2, "SEG_B")],
+                "c_custkey long, c_mktsegment string",
+            ),
+            d,
+            "customer",
+        )
+        rows = []
+        okey = 0
+
+        def orders(cust, urgent, n, x):
+            nonlocal okey
+            for i in range(n):
+                rows.append(
+                    (okey, cust, "1-URGENT" if urgent else "3-MEDIUM",
+                     "O", dt.date(2024, 1, 1), hi if i < x else lo)
+                )
+                okey += 1
+
+        # Classic reversal: within EACH segment urgent is WORSE, but
+        # urgent concentrates in the high-rate segment so the pooled
+        # direction says urgent is better.
+        orders(1, True, 80, 60)    # A urgent: 75%
+        orders(1, False, 10, 8)    # A other: 80%  (urgent worse in A)
+        orders(2, True, 10, 1)     # B urgent: 10%
+        orders(2, False, 80, 16)   # B other: 20%  (urgent worse in B)
+        _write(
+            spark.createDataFrame(
+                rows,
+                "o_orderkey long, o_custkey long, o_orderpriority string, "
+                "o_orderstatus string, o_orderdate date, o_totalprice double",
+            ),
+            d,
+            "orders",
+        )
+        out = simpsons_paradox_scan(spark, d).toPandas().set_index("seg")
+        # pooled: urgent 61/90 ≈ .678 vs other 24/90 ≈ .267 → urgent better
+        # but BOTH strata say urgent worse → both disagree.
+        assert bool(out.loc["SEG_A"]["urgent_better_here"]) is False
+        assert bool(out.loc["SEG_B"]["urgent_better_here"]) is False
+        assert bool(out.loc["SEG_A"]["agrees_with_aggregate"]) is False
+        assert bool(out.loc["SEG_B"]["agrees_with_aggregate"]) is False
