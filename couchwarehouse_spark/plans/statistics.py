@@ -1694,9 +1694,11 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mom AS (
       SELECT CAST(count(*) AS BIGINT) AS g,
-             sum(CAST(x AS DOUBLE) / n) / count(*) AS mu,
-             sum((CAST(x AS DOUBLE) / n) * (CAST(x AS DOUBLE) / n))
-               / count(*) AS m2
+             CAST(sum(CAST(round(1000000.0 * x / n) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1000000 AS mu,
+             CAST(sum(CAST(round(1000000.0 * x / n) AS BIGINT)
+                    * CAST(round(1000000.0 * x / n) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1e12 AS m2
       FROM per
     ),
     prior AS (
@@ -1740,11 +1742,14 @@ def shrunk_rate_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("value") >= 50).cast("int")).cast("long").alias("x"),
     )
     per = scoped_persist(per)
-    p = F.col("x").cast("double") / F.col("n")
+    # Per-group rates quantize to integer MICRO units BEFORE the
+    # prior's sums, so mu/m2 are ratios of exact integers — float
+    # accumulation order can never shift the prior between engines.
+    pq = F.round(F.lit(1_000_000.0) * F.col("x") / F.col("n")).cast("long")
     mom = per.agg(
         F.count("*").alias("g"),
-        (F.sum(p) / F.count("*")).alias("mu"),
-        (F.sum(p * p) / F.count("*")).alias("m2"),
+        (F.sum(pq).cast("double") / F.count("*") / 1_000_000).alias("mu"),
+        (F.sum(pq * pq).cast("double") / F.count("*") / 1e12).alias("m2"),
     )
     k = F.when(
         F.col("m2") - F.col("mu") * F.col("mu") > 0,
