@@ -1771,3 +1771,146 @@ def shrunk_rate_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+PSI_BINS = 10  # decile bins from the reference (train) distribution
+
+
+@query(
+    "psi_drift_audit",
+    oracle=f"""
+    WITH lab AS (
+      SELECT n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 < 80 AS is_ref
+      FROM documents
+    ),
+    ranked AS (
+      SELECT n_chars,
+             CAST(ceil(CAST(row_number() OVER (ORDER BY n_chars) AS DOUBLE)
+                  * {PSI_BINS} / count(*) OVER ()) AS BIGINT) AS b
+      FROM lab WHERE is_ref
+    ),
+    edges AS (
+      SELECT b, max(n_chars) AS hi FROM ranked WHERE b < {PSI_BINS}
+      GROUP BY b
+    ),
+    per_val AS (
+      SELECT is_ref, n_chars, CAST(count(*) AS BIGINT) AS rows_n
+      FROM lab GROUP BY is_ref, n_chars
+    ),
+    val_bin AS (
+      SELECT p.is_ref, p.rows_n,
+             CAST(coalesce(min(e.b), {PSI_BINS}) AS BIGINT) AS bin
+      FROM per_val p LEFT JOIN edges e ON p.n_chars <= e.hi
+      GROUP BY p.is_ref, p.n_chars, p.rows_n
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN is_ref THEN rows_n ELSE 0 END) AS BIGINT) AS rc,
+             CAST(sum(CASE WHEN is_ref THEN 0 ELSE rows_n END) AS BIGINT) AS cc
+      FROM val_bin GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(rc) AS BIGINT) AS rn, CAST(sum(cc) AS BIGINT) AS cn
+      FROM cells
+    ),
+    terms AS (
+      SELECT bin, rc, cc,
+             CAST(round(1000000000.0
+               * (CAST(rc AS DOUBLE) / tot.rn - CAST(cc AS DOUBLE) / tot.cn)
+               * ln((CAST(GREATEST(rc, 1) AS DOUBLE) * tot.cn)
+                  / (CAST(GREATEST(cc, 1) AS DOUBLE) * tot.rn))
+             ) AS BIGINT) AS psi_nano
+      FROM cells CROSS JOIN tot
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(rc) AS BIGINT) AS n_ref,
+           CAST(sum(cc) AS BIGINT) AS n_cur,
+           round(CAST(sum(psi_nano) AS DOUBLE) / 1e9, 6) AS psi
+    FROM terms
+    """,
+)
+def psi_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (the model-monitoring standard every
+    scorecard/ML-ops platform reports; <0.1 stable, >0.25 act):
+    doc-length distribution of the md5-gated 80% 'reference' slice vs
+    the 20% 'current' slice, binned by the REFERENCE's own deciles
+    (discrete-rank edges — the defining PSI construction: bins come
+    from the baseline, drift shows as mass leaving them). PSI =
+    Σ (p−q)·ln(p/q); on same-population gates it sits near 0 — the
+    built-in A/A reading — and the operator is the template: point
+    'current' at tomorrow's batch and the number becomes the alarm.
+
+    Exactness: bin edges are actual reference values at discrete
+    ranks; cell counts are integers; each bin's term quantizes to
+    integer NANO units once (GREATEST(·,1) is the standard
+    empty-bin guard, applied identically in both lanes).
+
+    Scale: the rank window builds edges over the reference ONCE
+    (its 100 TB substitution is approx_percentile at the same
+    cuts); binning is a ≤{PSI_BINS}-row broadcast range lookup; the
+    reduce is a {PSI_BINS}-cell census.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+        < 80
+    )
+    lab = d.select("n_chars", gate.alias("is_ref"))
+    lab = scoped_persist(lab)
+    ref = lab.filter(F.col("is_ref"))
+    w = Window.orderBy("n_chars")
+    ranked = ref.select(
+        "n_chars",
+        F.ceil(
+            F.row_number().over(w).cast("double")
+            * PSI_BINS
+            / F.count("*").over(Window.partitionBy())
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    edges = (
+        ranked.filter(F.col("b") < PSI_BINS)
+        .groupBy("b")
+        .agg(F.max("n_chars").alias("hi"))
+    )
+    # Bin per distinct VALUE (with its true row count), not per row —
+    # the edge range-join fans each probe across every edge it is ≤,
+    # so binning rows directly would multiply mass.
+    per_val = lab.groupBy("is_ref", "n_chars").agg(F.count("*").alias("rows"))
+    val_bin = (
+        per_val.join(F.broadcast(edges), F.col("n_chars") <= F.col("hi"), "left")
+        .groupBy("is_ref", "n_chars", "rows")
+        .agg(F.coalesce(F.min("b"), F.lit(PSI_BINS)).alias("bin"))
+    )
+    cells = val_bin.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), F.col("rows")).otherwise(0))
+        .cast("long")
+        .alias("rc"),
+        F.sum(F.when(~F.col("is_ref"), F.col("rows")).otherwise(0))
+        .cast("long")
+        .alias("cc"),
+    )
+    tot = cells.agg(F.sum("rc").alias("rn"), F.sum("cc").alias("cn"))
+    p = F.col("rc").cast("double") / F.col("rn")
+    q = F.col("cc").cast("double") / F.col("cn")
+    ratio = (
+        F.greatest(F.col("rc"), F.lit(1)).cast("double") * F.col("cn")
+    ) / (F.greatest(F.col("cc"), F.lit(1)).cast("double") * F.col("rn"))
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        "rc",
+        "cc",
+        F.round(F.lit(1_000_000_000.0) * (p - q) * F.log(ratio))
+        .cast("long")
+        .alias("psi_nano"),
+    )
+    return terms.agg(
+        F.count("*").alias("n_bins"),
+        F.sum("rc").cast("long").alias("n_ref"),
+        F.sum("cc").cast("long").alias("n_cur"),
+        F.round(F.sum("psi_nano").cast("double") / 1e9, 6).alias("psi"),
+    )

@@ -1751,3 +1751,19 @@ class TestSimpsonsParadoxScan:
         assert bool(out.loc["SEG_B"]["urgent_better_here"]) is False
         assert bool(out.loc["SEG_A"]["agrees_with_aggregate"]) is False
         assert bool(out.loc["SEG_B"]["agrees_with_aggregate"]) is False
+
+
+class TestPsiDriftAudit:
+    def test_aa_reading_near_zero_and_bins_complete(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.sampling import _hash_bucket  # noqa: F401
+        from couchwarehouse_spark.plans.statistics import psi_drift_audit
+
+        d = str(tmp_path / "sf")
+        # 400 docs with lengths spread 1..400: the 80/20 md5 gates draw
+        # from the same distribution → PSI should read ~0 (A/A).
+        rows = [(i, "x" * (i + 1), "en", "s") for i in range(400)]
+        _write(_docs(spark, rows), d, "documents")
+        out = psi_drift_audit(spark, d).toPandas().iloc[0]
+        assert int(out["n_ref"]) + int(out["n_cur"]) == 400
+        assert int(out["n_bins"]) >= 9
+        assert abs(out["psi"]) < 0.25  # A/A: well under the act threshold
