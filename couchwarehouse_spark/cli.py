@@ -117,6 +117,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "into the manifest as a metadata-only version "
                         "(incremental by file; Delta ANALYZE semantics) and "
                         "print the folded table stats")
+    p.add_argument("--fsck", action="store_true",
+                   help="verify every table's current version: referenced "
+                        "files exist, recorded id-range stats match the "
+                        "parquet footers, and every row lives in the bucket "
+                        "its id hashes to; exit nonzero on any corruption")
     p.add_argument("--vacuum", type=int, default=None, metavar="KEEP",
                    help="after spooling (and --compact), reclaim part files "
                         "not referenced by each table's newest KEEP manifest "
@@ -408,6 +413,23 @@ def main(argv: list[str] | None = None) -> int:
                     f"{wh.table_name(doc_type)}"
                 )
                 wh.describe_stats(doc_type).show(truncate=False)
+    if args.fsck:
+        bad = 0
+        for doc_type in wh.schemas:
+            rep = wh.fsck(doc_type).collect()[0]
+            if not args.quiet:
+                print(
+                    f"couchwarehouse: fsck {wh.table_name(doc_type)} "
+                    f"v{rep['version']}: files={rep['n_files']} "
+                    f"missing={rep['n_missing_files']} "
+                    f"stat_mismatch={rep['n_stat_mismatches']} "
+                    f"misplaced_rows={rep['n_misplaced_rows']} "
+                    f"ok={rep['ok']}"
+                )
+            if not rep["ok"]:
+                bad += 1
+        if bad:
+            return 1
     if args.vacuum is not None:
         min_age = (
             args.vacuum_min_age

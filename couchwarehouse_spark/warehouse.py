@@ -2009,6 +2009,66 @@ class Warehouse:
         df.createOrReplaceTempView(name)
         return df
 
+    def fsck(self, doc_type: str = DEFAULT_TYPE) -> DataFrame:
+        """Table integrity check (the operational ``fsck`` every
+        manifest-based format needs; Delta's FSCK REPAIR reads, not
+        repairs): verifies, for the CURRENT version, that (1) every
+        referenced part file exists on disk, (2) each file's recorded
+        id min/max stats match its actual parquet footer, and (3)
+        every ROW hashes into the bucket directory it lives in under
+        the manifest's recorded bucket count — the invariant merge
+        pruning and point lookups rely on. Returns a one-row report;
+        ``ok`` is the AND of all three. Checks (1)-(2) are metadata
+        reads on the driver (file count bounded by the manifest);
+        check (3) is ONE bucket-recompute scan with a
+        partial-aggregated mismatch count.
+        """
+        path = self._table_path(doc_type)
+        manifest = self._load_manifest(path)
+        if manifest is None:
+            raise FileNotFoundError(f"no committed table for {doc_type!r}")
+        n_cur = self._manifest_buckets_n(manifest)
+        missing: list[str] = []
+        stat_mismatch: list[str] = []
+        n_files = 0
+        for b, files in manifest["buckets"].items():
+            per = manifest.get("stats", {}).get(b, {})
+            for fn in files:
+                n_files += 1
+                fp = os.path.join(path, f"_cw_bucket={b}", fn)
+                if not os.path.isfile(fp):
+                    missing.append(fp)
+                    continue
+                rec = per.get(fn)
+                if rec is not None:
+                    actual = _parquet_id_range(fp)
+                    if actual is not None and list(actual) != list(rec):
+                        stat_mismatch.append(fp)
+        misplaced = 0
+        if not missing:
+            state = self._read_state(path)
+            misplaced = int(
+                state.select(
+                    (
+                        F.col("_cw_bucket")
+                        != self._bucket_of("id", n_cur)
+                    ).cast("int").alias("bad")
+                )
+                .agg(F.sum("bad"))
+                .collect()[0][0]
+                or 0
+            )
+        row = {
+            "table": self.table_name(doc_type),
+            "version": int(manifest["version"]),
+            "n_files": n_files,
+            "n_missing_files": len(missing),
+            "n_stat_mismatches": len(stat_mismatch),
+            "n_misplaced_rows": misplaced,
+            "ok": not missing and not stat_mismatch and misplaced == 0,
+        }
+        return self.spark.createDataFrame([row])
+
     def create_masked_view(
         self,
         name: str,

@@ -507,3 +507,21 @@ def test_cli_update_where_expr_with_commas(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "updated" in out
+
+
+def test_cli_fsck_flag(spark, tmp_path, capsys):
+    feed = _mixed_feed(str(tmp_path / "feed"))
+    wh_dir = str(tmp_path / "wh")
+    rc = main(
+        [
+            "--feed", feed,
+            "--database", "fsckdb",
+            "--warehouse-dir", wh_dir,
+            "--split", "type",
+            "--reset",
+            "--fsck",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "fsck" in out and "ok=True" in out

@@ -1711,3 +1711,22 @@ def test_delete_where_crash_before_commit_leaves_table_intact(spark, tmp_path):
     # And the verb still works afterwards.
     n = wh.delete_where("age >= 0")
     assert n == 20 and wh.table().count() == 0
+
+
+def test_fsck_clean_and_corrupted(spark, tmp_path):
+    import os as _os
+
+    feed = person_feed(str(tmp_path / "feed.jsonl"), n=30)
+    wh = Warehouse(spark, str(tmp_path / "wh"), "fsckdata", n_buckets=4)
+    wh.spool(feed)
+    rep = wh.fsck().collect()[0]
+    assert rep["ok"] and rep["n_files"] > 0
+    assert rep["n_missing_files"] == 0 and rep["n_misplaced_rows"] == 0
+    # delete one referenced part file → fsck flags it
+    path = wh._table_path("_default")
+    m = wh._load_manifest(path)
+    b, files = next((b, f) for b, f in m["buckets"].items() if f)
+    _os.remove(_os.path.join(path, f"_cw_bucket={b}", files[0]))
+    rep2 = wh.fsck().collect()[0]
+    assert not rep2["ok"]
+    assert rep2["n_missing_files"] == 1
