@@ -1914,3 +1914,79 @@ def psi_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cc").cast("long").alias("n_cur"),
         F.round(F.sum("psi_nano").cast("double") / 1e9, 6).alias("psi"),
     )
+
+
+KT_MOD = 10  # doc_id % 10 == 0 joins the rank-correlation sample
+
+
+@query(
+    "kendall_tau_rank_corr",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS b
+      FROM documents WHERE doc_id % {KT_MOD} = 0
+    ),
+    pairs AS (
+      SELECT CASE WHEN (x.a - y.a) * (x.b - y.b) > 0 THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (x.a - y.a) * (x.b - y.b) < 0 THEN 1 ELSE 0 END AS disc
+      FROM s x JOIN s y ON x.doc_id < y.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(conc) AS BIGINT) AS concordant,
+           CAST(sum(disc) AS BIGINT) AS discordant,
+           CAST(count(*) - sum(conc) - sum(disc) AS BIGINT) AS tied,
+           round(CAST(sum(conc) - sum(disc) AS DOUBLE) / count(*), 6)
+             AS tau_a
+    FROM pairs
+    """,
+)
+def kendall_tau_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-a rank correlation (Kendall 1938) between document
+    length in CHARACTERS and in TOKENS over a hash-thinned sample —
+    the nonparametric rank-agreement standard (robust where Pearson
+    is not; the metric used to compare ranking systems, e.g. two
+    quality scorers). Near +1 here by construction (longer texts have
+    more tokens), and the tied-pair count exposes granularity loss —
+    the readout that matters when replacing an expensive ranker with
+    a cheap proxy.
+
+    Exactness: concordance is the sign of an integer PRODUCT
+    (aᵢ−aⱼ)(bᵢ−bⱼ) — no rank computation, no floats; τ is one
+    division of integer counts, rounded once.
+
+    Scale: the pair join is over the deterministic 1/{KT_MOD} sample
+    (quadratic in the SAMPLE, linear in the corpus — the standard τ
+    estimator posture); the reduce is a 3-counter partial-aggregated
+    sum.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % KT_MOD == 0
+    )
+    s = d.select(
+        "doc_id",
+        F.col("n_chars").alias("a"),
+        F.size(F.split("text", " ")).cast("long").alias("b"),
+    )
+    s = scoped_persist(s)
+    x = s.select(
+        F.col("doc_id").alias("i"), F.col("a").alias("ax"), F.col("b").alias("bx")
+    )
+    y = s.select(
+        F.col("doc_id").alias("j"), F.col("a").alias("ay"), F.col("b").alias("by")
+    )
+    prod = (F.col("ax") - F.col("ay")) * (F.col("bx") - F.col("by"))
+    pairs = x.join(y, F.col("i") < F.col("j")).select(
+        (prod > 0).cast("int").alias("conc"), (prod < 0).cast("int").alias("disc")
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("conc").cast("long").alias("concordant"),
+        F.sum("disc").cast("long").alias("discordant"),
+        (F.count("*") - F.sum("conc") - F.sum("disc"))
+        .cast("long")
+        .alias("tied"),
+        F.round(
+            (F.sum("conc") - F.sum("disc")).cast("double") / F.count("*"), 6
+        ).alias("tau_a"),
+    )

@@ -1767,3 +1767,32 @@ class TestPsiDriftAudit:
         assert int(out["n_ref"]) + int(out["n_cur"]) == 400
         assert int(out["n_bins"]) >= 9
         assert abs(out["psi"]) < 0.25  # A/A: well under the act threshold
+
+
+class TestKendallTauRankCorr:
+    def test_perfect_and_reversed_agreement(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.statistics import (
+            KT_MOD,
+            kendall_tau_rank_corr,
+        )
+
+        d = str(tmp_path / "sf")
+        # sampled ids (multiples of KT_MOD): token count rises WITH
+        # char count → tau_a = 1.
+        rows = [
+            (i * KT_MOD, "t " * (i + 1) + "t", "en", "s") for i in range(6)
+        ]
+        _write(_docs(spark, rows), d, "documents")
+        out = kendall_tau_rank_corr(spark, d).toPandas().iloc[0]
+        assert int(out["n_pairs"]) == 15
+        assert out["tau_a"] == 1.0
+        # reversed: more tokens but FEWER chars (pad short token docs
+        # with wide tokens) → tau_a = -1.
+        rows = []
+        for i in range(5):
+            n_tok = i + 1
+            tok = "x" * (40 - 6 * i)  # char count strictly falls
+            rows.append((i * KT_MOD, " ".join([tok] * n_tok), "en", "s"))
+        _write(_docs(spark, rows), d, "documents")
+        out = kendall_tau_rank_corr(spark, d).toPandas().iloc[0]
+        assert out["tau_a"] == -1.0
