@@ -1786,13 +1786,12 @@ class TestKendallTauRankCorr:
         out = kendall_tau_rank_corr(spark, d).toPandas().iloc[0]
         assert int(out["n_pairs"]) == 15
         assert out["tau_a"] == 1.0
-        # reversed: more tokens but FEWER chars (pad short token docs
-        # with wide tokens) → tau_a = -1.
+        # reversed: more tokens but strictly FEWER total chars
+        # (token width falls faster than count rises) → tau_a = -1.
         rows = []
-        for i in range(5):
-            n_tok = i + 1
-            tok = "x" * (40 - 6 * i)  # char count strictly falls
-            rows.append((i * KT_MOD, " ".join([tok] * n_tok), "en", "s"))
+        widths = [100, 40, 25, 17, 12]  # totals: 100, 81, 77, 71, 64
+        for i, w in enumerate(widths):
+            rows.append((i * KT_MOD, " ".join(["x" * w] * (i + 1)), "en", "s"))
         _write(_docs(spark, rows), d, "documents")
         out = kendall_tau_rank_corr(spark, d).toPandas().iloc[0]
         assert out["tau_a"] == -1.0
