@@ -76,7 +76,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # retrieval_eval_ndcg, l_diversity_audit, theil_sen_trend,
 # seasonal_naive_backtest, shrunk_rate_estimates,
 # dbscan_core_census, simpsons_paradox_scan, psi_drift_audit,
-# kendall_tau_rank_corr (44 total — more than one window's spare
+# kendall_tau_rank_corr, sql_udf_functions (45 total — more than one window's spare
 # capacity, so round 7 rotates ~30 in and round 8 takes the rest).
 # Keep the 3 anchors + any round-7-changed entries, fill the rest
 # with this queue, then backfill with the stalest greens

@@ -584,3 +584,57 @@ def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT r.doc_id, r.token, r.start_pos, r.run_len "
         f"FROM {view} d, LATERAL {fn}(d.doc_id, d.text) r"
     )
+
+
+@query(
+    "sql_udf_functions",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_revenue,
+           CAST(sum(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sql_udf_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (Spark 4's ``CREATE FUNCTION ...
+    RETURN <expr>`` — SQL UDFs, the C-udf family's declarative end):
+    ``net_price`` and an ``is_bulk`` tier gate are DEFINED IN SQL and
+    used in an aggregate over lineitem. Unlike Python UDFs these
+    inline into Catalyst at resolution time — full codegen, pushdown,
+    and null semantics for free, which is exactly why they are the
+    first choice for shared business logic at 100 TB (the reference's
+    users would put these in the target engine; DuckDB's equivalent
+    is CREATE MACRO — the oracle states the same logic inline, since
+    the CONTRACT is the result, not the definition syntax).
+
+    Scale: after inlining, the plan is identical to writing the
+    expressions by hand — one partial-aggregated scan; the function
+    registry adds zero runtime cost.
+    """
+    from couchwarehouse_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_bulk(q DOUBLE) "
+        "RETURNS INT RETURN CASE WHEN q >= 40 THEN 1 ELSE 0 END"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               round(sum(net_price(l_extendedprice, l_discount)), 2)
+                 AS net_revenue,
+               CAST(sum(is_bulk(l_quantity)) AS BIGINT) AS n_bulk
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

@@ -1795,3 +1795,17 @@ class TestKendallTauRankCorr:
         _write(_docs(spark, rows), d, "documents")
         out = kendall_tau_rank_corr(spark, d).toPandas().iloc[0]
         assert out["tau_a"] == -1.0
+
+
+class TestSqlUdfFunctions:
+    def test_inlines_into_codegen_no_python(self, spark, tmp_path):
+        """SQL UDFs must inline: no Python eval nodes; the plan is the
+        same partial-aggregated scan as hand-written expressions."""
+        from couchwarehouse_spark.plans.scalar import sql_udf_functions
+
+        df = sql_udf_functions(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "partial_sum" in plan
+        out = {r["l_returnflag"]: r for r in df.collect()}
+        assert set(out) == {"A", "N", "R"}
