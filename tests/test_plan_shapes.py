@@ -1154,3 +1154,38 @@ def test_boilerplate_suffix_no_explode(spark):
     assert "Generate" not in plan
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dbscan_join_keys_on_bucket(spark):
+    """The DBSCAN neighbor join must key on the SRP bucket — never a
+    cartesian — and stay JVM-side."""
+    plan = plan_of(spark, "dbscan_core_census")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(bucket" in plan or "SortMergeJoin [bucket" in plan \
+        or "BroadcastHashJoin [bucket" in plan or "bucket#" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_psi_edges_broadcast(spark):
+    """PSI: the decile-edge table attaches as a broadcast range
+    lookup; no corpus-sized exchange beyond the census aggregates."""
+    plan = plan_of(spark, "psi_drift_audit")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_simpson_strata_single_scan(spark):
+    """The Simpson scan persists its strata: the pooled row and the
+    per-stratum output both read the cache, and the customer dim
+    comes in broadcast."""
+    plan = plan_of(spark, "simpsons_paradox_scan")
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sql_udfs_inline_fully(spark):
+    """SQL UDFs must vanish into codegen — no Python nodes, partial
+    aggregation present."""
+    plan = plan_of(spark, "sql_udf_functions")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan
