@@ -909,8 +909,9 @@ def preference_pair_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                               AS n_eval_tokens,
            CAST(count(*) FILTER (WHERE lm.c IS NULL) AS BIGINT)
                                                   AS n_oov_tokens,
-           round(avg(-ln((coalesce(lm.c, 0) + 1)
-                         / CAST(tot.t + tot.v + 1 AS DOUBLE))), 6)
+           round(CAST(sum(CAST(round(1000000 * -ln((coalesce(lm.c, 0) + 1)
+                         / CAST(tot.t + tot.v + 1 AS DOUBLE))) AS BIGINT))
+                 AS DOUBLE) / 1000000 / count(*), 6)
                                                   AS avg_surprisal
     FROM test
     LEFT JOIN lm USING (lang, term)
@@ -936,7 +937,10 @@ def heldout_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LM on (lang, term) — the LM table is vocabulary-sized and
     AQE-broadcastable per language; per-language totals attach as a
     |langs|-row broadcast. -ln((c+1)/(T+V+1)) is division-then-log
-    identically in both engines.
+    identically in both engines, then quantized to integer micro-nats
+    BEFORE the per-language reduce (the ``ngram_entropy_rate`` idiom)
+    so the average over the full test token stream is an associative
+    integer sum — summation-order-proof at any SF.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
@@ -956,12 +960,15 @@ def heldout_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             F.col("c").isNull().alias("oov"),
-            (
-                -F.log(
+            F.round(
+                1_000_000
+                * -F.log(
                     (F.coalesce(F.col("c"), F.lit(0)) + 1)
                     / (F.col("t") + F.col("v") + 1).cast("double")
                 )
-            ).alias("surprisal"),
+            )
+            .cast("long")
+            .alias("surprisal_micro"),
         )
     )
     return (
@@ -969,7 +976,12 @@ def heldout_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_eval_tokens"),
             F.count_if("oov").alias("n_oov_tokens"),
-            F.round(F.avg("surprisal"), 6).alias("avg_surprisal"),
+            F.round(
+                F.sum("surprisal_micro").cast("double")
+                / 1_000_000
+                / F.count("*"),
+                6,
+            ).alias("avg_surprisal"),
         )
         .orderBy("lang")
     )

@@ -137,7 +137,8 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            round(sum(sqrt(l_quantity)), 2)              AS sum_sqrt_qty,
            round(sum(pow(l_discount, 2)), 4)            AS sum_disc_sq,
-           round(sum(ln(l_extendedprice)), 2)           AS sum_ln_price,
+           round(CAST(sum(CAST(round(1000000 * ln(l_extendedprice)) AS BIGINT))
+                 AS DOUBLE) / 1000000, 2)               AS sum_ln_price,
            round(sum(abs(l_quantity - 25.0)), 2)        AS sum_abs_dev,
            CAST(sum(CAST(floor(l_tax * 100) AS BIGINT)) AS BIGINT)     AS sum_floor_tax,
            CAST(sum(CAST(ceil(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_ceil_disc,
@@ -155,7 +156,16 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.sum(F.sqrt("l_quantity")), 2).alias("sum_sqrt_qty"),
         F.round(F.sum(F.pow("l_discount", F.lit(2))), 4).alias("sum_disc_sq"),
-        F.round(F.sum(F.log(F.col("l_extendedprice"))), 2).alias("sum_ln_price"),
+        # ln terms quantize to integer micro-nats before the sum (the
+        # ngram_entropy_rate idiom): transcendental-valued floats never
+        # enter a float reduce, so the 2-dp result is order-proof.
+        F.round(
+            F.sum(
+                F.round(1_000_000 * F.log(F.col("l_extendedprice"))).cast("long")
+            ).cast("double")
+            / 1_000_000,
+            2,
+        ).alias("sum_ln_price"),
         F.round(F.sum(F.abs(F.col("l_quantity") - 25.0)), 2).alias("sum_abs_dev"),
         F.sum(F.floor(F.col("l_tax") * 100).cast("long")).alias("sum_floor_tax"),
         F.sum(F.ceil(F.col("l_discount") * 100).cast("long")).alias("sum_ceil_disc"),
@@ -229,7 +239,8 @@ def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                                            AS n_orders,
            CAST(sum(CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS weekend_orders,
            round(sum(sqrt(o_totalprice)), 2)                   AS sum_sqrt_price,
-           round(sum(ln(o_totalprice)), 2)                     AS sum_ln_price,
+           round(CAST(sum(CAST(round(1000000 * ln(o_totalprice)) AS BIGINT))
+                 AS DOUBLE) / 1000000, 2)                      AS sum_ln_price,
            max(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-08-02')) AS max_age_days,
            CAST(sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_orders,
            round(sum(coalesce(nullif(floor(o_totalprice % 7), 0.0), -1.0)), 2) AS adjusted_mod_sum,
@@ -254,7 +265,13 @@ def scalar_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.dayofweek("o_orderdate").isin(1, 7), 1).otherwise(0)
         ).alias("weekend_orders"),
         F.round(F.sum(F.sqrt("o_totalprice")), 2).alias("sum_sqrt_price"),
-        F.round(F.sum(F.log(F.col("o_totalprice"))), 2).alias("sum_ln_price"),
+        F.round(
+            F.sum(
+                F.round(1_000_000 * F.log(F.col("o_totalprice"))).cast("long")
+            ).cast("double")
+            / 1_000_000,
+            2,
+        ).alias("sum_ln_price"),
         F.max(
             F.datediff(F.lit("1998-08-02").cast("date"), F.col("o_orderdate"))
         ).alias("max_age_days"),

@@ -123,7 +123,8 @@ def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq)
     SELECT t.doc_id,
            count(*)                              AS n_tokens,
-           round(avg(-ln(freq.c / tot.n)), 6)    AS avg_surprisal
+           round(CAST(sum(CAST(round(1000000 * -ln(freq.c / tot.n)) AS BIGINT))
+                 AS DOUBLE) / 1000000 / count(*), 6) AS avg_surprisal
     FROM tokens t JOIN freq USING (term) CROSS JOIN tot
     GROUP BY t.doc_id
     ORDER BY avg_surprisal DESC, t.doc_id
@@ -144,20 +145,27 @@ def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``freq`` frame, NOT the corpus — summing per-term counts is the
     same number without a third tokenize-and-explode pass over every
     document. Per-doc reduce is (doc_id)-keyed; top-k is a
-    per-partition heap. ``-ln(c/n)`` is evaluated identically in both
-    engines (division then natural log).
+    per-partition heap. Each ``-ln(c/n)`` quantizes to integer
+    micro-nats BEFORE the reduce (the ``ngram_entropy_rate`` idiom),
+    so the per-doc average is an associative integer sum — rank order
+    of the top-20 cannot flip on partitioning or summation order.
     """
     d = load_table(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(_tokens()).alias("term"))
     freq = tokens.groupBy("term").agg(F.count("*").alias("c"))
     tot = freq.agg(F.sum("c").cast("double").alias("n"))
+    surp_micro = F.round(
+        1_000_000 * -F.log(F.col("c") / F.col("n"))
+    ).cast("long")
     return (
         tokens.join(freq, "term")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias("avg_surprisal"),
+            F.round(
+                F.sum(surp_micro).cast("double") / 1_000_000 / F.count("*"), 6
+            ).alias("avg_surprisal"),
         )
         .orderBy(F.col("avg_surprisal").desc(), "doc_id")
         .limit(20)
@@ -414,7 +422,8 @@ def token_position_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT counts.source,
            CAST(tot.n AS BIGINT)                                   AS total_tokens,
            tot.n_terms                                             AS distinct_terms,
-           round(-sum((c / tot.n) * ln(c / tot.n)), 4)             AS token_entropy
+           round(CAST(sum(CAST(round(1000000 * c * ln(tot.n / c)) AS BIGINT))
+                 AS DOUBLE) / 1000000 / tot.n, 4)                  AS token_entropy
     FROM counts JOIN tot ON counts.source = tot.source
     GROUP BY counts.source, tot.n, tot.n_terms
     """,
@@ -428,8 +437,12 @@ def token_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: word-count shuffle on (source, term) with map-side partial
     aggregation, then per-source totals join back — the totals table
-    is |sources| rows, broadcast. Entropy sums doubles; emitted
-    rounded to 4 so last-ulp association order can't flip the hash.
+    is |sources| rows, broadcast. Entropy reduces in the
+    ``c·ln(n/c)`` form (−Σ p·ln p = (1/n)·Σ c·ln(n/c)) with each
+    term quantized to integer micro-nats BEFORE the sum (the
+    ``ngram_entropy_rate`` idiom) — the integer-count multiplier
+    keeps quantized terms ≥ ln(n)·10⁶, and the integer sum is
+    associative, so the 4-dp result is partitioning-proof.
     """
     d = load_table(spark, sf_dir, "documents")
     counts = (
@@ -440,11 +453,17 @@ def token_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.groupBy("source").agg(
         F.sum("c").cast("double").alias("n"), F.count("*").alias("n_terms")
     )
-    p = F.col("c") / F.col("n")
+    h_micro = F.round(
+        1_000_000 * F.col("c") * F.log(F.col("n") / F.col("c"))
+    ).cast("long")
     return (
         counts.join(F.broadcast(tot), "source")
         .groupBy("source", "n", "n_terms")
-        .agg(F.round(-F.sum(p * F.log(p)), 4).alias("token_entropy"))
+        .agg(
+            F.round(
+                F.sum(h_micro).cast("double") / 1_000_000 / F.col("n"), 4
+            ).alias("token_entropy")
+        )
         .select(
             "source",
             F.col("n").cast("long").alias("total_tokens"),
@@ -909,7 +928,8 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS n FROM c12 GROUP BY w1)
     SELECT big.doc_id,
            CAST(count(*) AS BIGINT)                       AS n_bigrams,
-           round(avg(-ln(c12.c / CAST(c1.n AS DOUBLE))), 6) AS avg_surprisal
+           round(CAST(sum(CAST(round(1000000 * -ln(c12.c / CAST(c1.n AS DOUBLE)))
+                 AS BIGINT)) AS DOUBLE) / 1000000 / count(*), 6) AS avg_surprisal
     FROM big
     JOIN c12 USING (w1, w2)
     JOIN c1 USING (w1)
@@ -934,8 +954,10 @@ def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the c12 table, not the corpus; scoring joins bigrams back
     UNHINTED (AQE broadcasts a small LM, shuffles a heavy-tailed
     one — the ``tf_idf_top_terms`` stance). Per-doc reduce is
-    (doc_id)-keyed; top-20 is a per-partition heap. ``-ln(c/n)`` is
-    division-then-log in both engines.
+    (doc_id)-keyed; top-20 is a per-partition heap. Each ``-ln(c/n)``
+    quantizes to integer micro-nats before the reduce (the
+    ``ngram_entropy_rate`` idiom) so the average — and the top-20
+    ranking on it — is summation-order-proof.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens()
@@ -960,7 +982,15 @@ def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_bigrams"),
             F.round(
-                F.avg(-F.log(F.col("c") / F.col("n").cast("double"))), 6
+                F.sum(
+                    F.round(
+                        1_000_000
+                        * -F.log(F.col("c") / F.col("n").cast("double"))
+                    ).cast("long")
+                ).cast("double")
+                / 1_000_000
+                / F.count("*"),
+                6,
             ).alias("avg_surprisal"),
         )
         .orderBy(F.col("avg_surprisal").desc(), "doc_id")
@@ -1460,11 +1490,11 @@ from couchwarehouse_spark.plans.sampling import _SPLIT_SQL as _SB_SPLIT_SQL, TRA
     scored AS (
       SELECT t.lang,
              bgc.b IS NULL AS backoff,
-             CASE WHEN bgc.b IS NOT NULL
+             CAST(round(1000000 * CASE WHEN bgc.b IS NOT NULL
                   THEN -ln(bgc.b / CAST(ctx.c AS DOUBLE))
                   ELSE -ln(({SB_ALPHA_NUM} * (coalesce(uni.u, 0) + 1))
                            / CAST({SB_ALPHA_DEN} * (tot.n + tot.v + 1) AS DOUBLE))
-             END AS nls
+             END) AS BIGINT) AS nls_micro
       FROM test_bg t
       LEFT JOIN bgc ON string_split(t.bg, ' ')[1] = bgc.w1
                    AND string_split(t.bg, ' ')[2] = bgc.w2
@@ -1475,7 +1505,8 @@ from couchwarehouse_spark.plans.sampling import _SPLIT_SQL as _SB_SPLIT_SQL, TRA
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_transitions,
            CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
-           round(avg(nls), 6) AS avg_surprisal
+           round(CAST(sum(nls_micro) AS DOUBLE) / 1000000 / count(*), 6)
+             AS avg_surprisal
     FROM scored
     GROUP BY lang
     ORDER BY lang
@@ -1496,7 +1527,11 @@ def stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     The split gates are ``deterministic_split``'s salted-hash buckets
     (same literal SQL, leak-proof by construction). Backoff-vs-hit is
     an exact NULL test on the joined bigram table; each surprisal is
-    one division + ln on identical integers in both engines.
+    one division + ln on identical integers in both engines, then
+    quantized to integer micro-nats BEFORE the per-language reduce
+    (the ``ngram_entropy_rate`` idiom) — the average is an
+    associative integer sum, so it cannot flip on summation order at
+    a bigger SF or different partitioning.
 
     Scale: the LM tables are bigram-vocabulary-sized hash aggregates;
     scoring is the test transition stream LEFT-joined against them on
@@ -1542,17 +1577,24 @@ def stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (SB_ALPHA_DEN * (F.col("n") + F.col("v") + 1)).cast("double")
         )
     )
+    nls_micro = F.round(1_000_000 * nls).cast("long")
     return (
         t.join(bgc, ["w1", "w2"], "left")
         .join(ctx, "w1", "left")
         .join(uni.withColumnRenamed("w", "w2"), "w2", "left")
         .crossJoin(F.broadcast(tot))
-        .select("lang", F.col("b").isNull().alias("backoff"), nls.alias("nls"))
+        .select(
+            "lang",
+            F.col("b").isNull().alias("backoff"),
+            nls_micro.alias("nls_micro"),
+        )
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_transitions"),
             F.sum(F.col("backoff").cast("int")).cast("long").alias("n_backoff"),
-            F.round(F.avg("nls"), 6).alias("avg_surprisal"),
+            F.round(
+                F.sum("nls_micro").cast("double") / 1_000_000 / F.count("*"), 6
+            ).alias("avg_surprisal"),
         )
         .orderBy("lang")
     )

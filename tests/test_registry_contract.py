@@ -40,3 +40,36 @@ def test_every_entry_is_oracle_backed():
     # Registry floor: entries may only be added, never silently lost.
     # Raise the floor when new operators land.
     assert len(qs) >= 231, len(qs)
+
+
+def test_no_raw_float_reduce_over_log_terms():
+    """Greppable invariant (round-6 verdict ask #5): ln-valued floats
+    never enter a float ``F.avg``/``F.sum`` (or SQL ``avg``/``sum``) —
+    they quantize to integer micro-nats first (the
+    ``ngram_entropy_rate`` idiom), so every oracle-checked reduce over
+    transcendental terms is an associative integer sum."""
+    import pathlib
+    import re
+
+    plans = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "couchwarehouse_spark"
+        / "plans"
+    )
+    patterns = [
+        # Spark side: a log expression directly inside a float reduce.
+        r"F\.(avg|sum)\(\s*-?\s*F\.log",
+        # (paren-free gap: a quantizing F.round(...) wrapper between the
+        # reduce and the product is exactly what makes it legal)
+        r"F\.(avg|sum)\(\s*[\w.\"']{1,40}\s*\*\s*F\.log",
+        # Oracle side: ln directly inside avg/sum without the
+        # round(...)::BIGINT quantization wrapper.
+        r"\b(avg|sum)\(\s*-?\s*ln\(",
+    ]
+    offenders = []
+    for path in sorted(plans.glob("*.py")):
+        flat = re.sub(r"\s+", " ", path.read_text())
+        for pat in patterns:
+            if re.search(pat, flat):
+                offenders.append((path.name, pat))
+    assert not offenders, offenders
