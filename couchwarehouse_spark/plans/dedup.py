@@ -1249,6 +1249,12 @@ def dedup_savings_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DF_CAP = 50  # document-frequency cap: shingles in more docs are "stop shingles"
+# and are dropped from the pair-generating vocabulary BEFORE any
+# inverted-index self-join (sparse_cosine_pairs, containment_dup_pairs)
+# — one viral boilerplate shingle is a df² quadratic key at 100 TB.
+# stop_shingle_cap_audit measures exactly the Σdf² work this removes.
+
 SPARSE_COSINE_ORACLE = """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
                WHERE len(string_split(text, ' ')) >= 3),
@@ -1258,8 +1264,10 @@ SPARSE_COSINE_ORACLE = """
                                         list_extract(w, i + 1),
                                         list_extract(w, i + 2)))) AS g
            FROM t),
-    tf AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
-           FROM sh GROUP BY doc_id, g),
+    tf0 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
+            FROM sh GROUP BY doc_id, g),
+    stop AS (SELECT g FROM tf0 GROUP BY g HAVING count(*) > {DF_CAP}),
+    tf AS (SELECT * FROM tf0 ANTI JOIN stop USING (g)),
     nr AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
            FROM tf GROUP BY doc_id),
     dots AS (
@@ -1274,7 +1282,7 @@ SPARSE_COSINE_ORACLE = """
     JOIN nr x ON doc_id_1 = x.doc_id
     JOIN nr y ON doc_id_2 = y.doc_id
     WHERE 4 * dot * dot >= x.n2 * y.n2
-"""
+""".format(DF_CAP=DF_CAP)
 
 
 @query("sparse_cosine_pairs", oracle=SPARSE_COSINE_ORACLE)
@@ -1290,11 +1298,15 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidate generation joins the (doc, shingle, tf) posting
     table on the shingle key, so pair work is Σ df(g)² — bounded by
     shingle diversity (word-3-grams are heavy-tailed-free by
-    construction; unigrams would be all-pairs and are NOT used). The
-    same df-cutoff/prefix-filter levers as the Jaccard entry apply
-    if a corpus ever has hot shingles. Norms reduce the posting
-    table, not the corpus; everything is a hash aggregate or an
-    equi-join — no window, no Python.
+    construction; unigrams would be all-pairs and are NOT used) AND
+    by the wired DF_CAP: shingles in more than DF_CAP documents are
+    dropped from the vocabulary BEFORE norms or the self-join (a
+    broadcast anti-join — the stop-shingle set is tiny by
+    definition), so one viral boilerplate shingle can never become a
+    df² quadratic key. Cosine is then over the capped vocabulary in
+    BOTH lanes. Norms reduce the posting table, not the corpus;
+    everything is a hash aggregate or an equi-join — no window, no
+    Python.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -1303,7 +1315,15 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(toks) >= 3)
         .select("doc_id", F.explode(_shingles(toks)).alias("g"))
     )
-    tf = sh.groupBy("doc_id", "g").agg(F.count("*").alias("tf"))
+    tf0 = sh.groupBy("doc_id", "g").agg(F.count("*").alias("tf"))
+    tf0 = scoped_persist(tf0)  # feeds the df census AND the capped postings
+    stop = (
+        tf0.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("g")
+    )
+    tf = tf0.join(F.broadcast(stop), "g", "left_anti")
     tf = scoped_persist(tf)  # feeds norms AND the pair join
     nr = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
     a = tf.select(F.col("doc_id").alias("doc_id_1"), "g", F.col("tf").alias("tf1"))
@@ -1406,7 +1426,12 @@ CONT_NUM, CONT_DEN = 3, 5  # containment threshold 3/5 = 0.6
       FROM documents
       WHERE len(string_split(text, ' ')) >= 3
     ),
-    p AS (SELECT doc_id, lang, len(sh) AS n, unnest(sh) AS h FROM t),
+    p0 AS (SELECT doc_id, lang, unnest(sh) AS h FROM t),
+    stop AS (SELECT h FROM p0 GROUP BY h HAVING count(*) > {DF_CAP}),
+    p1 AS (SELECT * FROM p0 ANTI JOIN stop USING (h)),
+    p AS (SELECT doc_id, lang, h,
+                 count(*) OVER (PARTITION BY doc_id) AS n
+          FROM p1),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              min(a.n) AS na, min(b.n) AS nb, count(*) AS inter
@@ -1429,32 +1454,48 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies. Reference scope: the LLM-pipeline dedup tier mandated on
     top of the reference's SQL surface (/root/reference/README.md:68).
 
-    EXACT, not approximate: any pair at containment ≥ 3/5 shares at
-    least one shingle, so generating candidates from the shingle
-    inverted index (explode → equi-join on the shingle hash →
-    count = intersection size) finds every qualifying pair — recall 1
-    by construction, never an all-pairs compare. The threshold test is
-    the integer cross-multiplication ``5·inter ≥ 3·min(na, nb)``; the
-    only float is the one reported division.
+    EXACT, not approximate: any pair at containment ≥ 3/5 over the
+    capped vocabulary shares at least one surviving shingle, so
+    generating candidates from the shingle inverted index (explode →
+    equi-join on the shingle hash → count = intersection size) finds
+    every qualifying pair — recall 1 by construction, never an
+    all-pairs compare. The threshold test is the integer
+    cross-multiplication ``5·inter ≥ 3·min(na, nb)``; the only float
+    is the one reported division.
 
     Scale: postings are (doc, 64-bit shingle hash) pairs; the
     self-join is keyed on the hash, so work concentrates exactly on
-    shared shingles (boilerplate-hot keys are AQE-skew-splittable; at
-    web scale the standard df-cap on stop-shingles bounds the worst
-    key before the join — a filter on the same postings table). The
-    oracle joins raw shingle strings — intersection SIZES are
-    invariant under the injective hash, the ``ngram_jaccard_pairs``
-    argument.
+    shared shingles. The standard df-cap on stop-shingles is WIRED,
+    not just documented: shingles in more than DF_CAP documents are
+    dropped from the postings (broadcast anti-join — the stop set is
+    tiny by definition) BEFORE the self-join, and per-doc set sizes
+    recompute over the surviving vocabulary, so containment is
+    measured over the capped vocabulary in both lanes and one viral
+    boilerplate shingle can never become a df² quadratic key.
+    ``stop_shingle_cap_audit`` quantifies the Σdf² work this removes.
+    The oracle joins raw shingle strings — document frequencies,
+    intersection SIZES and set sizes are invariant under the
+    injective hash, the ``ngram_jaccard_pairs`` argument.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     toks = F.split("text", " ")
     sh = F.array_distinct(F.transform(_shingles(toks), md5_long))
-    docs = d.filter(F.size(toks) >= 3).select(
-        "doc_id", "lang", sh.alias("sh"), F.size(sh).alias("n")
+    post0 = (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", "lang", F.explode(sh).alias("h"))
     )
-    post = docs.select("doc_id", "lang", "n", F.explode("sh").alias("h"))
+    post0 = scoped_persist(post0)  # feeds the df census AND the capped postings
+    stop = (
+        post0.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("h")
+    )
+    kept = post0.join(F.broadcast(stop), "h", "left_anti")
+    n_tbl = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    post = kept.join(n_tbl, "doc_id")
     a = post.select(
         F.col("doc_id").alias("doc_a"), "lang", F.col("n").alias("na"), "h"
     )
@@ -1560,9 +1601,6 @@ def normalized_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
-
-
-DF_CAP = 50  # document-frequency cap: shingles in more docs are "stop shingles"
 
 
 @query(

@@ -619,11 +619,15 @@ def test_retrieval_eval_two_stage_topk(spark):
 
 def test_sparse_cosine_is_join_agg_pipeline(spark):
     """tf-cosine pairs: pure join + hash-agg pipeline — no window, no
-    Python; posting and pair aggregates combine map-side."""
+    Python; posting and pair aggregates combine map-side. The DF_CAP
+    stop-shingle filter is WIRED as a broadcast anti-join below the
+    pair self-join (the tiny stop set broadcasts; postings never
+    shuffle for the cap)."""
     plan = plan_of(spark, "sparse_cosine_pairs")
     assert "Window" not in plan
     assert "partial_count" in plan and "partial_sum" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "LeftAnti, BuildRight" in plan and "BroadcastHashJoin" in plan
 
 
 def test_point_in_time_single_user_exchange(spark):
@@ -911,6 +915,9 @@ def test_containment_postings_join_no_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_min" in plan or "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # The DF_CAP stop-shingle filter is wired BELOW the pair join as a
+    # broadcast anti-join (stop set is tiny by definition).
+    assert "LeftAnti, BuildRight" in plan and "BroadcastHashJoin" in plan
 
 
 def test_gopher_flags_single_hash_agg_no_explode(spark):
