@@ -24,73 +24,60 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
-# coverage policy. Round-6 rotation — ACTUAL composition (3 + 2 + 13
-# + 14 + 11 + 7 = 50; keep these counts in sync with the list, next
-# round's rotation is planned from them):
+# coverage policy. Round-7 rotation — ACTUAL composition (3 + 9 + 1 +
+# 37 = 50; keep these counts in sync with the list, next round's
+# rotation is planned from them):
 #  - 3 never-regressed anchors (ETL kernel — also the required
-#    etl-family representative — the R1-R14 e2e, which exercises the
-#    new CHECK-constraint hook in the merge path, and the relational
+#    etl-family representative — the R1-R14 e2e, and the relational
 #    flagship),
-#  - 2 entries whose IMPLEMENTATION changed this round and must be
-#    re-proven (event_debounce — microsecond-exact gaps;
-#    udtf_token_runs — per-call view/UDTF names),
-#  - 13 operators new early this round (never driver-verified by
-#    construction),
-#  - 14 operators new mid-round (batches 2-5: source TVD, KN
-#    continuation, boundary overlap, best-of-n, preference pairs,
-#    Gram matrix, vocab curve, held-out LM eval, modality pairing,
-#    CMS audit, Bloom audit, conversion attribution, skyline, KS
-#    drift),
-#  - 11 operators new LATE this round (batches 6-7: Mann-Whitney, χ²
-#    keyness, lateness census, CMS join-size, epoch planner,
-#    calibration bins, containment pairs, Gopher census, feature
-#    hashing, Heaps' law, JL projection audit),
-#  - 7 operators from batches 8-10 (DSIR, PCA matvec, stupid backoff,
-#    event-pattern regex census, SCD2 point-in-time join, source KL
-#    divergence, classifier confusion).
-#    The window covers every never-driver-verified entry EXCEPT the
-#    four lowest-divergence-risk ones, deferred to round 7 (all
-#    t2-sim green, first in line next round): rfm_segmentation and
-#    mad_outlier_census (R17 passthroughs — the same ANSI text runs
-#    in both engines), benford_first_digit_audit (integer-cents digit
-#    census with inlined Benford constants), and
-#    markov_transition_matrix (integer-exact transition counts,
-#    model-checked in tests).
-# ROUND-7 ROTATION QUEUE (never driver-verified; all t2-sim green at
-# sf0.01 this round): the 4 deferred above plus the late-round-6
-# batches 11-15 — zipf_frequency_spectrum, referential_integrity_audit,
-# user_activity_streaks, weighted_sample_topk, bleu_ngram_eval,
-# ngram_novelty_audit, tokenizer_fertility_by_lang,
-# burstiness_fano_census, jackknife_source_sensitivity,
-# text_normalization_census, predicate_delete_cdc,
-# markov_conditional_entropy, funnel_latency_percentiles,
-# shipping_lag_census, normalized_dedup_gain, ann_shard_balance_plan,
-# boilerplate_suffix_census, star_flatten_export,
-# gini_source_concentration, waterfill_budget_allocation,
-# equidepth_histogram_bounds, ngram_entropy_rate,
-# stop_shingle_cap_audit, incremental_dedup_probe,
-# multimodal_phash_buckets, mutual_information_audit,
-# functional_dependency_audit, event_autocorrelation,
-# cusum_changepoint_scan, abtest_two_proportion_z,
-# churn_hazard_table, embedding_dim_stats_audit,
-# retrieval_eval_ndcg, l_diversity_audit, theil_sen_trend,
-# seasonal_naive_backtest, shrunk_rate_estimates,
+#  - 9 entries whose IMPLEMENTATION changed this round and must be
+#    re-proven: 7 micro-nat quantized ln-reduces
+#    (unigram/bigram_surprisal_scores, stupid_backoff_scores,
+#    token_entropy_per_source, heldout_perplexity_eval,
+#    math_functions, scalar_kitchen_sink) and the 2 pair generators
+#    that now WIRE the DF_CAP stop-shingle filter
+#    (sparse_cosine_pairs, containment_dup_pairs),
+#  - 1 family-coverage slot: key_skew_audit (the only skew_plan-family
+#    entries are r06-green; the window must keep a skew_plan rep),
+#  - 37 never-driver-verified entries from the round-7 queue,
+#    including multimodal_feature_extract — whose r06 bookkeeping note
+#    "(r04-green)" was WRONG (its only driver row ever was an r02
+#    no_oracle err; the r06 verdict caught the error and it now takes
+#    a window slot) — and the 4 entries round 6 deferred
+#    (rfm_segmentation, mad_outlier_census, benford_first_digit_audit,
+#    markov_transition_matrix, first in line as promised).
+# ROUND-8 ROTATION PLAN (write the r08 window from this): keep the 3
+# anchors + any round-8-changed entries; take the 10 queue remainders
+# deferred this round — sql_udf_functions, l_diversity_audit,
+# theil_sen_trend, seasonal_naive_backtest, shrunk_rate_estimates,
 # dbscan_core_census, simpsons_paradox_scan, psi_drift_audit,
-# kendall_tau_rank_corr, sql_udf_functions (45 total — more than one window's spare
-# capacity, so round 7 rotates ~30 in and round 8 takes the rest).
-# Keep the 3 anchors + any round-7-changed entries, fill the rest
-# with this queue, then backfill with the stalest greens
-# (r03-and-earlier).
-#    Displaced to fit (all r05-green and still t2-sim checked):
-#    anchors conform_projection, scd2_user_state_history,
-#    mango_selector_filter, minhash_lsh_candidates,
-#    delete_propagation, time_travel_cdc, nation_revenue,
-#    tumbling_window_counts, exact_dedup, knn_cosine_topk;
-#    multimodal_feature_extract (r04-green); the 7 round-6 staleness
-#    slots (price_band_join, rollup_priority_status,
-#    top_revenue_orders, agg_stats, array_functions, asof_last_view,
-#    percentile_stats). Next round's staleness rotation starts from
-#    the r03-and-earlier greens.
+# kendall_tau_rank_corr, abtest_two_proportion_z (all t2-sim green at
+# sf0.01 this round) — which drives never-driver-verified to 0; fill
+# the remaining ~37 slots with the STALEST greens, r03-first
+# (flatten_props, conform_projection, seq_extraction,
+# mango_selector_filter, delete_propagation, full_text_relevance,
+# bm25_relevance, minhash_lsh_candidates, simhash_near_dup,
+# ngram_jaccard_pairs, embedding_near_dup, json_functions,
+# string_functions, knn_cosine_topk, exact_dedup, and the other
+# r03-window survivors), then r04 greens if slots remain.
+#    Displaced to fit this round (r06-green, still t2-sim checked):
+#    event_debounce, udtf_token_runs, knn_label_purity,
+#    retrieval_eval_mrr, point_in_time_features,
+#    pq_quantization_audit, temperature_sampling_weights,
+#    rolling_active_users, cooccurrence_pmi_pairs,
+#    multimodal_audio_framing, contrastive_pair_mining,
+#    span_corruption_census, source_tvd_matrix, kn_continuation_counts,
+#    doc_boundary_overlap, best_of_n_selection, preference_pair_harvest,
+#    embedding_gram_matrix, vocab_coverage_curve, modality_pairing_audit,
+#    count_min_sketch_audit, bloom_filter_build_audit,
+#    conversion_attribution, skyline_cheap_early_orders, ks_drift_doclen,
+#    mannwhitney_drift_doclen, chi2_term_keyness, event_lateness_census,
+#    cms_join_size_audit, mixture_epoch_plan, score_calibration_bins,
+#    gopher_quality_flags, feature_hashing_vectorizer,
+#    heaps_law_vocab_growth, random_projection_audit,
+#    dsir_importance_weights, pca_power_iteration,
+#    event_pattern_regex_census, scd2_point_in_time_join,
+#    source_kl_divergence, binary_classifier_confusion.
 # Every entry outside the window stays registered, oracle-checked by
 # tests/t2_sim.py, pytest-covered, and bench-timed.
 PRIORITY = [
@@ -99,58 +86,56 @@ PRIORITY = [
     "latest_event_per_user",
     "warehouse_e2e_pipeline",
     "pricing_summary",
-    # --- 2 changed-this-round entries (re-prove the new impl) ---
-    "event_debounce",
-    "udtf_token_runs",
-    # --- 13 NEW operators this round ---
-    "knn_label_purity",
-    "retrieval_eval_mrr",
+    # --- 9 changed-this-round entries (re-prove the new impl) ---
+    "unigram_surprisal_scores",
     "bigram_surprisal_scores",
-    "sparse_cosine_pairs",
-    "point_in_time_features",
-    "key_skew_audit",
-    "pq_quantization_audit",
-    "temperature_sampling_weights",
-    "rolling_active_users",
-    "cooccurrence_pmi_pairs",
-    "multimodal_audio_framing",
-    "contrastive_pair_mining",
-    "span_corruption_census",
-    # --- 14 NEW operators, batches 2-5 this round ---
-    "source_tvd_matrix",
-    "kn_continuation_counts",
-    "doc_boundary_overlap",
-    "best_of_n_selection",
-    "preference_pair_harvest",
-    "embedding_gram_matrix",
-    "vocab_coverage_curve",
-    "heldout_perplexity_eval",
-    "modality_pairing_audit",
-    "count_min_sketch_audit",
-    "bloom_filter_build_audit",
-    "conversion_attribution",
-    "skyline_cheap_early_orders",
-    "ks_drift_doclen",
-    # --- 11 NEW operators, batches 6-7 this round ---
-    "mannwhitney_drift_doclen",
-    "chi2_term_keyness",
-    "event_lateness_census",
-    "cms_join_size_audit",
-    "mixture_epoch_plan",
-    "score_calibration_bins",
-    "containment_dup_pairs",
-    "gopher_quality_flags",
-    "feature_hashing_vectorizer",
-    "heaps_law_vocab_growth",
-    "random_projection_audit",
-    # --- 7 NEW operators, batches 8-10 this round ---
-    "dsir_importance_weights",
-    "pca_power_iteration",
     "stupid_backoff_scores",
-    "event_pattern_regex_census",
-    "scd2_point_in_time_join",
-    "source_kl_divergence",
-    "binary_classifier_confusion",
+    "token_entropy_per_source",
+    "heldout_perplexity_eval",
+    "math_functions",
+    "scalar_kitchen_sink",
+    "sparse_cosine_pairs",
+    "containment_dup_pairs",
+    # --- 1 family-coverage slot (skew_plan rep; r06-green) ---
+    "key_skew_audit",
+    # --- 37 never-driver-verified (the round-7 queue) ---
+    "rfm_segmentation",
+    "mad_outlier_census",
+    "benford_first_digit_audit",
+    "markov_transition_matrix",
+    "multimodal_feature_extract",
+    "zipf_frequency_spectrum",
+    "referential_integrity_audit",
+    "user_activity_streaks",
+    "weighted_sample_topk",
+    "bleu_ngram_eval",
+    "ngram_novelty_audit",
+    "tokenizer_fertility_by_lang",
+    "burstiness_fano_census",
+    "jackknife_source_sensitivity",
+    "text_normalization_census",
+    "predicate_delete_cdc",
+    "markov_conditional_entropy",
+    "funnel_latency_percentiles",
+    "shipping_lag_census",
+    "normalized_dedup_gain",
+    "ann_shard_balance_plan",
+    "boilerplate_suffix_census",
+    "star_flatten_export",
+    "gini_source_concentration",
+    "waterfill_budget_allocation",
+    "equidepth_histogram_bounds",
+    "ngram_entropy_rate",
+    "stop_shingle_cap_audit",
+    "incremental_dedup_probe",
+    "multimodal_phash_buckets",
+    "mutual_information_audit",
+    "functional_dependency_audit",
+    "event_autocorrelation",
+    "cusum_changepoint_scan",
+    "churn_hazard_table",
+    "embedding_dim_stats_audit",
+    "retrieval_eval_ndcg",
 ]
 
 
