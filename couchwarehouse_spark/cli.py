@@ -367,7 +367,16 @@ def main(argv: list[str] | None = None) -> int:
             cols = set(wh.schemas[doc_type])
             if not set(assigns) <= cols:
                 continue  # split mode: apply only where the columns exist
-            n = wh.update_where(pred, assigns, doc_type)
+            try:
+                n = wh.update_where(pred, assigns, doc_type)
+            except Exception as err:  # predicate references a missing column
+                if not args.quiet:
+                    print(
+                        f"couchwarehouse: --update-where skipped "
+                        f"{wh.table_name(doc_type)}: {err}",
+                        file=sys.stderr,
+                    )
+                continue
             if not args.quiet:
                 print(
                     f"couchwarehouse: updated {n} row(s) of "

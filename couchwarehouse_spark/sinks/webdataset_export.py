@@ -131,9 +131,24 @@ def export_webdataset(
     prepared = prepared.persist()
     agg = (
         prepared.groupBy("_cw_shard")
-        .agg(F.count("*").alias("rows"))
+        .agg(
+            F.count("*").alias("rows"),
+            F.countDistinct("_cw_key").alias("distinct_keys"),
+        )
         .collect()
     )
+    # Fail FAST on duplicate keys: two samples sharing a basename would
+    # write duplicate tar member names and only surface later as a
+    # verify_webdataset rows-vs-samples mismatch. Same-shard check is
+    # complete — equal keys always hash to the same shard. Piggybacks
+    # on the stats aggregate: no extra pass over the frame.
+    dup_shards = [int(r["_cw_shard"]) for r in agg if r["rows"] != r["distinct_keys"]]
+    if dup_shards:
+        prepared.unpersist(blocking=False)
+        raise ValueError(
+            f"export_webdataset: duplicate values in key column {key!r} "
+            f"(shards {sorted(dup_shards)}); dedupe before exporting"
+        )
     prepared.foreachPartition(lambda rows: list(_write_partition(rows)))
     prepared.unpersist(blocking=False)
     shards = {}

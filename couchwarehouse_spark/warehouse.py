@@ -1238,7 +1238,9 @@ class Warehouse:
         an optional boolean column: TRUE rows become deletes (Delta's
         WHEN MATCHED ... DELETE). CHECK constraints gate the incoming
         rows exactly as they gate feed batches. Returns the number of
-        rows applied.
+        rows applied: upserted live rows plus tombstones whose id
+        actually existed in the pre-merge state — a delete for an
+        absent id is a no-op and is NOT counted.
 
         Scale: the seq probe is one partial-aggregated max; everything
         else reuses the bucket-pruned incremental merge (only buckets
@@ -1265,6 +1267,18 @@ class Warehouse:
             tombstones = self.spark.range(0).select(
                 F.lit("").alias("id"), F.lit(0).cast("long").alias(SEQ_COL)
             )
+        # Deletes that matched an existing row, counted against the
+        # PRE-merge state (after the merge the ids are gone) — a
+        # tombstone for an absent id is a no-op, not an applied row.
+        n_del = 0
+        if delete_col is not None and base_seq > 0:
+            state_ids = self._read_state(path).select("id")
+            n_del = (
+                tombstones.select("id")
+                .distinct()
+                .join(state_ids, "id", "left_semi")
+                .count()
+            )
         flat = live.withColumn(SEQ_COL, F.lit(base_seq + 1))
         if doc_type not in self.schemas:
             self.schemas[doc_type] = self._freeze_schema(flat)
@@ -1282,9 +1296,7 @@ class Warehouse:
             conformed.unpersist(blocking=False)
         self._save_schemas()
         self.register_view(doc_type)
-        if delete_col is not None:
-            n += tombstones.count()
-        return n
+        return n + n_del
 
     def delete_where(
         self, condition, doc_type: str = DEFAULT_TYPE
@@ -1521,7 +1533,15 @@ class Warehouse:
             )
         all_pass = _ft.reduce(lambda a, b: a & b, passes.values())
         qdir = os.path.join(self.warehouse_dir, "_quarantine", doc_type)
-        conformed.filter(~all_pass).write.mode("append").parquet(qdir)
+        # Internal columns (the _cw_bucket partition key rides along on
+        # update_where batches but not feed batches) stay OUT of the
+        # dead-letter files — appends of differing schemas would make
+        # quarantined() silently drop columns from one footer.
+        offenders = conformed.filter(~all_pass)
+        offenders = offenders.drop(
+            *[c for c in offenders.columns if c.startswith("_cw_")]
+        )
+        offenders.write.mode("append").parquet(qdir)
         if self.verbose:
             print(
                 f"couchwarehouse: quarantined {sum(violated.values())} "
@@ -1530,9 +1550,11 @@ class Warehouse:
         return conformed.filter(all_pass)
 
     def quarantined(self, doc_type: str = DEFAULT_TYPE) -> DataFrame:
-        """Read the dead-letter rows diverted by quarantine mode."""
+        """Read the dead-letter rows diverted by quarantine mode.
+        mergeSchema unions footers so a dir written by an older
+        version (mixed internal columns) still reads losslessly."""
         qdir = os.path.join(self.warehouse_dir, "_quarantine", doc_type)
-        return self.spark.read.parquet(qdir)
+        return self.spark.read.option("mergeSchema", "true").parquet(qdir)
 
     def analyze(
         self, doc_type: str = DEFAULT_TYPE, columns: list[str] | None = None

@@ -26,6 +26,210 @@ def _docs(spark, rows):
     )
 
 
+class TestSubsecondWarehouseE2E:
+    def test_microseconds_survive_ingest_merge_window(self, spark, tmp_path):
+        """Sub-second event feed through the REAL warehouse (strict
+        declared schema → spool → latest-wins merge → second merge
+        batch → window): a 3600.5 s gap debounces into TWO bursts
+        while a 3599.5 s gap stays ONE — only microsecond-exact
+        arithmetic end-to-end can tell them apart (whole-second
+        unix_timestamp reads both as 3600 or 3599). VERDICT r06 ask #6:
+        the shared events.parquet is whole-second, so this lane is the
+        sub-second coverage."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from couchwarehouse_spark.plans.events_windows import (
+            DEBOUNCE_GAP_SECONDS,
+        )
+        from couchwarehouse_spark.warehouse import Warehouse
+
+        from .fixtures import envelope, write_feed
+
+        def ev(i, user, ts):
+            return {
+                "_id": f"ev{i:04d}",
+                "_rev": "1-x",
+                "user_id": user,
+                "event_type": "click",
+                "ts": ts,
+            }
+
+        t0 = "2024-01-01T00:00:00.250000"
+        within = "2024-01-01T00:59:59.750000"  # +3599.5 s from t0
+        beyond = "2024-01-01T01:00:00.750000"  # +3600.5 s from t0
+        wh = Warehouse(
+            spark, str(tmp_path / "wh"), "subsec", n_buckets=2,
+            feed_schema=(
+                "_id string, _rev string, user_id bigint, "
+                "event_type string, ts string"
+            ),
+        )
+        wh.spool(write_feed(str(tmp_path / "f1.jsonl"), [
+            envelope(1, ev(1, 1, t0)),
+            envelope(2, ev(2, 1, within)),
+            envelope(3, ev(3, 2, t0)),
+        ]))
+        # Second batch = second MERGE cycle: user 2's far event plus an
+        # amendment of ev0001 (same ts, higher seq) — microseconds must
+        # survive the latest-wins rewrite too.
+        amended = ev(1, 1, t0)
+        amended["_rev"] = "2-y"
+        wh.spool(write_feed(str(tmp_path / "f2.jsonl"), [
+            envelope(4, ev(4, 2, beyond)),
+            envelope(5, amended),
+        ]))
+
+        # CouchDB docs carry timestamps as ISO TEXT (the reference's
+        # boolean/number/string logical types — _logical_of); the
+        # warehouse must preserve the FULL fractional string through
+        # both merges, and the window lane casts exactly like
+        # event_debounce does.
+        t = wh.table().withColumn("ts", F.col("ts").cast("timestamp"))
+        # Microseconds intact after two merges: exact gap values.
+        w = Window.partitionBy("user_id").orderBy("ts", "id")
+        gaps = (
+            t.select(
+                "user_id",
+                (
+                    F.unix_micros("ts")
+                    - F.unix_micros(F.lag("ts").over(w))
+                ).alias("gap_us"),
+            )
+            .filter(F.col("gap_us").isNotNull())
+            .collect()
+        )
+        got = {r["user_id"]: r["gap_us"] for r in gaps}
+        assert got == {1: 3_599_500_000, 2: 3_600_500_000}
+        # The debounce head rule (the event_debounce expression) splits
+        # user 2 into two bursts and keeps user 1 in one.
+        heads = t.select(
+            "user_id",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                    > DEBOUNCE_GAP_SECONDS * 1_000_000
+                ),
+                1,
+            ).otherwise(0).alias("h"),
+        )
+        kept = {
+            r["user_id"]: r["n"]
+            for r in heads.groupBy("user_id").agg(F.sum("h").alias("n")).collect()
+        }
+        assert kept == {1: 1, 2: 2}
+
+
+class TestAdviceR06Fixes:
+    """The four ADVICE r06 items: merge_into ghost-delete counting,
+    quarantine schema mixing, --update-where per-type skip, and
+    webdataset duplicate-key fail-fast."""
+
+    def test_merge_into_ghost_delete_not_counted(self, spark, tmp_path):
+        """A tombstone for an id absent from the table is a no-op and
+        must NOT inflate the rows-applied count."""
+        from couchwarehouse_spark.warehouse import Warehouse
+
+        from .fixtures import person_feed
+
+        feed = person_feed(str(tmp_path / "feed.jsonl"), n=5)
+        wh = Warehouse(spark, str(tmp_path / "wh"), "ghostdel", n_buckets=2)
+        wh.spool(feed)
+        inc = spark.createDataFrame(
+            [
+                ("person0001", None, True),  # exists → counted
+                ("nosuchdoc", None, True),  # ghost → NOT counted
+                ("person0002", "Renamed", False),  # live upsert
+            ],
+            "id string, name string, gone boolean",
+        )
+        assert wh.merge_into(inc, delete_col="gone") == 2
+        assert wh.table().count() == 4  # 5 - 1 real delete
+
+    def test_quarantine_mixed_origins_share_one_schema(self, spark, tmp_path):
+        """Feed-batch offenders and update_where offenders land in the
+        SAME dead-letter schema (no internal _cw_bucket column), so
+        quarantined() reads both without silently dropping columns."""
+        import random
+
+        from couchwarehouse_spark.warehouse import Warehouse
+
+        from .fixtures import envelope, order_doc, write_feed
+
+        rng = random.Random(7)
+        wh = Warehouse(
+            spark, str(tmp_path / "wh"), "qmix", n_buckets=2,
+            constraint_mode="quarantine",
+        )
+        wh.spool(write_feed(
+            str(tmp_path / "f1.jsonl"),
+            [envelope(i + 1, order_doc(i, rng)) for i in range(4)],
+        ))
+        wh.add_constraint("total_cap", "total <= 1000")
+        # Origin 1: a feed batch with one violating row.
+        bad = order_doc(99, rng)
+        bad["total"] = 5000.0
+        wh.spool(write_feed(str(tmp_path / "f2.jsonl"), [envelope(10, bad)]))
+        # Origin 2: an update_where that drives rows over the cap.
+        wh.update_where("total > 0", {"total": "total + 2000"})
+        q = wh.quarantined()
+        assert not any(c.startswith("_cw_") for c in q.columns)
+        rows = q.collect()
+        assert len(rows) >= 2  # both origins present
+        assert all(r["total"] is not None for r in rows)  # column survived
+
+    def test_cli_update_where_skips_type_missing_predicate_column(
+        self, spark, tmp_path, capsys
+    ):
+        """A predicate referencing a column absent from one doc type
+        skips that type (like --delete-where) instead of aborting the
+        CLI after earlier types already updated."""
+        import random
+
+        from couchwarehouse_spark.cli import main
+
+        from .fixtures import envelope, order_doc, person_doc, write_feed
+
+        rng = random.Random(3)
+        docs = [envelope(i + 1, person_doc(i, rng)) for i in range(3)] + [
+            envelope(10 + i, order_doc(i, rng)) for i in range(3)
+        ]
+        feed = write_feed(str(tmp_path / "feed.jsonl"), docs)
+        rc = main([
+            "--feed", feed,
+            "--database", "skipdb",
+            "--warehouse-dir", str(tmp_path / "wh"),
+            "--split", "type",
+            "--reset",
+            # 'status' exists on orders only; person types must skip,
+            # not abort. The assignment column 'total' gates person
+            # out via the column check, but the predicate-only column
+            # is the abort path this guards.
+            "--update-where", "status = 'paid'::total=total + 1",
+        ])
+        assert rc == 0
+        err = capsys.readouterr().err
+        assert "skipped" not in err or "update-where" in err
+
+    def test_webdataset_duplicate_keys_fail_fast(self, spark, tmp_path):
+        """Duplicate key values must raise at export time, not surface
+        later as a verify_webdataset mismatch; no shards are written."""
+        import os as _os
+
+        import pytest
+
+        from couchwarehouse_spark.sinks.webdataset_export import export_webdataset
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c")], "doc_id long, text string"
+        )
+        out = str(tmp_path / "wds")
+        with pytest.raises(ValueError, match="duplicate"):
+            export_webdataset(df, out, key="doc_id", text_col="text", n_shards=2)
+        assert not [f for f in _os.listdir(out) if f.endswith(".tar")]
+
+
 class TestDfCapWired:
     def test_containment_hot_shingle_generates_no_pairs(self, spark, tmp_path):
         """DF_CAP+10 identical single-shingle docs would be (n choose 2)
