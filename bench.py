@@ -129,10 +129,21 @@ def main() -> None:
     # round driver keeps the last ~2000 chars of output and parses
     # the JSON it finds there — BENCH_r03 lost the headline timings
     # to exactly this truncation), so stdout carries the headline
-    # set + aggregates and always fits.
+    # set + aggregates and always fits. Within the stderr map, the
+    # driver-WINDOW entries are serialized LAST: tail truncation keeps
+    # the end of the line, so a window entry's timing can never be the
+    # part that's cut (r06 verdict polish ask).
+    try:
+        from __spark_entry__ import PRIORITY as _WINDOW
+    except Exception:  # bench must never die on the shim
+        _WINDOW = []
+    ordered = {
+        n: timings[n] for n in sorted(timings) if n not in set(_WINDOW)
+    }
+    ordered.update({n: timings[n] for n in _WINDOW if n in timings})
     full = {
         "metric": "total_query_wall_sec", "value": total, "unit": "sec",
-        "queries": timings, "sf": sf_val,
+        "queries": ordered, "sf": sf_val,
     }
     if errors:
         full["errors"] = errors
