@@ -1746,3 +1746,173 @@ def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "cross_source_leakage_matrix",
+    oracle=f"""
+    WITH fp AS (
+      SELECT source, doc_id, {FINGERPRINT_SQL} AS fp
+      FROM documents
+    ),
+    sfp AS (SELECT DISTINCT source, fp FROM fp)
+    SELECT a.source            AS source,
+           b.source            AS other_source,
+           CAST(count(DISTINCT a.fp) AS BIGINT)     AS shared_fingerprints,
+           CAST(count(DISTINCT a.doc_id) AS BIGINT) AS leaked_docs
+    FROM fp a JOIN sfp b ON a.fp = b.fp AND a.source <> b.source
+    GROUP BY 1, 2
+    ORDER BY source, other_source
+    """,
+)
+def cross_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-leakage matrix (X1 × curation): for each
+    ordered source pair, how many of `source`'s documents carry a
+    winnowing fingerprint that also appears in `other_source`, and how
+    many distinct fingerprints are shared. The cross-corpus
+    contamination census a mixture plan reads before weighting
+    sources (a crawl that wholesale-contains a curated corpus
+    double-counts it at whatever mixture weight both get) — the
+    SOURCE-pair analogue of ``split_leakage_check``'s train/test gate,
+    on the same fingerprint definition (one shared SQL literal), so
+    this matrix can never drift from what dedup actually clusters on.
+
+    Exactness: fingerprints are md5-derived (bit-identical across
+    engines); both measures are distinct-counts.
+
+    Scale: the (source, fp) membership table dedups BEFORE the join
+    (map-side partial distinct), so the join is keyed on the
+    fingerprint with at most |sources| rows per key on the build side
+    — never doc × doc; the output is |sources|² rows.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    fp = d.select("source", "doc_id", fingerprint_col().alias("fp"))
+    fp = scoped_persist(fp)  # probe side AND membership build side
+    sfp = fp.select(F.col("source").alias("other_source"), "fp").distinct()
+    return (
+        fp.join(sfp, "fp")
+        .filter(F.col("source") != F.col("other_source"))
+        .groupBy("source", "other_source")
+        .agg(
+            F.countDistinct("fp").alias("shared_fingerprints"),
+            F.countDistinct("doc_id").alias("leaked_docs"),
+        )
+        .orderBy("source", "other_source")
+    )
+
+
+BAND_GRID = ((2, 8), (4, 4), (8, 2), (16, 1))  # (bands, rows) with b*r = 16
+
+_MH_SQL = f"""
+    t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLE_LIST_SQL}) AS s FROM t),
+    hp AS (
+      SELECT doc_id,
+             list_transform(list_transform(s, g -> md5(g)), m ->
+               {{'h1': CAST(('0x' || substr(m, 1, 15)) AS BIGINT),
+                 'h2': CAST(('0x' || substr(m, 16, 15)) AS BIGINT) % {H2_MOD}}}) AS hp
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id,
+             list_transform(range(0, {N_MINHASH}), i ->
+               list_min(list_transform(hp, p -> p.h1 + i * p.h2))) AS mh
+      FROM hp
+    )"""
+
+
+@query(
+    "lsh_band_tuning_audit",
+    oracle=f"""
+    WITH {_MH_SQL},
+    grid AS (SELECT * FROM (VALUES {", ".join(f"({b}, {r})" for b, r in BAND_GRID)})
+             g(bands, rows_per_band)),
+    buckets AS (
+      SELECT g.bands, g.rows_per_band, band,
+             array_to_string(list_slice(mh.mh, band * g.rows_per_band + 1,
+                             band * g.rows_per_band + g.rows_per_band), '|') AS bh
+      FROM mh CROSS JOIN grid g, unnest(range(0, g.bands)) AS u(band)
+    ),
+    sizes AS (
+      SELECT bands, rows_per_band, CAST(count(*) AS BIGINT) AS n
+      FROM buckets GROUP BY bands, rows_per_band, band, bh
+    )
+    SELECT bands, rows_per_band,
+           CAST(count(*) AS BIGINT)                       AS total_buckets,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                          AS multi_buckets,
+           CAST(max(n) AS BIGINT)                         AS max_bucket,
+           CAST(sum(n * (n - 1) / 2) AS BIGINT)           AS candidate_mass
+    FROM sizes
+    GROUP BY bands, rows_per_band
+    ORDER BY bands
+    """,
+)
+def lsh_band_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-geometry tuning audit (X1 — the measurement behind
+    choosing (b, r) in MinHash-LSH, Leskovec/Rajaraman/Ullman ch.3):
+    for every (bands × rows) factorization of the {N_MINHASH}-lane
+    signature, the ACTUAL bucket census this corpus would produce —
+    total buckets, colliding buckets, the largest bucket, and the
+    candidate-pair mass Σ n·(n−1)/2 that the verify stage would have
+    to score. More bands (lower r) pushes the S-curve left: recall up,
+    candidate mass up — this audit prices that trade on real data
+    BEFORE committing the expensive pair stage, the same
+    evidence-first posture as ``stop_shingle_cap_audit``. The
+    production config (b={N_BANDS}) is one of the audited rows, so the
+    audit also regression-tracks the live setting's workload.
+
+    Exactness: signatures are the md5-derived Kirsch-Mitzenmacher
+    lanes (bit-identical in DuckDB); everything else is integer
+    counting.
+
+    Scale: the signature computes ONCE (one pass, no shuffle), bands
+    explode to Σb = {sum(b for b, _ in BAND_GRID)} rows per doc, and the census is
+    two hash aggregates — candidate pairs are COUNTED from bucket
+    sizes, never materialized, so the audit is linear in the corpus
+    even where the pair stage would be quadratic.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split("text", " ")
+    sig = d.filter(F.size(toks) >= 3).select(
+        "doc_id", minhash_signature(toks).alias("mh")
+    )
+    all_bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.lit(band).alias("band"),
+                F.array_join(
+                    F.slice("mh", band * r + 1, r), "|"
+                ).alias("bh"),
+            )
+            for b, r in BAND_GRID
+            for band in range(b)
+        ]
+    )
+    sizes = (
+        sig.select(F.explode(all_bands).alias("e"))
+        .select("e.bands", "e.rows_per_band", "e.band", "e.bh")
+        .groupBy("bands", "rows_per_band", "band", "bh")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        sizes.groupBy("bands", "rows_per_band")
+        .agg(
+            F.count("*").alias("total_buckets"),
+            F.sum((F.col("n") > 1).cast("int")).cast("long").alias(
+                "multi_buckets"
+            ),
+            F.max("n").alias("max_bucket"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias(
+                "candidate_mass"
+            ),
+        )
+        .orderBy("bands")
+    )

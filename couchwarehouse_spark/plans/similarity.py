@@ -2733,3 +2733,100 @@ def dbscan_core_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "centroid_shift_drift",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, label, vec_id % 2 AS half,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label, half, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+      FROM b
+    ),
+    cents AS (
+      SELECT label, half, dim, round(avg(x), 6) AS c
+      FROM dims GROUP BY label, half, dim
+    ),
+    halves AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n, half FROM b
+      GROUP BY label, half
+    )
+    SELECT e.label,
+           ne.n AS n_even, no.n AS n_odd,
+           round(sqrt(sum((e.c - o.c) * (e.c - o.c))), 6) AS centroid_shift
+    FROM cents e
+    JOIN cents o ON e.label = o.label AND e.dim = o.dim
+                AND e.half = 0 AND o.half = 1
+    JOIN halves ne ON ne.label = e.label AND ne.half = 0
+    JOIN halves no ON no.label = e.label AND no.half = 1
+    GROUP BY e.label, ne.n, no.n
+    ORDER BY e.label
+    """,
+)
+def centroid_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between corpus halves (X2 embedding
+    drift audit): split each label's vectors into even/odd vec_id
+    halves, compute both centroids, and report the L2 shift between
+    them. Near-zero shift = the label's embedding cloud is stable
+    under subsampling; a large shift flags a heterogeneous or
+    drifting cluster (mixed concepts under one label, or an encoder
+    change mid-corpus) — the embedding-space twin of
+    ``ks_drift_doclen``'s distributional drift test, and the canary a
+    pipeline checks before trusting label-conditioned ANN blocking
+    (``knn_label_purity``).
+
+    Exactness: per-dim means round to 6 dp in BOTH lanes before the
+    distance (the ``kmeans_lloyd_step`` rule), so the emitted shift is
+    a deterministic function of rounded values; halves are an integer
+    parity split — no sampling randomness.
+
+    Scale: one posexplode projection → (label, half, dim) hash
+    aggregate with map-side partial sums (the ``embedding_gram_matrix``
+    shape, d·2·|labels| output rows); the distance reduce runs over
+    the tiny centroid table, never the corpus.
+    """
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    b = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    b = scoped_persist(b)  # feeds the dim explode AND the half counts
+    cents = (
+        b.select("label", "half", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "half", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    halves = b.groupBy("label", "half").agg(F.count("*").alias("n"))
+    ce = cents.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("ce")
+    )
+    co = cents.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("co")
+    )
+    ne = halves.filter(F.col("half") == 0).select(
+        "label", F.col("n").alias("n_even")
+    )
+    no = halves.filter(F.col("half") == 1).select(
+        "label", F.col("n").alias("n_odd")
+    )
+    return (
+        ce.join(co, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("ce") - F.col("co")) * (F.col("ce") - F.col("co")))),
+                6,
+            ).alias("centroid_shift")
+        )
+        .join(F.broadcast(ne), "label")
+        .join(F.broadcast(no), "label")
+        .select("label", "n_even", "n_odd", "centroid_shift")
+        .orderBy("label")
+    )

@@ -1927,3 +1927,378 @@ def ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+KN_DISCOUNT_NUM, KN_DISCOUNT_DEN = 3, 4  # absolute discount d = 0.75
+
+
+@query(
+    "kneser_ney_bigram_scores",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, lang, text, {_SB_SPLIT_SQL} AS hash_bucket FROM documents
+    ),
+    train_bg AS (
+      SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+      FROM (
+        SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1])) AS bg
+        FROM split WHERE hash_bucket < {_SB_TRAIN}
+      )
+    ),
+    bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM train_bg
+            GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1w1
+            FROM bgc GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1w2 FROM bgc GROUP BY w2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t,
+                   CAST(count(DISTINCT w2) AS BIGINT) AS v
+            FROM bgc),
+    test_bg AS (
+      SELECT lang,
+             string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+      FROM (
+        SELECT lang,
+               unnest(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1])) AS bg
+        FROM split WHERE hash_bucket >= {_SB_TRAIN + _SB_VAL}
+      )
+    ),
+    scored AS (
+      SELECT t.lang,
+             ctx.c1 IS NULL AS ctx_backoff,
+             CAST(round(1000000 * -ln(
+               CASE WHEN ctx.c1 IS NOT NULL THEN
+                 (greatest({KN_DISCOUNT_DEN} * coalesce(bgc.c, 0)
+                           - {KN_DISCOUNT_NUM}, 0)
+                    * (tot.t + tot.v + 1)
+                  + {KN_DISCOUNT_NUM} * ctx.n1w1 * (coalesce(cont.n1w2, 0) + 1))
+                 / CAST({KN_DISCOUNT_DEN} * ctx.c1 * (tot.t + tot.v + 1)
+                        AS DOUBLE)
+               ELSE (coalesce(cont.n1w2, 0) + 1)
+                    / CAST(tot.t + tot.v + 1 AS DOUBLE)
+               END)) AS BIGINT) AS nls_micro
+      FROM test_bg t
+      LEFT JOIN bgc ON t.w1 = bgc.w1 AND t.w2 = bgc.w2
+      LEFT JOIN ctx ON t.w1 = ctx.w1
+      LEFT JOIN cont ON t.w2 = cont.w2
+      CROSS JOIN tot
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(CASE WHEN ctx_backoff THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ctx_backoff,
+           round(CAST(sum(nls_micro) AS DOUBLE) / 1000000 / count(*), 6)
+             AS avg_surprisal
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (X4 — Kneser & Ney
+    1995 / Chen & Goodman 1998, THE reference n-gram smoother): fit on
+    the TRAIN split, score the TEST split's transitions with absolute
+    discount d = 3/4 interpolated against the continuation
+    distribution —
+
+        p(w2|w1) = (max(c12 − d, 0) + d·N1+(w1·)·p_cont(w2)) / c(w1·)
+        p_cont(w2) = (N1+(·w2) + 1) / (T + V + 1)
+
+    (add-1-smoothed continuation so unseen test words stay finite —
+    the ``stupid_backoff_scores`` convention); an unseen CONTEXT backs
+    off to p_cont alone. Completes the KN stack this repo already
+    carries: ``kn_continuation_counts`` computes the statistic, this
+    entry uses it as the actual smoother, and per-language held-out
+    surprisal is directly comparable with ``stupid_backoff_scores``
+    (same split, same transitions) — interpolated KN should win, and
+    measuring THAT is the point.
+
+    Exactness: with d = 3/4 every probability is the ratio of two
+    integer-valued expressions (cross-multiplied by 4(T+V+1)); both
+    engines build the same numerator/denominator, take one ln, and
+    quantize to integer micro-nats BEFORE the per-language reduce.
+
+    Scale: the LM tables are bigram-vocabulary-sized hash aggregates;
+    scoring is three LEFT joins of the test transition stream against
+    them on bigram/unigram keys (AQE broadcasts small LMs); the
+    one-row totals broadcast; the final reduce is an integer sum per
+    language.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    from couchwarehouse_spark.plans.sampling import _split_bucket
+
+    bucket = _split_bucket(F.col("doc_id"))
+    toks = F.split("text", " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    base = d.filter(F.size(toks) >= 2).select(
+        "lang", bucket.alias("hash_bucket"), bigrams.alias("bgs")
+    )
+    train_bg = (
+        base.filter(F.col("hash_bucket") < _SB_TRAIN)
+        .select(F.explode("bgs").alias("bg"))
+        .select("bg.w1", "bg.w2")
+    )
+    bgc = train_bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    bgc = scoped_persist(bgc)  # feeds ctx, cont, tot AND the score join
+    ctx = bgc.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count("*").alias("n1w1")
+    )
+    cont = bgc.groupBy("w2").agg(F.count("*").alias("n1w2"))
+    tot = bgc.agg(
+        F.count("*").alias("t"), F.countDistinct("w2").alias("v")
+    )
+    test = (
+        base.filter(F.col("hash_bucket") >= _SB_TRAIN + _SB_VAL)
+        .select("lang", F.explode("bgs").alias("bg"))
+        .select("lang", "bg.w1", "bg.w2")
+    )
+    tv1 = (F.col("t") + F.col("v") + 1).cast("double")
+    seen_num = (
+        F.greatest(
+            KN_DISCOUNT_DEN * F.coalesce(F.col("c"), F.lit(0))
+            - KN_DISCOUNT_NUM,
+            F.lit(0),
+        ).cast("double")
+        * tv1
+        + KN_DISCOUNT_NUM
+        * F.col("n1w1")
+        * (F.coalesce(F.col("n1w2"), F.lit(0)) + 1)
+    )
+    seen_den = KN_DISCOUNT_DEN * F.col("c1") * tv1
+    p = F.when(F.col("c1").isNotNull(), seen_num / seen_den).otherwise(
+        (F.coalesce(F.col("n1w2"), F.lit(0)) + 1) / tv1
+    )
+    nls_micro = F.round(1_000_000 * -F.log(p)).cast("long")
+    return (
+        test.join(bgc, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("c1").isNull().alias("ctx_backoff"),
+            nls_micro.alias("nls_micro"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.sum(F.col("ctx_backoff").cast("int")).cast("long").alias(
+                "n_ctx_backoff"
+            ),
+            F.round(
+                F.sum("nls_micro").cast("double") / 1_000_000 / F.count("*"), 6
+            ).alias("avg_surprisal"),
+        )
+        .orderBy("lang")
+    )
+
+
+COLLOC_MIN_COUNT = 5  # candidate bigrams must occur at least this often
+COLLOC_TOP_K = 20
+
+
+@query(
+    "collocation_llr_pairs",
+    oracle=f"""
+    WITH big AS (
+      SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+      FROM (
+        SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1])) AS bg
+        FROM documents
+      )
+    ),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM big
+            GROUP BY 1, 2),
+    r AS (SELECT w1, CAST(sum(c) AS BIGINT) AS rr FROM c12 GROUP BY w1),
+    cc AS (SELECT w2, CAST(sum(c) AS BIGINT) AS col FROM c12 GROUP BY w2),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c12),
+    cells AS (
+      SELECT c12.w1, c12.w2, c12.c,
+             c12.c AS k11, r.rr - c12.c AS k12, cc.col - c12.c AS k21,
+             n.n - r.rr - cc.col + c12.c AS k22,
+             r.rr AS rr, cc.col AS col, n.n AS n
+      FROM c12 JOIN r USING (w1) JOIN cc USING (w2) CROSS JOIN n
+      WHERE c12.c >= {COLLOC_MIN_COUNT}
+    ),
+    scored AS (
+      SELECT w1, w2, c,
+             2 * (
+               CASE WHEN k11 > 0 THEN CAST(round(1000000 * k11 *
+                 ln(k11 * CAST(n AS DOUBLE) / (rr * col))) AS BIGINT)
+                 ELSE 0 END
+             + CASE WHEN k12 > 0 THEN CAST(round(1000000 * k12 *
+                 ln(k12 * CAST(n AS DOUBLE) / (rr * (n - col)))) AS BIGINT)
+                 ELSE 0 END
+             + CASE WHEN k21 > 0 THEN CAST(round(1000000 * k21 *
+                 ln(k21 * CAST(n AS DOUBLE) / ((n - rr) * col))) AS BIGINT)
+                 ELSE 0 END
+             + CASE WHEN k22 > 0 THEN CAST(round(1000000 * k22 *
+                 ln(k22 * CAST(n AS DOUBLE) / ((n - rr) * (n - col)))) AS BIGINT)
+                 ELSE 0 END
+             ) AS llr_micro
+      FROM cells
+    )
+    SELECT w1, w2, c AS n_cooccur,
+           round(llr_micro / 1000000.0, 4) AS llr
+    FROM scored
+    ORDER BY llr_micro DESC, w1, w2
+    LIMIT {COLLOC_TOP_K}
+    """,
+)
+def collocation_llr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-likelihood-ratio collocations (X4 — Dunning 1993's G²
+    statistic, the standard collocation extractor): for each bigram
+    seen ≥ {COLLOC_MIN_COUNT} times, G² = 2·Σ kᵢⱼ·ln(kᵢⱼ·N / (rowᵢ·colⱼ))
+    over the 2×2 contingency table of (w1, w2) adjacency. Unlike raw
+    frequency or PMI, G² is sound for SPARSE counts (Dunning's whole
+    point), so it surfaces multiword units ("new york") without
+    hallucinating rare-pair artifacts — the phrase-mining /
+    tokenizer-merge-candidate signal in a data pipeline, and the
+    pairwise twin of ``chi2_term_keyness``'s goodness-of-fit.
+
+    Exactness: all four cells are integers derived from one bigram
+    count table; each k·ln(k·N/(r·c)) term quantizes to integer
+    micro-nats (zero cells contribute exactly 0 — the x·ln x limit),
+    so the G² ordering is an integer ordering; ranking uses the
+    integer, the emitted value is one rounded division.
+
+    Scale: one bigram hash aggregate (map-side combined), two
+    marginal aggregates over the TYPE table (vocabulary-sized, not
+    corpus-sized), a one-row total broadcast, and joins keyed on
+    w1/w2 over the type table; top-k is TakeOrderedAndProject on the
+    integer score.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    bigram_structs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    c12 = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size(toks) >= 2)
+        .select(F.explode(bigram_structs).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    c12 = scoped_persist(c12)  # feeds marginals AND the scored join
+    r = c12.groupBy("w1").agg(F.sum("c").alias("rr"))
+    cc = c12.groupBy("w2").agg(F.sum("c").alias("col"))
+    n = c12.agg(F.sum("c").alias("n"))
+
+    def term(k, row, col):
+        return F.when(
+            k > 0,
+            F.round(
+                1_000_000
+                * k
+                * F.log(k * F.col("n").cast("double") / (row * col))
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    k11 = F.col("c")
+    k12 = F.col("rr") - F.col("c")
+    k21 = F.col("col") - F.col("c")
+    k22 = F.col("n") - F.col("rr") - F.col("col") + F.col("c")
+    nn, rr, col = F.col("n"), F.col("rr"), F.col("col")
+    llr_micro = 2 * (
+        term(k11, rr, col)
+        + term(k12, rr, nn - col)
+        + term(k21, nn - rr, col)
+        + term(k22, nn - rr, nn - col)
+    )
+    return (
+        c12.filter(F.col("c") >= COLLOC_MIN_COUNT)
+        .join(r, "w1")
+        .join(cc, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1", "w2",
+            F.col("c").alias("n_cooccur"),
+            llr_micro.alias("llr_micro"),
+        )
+        .orderBy(F.col("llr_micro").desc(), "w1", "w2")
+        .limit(COLLOC_TOP_K)
+        .select(
+            "w1", "w2", "n_cooccur",
+            F.round(F.col("llr_micro") / 1_000_000.0, 4).alias("llr"),
+        )
+    )
+
+
+@query(
+    "positional_template_drift",
+    oracle="""
+    WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+    pos AS (
+      SELECT source, len(w) AS n, unnest(w) AS term,
+             generate_subscripts(w, 1) AS p
+      FROM t
+    ),
+    bucketed AS (
+      SELECT source, ((p - 1) * 10) // n AS decile, term FROM pos
+    )
+    SELECT source, CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT)            AS n_tokens,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_types,
+           round(count(DISTINCT term) / CAST(count(*) AS DOUBLE), 6)
+                                               AS type_token_ratio
+    FROM bucketed
+    GROUP BY source, decile
+    ORDER BY source, decile
+    """,
+)
+def positional_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional type/token census (X4 template detector): token
+    diversity per POSITION DECILE of the document, per source. A
+    templated source (boilerplate headers, generated framing, scraped
+    nav) shows position-LOCKED vocabulary — the type/token ratio
+    collapses in exactly the deciles the template occupies, while
+    organic text is roughly flat. This positional view catches
+    structure that whole-doc ratios (``repetition_census``) average
+    away, and the low-diversity deciles are exactly where
+    ``boilerplate_suffix_census``-style trimming should aim.
+
+    Exactness: the decile is integer arithmetic ((p−1)·10 div n);
+    counts and distinct-counts are integers; one rounded division.
+
+    Scale: one posexplode projection (position never shuffles a
+    payload — (source, decile, term) triples do), one hash aggregate
+    with map-side partial distinct; output is |sources|·10 rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    pos = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("source", F.size(toks).alias("n"), F.posexplode(toks))
+        .select(
+            "source",
+            F.expr("pos * 10 DIV n").alias("decile"),
+            F.col("col").alias("term"),
+        )
+    )
+    return (
+        pos.groupBy("source", "decile")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("term").alias("n_types"),
+            F.round(
+                F.countDistinct("term") / F.count("*").cast("double"), 6
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("source", "decile")
+    )

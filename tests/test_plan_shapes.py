@@ -1196,3 +1196,34 @@ def test_sql_udfs_inline_fully(spark):
     plan = plan_of(spark, "sql_udf_functions")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_sum" in plan
+
+
+def test_collocation_llr_type_table_only(spark):
+    """G² marginals and totals reduce the bigram TYPE table; no window,
+    no Python; partial aggregation before every exchange."""
+    plan = plan_of(spark, "collocation_llr_pairs")
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k on the integer score
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lsh_band_tuning_counts_never_materializes_pairs(spark):
+    """The band-tuning audit must be join-FREE: candidate mass comes
+    from bucket-size arithmetic (two hash aggregates over the exploded
+    band keys), never a pair join."""
+    plan = plan_of(spark, "lsh_band_tuning_audit")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cross_source_leakage_no_allpairs(spark):
+    """Leakage matrix joins doc fingerprints against the DEDUPED
+    (source, fp) membership table on the fingerprint key — never a
+    cartesian/nested-loop compare."""
+    plan = plan_of(spark, "cross_source_leakage_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

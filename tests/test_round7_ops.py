@@ -279,3 +279,180 @@ class TestDfCapWired:
         row = out.iloc[0]
         assert (row["doc_id_1"], row["doc_id_2"]) == (100, 101)
         assert row["cos_sim"] == 0.75
+
+
+def _emb(spark, rows):
+    """rows: list of (vec_id, embedding(list[float]), label)."""
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+class TestRound7NewOps:
+    def test_cross_source_leakage_exact_matrix(self, spark, tmp_path):
+        """s0 and s1 share one identical doc; s2 is disjoint → exactly
+        the two directional rows, one doc / one fingerprint each."""
+        from couchwarehouse_spark.plans.dedup import cross_source_leakage_matrix
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(spark, [
+                (0, "shared text body here", "en", "s0"),
+                (1, "shared text body here", "en", "s1"),
+                (2, "unique s0 only words", "en", "s0"),
+                (3, "totally different corpus", "en", "s2"),
+            ]),
+            d, "documents",
+        )
+        out = cross_source_leakage_matrix(spark, d).toPandas()
+        got = {
+            (r["source"], r["other_source"]):
+                (r["shared_fingerprints"], r["leaked_docs"])
+            for _, r in out.iterrows()
+        }
+        assert got == {("s0", "s1"): (1, 1), ("s1", "s0"): (1, 1)}
+
+    def test_lsh_band_tuning_identical_docs_mass(self, spark, tmp_path):
+        """3 identical docs share every signature lane → every config
+        puts them in one bucket per band: candidate_mass = bands·C(3,2),
+        max_bucket = 3; the lone distinct doc adds singletons only."""
+        from couchwarehouse_spark.plans.dedup import lsh_band_tuning_audit
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(spark, [
+                (0, "p q r s t", "en", "s0"),
+                (1, "p q r s t", "en", "s0"),
+                (2, "p q r s t", "en", "s0"),
+                (3, "x y z w v", "en", "s0"),
+            ]),
+            d, "documents",
+        )
+        out = lsh_band_tuning_audit(spark, d).toPandas()
+        assert len(out) == 4
+        for _, r in out.iterrows():
+            assert r["candidate_mass"] == r["bands"] * 3
+            assert r["max_bucket"] == 3
+            assert r["bands"] * r["rows_per_band"] == 16
+
+    def test_positional_template_header_decile(self, spark, tmp_path):
+        """A constant header token makes decile 0's type/token ratio
+        collapse while organic deciles stay 1.0."""
+        from couchwarehouse_spark.plans.text import positional_template_drift
+
+        d = str(tmp_path / "sf")
+        rows = [
+            (i, "hdr " + " ".join(f"u{i}w{j}" for j in range(9)), "en", "s0")
+            for i in range(5)
+        ]
+        _write(_docs(spark, rows), d, "documents")
+        out = positional_template_drift(spark, d).toPandas()
+        by_decile = {int(r["decile"]): r for _, r in out.iterrows()}
+        assert by_decile[0]["n_tokens"] == 5
+        assert by_decile[0]["n_types"] == 1
+        assert by_decile[0]["type_token_ratio"] == 0.2
+        assert all(by_decile[k]["type_token_ratio"] == 1.0 for k in range(1, 10))
+
+    def test_centroid_shift_planted_delta(self, spark, tmp_path):
+        """Label 0: even/odd halves identical → shift 0. Label 1: odd
+        half offset by +0.3 in every dim → shift = sqrt(4·0.3²) = 0.6."""
+        from couchwarehouse_spark.plans.similarity import centroid_shift_drift
+
+        d = str(tmp_path / "sf")
+        rows = []
+        for i in range(8):  # label 0: same cloud both halves
+            rows.append((i, [0.1, 0.2, 0.3, 0.4], 0))
+        for i in range(8, 16):  # label 1: odd vec_ids shifted
+            off = 0.3 if i % 2 else 0.0
+            rows.append((i, [0.1 + off, 0.2 + off, 0.3 + off, 0.4 + off], 1))
+        _write(_emb(spark, rows), d, "embeddings")
+        out = centroid_shift_drift(spark, d).toPandas()
+        got = {int(r["label"]): r for _, r in out.iterrows()}
+        assert got[0]["centroid_shift"] == 0.0
+        assert abs(got[1]["centroid_shift"] - 0.6) < 1e-9
+        assert got[0]["n_even"] == 4 and got[0]["n_odd"] == 4
+
+    def test_collocation_llr_dependent_pair_wins(self, spark, tmp_path):
+        """A bigram that ALWAYS co-occurs ('strong glue') outscores an
+        equally frequent pair whose parts also appear independently."""
+        from couchwarehouse_spark.plans.text import collocation_llr_pairs
+
+        d = str(tmp_path / "sf")
+        rows = []
+        # 10 docs: "strong glue" appears once per doc, never apart.
+        for i in range(10):
+            rows.append((i, f"strong glue f{i}a f{i}b f{i}c", "en", "s0"))
+        # 10 docs: "loose pair" co-occurs, but both words also appear
+        # separately (against other words) in 10 more docs.
+        for i in range(10, 20):
+            rows.append((i, f"loose pair g{i}a g{i}b g{i}c", "en", "s0"))
+        for i in range(20, 30):
+            rows.append((i, f"loose h{i}a pair h{i}b h{i}c", "en", "s0"))
+        _write(_docs(spark, rows), d, "documents")
+        out = collocation_llr_pairs(spark, d).toPandas()
+        scores = {
+            (r["w1"], r["w2"]): r["llr"] for _, r in out.iterrows()
+        }
+        assert ("strong", "glue") in scores and ("loose", "pair") in scores
+        assert scores[("strong", "glue")] > scores[("loose", "pair")] > 0
+
+    def test_kneser_ney_planted_backoff_and_hit(self, spark, tmp_path):
+        """Hand-checked KN on a controlled split: pick real train/test
+        doc ids via the SAME split gate, plant one train doc and one
+        test doc, and verify the exact surprisal of a seen and an
+        unseen-context transition against the formula."""
+        import math
+
+        from couchwarehouse_spark.plans.sampling import (
+            TRAIN_PCT,
+            VAL_PCT,
+            _split_bucket,
+        )
+        from couchwarehouse_spark.plans.text import (
+            KN_DISCOUNT_DEN,
+            KN_DISCOUNT_NUM,
+            kneser_ney_bigram_scores,
+        )
+        from pyspark.sql import functions as F
+
+        # Find one train id and one test id with the real gate.
+        buckets = {
+            r["id"]: r["b"]
+            for r in spark.range(200)
+            .select("id", _split_bucket(F.col("id")).alias("b"))
+            .collect()
+        }
+        train_id = next(i for i, b in buckets.items() if b < TRAIN_PCT)
+        test_id = next(
+            i for i, b in buckets.items() if b >= TRAIN_PCT + VAL_PCT
+        )
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(spark, [
+                (train_id, "a b a c", "en", "s0"),  # bigrams: ab, ba, ac
+                (test_id, "a b z q", "en", "s0"),   # test: ab (hit), bz, zq
+            ]),
+            d, "documents",
+        )
+        out = kneser_ney_bigram_scores(spark, d).toPandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row["n_transitions"] == 3
+        # 'b z': context 'b' seen; 'z q': context 'z' unseen → 1 backoff.
+        assert row["n_ctx_backoff"] == 1
+        # Hand formula. Train: c12={ab:1, ba:1, ac:1}; c1={a:2,b:1};
+        # n1w1={a:2,b:1}; n1w2={b:1,a:1,c:1}; T=3 types, V=3 distinct w2.
+        d_num, d_den = KN_DISCOUNT_NUM, KN_DISCOUNT_DEN
+        tv1 = 3 + 3 + 1
+        def p_seen(c12, c1, n1w1, n1w2):
+            return (
+                max(d_den * c12 - d_num, 0) * tv1 + d_num * n1w1 * (n1w2 + 1)
+            ) / (d_den * c1 * tv1)
+        def micro(p):
+            return round(1_000_000 * -math.log(p))
+        exp = (
+            micro(p_seen(1, 2, 2, 1))      # a→b: hit
+            + micro(p_seen(0, 1, 1, 0))    # b→z: seen ctx, unseen word
+            + micro((0 + 1) / tv1)         # z→q: unseen ctx → p_cont
+        )
+        assert row["avg_surprisal"] == round(exp / 1_000_000 / 3, 6)
