@@ -16,7 +16,7 @@ pairs in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
@@ -1915,4 +1915,313 @@ def lsh_band_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("bands")
+    )
+
+
+CDC_MOD = 8  # expected chunk length ≈ CDC_MOD tokens (boundary P = 1/8)
+
+
+@query(
+    "cdc_chunk_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+               FROM documents),
+    pos AS (
+      SELECT doc_id, source, unnest(w) AS tok, generate_subscripts(w, 1) AS p
+      FROM t
+    ),
+    flagged AS (
+      SELECT doc_id, source, tok, p,
+             CASE WHEN {_md5_long_sql('tok')} % {CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS cut
+      FROM pos
+    ),
+    chunked AS (
+      SELECT doc_id, source, tok, p,
+             sum(cut) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS UNBOUNDED PRECEDING) AS chunk_idx
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT source, md5(string_agg(tok, ' ' ORDER BY p)) AS ch,
+             CAST(count(*) AS BIGINT) AS n_toks
+      FROM chunked GROUP BY doc_id, source, chunk_idx
+    ),
+    dups AS (
+      SELECT ch, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(min(n_toks) AS BIGINT) AS n_toks
+      FROM chunks GROUP BY ch
+    )
+    SELECT CAST(sum(cnt) AS BIGINT)                      AS total_chunks,
+           CAST(count(*) AS BIGINT)                      AS distinct_chunks,
+           CAST(sum(cnt - 1) AS BIGINT)                  AS dup_chunks,
+           CAST(sum((cnt - 1) * n_toks) AS BIGINT)       AS dup_token_mass,
+           round(sum(cnt * n_toks) / CAST(sum(cnt) AS DOUBLE), 4)
+                                                         AS avg_chunk_tokens
+    FROM dups
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup census (X1 — the FastCDC/LBFS
+    rolling-boundary idea, token-granular): a token is a cut point
+    when its content hash ≡ 0 (mod {CDC_MOD}), so chunk boundaries are
+    a function of CONTENT alone — the same passage chunks identically
+    wherever it appears, which is what lets chunk-level dedup find
+    shared passages that whole-doc hashing misses and shifted copies
+    that fixed-width blocks miss (the anchor property backup systems
+    and long-doc dedup both rely on). Reports total/distinct/duplicate
+    chunk counts, the duplicated token mass (the dedup savings number
+    at chunk granularity), and the realized mean chunk length
+    (expected ≈ {CDC_MOD} tokens by the boundary probability).
+
+    Exactness: boundaries and chunk identities are md5-derived
+    (bit-identical across engines); every measure is an integer sum;
+    one division, rounded once.
+
+    Scale: chunking is doc-LOCAL — one (doc)-partitioned running sum
+    assigns chunk ids, one (doc, chunk) aggregate materializes chunk
+    hashes (32-byte digests shuffle, never chunk text beyond the
+    per-doc aggregate), and the dedup census is a hash aggregate on
+    the digest — the ``exact_dedup`` shape one level below documents.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split("text", " ")
+    pos = d.select("doc_id", "source", F.posexplode(toks).alias("p", "tok"))
+    cut = (md5_long(F.col("tok")) % CDC_MOD == 0).cast("int")
+    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    chunked = pos.select(
+        "doc_id", "source", "tok", "p", F.sum(cut).over(w).alias("chunk_idx")
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "source", "chunk_idx")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("p", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("ch"),
+            F.count("*").alias("n_toks"),
+        )
+    )
+    dups = chunks.groupBy("ch").agg(
+        F.count("*").alias("cnt"), F.min("n_toks").alias("n_toks")
+    )
+    return dups.agg(
+        F.sum("cnt").alias("total_chunks"),
+        F.count("*").alias("distinct_chunks"),
+        F.sum(F.col("cnt") - 1).alias("dup_chunks"),
+        F.sum((F.col("cnt") - 1) * F.col("n_toks")).alias("dup_token_mass"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("n_toks"))
+            / F.sum("cnt").cast("double"),
+            4,
+        ).alias("avg_chunk_tokens"),
+    )
+
+
+@query(
+    "minhash_estimate_error_audit",
+    oracle=f"""
+    WITH {_MH_SQL},
+    buckets AS (
+      SELECT doc_id, band,
+             array_to_string(list_slice(mh.mh, band * {_R} + 1,
+                             band * {_R} + {_R}), '|') AS bh
+      FROM mh CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS band) bands
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT
+        CAST(len(list_filter(range(1, {N_MINHASH} + 1),
+                             i -> x.mh[i] = y.mh[i])) AS BIGINT) AS matches,
+        CAST(round(1000000 * (
+          len(list_filter(range(1, {N_MINHASH} + 1),
+                          i -> x.mh[i] = y.mh[i])) / {N_MINHASH}.0
+          - len(list_intersect(sx.s, sy.s))
+            / CAST(len(sx.s) + len(sy.s) - len(list_intersect(sx.s, sy.s))
+                   AS DOUBLE))) AS BIGINT) AS err_micro
+      FROM cand
+      JOIN mh x ON cand.doc_a = x.doc_id
+      JOIN mh y ON cand.doc_b = y.doc_id
+      JOIN sh sx ON cand.doc_a = sx.doc_id
+      JOIN sh sy ON cand.doc_b = sy.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_pairs,
+           round(avg(matches / {N_MINHASH}.0), 6)         AS mean_estimate,
+           round(CAST(sum(err_micro) AS DOUBLE) / 1000000 / count(*), 6)
+                                                          AS mean_error,
+           round(CAST(sum(abs(err_micro)) AS DOUBLE) / 1000000 / count(*), 6)
+                                                          AS mean_abs_error,
+           round(CAST(max(abs(err_micro)) AS DOUBLE) / 1000000, 6)
+                                                          AS max_abs_error
+    FROM scored
+    """,
+)
+def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATION-ERROR audit (X1 — the sketch-accuracy
+    companion of ``lsh_recall_audit``, which measures candidate
+    recall): over the LSH candidate pairs, compare the signature's
+    Jaccard estimate (matching lanes / {N_MINHASH}) against the exact
+    shingle Jaccard, reporting mean signed error (bias), mean absolute
+    error, and worst case. With {N_MINHASH} lanes the binomial
+    std-dev is ≈ √(s(1−s)/{N_MINHASH}) ≈ 0.125 at s = 0.5 — this
+    audit verifies the deployed sketch actually sits inside that
+    envelope on THIS corpus, which is the evidence for (or against)
+    spending more lanes before trusting estimate-ranked dedup.
+
+    Exactness: lane matches are integer counts on md5-derived
+    signatures both engines compute bit-identically; the exact Jaccard
+    is a rational; the per-pair error quantizes to integer micro-units
+    before the reduce.
+
+    Scale: identical candidate generation to ``minhash_lsh_candidates``
+    (band-bucket equi-join, never all-pairs); the per-pair compare
+    touches two 16-long signatures and two hashed shingle sets; the
+    reduce is one partial-aggregated global sum.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh_set = F.array_distinct(F.transform(_shingles(toks), lambda s: F.xxhash64(s)))
+    sig = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size(toks) >= 3)
+        .select("doc_id", sh_set.alias("sh"), minhash_signature(toks).alias("mh"))
+    )
+    sig = scoped_persist(sig)  # band buckets + both compare sides
+
+    r = N_MINHASH // N_BANDS
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.element_at("mh", b * r + j + 1) for j in range(r)]
+            ).alias("bh"),
+        )
+        for b in range(N_BANDS)
+    ]
+    buckets = sig.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    side = lambda suf: sig.select(  # noqa: E731 — tiny local renamer
+        F.col("doc_id").alias(f"doc_{suf}"),
+        F.col("sh").alias(f"sh_{suf}"),
+        F.col("mh").alias(f"mh_{suf}"),
+    )
+    pairs = cand.join(side("a"), "doc_a").join(side("b"), "doc_b")
+    matches = F.size(
+        F.filter(
+            F.zip_with("mh_a", "mh_b", lambda p, q: p == q), lambda x: x
+        )
+    ).cast("long")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
+    err_micro = F.round(
+        1_000_000 * (matches / float(N_MINHASH) - inter / union)
+    ).cast("long")
+    scored = pairs.select(matches.alias("matches"), err_micro.alias("err_micro"))
+    return scored.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg(F.col("matches") / float(N_MINHASH)), 6).alias(
+            "mean_estimate"
+        ),
+        F.round(
+            F.sum("err_micro").cast("double") / 1_000_000 / F.count("*"), 6
+        ).alias("mean_error"),
+        F.round(
+            F.sum(F.abs(F.col("err_micro"))).cast("double")
+            / 1_000_000
+            / F.count("*"),
+            6,
+        ).alias("mean_abs_error"),
+        F.round(
+            F.max(F.abs(F.col("err_micro"))).cast("double") / 1_000_000, 6
+        ).alias("max_abs_error"),
+    )
+
+
+@query(
+    "dedup_cluster_source_mix",
+    oracle=f"""
+    WITH fp AS (
+      SELECT source, {FINGERPRINT_SQL} AS fp
+      FROM documents
+    ),
+    clusters AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS cluster_size,
+             CAST(count(DISTINCT source) AS BIGINT) AS source_span
+      FROM fp GROUP BY fp
+      HAVING count(*) >= 2
+    )
+    SELECT source_span,
+           CAST(count(*) AS BIGINT)          AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           CAST(max(cluster_size) AS BIGINT) AS max_cluster
+    FROM clusters
+    GROUP BY source_span
+    ORDER BY source_span
+    """,
+)
+def dedup_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster source-span census (X1): for every
+    fingerprint cluster of ≥ 2 docs, how many DISTINCT sources it
+    spans, histogrammed. Span-1 clusters are within-source churn
+    (re-crawls, mirrored pages — dedup freely); span-k clusters are
+    cross-source duplication, where the keep-one policy silently
+    chooses which SOURCE keeps representation — the cluster-level
+    companion of ``cross_source_leakage_matrix``'s pairwise view, on
+    the same fingerprint definition, and the number a mixture plan
+    needs before treating per-source token counts as independent.
+
+    Exactness: md5-derived fingerprints; counts and distinct-counts.
+
+    Scale: one (fingerprint) hash aggregate over 32-byte digests with
+    map-side partial distinct on source, then a histogram over the
+    CLUSTER table (≤ distinct-fingerprint rows) — the ``exact_dedup``
+    shuffle shape with one extra tiny aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    clusters = (
+        d.select("source", fingerprint_col().alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.countDistinct("source").alias("source_span"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )
+    return (
+        clusters.groupBy("source_span")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+            F.max("cluster_size").alias("max_cluster"),
+        )
+        .orderBy("source_span")
     )

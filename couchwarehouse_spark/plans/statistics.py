@@ -1990,3 +1990,102 @@ def kendall_tau_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("conc") - F.sum("disc")).cast("double") / F.count("*"), 6
         ).alias("tau_a"),
     )
+
+
+@query(
+    "quantile_normalization_map",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rp,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    bounds AS (
+      SELECT source, decile,
+             CAST(max(n_chars) AS BIGINT) AS source_boundary
+      FROM (SELECT source, n_chars,
+                   CAST(ceil(CAST(rp AS DOUBLE) * 10 / n) AS BIGINT) AS decile
+            FROM ranked)
+      GROUP BY source, decile
+    ),
+    med AS (
+      SELECT decile, source_boundary,
+             row_number() OVER (PARTITION BY decile
+                                ORDER BY source_boundary, source) AS rs,
+             count(*) OVER (PARTITION BY decile) AS k
+      FROM bounds
+    ),
+    target AS (
+      SELECT decile, source_boundary AS target_boundary
+      FROM med WHERE rs = CAST(ceil(k / 2.0) AS BIGINT)
+    )
+    SELECT b.source, b.decile, b.source_boundary, t.target_boundary,
+           t.target_boundary - b.source_boundary AS shift
+    FROM bounds b JOIN target t USING (decile)
+    ORDER BY b.source, b.decile
+    """,
+)
+def quantile_normalization_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile-normalization map (statistics × curation —
+    the quantile-normalization idea from microarray preprocessing,
+    Bolstad et al. 2003, applied to doc length): each source's decile
+    boundaries of n_chars, the cross-source DISCRETE-median boundary
+    per decile as the alignment target, and the shift between them.
+    Sources whose length distribution sits far from the consensus map
+    (large |shift| across deciles) need length-aware caps before a
+    mixture treats their token counts as comparable — the actionable
+    per-decile version of what ``ks_drift_doclen`` detects as one
+    number.
+
+    Exactness: decile of rank r is ⌈r·10/n⌉ under a total order
+    (the ``equidepth_histogram_bounds`` rule); boundaries are actual
+    data values; the target is the lower discrete median (rank
+    ⌈k/2⌉) — no interpolation anywhere, so both engines agree
+    bit-for-bit on every emitted integer.
+
+    Scale: the rank window partitions BY SOURCE (parallel across
+    sources, never a global sort); the median window runs over the
+    |sources|×10 boundary table. The 100 TB substitution is
+    approx_percentile per source at the same cut points, same
+    downstream shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rp"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    decile = F.ceil(F.col("rp").cast("double") * 10 / F.col("n")).cast("long")
+    bounds = (
+        ranked.select("source", decile.alias("decile"), "n_chars")
+        .groupBy("source", "decile")
+        .agg(F.max("n_chars").alias("source_boundary"))
+    )
+    bounds = scoped_persist(bounds)  # feeds the median AND the emit join
+    wm = Window.partitionBy("decile").orderBy("source_boundary", "source")
+    med = bounds.select(
+        "decile",
+        "source_boundary",
+        F.row_number().over(wm).alias("rs"),
+        F.count("*").over(Window.partitionBy("decile")).alias("k"),
+    )
+    target = med.filter(
+        F.col("rs") == F.ceil(F.col("k") / 2.0).cast("long")
+    ).select("decile", F.col("source_boundary").alias("target_boundary"))
+    return (
+        bounds.join(F.broadcast(target), "decile")
+        .select(
+            "source",
+            "decile",
+            "source_boundary",
+            "target_boundary",
+            (F.col("target_boundary") - F.col("source_boundary")).alias(
+                "shift"
+            ),
+        )
+        .orderBy("source", "decile")
+    )

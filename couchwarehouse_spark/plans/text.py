@@ -2302,3 +2302,97 @@ def positional_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+GT_MAX_R = 10  # Good-Turing head: estimates for r = 1..10
+
+
+@query(
+    "good_turing_estimates",
+    oracle=f"""
+    WITH t AS (SELECT string_split(text, ' ') AS w FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+    tf AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_transform(range(1, len(w)),
+                     i -> w[i] || ' ' || w[i+1])) AS g FROM t)
+      GROUP BY g
+    ),
+    spec AS (
+      SELECT c AS r, CAST(count(*) AS BIGINT) AS nr FROM tf GROUP BY c
+    ),
+    tot AS (SELECT CAST(sum(r * nr) AS BIGINT) AS n FROM spec),
+    p0 AS (SELECT coalesce((SELECT nr FROM spec WHERE r = 1), 0) AS n1)
+    SELECT a.r, a.nr AS n_r,
+           round((a.r + 1) * b.nr / CAST(a.nr AS DOUBLE), 6) AS r_star,
+           round((a.r + 1) * b.nr / CAST(a.nr AS DOUBLE) / tot.n, 9)
+             AS p_gt,
+           round(p0.n1 / CAST(tot.n AS DOUBLE), 9) AS unseen_mass
+    FROM spec a
+    JOIN spec b ON b.r = a.r + 1
+    CROSS JOIN tot CROSS JOIN p0
+    WHERE a.r <= {GT_MAX_R}
+    ORDER BY a.r
+    """,
+)
+def good_turing_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency re-estimates over BIGRAM types (X4 —
+    Good 1953 / Gale & Sampson 1995): for each small count r, the
+    Turing estimator r* = (r+1)·N_{r+1}/N_r and the smoothed
+    probability r*/N, plus the unseen-event mass N_1/N that
+    discounting frees up — the statistic under Katz backoff and the
+    classic answer to "how much probability do n-grams we've never
+    seen deserve". Bigrams, not unigrams, deliberately: GT discounting
+    is applied to N-GRAM counts in Katz backoff (the unigram
+    vocabulary here is closed — its spectrum has no small-r head, see
+    ``zipf_frequency_spectrum``), and the bigram spectrum is where
+    hapaxes actually live. Head-only (r ≤ {GT_MAX_R}, rows require
+    N_r+1 > 0): the estimator is unreliable where the spectrum is
+    sparse — the documented reason SGT interpolates the tail.
+
+    Exactness: N_r and N are exact integers; each estimate is one
+    integer-ratio division, rounded once.
+
+    Scale: bigrams from one array zip per doc → a (bigram) hash
+    aggregate (map-side combined) → a tiny frequency-of-frequency
+    aggregate → a self-join of the SPECTRUM table (≤ distinct-count
+    rows) on r+1; the total and N_1 attach as one-row broadcasts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    bigram_structs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tf = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size(toks) >= 2)
+        .select(F.explode(bigram_structs).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c"))
+    )
+    spec = tf.groupBy(F.col("c").alias("r")).agg(F.count("*").alias("nr"))
+    spec = scoped_persist(spec)  # self-join + totals, all from one pass
+    tot = spec.agg(F.sum(F.col("r") * F.col("nr")).alias("n"))
+    p0 = spec.filter(F.col("r") == 1).agg(
+        F.coalesce(F.sum("nr"), F.lit(0)).alias("n1")
+    )
+    nxt = spec.select((F.col("r") - 1).alias("r"), F.col("nr").alias("nr_next"))
+    r_star = (F.col("r") + 1) * F.col("nr_next") / F.col("nr").cast("double")
+    return (
+        spec.filter(F.col("r") <= GT_MAX_R)
+        .join(nxt, "r")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(p0))
+        .select(
+            "r",
+            F.col("nr").alias("n_r"),
+            F.round(r_star, 6).alias("r_star"),
+            F.round(r_star / F.col("n"), 9).alias("p_gt"),
+            F.round(F.col("n1") / F.col("n").cast("double"), 9).alias(
+                "unseen_mass"
+            ),
+        )
+        .orderBy("r")
+    )

@@ -1227,3 +1227,24 @@ def test_cross_source_leakage_no_allpairs(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdc_chunking_is_doc_local(spark):
+    """Content-defined chunking: one (doc)-partitioned running-sum
+    window assigns chunk ids; the dedup census is hash aggregates on
+    the digest — no join anywhere, no Python."""
+    plan = plan_of(spark, "cdc_chunk_dedup")
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(doc_id") >= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_error_audit_band_join_only(spark):
+    """Estimate-error audit candidates come from the band-bucket
+    equi-join — never cartesian/nested-loop; final reduce partial-
+    aggregates."""
+    plan = plan_of(spark, "minhash_estimate_error_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -456,3 +456,116 @@ class TestRound7NewOps:
             + micro((0 + 1) / tv1)         # z→q: unseen ctx → p_cont
         )
         assert row["avg_surprisal"] == round(exp / 1_000_000 / 3, 6)
+
+
+class TestRound7BatchB:
+    def test_good_turing_hand_spectrum(self, spark, tmp_path):
+        """Bigram spectrum N1=4, N2=2, N3=1 (from a hand-built token
+        stream) → r*=2·N2/N1=1.0 at r=1, r*=3·N3/N2=1.5 at r=2; r=3
+        has no N4 row; unseen mass N1/N = 4/11."""
+        from couchwarehouse_spark.plans.text import good_turing_estimates
+
+        d = str(tmp_path / "sf")
+        # bigrams: xy×3, yx×2, qr×2, yq, rq, rs, st → N1=4, N2=2, N3=1
+        _write(
+            _docs(spark, [(0, "x y x y x y q r q r s t", "en", "s0")]),
+            d, "documents",
+        )
+        out = good_turing_estimates(spark, d).toPandas()
+        rows = {int(r["r"]): r for _, r in out.iterrows()}
+        assert set(rows) == {1, 2}
+        assert rows[1]["n_r"] == 4
+        assert rows[1]["r_star"] == 1.0
+        assert rows[2]["r_star"] == 1.5
+        assert rows[1]["unseen_mass"] == round(4 / 11, 9)
+        assert rows[1]["p_gt"] == round(1.0 / 11, 9)
+
+    def test_cdc_chunk_dedup_identical_and_shifted(self, spark, tmp_path):
+        """Two identical docs → every chunk duplicated exactly twice
+        (dup mass = one doc's tokens). A shifted copy (same passage
+        behind a different prefix) still shares interior chunks —
+        the content-defined anchor property fixed-width blocks lack."""
+        from couchwarehouse_spark.plans.dedup import cdc_chunk_dedup
+
+        d = str(tmp_path / "sf")
+        passage = " ".join(f"tok{i}" for i in range(64))
+        _write(
+            _docs(spark, [(0, passage, "en", "s0"), (1, passage, "en", "s1")]),
+            d, "documents",
+        )
+        out = cdc_chunk_dedup(spark, d).toPandas().iloc[0]
+        assert out["total_chunks"] == 2 * out["distinct_chunks"]
+        assert out["dup_chunks"] == out["distinct_chunks"]
+        assert out["dup_token_mass"] == 64
+
+        d2 = str(tmp_path / "sf2")
+        _write(
+            _docs(spark, [
+                (0, passage, "en", "s0"),
+                (1, "p q r " + passage, "en", "s1"),
+            ]),
+            d2, "documents",
+        )
+        out2 = cdc_chunk_dedup(spark, d2).toPandas().iloc[0]
+        assert out2["dup_token_mass"] > 0  # interior chunks realign
+
+    def test_minhash_error_zero_on_identical(self, spark, tmp_path):
+        """Identical docs: one candidate pair, all 16 lanes match,
+        exact Jaccard 1.0 → zero error everywhere."""
+        from couchwarehouse_spark.plans.dedup import minhash_estimate_error_audit
+
+        d = str(tmp_path / "sf")
+        text = " ".join(f"w{i}" for i in range(20))
+        _write(
+            _docs(spark, [(0, text, "en", "s0"), (1, text, "en", "s0")]),
+            d, "documents",
+        )
+        out = minhash_estimate_error_audit(spark, d).toPandas().iloc[0]
+        assert out["n_pairs"] == 1
+        assert out["mean_estimate"] == 1.0
+        assert out["mean_abs_error"] == 0.0
+        assert out["max_abs_error"] == 0.0
+
+    def test_cluster_source_mix_spans(self, spark, tmp_path):
+        """One within-source pair (span 1) + one cross-source pair
+        (span 2) → exactly those two histogram rows."""
+        from couchwarehouse_spark.plans.dedup import dedup_cluster_source_mix
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(spark, [
+                (0, "alpha beta gamma delta", "en", "s0"),
+                (1, "alpha beta gamma delta", "en", "s0"),
+                (2, "omega psi chi phi", "en", "s0"),
+                (3, "omega psi chi phi", "en", "s1"),
+                (4, "lonely unique text here", "en", "s2"),
+            ]),
+            d, "documents",
+        )
+        out = dedup_cluster_source_mix(spark, d).toPandas()
+        got = {
+            int(r["source_span"]): (r["n_clusters"], r["n_docs"])
+            for _, r in out.iterrows()
+        }
+        assert got == {1: (1, 2), 2: (1, 2)}
+
+    def test_quantile_map_shift_between_two_sources(self, spark, tmp_path):
+        """s1 is s0 shifted +100 chars at every decile: target = lower
+        median = s0's boundary, so s0 shifts 0 and s1 shifts −100."""
+        from couchwarehouse_spark.plans.statistics import (
+            quantile_normalization_map,
+        )
+
+        d = str(tmp_path / "sf")
+        rows = []
+        for i in range(10):
+            rows.append((i, "x" * (10 * (i + 1)), "en", "s0"))
+            rows.append((100 + i, "x" * (10 * (i + 1) + 100), "en", "s1"))
+        _write(_docs(spark, rows), d, "documents")
+        out = quantile_normalization_map(spark, d).toPandas()
+        assert len(out) == 20
+        s0 = out[out["source"] == "s0"]
+        s1 = out[out["source"] == "s1"]
+        assert (s0["shift"] == 0).all()
+        assert (s1["shift"] == -100).all()
+        assert (s0["source_boundary"].values == [10 * (i + 1) for i in range(10)]).all()
