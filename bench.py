@@ -58,6 +58,10 @@ HEADLINE = [
     "ngram_novelty_audit",      # X+ train→test memorization exposure (r6d)
     "weighted_sample_topk",     # X+ A-ES weighted sampling, zero-shuffle (r6d)
     "referential_integrity_audit",  # S10+ FK orphan census (r6d)
+    "kneser_ney_bigram_scores", # X4 interpolated-KN held-out scoring (r7)
+    "cdc_chunk_dedup",          # X1 content-defined chunk dedup census (r7)
+    "lsh_band_tuning_audit",    # X1 join-free band-geometry pricing (r7)
+    "cross_source_leakage_matrix",  # X1 source-pair contamination (r7)
 ]
 
 

@@ -2225,3 +2225,218 @@ def dedup_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_span")
     )
+
+
+SWEEP_THRESHOLDS = (50, 60, 70, 80, 90)  # Jaccard percent cut points
+
+
+@query(
+    "jaccard_threshold_sweep",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_SQL},
+    grid AS (SELECT unnest([{", ".join(str(t) for t in SWEEP_THRESHOLDS)}])
+             AS threshold_pct),
+    sel AS (
+      SELECT g.threshold_pct, p.doc_a, p.doc_b
+      FROM grid g JOIN pairs p
+        ON CAST(round(p.jaccard * 10000) AS BIGINT) >= g.threshold_pct * 100
+    ),
+    np AS (SELECT threshold_pct, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM sel GROUP BY threshold_pct),
+    nd AS (
+      SELECT threshold_pct, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+      FROM (SELECT threshold_pct, doc_a AS doc FROM sel
+            UNION SELECT threshold_pct, doc_b FROM sel)
+      GROUP BY threshold_pct
+    )
+    SELECT g.threshold_pct,
+           coalesce(np.n_pairs, 0) AS n_pairs,
+           coalesce(nd.n_docs, 0)  AS n_docs
+    FROM grid g
+    LEFT JOIN np USING (threshold_pct)
+    LEFT JOIN nd USING (threshold_pct)
+    ORDER BY g.threshold_pct
+    """,
+)
+def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold planning sweep (X1): how many verified near-dup
+    pairs — and how many documents they touch — survive each candidate
+    Jaccard threshold (50…90%). THE curve a pipeline owner reads to
+    set τ: too low and dedup eats legitimate boilerplate-sharing docs,
+    too high and templated spam survives; the knee of this curve is
+    the evidence. Computed over the SAME verified pair set as
+    ``ngram_jaccard_pairs`` (invoked as the inner stage, so the sweep
+    can never disagree with the operator it tunes).
+
+    Exactness: the threshold test is an integer comparison on the
+    4-dp-rounded Jaccard both engines already agree on
+    (round(j·10⁴) ≥ t·100); pair/doc counts are integers.
+
+    Scale: the pair set is computed ONCE by the prefix-filtered
+    inverted-index join (never all-pairs); the sweep itself is a
+    |thresholds|×|pairs| broadcast join over the tiny grid plus two
+    hash aggregates over the PAIR table, not the corpus.
+    """
+    # Invoke the registered inner query FIRST (registry ordering rule:
+    # nested entry releases scoped persists on entry).
+    from couchwarehouse_spark.plans import QUERIES
+
+    pairs = QUERIES["ngram_jaccard_pairs"](spark, sf_dir)
+    pairs = scoped_persist(pairs)
+    grid = F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])
+    sel = (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("jaccard") * 10_000).cast("long").alias("j4"),
+            F.explode(grid).alias("threshold_pct"),
+        )
+        .filter(F.col("j4") >= F.col("threshold_pct") * 100)
+    )
+    sel = scoped_persist(sel)
+    np_ = sel.groupBy("threshold_pct").agg(F.count("*").alias("n_pairs"))
+    docs = sel.select("threshold_pct", F.col("doc_a").alias("doc")).union(
+        sel.select("threshold_pct", F.col("doc_b").alias("doc"))
+    )
+    nd = docs.groupBy("threshold_pct").agg(
+        F.countDistinct("doc").alias("n_docs")
+    )
+    grid_rows = spark.sql(
+        "SELECT explode(array({})) AS threshold_pct".format(
+            ", ".join(str(t) for t in SWEEP_THRESHOLDS)
+        )
+    )
+    return (
+        grid_rows.join(F.broadcast(np_), "threshold_pct", "left")
+        .join(F.broadcast(nd), "threshold_pct", "left")
+        .select(
+            "threshold_pct",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+LEV_DIST_DEN = 10  # pair qualifies when 10·dist ≤ max(len_a, len_b)
+
+
+@query(
+    "levenshtein_near_dup",
+    oracle=f"""
+    WITH {_MH_SQL},
+    buckets AS (
+      SELECT doc_id, band,
+             array_to_string(list_slice(mh.mh, band * {_R} + 1,
+                             band * {_R} + {_R}), '|') AS bh
+      FROM mh CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS band) bands
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT cand.doc_a, cand.doc_b,
+             CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist,
+             CAST(greatest(len(x.text), len(y.text)) AS BIGINT) AS max_len
+      FROM cand
+      JOIN documents x ON cand.doc_a = x.doc_id
+      JOIN documents y ON cand.doc_b = y.doc_id
+    )
+    SELECT doc_a, doc_b, edit_dist,
+           round(1.0 - edit_dist / CAST(max_len AS DOUBLE), 4) AS similarity
+    FROM scored
+    WHERE {LEV_DIST_DEN} * edit_dist <= max_len
+    ORDER BY doc_a, doc_b
+    """,
+)
+def levenshtein_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level edit-distance near-dups (X1 — the dedup
+    modality shingle Jaccard structurally misses): LSH candidates
+    verified by Levenshtein distance, keeping pairs whose edit
+    distance is ≤ 1/{LEV_DIST_DEN} of the longer text. OCR noise,
+    mojibake, and single-character template fills perturb most
+    word-3-grams (killing shingle similarity) while moving edit
+    distance only a little — the CCNet/C4-era motivation for keeping
+    a character-level verifier behind the token-level candidate
+    stage. Levenshtein is a BUILT-IN in both engines (identical DP
+    semantics), so the entry is exactly oracle-checked.
+
+    Exactness: candidates are the md5-derived band buckets; the
+    admission test is the integer cross-multiplication
+    ``{LEV_DIST_DEN}·dist ≤ max(len)``; only the emitted similarity
+    divides, rounded once.
+
+    Scale: O(len²)-per-pair DP runs ONLY on band-bucket candidates
+    (never all-pairs — the whole point of staging it behind LSH);
+    document text joins attach to the candidate table, so full texts
+    shuffle once per candidate side, not per corpus pass. At 100 TB
+    the extra lever is a length-band pre-filter (|len_a − len_b| >
+    max_len/{LEV_DIST_DEN} can never qualify — a pure projection
+    predicate before the DP).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sig = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size(toks) >= 3)
+        .select("doc_id", "text", minhash_signature(toks).alias("mh"))
+    )
+    sig = scoped_persist(sig)  # band buckets + both text sides
+
+    r = N_MINHASH // N_BANDS
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.element_at("mh", b * r + j + 1) for j in range(r)]
+            ).alias("bh"),
+        )
+        for b in range(N_BANDS)
+    ]
+    buckets = sig.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    txt = sig.select("doc_id", "text")
+    scored = (
+        cand.join(
+            txt.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            txt.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
+            F.greatest(F.length("ta"), F.length("tb")).cast("long").alias(
+                "max_len"
+            ),
+        )
+    )
+    return (
+        scored.filter(LEV_DIST_DEN * F.col("edit_dist") <= F.col("max_len"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "edit_dist",
+            F.round(
+                1.0 - F.col("edit_dist") / F.col("max_len").cast("double"), 4
+            ).alias("similarity"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1520,3 +1520,75 @@ def waterfill_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "split_balance_audit",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT lang, {_LABEL_SQL} AS split FROM documents
+    ),
+    cells AS (
+      SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+      FROM labeled GROUP BY lang, split
+    ),
+    tot AS (
+      SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang FROM cells
+      GROUP BY lang
+    )
+    SELECT c.lang, c.split, c.n_docs,
+           round(100.0 * c.n_docs / t.n_lang, 4) AS share_pp,
+           round(100.0 * c.n_docs / t.n_lang
+                 - CASE c.split WHEN 'train' THEN {TRAIN_PCT}
+                                WHEN 'val' THEN {VAL_PCT}
+                                ELSE {100 - TRAIN_PCT - VAL_PCT} END,
+                 4) AS deviation_pp
+    FROM cells c JOIN tot t USING (lang)
+    ORDER BY c.lang, c.split
+    """,
+)
+def split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification-balance audit of the deterministic split
+    (sampling): per (lang, split), realized document share vs the
+    designed {TRAIN_PCT}/{VAL_PCT}/{100 - TRAIN_PCT - VAL_PCT} —
+    hash splits are only UNBIASED, not balanced, so small strata can
+    land far from design and a per-language eval then compares models
+    on whatever the hash happened to allocate (the reason stratified
+    splits exist). This audit quantifies the imbalance per stratum;
+    the companion ``stratified_sample`` is the fix when a stratum's
+    deviation is unacceptable. Same split gate literal as
+    ``deterministic_split`` — the audit can never drift from the
+    split it audits.
+
+    Exactness: cells and totals are integer counts; shares are one
+    rounded division each; expected shares are integer literals.
+
+    Scale: one (lang, split) hash aggregate with map-side combine;
+    totals reduce the |langs|×3 cell table.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _split_bucket(F.col("doc_id"))
+    cells = (
+        d.select("lang", _split_label(bucket).alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    cells = scoped_persist(cells)  # feeds totals AND the emit join
+    tot = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    expected = (
+        F.when(F.col("split") == "train", F.lit(TRAIN_PCT))
+        .when(F.col("split") == "val", F.lit(VAL_PCT))
+        .otherwise(F.lit(100 - TRAIN_PCT - VAL_PCT))
+    )
+    share = 100.0 * F.col("n_docs") / F.col("n_lang")
+    return (
+        cells.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "split",
+            "n_docs",
+            F.round(share, 4).alias("share_pp"),
+            F.round(share - expected, 4).alias("deviation_pp"),
+        )
+        .orderBy("lang", "split")
+    )

@@ -2089,3 +2089,112 @@ def quantile_normalization_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+BOOT_B = 20  # deterministic half-subsample replicates
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH grid AS (SELECT unnest(range(0, {BOOT_B})) AS b),
+    member AS (
+      SELECT g.b, d.n_chars
+      FROM documents d CROSS JOIN grid g
+      WHERE CAST(('0x' || substr(md5(CAST(g.b AS VARCHAR) || ':' ||
+                  CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+    ),
+    means AS (
+      SELECT b, round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS m
+      FROM member GROUP BY b
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rk,
+             count(*) OVER () AS k
+      FROM means
+    ),
+    full_m AS (
+      SELECT round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS fm
+      FROM documents
+    )
+    SELECT full_m.fm AS full_mean,
+           CAST(max(k) AS BIGINT) AS n_resamples,
+           min(CASE WHEN rk = CAST(ceil(0.1 * k) AS BIGINT) THEN m END)
+             AS boot_lo,
+           min(CASE WHEN rk = CAST(ceil(0.9 * k) AS BIGINT) THEN m END)
+             AS boot_hi
+    FROM ranked CROSS JOIN full_m
+    GROUP BY full_m.fm
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic subsampling CI for the mean doc length
+    (statistics — Politis-Romano subsampling, the resampling scheme
+    that distributes cleanly): {BOOT_B} half-subsamples gated by a
+    salted content hash (doc d joins replicate b iff
+    md5(b:doc_id) is even — no RNG, bit-identical across engines and
+    runs), each replicate's mean, and the discrete 10th/90th-rank
+    replicate means as the interval. The spread prices how much the
+    corpus mean would move under resampling — the error bar every
+    per-source mean comparison silently needs; classic bootstrap's
+    with-replacement multiplicities don't distribute deterministically,
+    the documented reason for the subsampling variant.
+
+    Exactness: membership is a hash gate; each replicate mean is one
+    integer-sum division rounded 6; interval endpoints are DISCRETE
+    ranks over the {BOOT_B}-row means table — no interpolation.
+
+    Scale: one scan fans each row into its (expected {BOOT_B}/2)
+    member replicates via an in-row array filter + explode (never a
+    corpus×B join); per-replicate means are a {BOOT_B}-group hash
+    aggregate with map-side combine; the rank window runs over
+    {BOOT_B} rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bs = F.sequence(F.lit(0), F.lit(BOOT_B - 1))
+
+    def gate(b):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        b.cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % 2 == 0
+
+    member = d.select(
+        "n_chars", F.explode(F.filter(bs, gate)).alias("b")
+    )
+    means = member.groupBy("b").agg(
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias("m")
+    )
+    w = Window.orderBy("m", "b")
+    ranked = means.select(
+        "m",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("k"),
+    )
+    full_m = d.agg(
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias(
+            "full_mean"
+        )
+    )
+    lo = F.ceil(0.1 * F.col("k")).cast("long")
+    hi = F.ceil(0.9 * F.col("k")).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(full_m))
+        .groupBy("full_mean")
+        .agg(
+            F.max("k").alias("n_resamples"),
+            F.min(F.when(F.col("rk") == lo, F.col("m"))).alias("boot_lo"),
+            F.min(F.when(F.col("rk") == hi, F.col("m"))).alias("boot_hi"),
+        )
+        .select("full_mean", "n_resamples", "boot_lo", "boot_hi")
+    )

@@ -569,3 +569,102 @@ class TestRound7BatchB:
         assert (s0["shift"] == 0).all()
         assert (s1["shift"] == -100).all()
         assert (s0["source_boundary"].values == [10 * (i + 1) for i in range(10)]).all()
+
+
+class TestRound7BatchC:
+    def test_threshold_sweep_knee(self, spark, tmp_path):
+        """One identical pair (j=1.0) + one 3-of-5 pair (j=0.6): the
+        sweep keeps 2 pairs through t=60 and only the identical pair
+        from t=70 up."""
+        from couchwarehouse_spark.plans.dedup import jaccard_threshold_sweep
+
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(spark, [
+                (0, "p q r s t u", "en", "s0"),  # pqr qrs rst stu
+                (1, "p q r s t v", "en", "s0"),  # pqr qrs rst stv → j=0.6
+                (2, "a b c d e f", "en", "s0"),
+                (3, "a b c d e f", "en", "s0"),  # identical → j=1.0
+            ]),
+            d, "documents",
+        )
+        out = jaccard_threshold_sweep(spark, d).toPandas()
+        got = {
+            int(r["threshold_pct"]): (r["n_pairs"], r["n_docs"])
+            for _, r in out.iterrows()
+        }
+        assert got == {
+            50: (2, 4), 60: (2, 4), 70: (1, 2), 80: (1, 2), 90: (1, 2),
+        }
+
+    def test_split_balance_all_train_stratum(self, spark, tmp_path):
+        """A lang whose doc ids ALL hash into train shows share 100pp
+        and deviation +20pp on its train row (and no val/test rows)."""
+        from pyspark.sql import functions as F
+
+        from couchwarehouse_spark.plans.sampling import (
+            TRAIN_PCT,
+            _split_bucket,
+        )
+        from couchwarehouse_spark.plans.sampling import split_balance_audit
+
+        buckets = {
+            r["id"]: r["b"]
+            for r in spark.range(500)
+            .select("id", _split_bucket(F.col("id")).alias("b"))
+            .collect()
+        }
+        train_ids = [i for i, b in buckets.items() if b < TRAIN_PCT][:3]
+        d = str(tmp_path / "sf")
+        _write(
+            _docs(spark, [(i, f"text {i}", "zz", "s0") for i in train_ids]),
+            d, "documents",
+        )
+        out = split_balance_audit(spark, d).toPandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert (row["lang"], row["split"]) == ("zz", "train")
+        assert row["n_docs"] == 3
+        assert row["share_pp"] == 100.0
+        assert row["deviation_pp"] == 100.0 - TRAIN_PCT
+
+    def test_bootstrap_ci_degenerate_constant_corpus(self, spark, tmp_path):
+        """All docs the same length → every replicate mean equals the
+        full mean; the interval collapses to a point."""
+        from couchwarehouse_spark.plans.statistics import bootstrap_mean_ci
+
+        d = str(tmp_path / "sf")
+        rows = [(i, "x" * 50, "en", "s0") for i in range(40)]
+        _write(_docs(spark, rows), d, "documents")
+        out = bootstrap_mean_ci(spark, d).toPandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row["full_mean"] == 50.0
+        assert row["boot_lo"] == 50.0 and row["boot_hi"] == 50.0
+        assert row["n_resamples"] == 20
+
+
+class TestLevenshteinNearDup:
+    def test_one_char_edit_qualifies(self, spark, tmp_path):
+        """A single-character substitution keeps shingle similarity
+        high enough to collide in a band and scores edit_dist 1; an
+        unrelated doc pairs with nobody."""
+        from couchwarehouse_spark.plans.dedup import levenshtein_near_dup
+
+        d = str(tmp_path / "sf")
+        base = " ".join(f"tok{i}" for i in range(64))
+        mutated = base.replace("tok31", "tok3x")  # 1-char substitution
+        _write(
+            _docs(spark, [
+                (0, base, "en", "s0"),
+                (1, mutated, "en", "s0"),
+                (2, " ".join(f"zz{i}" for i in range(64)), "en", "s0"),
+            ]),
+            d, "documents",
+        )
+        out = levenshtein_near_dup(spark, d).toPandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert (row["doc_a"], row["doc_b"]) == (0, 1)
+        assert row["edit_dist"] == 1
+        assert row["similarity"] == round(1 - 1 / len(base), 4)
