@@ -2410,24 +2410,30 @@ def levenshtein_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
     txt = sig.select("doc_id", "text")
-    scored = (
-        cand.join(
-            txt.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")),
-            "doc_a",
-        )
-        .join(
-            txt.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
-            F.greatest(F.length("ta"), F.length("tb")).cast("long").alias(
-                "max_len"
-            ),
-        )
+    with_texts = cand.join(
+        txt.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")),
+        "doc_a",
+    ).join(
+        txt.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")),
+        "doc_b",
     )
+    # Length pre-filter BEFORE any DP: edit distance ≥ |len_a − len_b|,
+    # so a pair whose length gap alone breaks the threshold can never
+    # qualify — the O(len²) work is skipped for free.
+    max_len = F.greatest(F.length("ta"), F.length("tb")).cast("long")
+    pre = with_texts.filter(
+        LEV_DIST_DEN * F.abs(F.length("ta") - F.length("tb")) <= max_len
+    )
+    scored = pre.select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
+        max_len.alias("max_len"),
+    )
+    # Persisted: the threshold filter and the similarity projection
+    # both reference edit_dist — without a materialization barrier the
+    # O(len²) DP re-evaluates per consumer expression.
+    scored = scoped_persist(scored)
     return (
         scored.filter(LEV_DIST_DEN * F.col("edit_dist") <= F.col("max_len"))
         .select(

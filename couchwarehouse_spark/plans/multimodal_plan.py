@@ -405,3 +405,120 @@ def multimodal_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_items").desc(), "phash_band")
         .limit(40)
     )
+
+
+# Deterministic modality headers planted by doc_id % 4 — real magic
+# bytes (PNG / JPEG / RIFF) ahead of the text-byte payload stand-in.
+_MAGICS = (
+    ("image/png", "89504E47"),
+    ("image/jpeg", "FFD8FFE0"),
+    ("audio/riff", "52494646"),
+    ("text/plain", None),  # no header — raw text bytes
+)
+
+
+@query(
+    "payload_magic_byte_census",
+    oracle="""
+    WITH tagged AS (
+      SELECT source,
+             CASE doc_id % 4
+               WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+               WHEN 2 THEN 'audio/riff' ELSE 'text/plain' END AS assigned,
+             CASE doc_id % 4
+               WHEN 0 THEN '\\x89\\x50\\x4E\\x47'::BLOB || encode(text)
+               WHEN 1 THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB || encode(text)
+               WHEN 2 THEN '\\x52\\x49\\x46\\x46'::BLOB || encode(text)
+               ELSE encode(text) END AS payload
+      FROM documents
+    ),
+    sniffed AS (
+      SELECT source, assigned, payload,
+             CASE upper(substr(hex(payload), 1, 8))
+               WHEN '89504E47' THEN 'image/png'
+               WHEN 'FFD8FFE0' THEN 'image/jpeg'
+               WHEN '52494646' THEN 'audio/riff'
+               ELSE 'text/plain' END AS detected
+      FROM tagged
+    )
+    SELECT detected,
+           CAST(count(*) AS BIGINT)                             AS n_payloads,
+           CAST(sum(octet_length(payload)) AS BIGINT)           AS total_bytes,
+           CAST(sum(CASE WHEN detected = assigned THEN 1 ELSE 0 END)
+                AS BIGINT)                                      AS n_match,
+           round(sum(CASE WHEN detected = assigned THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4)                 AS match_rate
+    FROM sniffed
+    GROUP BY detected
+    ORDER BY detected
+    """,
+)
+def payload_magic_byte_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte modality sniffing over binary payloads (X3 — the
+    content-type ROUTER a multimodal ingest runs before choosing a
+    decoder): classify each payload by its leading magic bytes (PNG
+    ‰PNG, JPEG FF D8 FF, RIFF) and census detected modality vs the
+    declared one — mismatches are exactly the mislabeled/corrupted
+    payloads that crash a decode stage at scale, so this census runs
+    FIRST. Payload headers are planted deterministically (doc_id % 4)
+    ahead of the text-byte stand-in (container has no codecs — the
+    X3 posture), so the detection path — binary concat, binary
+    substring, hex compare — is the real plumbing a magic-byte
+    router uses, and match_rate 1.0 is the planted self-check.
+
+    Exactness: byte slices hex-compare as strings identically in both
+    engines; counts and byte totals are integers.
+
+    Scale: one projection computes header + classification in-row (no
+    UDF — binary ops are JVM expressions inside codegen); the census
+    is a |modalities|-group hash aggregate with map-side combine;
+    payloads never shuffle (only their lengths and 4-byte prefixes
+    feed the aggregate).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    text_bytes = F.encode("text", "utf-8")
+
+    def header(hexstr: str):
+        return F.lit(bytes.fromhex(hexstr))
+
+    assigned = (
+        F.when(F.col("doc_id") % 4 == 0, _MAGICS[0][0])
+        .when(F.col("doc_id") % 4 == 1, _MAGICS[1][0])
+        .when(F.col("doc_id") % 4 == 2, _MAGICS[2][0])
+        .otherwise(_MAGICS[3][0])
+    )
+    payload = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(header("89504E47"), text_bytes))
+        .when(F.col("doc_id") % 4 == 1, F.concat(header("FFD8FFE0"), text_bytes))
+        .when(F.col("doc_id") % 4 == 2, F.concat(header("52494646"), text_bytes))
+        .otherwise(text_bytes)
+    )
+    tagged = d.select(
+        "source", assigned.alias("assigned"), payload.alias("payload")
+    )
+    prefix_hex = F.upper(F.hex(F.expr("substring(payload, 1, 4)")))
+    detected = (
+        F.when(prefix_hex == "89504E47", "image/png")
+        .when(prefix_hex == "FFD8FFE0", "image/jpeg")
+        .when(prefix_hex == "52494646", "audio/riff")
+        .otherwise("text/plain")
+    )
+    sniffed = tagged.select(
+        "assigned", detected.alias("detected"), F.length("payload").alias("nb")
+    )
+    return (
+        sniffed.groupBy("detected")
+        .agg(
+            F.count("*").alias("n_payloads"),
+            F.sum("nb").cast("long").alias("total_bytes"),
+            F.sum((F.col("detected") == F.col("assigned")).cast("int"))
+            .cast("long")
+            .alias("n_match"),
+            F.round(
+                F.sum((F.col("detected") == F.col("assigned")).cast("int"))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("match_rate"),
+        )
+        .orderBy("detected")
+    )

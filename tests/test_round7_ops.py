@@ -668,3 +668,26 @@ class TestLevenshteinNearDup:
         assert (row["doc_a"], row["doc_b"]) == (0, 1)
         assert row["edit_dist"] == 1
         assert row["similarity"] == round(1 - 1 / len(base), 4)
+
+
+class TestPayloadMagicBytes:
+    def test_planted_modalities_sniff_exactly(self, spark, tmp_path):
+        """8 docs (2 per modality by doc_id % 4): sniffed counts match
+        the plant, byte totals include the 4-byte headers, and the
+        assigned-vs-detected match rate is 1.0 everywhere."""
+        from couchwarehouse_spark.plans.multimodal_plan import (
+            payload_magic_byte_census,
+        )
+
+        d = str(tmp_path / "sf")
+        rows = [(i, f"payload body {i}", "en", "s0") for i in range(8)]
+        _write(_docs(spark, rows), d, "documents")
+        out = payload_magic_byte_census(spark, d).toPandas()
+        got = {r["detected"]: r for _, r in out.iterrows()}
+        assert set(got) == {"image/png", "image/jpeg", "audio/riff", "text/plain"}
+        text_len = len("payload body 0")
+        for mod, r in got.items():
+            assert r["n_payloads"] == 2
+            assert r["match_rate"] == 1.0
+            hdr = 0 if mod == "text/plain" else 4
+            assert r["total_bytes"] == 2 * (text_len + hdr)
