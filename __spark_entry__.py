@@ -47,20 +47,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #    (rfm_segmentation, mad_outlier_census, benford_first_digit_audit,
 #    markov_transition_matrix, first in line as promised).
 # ROUND-8 ROTATION PLAN (write the r08 window from this): keep the 3
-# anchors + any round-8-changed entries; take the 26 queue remainders
+# anchors + any round-8-changed entries; take the 28 queue remainders
 # — the 10 deferred this round (sql_udf_functions, l_diversity_audit,
 # theil_sen_trend, seasonal_naive_backtest, shrunk_rate_estimates,
 # dbscan_core_census, simpsons_paradox_scan, psi_drift_audit,
-# kendall_tau_rank_corr, abtest_two_proportion_z) plus the 16 NEW
+# kendall_tau_rank_corr, abtest_two_proportion_z) plus the 18 NEW
 # round-7 operators (kneser_ney_bigram_scores, collocation_llr_pairs,
 # cross_source_leakage_matrix, lsh_band_tuning_audit,
 # positional_template_drift, centroid_shift_drift,
 # good_turing_estimates, cdc_chunk_dedup, minhash_estimate_error_audit,
 # dedup_cluster_source_mix, quantile_normalization_map,
 # jaccard_threshold_sweep, split_balance_audit, bootstrap_mean_ci,
-# levenshtein_near_dup, payload_magic_byte_census), all t2-sim green
-# at sf0.01 this round — which drives never-driver-verified to 0 (26
-# queue entries + ~21 staleness slots fit in one window); fill the
+# levenshtein_near_dup, payload_magic_byte_census,
+# graph_common_neighbors_linkpred, peak_concurrency_census), all t2-sim green
+# at sf0.01 this round — which drives never-driver-verified to 0 (28
+# queue entries + ~19 staleness slots fit in one window); fill the
 # remaining slots with the STALEST greens, r03-first
 # (flatten_props, conform_projection, seq_extraction,
 # mango_selector_filter, delete_propagation, full_text_relevance,

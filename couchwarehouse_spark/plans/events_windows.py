@@ -1682,3 +1682,107 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mape"),
         F.max("ae").cast("long").alias("worst_abs_error"),
     )
+
+
+@query(
+    "peak_concurrency_census",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             min(ts) AS s, max(ts) AS e
+      FROM events
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    pts AS (
+      SELECT day, s AS t, 1 AS delta, user_id FROM iv
+      UNION ALL
+      SELECT day, e AS t, -1 AS delta, user_id FROM iv
+    ),
+    run AS (
+      SELECT day, t, delta,
+             sum(delta) OVER (PARTITION BY day
+                              ORDER BY t, delta DESC, user_id
+                              ROWS UNBOUNDED PRECEDING) AS running
+      FROM pts
+    ),
+    pk AS (
+      SELECT day, CAST(max(running) AS BIGINT) AS peak_concurrent
+      FROM run GROUP BY day
+    )
+    SELECT strftime(r.day, '%Y-%m-%d') AS day,
+           CAST(count(*) / 2 AS BIGINT)  AS n_users,
+           pk.peak_concurrent,
+           strftime(min(CASE WHEN r.running = pk.peak_concurrent THEN r.t END),
+                    '{DUCK_FMT}')        AS peak_at
+    FROM run r JOIN pk USING (day)
+    GROUP BY r.day, pk.peak_concurrent
+    ORDER BY day
+    """.format(DUCK_FMT=DUCK_FMT),
+)
+def peak_concurrency_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency sweep line (D4 — the interval-stacking kernel
+    behind 'max simultaneous users/sessions/connections'): each user's
+    daily activity interval [first event, last event] becomes a +1
+    start point and a −1 end point; the running sum over the day's
+    ordered points is the instantaneous concurrency, its max the
+    day's peak, and the first time it is attained the peak moment.
+    The capacity-planning number a serving/ingest layer is actually
+    sized by — means and totals hide exactly this. Tie rule: starts
+    sort before ends at the same instant (delta DESC), so touching
+    intervals count as concurrent — the inclusive-interval convention,
+    deterministic in both engines.
+
+    Exactness: boundary points and running sums are integers over a
+    total order with a full tie-break (t, delta, user); the peak
+    moment is a min over equal-peak instants.
+
+    Scale: interval extraction is one (user, day) hash aggregate;
+    the sweep's window partitions BY DAY over 2 points per active
+    user — boundary points, never raw events, cross the exchange;
+    the 100 TB refinement for a hot day is pre-aggregating equal
+    (t, delta) points map-side, which this shape already admits.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    pts = iv.select(
+        "day", F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        iv.select(
+            "day", F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.col("delta").desc(), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select(
+        "day", "t", "delta", F.sum("delta").over(w).alias("running")
+    )
+    run = scoped_persist(run)  # feeds the peak AND the peak-moment agg
+    pk = run.groupBy("day").agg(F.max("running").alias("peak_concurrent"))
+    return (
+        run.join(pk, "day")
+        .groupBy("day", "peak_concurrent")
+        .agg(
+            (F.count("*") / 2).cast("long").alias("n_users"),
+            F.date_format(
+                F.min(
+                    F.when(
+                        F.col("running") == F.col("peak_concurrent"),
+                        F.col("t"),
+                    )
+                ),
+                TS_FMT,
+            ).alias("peak_at"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_users",
+            "peak_concurrent",
+            "peak_at",
+        )
+        .orderBy("day")
+    )

@@ -2830,3 +2830,80 @@ def centroid_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "n_even", "n_odd", "centroid_shift")
         .orderBy("label")
     )
+
+
+LINKPRED_TOP_K = 20
+
+
+@query(
+    "graph_common_neighbors_linkpred",
+    oracle=f"""
+    WITH edges AS ({KNN_GRAPH_ORACLE}),
+    und AS (
+      SELECT vec_id AS src, nbr_id AS dst FROM edges
+      UNION
+      SELECT nbr_id AS src, vec_id AS dst FROM edges
+    ),
+    cn AS (
+      SELECT a.src AS u, b.src AS w, CAST(count(*) AS BIGINT)
+               AS common_neighbors
+      FROM und a JOIN und b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT u, w, common_neighbors
+    FROM cn ANTI JOIN und ON cn.u = und.src AND cn.w = und.dst
+    ORDER BY common_neighbors DESC, u, w
+    LIMIT {LINKPRED_TOP_K}
+    """,
+)
+def graph_common_neighbors_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction over the k-NN graph (X2 —
+    Liben-Nowell & Kleinberg 2003's baseline that later methods are
+    measured against): the top NON-adjacent vector pairs ranked by
+    shared-neighbor count on the symmetrized bucketed k-NN graph.
+    High-common-neighbor non-edges are exactly the pairs an ANN index
+    MISSED (bucket boundaries split them) — so beyond its classic
+    recommender role this is an index-quality probe: feed the
+    predictions to the exact verifier and every confirmed hit is an
+    LSH recall failure, localized.
+
+    Exactness: the graph is the oracle-checked ``knn_graph_bucketed``
+    (invoked as the inner stage — one definition, never drift);
+    neighbor counts are integers; ranking is integer-ordered with a
+    full tie-break.
+
+    Scale: the wedge join keys on the SHARED NEIGHBOR, so work is
+    Σ deg(n)² with degrees bounded by k out-edges and bucket-bounded
+    in-edges (the derive_planes guarantee); the anti-join removes
+    existing edges on the (src, dst) key; top-k is
+    TakeOrderedAndProject on the integer count.
+    """
+    from couchwarehouse_spark.plans import QUERIES
+
+    edges = QUERIES["knn_graph_bucketed"](spark, sf_dir).select(
+        "vec_id", "nbr_id"
+    )
+    und = (
+        edges.select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
+        .union(
+            edges.select(
+                F.col("nbr_id").alias("src"), F.col("vec_id").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    und = scoped_persist(und)  # wedge join sides AND the anti-join
+    a = und.select(F.col("src").alias("u"), "dst")
+    b = und.select(F.col("src").alias("w"), "dst")
+    cn = (
+        a.join(b, "dst")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("common_neighbors"))
+    )
+    existing = und.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    return (
+        cn.join(existing, ["u", "w"], "left_anti")
+        .orderBy(F.col("common_neighbors").desc(), "u", "w")
+        .limit(LINKPRED_TOP_K)
+    )

@@ -242,3 +242,105 @@ def test_cdc_payload_apply_reproduces_new_state(spark, old_map, new_map):
         else:
             model[row["id"]] = row["_cw_seq"]
     assert model == {f"d{k}": v for k, v in new_map.items()}
+
+
+# -- Kneser-Ney scorer model check: Spark vs a pure-Python reference --
+def _kn_reference(train_texts, test_docs, d_num=3, d_den=4):
+    """Pure-Python interpolated-KN bigram scorer mirroring
+    plans.text.kneser_ney_bigram_scores' definition exactly."""
+    import math
+    from collections import Counter, defaultdict
+
+    bgc = Counter()
+    for t in train_texts:
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            bgc[(a, b)] += 1
+    c1 = Counter()
+    n1w1 = Counter()
+    n1w2 = Counter()
+    for (a, b), c in bgc.items():
+        c1[a] += c
+        n1w1[a] += 1
+        n1w2[b] += 1
+    T = len(bgc)
+    V = len(n1w2)
+    tv1 = T + V + 1
+    per_lang = defaultdict(lambda: [0, 0, 0])  # n, backoff, micro_sum
+    for lang, t in test_docs:
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            if a in c1:
+                num = (
+                    max(d_den * bgc.get((a, b), 0) - d_num, 0) * tv1
+                    + d_num * n1w1[a] * (n1w2.get(b, 0) + 1)
+                )
+                p = num / (d_den * c1[a] * tv1)
+                backoff = 0
+            else:
+                p = (n1w2.get(b, 0) + 1) / tv1
+                backoff = 1
+            cell = per_lang[lang]
+            cell[0] += 1
+            cell[1] += backoff
+            cell[2] += round(1_000_000 * -math.log(p))
+    return {
+        lang: (n, bo, round(micro / 1_000_000 / n, 6))
+        for lang, (n, bo, micro) in per_lang.items()
+    }
+
+
+_kn_vocab = st.sampled_from(["aa", "bb", "cc", "dd"])
+_kn_text = st.lists(_kn_vocab, min_size=2, max_size=12).map(" ".join)
+
+
+@given(texts=st.lists(_kn_text, min_size=2, max_size=6), data=st.data())
+@settings(max_examples=6, deadline=None)
+def test_kneser_ney_matches_python_reference(spark, texts, data):
+    """For ANY tiny corpus over a colliding vocabulary, the Spark KN
+    scorer equals a direct Python transcription of the formula —
+    train/test membership decided by the REAL split gate."""
+    import pyspark.sql.functions as F
+
+    from couchwarehouse_spark.plans.sampling import (
+        TRAIN_PCT,
+        VAL_PCT,
+        _split_bucket,
+    )
+    from couchwarehouse_spark.plans.text import kneser_ney_bigram_scores
+
+    buckets = {
+        r["id"]: r["b"]
+        for r in spark.range(300)
+        .select("id", _split_bucket(F.col("id")).alias("b"))
+        .collect()
+    }
+    train_ids = [i for i, b in buckets.items() if b < TRAIN_PCT]
+    test_ids = [i for i, b in buckets.items() if b >= TRAIN_PCT + VAL_PCT]
+    # At least one train and one test doc; assign rest arbitrarily.
+    n_train = data.draw(st.integers(min_value=1, max_value=len(texts) - 1))
+    rows, train_texts, test_docs = [], [], []
+    for j, t in enumerate(texts):
+        if j < n_train:
+            rows.append((train_ids[j], t, "en", "s0"))
+            train_texts.append(t)
+        else:
+            rows.append((test_ids[j], t, "en", "s0"))
+            test_docs.append(("en", t))
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r["lang"]: (
+                r["n_transitions"],
+                r["n_ctx_backoff"],
+                r["avg_surprisal"],
+            )
+            for r in kneser_ney_bigram_scores(spark, tmp).collect()
+        }
+    assert out == _kn_reference(train_texts, test_docs)

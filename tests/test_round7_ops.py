@@ -691,3 +691,55 @@ class TestPayloadMagicBytes:
             assert r["match_rate"] == 1.0
             hdr = 0 if mod == "text/plain" else 4
             assert r["total_bytes"] == 2 * (text_len + hdr)
+
+
+class TestRound7BatchD:
+    def test_peak_concurrency_sweep_line(self, spark, tmp_path):
+        """u1 [00:00,02:00], u2 [01:00,03:00], u3 [05:00,06:00], u4
+        [03:00,04:00]: peak 2, first attained 01:00; a start touching
+        an end at 03:00 also counts 2 (inclusive-interval tie rule)."""
+        from datetime import datetime as dt
+
+        from couchwarehouse_spark.plans.events_windows import (
+            peak_concurrency_census,
+        )
+
+        def ev(i, user, h, m=0):
+            return (i, dt(2024, 3, 1, h, m), user, "click", 1.0, "{}")
+
+        rows = [
+            ev(1, 1, 0), ev(2, 1, 2),    # u1 00:00-02:00
+            ev(3, 2, 1), ev(4, 2, 3),    # u2 01:00-03:00
+            ev(5, 3, 5), ev(6, 3, 6),    # u3 05:00-06:00
+            ev(7, 4, 3), ev(8, 4, 4),    # u4 03:00-04:00 (touches u2 end)
+        ]
+        d = str(tmp_path / "sf")
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = peak_concurrency_census(spark, d).toPandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row["n_users"] == 4
+        assert row["peak_concurrent"] == 2
+        assert row["peak_at"] == "2024-03-01 01:00:00"
+
+    def test_linkpred_identical_vectors_exact(self, spark, tmp_path):
+        """5 identical vectors: ties rank by vec_id, so every node
+        links to the 3 lowest other ids; the ONLY non-adjacent pair is
+        (3,4) with 3 common neighbors — the exact prediction."""
+        from couchwarehouse_spark.plans.similarity import (
+            graph_common_neighbors_linkpred,
+        )
+
+        d = str(tmp_path / "sf")
+        vec = [0.5, 0.25, 0.125, 0.0625]
+        _write(
+            _emb(spark, [(i, vec, 0) for i in range(5)]), d, "embeddings"
+        )
+        out = graph_common_neighbors_linkpred(spark, d).toPandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert (row["u"], row["w"], row["common_neighbors"]) == (3, 4, 3)
