@@ -14,6 +14,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# A real driver heap BEFORE the JVM gateway launches (builder conf is
+# too late — session.py NB): the suite runs 249 queries in one JVM and
+# the default 1g heap flakes on broadcast builds under end-of-suite
+# memory pressure. setdefault so an external setting still wins.
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "8g")
+
 import couchwarehouse_spark.plans.all  # noqa: F401  (populate registry)
 from couchwarehouse_spark.plans import QUERIES
 from couchwarehouse_spark.session import get_spark

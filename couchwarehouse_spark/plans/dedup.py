@@ -288,24 +288,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below — without this the (expensive) prefix join re-runs inside
     # the second broadcast's lineage.
     cand = scoped_persist(cand)
-    # Verify join: broadcast the CANDIDATE side, never the shingle
-    # table. The pair list is id-pairs only and linear-ish by
-    # prefix-filter construction; the shingle table is corpus-sized —
-    # broadcasting it (the tempting local shape) is exactly the plan
-    # that dies at 100 TB, and leaving both sides unhinted costs an
-    # extra corpus shuffle before AQE can flip the build side. With
-    # the candidate side broadcast in both steps, the corpus streams
-    # past it twice with ZERO shuffle of the (wide) shingle arrays.
-    # If pair volume ever outgrows broadcast, the fallback is two
-    # shuffle-hash joins keyed on doc id — still never a corpus
-    # broadcast.
+    # Verify join: broadcast ONLY the candidate id-pair list, never
+    # anything carrying shingle arrays. Each corpus pass streams past
+    # the broadcast pair ids to attach its side's arrays; the two
+    # halves then join on the PAIR key, so the wide arrays shuffle at
+    # candidate-pair size — bounded by the prefix filter — and the
+    # corpus-sized shingle table is never broadcast or re-shuffled.
+    # (The previous shape broadcast with_a — id-pairs PLUS doc_a's
+    # arrays — which is pair-volume × array-width driver memory: the
+    # exact build that OOMs a small driver first and a big one later.)
     sh_tbl = t.select("doc_id", "sh")
     with_a = sh_tbl.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}).join(
         F.broadcast(cand), "doc_a"
     )
-    pairs = sh_tbl.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}).join(
-        F.broadcast(with_a), "doc_b"
+    with_b = sh_tbl.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}).join(
+        F.broadcast(cand), "doc_b"
     )
+    pairs = with_a.join(with_b, ["doc_a", "doc_b"])
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a") + F.size("sh_b") - inter
     # Threshold on the RAW ratio (like the oracle's WHERE), round only

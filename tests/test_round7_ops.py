@@ -1,10 +1,18 @@
-"""Planted-fixture golden tests for round-7 hardening: the DF_CAP
-stop-shingle filter wired into the inverted-index pair generators
-(VERDICT r06 ask #3). Each fixture plants a "viral" shingle whose
-document frequency exceeds DF_CAP — the df² quadratic key the cap
-exists to remove — and proves (a) the hot key generates NO pairs,
-(b) genuine near-dups on cold vocabulary still pair, and (c) a
-shingle at exactly df == DF_CAP is KEPT (the cap is strict >)."""
+"""Planted-fixture golden tests for round 7.
+
+Covers: the DF_CAP stop-shingle filter wired into the inverted-index
+pair generators (a planted viral shingle whose df exceeds the cap
+must generate NO pairs while cold-vocabulary near-dups still pair,
+and df == cap is kept — strict >); the sub-second microsecond e2e
+through the real warehouse; the four r06-advice fixes; and hand-built
+goldens for every operator added this round (KN scoring, G²
+collocations, leakage matrix, band tuning, positional drift, centroid
+shift, Good-Turing, CDC chunking, MinHash error, cluster source mix,
+quantile map, threshold sweep, split balance, bootstrap CI,
+Levenshtein near-dup, magic-byte router, sweep-line concurrency,
+common-neighbor link prediction). The oracle lane proves
+Spark ≡ DuckDB; these prove both are RIGHT on inputs whose correct
+output is known by construction (SURVEY.md §5)."""
 
 from __future__ import annotations
 
