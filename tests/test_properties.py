@@ -344,3 +344,73 @@ def test_kneser_ney_matches_python_reference(spark, texts, data):
             for r in kneser_ney_bigram_scores(spark, tmp).collect()
         }
     assert out == _kn_reference(train_texts, test_docs)
+
+
+# -- Dunning G² collocations model check ------------------------------
+def _llr_reference(texts, min_count=5, top_k=20):
+    """Pure-Python G² mirroring plans.text.collocation_llr_pairs."""
+    import math
+    from collections import Counter
+
+    c12 = Counter()
+    for t in texts:
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            c12[(a, b)] += 1
+    rr = Counter()
+    col = Counter()
+    for (a, b), c in c12.items():
+        rr[a] += c
+        col[b] += c
+    n = sum(c12.values())
+
+    def term(k, r, c):
+        if k <= 0:
+            return 0
+        return round(1_000_000 * k * math.log(k * n / (r * c)))
+
+    scored = []
+    for (a, b), c in c12.items():
+        if c < min_count:
+            continue
+        k11, k12 = c, rr[a] - c
+        k21 = col[b] - c
+        k22 = n - rr[a] - col[b] + c
+        llr = 2 * (
+            term(k11, rr[a], col[b])
+            + term(k12, rr[a], n - col[b])
+            + term(k21, n - rr[a], col[b])
+            + term(k22, n - rr[a], n - col[b])
+        )
+        scored.append((a, b, c, llr))
+    scored.sort(key=lambda x: (-x[3], x[0], x[1]))
+    return [
+        (a, b, c, round(llr / 1_000_000, 4)) for a, b, c, llr in scored[:top_k]
+    ]
+
+
+_llr_vocab = st.sampled_from(["pp", "qq", "rr"])
+_llr_text = st.lists(_llr_vocab, min_size=4, max_size=16).map(" ".join)
+
+
+@given(texts=st.lists(_llr_text, min_size=3, max_size=6))
+@settings(max_examples=6, deadline=None)
+def test_collocation_llr_matches_python_reference(spark, texts):
+    """For ANY tiny colliding-vocabulary corpus, the Spark G²
+    collocation ranking equals a direct Python transcription of
+    Dunning's formula (same micro-nat quantization, same tie-break)."""
+    import os
+    import tempfile
+
+    from couchwarehouse_spark.plans.text import collocation_llr_pairs
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        got = [
+            (r["w1"], r["w2"], r["n_cooccur"], r["llr"])
+            for r in collocation_llr_pairs(spark, tmp).collect()
+        ]
+    assert got == _llr_reference(texts)
