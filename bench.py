@@ -90,6 +90,23 @@ def main() -> None:
     spark.range(100).groupBy("id").count().collect()
     for tbl in ("region", "lineitem", "orders", "events", "documents", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{tbl}.parquet")).limit(1).collect()
+    # One REAL untimed query over the actual parquet exercising the
+    # hot engine paths the footer probes above don't reach — the
+    # vectorized columnar scan loop, hash-agg codegen + Janino, a
+    # shuffle exchange write/read, and a broadcast-hash join. Without
+    # it the first timed entry (pricing_summary) absorbed ~1 s of
+    # JVM/codegen warm-up every round (2.77 s in BENCH_r07 vs 1.88 s
+    # warm in r06 — r7 verdict #3). The warm-up SHAPE is deliberately
+    # distinct from every benchmarked query so no entry gets its own
+    # compiled plan handed to it for free.
+    _li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    _or = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    (
+        _li.join(_or, _li.l_orderkey == _or.o_orderkey)
+        .groupBy("l_linestatus", "o_orderstatus")
+        .agg({"l_quantity": "avg", "l_tax": "sum"})
+        .write.format("noop").mode("overwrite").save()
+    )
 
     # Per-query hang guard: each query runs in its own job group and a
     # watchdog cancels the group after PER_QUERY_TIMEOUT_S — a wedged

@@ -1643,9 +1643,23 @@ def stop_shingle_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-doc DISTINCT shingles (map-side array_distinct — no
     cross-doc shuffle of shingle arrays), one shingle-keyed count, one
     global sum. This audit is LINEAR in the corpus; the join it sizes
-    is quadratic per key — the point.
+    is quadratic per key — the point. The up-front repartition (r7
+    verdict #4: 4.4 s → 1.3 s warm at sf0.1) spreads the explode
+    across all cores when the source parquet arrives in few splits —
+    the shuffle moves raw docs (cheap), never shingle rows; at 100 TB
+    the scan has enough native splits and the exchange is elided by
+    AQE when partitioning already suffices. Cross-QUERY reuse of the
+    postings frame that ngram_jaccard_pairs/containment_dup_pairs also
+    build is impossible under the harness's registry scoping: each
+    entry is an independent (spark, sf_dir) callable, and both the
+    driver and bench.py clear all caches between entries
+    (`spark.catalog.clearCache()`), so a shared scoped_persist would
+    never survive to the next query — the fix is making the audit's
+    own scan parallel instead.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = F.split("text", " ")
     sh = (
         d.filter(F.size(toks) >= 3)

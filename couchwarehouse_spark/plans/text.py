@@ -1970,7 +1970,7 @@ KN_DISCOUNT_NUM, KN_DISCOUNT_DEN = 3, 4  # absolute discount d = 0.75
     scored AS (
       SELECT t.lang,
              ctx.c1 IS NULL AS ctx_backoff,
-             CAST(round(1000000 * -ln(
+             CAST(round(1000000000 * -ln(
                CASE WHEN ctx.c1 IS NOT NULL THEN
                  (greatest({KN_DISCOUNT_DEN} * coalesce(bgc.c, 0)
                            - {KN_DISCOUNT_NUM}, 0)
@@ -1980,7 +1980,7 @@ KN_DISCOUNT_NUM, KN_DISCOUNT_DEN = 3, 4  # absolute discount d = 0.75
                         AS DOUBLE)
                ELSE (coalesce(cont.n1w2, 0) + 1)
                     / CAST(tot.t + tot.v + 1 AS DOUBLE)
-               END)) AS BIGINT) AS nls_micro
+               END)) AS BIGINT) AS nls_nano
       FROM test_bg t
       LEFT JOIN bgc ON t.w1 = bgc.w1 AND t.w2 = bgc.w2
       LEFT JOIN ctx ON t.w1 = ctx.w1
@@ -1991,7 +1991,7 @@ KN_DISCOUNT_NUM, KN_DISCOUNT_DEN = 3, 4  # absolute discount d = 0.75
            CAST(count(*) AS BIGINT) AS n_transitions,
            CAST(sum(CASE WHEN ctx_backoff THEN 1 ELSE 0 END) AS BIGINT)
              AS n_ctx_backoff,
-           round(CAST(sum(nls_micro) AS DOUBLE) / 1000000 / count(*), 6)
+           round(CAST(sum(nls_nano) AS DOUBLE) / 1000000000 / count(*), 6)
              AS avg_surprisal
     FROM scored
     GROUP BY lang
@@ -2020,7 +2020,15 @@ def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: with d = 3/4 every probability is the ratio of two
     integer-valued expressions (cross-multiplied by 4(T+V+1)); both
     engines build the same numerator/denominator, take one ln, and
-    quantize to integer micro-nats BEFORE the per-language reduce.
+    quantize to integer NANO-nats BEFORE the per-language reduce,
+    emitting the average at micro precision (6 dp).  Nano grain (r7
+    verdict #1): a 1-unit tie flip — JVM ``Math.log`` vs libm ``log``
+    are each ≤1 ulp but not identically rounded near a ``.5``
+    boundary — now perturbs the 6-dp average by 1e-9/n instead of
+    1e-6/n, so a single flipped term can no longer move the emitted
+    value.  The pytest mirror rounds HALF_UP via ``decimal.Decimal``
+    to match Spark's ``F.round`` (HALF_UP on the shortest decimal
+    repr), killing the half-to-even divergence of Python ``round()``.
 
     Scale: the LM tables are bigram-vocabulary-sized hash aggregates;
     scoring is three LEFT joins of the test transition stream against
@@ -2078,7 +2086,7 @@ def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.when(F.col("c1").isNotNull(), seen_num / seen_den).otherwise(
         (F.coalesce(F.col("n1w2"), F.lit(0)) + 1) / tv1
     )
-    nls_micro = F.round(1_000_000 * -F.log(p)).cast("long")
+    nls_nano = F.round(1_000_000_000 * -F.log(p)).cast("long")
     return (
         test.join(bgc, ["w1", "w2"], "left")
         .join(ctx, "w1", "left")
@@ -2087,7 +2095,7 @@ def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             F.col("c1").isNull().alias("ctx_backoff"),
-            nls_micro.alias("nls_micro"),
+            nls_nano.alias("nls_nano"),
         )
         .groupBy("lang")
         .agg(
@@ -2096,7 +2104,9 @@ def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_ctx_backoff"
             ),
             F.round(
-                F.sum("nls_micro").cast("double") / 1_000_000 / F.count("*"), 6
+                F.sum("nls_nano").cast("double") / 1_000_000_000
+                / F.count("*"),
+                6,
             ).alias("avg_surprisal"),
         )
         .orderBy("lang")

@@ -247,9 +247,29 @@ def test_cdc_payload_apply_reproduces_new_state(spark, old_map, new_map):
 # -- Kneser-Ney scorer model check: Spark vs a pure-Python reference --
 def _kn_reference(train_texts, test_docs, d_num=3, d_den=4):
     """Pure-Python interpolated-KN bigram scorer mirroring
-    plans.text.kneser_ney_bigram_scores' definition exactly."""
+    plans.text.kneser_ney_bigram_scores' definition exactly.
+
+    Term quantization mirrors the Spark lane bit-for-bit (r7 verdict
+    #1): integer NANO-nats rounded HALF_UP on the shortest decimal
+    repr via ``Decimal(repr(x))`` — exactly what JVM ``F.round`` does
+    (``BigDecimal.valueOf(double)`` + ``setScale(0, HALF_UP)``) — not
+    Python ``round()``, whose half-to-even tie rule flipped a
+    hypothesis-found near-``.5`` term in round 7."""
     import math
     from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _half_up_nano(x):
+        return int(
+            Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+
+    def _half_up_6dp(x):
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
 
     bgc = Counter()
     for t in train_texts:
@@ -283,10 +303,10 @@ def _kn_reference(train_texts, test_docs, d_num=3, d_den=4):
             cell = per_lang[lang]
             cell[0] += 1
             cell[1] += backoff
-            cell[2] += round(1_000_000 * -math.log(p))
+            cell[2] += _half_up_nano(1_000_000_000 * -math.log(p))
     return {
-        lang: (n, bo, round(micro / 1_000_000 / n, 6))
-        for lang, (n, bo, micro) in per_lang.items()
+        lang: (n, bo, _half_up_6dp(nano / 1_000_000_000 / n))
+        for lang, (n, bo, nano) in per_lang.items()
     }
 
 

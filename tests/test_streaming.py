@@ -229,12 +229,18 @@ def test_stateful_running_totals_transform_with_state(spark, tmp_path):
     identically to the applyInPandasWithState lane.
 
     Requires protobuf (the API's state-server wire protocol) — absent
-    in this container, so the test skips there; the operator itself is
-    plain Spark-4 API usage."""
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithState state server needs protobuf (not in container)",
-    )
+    in this container and installs are forbidden, so this is a pinned
+    runtime xfail there (r7 verdict #5: an explicit expected-failure
+    with the env reason, not a silent skip); the operator itself is
+    plain Spark-4 API usage and the D5 surface is otherwise proven by
+    the applyInPandasWithState lane above."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.xfail(
+            "transformWithState state server needs protobuf — not in this "
+            "container and `pip install` is forbidden by the build mandate"
+        )
     from couchwarehouse_spark.streaming.stateful import running_user_totals_tws
 
     src = str(tmp_path / "events_tws")
