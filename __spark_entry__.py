@@ -24,69 +24,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
-# coverage policy. Round-7 rotation — ACTUAL composition (3 + 9 + 1 +
-# 37 = 50; keep these counts in sync with the list, next round's
-# rotation is planned from them):
+# coverage policy. Round-8 rotation — ACTUAL composition (3 anchors +
+# 2 changed + 1 new + 1 family + 27 queue + 16 stalest = 50),
+# executing round 7's written plan: the full 28-entry
+# never-driver-verified queue (10 r7-deferred + 18 r7-new; KN counts
+# in the changed group below since its quantization moved to
+# nano-nats this round) plus this round's new/changed entries, which
+# drives never-driver-verified to 0 for all 249 pre-round entries —
+# cumulative driver coverage 250/250 once this window lands.
 #  - 3 never-regressed anchors (ETL kernel — also the required
 #    etl-family representative — the R1-R14 e2e, and the relational
 #    flagship),
-#  - 9 entries whose IMPLEMENTATION changed this round and must be
-#    re-proven: 7 micro-nat quantized ln-reduces
-#    (unigram/bigram_surprisal_scores, stupid_backoff_scores,
-#    token_entropy_per_source, heldout_perplexity_eval,
-#    math_functions, scalar_kitchen_sink) and the 2 pair generators
-#    that now WIRE the DF_CAP stop-shingle filter
-#    (sparse_cosine_pairs, containment_dup_pairs),
-#  - 1 family-coverage slot: key_skew_audit (the only skew_plan-family
-#    entries are r06-green; the window must keep a skew_plan rep),
-#  - 37 never-driver-verified entries from the round-7 queue,
-#    including multimodal_feature_extract — whose r06 bookkeeping note
-#    "(r04-green)" was WRONG (its only driver row ever was an r02
-#    no_oracle err; the r06 verdict caught the error and it now takes
-#    a window slot) — and the 4 entries round 6 deferred
-#    (rfm_segmentation, mad_outlier_census, benford_first_digit_audit,
-#    markov_transition_matrix, first in line as promised).
-# ROUND-8 ROTATION PLAN (write the r08 window from this): keep the 3
-# anchors + any round-8-changed entries; take the 28 queue remainders
-# — the 10 deferred this round (sql_udf_functions, l_diversity_audit,
-# theil_sen_trend, seasonal_naive_backtest, shrunk_rate_estimates,
-# dbscan_core_census, simpsons_paradox_scan, psi_drift_audit,
-# kendall_tau_rank_corr, abtest_two_proportion_z) plus the 18 NEW
-# round-7 operators (kneser_ney_bigram_scores, collocation_llr_pairs,
-# cross_source_leakage_matrix, lsh_band_tuning_audit,
-# positional_template_drift, centroid_shift_drift,
-# good_turing_estimates, cdc_chunk_dedup, minhash_estimate_error_audit,
-# dedup_cluster_source_mix, quantile_normalization_map,
-# jaccard_threshold_sweep, split_balance_audit, bootstrap_mean_ci,
-# levenshtein_near_dup, payload_magic_byte_census,
-# graph_common_neighbors_linkpred, peak_concurrency_census), all t2-sim green
-# at sf0.01 this round — which drives never-driver-verified to 0 (28
-# queue entries + ~19 staleness slots fit in one window); fill the
-# remaining slots with the STALEST greens, r03-first
-# (flatten_props, conform_projection, seq_extraction,
-# mango_selector_filter, delete_propagation, full_text_relevance,
-# bm25_relevance, minhash_lsh_candidates, simhash_near_dup,
-# ngram_jaccard_pairs, embedding_near_dup, json_functions,
-# string_functions, knn_cosine_topk, exact_dedup, and the other
-# r03-window survivors), then r04 greens if slots remain.
-#    Displaced to fit this round (r06-green, still t2-sim checked):
-#    event_debounce, udtf_token_runs, knn_label_purity,
-#    retrieval_eval_mrr, point_in_time_features,
-#    pq_quantization_audit, temperature_sampling_weights,
-#    rolling_active_users, cooccurrence_pmi_pairs,
-#    multimodal_audio_framing, contrastive_pair_mining,
-#    span_corruption_census, source_tvd_matrix, kn_continuation_counts,
-#    doc_boundary_overlap, best_of_n_selection, preference_pair_harvest,
-#    embedding_gram_matrix, vocab_coverage_curve, modality_pairing_audit,
-#    count_min_sketch_audit, bloom_filter_build_audit,
-#    conversion_attribution, skyline_cheap_early_orders, ks_drift_doclen,
-#    mannwhitney_drift_doclen, chi2_term_keyness, event_lateness_census,
-#    cms_join_size_audit, mixture_epoch_plan, score_calibration_bins,
-#    gopher_quality_flags, feature_hashing_vectorizer,
-#    heaps_law_vocab_growth, random_projection_audit,
-#    dsir_importance_weights, pca_power_iteration,
-#    event_pattern_regex_census, scd2_point_in_time_join,
-#    source_kl_divergence, binary_classifier_confusion.
+#  - 2 entries whose IMPLEMENTATION changed this round and must be
+#    (re-)proven: kneser_ney_bigram_scores (micro → NANO-nat term
+#    quantization, r7 verdict #1 — also the last r7-new queue entry)
+#    and stop_shingle_cap_audit (parallelized doc scan, r7 verdict
+#    #4 — r07-green before the change),
+#  - 1 NEW entry: warehouse_split_transform_e2e (R5 transform hook +
+#    R8 split routing under the oracle gate, r7 verdict #6 — the last
+#    two R-tier behaviors that were pytest-only),
+#  - 1 family-coverage slot: key_skew_audit (the only skew_plan
+#    entry family-eligible; the window must keep a skew_plan rep),
+#  - 27 remaining queue entries (10 r7-deferred + 17 r7-new),
+#  - 16 STALEST greens: the r02-window survivors never re-verified
+#    since round 2 (staleness computed from CORRECTNESS_r01..r07
+#    last-green rounds — these predate the verdict's r03-first list).
+#    17 candidates for 16 slots; top_revenue_orders (last
+#    alphabetically) is displaced to round 9.
+# ROUND-9 ROTATION PLAN (write the r09 window from this): keep the 3
+# anchors + any round-9-changed entries; window any round-8-new
+# operators not yet driver-verified; then stalest greens —
+# top_revenue_orders first (the r02 survivor displaced this round),
+# then the r03 cohort (agg_stats, array_functions, asof_last_view,
+# bm25_relevance, big_spenders_semi, cte_above_avg_customers,
+# deterministic_split, doc_chunking, embedding_near_dup,
+# flatten_props, full_text_relevance, graph_pagerank_step,
+# grouping_sets_orders, hybrid_search_rrf,
+# incremental_agg_maintenance, ivf_topk, json_functions,
+# language_id_heuristic, multimodal_metadata, near_dup_clusters,
+# ngram_jaccard_pairs, pandas_udf_disc_price, percentile_stats,
+# recursive_cte_month_spine, repetition_census, seq_extraction,
+# sequence_packing, session_window_stats, simhash_near_dup,
+# sliding_window_counts, snapshot_cdc, string_functions,
+# tf_idf_top_terms, user_pseudonymization, vocab_oov_audit,
+# window_top_orders), then r04 greens if slots remain.
 # Every entry outside the window stays registered, oracle-checked by
 # tests/t2_sim.py, pytest-covered, and bench-timed.
 PRIORITY = [
@@ -95,56 +76,59 @@ PRIORITY = [
     "latest_event_per_user",
     "warehouse_e2e_pipeline",
     "pricing_summary",
-    # --- 9 changed-this-round entries (re-prove the new impl) ---
-    "unigram_surprisal_scores",
-    "bigram_surprisal_scores",
-    "stupid_backoff_scores",
-    "token_entropy_per_source",
-    "heldout_perplexity_eval",
-    "math_functions",
-    "scalar_kitchen_sink",
-    "sparse_cosine_pairs",
-    "containment_dup_pairs",
-    # --- 1 family-coverage slot (skew_plan rep; r06-green) ---
-    "key_skew_audit",
-    # --- 37 never-driver-verified (the round-7 queue) ---
-    "rfm_segmentation",
-    "mad_outlier_census",
-    "benford_first_digit_audit",
-    "markov_transition_matrix",
-    "multimodal_feature_extract",
-    "zipf_frequency_spectrum",
-    "referential_integrity_audit",
-    "user_activity_streaks",
-    "weighted_sample_topk",
-    "bleu_ngram_eval",
-    "ngram_novelty_audit",
-    "tokenizer_fertility_by_lang",
-    "burstiness_fano_census",
-    "jackknife_source_sensitivity",
-    "text_normalization_census",
-    "predicate_delete_cdc",
-    "markov_conditional_entropy",
-    "funnel_latency_percentiles",
-    "shipping_lag_census",
-    "normalized_dedup_gain",
-    "ann_shard_balance_plan",
-    "boilerplate_suffix_census",
-    "star_flatten_export",
-    "gini_source_concentration",
-    "waterfill_budget_allocation",
-    "equidepth_histogram_bounds",
-    "ngram_entropy_rate",
+    # --- 2 changed-this-round entries (re-prove the new impl) ---
+    "kneser_ney_bigram_scores",
     "stop_shingle_cap_audit",
-    "incremental_dedup_probe",
-    "multimodal_phash_buckets",
-    "mutual_information_audit",
-    "functional_dependency_audit",
-    "event_autocorrelation",
-    "cusum_changepoint_scan",
-    "churn_hazard_table",
-    "embedding_dim_stats_audit",
-    "retrieval_eval_ndcg",
+    # --- 1 new-this-round entry ---
+    "warehouse_split_transform_e2e",
+    # --- 1 family-coverage slot (skew_plan rep; r07-green) ---
+    "key_skew_audit",
+    # --- 10 r7-deferred queue entries ---
+    "sql_udf_functions",
+    "l_diversity_audit",
+    "theil_sen_trend",
+    "seasonal_naive_backtest",
+    "shrunk_rate_estimates",
+    "dbscan_core_census",
+    "simpsons_paradox_scan",
+    "psi_drift_audit",
+    "kendall_tau_rank_corr",
+    "abtest_two_proportion_z",
+    # --- 17 r7-new queue entries (KN is in the changed group above) ---
+    "collocation_llr_pairs",
+    "cross_source_leakage_matrix",
+    "lsh_band_tuning_audit",
+    "positional_template_drift",
+    "centroid_shift_drift",
+    "good_turing_estimates",
+    "cdc_chunk_dedup",
+    "minhash_estimate_error_audit",
+    "dedup_cluster_source_mix",
+    "quantile_normalization_map",
+    "jaccard_threshold_sweep",
+    "split_balance_audit",
+    "bootstrap_mean_ci",
+    "levenshtein_near_dup",
+    "payload_magic_byte_census",
+    "graph_common_neighbors_linkpred",
+    "peak_concurrency_census",
+    # --- 16 stalest greens (r02-window survivors) ---
+    "balance_distribution_ranks",
+    "crossdoc_ngram_dup",
+    "cube_flag_status",
+    "customer_order_gaps",
+    "distinct_segments",
+    "doc_length_histogram",
+    "domain_mixture_weights",
+    "no_big_order_anti",
+    "order_cohort_full_outer",
+    "price_band_join",
+    "priority_multiset_diff",
+    "range_frame_revenue",
+    "rollup_priority_status",
+    "set_except_nations",
+    "set_intersect_brands",
+    "set_union_nations",
 ]
 
 

@@ -347,3 +347,144 @@ def predicate_delete_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_surviving"),
         )
     )
+
+
+ST_SUBSET = 9  # split/transform e2e feeds only o_orderkey % 9 == 0
+# (coprime with AMEND=7 and DELETE=10 so the subset still carries
+# amendments and tombstones; spool throughput is already benchmarked
+# by warehouse_e2e_pipeline — this entry certifies ROUTING semantics,
+# which don't need volume)
+ST_CUT = 150_000.0  # kind routing boundary on the order total
+# Same declared-schema posture as FEED_DOC_DDL, plus the routing field.
+ST_FEED_DDL = (
+    "_id string, _rev string, status string, total double, kind string, "
+    "customer struct<id: bigint>"
+)
+
+
+def _split_transform(flat: DataFrame) -> DataFrame:
+    """R5 frame-level transform hook: runs INSIDE the warehouse on each
+    type's flattened frame BEFORE schema freezing, so the derived
+    columns become part of the frozen schema — proof the hook executed
+    in the pipeline, not as post-processing. Pure Catalyst projection
+    (the fast path the reference's per-doc JS function cannot be)."""
+    return flat.withColumn("status_norm", F.lower(F.col("status"))).withColumn(
+        "total_k", F.floor(F.col("total") / 1000).cast("long")
+    )
+
+
+@query(
+    "warehouse_split_transform_e2e",
+    oracle=f"""
+    WITH sub AS (
+      SELECT CASE WHEN o_totalprice >= {ST_CUT} THEN 'large'
+                  ELSE 'small' END AS kind,
+             lower(CASE WHEN o_orderkey % {AMEND} = 0 THEN 'amended'
+                        ELSE o_orderstatus END) AS status_norm,
+             CAST(floor(o_totalprice / 1000) AS BIGINT) AS total_k
+      FROM orders
+      WHERE o_orderkey % {ST_SUBSET} = 0 AND o_orderkey % {DELETE} <> 0
+    )
+    SELECT kind, status_norm,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(total_k) AS BIGINT) AS total_k_sum
+    FROM sub
+    GROUP BY kind, status_norm
+    """,
+)
+def warehouse_split_transform_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 + R8 under the oracle gate (r7 verdict #6 — the last two
+    R-tier behaviors that were pytest-only): spool a feed whose docs
+    carry a ``kind`` routing field through a Warehouse in SPLIT mode
+    (``split='kind'`` → one table per doc type, reference
+    index.js:52 / bin/couchwarehouse.bin.js:6-16) WITH a frame-level
+    transform hook installed (reference's ``--transform``,
+    index.js:61-66). The final query unions BOTH type tables back
+    together and aggregates the TRANSFORM-DERIVED columns per kind —
+    a hash match therefore certifies, in one driver row: (a) every
+    doc landed in exactly the table its kind routes to, (b) typeless
+    tombstones deleted their id from every type table, (c) amendments
+    won by seq within the right table, and (d) the transform ran
+    inside the pipeline (its outputs are in the frozen schema the
+    conformed tables serve).
+
+    Scale: identical spool kernel as warehouse_e2e_pipeline (the
+    feed is a distributed to_json write, the merge is bucket-pruned);
+    splitting multiplies tables, not data — each doc is written once,
+    to its own type's table. The final union+agg reads two conformed
+    tables and hash-aggregates on (kind, status_norm).
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_split_{tag}")
+    feed_dir = os.path.join(base, "feed")
+    wh_dir = os.path.join(base, "wh")
+    shutil.rmtree(base, ignore_errors=True)
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % ST_SUBSET == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    kind = F.when(F.col("o_totalprice") >= ST_CUT, "large").otherwise("small")
+
+    def doc_struct(rev: str, status):
+        return F.struct(
+            F.concat(F.lit("order"), F.col("o_orderkey").cast("string")).alias("_id"),
+            F.lit(rev).alias("_rev"),
+            status.alias("status"),
+            F.col("o_totalprice").alias("total"),
+            kind.alias("kind"),  # the routing field — same for amendments
+            F.struct(F.col("o_custkey").alias("id")).alias("customer"),
+        )
+
+    def envelope(seq_col, doc_col, deleted: bool):
+        fields = [
+            F.concat(seq_col.cast("string"), F.lit("-seq")).alias("seq"),
+            F.concat(F.lit("order"), F.col("o_orderkey").cast("string")).alias("id"),
+        ]
+        if deleted:
+            fields.append(F.lit(True).alias("deleted"))
+        if doc_col is not None:
+            fields.append(doc_col.alias("doc"))
+        return F.to_json(F.struct(*fields))
+
+    envs = F.array(
+        envelope(F.col("o_orderkey"), doc_struct("1-x", F.col("o_orderstatus")), False),
+        F.when(
+            F.col("o_orderkey") % AMEND == 0,
+            envelope(
+                F.col("o_orderkey") + F.lit(1_000_000_000),
+                doc_struct("2-x", F.lit("amended")),
+                False,
+            ),
+        ),
+        F.when(
+            F.col("o_orderkey") % DELETE == 0,
+            envelope(F.col("o_orderkey") + F.lit(2_000_000_000), None, True),
+        ),
+    )
+    orders.select(
+        F.explode(F.filter(envs, lambda x: x.isNotNull())).alias("value")
+    ).write.mode("overwrite").text(feed_dir)
+
+    wh = Warehouse(
+        spark,
+        wh_dir,
+        "sporders",
+        split="kind",
+        transform=_split_transform,
+        reset=True,
+        feed_schema=ST_FEED_DDL,
+    )
+    wh.spool(feed_dir)
+
+    both = wh.table("large").withColumn("_kind", F.lit("large")).unionByName(
+        wh.table("small").withColumn("_kind", F.lit("small"))
+    )
+    return (
+        both.groupBy(F.col("_kind").alias("kind"), "status_norm")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("total_k").cast("long").alias("total_k_sum"),
+        )
+    )
