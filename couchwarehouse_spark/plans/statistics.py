@@ -2198,3 +2198,488 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("full_mean", "n_resamples", "boot_lo", "boot_hi")
     )
+
+
+@query(
+    "spearman_rank_corr",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS a,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS b
+      FROM documents
+    ),
+    r AS (
+      SELECT source,
+             2 * rank() OVER (PARTITION BY source ORDER BY a)
+               + count(*) OVER (PARTITION BY source, a) - 1 AS ra,
+             2 * rank() OVER (PARTITION BY source ORDER BY b)
+               + count(*) OVER (PARTITION BY source, b) - 1 AS rb
+      FROM s
+    ),
+    g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ra) AS BIGINT) AS sa, CAST(sum(rb) AS BIGINT) AS sb,
+             CAST(sum(ra * rb) AS BIGINT) AS sab,
+             CAST(sum(ra * ra) AS BIGINT) AS saa,
+             CAST(sum(rb * rb) AS BIGINT) AS sbb
+      FROM r GROUP BY source
+    )
+    SELECT source, n AS n_docs,
+           round(CAST(n * sab - sa * sb AS DOUBLE)
+                 / nullif(sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                          * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)), 0),
+                 6) AS spearman_rho
+    FROM g
+    ORDER BY source
+    """,
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation WITH tie handling (Pearson over
+    average ranks — the textbook definition when ties exist; the
+    companion to ``kendall_tau_rank_corr``'s tau-a): per source,
+    rank doc length and token count, correlate the ranks. Monotone-
+    association drift across sources is a data-mix smell the linear
+    ``corr`` misses.
+
+    Exactness: average tie ranks are half-integers, so BOTH lanes
+    carry 2·rank = 2·rank() + tie_count − 1 (integers); all five
+    reduce sums are integer; the single float expression (one
+    division, two sqrts over exactly-representable < 2^53 integers)
+    is evaluated in the same op order by both engines and rounded
+    once.
+
+    Scale: two window ranks per source partition + one hash agg —
+    rank windows over per-source partitions parallelize across
+    sources; no cross-source shuffle beyond the groupBy.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "source",
+        F.col("n_chars").cast("long").alias("a"),
+        F.size(F.split("text", " ")).cast("long").alias("b"),
+    )
+    wa = Window.partitionBy("source").orderBy("a")
+    wb = Window.partitionBy("source").orderBy("b")
+    r = s.select(
+        "source",
+        (2 * F.rank().over(wa)
+         + F.count("*").over(Window.partitionBy("source", "a")) - 1)
+        .cast("long").alias("ra"),
+        (2 * F.rank().over(wb)
+         + F.count("*").over(Window.partitionBy("source", "b")) - 1)
+        .cast("long").alias("rb"),
+    )
+    g = r.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ra").cast("long").alias("sa"),
+        F.sum("rb").cast("long").alias("sb"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("sab"),
+        F.sum(F.col("ra") * F.col("ra")).cast("long").alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).cast("long").alias("sbb"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    den = F.nullif(
+        F.sqrt((F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double"))
+        * F.sqrt((F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")),
+        F.lit(0.0),
+    )
+    return (
+        g.select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round(num / den, 6).alias("spearman_rho"),
+        )
+        .orderBy("source")
+    )
+
+
+WELCH_BASELINE_LANG = "en"  # every other lang tests against this
+
+
+@query(
+    "welch_t_doclen",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY lang
+    ),
+    m AS (
+      SELECT lang, n,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS var
+      FROM g
+    ),
+    base AS (SELECT n AS n0, mean AS m0, var AS v0 FROM m
+             WHERE lang = '{WELCH_BASELINE_LANG}')
+    SELECT m.lang, m.n AS n_docs,
+           round(m.mean, 4) AS mean_chars,
+           round((m.mean - b.m0)
+                 / sqrt(m.var / m.n + b.v0 / b.n0), 4) AS welch_t,
+           round(((m.var / m.n + b.v0 / b.n0)
+                  * (m.var / m.n + b.v0 / b.n0))
+                 / ((m.var / m.n) * (m.var / m.n) / (m.n - 1)
+                    + (b.v0 / b.n0) * (b.v0 / b.n0) / (b.n0 - 1)),
+                 2) AS welch_df
+    FROM m CROSS JOIN base b
+    WHERE m.lang <> '{WELCH_BASELINE_LANG}'
+    ORDER BY m.lang
+    """,
+)
+def welch_t_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (Welch 1947 — the default
+    two-sample mean test; Student's equal-variance form is the
+    special case nobody's data satisfies) of document length for
+    every language against the 'en' baseline, with the
+    Welch–Satterthwaite effective degrees of freedom. The continuous
+    companion to ``abtest_two_proportion_z``.
+
+    Exactness: per-group n, Σx, Σx² are exact integer aggregates
+    (n_chars < 2^31 keeps Σx² inside long); mean/variance/t/df are
+    one fixed dag of float ops over those integers — identical
+    expression order in both engines, each output rounded once.
+
+    Scale: one hash agg to ~|langs| rows, then a broadcast of the
+    single baseline row — nothing after the agg is data-sized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / (F.col("n") - 1)
+    m = g.select("lang", "n", mean.alias("mean"), var.alias("var"))
+    base = m.filter(F.col("lang") == WELCH_BASELINE_LANG).select(
+        F.col("n").alias("n0"), F.col("mean").alias("m0"), F.col("var").alias("v0")
+    )
+    se2 = F.col("var") / F.col("n") + F.col("v0") / F.col("n0")
+    df = (se2 * se2) / (
+        (F.col("var") / F.col("n")) * (F.col("var") / F.col("n")) / (F.col("n") - 1)
+        + (F.col("v0") / F.col("n0")) * (F.col("v0") / F.col("n0")) / (F.col("n0") - 1)
+    )
+    return (
+        m.filter(F.col("lang") != WELCH_BASELINE_LANG)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.round("mean", 4).alias("mean_chars"),
+            F.round((F.col("mean") - F.col("m0")) / F.sqrt(se2), 4).alias("welch_t"),
+            F.round(df, 2).alias("welch_df"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "anova_doclen_by_source",
+    oracle="""
+    WITH g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n_tot,
+             CAST(sum(s1) AS BIGINT) AS s1_tot,
+             CAST(sum(s2) AS BIGINT) AS s2_tot,
+             CAST(sum(CAST(round(1000000 * (CAST(s1 AS DOUBLE) * s1 / n))
+                           AS BIGINT)) AS DOUBLE) / 1000000 AS group_sq
+      FROM g
+    )
+    SELECT k AS n_groups, n_tot AS n_docs,
+           round((group_sq - CAST(s1_tot AS DOUBLE) * s1_tot / n_tot)
+                 / (k - 1)
+                 / ((CAST(s2_tot AS DOUBLE) - group_sq) / (n_tot - k)),
+                 4) AS f_stat,
+           round((group_sq - CAST(s1_tot AS DOUBLE) * s1_tot / n_tot)
+                 / (CAST(s2_tot AS DOUBLE)
+                    - CAST(s1_tot AS DOUBLE) * s1_tot / n_tot),
+                 6) AS eta_squared
+    FROM t
+    """,
+)
+def anova_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across sources on document length (Fisher's
+    between/within variance ratio) plus η² effect size — "do the
+    sources even differ before I reweight them?" is the first
+    question a mixture designer asks, and F/η² answer it with one
+    pass. Completes the drift-test battery (KS, Mann-Whitney, χ²,
+    PSI, Welch) with the k-group omnibus test.
+
+    Exactness: only n, Σx, Σx² per group are data-sized aggregates
+    (exact integers); SSB/SSW arithmetic is a fixed float dag over
+    them. The one cross-group float reduce (Σ s1²/n) quantizes each
+    term to integer micro-units first — an associative integer sum
+    that cannot flip on partitioning or hash-agg emit order (the
+    repo-wide ln-reduce idiom, applied to a rational term).
+
+    Scale: hash agg to |sources| rows; everything after is
+    constant-sized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    t = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s1").cast("long").alias("s1_tot"),
+        F.sum("s2").cast("long").alias("s2_tot"),
+        (
+            F.sum(
+                F.round(
+                    1_000_000
+                    * (F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+                ).cast("long")
+            ).cast("double")
+            / 1_000_000
+        ).alias("group_sq"),
+    )
+    ssb = F.col("group_sq") - F.col("s1_tot").cast("double") * F.col("s1_tot") / F.col("n_tot")
+    ssw = F.col("s2_tot").cast("double") - F.col("group_sq")
+    sst = (
+        F.col("s2_tot").cast("double")
+        - F.col("s1_tot").cast("double") * F.col("s1_tot") / F.col("n_tot")
+    )
+    return t.select(
+        F.col("k").alias("n_groups"),
+        F.col("n_tot").alias("n_docs"),
+        F.round(ssb / (F.col("k") - 1) / (ssw / (F.col("n_tot") - F.col("k"))), 4).alias(
+            "f_stat"
+        ),
+        F.round(ssb / sst, 6).alias("eta_squared"),
+    )
+
+
+@query(
+    "t_closeness_audit",
+    oracle="""
+    WITH cell AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY lang, source
+    ),
+    lg AS (SELECT lang, CAST(sum(c) AS BIGINT) AS ng FROM cell GROUP BY lang),
+    sg AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs FROM cell GROUP BY source),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell),
+    terms AS (
+      SELECT lg.lang, lg.ng, tot.n,
+             abs(coalesce(cell.c, 0) * tot.n - sg.cs * lg.ng) AS num
+      FROM lg CROSS JOIN sg CROSS JOIN tot
+      LEFT JOIN cell ON cell.lang = lg.lang AND cell.source = sg.source
+    )
+    SELECT lang, CAST(min(ng) AS BIGINT) AS n_rows,
+           round(CAST(sum(num) AS DOUBLE) / (2 * min(ng) * min(n)), 6)
+             AS tvd_to_global
+    FROM terms
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (Li, Machanavajjhala & Venkitasubramanian ICDE'07 —
+    the refinement of k-anonymity/l-diversity this repo already
+    carries): for each quasi-identifier group (lang), the total
+    variation distance between the group's sensitive-attribute
+    (source) distribution and the global one. A group whose
+    distribution sits far from the corpus average leaks attribute
+    information even when it is k-anonymous and l-diverse; releases
+    require max TVD ≤ t.
+
+    Exactness: TVD per group = Σ|c_gs·n − c_s·n_g| / (2·n_g·n) —
+    the numerator is an exact integer sum (counts ≤ 10⁵ keep every
+    product < 2^53), one division at the end.
+
+    Scale: one (lang, source) hash agg, two marginal aggs, and a
+    |langs|×|sources| dense spine (tiny) left-joined back — no
+    data-sized shuffle after the first agg.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(F.count("*").cast("long").alias("c"))
+    cell = scoped_persist(cell)
+    lg = cell.groupBy("lang").agg(F.sum("c").cast("long").alias("ng"))
+    sg = cell.groupBy("source").agg(F.sum("c").cast("long").alias("cs"))
+    tot = cell.agg(F.sum("c").cast("long").alias("n"))
+    terms = (
+        lg.crossJoin(F.broadcast(sg))
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "ng",
+            "n",
+            F.abs(
+                F.coalesce(F.col("c"), F.lit(0)) * F.col("n")
+                - F.col("cs") * F.col("ng")
+            ).alias("num"),
+        )
+    )
+    return (
+        terms.groupBy("lang")
+        .agg(
+            F.min("ng").cast("long").alias("n_rows"),
+            F.round(
+                F.sum("num").cast("double") / (2 * F.min("ng") * F.min("n")), 6
+            ).alias("tvd_to_global"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _cramers_block(table: str, a_expr: str, b_expr: str, label: str) -> str:
+    """One Cramér's-V oracle block: χ² over the DENSE r×c spine
+    (zero cells contribute rr·cc/n), each cell term nano-quantized
+    before the integer reduce."""
+    return f"""
+    SELECT '{label}' AS pair, n, r_levels, c_levels,
+           round(chi2, 4) AS chi2,
+           round(sqrt(chi2 / nullif(n * least(r_levels - 1, c_levels - 1),
+                                    0)), 4)
+             AS cramers_v
+    FROM (
+      WITH cell AS (
+        SELECT {a_expr} AS a, {b_expr} AS b, CAST(count(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1, 2
+      ),
+      ra AS (SELECT a, CAST(sum(c) AS BIGINT) AS rr FROM cell GROUP BY a),
+      cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cc FROM cell GROUP BY b),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell),
+      terms AS (
+        SELECT tot.n,
+               CAST(round(1000000000 *
+                 (CAST(coalesce(cell.c, 0) * tot.n - ra.rr * cb.cc AS DOUBLE)
+                  * CAST(coalesce(cell.c, 0) * tot.n - ra.rr * cb.cc AS DOUBLE)
+                  / CAST(tot.n * ra.rr * cb.cc AS DOUBLE))) AS BIGINT) AS t
+        FROM ra CROSS JOIN cb CROSS JOIN tot
+        LEFT JOIN cell ON cell.a = ra.a AND cell.b = cb.b
+      )
+      SELECT CAST(min(n) AS BIGINT) AS n,
+             (SELECT CAST(count(*) AS BIGINT) FROM ra) AS r_levels,
+             (SELECT CAST(count(*) AS BIGINT) FROM cb) AS c_levels,
+             CAST(sum(t) AS DOUBLE) / 1000000000 AS chi2
+      FROM terms
+    )
+    """
+
+
+@query(
+    "cramers_v_matrix",
+    oracle=" UNION ALL ".join(
+        [
+            _cramers_block("documents", "lang", "source", "documents:lang_x_source"),
+            _cramers_block(
+                "orders",
+                "o_orderstatus",
+                "o_orderpriority",
+                "orders:status_x_priority",
+            ),
+            _cramers_block(
+                "events", "event_type", "hour(ts)", "events:type_x_hour"
+            ),
+        ]
+    )
+    + " ORDER BY pair",
+)
+def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength for categorical column PAIRS
+    across three tables (lang×source, order status×priority, event
+    type×hour-of-day) — the normalized-χ² profiling sweep a schema
+    auditor runs to find which dimensions actually co-vary (V≈0
+    independent, V≈1 determined), complementing the significance-only
+    ``chi2_term_keyness`` and the entropy-based
+    ``mutual_information_audit``.
+
+    Exactness: χ² over the DENSE level spine (zero cells contribute
+    rr·cc/n — dropping them understates χ²); every cell term is the
+    same fixed float dag over exact sub-2^53 integers in both
+    engines, nano-quantized before the integer reduce; V takes one
+    sqrt of the quantized total.
+
+    Scale: per pair, one (a,b) hash agg + two marginal aggs; the
+    dense spine is |levels|² (tiny — categorical columns), broadcast
+    left-joined to observed cells; nothing after the first agg is
+    data-sized.
+    """
+    def pair_block(df: DataFrame, a: str, b, label: str) -> DataFrame:
+        src = df.select(F.col(a).alias("a"), b.alias("b"))
+        cell = scoped_persist(
+            src.groupBy("a", "b").agg(F.count("*").cast("long").alias("c"))
+        )
+        ra = cell.groupBy("a").agg(F.sum("c").cast("long").alias("rr"))
+        cb = cell.groupBy("b").agg(F.sum("c").cast("long").alias("cc"))
+        tot = cell.agg(F.sum("c").cast("long").alias("n"))
+        d = (
+            F.coalesce(F.col("c"), F.lit(0)) * F.col("n")
+            - F.col("rr") * F.col("cc")
+        ).cast("double")
+        t = F.round(
+            1_000_000_000
+            * (d * d / (F.col("n") * F.col("rr") * F.col("cc")).cast("double"))
+        ).cast("long")
+        terms = (
+            ra.crossJoin(F.broadcast(cb))
+            .crossJoin(F.broadcast(tot))
+            .join(cell, ["a", "b"], "left")
+            .select("n", t.alias("t"))
+        )
+        r_l = ra.agg(F.count("*").cast("long").alias("r_levels"))
+        c_l = cb.agg(F.count("*").cast("long").alias("c_levels"))
+        agg = terms.agg(
+            F.min("n").cast("long").alias("n"),
+            (F.sum("t").cast("double") / 1_000_000_000).alias("chi2"),
+        )
+        return (
+            agg.crossJoin(F.broadcast(r_l))
+            .crossJoin(F.broadcast(c_l))
+            .select(
+                F.lit(label).alias("pair"),
+                "n",
+                "r_levels",
+                "c_levels",
+                F.round("chi2", 4).alias("chi2"),
+                F.round(
+                    F.sqrt(
+                        F.col("chi2")
+                        / F.nullif(
+                            (
+                                F.col("n")
+                                * F.least(
+                                    F.col("r_levels") - 1, F.col("c_levels") - 1
+                                )
+                            ).cast("double"),
+                            F.lit(0.0),
+                        )
+                    ),
+                    4,
+                ).alias("cramers_v"),
+            )
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    return (
+        pair_block(docs, "lang", F.col("source"), "documents:lang_x_source")
+        .unionByName(
+            pair_block(
+                orders,
+                "o_orderstatus",
+                F.col("o_orderpriority"),
+                "orders:status_x_priority",
+            )
+        )
+        .unionByName(
+            pair_block(events, "event_type", F.hour("ts"), "events:type_x_hour")
+        )
+        .orderBy("pair")
+    )

@@ -77,3 +77,133 @@ class TestWarehouseSplitTransformE2E:
             ("small", "amended"): (1, 120),  # key 63
             ("small", "f"): (1, 50),         # key 18
         }
+
+
+class TestStatisticsRound8:
+    def test_spearman_average_tie_ranks_by_hand(self, spark, tmp_path):
+        """One source, four docs with a DELIBERATE tie in n_chars:
+        doubled average ranks are (2,5,5,8) vs token ranks (2,4,6,8)
+        -> rho = 72/sqrt(72*80) = 0.948683 by hand."""
+        from couchwarehouse_spark.plans.statistics import spearman_rank_corr
+
+        sf = str(tmp_path / "sf")
+        texts = ["t", "t t", "t t t", "t t t t"]  # token counts 1..4
+        _write(
+            spark.createDataFrame(
+                [(i, texts[i], "en", "s0", a) for i, a in enumerate([1, 2, 2, 4])],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            sf,
+            "documents",
+        )
+        [row] = spearman_rank_corr(spark, sf).collect()
+        assert row["n_docs"] == 4
+        assert row["spearman_rho"] == 0.948683
+
+    def test_welch_t_by_hand(self, spark, tmp_path):
+        """en=(10,20) vs de=(40,60): t = 35/sqrt(125) = 3.1305,
+        Welch-Satterthwaite df = 15625/10625 = 1.47."""
+        from couchwarehouse_spark.plans.statistics import welch_t_doclen
+
+        sf = str(tmp_path / "sf")
+        rows = [(0, "x", "en", "s", 10), (1, "x", "en", "s", 20),
+                (2, "x", "de", "s", 40), (3, "x", "de", "s", 60)]
+        _write(
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            sf,
+            "documents",
+        )
+        [row] = welch_t_doclen(spark, sf).collect()
+        assert (row["lang"], row["n_docs"]) == ("de", 2)
+        assert row["mean_chars"] == 50.0
+        assert row["welch_t"] == 3.1305
+        assert row["welch_df"] == 1.47
+
+    def test_anova_by_hand(self, spark, tmp_path):
+        """s1=(10,20), s2=(30,50): SSB=625, SSW=250 -> F=5.0,
+        eta^2=625/875=0.714286."""
+        from couchwarehouse_spark.plans.statistics import anova_doclen_by_source
+
+        sf = str(tmp_path / "sf")
+        rows = [(0, "x", "en", "s1", 10), (1, "x", "en", "s1", 20),
+                (2, "x", "en", "s2", 30), (3, "x", "en", "s2", 50)]
+        _write(
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            sf,
+            "documents",
+        )
+        [row] = anova_doclen_by_source(spark, sf).collect()
+        assert (row["n_groups"], row["n_docs"]) == (2, 4)
+        assert row["f_stat"] == 5.0
+        assert row["eta_squared"] == 0.714286
+
+    def test_t_closeness_by_hand(self, spark, tmp_path):
+        """en sources (A:3, B:1), de sources (A:1, B:3); global is
+        uniform -> each group's TVD to global = 0.25."""
+        from couchwarehouse_spark.plans.statistics import t_closeness_audit
+
+        sf = str(tmp_path / "sf")
+        rows = (
+            [(i, "x", "en", "A", 1) for i in range(3)]
+            + [(3, "x", "en", "B", 1)]
+            + [(4, "x", "de", "A", 1)]
+            + [(5 + i, "x", "de", "B", 1) for i in range(3)]
+        )
+        _write(
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            sf,
+            "documents",
+        )
+        out = {r["lang"]: (r["n_rows"], r["tvd_to_global"])
+               for r in t_closeness_audit(spark, sf).collect()}
+        assert out == {"en": (4, 0.25), "de": (4, 0.25)}
+
+    def test_cramers_v_perfect_association(self, spark, tmp_path):
+        """documents pair with lang -> source a bijection: chi2 = n,
+        V = 1 exactly (zero cells included via the dense spine)."""
+        import datetime
+
+        from couchwarehouse_spark.plans.statistics import cramers_v_matrix
+
+        sf = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                [(0, "x", "a", "x1", 1), (1, "x", "a", "x1", 1),
+                 (2, "x", "b", "y1", 1), (3, "x", "b", "y1", 1)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            sf,
+            "documents",
+        )
+        _write(
+            spark.createDataFrame(
+                [(1, 1, "O", 10.0, datetime.datetime(1996, 1, 2), "1-URGENT")],
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+            ),
+            sf,
+            "orders",
+        )
+        _write(
+            spark.createDataFrame(
+                [(1, datetime.datetime(2024, 1, 1, 9), 1, "view", 1.0, "{}")],
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string",
+            ),
+            sf,
+            "events",
+        )
+        out = {r["pair"]: r for r in cramers_v_matrix(spark, sf).collect()}
+        doc = out["documents:lang_x_source"]
+        assert (doc["n"], doc["r_levels"], doc["c_levels"]) == (4, 2, 2)
+        assert doc["chi2"] == 4.0
+        assert doc["cramers_v"] == 1.0
