@@ -2907,3 +2907,259 @@ def graph_common_neighbors_linkpred(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.col("common_neighbors").desc(), "u", "w")
         .limit(LINKPRED_TOP_K)
     )
+
+
+# Shared oracle prefix for the undirected k-NN graph kernels: the
+# directed bucketed top-k edges collapsed to distinct (a < c) pairs.
+# MATERIALIZED: DuckDB inlines CTEs by default, so a CTE referenced n
+# times is evaluated n times — the bucket self-join would re-run per
+# reference (and per unrolled k-core round, compounding). Pinning the
+# shared frames mirrors the Spark lane's scoped_persist.
+_UND_CTE = f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {{bucket}} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                                         b.vec_id) AS rank
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    dir_e AS (SELECT vec_id, nbr_id FROM scored WHERE rank <= {KNN_GRAPH_K}),
+    und AS MATERIALIZED (
+      SELECT least(vec_id, nbr_id) AS a, greatest(vec_id, nbr_id) AS c,
+             CAST(count(*) AS BIGINT) AS n_dir
+      FROM dir_e GROUP BY 1, 2
+    )
+"""
+
+
+def _und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed bucketed k-NN edges → undirected (a < c) pairs with
+    the orientation count (2 = reciprocal edge)."""
+    e = knn_graph_bucketed(spark, sf_dir).select("vec_id", "nbr_id")
+    return (
+        e.select(
+            F.least("vec_id", "nbr_id").alias("a"),
+            F.greatest("vec_id", "nbr_id").alias("c"),
+        )
+        .groupBy("a", "c")
+        .agg(F.count("*").cast("long").alias("n_dir"))
+    )
+
+
+@query(
+    "mutual_knn_pairs",
+    oracle=_UND_CTE.format(bucket=_bucket_expr_sql_derived("embedding"))
+    + """
+    SELECT CAST(sum(n_dir) AS BIGINT)  AS n_directed,
+           CAST(count(*) AS BIGINT)    AS n_und_pairs,
+           CAST(sum(CASE WHEN n_dir = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mutual,
+           round(CAST(sum(CASE WHEN n_dir = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS mutuality_rate
+    FROM und
+    """,
+)
+def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal (mutual) k-NN census: pairs where BOTH vectors rank
+    each other in their top-k — the classic high-precision alignment/
+    near-dup primitive (mutual-NN filtering in bitext mining and
+    image matching): a one-sided edge often just means an asymmetric
+    density neighborhood; a reciprocal edge is evidence of a genuine
+    pair. The mutuality rate is also the practical health probe for k
+    and bucket width (too-small buckets destroy reciprocity at
+    bucket boundaries).
+
+    Scale: one groupBy over the N·k directed edge list keyed by the
+    canonical (min,max) pair — counting orientations instead of
+    self-joining the edge table halves the shuffle; everything after
+    is a single global agg.
+    """
+    und = _und_edges(spark, sf_dir)
+    mutual = (F.col("n_dir") == 2).cast("int")
+    return und.agg(
+        F.sum("n_dir").cast("long").alias("n_directed"),
+        F.count("*").cast("long").alias("n_und_pairs"),
+        F.sum(mutual).cast("long").alias("n_mutual"),
+        F.round(F.sum(mutual).cast("double") / F.count("*"), 6).alias(
+            "mutuality_rate"
+        ),
+    )
+
+
+KCORE_K = 4  # degree threshold for the peel (median und degree is 3-4)
+KCORE_ROUNDS = 3  # bounded synchronous peel rounds (deterministic)
+
+
+def _kcore_round_sql(i: int) -> str:
+    src = "und_e" if i == 1 else f"e{i}"
+    return f"""
+    deg{i} AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM {src} UNION ALL SELECT c AS node FROM {src}
+      ) GROUP BY node
+    ),
+    keep{i} AS MATERIALIZED (SELECT node FROM deg{i} WHERE d >= {KCORE_K}),
+    e{i + 1} AS MATERIALIZED (
+      SELECT s.a, s.c FROM {src} s
+      JOIN keep{i} k1 ON s.a = k1.node
+      JOIN keep{i} k2 ON s.c = k2.node
+    )"""
+
+
+@query(
+    "kcore_decomposition",
+    oracle=_UND_CTE.format(bucket=_bucket_expr_sql_derived("embedding"))
+    + ", und_e AS MATERIALIZED (SELECT a, c FROM und),"
+    + ",".join(_kcore_round_sql(i) for i in range(1, KCORE_ROUNDS + 1))
+    + "".join(
+        f"""
+    {"SELECT" if i == 1 else "UNION ALL SELECT"} {i} AS iter,
+           (SELECT CAST(count(*) AS BIGINT) FROM keep{i}) AS n_core_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e{i + 1}) AS n_core_edges"""
+        for i in range(1, KCORE_ROUNDS + 1)
+    )
+    + " ORDER BY iter",
+)
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (Seidman 1983; the distributed
+    formulation is Montresor et al.'s synchronous peel) over the
+    undirected k-NN graph: each round drops nodes of degree < k and
+    the edges they carried, reporting the shrinking core per round.
+    The k-core is the standard "dense region" extractor — in a
+    near-dup graph it isolates template/boilerplate families that
+    pairwise thresholds miss; three synchronous rounds are a
+    deterministic, oracle-checkable prefix of the fixpoint (full
+    convergence is this same plan iterated with an early-exit probe).
+
+    Scale: per round one degree hash-agg over current edges + two
+    endpoint joins (AQE broadcasts the shrinking keep set from exact
+    checkpointed sizes); edges only ever shrink. Each round's frames
+    are localCheckpoint'ed, NOT merely persisted: the final result
+    unions all rounds, so with live lineage round i's plan re-embeds
+    every earlier round's tree and the AQE plan-string alone grows
+    exponentially (observed: OOM in explainString at round 3 on a
+    1k-edge graph). Truncating lineage per round is the standard
+    iterative-graph discipline (GraphFrames/GraphX checkpoint for
+    exactly this reason); at cluster scale the same call goes to a
+    reliable checkpoint dir. Checkpoint blocks are dropped by the
+    ContextCleaner when the frames go out of scope.
+
+    Reference: the same bounded-iteration pattern as
+    graph_pagerank_3iter (similarity.py) — unrolled in the oracle,
+    a Python loop over DataFrames in Spark.
+    """
+    edges = _und_edges(spark, sf_dir).select("a", "c").localCheckpoint()
+    out = None
+    for i in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("c").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint()
+        nxt = (
+            edges.join(keep.withColumnRenamed("node", "a"), "a")
+            .join(keep.withColumnRenamed("node", "c"), "c")
+            .select("a", "c")
+            .localCheckpoint()
+        )
+        row = (
+            keep.agg(F.count("*").cast("long").alias("n_core_nodes"))
+            .crossJoin(nxt.agg(F.count("*").cast("long").alias("n_core_edges")))
+            .select(F.lit(i).alias("iter"), "n_core_nodes", "n_core_edges")
+        )
+        out = row if out is None else out.unionByName(row)
+        edges = nxt
+    return out.orderBy("iter")
+
+
+@query(
+    "degree_assortativity",
+    oracle=_UND_CTE.format(bucket=_bucket_expr_sql_derived("embedding"))
+    + """
+    , deg AS MATERIALIZED (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT c AS node FROM und
+      ) GROUP BY node
+    ),
+    stubs AS (
+      SELECT d1.d AS x, d2.d AS y
+      FROM und JOIN deg d1 ON und.a = d1.node JOIN deg d2 ON und.c = d2.node
+      UNION ALL
+      SELECT d2.d, d1.d
+      FROM und JOIN deg d1 ON und.a = d1.node JOIN deg d2 ON und.c = d2.node
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM stubs
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+           round(CAST(m * sxy - sx * sx AS DOUBLE)
+                 / nullif(CAST(m * sxx - sx * sx AS DOUBLE), 0), 6)
+             AS assortativity
+    FROM t
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002's r): Pearson correlation of
+    endpoint degrees over every edge stub of the undirected k-NN
+    graph. Positive r — hubs linking to hubs — predicts that
+    near-dup/template clusters will chain into giant components under
+    transitive closure (exactly when connected-components cost
+    explodes), so r is the cheap early warning read BEFORE running
+    clustering. Both orientations of each edge are counted, making
+    Σx = Σy and the formula symmetric.
+
+    Exactness: degrees are integers; all four reduce sums are exact
+    integer aggregates; one float division at the end (nullif-guarded
+    for regular graphs where the variance is 0).
+
+    Scale: a degree hash-agg plus two broadcast-friendly joins of the
+    edge list against the |V|-sized degree table, then a single
+    global agg — no window, no driver loop.
+    """
+    und = _und_edges(spark, sf_dir).select("a", "c")
+    und = scoped_persist(und)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    joined = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "dx"), "a")
+        .join(deg.withColumnRenamed("node", "c").withColumnRenamed("d", "dy"), "c")
+        .select("dx", "dy")
+    )
+    stubs = joined.select(F.col("dx").alias("x"), F.col("dy").alias("y")).unionAll(
+        joined.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
+    )
+    t = stubs.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n_e = und.agg(F.count("*").cast("long").alias("n_edges"))
+    return n_e.crossJoin(F.broadcast(t)).select(
+        "n_edges",
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+            / F.nullif(
+                (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("assortativity"),
+    )

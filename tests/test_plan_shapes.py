@@ -1248,3 +1248,33 @@ def test_minhash_error_audit_band_join_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mutual_knn_single_pair_agg_no_self_join(spark):
+    """Mutual census must count orientations in ONE (a,c)-keyed
+    aggregate over the directed edges — an edge-table self-join here
+    would double the shuffle for identical semantics. No Python."""
+    plan = plan_of(spark, "mutual_knn_pairs")
+    assert "SortMergeJoin" not in plan.split("HashAggregate", 1)[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_assortativity_reuses_cached_und_edges(spark):
+    """The persisted und edge table feeds the degree agg and both
+    endpoint joins — three InMemoryTableScans, not three k-NN graph
+    rebuilds. No Python."""
+    plan = plan_of(spark, "degree_assortativity")
+    assert plan.count("InMemoryTableScan") >= 3, plan.count("InMemoryTableScan")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kcore_rounds_scan_checkpoints_not_lineage(spark):
+    """Each k-core round must read the PREVIOUS round's materialized
+    frame (localCheckpoint → ExistingRDD scans), never re-derive the
+    k-NN build: with live lineage the unioned per-round plan re-embeds
+    every earlier round and the AQE plan string alone OOMed a 4g
+    driver on a 1k-edge graph. No Python."""
+    plan = plan_of(spark, "kcore_decomposition")
+    assert "Scan ExistingRDD" in plan
+    assert "list_cosine" not in plan  # knn build truncated away
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -207,3 +207,113 @@ class TestStatisticsRound8:
         assert (doc["n"], doc["r_levels"], doc["c_levels"]) == (4, 2, 2)
         assert doc["chi2"] == 4.0
         assert doc["cramers_v"] == 1.0
+
+
+class TestGraphKernelsRound8:
+    def _fixture(self, spark, tmp_path, n=10, dim=64):
+        """Deterministic embeddings fixture + a numpy mirror of the
+        bucketed-kNN und-edge rule (SRP planes → per-bucket cosine
+        top-K, least/greatest dedup) — the same model-check pattern
+        as the KN scorer's _kn_reference."""
+        import numpy as np
+
+        from couchwarehouse_spark.plans.similarity import (
+            KNN_GRAPH_K,
+            _ALL_PLANES,
+            derive_planes,
+        )
+
+        rng = [(i * 2654435761 % 997) / 997.0 for i in range(n * dim)]
+        vecs = np.array(rng, dtype=np.float64).reshape(n, dim) - 0.45
+        sf = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                [(i, [float(x) for x in vecs[i]], i % 3) for i in range(n)],
+                "vec_id long, embedding array<float>, label int",
+            ),
+            sf,
+            "embeddings",
+        )
+        # Mirror: float32 round-trip like the parquet column, then the
+        # exact bucket/top-k rule.
+        v = vecs.astype(np.float32).astype(np.float64)
+        planes = np.array(_ALL_PLANES[: derive_planes(n)], dtype=np.float64)
+        bits = (v @ planes.T) > 0
+        bucket = (bits * (1 << np.arange(planes.shape[0]))).sum(axis=1)
+        edges = set()
+        for i in range(n):
+            cands = [
+                j for j in range(n) if j != i and bucket[j] == bucket[i]
+            ]
+            cos = {
+                j: float(v[i] @ v[j])
+                / (np.linalg.norm(v[i]) * np.linalg.norm(v[j]))
+                for j in cands
+            }
+            top = sorted(cands, key=lambda j: (-cos[j], j))[:KNN_GRAPH_K]
+            for j in top:
+                edges.add((i, j))
+        und = {}
+        for a, b in edges:
+            k = (min(a, b), max(a, b))
+            und[k] = und.get(k, 0) + 1
+        return sf, edges, und
+
+    def test_mutual_knn_matches_numpy_mirror(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.similarity import mutual_knn_pairs
+
+        sf, edges, und = self._fixture(spark, tmp_path)
+        [row] = mutual_knn_pairs(spark, sf).collect()
+        n_mutual = sum(1 for c in und.values() if c == 2)
+        assert row["n_directed"] == len(edges)
+        assert row["n_und_pairs"] == len(und)
+        assert row["n_mutual"] == n_mutual
+        assert row["mutuality_rate"] == round(n_mutual / len(und), 6)
+
+    def test_assortativity_matches_numpy_mirror(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.similarity import degree_assortativity
+
+        sf, edges, und = self._fixture(spark, tmp_path)
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        xs, ys = [], []
+        for a, b in und:
+            xs += [deg[a], deg[b]]
+            ys += [deg[b], deg[a]]
+        m, sx = len(xs), sum(xs)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        den = m * sxx - sx * sx
+        expected = round((m * sxy - sx * sx) / den, 6) if den else None
+        [row] = degree_assortativity(spark, sf).collect()
+        assert row["n_edges"] == len(und)
+        assert row["assortativity"] == expected
+
+    def test_kcore_peels_to_fixpoint_on_known_graph(self, spark, tmp_path):
+        """Model-check the peel itself on the fixture's und graph:
+        replay KCORE_ROUNDS rounds of the degree-≥-K rule in pure
+        Python and demand identical per-round censuses."""
+        from couchwarehouse_spark.plans.similarity import (
+            KCORE_K,
+            KCORE_ROUNDS,
+            kcore_decomposition,
+        )
+
+        sf, edges, und = self._fixture(spark, tmp_path, n=14)
+        cur = set(und)
+        expect = []
+        for it in range(1, KCORE_ROUNDS + 1):
+            deg = {}
+            for a, b in cur:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {v for v, d in deg.items() if d >= KCORE_K}
+            cur = {(a, b) for a, b in cur if a in keep and b in keep}
+            expect.append((it, len(keep), len(cur)))
+        got = [
+            (r["iter"], r["n_core_nodes"], r["n_core_edges"])
+            for r in kcore_decomposition(spark, sf).collect()
+        ]
+        assert got == expect
