@@ -522,3 +522,192 @@ def payload_magic_byte_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("detected")
     )
+
+
+# Deterministic stand-in image dimensions (the container has no codec
+# libs, so dims derive from stable columns the way duration_ms does in
+# multimodal_frame_sample): varied aspect ratios, 64..1216 px wide.
+IMG_W_SQL = "64 + (doc_id % 37) * 32"
+IMG_H_SQL = "64 + ((doc_id * 7 + 3) % 41) * 24"
+# Aspect ladder normalized to a COMMON denominator (bh = 144) so the
+# nearest-bucket argmin compares |w·144 − h·bw| across buckets without
+# per-bucket denominators: 1:1→144, 4:3→192, 3:4→108, 16:9→256,
+# 9:16→81. Tie → lower index.
+ASPECT_BUCKETS = [("1:1", 144), ("4:3", 192), ("3:4", 108), ("16:9", 256), ("9:16", 81)]
+_AB_DEN = 144
+
+
+def _aspect_case_sql() -> str:
+    ds = [f"abs(w * {_AB_DEN} - h * {bw})" for _, bw in ASPECT_BUCKETS]
+    mind = f"least({', '.join(ds)})"
+    whens = "".join(
+        f" WHEN {d} = md THEN '{name}'"
+        for d, (name, _) in zip(ds, ASPECT_BUCKETS)
+    )
+    return f"CASE{whens} END", mind
+
+
+@query(
+    "aspect_bucket_plan",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, {IMG_W_SQL} AS w, {IMG_H_SQL} AS h FROM documents
+    ),
+    m AS (
+      SELECT w, h, {_aspect_case_sql()[1]} AS md FROM img
+    ),
+    assigned AS (
+      SELECT w, h, {_aspect_case_sql()[0]} AS bucket,
+             CASE WHEN bucket = '1:1' THEN 144 WHEN bucket = '4:3' THEN 192
+                  WHEN bucket = '3:4' THEN 108 WHEN bucket = '16:9' THEN 256
+                  ELSE 81 END AS bw
+      FROM m
+    ),
+    padded AS (
+      SELECT bucket,
+             w * h AS px,
+             CASE WHEN w * {_AB_DEN} < h * bw
+                  THEN ((h * bw + {_AB_DEN} - 1) // {_AB_DEN}) * h - w * h
+                  ELSE ((w * {_AB_DEN} + bw - 1) // bw) * w - w * h
+             END AS pad
+      FROM assigned
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(px) AS BIGINT) AS total_px,
+           CAST(sum(pad) AS BIGINT) AS pad_px,
+           round(CAST(sum(pad) AS DOUBLE) / (sum(px) + sum(pad)), 6)
+             AS pad_share
+    FROM padded
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def aspect_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing plan (X3 — the vision-training batching
+    standard: group images into a fixed ladder of aspect buckets so a
+    batch letterboxes to ONE canvas instead of the worst-case square,
+    e.g. SDXL's bucketed sampling): assign each image to the nearest
+    ladder ratio and price the padding each bucket still pays.
+    pad_share is the number a data engineer tunes the ladder against.
+
+    Exactness: dims are deterministic integer stand-ins (no codecs in
+    this container — same convention as duration_ms in
+    multimodal_frame_sample); the nearest-bucket argmin compares
+    |w·144 − h·bw| over a COMMON denominator so no per-bucket
+    rationals; letterbox padding uses integer ceil-division; one
+    float division per bucket at the end.
+
+    Scale: pure projection + 5-way CASE per row, one hash agg on the
+    5-value bucket key — no shuffle beyond the final tiny agg; the
+    payload column is never touched (column-pruned scan).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = (64 + (F.col("doc_id") % 37) * 32).cast("long")
+    h = (64 + ((F.col("doc_id") * 7 + 3) % 41) * 24).cast("long")
+    img = d.select(w.alias("w"), h.alias("h"))
+    ds = [
+        F.abs(F.col("w") * _AB_DEN - F.col("h") * bw).alias(f"d{i}")
+        for i, (_, bw) in enumerate(ASPECT_BUCKETS)
+    ]
+    img = img.select("w", "h", *ds)
+    mind = F.least(*[F.col(f"d{i}") for i in range(len(ASPECT_BUCKETS))])
+    bucket = F.when(F.col("d0") == mind, ASPECT_BUCKETS[0][0])
+    for i, (name, _) in list(enumerate(ASPECT_BUCKETS))[1:]:
+        bucket = bucket.when(F.col(f"d{i}") == mind, name)
+    bw_of = F.when(F.col("bucket") == ASPECT_BUCKETS[0][0], ASPECT_BUCKETS[0][1])
+    for name, bwv in ASPECT_BUCKETS[1:]:
+        bw_of = bw_of.when(F.col("bucket") == name, bwv)
+    assigned = img.select("w", "h", bucket.alias("bucket")).withColumn(
+        "bw", bw_of.cast("long")
+    )
+    px = F.col("w") * F.col("h")
+    pad = F.when(
+        F.col("w") * _AB_DEN < F.col("h") * F.col("bw"),
+        F.floor((F.col("h") * F.col("bw") + _AB_DEN - 1) / _AB_DEN) * F.col("h") - px,
+    ).otherwise(
+        F.floor((F.col("w") * _AB_DEN + F.col("bw") - 1) / F.col("bw")) * F.col("w")
+        - px
+    )
+    return (
+        assigned.select("bucket", px.alias("px"), pad.cast("long").alias("pad"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.sum("px").cast("long").alias("total_px"),
+            F.sum("pad").cast("long").alias("pad_px"),
+            F.round(
+                F.sum("pad").cast("double") / (F.sum("px") + F.sum("pad")), 6
+            ).alias("pad_share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+VIT_PATCH = 14  # ViT-style patch side; tokens = ceil(w/14)·ceil(h/14) + 1
+
+
+@query(
+    "vision_token_budget",
+    oracle=f"""
+    WITH img AS (
+      SELECT source,
+             ((({IMG_W_SQL}) + {VIT_PATCH} - 1) // {VIT_PATCH})
+             * ((({IMG_H_SQL}) + {VIT_PATCH} - 1) // {VIT_PATCH}) + 1 AS toks
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_images,
+             CAST(sum(toks) AS BIGINT) AS total_tokens,
+             CAST(max(toks) AS BIGINT) AS max_tokens
+      FROM img GROUP BY source
+    )
+    SELECT source, n_images, total_tokens, max_tokens,
+           round(CAST(total_tokens AS DOUBLE)
+                 / (SELECT sum(total_tokens) FROM per_src), 6)
+             AS budget_share
+    FROM per_src
+    ORDER BY source
+    """,
+)
+def vision_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision token budgeting (X3): ViT patch arithmetic — each image
+    costs ceil(w/p)·ceil(h/p)+1 sequence tokens — rolled up per
+    source with each source's share of the corpus token budget. THE
+    capacity-planning number for multimodal training runs (token
+    budgets are set in tokens, not images; a 4k scan costs ~100× a
+    thumbnail) computed from metadata alone, payloads untouched.
+
+    Exactness: integer ceil-division patch counts, integer sums, one
+    share division against the broadcast one-row total.
+
+    Scale: metadata-only projection (payload column pruned), one hash
+    agg to |sources| rows, total broadcast back — nothing data-sized
+    after the agg.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = 64 + (F.col("doc_id") % 37) * 32
+    h = 64 + ((F.col("doc_id") * 7 + 3) % 41) * 24
+    toks = (
+        F.floor((w + VIT_PATCH - 1) / VIT_PATCH)
+        * F.floor((h + VIT_PATCH - 1) / VIT_PATCH)
+        + 1
+    ).cast("long")
+    per_src = d.select("source", toks.alias("toks")).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.max("toks").cast("long").alias("max_tokens"),
+    )
+    tot = per_src.agg(F.sum("total_tokens").cast("long").alias("grand"))
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_images",
+            "total_tokens",
+            "max_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("grand"), 6
+            ).alias("budget_share"),
+        )
+        .orderBy("source")
+    )

@@ -2406,3 +2406,93 @@ def good_turing_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+FOG_COMPLEX_SYLL = 3  # tokens with ≥3 vowel groups count as "complex"
+
+
+@query(
+    "readability_fog_census",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS w,
+             len(list_filter(
+               list_transform(string_split(text, ' '),
+                              t -> len(regexp_extract_all(t, '[aeiouy]+'))),
+               s -> s >= {FOG_COMPLEX_SYLL})) AS cx,
+             list_sum(list_transform(string_split(text, ' '),
+                      t -> len(regexp_extract_all(t, '[aeiouy]+')))) AS syll
+      FROM documents
+    ),
+    q AS (
+      SELECT source, w, cx, syll,
+             CAST(round(1000000 * 0.4 * (w + 100.0 * cx / w)) AS BIGINT)
+               AS fog_micro
+      FROM per_doc WHERE w > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS total_words,
+           round(CAST(sum(cx) AS DOUBLE) / sum(w), 6) AS complex_share,
+           round(CAST(sum(syll) AS DOUBLE) / sum(w), 6) AS syll_per_word,
+           round(CAST(sum(fog_micro) AS DOUBLE) / 1000000 / count(*), 4)
+             AS fog_index_avg
+    FROM q
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def readability_fog_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability profiling (X4): Gunning-fog-style index per source
+    — 0.4·(words-per-passage + 100·complex-word share), with vowel-
+    group runs as the engine-portable syllable estimator (the
+    standard heuristic when no pronunciation dictionary ships with
+    the engine) and each whitespace doc as one passage. Readability
+    drift across sources is a top-line quality-mix signal (a source
+    sliding toward long jargon-dense sentences changes downstream
+    model behavior before any dedup/quality gate notices).
+
+    Exactness: word/syllable/complex counts are integers from one
+    regexp per token evaluated identically by both engines (the
+    pattern has no engine-divergent syntax); the per-doc fog value is
+    rational (no transcendentals) so both engines compute the
+    identical double, micro-quantized before the per-source integer
+    reduce; ratio columns divide exact integer sums once.
+
+    Scale: per-row array transform (JVM codegen, no Python), one hash
+    agg on source — the scan is the cost, exactly as it should be.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    syll_counts = F.transform(
+        toks,
+        lambda t: F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), F.lit(0))),
+    )
+    w = F.size(toks)
+    cx = F.size(F.filter(syll_counts, lambda s: s >= FOG_COMPLEX_SYLL))
+    syll = F.aggregate(syll_counts, F.lit(0), lambda acc, x: acc + x)
+    per_doc = d.select(
+        "source", w.alias("w"), cx.alias("cx"), syll.alias("syll")
+    ).filter(F.col("w") > 0)
+    fog_micro = F.round(
+        1_000_000 * 0.4 * (F.col("w") + 100.0 * F.col("cx") / F.col("w"))
+    ).cast("long")
+    return (
+        per_doc.select("source", "w", "cx", "syll", fog_micro.alias("fog_micro"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("total_words"),
+            F.round(F.sum("cx").cast("double") / F.sum("w"), 6).alias(
+                "complex_share"
+            ),
+            F.round(F.sum("syll").cast("double") / F.sum("w"), 6).alias(
+                "syll_per_word"
+            ),
+            F.round(
+                F.sum("fog_micro").cast("double") / 1_000_000 / F.count("*"), 4
+            ).alias("fog_index_avg"),
+        )
+        .orderBy("source")
+    )

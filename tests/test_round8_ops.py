@@ -317,3 +317,76 @@ class TestGraphKernelsRound8:
             for r in kcore_decomposition(spark, sf).collect()
         ]
         assert got == expect
+
+
+class TestMultimodalAndTextRound8:
+    def test_aspect_bucket_by_hand(self, spark, tmp_path):
+        """doc_id 0: w=64, h=136 -> |64*144 - 136*bw| minimized by
+        9:16 (bw=81): canvas widens to ceil(136*81/144)=77 -> wait,
+        64*144=9216 vs 136*81=11016: w*144 < h*81, pad side = width:
+        ceil(136*81/144)*136 - 64*136 = 77*136 - 8704 = 1768."""
+        from couchwarehouse_spark.plans.multimodal_plan import aspect_bucket_plan
+
+        sf = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                [(0, "x", "en", "s0", 1)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            sf,
+            "documents",
+        )
+        [row] = aspect_bucket_plan(spark, sf).collect()
+        # doc_id 0 -> w = 64 + 0 = 64, h = 64 + 3*24 = 136
+        # distances: 1:1 |9216-19584|=10368; 4:3 |9216-26112|=16896;
+        # 3:4 |9216-14688|=5472; 16:9 |9216-34816|=25600;
+        # 9:16 |9216-11016|=1800 -> 9:16 wins
+        assert row["bucket"] == "9:16"
+        assert row["n_images"] == 1
+        assert row["total_px"] == 64 * 136
+        # w*144=9216 < h*81=11016 -> pad width to ceil(136*81/144)=77
+        assert row["pad_px"] == 77 * 136 - 64 * 136
+        assert row["pad_share"] == round((77 * 136 - 64 * 136) / (77 * 136), 6)
+
+    def test_vision_token_budget_by_hand(self, spark, tmp_path):
+        """doc_id 0 (64x136): ceil(64/14)*ceil(136/14)+1 = 5*10+1=51;
+        doc_id 1 (96x304): 7*22+1 = 155."""
+        from couchwarehouse_spark.plans.multimodal_plan import vision_token_budget
+
+        sf = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                [(0, "x", "en", "s0", 1), (1, "x", "en", "s1", 1)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            sf,
+            "documents",
+        )
+        out = {r["source"]: r for r in vision_token_budget(spark, sf).collect()}
+        # doc 1: w = 64+32=96, h = 64 + ((7+3)%41)*24 = 64+240=304
+        assert out["s0"]["total_tokens"] == 51
+        assert out["s1"]["total_tokens"] == 155
+        assert out["s0"]["budget_share"] == round(51 / 206, 6)
+        assert out["s1"]["max_tokens"] == 155
+
+    def test_fog_census_by_hand(self, spark, tmp_path):
+        """'banana analysis of it' -> syllables (vowel groups):
+        banana=3, analysis=4, of=1, it=1; words=4, complex=2
+        (banana, analysis), syll=9. fog = 0.4*(4 + 100*2/4) = 21.6."""
+        from couchwarehouse_spark.plans.text import readability_fog_census
+
+        sf = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                [(0, "banana analysis of it", "en", "s0", 21)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            sf,
+            "documents",
+        )
+        [row] = readability_fog_census(spark, sf).collect()
+        assert row["n_docs"] == 1
+        assert row["total_words"] == 4
+        assert row["complex_share"] == 0.5
+        assert row["syll_per_word"] == 2.25
+        assert row["fog_index_avg"] == 21.6
