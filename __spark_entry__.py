@@ -25,7 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
 # coverage policy. Round-8 rotation — ACTUAL composition (3 anchors +
-# 2 changed + 1 new + 1 family + 27 queue + 16 stalest = 50),
+# 2 changed + 12 new + 1 family + 27 queue + 5 stalest = 50),
 # executing round 7's written plan: the full 28-entry
 # never-driver-verified queue (10 r7-deferred + 18 r7-new; KN counts
 # in the changed group below since its quantization moved to
@@ -40,22 +40,33 @@ def entry(spark: SparkSession) -> DataFrame:
 #    quantization, r7 verdict #1 — also the last r7-new queue entry)
 #    and stop_shingle_cap_audit (parallelized doc scan, r7 verdict
 #    #4 — r07-green before the change),
-#  - 1 NEW entry: warehouse_split_transform_e2e (R5 transform hook +
-#    R8 split routing under the oracle gate, r7 verdict #6 — the last
-#    two R-tier behaviors that were pytest-only),
+#  - 12 NEW entries: warehouse_split_transform_e2e (R5 transform
+#    hook + R8 split routing under the oracle gate, r7 verdict #6 —
+#    the last two R-tier behaviors that were pytest-only), the 5-test
+#    statistics batch (spearman/welch/anova/t-closeness/Cramér's V),
+#    the 3 k-NN graph kernels (mutual-NN, k-core, assortativity), 2
+#    multimodal planners (aspect buckets, vision token budget), and
+#    readability_fog_census — every operator added this round is
+#    driver-verified the round it lands,
 #  - 1 family-coverage slot: key_skew_audit (the only skew_plan
 #    entry family-eligible; the window must keep a skew_plan rep),
 #  - 27 remaining queue entries (10 r7-deferred + 17 r7-new),
-#  - 16 STALEST greens: the r02-window survivors never re-verified
+#  - 5 STALEST greens: the r02-window survivors never re-verified
 #    since round 2 (staleness computed from CORRECTNESS_r01..r07
 #    last-green rounds — these predate the verdict's r03-first list).
-#    17 candidates for 16 slots; top_revenue_orders (last
-#    alphabetically) is displaced to round 9.
+#    Only the 5 alphabetically-first fit after this round's 12 new
+#    entries claimed their slots; the other 12 r02 survivors
+#    (doc_length_histogram, domain_mixture_weights, no_big_order_anti,
+#    order_cohort_full_outer, price_band_join, priority_multiset_diff,
+#    range_frame_revenue, rollup_priority_status, set_except_nations,
+#    set_intersect_brands, set_union_nations, top_revenue_orders) are
+#    displaced to round 9 — new-operator coverage outranks
+#    re-verification, the round-7 precedent.
 # ROUND-9 ROTATION PLAN (write the r09 window from this): keep the 3
 # anchors + any round-9-changed entries; window any round-8-new
-# operators not yet driver-verified; then stalest greens —
-# top_revenue_orders first (the r02 survivor displaced this round),
-# then the r03 cohort (agg_stats, array_functions, asof_last_view,
+# operators not yet driver-verified (post-window r8 additions are
+# listed in the registry tail); then stalest greens — the 12
+# displaced r02 survivors first (list above), then the r03 cohort (agg_stats, array_functions, asof_last_view,
 # bm25_relevance, big_spenders_semi, cte_above_avg_customers,
 # deterministic_split, doc_chunking, embedding_near_dup,
 # flatten_props, full_text_relevance, graph_pagerank_step,
@@ -79,8 +90,19 @@ PRIORITY = [
     # --- 2 changed-this-round entries (re-prove the new impl) ---
     "kneser_ney_bigram_scores",
     "stop_shingle_cap_audit",
-    # --- 1 new-this-round entry ---
+    # --- 12 new-this-round entries ---
     "warehouse_split_transform_e2e",
+    "spearman_rank_corr",
+    "welch_t_doclen",
+    "anova_doclen_by_source",
+    "t_closeness_audit",
+    "cramers_v_matrix",
+    "mutual_knn_pairs",
+    "kcore_decomposition",
+    "degree_assortativity",
+    "aspect_bucket_plan",
+    "vision_token_budget",
+    "readability_fog_census",
     # --- 1 family-coverage slot (skew_plan rep; r07-green) ---
     "key_skew_audit",
     # --- 10 r7-deferred queue entries ---
@@ -112,23 +134,13 @@ PRIORITY = [
     "payload_magic_byte_census",
     "graph_common_neighbors_linkpred",
     "peak_concurrency_census",
-    # --- 16 stalest greens (r02-window survivors) ---
+    # --- 5 stalest greens (r02-window survivors; the other 12 r02
+    # survivors are displaced to round 9 by this round's new ops) ---
     "balance_distribution_ranks",
     "crossdoc_ngram_dup",
     "cube_flag_status",
     "customer_order_gaps",
     "distinct_segments",
-    "doc_length_histogram",
-    "domain_mixture_weights",
-    "no_big_order_anti",
-    "order_cohort_full_outer",
-    "price_band_join",
-    "priority_multiset_diff",
-    "range_frame_revenue",
-    "rollup_priority_status",
-    "set_except_nations",
-    "set_intersect_brands",
-    "set_union_nations",
 ]
 
 

@@ -62,3 +62,28 @@ def duck():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
     return con
+
+
+# -- Hypothesis determinism policy (r7 verdict #8) --------------------
+# CI/suite runs are derandomized so a property-test counterexample
+# reproduces identically for the next builder (the KN tie in round 7
+# was found by a randomized run and would have been a heisenbug under
+# a fresh seed). Exploratory fuzzing re-enables randomness with
+# SPARK_GRAFT_HYPOTHESIS_RANDOM=1 — the 200-example local sweeps use
+# that mode.
+import os as _os
+
+try:
+    from hypothesis import settings as _hyp_settings
+
+    _hyp_settings.register_profile(
+        "deterministic", derandomize=True, print_blob=True
+    )
+    _hyp_settings.register_profile("random", print_blob=True)
+    _hyp_settings.load_profile(
+        "random"
+        if _os.environ.get("SPARK_GRAFT_HYPOTHESIS_RANDOM") == "1"
+        else "deterministic"
+    )
+except ImportError:  # hypothesis optional for non-property runs
+    pass
