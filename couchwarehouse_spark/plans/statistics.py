@@ -2683,3 +2683,496 @@ def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair")
     )
+
+
+BASKET_MIN_SUP = 20  # pairs must co-occur in at least this many orders
+BASKET_TOP_K = 15
+
+
+@query(
+    "market_basket_lift_pairs",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM items),
+    sup1 AS (SELECT brand, CAST(count(*) AS BIGINT) AS s FROM items
+             GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS sup_ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY 1, 2
+      HAVING count(*) >= {BASKET_MIN_SUP}
+    ),
+    scored AS (
+      SELECT p.brand_a, p.brand_b, p.sup_ab,
+             round(CAST(p.sup_ab * n.n_baskets AS DOUBLE)
+                   / (sa.s * sb.s), 6) AS lift
+      FROM pairs p
+      JOIN sup1 sa ON p.brand_a = sa.brand
+      JOIN sup1 sb ON p.brand_b = sb.brand
+      CROSS JOIN n
+    )
+    SELECT brand_a, brand_b, sup_ab, lift FROM scored
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT {BASKET_TOP_K}
+    """,
+)
+def market_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (the Apriori/association-rules k=2
+    kernel, Agrawal & Srikant VLDB'94): brand pairs that co-occur in
+    the same order, filtered by minimum support, ranked by lift =
+    P(a,b)/(P(a)·P(b)). Lift > 1 flags genuinely associated items the
+    raw co-count conflates with popularity — the same statistic
+    ``cooccurrence_pmi_pairs`` computes log-scaled over text windows,
+    here in its canonical relational form over order baskets.
+
+    Exactness: supports are exact integer counts; lift is one float
+    division of sub-2^53 integer products, rounded once; top-k
+    ordering uses the raw lift with a (brand_a, brand_b) tiebreak.
+
+    Scale: the basket self-join keys on the order id, so pair work is
+    Σ per-basket |items|² — bounded by basket size (≤7 lineitems in
+    TPC-H), never |catalog|²; the brand dimension broadcasts into the
+    item build; supports are broadcast back into the pair scoring;
+    TakeOrderedAndProject caps the result.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = scoped_persist(
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = items.agg(F.countDistinct("ok").cast("long").alias("n_baskets"))
+    sup1 = items.groupBy("brand").agg(F.count("*").cast("long").alias("s"))
+    a = items.select("ok", F.col("brand").alias("brand_a"))
+    b = items.select("ok", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("sup_ab"))
+        .filter(F.col("sup_ab") >= BASKET_MIN_SUP)
+    )
+    sa = F.broadcast(sup1.select(F.col("brand").alias("brand_a"), F.col("s").alias("sa")))
+    sb = F.broadcast(sup1.select(F.col("brand").alias("brand_b"), F.col("s").alias("sb")))
+    return (
+        pairs.join(sa, "brand_a")
+        .join(sb, "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "sup_ab",
+            F.round(
+                (F.col("sup_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("sa") * F.col("sb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(BASKET_TOP_K)
+    )
+
+
+CUPED_BOUNDARY = "2024-01-16"  # pre-period: Jan 1-15; post: Jan 16-30
+CUPED_METRIC = "purchase"  # the per-user metric is purchase value
+
+
+@query(
+    "cuped_adjusted_abtest",
+    oracle=f"""
+    WITH pv AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '{CUPED_BOUNDARY}'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '{CUPED_BOUNDARY}'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events WHERE event_type = '{CUPED_METRIC}'
+      GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pv
+    ),
+    th AS (
+      SELECT n, sx,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0)
+               AS theta,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / nullif((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy
+                         - CAST(sy AS DOUBLE) * sy), 0) AS var_reduction
+      FROM g
+    ),
+    v AS (
+      SELECT user_id % 2 AS variant,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(x) AS BIGINT) AS vx, CAST(sum(y) AS BIGINT) AS vy
+      FROM pv GROUP BY 1
+    )
+    SELECT v.variant, v.n_users,
+           round(CAST(v.vy AS DOUBLE) / v.n_users / 100, 4) AS mean_post,
+           round((CAST(v.vy AS DOUBLE)
+                  - th.theta * (CAST(v.vx AS DOUBLE)
+                                - CAST(v.n_users AS DOUBLE) * th.sx / th.n))
+                 / v.n_users / 100, 4) AS mean_adjusted,
+           round(th.theta, 6) AS theta,
+           round(th.var_reduction, 6) AS var_reduction
+    FROM v CROSS JOIN th
+    ORDER BY v.variant
+    """,
+)
+def cuped_adjusted_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker WSDM'13 —
+    the industry-standard experiment sensitivity booster): per-user
+    purchase value in a PRE-experiment window becomes the control
+    covariate X for the post-window metric Y; θ = cov(X,Y)/var(X) is
+    fit pooled, each variant's adjusted mean is Ȳ_v − θ(X̄_v − X̄),
+    and var_reduction = ρ² is the fraction of metric variance the
+    covariate removes — the number that decides how much smaller the
+    experiment can be. Variants are the deterministic user_id parity.
+
+    Exactness: event values quantize to integer cents BEFORE any
+    reduce (a raw-double per-user sum would be partition-order
+    sensitive); all five moment sums are exact integers (cents ≤ 10⁷
+    keep every product < 2^63); θ, ρ², and the adjusted means are one
+    fixed float dag over them, each output rounded once.
+
+    Scale: one hash agg to |users|, one to the 2-variant frame, a
+    broadcast one-row θ join — post-agg nothing is data-sized.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == CUPED_METRIC
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    boundary = F.lit(CUPED_BOUNDARY).cast("timestamp")
+    pv = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < boundary, cents).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when(F.col("ts") >= boundary, cents).otherwise(0))
+        .cast("long").alias("y"),
+    )
+    pv = scoped_persist(pv)
+    g = pv.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    th = g.select(
+        "n",
+        "sx",
+        (cov_n / F.nullif(varx_n, F.lit(0.0))).alias("theta"),
+        (cov_n * cov_n / F.nullif(varx_n * vary_n, F.lit(0.0))).alias(
+            "var_reduction"
+        ),
+    )
+    v = pv.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("vx"),
+        F.sum("y").cast("long").alias("vy"),
+    )
+    return (
+        v.crossJoin(F.broadcast(th))
+        .select(
+            "variant",
+            "n_users",
+            F.round(F.col("vy").cast("double") / F.col("n_users") / 100, 4).alias(
+                "mean_post"
+            ),
+            F.round(
+                (
+                    F.col("vy").cast("double")
+                    - F.col("theta")
+                    * (
+                        F.col("vx").cast("double")
+                        - F.col("n_users").cast("double") * F.col("sx") / F.col("n")
+                    )
+                )
+                / F.col("n_users")
+                / 100,
+                4,
+            ).alias("mean_adjusted"),
+            F.round("theta", 6).alias("theta"),
+            F.round("var_reduction", 6).alias("var_reduction"),
+        )
+        .orderBy("variant")
+    )
+
+
+from couchwarehouse_spark.plans.sampling import (  # noqa: E402
+    _SPLIT_SQL,
+    TRAIN_PCT,
+    VAL_PCT,
+)
+
+CONF_ALPHA_PCT = 10  # 90% target coverage; q̂ rank = ceil((n+1)(1-α))
+
+
+@query(
+    "conformal_interval_coverage",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x,
+             {{split}} AS b
+      FROM documents
+    ),
+    mu AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_tr,
+             CAST(sum(x) AS BIGINT) AS sx
+      FROM s WHERE b < {{tr}} GROUP BY source
+    ),
+    cal AS (
+      SELECT s.source, abs(s.x * mu.n_tr - mu.sx) AS num,
+             row_number() OVER (PARTITION BY s.source
+                                ORDER BY abs(s.x * mu.n_tr - mu.sx),
+                                         s.doc_id) AS rk,
+             count(*) OVER (PARTITION BY s.source) AS n_cal
+      FROM s JOIN mu ON s.source = mu.source
+      WHERE s.b >= {{tr}} AND s.b < {{tr}} + {{va}}
+    ),
+    qhat AS (
+      SELECT source, CAST(max(n_cal) AS BIGINT) AS n_cal,
+             CAST(max(CASE WHEN rk = CAST(ceil((n_cal + 1)
+                                 * (100 - {CONF_ALPHA_PCT}) / 100.0) AS BIGINT)
+                      THEN num END) AS BIGINT) AS q_num
+      FROM cal GROUP BY source
+    ),
+    test AS (
+      SELECT s.source,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN q.q_num IS NULL
+                                OR abs(s.x * mu.n_tr - mu.sx) <= q.q_num
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM s
+      JOIN mu ON s.source = mu.source
+      JOIN qhat q ON s.source = q.source
+      WHERE s.b >= {{tr}} + {{va}}
+      GROUP BY s.source
+    )
+    SELECT t.source, q.n_cal, t.n_test,
+           round(CAST(q.q_num AS DOUBLE) / mu.n_tr, 4) AS q_hat,
+           round(CAST(t.n_covered AS DOUBLE) / t.n_test, 6) AS coverage,
+           {100 - CONF_ALPHA_PCT} / 100.0 AS target
+    FROM test t JOIN qhat q ON t.source = q.source
+    JOIN mu ON t.source = mu.source
+    ORDER BY t.source
+    """.format(
+        split=_SPLIT_SQL, tr=TRAIN_PCT, va=VAL_PCT
+    ),
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction audit (Vovk's conformal framework in
+    its modern split form, Lei et al. JASA'18): per source, fit the
+    trivial mean model on TRAIN, take calibration nonconformity
+    scores |x − μ̂| on VAL, set q̂ = the ⌈(n+1)(1−α)⌉-th smallest
+    score (q̂ = ∞, i.e. cover-everything, when the rank exceeds the
+    calibration size — the finite-sample rule), and measure empirical
+    TEST coverage of μ̂ ± q̂ — the
+    finite-sample guarantee says coverage ≥ 1−α, and THIS audit is
+    how a production scoring pipeline proves its intervals honestly.
+    Uses the repo's deterministic md5 split gate (train/val/test).
+
+    Exactness: within a source every score shares the denominator
+    n_train, so |x·n_tr − Σx| ranks scores as exact INTEGERS — the
+    quantile pick and the coverage comparisons never touch a float;
+    the emitted q̂ divides once for display.
+
+    Scale: per-source rank window over the calibration slice only
+    (VAL is ~10% of the corpus, partitioned by source); TRAIN
+    reduces to |sources| rows broadcast into both passes; TEST is a
+    filter + integer comparison + hash agg.
+    """
+    from couchwarehouse_spark.plans.sampling import _hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"), 100)
+    s = d.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("x"), b.alias("b")
+    )
+    s = scoped_persist(s)
+    mu = (
+        s.filter(F.col("b") < TRAIN_PCT)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tr"),
+            F.sum("x").cast("long").alias("sx"),
+        )
+    )
+    mu_b = F.broadcast(mu)
+    num = F.abs(F.col("x") * F.col("n_tr") - F.col("sx"))
+    w = Window.partitionBy("source").orderBy(num, "doc_id")
+    cal = (
+        s.filter((F.col("b") >= TRAIN_PCT) & (F.col("b") < TRAIN_PCT + VAL_PCT))
+        .join(mu_b, "source")
+        .select(
+            "source",
+            num.alias("num"),
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(Window.partitionBy("source")).alias("n_cal"),
+        )
+    )
+    target_rank = F.ceil(
+        (F.col("n_cal") + 1) * (100 - CONF_ALPHA_PCT) / 100.0
+    ).cast("long")
+    qhat = cal.groupBy("source").agg(
+        F.max("n_cal").cast("long").alias("n_cal"),
+        F.max(F.when(F.col("rk") == target_rank, F.col("num")))
+        .cast("long")
+        .alias("q_num"),
+    )
+    test = (
+        s.filter(F.col("b") >= TRAIN_PCT + VAL_PCT)
+        .join(mu_b, "source")
+        .join(F.broadcast(qhat), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                (F.col("q_num").isNull() | (num <= F.col("q_num"))).cast("int")
+            ).cast("long").alias("n_covered"),
+        )
+    )
+    return (
+        test.join(F.broadcast(qhat), "source")
+        .join(mu_b, "source")
+        .select(
+            "source",
+            "n_cal",
+            "n_test",
+            F.round(F.col("q_num").cast("double") / F.col("n_tr"), 4).alias(
+                "q_hat"
+            ),
+            F.round(F.col("n_covered").cast("double") / F.col("n_test"), 6).alias(
+                "coverage"
+            ),
+            F.lit((100 - CONF_ALPHA_PCT) / 100.0).alias("target"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "two_way_effects_decomposition",
+    oracle="""
+    WITH ev AS (
+      SELECT dayofweek(ts) + 1 AS dow, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    cell AS (
+      SELECT dow, event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM ev GROUP BY 1, 2
+    ),
+    rowm AS (SELECT dow, CAST(sum(n) AS BIGINT) AS n,
+                    CAST(sum(s) AS BIGINT) AS s FROM cell GROUP BY dow),
+    colm AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+                    CAST(sum(s) AS BIGINT) AS s FROM cell GROUP BY event_type),
+    g AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s
+          FROM cell),
+    resid AS (
+      SELECT cell.dow,
+             abs(CAST(cell.s AS DOUBLE) / cell.n
+                 - CAST(rowm.s AS DOUBLE) / rowm.n
+                 - CAST(colm.s AS DOUBLE) / colm.n
+                 + CAST(g.s AS DOUBLE) / g.n) AS r
+      FROM cell JOIN rowm USING (dow) JOIN colm USING (event_type) CROSS JOIN g
+    )
+    SELECT rowm.dow, rowm.n AS n_events,
+           round((CAST(rowm.s AS DOUBLE) / rowm.n
+                  - CAST(g.s AS DOUBLE) / g.n) / 100, 4) AS dow_effect,
+           round((SELECT max(r) FROM resid WHERE resid.dow = rowm.dow) / 100, 4)
+             AS max_abs_interaction
+    FROM rowm CROSS JOIN g
+    ORDER BY rowm.dow
+    """,
+)
+def two_way_effects_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive two-way effects decomposition of event value over
+    day-of-week × event-type (the median-polish-shaped profiling
+    table, one pass instead of iterations): each weekday's main
+    effect against the grand mean, plus the largest interaction
+    residual |cell − row − col + grand| that weekday carries — a big
+    residual means "this metric does NOT decompose additively here"
+    (e.g. purchases spike only on weekend evenings), which is exactly
+    what a seasonality-naive forecaster needs flagged.
+
+    Exactness: values quantize to integer cents before any reduce;
+    every mean is one division of exact integer sums in a fixed dag —
+    both engines produce bit-identical doubles, so even the max-
+    residual argmax agrees; outputs round once. Weekday numbering is
+    pinned to Spark's 1=Sunday..7=Saturday (DuckDB's 0-based
+    dayofweek is shifted in the oracle).
+
+    Scale: one (dow,type) hash agg over the scan — the two marginals
+    and the grand total reduce the ≤35-cell frame; everything after
+    the first agg is constant-sized.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.dayofweek("ts").alias("dow"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cell = scoped_persist(
+        ev.groupBy("dow", "event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+        )
+    )
+    rowm = cell.groupBy("dow").agg(
+        F.sum("n").cast("long").alias("rn"), F.sum("s").cast("long").alias("rs")
+    )
+    colm = cell.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("cn"), F.sum("s").cast("long").alias("cs")
+    )
+    g = cell.agg(
+        F.sum("n").cast("long").alias("gn"), F.sum("s").cast("long").alias("gs")
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n)  # noqa: E731
+    resid = (
+        cell.join(F.broadcast(rowm), "dow")
+        .join(F.broadcast(colm), "event_type")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "dow",
+            F.abs(
+                mean("s", "n") - mean("rs", "rn") - mean("cs", "cn")
+                + mean("gs", "gn")
+            ).alias("r"),
+        )
+        .groupBy("dow")
+        .agg(F.max("r").alias("max_r"))
+    )
+    return (
+        rowm.crossJoin(F.broadcast(g))
+        .join(F.broadcast(resid), "dow")
+        .select(
+            "dow",
+            F.col("rn").alias("n_events"),
+            F.round((mean("rs", "rn") - mean("gs", "gn")) / 100, 4).alias(
+                "dow_effect"
+            ),
+            F.round(F.col("max_r") / 100, 4).alias("max_abs_interaction"),
+        )
+        .orderBy("dow")
+    )

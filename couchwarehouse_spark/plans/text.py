@@ -2496,3 +2496,158 @@ def readability_fog_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+DELTA_TOP_TERMS = 30  # Burrows' Delta runs over the M most frequent terms
+
+
+@query(
+    "burrows_delta_stylometry",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    src_n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok
+              GROUP BY source),
+    top AS (
+      SELECT term FROM tok GROUP BY term
+      ORDER BY count(*) DESC, term LIMIT {DELTA_TOP_TERMS}
+    ),
+    cnt AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM tok
+      WHERE term IN (SELECT term FROM top) GROUP BY 1, 2
+    ),
+    fq AS (
+      SELECT s.source, t.term,
+             CAST(round(1000000 * CAST(coalesce(cnt.c, 0) AS DOUBLE) / s.n)
+                  AS BIGINT) AS f
+      FROM src_n s CROSS JOIN top t
+      LEFT JOIN cnt ON cnt.source = s.source AND cnt.term = t.term
+    ),
+    stats AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS ns,
+             CAST(sum(f) AS BIGINT) AS sf
+      FROM fq GROUP BY term
+    ),
+    dev AS (
+      SELECT fq.source, fq.term, fq.f * st.ns - st.sf AS d, st.ns
+      FROM fq JOIN stats st USING (term)
+    ),
+    sig AS (
+      SELECT term, CAST(sum(d * d) AS BIGINT) AS sdd, CAST(max(ns) AS BIGINT)
+             AS ns
+      FROM dev GROUP BY term
+    ),
+    z AS (
+      SELECT dev.source, dev.term,
+             CAST(dev.d AS DOUBLE)
+             / nullif(sqrt(CAST(sig.sdd AS DOUBLE) / (sig.ns - 1)), 0) AS z
+      FROM dev JOIN sig USING (term)
+    ),
+    pair_terms AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(round(1000000 * abs(a.z - b.z)) AS BIGINT) AS dz
+      FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           round(CAST(sum(dz) AS DOUBLE) / 1000000 / {DELTA_TOP_TERMS}, 4)
+             AS delta
+    FROM pair_terms
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def burrows_delta_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta (Burrows LLC'02, the standard stylometric
+    authorship distance): z-score each source's relative frequency of
+    the corpus's top-M terms against the cross-source distribution,
+    then Delta(a,b) = mean |z_a − z_b| — the full source-pair
+    distance matrix. In a training-mix context Delta clusters sources
+    by WRITING STYLE (function-word profile) rather than topic, the
+    axis TF-IDF/embedding dedup is blind to.
+
+    Exactness: relative frequencies quantize to integer micro before
+    any cross-source math, deviations f·S − Σf are exact integers
+    (micro-freqs ≤ 10⁶ × 20 sources keep d² sums < 2^63), z is a
+    fixed float dag over them (one sqrt), and the per-pair term
+    reduce micro-quantizes |z_a − z_b| back to an integer sum.
+
+    Scale: token explode → (source, term) hash agg (top-M broadcast
+    prunes it to M terms); the z table is |sources|·M rows — the
+    pair join is over THAT tiny frame (190 pairs × 30 terms), never
+    the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    tok = scoped_persist(tok)
+    src_n = tok.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    top = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("tc"))
+        .orderBy(F.col("tc").desc(), "term")
+        .limit(DELTA_TOP_TERMS)
+        .select("term")
+    )
+    top = F.broadcast(top)
+    cnt = (
+        tok.join(top, "term")
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    fq = (
+        src_n.crossJoin(top)
+        .join(cnt, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            F.round(
+                1_000_000 * F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("n")
+            )
+            .cast("long")
+            .alias("f"),
+        )
+    )
+    fq = scoped_persist(fq)
+    stats = fq.groupBy("term").agg(
+        F.count("*").cast("long").alias("ns"), F.sum("f").cast("long").alias("sf")
+    )
+    dev = fq.join(F.broadcast(stats), "term").select(
+        "source", "term", (F.col("f") * F.col("ns") - F.col("sf")).alias("d"), "ns"
+    )
+    dev = scoped_persist(dev)
+    sig = dev.groupBy("term").agg(
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+        F.max("ns").cast("long").alias("ns"),
+    )
+    z = dev.drop("ns").join(F.broadcast(sig), "term").select(
+        "source",
+        "term",
+        (
+            F.col("d").cast("double")
+            / F.nullif(
+                F.sqrt(F.col("sdd").cast("double") / (F.col("ns") - 1)),
+                F.lit(0.0),
+            )
+        ).alias("z"),
+    )
+    a = z.select("term", F.col("source").alias("source_a"), F.col("z").alias("za"))
+    b = z.select("term", F.col("source").alias("source_b"), F.col("z").alias("zb"))
+    return (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.round(1_000_000 * F.abs(F.col("za") - F.col("zb")))
+            .cast("long")
+            .alias("dz"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(
+                F.sum("dz").cast("double") / 1_000_000 / DELTA_TOP_TERMS, 4
+            ).alias("delta")
+        )
+        .orderBy("source_a", "source_b")
+    )

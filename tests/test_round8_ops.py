@@ -390,3 +390,185 @@ class TestMultimodalAndTextRound8:
         assert row["complex_share"] == 0.5
         assert row["syll_per_word"] == 2.25
         assert row["fog_index_avg"] == 21.6
+
+
+class TestAnalyticsRound8b:
+    def test_market_basket_lift_by_hand(self, spark, tmp_path):
+        """20 orders with {A,B} + 5 with {A} only: sup_ab=20, sa=25,
+        sb=20, N=25 -> lift = 20*25/(25*20) = 1.0."""
+        import datetime
+
+        from couchwarehouse_spark.plans.statistics import market_basket_lift_pairs
+
+        sf = str(tmp_path / "sf")
+        li = []
+        for ok in range(20):
+            li += [(ok, 1, ok, 1), (ok, 2, ok, 2)]
+        for ok in range(20, 25):
+            li += [(ok, 1, ok, 1)]
+        _write(
+            spark.createDataFrame(
+                [
+                    (ok, pk, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                     datetime.datetime(1996, 1, 2))
+                    for ok, pk, _, ln in li
+                ],
+                "l_orderkey long, l_partkey long, l_suppkey long, "
+                "l_linenumber int, l_quantity double, l_extendedprice double, "
+                "l_discount double, l_tax double, l_returnflag string, "
+                "l_linestatus string, l_shipdate timestamp",
+            ),
+            sf,
+            "lineitem",
+        )
+        _write(
+            spark.createDataFrame(
+                [(1, "p1", "BrandA", "t", 1, 1.0), (2, "p2", "BrandB", "t", 1, 1.0)],
+                "p_partkey long, p_name string, p_brand string, p_type string, "
+                "p_size int, p_retailprice double",
+            ),
+            sf,
+            "part",
+        )
+        [row] = market_basket_lift_pairs(spark, sf).collect()
+        assert (row["brand_a"], row["brand_b"], row["sup_ab"]) == (
+            "BrandA", "BrandB", 20,
+        )
+        assert row["lift"] == 1.0
+
+    def test_cuped_by_hand(self, spark, tmp_path):
+        """4 users, pre=(100,200,300,400), post=(200,400,500,700)
+        dollars: theta=1.6, rho^2=1024/1040; variant 0 adjusted mean
+        430.0, variant 1 adjusted 470.0 — all by hand."""
+        import datetime
+
+        from couchwarehouse_spark.plans.statistics import cuped_adjusted_abtest
+
+        sf = str(tmp_path / "sf")
+        pre = datetime.datetime(2024, 1, 10)
+        post = datetime.datetime(2024, 1, 20)
+        rows, eid = [], 0
+        for u, (x, y) in enumerate([(100, 200), (200, 400), (300, 500), (400, 700)]):
+            rows += [(eid, pre, u, "purchase", float(x), "{}")]
+            rows += [(eid + 1, post, u, "purchase", float(y), "{}")]
+            eid += 2
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string",
+            ),
+            sf,
+            "events",
+        )
+        out = {r["variant"]: r for r in cuped_adjusted_abtest(spark, sf).collect()}
+        assert out[0]["mean_post"] == 350.0
+        assert out[0]["mean_adjusted"] == 430.0
+        assert out[1]["mean_post"] == 550.0
+        assert out[1]["mean_adjusted"] == 470.0
+        assert out[0]["theta"] == 1.6
+        assert out[0]["var_reduction"] == round(1024 / 1040, 6)
+
+    def test_two_way_effects_by_hand(self, spark, tmp_path):
+        """2 dows x 2 types, one event each: cell = value, row/col
+        means and the interaction residual computed by hand."""
+        import datetime
+
+        from couchwarehouse_spark.plans.statistics import (
+            two_way_effects_decomposition,
+        )
+
+        sf = str(tmp_path / "sf")
+        # 2024-01-07 is a Sunday (dow 1), 2024-01-08 Monday (dow 2)
+        sun, mon = datetime.datetime(2024, 1, 7), datetime.datetime(2024, 1, 8)
+        rows = [
+            (0, sun, 1, "click", 10.0, "{}"),
+            (1, sun, 1, "view", 20.0, "{}"),
+            (2, mon, 1, "click", 30.0, "{}"),
+            (3, mon, 1, "view", 60.0, "{}"),
+        ]
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string",
+            ),
+            sf,
+            "events",
+        )
+        out = {r["dow"]: r for r in two_way_effects_decomposition(spark, sf).collect()}
+        # grand=30; sun row mean 15 -> effect -15; mon 45 -> +15
+        assert out[1]["dow_effect"] == -15.0
+        assert out[2]["dow_effect"] == 15.0
+        # cell(sun,click)=10: 10-15-20+30=5 ; cell(sun,view)=20-15-40+30=-5
+        assert out[1]["max_abs_interaction"] == 5.0
+        assert out[2]["max_abs_interaction"] == 5.0
+
+    def test_burrows_delta_two_sources_by_hand(self, spark, tmp_path):
+        """Two sources 'x x y' vs 'x y y': with S=2 every unequal-
+        frequency term contributes |z_a - z_b| = sqrt(2), so
+        delta = 2*round_micro(sqrt 2)/30 = 0.0943."""
+        from couchwarehouse_spark.plans.text import burrows_delta_stylometry
+
+        sf = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                [(0, "x x y", "en", "sA", 5), (1, "x y y", "en", "sB", 5)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            sf,
+            "documents",
+        )
+        [row] = burrows_delta_stylometry(spark, sf).collect()
+        assert (row["source_a"], row["source_b"]) == ("sA", "sB")
+        assert row["delta"] == round(2 * 1414214 / 1_000_000 / 30, 4)
+
+    def test_conformal_coverage_by_hand(self, spark, tmp_path):
+        """One source: 2 train docs pin the mean at 10; 9 calibration
+        docs have scores 0..8 -> q-hat rank ceil(10*0.9)=9 picks score
+        8 (|x-10|=8 -> q_hat=8.0); test docs at distances 5 and 20 ->
+        coverage 0.5."""
+        from couchwarehouse_spark.plans.sampling import (
+            TRAIN_PCT,
+            VAL_PCT,
+            _split_bucket,
+        )
+        from couchwarehouse_spark.plans.statistics import (
+            conformal_interval_coverage,
+        )
+        import pyspark.sql.functions as F
+
+        from couchwarehouse_spark.plans.statistics import (  # noqa: F401
+            CONF_ALPHA_PCT,
+        )
+
+        buckets = {
+            r["id"]: r["b"]
+            for r in spark.range(600)
+            .select("id", _split_bucket(F.col("id")).alias("b"))
+            .collect()
+        }
+        train_ids = [i for i, b in buckets.items() if b < TRAIN_PCT]
+        val_ids = [i for i, b in buckets.items()
+                   if TRAIN_PCT <= b < TRAIN_PCT + VAL_PCT]
+        test_ids = [i for i, b in buckets.items() if b >= TRAIN_PCT + VAL_PCT]
+        rows = [(train_ids[0], "t", "en", "s0", 8),
+                (train_ids[1], "t", "en", "s0", 12)]  # mean 10
+        for i in range(9):
+            rows.append((val_ids[i], "t", "en", "s0", 10 + i))  # scores 0..8
+        rows += [(test_ids[0], "t", "en", "s0", 15),   # score 5 <= 8: covered
+                 (test_ids[1], "t", "en", "s0", 30)]   # score 20 > 8: not
+        sf = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            sf,
+            "documents",
+        )
+        [row] = conformal_interval_coverage(spark, sf).collect()
+        assert (row["n_cal"], row["n_test"]) == (9, 2)
+        assert row["q_hat"] == 8.0
+        assert row["coverage"] == 0.5
+        assert row["target"] == 0.9
