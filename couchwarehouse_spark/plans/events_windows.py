@@ -1786,3 +1786,109 @@ def peak_concurrency_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "holt_linear_backtest",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_days
+      FROM daily
+    ),
+    rec AS (
+      SELECT i2.event_type, 2 AS rn, i2.n_days,
+             CAST(i2.y AS DOUBLE) AS l,
+             CAST(i2.y - i1.y AS DOUBLE) AS b,
+             CAST(0 AS DOUBLE) AS err_sum, 0 AS n_err
+      FROM idx i1 JOIN idx i2
+        ON i1.event_type = i2.event_type AND i1.rn = 1 AND i2.rn = 2
+      UNION ALL
+      SELECT r.event_type, r.rn + 1, r.n_days,
+             i.y / 2.0 + (r.l + r.b) / 2,
+             (i.y / 2.0 + (r.l + r.b) / 2 - r.l) / 2 + r.b / 2,
+             r.err_sum + abs(i.y - (r.l + r.b)),
+             r.n_err + 1
+      FROM rec r JOIN idx i
+        ON i.event_type = r.event_type AND i.rn = r.rn + 1
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           round(err_sum / n_err, 4) AS mae,
+           round(l, 4) AS final_level,
+           round(b, 4) AS final_trend
+    FROM rec WHERE rn = n_days
+    ORDER BY event_type
+    """,
+)
+def holt_linear_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (Holt 1957) backtest over the
+    per-type daily event series, the trend-aware upgrade of
+    ``seasonal_naive_backtest``: with α = β = 1/2 each day's one-step
+    forecast is l+b, and the reported MAE is the walk-forward error
+    from day 3 on. A genuinely SEQUENTIAL recurrence — the class of
+    operator Spark's relational algebra cannot express — run as an
+    Arrow ``applyInPandas`` per series (the custom-stateful-operator
+    seam, D5's batch analog), with the DuckDB oracle unrolling the
+    same recurrence as a recursive CTE.
+
+    Exactness: α = β = 1/2 makes every state value a DYADIC rational
+    of the integer daily counts; the magnitudes (counts < 2^13,
+    ≤ ~60 halvings) keep every intermediate exactly representable in
+    a double, so the Python loop and the recursive CTE produce
+    bit-identical states and error sums — no quantization needed,
+    the only rounding is the 4-dp display.
+
+    Scale: the shuffle is one hash agg to |types|·|days| rows; each
+    pandas group is a single bounded series (days, not events). For
+    millions of series this exact shape fans out across executors —
+    per-series state never leaves its group.
+    """
+    import pandas as pd
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        y = pdf["y"].tolist()
+        if len(y) < 2:
+            return pd.DataFrame(
+                columns=["event_type", "n_days", "mae", "final_level",
+                         "final_trend"]
+            )
+        level, trend = float(y[1]), float(y[1] - y[0])
+        err_sum, n_err = 0.0, 0
+        for t in range(2, len(y)):
+            forecast = level + trend
+            err_sum += abs(y[t] - forecast)
+            n_err += 1
+            new_level = y[t] / 2.0 + forecast / 2
+            trend = (new_level - level) / 2 + trend / 2
+            level = new_level
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(y)],
+                "mae": [round(err_sum / n_err, 4)],
+                "final_level": [round(level, 4)],
+                "final_trend": [round(trend, 4)],
+            }
+        )
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            holt,
+            "event_type string, n_days long, mae double, final_level double, "
+            "final_trend double",
+        )
+        .orderBy("event_type")
+    )

@@ -1141,3 +1141,170 @@ def simpsons_paradox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+PRF_SEEDS = ("data", "table")  # the original query
+PRF_FB_DOCS = 10  # pseudo-relevant feedback depth
+PRF_EXP_TERMS = 2  # expansion terms mined from the feedback docs
+PRF_TOP = 15
+
+_PRF_ORACLE = f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+      GROUP BY 1, 2
+    ),
+    dl AS MATERIALIZED (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl
+      FROM dl
+    ),
+    df AS MATERIALIZED (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(round(1000000 *
+               ln(1 + (g.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1))
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                  + {BM25_B} * dl.dl * g.n_docs / CAST(g.sum_dl AS DOUBLE)))
+             ) AS BIGINT) AS c_micro
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g
+    ),
+    fb AS MATERIALIZED (
+      SELECT doc_id FROM contrib
+      WHERE term IN {PRF_SEEDS}
+      GROUP BY doc_id
+      ORDER BY CAST(sum(c_micro) AS BIGINT) DESC, doc_id
+      LIMIT {PRF_FB_DOCS}
+    ),
+    exp_terms AS MATERIALIZED (
+      SELECT tf.term, CAST(sum(tf.tf) AS BIGINT) AS tf_fb
+      FROM tf JOIN fb USING (doc_id) JOIN df USING (term)
+      WHERE tf.term NOT IN {PRF_SEEDS}
+      GROUP BY tf.term, df.df
+      ORDER BY CAST(sum(tf.tf) AS DOUBLE) / df.df DESC, tf.term
+      LIMIT {PRF_EXP_TERMS}
+    ),
+    qterms AS (
+      SELECT term FROM exp_terms
+      UNION ALL
+      SELECT unnest(['data', 'table'])
+    ),
+    final AS (
+      SELECT c.doc_id, CAST(sum(c.c_micro) AS BIGINT) AS s_micro,
+             CAST(count(*) AS BIGINT) AS n_terms_hit
+      FROM contrib c JOIN qterms q ON c.term = q.term
+      GROUP BY c.doc_id
+    )
+    SELECT f.doc_id, d.lang, f.n_terms_hit,
+           round(CAST(f.s_micro AS DOUBLE) / 1000000, 4) AS score
+    FROM final f JOIN documents d USING (doc_id)
+    ORDER BY f.s_micro DESC, f.doc_id
+    LIMIT {PRF_TOP}
+"""
+
+
+@query("pseudo_relevance_feedback", oracle=_PRF_ORACLE)
+def pseudo_relevance_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback retrieval (Rocchio'71 lineage, the
+    two-pass query expansion every serious lexical engine ships):
+    score the seed query with BM25 over an exploded inverted index,
+    take the top-{PRF_FB_DOCS} docs as pseudo-relevant, mine the
+    {PRF_EXP_TERMS} highest tf/df terms they contain, and re-score
+    with the expanded query. Upgrades ``bm25_relevance`` (static
+    per-term columns) to DYNAMIC terms — the inverted-index join
+    shape a real search engine uses, where the query terms are data,
+    not schema.
+
+    Exactness: tf/df/dl/N are exact integers; each term's BM25
+    contribution micro-quantizes BEFORE the per-doc reduce (a raw
+    float sum over joined term rows would be join-order sensitive —
+    the repo-wide ln-reduce rule), so ranking compares integer sums
+    with doc_id tiebreaks; expansion-term ranking compares the
+    rational tf/df with a term tiebreak.
+
+    Scale: the index build is one explode + (doc,term) hash agg; df
+    and the one-row corpus stats broadcast back; phase-1 scoring
+    touches only seed-term postings (join on the term key); phase-2
+    only the ≤4 query terms' postings. The corpus is scanned once —
+    everything else is posting-list-sized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = scoped_persist(
+        tok.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    g = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    norm = F.col("tf") + BM25_K1 * (
+        1
+        - BM25_B
+        + BM25_B * F.col("dl") * F.col("n_docs") / F.col("sum_dl").cast("double")
+    )
+    contrib = scoped_persist(
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            "term",
+            F.round(1_000_000 * idf * (F.col("tf") * (BM25_K1 + 1)) / norm)
+            .cast("long")
+            .alias("c_micro"),
+        )
+    )
+    fb = (
+        contrib.filter(F.col("term").isin(*PRF_SEEDS))
+        .groupBy("doc_id")
+        .agg(F.sum("c_micro").cast("long").alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(PRF_FB_DOCS)
+        .select("doc_id")
+    )
+    exp_terms = (
+        tf.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("term").isin(*PRF_SEEDS))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("tf_fb"))
+        .join(F.broadcast(df), "term")
+        .orderBy(
+            (F.col("tf_fb").cast("double") / F.col("df")).desc(), "term"
+        )
+        .limit(PRF_EXP_TERMS)
+        .select("term")
+    )
+    seeds_sql = ", ".join(f"('{t}')" for t in PRF_SEEDS)
+    qterms = exp_terms.unionByName(
+        spark.sql(f"SELECT * FROM VALUES {seeds_sql} AS t(term)")
+    )
+    final = (
+        contrib.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_micro").cast("long").alias("s_micro"),
+            F.count("*").cast("long").alias("n_terms_hit"),
+        )
+    )
+    return (
+        final.join(d.select("doc_id", "lang"), "doc_id")
+        .orderBy(F.col("s_micro").desc(), "doc_id")
+        .limit(PRF_TOP)
+        .select(
+            "doc_id",
+            "lang",
+            "n_terms_hit",
+            F.round(F.col("s_micro").cast("double") / 1_000_000, 4).alias("score"),
+        )
+    )

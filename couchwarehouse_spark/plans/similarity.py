@@ -3163,3 +3163,143 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+MMR_LAMBDA_NUM, MMR_LAMBDA_DEN = 7, 10  # λ = 0.7 relevance vs diversity
+MMR_POOL = 8  # candidate pool from the cosine top-k
+MMR_K = 3  # greedy picks (unrolled in both lanes)
+
+_MMR_CAND_CTE = f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM v WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS MATERIALIZED (
+      SELECT v.vec_id, v.label, v.v,
+             list_cosine_similarity(v.v, q.qv) AS rel
+      FROM v CROSS JOIN q
+      WHERE v.vec_id <> {QUERY_VEC_ID}
+      ORDER BY list_cosine_similarity(v.v, q.qv) DESC, v.vec_id
+      LIMIT {MMR_POOL}
+    ),
+    p1 AS (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+    s2 AS (
+      SELECT c.*,
+             {MMR_LAMBDA_NUM / MMR_LAMBDA_DEN} * c.rel
+             - {1 - MMR_LAMBDA_NUM / MMR_LAMBDA_DEN}
+               * list_cosine_similarity(c.v, p1.v) AS mmr
+      FROM cand c CROSS JOIN p1 WHERE c.vec_id <> p1.vec_id
+    ),
+    p2 AS (SELECT * FROM s2 ORDER BY mmr DESC, vec_id LIMIT 1),
+    s3 AS (
+      SELECT c.*,
+             {MMR_LAMBDA_NUM / MMR_LAMBDA_DEN} * c.rel
+             - {1 - MMR_LAMBDA_NUM / MMR_LAMBDA_DEN}
+               * greatest(list_cosine_similarity(c.v, p1.v),
+                          list_cosine_similarity(c.v, p2.v)) AS mmr
+      FROM cand c CROSS JOIN p1 CROSS JOIN p2
+      WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id
+    ),
+    p3 AS (SELECT * FROM s3 ORDER BY mmr DESC, vec_id LIMIT 1)
+"""
+
+
+@query(
+    "mmr_diversified_rerank",
+    oracle=_MMR_CAND_CTE
+    + f"""
+    SELECT 1 AS rank, vec_id, label, round(rel, 4) AS relevance,
+           round({MMR_LAMBDA_NUM / MMR_LAMBDA_DEN} * rel, 4) AS mmr_score
+    FROM p1
+    UNION ALL
+    SELECT 2, vec_id, label, round(rel, 4), round(mmr, 4) FROM p2
+    UNION ALL
+    SELECT 3, vec_id, label, round(rel, 4), round(mmr, 4) FROM p3
+    ORDER BY rank
+    """,
+)
+def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    SIGIR'98 — the standard relevance/diversity trade-off in search
+    and RAG context selection): greedily pick k results maximizing
+    λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s) over the cosine top-8
+    pool. A plain top-k returns near-duplicates of one document; MMR
+    is what context-window builders actually ship. The greedy loop is
+    inherently sequential in k, so both lanes unroll the 3 picks
+    (the kcore_decomposition pattern) — iterating further is the same
+    plan repeated.
+
+    Exactness: relevance and pairwise sims are the same float dag in
+    both engines over identical doubles; every argmax carries a
+    vec_id tiebreak; rounding only at display.
+
+    Scale: ONE distributed pass builds the pool (TakeOrderedAndProject
+    over the corpus scan); every unrolled step then operates on the
+    ≤8-row broadcast pool — the corpus is never rescanned. Pool size,
+    not corpus size, bounds the sequential part (this is why
+    production MMR re-ranks a candidate window, never the index).
+    """
+    lam = MMR_LAMBDA_NUM / MMR_LAMBDA_DEN
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    cand = (
+        v.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", "v", cosine(F.col("v"), F.col("qv")).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+    )
+    cand = scoped_persist(cand)
+
+    def pick(scored: DataFrame, score_col: str) -> DataFrame:
+        return scored.orderBy(F.col(score_col).desc(), "vec_id").limit(1)
+
+    p1 = pick(cand, "rel")
+    p1b = F.broadcast(p1.select(F.col("vec_id").alias("p1_id"), F.col("v").alias("p1_v")))
+    s2 = (
+        cand.crossJoin(p1b)
+        .filter(F.col("vec_id") != F.col("p1_id"))
+        .withColumn(
+            "mmr",
+            lam * F.col("rel") - (1 - lam) * cosine(F.col("v"), F.col("p1_v")),
+        )
+    )
+    p2 = pick(s2, "mmr")
+    p2b = F.broadcast(p2.select(F.col("vec_id").alias("p2_id"), F.col("v").alias("p2_v")))
+    s3 = (
+        cand.crossJoin(p1b)
+        .crossJoin(p2b)
+        .filter((F.col("vec_id") != F.col("p1_id")) & (F.col("vec_id") != F.col("p2_id")))
+        .withColumn(
+            "mmr",
+            lam * F.col("rel")
+            - (1 - lam)
+            * F.greatest(
+                cosine(F.col("v"), F.col("p1_v")), cosine(F.col("v"), F.col("p2_v"))
+            ),
+        )
+    )
+    p3 = pick(s3, "mmr")
+    out1 = p1.select(
+        F.lit(1).alias("rank"), "vec_id", "label",
+        F.round("rel", 4).alias("relevance"),
+        F.round(lam * F.col("rel"), 4).alias("mmr_score"),
+    )
+    out2 = p2.select(
+        F.lit(2).alias("rank"), "vec_id", "label",
+        F.round("rel", 4).alias("relevance"),
+        F.round("mmr", 4).alias("mmr_score"),
+    )
+    out3 = p3.select(
+        F.lit(3).alias("rank"), "vec_id", "label",
+        F.round("rel", 4).alias("relevance"),
+        F.round("mmr", 4).alias("mmr_score"),
+    )
+    return out1.unionByName(out2).unionByName(out3).orderBy("rank")

@@ -3176,3 +3176,73 @@ def two_way_effects_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("dow")
     )
+
+
+PROFILE_COLS = [
+    ("o_orderkey", "o_orderkey"),
+    ("o_custkey", "o_custkey"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_totalprice", "o_totalprice"),
+    ("o_orderpriority", "o_orderpriority"),
+]
+
+
+@query(
+    "column_profile_audit",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{name}' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+           CAST(min({expr}) AS VARCHAR) AS min_str,
+           CAST(max({expr}) AS VARCHAR) AS max_str
+    FROM orders"""
+        for name, expr in PROFILE_COLS
+    )
+    + " ORDER BY col_name",
+)
+def column_profile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (the stats table every optimizer
+    and data-quality dashboard starts from): per column — row count,
+    null count, exact NDV, min and max (stringified so one schema
+    carries every type). The exact companion to
+    ``approx_distinct_audit``: this is what the sketch is audited
+    against, and the profile a warehouse publishes in its catalog.
+
+    Exactness: counts/NDV are exact integers; min/max stringification
+    pins doubles via the same float→string rule in both lanes
+    (values in orders stringify identically).
+
+    Scale: ONE pass — all five columns profile in a single grouping
+    of the scan (count/min/max are map-side combined; the exact NDVs
+    are per-column distinct aggregates Spark plans as one
+    expand+partial-agg). At 100 TB swap exact NDV for the HLL
+    sketch audited by ``approx_distinct_audit``; min/max/null stay
+    exact at any scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for name, _ in PROFILE_COLS:
+        c = F.col(name)
+        aggs += [
+            F.sum(c.isNull().cast("int")).cast("long").alias(f"null_{name}"),
+            F.countDistinct(c).cast("long").alias(f"ndv_{name}"),
+            F.min(c).cast("string").alias(f"min_{name}"),
+            F.max(c).cast("string").alias(f"max_{name}"),
+        ]
+    wide = o.agg(*aggs)  # ONE scan; the NDVs plan as a single Expand
+    stack = ", ".join(
+        f"'{name}', null_{name}, ndv_{name}, min_{name}, max_{name}"
+        for name, _ in PROFILE_COLS
+    )
+    return (
+        wide.selectExpr(
+            "n_rows",
+            f"stack({len(PROFILE_COLS)}, {stack}) AS "
+            "(col_name, n_null, n_distinct, min_str, max_str)",
+        )
+        .select("col_name", "n_rows", "n_null", "n_distinct", "min_str", "max_str")
+        .orderBy("col_name")
+    )

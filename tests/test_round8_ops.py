@@ -572,3 +572,131 @@ class TestAnalyticsRound8b:
         assert row["q_hat"] == 8.0
         assert row["coverage"] == 0.5
         assert row["target"] == 0.9
+
+
+class TestSequentialAndIRRound8:
+    def test_holt_recurrence_by_hand(self, spark, tmp_path):
+        """Daily counts (2,4,7,9): l2=4 b2=2; errors |7-6|=1 and
+        |9-8.75|=0.25 -> mae 0.625; final level 8.875, trend 2.3125 —
+        every value dyadic-exact."""
+        import datetime
+
+        from couchwarehouse_spark.plans.events_windows import holt_linear_backtest
+
+        sf = str(tmp_path / "sf")
+        rows, eid = [], 0
+        for day, n in [(1, 2), (2, 4), (3, 7), (4, 9)]:
+            for _ in range(n):
+                rows.append(
+                    (eid, datetime.datetime(2024, 1, day, 12), 1, "click",
+                     1.0, "{}")
+                )
+                eid += 1
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string",
+            ),
+            sf,
+            "events",
+        )
+        [row] = holt_linear_backtest(spark, sf).collect()
+        assert row["n_days"] == 4
+        assert row["mae"] == 0.625
+        assert row["final_level"] == 8.875
+        assert row["final_trend"] == 2.3125
+
+    def test_mmr_prefers_diverse_pick_by_hand(self, spark, tmp_path):
+        """Query (2,0); candidates (1,0.25) ~ near-dup of the query
+        direction and (0,1) ~ orthogonal: MMR keeps relevance order
+        for picks 1-2 and scores the orthogonal pick exactly
+        -0.3*sim(c3,c2) — all values checked against closed forms."""
+        import math
+
+        from couchwarehouse_spark.plans.similarity import mmr_diversified_rerank
+
+        sf = str(tmp_path / "sf")
+        vecs = {0: [2.0, 0.0], 1: [1.0, 0.5], 2: [1.0, 0.25], 3: [0.0, 1.0]}
+        _write(
+            spark.createDataFrame(
+                [(i, v, 0) for i, v in vecs.items()],
+                "vec_id long, embedding array<float>, label int",
+            ),
+            sf,
+            "embeddings",
+        )
+        out = {r["rank"]: r for r in mmr_diversified_rerank(spark, sf).collect()}
+        # rel: c2 = 1/sqrt(1.0625) = 0.9701.., c1 = 1/sqrt(1.25) = 0.8944..,
+        # c3 = 0 -> pick1 = vec 2 (highest rel)
+        assert out[1]["vec_id"] == 2
+        r2 = 1 / math.sqrt(1.0625)
+        assert out[1]["mmr_score"] == round(0.7 * r2, 4)
+        # step 2: c1 mmr = 0.7*rel1 - 0.3*sim(c1,c2); sim = dot/(norms)
+        r1 = 1 / math.sqrt(1.25)
+        sim12 = (1 + 0.125) / (math.sqrt(1.25) * math.sqrt(1.0625))
+        mmr1 = 0.7 * r1 - 0.3 * sim12
+        # c3 mmr = 0.7*0 - 0.3*sim(c3,c2) = -0.3*0.25/sqrt(1.0625)
+        mmr3 = -0.3 * (0.25 / math.sqrt(1.0625))
+        assert mmr1 > mmr3
+        assert out[2]["vec_id"] == 1
+        assert out[2]["mmr_score"] == round(mmr1, 4)
+        assert out[3]["vec_id"] == 3
+
+    def test_prf_expands_with_feedback_terms(self, spark, tmp_path):
+        """Seeds {data, table}; feedback docs contain zebra (tf/df =
+        3/2) and yak (1/2) -> both expand; per-doc matched-term counts
+        are then fully determined."""
+        from couchwarehouse_spark.plans.relational_extra import (
+            pseudo_relevance_feedback,
+        )
+
+        sf = str(tmp_path / "sf")
+        docs = [
+            (1, "data table zebra zebra"),
+            (2, "data zebra"),
+            (3, "yak yak"),
+            (4, "table yak data"),
+        ]
+        _write(
+            spark.createDataFrame(
+                [(i, t, "en", "s0", len(t)) for i, t in docs],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            sf,
+            "documents",
+        )
+        rows = pseudo_relevance_feedback(spark, sf).collect()
+        hits = {r["doc_id"]: r["n_terms_hit"] for r in rows}
+        assert hits == {1: 3, 2: 2, 3: 1, 4: 3}
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["score"] > 0 for r in rows)
+
+    def test_column_profile_by_hand(self, spark, tmp_path):
+        import datetime
+
+        from couchwarehouse_spark.plans.statistics import column_profile_audit
+
+        sf = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                [
+                    (1, 10, "O", 100.5, datetime.datetime(1996, 1, 2), "1-URGENT"),
+                    (2, None, "F", 50.25, datetime.datetime(1996, 2, 2), "2-HIGH"),
+                    (3, 10, "O", 100.5, datetime.datetime(1996, 3, 2), "2-HIGH"),
+                ],
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+            ),
+            sf,
+            "orders",
+        )
+        out = {r["col_name"]: r for r in column_profile_audit(spark, sf).collect()}
+        assert out["o_custkey"]["n_null"] == 1
+        assert out["o_custkey"]["n_distinct"] == 1
+        assert out["o_orderstatus"]["n_distinct"] == 2
+        assert out["o_orderkey"]["min_str"] == "1"
+        assert out["o_orderkey"]["max_str"] == "3"
+        assert out["o_totalprice"]["n_distinct"] == 2
+        assert all(r["n_rows"] == 3 for r in out.values())
