@@ -1592,3 +1592,77 @@ def split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+LB_BUCKETS = [64, 128, 256, 512, 1024]  # token-length ladder (pad-to)
+
+
+@query(
+    "length_bucket_packing_plan",
+    oracle=f"""
+    WITH d AS (
+      SELECT len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    assigned AS (
+      SELECT n_tok,
+             CASE {' '.join(f"WHEN n_tok <= {b} THEN {b}" for b in LB_BUCKETS)}
+                  ELSE {LB_BUCKETS[-1]} END AS bucket,
+             CASE WHEN n_tok > {LB_BUCKETS[-1]} THEN 1 ELSE 0 END AS truncated
+      FROM d
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN truncated = 1 THEN {LB_BUCKETS[-1]}
+                         ELSE n_tok END) AS BIGINT) AS used_tokens,
+           CAST(sum(bucket) AS BIGINT) AS padded_tokens,
+           CAST(sum(truncated) AS BIGINT) AS n_truncated,
+           round(1 - CAST(sum(CASE WHEN truncated = 1 THEN {LB_BUCKETS[-1]}
+                                   ELSE n_tok END) AS DOUBLE) / sum(bucket), 6)
+             AS pad_waste_share
+    FROM assigned
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def length_bucket_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucket batching plan (the text twin of
+    ``aspect_bucket_plan``, and the pad-to-bucket strategy every LLM
+    data loader uses when full sequence packing — see
+    ``sequence_packing`` — is off the table): assign each doc to the
+    smallest power-of-two-ish bucket that holds it, count the padding
+    each bucket burns and the docs the top bucket truncates.
+    pad_waste_share per bucket is the number that decides whether to
+    add a ladder rung.
+
+    Exactness: token counts, bucket assignment (a CASE ladder), and
+    both token sums are pure integers; one waste division per bucket.
+
+    Scale: projection + 5-way CASE + hash agg on the 5-value bucket
+    key — scan-bound, like every census here.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    bucket = F.when(n_tok <= LB_BUCKETS[0], LB_BUCKETS[0])
+    for b in LB_BUCKETS[1:]:
+        bucket = bucket.when(n_tok <= b, b)
+    bucket = bucket.otherwise(LB_BUCKETS[-1])
+    truncated = (n_tok > LB_BUCKETS[-1]).cast("int")
+    used = F.when(truncated == 1, LB_BUCKETS[-1]).otherwise(n_tok)
+    return (
+        d.select(
+            bucket.cast("long").alias("bucket"),
+            used.cast("long").alias("used"),
+            truncated.alias("truncated"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("used").cast("long").alias("used_tokens"),
+            F.sum("bucket").cast("long").alias("padded_tokens"),
+            F.sum("truncated").cast("long").alias("n_truncated"),
+            F.round(
+                1 - F.sum("used").cast("double") / F.sum("bucket"), 6
+            ).alias("pad_waste_share"),
+        )
+        .orderBy("bucket")
+    )

@@ -655,3 +655,53 @@ def sql_udf_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "try_functions",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER)            AS prio_num,
+           CAST(floor(o_totalprice) AS BIGINT)
+             // nullif(o_custkey % 5, 0)                   AS safe_div,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+             + o_custkey                                   AS safe_add,
+           coalesce(TRY_CAST('x' || o_orderstatus AS DOUBLE), -1.0)
+                                                           AS bad_cast_default
+    FROM orders
+    WHERE o_orderkey <= 40
+    ORDER BY o_orderkey
+    """,
+)
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe scalar surface (C-cond extension): Spark 4
+    runs under ANSI SQL semantics where bad casts and division by
+    zero THROW — ``try_cast``/``try_divide``/``try_add`` are the
+    sanctioned NULL-on-error escapes every production pipeline needs
+    at the ingest edge (the reference inherits JS coercion, which
+    never throws; this is the Spark-native equivalent surface).
+    ``o_orderpriority`` ('1-URGENT'…) try_casts to NULL as a whole
+    but its first character parses — both paths exercised, plus a
+    guarded integer division and a coalesce default.
+
+    Scale: pure projection — whole-stage codegen, no shuffle, no UDF.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 40)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("prio_num"),
+        F.floor(
+            F.try_divide(
+                F.floor("o_totalprice").cast("bigint"),
+                F.nullif(F.col("o_custkey") % 5, F.lit(0)),
+            )
+        ).cast("long").alias("safe_div"),
+        F.try_add(
+            F.substring("o_orderpriority", 1, 1).try_cast("bigint"),
+            F.col("o_custkey"),
+        ).alias("safe_add"),
+        F.coalesce(
+            F.concat(F.lit("x"), F.col("o_orderstatus")).try_cast("double"),
+            F.lit(-1.0),
+        ).alias("bad_cast_default"),
+    ).orderBy("o_orderkey")

@@ -267,6 +267,12 @@ ARROW_ALLOWED = {
     "near_dup_clusters",
     "dedup_survivors",
     "udtf_token_runs",  # ArrowEvalPythonUDTF — the declared UDTF demo
+    # r8: a genuinely sequential recurrence — the declared
+    # applyInPandas-per-series stateful seam (D5's batch analog)
+    "holt_linear_backtest",
+    # r8: localCheckpoint per peel round → ExistingRDD scans; the
+    # checkpointing is the point (see the kcore plan-shape pin)
+    "kcore_decomposition",
 }
 
 

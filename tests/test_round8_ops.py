@@ -700,3 +700,64 @@ class TestSequentialAndIRRound8:
         assert out["o_orderkey"]["max_str"] == "3"
         assert out["o_totalprice"]["n_distinct"] == 2
         assert all(r["n_rows"] == 3 for r in out.values())
+
+
+class TestScalarSamplingRound8:
+    def test_try_functions_null_on_error(self, spark, tmp_path):
+        import datetime
+
+        from couchwarehouse_spark.plans.scalar import try_functions
+
+        sf = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                [
+                    (1, 5, "O", 100.9, datetime.datetime(1996, 1, 2), "1-URGENT"),
+                    (2, 10, "F", 77.5, datetime.datetime(1996, 1, 3), "3-MEDIUM"),
+                ],
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+            ),
+            sf,
+            "orders",
+        )
+        out = {r["o_orderkey"]: r for r in try_functions(spark, sf).collect()}
+        # '1-URGENT' is not an int -> NULL; first char '1' + 5 = 6
+        assert out[1]["prio_num"] is None
+        assert out[1]["safe_add"] == 6
+        # floor(100.9)=100 // (5%5=0 -> NULL divisor) -> NULL, no throw
+        assert out[1]["safe_div"] is None
+        # custkey 10 -> 10 % 5 = 0 -> NULL divisor for row 2 as well
+        assert out[2]["safe_div"] is None
+        assert out[2]["safe_add"] == 13
+        assert out[1]["bad_cast_default"] == -1.0
+
+    def test_length_buckets_by_hand(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.sampling import (
+            LB_BUCKETS,
+            length_bucket_packing_plan,
+        )
+
+        sf = str(tmp_path / "sf")
+        texts = [
+            " ".join(["t"] * 10),    # -> bucket 64, used 10
+            " ".join(["t"] * 64),    # -> bucket 64, used 64
+            " ".join(["t"] * 65),    # -> bucket 128
+            " ".join(["t"] * 2000),  # -> top bucket, truncated to 1024
+        ]
+        _write(
+            spark.createDataFrame(
+                [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            sf,
+            "documents",
+        )
+        out = {r["bucket"]: r for r in length_bucket_packing_plan(spark, sf).collect()}
+        assert out[64]["n_docs"] == 2
+        assert out[64]["used_tokens"] == 74
+        assert out[64]["padded_tokens"] == 128
+        assert out[64]["pad_waste_share"] == round(1 - 74 / 128, 6)
+        assert out[128]["n_docs"] == 1
+        assert out[LB_BUCKETS[-1]]["n_truncated"] == 1
+        assert out[LB_BUCKETS[-1]]["used_tokens"] == LB_BUCKETS[-1]
