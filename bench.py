@@ -68,6 +68,10 @@ HEADLINE = [
     "cdc_chunk_dedup",          # X1 content-defined chunk dedup census (r7)
     "lsh_band_tuning_audit",    # X1 join-free band-geometry pricing (r7)
     "cross_source_leakage_matrix",  # X1 source-pair contamination (r7)
+    "warehouse_split_transform_e2e",  # R5+R8 split/transform e2e (r8)
+    "kcore_decomposition",      # X2 bounded graph peel, checkpointed (r8)
+    "pseudo_relevance_feedback",  # S19+ two-pass BM25 query expansion (r8)
+    "cuped_adjusted_abtest",    # X+ experiment variance reduction (r8)
 ]
 
 

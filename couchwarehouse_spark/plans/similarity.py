@@ -3140,14 +3140,17 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(deg.withColumnRenamed("node", "c").withColumnRenamed("d", "dy"), "c")
         .select("dx", "dy")
     )
-    stubs = joined.select(F.col("dx").alias("x"), F.col("dy").alias("y")).unionAll(
-        joined.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
-    )
-    t = stubs.agg(
-        F.count("*").cast("long").alias("m"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    # Both stub orientations folded into ONE pass: per edge the stub
+    # sums are (dx+dy), (dx²+dy²), 2·dx·dy and m = 2·|E| — identical
+    # integers to the unioned two-orientation frame at half the agg
+    # input (the union literally scanned the join twice).
+    t = joined.agg(
+        (2 * F.count("*")).cast("long").alias("m"),
+        F.sum(F.col("dx") + F.col("dy")).cast("long").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
+        .cast("long")
+        .alias("sxx"),
+        F.sum(2 * F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
     )
     n_e = und.agg(F.count("*").cast("long").alias("n_edges"))
     return n_e.crossJoin(F.broadcast(t)).select(
