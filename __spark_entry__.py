@@ -64,13 +64,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #    re-verification, the round-7 precedent.
 # ROUND-9 ROTATION PLAN (write the r09 window from this): keep the 3
 # anchors + any round-9-changed entries; window any round-8-new
-# operators not yet driver-verified — the 11 post-window r8 additions:
+# operators not yet driver-verified — the post-window r8 additions:
 # market_basket_lift_pairs, cuped_adjusted_abtest,
 # conformal_interval_coverage, two_way_effects_decomposition,
 # burrows_delta_stylometry, holt_linear_backtest,
 # mmr_diversified_rerank, pseudo_relevance_feedback,
-# column_profile_audit, try_functions, length_bucket_packing_plan
-# (all t2-sim green at both SFs this round); then stalest greens — the 12
+# column_profile_audit, try_functions, length_bucket_packing_plan,
+# bradley_terry_strengths, rolling_median_7d, event_trigram_paths
+# (14 total, all t2-sim green at both SFs this round); then stalest
+# greens — the 12
 # displaced r02 survivors first (list above), then the r03 cohort (agg_stats, array_functions, asof_last_view,
 # bm25_relevance, big_spenders_semi, cte_above_avg_customers,
 # deterministic_split, doc_chunking, embedding_near_dup,

@@ -1892,3 +1892,161 @@ def holt_linear_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+RM_WINDOW_DAYS = 7  # trailing window (inclusive) for the rolling median
+
+
+@query(
+    "rolling_median_7d",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT cur.event_type, cur.d, cur.y,
+             past.y AS py, past.d AS pd
+      FROM daily cur JOIN daily past
+        ON cur.event_type = past.event_type
+       AND past.d BETWEEN cur.d - {RM_WINDOW_DAYS - 1} AND cur.d
+    ),
+    ranked AS (
+      SELECT event_type, d, y, py,
+             row_number() OVER (PARTITION BY event_type, d
+                                ORDER BY py, pd) AS rk,
+             count(*) OVER (PARTITION BY event_type, d) AS n_in_win
+      FROM win
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(max(y) AS BIGINT) AS n_events,
+           CAST(max(n_in_win) AS BIGINT) AS n_in_window,
+           CAST(max(CASE WHEN rk = CAST(ceil(n_in_win / 2.0) AS BIGINT)
+                         THEN py END) AS BIGINT) AS rolling_median
+    FROM ranked
+    GROUP BY event_type, d
+    ORDER BY event_type, day
+    """,
+)
+def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling MEDIAN of the daily event count per
+    type — the robust baseline every ops dashboard overlays on a
+    spiky series (a rolling mean is dragged by the spike it should
+    flag; cf. ``mad_outlier_census`` for the same robustness argument
+    in the cross-sectional case). Exact discrete median (the
+    ⌈n/2⌉-th smallest actual value), not an interpolation.
+
+    Spark has no exact median over a sliding window — the expansion
+    is an explicit self-join on the bounded day-range key (the
+    standard range-join formulation; at most {RM_WINDOW_DAYS} rows
+    per (type, day)) followed by an in-window rank.
+
+    Exactness: counts are integers; the median is an element of the
+    data (discrete rank ⌈n/2⌉ with a (value, day) tiebreak) — nothing
+    floats anywhere.
+
+    Scale: the series table is |types|·|days| (tiny after the first
+    hash agg); the ≤7-fold range self-join and rank windows operate
+    on that, never on raw events.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    daily = scoped_persist(daily)
+    cur = daily.select("event_type", "d", "y")
+    past = daily.select(
+        F.col("event_type").alias("pt"), F.col("d").alias("pd"), F.col("y").alias("py")
+    )
+    win = cur.join(
+        past,
+        (F.col("event_type") == F.col("pt"))
+        & (F.col("pd") >= F.date_sub(F.col("d"), RM_WINDOW_DAYS - 1))
+        & (F.col("pd") <= F.col("d")),
+    )
+    w = Window.partitionBy("event_type", "d").orderBy("py", "pd")
+    ranked = win.select(
+        "event_type",
+        "d",
+        "y",
+        "py",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("event_type", "d")).alias("n_in_win"),
+    )
+    med_rank = F.ceil(F.col("n_in_win") / 2.0).cast("long")
+    return (
+        ranked.groupBy(
+            "event_type", F.date_format("d", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.max("y").cast("long").alias("n_events"),
+            F.max("n_in_win").cast("long").alias("n_in_window"),
+            F.max(F.when(F.col("rk") == med_rank, F.col("py")))
+            .cast("long")
+            .alias("rolling_median"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+TRIGRAM_TOP = 15
+
+
+@query(
+    "event_trigram_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, path
+    LIMIT {TRIGRAM_TOP}
+    """,
+)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event TRIGRAM paths per user journey (the Sankey/flow
+    census product analytics runs beyond the first-order
+    ``markov_transition_matrix`` — second-order structure like
+    view > click > purchase vs view > click > error is invisible to
+    a transition matrix): sliding 3-event windows over each user's
+    time-ordered stream, counted with both occurrence and distinct-
+    user support.
+
+    Exactness: pure integer counts; event ordering pinned by
+    (ts, event_id) so simultaneous events cannot reorder across
+    engines.
+
+    Scale: one window over user partitions (the same shuffle every
+    sessionization here rides), hash agg on the path string, top-15
+    via TakeOrderedAndProject.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path"),
+            "user_id",
+        )
+        .groupBy("path")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(TRIGRAM_TOP)
+    )

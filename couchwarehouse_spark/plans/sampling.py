@@ -1666,3 +1666,191 @@ def length_bucket_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+BT_ITERS = 3  # MM fixed-point rounds (Hunter 2004), unrolled in both lanes
+
+_BT_BASE_CTE = f"""
+    WITH scored AS MATERIALIZED (
+      SELECT doc_id, source, doc_id // {BON_GROUP} AS grp,
+             CAST(('0x' || substr(md5('{REWARD_SALT}:'
+                   || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS reward
+      FROM documents
+    ),
+    duels AS MATERIALIZED (
+      SELECT CASE WHEN (a.reward, a.doc_id) > (b.reward, b.doc_id)
+                  THEN a.source ELSE b.source END AS winner,
+             CASE WHEN (a.reward, a.doc_id) > (b.reward, b.doc_id)
+                  THEN b.source ELSE a.source END AS loser
+      FROM scored a JOIN scored b
+        ON a.grp = b.grp AND a.source < b.source
+    ),
+    nmat AS MATERIALIZED (
+      SELECT least(winner, loser) AS i, greatest(winner, loser) AS j,
+             CAST(count(*) AS BIGINT) AS n
+      FROM duels GROUP BY 1, 2
+    ),
+    wins AS MATERIALIZED (
+      SELECT winner AS p, CAST(count(*) AS BIGINT) AS w FROM duels GROUP BY 1
+    ),
+    players AS MATERIALIZED (
+      SELECT p, coalesce(w, 0) AS w FROM (
+        SELECT i AS p FROM nmat UNION SELECT j FROM nmat
+      ) LEFT JOIN wins USING (p)
+    ),
+    edges AS MATERIALIZED (
+      SELECT i AS p, j AS q, n FROM nmat
+      UNION ALL SELECT j, i, n FROM nmat
+    ),
+    g0 AS MATERIALIZED (SELECT p, CAST(1 AS DOUBLE) AS g FROM players)
+"""
+
+
+def _bt_round_sql(i: int) -> str:
+    prev, cur = f"g{i - 1}", f"g{i}"
+    return f"""
+    {cur}_raw AS MATERIALIZED (
+      SELECT pl.p, pl.w /
+        (CAST(sum(CAST(round(1000000000 * e.n
+                / (gp.g + gq.g)) AS BIGINT)) AS DOUBLE) / 1000000000) AS g
+      FROM players pl
+      JOIN edges e ON e.p = pl.p
+      JOIN {prev} gp ON gp.p = pl.p
+      JOIN {prev} gq ON gq.p = e.q
+      GROUP BY pl.p, pl.w
+    ),
+    {cur} AS MATERIALIZED (
+      SELECT r.p, r.g * (SELECT count(*) FROM players)
+             / (SELECT sum(g) FROM {cur}_raw) AS g
+      FROM {cur}_raw r
+    )"""
+
+
+@query(
+    "bradley_terry_strengths",
+    oracle=_BT_BASE_CTE
+    + ","
+    + ",".join(_bt_round_sql(i) for i in range(1, BT_ITERS + 1))
+    + f"""
+    SELECT pl.p AS source, pl.w AS n_wins,
+           CAST((SELECT sum(n) FROM edges e WHERE e.p = pl.p) AS BIGINT)
+             AS n_matches,
+           round(g{BT_ITERS}.g, 6) AS bt_strength
+    FROM players pl JOIN g{BT_ITERS} ON g{BT_ITERS}.p = pl.p
+    ORDER BY source
+    """,
+)
+def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength fitting (Bradley & Terry 1952; Hunter's
+    2004 MM algorithm, {BT_ITERS} unrolled rounds) over pairwise duels
+    between SOURCES: within each prompt group, every cross-source doc
+    pair is a match won by the higher deterministic reward (the
+    ``best_of_n_selection`` reward model). BT strengths are THE
+    standard aggregation of pairwise preferences — the same model
+    behind Elo, RLHF reward-model eval, and LLM arena leaderboards —
+    and unlike raw win rate they correct for opponent strength.
+
+    Exactness: duel/win counts are exact integers; each MM round's
+    per-player denominator Σ n_ij/(γ_i+γ_j) quantizes every term to
+    integer nano-units before the reduce (float-sum order
+    independence, the repo rule); the normalization divides by the
+    round's strength sum over a ≤|sources| frame computed in one
+    subquery in both lanes.
+
+    Scale: duels join on the bounded prompt-group key (≤{BON_GROUP}
+    docs per group ⇒ ≤{BON_GROUP}² pair work per group); everything
+    after is |sources|²-sized (tiny). Three rounds of broadcast joins
+    on the ≤|sources| strength table — linear lineage, no checkpoint
+    needed (contrast kcore, whose per-round UNION forced one).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    reward = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{REWARD_SALT}:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.floor(F.col("doc_id") / BON_GROUP).cast("long").alias("grp"),
+        reward.alias("reward"),
+    )
+    a = scored.select("grp", F.col("source").alias("sa"),
+                      F.col("reward").alias("ra"), F.col("doc_id").alias("da"))
+    b = scored.select("grp", F.col("source").alias("sb"),
+                      F.col("reward").alias("rb"), F.col("doc_id").alias("db"))
+    a_wins = (F.col("ra") > F.col("rb")) | (
+        (F.col("ra") == F.col("rb")) & (F.col("da") > F.col("db"))
+    )
+    duels = (
+        a.join(b, "grp")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(
+            F.when(a_wins, F.col("sa")).otherwise(F.col("sb")).alias("winner"),
+            F.when(a_wins, F.col("sb")).otherwise(F.col("sa")).alias("loser"),
+        )
+    )
+    duels = scoped_persist(duels)
+    nmat = duels.groupBy(
+        F.least("winner", "loser").alias("i"),
+        F.greatest("winner", "loser").alias("j"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    nmat = scoped_persist(nmat)
+    wins = duels.groupBy(F.col("winner").alias("p")).agg(
+        F.count("*").cast("long").alias("w")
+    )
+    players = (
+        nmat.select(F.col("i").alias("p"))
+        .unionByName(nmat.select(F.col("j").alias("p")))
+        .distinct()
+        .join(wins, "p", "left")
+        .select("p", F.coalesce("w", F.lit(0)).cast("long").alias("w"))
+    )
+    players = scoped_persist(players)
+    edges = nmat.select(F.col("i").alias("p"), F.col("j").alias("q"), "n").unionByName(
+        nmat.select(F.col("j").alias("p"), F.col("i").alias("q"), "n")
+    )
+    edges = scoped_persist(edges)
+    n_players = players.select(F.count("*").cast("double").alias("np"))
+    g = players.select("p", F.lit(1.0).alias("g"))
+    for _ in range(BT_ITERS):
+        gq = g.select(F.col("p").alias("q"), F.col("g").alias("gq"))
+        raw = (
+            players.join(edges, "p")
+            .join(g, "p")
+            .join(F.broadcast(gq), "q")
+            .groupBy("p", "w")
+            .agg(
+                (
+                    F.sum(
+                        F.round(
+                            1_000_000_000 * F.col("n") / (F.col("g") + F.col("gq"))
+                        ).cast("long")
+                    ).cast("double")
+                    / 1_000_000_000
+                ).alias("den")
+            )
+            .select("p", (F.col("w") / F.col("den")).alias("g"))
+        )
+        tot = raw.agg(F.sum("g").alias("sg"))
+        g = (
+            raw.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(n_players))
+            .select("p", (F.col("g") * F.col("np") / F.col("sg")).alias("g"))
+        )
+    matches = edges.groupBy("p").agg(F.sum("n").cast("long").alias("n_matches"))
+    return (
+        players.join(g, "p")
+        .join(matches, "p")
+        .select(
+            F.col("p").alias("source"),
+            F.col("w").alias("n_wins"),
+            "n_matches",
+            F.round("g", 6).alias("bt_strength"),
+        )
+        .orderBy("source")
+    )

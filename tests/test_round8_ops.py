@@ -761,3 +761,133 @@ class TestScalarSamplingRound8:
         assert out[128]["n_docs"] == 1
         assert out[LB_BUCKETS[-1]]["n_truncated"] == 1
         assert out[LB_BUCKETS[-1]]["used_tokens"] == LB_BUCKETS[-1]
+
+
+class TestJourneyAndRankingRound8:
+    def test_bradley_terry_matches_python_mirror(self, spark, tmp_path):
+        """Python mirror of the full BT pipeline (md5 reward, duels,
+        3 nano-quantized MM rounds with normalization) on a 3-source
+        fixture — same model-check pattern as the KN scorer."""
+        import hashlib
+
+        from couchwarehouse_spark.plans.sampling import (
+            BON_GROUP,
+            BT_ITERS,
+            REWARD_SALT,
+            bradley_terry_strengths,
+        )
+
+        def reward(i):
+            return int(hashlib.md5(f"{REWARD_SALT}:{i}".encode()).hexdigest()[:8], 16)
+
+        n = 24
+        srcs = ["sA", "sB", "sC"]
+        rows = [(i, "t", "en", srcs[i % 3], 1) for i in range(n)]
+        sf = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            sf,
+            "documents",
+        )
+        # mirror
+        from collections import defaultdict
+
+        duels = []
+        groups = defaultdict(list)
+        for i, _, _, s, _ in rows:
+            groups[i // BON_GROUP].append((i, s))
+        for g, members in groups.items():
+            for ai in range(len(members)):
+                for bi in range(len(members)):
+                    (da, sa), (db, sb) = members[ai], members[bi]
+                    if sa < sb:
+                        win = sa if (reward(da), da) > (reward(db), db) else sb
+                        lose = sb if win == sa else sa
+                        duels.append((win, lose))
+        wins = defaultdict(int)
+        nmat = defaultdict(int)
+        for w_, l_ in duels:
+            wins[w_] += 1
+            nmat[(min(w_, l_), max(w_, l_))] += 1
+        players = sorted({p for d in duels for p in d})
+        g = {p: 1.0 for p in players}
+        for _ in range(BT_ITERS):
+            raw = {}
+            for p in players:
+                den_nano = 0
+                for q in players:
+                    if q == p:
+                        continue
+                    nn = nmat.get((min(p, q), max(p, q)), 0)
+                    if nn:
+                        den_nano += round(1e9 * nn / (g[p] + g[q]))
+                raw[p] = wins[p] / (den_nano / 1e9)
+            sg = sum(raw.values())
+            g = {p: raw[p] * len(players) / sg for p in players}
+        out = {r["source"]: r for r in bradley_terry_strengths(spark, sf).collect()}
+        for p in players:
+            assert out[p]["n_wins"] == wins[p]
+            assert out[p]["bt_strength"] == round(g[p], 6)
+
+    def test_rolling_median_by_hand(self, spark, tmp_path):
+        """Counts 1..9 by day: trailing-7 median at day 9 is the 4th
+        smallest of {3..9} = 6; at day 3 it's ceil(3/2)=2nd of
+        {1,2,3} = 2."""
+        import datetime
+
+        from couchwarehouse_spark.plans.events_windows import rolling_median_7d
+
+        sf = str(tmp_path / "sf")
+        rows, eid = [], 0
+        for day in range(1, 10):
+            for _ in range(day):  # count on day d = d
+                rows.append(
+                    (eid, datetime.datetime(2024, 1, day, 8), 1, "click", 1.0, "{}")
+                )
+                eid += 1
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string",
+            ),
+            sf,
+            "events",
+        )
+        out = {r["day"]: r for r in rolling_median_7d(spark, sf).collect()}
+        assert out["2024-01-03"]["rolling_median"] == 2
+        assert out["2024-01-03"]["n_in_window"] == 3
+        assert out["2024-01-09"]["rolling_median"] == 6
+        assert out["2024-01-09"]["n_in_window"] == 7
+        assert out["2024-01-09"]["n_events"] == 9
+
+    def test_event_trigrams_by_hand(self, spark, tmp_path):
+        import datetime
+
+        from couchwarehouse_spark.plans.events_windows import event_trigram_paths
+
+        sf = str(tmp_path / "sf")
+        seq = ["view", "click", "purchase", "view", "click"]
+        rows = [
+            (i, datetime.datetime(2024, 1, 1, 8, i), 1, t, 1.0, "{}")
+            for i, t in enumerate(seq)
+        ]
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string",
+            ),
+            sf,
+            "events",
+        )
+        out = {r["path"]: (r["n_occurrences"], r["n_users"])
+               for r in event_trigram_paths(spark, sf).collect()}
+        assert out == {
+            "view > click > purchase": (1, 1),
+            "click > purchase > view": (1, 1),
+            "purchase > view > click": (1, 1),
+        }
