@@ -70,8 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # burrows_delta_stylometry, holt_linear_backtest,
 # mmr_diversified_rerank, pseudo_relevance_feedback,
 # column_profile_audit, try_functions, length_bucket_packing_plan,
-# bradley_terry_strengths, rolling_median_7d, event_trigram_paths
-# (14 total, all t2-sim green at both SFs this round); then stalest
+# bradley_terry_strengths, rolling_median_7d, event_trigram_paths,
+# markov_removal_attribution, quantile_treatment_effects
+# (16 total, all t2-sim green at both SFs this round); then stalest
 # greens — the 12
 # displaced r02 survivors first (list above), then the r03 cohort (agg_stats, array_functions, asof_last_view,
 # bm25_relevance, big_spenders_semi, cte_above_avg_customers,

@@ -2050,3 +2050,201 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "path")
         .limit(TRIGRAM_TOP)
     )
+
+
+ATTR_K = 6  # absorption horizon (steps); unrolled in both lanes
+ATTR_CONV = "purchase"  # the converting event type
+
+_ATTR_BASE_CTE = f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER w AS prev_t,
+             lead(event_type) OVER w AS next_t
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    trans AS MATERIALIZED (
+      SELECT s, t FROM (
+        SELECT CASE WHEN prev_t IS NULL OR prev_t = '{ATTR_CONV}'
+                    THEN '_start' ELSE prev_t END AS s,
+               CASE WHEN event_type = '{ATTR_CONV}' THEN '_conv'
+                    ELSE event_type END AS t
+        FROM seq
+        UNION ALL
+        SELECT event_type, '_null'
+        FROM seq
+        WHERE next_t IS NULL AND event_type <> '{ATTR_CONV}'
+      ) WHERE s <> '{ATTR_CONV}'
+    ),
+    tp AS MATERIALIZED (
+      SELECT s, t, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(count(*)) OVER (PARTITION BY s) AS BIGINT) AS ns
+      FROM trans GROUP BY s, t
+    ),
+    channels AS MATERIALIZED (
+      SELECT DISTINCT s AS ch FROM tp WHERE s <> '_start'
+    ),
+    scen AS MATERIALIZED (
+      SELECT '_base' AS scenario FROM (VALUES (1))
+      UNION ALL SELECT ch FROM channels
+    ),
+    states AS MATERIALIZED (
+      SELECT DISTINCT s AS st FROM tp
+    ),
+    v0 AS MATERIALIZED (
+      SELECT scenario, st, CAST(0 AS DOUBLE) AS v
+      FROM scen CROSS JOIN states
+    )
+"""
+
+
+def _attr_round_sql(i: int) -> str:
+    prev, cur = f"v{i - 1}", f"v{i}"
+    return f"""
+    {cur} AS MATERIALIZED (
+      SELECT p.scenario, tp.s AS st,
+             CAST(sum(CAST(round(1000000000 * (tp.n / CAST(tp.ns AS DOUBLE)) *
+               CASE WHEN tp.t = '_conv' THEN 1.0
+                    WHEN tp.t = '_null' THEN 0.0
+                    WHEN tp.t = p.scenario THEN 0.0
+                    ELSE coalesce(pv.v, 0.0) END) AS BIGINT))
+               AS DOUBLE) / 1000000000 AS v
+      FROM tp
+      JOIN scen p ON TRUE
+      LEFT JOIN {prev} pv ON pv.scenario = p.scenario AND pv.st = tp.t
+      GROUP BY p.scenario, tp.s
+    )"""
+
+
+@query(
+    "markov_removal_attribution",
+    oracle=_ATTR_BASE_CTE
+    + ","
+    + ",".join(_attr_round_sql(i) for i in range(1, ATTR_K + 1))
+    + f"""
+    SELECT c.ch AS channel,
+           round(b.v, 6) AS base_conv,
+           round(r.v, 6) AS removal_conv,
+           round(1 - r.v / nullif(b.v, 0), 6) AS removal_effect
+    FROM channels c
+    JOIN v{ATTR_K} b ON b.scenario = '_base' AND b.st = '_start'
+    JOIN v{ATTR_K} r ON r.scenario = c.ch AND r.st = '_start'
+    ORDER BY channel
+    """,
+)
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov attribution with REMOVAL EFFECTS (Anderl et
+    al. 2014 — the data-driven alternative to last-touch rules that
+    ``conversion_attribution`` implements): build the user-journey
+    transition chain (START → channels → CONV/NULL, converting events
+    absorb and restart the journey), compute the START→conversion
+    probability within {ATTR_K} steps, then for each channel re-run
+    the absorption with that channel's state knocked out (visits to
+    it become NULL). removal_effect = 1 − p_removed/p_base is the
+    channel's attribution weight — a channel can have few last
+    touches yet a huge removal effect if journeys route through it.
+
+    All {1 + ATTR_K} value frames carry EVERY (scenario, state) pair
+    — base plus one scenario per channel — so one join chain computes
+    all removals simultaneously instead of |channels| separate
+    absorption runs.
+
+    Exactness: transition probabilities are exact-integer ratios
+    evaluated in the same dag; each step's Σ p·v quantizes every term
+    to integer nano before the reduce (float-sum order independence);
+    one guarded division at the end.
+
+    Scale: ONE window over user partitions builds transitions; the
+    chain state is |scenarios|·|states| rows (tiny) regardless of
+    corpus size — the iteration cost is {ATTR_K} broadcast joins on
+    that frame, linear lineage (pagerank-style, no checkpoint
+    needed).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_t"),
+        F.lead("event_type").over(w).alias("next_t"),
+    )
+    s_col = F.when(
+        F.col("prev_t").isNull() | (F.col("prev_t") == ATTR_CONV), "_start"
+    ).otherwise(F.col("prev_t"))
+    t_col = F.when(F.col("event_type") == ATTR_CONV, "_conv").otherwise(
+        F.col("event_type")
+    )
+    trans = (
+        seq.select(s_col.alias("s"), t_col.alias("t"))
+        .unionByName(
+            seq.filter(
+                F.col("next_t").isNull() & (F.col("event_type") != ATTR_CONV)
+            ).select(F.col("event_type").alias("s"), F.lit("_null").alias("t"))
+        )
+        .filter(F.col("s") != ATTR_CONV)
+    )
+    tp = trans.groupBy("s", "t").agg(F.count("*").cast("long").alias("n"))
+    tp = tp.withColumn(
+        "ns", F.sum("n").over(Window.partitionBy("s")).cast("long")
+    )
+    tp = scoped_persist(tp)
+    channels = tp.filter(F.col("s") != "_start").select(
+        F.col("s").alias("ch")
+    ).distinct()
+    channels = scoped_persist(channels)
+    scen = channels.select(F.col("ch").alias("scenario")).unionByName(
+        spark.sql("SELECT '_base' AS scenario")
+    )
+    states = tp.select(F.col("s").alias("st")).distinct()
+    v = scen.crossJoin(states).select("scenario", "st", F.lit(0.0).alias("v"))
+    for _ in range(ATTR_K):
+        pv = v.select(
+            F.col("scenario").alias("pscen"),
+            F.col("st").alias("pt"),
+            F.col("v").alias("pv"),
+        )
+        masked = (
+            F.when(F.col("t") == "_conv", F.lit(1.0))
+            .when(F.col("t") == "_null", F.lit(0.0))
+            .when(F.col("t") == F.col("scenario"), F.lit(0.0))
+            .otherwise(F.coalesce(F.col("pv"), F.lit(0.0)))
+        )
+        v = (
+            tp.crossJoin(F.broadcast(scen))
+            .join(
+                F.broadcast(pv),
+                (F.col("pscen") == F.col("scenario")) & (F.col("pt") == F.col("t")),
+                "left",
+            )
+            .groupBy("scenario", F.col("s").alias("st"))
+            .agg(
+                (
+                    F.sum(
+                        F.round(
+                            1_000_000_000
+                            * (F.col("n") / F.col("ns").cast("double"))
+                            * masked
+                        ).cast("long")
+                    ).cast("double")
+                    / 1_000_000_000
+                ).alias("v")
+            )
+        )
+    base = v.filter(
+        (F.col("scenario") == "_base") & (F.col("st") == "_start")
+    ).select(F.col("v").alias("base_v"))
+    rem = v.filter(F.col("st") == "_start").select(
+        F.col("scenario").alias("channel"), F.col("v").alias("rem_v")
+    )
+    return (
+        channels.select(F.col("ch").alias("channel"))
+        .join(rem, "channel")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "channel",
+            F.round("base_v", 6).alias("base_conv"),
+            F.round("rem_v", 6).alias("removal_conv"),
+            F.round(
+                1 - F.col("rem_v") / F.nullif(F.col("base_v"), F.lit(0.0)), 6
+            ).alias("removal_effect"),
+        )
+        .orderBy("channel")
+    )

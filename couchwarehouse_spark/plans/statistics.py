@@ -3246,3 +3246,99 @@ def column_profile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col_name", "n_rows", "n_null", "n_distinct", "min_str", "max_str")
         .orderBy("col_name")
     )
+
+
+QTE_QUANTILES = [25, 50, 75, 90]  # percent ranks compared across variants
+
+
+@query(
+    "quantile_treatment_effects",
+    oracle=f"""
+    WITH m AS (
+      SELECT user_id % 2 AS variant,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = '{CUPED_METRIC}'
+      GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT variant, cents,
+             row_number() OVER (PARTITION BY variant ORDER BY cents) AS rk,
+             count(*) OVER (PARTITION BY variant) AS n
+      FROM m
+    ),
+    q AS (
+      SELECT variant, qp,
+             max(CASE WHEN rk = CAST(ceil(qp * n / 100.0) AS BIGINT)
+                      THEN cents END) AS qv
+      FROM ranked
+      CROSS JOIN (SELECT unnest({list(QTE_QUANTILES)}) AS qp)
+      GROUP BY variant, qp
+    )
+    SELECT a.qp AS quantile_pct,
+           round(a.qv / 100.0, 2) AS control_value,
+           round(b.qv / 100.0, 2) AS treatment_value,
+           round((b.qv - a.qv) / 100.0, 2) AS qte
+    FROM q a JOIN q b ON a.qp = b.qp AND a.variant = 0 AND b.variant = 1
+    ORDER BY quantile_pct
+    """,
+)
+def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (the distributional companion to
+    ``cuped_adjusted_abtest``'s mean shift — Doksum 1974's quantile
+    difference): per-user purchase value at the 25/50/75/90th
+    percentile in each variant, and the per-quantile lift. A
+    treatment that only moves the p90 whale tail looks identical to a
+    broad shift in a means-only readout; QTE is how experimenters
+    tell them apart.
+
+    Exactness: per-user metrics quantize to integer cents; quantiles
+    are DISCRETE ranks (the ⌈q·n⌉-th smallest actual value, the repo
+    percentile rule) — integers end to end, one display division.
+
+    Scale: one hash agg to |users|, one rank window per variant
+    partition, a 4-row quantile spine — nothing data-sized after the
+    first agg.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == CUPED_METRIC
+    )
+    m = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    ).select((F.col("user_id") % 2).alias("variant"), "cents")
+    w = Window.partitionBy("variant").orderBy("cents")
+    ranked = m.select(
+        "variant",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("variant")).alias("n"),
+    )
+    qspine = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({q})" for q in QTE_QUANTILES)
+        + " AS t(qp)"
+    )
+    q = (
+        ranked.crossJoin(F.broadcast(qspine))
+        .groupBy("variant", "qp")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rk")
+                    == F.ceil(F.col("qp") * F.col("n") / 100.0).cast("long"),
+                    F.col("cents"),
+                )
+            ).alias("qv")
+        )
+    )
+    a = q.filter(F.col("variant") == 0).select("qp", F.col("qv").alias("qa"))
+    b = q.filter(F.col("variant") == 1).select("qp", F.col("qv").alias("qb"))
+    return (
+        a.join(b, "qp")
+        .select(
+            F.col("qp").alias("quantile_pct"),
+            F.round(F.col("qa") / 100.0, 2).alias("control_value"),
+            F.round(F.col("qb") / 100.0, 2).alias("treatment_value"),
+            F.round((F.col("qb") - F.col("qa")) / 100.0, 2).alias("qte"),
+        )
+        .orderBy("quantile_pct")
+    )

@@ -891,3 +891,78 @@ class TestJourneyAndRankingRound8:
             "click > purchase > view": (1, 1),
             "purchase > view > click": (1, 1),
         }
+
+
+class TestAttributionRound8:
+    def test_removal_effects_by_hand(self, spark, tmp_path):
+        """u1: view>click>purchase, u2: view>error(end). Base
+        conversion from START = 0.5; removing view or click kills all
+        conversion (effect 1.0); removing error changes nothing
+        (effect 0.0)."""
+        import datetime
+
+        from couchwarehouse_spark.plans.events_windows import (
+            markov_removal_attribution,
+        )
+
+        sf = str(tmp_path / "sf")
+        rows = [
+            (0, datetime.datetime(2024, 1, 1, 8, 0), 1, "view", 1.0, "{}"),
+            (1, datetime.datetime(2024, 1, 1, 8, 1), 1, "click", 1.0, "{}"),
+            (2, datetime.datetime(2024, 1, 1, 8, 2), 1, "purchase", 1.0, "{}"),
+            (3, datetime.datetime(2024, 1, 1, 9, 0), 2, "view", 1.0, "{}"),
+            (4, datetime.datetime(2024, 1, 1, 9, 1), 2, "error", 1.0, "{}"),
+        ]
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string",
+            ),
+            sf,
+            "events",
+        )
+        out = {r["channel"]: r for r in markov_removal_attribution(spark, sf).collect()}
+        assert set(out) == {"view", "click", "error"}
+        for ch in out:
+            assert out[ch]["base_conv"] == 0.5
+        assert out["view"]["removal_effect"] == 1.0
+        assert out["click"]["removal_effect"] == 1.0
+        assert out["error"]["removal_conv"] == 0.5
+        assert out["error"]["removal_effect"] == 0.0
+
+    def test_qte_by_hand(self, spark, tmp_path):
+        """Control user-sums (10,20,30,40), treatment (15,30,45,60):
+        p50 picks the 2nd smallest (20 vs 30 -> QTE 10), p90 the 4th
+        (40 vs 60 -> QTE 20)."""
+        import datetime
+
+        from couchwarehouse_spark.plans.statistics import (
+            quantile_treatment_effects,
+        )
+
+        sf = str(tmp_path / "sf")
+        rows, eid = [], 0
+        for u, val in [(0, 10), (2, 20), (4, 30), (6, 40),
+                       (1, 15), (3, 30), (5, 45), (7, 60)]:
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 5), u, "purchase",
+                 float(val), "{}")
+            )
+            eid += 1
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string",
+            ),
+            sf,
+            "events",
+        )
+        out = {r["quantile_pct"]: r for r in
+               quantile_treatment_effects(spark, sf).collect()}
+        assert out[50]["control_value"] == 20.0
+        assert out[50]["treatment_value"] == 30.0
+        assert out[50]["qte"] == 10.0
+        assert out[90]["qte"] == 20.0
+        assert out[25]["qte"] == 5.0
