@@ -12,5 +12,6 @@ import couchwarehouse_spark.plans.scalar  # noqa: F401
 import couchwarehouse_spark.plans.similarity  # noqa: F401
 import couchwarehouse_spark.plans.skew_plan  # noqa: F401
 import couchwarehouse_spark.plans.statistics  # noqa: F401
+import couchwarehouse_spark.plans.streaming_e2e  # noqa: F401
 import couchwarehouse_spark.plans.text  # noqa: F401
 import couchwarehouse_spark.plans.warehouse_e2e  # noqa: F401

@@ -966,3 +966,60 @@ class TestAttributionRound8:
         assert out[50]["qte"] == 10.0
         assert out[90]["qte"] == 20.0
         assert out[25]["qte"] == 5.0
+
+
+class TestStreamingE2ERound8:
+    def test_streaming_windows_by_hand(self, spark, tmp_path):
+        """4 events straddling one 6-hour boundary: window 00:00 gets
+        {click:2 (350 cents), view:1}, window 06:00 gets {view:1} —
+        counted through a real multi-micro-batch stream."""
+        import datetime
+
+        from couchwarehouse_spark.plans.streaming_e2e import (
+            streaming_window_counts_e2e,
+        )
+
+        sf = str(tmp_path / "sf")
+        rows = [
+            (0, datetime.datetime(2024, 1, 1, 1, 0), 1, "click", 1.0, "{}"),
+            (1, datetime.datetime(2024, 1, 1, 2, 0), 1, "click", 2.5, "{}"),
+            (2, datetime.datetime(2024, 1, 1, 5, 59), 2, "view", 1.0, "{}"),
+            (3, datetime.datetime(2024, 1, 1, 6, 0), 2, "view", 1.0, "{}"),
+        ]
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string",
+            ),
+            sf,
+            "events",
+        )
+        out = {
+            (r["win_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+            for r in streaming_window_counts_e2e(spark, sf).collect()
+        }
+        assert out == {
+            ("2024-01-01 00:00", "click"): (2, 350),
+            ("2024-01-01 00:00", "view"): (1, 100),
+            ("2024-01-01 06:00", "view"): (1, 100),
+        }
+
+    def test_streaming_dedup_exactly_once_by_hand(self, spark, tmp_path):
+        """3 docs arrive 3x each across micro-batches; the state store
+        must admit each doc_id exactly once."""
+        from couchwarehouse_spark.plans.streaming_e2e import streaming_dedup_e2e
+
+        sf = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                [(0, "x", "en", "sA", 10), (1, "x", "en", "sA", 20),
+                 (2, "x", "en", "sB", 5)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            sf,
+            "documents",
+        )
+        out = {r["source"]: (r["n_unique_docs"], r["total_chars"])
+               for r in streaming_dedup_e2e(spark, sf).collect()}
+        assert out == {"sA": (2, 30), "sB": (1, 5)}
