@@ -186,3 +186,155 @@ def streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(qname).orderBy("source")
+
+
+WI_SUBSET = 9  # streaming-ingest e2e feeds only o_orderkey % 9 == 0
+# (coprime with AMEND=7 and DELETE=10; volume is not the cost here —
+# the batch count is, so the stage is 4 files / 2 micro-batches:
+# every amendment and tombstone lands AFTER its insert's batch has
+# committed through the streaming checkpoint)
+WI_FILES_PER_TRIGGER = 2
+WI_STAGE_FILES = 4
+
+from couchwarehouse_spark.plans.warehouse_e2e import (  # noqa: E402
+    AMEND,
+    DELETE,
+    FEED_DOC_DDL,
+)
+from couchwarehouse_spark.streaming.ingest import monitor_warehouse  # noqa: E402
+from couchwarehouse_spark.warehouse import Warehouse  # noqa: E402
+
+
+@query(
+    "warehouse_streaming_ingest_e2e",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % {{amend}} = 0 THEN 'amended'
+                ELSE o_orderstatus END        AS status,
+           CAST(count(*) AS BIGINT)           AS n_orders,
+           round(sum(o_totalprice), 2)        AS total_revenue
+    FROM orders
+    WHERE o_orderkey % {{subset}} = 0 AND o_orderkey % {{delete}} <> 0
+    GROUP BY 1
+    """.format(amend=AMEND, delete=DELETE, subset=WI_SUBSET),
+)
+def warehouse_streaming_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D2/D3 through the REAL warehouse under the oracle gate: the
+    derived insert+amend+tombstone changes feed lands as
+    {WI_STAGE_FILES} seq-ORDERED files (a CouchDB changes feed is
+    seq-ordered, and a landing-zone tailer writes pages in feed
+    order), ``monitor_warehouse`` streams them in with
+    ``maxFilesPerTrigger={WI_FILES_PER_TRIGGER}`` — so inserts,
+    amendments, and tombstones for the same id arrive in DIFFERENT
+    foreachBatch micro-batches and the latest-wins/delete semantics
+    must hold ACROSS the streaming checkpoint boundary, not within
+    one batch — and the entry queries the final conformed table. The
+    oracle states the post-ETL answer straight from ``orders``; the
+    batch twin is ``warehouse_e2e_pipeline`` (same kernel, one
+    spool).
+
+    Scale: each micro-batch is the bounded bucket-pruned merge the
+    batch lane runs; the streaming checkpoint adds offset-exact
+    resume. The stage write is harness, not operator.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_wstream_{tag}")
+    feed_dir = os.path.join(base, "feed")
+    wh_dir = os.path.join(base, "wh")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % WI_SUBSET == 0
+    )
+    doc = F.struct(
+        F.concat(F.lit("order"), F.col("o_orderkey").cast("string")).alias("_id"),
+        F.lit("1-x").alias("_rev"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+        F.struct(F.col("o_custkey").alias("id")).alias("customer"),
+    )
+    amended = F.struct(
+        doc["_id"].alias("_id"),
+        F.lit("2-x").alias("_rev"),
+        F.lit("amended").alias("status"),
+        doc["total"].alias("total"),
+        doc["customer"].alias("customer"),
+    )
+
+    def env(seq_col, doc_col, deleted: bool):
+        fields = [
+            F.concat(seq_col.cast("string"), F.lit("-seq")).alias("seq"),
+            F.concat(F.lit("order"), F.col("o_orderkey").cast("string")).alias("id"),
+        ]
+        if deleted:
+            fields.append(F.lit(True).alias("deleted"))
+        if doc_col is not None:
+            fields.append(doc_col.alias("doc"))
+        return F.struct(
+            seq_col.cast("long").alias("sortseq"),
+            F.to_json(F.struct(*fields)).alias("value"),
+        )
+
+    envs = F.array(
+        env(F.col("o_orderkey"), doc, False),
+        F.when(
+            F.col("o_orderkey") % AMEND == 0,
+            env(F.col("o_orderkey") + F.lit(1_000_000_000), amended, False),
+        ),
+        F.when(
+            F.col("o_orderkey") % DELETE == 0,
+            env(F.col("o_orderkey") + F.lit(2_000_000_000), None, True),
+        ),
+    )
+    feed = orders.select(
+        F.explode(F.filter(envs, lambda x: x.isNotNull())).alias("e")
+    ).select("e.sortseq", "e.value")
+    # Seq-ordered landing files: ascending range partitions land in
+    # ascending part-file NAMES — but FileStreamSource orders by
+    # MODIFICATION TIME, and the parallel write finishes files in
+    # arbitrary order (observed: the lowest-seq insert file landing
+    # after the tombstone batch resurrected its deleted ids — the
+    # latest-wins merge deletes the row and a feed replayed out of
+    # order re-inserts it; a real _changes tail is seq-ordered, which
+    # is exactly what this models). Publish the staged files into the
+    # landing dir with explicitly monotonic mtimes so the stream
+    # drains them in feed order, the way a tailer writes pages.
+    stage_tmp = os.path.join(base, "feed_stage")
+    (
+        feed.repartitionByRange(WI_STAGE_FILES, "sortseq")
+        .sortWithinPartitions("sortseq")
+        .select("value")
+        .write.mode("overwrite")
+        .text(stage_tmp)
+    )
+    os.makedirs(feed_dir, exist_ok=True)
+    parts = sorted(
+        f for f in os.listdir(stage_tmp)
+        if f.startswith("part-") and f.endswith(".txt")
+    )
+    import time as _time
+
+    t0 = _time.time()
+    for i, f in enumerate(parts):
+        dst = os.path.join(feed_dir, f)
+        shutil.copyfile(os.path.join(stage_tmp, f), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    wh = Warehouse(spark, wh_dir, "strorders", reset=True, feed_schema=FEED_DOC_DDL)
+    q = monitor_warehouse(
+        wh,
+        feed_dir,
+        ckpt,
+        available_now=True,
+        max_files_per_trigger=WI_FILES_PER_TRIGGER,
+    )
+    q.awaitTermination()
+
+    return (
+        wh.table()
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("total"), 2).alias("total_revenue"),
+        )
+    )

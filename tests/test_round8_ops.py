@@ -1023,3 +1023,37 @@ class TestStreamingE2ERound8:
         out = {r["source"]: (r["n_unique_docs"], r["total_chars"])
                for r in streaming_dedup_e2e(spark, sf).collect()}
         assert out == {"sA": (2, 30), "sB": (1, 5)}
+
+
+class TestWarehouseStreamingIngestE2E:
+    def test_streaming_ingest_by_hand(self, spark, tmp_path):
+        """Four orders streamed through the real warehouse in seq
+        order across micro-batches: key 63 amends, key 90 tombstones,
+        keys 9/18 survive unchanged."""
+        from couchwarehouse_spark.plans.streaming_e2e import (
+            warehouse_streaming_ingest_e2e,
+        )
+
+        sf = str(tmp_path / "sf")
+        rows = [
+            (9, 1, "O", 100.0),
+            (63, 2, "O", 120.0),   # % 7 == 0 -> amended
+            (90, 3, "P", 180.0),   # % 10 == 0 -> tombstoned
+            (18, 4, "F", 200.0),
+        ]
+        _write(
+            spark.createDataFrame(
+                [(k, c, s, t, "1996-01-02") for k, c, s, t in rows],
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate string",
+            ),
+            sf,
+            "orders",
+        )
+        out = {r["status"]: (r["n_orders"], r["total_revenue"])
+               for r in warehouse_streaming_ingest_e2e(spark, sf).collect()}
+        assert out == {
+            "O": (1, 100.0),
+            "F": (1, 200.0),
+            "amended": (1, 120.0),
+        }
