@@ -1836,11 +1836,18 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("p", (F.col("w") / F.col("den")).alias("g"))
         )
+        # raw feeds BOTH the normalizer and the next strengths, and g
+        # feeds BOTH sides of the next round's join — with live
+        # lineage the logical plan doubles per round (21 s in the
+        # bench, then an explainString OOM on a 20-player table; the
+        # kcore_decomposition disease). localCheckpoint truncates the
+        # plan each round; persist alone would not.
         tot = raw.agg(F.sum("g").alias("sg"))
         g = (
             raw.crossJoin(F.broadcast(tot))
             .crossJoin(F.broadcast(n_players))
             .select("p", (F.col("g") * F.col("np") / F.col("sg")).alias("g"))
+            .localCheckpoint()
         )
     matches = edges.groupBy("p").agg(F.sum("n").cast("long").alias("n_matches"))
     return (

@@ -273,6 +273,9 @@ ARROW_ALLOWED = {
     # r8: localCheckpoint per peel round → ExistingRDD scans; the
     # checkpointing is the point (see the kcore plan-shape pin)
     "kcore_decomposition",
+    # r8: localCheckpoint per MM round (raw and g are each read twice
+    # per round — live lineage doubled per round and OOMed explainString)
+    "bradley_terry_strengths",
 }
 
 
