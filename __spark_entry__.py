@@ -73,8 +73,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # bradley_terry_strengths, rolling_median_7d, event_trigram_paths,
 # markov_removal_attribution, quantile_treatment_effects,
 # streaming_window_counts_e2e, streaming_dedup_e2e,
-# warehouse_streaming_ingest_e2e
-# (19 total, all t2-sim green at both SFs this round); then stalest
+# warehouse_streaming_ingest_e2e, mann_kendall_trend,
+# mcnemar_paired_test
+# (21 total, all t2-sim green at both SFs this round); then stalest
 # greens — the 12
 # displaced r02 survivors first (list above), then the r03 cohort (agg_stats, array_functions, asof_last_view,
 # bm25_relevance, big_spenders_semi, cte_above_avg_customers,

@@ -3342,3 +3342,172 @@ def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quantile_pct")
     )
+
+
+@query(
+    "mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    s AS (
+      SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY event_type
+    ),
+    ties AS (
+      SELECT event_type, CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT)
+               AS tie_term,
+             CAST(sum(tc) AS BIGINT) AS n
+      FROM (SELECT event_type, y, count(*) AS tc FROM daily GROUP BY 1, 2)
+      GROUP BY event_type
+    )
+    SELECT s.event_type, ties.n AS n_days, s.s_stat,
+           round((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+                                  WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+                 / sqrt((ties.n * (ties.n - 1) * (2 * ties.n + 5)
+                         - ties.tie_term) / 18.0), 4) AS mk_z
+    FROM s JOIN ties USING (event_type)
+    ORDER BY s.event_type
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test (Mann 1945 / Kendall — THE
+    nonparametric monotone-trend test, the hypothesis-test companion
+    to ``theil_sen_trend``'s slope estimate): S = Σ sign(y_j − y_i)
+    over all day pairs per event type, variance with the exact tie
+    correction, continuity-corrected Z. Works on any monotone trend
+    without assuming linearity or normality — the right first test
+    for "is this metric drifting?".
+
+    Exactness: S, the pair count, and the tie-corrected variance
+    numerator are exact integers; Z is one division + sqrt over them,
+    rounded once.
+
+    Scale: the pair join is over the |types|·|days| series table
+    (tiny after the first hash agg), never over raw events — same
+    shape as ``rolling_median_7d``.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    daily = scoped_persist(daily)
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select("event_type", F.col("d").alias("db"), F.col("y").alias("yb"))
+    sg = (
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select("event_type", sg.alias("sg"))
+        .groupBy("event_type")
+        .agg(F.sum("sg").cast("long").alias("s_stat"))
+    )
+    tc = daily.groupBy("event_type", "y").agg(F.count("*").alias("tc"))
+    ties = tc.groupBy("event_type").agg(
+        F.sum(F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5))
+        .cast("long")
+        .alias("tie_term"),
+        F.sum("tc").cast("long").alias("n"),
+    )
+    cc = (
+        F.when(F.col("s_stat") > 0, 1)
+        .when(F.col("s_stat") < 0, -1)
+        .otherwise(0)
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ) / 18.0
+    return (
+        s.join(ties, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s_stat",
+            F.round((F.col("s_stat") - cc) / F.sqrt(var18), 4).alias("mk_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MCN_BOUNDARY = "2024-01-16"  # same pre/post split as CUPED
+
+
+@query(
+    "mcnemar_paired_test",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN ts < TIMESTAMP '{MCN_BOUNDARY}'
+                      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS pre,
+             max(CASE WHEN ts >= TIMESTAMP '{MCN_BOUNDARY}'
+                      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS post
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS both_periods,
+           CAST(sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS pre_only,
+           CAST(sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS post_only,
+           round(CAST((sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+                       - sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END))
+                      * (sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+                         - sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END))
+                      AS DOUBLE)
+                 / nullif(sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+                          + sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END),
+                          0), 4) AS mcnemar_chi2
+    FROM u
+    """,
+)
+def mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (1947) for PAIRED binary outcomes: did each
+    user purchase in the pre vs post period? Only the discordant
+    users carry information — χ² = (b−c)²/(b+c) over pre-only (b) and
+    post-only (c) converters. The paired design removes between-user
+    variance entirely, which is why pre/post product changes are
+    tested this way rather than with the two-proportion z-test
+    (``abtest_two_proportion_z``) that ignores the pairing.
+
+    Exactness: the 2×2 concordance cells are exact integers; χ² is
+    one integer-product division, rounded once (nullif-guarded when
+    no user switched).
+
+    Scale: one hash agg to |users| with two boolean max aggregates,
+    then a single global reduce.
+    """
+    boundary = F.lit(MCN_BOUNDARY).cast("timestamp")
+    is_purchase = F.col("event_type") == "purchase"
+    u = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.max(((F.col("ts") < boundary) & is_purchase).cast("int")).alias("pre"),
+        F.max(((F.col("ts") >= boundary) & is_purchase).cast("int")).alias("post"),
+    )
+    b = F.sum(((F.col("pre") == 1) & (F.col("post") == 0)).cast("int")).cast("long")
+    c = F.sum(((F.col("pre") == 0) & (F.col("post") == 1)).cast("int")).cast("long")
+    return u.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(((F.col("pre") == 1) & (F.col("post") == 1)).cast("int"))
+        .cast("long")
+        .alias("both_periods"),
+        b.alias("pre_only"),
+        c.alias("post_only"),
+        F.round(
+            ((b - c) * (b - c)).cast("double")
+            / F.nullif((b + c).cast("double"), F.lit(0.0)),
+            4,
+        ).alias("mcnemar_chi2"),
+    )

@@ -1057,3 +1057,66 @@ class TestWarehouseStreamingIngestE2E:
             "F": (1, 200.0),
             "amended": (1, 120.0),
         }
+
+
+class TestTrendAndPairedRound8:
+    def test_mann_kendall_by_hand(self, spark, tmp_path):
+        """Counts (1,2,3,4) strictly rising: S = 6 pairs all +1 = 6;
+        no ties -> var = 4*3*13/18; Z = 5/sqrt(26/3) = 1.6977."""
+        import datetime
+        import math
+
+        from couchwarehouse_spark.plans.statistics import mann_kendall_trend
+
+        sf = str(tmp_path / "sf")
+        rows, eid = [], 0
+        for day in range(1, 5):
+            for _ in range(day):
+                rows.append(
+                    (eid, datetime.datetime(2024, 1, day, 8), 1, "click",
+                     1.0, "{}")
+                )
+                eid += 1
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string",
+            ),
+            sf,
+            "events",
+        )
+        [row] = mann_kendall_trend(spark, sf).collect()
+        assert (row["n_days"], row["s_stat"]) == (4, 6)
+        assert row["mk_z"] == round(5 / math.sqrt(4 * 3 * 13 / 18), 4)
+
+    def test_mcnemar_by_hand(self, spark, tmp_path):
+        """u1 pre-only, u2+u3 post-only, u4 both: b=1, c=2 ->
+        chi2 = 1/3."""
+        import datetime
+
+        from couchwarehouse_spark.plans.statistics import mcnemar_paired_test
+
+        sf = str(tmp_path / "sf")
+        pre = datetime.datetime(2024, 1, 10)
+        post = datetime.datetime(2024, 1, 20)
+        rows = [
+            (0, pre, 1, "purchase", 1.0, "{}"),
+            (1, post, 1, "view", 1.0, "{}"),      # u1: pre only
+            (2, post, 2, "purchase", 1.0, "{}"),  # u2: post only
+            (3, post, 3, "purchase", 1.0, "{}"),  # u3: post only
+            (4, pre, 4, "purchase", 1.0, "{}"),
+            (5, post, 4, "purchase", 1.0, "{}"),  # u4: both
+        ]
+        _write(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string",
+            ),
+            sf,
+            "events",
+        )
+        [row] = mcnemar_paired_test(spark, sf).collect()
+        assert (row["both_periods"], row["pre_only"], row["post_only"]) == (1, 1, 2)
+        assert row["mcnemar_chi2"] == round(1 / 3, 4)
