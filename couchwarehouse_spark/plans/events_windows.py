@@ -1821,7 +1821,7 @@ def peak_concurrency_census(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(err_sum / n_err, 4) AS mae,
            round(l, 4) AS final_level,
            round(b, 4) AS final_trend
-    FROM rec WHERE rn = n_days
+    FROM rec WHERE rn = n_days AND n_days >= 3
     ORDER BY event_type
     """,
 )
@@ -1859,7 +1859,10 @@ def holt_linear_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def holt(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("d")
         y = pdf["y"].tolist()
-        if len(y) < 2:
+        # < 3 days: the walk-forward loop never runs, so err_sum/n_err
+        # would be 0/0 — drop the series in BOTH lanes (oracle has the
+        # matching n_days >= 3 filter).
+        if len(y) < 3:
             return pd.DataFrame(
                 columns=["event_type", "n_days", "mae", "final_level",
                          "final_trend"]

@@ -2308,7 +2308,8 @@ WELCH_BASELINE_LANG = "en"  # every other lang tests against this
     m AS (
       SELECT lang, n,
              CAST(s1 AS DOUBLE) / n AS mean,
-             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS var
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+               / nullif(n - 1, 0) AS var
       FROM g
     ),
     base AS (SELECT n AS n0, mean AS m0, var AS v0 FROM m
@@ -2316,11 +2317,12 @@ WELCH_BASELINE_LANG = "en"  # every other lang tests against this
     SELECT m.lang, m.n AS n_docs,
            round(m.mean, 4) AS mean_chars,
            round((m.mean - b.m0)
-                 / sqrt(m.var / m.n + b.v0 / b.n0), 4) AS welch_t,
+                 / nullif(sqrt(m.var / m.n + b.v0 / b.n0), 0), 4) AS welch_t,
            round(((m.var / m.n + b.v0 / b.n0)
                   * (m.var / m.n + b.v0 / b.n0))
-                 / ((m.var / m.n) * (m.var / m.n) / (m.n - 1)
-                    + (b.v0 / b.n0) * (b.v0 / b.n0) / (b.n0 - 1)),
+                 / nullif((m.var / m.n) * (m.var / m.n) / nullif(m.n - 1, 0)
+                          + (b.v0 / b.n0) * (b.v0 / b.n0)
+                            / nullif(b.n0 - 1, 0), 0),
                  2) AS welch_df
     FROM m CROSS JOIN base b
     WHERE m.lang <> '{WELCH_BASELINE_LANG}'
@@ -2350,18 +2352,25 @@ def welch_t_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
     )
     mean = F.col("s1").cast("double") / F.col("n")
+    # n = 1 → (n-1) = 0: NULL variance (propagates to NULL t/df),
+    # mirroring the oracle's nullif, instead of ANSI DIVIDE_BY_ZERO.
     var = (
         F.col("s2").cast("double")
         - F.col("s1").cast("double") * F.col("s1") / F.col("n")
-    ) / (F.col("n") - 1)
+    ) / F.nullif(F.col("n") - 1, F.lit(0))
     m = g.select("lang", "n", mean.alias("mean"), var.alias("var"))
     base = m.filter(F.col("lang") == WELCH_BASELINE_LANG).select(
         F.col("n").alias("n0"), F.col("mean").alias("m0"), F.col("var").alias("v0")
     )
     se2 = F.col("var") / F.col("n") + F.col("v0") / F.col("n0")
-    df = (se2 * se2) / (
-        (F.col("var") / F.col("n")) * (F.col("var") / F.col("n")) / (F.col("n") - 1)
-        + (F.col("v0") / F.col("n0")) * (F.col("v0") / F.col("n0")) / (F.col("n0") - 1)
+    # Constant doc lengths in both groups → se2 = 0 and the df
+    # denominator = 0: nullif both (oracle mirrors).
+    df = (se2 * se2) / F.nullif(
+        (F.col("var") / F.col("n")) * (F.col("var") / F.col("n"))
+        / F.nullif(F.col("n") - 1, F.lit(0))
+        + (F.col("v0") / F.col("n0")) * (F.col("v0") / F.col("n0"))
+        / F.nullif(F.col("n0") - 1, F.lit(0)),
+        F.lit(0.0),
     )
     return (
         m.filter(F.col("lang") != WELCH_BASELINE_LANG)
@@ -2370,7 +2379,11 @@ def welch_t_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.col("n").alias("n_docs"),
             F.round("mean", 4).alias("mean_chars"),
-            F.round((F.col("mean") - F.col("m0")) / F.sqrt(se2), 4).alias("welch_t"),
+            F.round(
+                (F.col("mean") - F.col("m0"))
+                / F.nullif(F.sqrt(se2), F.lit(0.0)),
+                4,
+            ).alias("welch_t"),
             F.round(df, 2).alias("welch_df"),
         )
         .orderBy("lang")
@@ -2397,12 +2410,13 @@ def welch_t_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT k AS n_groups, n_tot AS n_docs,
            round((group_sq - CAST(s1_tot AS DOUBLE) * s1_tot / n_tot)
-                 / (k - 1)
-                 / ((CAST(s2_tot AS DOUBLE) - group_sq) / (n_tot - k)),
+                 / nullif(k - 1, 0)
+                 / nullif((CAST(s2_tot AS DOUBLE) - group_sq)
+                          / nullif(n_tot - k, 0), 0),
                  4) AS f_stat,
            round((group_sq - CAST(s1_tot AS DOUBLE) * s1_tot / n_tot)
-                 / (CAST(s2_tot AS DOUBLE)
-                    - CAST(s1_tot AS DOUBLE) * s1_tot / n_tot),
+                 / nullif(CAST(s2_tot AS DOUBLE)
+                          - CAST(s1_tot AS DOUBLE) * s1_tot / n_tot, 0),
                  6) AS eta_squared
     FROM t
     """,
@@ -2452,13 +2466,22 @@ def anova_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s2_tot").cast("double")
         - F.col("s1_tot").cast("double") * F.col("s1_tot") / F.col("n_tot")
     )
+    # Degenerate shapes (k = 1, every group n = 1, constant lengths)
+    # zero the (k-1) / (n_tot-k) / ssw / sst denominators: nullif each
+    # so both lanes emit NULL instead of ANSI DIVIDE_BY_ZERO.
     return t.select(
         F.col("k").alias("n_groups"),
         F.col("n_tot").alias("n_docs"),
-        F.round(ssb / (F.col("k") - 1) / (ssw / (F.col("n_tot") - F.col("k"))), 4).alias(
-            "f_stat"
-        ),
-        F.round(ssb / sst, 6).alias("eta_squared"),
+        F.round(
+            ssb
+            / F.nullif(F.col("k") - 1, F.lit(0))
+            / F.nullif(
+                ssw / F.nullif(F.col("n_tot") - F.col("k"), F.lit(0)),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("f_stat"),
+        F.round(ssb / F.nullif(sst, F.lit(0.0)), 6).alias("eta_squared"),
     )
 
 
@@ -3372,8 +3395,8 @@ def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.event_type, ties.n AS n_days, s.s_stat,
            round((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
                                   WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
-                 / sqrt((ties.n * (ties.n - 1) * (2 * ties.n + 5)
-                         - ties.tie_term) / 18.0), 4) AS mk_z
+                 / nullif(sqrt((ties.n * (ties.n - 1) * (2 * ties.n + 5)
+                                - ties.tie_term) / 18.0), 0), 4) AS mk_z
     FROM s JOIN ties USING (event_type)
     ORDER BY s.event_type
     """,
@@ -3436,7 +3459,11 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("n").alias("n_days"),
             "s_stat",
-            F.round((F.col("s_stat") - cc) / F.sqrt(var18), 4).alias("mk_z"),
+            # var18 = 0 (single day, or all daily counts tied) → NULL,
+            # not DIVIDE_BY_ZERO under ANSI; oracle mirrors the nullif.
+            F.round(
+                (F.col("s_stat") - cc) / F.nullif(F.sqrt(var18), F.lit(0.0)), 4
+            ).alias("mk_z"),
         )
         .orderBy("event_type")
     )
