@@ -24,72 +24,55 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
-# coverage policy. Round-8 rotation — ACTUAL composition (3 anchors +
-# 2 changed + 12 new + 1 family + 27 queue + 5 stalest = 50),
-# executing round 7's written plan: the full 28-entry
-# never-driver-verified queue (10 r7-deferred + 18 r7-new; KN counts
-# in the changed group below since its quantization moved to
-# nano-nats this round) plus this round's new/changed entries, which
-# drives never-driver-verified to 0 for all 249 pre-round entries —
-# cumulative driver coverage 250/250 once this window lands.
+# coverage policy. Round-9 rotation — ACTUAL composition (3 anchors +
+# 2 changed + 3 new + 21 queue + 1 family + 12 stalest-r02 + 8 r03 =
+# 50), executing round 8's written plan: the full 21-entry
+# never-driver-verified r8 queue (every r8 operator that landed after
+# the r8 window was written, incl. the three streaming e2e entries),
+# plus this round's new/changed entries, which drives cumulative
+# driver coverage to 282/285 once this window lands (the remaining
+# r03+ greens rotate next round).
 #  - 3 never-regressed anchors (ETL kernel — also the required
 #    etl-family representative — the R1-R14 e2e, and the relational
 #    flagship),
 #  - 2 entries whose IMPLEMENTATION changed this round and must be
-#    (re-)proven: kneser_ney_bigram_scores (micro → NANO-nat term
-#    quantization, r7 verdict #1 — also the last r7-new queue entry)
-#    and stop_shingle_cap_audit (parallelized doc scan, r7 verdict
-#    #4 — r07-green before the change),
-#  - 12 NEW entries: warehouse_split_transform_e2e (R5 transform
-#    hook + R8 split routing under the oracle gate, r7 verdict #6 —
-#    the last two R-tier behaviors that were pytest-only), the 5-test
-#    statistics batch (spearman/welch/anova/t-closeness/Cramér's V),
-#    the 3 k-NN graph kernels (mutual-NN, k-core, assortativity), 2
-#    multimodal planners (aspect buckets, vision token budget), and
-#    readability_fog_census — every operator added this round is
+#    re-proven: welch_t_doclen and anova_doclen_by_source (ANSI
+#    divide-by-zero guards, ADVICE r8 — nullif in both lanes; their
+#    queue-mates mann_kendall_trend and holt_linear_backtest also
+#    changed but already sit in the 21-entry queue below),
+#  - 3 NEW entries: streaming_interval_join_e2e (watermarked
+#    stream-stream interval join under the oracle gate, r8 verdict
+#    #4a), streaming_session_state_e2e (applyInPandasWithState
+#    event-time session-ization under the oracle gate, r8 verdict
+#    #4b), zorder_relayout_e2e (OPTIMIZE ZORDER relayout + range
+#    query, r8 verdict #4c) — every operator added this round is
 #    driver-verified the round it lands,
+#  - 21 r8-queue entries: the post-window r8 additions, all t2-sim
+#    green at both SFs in r8 AND independently re-verified by the r8
+#    judge (VERDICT.md) — their first driver window,
 #  - 1 family-coverage slot: key_skew_audit (the only skew_plan
 #    entry family-eligible; the window must keep a skew_plan rep),
-#  - 27 remaining queue entries (10 r7-deferred + 17 r7-new),
-#  - 5 STALEST greens: the r02-window survivors never re-verified
-#    since round 2 (staleness computed from CORRECTNESS_r01..r07
-#    last-green rounds — these predate the verdict's r03-first list).
-#    Only the 5 alphabetically-first fit after this round's 12 new
-#    entries claimed their slots; the other 12 r02 survivors
-#    (doc_length_histogram, domain_mixture_weights, no_big_order_anti,
-#    order_cohort_full_outer, price_band_join, priority_multiset_diff,
-#    range_frame_revenue, rollup_priority_status, set_except_nations,
-#    set_intersect_brands, set_union_nations, top_revenue_orders) are
-#    displaced to round 9 — new-operator coverage outranks
-#    re-verification, the round-7 precedent.
-# ROUND-9 ROTATION PLAN (write the r09 window from this): keep the 3
-# anchors + any round-9-changed entries; window any round-8-new
-# operators not yet driver-verified — the post-window r8 additions:
-# market_basket_lift_pairs, cuped_adjusted_abtest,
-# conformal_interval_coverage, two_way_effects_decomposition,
-# burrows_delta_stylometry, holt_linear_backtest,
-# mmr_diversified_rerank, pseudo_relevance_feedback,
-# column_profile_audit, try_functions, length_bucket_packing_plan,
-# bradley_terry_strengths, rolling_median_7d, event_trigram_paths,
-# markov_removal_attribution, quantile_treatment_effects,
-# streaming_window_counts_e2e, streaming_dedup_e2e,
-# warehouse_streaming_ingest_e2e, mann_kendall_trend,
-# mcnemar_paired_test
-# (21 total, all t2-sim green at both SFs this round); then stalest
-# greens — the 12
-# displaced r02 survivors first (list above), then the r03 cohort (agg_stats, array_functions, asof_last_view,
-# bm25_relevance, big_spenders_semi, cte_above_avg_customers,
-# deterministic_split, doc_chunking, embedding_near_dup,
+#  - 12 STALEST greens: the r02-window survivors displaced from the
+#    r8 window by that round's new operators (r8 PRIORITY comment),
+#  - 8 r03-cohort greens: embedding_near_dup + multimodal_metadata
+#    first (they carry the window's dedup and multimodal_plan family
+#    reps this round), then the 6 alphabetically-first of the r03
+#    cohort (agg_stats .. cte_above_avg_customers).
+# ROUND-10 ROTATION PLAN (write the r10 window from this): keep the 3
+# anchors + any round-10-changed entries; window any round-9-new
+# operators not yet driver-verified; then stalest greens — the
+# remaining r03 cohort first (deterministic_split, doc_chunking,
 # flatten_props, full_text_relevance, graph_pagerank_step,
 # grouping_sets_orders, hybrid_search_rrf,
 # incremental_agg_maintenance, ivf_topk, json_functions,
-# language_id_heuristic, multimodal_metadata, near_dup_clusters,
-# ngram_jaccard_pairs, pandas_udf_disc_price, percentile_stats,
-# recursive_cte_month_spine, repetition_census, seq_extraction,
-# sequence_packing, session_window_stats, simhash_near_dup,
-# sliding_window_counts, snapshot_cdc, string_functions,
-# tf_idf_top_terms, user_pseudonymization, vocab_oov_audit,
-# window_top_orders), then r04 greens if slots remain.
+# language_id_heuristic, near_dup_clusters, ngram_jaccard_pairs,
+# pandas_udf_disc_price, percentile_stats, recursive_cte_month_spine,
+# repetition_census, seq_extraction, sequence_packing,
+# session_window_stats, simhash_near_dup, sliding_window_counts,
+# snapshot_cdc, string_functions, tf_idf_top_terms,
+# user_pseudonymization, vocab_oov_audit, window_top_orders), then
+# the r04 cohort if slots remain. Keep key_skew_audit (skew_plan) and
+# one dedup + one multimodal_plan + one sampling rep in every window.
 # Every entry outside the window stays registered, oracle-checked by
 # tests/t2_sim.py, pytest-covered, and bench-timed.
 PRIORITY = [
@@ -98,60 +81,61 @@ PRIORITY = [
     "latest_event_per_user",
     "warehouse_e2e_pipeline",
     "pricing_summary",
-    # --- 2 changed-this-round entries (re-prove the new impl) ---
-    "kneser_ney_bigram_scores",
-    "stop_shingle_cap_audit",
-    # --- 12 new-this-round entries ---
-    "warehouse_split_transform_e2e",
-    "spearman_rank_corr",
+    # --- 2 changed-this-round entries (re-prove the guarded impl) ---
     "welch_t_doclen",
     "anova_doclen_by_source",
-    "t_closeness_audit",
-    "cramers_v_matrix",
-    "mutual_knn_pairs",
-    "kcore_decomposition",
-    "degree_assortativity",
-    "aspect_bucket_plan",
-    "vision_token_budget",
-    "readability_fog_census",
-    # --- 1 family-coverage slot (skew_plan rep; r07-green) ---
+    # --- 3 new-this-round entries ---
+    "streaming_interval_join_e2e",
+    "streaming_session_state_e2e",
+    "zorder_relayout_e2e",
+    # --- 21 r8-queue entries (first driver window; mann_kendall and
+    # holt also changed this round — ANSI guards) ---
+    "market_basket_lift_pairs",
+    "cuped_adjusted_abtest",
+    "conformal_interval_coverage",
+    "two_way_effects_decomposition",
+    "burrows_delta_stylometry",
+    "holt_linear_backtest",
+    "mmr_diversified_rerank",
+    "pseudo_relevance_feedback",
+    "column_profile_audit",
+    "try_functions",
+    "length_bucket_packing_plan",
+    "bradley_terry_strengths",
+    "rolling_median_7d",
+    "event_trigram_paths",
+    "markov_removal_attribution",
+    "quantile_treatment_effects",
+    "streaming_window_counts_e2e",
+    "streaming_dedup_e2e",
+    "warehouse_streaming_ingest_e2e",
+    "mann_kendall_trend",
+    "mcnemar_paired_test",
+    # --- 1 family-coverage slot (skew_plan rep; r08-green) ---
     "key_skew_audit",
-    # --- 10 r7-deferred queue entries ---
-    "sql_udf_functions",
-    "l_diversity_audit",
-    "theil_sen_trend",
-    "seasonal_naive_backtest",
-    "shrunk_rate_estimates",
-    "dbscan_core_census",
-    "simpsons_paradox_scan",
-    "psi_drift_audit",
-    "kendall_tau_rank_corr",
-    "abtest_two_proportion_z",
-    # --- 17 r7-new queue entries (KN is in the changed group above) ---
-    "collocation_llr_pairs",
-    "cross_source_leakage_matrix",
-    "lsh_band_tuning_audit",
-    "positional_template_drift",
-    "centroid_shift_drift",
-    "good_turing_estimates",
-    "cdc_chunk_dedup",
-    "minhash_estimate_error_audit",
-    "dedup_cluster_source_mix",
-    "quantile_normalization_map",
-    "jaccard_threshold_sweep",
-    "split_balance_audit",
-    "bootstrap_mean_ci",
-    "levenshtein_near_dup",
-    "payload_magic_byte_census",
-    "graph_common_neighbors_linkpred",
-    "peak_concurrency_census",
-    # --- 5 stalest greens (r02-window survivors; the other 12 r02
-    # survivors are displaced to round 9 by this round's new ops) ---
-    "balance_distribution_ranks",
-    "crossdoc_ngram_dup",
-    "cube_flag_status",
-    "customer_order_gaps",
-    "distinct_segments",
+    # --- 12 stalest greens (r02-window survivors displaced in r8) ---
+    "doc_length_histogram",
+    "domain_mixture_weights",
+    "no_big_order_anti",
+    "order_cohort_full_outer",
+    "price_band_join",
+    "priority_multiset_diff",
+    "range_frame_revenue",
+    "rollup_priority_status",
+    "set_except_nations",
+    "set_intersect_brands",
+    "set_union_nations",
+    "top_revenue_orders",
+    # --- 8 r03-cohort greens (dedup + multimodal_plan family reps
+    # first, then alphabetical) ---
+    "embedding_near_dup",
+    "multimodal_metadata",
+    "agg_stats",
+    "array_functions",
+    "asof_last_view",
+    "bm25_relevance",
+    "big_spenders_semi",
+    "cte_above_avg_customers",
 ]
 
 

@@ -188,6 +188,328 @@ def streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).orderBy("source")
 
 
+SJ_ATTR_HOURS = 1  # view→purchase attribution window (strict >, inclusive ≤)
+SJ_WM_DELAY = "30 minutes"  # watermark delay on both join sides
+
+
+def _stage_by_event_time(df, stage_dir: str, n_files: int, ts_col: str = "ts"):
+    """Write ``df`` as ``n_files`` parquet files RANGE-partitioned on
+    ``ts_col`` and republish them with monotonically increasing
+    mtimes, so FileStreamSource (which orders files by modification
+    time) drains them in EVENT-TIME order — the arrival discipline a
+    log tailer provides and the one that makes watermark advancement
+    sound: every row in a later file carries a later event time than
+    every row in an earlier file, so state evicted below the watermark
+    can no longer receive a match. The same mtime trick as the
+    warehouse streaming-ingest stage (sortseq there, event time here).
+    """
+    tmp = stage_dir + "_tmp"
+    (
+        df.repartitionByRange(n_files, ts_col)
+        .sortWithinPartitions(ts_col)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    os.makedirs(stage_dir, exist_ok=True)
+    import time as _time
+
+    t0 = _time.time()
+    # Part-file NAMES sort in range order (ascending partition index).
+    parts = sorted(
+        f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    for i, f in enumerate(parts):
+        dst = os.path.join(stage_dir, f)
+        shutil.copyfile(os.path.join(tmp, f), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "streaming_interval_join_e2e",
+    oracle=f"""
+    SELECT v.user_id,
+           CAST(count(*) AS BIGINT) AS n_attributed,
+           CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT)
+             AS purchase_cents
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL {SJ_ATTR_HOURS} HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    GROUP BY v.user_id
+    ORDER BY v.user_id
+    """,
+)
+def streaming_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL JOIN under the oracle gate (the D-tier
+    join the batch lane's ``price_band_join``/``asof_last_view`` can't
+    stand in for): views and purchases arrive as two watermarked file
+    streams in event-time order, and each view joins every purchase by
+    the same user within the following {SJ_ATTR_HOURS}h — the
+    canonical streaming attribution shape. Both sides carry a
+    {SJ_WM_DELAY} watermark and the join condition carries the time
+    bound, so Spark's symmetric hash join evicts buffered rows the
+    watermark proves can no longer match — bounded state, which is the
+    entire point of the interval form at 100 TB (an unbounded
+    stream-stream equi-join buffers both streams forever).
+
+    The stage is multi-file / multi-micro-batch
+    (maxFilesPerTrigger={SW_FILES_PER_TRIGGER} over {SW_STAGE_FILES}
+    files per side), so view/purchase pairs genuinely straddle trigger
+    boundaries: a match emitted in batch N joins a view buffered in
+    batch N-k through the join state store, and the final table must
+    still equal the batch SQL the DuckDB oracle states — inner-join
+    append mode emits each matched pair exactly once.
+
+    Exactness: pair counts and cent-quantized purchase sums are
+    integers; the time bound is exact microsecond timestamp
+    arithmetic in both engines (strict >, inclusive ≤).
+
+    Scale: state is keyed by user_id and bounded by watermark horizon
+    × per-user event rate; the stage write is harness, not operator.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_sjoin_{tag}")
+    stage_v = os.path.join(base, "views")
+    stage_p = os.path.join(base, "purch")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "event_type", "value")
+    _stage_by_event_time(
+        ev.filter(F.col("event_type") == "view").drop("event_type"),
+        stage_v, SW_STAGE_FILES,
+    )
+    _stage_by_event_time(
+        ev.filter(F.col("event_type") == "purchase").drop("event_type"),
+        stage_p, SW_STAGE_FILES,
+    )
+
+    schema = "ts timestamp, user_id long, value double"
+    views = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", SW_FILES_PER_TRIGGER)
+        .parquet(stage_v)
+        .withWatermark("ts", SJ_WM_DELAY)
+        .select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+        )
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", SW_FILES_PER_TRIGGER)
+        .parquet(stage_p)
+        .withWatermark("ts", SJ_WM_DELAY)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"""v_user = p_user
+            AND purchase_ts > view_ts
+            AND purchase_ts <= view_ts + INTERVAL {SJ_ATTR_HOURS} HOUR"""
+        ),
+    )
+    qname = f"cw_sjoin_out_{tag}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_attributed"),
+            F.sum(F.round(F.col("p_value") * 100).cast("long"))
+            .cast("long")
+            .alias("purchase_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SS_GAP_US = 30 * 60 * 1_000_000  # 30-min session gap, integer microseconds
+SS_SENTINEL_US = 24 * 3600 * 1_000_000  # sentinel lands 1 day after max ts
+
+
+@query(
+    "streaming_session_state_e2e",
+    oracle=f"""
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts)
+                       - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts))
+                       > {SS_GAP_US}
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    ),
+    closed AS (
+      SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+               AS duration_sec
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT n_events AS session_events,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(duration_sec) AS BIGINT) AS total_duration_sec
+    FROM closed
+    GROUP BY n_events
+    ORDER BY session_events
+    """,
+)
+def streaming_session_state_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 ARBITRARY stateful processing under the oracle gate:
+    event-time session-ization (30-min gap) with
+    ``applyInPandasWithState`` — per-user session state (start, last
+    event, count) lives in the state store and survives micro-batch
+    boundaries; a session whose events straddle triggers must still
+    come out as ONE session. The oracle states the same sessions
+    relationally (gaps-and-islands over ``lag``), so a hash match
+    certifies the hand-rolled state machine against the closed-form
+    batch answer — the strongest check a custom stateful operator can
+    get.
+
+    Files arrive in event-time order (``_stage_by_event_time``), so
+    per-key rows are processed in ts order across batches; a sentinel
+    row per user, one day after the global max and staged as the LAST
+    file, closes each user's final open session (the stream-end flush
+    a watermark timeout would provide in a long-running job —
+    timeout-based eviction is covered by the
+    ``running_user_totals`` golden tests).
+
+    Exactness: session boundaries compare integer microsecond gaps
+    (strict > {SS_GAP_US}µs in both lanes); counts and floor-second
+    durations are integers.
+
+    Scale: state is one (start, last, n) triple per ACTIVE user, keyed
+    and shuffled once; each micro-batch touches only the users present
+    in it. This is the shape session stores run at production scale —
+    plus a real watermark/timeout for eviction instead of a sentinel.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_sess_{tag}")
+    stage = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    # events.ts is TIMESTAMP_NTZ; unix_micros needs an instant. The
+    # session-tz cast adds a CONSTANT offset, which cancels in every
+    # gap and duration — the only ts arithmetic this entry does.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.lit(False).alias("sentinel"),
+    )
+    max_us = ev.agg(F.max("ts_us")).first()[0]
+    sentinels = (
+        ev.select("user_id").distinct()
+        .select(
+            "user_id",
+            F.lit(max_us + SS_SENTINEL_US).alias("ts_us"),
+            F.lit(True).alias("sentinel"),
+        )
+    )
+    # Range-partitioning ts_us puts every sentinel (strictly greater
+    # than any real event) in the LAST file(s): the flush batch.
+    _stage_by_event_time(
+        ev.unionByName(sentinels), stage, SW_STAGE_FILES, ts_col="ts_us"
+    )
+
+    out_schema = (
+        "user_id long, start_us long, n_events long, duration_sec long"
+    )
+    state_schema = "start_us long, last_us long, n long"
+
+    def sessionize(key, pdfs, state):
+        (user_id,) = key
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        # Cross-BATCH order is guaranteed by the event-time staging;
+        # within one batch the group's rows arrive unordered — sort.
+        rows = sorted(
+            (ts_us, is_sent)
+            for pdf in pdfs
+            for ts_us, is_sent in zip(
+                pdf["ts_us"].tolist(), pdf["sentinel"].tolist()
+            )
+        )
+        for ts_us, is_sent in rows:
+            if start is not None and ts_us - last > SS_GAP_US:
+                closed.append(
+                    (user_id, start, n, (last - start) // 1_000_000)
+                )
+                start = None
+            if is_sent:
+                continue  # sentinels close sessions, never join one
+            if start is None:
+                start, last, n = ts_us, ts_us, 1
+            else:
+                last, n = ts_us, n + 1
+        if start is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "start_us", "n_events", "duration_sec"]
+            )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long, sentinel boolean")
+        .option("maxFilesPerTrigger", SW_FILES_PER_TRIGGER)
+        .parquet(stage)
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    qname = f"cw_sess_out_{tag}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy(F.col("n_events").alias("session_events"))
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("duration_sec").cast("long").alias("total_duration_sec"),
+        )
+        .orderBy("session_events")
+    )
+
+
 WI_SUBSET = 9  # streaming-ingest e2e feeds only o_orderkey % 9 == 0
 # (coprime with AMEND=7 and DELETE=10; volume is not the cost here —
 # the batch count is, so the stage is 4 files / 2 micro-batches:

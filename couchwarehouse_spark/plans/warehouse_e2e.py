@@ -488,3 +488,69 @@ def warehouse_split_transform_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("total_k").cast("long").alias("total_k_sum"),
         )
     )
+
+
+ZR_SUBSET = 4  # zorder e2e feeds only o_orderkey % 4 == 0
+ZR_LO, ZR_HI = 60_000.0, 120_000.0  # range predicate on total
+
+
+@query(
+    "zorder_relayout_e2e",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % {AMEND} = 0 THEN 'amended'
+                ELSE o_orderstatus END        AS status,
+           CAST(count(*) AS BIGINT)           AS n_orders,
+           round(sum(o_totalprice), 2)        AS total_in_range
+    FROM orders
+    WHERE o_orderkey % {ZR_SUBSET} = 0 AND o_orderkey % {DELETE} <> 0
+      AND o_totalprice BETWEEN {ZR_LO} AND {ZR_HI}
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def zorder_relayout_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER under the oracle gate: spool the derived feed
+    (inserts + amendments + tombstones, the full R-tier kernel), run
+    ``optimize_zorder(['total', 'customer_id'])`` — a Morton-order
+    file REWRITE committed as a new manifest version — then answer a
+    range query on ``total`` from the relaid-out table. The oracle
+    states the answer straight from ``orders``: a hash match proves
+    the relayout moved BYTES and nothing else (every row, every
+    latest-wins/tombstone outcome, byte-identical values through the
+    z-value sort, quantization bounds and rewrite).
+
+    The pruning PAYOFF (the reason z-order exists) is pinned by
+    tests/test_round9_ops.py: on a z-ordered file, parquet row-group
+    min/max stats on ``total`` become tight, so this entry's BETWEEN
+    predicate — pushed to the scan (plan pin) — skips the row groups
+    whose [min, max] misses the range; at 100 TB with one file per
+    z-run that's whole-file skipping driven by the manifest's
+    per-file stats (``describe_stats``/``analyze``).
+
+    Scale: the rewrite is one repartition-by-bucket + within-bucket
+    sort (no extra shuffle beyond the relayout itself); the z-value is
+    integer bit arithmetic; bounds come from ONE broadcast one-row
+    aggregate. Bucket layout is preserved, so merge pruning and point
+    lookups keep their contract after the relayout.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_zorder_{tag}")
+    feed_dir = os.path.join(base, "feed")
+    wh_dir = os.path.join(base, "wh")
+    shutil.rmtree(base, ignore_errors=True)
+
+    _build_feed(spark, sf_dir, feed_dir, subset=ZR_SUBSET)
+    wh = Warehouse(spark, wh_dir, "zorders", reset=True, feed_schema=FEED_DOC_DDL)
+    wh.spool(feed_dir)
+    wh.optimize_zorder(["total", "customer_id"])
+
+    return (
+        wh.table()
+        .filter(F.col("total").between(ZR_LO, ZR_HI))
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("total"), 2).alias("total_in_range"),
+        )
+        .orderBy("status")
+    )

@@ -247,3 +247,244 @@ class TestHoltDegenerate:
         assert r["mae"] == round(err / n_err, 4)
         assert r["final_level"] == round(level, 4)
         assert r["final_trend"] == round(trend, 4)
+
+
+class TestStreamingIntervalJoinE2E:
+    def test_attribution_pairs_by_construction(self, spark, tmp_path):
+        """Hand-built views/purchases: the 1h window is strict-> on the
+        left edge and inclusive <= on the right; a purchase can
+        attribute to SEVERAL preceding views; out-of-window and
+        wrong-direction purchases never pair."""
+        from couchwarehouse_spark.plans.streaming_e2e import (
+            streaming_interval_join_e2e,
+        )
+
+        sf = str(tmp_path / "sf")
+        rows = [
+            # user 1: one view at 10:00
+            (1, "2024-01-01 10:00:00", 1, "view", 0.0),
+            (2, "2024-01-01 10:30:00", 1, "purchase", 10.0),   # in
+            (3, "2024-01-01 11:00:00", 1, "purchase", 20.0),   # boundary: in
+            (4, "2024-01-01 11:00:01", 1, "purchase", 40.0),   # out (late)
+            (5, "2024-01-01 09:59:59", 1, "purchase", 80.0),   # out (before)
+            # user 2: two views, one purchase inside BOTH windows
+            (6, "2024-01-01 10:00:00", 2, "view", 0.0),
+            (7, "2024-01-01 10:10:00", 2, "view", 0.0),
+            (8, "2024-01-01 10:30:00", 2, "purchase", 5.5),
+            # user 3: purchase with no view at all
+            (9, "2024-01-01 10:30:00", 3, "purchase", 7.0),
+        ]
+        from datetime import datetime
+
+        df = spark.createDataFrame(
+            [
+                (i, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"), u, et, v, "{}")
+                for i, ts, u, et, v in rows
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        _write(df, sf, "events")
+        out = {
+            r["user_id"]: (r["n_attributed"], r["purchase_cents"])
+            for r in streaming_interval_join_e2e(spark, sf).collect()
+        }
+        assert out == {
+            1: (2, 3000),   # 10.00 + 20.00 in cents
+            2: (2, 1100),   # the 5.50 purchase pairs with both views
+        }
+
+
+class TestStreamingSessionStateE2E:
+    def test_sessions_by_construction(self, spark, tmp_path):
+        """user 1: events at +0, +29min (one session: 29-min gap <= 30)
+        then +70min (gap 41min > 30 -> new 1-event session); user 2 has
+        a single event. Histogram: two 1-event sessions (0s total) and
+        one 2-event session (1740s)."""
+        from couchwarehouse_spark.plans.streaming_e2e import (
+            streaming_session_state_e2e,
+        )
+        from datetime import datetime, timedelta
+
+        sf = str(tmp_path / "sf")
+        t0 = datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            (1, t0, 1),
+            (2, t0 + timedelta(minutes=29), 1),
+            (3, t0 + timedelta(minutes=70), 1),
+            (4, t0 + timedelta(minutes=5), 2),
+        ]
+        df = spark.createDataFrame(
+            [(i, ts, u, "view", 1.0, "{}") for i, ts, u in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        _write(df, sf, "events")
+        out = {
+            r["session_events"]: (r["n_sessions"], r["total_duration_sec"])
+            for r in streaming_session_state_e2e(spark, sf).collect()
+        }
+        assert out == {1: (2, 0), 2: (1, 29 * 60)}
+
+    def test_gap_boundary_is_strictly_greater(self, spark, tmp_path):
+        """A gap of EXACTLY 30 minutes stays in the same session (the
+        break condition is > gap in both lanes)."""
+        from couchwarehouse_spark.plans.streaming_e2e import (
+            streaming_session_state_e2e,
+        )
+        from datetime import datetime, timedelta
+
+        sf = str(tmp_path / "sf")
+        t0 = datetime(2024, 1, 1, 12, 0, 0)
+        df = spark.createDataFrame(
+            [
+                (1, t0, 1, "view", 1.0, "{}"),
+                (2, t0 + timedelta(minutes=30), 1, "view", 1.0, "{}"),
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        _write(df, sf, "events")
+        (r,) = streaming_session_state_e2e(spark, sf).collect()
+        assert (r["session_events"], r["n_sessions"]) == (2, 1)
+
+
+class TestZorderRelayoutE2E:
+    def test_range_query_after_relayout_by_construction(self, spark, tmp_path):
+        """Six hand-built orders through spool -> optimize_zorder ->
+        range query: keys are multiples of ZR_SUBSET(4) engineered
+        against AMEND(7)/DELETE(10); the BETWEEN [60k, 120k] range is
+        boundary-inclusive on both edges; the tombstoned key vanishes
+        even though its total is in range."""
+        from couchwarehouse_spark.plans.warehouse_e2e import (
+            zorder_relayout_e2e,
+        )
+
+        sf = str(tmp_path / "sf")
+        rows = [
+            (4, 1, "O", 80_000.0),     # in range
+            (8, 2, "O", 200_000.0),    # out (high)
+            (20, 3, "O", 100_000.0),   # %10: tombstoned (in range, gone)
+            (28, 4, "O", 60_000.0),    # %7: amended; boundary low -> in
+            (12, 5, "O", 120_000.0),   # boundary high -> in
+            (16, 6, "F", 59_999.99),   # out (just below)
+            (5, 7, "O", 90_000.0),     # not %4: never enters the feed
+        ]
+        _write(
+            spark.createDataFrame(
+                [
+                    (k, c, s, t, "1996-01-02", "1-URGENT", "c", 0, "x")
+                    for k, c, s, t in rows
+                ],
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate string, "
+                "o_orderpriority string, o_clerk string, "
+                "o_shippriority int, o_comment string",
+            ),
+            sf,
+            "orders",
+        )
+        out = {
+            r["status"]: (r["n_orders"], r["total_in_range"])
+            for r in zorder_relayout_e2e(spark, sf).collect()
+        }
+        assert out == {"O": (2, 200_000.0), "amended": (1, 60_000.0)}
+
+
+class TestZorderRowGroupPruning:
+    def test_zorder_tightens_rowgroup_stats_for_range_pruning(
+        self, spark, tmp_path
+    ):
+        """The PAYOFF pin for zorder_relayout_e2e: write a 1-bucket
+        warehouse table with a tiny parquet block size (so files carry
+        MANY row groups), snapshot per-row-group min/max stats on
+        ``total`` before and after optimize_zorder(['total']), and
+        count row groups a [lo, hi] range predicate cannot skip. Rows
+        arrive in id-hash order, so pre-relayout every row group spans
+        ~the full range (zero skipping); post-relayout the z-sort makes
+        stats tight and most row groups prunable — the exact file/
+        row-group skipping a 100 TB scan relies on."""
+        import pyarrow.parquet as pq
+
+        from couchwarehouse_spark.warehouse import Warehouse
+
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        old_block = hconf.get("parquet.block.size")
+        hconf.set("parquet.block.size", str(64 * 1024))
+        try:
+            n = 40_000
+            docs = spark.range(n).selectExpr(
+                "concat('doc', cast(id as string)) AS _id",
+                "'1-x' AS _rev",
+                # totals are a PERMUTATION of 0..n-1 (id-hash order ==
+                # random in total), so pre-zorder row groups all span
+                # ~everything
+                "cast(pmod(id * 7919, 40000) as double) AS total",
+            )
+            feed = docs.selectExpr(
+                "to_json(named_struct("
+                "'seq', concat(substring(_id, 4), '-s'), "
+                "'id', _id, 'doc', named_struct('_id', _id, '_rev', _rev, "
+                "'total', total))) AS value"
+            )
+            feed_dir = str(tmp_path / "feed")
+            feed.coalesce(4).write.mode("overwrite").text(feed_dir)
+            wh = Warehouse(
+                spark, str(tmp_path / "wh"), "zp", reset=True, n_buckets=1,
+                feed_schema="_id string, _rev string, total double",
+            )
+            wh.spool(feed_dir)
+
+            lo, hi = 10_000.0, 14_000.0  # 10% of the value span
+
+            def unprunable_rowgroups() -> tuple[int, int]:
+                total, hit = 0, 0
+                tdir = None
+                for root, _dirs, files in __import__("os").walk(
+                    str(tmp_path / "wh")
+                ):
+                    if "_cw_bucket=" not in root:
+                        continue  # skip spool scratch / manifest areas
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            path = __import__("os").path.join(root, f)
+                            pf = pq.ParquetFile(path)
+                            md = pf.metadata
+                            cols = {
+                                md.row_group(0).column(j).path_in_schema: j
+                                for j in range(md.row_group(0).num_columns)
+                            }
+                            j = cols["total"]
+                            for i in range(md.num_row_groups):
+                                st = md.row_group(i).column(j).statistics
+                                total += 1
+                                if st.min <= hi and st.max >= lo:
+                                    hit += 1
+                return total, hit
+
+            # Current manifest files only: walk is fine pre-vacuum
+            # because spool committed exactly one version so far.
+            before_total, before_hit = unprunable_rowgroups()
+            assert before_total >= 8, (
+                f"need many row groups for a meaningful pin, got {before_total}"
+            )
+            assert before_hit == before_total  # nothing prunable pre-relayout
+
+            wh.optimize_zorder(["total"])
+            wh.vacuum(retain_versions=1, min_age_seconds=0.0)  # drop pre-relayout files
+            after_total, after_hit = unprunable_rowgroups()
+            assert after_total >= 8
+            # The z-sort must make the range prunable: at most half the
+            # row groups may still overlap a 10% range (observed: ~1/8).
+            assert after_hit <= after_total // 2, (
+                f"zorder did not tighten stats: {after_hit}/{after_total} "
+                f"row groups still overlap [{lo}, {hi}]"
+            )
+
+            # And the data survived the relayout byte-for-byte.
+            assert wh.table().count() == n
+        finally:
+            if old_block is None:
+                hconf.unset("parquet.block.size")
+            else:
+                hconf.set("parquet.block.size", old_block)

@@ -1,0 +1,97 @@
+"""Regenerate BENCH_HISTORY.md from the per-round BENCH_r*.json
+artifacts (r8 verdict #6): one row per round with total wall, entry
+count, per-entry average, and the median round-over-round ratio on
+the queries common to consecutive rounds' recorded maps — the early
+drift alarm the builder checks BEFORE the driver bench runs.
+
+Usage: python tools/bench_history.py [extra.json ...]
+Extra files are builder-local full-map runs ({"queries": {...},
+"value": N, "n_queries": N} or bench.py's "# full:" payload),
+appended as provenance-labeled rows.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import statistics
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_round(path: str):
+    d = json.load(open(path))
+    p = d.get("parsed") or {}
+    return {
+        "label": os.path.basename(path).replace("BENCH_", "").replace(".json", ""),
+        "total": p.get("value"),
+        "n": p.get("n_queries") or len(p.get("queries") or {}),
+        "queries": p.get("queries") or {},
+        "provenance": "driver",
+    }
+
+
+def _load_extra(path: str):
+    d = json.load(open(path))
+    return {
+        "label": os.path.basename(path).replace(".json", ""),
+        "total": d.get("value") or d.get("total"),
+        "n": d.get("n_queries") or len(d.get("queries") or {}),
+        "queries": d.get("queries") or {},
+        "provenance": "builder-local",
+    }
+
+
+def main() -> None:
+    rows = [
+        _load_round(p)
+        for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    ]
+    rows += [_load_extra(p) for p in sys.argv[1:]]
+    lines = [
+        "# Bench history (sf0.1, local[32])",
+        "",
+        "Per-round totals from the driver's `BENCH_r*.json` plus any",
+        "builder-local full runs. `median vs prev` is the median",
+        "per-query wall ratio over queries recorded in BOTH rows —",
+        "a fleet-wide drift (host noise or a shared-path regression)",
+        "moves this number; a single query's regression doesn't.",
+        "Regenerate: `python tools/bench_history.py [local_run.json ...]`.",
+        "",
+        "| run | n | total (s) | s/entry | median vs prev | provenance |",
+        "|---|---|---|---|---|---|",
+    ]
+    prev_q = None
+    for r in rows:
+        ratio = ""
+        if prev_q and r["queries"]:
+            common = set(prev_q) & set(r["queries"])
+            if len(common) >= 5:
+                ratio = f"{statistics.median(r['queries'][n] / prev_q[n] for n in common):.2f}× ({len(common)}q)"
+        per = f"{r['total'] / r['n']:.2f}" if r["total"] and r["n"] else "—"
+        total = f"{r['total']:.1f}" if r["total"] else "—"
+        lines.append(
+            f"| {r['label']} | {r['n'] or '—'} | {total} | {per} | {ratio or '—'} | {r['provenance']} |"
+        )
+        if r["queries"]:
+            prev_q = r["queries"]
+    lines += [
+        "",
+        "Notes:",
+        "- r02/r03 rows recorded no parseable totals (stdout-truncation era).",
+        "- r05 (2.29 s/entry) and r08 (1.61 s/entry) are transient host",
+        "  spikes, not code regressions: round 9's bisect re-ran the full",
+        "  suite at r8 HEAD and at r7 HEAD interleaved on the same host",
+        "  and both came out at r7-era speed (median ratio 1.00 vs the r7",
+        "  artifact; see README bench section for the numbers).",
+        "",
+    ]
+    out = os.path.join(REPO, "BENCH_HISTORY.md")
+    open(out, "w").write("\n".join(lines))
+    print(f"wrote {out} with {len(rows)} rows")
+
+
+if __name__ == "__main__":
+    main()
