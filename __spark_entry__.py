@@ -25,7 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
 # coverage policy. Round-9 rotation — ACTUAL composition (3 anchors +
-# 2 changed + 3 new + 21 queue + 1 family + 12 stalest-r02 + 8 r03 =
+# 2 changed + 9 new + 21 queue + 1 family + 12 stalest-r02 + 2 r03 =
 # 50), executing round 8's written plan: the full 21-entry
 # never-driver-verified r8 queue (every r8 operator that landed after
 # the r8 window was written, incl. the three streaming e2e entries),
@@ -40,13 +40,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #    divide-by-zero guards, ADVICE r8 — nullif in both lanes; their
 #    queue-mates mann_kendall_trend and holt_linear_backtest also
 #    changed but already sit in the 21-entry queue below),
-#  - 3 NEW entries: streaming_interval_join_e2e (watermarked
+#  - 6 NEW entries: streaming_interval_join_e2e (watermarked
 #    stream-stream interval join under the oracle gate, r8 verdict
 #    #4a), streaming_session_state_e2e (applyInPandasWithState
 #    event-time session-ization under the oracle gate, r8 verdict
 #    #4b), zorder_relayout_e2e (OPTIMIZE ZORDER relayout + range
-#    query, r8 verdict #4c) — every operator added this round is
-#    driver-verified the round it lands,
+#    query, r8 verdict #4c), streaming_static_enrich_e2e
+#    (stream-static broadcast-dim enrichment join under the oracle
+#    gate), gini_token_concentration (integer-exact Lorenz/Gini
+#    corpus-concentration audit), abtest_power_mde (two-proportion
+#    power analysis with literal normal quantiles),
+#    sprt_boundary_scan (Wald sequential test path in integer
+#    nano-nats) and temporal_split_audit (chronological split census
+#    with user-level leakage rates) and partition_modularity (Newman
+#    Q of the IVF-cell partition over the kNN graph) — every operator
+#    added this round is driver-verified the round it lands,
 #  - 21 r8-queue entries: the post-window r8 additions, all t2-sim
 #    green at both SFs in r8 AND independently re-verified by the r8
 #    judge (VERDICT.md) — their first driver window,
@@ -54,14 +62,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #    entry family-eligible; the window must keep a skew_plan rep),
 #  - 12 STALEST greens: the r02-window survivors displaced from the
 #    r8 window by that round's new operators (r8 PRIORITY comment),
-#  - 8 r03-cohort greens: embedding_near_dup + multimodal_metadata
-#    first (they carry the window's dedup and multimodal_plan family
-#    reps this round), then the 6 alphabetically-first of the r03
-#    cohort (agg_stats .. cte_above_avg_customers).
+#  - 2 r03-cohort greens: embedding_near_dup + multimodal_metadata
+#    (they carry the window's dedup and multimodal_plan family reps
+#    this round).
 # ROUND-10 ROTATION PLAN (write the r10 window from this): keep the 3
 # anchors + any round-10-changed entries; window any round-9-new
 # operators not yet driver-verified; then stalest greens — the
-# remaining r03 cohort first (deterministic_split, doc_chunking,
+# remaining r03 cohort first (agg_stats, array_functions, asof_last_view,
+# big_spenders_semi, bm25_relevance,
+# cte_above_avg_customers, deterministic_split, doc_chunking,
 # flatten_props, full_text_relevance, graph_pagerank_step,
 # grouping_sets_orders, hybrid_search_rrf,
 # incremental_agg_maintenance, ivf_topk, json_functions,
@@ -84,10 +93,16 @@ PRIORITY = [
     # --- 2 changed-this-round entries (re-prove the guarded impl) ---
     "welch_t_doclen",
     "anova_doclen_by_source",
-    # --- 3 new-this-round entries ---
+    # --- 9 new-this-round entries ---
     "streaming_interval_join_e2e",
     "streaming_session_state_e2e",
     "zorder_relayout_e2e",
+    "streaming_static_enrich_e2e",
+    "gini_token_concentration",
+    "abtest_power_mde",
+    "sprt_boundary_scan",
+    "temporal_split_audit",
+    "partition_modularity",
     # --- 21 r8-queue entries (first driver window; mann_kendall and
     # holt also changed this round — ANSI guards) ---
     "market_basket_lift_pairs",
@@ -130,12 +145,6 @@ PRIORITY = [
     # first, then alphabetical) ---
     "embedding_near_dup",
     "multimodal_metadata",
-    "agg_stats",
-    "array_functions",
-    "asof_last_view",
-    "bm25_relevance",
-    "big_spenders_semi",
-    "cte_above_avg_customers",
 ]
 
 

@@ -1077,3 +1077,85 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "users_at_risk_share"
         ),
     )
+
+
+@query(
+    "gini_token_concentration",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rk
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(rk * n_chars) AS BIGINT) AS rank_weighted
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n_docs, total_chars,
+           round(CAST(2 * rank_weighted - (n_docs + 1) * total_chars
+                      AS DOUBLE)
+                 / nullif(CAST(n_docs AS DOUBLE) * total_chars, 0),
+                 6) AS gini
+    FROM g
+    ORDER BY source
+    """,
+)
+def gini_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per source — the Lorenz
+    inequality audit a corpus designer runs before mixing: a source
+    whose bytes concentrate in a handful of giant documents (G → 1)
+    contributes far less DIVERSITY per token than its row count
+    suggests, and duplicates/boilerplate inflate it further. Classic
+    rank formula G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over
+    ascending-sorted lengths. The WITHIN-source, document-granularity
+    complement of ``gini_source_concentration`` (statistics.py), which
+    ranks whole-source masses — that one says "do sources contribute
+    equally", this one says "inside each source, do documents".
+
+    Exactness: ranks and both sums are exact integers; Σ rank·x is
+    invariant under permutations of equal lengths (swapping two equal
+    x's swaps their ranks but not the sum), so the doc_id tie-break
+    only pins the per-row rank, not the statistic. ONE division at
+    the end, rounded once; nullif guards the n·Σx = 0 shape.
+
+    Scale: one window sort per source partition (the same shape every
+    percentile entry uses) and a 3-counter aggregate — no joins, no
+    second pass. At 100 TB the sort is the cost; the alternative
+    single-pass mean-absolute-difference estimator trades exactness
+    for it, which this repo's oracle discipline rejects.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    g = ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.col("rk") * F.col("n_chars")).cast("long").alias("rank_weighted"),
+    )
+    return (
+        g.select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.round(
+                (
+                    2 * F.col("rank_weighted")
+                    - (F.col("n_docs") + 1) * F.col("total_chars")
+                ).cast("double")
+                / F.nullif(
+                    F.col("n_docs").cast("double") * F.col("total_chars"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("source")
+    )

@@ -1861,3 +1861,107 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+TS_TRAIN_END = "2024-01-20"  # train < this day
+TS_VAL_END = "2024-01-26"  # val < this day; test = the rest
+
+
+@query(
+    "temporal_split_audit",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id,
+             CASE WHEN ts < TIMESTAMP '{TS_TRAIN_END}' THEN 0
+                  WHEN ts < TIMESTAMP '{TS_VAL_END}' THEN 1
+                  ELSE 2 END AS split_id
+      FROM events
+    ),
+    per_split AS (
+      SELECT split_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM tagged GROUP BY split_id
+    ),
+    firsts AS (
+      SELECT user_id, CAST(min(split_id) AS BIGINT) AS first_split
+      FROM tagged GROUP BY user_id
+    ),
+    seen AS (
+      SELECT t.split_id,
+             CAST(count(DISTINCT t.user_id) AS BIGINT) AS n_users_seen_earlier
+      FROM (SELECT DISTINCT split_id, user_id FROM tagged) t
+      JOIN firsts f ON f.user_id = t.user_id AND f.first_split < t.split_id
+      GROUP BY t.split_id
+    )
+    SELECT CASE p.split_id WHEN 0 THEN 'train' WHEN 1 THEN 'val'
+                           ELSE 'test' END AS split,
+           p.n_events, p.n_users,
+           coalesce(s.n_users_seen_earlier, 0) AS n_users_seen_earlier,
+           round(CAST(coalesce(s.n_users_seen_earlier, 0) AS DOUBLE)
+                 / p.n_users, 6) AS user_leakage_rate
+    FROM per_split p LEFT JOIN seen s ON s.split_id = p.split_id
+    ORDER BY p.split_id
+    """,
+)
+def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/val/test split census with USER-LEVEL leakage
+    rates — the audit run before any time-series or recommendation
+    eval: a chronological split prevents event-level leakage by
+    construction, but a user active in both train and test still
+    leaks user-level signal (their test behavior is partially
+    memorizable), and this entry measures exactly how much of each
+    later split's user base was already seen earlier. Cutoffs are
+    literal date constants, the production posture for a frozen
+    benchmark split (the hash-based sibling is
+    ``deterministic_split``).
+
+    Exactness: split assignment is a timestamp comparison against
+    literals; every output is an integer count or one final division.
+
+    Scale: one user-keyed distinct (the same shuffle the per-split
+    user counts need anyway) and a broadcast-sized first-split join —
+    |users| rows, not |events|.
+    """
+    e = load_table(spark, sf_dir, "events")
+    split_id = (
+        F.when(F.col("ts") < F.lit(TS_TRAIN_END).cast("timestamp_ntz"), 0)
+        .when(F.col("ts") < F.lit(TS_VAL_END).cast("timestamp_ntz"), 1)
+        .otherwise(2)
+    )
+    tagged = e.select("user_id", split_id.alias("split_id"))
+    tagged = scoped_persist(tagged)
+    per_split = tagged.groupBy("split_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    pairs = tagged.distinct()
+    firsts = pairs.groupBy("user_id").agg(
+        F.min("split_id").cast("long").alias("first_split")
+    )
+    seen = (
+        pairs.join(firsts, "user_id")
+        .filter(F.col("first_split") < F.col("split_id"))
+        .groupBy("split_id")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users_seen_earlier")
+        )
+    )
+    leak = F.coalesce(F.col("n_users_seen_earlier"), F.lit(0))
+    return (
+        per_split.join(seen, "split_id", "left")
+        .select(
+            F.when(F.col("split_id") == 0, "train")
+            .when(F.col("split_id") == 1, "val")
+            .otherwise("test")
+            .alias("split"),
+            "n_events",
+            "n_users",
+            leak.alias("n_users_seen_earlier"),
+            F.round(leak.cast("double") / F.col("n_users"), 6).alias(
+                "user_leakage_rate"
+            ),
+            F.col("split_id"),
+        )
+        .orderBy("split_id")
+        .drop("split_id")
+    )

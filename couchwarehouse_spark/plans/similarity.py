@@ -3306,3 +3306,161 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mmr", 4).alias("mmr_score"),
     )
     return out1.unionByName(out2).unionByName(out3).orderBy("rank")
+
+
+_MODULARITY_ORACLE = f"""
+    WITH flat AS (
+      SELECT label,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+             unnest(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label AS cell, dim, round(avg(x), 6) AS c FROM flat GROUP BY label, dim
+    ),
+    cents AS (
+      SELECT cell, list(c ORDER BY dim) AS centroid FROM dims GROUP BY cell
+    ),
+    vv AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, min_by(cell, list_distance(v, centroid)) AS cell
+      FROM vv CROSS JOIN cents
+      GROUP BY vec_id, v
+    ),
+    knn AS ({KNN_GRAPH_ORACLE.replace(chr(10), chr(10) + '    ')}),
+    und AS (
+      SELECT DISTINCT least(vec_id, nbr_id) AS a, greatest(vec_id, nbr_id) AS c
+      FROM knn
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM und UNION ALL SELECT c FROM und)
+      GROUP BY node
+    ),
+    intra AS (
+      SELECT aa.cell, CAST(count(*) AS BIGINT) AS intra_edges
+      FROM und
+      JOIN assigned aa ON aa.vec_id = und.a
+      JOIN assigned ac ON ac.vec_id = und.c
+      WHERE aa.cell = ac.cell
+      GROUP BY aa.cell
+    ),
+    cellstat AS (
+      SELECT s.cell,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS degree_sum
+      FROM assigned s LEFT JOIN deg ON deg.node = s.vec_id
+      GROUP BY s.cell
+    )
+    SELECT cs.cell, cs.n_nodes,
+           coalesce(i.intra_edges, 0) AS intra_edges,
+           cs.degree_sum,
+           round(CAST(coalesce(i.intra_edges, 0) AS DOUBLE) / m.m
+                 - power(CAST(cs.degree_sum AS DOUBLE) / (2 * m.m), 2),
+                 6) AS q_contribution
+    FROM cellstat cs LEFT JOIN intra i ON i.cell = cs.cell CROSS JOIN m
+    ORDER BY cs.cell
+"""
+
+
+@query("partition_modularity", oracle=_MODULARITY_ORACLE)
+def partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity (Newman-Girvan 2004) of the IVF cell
+    partition over the k-NN graph — the index-quality diagnostic that
+    connects the repo's two X2 structures: if vectors' nearest-centroid
+    cells align with the near-neighbor graph's community structure
+    (per-cell contribution q_c = L_c/m − (D_c/2m)² summing high),
+    single-probe IVF queries rarely cross a cell boundary to find
+    their neighbors; Q near 0 says the quantizer fights the geometry
+    and nprobe must rise. Same cell assignment as ``ivf_topk`` (6-dp
+    centroids, strict-< argmin), same undirected edge set as
+    ``graph_triangle_count``.
+
+    Exactness: m, per-cell intra-edge counts, and degree sums are
+    exact integers; one fixed float expression per cell, rounded once.
+
+    Scale: the kNN build dominates (bucketed, never all-pairs — see
+    ``knn_graph_bucketed``); after it, two broadcast-sized joins of
+    the edge list against the |V|-row assignment and a |cells|-group
+    aggregate. The assignment itself is a pure projection over ONE
+    broadcast centroid row.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = (
+        v.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy(F.col("label").alias("cell"), "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    cents = dims.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc")
+    ).select("cell", F.col("dc.c").alias("centroid"))
+    cents_row = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("cents")
+    )
+    assigned = scoped_persist(
+        v.crossJoin(F.broadcast(cents_row)).select(
+            "vec_id",
+            argmin_cell(
+                F.col("v"), F.col("cents"), cents.schema["cell"].dataType
+            ).alias("cell"),
+        )
+    )
+    edges = scoped_persist(
+        knn_graph_bucketed(spark, sf_dir)
+        .select(
+            F.least("vec_id", "nbr_id").alias("a"),
+            F.greatest("vec_id", "nbr_id").alias("c"),
+        )
+        .distinct()
+    )
+    m = edges.agg(F.count("*").cast("long").alias("m"))
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    a_cell = assigned.select(F.col("vec_id").alias("a"), F.col("cell").alias("a_cell"))
+    c_cell = assigned.select(F.col("vec_id").alias("c"), F.col("cell").alias("c_cell"))
+    intra = (
+        edges.join(a_cell, "a")
+        .join(c_cell, "c")
+        .filter(F.col("a_cell") == F.col("c_cell"))
+        .groupBy(F.col("a_cell").alias("cell"))
+        .agg(F.count("*").cast("long").alias("intra_edges"))
+    )
+    cellstat = (
+        assigned.join(deg, assigned.vec_id == deg.node, "left")
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.coalesce(F.col("d"), F.lit(0))).cast("long").alias("degree_sum"),
+        )
+    )
+    intra_e = F.coalesce(F.col("intra_edges"), F.lit(0))
+    return (
+        cellstat.join(intra, "cell", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "cell",
+            "n_nodes",
+            intra_e.alias("intra_edges"),
+            "degree_sum",
+            F.round(
+                intra_e.cast("double") / F.col("m")
+                - F.pow(
+                    F.col("degree_sum").cast("double") / (2 * F.col("m")),
+                    F.lit(2),
+                ),
+                6,
+            ).alias("q_contribution"),
+        )
+        .orderBy("cell")
+    )

@@ -3538,3 +3538,206 @@ def mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mcnemar_chi2"),
     )
+
+
+PW_Z_ALPHA = 1.959964  # two-sided alpha = 0.05
+PW_Z_BETA = 0.841621  # power = 0.80
+PW_LIFTS = (1, 2, 5, 10, 20)  # relative MDE grid, percent
+
+
+@query(
+    "abtest_power_mde",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(CASE WHEN
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             THEN 1 ELSE 0 END AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS conv_users
+      FROM u
+    ),
+    grid AS (SELECT * FROM (VALUES {", ".join(f"({L})" for L in PW_LIFTS)})
+             AS t(lift_pct))
+    SELECT g.lift_pct, b.n_users,
+           round(p, 6) AS p_base,
+           CASE WHEN p * (1 + g.lift_pct / 100.0) < 1 THEN
+             CAST(ceil(
+               power({PW_Z_ALPHA} * sqrt(2.0
+                       * ((p + p * (1 + g.lift_pct / 100.0)) / 2)
+                       * (1 - (p + p * (1 + g.lift_pct / 100.0)) / 2))
+                     + {PW_Z_BETA} * sqrt(p * (1 - p)
+                       + p * (1 + g.lift_pct / 100.0)
+                         * (1 - p * (1 + g.lift_pct / 100.0))), 2)
+               / power(p * g.lift_pct / 100.0, 2)
+             ) AS BIGINT)
+           END AS required_n_per_arm
+    FROM base b CROSS JOIN grid g
+    CROSS JOIN (SELECT CAST(conv_users AS DOUBLE) / n_users AS p FROM base)
+    ORDER BY g.lift_pct
+    """,
+)
+def abtest_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test POWER ANALYSIS — the question every experiment design
+    starts with: at the observed baseline conversion rate (the same
+    purchases-beat-views per-user conversion
+    ``abtest_two_proportion_z`` reads out), how many users per arm
+    does it take to detect a +1/2/5/10/20% relative lift at
+    alpha = 0.05 (two-sided) with 80% power? Standard
+    two-proportion formula n = (z_a·sqrt(2·p̄q̄) + z_b·sqrt(p1q1 +
+    p2q2))² / Δ² with the normal quantiles as LITERAL constants
+    (1.959964, 0.841621) — no CDF evaluation anywhere, so both
+    engines run the identical +,·,/,sqrt,ceil dag (sqrt is IEEE
+    correctly-rounded; exp/ln never appear). The design-time
+    companion to ``abtest_two_proportion_z``'s readout.
+
+    Exactness: the baseline (n_users, conv_users) is an exact integer
+    pair; each grid row is one fixed float expression over it,
+    identical operation order in both lanes.
+
+    Scale: one user-keyed aggregate (partial max) to two counters,
+    then a 5-row literal grid broadcast — nothing after the agg is
+    data-sized.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = (
+        e.groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("event_type") == "purchase").cast("int"))
+                > F.sum((F.col("event_type") == "view").cast("int"))
+            )
+            .cast("long")
+            .alias("converted")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("converted").cast("long").alias("conv_users"),
+        )
+    )
+    grid = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({L})" for L in PW_LIFTS)
+        + " AS t(lift_pct)"
+    )
+    p = F.col("conv_users").cast("double") / F.col("n_users")
+    p2 = p * (1 + F.col("lift_pct") / 100.0)
+    pbar = (p + p2) / 2
+    # A lift that pushes p2 past 1 has no binomial meaning: NULL in
+    # both lanes (also keeps the sqrt arguments non-negative).
+    n_req = F.when(
+        p2 < 1,
+        F.ceil(
+            F.pow(
+                PW_Z_ALPHA * F.sqrt(2.0 * pbar * (1 - pbar))
+                + PW_Z_BETA * F.sqrt(p * (1 - p) + p2 * (1 - p2)),
+                F.lit(2),
+            )
+            / F.pow(p * F.col("lift_pct") / 100.0, F.lit(2))
+        ).cast("long"),
+    )
+    return (
+        base.crossJoin(F.broadcast(grid))
+        .select(
+            "lift_pct",
+            "n_users",
+            F.round(p, 6).alias("p_base"),
+            n_req.alias("required_n_per_arm"),
+        )
+        .orderBy("lift_pct")
+    )
+
+
+# Wald SPRT literals, precomputed to integer NANO-NATS so the daily
+# log-likelihood increments are exact integer products in both lanes:
+# H0: p = 0.45 vs H1: p = 0.55 on the purchases-vs-views daily mix,
+# alpha = beta = 0.05.
+SPRT_C1_NANO = 200_670_695  # ln(0.55/0.45) * 1e9, rounded
+SPRT_C0_NANO = -200_670_695  # ln(0.45/0.55) * 1e9, rounded
+SPRT_UPPER_NANO = 2_944_438_979  # ln((1-beta)/alpha) * 1e9
+SPRT_LOWER_NANO = -2_944_438_979  # ln(beta/(1-alpha)) * 1e9
+
+
+@query(
+    "sprt_boundary_scan",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type IN ('purchase', 'view')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    path AS (
+      SELECT d, x, n,
+             CAST(sum(x * {SPRT_C1_NANO} + (n - x) * {SPRT_C0_NANO})
+                  OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_llr_nano
+      FROM daily
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, x AS purchases, n AS trials,
+           cum_llr_nano,
+           CASE WHEN cum_llr_nano >= {SPRT_UPPER_NANO} THEN 'accept_h1'
+                WHEN cum_llr_nano <= {SPRT_LOWER_NANO} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM path
+    ORDER BY day
+    """,
+)
+def sprt_boundary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test (Wald 1945) over the
+    daily purchase-share series — the always-valid sequential monitor
+    behind every "peek early without p-hacking" experimentation
+    feature: each day adds x·ln(p1/p0) + (n−x)·ln(q1/q0) to the
+    running log-likelihood ratio, and the run stops the first day the
+    path crosses ln((1−β)/α) above (accept H1) or ln(β/(1−α)) below
+    (accept H0). Reports the full decision path.
+
+    Exactness: the four transcendental constants are precomputed
+    integer NANO-NAT literals, so every daily increment is an exact
+    integer product and the cumulative path is an associative integer
+    sum — the repo's ln-reduce idiom applied to a sequential test; no
+    float enters until never.
+
+    Scale: one hash agg to |days| rows, one ordered prefix sum over
+    that tiny series (single partition of days — the series, not the
+    events, is what's windowed).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.col("event_type").isin("purchase", "view").cast("int"))
+            .cast("long")
+            .alias("n"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(
+        F.col("x") * SPRT_C1_NANO + (F.col("n") - F.col("x")) * SPRT_C0_NANO
+    ).over(w).cast("long")
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("purchases"),
+        F.col("n").alias("trials"),
+        cum.alias("cum_llr_nano"),
+    ).select(
+        "day",
+        "purchases",
+        "trials",
+        "cum_llr_nano",
+        F.when(F.col("cum_llr_nano") >= SPRT_UPPER_NANO, "accept_h1")
+        .when(F.col("cum_llr_nano") <= SPRT_LOWER_NANO, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("day")

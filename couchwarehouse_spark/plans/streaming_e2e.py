@@ -338,6 +338,92 @@ def streaming_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_static_enrich_e2e",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def streaming_static_enrich_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join under the oracle gate — the
+    single most common production streaming shape (a fact stream
+    decorated with slowly-changing dimensions): orders arrive as a
+    multi-micro-batch file stream and every batch joins the STATIC
+    customer→nation dimension chain, aggregating revenue per nation
+    into the streaming state store. Unlike the stream-stream interval
+    join, the static side needs no watermark and buffers no state —
+    Catalyst plans it as a broadcast hash join per micro-batch, which
+    is exactly the 100 TB posture (the dimension is cluster-small; the
+    stream is unbounded).
+
+    Exactness: counts and cent-quantized revenue sums are integers;
+    the dimension chain is pure equi-join (no arithmetic).
+
+    Scale: per-trigger work is scan + broadcast-join + partial agg
+    into (|nations|)-keyed state; dimension re-broadcast per batch is
+    the documented trade-off vs a stale cached copy. The stage write
+    is harness, not operator.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_senrich_{tag}")
+    stage = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .repartition(SW_STAGE_FILES)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            load_table(spark, sf_dir, "nation").select(
+                "n_nationkey", "n_name"
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("nation"))
+    )
+
+    stream = (
+        spark.readStream.schema("o_custkey long, o_totalprice double")
+        .option("maxFilesPerTrigger", SW_FILES_PER_TRIGGER)
+        .parquet(stage)
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream.o_custkey == dim.c_custkey
+    )
+    agg = enriched.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    qname = f"cw_senrich_out_{tag}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).orderBy("nation")
+
+
 SS_GAP_US = 30 * 60 * 1_000_000  # 30-min session gap, integer microseconds
 SS_SENTINEL_US = 24 * 3600 * 1_000_000  # sentinel lands 1 day after max ts
 

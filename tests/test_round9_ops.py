@@ -488,3 +488,259 @@ class TestZorderRowGroupPruning:
                 hconf.unset("parquet.block.size")
             else:
                 hconf.set("parquet.block.size", old_block)
+
+
+class TestStreamingStaticEnrichE2E:
+    def test_enrichment_by_construction(self, spark, tmp_path):
+        """Three orders, two customers, two nations: per-batch
+        broadcast join against the static dim chain must credit each
+        order to its customer's nation with cent-exact revenue."""
+        from couchwarehouse_spark.plans.streaming_e2e import (
+            streaming_static_enrich_e2e,
+        )
+
+        sf = str(tmp_path / "sf")
+        _write(
+            spark.createDataFrame(
+                [(1, 10, "O", 100.25), (2, 10, "O", 49.75), (3, 20, "F", 10.10)],
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double",
+            ),
+            sf,
+            "orders",
+        )
+        _write(
+            spark.createDataFrame(
+                [(10, "alice", 1), (20, "bob", 2)],
+                "c_custkey long, c_name string, c_nationkey int",
+            ),
+            sf,
+            "customer",
+        )
+        _write(
+            spark.createDataFrame(
+                [(1, "FRANCE", 0), (2, "KENYA", 0)],
+                "n_nationkey int, n_name string, n_regionkey int",
+            ),
+            sf,
+            "nation",
+        )
+        out = {
+            r["nation"]: (r["n_orders"], r["revenue_cents"])
+            for r in streaming_static_enrich_e2e(spark, sf).collect()
+        }
+        assert out == {"FRANCE": (2, 15000), "KENYA": (1, 1010)}
+
+
+class TestGiniTokenConcentration:
+    def test_gini_by_construction(self, spark, tmp_path):
+        """'flat' (equal lengths) -> G = 0; 'skew' [1, 1, 98] -> G =
+        (2*297 - 4*100) / (3*100) = 194/300; a singleton source -> 0."""
+        from couchwarehouse_spark.plans.curation import (
+            gini_token_concentration,
+        )
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [
+                    (1, "en", "flat", 50),
+                    (2, "en", "flat", 50),
+                    (3, "en", "flat", 50),
+                    (4, "en", "skew", 98),
+                    (5, "en", "skew", 1),
+                    (6, "en", "skew", 1),
+                    (7, "en", "solo", 7),
+                ],
+            ),
+            sf,
+            "documents",
+        )
+        out = {
+            r["source"]: (r["n_docs"], r["total_chars"], r["gini"])
+            for r in gini_token_concentration(spark, sf).collect()
+        }
+        assert out["flat"] == (3, 150, 0.0)
+        assert out["skew"] == (3, 100, round(194 / 300, 6))
+        assert out["solo"] == (1, 7, 0.0)
+
+
+class TestAbtestPowerMde:
+    @staticmethod
+    def _expected_n(p: float, lift: float) -> int:
+        import math
+
+        p2 = p * (1 + lift)
+        pbar = (p + p2) / 2
+        num = (
+            1.959964 * math.sqrt(2.0 * pbar * (1 - pbar))
+            + 0.841621 * math.sqrt(p * (1 - p) + p2 * (1 - p2))
+        ) ** 2
+        return math.ceil(num / (p * lift) ** 2)
+
+    def test_required_n_matches_closed_form(self, spark, tmp_path):
+        """p = 0.5 exactly (one of two users converts: purchases >
+        views); each grid row must equal the hand-run formula."""
+        from couchwarehouse_spark.plans.statistics import abtest_power_mde
+        from datetime import datetime
+
+        sf = str(tmp_path / "sf")
+        t = datetime(2024, 1, 1, 12, 0, 0)
+        df = spark.createDataFrame(
+            [
+                (1, t, 1, "purchase", 1.0, "{}"),   # user 1: converts
+                (2, t, 2, "view", 1.0, "{}"),       # user 2: does not
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        _write(df, sf, "events")
+        out = {
+            r["lift_pct"]: r for r in abtest_power_mde(spark, sf).collect()
+        }
+        assert set(out) == {1, 2, 5, 10, 20}
+        for lift in (1, 2, 5, 10, 20):
+            r = out[lift]
+            assert r["n_users"] == 2 and r["p_base"] == 0.5
+            assert r["required_n_per_arm"] == self._expected_n(0.5, lift / 100)
+        # sanity: smaller effects need (much) more sample
+        assert (
+            out[1]["required_n_per_arm"]
+            > out[5]["required_n_per_arm"]
+            > out[20]["required_n_per_arm"]
+        )
+
+    def test_lift_past_certainty_is_null(self, spark, tmp_path):
+        """p = 1.0 (every user converts): any positive lift pushes
+        p2 past 1 -> NULL required_n in both lanes, no sqrt(<0)."""
+        from couchwarehouse_spark.plans.statistics import abtest_power_mde
+        from datetime import datetime
+
+        sf = str(tmp_path / "sf")
+        t = datetime(2024, 1, 1, 12, 0, 0)
+        df = spark.createDataFrame(
+            [(1, t, 1, "purchase", 1.0, "{}"), (2, t, 2, "purchase", 1.0, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        _write(df, sf, "events")
+        rows = abtest_power_mde(spark, sf).collect()
+        assert len(rows) == 5
+        assert all(r["p_base"] == 1.0 for r in rows)
+        assert all(r["required_n_per_arm"] is None for r in rows)
+
+
+class TestSprtBoundaryScan:
+    def test_path_and_decisions_by_construction(self, spark, tmp_path):
+        """Day 1: 10 purchases -> cum = 10·C1 < upper bound (continue);
+        day 2: +5 purchases -> 15·C1 crosses ln((1-b)/a) (accept_h1);
+        day 3: one view pulls the path back under the bound — the scan
+        reports the state of every day, integer-exactly."""
+        from couchwarehouse_spark.plans.statistics import (
+            SPRT_C0_NANO,
+            SPRT_C1_NANO,
+            SPRT_UPPER_NANO,
+            sprt_boundary_scan,
+        )
+        from datetime import datetime
+
+        sf = str(tmp_path / "sf")
+        rows = []
+        eid = 1
+        for _ in range(10):
+            rows.append((eid, datetime(2024, 1, 1, 8), 1, "purchase")); eid += 1
+        for _ in range(5):
+            rows.append((eid, datetime(2024, 1, 2, 8), 1, "purchase")); eid += 1
+        rows.append((eid, datetime(2024, 1, 3, 8), 1, "view")); eid += 1
+        rows.append((eid, datetime(2024, 1, 3, 9), 1, "error"))  # not a trial
+        df = spark.createDataFrame(
+            [(i, ts, u, et, 1.0, "{}") for i, ts, u, et in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        _write(df, sf, "events")
+        out = {r["day"]: r for r in sprt_boundary_scan(spark, sf).collect()}
+        d1, d2, d3 = out["2024-01-01"], out["2024-01-02"], out["2024-01-03"]
+        assert (d1["purchases"], d1["trials"]) == (10, 10)
+        assert d1["cum_llr_nano"] == 10 * SPRT_C1_NANO
+        assert d1["decision"] == "continue"
+        assert d2["cum_llr_nano"] == 15 * SPRT_C1_NANO
+        assert 15 * SPRT_C1_NANO >= SPRT_UPPER_NANO
+        assert d2["decision"] == "accept_h1"
+        assert (d3["purchases"], d3["trials"]) == (0, 1)  # error excluded
+        assert d3["cum_llr_nano"] == 15 * SPRT_C1_NANO + SPRT_C0_NANO
+        assert d3["decision"] == "continue"
+
+
+class TestTemporalSplitAudit:
+    def test_user_leakage_by_construction(self, spark, tmp_path):
+        """u1 train-only; u2 train+test; u3 val+test; u4 test-only.
+        Leakage: train 0/2, val 0/1, test 2/3 (u2 first seen in train,
+        u3 first seen in val)."""
+        from couchwarehouse_spark.plans.sampling import temporal_split_audit
+        from datetime import datetime
+
+        sf = str(tmp_path / "sf")
+        TRAIN, VAL, TEST = (
+            datetime(2024, 1, 10),
+            datetime(2024, 1, 22),
+            datetime(2024, 1, 28),
+        )
+        rows = [
+            (1, TRAIN, 1), (2, TRAIN, 1),   # u1: train only (2 events)
+            (3, TRAIN, 2), (4, TEST, 2),    # u2: train + test
+            (5, VAL, 3), (6, TEST, 3),      # u3: val + test
+            (7, TEST, 4),                   # u4: test only
+        ]
+        df = spark.createDataFrame(
+            [(i, ts, u, "view", 1.0, "{}") for i, ts, u in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        _write(df, sf, "events")
+        out = {
+            r["split"]: (
+                r["n_events"], r["n_users"],
+                r["n_users_seen_earlier"], r["user_leakage_rate"],
+            )
+            for r in temporal_split_audit(spark, sf).collect()
+        }
+        assert out == {
+            "train": (3, 2, 0, 0.0),
+            "val": (1, 1, 0, 0.0),
+            "test": (3, 3, 2, round(2 / 3, 6)),
+        }
+
+
+class TestPartitionModularity:
+    def test_perfect_two_community_split_is_half(self, spark, tmp_path):
+        """Two well-separated 4-vector clusters (labels 0/1, opposite
+        directions): every kNN edge (k=3) stays inside its cluster, so
+        each cluster is a K4 (6 edges, degree sum 12), m = 12, and
+        each cell contributes 6/12 - (12/24)^2 = 0.25 — the textbook
+        Q = 0.5 perfect split."""
+        from pyspark.sql import functions as F
+
+        from couchwarehouse_spark.plans.similarity import partition_modularity
+
+        sf = str(tmp_path / "sf")
+        rows = []
+        for i in range(4):  # cluster 0: along +e1 (tiny jitter on e2)
+            rows.append((i, [1.0, 0.01 * i, 0.0, 0.0], 0))
+        for i in range(4):  # cluster 1: along -e1
+            rows.append((4 + i, [-1.0, 0.0, 0.01 * i, 0.0], 1))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        _write(df, sf, "embeddings")
+        out = {
+            r["cell"]: r for r in partition_modularity(spark, sf).collect()
+        }
+        assert set(out) == {0, 1}
+        for cell in (0, 1):
+            r = out[cell]
+            assert r["n_nodes"] == 4
+            assert r["intra_edges"] == 6
+            assert r["degree_sum"] == 12
+            assert r["q_contribution"] == 0.25
