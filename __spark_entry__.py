@@ -25,7 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
 # coverage policy. Round-9 rotation — ACTUAL composition (3 anchors +
-# 2 changed + 9 new + 21 queue + 1 family + 12 stalest-r02 + 2 r03 =
+# 2 changed + 12 new + 21 queue + 1 family + 9 stalest-r02 + 2 r03 =
 # 50), executing round 8's written plan: the full 21-entry
 # never-driver-verified r8 queue (every r8 operator that landed after
 # the r8 window was written, incl. the three streaming e2e entries),
@@ -53,8 +53,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #    sprt_boundary_scan (Wald sequential test path in integer
 #    nano-nats) and temporal_split_audit (chronological split census
 #    with user-level leakage rates) and partition_modularity (Newman
-#    Q of the IVF-cell partition over the kNN graph) — every operator
-#    added this round is driver-verified the round it lands,
+#    Q of the IVF-cell partition over the kNN graph) and
+#    text_artifact_census (mojibake/control/markup cleanliness gate),
+#    streaming_left_interval_join_e2e (LEFT outer stream-stream join
+#    whose NULL-emission horizon — min-across-sources watermark — is
+#    encoded in the oracle) and embedding_isotropy_audit (collapsed-
+#    embedding diagnostic over micro-quantized integer reduces) —
+#    every operator added this round is driver-verified the round it
+#    lands,
 #  - 21 r8-queue entries: the post-window r8 additions, all t2-sim
 #    green at both SFs in r8 AND independently re-verified by the r8
 #    judge (VERDICT.md) — their first driver window,
@@ -62,13 +68,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #    entry family-eligible; the window must keep a skew_plan rep),
 #  - 12 STALEST greens: the r02-window survivors displaced from the
 #    r8 window by that round's new operators (r8 PRIORITY comment),
-#  - 2 r03-cohort greens: embedding_near_dup + multimodal_metadata
-#    (they carry the window's dedup and multimodal_plan family reps
-#    this round).
+#  - 9 stalest r02 survivors + 2 r03 family reps: the 12 displaced
+#    r02 entries minus set_intersect_brands, set_union_nations and
+#    top_revenue_orders (displaced to round 10 by this round's last
+#    three new operators — new-operator coverage outranks
+#    re-verification, the round-7 precedent), plus embedding_near_dup
+#    and multimodal_metadata (the window's dedup and multimodal_plan
+#    family reps).
 # ROUND-10 ROTATION PLAN (write the r10 window from this): keep the 3
 # anchors + any round-10-changed entries; window any round-9-new
 # operators not yet driver-verified; then stalest greens — the
-# remaining r03 cohort first (agg_stats, array_functions, asof_last_view,
+# remaining r03 cohort first (set_intersect_brands,
+# set_union_nations, top_revenue_orders — r02, displaced twice —
+# then agg_stats, array_functions, asof_last_view,
 # big_spenders_semi, bm25_relevance,
 # cte_above_avg_customers, deterministic_split, doc_chunking,
 # flatten_props, full_text_relevance, graph_pagerank_step,
@@ -93,7 +105,7 @@ PRIORITY = [
     # --- 2 changed-this-round entries (re-prove the guarded impl) ---
     "welch_t_doclen",
     "anova_doclen_by_source",
-    # --- 9 new-this-round entries ---
+    # --- 12 new-this-round entries ---
     "streaming_interval_join_e2e",
     "streaming_session_state_e2e",
     "zorder_relayout_e2e",
@@ -103,6 +115,9 @@ PRIORITY = [
     "sprt_boundary_scan",
     "temporal_split_audit",
     "partition_modularity",
+    "text_artifact_census",
+    "streaming_left_interval_join_e2e",
+    "embedding_isotropy_audit",
     # --- 21 r8-queue entries (first driver window; mann_kendall and
     # holt also changed this round — ANSI guards) ---
     "market_basket_lift_pairs",
@@ -138,9 +153,6 @@ PRIORITY = [
     "range_frame_revenue",
     "rollup_priority_status",
     "set_except_nations",
-    "set_intersect_brands",
-    "set_union_nations",
-    "top_revenue_orders",
     # --- 8 r03-cohort greens (dedup + multimodal_plan family reps
     # first, then alphabetical) ---
     "embedding_near_dup",

@@ -3464,3 +3464,97 @@ def partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@query(
+    "embedding_isotropy_audit",
+    oracle="""
+    WITH q AS (
+      SELECT label, vec_id,
+             unnest(list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+               AS qx,
+             unnest(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ),
+    per_dim AS (
+      SELECT label, dim,
+             CAST(sum(qx) AS BIGINT) AS s,
+             CAST(sum(qx * qx) AS BIGINT) AS s2
+      FROM q GROUP BY label, dim
+    ),
+    per_label AS (
+      SELECT label,
+             CAST((SELECT count(*) FROM embeddings e
+                   WHERE e.label = per_dim.label) AS BIGINT) AS n_vecs,
+             sum((CAST(s AS DOUBLE) / 1000000)
+                 * (CAST(s AS DOUBLE) / 1000000)) AS mean_num,
+             sum(CAST(s2 AS DOUBLE) / 1000000000000.0) AS sq_sum
+      FROM per_dim GROUP BY label
+    )
+    SELECT label, n_vecs,
+           round(sqrt(mean_num) / n_vecs, 6) AS mean_vec_norm,
+           round(sqrt(sq_sum / n_vecs), 6) AS rms_norm,
+           round((mean_num / (n_vecs * n_vecs))
+                 / nullif(sq_sum / n_vecs, 0), 6) AS anisotropy
+    FROM per_label
+    ORDER BY label
+    """,
+)
+def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding ISOTROPY audit per label (Mu & Viswanath 2018,
+    Ethayarajh 2019 — "how much of the space do my embeddings actually
+    use?"): anisotropy = ‖mean vector‖² / E[‖v‖²] is ~0 when vectors
+    spread symmetrically and → 1 when they collapse toward a common
+    direction — collapsed embeddings make every cosine look high,
+    which silently breaks near-dup thresholds and ANN recall. Reports
+    mean-vector norm, RMS vector norm, and the ratio per label.
+
+    Exactness: every element is quantized to integer MICRO-units
+    BEFORE the cross-row reduces (the repo's ln-reduce idiom applied
+    to coordinates), so Σx and Σx² per dimension are associative
+    integer sums that cannot flip on partitioning; the handful of
+    float ops after them run on identical integers in both engines.
+    At this quantum, Σq² stays < 2⁶³ up to ~10⁵ vectors/label ×
+    64 dims; at 100 TB drop the quantum to 1e4 or split the sum.
+
+    Scale: one explode + (label, dim)-keyed integer agg (64·|labels|
+    groups), then a |labels|-row reduce — the same shape as
+    ``embedding_gram_matrix``'s diagonal, never materializing pairs.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    ).select(
+        "label", "dim", F.round(F.col("x") * 1_000_000).cast("long").alias("qx")
+    )
+    per_dim = q.groupBy("label", "dim").agg(
+        F.sum("qx").cast("long").alias("s"),
+        F.sum(F.col("qx") * F.col("qx")).cast("long").alias("s2"),
+    )
+    counts = e.groupBy("label").agg(F.count("*").cast("long").alias("n_vecs"))
+    per_label = (
+        per_dim.groupBy("label")
+        .agg(
+            F.sum(
+                (F.col("s").cast("double") / 1_000_000)
+                * (F.col("s").cast("double") / 1_000_000)
+            ).alias("mean_num"),
+            F.sum(F.col("s2").cast("double") / 1e12).alias("sq_sum"),
+        )
+        .join(F.broadcast(counts), "label")
+    )
+    return per_label.select(
+        "label",
+        "n_vecs",
+        F.round(F.sqrt(F.col("mean_num")) / F.col("n_vecs"), 6).alias(
+            "mean_vec_norm"
+        ),
+        F.round(F.sqrt(F.col("sq_sum") / F.col("n_vecs")), 6).alias("rms_norm"),
+        F.round(
+            (F.col("mean_num") / (F.col("n_vecs") * F.col("n_vecs")))
+            / F.nullif(F.col("sq_sum") / F.col("n_vecs"), F.lit(0.0)),
+            6,
+        ).alias("anisotropy"),
+    ).orderBy("label")

@@ -746,3 +746,146 @@ def warehouse_streaming_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("total"), 2).alias("total_revenue"),
         )
     )
+
+
+SJL_WM_SECONDS = 30 * 60  # left-join watermark delay (both sides)
+
+
+@query(
+    "streaming_left_interval_join_e2e",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, ts AS purchase_ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      -- the stream's FINAL event-time watermark: Spark takes the MIN
+      -- across the two watermark-annotated sources (multipleWatermark
+      -- policy 'min'), each at its own max event time minus the delay
+      SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+                   (SELECT max(ts) FROM events
+                    WHERE event_type = 'purchase'))
+             - INTERVAL {SJL_WM_SECONDS} SECOND AS w
+    ),
+    matched AS (
+      SELECT v.user_id, v.view_ts, p.purchase_ts
+      FROM v JOIN p
+        ON v.user_id = p.user_id
+       AND p.purchase_ts > v.view_ts
+       AND p.purchase_ts <= v.view_ts + INTERVAL {SJ_ATTR_HOURS} HOUR
+    ),
+    unmatched_emitted AS (
+      -- a view with no purchase emits its NULL-padded row only once
+      -- the watermark passes the view's whole match window; views
+      -- whose window is still open when the stream ends are HELD
+      -- (state discarded at stop) — the oracle states that contract
+      SELECT v.user_id, v.view_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+      FROM v CROSS JOIN wm
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = v.user_id
+          AND p.purchase_ts > v.view_ts
+          AND p.purchase_ts <= v.view_ts + INTERVAL {SJ_ATTR_HOURS} HOUR
+      )
+      AND v.view_ts + INTERVAL {SJ_ATTR_HOURS} HOUR < wm.w
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN purchase_ts IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unconverted_views
+    FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched_emitted)
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_left_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join under the oracle gate —
+    the semantically hardest streaming join Spark offers: matched
+    view→purchase pairs emit immediately (the inner part), but a view
+    with NO purchase can only emit its NULL-padded row once the
+    watermark PROVES no match can still arrive (watermark past
+    view_ts + {SJ_ATTR_HOURS}h), and views whose window is still open
+    when the stream ends are held in state and never emitted. The
+    DuckDB oracle states that exact contract — including the final
+    watermark horizon max(ts) − {SJL_WM_SECONDS}s — so the hash match
+    certifies both the join results AND the emission semantics, the
+    part of outer streaming joins every engine documents and few
+    tests pin.
+
+    Exactness: row counts and NULL-indicator sums are integers; the
+    horizon comparison is microsecond timestamp arithmetic identical
+    in both engines.
+
+    Scale: same bounded keyed state as the inner interval join plus
+    the unmatched-left buffer the watermark drains — the production
+    attribution-with-fallback shape ("did the view convert within an
+    hour, or do we bill it as unconverted?").
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_sljoin_{tag}")
+    stage_v = os.path.join(base, "views")
+    stage_p = os.path.join(base, "purch")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type", "value"
+    )
+    _stage_by_event_time(
+        ev.filter(F.col("event_type") == "view").drop("event_type"),
+        stage_v, SW_STAGE_FILES,
+    )
+    _stage_by_event_time(
+        ev.filter(F.col("event_type") == "purchase").drop("event_type"),
+        stage_p, SW_STAGE_FILES,
+    )
+    schema = "ts timestamp, user_id long, value double"
+    views = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", SW_FILES_PER_TRIGGER)
+        .parquet(stage_v)
+        .withWatermark("ts", f"{SJL_WM_SECONDS} seconds")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", SW_FILES_PER_TRIGGER)
+        .parquet(stage_p)
+        .withWatermark("ts", f"{SJL_WM_SECONDS} seconds")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"""v_user = p_user
+            AND purchase_ts > view_ts
+            AND purchase_ts <= view_ts + INTERVAL {SJ_ATTR_HOURS} HOUR"""
+        ),
+        "left_outer",
+    )
+    qname = f"cw_sljoin_out_{tag}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("purchase_ts").isNull().cast("int"))
+            .cast("long")
+            .alias("n_unconverted_views"),
+        )
+        .orderBy("user_id")
+    )

@@ -2651,3 +2651,81 @@ def burrows_delta_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# Artifact detectors shared by both lanes (Java regex and RE2 agree on
+# these constructs: explicit \x ranges, literal alternations).
+ART_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+ART_TAG_RE = r"</?[a-zA-Z][a-zA-Z0-9]*[^>]*>"
+ART_ENTITY_RE = r"&(amp|lt|gt|quot|apos|nbsp|#[0-9]+);"
+
+
+@query(
+    "text_artifact_census",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN contains(text, chr(65533))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mojibake,
+           CAST(sum(CASE WHEN regexp_matches(text, '{ART_CONTROL_RE}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+           CAST(sum(CASE WHEN regexp_matches(text, '{ART_TAG_RE}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_html_tag,
+           CAST(sum(CASE WHEN regexp_matches(text, '{ART_ENTITY_RE}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_html_entity,
+           round(CAST(sum(CASE WHEN contains(text, chr(65533))
+                              OR regexp_matches(text, '{ART_CONTROL_RE}')
+                              OR regexp_matches(text, '{ART_TAG_RE}')
+                              OR regexp_matches(text, '{ART_ENTITY_RE}')
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS artifact_rate
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_artifact_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding/markup ARTIFACT census per source — the cleanliness
+    gate every web-scale text pipeline runs before training: documents
+    carrying U+FFFD replacement characters (mojibake — a decode step
+    already lost bytes), C0 control characters (binary contamination),
+    HTML tags, or HTML entities (markup that survived extraction).
+    Reports per-source counts and the any-artifact document rate; the
+    downstream policy (drop, re-extract, route to a cleaner) keys off
+    exactly these columns. A clean corpus legitimately scores zero —
+    the census proves it rather than assumes it.
+
+    Exactness: four boolean detectors per document (one literal
+    ``contains`` + three regexes whose constructs Java regex and RE2
+    interpret identically — explicit \\x ranges, literal
+    alternations, no lookaround), integer-summed; one final division.
+
+    Scale: one scan, all detectors fused in the same projection
+    (whole-stage codegen), one |sources|-group hash agg. Nothing
+    shuffles but the per-source counters.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    moji = F.col("text").contains("�").cast("int")
+    ctrl = F.col("text").rlike(ART_CONTROL_RE).cast("int")
+    tag = F.col("text").rlike(ART_TAG_RE).cast("int")
+    ent = F.col("text").rlike(ART_ENTITY_RE).cast("int")
+    any_art = (
+        F.col("text").contains("�")
+        | F.col("text").rlike(ART_CONTROL_RE)
+        | F.col("text").rlike(ART_TAG_RE)
+        | F.col("text").rlike(ART_ENTITY_RE)
+    ).cast("int")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(moji).cast("long").alias("n_mojibake"),
+            F.sum(ctrl).cast("long").alias("n_control"),
+            F.sum(tag).cast("long").alias("n_html_tag"),
+            F.sum(ent).cast("long").alias("n_html_entity"),
+            F.round(
+                F.sum(any_art).cast("double") / F.count("*"), 6
+            ).alias("artifact_rate"),
+        )
+        .orderBy("source")
+    )

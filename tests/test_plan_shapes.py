@@ -1287,3 +1287,36 @@ def test_kcore_rounds_scan_checkpoints_not_lineage(spark):
     assert "Scan ExistingRDD" in plan
     assert "list_cosine" not in plan  # knn build truncated away
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_range_query_pushes_filter_to_scan(spark):
+    """zorder_relayout_e2e's BETWEEN lands in the parquet scan as
+    pushed min/max predicates — the hook row-group stats skipping
+    hangs off (the relayout's payoff, pinned value-side by
+    TestZorderRowGroupPruning)."""
+    plan = explain_str(spark, "zorder_relayout_e2e")
+    assert "GreaterThanOrEqual(total,60000" in plan
+    assert "LessThanOrEqual(total,120000" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_streaming_enrich_dim_is_broadcast(spark):
+    """The stream-static enrichment dimension chain is broadcast (the
+    batch twin of the per-micro-batch BroadcastHashJoin the stream
+    runs): nation into customer, then the dim into the fact side."""
+    from couchwarehouse_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    dim = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            load_table(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("nation"))
+    )
+    fact = load_table(spark, SF_SMOKE, "orders").select("o_custkey", "o_totalprice")
+    joined = fact.join(F.broadcast(dim), fact.o_custkey == dim.c_custkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -744,3 +744,104 @@ class TestPartitionModularity:
             assert r["intra_edges"] == 6
             assert r["degree_sum"] == 12
             assert r["q_contribution"] == 0.25
+
+
+class TestTextArtifactCensus:
+    def test_detectors_by_construction(self, spark, tmp_path):
+        """One doc per artifact class plus one clean doc: each detector
+        fires on exactly its class, and the any-artifact rate counts
+        the doc carrying two artifacts ONCE."""
+        from couchwarehouse_spark.plans.text import text_artifact_census
+
+        sf = str(tmp_path / "sf")
+        rows = [
+            (1, "perfectly clean prose", "a"),
+            (2, "lost bytes here � and there", "a"),      # mojibake
+            (3, "binary\x07noise", "a"),                        # control
+            (4, "some <div class='x'>markup</div> left", "a"),  # tag
+            (5, "fish &amp; chips &#39;quoted&#39;", "a"),      # entity
+            (6, "<p>tag &nbsp; and entity</p>", "a"),           # both: 1 doc
+            (7, "clean too", "b"),
+        ]
+        df = spark.createDataFrame(
+            [(i, t, "en", s, len(t)) for i, t, s in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        _write(df, sf, "documents")
+        out = {r["source"]: r for r in text_artifact_census(spark, sf).collect()}
+        a = out["a"]
+        assert a["n_docs"] == 6
+        assert a["n_mojibake"] == 1
+        assert a["n_control"] == 1
+        assert a["n_html_tag"] == 2      # docs 4 and 6
+        assert a["n_html_entity"] == 2   # docs 5 and 6
+        # docs 2,3,4,5,6 carry >=1 artifact -> 5/6
+        assert a["artifact_rate"] == round(5 / 6, 6)
+        b = out["b"]
+        assert (b["n_docs"], b["artifact_rate"]) == (1, 0.0)
+
+
+class TestStreamingLeftIntervalJoinE2E:
+    def test_matched_nullpadded_and_held_by_construction(self, spark, tmp_path):
+        """user 1's view matches; user 2's view has no purchase and its
+        1h window closed before the final watermark -> NULL-padded row
+        emitted; user 3's view window was still open at stream end ->
+        HELD, never emitted. Watermark = min(side maxes) - 30min."""
+        from couchwarehouse_spark.plans.streaming_e2e import (
+            streaming_left_interval_join_e2e,
+        )
+        from datetime import datetime
+
+        sf = str(tmp_path / "sf")
+        rows = [
+            (1, datetime(2024, 1, 1, 10, 0), 1, "view"),
+            (2, datetime(2024, 1, 1, 10, 30), 1, "purchase"),
+            (3, datetime(2024, 1, 1, 10, 0), 2, "view"),      # never converts
+            (4, datetime(2024, 1, 1, 23, 0), 3, "view"),      # held (window open)
+            (5, datetime(2024, 1, 1, 23, 30), 4, "purchase"),  # lifts purchase max
+        ]
+        df = spark.createDataFrame(
+            [(i, ts, u, et, 1.0, "{}") for i, ts, u, et in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        _write(df, sf, "events")
+        # wm = min(23:00 views, 23:30 purchases) - 30min = 22:30.
+        # user 2's window closes 11:00 < 22:30 -> emitted;
+        # user 3's closes 24:00 > 22:30 -> held.
+        out = {
+            r["user_id"]: (r["n_rows"], r["n_unconverted_views"])
+            for r in streaming_left_interval_join_e2e(spark, sf).collect()
+        }
+        assert out == {1: (1, 0), 2: (1, 1)}
+
+
+class TestEmbeddingIsotropyAudit:
+    def test_collapsed_vs_symmetric_by_construction(self, spark, tmp_path):
+        """label 0: two opposite unit vectors -> mean vector 0,
+        anisotropy 0; label 1: two IDENTICAL unit vectors -> mean
+        vector norm 1, anisotropy 1 (fully collapsed). RMS norm is 1
+        for both."""
+        from couchwarehouse_spark.plans.similarity import (
+            embedding_isotropy_audit,
+        )
+
+        sf = str(tmp_path / "sf")
+        rows = [
+            (1, [1.0, 0.0], 0),
+            (2, [-1.0, 0.0], 0),
+            (3, [0.6, 0.8], 1),
+            (4, [0.6, 0.8], 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        _write(df, sf, "embeddings")
+        out = {r["label"]: r for r in embedding_isotropy_audit(spark, sf).collect()}
+        assert out[0]["n_vecs"] == 2
+        assert out[0]["mean_vec_norm"] == 0.0
+        assert out[0]["rms_norm"] == 1.0
+        assert out[0]["anisotropy"] == 0.0
+        assert out[1]["mean_vec_norm"] == 1.0
+        assert out[1]["rms_norm"] == 1.0
+        assert out[1]["anisotropy"] == 1.0
