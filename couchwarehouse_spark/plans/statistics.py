@@ -3741,3 +3741,748 @@ def sprt_boundary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Round 9 additions: multiple-testing control, variance homogeneity,
+# inter-rater agreement, KMV distinct sketch, survival analysis, and
+# two causal-inference estimators (DiD, IPW).
+# ---------------------------------------------------------------------------
+
+BH_ALPHA_MICRO = 200_000  # alpha = 0.2 in micro units
+BH_CONV_VALUE = 50  # an event "converts" when value >= 50
+
+
+@query(
+    "benjamini_hochberg_fdr",
+    oracle=f"""
+    WITH per AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value >= {BH_CONV_VALUE} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                 CAST(sum(x) AS BIGINT) AS xx FROM per),
+    zs AS (
+      SELECT event_type, n, x,
+             (CAST(x AS DOUBLE) / n
+              - CAST(xx - x AS DOUBLE) / nullif(nn - n, 0))
+             / sqrt((CAST(xx AS DOUBLE) / nn) * (1 - CAST(xx AS DOUBLE) / nn)
+                    * (1.0 / n + 1.0 / nullif(nn - n, 0))) AS z
+      FROM per CROSS JOIN g
+    ),
+    pb AS (
+      SELECT event_type, n, x, z,
+             least(CAST(round(1000000 * 2 * exp(-(z * z) / 2)) AS BIGINT),
+                   1000000) AS p_micro
+      FROM zs
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY p_micro, event_type)
+                     AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pb
+    ),
+    kk AS (
+      SELECT *, max(CASE WHEN p_micro * m <= {BH_ALPHA_MICRO} * i THEN i END)
+                  OVER () AS k
+      FROM ranked
+    )
+    SELECT event_type, n AS n_events, x AS n_conv,
+           round(z, 4) AS z_stat,
+           round(p_micro / 1000000.0, 6) AS p_chernoff,
+           i AS bh_rank, i <= coalesce(k, 0) AS rejected
+    FROM kk ORDER BY bh_rank
+    """,
+)
+def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (Benjamini & Hochberg
+    1995 — THE multiple-testing correction every experimentation and
+    data-quality platform applies when it runs one test per segment):
+    each event type's conversion rate (value >= {50}) is z-tested
+    against the pooled rest, p-values come from the sub-Gaussian
+    Chernoff bound min(1, 2·exp(-z²/2)) (a valid CONSERVATIVE
+    p-value that both engines can compute without an erf/normal-CDF
+    builtin), and the step-up rule rejects H0 for every rank i <=
+    max{{ j : p_(j) <= alpha·j/m }}.
+
+    Exactness: the test cells are integer sums; z is one fixed float
+    dag over them; the p-value is quantized to integer micro units
+    BEFORE ranking, so the BH ordering, the step-up comparison
+    p_micro·m <= ALPHA_MICRO·j, and the rejection frontier are all
+    integer arithmetic — no float comparison decides a row.
+
+    Scale: one hash agg to |event types| rows; the BH scan is a
+    window over that already-tiny frame (m tests, not m rows of
+    data). At a million segments the same plan holds — the window
+    sorts m test STATISTICS, never events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("value") >= BH_CONV_VALUE).cast("int"))
+        .cast("long")
+        .alias("x"),
+    )
+    g = per.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("x").cast("long").alias("xx")
+    )
+    zs = per.crossJoin(F.broadcast(g))
+    z = (
+        F.col("x").cast("double") / F.col("n")
+        - (F.col("xx") - F.col("x")).cast("double")
+        / F.nullif(F.col("nn") - F.col("n"), F.lit(0))
+    ) / F.sqrt(
+        (F.col("xx").cast("double") / F.col("nn"))
+        * (1 - F.col("xx").cast("double") / F.col("nn"))
+        * (1.0 / F.col("n") + 1.0 / F.nullif(F.col("nn") - F.col("n"), F.lit(0)))
+    )
+    pb = zs.select(
+        "event_type", "n", "x", z.alias("z"),
+        F.least(
+            F.round(1_000_000 * 2 * F.exp(-(z * z) / 2)).cast("long"),
+            F.lit(1_000_000).cast("long"),
+        ).alias("p_micro"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pb.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy().orderBy("p_micro", "event_type"))
+        .cast("long")
+        .alias("i"),
+        F.count("*").over(w_all).cast("long").alias("m"),
+    )
+    kk = ranked.select(
+        "*",
+        F.max(
+            F.when(
+                F.col("p_micro") * F.col("m") <= BH_ALPHA_MICRO * F.col("i"),
+                F.col("i"),
+            )
+        )
+        .over(w_all)
+        .alias("k"),
+    )
+    return kk.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("x").alias("n_conv"),
+        F.round("z", 4).alias("z_stat"),
+        F.round(F.col("p_micro") / 1_000_000.0, 6).alias("p_chernoff"),
+        F.col("i").alias("bh_rank"),
+        (F.col("i") <= F.coalesce(F.col("k"), F.lit(0))).alias("rejected"),
+    ).orderBy("bh_rank")
+
+
+@query(
+    "brown_forsythe_variance",
+    oracle="""
+    WITH med AS (
+      SELECT lang, CAST(round(2 * quantile_cont(n_chars, 0.5)) AS BIGINT)
+               AS med2
+      FROM documents GROUP BY lang
+    ),
+    z AS (
+      SELECT d.lang, abs(2 * d.n_chars - m.med2) AS z
+      FROM documents d JOIN med m ON d.lang = m.lang
+    ),
+    g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(z) AS BIGINT) AS sg,
+             CAST(sum(z * z) AS BIGINT) AS qg
+      FROM z GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS k FROM g),
+    terms AS (
+      SELECT CAST(round(1000000 * (CAST(qg AS DOUBLE)
+                                   - CAST(sg AS DOUBLE) * sg / ng))
+                  AS BIGINT) AS w_micro,
+             CAST(round(1000000 * (CAST(sg AS DOUBLE)
+                                   - CAST(ng AS DOUBLE) * s / n)
+                                * (CAST(sg AS DOUBLE)
+                                   - CAST(ng AS DOUBLE) * s / n) / ng)
+                  AS BIGINT) AS b_micro
+      FROM g CROSS JOIN tot
+    ),
+    agg AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w,
+                   CAST(sum(b_micro) AS BIGINT) AS b FROM terms)
+    SELECT t.k AS k_groups, t.n AS n_docs,
+           round(((t.n - t.k) / CAST(nullif(t.k - 1, 0) AS DOUBLE))
+                 * (b / CAST(nullif(w, 0) AS DOUBLE)), 4) AS bf_stat
+    FROM agg CROSS JOIN tot t
+    """,
+)
+def brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test for variance homogeneity across languages
+    (Brown & Forsythe 1974 — Levene's test with the group MEDIAN
+    center, the robust default; the precondition check behind ANOVA's
+    equal-variance assumption, see ``anova_doclen_by_source``):
+    deviations z_ij = |x_ij - med_g| feed a one-way ANOVA F statistic.
+
+    Exactness: medians of integers interpolate to half-integers, so
+    BOTH lanes carry 2·median and z_ij = |2x - med2| stays INTEGER;
+    per-group n/Σz/Σz² are integer aggregates; each group's within/
+    between term is quantized to micro units and the cross-group
+    reduce is an integer sum (the micro-nat idiom applied to sums of
+    squares) — no float accumulation order anywhere.
+
+    Scale: the per-group median is the one exact-sort step (oracle
+    shape; swap approx_percentile at 100 TB), the deviation pass is a
+    broadcast-join projection, and everything after is a |langs|-row
+    frame.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(
+        F.round(2 * F.expr("percentile(n_chars, 0.5)")).cast("long").alias("med2")
+    )
+    z = d.join(F.broadcast(med), "lang").select(
+        "lang", F.abs(2 * F.col("n_chars") - F.col("med2")).alias("z")
+    )
+    g = z.groupBy("lang").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("z").cast("long").alias("sg"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("qg"),
+    )
+    tot = g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("long").alias("s"),
+        F.count("*").cast("long").alias("k"),
+    )
+    dev = F.col("sg").cast("double") - F.col("ng").cast("double") * F.col("s") / F.col("n")
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            1_000_000
+            * (F.col("qg").cast("double") - F.col("sg").cast("double") * F.col("sg") / F.col("ng"))
+        )
+        .cast("long")
+        .alias("w_micro"),
+        F.round(1_000_000 * dev * dev / F.col("ng")).cast("long").alias("b_micro"),
+    )
+    agg = terms.agg(
+        F.sum("w_micro").cast("long").alias("w"),
+        F.sum("b_micro").cast("long").alias("b"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_docs"),
+        F.round(
+            ((F.col("n") - F.col("k")) / F.nullif(F.col("k") - 1, F.lit(0)).cast("double"))
+            * (F.col("b") / F.nullif(F.col("w"), F.lit(0)).cast("double")),
+            4,
+        ).alias("bf_stat"),
+    )
+
+
+KAPPA_CHARS = 300  # rater A: doc is "long-form" when n_chars >= 300
+KAPPA_TOKS = 60    # rater B: doc is "long-form" when token count >= 60
+
+
+@query(
+    "cohens_kappa_raters",
+    oracle=f"""
+    WITH r AS (
+      SELECT CASE WHEN n_chars >= {KAPPA_CHARS} THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(string_split(text, ' ')) >= {KAPPA_TOKS}
+                  THEN 1 ELSE 0 END AS rb
+      FROM documents
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ra * rb) AS BIGINT) AS n11,
+             CAST(sum(ra * (1 - rb)) AS BIGINT) AS n10,
+             CAST(sum((1 - ra) * rb) AS BIGINT) AS n01,
+             CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+      FROM r
+    )
+    SELECT n, n11, n10, n01, n00,
+           round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+           round((CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                  + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                 / (CAST(n AS DOUBLE) * n), 6) AS pe,
+           round((CAST(n11 + n00 AS DOUBLE) / n
+                  - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                     + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                    / (CAST(n AS DOUBLE) * n))
+                 / nullif(1 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                               + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                              / (CAST(n AS DOUBLE) * n), 0), 6) AS kappa
+    FROM c
+    """,
+)
+def cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement (Cohen 1960 — the
+    chance-corrected agreement statistic every labeling/annotation
+    pipeline reports before trusting a heuristic labeler): two
+    deterministic document "raters" (char-length >= {300} vs
+    token-count >= {60}) produce a 2x2 confusion table; kappa =
+    (p_o - p_e)/(1 - p_e) corrects raw agreement for the agreement
+    chance alone would produce. The QA gate for weak-supervision
+    label functions at corpus scale.
+
+    Exactness: all four cells are integer sums; p_o/p_e/kappa are ONE
+    fixed float dag over those integers written identically in both
+    lanes, each output rounded once; 1 - p_e = 0 (degenerate
+    all-one-cell table) yields NULL via nullif, not a crash.
+
+    Scale: a single projection + one 4-counter global aggregate —
+    map-side combined, nothing data-sized crosses the wire.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    r = d.select(
+        (F.col("n_chars") >= KAPPA_CHARS).cast("int").alias("ra"),
+        (F.size(F.split("text", " ")) >= KAPPA_TOKS).cast("int").alias("rb"),
+    )
+    c = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("n11"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).cast("long").alias("n01"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb"))).cast("long").alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double") * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")).cast("double") * (F.col("n10") + F.col("n00"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return c.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / F.nullif(1 - pe, F.lit(0)), 6).alias("kappa"),
+    )
+
+
+KMV_K = 128     # sketch size (k-th minimum value)
+KMV_TOL = 0.20  # verdict tolerance; measured max rel-err 8.9% (sf0.01)
+_KMV_2_32 = 4294967296.0  # hash universe size as a double
+
+
+@query(
+    "kmv_distinct_audit",
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS w
+                  FROM lineitem),
+    h AS (SELECT DISTINCT CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+                   AS hv
+          FROM keys),
+    kth AS (SELECT CAST(max(hv) AS BIGINT) AS hk
+            FROM (SELECT hv FROM h ORDER BY hv LIMIT {KMV_K})),
+    ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM keys)
+    SELECT e.n_exact, t.hk AS kth_hash,
+           round(({KMV_K} - 1) * {_KMV_2_32} / t.hk, 2) AS kmv_estimate,
+           abs(({KMV_K} - 1) * {_KMV_2_32} / t.hk - e.n_exact)
+             <= {KMV_TOL} * e.n_exact AS within_tol
+    FROM ex e CROSS JOIN kth t
+    """,
+)
+def kmv_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002;
+    the KMV/theta-sketch family behind Apache DataSketches): hash
+    every key into [0, 2^32), keep the K smallest hash values, and
+    estimate D = (K-1)·2^32/h_(K). Completes the sketch battery next
+    to HLL (``hll_union_audit``), CMS and Bloom — KMV is the one that
+    also supports set EXPRESSIONS (intersection/difference sizes) by
+    sketch combination, which HLL cannot.
+
+    Exactness: md5-derived hashes are identical integers in both
+    lanes, so h_(K) itself crosses the oracle as a BIGINT — the
+    sketch is exactly checked, not tolerance-checked; only the
+    truth-vs-estimate VERDICT uses the {20}% tolerance (measured max
+    relative error 8.9% at sf0.01 with K={128}, ~2.2x headroom; KMV
+    sd is D/sqrt(K-2) ~ 8.9%).
+
+    Scale: the K smallest values are a TakeOrdered HEAP (sort+limit,
+    partial per partition, K rows merged at the driver) — never a
+    global sort; at 100 TB per-partition KMV states merge by keeping
+    the K smallest of the union, the same mergeable-sketch shape as
+    the HLL entry.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select(F.col("l_partkey").cast("string").alias("w")).distinct()
+    keys = scoped_persist(keys)
+    h = keys.select(
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hv")
+    ).distinct()
+    kth = (
+        h.orderBy("hv")
+        .limit(KMV_K)
+        .agg(F.max("hv").cast("long").alias("hk"))
+    )
+    ex = keys.agg(F.count("*").cast("long").alias("n_exact"))
+    est = (KMV_K - 1) * F.lit(_KMV_2_32) / F.col("hk")
+    return ex.crossJoin(F.broadcast(kth)).select(
+        "n_exact",
+        F.col("hk").alias("kth_hash"),
+        F.round(est, 2).alias("kmv_estimate"),
+        (F.abs(est - F.col("n_exact")) <= KMV_TOL * F.col("n_exact")).alias(
+            "within_tol"
+        ),
+    )
+
+
+KM_VALUE_MIN = 200  # the "event": first purchase with value >= 200
+
+
+@query(
+    "kaplan_meier_survival",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(min(ts) AS DATE) AS f,
+             CAST(max(ts) AS DATE) AS l,
+             CAST(min(CASE WHEN event_type = 'purchase'
+                            AND value >= {KM_VALUE_MIN} THEN ts END)
+                  AS DATE) AS p
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CASE WHEN p IS NOT NULL THEN date_diff('day', f, p)
+                  ELSE date_diff('day', f, l) END AS t,
+             CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS e
+      FROM u
+    ),
+    grid AS (
+      SELECT t, CAST(sum(e) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS c
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             (SELECT CAST(count(*) AS BIGINT) FROM obs)
+               - coalesce(CAST(sum(c) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          AS BIGINT), 0) AS n
+      FROM grid
+    ),
+    steps AS (
+      SELECT t, n, d,
+             CASE WHEN d < n THEN CAST(round(1000000000 *
+                    ln(CAST(n - d AS DOUBLE) / n)) AS BIGINT) END AS term_nano,
+             CASE WHEN d >= n THEN 1 ELSE 0 END AS absorb
+      FROM risk
+    ),
+    cum AS (
+      SELECT t, n, d,
+             CAST(sum(term_nano) OVER (ORDER BY t) AS BIGINT) AS cum_nano,
+             max(absorb) OVER (ORDER BY t) AS ab
+      FROM steps
+    )
+    SELECT t AS t_days, n AS n_at_risk, d AS n_events,
+           round(cum_nano / 1000000000.0, 6) AS log_survival_nats
+    FROM cum WHERE d > 0 AND ab = 0
+    ORDER BY t_days
+    """,
+)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator (Kaplan & Meier
+    1958 — THE survival curve under right censoring; here: per-user
+    days from first event to first big purchase (value >= {200}),
+    censored at the user's last observed day when no such purchase
+    occurs — the conversion-latency curve with dropouts handled
+    correctly, unlike a naive duration histogram which biases toward
+    fast converters). Companion to ``churn_hazard_table`` (discrete
+    hazards) with the cumulative-survival product made exact.
+
+    Exactness: at-risk counts and death counts are integers; each
+    step's ln(1 - d/n) is quantized ONCE to integer nano-nats and the
+    cumulative product becomes a cumulative INTEGER sum in log space
+    (the Kneser-Ney nano-nat idiom) — the result column is
+    log-survival in nats, so no cross-libm exp() ever crosses the
+    oracle; rows at/after the absorbing step (d = n, survival 0) are
+    excluded in both lanes by the same cumulative flag.
+
+    Scale: one user-keyed agg, a ~|distinct durations| grid (bounded
+    by the observation window in days), and windows over that tiny
+    grid — the heavy reduce is the first groupBy only.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("f"),
+        F.to_date(F.max("ts")).alias("l"),
+        F.to_date(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= KM_VALUE_MIN),
+                    F.col("ts"),
+                )
+            )
+        ).alias("p"),
+    )
+    obs = u.select(
+        F.when(F.col("p").isNotNull(), F.datediff("p", "f"))
+        .otherwise(F.datediff("l", "f"))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("p").isNotNull(), 1).otherwise(0).alias("e"),
+    )
+    obs = scoped_persist(obs)
+    grid = obs.groupBy("t").agg(
+        F.sum("e").cast("long").alias("d"), F.count("*").cast("long").alias("c")
+    )
+    total = obs.agg(F.count("*").cast("long").alias("nn"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        grid.crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            "d",
+            (
+                F.col("nn")
+                - F.coalesce(F.sum("c").over(w_prev).cast("long"), F.lit(0))
+            ).alias("n"),
+        )
+    )
+    steps = risk.select(
+        "t",
+        "n",
+        "d",
+        F.when(
+            F.col("d") < F.col("n"),
+            F.round(
+                1_000_000_000
+                * F.log((F.col("n") - F.col("d")).cast("double") / F.col("n"))
+            ).cast("long"),
+        ).alias("term_nano"),
+        F.when(F.col("d") >= F.col("n"), 1).otherwise(0).alias("absorb"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = steps.select(
+        "t",
+        "n",
+        "d",
+        F.sum("term_nano").over(w_cum).cast("long").alias("cum_nano"),
+        F.max("absorb").over(w_cum).alias("ab"),
+    )
+    return (
+        cum.filter((F.col("d") > 0) & (F.col("ab") == 0))
+        .select(
+            F.col("t").alias("t_days"),
+            F.col("n").alias("n_at_risk"),
+            F.col("d").alias("n_events"),
+            F.round(F.col("cum_nano") / 1_000_000_000.0, 6).alias(
+                "log_survival_nats"
+            ),
+        )
+        .orderBy("t_days")
+    )
+
+
+DID_SPLIT_DAY = 15  # post-period starts min_day + 15 (Jan data: mid-month)
+
+
+@query(
+    "did_estimator",
+    oracle=f"""
+    WITH cut AS (SELECT CAST(min(ts) AS DATE) + {DID_SPLIT_DAY} AS c
+                 FROM events),
+    base AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t,
+             CASE WHEN CAST(ts AS DATE) >= cut.c THEN 1 ELSE 0 END AS post,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events CROSS JOIN cut
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN t = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN t = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN t = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN t = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(sum(CASE WHEN t = 1 AND post = 1 THEN cents ELSE 0 END) AS BIGINT) AS s11,
+             CAST(sum(CASE WHEN t = 1 AND post = 0 THEN cents ELSE 0 END) AS BIGINT) AS s10,
+             CAST(sum(CASE WHEN t = 0 AND post = 1 THEN cents ELSE 0 END) AS BIGINT) AS s01,
+             CAST(sum(CASE WHEN t = 0 AND post = 0 THEN cents ELSE 0 END) AS BIGINT) AS s00
+      FROM base
+    )
+    SELECT n11, n10, n01, n00,
+           round(s11 / (100.0 * nullif(n11, 0)), 6) AS mean_treat_post,
+           round(s10 / (100.0 * nullif(n10, 0)), 6) AS mean_treat_pre,
+           round(s01 / (100.0 * nullif(n01, 0)), 6) AS mean_ctrl_post,
+           round(s00 / (100.0 * nullif(n00, 0)), 6) AS mean_ctrl_pre,
+           round(s11 / (100.0 * nullif(n11, 0)) - s10 / (100.0 * nullif(n10, 0))
+                 - s01 / (100.0 * nullif(n01, 0)) + s00 / (100.0 * nullif(n00, 0)),
+                 6) AS did_estimate
+    FROM cells
+    """,
+)
+def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences treatment-effect estimator (Card &
+    Krueger 1994 lineage — THE quasi-experimental workhorse when a
+    change ships to one cohort at a known date): treatment = odd
+    user_id (the deterministic hash-bucket stand-in), post-period =
+    days >= min_day + {15}; DiD = (treat_post - treat_pre) -
+    (ctrl_post - ctrl_pre) over event value, which differences away
+    both the stable cohort gap and the common time trend. Completes
+    the causal battery next to CUPED (variance reduction) and QTE
+    (distributional effects).
+
+    Exactness: values quantize to integer cents at the scan; all
+    eight cells are integer sums; the four means and the DiD are one
+    fixed float dag over those integers, each rounded once; empty
+    cells give NULL (nullif), not a crash.
+
+    Scale: ONE pass, one 8-counter global aggregate (map-side
+    combined) after a broadcast of the 1-row date cut — no shuffle
+    wider than a row.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cut = e.agg(F.date_add(F.to_date(F.min("ts")), DID_SPLIT_DAY).alias("c"))
+    base = e.crossJoin(F.broadcast(cut)).select(
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("t"),
+        F.when(F.to_date("ts") >= F.col("c"), 1).otherwise(0).alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def cell(t: int, post: int, col, zero=0):
+        return (
+            F.sum(
+                F.when((F.col("t") == t) & (F.col("post") == post), col).otherwise(
+                    zero
+                )
+            )
+            .cast("long")
+        )
+
+    cells = base.agg(
+        cell(1, 1, F.lit(1)).alias("n11"),
+        cell(1, 0, F.lit(1)).alias("n10"),
+        cell(0, 1, F.lit(1)).alias("n01"),
+        cell(0, 0, F.lit(1)).alias("n00"),
+        cell(1, 1, F.col("cents")).alias("s11"),
+        cell(1, 0, F.col("cents")).alias("s10"),
+        cell(0, 1, F.col("cents")).alias("s01"),
+        cell(0, 0, F.col("cents")).alias("s00"),
+    )
+
+    def mean(s: str, n: str):
+        return F.col(s) / (100.0 * F.nullif(F.col(n), F.lit(0)))
+
+    return cells.select(
+        "n11", "n10", "n01", "n00",
+        F.round(mean("s11", "n11"), 6).alias("mean_treat_post"),
+        F.round(mean("s10", "n10"), 6).alias("mean_treat_pre"),
+        F.round(mean("s01", "n01"), 6).alias("mean_ctrl_post"),
+        F.round(mean("s00", "n00"), 6).alias("mean_ctrl_pre"),
+        F.round(
+            mean("s11", "n11") - mean("s10", "n10")
+            - mean("s01", "n01") + mean("s00", "n00"),
+            6,
+        ).alias("did_estimate"),
+    )
+
+
+@query(
+    "ipw_treatment_effect",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS stratum,
+             CASE WHEN user_id % 3 = 0
+                   OR (event_type IN ('purchase', 'signup')
+                       AND user_id % 3 = 1)
+                  THEN 1 ELSE 0 END AS t,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS nt,
+             CAST(sum(t * cents) AS BIGINT) AS yt,
+             CAST(sum((1 - t) * cents) AS BIGINT) AS yc
+      FROM base GROUP BY stratum
+    ),
+    terms AS (
+      SELECT n, nt, yt, yc,
+             CAST(round(10000.0 * yt * n / nullif(nt, 0)) AS BIGINT)
+               AS m1_cmicro,
+             CAST(round(10000.0 * yc * n / nullif(n - nt, 0)) AS BIGINT)
+               AS m0_cmicro
+      FROM s
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round((CAST(sum(m1_cmicro) AS DOUBLE) - sum(m0_cmicro))
+                 / 1000000.0 / sum(n), 6) AS ate_ipw,
+           round(CAST(sum(yt) AS DOUBLE) / (100.0 * nullif(sum(nt), 0))
+                 - CAST(sum(yc) AS DOUBLE)
+                   / (100.0 * nullif(sum(n - nt), 0)), 6) AS ate_naive
+    FROM terms
+    """,
+)
+def ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect (Horvitz
+    & Thompson 1952 / Rosenbaum & Rubin 1983 — the standard
+    de-confounder when assignment probability varies by stratum):
+    assignment here is DELIBERATELY confounded with event type
+    (purchase/signup strata are treated at 2/3, others at 1/3), so
+    the naive treated-minus-control mean is biased toward expensive
+    strata; weighting each observation by 1/p(stratum) — equivalently
+    summing the per-stratum Horvitz-Thompson terms y_t·n_s/n_t —
+    recovers the stratification-adjusted ATE. The demonstrated gap
+    between ate_ipw and ate_naive IS the confounding.
+
+    Exactness: per-stratum n/n_t/Σy are integer aggregates (cents);
+    each stratum's HT term is quantized to cent-micro units and the
+    cross-stratum reduce is an INTEGER sum; degenerate strata (no
+    treated or no control rows) yield NULL terms via nullif and drop
+    from the sums identically in both lanes.
+
+    Scale: one stratum-keyed hash agg (|event types| groups), then a
+    |strata|-row reduce — the IPW estimator never touches row-level
+    weights at all.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.col("event_type").alias("stratum"),
+        F.when(
+            (F.col("user_id") % 3 == 0)
+            | (
+                F.col("event_type").isin("purchase", "signup")
+                & (F.col("user_id") % 3 == 1)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    s = base.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("nt"),
+        F.sum(F.col("t") * F.col("cents")).cast("long").alias("yt"),
+        F.sum((1 - F.col("t")) * F.col("cents")).cast("long").alias("yc"),
+    )
+    terms = s.select(
+        "n", "nt", "yt", "yc",
+        F.round(
+            10000.0 * F.col("yt") * F.col("n") / F.nullif(F.col("nt"), F.lit(0))
+        )
+        .cast("long")
+        .alias("m1_cmicro"),
+        F.round(
+            10000.0
+            * F.col("yc")
+            * F.col("n")
+            / F.nullif(F.col("n") - F.col("nt"), F.lit(0))
+        )
+        .cast("long")
+        .alias("m0_cmicro"),
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.round(
+            (F.sum("m1_cmicro").cast("double") - F.sum("m0_cmicro"))
+            / 1_000_000.0
+            / F.sum("n"),
+            6,
+        ).alias("ate_ipw"),
+        F.round(
+            F.sum("yt").cast("double") / (100.0 * F.nullif(F.sum("nt"), F.lit(0)))
+            - F.sum("yc").cast("double")
+            / (100.0 * F.nullif(F.sum(F.col("n") - F.col("nt")), F.lit(0))),
+            6,
+        ).alias("ate_naive"),
+    )
