@@ -25,13 +25,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
 # coverage policy. Round-9 rotation — ACTUAL composition (3 anchors +
-# 2 changed + 12 new + 21 queue + 1 family + 9 stalest-r02 + 2 r03 =
+# 2 changed + 12 new + 9 late-new + 21 queue + 1 family + 2 r03 =
 # 50), executing round 8's written plan: the full 21-entry
 # never-driver-verified r8 queue (every r8 operator that landed after
 # the r8 window was written, incl. the three streaming e2e entries),
 # plus this round's new/changed entries, which drives cumulative
-# driver coverage to 282/285 once this window lands (the remaining
-# r03+ greens rotate next round).
+# driver coverage to 282/285-of-the-r8-registry once this window
+# lands (the remaining r03+ greens rotate next round). The 9
+# stalest-r02 re-verification slots were displaced by the nine
+# late-round-9 operators (new-operator coverage outranks
+# re-verification — the r7/r8 precedent); they move to the FRONT of
+# the round-10 queue below.
 #  - 3 never-regressed anchors (ETL kernel — also the required
 #    etl-family representative — the R1-R14 e2e, and the relational
 #    flagship),
@@ -61,26 +65,48 @@ def entry(spark: SparkSession) -> DataFrame:
 #    embedding diagnostic over micro-quantized integer reduces) —
 #    every operator added this round is driver-verified the round it
 #    lands,
+#  - 9 LATE-NEW entries (landed after the window above was written;
+#    window slots taken from the stalest-r02 block, r7/r8 precedent):
+#    benjamini_hochberg_fdr (step-up FDR over integer-quantized
+#    Chernoff p-values), brown_forsythe_variance (median-centered
+#    Levene with integer |2x - med2| deviations),
+#    kmv_distinct_audit (K-minimum-values sketch, k-th hash crosses
+#    the oracle exactly), kaplan_meier_survival (product-limit
+#    survival in cumulative integer nano-nats),
+#    did_estimator (difference-in-differences over cent-quantized
+#    cells), ipw_treatment_effect (Horvitz-Thompson stratum terms in
+#    integer micro units vs the deliberately confounded naive mean),
+#    roc_auc_rank (tie-exact Mann-Whitney AUC over micro-quantized
+#    scores), hits_hub_authority (two integer HITS iterations on the
+#    k-NN graph) and jensen_shannon_sources (pairwise bounded JSD,
+#    closed-form disjoint mass). Their three batch-mates
+#    cohens_kappa_raters, retrieval_eval_map and
+#    lm_dirichlet_relevance are t2-sim green at both SFs and queue
+#    for round 10,
 #  - 21 r8-queue entries: the post-window r8 additions, all t2-sim
 #    green at both SFs in r8 AND independently re-verified by the r8
 #    judge (VERDICT.md) — their first driver window,
 #  - 1 family-coverage slot: key_skew_audit (the only skew_plan
 #    entry family-eligible; the window must keep a skew_plan rep),
-#  - 12 STALEST greens: the r02-window survivors displaced from the
-#    r8 window by that round's new operators (r8 PRIORITY comment),
-#  - 9 stalest r02 survivors + 2 r03 family reps: the 12 displaced
-#    r02 entries minus set_intersect_brands, set_union_nations and
-#    top_revenue_orders (displaced to round 10 by this round's last
-#    three new operators — new-operator coverage outranks
-#    re-verification, the round-7 precedent), plus embedding_near_dup
-#    and multimodal_metadata (the window's dedup and multimodal_plan
-#    family reps).
+#  - 2 r03 family reps: embedding_near_dup and multimodal_metadata
+#    (the window's dedup and multimodal_plan family reps; the other
+#    r02 survivors — doc_length_histogram, domain_mixture_weights,
+#    no_big_order_anti, order_cohort_full_outer, price_band_join,
+#    priority_multiset_diff, range_frame_revenue,
+#    rollup_priority_status, set_except_nations — were displaced by
+#    the 9 late-new operators and head the round-10 queue).
 # ROUND-10 ROTATION PLAN (write the r10 window from this): keep the 3
-# anchors + any round-10-changed entries; window any round-9-new
-# operators not yet driver-verified; then stalest greens — the
-# remaining r03 cohort first (set_intersect_brands,
-# set_union_nations, top_revenue_orders — r02, displaced twice —
-# then agg_stats, array_functions, asof_last_view,
+# anchors + any round-10-changed entries; window FIRST the 3
+# round-9-new operators not driver-verified in r9
+# (cohens_kappa_raters, retrieval_eval_map, lm_dirichlet_relevance —
+# t2-sim green at both SFs this round) and any round-10-new
+# operators; then stalest greens — the 9 r02 survivors displaced by
+# the late-r9 batch (doc_length_histogram, domain_mixture_weights,
+# no_big_order_anti, order_cohort_full_outer, price_band_join,
+# priority_multiset_diff, range_frame_revenue, rollup_priority_status,
+# set_except_nations), then the remaining r03 cohort
+# (set_intersect_brands, set_union_nations, top_revenue_orders —
+# r02, displaced twice — then agg_stats, array_functions, asof_last_view,
 # big_spenders_semi, bm25_relevance,
 # cte_above_avg_customers, deterministic_split, doc_chunking,
 # flatten_props, full_text_relevance, graph_pagerank_step,
@@ -143,18 +169,18 @@ PRIORITY = [
     "mcnemar_paired_test",
     # --- 1 family-coverage slot (skew_plan rep; r08-green) ---
     "key_skew_audit",
-    # --- 12 stalest greens (r02-window survivors displaced in r8) ---
-    "doc_length_histogram",
-    "domain_mixture_weights",
-    "no_big_order_anti",
-    "order_cohort_full_outer",
-    "price_band_join",
-    "priority_multiset_diff",
-    "range_frame_revenue",
-    "rollup_priority_status",
-    "set_except_nations",
-    # --- 8 r03-cohort greens (dedup + multimodal_plan family reps
-    # first, then alphabetical) ---
+    # --- 9 late-new round-9 entries (slots from the stalest-r02
+    # block; those re-verifications head the round-10 queue) ---
+    "benjamini_hochberg_fdr",
+    "brown_forsythe_variance",
+    "kmv_distinct_audit",
+    "kaplan_meier_survival",
+    "did_estimator",
+    "ipw_treatment_effect",
+    "roc_auc_rank",
+    "hits_hub_authority",
+    "jensen_shannon_sources",
+    # --- 2 r03-cohort greens (dedup + multimodal_plan family reps) ---
     "embedding_near_dup",
     "multimodal_metadata",
 ]

@@ -1159,3 +1159,137 @@ def gini_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_LN2 = 0.6931471805599453  # shared literal: ln(2), never re-derived
+
+
+@query(
+    "jensen_shannon_sources",
+    oracle=f"""
+    WITH tc AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+          FROM tc GROUP BY source, term),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY source),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_shared_terms,
+             CAST(sum(CAST(round(1000000 * 0.5 * (
+                 (CAST(a.c AS DOUBLE) / ta.t)
+                   * ln(2.0 * a.c * tb.t
+                        / (CAST(a.c AS DOUBLE) * tb.t
+                           + CAST(b.c AS DOUBLE) * ta.t))
+               + (CAST(b.c AS DOUBLE) / tb.t)
+                   * ln(2.0 * b.c * ta.t
+                        / (CAST(a.c AS DOUBLE) * tb.t
+                           + CAST(b.c AS DOUBLE) * ta.t))
+             )) AS BIGINT)) AS BIGINT) AS shared_micro,
+             CAST(sum(a.c) AS BIGINT) AS shared_a,
+             CAST(sum(b.c) AS BIGINT) AS shared_b
+      FROM c a JOIN c b ON a.term = b.term AND a.source < b.source
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source
+      GROUP BY a.source, b.source
+    ),
+    pairs AS (
+      SELECT ta.source AS src_a, ta.t AS ta, tb.source AS src_b, tb.t AS tb
+      FROM tot ta JOIN tot tb ON ta.source < tb.source
+    )
+    SELECT src_a, src_b,
+           coalesce(n_shared_terms, 0) AS n_shared_terms,
+           round((coalesce(shared_micro, 0)
+                  + round(1000000 * 0.5 * CAST({_LN2} AS DOUBLE)
+                          * (ta - coalesce(shared_a, 0)) / CAST(ta AS DOUBLE))
+                  + round(1000000 * 0.5 * CAST({_LN2} AS DOUBLE)
+                          * (tb - coalesce(shared_b, 0)) / CAST(tb AS DOUBLE))
+                 ) / 1000000.0, 6) AS jsd_nats
+    FROM pairs LEFT JOIN shared USING (src_a, src_b)
+    ORDER BY src_a, src_b
+    """,
+)
+def jensen_shannon_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions (Lin 1991 — the SYMMETRIC, BOUNDED [0, ln2]
+    companion to ``source_kl_divergence``: never infinite on disjoint
+    support, so it's the mixture-distance metric actually used for
+    data-mix comparison and drift dashboards; its square root is a
+    metric). JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2.
+
+    Exactness: for a shared term, 2p/(p+q) reduces to the INTEGER
+    ratio 2·c_a·t_b/(c_a·t_b + c_b·t_a), so each per-(pair, term)
+    contribution is one fixed float dag over exact integers,
+    quantized to micro-nats; disjoint-support mass needs NO per-term
+    work — it collapses to ½ln2·(t - Σc_shared)/t in closed form from
+    the shared-sum integers (the TVD-matrix trick applied to the KL
+    idiom); ln2 enters as the same literal in both lanes; all reduces
+    are integer sums.
+
+    Scale: one word-count shuffle to (source, term) counts, one
+    TERM-keyed self-join of that collapsed table (|sources|²/2 pairs
+    per term — never corpus×corpus), totals broadcast; pairs sharing
+    nothing still appear (JSD = ln2 exactly) via the tiny pair spine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    c = scoped_persist(c)
+    tot = c.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    a = c.select(F.col("source").alias("src_a"), "term", F.col("c").alias("ca"))
+    b = c.select(F.col("source").alias("src_b"), "term", F.col("c").alias("cb"))
+    ta = F.broadcast(
+        tot.select(F.col("source").alias("src_a"), F.col("t").alias("ta"))
+    )
+    tb = F.broadcast(
+        tot.select(F.col("source").alias("src_b"), F.col("t").alias("tb"))
+    )
+    den = (
+        F.col("ca").cast("double") * F.col("tb")
+        + F.col("cb").cast("double") * F.col("ta")
+    )
+    contrib = 0.5 * (
+        (F.col("ca").cast("double") / F.col("ta"))
+        * F.log(2.0 * F.col("ca") * F.col("tb") / den)
+        + (F.col("cb").cast("double") / F.col("tb"))
+        * F.log(2.0 * F.col("cb") * F.col("ta") / den)
+    )
+    shared = (
+        a.join(b, ["term"])
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(ta, "src_a")
+        .join(tb, "src_b")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_terms"),
+            F.sum(F.round(1_000_000 * contrib).cast("long"))
+            .cast("long")
+            .alias("shared_micro"),
+            F.sum("ca").cast("long").alias("shared_a"),
+            F.sum("cb").cast("long").alias("shared_b"),
+        )
+    )
+    pairs = ta.crossJoin(tb).filter(F.col("src_a") < F.col("src_b"))
+    out = pairs.join(shared, ["src_a", "src_b"], "left").na.fill(
+        0, ["n_shared_terms", "shared_micro", "shared_a", "shared_b"]
+    )
+    disjoint_a = F.round(
+        1_000_000 * 0.5 * _LN2
+        * (F.col("ta") - F.col("shared_a")) / F.col("ta").cast("double")
+    )
+    disjoint_b = F.round(
+        1_000_000 * 0.5 * _LN2
+        * (F.col("tb") - F.col("shared_b")) / F.col("tb").cast("double")
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_shared_terms",
+        F.round(
+            (F.col("shared_micro") + disjoint_a + disjoint_b) / 1_000_000.0, 6
+        ).alias("jsd_nats"),
+    ).orderBy("src_a", "src_b")

@@ -1308,3 +1308,89 @@ def pseudo_relevance_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s_micro").cast("double") / 1_000_000, 4).alias("score"),
         )
     )
+
+
+LM_MU = 300.0  # Dirichlet smoothing mass (docs are 10-99 tokens)
+
+_LM_DIRICHLET_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS dl,
+             len(list_filter(string_split(text, ' '), x -> x = 'data'))  AS tf1,
+             len(list_filter(string_split(text, ' '), x -> x = 'table')) AS tf2
+      FROM documents
+    ),
+    g AS (
+      SELECT CAST(sum(dl) AS BIGINT) AS c_len,
+             CAST(sum(tf1) AS BIGINT) AS cf1,
+             CAST(sum(tf2) AS BIGINT) AS cf2
+      FROM t
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             ln((tf1 + {LM_MU} * cf1 / CAST(c_len AS DOUBLE)) / (dl + {LM_MU}))
+           + ln((tf2 + {LM_MU} * cf2 / CAST(c_len AS DOUBLE)) / (dl + {LM_MU}))
+               AS _score,
+             tf1 + tf2 AS _hits
+      FROM t CROSS JOIN g
+    )
+    SELECT doc_id, lang, round(_score, 4) AS score
+    FROM scored WHERE _hits > 0
+    ORDER BY _score DESC, doc_id
+    LIMIT 15
+"""
+
+
+@query("lm_dirichlet_relevance", oracle=_LM_DIRICHLET_ORACLE)
+def lm_dirichlet_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001 — the language-modeling ranking family next to
+    ``bm25_relevance``'s probabilistic one; Lucene ships it as
+    LMDirichletSimilarity): score(q, d) = Σ_t ln((tf + μ·P(t|C)) /
+    (dl + μ)), where the collection model P(t|C) = cf_t/|C| backs off
+    rare terms and μ absorbs document-length variance. Completes the
+    S19 full-text surface with the second of the two standard
+    similarity families.
+
+    Determinism: tf/dl/cf/|C| are integers; the two-term score is one
+    fixed float dag written identically in both lanes (no float
+    REDUCE — the per-doc score is a 2-term expression, the bm25
+    precedent), rounded once; ranking ties break on doc_id.
+
+    Scale: identical shape to BM25 — per-doc stats are a scan
+    projection, collection stats are a ONE-ROW broadcast, top-15 is a
+    TakeOrderedAndProject heap.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("dl"),
+        F.size(F.filter(toks, lambda x: x == "data")).alias("tf1"),
+        F.size(F.filter(toks, lambda x: x == "table")).alias("tf2"),
+    )
+    g = t.agg(
+        F.sum("dl").cast("long").alias("c_len"),
+        F.sum("tf1").cast("long").alias("cf1"),
+        F.sum("tf2").cast("long").alias("cf2"),
+    )
+
+    def lm_term(tf: str, cf: str):
+        return F.log(
+            (F.col(tf) + LM_MU * F.col(cf) / F.col("c_len").cast("double"))
+            / (F.col("dl") + LM_MU)
+        )
+
+    scored = t.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        "lang",
+        (lm_term("tf1", "cf1") + lm_term("tf2", "cf2")).alias("_score"),
+        (F.col("tf1") + F.col("tf2")).alias("_hits"),
+    )
+    return (
+        scored.filter(F.col("_hits") > 0)
+        .orderBy(F.col("_score").desc(), "doc_id")
+        .limit(15)
+        .select("doc_id", "lang", F.round("_score", 4).alias("score"))
+    )

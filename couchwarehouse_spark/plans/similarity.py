@@ -3558,3 +3558,322 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("anisotropy"),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# Round 9 additions: rank-based ROC-AUC, mean-average-precision
+# retrieval eval, and HITS hub/authority scores on the k-NN graph.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "roc_auc_rank",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label % 2 = 1 AS pos,
+             CAST(round(1000000 * (list_dot_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)), {_W_SQL})
+               + {ML_BIAS})) AS BIGINT) AS score_micro
+      FROM embeddings
+    ),
+    g AS (
+      SELECT score_micro,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS q
+      FROM v GROUP BY score_micro
+    ),
+    cum AS (
+      SELECT p, q,
+             coalesce(CAST(sum(q) OVER (ORDER BY score_micro
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS BIGINT), 0) AS q_below
+      FROM g
+    )
+    SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(q) AS BIGINT) AS n_neg,
+           CAST(sum(p * (2 * q_below + q)) AS BIGINT) AS u2_stat,
+           round(CAST(sum(p * (2 * q_below + q)) AS DOUBLE)
+                 / nullif(2.0 * sum(p) * sum(q), 0), 6) AS auc
+    FROM cum
+    """,
+)
+def roc_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the in-SQL linear classifier via the rank / Mann-
+    Whitney identity (AUC = U/(n1·n0) — Hanley & McNeil 1982; the
+    model-eval number every classifier-backed quality filter reports
+    before its threshold is trusted at corpus scale). Scores are the
+    raw linear logits of ``ml_inference_scores``'s model (monotone in
+    the sigmoid, so the AUC is identical and no exp() enters);
+    positives are odd labels.
+
+    Exactness: scores quantize to integer micro units BEFORE
+    grouping, so tie groups are identical in both lanes; with p_s/q_s
+    positives/negatives per distinct score, U·2 = Σ_s p_s·(2·q_below
+    + q_s) handles ties exactly (each tied pair counts once, i.e.
+    0.5·2) — ALL integer arithmetic, one division at emit.
+
+    Scale: grouping collapses N rows to |distinct scores|; the
+    cumulative window runs over that collapsed, ordered table (at
+    100 TB: bin scores to bounded resolution first — which the micro
+    quantization already is). No row-level ranks materialize.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in ML_WEIGHTS])
+    v = e.select(
+        (F.col("label") % 2 == 1).alias("pos"),
+        F.round(
+            1_000_000
+            * (dot(F.col("embedding").cast("array<double>"), w) + F.lit(ML_BIAS))
+        )
+        .cast("long")
+        .alias("score_micro"),
+    )
+    g = v.groupBy("score_micro").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("p"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("long").alias("q"),
+    )
+    w_below = Window.orderBy("score_micro").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = g.select(
+        "p",
+        "q",
+        F.coalesce(F.sum("q").over(w_below).cast("long"), F.lit(0)).alias(
+            "q_below"
+        ),
+    )
+    u2 = F.sum(F.col("p") * (2 * F.col("q_below") + F.col("q"))).cast("long")
+    return cum.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("q").cast("long").alias("n_neg"),
+        u2.alias("u2_stat"),
+        F.round(
+            u2.cast("double")
+            / F.nullif(2.0 * F.sum("p") * F.sum("q"), F.lit(0.0)),
+            6,
+        ).alias("auc"),
+    )
+
+
+RETRIEVAL_MAP_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    lc AS (SELECT label, CAST(count(*) AS BIGINT) AS nl FROM e GROUP BY label),
+    q AS (
+      SELECT vec_id AS qid, label AS qlabel, v AS qv
+      FROM e WHERE vec_id % {EVAL_QUERY_MOD} = 0
+    ),
+    s AS (
+      SELECT q.qid, q.qlabel, e.label,
+             row_number() OVER (PARTITION BY q.qid
+                                ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                                         e.vec_id) AS rank
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    hits AS (
+      SELECT qid, qlabel, rank,
+             CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+             CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY qid ORDER BY rank) AS BIGINT) AS h
+      FROM s WHERE rank <= {EVAL_TOP_K}
+    ),
+    per_q AS (
+      SELECT qid, any_value(qlabel) AS qlabel,
+             CAST(sum(CASE WHEN rel = 1 THEN ({_RR_LCM} // rank) * h
+                           ELSE 0 END) AS BIGINT) AS ap_scaled
+      FROM hits GROUP BY qid
+    ),
+    ap AS (
+      SELECT p.qlabel,
+             CAST(round(1000000.0 * p.ap_scaled
+                        / ({_RR_LCM} * least(l.nl - 1, {EVAL_TOP_K})))
+                  AS BIGINT) AS ap_micro
+      FROM per_q p JOIN lc l ON p.qlabel = l.label
+    )
+    SELECT qlabel AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           round(CAST(sum(ap_micro) AS DOUBLE) / 1000000 / count(*), 6)
+             AS map_at_10
+    FROM ap GROUP BY qlabel
+"""
+
+
+@query("retrieval_eval_map", oracle=RETRIEVAL_MAP_ORACLE)
+def retrieval_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean average precision at 10 (MAP@10 — the order-sensitive
+    retrieval metric that credits EVERY relevant hit by the precision
+    at its rank, unlike MRR's first-hit-only view; the third leg of
+    the eval stool next to ``retrieval_eval_mrr`` and
+    ``retrieval_eval_ndcg``): per held-out query (vec_id %
+    {EVAL_QUERY_MOD} = 0), AP@10 = Σ_rel P@k / min(R, 10) with
+    label-match relevance and R = the query label's corpus size - 1.
+
+    Exactness: P@k at rank k is hits@k/k, carried exactly as
+    ({_RR_LCM}//k)·hits@k (lcm(1..10) scaling — always integer); the
+    per-query AP is ONE division quantized to micro units; the
+    per-label MAP reduce is an INTEGER sum.
+
+    Scale: same two-stage heap as the MRR eval — the bounded query
+    sample broadcasts, per-partition top-10 heaps bound what the
+    final per-query rank window sees, and the eval reduce runs over
+    ≤ Q·10 rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    lc = v.groupBy("label").agg(F.count("*").cast("long").alias("nl"))
+    q = v.filter(F.col("vec_id") % EVAL_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        v.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("_cos", cosine(F.col("v"), F.col("qv")))
+        .withColumn("_pid", F.spark_partition_id())
+        .select("qid", "qlabel", "vec_id", "label", "_cos", "_pid")
+    )
+    w_local = Window.partitionBy("qid", "_pid").orderBy(
+        F.col("_cos").desc(), "vec_id"
+    )
+    survivors = scored.withColumn("_r", F.row_number().over(w_local)).filter(
+        F.col("_r") <= EVAL_TOP_K
+    )
+    w_final = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "vec_id")
+    topk = survivors.withColumn("rank", F.row_number().over(w_final)).filter(
+        F.col("rank") <= EVAL_TOP_K
+    )
+    rel = F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+    w_run = Window.partitionBy("qid").orderBy("rank")
+    hits = topk.select(
+        "qid", "qlabel", "rank", rel.alias("rel"),
+        F.sum(rel).over(w_run).cast("long").alias("h"),
+    )
+    per_q = hits.groupBy("qid").agg(
+        F.first("qlabel").alias("qlabel"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                (F.lit(_RR_LCM) / F.col("rank")).cast("long") * F.col("h"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("ap_scaled"),
+    )
+    ap = per_q.join(
+        F.broadcast(lc.withColumnRenamed("label", "qlabel")), "qlabel"
+    ).select(
+        "qlabel",
+        F.round(
+            1_000_000.0
+            * F.col("ap_scaled")
+            / (_RR_LCM * F.least(F.col("nl") - 1, F.lit(EVAL_TOP_K))),
+        )
+        .cast("long")
+        .alias("ap_micro"),
+    )
+    return ap.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(
+            F.sum("ap_micro").cast("double") / 1_000_000 / F.count("*"), 6
+        ).alias("map_at_10"),
+    )
+
+
+HITS_TOP = 20
+
+HITS_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {_bucket_expr_sql_derived('embedding')} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                                         b.vec_id) AS rank
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    edges AS (SELECT vec_id AS src, nbr_id AS dst FROM scored
+              WHERE rank <= {KNN_GRAPH_K}),
+    a1 AS (SELECT dst, CAST(count(*) AS BIGINT) AS a1 FROM edges GROUP BY dst),
+    h1 AS (SELECT e.src, CAST(sum(a.a1) AS BIGINT) AS h1
+           FROM edges e JOIN a1 a ON e.dst = a.dst GROUP BY e.src),
+    a2 AS (SELECT e.dst, CAST(sum(h.h1) AS BIGINT) AS a2
+           FROM edges e JOIN h1 h ON e.src = h.src GROUP BY e.dst),
+    h2 AS (SELECT e.src, CAST(sum(a.a2) AS BIGINT) AS h2
+           FROM edges e JOIN a2 a ON e.dst = a.dst GROUP BY e.src)
+    SELECT n.vec_id,
+           coalesce(a2.a2, 0) AS auth_score,
+           coalesce(h2.h2, 0) AS hub_score
+    FROM embeddings n
+    LEFT JOIN a2 ON n.vec_id = a2.dst
+    LEFT JOIN h2 ON n.vec_id = h2.src
+    ORDER BY auth_score DESC, n.vec_id
+    LIMIT {HITS_TOP}
+"""
+
+
+@query("hits_hub_authority", oracle=HITS_ORACLE)
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two HITS iterations (Kleinberg 1999 — hubs point at good
+    authorities, authorities are pointed at by good hubs; the other
+    classic link-analysis kernel next to PageRank, and on a k-NN
+    graph the detector of dense similarity cores vs. broad
+    connectors): from uniform init, a1 = in-degree, h1 = Σ_out a1,
+    a2 = Σ_in h1, h2 = Σ_out a2, reported UNNORMALIZED for the top
+    {20} authorities — normalization divides every score by the same
+    constant and changes no ordering, so the integer fixed-point form
+    is exact in both lanes (the PageRank-3iter scaling idea, with no
+    scaling needed at all).
+
+    Exactness: every score is an integer sum over integer scores —
+    bounded by (k·N)² « 2^63 at any realistic shard size; ordering
+    ties break on vec_id.
+
+    Scale: each half-iteration is one edge-keyed join + hash agg over
+    the N·k edge table (the textbook distributed HITS round); the
+    edge table builds once (persisted) and feeds all four rounds;
+    top-{20} is a TakeOrderedAndProject heap, never a global sort.
+    """
+    edges = knn_graph_bucketed(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst")
+    )
+    edges = scoped_persist(edges)
+    a1 = edges.groupBy("dst").agg(F.count("*").cast("long").alias("a1"))
+    h1 = (
+        edges.join(a1, "dst")
+        .groupBy("src")
+        .agg(F.sum("a1").cast("long").alias("h1"))
+    )
+    a2 = (
+        edges.join(h1, "src")
+        .groupBy("dst")
+        .agg(F.sum("h1").cast("long").alias("a2"))
+    )
+    h2 = (
+        edges.join(a2, "dst")
+        .groupBy("src")
+        .agg(F.sum("a2").cast("long").alias("h2"))
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id")
+        .join(a2.withColumnRenamed("dst", "vec_id"), "vec_id", "left")
+        .join(h2.withColumnRenamed("src", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("a2"), F.lit(0)).cast("long").alias("auth_score"),
+            F.coalesce(F.col("h2"), F.lit(0)).cast("long").alias("hub_score"),
+        )
+        .orderBy(F.col("auth_score").desc(), "vec_id")
+        .limit(HITS_TOP)
+    )

@@ -1,0 +1,341 @@
+"""Planted-fixture golden tests for the late-round-9 operator batch:
+multiple-testing control, variance homogeneity, agreement, the KMV
+sketch, survival analysis, two causal estimators, rank-AUC, MAP@10,
+HITS, LM-Dirichlet retrieval, and Jensen-Shannon divergence. Each
+fixture is small enough that the expected statistic is computed by
+hand (or with one line of math) in the assertion.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import datetime, timedelta
+
+
+def _write(df, sf_dir: str, name: str) -> None:
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs(spark, rows):
+    """rows: (doc_id, text, lang, source)."""
+    return spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _docs_chars(spark, rows):
+    """rows: (doc_id, text, lang, source, n_chars) — explicit n_chars."""
+    return spark.createDataFrame(
+        list(rows),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, day_offset, event_type, value)."""
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    return spark.createDataFrame(
+        [
+            (i, base + timedelta(days=d), u, et, v, "{}")
+            for i, u, d, et, v in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _emb(spark, rows):
+    """rows: (vec_id, label, {dim: value})."""
+    return spark.createDataFrame(
+        [
+            (i, [float(d.get(j, 0.0)) for j in range(64)], lab)
+            for i, lab, d in rows
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+class TestBenjaminiHochberg:
+    def test_extreme_types_rejected_mid_type_not(self, spark, tmp_path):
+        """Type 'hot' converts always, 'cold' never (|z| huge, Chernoff
+        p ~ 0 -> rejected); 'mid' converts at the pooled rate (z ~ 0,
+        p = 1 -> survives). BH ordering must put mid last."""
+        from couchwarehouse_spark.plans.statistics import benjamini_hochberg_fdr
+
+        sf = str(tmp_path / "sf")
+        rows = []
+        eid = 0
+        for _ in range(100):
+            rows.append((eid, eid, 0, "hot", 100.0)); eid += 1
+            rows.append((eid, eid, 0, "cold", 1.0)); eid += 1
+            rows.append((eid, eid, 0, "mid", 100.0 if eid % 2 else 1.0)); eid += 1
+        _write(_events(spark, rows), sf, "events")
+        out = {r["event_type"]: r for r in benjamini_hochberg_fdr(spark, sf).collect()}
+        assert out["hot"]["rejected"] and out["cold"]["rejected"]
+        assert not out["mid"]["rejected"]
+        assert out["mid"]["bh_rank"] == 3
+        assert out["hot"]["p_chernoff"] < 1e-5
+        assert out["mid"]["p_chernoff"] > 0.9
+        # step-up monotonicity: every rank below a rejected rank is rejected
+        ranks = sorted(out.values(), key=lambda r: r["bh_rank"])
+        seen_accept = False
+        for r in ranks:
+            if not r["rejected"]:
+                seen_accept = True
+            assert not (seen_accept and r["rejected"])
+
+
+class TestBrownForsythe:
+    def test_hand_computed_f_statistic(self, spark, tmp_path):
+        """Group bb = [100, 200, 300] (med 200, |2x-400| = [200,0,200]),
+        group aa constant (all deviations 0). By hand W = 4.0."""
+        from couchwarehouse_spark.plans.statistics import brown_forsythe_variance
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs_chars(spark, [
+                (1, "t", "aa", "s", 50), (2, "t", "aa", "s", 50),
+                (3, "t", "aa", "s", 50),
+                (4, "t", "bb", "s", 100), (5, "t", "bb", "s", 200),
+                (6, "t", "bb", "s", 300),
+            ]),
+            sf, "documents",
+        )
+        row = brown_forsythe_variance(spark, sf).collect()[0]
+        assert row["k_groups"] == 2 and row["n_docs"] == 6
+        assert row["bf_stat"] == 4.0
+
+
+class TestCohensKappa:
+    def test_hand_computed_kappa(self, spark, tmp_path):
+        """Cells n11=2, n10=1, n01=0, n00=1 -> po=0.75, pe=0.5, k=0.5."""
+        from couchwarehouse_spark.plans.statistics import cohens_kappa_raters
+
+        sf = str(tmp_path / "sf")
+        long_text = "w " * 69 + "w"   # 70 tokens
+        short_text = "w " * 9 + "w"   # 10 tokens
+        _write(
+            _docs_chars(spark, [
+                (1, long_text, "en", "s", 400),   # both raters: long
+                (2, long_text, "en", "s", 350),   # both raters: long
+                (3, short_text, "en", "s", 320),  # chars long, tokens short
+                (4, short_text, "en", "s", 100),  # both short
+            ]),
+            sf, "documents",
+        )
+        row = cohens_kappa_raters(spark, sf).collect()[0]
+        assert (row["n11"], row["n10"], row["n01"], row["n00"]) == (2, 1, 0, 1)
+        assert row["po"] == 0.75 and row["pe"] == 0.5 and row["kappa"] == 0.5
+
+
+class TestKMVSketch:
+    def test_exact_count_and_positive_estimate(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.statistics import kmv_distinct_audit
+
+        sf = str(tmp_path / "sf")
+        li = spark.createDataFrame(
+            [(i, i % 200, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+              datetime(2024, 1, 1)) for i in range(600)],
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp",
+        )
+        _write(li, sf, "lineitem")
+        row = kmv_distinct_audit(spark, sf).collect()[0]
+        assert row["n_exact"] == 200
+        assert row["kth_hash"] > 0
+        assert row["kmv_estimate"] > 0
+
+
+class TestKaplanMeier:
+    def test_hand_computed_survival_step(self, spark, tmp_path):
+        """4 users: two hit the big purchase at t=2, one censors at
+        t=1, one censors at t=4. The only death time is t=2 with
+        n_at_risk 3 -> log S = ln(1/3)."""
+        from couchwarehouse_spark.plans.statistics import kaplan_meier_survival
+
+        sf = str(tmp_path / "sf")
+        rows = [
+            # u1: first day0, big purchase day2
+            (1, 1, 0, "view", 1.0), (2, 1, 2, "purchase", 250.0),
+            # u2: first day0, censored at day4
+            (3, 2, 0, "view", 1.0), (4, 2, 4, "click", 1.0),
+            # u3: big purchase day2
+            (5, 3, 0, "view", 1.0), (6, 3, 2, "purchase", 300.0),
+            # u4: censored at day1
+            (7, 4, 0, "view", 1.0), (8, 4, 1, "click", 1.0),
+        ]
+        _write(_events(spark, rows), sf, "events")
+        out = kaplan_meier_survival(spark, sf).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert row["t_days"] == 2 and row["n_at_risk"] == 3
+        assert row["n_events"] == 2
+        assert row["log_survival_nats"] == round(math.log(1.0 / 3.0), 6)
+
+
+class TestDiD:
+    def test_hand_computed_did(self, spark, tmp_path):
+        """Treat (odd uid) lifts 10 -> 30; control lifts 10 -> 15.
+        DiD = 20 - 5 = 15."""
+        from couchwarehouse_spark.plans.statistics import did_estimator
+
+        sf = str(tmp_path / "sf")
+        rows = [
+            (1, 1, 0, "view", 10.0), (2, 1, 20, "view", 30.0),
+            (3, 2, 0, "view", 10.0), (4, 2, 20, "view", 15.0),
+        ]
+        _write(_events(spark, rows), sf, "events")
+        row = did_estimator(spark, sf).collect()[0]
+        assert row["mean_treat_pre"] == 10.0 and row["mean_treat_post"] == 30.0
+        assert row["mean_ctrl_pre"] == 10.0 and row["mean_ctrl_post"] == 15.0
+        assert row["did_estimate"] == 15.0
+
+
+class TestIPW:
+    def test_confounded_naive_vs_ipw(self, spark, tmp_path):
+        """Two strata with propensities 1/3 (view) and 2/3 (purchase);
+        hand-computed ATE_IPW = 12, naive = 14 (biased by the
+        expensive stratum being treated more often)."""
+        from couchwarehouse_spark.plans.statistics import ipw_treatment_effect
+
+        sf = str(tmp_path / "sf")
+        rows = [
+            (1, 0, 0, "view", 10.0),      # treated (uid%3=0)
+            (2, 1, 0, "view", 2.0),       # control
+            (3, 2, 0, "view", 2.0),       # control
+            (4, 0, 0, "purchase", 20.0),  # treated
+            (5, 1, 0, "purchase", 20.0),  # treated (purchase & uid%3=1)
+            (6, 2, 0, "purchase", 4.0),   # control
+        ]
+        _write(_events(spark, rows), sf, "events")
+        row = ipw_treatment_effect(spark, sf).collect()[0]
+        assert row["n_strata"] == 2 and row["n_events"] == 6
+        assert row["ate_ipw"] == 12.0
+        assert row["ate_naive"] == 14.0
+
+
+class TestRocAuc:
+    def test_tie_exact_auc(self, spark, tmp_path):
+        """Positives at scores {1.0, 0.1}, negatives at {-0.8, 0.1}:
+        U = 2 + 1 + 0.5 = 3.5 -> AUC = 0.875 with the tie counted
+        half, exactly."""
+        from couchwarehouse_spark.plans.similarity import roc_auc_rank
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _emb(spark, [
+                (1, 1, {1: 1.0}),   # pos, score 0.9 + 0.1 = 1.0
+                (2, 1, {}),         # pos, score 0.1 (zero vec is fine: dot only)
+                (3, 0, {0: 1.0}),   # neg, score -0.9 + 0.1 = -0.8
+                (4, 0, {}),         # neg, score 0.1 (tie with vec 2)
+            ]),
+            sf, "embeddings",
+        )
+        row = roc_auc_rank(spark, sf).collect()[0]
+        assert row["n_pos"] == 2 and row["n_neg"] == 2
+        assert row["u2_stat"] == 7  # 2U = 7
+        assert row["auc"] == 0.875
+
+
+class TestRetrievalMAP:
+    def test_hand_computed_ap(self, spark, tmp_path):
+        """Query v0 (label 0): ranked v1 (label 1, miss), v3 (label 0,
+        hit at rank 2), v2 (cos 0, miss). R = |label0| - 1 = 1 ->
+        AP = P@2 = 0.5."""
+        from couchwarehouse_spark.plans.similarity import retrieval_eval_map
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _emb(spark, [
+                (0, 0, {0: 1.0}),            # the query (vec_id % 10 == 0)
+                (1, 1, {0: 1.0}),            # cos 1, wrong label
+                (2, 1, {1: 1.0}),            # cos 0
+                (3, 0, {0: 0.5}),            # cos 1 (colinear), right label
+            ]),
+            sf, "embeddings",
+        )
+        out = {r["label"]: r for r in retrieval_eval_map(spark, sf).collect()}
+        assert out[0]["n_queries"] == 1
+        assert out[0]["map_at_10"] == 0.5
+
+
+class TestHits:
+    def test_structure_on_dense_cluster(self, spark, tmp_path):
+        """A single tight cluster: every node gets positive authority
+        and hub mass; output is authority-sorted."""
+        from couchwarehouse_spark.plans.similarity import hits_hub_authority
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _emb(spark, [
+                (i, 0, {0: 1.0, 1: 0.01 * i, 2: 0.003 * i * i})
+                for i in range(6)
+            ]),
+            sf, "embeddings",
+        )
+        out = hits_hub_authority(spark, sf).collect()
+        assert len(out) == 6
+        auth = [r["auth_score"] for r in out]
+        assert auth == sorted(auth, reverse=True)
+        assert all(r["hub_score"] > 0 for r in out)
+        assert sum(auth) > 0
+
+
+class TestLMDirichlet:
+    def test_hand_computed_scores(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.relational_extra import (
+            LM_MU, lm_dirichlet_relevance,
+        )
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs(spark, [
+                (1, "data data x y", "en", "s"),
+                (2, "x y z w", "en", "s"),
+                (3, "table x y z", "en", "s"),
+            ]),
+            sf, "documents",
+        )
+        out = {r["doc_id"]: r for r in lm_dirichlet_relevance(spark, sf).collect()}
+        assert set(out) == {1, 3}  # doc 2 has no query term
+        c_len, cf1, cf2 = 12, 2, 1
+
+        def score(tf1, tf2, dl):
+            return round(
+                math.log((tf1 + LM_MU * cf1 / c_len) / (dl + LM_MU))
+                + math.log((tf2 + LM_MU * cf2 / c_len) / (dl + LM_MU)),
+                4,
+            )
+
+        assert out[1]["score"] == score(2, 0, 4)
+        assert out[3]["score"] == score(0, 1, 4)
+
+
+class TestJensenShannon:
+    def test_identical_zero_disjoint_ln2(self, spark, tmp_path):
+        """Identical sources -> JSD 0; disjoint vocab -> JSD ln 2."""
+        from couchwarehouse_spark.plans.curation import jensen_shannon_sources
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs(spark, [
+                (1, "a a", "en", "s1"),
+                (2, "b b", "en", "s2"),
+                (3, "a a", "en", "s3"),
+            ]),
+            sf, "documents",
+        )
+        out = {(r["src_a"], r["src_b"]): r for r in
+               jensen_shannon_sources(spark, sf).collect()}
+        # each disjoint side quantizes 0.5*ln2 to micro units before
+        # the sum, so the result is ln2 +/- 1 micro-nat per side
+        ln2 = math.log(2)
+        assert abs(out[("s1", "s2")]["jsd_nats"] - ln2) <= 2e-6
+        assert abs(out[("s2", "s3")]["jsd_nats"] - ln2) <= 2e-6
+        assert out[("s1", "s3")]["jsd_nats"] == 0.0
+        assert out[("s1", "s3")]["n_shared_terms"] == 1
