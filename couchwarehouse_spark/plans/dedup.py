@@ -2459,3 +2459,162 @@ def levenshtein_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Fellegi-Sunter record-linkage weights: m = P(field agrees | match)
+# is the usual expert/EM-set literal; u = P(field agrees | non-match)
+# is estimated EXACTLY from the value-frequency identity
+# u = sum_v n_v(n_v-1) / (N(N-1)) over the field's histogram.
+FS_M1 = 0.9  # m-probability, account-balance kilo-bucket field
+FS_M2 = 0.9  # m-probability, name-suffix-digit field
+
+
+@query(
+    "fellegi_sunter_linkage",
+    oracle=f"""
+    WITH f AS (
+      SELECT c_custkey, c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS f1,
+             substr(c_name, len(c_name), 1) AS f2
+      FROM customer
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+    u1 AS (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS num
+           FROM (SELECT count(*) AS c FROM f GROUP BY f1)),
+    u2 AS (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS num
+           FROM (SELECT count(*) AS c FROM f GROUP BY f2)),
+    w AS (
+      SELECT
+        CAST(round(1000000 * ln({FS_M1} * (n * (n - 1))
+                                / nullif(u1.num, 0))) AS BIGINT) AS w1a,
+        CAST(round(1000000 * ln({1 - FS_M1} * (n * (n - 1))
+                                / nullif(n * (n - 1) - u1.num, 0)))
+             AS BIGINT) AS w1d,
+        CAST(round(1000000 * ln({FS_M2} * (n * (n - 1))
+                                / nullif(u2.num, 0))) AS BIGINT) AS w2a,
+        CAST(round(1000000 * ln({1 - FS_M2} * (n * (n - 1))
+                                / nullif(n * (n - 1) - u2.num, 0)))
+             AS BIGINT) AS w2d
+      FROM u1 CROSS JOIN u2 CROSS JOIN nn
+    ),
+    pairs AS (
+      SELECT CASE WHEN a.f1 = b.f1 THEN 1 ELSE 0 END AS g1,
+             CASE WHEN a.f2 = b.f2 THEN 1 ELSE 0 END AS g2,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM f a JOIN f b ON a.c_mktsegment = b.c_mktsegment
+                        AND a.c_nationkey = b.c_nationkey
+                        AND a.c_custkey < b.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT g1 = 1 AS agree_acctbal_kilo,
+           g2 = 1 AS agree_name_digit,
+           n_pairs,
+           round((CASE WHEN g1 = 1 THEN w1a ELSE w1d END
+                  + CASE WHEN g2 = 1 THEN w2a ELSE w2d END)
+                 / 1000000.0, 6) AS match_weight_nats
+    FROM pairs CROSS JOIN w
+    ORDER BY 1, 2
+    """,
+)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter
+    1969 — THE entity-resolution scoring model, the theory behind
+    Splink/dedupe.io): candidate pairs from a (segment, nation)
+    BLOCKING key are scored by the log-likelihood ratio of their
+    field-agreement pattern, w = Σ_f ln(m_f/u_f) on agreement,
+    ln((1-m_f)/(1-u_f)) on disagreement; u-probabilities come exactly
+    from the value-frequency identity over the field histograms. The
+    entity-level sibling of the document near-dup stack: X1 dedups
+    content, this dedups RECORDS.
+
+    Exactness: since the weight depends only on the agreement
+    PATTERN, the output is the pattern census — integer pair counts
+    per (agree, agree) cell — and each of the four field-weights is
+    quantized ONCE to micro-nats from exact integer frequency sums;
+    the pattern weight is an integer sum of two quantized values.
+
+    Scale: the pair join is bounded by the blocking key (Σ block²,
+    never N² — the same candidate-generation discipline as the
+    MinHash banding in this module); the u-estimates are two
+    histogram aggregates; the weight table is ONE row broadcast.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    f = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("f1"),
+        F.col("c_name").substr(F.length("c_name"), F.lit(1)).alias("f2"),
+    )
+    f = scoped_persist(f)  # pair-join sides + two histograms + N
+    nn = f.agg(F.count("*").cast("long").alias("n"))
+    u1 = (
+        f.groupBy("f1")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("num1"))
+    )
+    u2 = (
+        f.groupBy("f2")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("num2"))
+    )
+    den = F.col("n") * (F.col("n") - 1)
+
+    def w_nano(m: float, num):
+        return F.round(
+            1_000_000 * F.log(m * den / F.nullif(num, F.lit(0)))
+        ).cast("long")
+
+    w = (
+        u1.crossJoin(u2)
+        .crossJoin(nn)
+        .select(
+            w_nano(FS_M1, F.col("num1")).alias("w1a"),
+            w_nano(1 - FS_M1, den - F.col("num1")).alias("w1d"),
+            w_nano(FS_M2, F.col("num2")).alias("w2a"),
+            w_nano(1 - FS_M2, den - F.col("num2")).alias("w2d"),
+        )
+    )
+    a = f.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_custkey").alias("ka"),
+        F.col("f1").alias("f1a"),
+        F.col("f2").alias("f2a"),
+    )
+    b = f.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_custkey").alias("kb"),
+        F.col("f1").alias("f1b"),
+        F.col("f2").alias("f2b"),
+    )
+    pairs = (
+        a.join(b, ["seg", "nat"])
+        .filter(F.col("ka") < F.col("kb"))
+        .select(
+            F.when(F.col("f1a") == F.col("f1b"), 1).otherwise(0).alias("g1"),
+            F.when(F.col("f2a") == F.col("f2b"), 1).otherwise(0).alias("g2"),
+        )
+        .groupBy("g1", "g2")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(w))
+        .select(
+            (F.col("g1") == 1).alias("agree_acctbal_kilo"),
+            (F.col("g2") == 1).alias("agree_name_digit"),
+            "n_pairs",
+            F.round(
+                (
+                    F.when(F.col("g1") == 1, F.col("w1a")).otherwise(F.col("w1d"))
+                    + F.when(F.col("g2") == 1, F.col("w2a")).otherwise(
+                        F.col("w2d")
+                    )
+                )
+                / 1_000_000.0,
+                6,
+            ).alias("match_weight_nats"),
+        )
+        .orderBy("agree_acctbal_kilo", "agree_name_digit")
+    )

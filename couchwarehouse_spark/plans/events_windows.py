@@ -2251,3 +2251,118 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# EWMA control chart with lambda = 1/2 — DYADIC, so the recursion is
+# exact integer arithmetic when carried scaled: with E_1 = x_1 and
+# E_t = (x_t + E_{t-1})/2, the scaled series M_t = 2^{t-1}·E_t obeys
+# M_t = x_1 + sum_{i=2..t} x_i·2^{i-2} — a plain cumulative sum of
+# integer terms. Asymptotic 3-sigma limits use sqrt(lambda/(2-lambda))
+# = sqrt(1/3).
+EWMA_L = 3.0  # control-limit width in sigmas
+
+
+@query(
+    "ewma_control_chart",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY day
+    ),
+    idx AS (
+      SELECT day, x,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+      FROM daily
+    ),
+    scaled AS (
+      SELECT day, x, i,
+             CAST(sum(CASE WHEN i = 1 THEN x
+                           ELSE x * CAST(power(2, i - 2) AS BIGINT) END)
+                  OVER (ORDER BY i) AS BIGINT) AS m
+      FROM idx
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x * x) AS BIGINT) AS s2
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, x AS n_events,
+           round(m / power(2, i - 1), 6) AS ewma,
+           abs(m / power(2, i - 1) - CAST(s1 AS DOUBLE) / n)
+             > {EWMA_L} * sqrt((CAST(s2 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * s1 / n)
+                               / nullif(n - 1, 0))
+               * sqrt(1.0 / 3) AS out_of_control
+    FROM scaled CROSS JOIN stats
+    ORDER BY day
+    """,
+)
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over daily event volume (Roberts 1959 — the
+    small-shift detector SPC runs next to the Shewhart chart and
+    CUSUM, see ``cusum_changepoint_scan``: the exponentially weighted
+    mean reacts to sustained drifts that single-day 3-sigma rules
+    miss). Smoothing lambda = 1/2 — chosen DYADIC so the recursion
+    E_t = (x_t + E_{{t-1}})/2 carries exactly: scaled by 2^(t-1) it is
+    a plain cumulative INTEGER sum M_t = x_1 + sum x_i·2^(i-2), and
+    the chart value is one exact division per row. Limits are the
+    asymptotic mu-hat +/- 3·sigma-hat·sqrt(lambda/(2-lambda)).
+
+    Exactness: daily counts, the scaled cumulative sum, and the
+    moment sums are all integers (2^(i-2) is exact in a double far
+    past any observation window); ewma and the verdict are one fixed
+    float dag per row, rounded/compared identically in both lanes.
+
+    Scale: one date-keyed hash agg, then a window over the
+    |days|-row grid and a 3-counter broadcast — the chart of a
+    billion-event stream costs one scan. The scaled integer stays
+    < 2^62 for windows up to ~45 days at a billion events/day; longer
+    windows restart the scaling epoch (the recursion forgets the past
+    geometrically, so epochs splice exactly).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    idx = daily.select(
+        "day",
+        "x",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+    )
+    term = F.when(F.col("i") == 1, F.col("x")).otherwise(
+        F.col("x") * F.pow(F.lit(2.0), F.col("i") - 2).cast("long")
+    )
+    scaled = idx.select(
+        "day",
+        "x",
+        "i",
+        F.sum(term)
+        .over(Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("m"),
+    )
+    stats = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    ewma = F.col("m") / F.pow(F.lit(2.0), F.col("i") - 1)
+    mu = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+        / F.nullif(F.col("n") - 1, F.lit(0))
+    )
+    return (
+        scaled.crossJoin(F.broadcast(stats))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("x").alias("n_events"),
+            F.round(ewma, 6).alias("ewma"),
+            (
+                F.abs(ewma - mu)
+                > EWMA_L * sd * F.sqrt(F.lit(1.0) / 3)
+            ).alias("out_of_control"),
+        )
+        .orderBy("day")
+    )

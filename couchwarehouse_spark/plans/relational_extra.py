@@ -1394,3 +1394,78 @@ def lm_dirichlet_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .select("doc_id", "lang", F.round("_score", 4).alias("score"))
     )
+
+
+CF_TOP = 20
+
+
+@query(
+    "item_cooccurrence_cf",
+    oracle=f"""
+    WITH bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+           FROM bi GROUP BY l_partkey),
+    co AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM bi a JOIN bi b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT co.item_a, co.item_b, co.c_ab,
+           ca.c AS c_a, cb.c AS c_b,
+           round(co.c_ab / sqrt(CAST(ca.c AS DOUBLE) * cb.c), 6)
+             AS cosine_sim
+    FROM co JOIN ic ca ON co.item_a = ca.l_partkey
+            JOIN ic cb ON co.item_b = cb.l_partkey
+    ORDER BY co.c_ab / sqrt(CAST(ca.c AS DOUBLE) * cb.c) DESC,
+             co.item_a, co.item_b
+    LIMIT {CF_TOP}
+    """,
+)
+def item_cooccurrence_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering by basket co-occurrence
+    (Sarwar et al. 2001 / the Amazon item-to-item paper, Linden 2003
+    — "customers who bought X also bought Y" computed OFFLINE as
+    item-pair similarity, the recommender shape that scales because
+    items, not users, are the join key): distinct (order, part)
+    baskets, pair counts within each order, cosine over the binary
+    incidence c_ab/sqrt(c_a·c_b), top-{20} pairs.
+
+    Exactness: all three counts are integers; the similarity is ONE
+    float expression (sqrt over exactly-representable integers)
+    written identically in both lanes, ordered with a full integer
+    tie-break and rounded once.
+
+    Scale: the pair join keys on the ORDER (baskets are small — pair
+    work is sum |basket|², never items x items); item counts attach
+    by item-keyed broadcastable joins; top-k is a heap. This is the
+    classic market-basket shape shared with
+    ``market_basket_lift_pairs`` but ranked by cosine geometry
+    rather than lift.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bi = li.select("l_orderkey", "l_partkey").distinct()
+    bi = scoped_persist(bi)  # pair-join sides + item counts
+    ic = bi.groupBy("l_partkey").agg(F.count("*").cast("long").alias("c"))
+    a = bi.select("l_orderkey", F.col("l_partkey").alias("item_a"))
+    b = bi.select("l_orderkey", F.col("l_partkey").alias("item_b"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+    )
+    ca = ic.select(F.col("l_partkey").alias("item_a"), F.col("c").alias("c_a"))
+    cb = ic.select(F.col("l_partkey").alias("item_b"), F.col("c").alias("c_b"))
+    sim = F.col("c_ab") / F.sqrt(F.col("c_a").cast("double") * F.col("c_b"))
+    return (
+        co.join(ca, "item_a")
+        .join(cb, "item_b")
+        .orderBy(sim.desc(), "item_a", "item_b")
+        .limit(CF_TOP)
+        .select(
+            "item_a", "item_b", "c_ab", "c_a", "c_b",
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+    )

@@ -3877,3 +3877,94 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("auth_score").desc(), "vec_id")
         .limit(HITS_TOP)
     )
+
+
+@query(
+    "adamic_adar_linkpred",
+    oracle=f"""
+    WITH edges AS ({KNN_GRAPH_ORACLE}),
+    und AS (
+      SELECT vec_id AS src, nbr_id AS dst FROM edges
+      UNION
+      SELECT nbr_id AS src, vec_id AS dst FROM edges
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src),
+    aa AS (
+      SELECT a.src AS u, b.src AS w,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(sum(CAST(round(1000000 / ln(CAST(g.d AS DOUBLE)))
+                           AS BIGINT)) AS BIGINT) AS aa_micro
+      FROM und a JOIN und b ON a.dst = b.dst AND a.src < b.src
+      JOIN deg g ON g.src = a.dst
+      GROUP BY 1, 2
+    )
+    SELECT u, w, common_neighbors,
+           round(aa_micro / 1000000.0, 6) AS adamic_adar
+    FROM aa ANTI JOIN und ON aa.u = und.src AND aa.w = und.dst
+    ORDER BY aa_micro DESC, u, w
+    LIMIT {LINKPRED_TOP_K}
+    """,
+)
+def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the k-NN graph (Adamic &
+    Adar 2003 — the degree-weighted refinement of common-neighbors:
+    a shared RARE neighbor is stronger evidence than a shared hub, so
+    each common neighbor n contributes 1/ln(deg(n)) instead of 1).
+    The standard next rung above ``graph_common_neighbors_linkpred``
+    on the link-prediction ladder, and the same ANN-recall-probe role
+    with hub-robust ranking.
+
+    Exactness: degrees are integers; each wedge's 1/ln(deg) is
+    quantized ONCE to micro units (a common neighbor has >= 2
+    distinct neighbors, so ln(deg) > 0 by construction) and the
+    per-pair reduce is an INTEGER sum; ranking orders on the integer
+    aa_micro with a full tie-break.
+
+    Scale: identical wedge-join shape to the common-neighbors entry —
+    work is sum deg(n)² with bucket-bounded degrees; the degree table
+    is node-sized and joins on the wedge center key.
+    """
+    from couchwarehouse_spark.plans import QUERIES
+
+    edges = QUERIES["knn_graph_bucketed"](spark, sf_dir).select(
+        "vec_id", "nbr_id"
+    )
+    und = (
+        edges.select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
+        .union(
+            edges.select(
+                F.col("nbr_id").alias("src"), F.col("vec_id").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    und = scoped_persist(und)  # wedge sides, degree table, anti-join
+    deg = und.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    a = und.select(F.col("src").alias("u"), "dst")
+    b = und.select(F.col("src").alias("w"), "dst")
+    aa = (
+        a.join(b, "dst")
+        .filter(F.col("u") < F.col("w"))
+        .join(deg.withColumnRenamed("src", "dst"), "dst")
+        .groupBy("u", "w")
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum(
+                F.round(1_000_000 / F.log(F.col("d").cast("double"))).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("aa_micro"),
+        )
+    )
+    existing = und.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    return (
+        aa.join(existing, ["u", "w"], "left_anti")
+        .orderBy(F.col("aa_micro").desc(), "u", "w")
+        .limit(LINKPRED_TOP_K)
+        .select(
+            "u", "w", "common_neighbors",
+            F.round(F.col("aa_micro") / 1_000_000.0, 6).alias("adamic_adar"),
+        )
+    )

@@ -4486,3 +4486,93 @@ def ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ate_naive"),
     )
+
+
+FLEISS_TERM = "data"  # rater C: doc mentions the term
+
+
+@query(
+    "fleiss_kappa_multirater",
+    oracle=f"""
+    WITH r AS (
+      SELECT (CASE WHEN n_chars >= {KAPPA_CHARS} THEN 1 ELSE 0 END
+              + CASE WHEN len(string_split(text, ' ')) >= {KAPPA_TOKS}
+                     THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(string_split(text, ' '),
+                                        '{FLEISS_TERM}')
+                     THEN 1 ELSE 0 END) AS npos
+      FROM documents
+    ),
+    terms AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(npos * npos + (3 - npos) * (3 - npos) - 3)
+                  AS BIGINT) AS s_agree,
+             CAST(sum(npos) AS BIGINT) AS s_pos
+      FROM r
+    )
+    SELECT n_items,
+           round(CAST(s_agree AS DOUBLE) / (6 * n_items), 6) AS p_bar,
+           round((CAST(s_pos AS DOUBLE) / (3 * n_items))
+                   * (CAST(s_pos AS DOUBLE) / (3 * n_items))
+                 + (1 - CAST(s_pos AS DOUBLE) / (3 * n_items))
+                   * (1 - CAST(s_pos AS DOUBLE) / (3 * n_items)), 6) AS p_e,
+           round((CAST(s_agree AS DOUBLE) / (6 * n_items)
+                  - ((CAST(s_pos AS DOUBLE) / (3 * n_items))
+                       * (CAST(s_pos AS DOUBLE) / (3 * n_items))
+                     + (1 - CAST(s_pos AS DOUBLE) / (3 * n_items))
+                       * (1 - CAST(s_pos AS DOUBLE) / (3 * n_items))))
+                 / nullif(1 - ((CAST(s_pos AS DOUBLE) / (3 * n_items))
+                       * (CAST(s_pos AS DOUBLE) / (3 * n_items))
+                     + (1 - CAST(s_pos AS DOUBLE) / (3 * n_items))
+                       * (1 - CAST(s_pos AS DOUBLE) / (3 * n_items))), 0), 6)
+             AS fleiss_kappa
+    FROM terms
+    """,
+)
+def fleiss_kappa_multirater(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa for MULTI-rater agreement (Fleiss 1971 — the
+    generalization of Cohen's two-rater kappa to any fixed rater
+    count; the standard readout when 3+ labeling heuristics or
+    annotators vote per item): three deterministic binary raters
+    (char length, token count, term presence) vote on every document;
+    per-item agreement P_i = (Σ_j n_ij² - n)/(n(n-1)) with n = 3
+    averages to P̄, chance agreement P_e = Σ_j p_j², kappa =
+    (P̄ - P_e)/(1 - P_e).
+
+    Exactness: with binary categories, Σ_j n_ij² = npos² + (3-npos)²
+    is integer per item, so BOTH the agreement numerator and the
+    marginal totals are single integer sums; P̄/P_e/kappa are one
+    fixed float dag over three integers, rounded once.
+
+    Scale: one projection + one 2-counter global aggregate — the
+    kappa of a billion-document triple-labeler run costs one scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    npos = (
+        (F.col("n_chars") >= KAPPA_CHARS).cast("int")
+        + (F.size(toks) >= KAPPA_TOKS).cast("int")
+        + F.array_contains(toks, FLEISS_TERM).cast("int")
+    )
+    terms = d.select(npos.alias("npos")).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(
+            F.col("npos") * F.col("npos")
+            + (3 - F.col("npos")) * (3 - F.col("npos"))
+            - 3
+        )
+        .cast("long")
+        .alias("s_agree"),
+        F.sum("npos").cast("long").alias("s_pos"),
+    )
+    p_bar = F.col("s_agree").cast("double") / (6 * F.col("n_items"))
+    p_pos = F.col("s_pos").cast("double") / (3 * F.col("n_items"))
+    p_e = p_pos * p_pos + (1 - p_pos) * (1 - p_pos)
+    return terms.select(
+        "n_items",
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round((p_bar - p_e) / F.nullif(1 - p_e, F.lit(0)), 6).alias(
+            "fleiss_kappa"
+        ),
+    )

@@ -2729,3 +2729,135 @@ def text_artifact_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+TEXTRANK_TOP = 20
+# Damping 0.85 in micro-rank units: r0 = 1e6 uniform, teleport 150000.
+_TR_TELEPORT = 150_000
+
+
+@query(
+    "textrank_keywords",
+    oracle=f"""
+    WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+               i -> concat_ws(' ', list_extract(w, i),
+                              list_extract(w, i + 1)))) AS bigram
+      FROM t WHERE len(w) >= 2
+    ),
+    pe AS (
+      SELECT DISTINCT least(string_split(bigram, ' ')[1],
+                            string_split(bigram, ' ')[2]) AS a,
+             greatest(string_split(bigram, ' ')[1],
+                      string_split(bigram, ' ')[2]) AS c
+      FROM bg
+      WHERE string_split(bigram, ' ')[1] <> string_split(bigram, ' ')[2]
+    ),
+    und AS (
+      SELECT a AS src, c AS dst FROM pe UNION ALL SELECT c, a FROM pe
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src),
+    r1 AS (
+      SELECT u.dst AS tok,
+             {_TR_TELEPORT} + CAST(sum(CAST(round(0.85 * 1000000 / g.d)
+                                            AS BIGINT)) AS BIGINT) AS r
+      FROM und u JOIN deg g ON u.src = g.src
+      GROUP BY u.dst
+    ),
+    r2 AS (
+      SELECT u.dst AS tok,
+             {_TR_TELEPORT} + CAST(sum(CAST(round(0.85 * p.r / g.d)
+                                            AS BIGINT)) AS BIGINT) AS r
+      FROM und u JOIN deg g ON u.src = g.src
+      JOIN r1 p ON u.src = p.tok
+      GROUP BY u.dst
+    )
+    SELECT tok AS token, r AS textrank_micro,
+           round(r / 1000000.0, 6) AS textrank
+    FROM r2
+    ORDER BY r DESC, tok
+    LIMIT {TEXTRANK_TOP}
+    """,
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004 — PageRank
+    over the word co-occurrence graph; the unsupervised keyword/
+    keyphrase baseline every extractive pipeline starts from): nodes
+    are corpus tokens, undirected edges link adjacent tokens, two
+    damped power iterations rank the tokens, top-{20} emitted.
+
+    Exactness: ranks are carried in integer MICRO units — each
+    iteration's per-edge contribution round(0.85·r(u)/deg(u)) is one
+    quantization of an integer-over-integer expression and the
+    per-node reduce is an INTEGER sum (the per-iteration-quantization
+    variant of the PageRank-3iter scaling trick, needed because word
+    degrees are unbounded so no global scale makes 1/deg integral).
+
+    Scale: the co-occurrence graph is vocabulary-sized, built by one
+    bigram explode + distinct (map-side combined); each iteration is
+    an edge-keyed join + hash agg — the standard distributed PageRank
+    round over a graph that is tiny relative to the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    bg = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .select(
+            F.split("bigram", " ").getItem(0).alias("wa"),
+            F.split("bigram", " ").getItem(1).alias("wb"),
+        )
+        .filter(F.col("wa") != F.col("wb"))
+    )
+    pe = bg.select(
+        F.least("wa", "wb").alias("a"), F.greatest("wa", "wb").alias("c")
+    ).distinct()
+    und = pe.select(F.col("a").alias("src"), F.col("c").alias("dst")).unionAll(
+        pe.select(F.col("c").alias("src"), F.col("a").alias("dst"))
+    )
+    und = scoped_persist(und)  # degree table + both iterations
+    deg = und.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    deg = scoped_persist(deg)
+    r1 = (
+        und.join(deg, "src")
+        .groupBy("dst")
+        .agg(
+            (
+                F.lit(_TR_TELEPORT)
+                + F.sum(F.round(0.85 * 1_000_000 / F.col("d")).cast("long"))
+            )
+            .cast("long")
+            .alias("r")
+        )
+        .withColumnRenamed("dst", "tok")
+    )
+    r2 = (
+        und.join(deg, "src")
+        .join(r1.withColumnRenamed("tok", "src"), "src")
+        .groupBy("dst")
+        .agg(
+            (
+                F.lit(_TR_TELEPORT)
+                + F.sum(F.round(0.85 * F.col("r") / F.col("d")).cast("long"))
+            )
+            .cast("long")
+            .alias("r2")
+        )
+    )
+    return (
+        r2.orderBy(F.col("r2").desc(), "dst")
+        .limit(TEXTRANK_TOP)
+        .select(
+            F.col("dst").alias("token"),
+            F.col("r2").alias("textrank_micro"),
+            F.round(F.col("r2") / 1_000_000.0, 6).alias("textrank"),
+        )
+    )

@@ -339,3 +339,140 @@ class TestJensenShannon:
         assert abs(out[("s2", "s3")]["jsd_nats"] - ln2) <= 2e-6
         assert out[("s1", "s3")]["jsd_nats"] == 0.0
         assert out[("s1", "s3")]["n_shared_terms"] == 1
+
+
+class TestFleissKappa:
+    def test_perfect_agreement(self, spark, tmp_path):
+        """All three raters agree on every doc -> P_bar = 1,
+        P_e = 0.5 (balanced marginals), kappa = 1."""
+        from couchwarehouse_spark.plans.statistics import fleiss_kappa_multirater
+
+        sf = str(tmp_path / "sf")
+        pos_text = "data " + "w " * 68 + "w"   # 70 tokens, has 'data'
+        neg_text = "w " * 9 + "w"              # 10 tokens, no 'data'
+        _write(
+            _docs_chars(spark, [
+                (1, pos_text, "en", "s", 400), (2, pos_text, "en", "s", 420),
+                (3, neg_text, "en", "s", 100), (4, neg_text, "en", "s", 120),
+            ]),
+            sf, "documents",
+        )
+        row = fleiss_kappa_multirater(spark, sf).collect()[0]
+        assert row["n_items"] == 4
+        assert row["p_bar"] == 1.0 and row["p_e"] == 0.5
+        assert row["fleiss_kappa"] == 1.0
+
+
+class TestEwmaChart:
+    def test_dyadic_recursion_exact(self, spark, tmp_path):
+        """Counts [10, 1, 1, 1] -> EWMA [10, 5.5, 3.25, 2.125]
+        exactly (lambda = 1/2 is dyadic)."""
+        from couchwarehouse_spark.plans.events_windows import ewma_control_chart
+
+        sf = str(tmp_path / "sf")
+        rows, eid = [], 0
+        for day, n in enumerate([10, 1, 1, 1]):
+            for _ in range(n):
+                rows.append((eid, eid, day, "view", 1.0)); eid += 1
+        _write(_events(spark, rows), sf, "events")
+        out = ewma_control_chart(spark, sf).collect()
+        assert [r["ewma"] for r in out] == [10.0, 5.5, 3.25, 2.125]
+        assert [r["n_events"] for r in out] == [10, 1, 1, 1]
+        assert not any(r["out_of_control"] for r in out)
+
+
+class TestAdamicAdar:
+    def test_structure_on_dense_cluster(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.similarity import adamic_adar_linkpred
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _emb(spark, [
+                (i, 0, {0: 1.0, 1: 0.01 * i, 2: 0.003 * i * i})
+                for i in range(8)
+            ]),
+            sf, "embeddings",
+        )
+        out = adamic_adar_linkpred(spark, sf).collect()
+        assert 0 < len(out) <= 20
+        scores = [r["adamic_adar"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["common_neighbors"] >= 1 for r in out)
+        assert all(r["adamic_adar"] > 0 for r in out)
+
+
+class TestTextRank:
+    def test_hand_computed_two_iterations(self, spark, tmp_path):
+        """Path graph a-b-c: hub token b outranks the leaves; leaves
+        tie and break on token order. Micro ranks computed by hand."""
+        from couchwarehouse_spark.plans.text import textrank_keywords
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs(spark, [(1, "a b", "en", "s"), (2, "b c", "en", "s")]),
+            sf, "documents",
+        )
+        out = textrank_keywords(spark, sf).collect()
+        got = [(r["token"], r["textrank_micro"]) for r in out]
+        assert got == [("b", 1127500), ("a", 936250), ("c", 936250)]
+
+
+class TestItemCF:
+    def test_hand_computed_cosine(self, spark, tmp_path):
+        """Baskets {1,2}, {1,2}, {1,3}: sim(1,2) = 2/sqrt(6),
+        sim(1,3) = 1/sqrt(3)."""
+        from couchwarehouse_spark.plans.relational_extra import (
+            item_cooccurrence_cf,
+        )
+
+        sf = str(tmp_path / "sf")
+        li = spark.createDataFrame(
+            [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1))
+             for o, parts in [(1, [1, 2]), (2, [1, 2]), (3, [1, 3])]
+             for p in parts],
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp",
+        )
+        _write(li, sf, "lineitem")
+        out = item_cooccurrence_cf(spark, sf).collect()
+        assert [(r["item_a"], r["item_b"], r["c_ab"]) for r in out] == [
+            (1, 2, 2), (1, 3, 1),
+        ]
+        assert out[0]["cosine_sim"] == round(2 / math.sqrt(6), 6)
+        assert out[1]["cosine_sim"] == round(1 / math.sqrt(3), 6)
+
+
+class TestFellegiSunter:
+    def test_pattern_census_and_weights(self, spark, tmp_path):
+        """One block, 3 records: pair (1,2) agrees on both fields,
+        pairs (1,3)/(2,3) disagree on both. Both field histograms are
+        {x:2, y:1} so u = 1/3 and the weights are 2*ln(2.7) and
+        2*ln(0.15) in micro-nats."""
+        from couchwarehouse_spark.plans.dedup import fellegi_sunter_linkage
+
+        sf = str(tmp_path / "sf")
+        cust = spark.createDataFrame(
+            [
+                (1, "Customer#001", 5, 1500.0, "AUTO"),
+                (2, "Customer#011", 5, 1600.0, "AUTO"),
+                (3, "Customer#002", 5, 2500.0, "AUTO"),
+            ],
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        )
+        _write(cust, sf, "customer")
+        out = {(r["agree_acctbal_kilo"], r["agree_name_digit"]): r
+               for r in fellegi_sunter_linkage(spark, sf).collect()}
+        assert set(out) == {(True, True), (False, False)}
+        assert out[(True, True)]["n_pairs"] == 1
+        assert out[(False, False)]["n_pairs"] == 2
+        w_agree = round(1_000_000 * math.log(0.9 * 6 / 2))
+        w_dis = round(1_000_000 * math.log(0.1 * 6 / 4))
+        assert out[(True, True)]["match_weight_nats"] == round(
+            2 * w_agree / 1_000_000, 6
+        )
+        assert out[(False, False)]["match_weight_nats"] == round(
+            2 * w_dis / 1_000_000, 6
+        )
