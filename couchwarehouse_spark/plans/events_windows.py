@@ -2366,3 +2366,101 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+XCORR_MAX_LAG = 3
+XCORR_X, XCORR_Y = "view", "purchase"  # does X volume lead Y volume?
+
+
+@query(
+    "lead_lag_xcorr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = '{XCORR_X}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = '{XCORR_Y}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY day
+    ),
+    lags AS (SELECT unnest(range(0, {XCORR_MAX_LAG + 1})) AS lag),
+    pairs AS (
+      SELECT l.lag, a.x, b.y
+      FROM lags l
+      JOIN daily a ON true
+      JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+    ),
+    g AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag_days, n AS n_days,
+           round((n * sxy - sx * sy)
+                 / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0), 6)
+             AS xcorr
+    FROM g ORDER BY lag_days
+    """,
+)
+def lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between two event streams (the
+    sample cross-correlation function at non-negative lags — does
+    today's {XCORR_X} volume predict {XCORR_Y} volume k days out?
+    The screening statistic behind Granger-style lead-lag analysis
+    and marketing-mix lag estimation): Pearson r between x_t and
+    y_(t+k) for k = 0..{XCORR_MAX_LAG} over the daily series.
+
+    Exactness: both daily series are integer counts from ONE pass;
+    per-lag n/Σx/Σy/Σxy/Σx²/Σy² are integer sums over the lag-joined
+    pairs; each lag's r is one fixed float dag (two exact sqrts)
+    rounded once — the ``spearman_rank_corr`` determinism recipe on
+    the raw counts. Degenerate lags (constant series) yield NULL via
+    nullif.
+
+    Scale: the heavy reduce is the daily aggregate; the lag join
+    operates on the |days| grid x (max_lag+1) — nothing row-level
+    crosses it. At 100 TB this is the pattern for cheap cross-series
+    dependency scans over any pre-aggregated KPI table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == XCORR_X).cast("int"))
+        .cast("long")
+        .alias("x"),
+        F.sum((F.col("event_type") == XCORR_Y).cast("int"))
+        .cast("long")
+        .alias("y"),
+    )
+    daily = scoped_persist(daily)
+    lags = spark.range(0, XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select("day", "x")
+    b = daily.select(F.col("day").alias("day_b"), "y")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("day_b") == F.date_add(F.col("day"), F.col("lag")))
+    )
+    g = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.nullif(
+        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+        F.lit(0.0),
+    )
+    return g.select(
+        F.col("lag").cast("long").alias("lag_days"),
+        F.col("n").alias("n_days"),
+        F.round(num / den, 6).alias("xcorr"),
+    ).orderBy("lag_days")

@@ -1965,3 +1965,156 @@ def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("split_id")
         .drop("split_id")
     )
+
+
+@query(
+    "brier_decomposition",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(('0x' || substr(md5('cal:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    rowterms AS (
+      SELECT s, y, CAST(s * {CAL_BINS} // {CAL_SCALE} AS INTEGER) AS bin,
+             CAST(round(1000000 * (CAST(s AS DOUBLE) / {CAL_SCALE} - y)
+                                * (CAST(s AS DOUBLE) / {CAL_SCALE} - y))
+                  AS BIGINT) AS sq_micro
+      FROM scored
+    ),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+             CAST(sum(y) AS BIGINT) AS pos_b,
+             CAST(sum(s) AS BIGINT) AS s_b,
+             CAST(sum(sq_micro) AS BIGINT) AS sq_b
+      FROM rowterms GROUP BY bin
+    ),
+    tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n,
+                   CAST(sum(pos_b) AS BIGINT) AS pos,
+                   CAST(sum(sq_b) AS BIGINT) AS sq FROM bins),
+    binterms AS (
+      SELECT CAST(round(1000000 * n_b
+                 * abs(CAST(s_b AS DOUBLE) / (n_b * {CAL_SCALE}.0)
+                       - CAST(pos_b AS DOUBLE) / n_b)) AS BIGINT) AS ece_micro,
+             CAST(round(1000000 * n_b
+                 * (CAST(s_b AS DOUBLE) / (n_b * {CAL_SCALE}.0)
+                    - CAST(pos_b AS DOUBLE) / n_b)
+                 * (CAST(s_b AS DOUBLE) / (n_b * {CAL_SCALE}.0)
+                    - CAST(pos_b AS DOUBLE) / n_b)) AS BIGINT) AS rel_micro,
+             CAST(round(1000000 * n_b
+                 * (CAST(pos_b AS DOUBLE) / n_b - CAST(t.pos AS DOUBLE) / t.n)
+                 * (CAST(pos_b AS DOUBLE) / n_b - CAST(t.pos AS DOUBLE) / t.n))
+                  AS BIGINT) AS res_micro
+      FROM bins CROSS JOIN tot t
+    )
+    SELECT t.n AS n_docs,
+           round(CAST(t.sq AS DOUBLE) / 1000000 / t.n, 6) AS brier_score,
+           round(CAST(sum(ece_micro) AS DOUBLE) / 1000000 / t.n, 6) AS ece,
+           round(CAST(sum(rel_micro) AS DOUBLE) / 1000000 / t.n, 6)
+             AS reliability,
+           round(CAST(sum(res_micro) AS DOUBLE) / 1000000 / t.n, 6)
+             AS resolution,
+           round((CAST(t.pos AS DOUBLE) / t.n)
+                 * (1 - CAST(t.pos AS DOUBLE) / t.n), 6) AS uncertainty
+    FROM binterms CROSS JOIN tot t
+    GROUP BY t.n, t.sq, t.pos
+    """,
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy reliability/resolution/uncertainty
+    decomposition plus ECE (Brier 1950; Murphy 1973; Naeini et al.
+    2015 for ECE — the calibration numbers every probabilistic
+    classifier report leads with, aggregating the reliability TABLE
+    of ``score_calibration_bins`` into the scalar gates a pipeline
+    alerts on): confidence is the deterministic md5 score, the label
+    is lang='en', bins are confidence deciles.
+
+    Exactness: the direct Brier quantizes each row's squared error to
+    integer micro units (scores are integer hashes, so the per-row
+    expression is one fixed dag) and reduces by INTEGER sum; each
+    bin's ECE/reliability/resolution term is likewise quantized once
+    from exact integer sums — no float accumulation anywhere. Brier
+    ~= reliability - resolution + uncertainty up to within-bin
+    variance (exact only when scores are constant within bins), which
+    is why the direct term is computed independently.
+
+    Scale: one scan to decile aggregates (map-side combined), a
+    1-row total broadcast, and a 10-row reduce.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cal:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    sd = F.col("s").cast("double") / CAL_SCALE
+    rowterms = scored.select(
+        "s",
+        "y",
+        F.expr(f"CAST(s * {CAL_BINS} DIV {CAL_SCALE} AS INTEGER)").alias("bin"),
+        F.round(1_000_000 * (sd - F.col("y")) * (sd - F.col("y")))
+        .cast("long")
+        .alias("sq_micro"),
+    )
+    bins = rowterms.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.sum("y").cast("long").alias("pos_b"),
+        F.sum("s").cast("long").alias("s_b"),
+        F.sum("sq_micro").cast("long").alias("sq_b"),
+    )
+    tot = bins.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum("pos_b").cast("long").alias("pos"),
+        F.sum("sq_b").cast("long").alias("sq"),
+    )
+    conf = F.col("s_b").cast("double") / (F.col("n_b") * float(CAL_SCALE))
+    acc = F.col("pos_b").cast("double") / F.col("n_b")
+    ybar = F.col("pos").cast("double") / F.col("n")
+    binterms = bins.crossJoin(F.broadcast(tot)).select(
+        F.round(1_000_000 * F.col("n_b") * F.abs(conf - acc))
+        .cast("long")
+        .alias("ece_micro"),
+        F.round(1_000_000 * F.col("n_b") * (conf - acc) * (conf - acc))
+        .cast("long")
+        .alias("rel_micro"),
+        F.round(1_000_000 * F.col("n_b") * (acc - ybar) * (acc - ybar))
+        .cast("long")
+        .alias("res_micro"),
+        "n",
+        "pos",
+        "sq",
+    )
+    return binterms.groupBy("n", "pos", "sq").agg(
+        F.sum("ece_micro").cast("long").alias("_e"),
+        F.sum("rel_micro").cast("long").alias("_rl"),
+        F.sum("res_micro").cast("long").alias("_rs"),
+    ).select(
+        F.col("n").alias("n_docs"),
+        F.round(F.col("sq").cast("double") / 1_000_000 / F.col("n"), 6).alias(
+            "brier_score"
+        ),
+        F.round(F.col("_e").cast("double") / 1_000_000 / F.col("n"), 6).alias(
+            "ece"
+        ),
+        F.round(F.col("_rl").cast("double") / 1_000_000 / F.col("n"), 6).alias(
+            "reliability"
+        ),
+        F.round(F.col("_rs").cast("double") / 1_000_000 / F.col("n"), 6).alias(
+            "resolution"
+        ),
+        F.round(
+            (F.col("pos").cast("double") / F.col("n"))
+            * (1 - F.col("pos").cast("double") / F.col("n")),
+            6,
+        ).alias("uncertainty"),
+    )

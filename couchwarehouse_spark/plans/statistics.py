@@ -4576,3 +4576,164 @@ def fleiss_kappa_multirater(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fleiss_kappa"
         ),
     )
+
+
+@query(
+    "logrank_test",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS grp,
+             CAST(min(ts) AS DATE) AS f,
+             CAST(max(ts) AS DATE) AS l,
+             CAST(min(CASE WHEN event_type = 'purchase'
+                            AND value >= {KM_VALUE_MIN} THEN ts END)
+                  AS DATE) AS p
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT grp,
+             CASE WHEN p IS NOT NULL THEN date_diff('day', f, p)
+                  ELSE date_diff('day', f, l) END AS t,
+             CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS e
+      FROM u
+    ),
+    grid AS (
+      SELECT t,
+             CAST(sum(e) AS BIGINT) AS d,
+             CAST(sum(e * grp) AS BIGINT) AS d1,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(grp) AS BIGINT) AS c1
+      FROM obs GROUP BY t
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                   CAST(sum(grp) AS BIGINT) AS nn1 FROM obs),
+    risk AS (
+      SELECT t, d, d1,
+             nn - coalesce(CAST(sum(c) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS n,
+             nn1 - coalesce(CAST(sum(c1) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS n1
+      FROM grid CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT d, d1,
+             CAST(round(1000000 * d * CAST(n1 AS DOUBLE) / n) AS BIGINT)
+               AS e1_micro,
+             CAST(round(1000000 * d * (CAST(n1 AS DOUBLE) / n)
+                        * (1 - CAST(n1 AS DOUBLE) / n)
+                        * (n - d) / nullif(n - 1, 0)) AS BIGINT) AS v_micro
+      FROM risk WHERE d > 0
+    )
+    SELECT CAST(max(tt.nn1) AS BIGINT) AS n_treat,
+           CAST(max(tt.nn - tt.nn1) AS BIGINT) AS n_ctrl,
+           CAST(sum(d1) AS BIGINT) AS observed_treat,
+           round(CAST(sum(e1_micro) AS DOUBLE) / 1000000, 6)
+             AS expected_treat,
+           round((CAST(sum(d1) AS DOUBLE)
+                  - CAST(sum(e1_micro) AS DOUBLE) / 1000000)
+                 * (CAST(sum(d1) AS DOUBLE)
+                    - CAST(sum(e1_micro) AS DOUBLE) / 1000000)
+                 / nullif(CAST(sum(v_micro) AS DOUBLE) / 1000000, 0), 4)
+             AS logrank_chi2
+    FROM terms CROSS JOIN tot tt
+    """,
+)
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing two survival curves (Mantel 1966 /
+    Peto & Peto 1972 — THE two-sample test under right censoring,
+    the inferential companion to ``kaplan_meier_survival``'s
+    estimator): treatment = odd user_id, same time-to-big-purchase
+    framing; at each death time the treated group's observed deaths
+    are compared to the hypergeometric expectation d·n1/n, and
+    chi2 = (O1-E1)²/V with the standard variance term
+    d·(n1/n)(1-n1/n)(n-d)/(n-1).
+
+    Exactness: at-risk and death counts (overall and per group) are
+    integers from ONE grid pass; each time's expectation and variance
+    term is quantized to micro units and the across-times reduce is
+    an INTEGER sum; the final chi2 is one fixed float dag over those
+    sums. A single-at-risk time (n = 1) yields a NULL variance term
+    via nullif and drops identically in both lanes.
+
+    Scale: one user-keyed agg, a |distinct durations| grid with the
+    same cumulative at-risk window as the KM entry (now carrying the
+    group breakdown in the same pass), and a 4-sum reduce.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("f"),
+        F.to_date(F.max("ts")).alias("l"),
+        F.to_date(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= KM_VALUE_MIN),
+                    F.col("ts"),
+                )
+            )
+        ).alias("p"),
+    ).withColumn("grp", F.col("user_id") % 2)
+    obs = u.select(
+        "grp",
+        F.when(F.col("p").isNotNull(), F.datediff("p", "f"))
+        .otherwise(F.datediff("l", "f"))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("p").isNotNull(), 1).otherwise(0).alias("e"),
+    )
+    obs = scoped_persist(obs)
+    grid = obs.groupBy("t").agg(
+        F.sum("e").cast("long").alias("d"),
+        F.sum(F.col("e") * F.col("grp")).cast("long").alias("d1"),
+        F.count("*").cast("long").alias("c"),
+        F.sum("grp").cast("long").alias("c1"),
+    )
+    tot = obs.agg(
+        F.count("*").cast("long").alias("nn"),
+        F.sum("grp").cast("long").alias("nn1"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grid.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "d1",
+        (
+            F.col("nn")
+            - F.coalesce(F.sum("c").over(w_prev).cast("long"), F.lit(0))
+        ).alias("n"),
+        (
+            F.col("nn1")
+            - F.coalesce(F.sum("c1").over(w_prev).cast("long"), F.lit(0))
+        ).alias("n1"),
+    )
+    p1 = F.col("n1").cast("double") / F.col("n")
+    terms = risk.filter(F.col("d") > 0).select(
+        "d",
+        "d1",
+        F.round(1_000_000 * F.col("d") * p1).cast("long").alias("e1_micro"),
+        F.round(
+            1_000_000
+            * F.col("d")
+            * p1
+            * (1 - p1)
+            * (F.col("n") - F.col("d"))
+            / F.nullif(F.col("n") - 1, F.lit(0))
+        )
+        .cast("long")
+        .alias("v_micro"),
+    )
+    o1 = F.sum("d1").cast("double")
+    e1 = F.sum("e1_micro").cast("double") / 1_000_000
+    return terms.crossJoin(F.broadcast(tot)).agg(
+        F.max("nn1").cast("long").alias("n_treat"),
+        F.max(F.col("nn") - F.col("nn1")).cast("long").alias("n_ctrl"),
+        F.sum("d1").cast("long").alias("observed_treat"),
+        F.round(e1, 6).alias("expected_treat"),
+        F.round(
+            (o1 - e1) * (o1 - e1)
+            / F.nullif(F.sum("v_micro").cast("double") / 1_000_000, F.lit(0.0)),
+            4,
+        ).alias("logrank_chi2"),
+    )

@@ -476,3 +476,66 @@ class TestFellegiSunter:
         assert out[(False, False)]["match_weight_nats"] == round(
             2 * w_dis / 1_000_000, 6
         )
+
+
+class TestLogRank:
+    def test_hand_computed_chi2(self, spark, tmp_path):
+        """Treated users (odd uid) both convert at t=1; controls censor
+        at t=5. One death time: E1 = 2*(2/4) = 1, V = 1/3 ->
+        chi2 = (2-1)^2 / (1/3) = 3."""
+        from couchwarehouse_spark.plans.statistics import logrank_test
+
+        sf = str(tmp_path / "sf")
+        rows = [
+            (1, 1, 0, "view", 1.0), (2, 1, 1, "purchase", 250.0),
+            (3, 3, 0, "view", 1.0), (4, 3, 1, "purchase", 300.0),
+            (5, 2, 0, "view", 1.0), (6, 2, 5, "click", 1.0),
+            (7, 4, 0, "view", 1.0), (8, 4, 5, "click", 1.0),
+        ]
+        _write(_events(spark, rows), sf, "events")
+        row = logrank_test(spark, sf).collect()[0]
+        assert row["n_treat"] == 2 and row["n_ctrl"] == 2
+        assert row["observed_treat"] == 2
+        assert row["expected_treat"] == 1.0
+        assert row["logrank_chi2"] == 3.0
+
+
+class TestLeadLagXcorr:
+    def test_shifted_series_perfect_lag1(self, spark, tmp_path):
+        """Purchases replay the view series one day later -> r = 1 at
+        lag 1 over the 3 overlapping days."""
+        from couchwarehouse_spark.plans.events_windows import lead_lag_xcorr
+
+        sf = str(tmp_path / "sf")
+        views = [1, 2, 3, 4]
+        purchases = [5, 1, 2, 3]  # day d+1 purchases = day d views
+        rows, eid = [], 0
+        for day in range(4):
+            for _ in range(views[day]):
+                rows.append((eid, eid, day, "view", 1.0)); eid += 1
+            for _ in range(purchases[day]):
+                rows.append((eid, eid, day, "purchase", 1.0)); eid += 1
+        _write(_events(spark, rows), sf, "events")
+        out = {r["lag_days"]: r for r in lead_lag_xcorr(spark, sf).collect()}
+        assert out[1]["n_days"] == 3
+        assert out[1]["xcorr"] == 1.0
+        assert out[0]["n_days"] == 4
+
+
+class TestBrierDecomposition:
+    def test_degenerate_all_positive(self, spark, tmp_path):
+        """All docs are 'en' -> uncertainty 0, resolution 0, and the
+        Brier score equals the reliability-style penalty for every
+        unit of unclaimed confidence."""
+        from couchwarehouse_spark.plans.sampling import brier_decomposition
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs(spark, [(i, "w x", "en", "s") for i in range(20)]),
+            sf, "documents",
+        )
+        row = brier_decomposition(spark, sf).collect()[0]
+        assert row["n_docs"] == 20
+        assert row["uncertainty"] == 0.0
+        assert row["resolution"] == 0.0
+        assert row["brier_score"] > 0 and row["ece"] > 0
