@@ -4737,3 +4737,302 @@ def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("logrank_chi2"),
     )
+
+
+@query(
+    "cochrans_q_test",
+    oracle=f"""
+    WITH r AS (
+      SELECT CASE WHEN n_chars >= {KAPPA_CHARS} THEN 1 ELSE 0 END AS r1,
+             CASE WHEN len(string_split(text, ' ')) >= {KAPPA_TOKS}
+                  THEN 1 ELSE 0 END AS r2,
+             CASE WHEN list_contains(string_split(text, ' '),
+                                     '{FLEISS_TERM}')
+                  THEN 1 ELSE 0 END AS r3
+      FROM documents
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r1) AS BIGINT) AS c1,
+             CAST(sum(r2) AS BIGINT) AS c2,
+             CAST(sum(r3) AS BIGINT) AS c3,
+             CAST(sum(r1 + r2 + r3) AS BIGINT) AS sr,
+             CAST(sum((r1 + r2 + r3) * (r1 + r2 + r3)) AS BIGINT) AS sr2
+      FROM r
+    )
+    SELECT n AS n_items, c1, c2, c3,
+           round(2 * (3 * (CAST(c1 AS DOUBLE) * c1 + CAST(c2 AS DOUBLE) * c2
+                           + CAST(c3 AS DOUBLE) * c3)
+                      - CAST(sr AS DOUBLE) * sr)
+                 / nullif(3 * CAST(sr AS DOUBLE) - sr2, 0), 4) AS cochran_q
+    FROM g
+    """,
+)
+def cochrans_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test for k related binary raters (Cochran 1950 —
+    the k-sample extension of McNemar, see ``mcnemar_paired_test``:
+    do the THREE labeling heuristics of ``fleiss_kappa_multirater``
+    flag at the same RATE, or is one systematically stricter?):
+    Q = (k-1)·(k·ΣC_j² - (ΣC_j)²)/(k·ΣR_i - ΣR_i²) with k = 3,
+    column totals C_j per rater and row sums R_i per document.
+    Chi-square with k-1 df under H0 — kappa asks "do they agree",
+    Q asks "are their marginals exchangeable"; both gates run before
+    trusting a voting labeler ensemble.
+
+    Exactness: every C_j, ΣR_i, ΣR_i² is an integer sum from ONE
+    scan; Q is one fixed float dag, nullif-guarded for the degenerate
+    all-identical-rows table.
+
+    Scale: a single projection + one 6-counter global aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    r1 = (F.col("n_chars") >= KAPPA_CHARS).cast("int")
+    r2 = (F.size(toks) >= KAPPA_TOKS).cast("int")
+    r3 = F.array_contains(toks, FLEISS_TERM).cast("int")
+    g = d.select(
+        r1.alias("r1"), r2.alias("r2"), r3.alias("r3")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r1").cast("long").alias("c1"),
+        F.sum("r2").cast("long").alias("c2"),
+        F.sum("r3").cast("long").alias("c3"),
+        F.sum(F.col("r1") + F.col("r2") + F.col("r3")).cast("long").alias("sr"),
+        F.sum(
+            (F.col("r1") + F.col("r2") + F.col("r3"))
+            * (F.col("r1") + F.col("r2") + F.col("r3"))
+        )
+        .cast("long")
+        .alias("sr2"),
+    )
+    csq = (
+        F.col("c1").cast("double") * F.col("c1")
+        + F.col("c2").cast("double") * F.col("c2")
+        + F.col("c3").cast("double") * F.col("c3")
+    )
+    return g.select(
+        F.col("n").alias("n_items"),
+        "c1", "c2", "c3",
+        F.round(
+            2
+            * (3 * csq - F.col("sr").cast("double") * F.col("sr"))
+            / F.nullif(
+                3 * F.col("sr").cast("double") - F.col("sr2"), F.lit(0.0)
+            ),
+            4,
+        ).alias("cochran_q"),
+    )
+
+
+@query(
+    "friedman_rank_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY day, event_type
+    ),
+    grid AS (
+      SELECT d.day, t.event_type, coalesce(x.c, 0) AS c
+      FROM (SELECT DISTINCT day FROM daily) d
+      CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+      LEFT JOIN daily x ON x.day = d.day AND x.event_type = t.event_type
+    ),
+    ranked AS (
+      SELECT day, event_type,
+             2 * rank() OVER (PARTITION BY day ORDER BY c)
+               + count(*) OVER (PARTITION BY day, c) - 1 AS r2
+      FROM grid
+    ),
+    pert AS (
+      SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2_sum
+      FROM ranked GROUP BY event_type
+    ),
+    dims AS (
+      SELECT CAST(count(DISTINCT day) AS BIGINT) AS n,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS k
+      FROM grid
+    )
+    SELECT d.n AS n_blocks, d.k AS k_treatments,
+           round(3.0 * (SELECT sum(r2_sum * r2_sum) FROM pert)
+                 / (d.n * d.k * (d.k + 1)) - 3.0 * d.n * (d.k + 1), 4)
+             AS friedman_chi2
+    FROM dims d
+    """,
+)
+def friedman_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test (Friedman 1937 — the nonparametric
+    repeated-measures ANOVA: are the k event types' daily volumes
+    exchangeable across days, or does some type systematically
+    dominate?): each day is a block, types are ranked by count within
+    the day (average ranks on ties), and chi2 = 12/(n·k·(k+1))·ΣR_j²
+    - 3n(k+1) over the per-type rank sums. Complements ANOVA
+    (parametric, on means) and Mann-Kendall (single-series trend).
+
+    Exactness: the block grid zero-fills missing (day, type) cells
+    identically in both lanes; average tie ranks carry as the INTEGER
+    2·rank + tie_count - 1 (the spearman idiom), so rank sums and
+    ΣR2_j² are exact integers — with R2 = 2R the statistic reduces to
+    3·ΣR2_j²/(nk(k+1)) - 3n(k+1), one fixed float dag.
+
+    Scale: one (day, type) hash agg; the rank window partitions per
+    day over k rows; everything after is a k-row frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").cast("long").alias("c"))
+    daily = scoped_persist(daily)
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    ranked = grid.select(
+        "event_type",
+        (
+            2 * F.rank().over(Window.partitionBy("day").orderBy("c"))
+            + F.count("*").over(Window.partitionBy("day", "c"))
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    pert = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("r2_sum")
+    )
+    sums = pert.agg(
+        F.sum(F.col("r2_sum") * F.col("r2_sum")).cast("long").alias("s2"),
+        F.count("*").cast("long").alias("k"),
+    )
+    dims = daily.agg(F.countDistinct("day").cast("long").alias("n"))
+    return sums.crossJoin(F.broadcast(dims)).select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        F.round(
+            3.0 * F.col("s2") / (F.col("n") * F.col("k") * (F.col("k") + 1))
+            - 3.0 * F.col("n") * (F.col("k") + 1),
+            4,
+        ).alias("friedman_chi2"),
+    )
+
+
+KMV_SET_MOD = 50   # set A: parts in orders with key % 50 = 0; B: = 1
+KMV_SET_TOL = 0.25  # measured max intersection rel-err 8.8% -> ~2.8x headroom
+
+
+@query(
+    "kmv_set_operations",
+    oracle=f"""
+    WITH li AS (SELECT l_orderkey, CAST(l_partkey AS VARCHAR) AS w
+                FROM lineitem WHERE l_orderkey % {KMV_SET_MOD} IN (0, 1)),
+    h AS (
+      SELECT CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hv,
+             max(CASE WHEN l_orderkey % {KMV_SET_MOD} = 0
+                      THEN 1 ELSE 0 END) AS ina,
+             max(CASE WHEN l_orderkey % {KMV_SET_MOD} = 1
+                      THEN 1 ELSE 0 END) AS inb
+      FROM li GROUP BY 1
+    ),
+    k AS (SELECT * FROM h ORDER BY hv LIMIT {KMV_K}),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS kk,
+             CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k_int,
+             CAST(max(hv) AS BIGINT) AS hk
+      FROM k
+    ),
+    ex AS (
+      SELECT CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_int,
+             CAST(count(*) AS BIGINT) AS n_union
+      FROM h
+    )
+    SELECT e.n_union, e.n_int AS n_intersection_exact,
+           a.k_int, a.hk AS kth_hash,
+           round(CAST(a.k_int AS DOUBLE) / a.kk, 4) AS jaccard_est,
+           round((CAST(a.k_int AS DOUBLE) / a.kk)
+                 * ((a.kk - 1) * {_KMV_2_32} / a.hk), 2)
+             AS intersection_est,
+           abs((CAST(a.k_int AS DOUBLE) / a.kk)
+               * ((a.kk - 1) * {_KMV_2_32} / a.hk) - e.n_int)
+             <= {KMV_SET_TOL} * e.n_int AS within_tol
+    FROM ex e CROSS JOIN agg a
+    """,
+)
+def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET EXPRESSIONS (Beyer et al. 2007, "On synopses
+    for distinct-value estimation under multiset operations" — the
+    capability that distinguishes KMV/theta sketches from HLL, cf.
+    ``kmv_distinct_audit``): the K minimum hashes of A∪B are a
+    UNIFORM SAMPLE of the union, so the fraction of them belonging to
+    both sets estimates Jaccard(A, B), and intersection-size =
+    jaccard x union-KMV-estimate. Sets here: parts bought in two
+    disjoint 1/{50} order slices.
+
+    Exactness: membership flags ride each distinct hash (integer
+    max-flags); the K-smallest heap, k_int, and h_(K) all cross the
+    oracle as exact integers — only the truth-vs-estimate verdict is
+    tolerance-checked ({25}%, measured max error 8.8% across SFs,
+    ~2.8x headroom).
+
+    Scale: same TakeOrdered heap as the base KMV entry, now carrying
+    two membership bits — at 100 TB each side sketches independently
+    (K smallest + flags merge associatively), which is exactly how
+    theta sketches ship set algebra across a cluster.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % KMV_SET_MOD).isin(0, 1)
+    )
+    h = (
+        li.select(
+            F.conv(
+                F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 8),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("hv"),
+            (F.col("l_orderkey") % KMV_SET_MOD == 0).cast("int").alias("a"),
+            (F.col("l_orderkey") % KMV_SET_MOD == 1).cast("int").alias("b"),
+        )
+        .groupBy("hv")
+        .agg(F.max("a").alias("ina"), F.max("b").alias("inb"))
+    )
+    h = scoped_persist(h)
+    agg = (
+        h.orderBy("hv")
+        .limit(KMV_K)
+        .agg(
+            F.count("*").cast("long").alias("kk"),
+            F.sum(
+                F.when((F.col("ina") == 1) & (F.col("inb") == 1), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("k_int"),
+            F.max("hv").cast("long").alias("hk"),
+        )
+    )
+    ex = h.agg(
+        F.sum(
+            F.when((F.col("ina") == 1) & (F.col("inb") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_int"),
+        F.count("*").cast("long").alias("n_union"),
+    )
+    jac = F.col("k_int").cast("double") / F.col("kk")
+    inter = jac * ((F.col("kk") - 1) * F.lit(_KMV_2_32) / F.col("hk"))
+    return ex.crossJoin(F.broadcast(agg)).select(
+        "n_union",
+        F.col("n_int").alias("n_intersection_exact"),
+        "k_int",
+        F.col("hk").alias("kth_hash"),
+        F.round(jac, 4).alias("jaccard_est"),
+        F.round(inter, 2).alias("intersection_est"),
+        (F.abs(inter - F.col("n_int")) <= KMV_SET_TOL * F.col("n_int")).alias(
+            "within_tol"
+        ),
+    )

@@ -539,3 +539,94 @@ class TestBrierDecomposition:
         assert row["uncertainty"] == 0.0
         assert row["resolution"] == 0.0
         assert row["brier_score"] > 0 and row["ece"] > 0
+
+
+class TestCochransQ:
+    def test_hand_computed_q(self, spark, tmp_path):
+        """Rows (1,1,1), (1,0,0), (1,0,0), (0,0,0): C = (3,1,1),
+        sum R = 5, sum R^2 = 11 -> Q = 2*(3*11 - 25)/(15 - 11) = 4."""
+        from couchwarehouse_spark.plans.statistics import cochrans_q_test
+
+        sf = str(tmp_path / "sf")
+        long_with_term = "data " + "w " * 68 + "w"  # 70 toks, has 'data'
+        short_plain = "w " * 9 + "w"                # 10 toks, no 'data'
+        _write(
+            _docs_chars(spark, [
+                (1, long_with_term, "en", "s", 400),  # (1,1,1)
+                (2, short_plain, "en", "s", 400),     # (1,0,0)
+                (3, short_plain, "en", "s", 400),     # (1,0,0)
+                (4, short_plain, "en", "s", 100),     # (0,0,0)
+            ]),
+            sf, "documents",
+        )
+        row = cochrans_q_test(spark, sf).collect()[0]
+        assert (row["c1"], row["c2"], row["c3"]) == (3, 1, 1)
+        assert row["cochran_q"] == 4.0
+
+
+class TestFriedman:
+    def test_hand_computed_chi2(self, spark, tmp_path):
+        """Two days, two types, 'view' always larger: rank sums 8 and 4
+        (x2 scale) -> chi2 = 3*80/12 - 18 = 2."""
+        from couchwarehouse_spark.plans.statistics import friedman_rank_test
+
+        sf = str(tmp_path / "sf")
+        rows, eid = [], 0
+        for day, (nv, np_) in enumerate([(3, 1), (4, 2)]):
+            for _ in range(nv):
+                rows.append((eid, eid, day, "view", 1.0)); eid += 1
+            for _ in range(np_):
+                rows.append((eid, eid, day, "purchase", 1.0)); eid += 1
+        _write(_events(spark, rows), sf, "events")
+        row = friedman_rank_test(spark, sf).collect()[0]
+        assert row["n_blocks"] == 2 and row["k_treatments"] == 2
+        assert row["friedman_chi2"] == 2.0
+
+
+class TestKMVSetOps:
+    def test_small_universe_exact_flags(self, spark, tmp_path):
+        """Union smaller than K: every hash is in the sketch, so k_int
+        equals the exact intersection and jaccard_est is exact."""
+        from couchwarehouse_spark.plans.statistics import kmv_set_operations
+
+        sf = str(tmp_path / "sf")
+        rows = []
+        for p in range(1, 31):       # order 0 (mod 50 = 0): parts 1..30
+            rows.append((0, p))
+        for p in range(20, 51):      # order 1 (mod 50 = 1): parts 20..50
+            rows.append((1, p))
+        li = spark.createDataFrame(
+            [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1))
+             for o, p in rows],
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp",
+        )
+        _write(li, sf, "lineitem")
+        row = kmv_set_operations(spark, sf).collect()[0]
+        assert row["n_union"] == 50
+        assert row["n_intersection_exact"] == 11  # parts 20..30
+        assert row["k_int"] == 11
+        assert row["jaccard_est"] == round(11 / 50, 4)
+
+
+class TestConsistentHashRebalance:
+    def test_ring_moves_fewer_keys_than_mod(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.skew_plan import (
+            consistent_hash_rebalance,
+        )
+
+        sf = str(tmp_path / "sf")
+        orders = spark.createDataFrame(
+            [(i, i % 100 + 1, "O", 1.0, datetime(2024, 1, 1), "1-URGENT")
+             for i in range(300)],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string",
+        )
+        _write(orders, sf, "orders")
+        row = consistent_hash_rebalance(spark, sf).collect()[0]
+        assert row["n_keys"] == 100
+        assert row["moved_ring"] < row["moved_mod"]
+        assert row["frac_moved_ring"] < row["frac_moved_mod"]
