@@ -1320,3 +1320,40 @@ def test_streaming_enrich_dim_is_broadcast(spark):
     joined = fact.join(F.broadcast(dim), fact.o_custkey == dim.c_custkey)
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_kmv_kth_hash_via_take_ordered_heap(spark):
+    """The K smallest hashes must come from a TakeOrdered heap
+    (per-partition partial top-K), never a global sort of the
+    distinct-hash table."""
+    plan = plan_of(spark, "kmv_distinct_audit")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_item_cf_pair_join_keys_on_basket(spark):
+    """Item-item CF must pair WITHIN baskets (order-keyed equi-join,
+    never a cartesian of the item vocabulary) and select top-k via a
+    heap."""
+    plan = plan_of(spark, "item_cooccurrence_cf")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_consistent_hash_ring_is_literal_projection(spark):
+    """Ring assignment must fold the shard points into the projection
+    as an array literal — NO join of any kind appears in the plan
+    (a data-sized ring table would be wrong at any scale)."""
+    plan = plan_of(spark, "consistent_hash_rebalance")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fellegi_sunter_pairs_are_block_keyed(spark):
+    """Record-linkage candidate pairs must come from the blocking-key
+    equi-join — a CartesianProduct would mean the blocking key was
+    silently dropped."""
+    plan = plan_of(spark, "fellegi_sunter_linkage")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
