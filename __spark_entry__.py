@@ -79,7 +79,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #    roc_auc_rank (tie-exact Mann-Whitney AUC over micro-quantized
 #    scores), hits_hub_authority (two integer HITS iterations on the
 #    k-NN graph) and jensen_shannon_sources (pairwise bounded JSD,
-#    closed-form disjoint mass). SIXTEEN further round-9 operators are
+#    closed-form disjoint mass). TWENTY further round-9 operators are
 #    t2-sim green at sf0.001/0.01/0.1 and queue for round 10:
 #    cohens_kappa_raters, retrieval_eval_map, lm_dirichlet_relevance,
 #    fleiss_kappa_multirater, ewma_control_chart (dyadic lambda=1/2,
@@ -93,8 +93,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #    + Murphy reliability/resolution/uncertainty), cochrans_q_test
 #    (k-rater marginal exchangeability), friedman_rank_test
 #    (nonparametric repeated-measures blocks), kmv_set_operations
-#    (sketch Jaccard/intersection algebra) and
-#    consistent_hash_rebalance (mod vs ring moved-key audit),
+#    (sketch Jaccard/intersection algebra), consistent_hash_rebalance
+#    (mod vs ring moved-key audit), dau_wau_stickiness (exact sliding
+#    distinct actives), dow_seasonality_strength (eta-squared weekly
+#    variance share), qini_uplift_curve (uplift-model eval deciles)
+#    and neyman_allocation_plan (optimal stratified-sample design),
 #  - 21 r8-queue entries: the post-window r8 additions, all t2-sim
 #    green at both SFs in r8 AND independently re-verified by the r8
 #    judge (VERDICT.md) — their first driver window,
@@ -108,13 +111,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #    rollup_priority_status, set_except_nations — were displaced by
 #    the 9 late-new operators and head the round-10 queue).
 # ROUND-10 ROTATION PLAN (write the r10 window from this): keep the 3
-# anchors + any round-10-changed entries; window FIRST the 16
+# anchors + any round-10-changed entries; window FIRST the 20
 # round-9-new operators not driver-verified in r9
 # (cohens_kappa_raters, retrieval_eval_map, lm_dirichlet_relevance,
 # fleiss_kappa_multirater, ewma_control_chart, adamic_adar_linkpred,
 # textrank_keywords, item_cooccurrence_cf, fellegi_sunter_linkage,
 # logrank_test, lead_lag_xcorr, brier_decomposition, cochrans_q_test,
-# friedman_rank_test, kmv_set_operations, consistent_hash_rebalance —
+# friedman_rank_test, kmv_set_operations, consistent_hash_rebalance,
+# dau_wau_stickiness, dow_seasonality_strength, qini_uplift_curve,
+# neyman_allocation_plan —
 # all t2-sim green at sf0.001/0.01/0.1 this round) and any
 # round-10-new operators; then stalest greens — the 9 r02 survivors displaced by
 # the late-r9 batch (doc_length_histogram, domain_mixture_weights,

@@ -2464,3 +2464,186 @@ def lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         F.round(num / den, 6).alias("xcorr"),
     ).orderBy("lag_days")
+
+
+WAU_WINDOW = 7  # trailing window (days) for the "monthly" active set
+
+
+@query(
+    "dau_wau_stickiness",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    wau AS (
+      SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - {WAU_WINDOW - 1} AND d.day
+      GROUP BY d.day
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+    FROM days d JOIN dau ON d.day = dau.day JOIN wau ON d.day = wau.day
+    ORDER BY d.day
+    """,
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness (the engagement ratio product dashboards
+    lead with — what share of the week's active users showed up
+    today; Facebook's classic DAU/MAU compressed to this dataset's
+    {7}-day window): per day, distinct daily actives over distinct
+    trailing-{7}-day actives.
+
+    Exactness: both counts are exact distincts over the (day, user)
+    table; the ratio is one division rounded once.
+
+    Scale: the sliding DISTINCT is the famously non-mergeable op —
+    this exact formulation joins the |days| spine to the
+    user-day table (bounded: days x daily-actives) and is the ORACLE
+    shape; at 100 TB swap per-day HLL sketches merged over the
+    window (``hll_union_audit`` is the building block — sketch
+    unions are exactly what make sliding actives cheap).
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    ud = scoped_persist(ud)
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    wau = (
+        days.select(F.col("day").alias("d"))
+        .join(
+            ud,
+            (F.col("day") >= F.date_sub(F.col("d"), WAU_WINDOW - 1))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+        .withColumnRenamed("d", "day")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# Day-of-week index both engines agree on: days since Monday
+# 2024-01-01, mod 7 — no dialect dayofweek() convention enters.
+_DOW_ANCHOR = "2024-01-01"
+
+
+@query(
+    "dow_seasonality_strength",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY day
+    ),
+    dowed AS (
+      SELECT ((date_diff('day', DATE '{_DOW_ANCHOR}', day) % 7) + 7) % 7
+               AS dow, x
+      FROM daily
+    ),
+    g AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(x) AS BIGINT) AS sg,
+             CAST(sum(x * x) AS BIGINT) AS qg
+      FROM dowed GROUP BY dow
+    ),
+    tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s,
+                   CAST(sum(qg) AS BIGINT) AS q FROM g),
+    terms AS (
+      SELECT CAST(round(1000000 * (CAST(sg AS DOUBLE) - CAST(ng AS DOUBLE) * s / n)
+                                * (CAST(sg AS DOUBLE) - CAST(ng AS DOUBLE) * s / n)
+                                / ng) AS BIGINT) AS b_micro
+      FROM g CROSS JOIN tot
+    ),
+    agg AS (SELECT CAST(sum(b_micro) AS BIGINT) AS b FROM terms),
+    peak AS (
+      SELECT dow AS peak_dow, round(CAST(sg AS DOUBLE) / ng, 4) AS peak_mean
+      FROM g ORDER BY CAST(sg AS DOUBLE) / ng DESC, dow LIMIT 1
+    )
+    SELECT t.n AS n_days,
+           round((CAST(a.b AS DOUBLE) / 1000000)
+                 / nullif(CAST(t.q AS DOUBLE) - CAST(t.s AS DOUBLE) * t.s / t.n,
+                          0), 6) AS eta_squared,
+           p.peak_dow, p.peak_mean
+    FROM agg a CROSS JOIN tot t CROSS JOIN peak p
+    """,
+)
+def dow_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality strength (the eta-squared variance
+    decomposition behind "how weekly is this metric?" — the share of
+    daily-volume variance explained by day-of-week, the first number
+    an STL-style decomposition reports and the gate before seasonal
+    adjustment or the seasonal-naive forecast of
+    ``seasonal_naive_backtest`` makes sense): between-group sum of
+    squares over day-of-week groups divided by total sum of squares.
+
+    Exactness: the day-of-week index is pure integer date arithmetic
+    (days since a Monday anchor mod 7 — no engine dayofweek()
+    convention crosses the oracle); per-group n/Σx/Σx² are integer
+    sums; each group's between-term quantizes to micro units and
+    reduces by integer sum (the Brown-Forsythe idiom); the peak day
+    is an integer-tie-broken top-1.
+
+    Scale: one date hash agg to |days| rows, a 7-group reduce,
+    nothing else.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    dow = (
+        (F.datediff(F.col("day"), F.lit(_DOW_ANCHOR).cast("date")) % 7) + 7
+    ) % 7
+    g = daily.select(dow.alias("dow"), "x").groupBy("dow").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("x").cast("long").alias("sg"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("qg"),
+    )
+    g = scoped_persist(g)
+    tot = g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("long").alias("s"),
+        F.sum("qg").cast("long").alias("q"),
+    )
+    dev = F.col("sg").cast("double") - F.col("ng").cast("double") * F.col("s") / F.col("n")
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        F.round(1_000_000 * dev * dev / F.col("ng")).cast("long").alias("b_micro")
+    )
+    agg = terms.agg(F.sum("b_micro").cast("long").alias("b"))
+    peak = (
+        g.orderBy((F.col("sg").cast("double") / F.col("ng")).desc(), "dow")
+        .limit(1)
+        .select(
+            F.col("dow").alias("peak_dow"),
+            F.round(F.col("sg").cast("double") / F.col("ng"), 4).alias(
+                "peak_mean"
+            ),
+        )
+    )
+    sst = F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(peak))
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(
+                (F.col("b").cast("double") / 1_000_000)
+                / F.nullif(sst, F.lit(0.0)),
+                6,
+            ).alias("eta_squared"),
+            "peak_dow",
+            "peak_mean",
+        )
+    )

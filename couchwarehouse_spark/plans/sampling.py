@@ -2118,3 +2118,96 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("uncertainty"),
     )
+
+
+NEYMAN_BUDGET = 1000  # total sample size to allocate across strata
+
+
+@query(
+    "neyman_allocation_plan",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS nh,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source
+    ),
+    terms AS (
+      SELECT source, nh, s1, s2,
+             CAST(round(1000000 * nh * sqrt(
+               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nh)
+               / nullif(nh - 1, 0))) AS BIGINT) AS t_micro
+      FROM g
+    ),
+    tot AS (SELECT CAST(sum(t_micro) AS BIGINT) AS tt,
+                   CAST(sum(nh) AS BIGINT) AS n FROM terms)
+    SELECT source, nh AS n_docs,
+           round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nh)
+                      / nullif(nh - 1, 0)), 4) AS sd_chars,
+           CAST(round({NEYMAN_BUDGET} * CAST(t_micro AS DOUBLE)
+                      / nullif(tt, 0)) AS BIGINT) AS n_neyman,
+           CAST(round({NEYMAN_BUDGET} * CAST(nh AS DOUBLE) / n) AS BIGINT)
+             AS n_proportional
+    FROM terms CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified-sample allocation (Neyman 1934 —
+    sample size per stratum proportional to N_h·S_h, minimizing the
+    estimator variance at a fixed budget; the design-side companion
+    to ``stratified_sample``, which executes a given allocation):
+    per-source document-length variability decides how many of the
+    {1000}-doc labeling/eval budget each source earns, with the
+    proportional allocation alongside for contrast — high-variance
+    sources get oversampled exactly when proportional sampling would
+    under-measure them.
+
+    Exactness: per-stratum n/Σx/Σx² are integer sums; each stratum's
+    N_h·S_h term quantizes to micro units (one sqrt over exact
+    integers) and the normalizing total is an INTEGER sum; the final
+    allocations are single rounded divisions. Single-doc strata give
+    NULL sd via nullif and drop from the allocation identically in
+    both lanes.
+
+    Scale: one hash agg to |sources| rows, a 1-row total broadcast —
+    the allocation plan for a petabyte corpus is strata-sized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("nh"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("nh")
+    ) / F.nullif(F.col("nh") - 1, F.lit(0))
+    terms = g.select(
+        "source", "nh", "s1", "s2",
+        F.round(1_000_000 * F.col("nh") * F.sqrt(var)).cast("long").alias(
+            "t_micro"
+        ),
+    )
+    tot = terms.agg(
+        F.sum("t_micro").cast("long").alias("tt"),
+        F.sum("nh").cast("long").alias("n"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("nh").alias("n_docs"),
+            F.round(F.sqrt(var), 4).alias("sd_chars"),
+            F.round(
+                NEYMAN_BUDGET * F.col("t_micro").cast("double")
+                / F.nullif(F.col("tt"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_neyman"),
+            F.round(NEYMAN_BUDGET * F.col("nh").cast("double") / F.col("n"))
+            .cast("long")
+            .alias("n_proportional"),
+        )
+        .orderBy("source")
+    )

@@ -5036,3 +5036,134 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_tol"
         ),
     )
+
+
+QINI_CONV_VALUE = 100  # a user "converts" on any purchase >= this
+QINI_BINS = 10
+
+
+@query(
+    "qini_uplift_curve",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t,
+             CAST(max(CASE WHEN event_type = 'purchase'
+                            AND value >= {QINI_CONV_VALUE}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS y,
+             CAST(('0x' || substr(md5('uplift:' || CAST(user_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) AS s
+      FROM events GROUP BY user_id
+    ),
+    binned AS (
+      SELECT CAST(s * {QINI_BINS} // 4294967296 AS INTEGER) AS decile, t, y
+      FROM u
+    ),
+    per AS (
+      SELECT decile,
+             CAST(sum(t) AS BIGINT) AS nt,
+             CAST(sum(1 - t) AS BIGINT) AS nc,
+             CAST(sum(t * y) AS BIGINT) AS yt,
+             CAST(sum((1 - t) * y) AS BIGINT) AS yc
+      FROM binned GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile,
+             CAST(sum(nt) OVER w AS BIGINT) AS cnt,
+             CAST(sum(nc) OVER w AS BIGINT) AS cnc,
+             CAST(sum(yt) OVER w AS BIGINT) AS cyt,
+             CAST(sum(yc) OVER w AS BIGINT) AS cyc
+      FROM per
+      WINDOW w AS (ORDER BY decile)
+    )
+    SELECT decile, cnt AS n_treat_cum, cnc AS n_ctrl_cum,
+           cyt AS conv_treat_cum, cyc AS conv_ctrl_cum,
+           round(cyt - CAST(cyc AS DOUBLE) * cnt / nullif(cnc, 0), 4)
+             AS qini
+    FROM cum ORDER BY decile
+    """,
+)
+def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve (Radcliffe 2007 — THE evaluation curve for
+    uplift/heterogeneous-treatment-effect models, the causal analogue
+    of the ROC: at each score decile, incremental conversions =
+    treated conversions minus control conversions scaled to the
+    treated exposure): users ranked by a deterministic uplift score
+    (md5 — the stand-in for a trained uplift model), treatment = odd
+    user_id, conversion = any purchase >= {100}. A flat curve means
+    the score carries no targeting signal — which is the correct
+    A/A-style expectation for a random score, and exactly what the
+    curve certifies before a real model earns rollout.
+
+    Exactness: per-decile treated/control counts and conversions are
+    integer sums; the cumulative window runs over 10 rows; the Qini
+    value is one fixed float dag per decile, nullif-guarded for an
+    empty control prefix.
+
+    Scale: one user-keyed agg, then decile aggregation — the curve of
+    a billion-user experiment is a 10-row frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= QINI_CONV_VALUE),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("t"),
+        "y",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("uplift:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    per = (
+        u.select(
+            F.expr(f"CAST(s * {QINI_BINS} DIV 4294967296 AS INTEGER)").alias(
+                "decile"
+            ),
+            "t",
+            "y",
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("t").cast("long").alias("nt"),
+            F.sum(1 - F.col("t")).cast("long").alias("nc"),
+            F.sum(F.col("t") * F.col("y")).cast("long").alias("yt"),
+            F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("yc"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "decile",
+        F.sum("nt").over(w).cast("long").alias("cnt"),
+        F.sum("nc").over(w).cast("long").alias("cnc"),
+        F.sum("yt").over(w).cast("long").alias("cyt"),
+        F.sum("yc").over(w).cast("long").alias("cyc"),
+    )
+    return cum.select(
+        "decile",
+        F.col("cnt").alias("n_treat_cum"),
+        F.col("cnc").alias("n_ctrl_cum"),
+        F.col("cyt").alias("conv_treat_cum"),
+        F.col("cyc").alias("conv_ctrl_cum"),
+        F.round(
+            F.col("cyt")
+            - F.col("cyc").cast("double")
+            * F.col("cnt")
+            / F.nullif(F.col("cnc"), F.lit(0)),
+            4,
+        ).alias("qini"),
+    ).orderBy("decile")

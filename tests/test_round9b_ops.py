@@ -630,3 +630,89 @@ class TestConsistentHashRebalance:
         assert row["n_keys"] == 100
         assert row["moved_ring"] < row["moved_mod"]
         assert row["frac_moved_ring"] < row["frac_moved_mod"]
+
+
+class TestDauWau:
+    def test_hand_computed_ratio(self, spark, tmp_path):
+        """Day 0: users 1-3 active; day 1: only user 1. WAU covers both
+        days -> stickiness day1 = 1/3."""
+        from couchwarehouse_spark.plans.events_windows import dau_wau_stickiness
+
+        sf = str(tmp_path / "sf")
+        rows = [
+            (1, 1, 0, "view", 1.0), (2, 2, 0, "view", 1.0),
+            (3, 3, 0, "view", 1.0), (4, 1, 1, "view", 1.0),
+        ]
+        _write(_events(spark, rows), sf, "events")
+        out = {r["day"]: r for r in dau_wau_stickiness(spark, sf).collect()}
+        assert out["2024-01-01"]["dau"] == 3 and out["2024-01-01"]["wau"] == 3
+        assert out["2024-01-01"]["stickiness"] == 1.0
+        assert out["2024-01-02"]["dau"] == 1 and out["2024-01-02"]["wau"] == 3
+        assert out["2024-01-02"]["stickiness"] == round(1 / 3, 4)
+
+
+class TestDowSeasonality:
+    def test_pure_weekly_pattern_explains_all_variance(self, spark, tmp_path):
+        """Counts repeat [7,1,1,1,1,1,1] across two weeks -> every
+        day-of-week group is constant, eta^2 = 1, peak is Monday
+        (dow 0 from the 2024-01-01 anchor)."""
+        from couchwarehouse_spark.plans.events_windows import (
+            dow_seasonality_strength,
+        )
+
+        sf = str(tmp_path / "sf")
+        rows, eid = [], 0
+        pattern = [7, 1, 1, 1, 1, 1, 1]
+        for day in range(14):
+            for _ in range(pattern[day % 7]):
+                rows.append((eid, eid, day, "view", 1.0)); eid += 1
+        _write(_events(spark, rows), sf, "events")
+        row = dow_seasonality_strength(spark, sf).collect()[0]
+        assert row["n_days"] == 14
+        assert row["eta_squared"] == 1.0
+        assert row["peak_dow"] == 0 and row["peak_mean"] == 7.0
+
+
+class TestQini:
+    def test_final_point_equals_total_incremental(self, spark, tmp_path):
+        """Only treated users convert -> the last cumulative point is
+        the full treated conversion count and the curve is cumulative
+        monotone in exposure."""
+        from couchwarehouse_spark.plans.statistics import qini_uplift_curve
+
+        sf = str(tmp_path / "sf")
+        rows, eid = [], 0
+        for u in range(1, 41):
+            treat = u % 2 == 1
+            v = 150.0 if treat else 50.0  # only treated cross the 100 bar
+            rows.append((eid, u, 0, "purchase", v)); eid += 1
+        _write(_events(spark, rows), sf, "events")
+        out = qini_uplift_curve(spark, sf).collect()
+        last = out[-1]
+        assert last["n_treat_cum"] == 20 and last["n_ctrl_cum"] == 20
+        assert last["conv_treat_cum"] == 20 and last["conv_ctrl_cum"] == 0
+        assert last["qini"] == 20.0
+        cum = [r["n_treat_cum"] + r["n_ctrl_cum"] for r in out]
+        assert cum == sorted(cum)
+
+
+class TestNeymanAllocation:
+    def test_zero_variance_stratum_gets_nothing(self, spark, tmp_path):
+        """Source 'a' has constant lengths (S_h = 0): the entire
+        Neyman budget goes to 'b', while proportional still splits by
+        size."""
+        from couchwarehouse_spark.plans.sampling import neyman_allocation_plan
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs_chars(spark, [
+                (1, "t", "en", "a", 100), (2, "t", "en", "a", 100),
+                (3, "t", "en", "b", 50), (4, "t", "en", "b", 350),
+            ]),
+            sf, "documents",
+        )
+        out = {r["source"]: r for r in neyman_allocation_plan(spark, sf).collect()}
+        assert out["a"]["sd_chars"] == 0.0 and out["a"]["n_neyman"] == 0
+        assert out["b"]["n_neyman"] == 1000
+        assert out["a"]["n_proportional"] == 500
+        assert out["b"]["n_proportional"] == 500
