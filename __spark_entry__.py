@@ -79,8 +79,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #    roc_auc_rank (tie-exact Mann-Whitney AUC over micro-quantized
 #    scores), hits_hub_authority (two integer HITS iterations on the
 #    k-NN graph) and jensen_shannon_sources (pairwise bounded JSD,
-#    closed-form disjoint mass). TWENTY further round-9 operators are
-#    t2-sim green at sf0.001/0.01/0.1 and queue for round 10:
+#    closed-form disjoint mass). TWENTY-THREE further round-9
+#    operators are t2-sim green at sf0.001/0.01/0.1 and queue for
+#    round 10:
 #    cohens_kappa_raters, retrieval_eval_map, lm_dirichlet_relevance,
 #    fleiss_kappa_multirater, ewma_control_chart (dyadic lambda=1/2,
 #    scaled-integer recursion), adamic_adar_linkpred,
@@ -96,8 +97,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #    (sketch Jaccard/intersection algebra), consistent_hash_rebalance
 #    (mod vs ring moved-key audit), dau_wau_stickiness (exact sliding
 #    distinct actives), dow_seasonality_strength (eta-squared weekly
-#    variance share), qini_uplift_curve (uplift-model eval deciles)
-#    and neyman_allocation_plan (optimal stratified-sample design),
+#    variance share), qini_uplift_curve (uplift-model eval deciles),
+#    neyman_allocation_plan (optimal stratified-sample design),
+#    hodges_lehmann_shift (pairwise-median via integer histogram
+#    convolution), cliff_delta_effect (tie-exact ordinal effect size)
+#    and runs_test_randomness (Wald-Wolfowitz regime screen),
 #  - 21 r8-queue entries: the post-window r8 additions, all t2-sim
 #    green at both SFs in r8 AND independently re-verified by the r8
 #    judge (VERDICT.md) — their first driver window,
@@ -119,7 +123,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # logrank_test, lead_lag_xcorr, brier_decomposition, cochrans_q_test,
 # friedman_rank_test, kmv_set_operations, consistent_hash_rebalance,
 # dau_wau_stickiness, dow_seasonality_strength, qini_uplift_curve,
-# neyman_allocation_plan —
+# neyman_allocation_plan, hodges_lehmann_shift, cliff_delta_effect,
+# runs_test_randomness —
 # all t2-sim green at sf0.001/0.01/0.1 this round) and any
 # round-10-new operators; then stalest greens — the 9 r02 survivors displaced by
 # the late-r9 batch (doc_length_histogram, domain_mixture_weights,

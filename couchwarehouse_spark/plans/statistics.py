@@ -5167,3 +5167,257 @@ def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("qini"),
     ).orderBy("decile")
+
+
+HL_GROUP_LANG = "en"  # shift of this lang's doc lengths vs the rest
+
+
+@query(
+    "hodges_lehmann_shift",
+    oracle=f"""
+    WITH xh AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+                FROM documents WHERE lang = '{HL_GROUP_LANG}' GROUP BY v),
+    yh AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+           FROM documents WHERE lang <> '{HL_GROUP_LANG}' GROUP BY v),
+    diffs AS (
+      SELECT xh.v - yh.v AS d, CAST(sum(xh.c * yh.c) AS BIGINT) AS w
+      FROM xh CROSS JOIN yh GROUP BY 1
+    ),
+    cum AS (
+      SELECT d, CAST(sum(w) OVER (ORDER BY d) AS BIGINT) AS cw,
+             CAST(sum(w) OVER () AS BIGINT) AS n
+      FROM diffs
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+           CAST(min(CASE WHEN 2 * cw >= n THEN d END) AS BIGINT) AS hl_shift
+    FROM cum
+    """,
+)
+def hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann two-sample shift estimator (Hodges & Lehmann
+    1963 — the robust location difference that goes WITH the
+    Mann-Whitney test, cf. ``mannwhitney_drift_doclen``: the median
+    of all pairwise differences x_i - y_j; unlike the difference of
+    means it shrugs off heavy tails, unlike the difference of medians
+    it is efficient): how much longer are '{HL_GROUP_LANG}' documents
+    than the rest, robustly.
+
+    Exactness: the n_x·n_y pairwise differences are NEVER
+    materialized — both lanes convolve the two integer VALUE
+    HISTOGRAMS (difference d with weight c_x·c_y), and the estimate
+    is the discrete lower-median: the smallest d whose cumulative
+    weight reaches ⌈n/2⌉ (2·cw >= n in integers). A BIGINT crosses
+    the oracle; no floats exist in this plan at all.
+
+    Scale: two histogram aggregates (bounded by the value domain, not
+    the row count), a |domain|² weighted convolution, and a window
+    over the |distinct differences| table — the pairwise median of a
+    trillion pairs costs two scans, which is exactly how it must work
+    at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    xh = (
+        d.filter(F.col("lang") == HL_GROUP_LANG)
+        .groupBy(F.col("n_chars").alias("vx"))
+        .agg(F.count("*").cast("long").alias("cx"))
+    )
+    yh = (
+        d.filter(F.col("lang") != HL_GROUP_LANG)
+        .groupBy(F.col("n_chars").alias("vy"))
+        .agg(F.count("*").cast("long").alias("cy"))
+    )
+    diffs = (
+        xh.crossJoin(F.broadcast(yh))
+        .groupBy((F.col("vx") - F.col("vy")).cast("long").alias("d"))
+        .agg(F.sum(F.col("cx") * F.col("cy")).cast("long").alias("w"))
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = diffs.select(
+        "d",
+        F.sum("w").over(w_cum).cast("long").alias("cw"),
+        F.sum("w").over(w_all).cast("long").alias("n"),
+    )
+    return cum.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.min(F.when(2 * F.col("cw") >= F.col("n"), F.col("d")))
+        .cast("long")
+        .alias("hl_shift"),
+    )
+
+
+@query(
+    "cliff_delta_effect",
+    oracle=f"""
+    WITH v AS (
+      SELECT n_chars AS val,
+             CASE WHEN lang = '{HL_GROUP_LANG}' THEN 1 ELSE 0 END AS x
+      FROM documents
+    ),
+    g AS (
+      SELECT val, CAST(sum(x) AS BIGINT) AS p,
+             CAST(sum(1 - x) AS BIGINT) AS q
+      FROM v GROUP BY val
+    ),
+    cum AS (
+      SELECT p, q,
+             coalesce(CAST(sum(q) OVER (ORDER BY val
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS BIGINT), 0) AS q_below
+      FROM g
+    )
+    SELECT CAST(sum(p) AS BIGINT) AS n_x,
+           CAST(sum(q) AS BIGINT) AS n_y,
+           CAST(sum(p * (2 * q_below + q)) AS BIGINT) AS u2_stat,
+           round(CAST(sum(p * (2 * q_below + q)) AS DOUBLE)
+                 / nullif(CAST(sum(p) AS DOUBLE) * sum(q), 0) - 1, 6)
+             AS cliff_delta
+    FROM cum
+    """,
+)
+def cliff_delta_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size (Cliff 1993 — the
+    significance-free companion every Mann-Whitney p-value should
+    ship with: P(x > y) - P(x < y), in [-1, 1], readable as "how
+    often does a random '{HL_GROUP_LANG}' doc outsize a random
+    other"): the magnitude statistic for the same group-vs-rest
+    doc-length comparison as ``hodges_lehmann_shift``, computed
+    WITHOUT materializing pairs via delta = 2U/(n_x·n_y) - 1 on the
+    tie-exact rank U statistic.
+
+    Exactness: the grouped-score cumulative formulation of
+    ``roc_auc_rank`` — U·2 = Σ_v p_v·(2·q_below + q_v) over distinct
+    integer lengths handles ties exactly in pure integer arithmetic;
+    one division at emit.
+
+    Scale: N rows collapse to |distinct lengths|; the cumulative
+    window runs over that collapsed table. No pair join exists in
+    this plan at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        F.col("n_chars").alias("val"),
+        (F.col("lang") == HL_GROUP_LANG).cast("int").alias("x"),
+    ).groupBy("val").agg(
+        F.sum("x").cast("long").alias("p"),
+        F.sum(1 - F.col("x")).cast("long").alias("q"),
+    )
+    w_below = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
+    cum = g.select(
+        "p",
+        "q",
+        F.coalesce(F.sum("q").over(w_below).cast("long"), F.lit(0)).alias(
+            "q_below"
+        ),
+    )
+    u2 = F.sum(F.col("p") * (2 * F.col("q_below") + F.col("q"))).cast("long")
+    return cum.agg(
+        F.sum("p").cast("long").alias("n_x"),
+        F.sum("q").cast("long").alias("n_y"),
+        u2.alias("u2_stat"),
+        F.round(
+            u2.cast("double")
+            / F.nullif(F.sum("p").cast("double") * F.sum("q"), F.lit(0.0))
+            - 1,
+            6,
+        ).alias("cliff_delta"),
+    )
+
+
+@query(
+    "runs_test_randomness",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY day
+    ),
+    med AS (SELECT CAST(round(2 * quantile_cont(x, 0.5)) AS BIGINT) AS med2
+            FROM daily),
+    signed AS (
+      SELECT day, CASE WHEN 2 * x > med2 THEN 1 ELSE 0 END AS s
+      FROM daily CROSS JOIN med
+      WHERE 2 * x <> med2
+    ),
+    runs AS (
+      SELECT s,
+             CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                   OR lag(s) OVER (ORDER BY day) <> s
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signed
+    ),
+    g AS (
+      SELECT CAST(sum(s) AS BIGINT) AS n1,
+             CAST(sum(1 - s) AS BIGINT) AS n2,
+             CAST(sum(new_run) AS BIGINT) AS r
+      FROM runs
+    )
+    SELECT n1 + n2 AS n_days_used, n1 AS n_above, n2 AS n_below,
+           r AS n_runs,
+           round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / nullif(sqrt((2.0 * n1 * n2)
+                               * (2.0 * n1 * n2 - n1 - n2)
+                               / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                                  * (n1 + n2 - 1))), 0), 4) AS runs_z
+    FROM g
+    """,
+)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (Wald & Wolfowitz 1940 — the
+    randomness audit: does daily volume wander above/below its median
+    like coin flips, or does it clump into regimes?): the daily
+    series is signed against the grand median (median days dropped),
+    runs of equal sign are counted, and too FEW runs (negative z)
+    means trending/regime behavior — the cheap screen run before the
+    heavier CUSUM/EWMA change detectors in this module's family.
+
+    Exactness: the 2·median trick keeps sign decisions integer
+    (2x vs med2 — no float threshold); run boundaries come from an
+    integer lag comparison; n1/n2/R are integer sums; z is one fixed
+    float dag, nullif-guarded for the degenerate one-sign series.
+
+    Scale: one date hash agg, then windows over the |days| grid.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    med = daily.agg(
+        F.round(2 * F.expr("percentile(x, 0.5)")).cast("long").alias("med2")
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(2 * F.col("x") != F.col("med2"))
+        .select(
+            "day",
+            F.when(2 * F.col("x") > F.col("med2"), 1).otherwise(0).alias("s"),
+        )
+    )
+    lag_s = F.lag("s").over(Window.orderBy("day"))
+    runs = signed.select(
+        "s",
+        F.when(lag_s.isNull() | (lag_s != F.col("s")), 1).otherwise(0).alias(
+            "new_run"
+        ),
+    )
+    g = runs.agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+        F.sum("new_run").cast("long").alias("r"),
+    )
+    n = F.col("n1") + F.col("n2")
+    two_nn = 2.0 * F.col("n1") * F.col("n2")
+    mu = two_nn / n + 1
+    sigma = F.sqrt(
+        two_nn * (two_nn - n) / (n.cast("double") * n * (n - 1))
+    )
+    return g.select(
+        n.alias("n_days_used"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.round((F.col("r") - mu) / F.nullif(sigma, F.lit(0.0)), 4).alias(
+            "runs_z"
+        ),
+    )

@@ -716,3 +716,66 @@ class TestNeymanAllocation:
         assert out["b"]["n_neyman"] == 1000
         assert out["a"]["n_proportional"] == 500
         assert out["b"]["n_proportional"] == 500
+
+
+class TestHodgesLehmann:
+    def test_hand_computed_pairwise_median(self, spark, tmp_path):
+        """en = [100, 200] vs rest = [50]: diffs {50, 150}, lower
+        median = 50."""
+        from couchwarehouse_spark.plans.statistics import hodges_lehmann_shift
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs_chars(spark, [
+                (1, "t", "en", "s", 100), (2, "t", "en", "s", 200),
+                (3, "t", "xx", "s", 50),
+            ]),
+            sf, "documents",
+        )
+        row = hodges_lehmann_shift(spark, sf).collect()[0]
+        assert row["n_pairs"] == 2
+        assert row["hl_shift"] == 50
+
+
+class TestCliffDelta:
+    def test_balanced_dominance_is_zero(self, spark, tmp_path):
+        """en = [100, 300] vs rest = [200]: one win, one loss ->
+        delta = 0 exactly."""
+        from couchwarehouse_spark.plans.statistics import cliff_delta_effect
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs_chars(spark, [
+                (1, "t", "en", "s", 100), (2, "t", "en", "s", 300),
+                (3, "t", "xx", "s", 200),
+            ]),
+            sf, "documents",
+        )
+        row = cliff_delta_effect(spark, sf).collect()[0]
+        assert row["n_x"] == 2 and row["n_y"] == 1
+        assert row["u2_stat"] == 2  # one win counts 2 in the x2 scale
+        assert row["cliff_delta"] == 0.0
+
+
+class TestRunsTest:
+    def test_hand_computed_runs_z(self, spark, tmp_path):
+        """Daily counts [5,6,1,2,7,8] (median 5.5, no ties): signs
+        BABBAA -> 4 runs, n1=3 above, n2=3 below; z from the
+        Wald-Wolfowitz moments."""
+        from couchwarehouse_spark.plans.statistics import runs_test_randomness
+
+        sf = str(tmp_path / "sf")
+        rows, eid = [], 0
+        for day, n in enumerate([5, 6, 1, 2, 7, 8]):
+            for _ in range(n):
+                rows.append((eid, eid, day, "view", 1.0)); eid += 1
+        _write(_events(spark, rows), sf, "events")
+        row = runs_test_randomness(spark, sf).collect()[0]
+        assert (row["n_above"], row["n_below"], row["n_runs"]) == (3, 3, 4)
+        n1, n2, r = 3, 3, 4
+        n = n1 + n2
+        mu = 2 * n1 * n2 / n + 1
+        sigma = math.sqrt(
+            (2 * n1 * n2) * (2 * n1 * n2 - n) / (n * n * (n - 1))
+        )
+        assert row["runs_z"] == round((r - mu) / sigma, 4)
