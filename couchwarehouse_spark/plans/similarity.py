@@ -3968,3 +3968,100 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("aa_micro") / 1_000_000.0, 6).alias("adamic_adar"),
         )
     )
+
+
+@query(
+    "knn_hubness_audit",
+    oracle=f"""
+    WITH edges AS ({KNN_GRAPH_ORACLE}),
+    indeg AS (
+      SELECT n.vec_id, CAST(coalesce(d.c, 0) AS BIGINT) AS d
+      FROM embeddings n LEFT JOIN (
+        SELECT nbr_id, count(*) AS c FROM edges GROUP BY nbr_id
+      ) d ON n.vec_id = d.nbr_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS s1,
+             CAST(sum(d * d) AS BIGINT) AS s2,
+             CAST(sum(d * d * d) AS BIGINT) AS s3,
+             CAST(max(d) AS BIGINT) AS dmax,
+             CAST(sum(CASE WHEN d > 2 * {KNN_GRAPH_K} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hubs,
+             CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_antihubs
+      FROM indeg
+    )
+    SELECT n AS n_vectors, s1 AS n_edges, dmax AS max_in_degree,
+           n_hubs, n_antihubs,
+           round((CAST(s3 AS DOUBLE) / n
+                  - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                  + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
+                 / nullif(pow(CAST(s2 AS DOUBLE) / n
+                              - (CAST(s1 AS DOUBLE) / n)
+                                * (CAST(s1 AS DOUBLE) / n), 1.5), 0), 4)
+             AS indegree_skewness
+    FROM m
+    """,
+)
+def knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN hubness audit (Radovanović et al. 2010 — the
+    high-dimensional pathology where a few "hub" vectors appear in
+    everyone's neighbor lists while "anti-hubs" appear in nobody's;
+    positive in-degree (k-occurrence) skewness is THE diagnostic, and
+    high hubness degrades every downstream k-NN consumer: label
+    purity, near-dup graphs, retrieval): in-degree distribution of
+    the directed bucketed k-NN graph — moments, skewness, max, hub
+    (d > 2k) and anti-hub (d = 0) counts.
+
+    Exactness: in-degrees are integers (zero-degree vectors included
+    via the node spine); the three moment sums are integer
+    aggregates (d ≤ N keeps d³ sums in range at any realistic shard);
+    skewness is one fixed float dag, nullif-guarded for the
+    degenerate constant-degree graph.
+
+    Scale: one hash agg over the N·k edge table + a node-spine left
+    join + a 6-counter reduce — the hubness of a billion-vector index
+    costs the graph build it already audits.
+    """
+    edges = knn_graph_bucketed(spark, sf_dir).select("vec_id", "nbr_id")
+    e = load_table(spark, sf_dir, "embeddings")
+    indeg = (
+        e.select("vec_id")
+        .join(
+            edges.groupBy("nbr_id").agg(F.count("*").alias("c")),
+            F.col("vec_id") == F.col("nbr_id"),
+            "left",
+        )
+        .select(F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("d"))
+    )
+    m = indeg.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("s2"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).cast("long").alias("s3"),
+        F.max("d").cast("long").alias("dmax"),
+        F.sum(F.when(F.col("d") > 2 * KNN_GRAPH_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hubs"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_antihubs"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    m3 = F.col("s3").cast("double") / F.col("n")
+    var = m2 - mean * mean
+    return m.select(
+        F.col("n").alias("n_vectors"),
+        F.col("s1").alias("n_edges"),
+        F.col("dmax").alias("max_in_degree"),
+        "n_hubs",
+        "n_antihubs",
+        F.round(
+            (m3 - 3.0 * mean * m2 + 2.0 * mean * mean * mean)
+            / F.nullif(F.pow(var, 1.5), F.lit(0.0)),
+            4,
+        ).alias("indegree_skewness"),
+    )

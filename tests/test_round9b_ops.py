@@ -779,3 +779,24 @@ class TestRunsTest:
             (2 * n1 * n2) * (2 * n1 * n2 - n) / (n * n * (n - 1))
         )
         assert row["runs_z"] == round((r - mu) / sigma, 4)
+
+
+class TestHubness:
+    def test_edge_conservation_on_dense_cluster(self, spark, tmp_path):
+        """8 vectors in one bucket: every node emits exactly k=3
+        edges, so the in-degree total must equal 24."""
+        from couchwarehouse_spark.plans.similarity import knn_hubness_audit
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _emb(spark, [
+                (i, 0, {0: 1.0, 1: 0.01 * i, 2: 0.003 * i * i})
+                for i in range(8)
+            ]),
+            sf, "embeddings",
+        )
+        row = knn_hubness_audit(spark, sf).collect()[0]
+        assert row["n_vectors"] == 8
+        assert row["n_edges"] == 24
+        assert row["max_in_degree"] >= 3
+        assert row["n_hubs"] + row["n_antihubs"] <= 8
