@@ -1,9 +1,17 @@
-"""Planted-fixture golden tests for the late-round-9 operator batch:
-multiple-testing control, variance homogeneity, agreement, the KMV
-sketch, survival analysis, two causal estimators, rank-AUC, MAP@10,
-HITS, LM-Dirichlet retrieval, and Jensen-Shannon divergence. Each
-fixture is small enough that the expected statistic is computed by
-hand (or with one line of math) in the assertion.
+"""Planted-fixture golden tests for the late-round-9 operator
+batches: multiple-testing control (BH-FDR), variance homogeneity
+(Brown-Forsythe), agreement (Cohen / Fleiss / Cochran's Q), the KMV
+sketch and its set algebra, survival analysis (Kaplan-Meier +
+log-rank), causal estimators (DiD, IPW, Qini), model/retrieval eval
+(rank-AUC, MAP@10, Brier/ECE), HITS, LM-Dirichlet retrieval,
+Jensen-Shannon divergence, SPC (EWMA), link prediction
+(Adamic-Adar), TextRank, item-item CF, Fellegi-Sunter linkage,
+lead-lag cross-correlation, Friedman, engagement (DAU/WAU),
+day-of-week seasonality, Neyman allocation, Hodges-Lehmann,
+Cliff's delta, the runs test, consistent-hash rebalance, and the
+k-NN hubness audit. Each fixture is small enough that the expected
+statistic is computed by hand (or with one line of math) in the
+assertion.
 """
 
 from __future__ import annotations
