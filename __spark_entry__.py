@@ -79,7 +79,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #    roc_auc_rank (tie-exact Mann-Whitney AUC over micro-quantized
 #    scores), hits_hub_authority (two integer HITS iterations on the
 #    k-NN graph) and jensen_shannon_sources (pairwise bounded JSD,
-#    closed-form disjoint mass). TWENTY-FOUR further round-9
+#    closed-form disjoint mass). TWENTY-SEVEN further round-9
 #    operators are t2-sim green at sf0.001/0.01/0.1 and queue for
 #    round 10:
 #    cohens_kappa_raters, retrieval_eval_map, lm_dirichlet_relevance,
@@ -101,8 +101,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #    neyman_allocation_plan (optimal stratified-sample design),
 #    hodges_lehmann_shift (pairwise-median via integer histogram
 #    convolution), cliff_delta_effect (tie-exact ordinal effect
-#    size), runs_test_randomness (Wald-Wolfowitz regime screen) and
+#    size), runs_test_randomness (Wald-Wolfowitz regime screen),
 #    knn_hubness_audit (in-degree skewness ANN pathology probe),
+#    kruskal_wallis_doclen (k-sample rank ANOVA from value
+#    histograms), wasserstein_doclen_drift (integer-numerator
+#    earth-mover drift) and binary_segmentation_split (offline
+#    changepoint argmax),
 #  - 21 r8-queue entries: the post-window r8 additions, all t2-sim
 #    green at both SFs in r8 AND independently re-verified by the r8
 #    judge (VERDICT.md) — their first driver window,
@@ -125,7 +129,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # friedman_rank_test, kmv_set_operations, consistent_hash_rebalance,
 # dau_wau_stickiness, dow_seasonality_strength, qini_uplift_curve,
 # neyman_allocation_plan, hodges_lehmann_shift, cliff_delta_effect,
-# runs_test_randomness, knn_hubness_audit —
+# runs_test_randomness, knn_hubness_audit, kruskal_wallis_doclen,
+# wasserstein_doclen_drift, binary_segmentation_split —
 # all t2-sim green at sf0.001/0.01/0.1 this round) and any
 # round-10-new operators; then stalest greens — the 9 r02 survivors displaced by
 # the late-r9 batch (doc_length_histogram, domain_mixture_weights,

@@ -2647,3 +2647,108 @@ def dow_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_mean",
         )
     )
+
+
+@query(
+    "binary_segmentation_split",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY day
+    ),
+    idx AS (
+      SELECT day, x,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(sum(x) OVER (ORDER BY day) AS BIGINT) AS sl
+      FROM daily
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS s FROM daily),
+    cand AS (
+      SELECT day, i, sl, t.n, t.s,
+             CAST(round(1000000.0
+               * (t.n * sl - i * t.s) * (t.n * sl - i * t.s)
+               / (CAST(t.n AS DOUBLE) * i * (t.n - i))) AS BIGINT)
+               AS gain_micro
+      FROM idx CROSS JOIN tot t
+      WHERE i < t.n
+    ),
+    best AS (
+      SELECT * FROM cand ORDER BY gain_micro DESC, day LIMIT 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS split_after_day,
+           n AS n_days,
+           round(gain_micro / 1000000.0, 4) AS between_ss_gain,
+           round(CAST(sl AS DOUBLE) / i, 4) AS mean_left,
+           round(CAST(s - sl AS DOUBLE) / (n - i), 4) AS mean_right
+    FROM best
+    """,
+)
+def binary_segmentation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint detection, first split (Scott
+    & Knott 1974 / the recursion inside every segmentation library:
+    place one breakpoint where the between-segment sum of squares
+    (n_L·n_R/n)·(mean_L - mean_R)² is maximized): the OFFLINE
+    changepoint locator complementing this module's ONLINE detectors
+    (CUSUM reacts as data streams, EWMA smooths; binary segmentation
+    answers "where, in hindsight, did the level shift?"). Recursing
+    on each side yields the full segmentation — one plan re-run per
+    segment.
+
+    Exactness: with prefix sums S_L over integer daily counts, the
+    gain rewrites as (n·S_L - i·S)²/(n·i·(n-i)) — an integer
+    numerator per candidate, quantized ONCE to micro units for the
+    argmax, tie-broken on the day; means are single divisions.
+
+    Scale: one date hash agg, one cumulative window over the |days|
+    grid, and a top-1 heap over |days| candidates — the split of a
+    billion-event year costs its daily rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    idx = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+        F.sum("x").over(w_cum).cast("long").alias("sl"),
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    num = F.col("n") * F.col("sl") - F.col("i") * F.col("s")
+    cand = (
+        idx.crossJoin(F.broadcast(tot))
+        .filter(F.col("i") < F.col("n"))
+        .select(
+            "day",
+            "i",
+            "sl",
+            "n",
+            "s",
+            F.round(
+                1_000_000.0
+                * num
+                * num
+                / (
+                    F.col("n").cast("double")
+                    * F.col("i")
+                    * (F.col("n") - F.col("i"))
+                )
+            )
+            .cast("long")
+            .alias("gain_micro"),
+        )
+    )
+    best = cand.orderBy(F.col("gain_micro").desc(), "day").limit(1)
+    return best.select(
+        F.date_format("day", "yyyy-MM-dd").alias("split_after_day"),
+        F.col("n").alias("n_days"),
+        F.round(F.col("gain_micro") / 1_000_000.0, 4).alias("between_ss_gain"),
+        F.round(F.col("sl").cast("double") / F.col("i"), 4).alias("mean_left"),
+        F.round(
+            (F.col("s") - F.col("sl")).cast("double") / (F.col("n") - F.col("i")),
+            4,
+        ).alias("mean_right"),
+    )

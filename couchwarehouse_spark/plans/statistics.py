@@ -5421,3 +5421,230 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "runs_z"
         ),
     )
+
+
+@query(
+    "kruskal_wallis_doclen",
+    oracle="""
+    WITH vc AS (
+      SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY lang, v
+    ),
+    vh AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM vc GROUP BY v),
+    cum AS (
+      SELECT v, cv,
+             coalesce(CAST(sum(cv) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS BIGINT), 0) AS below
+      FROM vh
+    ),
+    rg AS (
+      SELECT vc.lang, CAST(sum(vc.c) AS BIGINT) AS ng,
+             CAST(sum(vc.c * (2 * cum.below + cum.cv + 1)) AS BIGINT) AS r2
+      FROM vc JOIN cum ON vc.v = cum.v
+      GROUP BY vc.lang
+    ),
+    tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k FROM rg),
+    ties AS (SELECT CAST(sum(cv * cv * cv - cv) AS BIGINT) AS t3 FROM vh),
+    terms AS (
+      SELECT CAST(round(1000000 * CAST(r2 AS DOUBLE) * r2 / ng) AS BIGINT)
+               AS t_micro
+      FROM rg
+    ),
+    agg AS (SELECT CAST(sum(t_micro) AS BIGINT) AS s FROM terms)
+    SELECT t.k AS k_groups, t.n AS n_docs,
+           round(3.0 * (CAST(a.s AS DOUBLE) / 1000000)
+                 / (CAST(t.n AS DOUBLE) * (t.n + 1)) - 3.0 * (t.n + 1), 4)
+             AS h_stat,
+           round((3.0 * (CAST(a.s AS DOUBLE) / 1000000)
+                  / (CAST(t.n AS DOUBLE) * (t.n + 1)) - 3.0 * (t.n + 1))
+                 / nullif(1 - CAST(ti.t3 AS DOUBLE)
+                              / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n), 0),
+                 4) AS h_adjusted
+    FROM agg a CROSS JOIN tot t CROSS JOIN ties ti
+    """,
+)
+def kruskal_wallis_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis 1952 — the k-sample
+    rank ANOVA: do the languages' document-length DISTRIBUTIONS
+    differ, without normality assumptions?): completes the
+    nonparametric ladder — Mann-Whitney (2 unpaired samples),
+    Friedman (k paired blocks), and now k unpaired groups — with the
+    standard tie correction H/(1 - Σ(t³-t)/(N³-N)).
+
+    Exactness: ranks are NEVER assigned row-by-row — per-group rank
+    sums come from the VALUE HISTOGRAM (each distinct value's
+    doubled average rank is the integer 2·below + c_v + 1, the
+    spearman tie idiom applied corpus-wide), so R2_g, the tie term,
+    and N/k are exact integers; each group's R2²/n_g quantizes to
+    micro units and reduces by integer sum; H is one fixed float dag.
+
+    Scale: two histogram aggregates (value-domain-sized), a window
+    over distinct values, and a |groups|-row reduce — no global
+    row-level sort exists in this plan, which is what makes a rank
+    test runnable on 100 TB at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vc = d.groupBy("lang", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    vc = scoped_persist(vc)
+    vh = vc.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
+    w_below = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vh.select(
+        "v",
+        "cv",
+        F.coalesce(F.sum("cv").over(w_below).cast("long"), F.lit(0)).alias(
+            "below"
+        ),
+    )
+    rg = (
+        vc.join(cum, "v")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("ng"),
+            F.sum(
+                F.col("c") * (2 * F.col("below") + F.col("cv") + 1)
+            )
+            .cast("long")
+            .alias("r2"),
+        )
+    )
+    rg = scoped_persist(rg)
+    tot = rg.agg(
+        F.sum("ng").cast("long").alias("n"), F.count("*").cast("long").alias("k")
+    )
+    ties = vh.agg(
+        F.sum(F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv"))
+        .cast("long")
+        .alias("t3")
+    )
+    terms = rg.select(
+        F.round(
+            1_000_000 * F.col("r2").cast("double") * F.col("r2") / F.col("ng")
+        )
+        .cast("long")
+        .alias("t_micro")
+    )
+    agg = terms.agg(F.sum("t_micro").cast("long").alias("s"))
+    h = (
+        3.0
+        * (F.col("s").cast("double") / 1_000_000)
+        / (F.col("n").cast("double") * (F.col("n") + 1))
+        - 3.0 * (F.col("n") + 1)
+    )
+    corr = 1 - F.col("t3").cast("double") / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("k").alias("k_groups"),
+            F.col("n").alias("n_docs"),
+            F.round(h, 4).alias("h_stat"),
+            F.round(h / F.nullif(corr, F.lit(0.0)), 4).alias("h_adjusted"),
+        )
+    )
+
+
+@query(
+    "wasserstein_doclen_drift",
+    oracle=f"""
+    WITH xh AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+                FROM documents WHERE lang = '{HL_GROUP_LANG}' GROUP BY v),
+    yh AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+           FROM documents WHERE lang <> '{HL_GROUP_LANG}' GROUP BY v),
+    grid AS (
+      SELECT v, coalesce(xh.c, 0) AS cx, coalesce(yh.c, 0) AS cy
+      FROM xh FULL OUTER JOIN yh USING (v)
+    ),
+    cum AS (
+      SELECT v,
+             CAST(sum(cx) OVER (ORDER BY v) AS BIGINT) AS fx,
+             CAST(sum(cy) OVER (ORDER BY v) AS BIGINT) AS fy,
+             lead(v) OVER (ORDER BY v) - v AS gap
+      FROM grid
+    ),
+    tot AS (SELECT CAST(sum(cx) AS BIGINT) AS nx,
+                   CAST(sum(cy) AS BIGINT) AS ny FROM grid)
+    SELECT t.nx AS n_x, t.ny AS n_y,
+           CAST(sum(abs(fx * t.ny - fy * t.nx) * gap) AS BIGINT)
+             AS w1_numerator,
+           round(CAST(sum(abs(fx * t.ny - fy * t.nx) * gap) AS DOUBLE)
+                 / (CAST(t.nx AS DOUBLE) * t.ny), 6) AS wasserstein_1
+    FROM cum CROSS JOIN tot t
+    WHERE gap IS NOT NULL
+    GROUP BY t.nx, t.ny
+    """,
+)
+def wasserstein_doclen_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth-mover) distance between two document-
+    length distributions (Monge 1781 / Kantorovich 1942; the drift
+    metric modern ML monitoring prefers over KS and PSI because it is
+    magnitude-aware — it reports HOW FAR mass moved, not just that it
+    moved): W1 = ∫|F_X - F_Y| over the '{HL_GROUP_LANG}'-vs-rest
+    length marginals, computed on the merged distinct-value grid as
+    Σ |F_X·n_y - F_Y·n_x|·gap / (n_x·n_y).
+
+    Exactness: the cross-multiplied CDF difference |fx·n_y - fy·n_x|
+    and the value gaps are INTEGERS, so the W1 numerator crosses the
+    oracle as a BIGINT — one division at emit. No float ever
+    accumulates.
+
+    Scale: two value histograms, one full-outer merge on the value
+    grid, one cumulative window over distinct values — row counts
+    never enter after the histogram aggregates (the same
+    histogram-not-rows discipline as ``hodges_lehmann_shift``).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    xh = (
+        d.filter(F.col("lang") == HL_GROUP_LANG)
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count("*").cast("long").alias("cx"))
+    )
+    yh = (
+        d.filter(F.col("lang") != HL_GROUP_LANG)
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count("*").cast("long").alias("cy"))
+    )
+    grid = (
+        xh.join(yh, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce(F.col("cx"), F.lit(0)).alias("cx"),
+            F.coalesce(F.col("cy"), F.lit(0)).alias("cy"),
+        )
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_lead = Window.orderBy("v")
+    cum = grid.select(
+        F.sum("cx").over(w_cum).cast("long").alias("fx"),
+        F.sum("cy").over(w_cum).cast("long").alias("fy"),
+        (F.lead("v").over(w_lead) - F.col("v")).alias("gap"),
+    )
+    tot = grid.agg(
+        F.sum("cx").cast("long").alias("nx"),
+        F.sum("cy").cast("long").alias("ny"),
+    )
+    term = (
+        F.abs(F.col("fx") * F.col("ny") - F.col("fy") * F.col("nx"))
+        * F.col("gap")
+    )
+    return (
+        cum.filter(F.col("gap").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nx", "ny")
+        .agg(F.sum(term).cast("long").alias("w1_numerator"))
+        .select(
+            F.col("nx").alias("n_x"),
+            F.col("ny").alias("n_y"),
+            "w1_numerator",
+            F.round(
+                F.col("w1_numerator").cast("double")
+                / (F.col("nx").cast("double") * F.col("ny")),
+                6,
+            ).alias("wasserstein_1"),
+        )
+    )

@@ -808,3 +808,66 @@ class TestHubness:
         assert row["n_edges"] == 24
         assert row["max_in_degree"] >= 3
         assert row["n_hubs"] + row["n_antihubs"] <= 8
+
+
+class TestKruskalWallis:
+    def test_hand_computed_h_no_ties(self, spark, tmp_path):
+        """aa = [10, 20], bb = [30, 40] (global ranks 1..4, no ties):
+        H = 12/20 * (9/2 + 49/2) - 15 = 2.4."""
+        from couchwarehouse_spark.plans.statistics import kruskal_wallis_doclen
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs_chars(spark, [
+                (1, "t", "aa", "s", 10), (2, "t", "aa", "s", 20),
+                (3, "t", "bb", "s", 30), (4, "t", "bb", "s", 40),
+            ]),
+            sf, "documents",
+        )
+        row = kruskal_wallis_doclen(spark, sf).collect()[0]
+        assert row["k_groups"] == 2 and row["n_docs"] == 4
+        assert row["h_stat"] == 2.4
+        assert row["h_adjusted"] == 2.4  # no ties -> correction is 1
+
+
+class TestWasserstein:
+    def test_point_masses_move_exact_distance(self, spark, tmp_path):
+        """en mass at 100, rest at 200: every unit moves 100 ->
+        W1 = 100 with an exact integer numerator."""
+        from couchwarehouse_spark.plans.statistics import (
+            wasserstein_doclen_drift,
+        )
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs_chars(spark, [
+                (1, "t", "en", "s", 100), (2, "t", "en", "s", 100),
+                (3, "t", "xx", "s", 200),
+            ]),
+            sf, "documents",
+        )
+        row = wasserstein_doclen_drift(spark, sf).collect()[0]
+        assert row["n_x"] == 2 and row["n_y"] == 1
+        assert row["w1_numerator"] == 200  # |2*1 - 0*2| * gap(100)
+        assert row["wasserstein_1"] == 100.0
+
+
+class TestBinarySegmentation:
+    def test_level_shift_found_at_boundary(self, spark, tmp_path):
+        """Counts [1,1,1,9,9,9]: the gain (n_L*n_R/n)*(dmean)^2 =
+        3*3/6*64 = 96 peaks at the true boundary after day 3."""
+        from couchwarehouse_spark.plans.events_windows import (
+            binary_segmentation_split,
+        )
+
+        sf = str(tmp_path / "sf")
+        rows, eid = [], 0
+        for day, n in enumerate([1, 1, 1, 9, 9, 9]):
+            for _ in range(n):
+                rows.append((eid, eid, day, "view", 1.0)); eid += 1
+        _write(_events(spark, rows), sf, "events")
+        row = binary_segmentation_split(spark, sf).collect()[0]
+        assert row["split_after_day"] == "2024-01-03"
+        assert row["n_days"] == 6
+        assert row["between_ss_gain"] == 96.0
+        assert row["mean_left"] == 1.0 and row["mean_right"] == 9.0
