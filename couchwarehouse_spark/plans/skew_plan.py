@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
 from couchwarehouse_spark.operators.skew import SALT_COL, salted_aggregate, salted_join
-from couchwarehouse_spark.plans.registry import query, scoped_persist
+from couchwarehouse_spark.plans.registry import query
 
 
 @query(

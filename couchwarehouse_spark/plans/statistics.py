@@ -3768,13 +3768,15 @@ BH_CONV_VALUE = 50  # an event "converts" when value >= 50
       SELECT event_type, n, x,
              (CAST(x AS DOUBLE) / n
               - CAST(xx - x AS DOUBLE) / nullif(nn - n, 0))
-             / sqrt((CAST(xx AS DOUBLE) / nn) * (1 - CAST(xx AS DOUBLE) / nn)
-                    * (1.0 / n + 1.0 / nullif(nn - n, 0))) AS z
+             / nullif(sqrt((CAST(xx AS DOUBLE) / nn)
+                           * (1 - CAST(xx AS DOUBLE) / nn)
+                           * (1.0 / n + 1.0 / nullif(nn - n, 0))), 0) AS z
       FROM per CROSS JOIN g
     ),
     pb AS (
       SELECT event_type, n, x, z,
-             least(CAST(round(1000000 * 2 * exp(-(z * z) / 2)) AS BIGINT),
+             least(coalesce(CAST(round(1000000 * 2 * exp(-(z * z) / 2))
+                                 AS BIGINT), 1000000),
                    1000000) AS p_micro
       FROM zs
     ),
@@ -3811,7 +3813,12 @@ def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     dag over them; the p-value is quantized to integer micro units
     BEFORE ranking, so the BH ordering, the step-up comparison
     p_micro·m <= ALPHA_MICRO·j, and the rejection frontier are all
-    integer arithmetic — no float comparison decides a row.
+    integer arithmetic — no float comparison decides a row. The
+    degenerate all-convert / none-convert shapes (xx=0 or xx=nn) zero
+    the pooled variance: both lanes nullif that denominator (NULL z)
+    and coalesce p to exactly 1.0, so ranking never sees a NULL whose
+    sort position differs between engines (r9 ADVICE; fixtures in
+    tests/test_round10_ops.py).
 
     Scale: one hash agg to |event types| rows; the BH scan is a
     window over that already-tiny frame (m tests, not m rows of
@@ -3833,15 +3840,21 @@ def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").cast("double") / F.col("n")
         - (F.col("xx") - F.col("x")).cast("double")
         / F.nullif(F.col("nn") - F.col("n"), F.lit(0))
-    ) / F.sqrt(
-        (F.col("xx").cast("double") / F.col("nn"))
-        * (1 - F.col("xx").cast("double") / F.col("nn"))
-        * (1.0 / F.col("n") + 1.0 / F.nullif(F.col("nn") - F.col("n"), F.lit(0)))
+    ) / F.nullif(
+        F.sqrt(
+            (F.col("xx").cast("double") / F.col("nn"))
+            * (1 - F.col("xx").cast("double") / F.col("nn"))
+            * (1.0 / F.col("n") + 1.0 / F.nullif(F.col("nn") - F.col("n"), F.lit(0)))
+        ),
+        F.lit(0.0),
     )
     pb = zs.select(
         "event_type", "n", "x", z.alias("z"),
         F.least(
-            F.round(1_000_000 * 2 * F.exp(-(z * z) / 2)).cast("long"),
+            F.coalesce(
+                F.round(1_000_000 * 2 * F.exp(-(z * z) / 2)).cast("long"),
+                F.lit(1_000_000).cast("long"),
+            ),
             F.lit(1_000_000).cast("long"),
         ).alias("p_micro"),
     )
