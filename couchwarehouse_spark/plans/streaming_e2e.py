@@ -147,9 +147,10 @@ def streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts.
 
     Scale: dedup state is one entry per key — the unbounded-state
-    caveat is real at 100 TB, where production adds a watermark over
-    an arrival-time column to age keys out (documented trade-off;
-    the bounded-state lane is the warehouse's bucketed merge).
+    caveat is real at 100 TB, where production ages keys out with a
+    watermark; that bounded-state form is proven under its own oracle
+    by ``streaming_dedup_watermark_e2e`` (the warehouse's bucketed
+    merge is the other bounded lane).
     """
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), f"cw_sdedup_{tag}")
@@ -192,7 +193,13 @@ SJ_ATTR_HOURS = 1  # view→purchase attribution window (strict >, inclusive ≤
 SJ_WM_DELAY = "30 minutes"  # watermark delay on both join sides
 
 
-def _stage_by_event_time(df, stage_dir: str, n_files: int, ts_col: str = "ts"):
+def _stage_by_event_time(
+    df,
+    stage_dir: str,
+    n_files: int,
+    ts_col: str = "ts",
+    mtime_base: float | None = None,
+):
     """Write ``df`` as ``n_files`` parquet files RANGE-partitioned on
     ``ts_col`` and republish them with monotonically increasing
     mtimes, so FileStreamSource (which orders files by modification
@@ -202,6 +209,12 @@ def _stage_by_event_time(df, stage_dir: str, n_files: int, ts_col: str = "ts"):
     every row in an earlier file, so state evicted below the watermark
     can no longer receive a match. The same mtime trick as the
     warehouse streaming-ingest stage (sortseq there, event time here).
+
+    ``mtime_base`` pins the first file's mtime explicitly — REQUIRED
+    when several calls stage into the SAME landing directory (the
+    watermarked-dedup entry's three arrival waves): wall-clock bases
+    from back-to-back calls can interleave with the previous call's
+    ``t0 + i`` offsets and scramble the drain order.
     """
     tmp = stage_dir + "_tmp"
     (
@@ -213,7 +226,7 @@ def _stage_by_event_time(df, stage_dir: str, n_files: int, ts_col: str = "ts"):
     os.makedirs(stage_dir, exist_ok=True)
     import time as _time
 
-    t0 = _time.time()
+    t0 = mtime_base if mtime_base is not None else _time.time()
     # Part-file NAMES sort in range order (ascending partition index).
     parts = sorted(
         f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
@@ -888,4 +901,297 @@ def streaming_left_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFr
             .alias("n_unconverted_views"),
         )
         .orderBy("user_id")
+    )
+
+
+RR_SUBSET = 11  # restart e2e feeds only o_orderkey % 11 == 0
+RR_STAGE_FILES = 8  # total seq-ordered landing files
+RR_SPLIT = 4  # files landed before the "crash"
+RR_FILES_PER_TRIGGER = 2  # -> 2 micro-batches per lifecycle
+
+
+@query(
+    "streaming_restart_resume_e2e",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % {AMEND} = 0 THEN 'amended'
+                ELSE o_orderstatus END        AS status,
+           CAST(count(*) AS BIGINT)           AS n_orders,
+           round(sum(o_totalprice), 2)        AS total_revenue
+    FROM orders
+    WHERE o_orderkey % {RR_SUBSET} = 0 AND o_orderkey % {DELETE} <> 0
+    GROUP BY 1
+    """,
+)
+def streaming_restart_resume_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 CRASH-RECOVERY under the oracle gate — TWO SEPARATE QUERY
+    LIFECYCLES over one streaming checkpoint: the first
+    ``monitor_warehouse`` run drains only the first {RR_SPLIT} of
+    {RR_STAGE_FILES} seq-ordered feed files and terminates (a bounded
+    availableNow drain — the same recovery path as a crash, because
+    offsets commit per micro-batch and the foreachBatch merge is
+    idempotent by seq); the warehouse is then REOPENED (fresh
+    ``Warehouse`` object, schema registry reloaded from
+    _schemas.json — a process restart, not a resumed object) and a
+    SECOND ``monitor_warehouse`` run on the SAME checkpoint finishes
+    the feed. All amendments and tombstones land in lifecycle 2, so
+    latest-wins and delete propagation must hold against rows merged
+    by lifecycle 1 — across the restart boundary.
+
+    The restart boundary is asserted structurally in-entry, not just
+    through the data: (a) both lifecycles share the streaming query
+    id but carry DIFFERENT run ids (same query, new execution — the
+    checkpoint's identity contract), and (b) the manifest log gains
+    exactly ceil({RR_STAGE_FILES - RR_SPLIT}/{RR_FILES_PER_TRIGGER})
+    versions in lifecycle 2 — a restart that replayed already-
+    committed offsets would commit more. The DuckDB oracle states the
+    post-ETL census straight from ``orders``; the single-lifecycle
+    twin is ``warehouse_streaming_ingest_e2e``.
+
+    Scale: recovery cost is reading one checkpoint offset log —
+    independent of table size; each resumed micro-batch is the same
+    bucket-pruned merge as steady state.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_rstream_{tag}")
+    feed_dir = os.path.join(base, "feed")
+    wh_dir = os.path.join(base, "wh")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % RR_SUBSET == 0
+    )
+    doc = F.struct(
+        F.concat(F.lit("order"), F.col("o_orderkey").cast("string")).alias("_id"),
+        F.lit("1-x").alias("_rev"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+        F.struct(F.col("o_custkey").alias("id")).alias("customer"),
+    )
+    amended = F.struct(
+        doc["_id"].alias("_id"),
+        F.lit("2-x").alias("_rev"),
+        F.lit("amended").alias("status"),
+        doc["total"].alias("total"),
+        doc["customer"].alias("customer"),
+    )
+
+    def env(seq_col, doc_col, deleted: bool):
+        fields = [
+            F.concat(seq_col.cast("string"), F.lit("-seq")).alias("seq"),
+            F.concat(F.lit("order"), F.col("o_orderkey").cast("string")).alias("id"),
+        ]
+        if deleted:
+            fields.append(F.lit(True).alias("deleted"))
+        if doc_col is not None:
+            fields.append(doc_col.alias("doc"))
+        return F.struct(
+            seq_col.cast("long").alias("sortseq"),
+            F.to_json(F.struct(*fields)).alias("value"),
+        )
+
+    envs = F.array(
+        env(F.col("o_orderkey"), doc, False),
+        F.when(
+            F.col("o_orderkey") % AMEND == 0,
+            env(F.col("o_orderkey") + F.lit(1_000_000_000), amended, False),
+        ),
+        F.when(
+            F.col("o_orderkey") % DELETE == 0,
+            env(F.col("o_orderkey") + F.lit(2_000_000_000), None, True),
+        ),
+    )
+    feed = orders.select(
+        F.explode(F.filter(envs, lambda x: x.isNotNull())).alias("e")
+    ).select("e.sortseq", "e.value")
+    stage_tmp = os.path.join(base, "feed_stage")
+    (
+        feed.repartitionByRange(RR_STAGE_FILES, "sortseq")
+        .sortWithinPartitions("sortseq")
+        .select("value")
+        .write.mode("overwrite")
+        .text(stage_tmp)
+    )
+    parts = sorted(
+        f for f in os.listdir(stage_tmp)
+        if f.startswith("part-") and f.endswith(".txt")
+    )
+    import time as _time
+
+    t0 = _time.time()
+
+    def publish(names, mtime_base):
+        os.makedirs(feed_dir, exist_ok=True)
+        for i, f in enumerate(names):
+            dst = os.path.join(feed_dir, f)
+            shutil.copyfile(os.path.join(stage_tmp, f), dst)
+            os.utime(dst, (mtime_base + i, mtime_base + i))
+
+    # Lifecycle 1: only the first RR_SPLIT files exist; the bounded
+    # drain commits their offsets and merges, then terminates.
+    publish(parts[:RR_SPLIT], t0)
+    wh = Warehouse(spark, wh_dir, "rrorders", reset=True, feed_schema=FEED_DOC_DDL)
+    q1 = monitor_warehouse(
+        wh, feed_dir, ckpt,
+        available_now=True, max_files_per_trigger=RR_FILES_PER_TRIGGER,
+    )
+    q1.awaitTermination()
+    v_mid = wh.history().count()
+
+    # "Crash": the rest of the feed lands while no query is running;
+    # the warehouse is reopened cold and the query RESTARTED from the
+    # same checkpoint.
+    publish(parts[RR_SPLIT:], t0 + 1_000)
+    wh2 = Warehouse(spark, wh_dir, "rrorders", feed_schema=FEED_DOC_DDL)
+    q2 = monitor_warehouse(
+        wh2, feed_dir, ckpt,
+        available_now=True, max_files_per_trigger=RR_FILES_PER_TRIGGER,
+    )
+    q2.awaitTermination()
+
+    assert q1.id == q2.id, "restart must resume the SAME checkpointed query"
+    assert q1.runId != q2.runId, "second lifecycle must be a new run"
+    n_tail_batches = -(-(RR_STAGE_FILES - RR_SPLIT) // RR_FILES_PER_TRIGGER)
+    v_end = wh2.history().count()
+    assert v_end == v_mid + n_tail_batches, (
+        f"resume replayed committed offsets: {v_mid} -> {v_end} versions "
+        f"(expected +{n_tail_batches})"
+    )
+
+    return (
+        wh2.table()
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("total"), 2).alias("total_revenue"),
+        )
+    )
+
+
+WD_DELAY = "30 minutes"  # dedup horizon: watermark delay on the key state
+WD_BASE = "2026-01-01 00:00:00"  # pass-1 event times: base + (doc_id % 86400)s
+WD_FILLER_BASE = "2026-01-11 00:00:00"  # watermark pushers, 4 keys < 0
+WD_PASS2_BASE = "2026-01-21 00:00:00"  # re-stamped retries, beyond horizon
+
+
+@query(
+    "streaming_dedup_watermark_e2e",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_first_pass_admits,
+           CAST(count(*) AS BIGINT) AS n_readmitted_after_horizon,
+           CAST(2 * sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def streaming_dedup_watermark_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` under the oracle gate — the
+    BOUNDED-STATE dedup production streams actually run (plain
+    ``dropDuplicates`` state grows forever at 100 TB; the watermarked
+    form ages each key out once the watermark passes its event time +
+    delay). Three deterministic arrival waves make both sides of the
+    horizon contract observable in the final counts:
+
+    1. **Pass 1** stages every document TWICE at the same event time
+       (at-least-once delivery duplicates), event-time-ordered files:
+       the second copy is always dropped — by the dedup state while
+       the key lives, or by the late-input watermark filter after
+       eviction (an exact-ts duplicate whose state expired is
+       necessarily below the watermark: expiry < wm implies ts < wm).
+       Exactly ONE admit per key.
+    2. **Two filler micro-batches** (4 sentinel keys < 0, 10 days
+       later) push the watermark past every pass-1 key's expiry, so
+       all pass-1 state is EVICTED — whether the store cleans up at
+       batch start or batch end, the second filler batch's cleanup
+       runs with a watermark beyond every expiry before any retry is
+       processed (semantics probed empirically; see
+       tests/test_streaming_windows.py round-10 pins).
+    3. **Pass 2** re-stamps every document once, 20 days out (a retry
+       beyond the horizon, above the watermark so never late): with
+       its state evicted, each key is RE-ADMITTED exactly once — the
+       within-watermark guarantee is bounded, which is the point.
+
+    The oracle states both horizon outcomes per source: first-pass
+    admits = count(*) (duplicates dropped), re-admits = count(*)
+    (state bounded, keys aged out), chars = 2·sum (each doc's payload
+    admitted once per wave). Any over-dropping, duplicate admission,
+    or unbounded state flips an integer.
+
+    Scale: state is |keys within the watermark horizon|, not |stream
+    history| — the entire reason this operator exists; eviction is
+    the state store's native TTL, no user code.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_wmdedup_{tag}")
+    stage = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    pass1 = d.withColumn(
+        "ts",
+        F.expr(
+            f"timestamp'{WD_BASE}' + make_interval(0, 0, 0, 0, 0, 0, doc_id % 86400)"
+        ),
+    )
+    pass2 = d.withColumn(
+        "ts",
+        F.expr(
+            f"timestamp'{WD_PASS2_BASE}' + make_interval(0, 0, 0, 0, 0, 0, doc_id % 86400)"
+        ),
+    )
+    fillers = spark.range(4).select(
+        (-F.col("id") - 1).alias("doc_id"),
+        F.lit("_wm_filler").alias("source"),
+        F.lit(0).cast("long").alias("n_chars"),
+        F.expr(f"timestamp'{WD_FILLER_BASE}' + make_interval(0, 0, 0, 0, id, 0, 0)").alias("ts"),
+    )
+
+    import time as _time
+
+    t0 = _time.time()
+    # Duplicated pass-1 rows land via ONE range-partitioned stage so
+    # both copies of a key fall in the same or adjacent files.
+    _stage_by_event_time(
+        pass1.unionByName(pass1), stage, SW_STAGE_FILES, mtime_base=t0
+    )
+    _stage_by_event_time(fillers, stage, 4, mtime_base=t0 + 1_000)
+    _stage_by_event_time(pass2, stage, SW_STAGE_FILES, mtime_base=t0 + 2_000)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, source string, n_chars long, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", SW_FILES_PER_TRIGGER)
+        .parquet(stage)
+        .withWatermark("ts", WD_DELAY)
+        .dropDuplicatesWithinWatermark(["doc_id", "ts"])
+    )
+    qname = f"cw_wmdedup_out_{tag}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cutoff = F.lit(WD_PASS2_BASE).cast("timestamp")
+    return (
+        spark.table(qname)
+        .filter(F.col("doc_id") >= 0)
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("ts") < cutoff).cast("int"))
+            .cast("long")
+            .alias("n_first_pass_admits"),
+            F.sum((F.col("ts") >= cutoff).cast("int"))
+            .cast("long")
+            .alias("n_readmitted_after_horizon"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
     )

@@ -554,3 +554,156 @@ def zorder_relayout_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+SE_SUBSET = 6  # schema_evolution_e2e feeds only o_orderkey % 6 == 0
+# Phase-2 amendments carry a NEW field the phase-1 freeze never saw;
+# strict mode widens the declared feed contract alongside the table.
+FEED_DOC_DDL_EVOLVED = FEED_DOC_DDL + ", channel string"
+
+
+def _build_evolution_feeds(
+    spark: SparkSession, sf_dir: str, base: str, subset: int
+) -> tuple[str, str]:
+    """Two-phase evolution feed from ONE orders scan: phase 1 inserts
+    the original doc shape; phase 2 amends every AMEND-th order with a
+    doc that ADDS a ``channel`` field (the evolution trigger) and
+    tombstones every DELETE-th — the reference's run_evolve.js feed
+    shape, derived distributedly (same partitionBy('phase') routing as
+    ``_build_two_phase_feeds``)."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % subset == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    doc = F.struct(
+        F.concat(F.lit("order"), F.col("o_orderkey").cast("string")).alias("_id"),
+        F.lit("1-x").alias("_rev"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+        F.struct(F.col("o_custkey").alias("id")).alias("customer"),
+    )
+    amended_doc = F.struct(
+        doc["_id"].alias("_id"),
+        F.lit("2-x").alias("_rev"),
+        F.lit("amended").alias("status"),
+        doc["total"].alias("total"),
+        doc["customer"].alias("customer"),
+        F.lit("web").alias("channel"),  # the field that evolves the schema
+    )
+
+    def envelope(seq_col, doc_col, deleted: bool):
+        fields = [
+            F.concat(seq_col.cast("string"), F.lit("-seq")).alias("seq"),
+            F.concat(F.lit("order"), F.col("o_orderkey").cast("string")).alias("id"),
+        ]
+        if deleted:
+            fields.append(F.lit(True).alias("deleted"))
+        if doc_col is not None:
+            fields.append(doc_col.alias("doc"))
+        return F.to_json(F.struct(*fields))
+
+    tagged = F.filter(
+        F.array(
+            F.struct(
+                F.lit(1).alias("phase"),
+                envelope(F.col("o_orderkey"), doc, False).alias("value"),
+            ),
+            F.struct(
+                F.lit(2).alias("phase"),
+                F.when(
+                    F.col("o_orderkey") % AMEND == 0,
+                    envelope(
+                        F.col("o_orderkey") + F.lit(1_000_000_000), amended_doc, False
+                    ),
+                ).alias("value"),
+            ),
+            F.struct(
+                F.lit(2).alias("phase"),
+                F.when(
+                    F.col("o_orderkey") % DELETE == 0,
+                    envelope(F.col("o_orderkey") + F.lit(2_000_000_000), None, True),
+                ).alias("value"),
+            ),
+        ),
+        lambda s: s["value"].isNotNull(),
+    )
+    feed = orders.select(F.explode(tagged).alias("e")).select("e.phase", "e.value")
+    feed.write.mode("overwrite").partitionBy("phase").text(base)
+    return os.path.join(base, "phase=1"), os.path.join(base, "phase=2")
+
+
+@query(
+    "schema_evolution_e2e",
+    oracle=f"""
+    WITH sub AS (SELECT * FROM orders WHERE o_orderkey % {SE_SUBSET} = 0)
+    SELECT CASE WHEN o_orderkey % {AMEND} = 0 THEN 'amended'
+                ELSE o_orderstatus END        AS status,
+           CAST(count(*) AS BIGINT)           AS n_orders,
+           CAST(sum(CASE WHEN o_orderkey % {AMEND} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT)                    AS n_with_channel,
+           round(sum(o_totalprice), 2)        AS total_revenue
+    FROM sub
+    WHERE o_orderkey % {DELETE} <> 0
+    GROUP BY 1
+    """,
+)
+def schema_evolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in SCHEMA EVOLUTION under the oracle gate (the one R-tier
+    semantic previously proven only by pytest —
+    tests/test_warehouse.py::test_schema_evolution_opt_in; reference
+    semantics at /root/reference/test/run_evolve.js:53-69 and
+    README.md:300-304): spool the insert feed (freezes the original
+    5-column doc shape, commits version 1), then spool an amendment +
+    tombstone feed whose amended docs ADD a ``channel`` field — with
+    ``evolve_schema=True`` the batch WIDENS the frozen schema
+    (Delta's mergeSchema) instead of silently dropping the field —
+    and query the evolved table.
+
+    The oracle states the expected census straight from ``orders``:
+    every amended survivor must carry the new column's value and
+    every pre-evolution survivor must read it as NULL (null
+    backfill through per-version explicit-schema file reads — the
+    time_travel_cdc manifest machinery), so ``count(channel)`` per
+    status group certifies both directions of the evolution contract
+    in one hash match. Version isolation is asserted in-entry:
+    ``table(version=1)`` must still read WITHOUT the evolved column.
+
+    Scale: evolution is a metadata-only widen (no file rewrite —
+    pre-evolution parquet is read with its own explicit schema and
+    null-backfilled at scan time, exactly Delta/iceberg add-column
+    semantics); the amendment merge itself stays bucket-pruned.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_sevo_{tag}")
+    wh_dir = os.path.join(base, "wh")
+    shutil.rmtree(base, ignore_errors=True)
+
+    feed1, feed2 = _build_evolution_feeds(
+        spark, sf_dir, os.path.join(base, "feeds"), SE_SUBSET
+    )
+    wh = Warehouse(
+        spark,
+        wh_dir,
+        "evorders",
+        reset=True,
+        evolve_schema=True,
+        feed_schema=FEED_DOC_DDL,
+    )
+    wh.spool(feed1)
+    # The feed contract widens with the doc type (strict mode keeps
+    # the one-pass schema-declared read; inference would also work).
+    wh.feed_schema = FEED_DOC_DDL_EVOLVED
+    wh.spool(feed2)
+
+    # Version isolation: the pre-evolution snapshot keeps ITS schema.
+    v1_cols = set(wh.table(version=1).columns)
+    head_cols = set(wh.table().columns)
+    assert "channel" not in v1_cols, f"version 1 leaked evolved column: {v1_cols}"
+    assert "channel" in head_cols, f"evolution did not widen head: {head_cols}"
+
+    return wh.table().groupBy("status").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.count("channel").cast("long").alias("n_with_channel"),
+        F.round(F.sum("total"), 2).alias("total_revenue"),
+    )

@@ -92,3 +92,110 @@ def test_write_elasticsearch_fallback(spark, tmp_path):
     lane = write_elasticsearch(df, "idx", fallback_path=str(tmp_path / "bulk"))
     assert lane == "bulk-file"
     assert spark.read.text(str(tmp_path / "bulk")).count() == 2
+
+
+class TestDropDuplicatesWithinWatermarkSemantics:
+    """Round-10 pins for the probed ``dropDuplicatesWithinWatermark``
+    semantics the ``streaming_dedup_watermark_e2e`` oracle relies on
+    (each probed empirically before the entry was written):
+
+    1. an exact-ts duplicate is NEVER re-admitted — while the key's
+       state lives it is deduplicated, and once the state expired the
+       duplicate is necessarily below the watermark (expiry < wm
+       implies ts < wm) and dropped as late input;
+    2. a re-stamped retry whose key state is still live is dropped;
+    3. a re-stamped retry arriving after an INTERVENING batch whose
+       cleanup ran with the watermark past the key's expiry is
+       re-admitted (state bounded — the operator's reason to exist).
+    """
+
+    def _run(self, spark, tmp_path, batches, delay="1 hour"):
+        import shutil
+        import time
+
+        base = str(tmp_path / "wm")
+        stage = os.path.join(base, "in")
+        os.makedirs(stage)
+        t0 = time.time()
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, "k string, ts timestamp")
+            tmp = os.path.join(base, f"f{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            for f in os.listdir(tmp):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(stage, f"file{i}_{f}")
+                    shutil.copyfile(os.path.join(tmp, f), dst)
+                    os.utime(dst, (t0 + i, t0 + i))
+        stream = (
+            spark.readStream.schema("k string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .withWatermark("ts", delay)
+            .dropDuplicatesWithinWatermark(["k"])
+        )
+        qname = f"wmpin_{abs(hash(base)) % 10_000_000}"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.k, r.ts) for r in spark.table(qname).collect()
+        )
+
+    def test_exact_ts_duplicate_never_readmitted(self, spark, tmp_path):
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 1, 1)
+        h = lambda n: t0 + timedelta(hours=n)  # noqa: E731
+        out = self._run(
+            spark,
+            tmp_path,
+            [
+                [("A", h(0)), ("B", h(10))],  # wm -> 9h after this batch
+                # A's state (expiry 1h) is evicted by now, but the
+                # exact-ts duplicate is below the watermark -> late;
+                # B's duplicate is within state lifetime -> deduped.
+                [("A", h(0)), ("B", h(10)), ("C", h(20))],
+            ],
+        )
+        assert out == [("A", h(0)), ("B", h(10)), ("C", h(20))]
+
+    def test_restamped_retry_within_lifetime_dropped(self, spark, tmp_path):
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 1, 1)
+        h = lambda n: t0 + timedelta(hours=n)  # noqa: E731
+        out = self._run(
+            spark,
+            tmp_path,
+            [
+                [("B", h(10))],
+                # retry at 10h30: state expiry 11h, wm 9h -> dropped
+                [("B", h(10.5)), ("Z", h(20))],
+            ],
+        )
+        assert out == [("B", h(10)), ("Z", h(20))]
+
+    def test_restamped_retry_after_eviction_readmitted(self, spark, tmp_path):
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 1, 1)
+        h = lambda n: t0 + timedelta(hours=n)  # noqa: E731
+        out = self._run(
+            spark,
+            tmp_path,
+            [
+                [("A", h(0)), ("B", h(10))],  # wm -> 9h
+                [("F", h(11))],  # cleanup with wm 9h evicts A (expiry 1h)
+                # A re-admitted (state gone, 12h >= wm 10h);
+                # B still live (expiry 11h > wm 10h) -> dropped
+                [("A", h(12)), ("B", h(12)), ("Z", h(20))],
+            ],
+        )
+        assert out == [("A", h(0)), ("A", h(12)), ("B", h(10)),
+                       ("F", h(11)), ("Z", h(20))]
