@@ -1357,3 +1357,84 @@ def test_fellegi_sunter_pairs_are_block_keyed(spark):
     plan = plan_of(spark, "fellegi_sunter_linkage")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- round-10 pins: the late-r9 statistics batch must keep its
+# no-pair-join / histogram-reduce shapes (r9 verdict #5) -------------
+
+
+def test_hodges_lehmann_is_broadcast_histogram_convolution(spark):
+    """The median of n_x·n_y pairwise differences must come from the
+    broadcast histogram CONVOLUTION (one BroadcastNestedLoopJoin of
+    two value histograms), never a row-level pair join: no
+    SortMergeJoin, no CartesianProduct, anywhere in the plan."""
+    plan = plan_of(spark, "hodges_lehmann_shift")
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cliff_delta_reduces_over_histograms_no_join(spark):
+    """Cliff's delta is a pure distinct-value-histogram reduce — the
+    tie-exact dominance counts come from a window over the collapsed
+    value table, with NO join of any kind in the plan."""
+    plan = plan_of(spark, "cliff_delta_effect")
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_runs_test_broadcast_scalars_only(spark):
+    """Wald-Wolfowitz reduces the daily series against broadcast
+    one-row totals: exactly one BroadcastNestedLoopJoin, never a
+    shuffled join."""
+    plan = plan_of(spark, "runs_test_randomness")
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kruskal_wallis_rank_sums_from_cached_histogram(spark):
+    """K-sample rank ANOVA must never globally sort rows: ranks come
+    from the persisted value-histogram (InMemoryTableScan reuse), and
+    every join is broadcast (group labels / scalar totals) — no
+    SortMergeJoin of row-level frames."""
+    plan = plan_of(spark, "kruskal_wallis_doclen")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wasserstein_joins_only_collapsed_value_tables(spark):
+    """Earth-mover drift aligns the two sources' CDFs with exactly two
+    FULL OUTER merges of distinct-value histograms (full outer cannot
+    broadcast; domain-bounded SMJ is the designed shape) — any other
+    join shape means a row-level pair path crept in."""
+    plan = plan_of(spark, "wasserstein_doclen_drift")
+    assert plan.count("SortMergeJoin") == 2, plan
+    assert plan.count("FullOuter") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_binary_segmentation_argmax_is_heap(spark):
+    """The changepoint argmax over candidate splits must be a
+    TakeOrderedAndProject heap over the collapsed daily series, with
+    only the broadcast one-row totals joined in."""
+    plan = plan_of(spark, "binary_segmentation_split")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_hubness_pairs_are_bucket_keyed(spark):
+    """The k-occurrence census builds its candidate pairs from the
+    LSH bucket equi-join (BroadcastHashJoin keyed on bucket) — a
+    CartesianProduct would mean the bucket key was dropped and the
+    audit went all-pairs."""
+    plan = plan_of(spark, "knn_hubness_audit")
+    assert "BroadcastHashJoin [bucket" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
