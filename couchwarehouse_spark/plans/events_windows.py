@@ -2752,3 +2752,209 @@ def binary_segmentation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_right"),
     )
+
+
+PH_DELTA_MICRO = 2_000_000  # Page-Hinkley slack delta = 2 count units
+PH_LAMBDA_MICRO = 50_000_000  # alarm threshold lambda = 50 count units
+
+
+@query(
+    "page_hinkley_drift",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY day
+    ),
+    run AS (
+      SELECT day, x,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(sum(x) OVER (ORDER BY day) AS BIGINT) AS s
+      FROM daily
+    ),
+    inc AS (
+      SELECT day, x,
+             CAST(round(1000000.0 * (x - CAST(s AS DOUBLE) / i)) AS BIGINT)
+               - {PH_DELTA_MICRO} AS inc_micro
+      FROM run
+    ),
+    m AS (
+      SELECT day, x,
+             CAST(sum(inc_micro) OVER (ORDER BY day) AS BIGINT) AS m_micro
+      FROM inc
+    ),
+    ph AS (
+      SELECT day, x, m_micro,
+             CAST(m_micro - min(m_micro) OVER (ORDER BY day) AS BIGINT)
+               AS ph_micro
+      FROM m
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, x AS n_events,
+           round(ph_micro / 1000000.0, 4) AS ph_stat,
+           ph_micro > {PH_LAMBDA_MICRO} AS alarm
+    FROM ph ORDER BY day
+    """,
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector over the daily event-count series
+    (Page 1954 / the PH test every streaming-ML library ships for
+    concept drift — river, MOA): the cumulative deviation from the
+    RUNNING mean, m_t = sum(x_i − mean_{{1..i}} − delta), alarms when
+    it exceeds its own running minimum by lambda. Complements this
+    module's CUSUM (fixed reference level) and EWMA (smoothed control
+    limits): PH self-calibrates to the series' own evolving mean, the
+    usual choice when no in-control baseline exists.
+
+    Exactness: the running mean is cleared through the prefix sum
+    (S_i/i — one float division per day, quantized to integer micro
+    units BEFORE the cumulative sum), so m_t, its running minimum,
+    the PH gap and the alarm comparison are all integer arithmetic —
+    the detector's path never accumulates float error.
+
+    Scale: one date hash agg, then three stacked windows over the
+    |days| grid — the collapsed-series shape shared by every
+    sequential detector in this module; a year of a billion events is
+    365 window rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    run = daily.select(
+        "day",
+        "x",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+        F.sum("x").over(w).cast("long").alias("s"),
+    )
+    inc = run.select(
+        "day",
+        "x",
+        (
+            F.round(
+                1_000_000.0 * (F.col("x") - F.col("s").cast("double") / F.col("i"))
+            ).cast("long")
+            - PH_DELTA_MICRO
+        ).alias("inc_micro"),
+    )
+    m = inc.select(
+        "day", "x", F.sum("inc_micro").over(w).cast("long").alias("m_micro")
+    )
+    ph = m.select(
+        "day",
+        "x",
+        (F.col("m_micro") - F.min("m_micro").over(w)).cast("long").alias("ph_micro"),
+    )
+    return ph.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("n_events"),
+        F.round(F.col("ph_micro") / 1_000_000.0, 4).alias("ph_stat"),
+        (F.col("ph_micro") > PH_LAMBDA_MICRO).alias("alarm"),
+    ).orderBy("day")
+
+
+LB_MAX_LAG = 7  # Ljung-Box portmanteau over lags 1..7 (one week)
+
+
+@query(
+    "ljung_box_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY day
+    ),
+    idx AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i, x
+      FROM daily
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS s FROM daily),
+    nd AS (
+      SELECT i, CAST(t.n * x - t.s AS BIGINT) AS nd, t.n
+      FROM idx CROSS JOIN tot t
+    ),
+    den AS (SELECT CAST(sum(nd * nd) AS BIGINT) AS den FROM nd),
+    r AS (
+      SELECT k.k,
+             CAST(round(1000000.0 * sum(a.nd * b.nd) / any_value(d.den))
+                  AS BIGINT) AS r_micro,
+             any_value(a.n) AS n
+      FROM unnest(range(1, {LB_MAX_LAG} + 1)) AS k(k)
+      JOIN nd a ON TRUE
+      JOIN nd b ON b.i = a.i - k.k
+      CROSS JOIN den d
+      GROUP BY k.k
+    )
+    SELECT CAST(k AS BIGINT) AS lag,
+           round(r_micro / 1000000.0, 6) AS acf_r,
+           round(n * (n + 2.0)
+                 * sum((r_micro / 1000000.0) * (r_micro / 1000000.0)
+                       / (n - k)) OVER (ORDER BY k), 4) AS q_stat
+    FROM r ORDER BY lag
+    """,
+)
+def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (Ljung & Box 1978 — the standard
+    "is anything left in the residuals?" check after any forecast
+    fit, e.g. this module's ``holt_linear_backtest`` /
+    ``seasonal_naive_backtest``): Q_k = n(n+2)·sum_{{j<=k}}
+    r_j²/(n−j) over the daily series' autocorrelations at lags
+    1..{LB_MAX_LAG}, reported cumulatively per lag. Complements
+    ``event_autocorrelation`` (which reports the ACF) by adding the
+    aggregate INFERENCE statistic chi-square-distributed under the
+    white-noise null.
+
+    Exactness: with nd_t = n·x_t − S, each r_k's numerator
+    sum(nd_t·nd_{{t−k}}) and shared denominator sum(nd²) are exact
+    integers (the n² mean-clearing factors cancel); r_k is quantized
+    to integer micro units before Q's float dag, which is one
+    cumulative window rounded once.
+
+    Scale: the lag pairing is a |days|×{LB_MAX_LAG} self-join of the
+    collapsed daily grid — series-sized, never event-sized.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+        "x",
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    nd = idx.crossJoin(F.broadcast(tot)).select(
+        "i", (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("nd"), "n"
+    )
+    nd = scoped_persist(nd)
+    den = nd.agg(F.sum(F.col("nd") * F.col("nd")).cast("long").alias("den"))
+    kgrid = spark.range(1, LB_MAX_LAG + 1).select(F.col("id").alias("k"))
+    a = nd.crossJoin(F.broadcast(kgrid)).select(
+        "k", (F.col("i") - F.col("k")).alias("j"), F.col("nd").alias("nd_a"), "n"
+    )
+    b = nd.select(F.col("i").alias("j"), F.col("nd").alias("nd_b"))
+    r = (
+        a.join(b, "j")
+        .crossJoin(F.broadcast(den))
+        .groupBy("k")
+        .agg(
+            F.round(
+                1_000_000.0 * F.sum(F.col("nd_a") * F.col("nd_b")) / F.first("den")
+            )
+            .cast("long")
+            .alias("r_micro"),
+            F.first("n").alias("n"),
+        )
+    )
+    w_cum = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    rr = F.col("r_micro") / 1_000_000.0
+    return r.select(
+        F.col("k").cast("long").alias("lag"),
+        F.round(rr, 6).alias("acf_r"),
+        F.round(
+            F.col("n")
+            * (F.col("n") + 2.0)
+            * F.sum(rr * rr / (F.col("n") - F.col("k"))).over(w_cum),
+            4,
+        ).alias("q_stat"),
+    ).orderBy("lag")

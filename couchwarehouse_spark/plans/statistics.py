@@ -5661,3 +5661,421 @@ def wasserstein_doclen_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wasserstein_1"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10 additions: heavy-tail index, outlier inference, log-bucketed
+# quantile sketch, and a deterministic cluster permutation test.
+# ---------------------------------------------------------------------------
+
+HILL_K = 100  # order statistics used by the Hill estimator
+
+
+@query(
+    "hill_tail_index",
+    oracle=f"""
+    WITH topk AS (
+      SELECT n_chars AS x,
+             CAST(round(1000000000 * ln(n_chars)) AS BIGINT) AS ln_nano
+      FROM documents ORDER BY n_chars DESC LIMIT {HILL_K} + 1
+    ),
+    s AS (
+      SELECT CAST(min(x) AS BIGINT) AS x_thresh,
+             CAST(min(ln_nano) AS BIGINT) AS ln_thresh_nano,
+             CAST(sum(ln_nano) AS BIGINT) AS ln_sum_nano
+      FROM topk
+    )
+    SELECT {HILL_K} AS k, x_thresh,
+           CAST(ln_sum_nano - ln_thresh_nano
+                - {HILL_K} * ln_thresh_nano AS BIGINT) AS hill_sum_nano,
+           round({HILL_K} * 1000000000.0
+                 / nullif(ln_sum_nano - ln_thresh_nano
+                          - {HILL_K} * ln_thresh_nano, 0), 4) AS hill_alpha
+    FROM s
+    """,
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the tail index (Hill 1975 — THE estimator of
+    the Pareto exponent alpha behind every heavy-tail audit: document
+    lengths, token frequencies, user activity; alpha <= 2 means
+    infinite variance, the regime where mean-based pipeline budgets
+    break): over the k = {100} largest order statistics,
+    1/alpha = (1/k)·sum ln(x_(i)/x_(k+1)).
+
+    Exactness: the top-(k+1) is a MULTISET of values — well-defined
+    under ties without any row identity — so both lanes take the same
+    k+1 largest lengths; each ln(x) is quantized to integer nano-nats
+    before the sum (the repo's ln-reduce idiom), the threshold term
+    subtracts exactly (one copy of the minimum is the (k+1)-th order
+    statistic), and alpha is one float division off the integer
+    hill_sum, nullif-guarded for the all-equal corpus where the sum
+    is 0 (alpha undefined).
+
+    Scale: the k+1 largest values are a TakeOrdered HEAP (partial
+    per partition, k+1 rows merged), then a one-row aggregate — the
+    tail of a petabyte corpus costs a top-k.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    topk = (
+        d.select(
+            F.col("n_chars").alias("x"),
+            F.round(1_000_000_000 * F.log(F.col("n_chars")))
+            .cast("long")
+            .alias("ln_nano"),
+        )
+        .orderBy(F.col("x").desc())
+        .limit(HILL_K + 1)
+    )
+    s = topk.agg(
+        F.min("x").cast("long").alias("x_thresh"),
+        F.min("ln_nano").cast("long").alias("ln_thresh_nano"),
+        F.sum("ln_nano").cast("long").alias("ln_sum_nano"),
+    )
+    hill_sum = (
+        F.col("ln_sum_nano") - F.col("ln_thresh_nano") - HILL_K * F.col("ln_thresh_nano")
+    )
+    return s.select(
+        F.lit(HILL_K).cast("long").alias("k"),
+        "x_thresh",
+        hill_sum.cast("long").alias("hill_sum_nano"),
+        F.round(
+            HILL_K * 1_000_000_000.0 / F.nullif(hill_sum, F.lit(0)), 4
+        ).alias("hill_alpha"),
+    )
+
+
+@query(
+    "grubbs_outlier_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY day
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS q
+      FROM daily
+    ),
+    dev AS (
+      SELECT day, x, n, s, q, abs(n * x - s) AS ndev
+      FROM daily CROSS JOIN tot
+    ),
+    best AS (SELECT * FROM dev ORDER BY ndev DESC, day LIMIT 1)
+    SELECT strftime(day, '%Y-%m-%d') AS suspect_day,
+           x AS suspect_count, n AS n_days,
+           round((CAST(ndev AS DOUBLE) / n)
+                 / nullif(sqrt((q - CAST(s AS DOUBLE) * s / n)
+                               / nullif(n - 1, 0)), 0), 4) AS grubbs_g
+    FROM best
+    """,
+)
+def grubbs_outlier_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum-normed-residual test (Grubbs 1950 — the
+    classical "is the single worst point an outlier?" screen, the
+    one-shot complement to the rolling ``mad_outlier_census``):
+    G = max|x_i − mean| / sd over the daily event-count series,
+    reported with the suspect day.
+
+    Exactness: the ARGMAX is decided on the integer |n·x_i − S|
+    (mean cleared of division — no float picks the row), tie-broken
+    on the day; n/S/Q are integer aggregates and G itself is one
+    float dag rounded once, nullif-guarded for the constant series
+    (sd = 0 -> NULL G) and the one-day series (n-1 = 0).
+
+    Scale: one date hash agg, a broadcast one-row total, and a top-1
+    heap over |days| candidates.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "*", F.abs(F.col("n") * F.col("x") - F.col("s")).alias("ndev")
+    )
+    best = dev.orderBy(F.col("ndev").desc(), "day").limit(1)
+    sd = F.sqrt(
+        (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / F.nullif(F.col("n") - 1, F.lit(0))
+    )
+    return best.select(
+        F.date_format("day", "yyyy-MM-dd").alias("suspect_day"),
+        F.col("x").alias("suspect_count"),
+        F.col("n").alias("n_days"),
+        F.round(
+            (F.col("ndev").cast("double") / F.col("n"))
+            / F.nullif(sd, F.lit(0.0)),
+            4,
+        ).alias("grubbs_g"),
+    )
+
+
+LOG2_Q_PCTS = (50, 90, 99)  # audited quantiles, integer percents
+
+
+@query(
+    "log2_histogram_quantiles",
+    oracle=f"""
+    WITH vh AS (
+      SELECT CAST(n_chars AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY n_chars
+    ),
+    vcum AS (
+      SELECT x, CAST(sum(cnt) OVER (ORDER BY x) AS BIGINT) AS vc FROM vh
+    ),
+    bh AS (
+      SELECT CAST(length(bin(x)) - 1 AS BIGINT) AS bucket,
+             CAST(sum(cnt) AS BIGINT) AS n_b
+      FROM vh GROUP BY 1
+    ),
+    bcum AS (
+      SELECT bucket, CAST(sum(n_b) OVER (ORDER BY bucket) AS BIGINT) AS bc
+      FROM bh
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    grid AS (
+      SELECT CAST(q AS BIGINT) AS q_pct,
+             CAST((CAST(q AS BIGINT) * n + 99) // 100 AS BIGINT) AS target
+      FROM tot CROSS JOIN unnest([{', '.join(str(q) for q in LOG2_Q_PCTS)}]) AS u(q)
+    ),
+    pick AS (
+      SELECT g.q_pct, g.target, CAST(min(b.bucket) AS BIGINT) AS bucket
+      FROM grid g JOIN bcum b ON b.bc >= g.target
+      GROUP BY g.q_pct, g.target
+    ),
+    exact AS (
+      SELECT g.q_pct, CAST(min(v.x) AS BIGINT) AS exact_value
+      FROM grid g JOIN vcum v ON v.vc >= g.target
+      GROUP BY g.q_pct
+    )
+    SELECT p.q_pct, p.bucket,
+           CAST((1::BIGINT << p.bucket) AS BIGINT) AS bucket_lo,
+           CAST((1::BIGINT << (p.bucket + 1)) - 1 AS BIGINT) AS bucket_hi,
+           CAST((1::BIGINT << p.bucket)
+                + ((1::BIGINT << p.bucket) >> 1) AS BIGINT) AS sketch_estimate,
+           e.exact_value,
+           e.exact_value BETWEEN (1::BIGINT << p.bucket)
+                             AND (1::BIGINT << (p.bucket + 1)) - 1
+             AS within_bucket
+    FROM pick p JOIN exact e ON p.q_pct = e.q_pct
+    ORDER BY p.q_pct
+    """,
+)
+def log2_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-bucketed quantile sketch audit (the DDSketch idea — Masson
+    et al. 2019 — at gamma = 2: bucket index floor(log2 x), constant
+    RELATIVE error, buckets merge by addition across
+    partitions/shards, the property exact quantiles lack): estimate
+    p50/p90/p99 of document length from the log2 bucket histogram and
+    certify each estimate's bucket CONTAINS the true order statistic.
+
+    Exactness: the bucket index is length(bin(x)) − 1 — exact integer
+    bit arithmetic in both engines, no float log; ranks are integer
+    ceil((q·n + 99)/100); both the sketch pick (min bucket whose
+    cumulative count reaches the rank) and the true quantile (min
+    value whose cumulative count reaches it) are integer joins over
+    collapsed histograms; the 1.5·2^b estimate is shift arithmetic.
+
+    Scale: per-partition log2 histograms merge by addition (the
+    mergeable-sketch shape, like KMV/HLL/CMS here); the windows run
+    over the distinct-value and distinct-bucket tables — bounded by
+    the value domain, never the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vh = d.groupBy(F.col("n_chars").cast("long").alias("x")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    vh = scoped_persist(vh)
+    w_v = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    vcum = vh.select("x", F.sum("cnt").over(w_v).cast("long").alias("vc"))
+    bh = vh.groupBy(
+        (F.length(F.bin(F.col("x"))) - 1).cast("long").alias("bucket")
+    ).agg(F.sum("cnt").cast("long").alias("n_b"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = bh.select(
+        "bucket", F.sum("n_b").over(w_b).cast("long").alias("bc")
+    )
+    tot = vh.agg(F.sum("cnt").cast("long").alias("n"))
+    grid = (
+        spark.range(1)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.explode(
+                F.array(*[F.lit(q).cast("long") for q in LOG2_Q_PCTS])
+            ).alias("q_pct"),
+        )
+        .select(
+            "q_pct",
+            ((F.col("q_pct") * F.col("n") + 99) / 100)
+            .cast("long")
+            .alias("target"),
+        )
+    )
+    pick = (
+        F.broadcast(grid)
+        .join(bcum, F.col("bc") >= F.col("target"))
+        .groupBy("q_pct", "target")
+        .agg(F.min("bucket").cast("long").alias("bucket"))
+    )
+    exact = (
+        F.broadcast(grid)
+        .join(vcum, F.col("vc") >= F.col("target"))
+        .groupBy("q_pct")
+        .agg(F.min("x").cast("long").alias("exact_value"))
+    )
+    lo = F.expr("shiftleft(1L, cast(bucket as int))")
+    hi = F.expr("shiftleft(1L, cast(bucket + 1 as int))") - 1
+    return (
+        pick.join(exact, "q_pct")
+        .select(
+            "q_pct",
+            "bucket",
+            lo.cast("long").alias("bucket_lo"),
+            hi.cast("long").alias("bucket_hi"),
+            (lo + F.expr("shiftright(shiftleft(1L, cast(bucket as int)), 1)"))
+            .cast("long")
+            .alias("sketch_estimate"),
+            "exact_value",
+            F.col("exact_value").between(lo, hi).alias("within_bucket"),
+        )
+        .orderBy("q_pct")
+    )
+
+
+PERM_R = 200  # permutation replicates (deterministic, hash-indexed)
+
+
+@query(
+    "permutation_test_ab",
+    oracle=f"""
+    WITH pu AS (
+      SELECT user_id, user_id % 2 AS g,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CAST(abs(round(1000000.0 *
+               (sum(CASE WHEN g = 0 THEN m ELSE 0 END)
+                  / CAST(nullif(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END), 0)
+                         AS DOUBLE)
+              - sum(CASE WHEN g = 1 THEN m ELSE 0 END)
+                  / CAST(nullif(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END), 0)
+                         AS DOUBLE)))) AS BIGINT) AS obs_micro,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM pu
+    ),
+    reps AS (
+      SELECT r.r,
+             CAST(abs(round(1000000.0 *
+               (sum(CASE WHEN a THEN m ELSE 0 END)
+                  / CAST(nullif(sum(CASE WHEN a THEN 1 ELSE 0 END), 0)
+                         AS DOUBLE)
+              - sum(CASE WHEN NOT a THEN m ELSE 0 END)
+                  / CAST(nullif(sum(CASE WHEN NOT a THEN 1 ELSE 0 END), 0)
+                         AS DOUBLE)))) AS BIGINT) AS stat_micro
+      FROM pu CROSS JOIN unnest(range(0, {PERM_R})) AS r(r),
+           LATERAL (SELECT substr(md5(CAST(pu.user_id AS VARCHAR) || '|'
+                                       || CAST(r.r AS VARCHAR)), 1, 1)
+                           IN ('0','1','2','3','4','5','6','7') AS a) la
+      GROUP BY r.r
+    ),
+    tail AS (
+      SELECT CAST(sum(CASE WHEN stat_micro >= o.obs_micro THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ge
+      FROM reps CROSS JOIN obs o
+    )
+    SELECT o.n_users, CAST({PERM_R} AS BIGINT) AS n_replicates,
+           o.obs_micro AS obs_diff_micro, t.n_ge,
+           round((1.0 + t.n_ge) / (1 + {PERM_R}), 6) AS p_value
+    FROM obs o CROSS JOIN tail t
+    """,
+)
+def permutation_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster permutation test (Fisher 1935 randomization inference;
+    clusters = USERS so within-user correlation never inflates
+    significance — the mistake event-level permutation makes): the
+    observed |mean per-user spend difference| between the user_id
+    parity groups is ranked against {200} re-randomizations, each
+    re-assigning whole users via a hash bit, giving the exact-test
+    p-value (1 + #{{stat_r >= obs}})/(R+1) with zero distributional
+    assumptions — the inference the z/t tests in this module make
+    parametrically (``abtest_two_proportion_z``, ``welch_t_doclen``).
+
+    Exactness: replicate assignments are md5(user||'|'||r) first-hex
+    bits — identical in both engines, no RNG; per-user metrics are
+    integer cents; each replicate's statistic is one fixed float dag
+    quantized to integer micro units BEFORE the tail comparison, so
+    the count n_ge and the p-value are integer-decided. The
+    group-empty degenerate (all users one side — impossible at n>40
+    but guarded anyway) nullifs to a NULL statistic which counts as
+    not-exceeding in both engines' CASE.
+
+    Scale: the replicate grid is a map-side fan-out (R rows per user,
+    no shuffle until the R-keyed partial agg); state is R partial
+    sums per partition, and the whole test reduces to an R-row frame.
+    At a billion users the same plan holds — R·|users| is scan-bound,
+    which is why production uses R in the hundreds (Monte-Carlo /
+    approximate-permutation regime, p resolution 1/(R+1)).
+    """
+    e = load_table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("m")
+    )
+    pu = pu.select("user_id", (F.col("user_id") % 2 == 0).alias("a0"), "m")
+    pu = scoped_persist(pu)
+
+    def diff_micro(flag):
+        mean = lambda f: F.sum(F.when(f, F.col("m")).otherwise(0)) / F.nullif(  # noqa: E731
+            F.sum(f.cast("int")), F.lit(0)
+        ).cast("double")
+        return F.abs(F.round(1_000_000.0 * (mean(flag) - mean(~flag)))).cast(
+            "long"
+        )
+
+    obs = pu.agg(
+        diff_micro(F.col("a0")).alias("obs_micro"),
+        F.count("*").cast("long").alias("n_users"),
+    )
+    reps = (
+        pu.crossJoin(F.broadcast(spark.range(PERM_R).select(F.col("id").alias("r"))))
+        .select(
+            "r",
+            "m",
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("|"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            .isin(*"01234567")
+            .alias("a"),
+        )
+        .groupBy("r")
+        .agg(diff_micro(F.col("a")).alias("stat_micro"))
+    )
+    tail = reps.crossJoin(F.broadcast(obs.select("obs_micro"))).agg(
+        F.sum(
+            F.when(F.col("stat_micro") >= F.col("obs_micro"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_ge")
+    )
+    return obs.crossJoin(F.broadcast(tail)).select(
+        "n_users",
+        F.lit(PERM_R).cast("long").alias("n_replicates"),
+        F.col("obs_micro").alias("obs_diff_micro"),
+        "n_ge",
+        F.round((1.0 + F.col("n_ge")) / (1 + PERM_R), 6).alias("p_value"),
+    )

@@ -2861,3 +2861,78 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("r2") / 1_000_000.0, 6).alias("textrank"),
         )
     )
+
+
+@query(
+    "chao1_vocab_richness",
+    oracle="""
+    WITH tf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis_f2
+      FROM tf
+    )
+    SELECT vocab, total_tokens, hapax_f1, dis_f2,
+           round(vocab + CAST(hapax_f1 AS DOUBLE) * (hapax_f1 - 1)
+                         / (2 * (dis_f2 + 1)), 2) AS chao1_estimate,
+           round(1 - CAST(hapax_f1 AS DOUBLE) / total_tokens, 6)
+             AS good_coverage
+    FROM s
+    """,
+)
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate of the UNSEEN vocabulary (Chao
+    1984, bias-corrected form V + f1·(f1−1)/(2·(f2+1)) — the ecology
+    estimator corpus linguistics adopted for "how big is this
+    corpus's vocabulary really?"), plus Good's sample coverage
+    1 − f1/N (Good 1953 — the mass the corpus has NOT yet seen, the
+    quantity Good-Turing smoothing redistributes; estimator inputs
+    shared with ``zipf_frequency_spectrum``'s N_1/N_2 head and
+    ``good_turing_estimates``). Rising chao1−V under a fixed crawl
+    means the tokenizer keeps meeting new types — the dial that says
+    "crawl more" vs "the vocabulary has saturated" for training-data
+    planning.
+
+    Exactness: V, N, f1, f2 are integer aggregates of the term-
+    frequency table; the bias-corrected denominator 2·(f2+1) is never
+    zero, so no guard is needed; the two estimates are single float
+    divisions rounded once.
+
+    Scale: one word-count shuffle (map-side combined) then a one-row
+    conditional aggregate — the spectrum never materializes beyond
+    the tf table both engines already build.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    s = tf.agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.sum((F.col("c") == 1).cast("int")).cast("long").alias("hapax_f1"),
+        F.sum((F.col("c") == 2).cast("int")).cast("long").alias("dis_f2"),
+    )
+    return s.select(
+        "vocab",
+        "total_tokens",
+        "hapax_f1",
+        "dis_f2",
+        F.round(
+            F.col("vocab")
+            + F.col("hapax_f1").cast("double")
+            * (F.col("hapax_f1") - 1)
+            / (2 * (F.col("dis_f2") + 1)),
+            2,
+        ).alias("chao1_estimate"),
+        F.round(
+            1 - F.col("hapax_f1").cast("double") / F.col("total_tokens"), 6
+        ).alias("good_coverage"),
+    )

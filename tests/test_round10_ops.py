@@ -33,6 +33,20 @@ def _events_valued(spark, rows):
     )
 
 
+def _events(spark, rows):
+    """rows: (event_id, ts_string, event_type)."""
+    from datetime import datetime
+
+    return spark.createDataFrame(
+        [
+            (i, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"), 1, et, 1.0, "{}")
+            for i, ts, et in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
 def _duck_sql(sf_dir: str, sql: str):
     """Run oracle SQL on the planted fixture dir and return a pandas
     frame (Spark writes <table>.parquet as a DIRECTORY of parts)."""
@@ -144,3 +158,223 @@ class TestBenjaminiHochbergDegenerate:
             _duck_sql(sf, ORACLES["benjamini_hochberg_fdr"]),
             "benjamini_hochberg_fdr/healthy",
         )
+
+
+def _duck_tables(sf_dir: str, sql: str, tables=("events",)):
+    """Run oracle SQL against planted fixture dirs (Spark part-file
+    directories) with the given tables registered as views."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{sf_dir}/{t}.parquet/*.parquet'"
+        )
+    out = con.sql(sql).df()
+    con.close()
+    return out
+
+
+def _docs(spark, rows):
+    """rows: (doc_id, text, n_chars)."""
+    return spark.createDataFrame(
+        [(i, t, "en", "s", n) for i, t, n in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+class TestChao1Richness:
+    def test_hand_computed_estimate(self, spark, tmp_path):
+        """tf over 'a a b c' + 'd d' : V=4, N=6, f1=2 (b,c), f2=2
+        (a,d) -> chao1 = 4 + 2*1/(2*3) = 4.333333 -> 4.33;
+        coverage = 1 - 2/6 = 0.666667."""
+        from couchwarehouse_spark.plans.text import chao1_vocab_richness
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs(spark, [(1, "a a b c", 7), (2, "d d", 3)]), sf, "documents"
+        )
+        (r,) = chao1_vocab_richness(spark, sf).collect()
+        assert (r.vocab, r.total_tokens, r.hapax_f1, r.dis_f2) == (4, 6, 2, 2)
+        assert r.chao1_estimate == 4.33
+        assert r.good_coverage == 0.666667
+
+
+class TestHillTailIndex:
+    def test_hand_computed_alpha(self, spark, tmp_path):
+        """Top-101 lengths = {1000, 100 x 100}: threshold 100,
+        hill_sum = ln(1000) - ln(100) = ln(10) in nano-nats,
+        alpha = 100/ln(10)."""
+        import math
+
+        from couchwarehouse_spark.plans.statistics import hill_tail_index
+
+        rows = [(0, "t", 1000)]
+        rows += [(i, "t", 100) for i in range(1, 101)]
+        rows += [(100 + i, "t", 10) for i in range(1, 100)]
+        sf = str(tmp_path / "sf")
+        _write(_docs(spark, rows), sf, "documents")
+        (r,) = hill_tail_index(spark, sf).collect()
+        assert r.k == 100 and r.x_thresh == 100
+        expected_sum = round(1e9 * math.log(1000)) - round(1e9 * math.log(100))
+        assert r.hill_sum_nano == expected_sum
+        assert r.hill_alpha == round(100 * 1e9 / expected_sum, 4)
+
+    def test_constant_corpus_yields_null_alpha(self, spark, tmp_path):
+        """All-equal lengths: hill_sum = 0 -> NULL alpha, no crash."""
+        from couchwarehouse_spark.plans.statistics import hill_tail_index
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs(spark, [(i, "t", 64) for i in range(150)]), sf, "documents"
+        )
+        (r,) = hill_tail_index(spark, sf).collect()
+        assert r.hill_sum_nano == 0 and r.hill_alpha is None
+
+
+class TestGrubbsOutlier:
+    def test_hand_computed_g(self, spark, tmp_path):
+        """Daily counts [10,10,10,22]: suspect day 4, |x-mean| = 9,
+        sd = 6 -> G = 1.5."""
+        from couchwarehouse_spark.plans.statistics import grubbs_outlier_test
+
+        rows = []
+        eid = 0
+        for day, n in [(1, 10), (2, 10), (3, 10), (4, 22)]:
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, f"2024-03-0{day} 12:00:00", "view"))
+        sf = str(tmp_path / "sf")
+        _write(_events(spark, rows), sf, "events")
+        (r,) = grubbs_outlier_test(spark, sf).collect()
+        assert r.suspect_day == "2024-03-04"
+        assert r.suspect_count == 22 and r.n_days == 4
+        assert r.grubbs_g == 1.5
+
+    def test_constant_series_null_g(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.statistics import grubbs_outlier_test
+
+        rows = [
+            (d * 10 + k, f"2024-03-0{d} 12:00:00", "view")
+            for d in (1, 2, 3)
+            for k in range(5)
+        ]
+        sf = str(tmp_path / "sf")
+        _write(_events(spark, rows), sf, "events")
+        (r,) = grubbs_outlier_test(spark, sf).collect()
+        assert r.grubbs_g is None  # sd = 0
+
+
+class TestLog2HistogramQuantiles:
+    def test_hand_computed_buckets(self, spark, tmp_path):
+        """Lengths [4,5,6,7,20,40,80,200]: p50 rank 4 -> value 7,
+        bucket 2 ([4,7]); p90/p99 rank 8 -> value 200, bucket 7
+        ([128,255]); every estimate's bucket contains the truth."""
+        from couchwarehouse_spark.plans.statistics import (
+            log2_histogram_quantiles,
+        )
+
+        vals = [4, 5, 6, 7, 20, 40, 80, 200]
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs(spark, [(i, "t", v) for i, v in enumerate(vals)]),
+            sf,
+            "documents",
+        )
+        out = {r.q_pct: r for r in log2_histogram_quantiles(spark, sf).collect()}
+        assert out[50].bucket == 2
+        assert (out[50].bucket_lo, out[50].bucket_hi) == (4, 7)
+        assert out[50].exact_value == 7 and out[50].within_bucket
+        assert out[50].sketch_estimate == 6  # 4 + 2
+        for q in (90, 99):
+            assert out[q].bucket == 7
+            assert (out[q].bucket_lo, out[q].bucket_hi) == (128, 255)
+            assert out[q].exact_value == 200 and out[q].within_bucket
+
+
+class TestPermutationTestAB:
+    def test_obs_diff_exact_and_lanes_agree(self, spark, tmp_path):
+        """Users {1,3} (odd) spend 100.00 each, users {2,4} (even)
+        spend 1.00 each: obs diff = 9900 cents -> 9_900_000_000 in
+        micro-quantized cent units. The hash-indexed replicate tail
+        must agree bit-for-bit with the DuckDB lane."""
+        from couchwarehouse_spark.plans import ORACLES
+        from couchwarehouse_spark.plans.statistics import permutation_test_ab
+        from tests.oracle_utils import assert_frames_match
+
+        rows = []
+        for i, (u, v) in enumerate(
+            [(1, 100.0), (2, 1.0), (3, 100.0), (4, 1.0)]
+        ):
+            rows.append((i, u, v))
+        from datetime import datetime
+
+        df = spark.createDataFrame(
+            [
+                (i, datetime(2024, 1, 1), u, "view", v, "{}")
+                for i, u, v in rows
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        sf = str(tmp_path / "sf")
+        _write(df, sf, "events")
+        out = permutation_test_ab(spark, sf).toPandas()
+        r = out.iloc[0]
+        assert r.n_users == 4 and r.n_replicates == 200
+        assert r.obs_diff_micro == 9_900_000_000
+        assert r.p_value == round((1 + r.n_ge) / 201, 6)
+        assert_frames_match(
+            out,
+            _duck_tables(sf, ORACLES["permutation_test_ab"]),
+            "permutation_test_ab/fixture",
+        )
+
+
+class TestPageHinkleyDrift:
+    def test_level_shift_alarms_exactly_once(self, spark, tmp_path):
+        """Counts [10,10,10,10,110]: increments vs the running mean
+        are -2 micro-units of slack each flat day; day 5 adds
+        110 - 30 - 2 = 78 -> PH gap 78.0 > lambda 50 -> alarm on day
+        5 only."""
+        from couchwarehouse_spark.plans.events_windows import (
+            page_hinkley_drift,
+        )
+
+        rows = []
+        eid = 0
+        for day, n in [(1, 10), (2, 10), (3, 10), (4, 10), (5, 110)]:
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, f"2024-03-0{day} 12:00:00", "view"))
+        sf = str(tmp_path / "sf")
+        _write(_events(spark, rows), sf, "events")
+        out = {r.day: r for r in page_hinkley_drift(spark, sf).collect()}
+        assert [out[d].alarm for d in sorted(out)] == [
+            False, False, False, False, True,
+        ]
+        assert out["2024-03-05"].ph_stat == 78.0
+        assert out["2024-03-04"].ph_stat == 0.0
+
+
+class TestLjungBox:
+    def test_alternating_series_acf(self, spark, tmp_path):
+        """Counts [1,2,1,2,1,2]: nd = [-3,3,-3,3,-3,3], den 54;
+        r1 = -45/54 = -0.833333, r2 = 36/54 = 0.666667; lags with no
+        pairs (6,7) produce no rows."""
+        from couchwarehouse_spark.plans.events_windows import ljung_box_test
+
+        rows = []
+        eid = 0
+        for day, n in enumerate([1, 2, 1, 2, 1, 2], start=1):
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, f"2024-03-0{day} 12:00:00", "view"))
+        sf = str(tmp_path / "sf")
+        _write(_events(spark, rows), sf, "events")
+        out = {r.lag: r for r in ljung_box_test(spark, sf).collect()}
+        assert sorted(out) == [1, 2, 3, 4, 5]
+        assert out[1].acf_r == -0.833333
+        assert out[2].acf_r == 0.666667
+        assert out[1].q_stat == round(6 * 8 * (0.833333**2 / 5), 4)
