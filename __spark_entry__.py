@@ -25,10 +25,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
 # coverage policy. Round-10 rotation — ACTUAL composition (3 anchors +
-# 1 changed + 10 new + 27 r9-queue + 4 family/stale reps + 5 stale-r02
+# 1 changed + 10 new + 27 r9-queue + 4 family/stale reps + 5 late-new
 # = 50), executing round 9's written plan: the full 27-entry
 # never-driver-verified r9 queue runs FIRST after the new entries, so
-# this window drives cumulative driver coverage to 340/340 — every
+# this window drives cumulative driver coverage to 345/345 — every
 # registry entry has a green driver row once it lands.
 #  - 3 never-regressed anchors (ETL kernel — also the required
 #    etl-family representative — the R1-R14 e2e, and the relational
@@ -64,15 +64,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #    multimodal_plan and sampling rep): key_skew_audit,
 #    embedding_near_dup, multimodal_metadata, deterministic_split
 #    (the sampling rep doubles as an r03-cohort stale re-check),
-#  - 5 stalest-r02 re-verification slots: doc_length_histogram,
-#    domain_mixture_weights, no_big_order_anti,
-#    order_cohort_full_outer, price_band_join (displaced from the r9
-#    window by the late-r9 batch; first half of that block).
+#  - 5 LATE-NEW round-10 entries (landed after the window above was
+#    written; slots taken from the stalest-r02 block, the r7/r8/r9
+#    precedent): mcc_confusion_scalars (Matthews/balanced-acc/Youden
+#    over the confusion cells), cramer_von_mises_drift (integrated
+#    squared CDF distance completing the KS/U drift triad),
+#    triple_itemset_support (basket-local Apriori k=3),
+#    multimodal_phash_near_dup (band-blocked Hamming verify census)
+#    and constraint_quarantine_e2e (CHECK-constraint dead-letter mode
+#    under the oracle gate).
 # ROUND-11 ROTATION PLAN (write the r11 window from this): keep the 3
 # anchors + any round-11-changed entries; window FIRST any round-11-new
-# operators; then the stalest greens — the 4 remaining displaced-r02
-# entries (priority_multiset_diff, range_frame_revenue,
-# rollup_priority_status, set_except_nations), then the r03 cohort
+# operators; then the stalest greens — the 9 displaced-r02 entries
+# (doc_length_histogram, domain_mixture_weights, no_big_order_anti,
+# order_cohort_full_outer, price_band_join, priority_multiset_diff,
+# range_frame_revenue, rollup_priority_status, set_except_nations),
+# then the r03 cohort
 # (set_intersect_brands, set_union_nations, top_revenue_orders, then
 # agg_stats, array_functions, asof_last_view, big_spenders_semi,
 # bm25_relevance, cte_above_avg_customers, doc_chunking, flatten_props,
@@ -141,12 +148,14 @@ PRIORITY = [
     "embedding_near_dup",
     "multimodal_metadata",
     "deterministic_split",
-    # --- 5 stalest-r02 re-verification slots ---
-    "doc_length_histogram",
-    "domain_mixture_weights",
-    "no_big_order_anti",
-    "order_cohort_full_outer",
-    "price_band_join",
+    # --- 5 late-new round-10 entries (slots from the stalest-r02
+    # block, the r7/r8/r9 precedent; those re-verifications head the
+    # round-11 queue) ---
+    "mcc_confusion_scalars",
+    "cramer_von_mises_drift",
+    "triple_itemset_support",
+    "multimodal_phash_near_dup",
+    "constraint_quarantine_e2e",
 ]
 
 

@@ -16,7 +16,7 @@ from couchwarehouse_spark.multimodal import (
     resize_media,
     sample_frames,
 )
-from couchwarehouse_spark.plans.registry import query
+from couchwarehouse_spark.plans.registry import query, scoped_persist
 
 
 @query(
@@ -710,4 +710,108 @@ def vision_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("budget_share"),
         )
         .orderBy("source")
+    )
+
+
+PHASH_NEARDUP_BITS = 15  # band width (4 bands over the 60-bit hash)
+PHASH_HAM_T = 8  # visual-duplicate verdict threshold on the full hash
+
+
+@query(
+    "multimodal_phash_near_dup",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS ph
+      FROM documents
+    ),
+    bands AS (
+      SELECT doc_id, ph, b.b AS band_idx,
+             (ph >> (b.b * {PHASH_NEARDUP_BITS}))
+               & {(1 << PHASH_NEARDUP_BITS) - 1} AS band_val
+      FROM h CROSS JOIN unnest(range(0, 4)) AS b(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             bit_count(xor(a.ph, c.ph)) AS ham
+      FROM bands a JOIN bands c
+        ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+       AND a.doc_id < c.doc_id
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM h)
+    SELECT n.n_items,
+           CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(sum(CASE WHEN ham <= {PHASH_HAM_T} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_pairs,
+           CAST(min(ham) AS BIGINT) AS min_hamming
+    FROM cand CROSS JOIN n
+    GROUP BY n.n_items
+    """,
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash NEAR-DUP verification census — the stage AFTER
+    ``multimodal_phash_buckets``' blocking: the 60-bit payload hash is
+    cut into 4 bands of {PHASH_NEARDUP_BITS} bits, any shared band
+    makes a candidate pair (an image near-dup differs in a few hash
+    bits, so some band survives intact — the MinHash-LSH banding
+    argument applied to Hamming space), and each candidate is verified
+    by full-hash Hamming distance <= {PHASH_HAM_T}. The hash is the
+    deterministic md5 stand-in (no image libs in the container; a real
+    pHash drops into the same expression), so verified duplicates are
+    exactly the identical payloads — the PLUMBING (band fan-out,
+    band-keyed candidate join, bit_count(xor) verify, payloads never
+    shuffled) is the production visual-dedup pipeline.
+
+    Exactness: the hash, bands, pair set, and Hamming distances are
+    identical integer arithmetic in both engines; the census is
+    integer counts (min_hamming NULL only if no band ever collides).
+
+    Scale: the pair join keys on (band_idx, band_val) — work is the
+    sum of squared bucket sizes, never all-pairs; the exchange
+    carries 8-byte hashes, not payloads; the verify is one xor per
+    candidate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("ph"),
+    )
+    h = scoped_persist(h)
+    bands = h.select(
+        "doc_id",
+        "ph",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_idx"),
+    ).select(
+        "doc_id",
+        "ph",
+        "band_idx",
+        F.expr(
+            f"shiftright(ph, cast(band_idx * {PHASH_NEARDUP_BITS} as int))"
+        ).bitwiseAND(F.lit((1 << PHASH_NEARDUP_BITS) - 1)).alias("band_val"),
+    )
+    a = bands.select(
+        "band_idx", "band_val", F.col("doc_id").alias("id_a"), F.col("ph").alias("ph_a")
+    )
+    c = bands.select(
+        "band_idx", "band_val", F.col("doc_id").alias("id_b"), F.col("ph").alias("ph_b")
+    )
+    cand = (
+        a.join(c, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("ham"),
+        )
+        .distinct()
+    )
+    n = h.agg(F.count("*").cast("long").alias("n_items"))
+    return cand.crossJoin(F.broadcast(n)).groupBy("n_items").agg(
+        F.count("*").cast("long").alias("n_candidate_pairs"),
+        F.sum((F.col("ham") <= PHASH_HAM_T).cast("int"))
+        .cast("long")
+        .alias("n_dup_pairs"),
+        F.min("ham").cast("long").alias("min_hamming"),
     )

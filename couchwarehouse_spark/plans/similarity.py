@@ -4065,3 +4065,88 @@ def knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("indegree_skewness"),
     )
+
+
+@query(
+    "mcc_confusion_scalars",
+    oracle=f"""
+    WITH scored AS (
+      SELECT label % 2 = 0 AS y_true,
+             1.0 / (1.0 + exp(-(list_dot_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               {_W_SQL}) + {ML_BIAS}))) >= {CONF_THRESHOLD} AS y_pred
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN y_true AND y_pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN NOT y_true AND y_pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN y_true AND NOT y_pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN NOT y_true AND NOT y_pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / nullif(sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                               * (tn + fp) * (tn + fn)), 0), 6) AS mcc,
+           round((CAST(tp AS DOUBLE) / nullif(tp + fn, 0)
+                  + CAST(tn AS DOUBLE) / nullif(tn + fp, 0)) / 2, 6)
+             AS balanced_accuracy,
+           round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0)
+                 + CAST(tn AS DOUBLE) / nullif(tn + fp, 0) - 1, 6)
+             AS youden_j
+    FROM cells
+    """,
+)
+def mcc_confusion_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prevalence-robust decision-rule scalars over the SAME
+    confusion cells as ``binary_classifier_confusion``: Matthews
+    correlation (Matthews 1975 — the single-number summary that,
+    unlike accuracy/F1, cannot be gamed by class imbalance; it is the
+    phi coefficient of the 2x2 table), balanced accuracy
+    (TPR+TNR)/2, and Youden's J = TPR+TNR−1 (the quantity ROC
+    threshold selection maximizes — see ``roc_auc_rank`` for the
+    threshold-free companion). A quality-filter model reviewed only
+    on F1 looks great when positives are rare; MCC is the audit that
+    catches it.
+
+    Exactness: the four cells are exact integer sums; MCC's numerator
+    tp·tn − fp·fn is integer arithmetic (double-cast only for the
+    final division); every denominator is nullif-guarded for the
+    degenerate all-one-class corpus.
+
+    Scale: identical to the confusion entry — scoring fused into the
+    scan projection, one partial-aggregated global sum, four longs
+    per partition across the exchange. Zero joins, zero windows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in ML_WEIGHTS])
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot(v, w) + F.lit(ML_BIAS))))
+    scored = e.select(
+        (F.col("label") % 2 == 0).alias("y_true"),
+        (p >= CONF_THRESHOLD).alias("y_pred"),
+    )
+    cells = scored.agg(
+        F.sum((F.col("y_true") & F.col("y_pred")).cast("long")).alias("tp"),
+        F.sum((~F.col("y_true") & F.col("y_pred")).cast("long")).alias("fp"),
+        F.sum((F.col("y_true") & ~F.col("y_pred")).cast("long")).alias("fn"),
+        F.sum((~F.col("y_true") & ~F.col("y_pred")).cast("long")).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    tpr = tp.cast("double") / F.nullif(tp + fn, F.lit(0))
+    tnr = tn.cast("double") / F.nullif(tn + fp, F.lit(0))
+    return cells.select(
+        "tp", "fp", "fn", "tn",
+        F.round(
+            (tp.cast("double") * tn - fp.cast("double") * fn)
+            / F.nullif(
+                F.sqrt(
+                    (tp + fp).cast("double") * (tp + fn) * (tn + fp) * (tn + fn)
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("mcc"),
+        F.round((tpr + tnr) / 2, 6).alias("balanced_accuracy"),
+        F.round(tpr + tnr - 1, 6).alias("youden_j"),
+    )

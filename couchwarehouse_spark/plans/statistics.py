@@ -6079,3 +6079,207 @@ def permutation_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ge",
         F.round((1.0 + F.col("n_ge")) / (1 + PERM_R), 6).alias("p_value"),
     )
+
+
+@query(
+    "cramer_von_mises_drift",
+    oracle=f"""
+    WITH a AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS ca
+      FROM documents WHERE source = '{KS_A}' GROUP BY 1
+    ),
+    b AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cb
+      FROM documents WHERE source = '{KS_B}' GROUP BY 1
+    ),
+    merged AS (
+      SELECT coalesce(a.v, b.v) AS v,
+             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM a FULL OUTER JOIN b ON a.v = b.v
+    ),
+    cum AS (
+      SELECT ca, cb,
+             CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+             CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b,
+             CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+             CAST(sum(cb) OVER () AS BIGINT) AS n_b
+      FROM merged
+    )
+    SELECT CAST(min(n_a) AS BIGINT) AS n_a,
+           CAST(min(n_b) AS BIGINT) AS n_b,
+           CAST(sum((ca + cb) * (n_b * cum_a - n_a * cum_b)
+                              * (n_b * cum_a - n_a * cum_b)) AS BIGINT)
+             AS cvm_numerator,
+           round(sum((ca + cb) * (n_b * cum_a - n_a * cum_b)
+                                * (n_b * cum_a - n_a * cum_b))
+                 / (CAST(min(n_a) AS DOUBLE) * min(n_b)
+                    * (min(n_a) + min(n_b)) * (min(n_a) + min(n_b))), 6)
+             AS cvm_stat
+    FROM cum
+    """,
+)
+def cramer_von_mises_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises drift statistic (Anderson 1962,
+    discrete/tied generalization): T = (nm/N²)·sum_k w_k·(F_a(v_k) −
+    F_b(v_k))² with combined-point-mass weights w_k — the INTEGRATED
+    squared CDF distance. Completes this module's two-sample drift
+    triad: KS (``ks_drift_doclen``) reacts to the largest LOCAL gap,
+    Mann-Whitney/AUC (``mannwhitney_drift_doclen``) to stochastic
+    ordering (and cancels out symmetric shape changes), CvM to
+    accumulated distance everywhere — the one that catches a variance
+    change KS under-weights and U misses entirely.
+
+    Exactness: clearing denominators gives the integer numerator
+    NUM = sum_k (c_a+c_b)_k · (m·cumA_k − n·cumB_k)², which crosses
+    the oracle as a BIGINT; T = NUM/(n·m·N²) is one float division
+    rounded once. (At corpus-scale group sizes the cleared products
+    approach BIGINT range — shard-level audits keep n, m per group in
+    the millions, or the reduce switches the squared term to double
+    with quantized display, the documented trade.)
+
+    Scale: the same collapsed-support shape as the KS entry —
+    per-source value histograms via hash aggregate, one window over
+    the merged value DOMAIN, one row out.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    a = (
+        d.filter(F.col("source") == KS_A)
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count("*").cast("long").alias("ca"))
+    )
+    b = (
+        d.filter(F.col("source") == KS_B)
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count("*").cast("long").alias("cb"))
+    )
+    merged = a.join(b, "v", "full_outer").select(
+        "v",
+        F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+        F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = merged.select(
+        "ca",
+        "cb",
+        F.sum("ca").over(w_cum).cast("long").alias("cum_a"),
+        F.sum("cb").over(w_cum).cast("long").alias("cum_b"),
+        F.sum("ca").over(w_all).cast("long").alias("n_a"),
+        F.sum("cb").over(w_all).cast("long").alias("n_b"),
+    )
+    diff = F.col("n_b") * F.col("cum_a") - F.col("n_a") * F.col("cum_b")
+    num = F.sum((F.col("ca") + F.col("cb")) * diff * diff)
+    return cum.agg(
+        F.min("n_a").cast("long").alias("n_a"),
+        F.min("n_b").cast("long").alias("n_b"),
+        num.cast("long").alias("cvm_numerator"),
+        F.round(
+            num
+            / (
+                F.min("n_a").cast("double")
+                * F.min("n_b")
+                * (F.min("n_a") + F.min("n_b"))
+                * (F.min("n_a") + F.min("n_b"))
+            ),
+            6,
+        ).alias("cvm_stat"),
+    )
+
+
+TRIPLE_TOP_K = 15  # reported head of the frequent-triple lattice
+
+
+@query(
+    "triple_itemset_support",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM items),
+    triples AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, c.brand AS brand_c,
+             CAST(count(*) AS BIGINT) AS sup_abc
+      FROM items a
+      JOIN items b ON a.ok = b.ok AND a.brand < b.brand
+      JOIN items c ON b.ok = c.ok AND b.brand < c.brand
+      GROUP BY 1, 2, 3
+    )
+    SELECT brand_a, brand_b, brand_c, sup_abc,
+           round(CAST(sup_abc AS DOUBLE) / n.n_baskets, 6) AS support
+    FROM triples CROSS JOIN n
+    WHERE sup_abc * 1000 >= n.n_baskets
+    ORDER BY sup_abc DESC, brand_a, brand_b, brand_c
+    LIMIT {TRIPLE_TOP_K}
+    """,
+)
+def triple_itemset_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets at >= 0.1% support — the Apriori k=3 level
+    (Agrawal & Srikant VLDB'94) above ``market_basket_lift_pairs``'
+    pairs: which brand TRIPLES co-occur in the same order often
+    enough to matter (bundle design, co-retrieval, prompt-mixture
+    co-occurrence all ask this at k>2, where pair statistics no
+    longer determine the answer).
+
+    Candidate generation is BASKET-LOCAL: each order's distinct
+    brands collect into one sorted array and the C(|basket|,3)
+    combinations enumerate inside the row (nested ``transform`` over
+    index ``sequence``s — no self-join ever materializes a candidate
+    row before its basket is in hand), so the only shuffles are the
+    basket collect and the triple count. The level-wise Apriori
+    candidate PRUNE becomes worthwhile when baskets are large (social
+    feeds, long sessions); for bounded baskets like order lines the
+    in-row enumeration is strictly cheaper and is what production
+    FP-growth/Apriori implementations do below their tree thresholds.
+
+    Exactness: supports are exact integer counts; the 0.1% gate is
+    the integer comparison sup·1000 >= n; the support ratio is one
+    rounded division; ordering ties break on the brand triple.
+
+    Scale: per-basket work is C(|basket|,3) with |basket| <= line
+    count (<= 7 in TPC-H); the triple-count shuffle is map-side
+    combined into <= |brands|³ groups; TakeOrderedAndProject caps
+    output.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == part.p_partkey,
+    ).select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+    baskets = items.groupBy("ok").agg(
+        F.sort_array(F.collect_set("brand")).alias("bs")
+    )
+    baskets = scoped_persist(baskets)
+    n = baskets.agg(F.count("*").cast("long").alias("n_baskets"))
+    combos = baskets.filter(F.size("bs") >= 3).select(
+        F.explode(
+            F.expr(
+                """flatten(transform(sequence(0, size(bs) - 3), i ->
+                     flatten(transform(sequence(i + 1, size(bs) - 2), j ->
+                       transform(sequence(j + 1, size(bs) - 1), k ->
+                         struct(bs[i] AS brand_a, bs[j] AS brand_b,
+                                bs[k] AS brand_c))))))"""
+            )
+        ).alias("t")
+    )
+    triples = combos.groupBy("t.brand_a", "t.brand_b", "t.brand_c").agg(
+        F.count("*").cast("long").alias("sup_abc")
+    )
+    return (
+        triples.crossJoin(F.broadcast(n))
+        .filter(F.col("sup_abc") * 1000 >= F.col("n_baskets"))
+        .select(
+            "brand_a",
+            "brand_b",
+            "brand_c",
+            "sup_abc",
+            F.round(
+                F.col("sup_abc").cast("double") / F.col("n_baskets"), 6
+            ).alias("support"),
+        )
+        .orderBy(F.col("sup_abc").desc(), "brand_a", "brand_b", "brand_c")
+        .limit(TRIPLE_TOP_K)
+    )

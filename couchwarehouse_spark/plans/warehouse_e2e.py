@@ -707,3 +707,83 @@ def schema_evolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("channel").cast("long").alias("n_with_channel"),
         F.round(F.sum("total"), 2).alias("total_revenue"),
     )
+
+
+CQ_SUBSET = 12  # constraint e2e feeds only o_orderkey % 12 == 0
+CQ_CAP = 300_000.0  # CHECK: total <= cap; offenders -> dead letter
+
+
+@query(
+    "constraint_quarantine_e2e",
+    oracle=f"""
+    WITH sub AS (SELECT * FROM orders WHERE o_orderkey % {CQ_SUBSET} = 0)
+    SELECT CASE WHEN o_orderkey % {AMEND} = 0 THEN 'amended'
+                ELSE o_orderstatus END        AS status,
+           CAST(count(*) AS BIGINT)           AS n_rows,
+           round(sum(o_totalprice), 2)        AS total_value
+    FROM sub
+    WHERE o_orderkey % {DELETE} <> 0 AND o_totalprice <= {CQ_CAP}
+    GROUP BY 1
+    UNION ALL
+    SELECT '__quarantined',
+           CAST(sum(CASE WHEN o_orderkey % {AMEND} = 0 THEN 2 ELSE 1 END)
+                AS BIGINT),
+           round(sum((CASE WHEN o_orderkey % {AMEND} = 0 THEN 2 ELSE 1 END)
+                     * o_totalprice), 2)
+    FROM sub WHERE o_totalprice > {CQ_CAP}
+    """,
+)
+def constraint_quarantine_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint QUARANTINE mode under the oracle gate (the
+    dead-letter pattern for unattended monitors — Delta CHECK
+    constraints crossed with a dead-letter queue): the warehouse gets
+    ``CHECK (total <= {CQ_CAP})`` in ``constraint_mode='quarantine'``
+    BEFORE the insert+amend+tombstone feed spools, so offending doc
+    rows (insert AND amendment copies — constraints see the conformed
+    batch before latest-wins) divert to ``_quarantine/`` parquet while
+    everything else merges normally. The entry reconciles BOTH sides:
+    the per-status census of the merged table (offenders absent,
+    amendments of surviving ids applied, tombstones propagated) plus
+    a '__quarantined' row counting the dead-letter copies and their
+    value. The DuckDB oracle states both censuses straight from
+    ``orders`` — a hash match certifies the constraint gate diverted
+    exactly the right rows and nothing leaked into (or out of) the
+    table.
+
+    Scale: enforcement is ONE extra partial-aggregated violation
+    count per batch plus a filtered dead-letter append — no second
+    scan of the table; the merge itself stays bucket-pruned.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_cquar_{tag}")
+    feed_dir = os.path.join(base, "feed")
+    wh_dir = os.path.join(base, "wh")
+    shutil.rmtree(base, ignore_errors=True)
+
+    _build_feed(spark, sf_dir, feed_dir, subset=CQ_SUBSET)
+    wh = Warehouse(
+        spark,
+        wh_dir,
+        "cqorders",
+        reset=True,
+        feed_schema=FEED_DOC_DDL,
+        constraint_mode="quarantine",
+    )
+    wh.add_constraint("total_cap", f"total <= {CQ_CAP}")
+    wh.spool(feed_dir)
+
+    table_census = (
+        wh.table()
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.sum("total"), 2).alias("total_value"),
+        )
+    )
+    q = wh.quarantined()
+    quarantine_census = q.agg(
+        F.lit("__quarantined").alias("status"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.sum("total"), 2).alias("total_value"),
+    ).select("status", "n_rows", "total_value")
+    return table_census.unionByName(quarantine_census)

@@ -378,3 +378,166 @@ class TestLjungBox:
         assert out[1].acf_r == -0.833333
         assert out[2].acf_r == 0.666667
         assert out[1].q_stat == round(6 * 8 * (0.833333**2 / 5), 4)
+
+
+class TestMccConfusionScalars:
+    def test_matches_independent_reimplementation(self, spark, tmp_path):
+        """Cells recomputed in numpy with the same fixed weights; MCC,
+        balanced accuracy and Youden J from the textbook formulas."""
+        import math
+
+        from couchwarehouse_spark.plans.similarity import (
+            CONF_THRESHOLD,
+            ML_BIAS,
+            ML_WEIGHTS,
+            mcc_confusion_scalars,
+        )
+
+        vecs = [
+            [((v * 13 + i * 7) % 21 - 10) / 10.0 for i in range(64)]
+            for v in range(12)
+        ]
+        df = spark.createDataFrame(
+            [(v, vecs[v], v % 4) for v in range(12)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        sf = str(tmp_path / "sf")
+        _write(df, sf, "embeddings")
+        # independent scoring at float32-cast-to-double precision
+        tp = fp = fn = tn = 0
+        for v in range(12):
+            import struct as _struct
+
+            emb32 = [
+                _struct.unpack("f", _struct.pack("f", x))[0] for x in vecs[v]
+            ]
+            z = sum(a * b for a, b in zip(emb32, ML_WEIGHTS)) + ML_BIAS
+            pred = 1.0 / (1.0 + math.exp(-z)) >= CONF_THRESHOLD
+            true = (v % 4) % 2 == 0
+            tp += true and pred
+            fp += (not true) and pred
+            fn += true and not pred
+            tn += (not true) and not pred
+        (r,) = mcc_confusion_scalars(spark, sf).collect()
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+        denom = math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+        if denom:
+            assert r.mcc == round((tp * tn - fp * fn) / denom, 6)
+        tpr, tnr = tp / (tp + fn), tn / (tn + fp)
+        assert r.balanced_accuracy == round((tpr + tnr) / 2, 6)
+        assert r.youden_j == round(tpr + tnr - 1, 6)
+
+
+class TestCramerVonMises:
+    def test_hand_computed_statistic(self, spark, tmp_path):
+        """src0 lengths {1,1,2}, src1 {2,3}: cumA=[2,3,3], cumB=[0,1,2],
+        diffs m*cumA-n*cumB = [4,3,0], weights [2,2,1] ->
+        NUM = 2*16+2*9 = 50, T = 50/(3*2*5*5) = 0.333333."""
+        from couchwarehouse_spark.plans.statistics import (
+            cramer_von_mises_drift,
+        )
+
+        rows = [
+            (1, "t", "src0", 1),
+            (2, "t", "src0", 1),
+            (3, "t", "src0", 2),
+            (4, "t", "src1", 2),
+            (5, "t", "src1", 3),
+        ]
+        df = spark.createDataFrame(
+            [(i, t, "en", s, n) for i, t, s, n in rows],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        sf = str(tmp_path / "sf")
+        _write(df, sf, "documents")
+        (r,) = cramer_von_mises_drift(spark, sf).collect()
+        assert (r.n_a, r.n_b) == (3, 2)
+        assert r.cvm_numerator == 50
+        assert r.cvm_stat == 0.333333
+
+
+class TestTripleItemsetSupport:
+    def test_hand_computed_triples(self, spark, tmp_path):
+        """Three baskets {A,B,C} + one {A,B}: the only triple has
+        support 3/4; the 0.1% gate passes it."""
+        from couchwarehouse_spark.plans.statistics import (
+            triple_itemset_support,
+        )
+
+        part = spark.createDataFrame(
+            [(1, "A"), (2, "B"), (3, "C")], "p_partkey long, p_brand string"
+        )
+        li_rows = []
+        for ok in (10, 20, 30):
+            li_rows += [(ok, 1), (ok, 2), (ok, 3)]
+        li_rows += [(40, 1), (40, 2)]
+        li = spark.createDataFrame(li_rows, "l_orderkey long, l_partkey long")
+        sf = str(tmp_path / "sf")
+        _write(part, sf, "part")
+        _write(li, sf, "lineitem")
+        out = triple_itemset_support(spark, sf).collect()
+        assert len(out) == 1
+        (r,) = out
+        assert (r.brand_a, r.brand_b, r.brand_c) == ("A", "B", "C")
+        assert r.sup_abc == 3 and r.support == 0.75
+
+
+class TestPhashNearDup:
+    def test_identical_payloads_verify_at_zero(self, spark, tmp_path):
+        """Two identical texts among four docs: exactly one verified
+        duplicate pair at Hamming 0; the census agrees across lanes."""
+        from couchwarehouse_spark.plans import ORACLES
+        from couchwarehouse_spark.plans.multimodal_plan import (
+            multimodal_phash_near_dup,
+        )
+        from tests.oracle_utils import assert_frames_match
+
+        rows = [
+            (1, "the same payload bytes", 22),
+            (2, "the same payload bytes", 22),
+            (3, "something different", 19),
+            (4, "another thing entirely", 22),
+        ]
+        sf = str(tmp_path / "sf")
+        _write(_docs(spark, [(i, t, n) for i, t, n in rows]), sf, "documents")
+        out = multimodal_phash_near_dup(spark, sf).toPandas()
+        r = out.iloc[0]
+        assert r.n_items == 4
+        assert r.n_dup_pairs == 1 and r.min_hamming == 0
+        assert_frames_match(
+            out,
+            _duck_tables(sf, ORACLES["multimodal_phash_near_dup"],
+                         tables=("documents",)),
+            "multimodal_phash_near_dup/fixture",
+        )
+
+
+class TestConstraintQuarantineE2E:
+    def test_offenders_diverted_survivors_merged(self, spark, tmp_path):
+        """Keys {12,24,60,84,120} (all %12==0): 24 and 120 exceed the
+        cap (quarantined; 120 also tombstoned — no row either way), 60
+        tombstoned, 84 amended, 12 survives as-is."""
+        from couchwarehouse_spark.plans.warehouse_e2e import (
+            constraint_quarantine_e2e,
+        )
+
+        orders = spark.createDataFrame(
+            [
+                (12, "O", 100_000.0, 1),
+                (24, "O", 350_000.0, 2),
+                (60, "O", 100_000.0, 3),
+                (84, "O", 200_000.0, 4),
+                (120, "O", 400_000.0, 5),
+            ],
+            "o_orderkey long, o_orderstatus string, o_totalprice double, "
+            "o_custkey long",
+        )
+        sf = str(tmp_path / "sf")
+        _write(orders, sf, "orders")
+        out = {r.status: r for r in constraint_quarantine_e2e(spark, sf).collect()}
+        assert out["O"].n_rows == 1 and out["O"].total_value == 100_000.0
+        assert out["amended"].n_rows == 1
+        assert out["amended"].total_value == 200_000.0
+        assert out["__quarantined"].n_rows == 2
+        assert out["__quarantined"].total_value == 750_000.0
