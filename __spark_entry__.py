@@ -60,10 +60,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #  - 27 r9-queue entries: the round-9 operators t2-sim green at both
 #    SFs in r9 AND independently re-verified by the r9 judge
 #    (VERDICT.md) — their first driver window,
-#  - 4 family-coverage slots (every window keeps a skew_plan, dedup,
-#    multimodal_plan and sampling rep): key_skew_audit,
-#    embedding_near_dup, multimodal_metadata, deterministic_split
-#    (the sampling rep doubles as an r03-cohort stale re-check),
+#  - 4 family-coverage slots (every window keeps every plan family —
+#    scalar, dedup, multimodal_plan and curation need explicit reps
+#    this round; skew_plan and sampling ride along inside the r9
+#    queue via consistent_hash_rebalance and brier_decomposition/
+#    neyman_allocation_plan): try_functions, embedding_near_dup,
+#    multimodal_metadata, gini_token_concentration,
 #  - 5 LATE-NEW round-10 entries (landed after the window above was
 #    written; slots taken from the stalest-r02 block, the r7/r8/r9
 #    precedent): mcc_confusion_scalars (Matthews/balanced-acc/Youden
@@ -143,11 +145,15 @@ PRIORITY = [
     "kruskal_wallis_doclen",
     "wasserstein_doclen_drift",
     "binary_segmentation_split",
-    # --- 4 family reps (skew / dedup / multimodal / sampling) ---
-    "key_skew_audit",
+    # --- 4 family reps (scalar / dedup / multimodal / curation; the
+    # skew_plan and sampling families are covered inside the r9 queue
+    # by consistent_hash_rebalance and brier_decomposition/
+    # neyman_allocation_plan, so key_skew_audit and
+    # deterministic_split rotate out this round) ---
+    "try_functions",
     "embedding_near_dup",
     "multimodal_metadata",
-    "deterministic_split",
+    "gini_token_concentration",
     # --- 5 late-new round-10 entries (slots from the stalest-r02
     # block, the r7/r8/r9 precedent; those re-verifications head the
     # round-11 queue) ---
