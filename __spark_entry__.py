@@ -76,8 +76,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #    and constraint_quarantine_e2e (CHECK-constraint dead-letter mode
 #    under the oracle gate).
 # ROUND-11 ROTATION PLAN (write the r11 window from this): keep the 3
-# anchors + any round-11-changed entries; window FIRST any round-11-new
-# operators; then the stalest greens — the 9 displaced-r02 entries
+# anchors + any round-11-changed entries; window FIRST the round-10
+# operators that landed after this 50-slot window filled — the
+# never-driver-verified r10 queue: holt_winters_backtest (additive
+# seasonal recursion, applyInPandas vs list-carrying recursive CTE),
+# lm_jelinek_mercer_relevance (third Lucene similarity),
+# effective_sample_size (Geyer-truncated ESS) and hurst_exponent_rs
+# (rescaled-range long-memory exponent) — all t2-sim green at
+# sf0.001/0.01/0.1 this round; then any round-11-new operators; then
+# the stalest greens — the 9 displaced-r02 entries
 # (doc_length_histogram, domain_mixture_weights, no_big_order_anti,
 # order_cohort_full_outer, price_band_join, priority_multiset_diff,
 # range_frame_revenue, rollup_priority_status, set_except_nations),

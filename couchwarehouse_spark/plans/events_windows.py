@@ -2958,3 +2958,414 @@ def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("q_stat"),
     ).orderBy("lag")
+
+
+HW_SEASON = 7  # Holt-Winters season length (day-of-week)
+
+
+@query(
+    "holt_winters_backtest",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_days
+      FROM daily
+    ),
+    init AS (
+      SELECT event_type, CAST(sum(y) AS DOUBLE) / {HW_SEASON} AS l,
+             any_value(n_days) AS n_days
+      FROM idx WHERE rn <= {HW_SEASON} GROUP BY event_type
+    ),
+    rec AS (
+      SELECT p.event_type, {HW_SEASON} AS rn, p.n_days, p.l,
+             CAST(0 AS DOUBLE) AS b,
+             (SELECT list(i.y - p.l ORDER BY i.rn) FROM idx i
+              WHERE i.event_type = p.event_type AND i.rn <= {HW_SEASON}) AS s,
+             CAST(0 AS DOUBLE) AS err_sum, 0 AS n_err
+      FROM init p
+      UNION ALL
+      SELECT r.event_type, r.rn + 1, r.n_days,
+             (i.y - r.s[1]) / 2 + (r.l + r.b) / 2,
+             ((i.y - r.s[1]) / 2 + (r.l + r.b) / 2 - r.l) / 2 + r.b / 2,
+             list_append(r.s[2:{HW_SEASON}],
+                         (i.y - ((i.y - r.s[1]) / 2 + (r.l + r.b) / 2)) / 2
+                         + r.s[1] / 2),
+             r.err_sum + abs(i.y - ((r.l + r.b) + r.s[1])),
+             r.n_err + 1
+      FROM rec r JOIN idx i
+        ON i.event_type = r.event_type AND i.rn = r.rn + 1
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           round(err_sum / n_err, 4) AS mae,
+           round(l, 4) AS final_level,
+           round(b, 4) AS final_trend
+    FROM rec WHERE rn = n_days AND n_days >= {HW_SEASON + 1}
+    ORDER BY event_type
+    """,
+)
+def holt_winters_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing (Winters
+    1960) backtest over the per-type daily series — the SEASONAL
+    upgrade of ``holt_linear_backtest``: level, trend AND a
+    {HW_SEASON}-slot day-of-week seasonal state evolve together
+    (alpha = beta = gamma = 1/2), and the walk-forward one-step MAE
+    is scored from day {HW_SEASON + 1} on. Like Holt, a genuinely
+    sequential recurrence Spark's relational algebra cannot express —
+    run as an Arrow ``applyInPandas`` per series; the DuckDB oracle
+    unrolls the identical recurrence as a recursive CTE whose rows
+    CARRY the rotating seasonal state as a LIST column.
+
+    Exactness: both lanes execute the IDENTICAL IEEE operation
+    sequence — one integer seven-day sum then a single /7 for the
+    initial level, then only subtractions, exact halvings and
+    additions in matching association order — so the states and
+    error sums agree bit-for-bit; the only rounding is the 4-dp
+    display. Series shorter than {HW_SEASON + 1} days drop in both
+    lanes (no step ever runs).
+
+    Scale: one hash agg to |types|x|days| rows; each pandas group is
+    one bounded series — for millions of series the groups fan out
+    across executors and the {HW_SEASON}-slot state never leaves its
+    group (the same bounded-state argument as the streaming session
+    entry, in batch form).
+    """
+    import pandas as pd
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        y = pdf["y"].tolist()
+        m = HW_SEASON
+        if len(y) < m + 1:
+            return pd.DataFrame(
+                columns=["event_type", "n_days", "mae", "final_level",
+                         "final_trend"]
+            )
+        level = sum(y[:m]) / float(m)
+        trend = 0.0
+        s = [y[i] - level for i in range(m)]
+        err_sum, n_err = 0.0, 0
+        for t in range(m, len(y)):
+            forecast = (level + trend) + s[0]
+            err_sum += abs(y[t] - forecast)
+            n_err += 1
+            new_level = (y[t] - s[0]) / 2 + (level + trend) / 2
+            trend = (new_level - level) / 2 + trend / 2
+            s_new = (y[t] - new_level) / 2 + s[0] / 2
+            level = new_level
+            s = s[1:] + [s_new]
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(y)],
+                "mae": [round(err_sum / n_err, 4)],
+                "final_level": [round(level, 4)],
+                "final_trend": [round(trend, 4)],
+            }
+        )
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            hw,
+            "event_type string, n_days long, mae double, final_level double, "
+            "final_trend double",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "effective_sample_size",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY day
+    ),
+    idx AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i, x
+      FROM daily
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS s FROM daily),
+    nd AS (
+      SELECT i, CAST(t.n * x - t.s AS BIGINT) AS nd, t.n
+      FROM idx CROSS JOIN tot t
+    ),
+    den AS (SELECT CAST(sum(nd * nd) AS BIGINT) AS den FROM nd),
+    r AS (
+      SELECT k.k,
+             CAST(round(1000000.0 * sum(a.nd * b.nd) / any_value(d.den))
+                  AS BIGINT) AS r_micro,
+             any_value(a.n) AS n
+      FROM unnest(range(1, {LB_MAX_LAG} + 1)) AS k(k)
+      JOIN nd a ON TRUE
+      JOIN nd b ON b.i = a.i - k.k
+      CROSS JOIN den d
+      GROUP BY k.k
+    ),
+    kept AS (
+      SELECT k, r_micro, n,
+             min(r_micro) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS prefix_min
+      FROM r
+    )
+    SELECT CAST(min(n) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN prefix_min > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lags_used,
+           CAST(coalesce(sum(CASE WHEN prefix_min > 0 THEN r_micro END), 0)
+                AS BIGINT) AS sum_r_micro,
+           round(1 + 2 * coalesce(sum(CASE WHEN prefix_min > 0
+                                           THEN r_micro END), 0)
+                     / 1000000.0, 4) AS autocorr_time,
+           round(min(n) / (1 + 2 * coalesce(sum(CASE WHEN prefix_min > 0
+                                                     THEN r_micro END), 0)
+                               / 1000000.0), 2) AS ess
+    FROM kept
+    """,
+)
+def effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size under autocorrelation (the MCMC/
+    time-series ESS: n/(1 + 2·sum r_k) — how many INDEPENDENT
+    observations the daily series is actually worth; the number every
+    "is this week's metric significant?" test silently assumes equals
+    n): autocorrelations come from the same integer-exact machinery
+    as ``ljung_box_test``, and the sum uses Geyer-style
+    initial-positive truncation (lags included only while every
+    prefix autocorrelation is positive), which both regularizes the
+    estimator and keeps the denominator provably >= 1.
+
+    Exactness: the truncation decision is an integer prefix-min over
+    micro-quantized r_k — no float comparison decides inclusion; the
+    final ESS is one float dag over the included integer sum, rounded
+    once.
+
+    Scale: the lag pairing is a |days|x{LB_MAX_LAG} self-join of the
+    collapsed daily grid; everything after is a {LB_MAX_LAG}-row
+    frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+        "x",
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    nd = idx.crossJoin(F.broadcast(tot)).select(
+        "i", (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("nd"), "n"
+    )
+    nd = scoped_persist(nd)
+    den = nd.agg(F.sum(F.col("nd") * F.col("nd")).cast("long").alias("den"))
+    kgrid = spark.range(1, LB_MAX_LAG + 1).select(F.col("id").alias("k"))
+    a = nd.crossJoin(F.broadcast(kgrid)).select(
+        "k", (F.col("i") - F.col("k")).alias("j"), F.col("nd").alias("nd_a"), "n"
+    )
+    b = nd.select(F.col("i").alias("j"), F.col("nd").alias("nd_b"))
+    r = (
+        a.join(b, "j")
+        .crossJoin(F.broadcast(den))
+        .groupBy("k")
+        .agg(
+            F.round(
+                1_000_000.0 * F.sum(F.col("nd_a") * F.col("nd_b")) / F.first("den")
+            )
+            .cast("long")
+            .alias("r_micro"),
+            F.first("n").alias("n"),
+        )
+    )
+    w_pre = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    kept = r.select(
+        "k", "r_micro", "n", F.min("r_micro").over(w_pre).alias("prefix_min")
+    )
+    inc = F.when(F.col("prefix_min") > 0, F.col("r_micro"))
+    sum_r = F.coalesce(F.sum(inc), F.lit(0)).cast("long")
+    tau = 1 + 2 * sum_r / 1_000_000.0
+    return kept.agg(
+        F.min("n").cast("long").alias("n_days"),
+        F.sum((F.col("prefix_min") > 0).cast("int")).cast("long").alias("n_lags_used"),
+        sum_r.alias("sum_r_micro"),
+        F.round(tau, 4).alias("autocorr_time"),
+        F.round(F.min("n") / tau, 2).alias("ess"),
+    )
+
+
+HURST_WINDOWS = (4, 8, 16)  # dyadic R/S block sizes
+
+
+@query(
+    "hurst_exponent_rs",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY day
+    ),
+    idx AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i, x,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    blocks AS (
+      SELECT w.w, (i - 1) // w.w AS b, ((i - 1) % w.w) + 1 AS j, x, n
+      FROM idx CROSS JOIN unnest([{', '.join(str(w) for w in HURST_WINDOWS)}])
+               AS w(w)
+      WHERE (i - 1) // w.w < n // w.w
+    ),
+    z AS (
+      SELECT w, b, j, x,
+             CAST(w * sum(x) OVER (PARTITION BY w, b ORDER BY j)
+                  - j * sum(x) OVER (PARTITION BY w, b) AS BIGINT) AS z_num,
+             CAST(sum(x) OVER (PARTITION BY w, b) AS BIGINT) AS sb,
+             CAST(sum(x * x) OVER (PARTITION BY w, b) AS BIGINT) AS qb
+      FROM blocks
+    ),
+    per_block AS (
+      SELECT w, b,
+             CAST(max(z_num) - min(z_num) AS BIGINT) AS r_num,
+             min(sb) AS sb, min(qb) AS qb, min(w) AS w_
+      FROM z GROUP BY w, b
+    ),
+    rs AS (
+      SELECT w,
+             CAST(round(1000000.0 * r_num
+                        / sqrt(CAST(w * qb - sb * sb AS DOUBLE)))
+                  AS BIGINT) AS rs_micro
+      FROM per_block WHERE w * qb - sb * sb > 0
+    ),
+    per_w AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(rs_micro) AS BIGINT) AS sum_rs_micro
+      FROM rs GROUP BY w
+    )
+    SELECT CAST(w AS BIGINT) AS window_size, n_blocks,
+           round(sum_rs_micro / n_blocks / 1000000.0, 4) AS rs_avg,
+           round((ln(max(CASE WHEN w = {HURST_WINDOWS[-1]}
+                         THEN CAST(sum_rs_micro AS DOUBLE) / n_blocks END)
+                     OVER ())
+                  - ln(max(CASE WHEN w = {HURST_WINDOWS[0]}
+                           THEN CAST(sum_rs_micro AS DOUBLE) / n_blocks END)
+                       OVER ()))
+                 / ({len(HURST_WINDOWS) - 1} * ln(2)), 4) AS hurst
+    FROM per_w
+    ORDER BY window_size
+    """,
+)
+def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis (Hurst 1951 /
+    Mandelbrot-Wallis R/S — the long-range-dependence dial: H = 0.5
+    is memoryless, H > 0.5 persistent trends, H < 0.5 mean-reverting;
+    the property that decides whether daily load is forecastable and
+    whether ``effective_sample_size``'s short-lag truncation is even
+    adequate): for each dyadic block size w in {HURST_WINDOWS}, the
+    series splits into complete blocks, each block's range of
+    cumulative mean-deviations is rescaled by its own sd, block R/S
+    values average per size, and H is the ln-ln slope — exactly
+    (ln RS_16 − ln RS_4)/(2·ln 2) for the equally-log-spaced grid.
+
+    Exactness: within each block the deviations clear the mean
+    through w·cum_j − j·S_b (integer), so the range numerator is an
+    integer and w·Q − S_b² puts the sd under one exact sqrt; each
+    block's R/S quantizes to integer micro units BEFORE the per-size
+    average (no float reduce); constant blocks (zero sd) drop in both
+    lanes by the integer predicate; the slope is one fixed float dag
+    rounded once.
+
+    Scale: everything runs on the collapsed daily grid fanned out
+    3x — windows partition by (size, block), bounded by the series,
+    never the events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+        "x",
+        F.count("*").over(w_all).cast("long").alias("n"),
+    )
+    grid = F.explode(F.array(*[F.lit(w).cast("long") for w in HURST_WINDOWS]))
+    blocks = (
+        idx.select("i", "x", "n", grid.alias("w"))
+        .filter(((F.col("i") - 1) / F.col("w")).cast("long") < (F.col("n") / F.col("w")).cast("long"))
+        .select(
+            "w",
+            ((F.col("i") - 1) / F.col("w")).cast("long").alias("b"),
+            (((F.col("i") - 1) % F.col("w")) + 1).alias("j"),
+            "x",
+        )
+    )
+    w_cum = Window.partitionBy("w", "b").orderBy("j").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_blk = Window.partitionBy("w", "b")
+    z = blocks.select(
+        "w",
+        "b",
+        (
+            F.col("w") * F.sum("x").over(w_cum) - F.col("j") * F.sum("x").over(w_blk)
+        )
+        .cast("long")
+        .alias("z_num"),
+        F.sum("x").over(w_blk).cast("long").alias("sb"),
+        F.sum(F.col("x") * F.col("x")).over(w_blk).cast("long").alias("qb"),
+    )
+    per_block = z.groupBy("w", "b").agg(
+        (F.max("z_num") - F.min("z_num")).cast("long").alias("r_num"),
+        F.min("sb").alias("sb"),
+        F.min("qb").alias("qb"),
+    )
+    rs = per_block.filter(
+        F.col("w") * F.col("qb") - F.col("sb") * F.col("sb") > 0
+    ).select(
+        "w",
+        F.round(
+            1_000_000.0
+            * F.col("r_num")
+            / F.sqrt(
+                (F.col("w") * F.col("qb") - F.col("sb") * F.col("sb")).cast(
+                    "double"
+                )
+            )
+        )
+        .cast("long")
+        .alias("rs_micro"),
+    )
+    per_w = rs.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("rs_micro").cast("long").alias("sum_rs_micro"),
+    )
+    avg = F.col("sum_rs_micro").cast("double") / F.col("n_blocks")
+    hi = F.max(
+        F.when(F.col("w") == HURST_WINDOWS[-1], avg)
+    ).over(w_all)
+    lo = F.max(
+        F.when(F.col("w") == HURST_WINDOWS[0], avg)
+    ).over(w_all)
+    import math as _math
+
+    return per_w.select(
+        F.col("w").cast("long").alias("window_size"),
+        "n_blocks",
+        F.round(avg / 1_000_000.0, 4).alias("rs_avg"),
+        F.round(
+            (F.log(hi) - F.log(lo))
+            / ((len(HURST_WINDOWS) - 1) * _math.log(2)),
+            4,
+        ).alias("hurst"),
+    ).orderBy("window_size")

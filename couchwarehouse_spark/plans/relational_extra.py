@@ -1469,3 +1469,94 @@ def item_cooccurrence_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sim, 6).alias("cosine_sim"),
         )
     )
+
+
+LM_JM_LAMBDA = 0.5  # Jelinek-Mercer mixture weight on the doc model
+
+
+_LM_JM_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS dl,
+             len(list_filter(string_split(text, ' '), x -> x = 'data'))  AS tf1,
+             len(list_filter(string_split(text, ' '), x -> x = 'table')) AS tf2
+      FROM documents
+    ),
+    g AS (
+      SELECT CAST(sum(dl) AS BIGINT) AS c_len,
+             CAST(sum(tf1) AS BIGINT) AS cf1,
+             CAST(sum(tf2) AS BIGINT) AS cf2
+      FROM t
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             ln(1 + ({1 - LM_JM_LAMBDA} * tf1 / CAST(dl AS DOUBLE))
+                    / ({LM_JM_LAMBDA} * cf1 / CAST(c_len AS DOUBLE)))
+           + ln(1 + ({1 - LM_JM_LAMBDA} * tf2 / CAST(dl AS DOUBLE))
+                    / ({LM_JM_LAMBDA} * cf2 / CAST(c_len AS DOUBLE)))
+               AS _score,
+             tf1 + tf2 AS _hits
+      FROM t CROSS JOIN g
+    )
+    SELECT doc_id, lang, round(_score, 4) AS score
+    FROM scored WHERE _hits > 0
+    ORDER BY _score DESC, doc_id
+    LIMIT 15
+"""
+
+
+@query("lm_jelinek_mercer_relevance", oracle=_LM_JM_ORACLE)
+def lm_jelinek_mercer_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Jelinek-Mercer smoothing (Zhai
+    & Lafferty 2001; Lucene's LMJelinekMercerSimilarity) — the THIRD
+    standard similarity family next to ``bm25_relevance`` and
+    ``lm_dirichlet_relevance``: score(q, d) = Σ_t ln(1 +
+    ((1−λ)·tf/dl) / (λ·P(t|C))). Linear interpolation smooths with a
+    CONSTANT collection weight where Dirichlet's is length-adaptive —
+    the preferred family for verbose queries (Zhai & Lafferty's own
+    finding), and the last of the Lucene trio, completing the S19
+    full-text surface.
+
+    Determinism: tf/dl/cf/|C| are integers; each term is one fixed
+    float dag written identically in both lanes (no float reduce —
+    the bm25/dirichlet precedent), rounded once; ranking ties break
+    on doc_id.
+
+    Scale: identical shape to its two siblings — per-doc stats are a
+    scan projection, collection stats a ONE-ROW broadcast, top-15 a
+    TakeOrderedAndProject heap.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("dl"),
+        F.size(F.filter(toks, lambda x: x == "data")).alias("tf1"),
+        F.size(F.filter(toks, lambda x: x == "table")).alias("tf2"),
+    )
+    g = t.agg(
+        F.sum("dl").cast("long").alias("c_len"),
+        F.sum("tf1").cast("long").alias("cf1"),
+        F.sum("tf2").cast("long").alias("cf2"),
+    )
+
+    def jm_term(tf: str, cf: str):
+        return F.log(
+            1
+            + ((1 - LM_JM_LAMBDA) * F.col(tf) / F.col("dl").cast("double"))
+            / (LM_JM_LAMBDA * F.col(cf) / F.col("c_len").cast("double"))
+        )
+
+    scored = t.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        "lang",
+        (jm_term("tf1", "cf1") + jm_term("tf2", "cf2")).alias("_score"),
+        (F.col("tf1") + F.col("tf2")).alias("_hits"),
+    )
+    return (
+        scored.filter(F.col("_hits") > 0)
+        .orderBy(F.col("_score").desc(), "doc_id")
+        .limit(15)
+        .select("doc_id", "lang", F.round("_score", 4).alias("score"))
+    )

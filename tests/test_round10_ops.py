@@ -541,3 +541,132 @@ class TestConstraintQuarantineE2E:
         assert out["amended"].total_value == 200_000.0
         assert out["__quarantined"].n_rows == 2
         assert out["__quarantined"].total_value == 750_000.0
+
+
+class TestHoltWinters:
+    def test_pure_weekly_seasonal_series_zero_error_after_warmup(
+        self, spark, tmp_path
+    ):
+        """A perfectly weekly series [10,20,30,10,20,30,...] with
+        season length 7 over the 3-day cycle doesn't align, so plant
+        a TRUE 7-periodic series: counts = base[dow] repeated. With
+        gamma-smoothing the one-step forecasts reproduce the pattern
+        and MAE shrinks to near 0; we assert the recursion against an
+        independent python replay."""
+        from couchwarehouse_spark.plans.events_windows import (
+            HW_SEASON,
+            holt_winters_backtest,
+        )
+
+        base = [10, 25, 13, 40, 8, 31, 19]
+        counts = base * 4  # 28 days, perfectly 7-periodic
+        rows = []
+        eid = 0
+        for day, n in enumerate(counts, start=1):
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, f"2024-03-{day:02d} 12:00:00", "view"))
+        sf = str(tmp_path / "sf")
+        _write(_events(spark, rows), sf, "events")
+        (r,) = holt_winters_backtest(spark, sf).collect()
+        # independent replay
+        m = HW_SEASON
+        level = sum(counts[:m]) / float(m)
+        trend = 0.0
+        s = [counts[i] - level for i in range(m)]
+        err_sum, n_err = 0.0, 0
+        for t in range(m, len(counts)):
+            fc = (level + trend) + s[0]
+            err_sum += abs(counts[t] - fc)
+            n_err += 1
+            nl = (counts[t] - s[0]) / 2 + (level + trend) / 2
+            trend = (nl - level) / 2 + trend / 2
+            sn = (counts[t] - nl) / 2 + s[0] / 2
+            level = nl
+            s = s[1:] + [sn]
+        assert r.n_days == 28
+        assert r.mae == round(err_sum / n_err, 4)
+        assert r.final_level == round(level, 4)
+        assert r.final_trend == round(trend, 4)
+        # a perfectly periodic series is learned: error is tiny
+        assert r.mae < 1.0
+
+    def test_short_series_dropped(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.events_windows import (
+            holt_winters_backtest,
+        )
+
+        rows = [
+            (d, f"2024-03-0{d} 12:00:00", "view") for d in range(1, 7)
+        ]  # 6 days < season+1
+        sf = str(tmp_path / "sf")
+        _write(_events(spark, rows), sf, "events")
+        assert holt_winters_backtest(spark, sf).count() == 0
+
+
+class TestEffectiveSampleSize:
+    def test_alternating_series_truncates_at_lag1(self, spark, tmp_path):
+        """[1,2,1,2,1,2]: r1 < 0, so the initial-positive rule keeps
+        NO lags -> ESS = n."""
+        from couchwarehouse_spark.plans.events_windows import (
+            effective_sample_size,
+        )
+
+        rows = []
+        eid = 0
+        for day, n in enumerate([1, 2, 1, 2, 1, 2], start=1):
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, f"2024-03-0{day} 12:00:00", "view"))
+        sf = str(tmp_path / "sf")
+        _write(_events(spark, rows), sf, "events")
+        (r,) = effective_sample_size(spark, sf).collect()
+        assert r.n_days == 6
+        assert r.n_lags_used == 0 and r.sum_r_micro == 0
+        assert r.autocorr_time == 1.0 and r.ess == 6.0
+
+    def test_trending_series_shrinks_ess(self, spark, tmp_path):
+        """A monotone ramp has strongly positive short-lag ACF: some
+        lags are kept and ESS < n."""
+        from couchwarehouse_spark.plans.events_windows import (
+            effective_sample_size,
+        )
+
+        rows = []
+        eid = 0
+        for day, n in enumerate([1, 2, 4, 7, 11, 16, 22, 29], start=1):
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, f"2024-03-0{day} 12:00:00", "view"))
+        sf = str(tmp_path / "sf")
+        _write(_events(spark, rows), sf, "events")
+        (r,) = effective_sample_size(spark, sf).collect()
+        assert r.n_lags_used >= 1
+        assert r.ess < r.n_days
+
+
+class TestHurstExponent:
+    def test_persistent_ramp_has_high_hurst(self, spark, tmp_path):
+        """A monotone ramp is maximally persistent: H well above 0.5;
+        32 days give 8/4/2 complete blocks."""
+        from couchwarehouse_spark.plans.events_windows import (
+            hurst_exponent_rs,
+        )
+
+        rows = []
+        eid = 0
+        for day in range(1, 33):
+            for _ in range(day):  # counts 1..32
+                eid += 1
+                ts = f"2024-03-{day:02d} 12:00:00" if day <= 31 else "2024-04-01 12:00:00"
+                rows.append((eid, ts, "view"))
+        sf = str(tmp_path / "sf")
+        _write(_events(spark, rows), sf, "events")
+        out = {r.window_size: r for r in hurst_exponent_rs(spark, sf).collect()}
+        assert sorted(out) == [4, 8, 16]
+        assert out[4].n_blocks == 8
+        assert out[8].n_blocks == 4
+        assert out[16].n_blocks == 2
+        h = out[4].hurst
+        assert all(r.hurst == h for r in out.values())
+        assert h > 0.7  # strongly persistent
