@@ -276,6 +276,9 @@ ARROW_ALLOWED = {
     # r8: localCheckpoint per MM round (raw and g are each read twice
     # per round — live lineage doubled per round and OOMed explainString)
     "bradley_terry_strengths",
+    # r10: the seasonal sibling of holt_linear_backtest — same declared
+    # applyInPandas-per-series recurrence seam
+    "holt_winters_backtest",
 }
 
 
@@ -1438,3 +1441,91 @@ def test_knn_hubness_pairs_are_bucket_keyed(spark):
     assert "BroadcastHashJoin [bucket" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- round-10 pins: the new operators keep their designed shapes ------
+
+
+def test_hill_topk_is_heap_not_sort(spark):
+    """The k+1 largest order statistics must come from a
+    TakeOrderedAndProject heap, never a global sort of the corpus."""
+    plan = plan_of(spark, "hill_tail_index")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_log2_histogram_joins_only_broadcast(spark):
+    """The sketch pick and truth lookup join the 3-row quantile grid
+    against collapsed histograms — every join must be broadcast
+    (hash or nested-loop over the grid); a SortMergeJoin would mean a
+    row-level path crept in."""
+    plan = plan_of(spark, "log2_histogram_quantiles")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_permutation_replicates_broadcast_fanout(spark):
+    """The R-replicate grid fans out via broadcast joins only; the
+    per-replicate statistic is a hash aggregate (map-side partials),
+    never a shuffled row join."""
+    plan = plan_of(spark, "permutation_test_ab")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triple_itemset_no_candidate_self_join(spark):
+    """Candidate triples enumerate INSIDE the collected basket array:
+    no SortMergeJoin and no CartesianProduct anywhere — the only
+    joins are the broadcast brand dimension and the one-row total."""
+    plan = plan_of(spark, "triple_itemset_support")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cvm_single_collapsed_full_outer(spark):
+    """CvM aligns the two CDFs with exactly ONE full-outer merge of
+    distinct-value histograms (domain-bounded, the KS shape)."""
+    plan = plan_of(spark, "cramer_von_mises_drift")
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert plan.count("FullOuter") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_phash_near_dup_band_keyed(spark):
+    """Candidate pairs come from the (band_idx, band_val) equi-join;
+    payload bytes never join — a CartesianProduct means the band key
+    was dropped."""
+    plan = plan_of(spark, "multimodal_phash_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mcc_is_single_global_aggregate(spark):
+    """Scoring fuses into the scan projection; the cells are one
+    partial-aggregated global sum — zero joins, zero windows."""
+    plan = plan_of(spark, "mcc_confusion_scalars")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sequential_detectors_run_on_collapsed_series(spark):
+    """page_hinkley / ljung_box / ess / hurst reduce the corpus to the
+    daily grid first: no SortMergeJoin of row-level frames anywhere
+    (the lag pairing joins the collapsed grid to itself via broadcast
+    at test scale; key point is no Python and no cartesian)."""
+    for name in (
+        "page_hinkley_drift",
+        "ljung_box_test",
+        "effective_sample_size",
+        "hurst_exponent_rs",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
