@@ -81,9 +81,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # never-driver-verified r10 queue: holt_winters_backtest (additive
 # seasonal recursion, applyInPandas vs list-carrying recursive CTE),
 # lm_jelinek_mercer_relevance (third Lucene similarity),
-# effective_sample_size (Geyer-truncated ESS) and hurst_exponent_rs
-# (rescaled-range long-memory exponent) — all t2-sim green at
-# sf0.001/0.01/0.1 this round; then any round-11-new operators; then
+# effective_sample_size (Geyer-truncated ESS), hurst_exponent_rs
+# (rescaled-range long-memory exponent), pr_auc_classifier (tie-exact
+# average precision), theil_atkinson_concentration (decomposable
+# inequality indices), restore_version_e2e (RESTORE undoes a bad
+# delete_where under the oracle gate) and clone_divergence_e2e
+# (zero-copy branch isolation in both directions under the oracle
+# gate) — all t2-sim green at sf0.001/0.01/0.1 this round; then any
+# round-11-new operators; then
 # the stalest greens — the 9 displaced-r02 entries
 # (doc_length_histogram, domain_mixture_weights, no_big_order_anti,
 # order_cohort_full_outer, price_band_join, priority_multiset_diff,

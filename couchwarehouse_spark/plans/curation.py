@@ -1293,3 +1293,91 @@ def jensen_shannon_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("shared_micro") + disjoint_a + disjoint_b) / 1_000_000.0, 6
         ).alias("jsd_nats"),
     ).orderBy("src_a", "src_b")
+
+
+@query(
+    "theil_atkinson_concentration",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS x
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(x) AS BIGINT) AS xx,
+                   CAST(count(*) AS BIGINT) AS k FROM per),
+    terms AS (
+      SELECT x, t.xx, t.k,
+             CAST(round(1000000000.0 * x
+                        * ln(CAST(x AS DOUBLE) * t.k / t.xx) / t.xx)
+                  AS BIGINT) AS theil_nano,
+             CAST(round(1000000000.0 * ln(CAST(x AS DOUBLE))) AS BIGINT)
+               AS lnx_nano
+      FROM per CROSS JOIN tot t
+      WHERE x > 0
+    )
+    SELECT CAST(min(k) AS BIGINT) AS n_sources,
+           CAST(min(xx) AS BIGINT) AS total_tokens,
+           round(sum(theil_nano) / 1000000000.0, 6) AS theil_t,
+           round(1 - exp(sum(lnx_nano) / 1000000000.0 / min(k))
+                     / (CAST(min(xx) AS DOUBLE) / min(k)), 6) AS atkinson_1
+    FROM terms
+    """,
+)
+def theil_atkinson_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T and Atkinson(eps=1) inequality of token mass across
+    sources — the DECOMPOSABLE complements of the Gini entries
+    (``gini_source_concentration``/``gini_token_concentration``):
+    Theil T = Σ (x/X)·ln(x·k/X) is the unique inequality index that
+    splits exactly into within-group + between-group terms (the
+    property mixture audits want when sources nest into domains), and
+    Atkinson(1) = 1 − geomean/mean states the share of total tokens a
+    perfectly equal mix could give up for the same "welfare" — the
+    planner's number for how far the corpus is from the target
+    uniform mix.
+
+    Exactness: per-source token masses are integer sums; every
+    ln-valued term quantizes to integer NANO units before the
+    cross-source reduce (the repo's ln-reduce invariant — both
+    indices are sums of logs, exactly the shape the greppable test
+    polices); the two emits are single float dags rounded once.
+    Zero-mass sources drop in both lanes by the integer predicate.
+
+    Scale: one word-count-per-source hash agg, a one-row broadcast
+    total, and a |sources|-row reduce.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("x")
+    )
+    tot = per.agg(
+        F.sum("x").cast("long").alias("xx"), F.count("*").cast("long").alias("k")
+    )
+    terms = (
+        per.crossJoin(F.broadcast(tot))
+        .filter(F.col("x") > 0)
+        .select(
+            "xx",
+            "k",
+            F.round(
+                1_000_000_000.0
+                * F.col("x")
+                * F.log(F.col("x").cast("double") * F.col("k") / F.col("xx"))
+                / F.col("xx")
+            )
+            .cast("long")
+            .alias("theil_nano"),
+            F.round(1_000_000_000.0 * F.log(F.col("x").cast("double")))
+            .cast("long")
+            .alias("lnx_nano"),
+        )
+    )
+    return terms.agg(
+        F.min("k").cast("long").alias("n_sources"),
+        F.min("xx").cast("long").alias("total_tokens"),
+        F.round(F.sum("theil_nano") / 1_000_000_000.0, 6).alias("theil_t"),
+        F.round(
+            1
+            - F.exp(F.sum("lnx_nano") / 1_000_000_000.0 / F.min("k"))
+            / (F.min("xx").cast("double") / F.min("k")),
+            6,
+        ).alias("atkinson_1"),
+    )

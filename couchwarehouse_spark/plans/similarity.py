@@ -4150,3 +4150,113 @@ def mcc_confusion_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((tpr + tnr) / 2, 6).alias("balanced_accuracy"),
         F.round(tpr + tnr - 1, 6).alias("youden_j"),
     )
+
+
+@query(
+    "pr_auc_classifier",
+    oracle=f"""
+    WITH v AS (
+      SELECT label % 2 = 1 AS pos,
+             CAST(round(1000000 * (list_dot_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)), {_W_SQL})
+               + {ML_BIAS})) AS BIGINT) AS score_micro
+      FROM embeddings
+    ),
+    g AS (
+      SELECT score_micro,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(count(*) AS BIGINT) AS n
+      FROM v GROUP BY score_micro
+    ),
+    cum AS (
+      SELECT p,
+             CAST(sum(p) OVER (ORDER BY score_micro DESC) AS BIGINT) AS tp,
+             CAST(sum(n) OVER (ORDER BY score_micro DESC) AS BIGINT) AS nn
+      FROM g
+    ),
+    terms AS (
+      SELECT p, tp, nn,
+             CAST(round(1000000.0 * p * tp / nn) AS BIGINT) AS term_micro
+      FROM cum WHERE p > 0
+    ),
+    tot AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                   CAST(count(*) AS BIGINT) AS nall FROM v)
+    SELECT t.np AS n_pos, t.nall - t.np AS n_neg,
+           CAST(count(*) AS BIGINT) AS n_pos_thresholds,
+           CAST(sum(term_micro) AS BIGINT) AS ap_sum_micro,
+           round(sum(term_micro) / 1000000.0 / t.np, 6) AS average_precision
+    FROM terms CROSS JOIN tot t
+    GROUP BY t.np, t.nall
+    """,
+)
+def pr_auc_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall AUC (average precision) of the in-SQL linear
+    classifier — the eval that matters when positives are RARE and
+    ``roc_auc_rank`` flatters (Davis & Goadrich ICML'06: a model can
+    hold 0.9 ROC-AUC while its PR curve collapses): AP = (1/P)·Σ_s
+    p_s·Precision(s) stepping down the distinct score thresholds,
+    with each tie GROUP scored as a block at its block-end precision
+    (the deterministic tie convention; sklearn's step interpolation
+    restricted to distinct scores).
+
+    Exactness: scores quantize to integer micro units before
+    grouping (tie groups identical in both lanes); cumulative TP and
+    N are integer window sums over the collapsed score table; each
+    threshold's contribution p·TP/N quantizes to integer micro units
+    BEFORE the cross-threshold reduce (no float sum), and AP is one
+    division at emit.
+
+    Scale: same shape as the ROC entry — N rows collapse to distinct
+    scores, one ordered window over that bounded table, one row out.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in ML_WEIGHTS])
+    v = e.select(
+        (F.col("label") % 2 == 1).alias("pos"),
+        F.round(
+            1_000_000
+            * (dot(F.col("embedding").cast("array<double>"), w) + F.lit(ML_BIAS))
+        )
+        .cast("long")
+        .alias("score_micro"),
+    )
+    v = scoped_persist(v)
+    g = v.groupBy("score_micro").agg(
+        F.sum(F.col("pos").cast("int")).cast("long").alias("p"),
+        F.count("*").cast("long").alias("n"),
+    )
+    w_desc = Window.orderBy(F.col("score_micro").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = g.select(
+        "p",
+        F.sum("p").over(w_desc).cast("long").alias("tp"),
+        F.sum("n").over(w_desc).cast("long").alias("nn"),
+    )
+    terms = cum.filter(F.col("p") > 0).select(
+        F.round(1_000_000.0 * F.col("p") * F.col("tp") / F.col("nn"))
+        .cast("long")
+        .alias("term_micro"),
+    )
+    tot = v.agg(
+        F.sum(F.col("pos").cast("int")).cast("long").alias("np"),
+        F.count("*").cast("long").alias("nall"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .groupBy("np", "nall")
+        .agg(
+            F.count("*").cast("long").alias("n_pos_thresholds"),
+            F.sum("term_micro").cast("long").alias("ap_sum_micro"),
+            F.round(
+                F.sum("term_micro") / 1_000_000.0 / F.first("np"), 6
+            ).alias("average_precision"),
+        )
+        .select(
+            F.col("np").alias("n_pos"),
+            (F.col("nall") - F.col("np")).alias("n_neg"),
+            "n_pos_thresholds",
+            "ap_sum_micro",
+            "average_precision",
+        )
+    )

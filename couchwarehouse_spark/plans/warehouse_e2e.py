@@ -787,3 +787,138 @@ def constraint_quarantine_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("total"), 2).alias("total_value"),
     ).select("status", "n_rows", "total_value")
     return table_census.unionByName(quarantine_census)
+
+
+RV_SUBSET = 13  # restore e2e feeds only o_orderkey % 13 == 0
+RV_CUT = 150_000.0  # the "bad" delete_where the restore undoes
+
+
+@query(
+    "restore_version_e2e",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % {AMEND} = 0 THEN 'amended'
+                ELSE o_orderstatus END        AS status,
+           CAST(count(*) AS BIGINT)           AS n_orders,
+           round(sum(o_totalprice), 2)        AS total_revenue
+    FROM orders
+    WHERE o_orderkey % {RV_SUBSET} = 0 AND o_orderkey % {DELETE} <> 0
+    GROUP BY 1
+    """,
+)
+def restore_version_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE under the oracle gate (Delta's RESTORE TABLE ... TO
+    VERSION, the operational undo for a bad write): spool the full
+    insert+amend+tombstone feed (version 1), run a destructive
+    ``delete_where(total > {RV_CUT})`` (version 2 — the incident),
+    then ``restore(1)`` (version 3, a pure-metadata commit
+    re-referencing version 1's files). The entry queries the restored
+    HEAD; the DuckDB oracle states the post-ETL census from
+    ``orders`` as if the delete never happened — a hash match
+    certifies the rollback re-exposed every row byte-for-byte AND
+    that the restore is itself a versioned commit (asserted in-entry:
+    three manifest versions, and the incident snapshot really did
+    lose rows, so the restore demonstrably undid something).
+
+    Scale: restore is O(1) data I/O — a manifest that re-references
+    the target version's file list; nothing is rewritten, and the
+    incident version stays readable for forensics until vacuum.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_restore_{tag}")
+    feed_dir = os.path.join(base, "feed")
+    wh_dir = os.path.join(base, "wh")
+    shutil.rmtree(base, ignore_errors=True)
+
+    _build_feed(spark, sf_dir, feed_dir, subset=RV_SUBSET)
+    wh = Warehouse(spark, wh_dir, "rvorders", reset=True, feed_schema=FEED_DOC_DDL)
+    wh.spool(feed_dir)
+    n_v1 = wh.table().count()
+    n_deleted = wh.delete_where(f"total > {RV_CUT}")
+    assert n_deleted > 0, "incident delete removed nothing — nothing to undo"
+    assert wh.table().count() == n_v1 - n_deleted
+    wh.restore(1)
+    n_versions = wh.history().count()
+    assert n_versions == 3, f"restore must be a versioned commit: {n_versions}"
+
+    return wh.table().groupBy("status").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("total"), 2).alias("total_revenue"),
+    )
+
+
+CL_SUBSET = 15  # clone e2e feeds only o_orderkey % 15 == 0
+
+
+@query(
+    "clone_divergence_e2e",
+    oracle=f"""
+    WITH sub AS (SELECT * FROM orders WHERE o_orderkey % {CL_SUBSET} = 0)
+    SELECT 'live' AS table_name,
+           CASE WHEN o_orderkey % {AMEND} = 0 THEN 'amended'
+                ELSE o_orderstatus END        AS status,
+           CAST(count(*) AS BIGINT)           AS n_orders,
+           round(sum(o_totalprice), 2)        AS total_revenue
+    FROM sub
+    WHERE o_orderkey % {DELETE} <> 0
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT 'branch', o_orderstatus,
+           CAST(count(*) AS BIGINT),
+           round(sum(o_totalprice), 2)
+    FROM sub
+    GROUP BY 1, 2
+    """,
+)
+def clone_divergence_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy CLONE + divergence under the oracle gate (Delta
+    CLONE semantics; hardlinked, O(files) not O(bytes)): spool the
+    insert feed, branch the table (``clone('_default', 'branch')``),
+    then spool the amendment + tombstone feed into the LIVE table
+    only. The entry reconciles BOTH tables' censuses: the live side
+    must show amendments applied and tombstones propagated; the
+    frozen branch must still read exactly the pre-clone snapshot —
+    including that the feed's tombstone fan-out never reached it (a
+    delete in the live feed must not mutate a frozen branch; the
+    clone-exclusion rule in the merge path). The DuckDB oracle states
+    both censuses from ``orders`` in one UNION — a hash match
+    certifies isolation in both directions.
+
+    Scale: the clone links the current snapshot's files (no rewrite);
+    post-clone divergence is ordinary copy-on-write at bucket
+    granularity on each side — shared inodes free when the last
+    referencing table vacuums, so neither side's retention can
+    corrupt the other.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_clone_{tag}")
+    wh_dir = os.path.join(base, "wh")
+    shutil.rmtree(base, ignore_errors=True)
+
+    feed1, feed2 = _build_two_phase_feeds(
+        spark, sf_dir, os.path.join(base, "feeds"), CL_SUBSET
+    )
+    wh = Warehouse(spark, wh_dir, "clorders", reset=True, feed_schema=FEED_DOC_DDL)
+    wh.spool(feed1)
+    n_linked = wh.clone("_default", "branch")
+    assert n_linked > 0, "clone linked no files"
+    wh.spool(feed2)
+
+    def census(doc_type: str, name: str, status_col) -> DataFrame:
+        return (
+            wh.table(doc_type)
+            .groupBy(status_col.alias("status"))
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.round(F.sum("total"), 2).alias("total_revenue"),
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                "status",
+                "n_orders",
+                "total_revenue",
+            )
+        )
+
+    live = census("_default", "live", F.col("status"))
+    branch = census("branch", "branch", F.col("status"))
+    return live.unionByName(branch)

@@ -670,3 +670,172 @@ class TestHurstExponent:
         h = out[4].hurst
         assert all(r.hurst == h for r in out.values())
         assert h > 0.7  # strongly persistent
+
+
+class TestPrAucClassifier:
+    def test_matches_independent_ap(self, spark, tmp_path):
+        """AP recomputed independently with the documented tie-block
+        convention over micro-quantized scores."""
+        from couchwarehouse_spark.plans.similarity import (
+            ML_BIAS,
+            ML_WEIGHTS,
+            pr_auc_classifier,
+        )
+
+        vecs = [
+            [((v * 11 + i * 5) % 17 - 8) / 8.0 for i in range(64)]
+            for v in range(10)
+        ]
+        df = spark.createDataFrame(
+            [(v, vecs[v], v % 3) for v in range(10)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        sf = str(tmp_path / "sf")
+        _write(df, sf, "embeddings")
+        import struct as _struct
+        from collections import defaultdict
+
+        groups = defaultdict(lambda: [0, 0])  # score_micro -> [p, n]
+        for v in range(10):
+            emb32 = [
+                _struct.unpack("f", _struct.pack("f", x))[0] for x in vecs[v]
+            ]
+            z = sum(a * b for a, b in zip(emb32, ML_WEIGHTS)) + ML_BIAS
+            sm = round(1_000_000 * z)
+            pos = (v % 3) % 2 == 1
+            groups[sm][0] += pos
+            groups[sm][1] += 1
+        tp = nn = 0
+        ap_sum_micro = 0
+        for sm in sorted(groups, reverse=True):
+            p, n = groups[sm]
+            tp += p
+            nn += n
+            if p:
+                ap_sum_micro += round(1_000_000.0 * p * tp / nn)
+        n_pos = sum(p for p, _ in groups.values())
+        (r,) = pr_auc_classifier(spark, sf).collect()
+        assert r.n_pos == n_pos and r.n_neg == 10 - n_pos
+        assert r.ap_sum_micro == ap_sum_micro
+        assert r.average_precision == round(ap_sum_micro / 1e6 / n_pos, 6)
+
+
+class TestTheilAtkinson:
+    def test_hand_computed_indices(self, spark, tmp_path):
+        """Sources with token masses 2 and 8: Theil and Atkinson from
+        the textbook formulas under the same nano quantization."""
+        import math
+
+        from couchwarehouse_spark.plans.curation import (
+            theil_atkinson_concentration,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b", "en", "s1", 3),
+                (2, "a b c d e f g h", "en", "s2", 15),
+            ],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        sf = str(tmp_path / "sf")
+        _write(df, sf, "documents")
+        (r,) = theil_atkinson_concentration(spark, sf).collect()
+        assert r.n_sources == 2 and r.total_tokens == 10
+        t_nano = sum(
+            round(1e9 * x * math.log(x * 2 / 10) / 10) for x in (2, 8)
+        )
+        assert r.theil_t == round(t_nano / 1e9, 6)
+        ln_nano = sum(round(1e9 * math.log(x)) for x in (2, 8))
+        atk = 1 - math.exp(ln_nano / 1e9 / 2) / 5.0
+        assert r.atkinson_1 == round(atk, 6)
+
+    def test_uniform_mix_is_zero(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.curation import (
+            theil_atkinson_concentration,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c", "en", "s1", 5),
+                (2, "x y z", "en", "s2", 5),
+            ],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        sf = str(tmp_path / "sf")
+        _write(df, sf, "documents")
+        (r,) = theil_atkinson_concentration(spark, sf).collect()
+        assert r.theil_t == 0.0 and r.atkinson_1 == 0.0
+
+
+def _orders(spark, rows):
+    """rows: (o_orderkey, o_orderstatus, o_totalprice, o_custkey)."""
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderstatus string, o_totalprice double, "
+        "o_custkey long",
+    )
+
+
+class TestRestoreVersionE2E:
+    def test_restore_undoes_the_incident_delete(self, spark, tmp_path):
+        """Keys {13,26,91,130} (all %13==0): 130 tombstoned, 91
+        amended, 26 exceeds the delete_where cut (removed in v2,
+        restored in v3); final census = as if the delete never ran."""
+        from couchwarehouse_spark.plans.warehouse_e2e import (
+            restore_version_e2e,
+        )
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _orders(
+                spark,
+                [
+                    (13, "O", 100_000.0, 1),
+                    (26, "O", 200_000.0, 2),
+                    (91, "O", 120_000.0, 3),
+                    (130, "O", 90_000.0, 4),
+                ],
+            ),
+            sf,
+            "orders",
+        )
+        out = {r.status: r for r in restore_version_e2e(spark, sf).collect()}
+        assert out["O"].n_orders == 2
+        assert out["O"].total_revenue == 300_000.0  # 26 came back
+        assert out["amended"].n_orders == 1
+        assert out["amended"].total_revenue == 120_000.0
+
+
+class TestCloneDivergenceE2E:
+    def test_branch_frozen_live_diverges(self, spark, tmp_path):
+        """Keys {15,30,105}: live applies the amendment (105) and the
+        tombstone (30); the branch keeps all three as inserted —
+        including the tombstoned id (fan-out exclusion)."""
+        from couchwarehouse_spark.plans.warehouse_e2e import (
+            clone_divergence_e2e,
+        )
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _orders(
+                spark,
+                [
+                    (15, "O", 50_000.0, 1),
+                    (30, "P", 60_000.0, 2),
+                    (105, "O", 70_000.0, 3),
+                ],
+            ),
+            sf,
+            "orders",
+        )
+        out = {
+            (r.table_name, r.status): r
+            for r in clone_divergence_e2e(spark, sf).collect()
+        }
+        assert out[("live", "O")].n_orders == 1  # key 15
+        assert out[("live", "amended")].n_orders == 1  # key 105
+        assert ("live", "P") not in out  # 30 tombstoned
+        assert out[("branch", "O")].n_orders == 2  # 15 + 105 pre-amend
+        assert out[("branch", "P")].n_orders == 1  # 30 survives on branch
