@@ -87,7 +87,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # inequality indices), restore_version_e2e (RESTORE undoes a bad
 # delete_where under the oracle gate) and clone_divergence_e2e
 # (zero-copy branch isolation in both directions under the oracle
-# gate) — all t2-sim green at sf0.001/0.01/0.1 this round; then any
+# gate), overdispersion_index (Poisson variance/mean screen),
+# capture_recapture_estimate (Chapman unseen-population estimate) and
+# pinball_loss_eval (quantile-forecast scoring at tau=0.9) — all
+# t2-sim green at sf0.001/0.01/0.1 this round; then any
 # round-11-new operators; then
 # the stalest greens — the 9 displaced-r02 entries
 # (doc_length_histogram, domain_mixture_weights, no_big_order_anti,

@@ -6283,3 +6283,243 @@ def triple_itemset_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sup_abc").desc(), "brand_a", "brand_b", "brand_c")
         .limit(TRIPLE_TOP_K)
     )
+
+
+@query(
+    "overdispersion_index",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS q
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           round(CAST(s AS DOUBLE) / n, 4) AS mean_daily,
+           round((q - CAST(s AS DOUBLE) * s / n) / nullif(n - 1, 0), 4)
+             AS var_daily,
+           round(((q - CAST(s AS DOUBLE) * s / n) / nullif(n - 1, 0))
+                 / nullif(CAST(s AS DOUBLE) / n, 0), 4) AS dispersion,
+           round((n - 1) * ((q - CAST(s AS DOUBLE) * s / n) / nullif(n - 1, 0))
+                 / nullif(CAST(s AS DOUBLE) / n, 0), 4) AS chi2_stat
+    FROM g ORDER BY event_type
+    """,
+)
+def overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion screen for count series (the variance-to-mean
+    dispersion index; Cox & Lewis 1966): a Poisson arrival process
+    has var/mean = 1, so dispersion >> 1 on the per-type daily counts
+    says the Poisson error bars every naive rate monitor assumes are
+    WRONG and a negative-binomial (or the ``burstiness_fano_census``
+    lens, which applies the same Fano factor to token gaps) is
+    needed; (n−1)·dispersion is the classical chi-square statistic
+    for H0: Poisson.
+
+    Exactness: n/S/Q are integer aggregates per type; every reported
+    number is a fixed float dag over them, nullif-guarded for the
+    one-day and zero-mean degenerate shapes, rounded once.
+
+    Scale: one date hash agg, one per-type reduce — series-sized.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n")) / F.nullif(
+        F.col("n") - 1, F.lit(0)
+    )
+    disp = var / F.nullif(mean, F.lit(0.0))
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(mean, 4).alias("mean_daily"),
+        F.round(var, 4).alias("var_daily"),
+        F.round(disp, 4).alias("dispersion"),
+        F.round((F.col("n") - 1) * disp, 4).alias("chi2_stat"),
+    ).orderBy("event_type")
+
+
+CRC_TOL = 0.15  # Chapman estimator tolerance vs the true count
+
+
+@query(
+    "capture_recapture_estimate",
+    oracle=f"""
+    WITH marks AS (
+      SELECT substr(md5('a' || text), 1, 1)
+               IN ('0','1','2','3','4','5','6','7') AS c1,
+             substr(md5('b' || text), 1, 1)
+               IN ('0','1','2','3','4','5','6','7') AS c2
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) AS m
+      FROM marks
+    )
+    SELECT n_true, n1, n2, m,
+           round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1, 2)
+             AS chapman_estimate,
+           abs(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1 - n_true)
+             <= {CRC_TOL} * n_true AS within_tol
+    FROM s
+    """,
+)
+def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimate (Lincoln-Petersen with
+    Chapman's 1951 bias correction — the mark-recapture idea crawl
+    and dedup planning borrow from ecology: two independent partial
+    crawls of the same corpus estimate the UNSEEN total as
+    (n1+1)(n2+1)/(m+1) − 1 from their overlap m, answering "how many
+    documents exist that neither crawl saw?" without ever seeing
+    them; the same two-occasion logic as ``source_overlap_matrix``'s
+    contamination census, pointed at totals instead): two
+    deterministic hash-marked pseudo-captures (salted md5 bits,
+    p = 1/2 each, independent by salt) over the documents corpus,
+    with the estimate certified against the TRUE count.
+
+    Exactness: capture marks are identical hash predicates in both
+    engines; n1/n2/m are exact integer sums; the estimate is one
+    float dag over them and the tolerance verdict is the same
+    comparison in both lanes (Chapman sd here is ~2.5% — {CRC_TOL:.0%}
+    gives ~6-sigma headroom).
+
+    Scale: one projection + one global conditional aggregate — four
+    longs per partition cross the exchange; no joins, no windows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+
+    def mark(salt: str):
+        return F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("text"))), 1, 1
+        ).isin(*"01234567")
+
+    marks = d.select(mark("a").alias("c1"), mark("b").alias("c2"))
+    s = marks.agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.sum(F.col("c1").cast("int")).cast("long").alias("n1"),
+        F.sum(F.col("c2").cast("int")).cast("long").alias("n2"),
+        F.sum((F.col("c1") & F.col("c2")).cast("int")).cast("long").alias("m"),
+    )
+    est = (F.col("n1") + 1).cast("double") * (F.col("n2") + 1) / (F.col("m") + 1) - 1
+    return s.select(
+        "n_true",
+        "n1",
+        "n2",
+        "m",
+        F.round(est, 2).alias("chapman_estimate"),
+        (F.abs(est - F.col("n_true")) <= CRC_TOL * F.col("n_true")).alias(
+            "within_tol"
+        ),
+    )
+
+
+PINBALL_Q_PCT = 90  # evaluated quantile level, integer percent
+
+
+@query(
+    "pinball_loss_eval",
+    oracle=f"""
+    WITH vh AS (
+      SELECT CAST(n_chars AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY n_chars
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vh),
+    vcum AS (
+      SELECT x, CAST(sum(cnt) OVER (ORDER BY x) AS BIGINT) AS vc FROM vh
+    ),
+    pred AS (
+      SELECT CAST(min(x) AS BIGINT) AS yhat
+      FROM vcum CROSS JOIN tot
+      WHERE vc >= ({PINBALL_Q_PCT} * n + 99) // 100
+    ),
+    loss AS (
+      SELECT d.source,
+             CASE WHEN d.n_chars >= p.yhat
+                  THEN {PINBALL_Q_PCT} * (d.n_chars - p.yhat)
+                  ELSE (100 - {PINBALL_Q_PCT}) * (p.yhat - d.n_chars)
+             END AS l_cent,
+             CASE WHEN d.n_chars <= p.yhat THEN 1 ELSE 0 END AS covered,
+             p.yhat
+      FROM documents d CROSS JOIN pred p
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(yhat) AS BIGINT) AS predictor,
+           round(CAST(sum(l_cent) AS DOUBLE) / (100 * count(*)), 4)
+             AS mean_pinball,
+           round(CAST(sum(covered) AS DOUBLE) / count(*), 4) AS coverage
+    FROM loss GROUP BY source ORDER BY source
+    """,
+)
+def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss evaluation at tau = 0.9 (Koenker &
+    Bassett 1978 — THE proper scoring rule for quantile forecasts;
+    what an SLA predictor "p90 document length / p90 latency" must be
+    judged by, since MAE/MSE reward the wrong target): the global
+    exact p90 serves as the one-number predictor and each source
+    scores it with mean pinball loss plus empirical coverage — the
+    per-source breakdown showing exactly which sources a global
+    quantile misserves (the heterogeneity argument behind
+    ``quantile_normalization_map``).
+
+    Exactness: the predictor is the exact order statistic off the
+    value histogram (integer rank ceil((q·n+99)/100)); per-doc losses
+    stay INTEGER in centi-units (tau·100 = {PINBALL_Q_PCT} vs
+    {100 - PINBALL_Q_PCT}); the per-source reduce sums integers and
+    divides once.
+
+    Scale: histogram + one broadcast one-row predictor + one
+    per-source aggregate; the windows run over the distinct-value
+    table only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vh = d.groupBy(F.col("n_chars").cast("long").alias("x")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = vh.agg(F.sum("cnt").cast("long").alias("n"))
+    w_v = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    vcum = vh.select("x", F.sum("cnt").over(w_v).cast("long").alias("vc"))
+    pred = (
+        vcum.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("vc") >= ((PINBALL_Q_PCT * F.col("n") + 99) / 100).cast("long")
+        )
+        .agg(F.min("x").cast("long").alias("yhat"))
+    )
+    loss = d.crossJoin(F.broadcast(pred)).select(
+        "source",
+        "yhat",
+        F.when(
+            F.col("n_chars") >= F.col("yhat"),
+            PINBALL_Q_PCT * (F.col("n_chars") - F.col("yhat")),
+        )
+        .otherwise((100 - PINBALL_Q_PCT) * (F.col("yhat") - F.col("n_chars")))
+        .cast("long")
+        .alias("l_cent"),
+        (F.col("n_chars") <= F.col("yhat")).cast("int").alias("covered"),
+    )
+    return (
+        loss.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("yhat").cast("long").alias("predictor"),
+            F.round(
+                F.sum("l_cent").cast("double") / (100 * F.count("*")), 4
+            ).alias("mean_pinball"),
+            F.round(F.sum("covered").cast("double") / F.count("*"), 4).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -839,3 +839,68 @@ class TestCloneDivergenceE2E:
         assert ("live", "P") not in out  # 30 tombstoned
         assert out[("branch", "O")].n_orders == 2  # 15 + 105 pre-amend
         assert out[("branch", "P")].n_orders == 1  # 30 survives on branch
+
+
+class TestOverdispersion:
+    def test_hand_computed_dispersion(self, spark, tmp_path):
+        """Daily counts [2,4,6]: mean 4, var 4, dispersion 1.0,
+        chi2 = 2.0."""
+        from couchwarehouse_spark.plans.statistics import overdispersion_index
+
+        rows = []
+        eid = 0
+        for day, n in [(1, 2), (2, 4), (3, 6)]:
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, f"2024-03-0{day} 12:00:00", "view"))
+        sf = str(tmp_path / "sf")
+        _write(_events(spark, rows), sf, "events")
+        (r,) = overdispersion_index(spark, sf).collect()
+        assert r.n_days == 3
+        assert r.mean_daily == 4.0 and r.var_daily == 4.0
+        assert r.dispersion == 1.0 and r.chi2_stat == 2.0
+
+    def test_single_day_nulls(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.statistics import overdispersion_index
+
+        rows = [(i, "2024-03-01 12:00:00", "view") for i in range(5)]
+        sf = str(tmp_path / "sf")
+        _write(_events(spark, rows), sf, "events")
+        (r,) = overdispersion_index(spark, sf).collect()
+        assert r.var_daily is None and r.dispersion is None
+
+
+class TestCaptureRecapture:
+    def test_chapman_formula_exact(self, spark, tmp_path):
+        """The counts are hash-determined; assert the estimate equals
+        the Chapman formula over THOSE counts and the verdict matches
+        the tolerance arithmetic."""
+        from couchwarehouse_spark.plans.statistics import (
+            CRC_TOL,
+            capture_recapture_estimate,
+        )
+
+        docs = [(i, f"document body number {i}", 20) for i in range(200)]
+        sf = str(tmp_path / "sf")
+        _write(_docs(spark, docs), sf, "documents")
+        (r,) = capture_recapture_estimate(spark, sf).collect()
+        assert r.n_true == 200
+        est = (r.n1 + 1) * (r.n2 + 1) / (r.m + 1) - 1
+        assert r.chapman_estimate == round(est, 2)
+        assert r.within_tol == (abs(est - 200) <= CRC_TOL * 200)
+
+
+class TestPinballLoss:
+    def test_hand_computed_loss_and_coverage(self, spark, tmp_path):
+        """Lengths 1..10 in one source: p90 rank ceil(0.9*10)=9 ->
+        predictor 9. Losses: y=10 -> 90, y=9 -> 0, y<9 -> 10*(9-y);
+        sum = 90 + 10*(8+7+...+1) = 450 -> mean 0.45; coverage 9/10."""
+        from couchwarehouse_spark.plans.statistics import pinball_loss_eval
+
+        docs = [(i, "t", i) for i in range(1, 11)]
+        sf = str(tmp_path / "sf")
+        _write(_docs(spark, docs), sf, "documents")
+        (r,) = pinball_loss_eval(spark, sf).collect()
+        assert r.predictor == 9
+        assert r.mean_pinball == 0.45
+        assert r.coverage == 0.9
