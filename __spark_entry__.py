@@ -89,8 +89,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (zero-copy branch isolation in both directions under the oracle
 # gate), overdispersion_index (Poisson variance/mean screen),
 # capture_recapture_estimate (Chapman unseen-population estimate) and
-# pinball_loss_eval (quantile-forecast scoring at tau=0.9) — all
-# t2-sim green at sf0.001/0.01/0.1 this round; then any
+# pinball_loss_eval (quantile-forecast scoring at tau=0.9),
+# update_where_cdc_e2e (predicate UPDATE + pinned-snapshot diff; note:
+# seq-based changes() deliberately does not report in-place rewrites),
+# compact_small_files_e2e (two disjoint-prefix ingest waves fragment
+# buckets via file-level pruning, OPTIMIZE folds them, census
+# unchanged) and vacuum_retention_e2e (retention reclaims only
+# unreferenced bytes; dropped version fails loudly) — all t2-sim
+# green at sf0.001/0.01/0.1 this round; then any
 # round-11-new operators; then
 # the stalest greens — the 9 displaced-r02 entries
 # (doc_length_histogram, domain_mixture_weights, no_big_order_anti,

@@ -922,3 +922,259 @@ def clone_divergence_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = census("_default", "live", F.col("status"))
     branch = census("branch", "branch", F.col("status"))
     return live.unionByName(branch)
+
+
+UW_SUBSET = 17  # update e2e feeds only o_orderkey % 17 == 0
+UW_CUT = 50_000.0  # update_where predicate: total < cut gets discounted
+
+
+@query(
+    "update_where_cdc_e2e",
+    oracle=f"""
+    WITH sub AS (
+      SELECT * FROM orders
+      WHERE o_orderkey % {UW_SUBSET} = 0 AND o_orderkey % {DELETE} <> 0
+    )
+    SELECT CASE WHEN o_totalprice < {UW_CUT} THEN 'discounted'
+                WHEN o_orderkey % {AMEND} = 0 THEN 'amended'
+                ELSE o_orderstatus END        AS status,
+           CAST(count(*) AS BIGINT)           AS n_rows,
+           round(sum(CASE WHEN o_totalprice < {UW_CUT}
+                          THEN o_totalprice * 2 ELSE o_totalprice END), 2)
+             AS total_value
+    FROM sub
+    GROUP BY 1
+    UNION ALL
+    SELECT '__cdf_updates',
+           CAST(count(*) AS BIGINT),
+           round(sum(o_totalprice * 2), 2)
+    FROM sub WHERE o_totalprice < {UW_CUT}
+    """,
+)
+def update_where_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate UPDATE + change-data-feed under the oracle gate
+    (Delta's ``UPDATE ... SET`` and ``table_changes`` reconciled in
+    one hash match): spool the full insert+amend+tombstone feed, run
+    ``update_where(total < {UW_CUT}, {{status: 'discounted', total:
+    total*2}})`` — assignments evaluate against the row's CURRENT
+    values through the bucket-pruned copy-on-write rewrite — then
+    reconcile the post-update census AND a pinned-snapshot diff
+    (``table(version=pre)`` vs the head): every differing key must
+    carry exactly the doubled total. The DuckDB oracle states both
+    from ``orders``; the DELETE twin is ``predicate_delete_cdc``.
+
+    CDF note: the seq-based ``changes()`` feed deliberately does NOT
+    report in-place predicate updates — row seqs are FEED version
+    stamps and a rewrite is not a feed event (synthesizing seqs would
+    break idempotent feed replay), so seq CDC sees inserts/deletes/
+    feed amendments while predicate rewrites are consumed by pinned-
+    snapshot diffs, exactly what this entry certifies.
+
+    Exactness: the predicate and assignments are exact double
+    arithmetic (x2) on values both engines carry identically; counts
+    are integers; revenue rounds once.
+
+    Scale: the probe is one pushed-filter aggregate; only matching
+    buckets rewrite; the CDF diff joins two snapshots on the
+    bucket-colocated id key.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_uwcdc_{tag}")
+    feed_dir = os.path.join(base, "feed")
+    wh_dir = os.path.join(base, "wh")
+    shutil.rmtree(base, ignore_errors=True)
+
+    _build_feed(spark, sf_dir, feed_dir, subset=UW_SUBSET)
+    wh = Warehouse(spark, wh_dir, "uworders", reset=True, feed_schema=FEED_DOC_DDL)
+    wh.spool(feed_dir)
+    pre = wh._load_manifest(wh._table_path("_default"))["version"]
+    n_updated = wh.update_where(
+        f"total < {UW_CUT}",
+        {"status": "'discounted'", "total": "total * 2"},
+    )
+    assert n_updated > 0, "update matched nothing — the e2e is vacuous"
+
+    census = wh.table().groupBy("status").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.sum("total"), 2).alias("total_value"),
+    )
+    pre_t = wh.table(version=pre).select("id", F.col("total").alias("t_pre"))
+    head = wh.table().select("id", "total")
+    cdf = (
+        head.join(pre_t, "id")
+        .filter(F.col("total") != F.col("t_pre"))
+        .agg(
+            F.lit("__cdf_updates").alias("status"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.sum("total"), 2).alias("total_value"),
+        )
+        .select("status", "n_rows", "total_value")
+    )
+    return census.unionByName(cdf)
+
+
+CP_SUBSET = 18  # compaction e2e feeds only o_orderkey % 18 == 0
+
+
+def _build_insert_wave(
+    spark: SparkSession,
+    sf_dir: str,
+    feed_dir: str,
+    subset: int,
+    prefix: str,
+    seq_offset: int = 0,
+) -> None:
+    """One insert-only feed wave whose doc ids carry ``prefix`` — two
+    waves with DISJOINT id-string ranges model two source shards
+    landing in the same warehouse: the merge's file-level id-range
+    pruning carries the first wave's part files forward untouched,
+    which is exactly how buckets fragment in production. A later wave
+    must carry HIGHER seqs (``seq_offset``) — a changes feed is
+    seq-monotone and the spool's checkpoint resume skips anything at
+    or below the last committed seq."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % subset == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    doc = F.struct(
+        F.concat(F.lit(prefix), F.col("o_orderkey").cast("string")).alias("_id"),
+        F.lit("1-x").alias("_rev"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+        F.struct(F.col("o_custkey").alias("id")).alias("customer"),
+    )
+    env = F.to_json(
+        F.struct(
+            F.concat(
+                (F.col("o_orderkey") + F.lit(seq_offset)).cast("string"),
+                F.lit("-seq"),
+            ).alias("seq"),
+            F.concat(F.lit(prefix), F.col("o_orderkey").cast("string")).alias("id"),
+            doc.alias("doc"),
+        )
+    )
+    orders.select(env.alias("value")).write.mode("overwrite").text(feed_dir)
+
+
+@query(
+    "compact_small_files_e2e",
+    oracle=f"""
+    SELECT o_orderstatus                      AS status,
+           CAST(2 * count(*) AS BIGINT)       AS n_rows,
+           round(2 * sum(o_totalprice), 2)    AS total_value
+    FROM orders
+    WHERE o_orderkey % {CP_SUBSET} = 0
+    GROUP BY 1
+    """,
+)
+def compact_small_files_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE / small-file compaction under the oracle gate: two
+    insert waves with DISJOINT id prefixes (two source shards) land
+    in the same buckets — the merge's file-level id-range pruning
+    carries wave A's part files forward untouched while wave B
+    appends its own, so hot buckets genuinely fragment (the
+    small-files problem that kills scan throughput at 100 TB). Then
+    ``compact(max_files_per_bucket=1)`` rewrites every fragmented
+    bucket to ~one file as a NEW manifest version and the entry
+    queries the compacted table. The oracle states the doubled census
+    straight from ``orders`` — a hash match certifies compaction
+    moved bytes and changed NOTHING else (the content-preservation
+    contract, like the z-order relayout but for the file-count
+    dimension). Asserted in-entry: buckets were actually fragmented,
+    compaction rewrote them, and the current version references
+    strictly fewer files.
+
+    Scale: compaction reads only over-fragmented buckets (manifest
+    file counts decide — no data scan to plan it); superseded
+    fragments stay for older snapshots until vacuum, so concurrent
+    readers never break.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_compact_{tag}")
+    wh_dir = os.path.join(base, "wh")
+    shutil.rmtree(base, ignore_errors=True)
+
+    feed_a = os.path.join(base, "feed_a")
+    feed_b = os.path.join(base, "feed_b")
+    _build_insert_wave(spark, sf_dir, feed_a, CP_SUBSET, "order")
+    _build_insert_wave(
+        spark, sf_dir, feed_b, CP_SUBSET, "xorder", seq_offset=1_000_000_000
+    )
+    wh = Warehouse(spark, wh_dir, "cporders", reset=True, feed_schema=FEED_DOC_DDL)
+    wh.spool(feed_a)
+    wh.spool(feed_b)
+    path = wh._table_path("_default")
+    files_before = sum(
+        len(fs) for fs in wh._load_manifest(path)["buckets"].values()
+    )
+    n_buckets = wh.compact(max_files_per_bucket=1)
+    assert n_buckets > 0, "two disjoint waves left nothing fragmented"
+    files_after = sum(
+        len(fs) for fs in wh._load_manifest(path)["buckets"].values()
+    )
+    assert files_after < files_before, (files_before, files_after)
+
+    return wh.table().groupBy("status").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.sum("total"), 2).alias("total_value"),
+    )
+
+
+VC_SUBSET = 19  # vacuum e2e feeds only o_orderkey % 19 == 0
+
+
+@query(
+    "vacuum_retention_e2e",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % {AMEND} = 0 THEN 'amended'
+                ELSE o_orderstatus END        AS status,
+           CAST(count(*) AS BIGINT)           AS n_orders,
+           round(sum(o_totalprice), 2)        AS total_revenue
+    FROM orders
+    WHERE o_orderkey % {VC_SUBSET} = 0 AND o_orderkey % {DELETE} <> 0
+    GROUP BY 1
+    """,
+)
+def vacuum_retention_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM retention under the oracle gate: two spools create a
+    superseded snapshot, ``vacuum(retain_versions=1,
+    min_age_seconds=0)`` reclaims every file only version 1
+    references, and the entry queries the surviving head — the oracle
+    states the full post-ETL census from ``orders``, so a hash match
+    certifies vacuum deleted ONLY unreferenced bytes (one live row
+    lost or one stale file resurrected would flip a count). The
+    retention contract is asserted in-entry: vacuum reclaimed a
+    nonzero file count, and the time-travel read of the dropped
+    version now fails LOUDLY rather than returning partial data —
+    the same RETAIN-bounds-time-travel trade Delta documents.
+
+    Scale: vacuum is a manifest-set difference plus unlink calls —
+    O(files), no data reads; the grace window (min_age_seconds)
+    protects in-flight readers in production (0 here: the entry owns
+    the table).
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_vacuum_{tag}")
+    wh_dir = os.path.join(base, "wh")
+    shutil.rmtree(base, ignore_errors=True)
+
+    feed1, feed2 = _build_two_phase_feeds(
+        spark, sf_dir, os.path.join(base, "feeds"), VC_SUBSET
+    )
+    wh = Warehouse(spark, wh_dir, "vcorders", reset=True, feed_schema=FEED_DOC_DDL)
+    wh.spool(feed1)
+    wh.spool(feed2)
+    n_reclaimed = wh.vacuum(retain_versions=1, min_age_seconds=0.0)
+    assert n_reclaimed > 0, "nothing reclaimed — the retention e2e is vacuous"
+    try:
+        wh.table(version=1).collect()
+    except Exception:
+        pass  # loud failure is the contract
+    else:
+        raise AssertionError("vacuumed version 1 still readable")
+
+    return wh.table().groupBy("status").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("total"), 2).alias("total_revenue"),
+    )

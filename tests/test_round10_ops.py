@@ -904,3 +904,84 @@ class TestPinballLoss:
         assert r.predictor == 9
         assert r.mean_pinball == 0.45
         assert r.coverage == 0.9
+
+
+class TestUpdateWhereCdcE2E:
+    def test_update_applies_and_snapshot_diff_matches(self, spark, tmp_path):
+        """Keys {17,34,119,170}: 170 tombstoned; 17 (30k < 50k cut)
+        discounted and doubled; 119 amended; 34 untouched. The
+        pinned-snapshot diff row counts exactly the one update."""
+        from couchwarehouse_spark.plans.warehouse_e2e import (
+            update_where_cdc_e2e,
+        )
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _orders(
+                spark,
+                [
+                    (17, "O", 30_000.0, 1),
+                    (34, "O", 100_000.0, 2),
+                    (119, "O", 200_000.0, 3),
+                    (170, "O", 40_000.0, 4),
+                ],
+            ),
+            sf,
+            "orders",
+        )
+        out = {r.status: r for r in update_where_cdc_e2e(spark, sf).collect()}
+        assert out["discounted"].n_rows == 1
+        assert out["discounted"].total_value == 60_000.0
+        assert out["O"].n_rows == 1 and out["O"].total_value == 100_000.0
+        assert out["amended"].n_rows == 1
+        assert out["__cdf_updates"].n_rows == 1
+        assert out["__cdf_updates"].total_value == 60_000.0
+
+
+class TestCompactSmallFilesE2E:
+    def test_census_doubles_and_layout_asserts_hold(self, spark, tmp_path):
+        """Two disjoint-prefix waves of keys {18,36}: census is the
+        doubled per-status census; the in-entry asserts prove buckets
+        fragmented and compaction shrank the referenced file count."""
+        from couchwarehouse_spark.plans.warehouse_e2e import (
+            compact_small_files_e2e,
+        )
+
+        sf = str(tmp_path / "sf")
+        rows = [
+            (18 * i, "O" if i % 2 else "P", 1_000.0 * i, i)
+            for i in range(1, 31)
+        ]
+        _write(_orders(spark, rows), sf, "orders")
+        out = {r.status: r for r in compact_small_files_e2e(spark, sf).collect()}
+        o_sum = sum(1_000.0 * i for i in range(1, 31) if i % 2)
+        p_sum = sum(1_000.0 * i for i in range(1, 31) if i % 2 == 0)
+        assert out["O"].n_rows == 30 and out["O"].total_value == 2 * o_sum
+        assert out["P"].n_rows == 30 and out["P"].total_value == 2 * p_sum
+
+
+class TestVacuumRetentionE2E:
+    def test_head_survives_dropped_version_unreadable(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.warehouse_e2e import (
+            vacuum_retention_e2e,
+        )
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _orders(
+                spark,
+                [
+                    (19, "O", 10_000.0, 1),
+                    (38, "P", 20_000.0, 2),
+                    (133, "O", 30_000.0, 3),
+                    (190, "O", 40_000.0, 4),
+                ],
+            ),
+            sf,
+            "orders",
+        )
+        out = {r.status: r for r in vacuum_retention_e2e(spark, sf).collect()}
+        assert out["O"].n_orders == 1 and out["O"].total_revenue == 10_000.0
+        assert out["P"].n_orders == 1
+        assert out["amended"].n_orders == 1
+        assert out["amended"].total_revenue == 30_000.0
