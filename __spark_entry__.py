@@ -95,7 +95,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # compact_small_files_e2e (two disjoint-prefix ingest waves fragment
 # buckets via file-level pruning, OPTIMIZE folds them, census
 # unchanged) and vacuum_retention_e2e (retention reclaims only
-# unreferenced bytes; dropped version fails loudly) — all t2-sim
+# unreferenced bytes; dropped version fails loudly) and rebucket_e2e
+# (partition-strategy evolution: relayout to a new id-hash bucket
+# count, post-relayout merges hash with the new count, old snapshots
+# keep their own layout) — all t2-sim
 # green at sf0.001/0.01/0.1 this round; then any
 # round-11-new operators; then
 # the stalest greens — the 9 displaced-r02 entries

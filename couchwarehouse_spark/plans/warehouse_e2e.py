@@ -1178,3 +1178,66 @@ def vacuum_retention_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         F.round(F.sum("total"), 2).alias("total_revenue"),
     )
+
+
+RB_SUBSET = 23  # rebucket e2e feeds only o_orderkey % 23 == 0
+RB_NEW_BUCKETS = 4  # partition-strategy evolution target
+
+
+@query(
+    "rebucket_e2e",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % {AMEND} = 0 THEN 'amended'
+                ELSE o_orderstatus END        AS status,
+           CAST(count(*) AS BIGINT)           AS n_orders,
+           round(sum(o_totalprice), 2)        AS total_revenue
+    FROM orders
+    WHERE o_orderkey % {RB_SUBSET} = 0 AND o_orderkey % {DELETE} <> 0
+    GROUP BY 1
+    """,
+)
+def rebucket_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-STRATEGY EVOLUTION under the oracle gate: spool the
+    insert feed under the default 16-bucket id-hash layout, run
+    ``rebucket({RB_NEW_BUCKETS})`` (the bucket count sized for
+    today's table is wrong at 100x the data — this is the lever that
+    re-sizes the merge/lookup unit), then spool the amendment +
+    tombstone feed INTO THE NEW LAYOUT: the post-rebucket merge must
+    hash its bucket pruning with the NEW count (a merge that hashed
+    with the old count would write files no reader looks for — the
+    exact failure mode the per-version n_buckets state prevents). The
+    DuckDB oracle states the final census straight from ``orders``,
+    so a hash match certifies content through relayout + divergence;
+    the in-entry asserts pin the layout change itself and that the
+    pre-rebucket snapshot still reads under ITS OWN layout.
+
+    Scale: rebucket rewrites the current snapshot once (the planned
+    migration cost); every later merge prunes against the new,
+    right-sized units. Bucket count is version state, so time travel
+    across the relayout keeps working.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_rebucket_{tag}")
+    wh_dir = os.path.join(base, "wh")
+    shutil.rmtree(base, ignore_errors=True)
+
+    feed1, feed2 = _build_two_phase_feeds(
+        spark, sf_dir, os.path.join(base, "feeds"), RB_SUBSET
+    )
+    wh = Warehouse(spark, wh_dir, "rborders", reset=True, feed_schema=FEED_DOC_DDL)
+    wh.spool(feed1)
+    n_v1 = wh.table().count()
+    wh.rebucket(RB_NEW_BUCKETS)
+    path = wh._table_path("_default")
+    m = wh._load_manifest(path)
+    assert wh._manifest_buckets_n(m) == RB_NEW_BUCKETS, m.get("n_buckets")
+    assert len(m["buckets"]) <= RB_NEW_BUCKETS
+    wh.spool(feed2)
+    # The pre-rebucket snapshot still reads under its own 16-bucket
+    # layout (bucket count is version state).
+    assert wh.table(version=1).count() == n_v1
+
+    return wh.table().groupBy("status").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("total"), 2).alias("total_revenue"),
+    )

@@ -985,3 +985,33 @@ class TestVacuumRetentionE2E:
         assert out["P"].n_orders == 1
         assert out["amended"].n_orders == 1
         assert out["amended"].total_revenue == 30_000.0
+
+
+class TestRebucketE2E:
+    def test_relayout_then_divergence(self, spark, tmp_path):
+        """Keys {23,46,161,230}: rebucket to 4 buckets between the
+        insert wave and the amendment/tombstone wave; 161 (=23*7)
+        amended under the NEW layout, 230 tombstoned, the rest
+        unchanged — and the in-entry asserts pin the layout change
+        plus the old snapshot reading under its own layout."""
+        from couchwarehouse_spark.plans.warehouse_e2e import rebucket_e2e
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _orders(
+                spark,
+                [
+                    (23, "O", 10_000.0, 1),
+                    (46, "P", 20_000.0, 2),
+                    (161, "O", 30_000.0, 3),
+                    (230, "O", 40_000.0, 4),
+                ],
+            ),
+            sf,
+            "orders",
+        )
+        out = {r.status: r for r in rebucket_e2e(spark, sf).collect()}
+        assert out["O"].n_orders == 1 and out["O"].total_revenue == 10_000.0
+        assert out["P"].n_orders == 1
+        assert out["amended"].n_orders == 1
+        assert out["amended"].total_revenue == 30_000.0
