@@ -3302,10 +3302,13 @@ def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = F.explode(F.array(*[F.lit(w).cast("long") for w in HURST_WINDOWS]))
     blocks = (
         idx.select("i", "x", "n", grid.alias("w"))
-        .filter(((F.col("i") - 1) / F.col("w")).cast("long") < (F.col("n") / F.col("w")).cast("long"))
+        # Integral `div` for the block index, matching the oracle's
+        # `//` exactly at all magnitudes (r10 ADVICE — float `/` +
+        # cast('long') truncates wrong past 2^53).
+        .filter(F.expr("(i - 1) div w") < F.expr("n div w"))
         .select(
             "w",
-            ((F.col("i") - 1) / F.col("w")).cast("long").alias("b"),
+            F.expr("(i - 1) div w").cast("long").alias("b"),
             (((F.col("i") - 1) % F.col("w")) + 1).alias("j"),
             "x",
         )

@@ -5680,18 +5680,20 @@ HILL_K = 100  # order statistics used by the Hill estimator
       FROM documents ORDER BY n_chars DESC LIMIT {HILL_K} + 1
     ),
     s AS (
-      SELECT CAST(min(x) AS BIGINT) AS x_thresh,
+      SELECT CAST(count(*) AS BIGINT) - 1 AS k_eff,
+             CAST(min(x) AS BIGINT) AS x_thresh,
              CAST(min(ln_nano) AS BIGINT) AS ln_thresh_nano,
              CAST(sum(ln_nano) AS BIGINT) AS ln_sum_nano
       FROM topk
     )
-    SELECT {HILL_K} AS k, x_thresh,
+    SELECT CAST(k_eff AS BIGINT) AS k, x_thresh,
            CAST(ln_sum_nano - ln_thresh_nano
-                - {HILL_K} * ln_thresh_nano AS BIGINT) AS hill_sum_nano,
-           round({HILL_K} * 1000000000.0
+                - k_eff * ln_thresh_nano AS BIGINT) AS hill_sum_nano,
+           round(k_eff * 1000000000.0
                  / nullif(ln_sum_nano - ln_thresh_nano
-                          - {HILL_K} * ln_thresh_nano, 0), 4) AS hill_alpha
+                          - k_eff * ln_thresh_nano, 0), 4) AS hill_alpha
     FROM s
+    WHERE k_eff > 0
     """,
 )
 def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5709,7 +5711,11 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtracts exactly (one copy of the minimum is the (k+1)-th order
     statistic), and alpha is one float division off the integer
     hill_sum, nullif-guarded for the all-equal corpus where the sum
-    is 0 (alpha undefined).
+    is 0 (alpha undefined). The reported ``k`` is the EFFECTIVE order
+    count |top| − 1 (r10 ADVICE: a corpus shorter than k+1 rows would
+    otherwise mislabel the estimate with a k it never used); the
+    zero-/one-row corpus emits no row rather than a meaningless
+    alpha.
 
     Scale: the k+1 largest values are a TakeOrdered HEAP (partial
     per partition, k+1 rows merged), then a one-row aggregate — the
@@ -5727,19 +5733,22 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(HILL_K + 1)
     )
     s = topk.agg(
+        (F.count("*").cast("long") - F.lit(1)).alias("k_eff"),
         F.min("x").cast("long").alias("x_thresh"),
         F.min("ln_nano").cast("long").alias("ln_thresh_nano"),
         F.sum("ln_nano").cast("long").alias("ln_sum_nano"),
     )
     hill_sum = (
-        F.col("ln_sum_nano") - F.col("ln_thresh_nano") - HILL_K * F.col("ln_thresh_nano")
+        F.col("ln_sum_nano")
+        - F.col("ln_thresh_nano")
+        - F.col("k_eff") * F.col("ln_thresh_nano")
     )
-    return s.select(
-        F.lit(HILL_K).cast("long").alias("k"),
+    return s.filter(F.col("k_eff") > 0).select(
+        F.col("k_eff").cast("long").alias("k"),
         "x_thresh",
         hill_sum.cast("long").alias("hill_sum_nano"),
         F.round(
-            HILL_K * 1_000_000_000.0 / F.nullif(hill_sum, F.lit(0)), 4
+            F.col("k_eff") * 1_000_000_000.0 / F.nullif(hill_sum, F.lit(0)), 4
         ).alias("hill_alpha"),
     )
 
@@ -5911,9 +5920,10 @@ def log2_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "q_pct",
-            ((F.col("q_pct") * F.col("n") + 99) / 100)
-            .cast("long")
-            .alias("target"),
+            # Integral `div`, not float `/` + cast: matches DuckDB's
+            # `//` exactly at all magnitudes (r10 ADVICE — truncated
+            # float division diverges past 2^53).
+            F.expr("(q_pct * n + 99) div 100").cast("long").alias("target"),
         )
     )
     pick = (
@@ -6132,10 +6142,15 @@ def cramer_von_mises_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: clearing denominators gives the integer numerator
     NUM = sum_k (c_a+c_b)_k · (m·cumA_k − n·cumB_k)², which crosses
     the oracle as a BIGINT; T = NUM/(n·m·N²) is one float division
-    rounded once. (At corpus-scale group sizes the cleared products
-    approach BIGINT range — shard-level audits keep n, m per group in
-    the millions, or the reduce switches the squared term to double
-    with quantized display, the documented trade.)
+    rounded once. The cleared products approach BIGINT range once
+    group sizes reach ~1e4-1e5 (|m·cumA − n·cumB| ≤ n·m, squared,
+    times N), and Spark's non-ANSI longs would WRAP silently where
+    DuckDB raises — so the entry guards loudly and symmetrically
+    (r10 ADVICE): an in-plan ``assert_true`` on the double-precision
+    bound N·(n·m)² < 9e18 raises in the Spark lane exactly where the
+    oracle lane's checked BIGINT cast would; past that scale the
+    documented move is shard-level audits that keep per-group sizes
+    bounded.
 
     Scale: the same collapsed-support shape as the KS entry —
     per-source value histograms via hash aggregate, one window over
@@ -6170,7 +6185,20 @@ def cramer_von_mises_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cb").over(w_all).cast("long").alias("n_b"),
     )
     diff = F.col("n_b") * F.col("cum_a") - F.col("n_a") * F.col("cum_b")
-    num = F.sum((F.col("ca") + F.col("cb")) * diff * diff)
+    num_raw = F.sum((F.col("ca") + F.col("cb")) * diff * diff)
+    # Loud, symmetric overflow guard (r10 ADVICE): NUM <= N*(n_a*n_b)^2;
+    # check that bound in double precision and raise where DuckDB's
+    # checked BIGINT arithmetic would, instead of wrapping silently.
+    na_d = F.min("n_a").cast("double")
+    nb_d = F.min("n_b").cast("double")
+    guard = F.assert_true(
+        (na_d + nb_d) * na_d * na_d * nb_d * nb_d < F.lit(9.0e18),
+        F.lit(
+            "cramer_von_mises_drift: integer numerator would overflow "
+            "BIGINT at these group sizes; shard the audit"
+        ),
+    )
+    num = F.when(guard.isNull(), num_raw).otherwise(num_raw)
     return cum.agg(
         F.min("n_a").cast("long").alias("n_a"),
         F.min("n_b").cast("long").alias("n_b"),
@@ -6492,9 +6520,10 @@ def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vcum = vh.select("x", F.sum("cnt").over(w_v).cast("long").alias("vc"))
     pred = (
         vcum.crossJoin(F.broadcast(tot))
-        .filter(
-            F.col("vc") >= ((PINBALL_Q_PCT * F.col("n") + 99) / 100).cast("long")
-        )
+        # Integral `div` mirrors the oracle's `//` exactly at all
+        # magnitudes (r10 ADVICE — float `/` + cast truncates wrong
+        # past 2^53).
+        .filter(F.col("vc") >= F.expr(f"({PINBALL_Q_PCT} * n + 99) div 100"))
         .agg(F.min("x").cast("long").alias("yhat"))
     )
     loss = d.crossJoin(F.broadcast(pred)).select(

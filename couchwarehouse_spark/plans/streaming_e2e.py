@@ -1113,6 +1113,15 @@ def streaming_dedup_watermark_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
        its state evicted, each key is RE-ADMITTED exactly once — the
        within-watermark guarantee is bounded, which is the point.
 
+    The dedup keys on ``doc_id`` ALONE (r10 ADVICE fix: keying on
+    ``[doc_id, ts]`` would give every re-stamped retry a fresh key,
+    making re-admission trivially true and never exercising the
+    eviction contract). With the bare key, a pass-2 retry is dropped
+    iff its pass-1 state survived — so ``n_readmitted_after_horizon``
+    now certifies bounded state, while pass-1 exact-ts duplicates are
+    still dropped either by live state or by the late-input filter
+    (state expiry < wm implies the duplicate's ts < wm).
+
     The oracle states both horizon outcomes per source: first-pass
     admits = count(*) (duplicates dropped), re-admits = count(*)
     (state bounded, keys aged out), chars = 2·sum (each doc's payload
@@ -1167,7 +1176,7 @@ def streaming_dedup_watermark_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
         .option("maxFilesPerTrigger", SW_FILES_PER_TRIGGER)
         .parquet(stage)
         .withWatermark("ts", WD_DELAY)
-        .dropDuplicatesWithinWatermark(["doc_id", "ts"])
+        .dropDuplicatesWithinWatermark(["doc_id"])
     )
     qname = f"cw_wmdedup_out_{tag}"
     q = (
