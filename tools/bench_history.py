@@ -86,6 +86,20 @@ def main() -> None:
         "  suite at r8 HEAD and at r7 HEAD interleaved on the same host",
         "  and both came out at r7-era speed (median ratio 1.00 vs the r7",
         "  artifact; see README bench section for the numbers).",
+        "- r10 driver adjudication (r10 verdict #2): on the 44 queries",
+        "  named in both the r9 and r10 driver windows the median",
+        "  per-query ratio is 1.07x — under the 1.2x threshold the r9",
+        "  verdict set for treating drift as real, and consistent with",
+        "  the builder's interleaved r10-vs-r9-HEAD A/B (median 0.92x).",
+        "  Drift = host noise; the 655.1 s total reflects the window's",
+        "  mix shift toward full-pipeline e2e entries (job-count-bound,",
+        "  does not extrapolate with data volume). Standing rule: a",
+        "  round landing >1.2x median vs prev on the overlap means",
+        "  profile the shared scan path before adding operators.",
+        "- bench_r10_full (builder-local, same code as the r10 driver",
+        "  row) ran after a 27-min pytest on the same host; its",
+        "  apparent 1.72x-vs-r9 was verified as host-state by the",
+        "  interleaved A/B above BEFORE the driver number landed.",
         "",
     ]
     out = os.path.join(REPO, "BENCH_HISTORY.md")
