@@ -1529,3 +1529,59 @@ def test_sequential_detectors_run_on_collapsed_series(spark):
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_theil_atkinson_reduces_no_pair_join(spark):
+    """Inequality indices reduce the corpus to per-source ln-sums and
+    one broadcast-scalar fan-in: no shuffled join of row-level frames,
+    no Python stage."""
+    plan = plan_of(spark, "theil_atkinson_concentration")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pr_auc_single_rank_window(spark):
+    """Average precision is ONE rank window over the scored frame plus
+    a broadcast-scalar total — no pair join, no Python."""
+    plan = plan_of(spark, "pr_auc_classifier")
+    assert plan.count("Window") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jelinek_mercer_topk_is_heap(spark):
+    """The third Lucene similarity keeps the LM-Dirichlet shape: the
+    report head is a TakeOrdered heap and the collection stats arrive
+    via one broadcast scalar — no shuffled join, no Python."""
+    plan = plan_of(spark, "lm_jelinek_mercer_relevance")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_overdispersion_capture_recapture_pure_aggregates(spark):
+    """Both screens are pure partial-aggregated reduces — zero joins,
+    zero windows, zero Python; capture-recapture is a SINGLE global
+    aggregate (one exchange)."""
+    for name in ("overdispersion_index", "capture_recapture_estimate"):
+        plan = plan_of(spark, name)
+        assert "Join" not in plan, name
+        assert "Window" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    assert plan_of(spark, "capture_recapture_estimate").count("Exchange") == 1
+
+
+def test_pinball_predictor_broadcasts_to_scorer(spark):
+    """The p90 predictor is a one-row broadcast against the corpus and
+    the rank window runs over the collapsed value histogram — no
+    shuffled join, no cartesian, no Python."""
+    plan = plan_of(spark, "pinball_loss_eval")
+    assert plan.count("Window") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
