@@ -101,6 +101,7 @@ PRIORITY = [
     "rebucket_e2e",
     # --- new round-11 entries (inserted as they land, displacing the
     # stalest-r03 tail below) ---
+    "concurrent_compact_ingest_e2e",
     # --- 4 family reps (skew / multimodal / dedup / sampling — the
     # stalest eligible member of each family) ---
     "key_skew_audit",
@@ -133,7 +134,6 @@ PRIORITY = [
     "full_text_relevance",
     "graph_pagerank_step",
     "grouping_sets_orders",
-    "hybrid_search_rrf",
 ]
 
 

@@ -1204,3 +1204,259 @@ def streaming_dedup_watermark_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: the OPTIMIZE-vs-ingest commit race under the oracle gate.
+# ---------------------------------------------------------------------------
+
+CI_SUBSET = 11  # concurrent-compact e2e feeds only o_orderkey % 11 == 0
+CI_XAMEND = 33  # post-stream wave amends xorder ids where key % 33 == 0
+CI_STAGE_FILES = 2  # files PER WAVE (3 waves → 6 single-file micro-batches)
+CI_ARM_BASE = 4  # inject the rival compaction under the 5th merge commit
+
+from couchwarehouse_spark.warehouse import ConcurrentCommitError  # noqa: E402
+
+
+class _CompactRacedWarehouse(Warehouse):
+    """Deterministic OPTIMIZE-vs-ingest interleaving (fault injection
+    for ``concurrent_compact_ingest_e2e``): once armed, the FIRST
+    merge commit whose pinned base reaches ``arm_base`` has a rival
+    maintenance writer commit a compaction of the same table BETWEEN
+    this ingestor's manifest read and its own commit — the exact
+    window the read-version+1 protocol (``_commit_manifest``) exists
+    to protect. The ingest commit then collides LOUDLY
+    (ConcurrentCommitError) and the ``merge_retries`` loop replays
+    the batch against the compacted head. Wall-clock thread races
+    cover this window only by luck; pinning the interleaving makes
+    the loser path a certainty the oracle can grade."""
+
+    rival: Warehouse | None = None
+    arm_base: int | None = None
+    n_collisions = 0
+    n_rival_rewrites = 0
+
+    def _commit_manifest(self, path, op, *args, **kwargs):
+        base = kwargs.get("base_version")
+        if (
+            self.rival is not None
+            and self.arm_base is not None
+            and op == "merge"
+            and base is not None
+            and base >= self.arm_base
+        ):
+            self.arm_base = None  # fire exactly once
+            self.n_rival_rewrites = self.rival.compact(max_files_per_bucket=1)
+        try:
+            return super()._commit_manifest(path, op, *args, **kwargs)
+        except ConcurrentCommitError:
+            self.n_collisions += 1
+            raise
+
+
+@query(
+    "concurrent_compact_ingest_e2e",
+    oracle=f"""
+    WITH survivors AS (
+      SELECT CASE WHEN o_orderkey % {AMEND} = 0 THEN 'amended'
+                  ELSE o_orderstatus END       AS status,
+             o_totalprice                      AS total
+      FROM orders
+      WHERE o_orderkey % {CI_SUBSET} = 0 AND o_orderkey % {DELETE} <> 0
+      UNION ALL
+      SELECT CASE WHEN o_orderkey % {CI_XAMEND} = 0 THEN 'zamended'
+                  ELSE o_orderstatus END,
+             o_totalprice
+      FROM orders
+      WHERE o_orderkey % {CI_SUBSET} = 0
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT)            AS n_orders,
+           round(sum(total), 2)                AS total_revenue
+    FROM survivors
+    GROUP BY 1
+    """,
+)
+def concurrent_compact_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE committing under a LIVE ingest stream, both directions
+    of the race, under the oracle gate (r10 verdict #3 — the
+    production maintenance-vs-ingest hazard; until now the retry loop
+    was pytest-only and maintenance always ran on a quiet table):
+
+    1. **Ingest loses, replays.** A seq-ordered insert+amend+tombstone
+       feed with TWO disjoint id prefixes (``order…``/``xorder…`` —
+       the second wave's merges carry the first wave's part files
+       forward by id-range pruning, so buckets genuinely fragment)
+       streams through ``monitor_warehouse`` one file per micro-batch.
+       A fault-injected ``_commit_manifest`` has a RIVAL warehouse
+       handle commit ``compact(max_files_per_bucket=1)`` between the
+       5th merge's manifest read and its commit. The merge's pinned
+       read-version+1 target is taken → ``ConcurrentCommitError`` →
+       the ``merge_retries`` loop replays the SAME conformed batch
+       against the compacted head (idempotent by seq), and the stream
+       keeps going. Asserted: exactly one collision, the rival
+       rewrote ≥1 fragmented bucket, and a ``compact`` version sits
+       strictly BETWEEN merge versions in the history.
+    2. **Maintenance loses, loudly.** After the stream drains, a
+       maintenance planner reads the head manifest; a live ingest
+       wave (amending ``xorder`` ids) spools and commits under its
+       feet; the planner's pinned commit must then raise
+       ``ConcurrentCommitError`` rather than silently building over
+       the newer version (the lost-update the base-version pin
+       exists to prevent).
+
+    The oracle states the final census straight from ``orders`` —
+    whichever writer wins each raced commit, compaction must move
+    bytes without changing content and the replayed merge must apply
+    latest-wins exactly once, or a count/sum flips.
+
+    Scale: this is THE 100 TB operating mode — OPTIMIZE runs
+    continuously beside ingest; correctness comes from the manifest
+    put-if-absent (one winner per version) plus idempotent-by-seq
+    replay, not from scheduling maintenance windows.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base_dir = os.path.join(tempfile.gettempdir(), f"cw_cci_{tag}")
+    feed_dir = os.path.join(base_dir, "feed")
+    wh_dir = os.path.join(base_dir, "wh")
+    ckpt = os.path.join(base_dir, "ckpt")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % CI_SUBSET == 0
+    )
+
+    def doc(prefix: str, rev: str, status_col):
+        return F.struct(
+            F.concat(F.lit(prefix), F.col("o_orderkey").cast("string")).alias("_id"),
+            F.lit(rev).alias("_rev"),
+            status_col.alias("status"),
+            F.col("o_totalprice").alias("total"),
+            F.struct(F.col("o_custkey").alias("id")).alias("customer"),
+        )
+
+    def env(seq_col, id_prefix: str, doc_col, deleted: bool):
+        fields = [
+            F.concat(seq_col.cast("string"), F.lit("-seq")).alias("seq"),
+            F.concat(F.lit(id_prefix), F.col("o_orderkey").cast("string")).alias("id"),
+        ]
+        if deleted:
+            fields.append(F.lit(True).alias("deleted"))
+        if doc_col is not None:
+            fields.append(doc_col.alias("doc"))
+        return F.struct(
+            seq_col.cast("long").alias("sortseq"),
+            F.to_json(F.struct(*fields)).alias("value"),
+        )
+
+    key = F.col("o_orderkey")
+    amend_or_del = F.array(
+        F.when(
+            key % AMEND == 0,
+            env(key + F.lit(1_000_000_000), "order",
+                doc("order", "2-x", F.lit("amended")), False),
+        ),
+        F.when(
+            key % DELETE == 0,
+            env(key + F.lit(2_000_000_000), "order", None, True),
+        ),
+    )
+    waves = [
+        orders.select(
+            env(key, "order", doc("order", "1-x", F.col("o_orderstatus")), False)
+            .alias("e")
+        ),
+        orders.select(
+            env(key + F.lit(500_000_000), "xorder",
+                doc("xorder", "1-x", F.col("o_orderstatus")), False)
+            .alias("e")
+        ),
+        orders.select(
+            F.explode(F.filter(amend_or_del, lambda x: x.isNotNull())).alias("e")
+        ),
+    ]
+    # Seq-ordered landing files with monotonic mtimes (the tailer
+    # discipline). Each wave stages SEPARATELY so its files carry a
+    # single id prefix: a boundary file mixing `order…` and `xorder…`
+    # would have an id range spanning both prefixes, every later merge
+    # would rewrite it, and the buckets would never fragment — the
+    # compaction under test would have nothing to do.
+    os.makedirs(feed_dir, exist_ok=True)
+    import time as _time
+
+    t0 = _time.time()
+    for w, wave in enumerate(waves):
+        stage_tmp = os.path.join(base_dir, f"feed_stage_{w}")
+        (
+            wave.select("e.sortseq", "e.value")
+            .repartitionByRange(CI_STAGE_FILES, "sortseq")
+            .sortWithinPartitions("sortseq")
+            .select("value")
+            .write.mode("overwrite")
+            .text(stage_tmp)
+        )
+        parts = sorted(
+            f for f in os.listdir(stage_tmp)
+            if f.startswith("part-") and f.endswith(".txt")
+        )
+        for i, f in enumerate(parts):
+            dst = os.path.join(feed_dir, f)
+            shutil.copyfile(os.path.join(stage_tmp, f), dst)
+            os.utime(dst, (t0 + 1000 * w + i, t0 + 1000 * w + i))
+
+    wh = _CompactRacedWarehouse(
+        spark, wh_dir, "ciorders", reset=True,
+        feed_schema=FEED_DOC_DDL, merge_retries=2,
+    )
+    wh.rival = Warehouse(spark, wh_dir, "ciorders", feed_schema=FEED_DOC_DDL)
+    wh.arm_base = CI_ARM_BASE
+    q = monitor_warehouse(
+        wh, feed_dir, ckpt, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    assert wh.arm_base is None, "injection never armed — feed too short"
+    assert wh.n_collisions == 1, wh.n_collisions
+    assert wh.n_rival_rewrites > 0, "rival compaction found nothing fragmented"
+    path = wh._table_path("_default")
+    hist = {
+        m["version"]: m["op"]
+        for v in wh._list_versions(path)
+        if (m := wh._load_manifest(path, version=v)) is not None
+    }
+    compact_vs = [v for v, op in hist.items() if op == "compact"]
+    merge_vs = [v for v, op in hist.items() if op == "merge"]
+    assert compact_vs and min(merge_vs) < compact_vs[0] < max(merge_vs), hist
+
+    # Direction 2: the maintenance planner reads, a live ingest wave
+    # commits under its feet, the planner's pinned commit collides.
+    stale = wh._load_manifest(path)
+    xwave_dir = os.path.join(base_dir, "feed_x")
+    xdoc = doc("xorder", "2-x", F.lit("zamended"))
+    xenv = env(key + F.lit(3_000_000_000), "xorder", xdoc, False)
+    (
+        orders.filter(key % CI_XAMEND == 0)
+        .select(xenv.alias("e"))
+        .select("e.value")
+        .write.mode("overwrite")
+        .text(xwave_dir)
+    )
+    wh.spool(xwave_dir)
+    try:
+        wh.rival._commit_manifest(
+            path,
+            "compact",
+            {int(b): fs for b, fs in stale["buckets"].items()},
+            stale["schema"],
+            {int(b): per for b, per in stale.get("stats", {}).items()},
+            base_version=stale["version"],
+            n_buckets=wh._manifest_buckets_n(stale),
+        )
+    except ConcurrentCommitError:
+        pass  # loud loser — the contract
+    else:
+        raise AssertionError("stale maintenance commit silently won")
+
+    return wh.table().groupBy("status").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("total"), 2).alias("total_revenue"),
+    )
