@@ -106,11 +106,174 @@ def time_op(spark, name: str, sf_dir: str) -> tuple[float, int]:
     return time.monotonic() - t0, n
 
 
+
+
+# ---------------------------------------------------------------------------
+# Warehouse DML/maintenance verbs at COPIES-x (VERDICT r10 ask #4):
+# assert the O(touched-buckets) claim EMPIRICALLY — files rewritten vs
+# total files out of the manifest diff, like the zorder row-group-
+# pruning pin — and record the wall times the README scale section
+# quotes.
+# ---------------------------------------------------------------------------
+
+DML_BUCKETS = 32
+DML_REBUCKETS = 64
+DML_DDL = "_id string, _rev string, status string, total double"
+
+
+def _bucket_files(wh, doc_type="_default"):
+    path = wh._table_path(doc_type)
+    m = wh._load_manifest(path)
+    return {int(b): sorted(fs) for b, fs in m["buckets"].items()}, m
+
+
+def _diff_buckets(before: dict, after: dict) -> list[int]:
+    keys = set(before) | set(after)
+    return sorted(b for b in keys if before.get(b) != after.get(b))
+
+
+def dml_stress(spark, base_sf: str, workdir: str, copies: int) -> list[str]:
+    from couchwarehouse_spark.warehouse import Warehouse
+
+    failures: list[str] = []
+    base_dir = os.path.join(workdir, "dml")
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    orders = load_table(spark, base_sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    fan = orders.select(
+        F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("c"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    key = F.col("o_orderkey") + F.col("c").cast("long") * ID_STRIDE
+
+    def build_feed(prefix: str, seq_off: int, out: str) -> None:
+        doc_id = F.concat(F.lit(prefix), key.cast("string"))
+        env = F.to_json(
+            F.struct(
+                F.concat((key + seq_off).cast("string"), F.lit("-seq")).alias("seq"),
+                doc_id.alias("id"),
+                F.struct(
+                    doc_id.alias("_id"),
+                    F.lit("1-x").alias("_rev"),
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_totalprice").alias("total"),
+                ).alias("doc"),
+            )
+        )
+        fan.select(env.alias("value")).write.mode("overwrite").text(out)
+
+    def check(label: str, cond: bool, detail) -> None:
+        print(f"  {label}: {'OK' if cond else 'FAIL'} ({detail})", flush=True)
+        if not cond:
+            failures.append(label)
+
+    feed_a = os.path.join(base_dir, "feed_a")
+    feed_b = os.path.join(base_dir, "feed_b")
+    # Disjoint id prefixes ("doc…"/"xdoc…"): wave B merges carry wave
+    # A part files forward by id-range pruning, so every bucket ends
+    # up fragmented (2 files) — compaction's precondition.
+    build_feed("doc", 0, feed_a)
+    build_feed("xdoc", 20 * ID_STRIDE, feed_b)
+
+    wh = Warehouse(
+        spark,
+        os.path.join(base_dir, "wh"),
+        "stressdml",
+        reset=True,
+        n_buckets=DML_BUCKETS,
+        feed_schema=DML_DDL,
+    )
+    t0 = time.monotonic()
+    wh.spool(feed_a)
+    wh.spool(feed_b)
+    t_spool = time.monotonic() - t0
+    n_rows = wh.table().count()
+    files0, _ = _bucket_files(wh)
+    total0 = sum(len(v) for v in files0.values())
+    frag = [b for b, fs in files0.items() if len(fs) > 1]
+    print(
+        f"dml warehouse: {n_rows} rows, {DML_BUCKETS} buckets, "
+        f"{total0} files ({len(frag)} fragmented), spool {t_spool:.1f}s",
+        flush=True,
+    )
+    check("two disjoint waves fragment buckets", len(frag) > 0, f"{len(frag)} buckets")
+
+    # 1. OPTIMIZE: rewrites exactly the fragmented buckets, nothing else.
+    t0 = time.monotonic()
+    n_rw = wh.compact(max_files_per_bucket=1)
+    t_compact = time.monotonic() - t0
+    files1, _ = _bucket_files(wh)
+    total1 = sum(len(v) for v in files1.values())
+    check(
+        f"compact rewrote exactly the fragmented buckets in {t_compact:.1f}s",
+        n_rw == len(frag) and total1 < total0,
+        f"rewrote {n_rw}/{len(frag)}, files {total0}->{total1}",
+    )
+
+    # 2. Narrow DELETE (3 ids): manifest diff touches <= 3 of 32
+    # buckets; every other bucket's file list carries BY REFERENCE.
+    first_keys = [r["o_orderkey"] for r in orders.limit(3).collect()]
+    ids = [f"doc{k}" for k in first_keys]
+    t0 = time.monotonic()
+    n_del = wh.delete_where(F.col("id").isin(ids))
+    t_del = time.monotonic() - t0
+    files2, _ = _bucket_files(wh)
+    changed = _diff_buckets(files1, files2)
+    check(
+        f"delete_where({len(ids)} ids) touched <= {len(ids)} buckets in {t_del:.1f}s",
+        n_del == len(ids) and len(changed) <= len(ids),
+        f"deleted {n_del}, rewrote buckets {changed} "
+        f"({sum(len(files2.get(b, [])) for b in changed)}/{total1} files)",
+    )
+
+    # 3. Narrow UPDATE (1 id): <= 1 bucket rewritten.
+    uid = f"xdoc{first_keys[0]}"
+    t0 = time.monotonic()
+    n_upd = wh.update_where(f"id = '{uid}'", {"total": "total + 1"})
+    t_upd = time.monotonic() - t0
+    files3, _ = _bucket_files(wh)
+    changed_u = _diff_buckets(files2, files3)
+    check(
+        f"update_where(1 id) touched <= 1 bucket in {t_upd:.1f}s",
+        n_upd == 1 and len(changed_u) <= 1,
+        f"updated {n_upd}, rewrote buckets {changed_u}",
+    )
+
+    # 4. REBUCKET (partition-strategy evolution): the one-time full
+    # relayout, after which narrow verbs prune against the NEW units.
+    t0 = time.monotonic()
+    wh.rebucket(DML_REBUCKETS)
+    t_reb = time.monotonic() - t0
+    files4, m4 = _bucket_files(wh)
+    check(
+        f"rebucket({DML_REBUCKETS}) relaid out in {t_reb:.1f}s",
+        int(m4["n_buckets"]) == DML_REBUCKETS and wh.table().count() == n_rows - n_del,
+        f"n_buckets={m4['n_buckets']}, rows={n_rows - n_del}",
+    )
+    t0 = time.monotonic()
+    n_del2 = wh.delete_where(f"id = '{uid}'")
+    t_del2 = time.monotonic() - t0
+    files5, _ = _bucket_files(wh)
+    changed_r = _diff_buckets(files4, files5)
+    check(
+        f"post-rebucket delete_where(1 id) touched <= 1 of {DML_REBUCKETS} in {t_del2:.1f}s",
+        n_del2 == 1 and len(changed_r) <= 1,
+        f"deleted {n_del2}, rewrote buckets {changed_r}",
+    )
+    return failures
+
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--workdir", default="/tmp/cw_stress_10x")
+    ap.add_argument("--skip-dml", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark(app_name="stress_10x")
@@ -145,6 +308,10 @@ def main() -> None:
         )
         if not ok:
             failures.append(name)
+
+    if not args.skip_dml:
+        print("--- warehouse DML/maintenance verbs ---", flush=True)
+        failures += dml_stress(spark, args.sf, args.workdir, args.copies)
 
     shutil.rmtree(args.workdir, ignore_errors=True)
     if failures:
