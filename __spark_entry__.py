@@ -102,6 +102,14 @@ PRIORITY = [
     # --- new round-11 entries (inserted as they land, displacing the
     # stalest-r03 tail below) ---
     "concurrent_compact_ingest_e2e",
+    "merge_into_upsert_e2e",
+    "analyze_stats_e2e",
+    "asof_timestamp_read_e2e",
+    "jarque_bera_normality",
+    "mantel_haenszel_or",
+    "yule_walker_ar2",
+    "gpd_pot_tail_fit",
+    "srm_guardrail_check",
     # --- 4 family reps (skew / multimodal / dedup / sampling — the
     # stalest eligible member of each family) ---
     "key_skew_audit",
@@ -126,14 +134,6 @@ PRIORITY = [
     "agg_stats",
     "array_functions",
     "asof_last_view",
-    "big_spenders_semi",
-    "bm25_relevance",
-    "cte_above_avg_customers",
-    "doc_chunking",
-    "flatten_props",
-    "full_text_relevance",
-    "graph_pagerank_step",
-    "grouping_sets_orders",
 ]
 
 

@@ -6552,3 +6552,523 @@ def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 additions: normality screen, stratified odds ratio, AR(2)
+# fit, EVT peaks-over-threshold fit, and the SRM assignment guardrail.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "jarque_bera_normality",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY day
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x * x) AS BIGINT) AS s2
+      FROM daily
+    ),
+    z AS (
+      SELECT n,
+             (x - CAST(s1 AS DOUBLE) / n)
+               / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / n) AS z
+      FROM daily CROSS JOIN tot
+    ),
+    q AS (
+      SELECT CAST(min(n) AS BIGINT) AS n,
+             CAST(sum(CAST(round(1000000 * z * z * z) AS BIGINT))
+                  AS BIGINT) AS z3_micro,
+             CAST(sum(CAST(round(1000000 * z * z * z * z) AS BIGINT))
+                  AS BIGINT) AS z4_micro
+      FROM z
+    )
+    SELECT n AS n_days, z3_micro, z4_micro,
+           round(z3_micro / (1000000.0 * n), 4) AS skewness,
+           round(z4_micro / (1000000.0 * n), 4) AS kurtosis,
+           round((n / 6.0)
+                 * (pow(z3_micro / (1000000.0 * n), 2)
+                    + pow(z4_micro / (1000000.0 * n) - 3, 2) / 4), 4) AS jb_stat,
+           (n / 6.0) * (pow(z3_micro / (1000000.0 * n), 2)
+                        + pow(z4_micro / (1000000.0 * n) - 3, 2) / 4)
+             <= 5.991464 AS looks_normal
+    FROM q
+    """,
+)
+def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality screen over the daily event-count series
+    (Jarque & Bera 1980 — the moment-based omnibus test: JB =
+    n/6·(S² + (K−3)²/4) ~ chi²(2) under normality; the gate before
+    anything downstream assumes Gaussian residuals — control charts,
+    z-intervals, Grubbs). Complements ``grubbs_outlier_test`` (single
+    worst point) with a WHOLE-SHAPE verdict.
+
+    Exactness: n/S1/S2 are integer aggregates; each day's
+    standardized residual z = (x − S1/n)/sqrt((S2 − S1²/n)/n) is one
+    fixed IEEE dag (division and sqrt are correctly rounded, so both
+    engines produce the identical double), its cube/fourth power
+    quantize to integer micro units BEFORE the sum (the ln-reduce
+    idiom applied to polynomial terms), and skewness/kurtosis/JB are
+    one float dag off the two integer sums. v^1.5 is avoided
+    entirely by standardizing per term. |z| stays O(10), so the
+    micro-quantized powers are far from BIGINT range at any corpus
+    size.
+
+    Scale: one date hash agg, a broadcast one-row moment total, and
+    a second one-row reduce over the collapsed daily grid.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    z = daily.crossJoin(F.broadcast(tot)).select(
+        "n",
+        (
+            (F.col("x") - F.col("s1").cast("double") / F.col("n"))
+            / F.sqrt(
+                (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+                / F.col("n")
+            )
+        ).alias("z"),
+    )
+    q = z.agg(
+        F.min("n").cast("long").alias("n"),
+        F.sum(F.round(1_000_000 * F.col("z") * F.col("z") * F.col("z")).cast("long"))
+        .cast("long")
+        .alias("z3_micro"),
+        F.sum(
+            F.round(
+                1_000_000 * F.col("z") * F.col("z") * F.col("z") * F.col("z")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("z4_micro"),
+    )
+    skew = F.col("z3_micro") / (1_000_000.0 * F.col("n"))
+    kurt = F.col("z4_micro") / (1_000_000.0 * F.col("n"))
+    jb = (F.col("n") / 6.0) * (
+        F.pow(skew, 2) + F.pow(kurt - 3, 2) / 4
+    )
+    return q.select(
+        F.col("n").alias("n_days"),
+        "z3_micro",
+        "z4_micro",
+        F.round(skew, 4).alias("skewness"),
+        F.round(kurt, 4).alias("kurtosis"),
+        F.round(jb, 4).alias("jb_stat"),
+        (jb <= 5.991464).alias("looks_normal"),
+    )
+
+
+MH_EXPOSED_LANG = "en"  # exposure arm for the stratified 2x2 tables
+
+
+@query(
+    "mantel_haenszel_or",
+    oracle=f"""
+    WITH vh AS (
+      SELECT CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vh),
+    vcum AS (
+      SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS vc FROM vh
+    ),
+    med AS (
+      SELECT CAST(min(v) AS BIGINT) AS m
+      FROM vcum CROSS JOIN tot WHERE vc >= (50 * n + 99) // 100
+    ),
+    cells AS (
+      SELECT source,
+             CAST(count(*) FILTER (lang = '{MH_EXPOSED_LANG}' AND n_chars >= m)
+                  AS BIGINT) AS a,
+             CAST(count(*) FILTER (lang = '{MH_EXPOSED_LANG}' AND n_chars < m)
+                  AS BIGINT) AS b,
+             CAST(count(*) FILTER (lang <> '{MH_EXPOSED_LANG}' AND n_chars >= m)
+                  AS BIGINT) AS c,
+             CAST(count(*) FILTER (lang <> '{MH_EXPOSED_LANG}' AND n_chars < m)
+                  AS BIGINT) AS d
+      FROM documents CROSS JOIN med
+      GROUP BY source
+    ),
+    terms AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(CAST(round(1000000.0 * a * d / (a + b + c + d))
+                           AS BIGINT)) AS BIGINT) AS num_micro,
+             CAST(sum(CAST(round(1000000.0 * b * c / (a + b + c + d))
+                           AS BIGINT)) AS BIGINT) AS den_micro,
+             CAST(sum(a) AS BIGINT) AS pa, CAST(sum(b) AS BIGINT) AS pb,
+             CAST(sum(c) AS BIGINT) AS pc, CAST(sum(d) AS BIGINT) AS pd
+      FROM cells
+    )
+    SELECT n_strata, num_micro, den_micro,
+           round(CAST(num_micro AS DOUBLE) / nullif(den_micro, 0), 4)
+             AS or_mantel_haenszel,
+           round(CAST(pa * pd AS DOUBLE) / nullif(pb * pc, 0), 4)
+             AS or_crude_pooled
+    FROM terms
+    """,
+)
+def mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio (Mantel & Haenszel 1959 —
+    THE stratified 2x2 estimator: association between exposure
+    (lang = '{MH_EXPOSED_LANG}') and outcome (doc length ≥ global
+    median) pooled ACROSS source strata, weighting each stratum by
+    b·c/n). Reported beside the crude pooled OR: the gap between
+    them is confounding-by-source made visible — the 2x2 counterpart
+    of ``simpsons_paradox_scan``'s continuous decomposition.
+
+    Exactness: the median threshold is the exact rank-⌈n/2⌉ order
+    statistic off the value histogram (integral div rank, both
+    lanes); the 2x2 cells are integer conditional counts; each
+    stratum's a·d/n and b·c/n quantize ONCE to micro units and the
+    cross-stratum reduce is an integer sum; both ORs are one float
+    division, nullif-guarded for empty denominators.
+
+    Scale: one histogram + one broadcast scalar median + one
+    per-source conditional aggregate — strata count bounds every
+    later frame.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vh = d.groupBy(F.col("n_chars").cast("long").alias("v")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = vh.agg(F.sum("cnt").cast("long").alias("n"))
+    w_v = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    vcum = vh.select("v", F.sum("cnt").over(w_v).cast("long").alias("vc"))
+    med = (
+        vcum.crossJoin(F.broadcast(tot))
+        .filter(F.col("vc") >= F.expr("(50 * n + 99) div 100"))
+        .agg(F.min("v").cast("long").alias("m"))
+    )
+    exposed = F.col("lang") == MH_EXPOSED_LANG
+    outcome = F.col("n_chars") >= F.col("m")
+    cells = (
+        d.crossJoin(F.broadcast(med))
+        .groupBy("source")
+        .agg(
+            F.count_if(exposed & outcome).cast("long").alias("a"),
+            F.count_if(exposed & ~outcome).cast("long").alias("b"),
+            F.count_if(~exposed & outcome).cast("long").alias("c"),
+            F.count_if(~exposed & ~outcome).cast("long").alias("d"),
+        )
+    )
+    n_i = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    terms = cells.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum(F.round(1_000_000.0 * F.col("a") * F.col("d") / n_i).cast("long"))
+        .cast("long")
+        .alias("num_micro"),
+        F.sum(F.round(1_000_000.0 * F.col("b") * F.col("c") / n_i).cast("long"))
+        .cast("long")
+        .alias("den_micro"),
+        F.sum("a").cast("long").alias("pa"),
+        F.sum("b").cast("long").alias("pb"),
+        F.sum("c").cast("long").alias("pc"),
+        F.sum("d").cast("long").alias("pd"),
+    )
+    return terms.select(
+        "n_strata",
+        "num_micro",
+        "den_micro",
+        F.round(
+            F.col("num_micro").cast("double") / F.nullif(F.col("den_micro"), F.lit(0)),
+            4,
+        ).alias("or_mantel_haenszel"),
+        F.round(
+            (F.col("pa") * F.col("pd")).cast("double")
+            / F.nullif(F.col("pb") * F.col("pc"), F.lit(0)),
+            4,
+        ).alias("or_crude_pooled"),
+    )
+
+
+@query(
+    "yule_walker_ar2",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY day
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM daily
+    ),
+    y AS (
+      SELECT CAST(n * x - s AS BIGINT) AS y,
+             CAST(lead(n * x - s, 1) OVER (ORDER BY day) AS BIGINT) AS y1,
+             CAST(lead(n * x - s, 2) OVER (ORDER BY day) AS BIGINT) AS y2
+      FROM daily CROSS JOIN tot
+    ),
+    c AS (
+      SELECT CAST(sum(y * y) AS BIGINT) AS c0,
+             CAST(sum(y * y1) AS BIGINT) AS c1,
+             CAST(sum(y * y2) AS BIGINT) AS c2
+      FROM y
+    )
+    SELECT c0 AS c0_num, c1 AS c1_num, c2 AS c2_num,
+           round((CAST(c1 AS DOUBLE) / c0)
+                 * (1 - CAST(c2 AS DOUBLE) / c0)
+                 / nullif(1 - pow(CAST(c1 AS DOUBLE) / c0, 2), 0), 6) AS phi1,
+           round((CAST(c2 AS DOUBLE) / c0
+                  - pow(CAST(c1 AS DOUBLE) / c0, 2))
+                 / nullif(1 - pow(CAST(c1 AS DOUBLE) / c0, 2), 0), 6) AS phi2
+    FROM c
+    """,
+)
+def yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) fit by the Yule-Walker equations over the daily event-
+    count series (Yule 1927 / Walker 1931 — the classical
+    autoregression solve from sample autocovariances: phi1 =
+    r1(1−r2)/(1−r1²), phi2 = (r2−r1²)/(1−r1²); the model selection
+    rung above ``event_autocorrelation``'s raw ACF and the
+    forecasting complement to ``holt_linear_backtest``).
+
+    Exactness: the mean clears WITHOUT division via y_i = n·x_i − S
+    (integer, the Hurst/Grubbs idiom), so every lagged
+    autocovariance numerator c_k = Σ y_i·y_{i+k} is an exact BIGINT
+    that crosses the oracle (the shared n² factor cancels in every
+    ratio); phi1/phi2 are one float dag off the three integers,
+    nullif-guarded for the degenerate |r1| = 1 series. Truncated
+    (non-circular) lags: the lead() rows past the end drop from each
+    sum in both lanes.
+
+    Scale: one date hash agg, then a 2-lag window over the collapsed
+    daily grid — bounded by the calendar, never the event count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    w = Window.orderBy("day")
+    y = daily.crossJoin(F.broadcast(tot)).select(
+        (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("y"),
+        F.lead(F.col("n") * F.col("x") - F.col("s"), 1)
+        .over(w)
+        .cast("long")
+        .alias("y1"),
+        F.lead(F.col("n") * F.col("x") - F.col("s"), 2)
+        .over(w)
+        .cast("long")
+        .alias("y2"),
+    )
+    c = y.agg(
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("c0"),
+        F.sum(F.col("y") * F.col("y1")).cast("long").alias("c1"),
+        F.sum(F.col("y") * F.col("y2")).cast("long").alias("c2"),
+    )
+    r1 = F.col("c1").cast("double") / F.col("c0")
+    r2 = F.col("c2").cast("double") / F.col("c0")
+    den = F.nullif(1 - F.pow(r1, 2), F.lit(0.0))
+    return c.select(
+        F.col("c0").alias("c0_num"),
+        F.col("c1").alias("c1_num"),
+        F.col("c2").alias("c2_num"),
+        F.round(r1 * (1 - r2) / den, 6).alias("phi1"),
+        F.round((r2 - F.pow(r1, 2)) / den, 6).alias("phi2"),
+    )
+
+
+GPD_U_PCT = 95  # peaks-over-threshold: exceedances above the exact p95
+
+
+@query(
+    "gpd_pot_tail_fit",
+    oracle=f"""
+    WITH vh AS (
+      SELECT CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vh),
+    vcum AS (
+      SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS vc FROM vh
+    ),
+    th AS (
+      SELECT CAST(min(v) AS BIGINT) AS u
+      FROM vcum CROSS JOIN tot WHERE vc >= ({GPD_U_PCT} * n + 99) // 100
+    ),
+    exc AS (
+      SELECT v - u AS z, cnt,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_prev
+      FROM vh CROSS JOIN th WHERE v > u
+    ),
+    s AS (
+      SELECT CAST(min(u) AS BIGINT) AS u,
+             CAST(sum(cnt) AS BIGINT) AS n_exceed,
+             CAST(sum(z * cnt) AS BIGINT) AS b0_num,
+             CAST(sum(z * (cnt * cum_prev + (cnt * (cnt - 1)) // 2))
+                  AS BIGINT) AS b1_num
+      FROM exc CROSS JOIN th
+    )
+    SELECT u, n_exceed, b0_num, b1_num,
+           round(2 - (CAST(b0_num AS DOUBLE) / n_exceed)
+                 / nullif(CAST(b0_num AS DOUBLE) / n_exceed
+                          - 2.0 * b1_num / (n_exceed * (n_exceed - 1.0)), 0),
+                 4) AS gpd_xi,
+           round(2 * (CAST(b0_num AS DOUBLE) / n_exceed)
+                   * (b1_num / (n_exceed * (n_exceed - 1.0)))
+                 / nullif(CAST(b0_num AS DOUBLE) / n_exceed
+                          - 2.0 * b1_num / (n_exceed * (n_exceed - 1.0)), 0),
+                 4) AS gpd_sigma
+    FROM s
+    """,
+)
+def gpd_pot_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized Pareto peaks-over-threshold fit by probability-
+    weighted moments (Hosking & Wallis 1987 — THE other extreme-value
+    method beside ``hill_tail_index``'s block-free Hill estimator:
+    model the exceedances z = x − u above a high threshold u as
+    GPD(xi, sigma); xi > 0 is the heavy-tail regime, and
+    sigma/(1−xi) + u estimates the tail mean — the capacity number a
+    pipeline budgeter actually wants). u is the exact p95 order
+    statistic.
+
+    Exactness: u comes off the value histogram at the integral-div
+    rank; exceedances are integers; b0's numerator is Σ z·cnt and
+    b1's uses the TIE-EXACT rank-weight identity Σ_{{j in group}}
+    (j−1) = cnt·cum_prev + C(cnt,2) — a pure integer per distinct
+    value, so both PWM numerators cross the oracle as BIGINTs and
+    xi/sigma are one float dag (PWM: xi = 2 − b0/(b0 − 2·b1),
+    sigma = 2·b0·b1/(b0 − 2·b1)), nullif-guarded at b0 = 2·b1.
+
+    Scale: histogram + broadcast scalar threshold + one window over
+    the exceedance VALUE DOMAIN (≤ distinct lengths above p95) —
+    the tail of a petabyte corpus reduces to its value support.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vh = d.groupBy(F.col("n_chars").cast("long").alias("v")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    vh = scoped_persist(vh)
+    tot = vh.agg(F.sum("cnt").cast("long").alias("n"))
+    w_v = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    vcum = vh.select("v", F.sum("cnt").over(w_v).cast("long").alias("vc"))
+    th = (
+        vcum.crossJoin(F.broadcast(tot))
+        .filter(F.col("vc") >= F.expr(f"({GPD_U_PCT} * n + 99) div 100"))
+        .agg(F.min("v").cast("long").alias("u"))
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    exc = (
+        vh.crossJoin(F.broadcast(th))
+        .filter(F.col("v") > F.col("u"))
+        .select(
+            "u",
+            (F.col("v") - F.col("u")).alias("z"),
+            "cnt",
+            F.coalesce(F.sum("cnt").over(w_prev), F.lit(0))
+            .cast("long")
+            .alias("cum_prev"),
+        )
+    )
+    s = exc.agg(
+        F.min("u").cast("long").alias("u"),
+        F.sum("cnt").cast("long").alias("n_exceed"),
+        F.sum(F.col("z") * F.col("cnt")).cast("long").alias("b0_num"),
+        F.sum(
+            F.col("z")
+            * (
+                F.col("cnt") * F.col("cum_prev")
+                + F.expr("(cnt * (cnt - 1)) div 2")
+            )
+        )
+        .cast("long")
+        .alias("b1_num"),
+    )
+    b0 = F.col("b0_num").cast("double") / F.col("n_exceed")
+    b1 = F.col("b1_num") / (F.col("n_exceed") * (F.col("n_exceed") - 1.0))
+    den = F.nullif(b0 - 2.0 * b1, F.lit(0.0))
+    return s.select(
+        "u",
+        "n_exceed",
+        "b0_num",
+        "b1_num",
+        F.round(2 - b0 / den, 4).alias("gpd_xi"),
+        F.round(2 * b0 * b1 / den, 4).alias("gpd_sigma"),
+    )
+
+
+SRM_CHI2_CRIT = 3.841459  # chi^2(1) at alpha = 0.05
+
+
+@query(
+    "srm_guardrail_check",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+      SELECT CASE WHEN substring(md5(concat('srm|',
+                    CAST(user_id AS VARCHAR))), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7')
+             THEN 1 ELSE 0 END AS a
+      FROM users
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS n_a
+      FROM arms
+    )
+    SELECT n AS n_users, n_a, CAST(n - n_a AS BIGINT) AS n_b,
+           round(CAST((2 * n_a - n) * (2 * n_a - n) AS DOUBLE) / n, 4)
+             AS chi2_stat,
+           CAST((2 * n_a - n) * (2 * n_a - n) AS DOUBLE) / n
+             > {SRM_CHI2_CRIT} AS srm_detected
+    FROM s
+    """,
+)
+def srm_guardrail_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (Fabijan et al. KDD'19 — the
+    first check every experimentation platform runs BEFORE reading a
+    metric: under a 50/50 split, chi² = (n_A − n_B)²/n against
+    chi²(1); a triggered SRM means the assignment or logging pipeline
+    is broken and every downstream p-value — the z-test, CUPED, the
+    permutation test — is void). Deterministic md5 bucketing stands
+    in for the production assignment log, as in
+    ``permutation_test_ab``/``capture_recapture_estimate``.
+
+    Exactness: the chi² numerator is the exact integer (2·n_A − n)²;
+    one float division, one literal-threshold comparison — both
+    lanes state the identical verdict boolean.
+
+    Scale: a distinct on user_id and one global conditional sum —
+    two longs cross the exchange; no joins, no windows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arms = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            F.substring(
+                F.md5(F.concat(F.lit("srm|"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            )
+            .isin(*"01234567")
+            .cast("int")
+            .alias("a")
+        )
+    )
+    s = arms.agg(
+        F.count("*").cast("long").alias("n"), F.sum("a").cast("long").alias("n_a")
+    )
+    dev = 2 * F.col("n_a") - F.col("n")
+    chi2 = (dev * dev).cast("double") / F.col("n")
+    return s.select(
+        F.col("n").alias("n_users"),
+        "n_a",
+        (F.col("n") - F.col("n_a")).cast("long").alias("n_b"),
+        F.round(chi2, 4).alias("chi2_stat"),
+        (chi2 > SRM_CHI2_CRIT).alias("srm_detected"),
+    )

@@ -1241,3 +1241,266 @@ def rebucket_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         F.round(F.sum("total"), 2).alias("total_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: MERGE INTO, ANALYZE, and TIMESTAMP AS OF under the oracle
+# gate — the remaining pytest-only warehouse verbs.
+# ---------------------------------------------------------------------------
+
+MI_SUBSET = 29  # merge_into e2e feeds only o_orderkey % 29 == 0
+
+
+@query(
+    "merge_into_upsert_e2e",
+    oracle=f"""
+    WITH s AS (
+      SELECT * FROM orders WHERE o_orderkey % {MI_SUBSET} = 0
+    ),
+    final AS (
+      SELECT CASE WHEN o_orderkey % {AMEND} = 0 AND o_orderkey % {DELETE} <> 0
+                  THEN 'merged' ELSE o_orderstatus END   AS status,
+             CASE WHEN o_orderkey % {AMEND} = 0 AND o_orderkey % {DELETE} <> 0
+                  THEN o_totalprice + 10 ELSE o_totalprice END AS total
+      FROM s WHERE o_orderkey % {DELETE} <> 0
+      UNION ALL
+      SELECT 'newrow', o_totalprice FROM s WHERE o_orderkey % 3 = 0
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT)  AS n_rows,
+           round(sum(total), 2)      AS total_value
+    FROM final
+    GROUP BY 1
+    """,
+)
+def merge_into_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct-DataFrame MERGE INTO under the oracle gate (Delta's
+    ``MERGE ... WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT
+    MATCHED INSERT``, keyed on id) — until now pytest-only
+    (tests/test_warehouse.py): a spooled base table takes ONE
+    ``merge_into`` batch that simultaneously updates matched rows
+    (status → 'merged', total + 10), tombstones matched rows
+    (``delete_col``), and inserts brand-new ids ('morder…'), then the
+    SAME frame REPLAYS — the docstring's idempotent-by-content claim
+    — before the census crosses the oracle. The oracle states the
+    post-merge answer straight from ``orders``; a double-applied
+    update (total + 20), a resurrected delete, or a duplicated insert
+    flips a count or a sum.
+
+    In-entry asserts: the first merge's applied-row count is exactly
+    updates + inserts + MATCHED deletes (a tombstone for an absent id
+    is a no-op and must not count), and the replay counts only
+    updates + inserts (its deletes no longer match anything).
+
+    Scale: merge_into reuses the bucket-pruned incremental merge —
+    only buckets the incoming ids hash into rewrite; the seq probe is
+    one partial-aggregated max.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_mi_{tag}")
+    wh_dir = os.path.join(base, "wh")
+    feed_dir = os.path.join(base, "feed")
+    shutil.rmtree(base, ignore_errors=True)
+
+    _build_feed(spark, sf_dir, feed_dir, phase=1, subset=MI_SUBSET)
+    wh = Warehouse(spark, wh_dir, "miorders", reset=True, feed_schema=FEED_DOC_DDL)
+    wh.spool(feed_dir)
+
+    s = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % MI_SUBSET == 0
+    )
+    key = F.col("o_orderkey")
+    oid = F.concat(F.lit("order"), key.cast("string"))
+    upd = s.filter((key % AMEND == 0) & (key % DELETE != 0)).select(
+        oid.alias("id"),
+        F.lit("2-m").alias("rev"),
+        F.lit("merged").alias("status"),
+        (F.col("o_totalprice") + 10).alias("total"),
+        F.col("o_custkey").alias("customer_id"),
+        F.lit(False).alias("gone"),
+    )
+    dels = s.filter(key % DELETE == 0).select(
+        oid.alias("id"),
+        F.lit(None).cast("string").alias("rev"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("total"),
+        F.lit(None).cast("long").alias("customer_id"),
+        F.lit(True).alias("gone"),
+    )
+    ins = s.filter(key % 3 == 0).select(
+        F.concat(F.lit("morder"), key.cast("string")).alias("id"),
+        F.lit("1-m").alias("rev"),
+        F.lit("newrow").alias("status"),
+        F.col("o_totalprice").alias("total"),
+        F.col("o_custkey").alias("customer_id"),
+        F.lit(False).alias("gone"),
+    )
+    incoming = upd.unionByName(dels).unionByName(ins)
+    n_upd, n_del, n_ins = upd.count(), dels.count(), ins.count()
+    n1 = wh.merge_into(incoming, delete_col="gone")
+    assert n1 == n_upd + n_ins + n_del, (n1, n_upd, n_ins, n_del)
+    # Replay the SAME frame: updates/inserts re-apply with identical
+    # content; the deletes' ids are gone, so they are no-ops.
+    n2 = wh.merge_into(incoming, delete_col="gone")
+    assert n2 == n_upd + n_ins, (n2, n_upd, n_ins)
+
+    return wh.table().groupBy("status").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.sum("total"), 2).alias("total_value"),
+    )
+
+
+AZ_SUBSET = 31  # analyze e2e feeds only o_orderkey % 31 == 0
+
+
+@query(
+    "analyze_stats_e2e",
+    oracle=f"""
+    WITH survivors AS (
+      SELECT concat('order', CAST(o_orderkey AS VARCHAR)) AS id,
+             o_totalprice AS total
+      FROM orders
+      WHERE o_orderkey % {AZ_SUBSET} = 0 AND o_orderkey % {DELETE} <> 0
+    )
+    SELECT CAST(count(*) AS BIGINT)   AS n_rows,
+           CAST(0 AS BIGINT)          AS n_total_nulls,
+           round(min(total), 2)       AS min_total,
+           round(max(total), 2)       AS max_total,
+           min(id)                    AS min_id,
+           max(id)                    AS max_id
+    FROM survivors
+    """,
+)
+def analyze_stats_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE under the oracle gate: after a full
+    insert+amend+tombstone spool, ``analyze()`` scans the current
+    version's files once and commits per-file column statistics
+    (min / max / nulls / rows) as a metadata-only version; the entry
+    then answers the oracle's question FROM THE RECORDED STATS ALONE
+    — no data read. The oracle states count/min/max straight from
+    ``orders``, so a hash match certifies the statistics a cost-based
+    planner or a stat-skipping reader would trust are exactly right
+    (a stale file's stats surviving a merge, or a min/max computed
+    over superseded rows, flips a value).
+
+    In-entry asserts pin the incremental contract: the first
+    ``analyze()`` scans every referenced file, an immediate second
+    one scans ZERO (files are immutable; stats key by file identity),
+    and after a 1-id ``delete_where`` the third scans only the
+    rewritten bucket's files.
+
+    Scale: ANALYZE is one distributed pass grouped by file, driver
+    traffic is one result row per file, and incrementality means
+    steady-state re-ANALYZE cost tracks the merge rate, not the
+    table size.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_az_{tag}")
+    wh_dir = os.path.join(base, "wh")
+    feed_dir = os.path.join(base, "feed")
+    shutil.rmtree(base, ignore_errors=True)
+
+    _build_feed(spark, sf_dir, feed_dir, subset=AZ_SUBSET)
+    wh = Warehouse(spark, wh_dir, "azorders", reset=True, feed_schema=FEED_DOC_DDL)
+    wh.spool(feed_dir)
+
+    path = wh._table_path("_default")
+    n_files = sum(
+        len(fs) for fs in wh._load_manifest(path)["buckets"].values()
+    )
+    n1 = wh.analyze()
+    assert n1 == n_files, (n1, n_files)
+    assert wh.analyze() == 0, "re-ANALYZE of unchanged files must scan nothing"
+    victim = wh.table().select("id").orderBy("id").limit(1).collect()[0]["id"]
+    assert wh.delete_where(f"id = '{victim}'") == 1
+    n3 = wh.analyze()
+    assert 0 < n3 < n_files, (n3, n_files)
+
+    stats = wh._load_manifest(path)["column_stats"]
+    n_rows = n_nulls = 0
+    mins_t, maxs_t, mins_i, maxs_i = [], [], [], []
+    for per_file in stats.values():
+        for entry in per_file.values():
+            n_rows += entry["_rows"]
+            n_nulls += entry["total"]["nulls"]
+            mins_t.append(entry["total"]["min"])
+            maxs_t.append(entry["total"]["max"])
+            mins_i.append(entry["id"]["min"])
+            maxs_i.append(entry["id"]["max"])
+    # The deleted row was the lexicographic min id; fold it back so
+    # the oracle can state the census without modeling the victim.
+    mins_i.append(victim)
+    row_sql = (
+        f"SELECT CAST({n_rows + 1} AS BIGINT) AS n_rows, "
+        f"CAST({n_nulls} AS BIGINT) AS n_total_nulls, "
+        f"round(CAST('{min(mins_t)!r}' AS DOUBLE), 2) AS min_total, "
+        f"round(CAST('{max(maxs_t)!r}' AS DOUBLE), 2) AS max_total, "
+        f"'{min(mins_i)}' AS min_id, "
+        f"'{max(maxs_i)}' AS max_id"
+    )
+    return spark.sql(row_sql)
+
+
+AO_SUBSET = 37  # timestamp-as-of e2e feeds only o_orderkey % 37 == 0
+
+
+@query(
+    "asof_timestamp_read_e2e",
+    oracle=f"""
+    SELECT o_orderstatus                 AS status,
+           CAST(count(*) AS BIGINT)      AS n_orders,
+           round(sum(o_totalprice), 2)   AS total_revenue
+    FROM orders
+    WHERE o_orderkey % {AO_SUBSET} = 0
+    GROUP BY 1
+    """,
+)
+def asof_timestamp_read_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TIMESTAMP AS OF`` under the oracle gate (Delta's second
+    time-travel axis; ``time_travel_cdc`` proves ``VERSION AS OF``):
+    two spools commit two versions, and the entry reads the table AT
+    an instant strictly between their commit timestamps — the oracle
+    states the PHASE-1 census (inserts only, no amendments, no
+    deletes), so the read must resolve to version 1 by timestamp
+    alone. A resolution to the head (amended statuses, missing
+    deleted rows) or an off-by-one at the boundary flips counts.
+
+    In-entry asserts pin the boundary semantics: an ``as_of_ts``
+    exactly equal to a commit's timestamp resolves to THAT version
+    (at-or-before is inclusive), and an instant before the first
+    retained commit raises loudly rather than returning an empty
+    frame.
+
+    Scale: timestamp resolution is a scan of retained manifest JSONs
+    (bounded by retention), then the ordinary snapshot read.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_ao_{tag}")
+    wh_dir = os.path.join(base, "wh")
+    shutil.rmtree(base, ignore_errors=True)
+
+    feed1, feed2 = _build_two_phase_feeds(
+        spark, sf_dir, os.path.join(base, "feeds"), AO_SUBSET
+    )
+    wh = Warehouse(spark, wh_dir, "aoorders", reset=True, feed_schema=FEED_DOC_DDL)
+    wh.spool(feed1)
+    wh.spool(feed2)
+
+    path = wh._table_path("_default")
+    m1 = wh._load_manifest(path, version=1)
+    m2 = wh._load_manifest(path, version=2)
+    assert float(m2["ts"]) > float(m1["ts"]), (m1["ts"], m2["ts"])
+    mid = (float(m1["ts"]) + float(m2["ts"])) / 2.0
+    assert wh._version_at(path, mid) == 1
+    assert wh._version_at(path, float(m2["ts"])) == 2, "at-or-before is inclusive"
+    try:
+        wh._version_at(path, float(m1["ts"]) - 1e6)
+    except ValueError:
+        pass  # loud failure before the first retained commit
+    else:
+        raise AssertionError("pre-history as_of_ts returned a version")
+
+    return wh.table(as_of_ts=mid).groupBy("status").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("total"), 2).alias("total_revenue"),
+    )
