@@ -133,7 +133,7 @@ PRIORITY = [
     # entries, from the BOTTOM up) ---
     "agg_stats",
     "array_functions",
-    "asof_last_view",
+    "tf_idf_top_terms",
 ]
 
 
