@@ -110,6 +110,9 @@ PRIORITY = [
     "yule_walker_ar2",
     "gpd_pot_tail_fit",
     "srm_guardrail_check",
+    "jaccard_pa_linkpred",
+    "local_clustering_coefficient",
+    "winnowing_fingerprints",
     # --- 4 family reps (skew / multimodal / dedup / sampling — the
     # stalest eligible member of each family) ---
     "key_skew_audit",
@@ -127,11 +130,8 @@ PRIORITY = [
     "rollup_priority_status",
     "set_except_nations",
     "set_intersect_brands",
-    "set_union_nations",
-    "top_revenue_orders",
     # --- r03-cohort fill, alphabetical (displaced first by new r11
     # entries, from the BOTTOM up) ---
-    "agg_stats",
     "array_functions",
     "tf_idf_top_terms",
 ]

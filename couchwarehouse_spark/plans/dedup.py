@@ -2618,3 +2618,153 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("agree_acctbal_kilo", "agree_name_digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: winnowing minimizer fingerprints (the MOSS sketch).
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # shingle width (word 3-grams, the doc_fingerprints unit)
+WINNOW_W = 4  # winnowing window: one minimizer guaranteed per w shingles
+WINNOW_DF_CAP = 50  # minimizers in more docs than this are boilerplate
+WINNOW_TOP_K = 20  # reported head of the shared-minimizer pair ranking
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - {WINNOW_K} + 2),
+               i -> md5(concat_ws(' ', t[i], t[i + 1], t[i + 2]))) AS h
+      FROM toks WHERE len(t) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    mins AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(h) - {WINNOW_W} + 2),
+               p -> list_min(h[p:p + {WINNOW_W - 1}])))) AS m
+      FROM hs
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_min FROM mins GROUP BY doc_id
+    ),
+    df AS (
+      SELECT m FROM mins GROUP BY m HAVING count(*) <= {WINNOW_DF_CAP}
+    ),
+    keep AS (SELECT doc_id, m FROM mins SEMI JOIN df USING (m)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared_minimizers
+      FROM keep a JOIN keep b ON a.m = b.m AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared_minimizers,
+           sa.n_min AS n_min_a, sb.n_min AS n_min_b,
+           round(CAST(round(1000000.0 * shared_minimizers
+                            / (sa.n_min + sb.n_min - shared_minimizers))
+                      AS BIGINT) / 1000000.0, 6) AS minimizer_jaccard
+    FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY shared_minimizers DESC,
+             CAST(round(1000000.0 * shared_minimizers
+                        / (sa.n_min + sb.n_min - shared_minimizers))
+                  AS BIGINT) DESC,
+             doc_a, doc_b
+    LIMIT {WINNOW_TOP_K}
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing minimizer fingerprints (Schleimer, Wilkerson & Aiken
+    SIGMOD'03 — the MOSS local fingerprinting algorithm, and the same
+    minimizer idea genomics mappers run at petabyte scale): hash every
+    word {WINNOW_K}-gram, slide a window of {WINNOW_W} hashes, and
+    keep each window's MINIMUM — guaranteeing a fingerprint at least
+    every {WINNOW_W} shingles (the detection floor MinHash can't
+    promise: winnowing is position-robust and detects any shared run
+    of >= k + w − 1 tokens, not just whole-doc similarity). The
+    distinct minimizer sets then rank document pairs by shared count,
+    with the minimizer-set Jaccard beside it — the cheap
+    guaranteed-coverage complement to ``minhash_lsh_candidates``
+    (probabilistic) and ``doc_fingerprints`` (one min per doc).
+
+    Exactness: md5 hex strings order identically in both engines, so
+    each window minimum and each distinct set are identical; shared
+    counts and set sizes are integers; the Jaccard quantizes once to
+    micro units inside the integer tie-broken ORDER BY. Docs shorter
+    than k + w − 1 tokens have no full window and are skipped in both
+    lanes.
+
+    Scale: everything up to the pair join is doc-local (one
+    higher-order-function projection — no shuffle, no Python); the
+    inverted index joins only on minimizer keys, posting lists capped
+    by the DF filter ({WINNOW_DF_CAP}) exactly like the stop-shingle
+    guard — the ~1/w downsampling is the point: the index is w times
+    smaller than the full shingle index for the same guarantee.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split("text", " ")
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (WINNOW_K - 1)),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            )
+        ),
+    )
+    mins_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("h")) - (WINNOW_W - 1)),
+            lambda p: F.array_min(F.slice(F.col("h"), p, WINNOW_W)),
+        )
+    )
+    mins = (
+        d.filter(F.size(toks) >= WINNOW_K + WINNOW_W - 1)
+        .select("doc_id", hashes.alias("h"))
+        .select("doc_id", F.explode(mins_arr).alias("m"))
+    )
+    mins = scoped_persist(mins)
+    sizes = mins.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_min"))
+    df_ok = mins.groupBy("m").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= WINNOW_DF_CAP
+    )
+    keep = mins.join(df_ok.select("m"), "m", "left_semi")
+    a = keep.select(F.col("doc_id").alias("doc_a"), "m")
+    b = keep.select(F.col("doc_id").alias("doc_b"), "m")
+    pairs = (
+        a.join(b, "m")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared_minimizers"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_min").alias("n_min_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_min").alias("n_min_b"))
+    jac_micro = F.round(
+        1_000_000.0
+        * F.col("shared_minimizers")
+        / (F.col("n_min_a") + F.col("n_min_b") - F.col("shared_minimizers"))
+    ).cast("long")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .orderBy(
+            F.col("shared_minimizers").desc(), jac_micro.desc(), "doc_a", "doc_b"
+        )
+        .limit(WINNOW_TOP_K)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_minimizers",
+            "n_min_a",
+            "n_min_b",
+            F.round(jac_micro / 1_000_000.0, 6).alias("minimizer_jaccard"),
+        )
+    )

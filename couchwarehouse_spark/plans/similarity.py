@@ -4260,3 +4260,223 @@ def pr_auc_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "average_precision",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: the remaining classical link-prediction scores and the
+# per-node clustering profile over the k-NN graph.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "jaccard_pa_linkpred",
+    oracle=f"""
+    WITH edges AS ({KNN_GRAPH_ORACLE}),
+    und AS (
+      SELECT vec_id AS src, nbr_id AS dst FROM edges
+      UNION
+      SELECT nbr_id AS src, vec_id AS dst FROM edges
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src),
+    cn AS (
+      SELECT a.src AS u, b.src AS w, CAST(count(*) AS BIGINT) AS common_neighbors
+      FROM und a JOIN und b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT u, w, common_neighbors,
+             CAST(round(1000000.0 * common_neighbors
+                        / (du.d + dw.d - common_neighbors)) AS BIGINT)
+               AS jaccard_micro,
+             CAST(du.d * dw.d AS BIGINT) AS pref_attach
+      FROM cn JOIN deg du ON du.src = cn.u JOIN deg dw ON dw.src = cn.w
+    )
+    SELECT u, w, common_neighbors,
+           round(jaccard_micro / 1000000.0, 6) AS jaccard,
+           pref_attach
+    FROM scored ANTI JOIN und ON scored.u = und.src AND scored.w = und.dst
+    ORDER BY jaccard_micro DESC, pref_attach DESC, u, w
+    LIMIT {LINKPRED_TOP_K}
+    """,
+)
+def jaccard_pa_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient + preferential-attachment link prediction
+    over the k-NN graph (Liben-Nowell & Kleinberg 2003's survey
+    pair) — completes the classical score ladder beside
+    ``graph_common_neighbors_linkpred`` (raw overlap) and
+    ``adamic_adar_linkpred`` (rarity-weighted): Jaccard normalizes
+    the overlap by the neighborhood UNION (penalizing hubs the way
+    raw counts can't), and du·dw is the density-growth baseline every
+    stronger score must beat.
+
+    Exactness: |Γu ∪ Γw| = du + dw − cn is exact integer arithmetic;
+    the Jaccard ratio quantizes ONCE to micro units and ranking
+    orders on (jaccard_micro, pref_attach, u, w) — a full integer
+    tie-break; pref_attach itself is an integer product that crosses
+    the oracle.
+
+    Scale: the same wedge join as the sibling entries (work Σ
+    deg(n)², bucket-bounded degrees); the degree table is node-sized
+    and joins twice on the pair endpoints.
+    """
+    from couchwarehouse_spark.plans import QUERIES
+
+    edges = QUERIES["knn_graph_bucketed"](spark, sf_dir).select(
+        "vec_id", "nbr_id"
+    )
+    und = (
+        edges.select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
+        .union(
+            edges.select(
+                F.col("nbr_id").alias("src"), F.col("vec_id").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    und = scoped_persist(und)
+    deg = und.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    a = und.select(F.col("src").alias("u"), "dst")
+    b = und.select(F.col("src").alias("w"), "dst")
+    cn = (
+        a.join(b, "dst")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").cast("long").alias("common_neighbors"))
+    )
+    du = deg.select(F.col("src").alias("u"), F.col("d").alias("du"))
+    dw = deg.select(F.col("src").alias("w"), F.col("d").alias("dw"))
+    scored = (
+        cn.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            "common_neighbors",
+            F.round(
+                1_000_000.0
+                * F.col("common_neighbors")
+                / (F.col("du") + F.col("dw") - F.col("common_neighbors"))
+            )
+            .cast("long")
+            .alias("jaccard_micro"),
+            (F.col("du") * F.col("dw")).cast("long").alias("pref_attach"),
+        )
+    )
+    existing = und.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    return (
+        scored.join(existing, ["u", "w"], "left_anti")
+        .orderBy(
+            F.col("jaccard_micro").desc(), F.col("pref_attach").desc(), "u", "w"
+        )
+        .limit(LINKPRED_TOP_K)
+        .select(
+            "u",
+            "w",
+            "common_neighbors",
+            F.round(F.col("jaccard_micro") / 1_000_000.0, 6).alias("jaccard"),
+            "pref_attach",
+        )
+    )
+
+
+LCC_TOP_K = 20  # reported head of the per-node clustering profile
+
+
+@query(
+    "local_clustering_coefficient",
+    oracle=f"""
+    WITH edges AS ({KNN_GRAPH_ORACLE}),
+    und AS (
+      SELECT DISTINCT least(vec_id, nbr_id) AS a, greatest(vec_id, nbr_id) AS c
+      FROM edges
+    ),
+    adj AS (
+      SELECT a AS u, c AS v FROM und UNION ALL SELECT c AS u, a AS v FROM und
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    tri AS (
+      SELECT p.u, CAST(count(*) AS BIGINT) AS t
+      FROM (SELECT x.u, x.v, y.v AS w
+            FROM adj x JOIN adj y ON x.u = y.u AND x.v < y.v) p
+      JOIN und e ON e.a = p.v AND e.c = p.w
+      GROUP BY p.u
+    )
+    SELECT deg.u AS node, deg.d AS degree,
+           CAST(coalesce(tri.t, 0) AS BIGINT) AS n_triangles,
+           round(CAST(round(2000000.0 * coalesce(tri.t, 0)
+                            / (deg.d * (deg.d - 1))) AS BIGINT)
+                 / 1000000.0, 6) AS lcc
+    FROM deg LEFT JOIN tri ON tri.u = deg.u
+    WHERE deg.d >= 2
+    ORDER BY CAST(round(2000000.0 * coalesce(tri.t, 0)
+                        / (deg.d * (deg.d - 1))) AS BIGINT) DESC,
+             deg.d DESC, deg.u
+    LIMIT {LCC_TOP_K}
+    """,
+)
+def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-NODE clustering coefficient over the k-NN graph (Watts &
+    Strogatz 1998: lcc(u) = 2·T(u)/(d(u)·(d(u)−1)) — the local
+    counterpart of ``graph_triangle_count``'s single global
+    transitivity number): the profile that separates nodes sitting
+    inside near-dup cliques (lcc → 1, dedup-cluster cores) from
+    bridge nodes connecting communities (lcc → 0) — per-item
+    evidence for cluster-aware pruning policy where the global
+    coefficient only says "how cliquey on average".
+
+    Exactness: per-node triangle counts come from the neighbor-pair
+    join closed against the ordered edge set (each triangle at u
+    counted once via v < w); degrees and T(u) are integers that
+    cross the oracle; the coefficient quantizes once to micro units
+    and the ranking orders on (lcc_micro, degree, node) — full
+    integer tie-break.
+
+    Scale: the neighbor-pair fan-out is Σ d(u)²/2 with
+    bucket-bounded degrees (≤ 2·KNN_GRAPH_K here) and the closing
+    join keys on the (v, w) edge — the same shape as the global
+    triangle kernel, plus one node-sized left join.
+    """
+    edges = scoped_persist(
+        knn_graph_bucketed(spark, sf_dir)
+        .select(
+            F.least("vec_id", "nbr_id").alias("a"),
+            F.greatest("vec_id", "nbr_id").alias("c"),
+        )
+        .distinct()
+    )
+    adj = edges.select(F.col("a").alias("u"), F.col("c").alias("v")).unionByName(
+        edges.select(F.col("c").alias("u"), F.col("a").alias("v"))
+    )
+    adj = scoped_persist(adj)
+    deg = adj.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    pairs = (
+        adj.join(
+            adj.select(F.col("u"), F.col("v").alias("w")), "u"
+        ).filter(F.col("v") < F.col("w"))
+    )
+    tri = (
+        pairs.join(
+            edges.select(F.col("a").alias("v"), F.col("c").alias("w")),
+            ["v", "w"],
+            "left_semi",
+        )
+        .groupBy("u")
+        .agg(F.count("*").cast("long").alias("t"))
+    )
+    lcc_micro = F.round(
+        2_000_000.0
+        * F.coalesce(F.col("t"), F.lit(0))
+        / (F.col("d") * (F.col("d") - 1))
+    ).cast("long")
+    return (
+        deg.join(tri, "u", "left")
+        .filter(F.col("d") >= 2)
+        .orderBy(lcc_micro.desc(), F.col("d").desc(), "u")
+        .limit(LCC_TOP_K)
+        .select(
+            F.col("u").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(lcc_micro / 1_000_000.0, 6).alias("lcc"),
+        )
+    )
