@@ -6198,7 +6198,11 @@ def cramer_von_mises_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "BIGINT at these group sizes; shard the audit"
         ),
     )
-    num = F.when(guard.isNull(), num_raw).otherwise(num_raw)
+    # No `otherwise`: with one, both branches are equal and Catalyst's
+    # SimplifyConditionals folds the CASE away, deleting the assert.
+    # assert_true returns NULL whenever it does not throw, so this
+    # one-armed CASE always yields num_raw — but the predicate stays.
+    num = F.when(guard.isNull(), num_raw)
     return cum.agg(
         F.min("n_a").cast("long").alias("n_a"),
         F.min("n_b").cast("long").alias("n_b"),
@@ -6575,7 +6579,7 @@ def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     z AS (
       SELECT n,
              (x - CAST(s1 AS DOUBLE) / n)
-               / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / n) AS z
+               / nullif(sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / n), 0) AS z
       FROM daily CROSS JOIN tot
     ),
     q AS (
@@ -6615,7 +6619,8 @@ def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
     one float dag off the two integer sums. v^1.5 is avoided
     entirely by standardizing per term. |z| stays O(10), so the
     micro-quantized powers are far from BIGINT range at any corpus
-    size.
+    size. The constant series (sd = 0) nullif-guards to NULL moments
+    in both lanes rather than a 0/0 NaN whose propagation differs.
 
     Scale: one date hash agg, a broadcast one-row moment total, and
     a second one-row reduce over the collapsed daily grid.
@@ -6633,9 +6638,15 @@ def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (
             (F.col("x") - F.col("s1").cast("double") / F.col("n"))
-            / F.sqrt(
-                (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
-                / F.col("n")
+            / F.nullif(
+                F.sqrt(
+                    (
+                        F.col("s2")
+                        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+                    )
+                    / F.col("n")
+                ),
+                F.lit(0.0),
             )
         ).alias("z"),
     )
@@ -6916,12 +6927,14 @@ GPD_U_PCT = 95  # peaks-over-threshold: exceedances above the exact p95
     SELECT u, n_exceed, b0_num, b1_num,
            round(2 - (CAST(b0_num AS DOUBLE) / n_exceed)
                  / nullif(CAST(b0_num AS DOUBLE) / n_exceed
-                          - 2.0 * b1_num / (n_exceed * (n_exceed - 1.0)), 0),
+                          - 2.0 * b1_num
+                            / nullif(n_exceed * (n_exceed - 1.0), 0), 0),
                  4) AS gpd_xi,
            round(2 * (CAST(b0_num AS DOUBLE) / n_exceed)
-                   * (b1_num / (n_exceed * (n_exceed - 1.0)))
+                   * (b1_num / nullif(n_exceed * (n_exceed - 1.0), 0))
                  / nullif(CAST(b0_num AS DOUBLE) / n_exceed
-                          - 2.0 * b1_num / (n_exceed * (n_exceed - 1.0)), 0),
+                          - 2.0 * b1_num
+                            / nullif(n_exceed * (n_exceed - 1.0), 0), 0),
                  4) AS gpd_sigma
     FROM s
     """,
@@ -6942,7 +6955,10 @@ def gpd_pot_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (j−1) = cnt·cum_prev + C(cnt,2) — a pure integer per distinct
     value, so both PWM numerators cross the oracle as BIGINTs and
     xi/sigma are one float dag (PWM: xi = 2 − b0/(b0 − 2·b1),
-    sigma = 2·b0·b1/(b0 − 2·b1)), nullif-guarded at b0 = 2·b1.
+    sigma = 2·b0·b1/(b0 − 2·b1)), nullif-guarded at b0 = 2·b1 AND at
+    the single-exceedance corpus (n(n−1) = 0 — Spark ANSI raises on
+    the division where DuckDB yields inf; the shared nullif makes
+    both lanes emit NULL).
 
     Scale: histogram + broadcast scalar threshold + one window over
     the exceedance VALUE DOMAIN (≤ distinct lengths above p95) —
@@ -6989,7 +7005,9 @@ def gpd_pot_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("b1_num"),
     )
     b0 = F.col("b0_num").cast("double") / F.col("n_exceed")
-    b1 = F.col("b1_num") / (F.col("n_exceed") * (F.col("n_exceed") - 1.0))
+    b1 = F.col("b1_num") / F.nullif(
+        F.col("n_exceed") * (F.col("n_exceed") - 1.0), F.lit(0.0)
+    )
     den = F.nullif(b0 - 2.0 * b1, F.lit(0.0))
     return s.select(
         "u",

@@ -1,0 +1,333 @@
+"""Planted-fixture golden tests for round 11.
+
+Round 11 opens by closing the four r10 ADVICE items (watermark-dedup
+keying, CvM overflow guard, Hill effective-k, integral-division
+parity) and adds the warehouse MERGE/ANALYZE/AS-OF verbs plus a
+statistics/graph/dedup batch. These tests plant the degenerate and
+hand-computable shapes the sf-scale oracle sims can't isolate:
+short-corpus Hill, the CvM guard actually raising, constant-series
+moments, the GPD empty-exceedance corpus, hand-checked
+Mantel-Haenszel cells, and the winnowing detection guarantee.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+def _write(df, sf_dir: str, name: str) -> None:
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs(spark, rows):
+    """rows: (doc_id, text, lang, source, n_chars)."""
+    return spark.createDataFrame(
+        list(rows),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _daily_events(spark, counts):
+    """One events row per unit: counts[d] events on day d (Jan 2024)."""
+    from datetime import datetime
+
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, datetime(2024, 1, 1 + d, 12, 0, 0), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+class TestHillEffectiveK:
+    def test_short_corpus_reports_actual_k(self, spark, tmp_path):
+        """5 docs -> top-(k+1) is all 5 rows -> effective k = 4, not
+        the unused HILL_K = 100 (r10 ADVICE #3)."""
+        from couchwarehouse_spark.plans.statistics import hill_tail_index
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [(i, "t", "en", "s", n) for i, n in enumerate([100, 80, 60, 40, 20])],
+            ),
+            sf,
+            "documents",
+        )
+        (r,) = hill_tail_index(spark, sf).collect()
+        assert r.k == 4
+        assert r.x_thresh == 20
+        assert r.hill_alpha is not None
+
+    def test_single_row_corpus_emits_nothing(self, spark, tmp_path):
+        """k_eff = 0: no meaningful estimate -> zero rows, not a
+        mislabeled alpha."""
+        from couchwarehouse_spark.plans.statistics import hill_tail_index
+
+        sf = str(tmp_path / "sf")
+        _write(_docs(spark, [(1, "t", "en", "s", 50)]), sf, "documents")
+        assert hill_tail_index(spark, sf).count() == 0
+
+
+class TestCvmOverflowGuard:
+    def test_large_groups_raise_loudly(self, spark, tmp_path):
+        """Group sizes past the N*(n_a*n_b)^2 < 9e18 bound must raise
+        the in-plan assert (r10 ADVICE #2), not wrap silently: the
+        bound trips from n ~ 5400 per group, so 6000 fires it."""
+        from pyspark.sql import functions as F
+
+        from couchwarehouse_spark.plans.statistics import (
+            KS_A,
+            KS_B,
+            cramer_von_mises_drift,
+        )
+
+        sf = str(tmp_path / "sf")
+        n = 6000
+        docs = (
+            spark.range(2 * n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.lit("t").alias("text"),
+                F.lit("en").alias("lang"),
+                F.when(F.col("id") < n, F.lit(KS_A))
+                .otherwise(F.lit(KS_B))
+                .alias("source"),
+                (F.col("id") % 97 + 1).cast("long").alias("n_chars"),
+            )
+        )
+        _write(docs, sf, "documents")
+        with pytest.raises(Exception, match="overflow|ASSERT"):
+            cramer_von_mises_drift(spark, sf).collect()
+
+    def test_small_groups_pass_guard(self, spark, tmp_path):
+        """Well under the bound the guard is inert and the statistic
+        computes."""
+        from couchwarehouse_spark.plans.statistics import (
+            KS_A,
+            KS_B,
+            cramer_von_mises_drift,
+        )
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [(i, "t", "en", KS_A if i < 3 else KS_B, 10 * (i + 1))
+                 for i in range(6)],
+            ),
+            sf,
+            "documents",
+        )
+        (r,) = cramer_von_mises_drift(spark, sf).collect()
+        assert r.n_a == 3 and r.n_b == 3
+        assert r.cvm_numerator is not None
+
+
+class TestJarqueBera:
+    def test_constant_series_nulls_not_nan(self, spark, tmp_path):
+        """sd = 0: moments nullif-guard to NULL in both lanes instead
+        of a 0/0 NaN."""
+        from couchwarehouse_spark.plans.statistics import jarque_bera_normality
+
+        sf = str(tmp_path / "sf")
+        _write(_daily_events(spark, [3, 3, 3, 3]), sf, "events")
+        (r,) = jarque_bera_normality(spark, sf).collect()
+        assert r.n_days == 4
+        assert r.jb_stat is None and r.looks_normal is None
+
+    def test_symmetric_series_zero_skew(self, spark, tmp_path):
+        """Counts [1,3,3,5]: mean 3, symmetric -> skewness exactly 0;
+        z^4 terms: z = +/-sqrt(2) for 1 and 5, 0 for the 3s ->
+        kurtosis = (4+4)/(1e6-scaled)/4/... = 2.0 by hand."""
+        from couchwarehouse_spark.plans.statistics import jarque_bera_normality
+
+        sf = str(tmp_path / "sf")
+        _write(_daily_events(spark, [1, 3, 3, 5]), sf, "events")
+        (r,) = jarque_bera_normality(spark, sf).collect()
+        assert r.skewness == 0.0
+        assert r.kurtosis == 2.0
+        # JB = n/6 * (0 + (2-3)^2/4) = 4/6 * 0.25 = 0.1667
+        assert r.jb_stat == 0.1667
+        assert bool(r.looks_normal) is True
+
+
+class TestYuleWalkerAr2:
+    def test_alternating_series_r1_near_minus_one(self, spark, tmp_path):
+        """x = [2,4,2,4,2,4]: y = n*x - S = [-6,6,-6,6,-6,6];
+        c0 = 6*36 = 216, c1 = 5*(-36) = -180, c2 = 4*36 = 144."""
+        from couchwarehouse_spark.plans.statistics import yule_walker_ar2
+
+        sf = str(tmp_path / "sf")
+        _write(_daily_events(spark, [2, 4, 2, 4, 2, 4]), sf, "events")
+        (r,) = yule_walker_ar2(spark, sf).collect()
+        assert (r.c0_num, r.c1_num, r.c2_num) == (216, -180, 144)
+        # r1 = -5/6, r2 = 2/3; den = 1 - 25/36 = 11/36
+        # phi1 = (-5/6)(1/3)/(11/36) = -10/11; phi2 = (2/3-25/36)/(11/36) = -1/11
+        assert r.phi1 == round(-10 / 11, 6)
+        assert r.phi2 == round(-1 / 11, 6)
+
+    def test_degenerate_two_day_series(self, spark, tmp_path):
+        """n = 2: no lag-2 pairs -> c2 NULL-sums; the entry must not
+        crash and the ratios null-guard."""
+        from couchwarehouse_spark.plans.statistics import yule_walker_ar2
+
+        sf = str(tmp_path / "sf")
+        _write(_daily_events(spark, [1, 2]), sf, "events")
+        (r,) = yule_walker_ar2(spark, sf).collect()
+        assert r.c2_num is None
+
+
+class TestGpdPotTailFit:
+    def test_hand_computed_pwm(self, spark, tmp_path):
+        """20 docs, n_chars 1..20: p95 rank = ceil(0.95*20) = 19 ->
+        u = 19; exceedances z = [1] (value 20). n_exceed = 1 ->
+        b1 denominator n(n-1) = 0 -> sigma/xi NULL but b0_num = 1."""
+        from couchwarehouse_spark.plans.statistics import gpd_pot_tail_fit
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs(spark, [(i, "t", "en", "s", i) for i in range(1, 21)]),
+            sf,
+            "documents",
+        )
+        (r,) = gpd_pot_tail_fit(spark, sf).collect()
+        assert r.u == 19 and r.n_exceed == 1 and r.b0_num == 1
+        assert r.gpd_xi is None  # n(n-1) = 0: b1 undefined, guarded
+
+    def test_all_equal_corpus_no_exceedances(self, spark, tmp_path):
+        """Every value equals the threshold -> empty exceedance set ->
+        NULL aggregates in both lanes, no crash."""
+        from couchwarehouse_spark.plans.statistics import gpd_pot_tail_fit
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs(spark, [(i, "t", "en", "s", 42) for i in range(10)]),
+            sf,
+            "documents",
+        )
+        (r,) = gpd_pot_tail_fit(spark, sf).collect()
+        assert r.n_exceed is None and r.gpd_xi is None
+
+
+class TestMantelHaenszel:
+    def test_hand_computed_two_strata(self, spark, tmp_path):
+        """Two strata with hand-built 2x2 cells. Global median of
+        n_chars over 8 docs (values 1..8, rank (50*8+99)//100 = 4)
+        -> m = 4; outcome = n_chars >= 4.
+
+        Stratum s1: en docs chars [4,1], other [5,2] -> a=1 b=1 c=1 d=1
+        Stratum s2: en docs chars [6,7], other [3,8] -> a=2 b=0 c=1 d=1
+        num = 1*1/4 + 2*1/4 = 0.75 ; den = 1*1/4 + 0*1/4 = 0.25
+        OR_MH = 3.0 ; crude: a=3 b=1 c=2 d=2 -> 6/2 = 3.0
+        """
+        from couchwarehouse_spark.plans.statistics import mantel_haenszel_or
+
+        sf = str(tmp_path / "sf")
+        rows = [
+            (1, "t", "en", "s1", 4),
+            (2, "t", "en", "s1", 1),
+            (3, "t", "de", "s1", 5),
+            (4, "t", "de", "s1", 2),
+            (5, "t", "en", "s2", 6),
+            (6, "t", "en", "s2", 7),
+            (7, "t", "de", "s2", 3),
+            (8, "t", "de", "s2", 8),
+        ]
+        _write(_docs(spark, rows), sf, "documents")
+        (r,) = mantel_haenszel_or(spark, sf).collect()
+        assert r.n_strata == 2
+        assert r.or_mantel_haenszel == 3.0
+        assert r.or_crude_pooled == 3.0
+
+
+class TestWinnowingGuarantee:
+    def test_identical_docs_share_all_minimizers(self, spark, tmp_path):
+        """Two byte-identical docs have identical minimizer sets ->
+        minimizer Jaccard exactly 1.0 and shared == n_min."""
+        from couchwarehouse_spark.plans.dedup import winnowing_fingerprints
+
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [(1, text, "en", "s", len(text)), (2, text, "en", "s", len(text))],
+            ),
+            sf,
+            "documents",
+        )
+        (r,) = winnowing_fingerprints(spark, sf).collect()
+        assert (r.doc_a, r.doc_b) == (1, 2)
+        assert r.shared_minimizers == r.n_min_a == r.n_min_b
+        assert r.minimizer_jaccard == 1.0
+
+    def test_shared_run_is_always_detected(self, spark, tmp_path):
+        """The winnowing guarantee: any shared token run of length
+        >= k + w - 1 = 6 yields at least one shared minimizer —
+        regardless of what the md5 values happen to be."""
+        from couchwarehouse_spark.plans.dedup import winnowing_fingerprints
+
+        run = "alpha beta gamma delta epsilon zeta"  # 6 shared tokens
+        a = "x1 x2 x3 " + run + " y1 y2"
+        b = "z1 " + run + " w1 w2 w3 w4"
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs(spark, [(1, a, "en", "s", len(a)), (2, b, "en", "s", len(b))]),
+            sf,
+            "documents",
+        )
+        rows = winnowing_fingerprints(spark, sf).collect()
+        pair = [r for r in rows if (r.doc_a, r.doc_b) == (1, 2)]
+        assert pair and pair[0].shared_minimizers >= 1
+
+    def test_short_docs_skipped(self, spark, tmp_path):
+        """Docs under k + w - 1 tokens have no complete window and
+        must be absent from the index in both lanes."""
+        from couchwarehouse_spark.plans.dedup import winnowing_fingerprints
+
+        sf = str(tmp_path / "sf")
+        _write(
+            _docs(
+                spark,
+                [(1, "a b c d e", "en", "s", 9), (2, "a b c d e", "en", "s", 9)],
+            ),
+            sf,
+            "documents",
+        )
+        assert winnowing_fingerprints(spark, sf).count() == 0
+
+
+class TestSrmGuardrail:
+    def test_balanced_assignment_passes(self, spark, tmp_path):
+        """A large user set under the real md5 split should land well
+        inside the chi^2 bound (sanity that the guardrail is not
+        trigger-happy on its own assignment)."""
+        from pyspark.sql import functions as F
+
+        from couchwarehouse_spark.plans.statistics import srm_guardrail_check
+
+        sf = str(tmp_path / "sf")
+        ev = spark.range(2000).select(
+            F.col("id").alias("event_id"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+            F.col("id").alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        _write(ev, sf, "events")
+        (r,) = srm_guardrail_check(spark, sf).collect()
+        assert r.n_users == 2000
+        assert r.n_a + r.n_b == 2000
+        assert bool(r.srm_detected) is False
