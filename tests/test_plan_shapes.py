@@ -1585,3 +1585,52 @@ def test_pinball_predictor_broadcasts_to_scorer(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_round11_stats_reduce_on_collapsed_grids(spark):
+    """jarque_bera / mantel_haenszel / yule_walker / gpd reduce over
+    daily-grid or value-domain tables with broadcast-scalar fan-ins
+    only: no shuffled pair join, no cartesian, no Python stage."""
+    for name in (
+        "jarque_bera_normality",
+        "mantel_haenszel_or",
+        "yule_walker_ar2",
+        "gpd_pot_tail_fit",
+    ):
+        plan = plan_of(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") <= 2, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_srm_is_pure_aggregate(spark):
+    """The SRM guardrail is a distinct + one global conditional sum —
+    zero joins, zero windows, zero Python."""
+    plan = plan_of(spark, "srm_guardrail_check")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnowing_minimizer_keyed_no_allpairs(spark):
+    """Winnowing candidates come from the minimizer inverted index
+    (DF-capped posting lists): no cartesian, no Python, doc-local
+    higher-order functions for the sketch, heap for the report head."""
+    plan = plan_of(spark, "winnowing_fingerprints")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_round11_graph_entries_no_cartesian_no_python(spark):
+    """jaccard/PA and per-node clustering keep the wedge-join shape:
+    candidate pairs only via shared-neighbor/edge keys, report heads
+    as TakeOrdered heaps."""
+    for name in ("jaccard_pa_linkpred", "local_clustering_coefficient"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "TakeOrderedAndProject" in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
