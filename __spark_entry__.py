@@ -113,6 +113,11 @@ PRIORITY = [
     "jaccard_pa_linkpred",
     "local_clustering_coefficient",
     "winnowing_fingerprints",
+    "isotonic_calibration_pav",
+    "cochran_armitage_trend",
+    "durbin_watson",
+    "gumbel_block_maxima_fit",
+    "ratio_metric_delta_method",
     # --- 4 family reps (skew / multimodal / dedup / sampling — the
     # stalest eligible member of each family) ---
     "key_skew_audit",
@@ -125,11 +130,6 @@ PRIORITY = [
     "no_big_order_anti",
     "order_cohort_full_outer",
     "price_band_join",
-    "priority_multiset_diff",
-    "range_frame_revenue",
-    "rollup_priority_status",
-    "set_except_nations",
-    "set_intersect_brands",
     # --- r03-cohort fill, alphabetical (displaced first by new r11
     # entries, from the BOTTOM up) ---
     "array_functions",

@@ -7090,3 +7090,507 @@ def srm_guardrail_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 4).alias("chi2_stat"),
         (chi2 > SRM_CHI2_CRIT).alias("srm_detected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11, second wave: exact isotonic calibration, ordered-trend and
+# serial-correlation tests, the EVT block-maxima fit, and the
+# delta-method ratio metric.
+# ---------------------------------------------------------------------------
+
+PAV_BINS = 100  # calibration grid: score = (user_id % PAV_BINS) / PAV_BINS
+
+
+@query(
+    "isotonic_calibration_pav",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % {PAV_BINS} AS BIGINT) AS bin,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS k
+      FROM per_user GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, n, k,
+             CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+             CAST(sum(k) OVER (ORDER BY bin) AS BIGINT) AS ck
+      FROM bins
+    ),
+    intervals AS (
+      SELECT h.bin AS h, l.bin AS l,
+             (l.ck - h.ck + h.k) * 1.0 / (l.cn - h.cn + h.n) AS avg_rate
+      FROM cum h JOIN cum l ON h.bin <= l.bin
+    ),
+    inner_min AS (
+      SELECT i.bin, v.h, min(v.avg_rate) AS m
+      FROM cum i JOIN intervals v ON v.h <= i.bin AND v.l >= i.bin
+      GROUP BY i.bin, v.h
+    ),
+    fit AS (SELECT bin, max(m) AS iso FROM inner_min GROUP BY bin)
+    SELECT b.bin,
+           round(b.bin * 1.0 / {PAV_BINS}, 4) AS score,
+           b.n, b.k,
+           round(b.k * 1.0 / b.n, 6) AS raw_rate,
+           round(f.iso, 6) AS isotonic_rate
+    FROM bins b JOIN fit f USING (bin)
+    ORDER BY b.bin
+    """,
+)
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT isotonic regression for score calibration (Barlow et al.
+    1972; Zadrozny & Elkan KDD'02 made it THE classifier-calibration
+    tool): fit the monotone step function closest in L2 to the
+    per-bin conversion rates. Instead of the sequential
+    pool-adjacent-violators sweep (driver-bound), this uses PAV's
+    closed-form MINIMAX characterization — fit(i) = max_{{h<=i}}
+    min_{{l>=i}} avg(y[h..l]) — which is pure relational algebra over
+    the CALIBRATION GRID: O(B²) weighted interval averages off two
+    cumulative sums, B = {PAV_BINS}. The monotone upgrade of
+    ``score_calibration_bins``' raw reliability table.
+
+    Exactness: bin counts and cumulative sums are integers; every
+    interval average is ONE IEEE division of two integers — identical
+    in both engines — and min/max over identical doubles is
+    order-free, so the fit is bit-exact with no quantization needed;
+    display rounds once.
+
+    Scale: the corpus collapses to B bins; the interval lattice is
+    B(B+1)/2 rows joined to B grid points — bounded by the score
+    resolution, never the event count. The classic sequential PAV is
+    O(B) but inherently serial; B² here is embarrassingly parallel
+    and B is a calibration-resolution constant.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("converted")
+    ).select(
+        (F.col("user_id") % PAV_BINS).cast("long").alias("bin"), "converted"
+    )
+    bins = per_user.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("k"),
+    )
+    bins = scoped_persist(bins)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "n",
+        "k",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("k").over(w).cast("long").alias("ck"),
+    )
+    cum = scoped_persist(cum)
+    h = cum.select(
+        F.col("bin").alias("h"), F.col("n").alias("hn"), F.col("k").alias("hk"),
+        F.col("cn").alias("hcn"), F.col("ck").alias("hck"),
+    )
+    low = cum.select(
+        F.col("bin").alias("l"), F.col("cn").alias("lcn"), F.col("ck").alias("lck")
+    )
+    intervals = h.join(low, F.col("h") <= F.col("l")).select(
+        "h",
+        "l",
+        (
+            (F.col("lck") - F.col("hck") + F.col("hk"))
+            * F.lit(1.0)
+            / (F.col("lcn") - F.col("hcn") + F.col("hn"))
+        ).alias("avg_rate"),
+    )
+    grid = cum.select(F.col("bin"))
+    inner_min = (
+        grid.join(
+            intervals, (F.col("h") <= F.col("bin")) & (F.col("l") >= F.col("bin"))
+        )
+        .groupBy("bin", "h")
+        .agg(F.min("avg_rate").alias("m"))
+    )
+    fit = inner_min.groupBy("bin").agg(F.max("m").alias("iso"))
+    return (
+        bins.join(fit, "bin")
+        .orderBy("bin")
+        .select(
+            "bin",
+            F.round(F.col("bin") * 1.0 / PAV_BINS, 4).alias("score"),
+            "n",
+            "k",
+            F.round(F.col("k") * 1.0 / F.col("n"), 6).alias("raw_rate"),
+            F.round(F.col("iso"), 6).alias("isotonic_rate"),
+        )
+    )
+
+
+@query(
+    "cochran_armitage_trend",
+    oracle="""
+    WITH g AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS k
+      FROM documents GROUP BY source
+    ),
+    scored AS (
+      SELECT n, k,
+             CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS w
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n) AS BIGINT) AS nn, CAST(sum(k) AS BIGINT) AS kk,
+             CAST(sum(w * n) AS BIGINT) AS swn,
+             CAST(sum(w * k) AS BIGINT) AS swk,
+             CAST(sum(w * w * n) AS BIGINT) AS swwn
+      FROM scored
+    )
+    SELECT n_groups, nn AS n_total, kk AS k_total,
+           CAST(nn * swk - kk * swn AS BIGINT) AS trend_num,
+           round(CAST(nn * swk - kk * swn AS DOUBLE)
+                   * (nn * swk - kk * swn)
+                 * nn
+                 / nullif(CAST(kk AS DOUBLE) * (nn - kk)
+                          * (nn * swwn - swn * swn), 0), 4) AS chi2_trend,
+           CAST(nn * swk - kk * swn AS DOUBLE)
+             * (nn * swk - kk * swn) * nn
+             / nullif(CAST(kk AS DOUBLE) * (nn - kk)
+                      * (nn * swwn - swn * swn), 0) > 3.841459
+             AS trend_detected
+    FROM s
+    """,
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (Cochran 1954 / Armitage 1955 —
+    THE test for a monotone trend in proportions across ORDERED
+    groups; the 2xk upgrade of the pairwise two-proportion z): does
+    the English-document share trend across the source ladder
+    (sources ordered lexicographically, integer scores 0..k−1)?
+    Catches ordered drift a plain chi-square homogeneity test
+    dilutes across its k−1 degrees of freedom.
+
+    Exactness: the trend numerator N·Σwk − K·Σwn and the variance
+    pieces are pure BIGINT arithmetic off six integer aggregates
+    (the numerator crosses the oracle raw); chi² is one float
+    division against chi²(1), nullif-guarded for the degenerate
+    all-converted / single-group shapes.
+
+    Scale: one per-source conditional aggregate + a k-row window —
+    group count bounds everything after the first reduce.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if(F.col("lang") == "en").cast("long").alias("k"),
+    )
+    scored = g.select(
+        "n",
+        "k",
+        (F.row_number().over(Window.orderBy("source")) - 1)
+        .cast("long")
+        .alias("w"),
+    )
+    s = scored.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("k").cast("long").alias("kk"),
+        F.sum(F.col("w") * F.col("n")).cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("k")).cast("long").alias("swk"),
+        F.sum(F.col("w") * F.col("w") * F.col("n")).cast("long").alias("swwn"),
+    )
+    num = F.col("nn") * F.col("swk") - F.col("kk") * F.col("swn")
+    chi2 = (
+        num.cast("double")
+        * num
+        * F.col("nn")
+        / F.nullif(
+            F.col("kk").cast("double")
+            * (F.col("nn") - F.col("kk"))
+            * (F.col("nn") * F.col("swwn") - F.col("swn") * F.col("swn")),
+            F.lit(0.0),
+        )
+    )
+    return s.select(
+        "n_groups",
+        F.col("nn").alias("n_total"),
+        F.col("kk").alias("k_total"),
+        num.cast("long").alias("trend_num"),
+        F.round(chi2, 4).alias("chi2_trend"),
+        (chi2 > 3.841459).alias("trend_detected"),
+    )
+
+
+@query(
+    "durbin_watson",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY day
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM daily
+    ),
+    y AS (
+      SELECT CAST(n * x - s AS BIGINT) AS y,
+             CAST(lag(n * x - s, 1) OVER (ORDER BY day) AS BIGINT) AS yp
+      FROM daily CROSS JOIN tot
+    ),
+    s2 AS (
+      SELECT CAST(sum(y * y) AS BIGINT) AS ss,
+             CAST(sum((y - yp) * (y - yp)) AS BIGINT) AS sd
+      FROM y
+    )
+    SELECT ss AS resid_ss_num, sd AS diff_ss_num,
+           round(CAST(sd AS DOUBLE) / nullif(ss, 0), 4) AS dw_stat,
+           CAST(sd AS DOUBLE) / nullif(ss, 0) < 1.0 AS positive_autocorr
+    FROM s2
+    """,
+)
+def durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation statistic over the daily
+    event-count residuals (Durbin & Watson 1950 — the regression
+    diagnostic read before trusting any i.i.d.-based interval:
+    DW ≈ 2(1−ρ₁); DW → 0 under positive autocorrelation, → 4 under
+    negative). The single-number companion to ``ljung_box_test``'s
+    multi-lag portmanteau and the diagnostic that says whether
+    ``effective_sample_size``'s correction is even needed.
+
+    Exactness: residuals clear the mean without division via
+    y = n·x − S (integer); both the residual sum of squares and the
+    lag-difference sum of squares are exact BIGINTs that cross the
+    oracle (the shared n² factor cancels in the ratio); DW is one
+    float division, nullif-guarded for the constant series. The
+    first day's lag is NULL and drops from the difference sum in
+    both lanes.
+
+    Scale: one date hash agg + a 1-lag window over the collapsed
+    daily grid.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    w = Window.orderBy("day")
+    y = daily.crossJoin(F.broadcast(tot)).select(
+        (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("y"),
+        F.lag(F.col("n") * F.col("x") - F.col("s"), 1)
+        .over(w)
+        .cast("long")
+        .alias("yp"),
+    )
+    s2 = y.agg(
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+        F.sum((F.col("y") - F.col("yp")) * (F.col("y") - F.col("yp")))
+        .cast("long")
+        .alias("sd"),
+    )
+    dw = F.col("sd").cast("double") / F.nullif(F.col("ss"), F.lit(0))
+    return s2.select(
+        F.col("ss").alias("resid_ss_num"),
+        F.col("sd").alias("diff_ss_num"),
+        F.round(dw, 4).alias("dw_stat"),
+        (dw < 1.0).alias("positive_autocorr"),
+    )
+
+
+LN2 = 0.6931471805599453  # literal ln 2: no engine-libm ln in the dag
+EULER_GAMMA = 0.5772156649015329  # Euler-Mascheroni, same reason
+
+
+@query(
+    "gumbel_block_maxima_fit",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY day
+    ),
+    blocks AS (
+      SELECT date_trunc('month', day) AS block,
+             CAST(max(x) AS BIGINT) AS m
+      FROM daily GROUP BY 1
+    ),
+    mh AS (
+      SELECT m, CAST(count(*) AS BIGINT) AS cnt FROM blocks GROUP BY m
+    ),
+    ranked AS (
+      SELECT m, cnt,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_prev
+      FROM mh
+    ),
+    s AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS nb,
+             CAST(sum(m * cnt) AS BIGINT) AS b0_num,
+             CAST(sum(m * (cnt * cum_prev + (cnt * (cnt - 1)) // 2))
+                  AS BIGINT) AS b1_num
+      FROM ranked
+    )
+    SELECT nb AS n_blocks, b0_num, b1_num,
+           round((2.0 * b1_num / nullif(nb * (nb - 1.0), 0)
+                  - CAST(b0_num AS DOUBLE) / nb) / {LN2}, 4) AS gumbel_beta,
+           round(CAST(b0_num AS DOUBLE) / nb
+                 - {EULER_GAMMA}
+                   * (2.0 * b1_num / nullif(nb * (nb - 1.0), 0)
+                      - CAST(b0_num AS DOUBLE) / nb) / {LN2}, 4) AS gumbel_mu
+    FROM s
+    """,
+)
+def gumbel_block_maxima_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel fit of MONTHLY block maxima by probability-weighted
+    moments (Hosking, Wallis & Wood 1985: beta = (2b₁ − b₀)/ln 2,
+    mu = b₀ − gamma·beta) — the third classical extreme-value method,
+    completing this module's EVT triad: ``hill_tail_index`` (order
+    statistics), ``gpd_pot_tail_fit`` (exceedances), and now block
+    maxima — the load-planning fit behind "what daily peak should we
+    provision for?".
+
+    Exactness: block maxima are integer aggregates on the daily
+    grid; b₀/b₁ numerators use the same tie-exact rank-weight
+    identity as the GPD entry and cross the oracle as BIGINTs; ln 2
+    and the Euler-Mascheroni constant enter as shared LITERALS so no
+    engine-libm transcendental sits in the dag; beta/mu are one
+    float dag, nullif-guarded for the single-block series.
+
+    Scale: date agg → month agg → value-domain window over distinct
+    maxima — bounded by the calendar.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    blocks = daily.groupBy(F.date_trunc("month", "day").alias("block")).agg(
+        F.max("x").cast("long").alias("m")
+    )
+    mh = blocks.groupBy("m").agg(F.count("*").cast("long").alias("cnt"))
+    w_prev = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = mh.select(
+        "m",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_prev), F.lit(0))
+        .cast("long")
+        .alias("cum_prev"),
+    )
+    s = ranked.agg(
+        F.sum("cnt").cast("long").alias("nb"),
+        F.sum(F.col("m") * F.col("cnt")).cast("long").alias("b0_num"),
+        F.sum(
+            F.col("m")
+            * (
+                F.col("cnt") * F.col("cum_prev")
+                + F.expr("(cnt * (cnt - 1)) div 2")
+            )
+        )
+        .cast("long")
+        .alias("b1_num"),
+    )
+    b0 = F.col("b0_num").cast("double") / F.col("nb")
+    b1 = F.col("b1_num") * 2.0 / F.nullif(
+        F.col("nb") * (F.col("nb") - 1.0), F.lit(0.0)
+    )
+    beta = (b1 - b0) / LN2
+    return s.select(
+        F.col("nb").alias("n_blocks"),
+        "b0_num",
+        "b1_num",
+        F.round(beta, 4).alias("gumbel_beta"),
+        F.round(b0 - EULER_GAMMA * beta, 4).alias("gumbel_mu"),
+    )
+
+
+@query(
+    "ratio_metric_delta_method",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM per_user
+    )
+    SELECT n AS n_users, sx AS sum_cents, sy AS sum_events,
+           round(CAST(sx AS DOUBLE) / sy, 6) AS ratio_cents_per_event,
+           round(sqrt(greatest(
+                   (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                   - 2 * (CAST(sx AS DOUBLE) / sy)
+                     * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                   + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+                     * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n),
+                   0))
+                 / nullif(CAST(sy AS DOUBLE) / n, 0) / n, 6) AS se_delta
+    FROM s
+    """,
+)
+def ratio_metric_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (Fieller/
+    Deng et al. KDD'18 "Applying the Delta Method in Metric
+    Analytics" — the estimator every experimentation platform uses
+    for revenue-per-session-style metrics, where the unit of
+    analysis (user) differs from the metric denominator (event) and
+    the naive per-event variance is wrong because events within a
+    user correlate): R = ΣX/ΣY over user-level (X, Y) pairs,
+    se(R) = sqrt(Sxx' − 2R·Sxy' + R²·Syy') / (ȳ·n), with the
+    centered sums taken user-level.
+
+    Exactness: revenue quantizes to integer cents per event BEFORE
+    any aggregation; the six user-level power sums are exact BIGINTs
+    (cents² bounded well inside BIGINT at any realistic corpus);
+    ratio and the delta variance are ONE shared float dag off those
+    integers — identical IEEE in both lanes; ``greatest(·, 0)``
+    clamps the tiny-negative float cancellation case identically.
+
+    Scale: one per-user aggregate then one global reduce — six longs
+    per partition cross the exchange; no joins, no windows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("x"),
+        F.count("*").cast("long").alias("y"),
+    )
+    s = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    r = F.col("sx").cast("double") / F.col("sy")
+    cxx = F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    cxy = F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    cyy = F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+    var_core = F.greatest(cxx - 2 * r * cxy + r * r * cyy, F.lit(0.0))
+    se = F.sqrt(var_core) / F.nullif(
+        F.col("sy").cast("double") / F.col("n"), F.lit(0.0)
+    ) / F.col("n")
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("sum_cents"),
+        F.col("sy").alias("sum_events"),
+        F.round(r, 6).alias("ratio_cents_per_event"),
+        F.round(se, 6).alias("se_delta"),
+    )
