@@ -1634,3 +1634,33 @@ def test_round11_graph_entries_no_cartesian_no_python(spark):
         assert "TakeOrderedAndProject" in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_round11_wave2_collapsed_reduces(spark):
+    """cochran_armitage / durbin_watson / gumbel / ratio-delta reduce
+    over group or daily grids: no pair join, no cartesian, no Python."""
+    for name in (
+        "cochran_armitage_trend",
+        "durbin_watson",
+        "gumbel_block_maxima_fit",
+        "ratio_metric_delta_method",
+    ):
+        plan = plan_of(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_isotonic_lattice_bounded_by_grid(spark):
+    """The PAV minimax joins run over the B-bin calibration grid
+    (broadcast-sized frames), never the event corpus: the event scan
+    feeds ONE per-user aggregate and everything after is grid-bounded;
+    no Python stage."""
+    plan = plan_of(spark, "isotonic_calibration_pav")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the B-bin grid is persisted and reused — the interval lattice
+    # reads the cache, not the event corpus (cached subtrees echo
+    # their FileScan child in the printed plan, so count the cache)
+    assert "InMemoryTableScan" in plan, plan

@@ -331,3 +331,154 @@ class TestSrmGuardrail:
         assert r.n_users == 2000
         assert r.n_a + r.n_b == 2000
         assert bool(r.srm_detected) is False
+
+
+def _daily_events_td(spark, counts):
+    """counts[d] events on day d, spanning months via timedelta."""
+    from datetime import datetime, timedelta
+
+    rows = []
+    eid = 0
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, base + timedelta(days=d), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _user_events(spark, rows):
+    """rows: (user_id, event_type, value)."""
+    from datetime import datetime
+
+    return spark.createDataFrame(
+        [
+            (i, datetime(2024, 1, 1, 12, 0, 0), u, et, float(v), "{}")
+            for i, (u, et, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+class TestIsotonicPav:
+    def test_hand_computed_pooling(self, spark, tmp_path):
+        """Bins 0/1/2 with raw rates 0.5, 0.0, 1.0: PAV pools the
+        violating first two to 0.25 and leaves the third at 1.0 —
+        the minimax formula must equal the classical sweep."""
+        from couchwarehouse_spark.plans.statistics import (
+            isotonic_calibration_pav,
+        )
+
+        rows = [
+            (0, "purchase", 1),
+            (100, "view", 1),   # bin 0: 1/2
+            (1, "view", 1),
+            (101, "view", 1),   # bin 1: 0/2
+            (2, "purchase", 1),
+            (102, "purchase", 1),  # bin 2: 2/2
+        ]
+        sf = str(tmp_path / "sf")
+        _write(_user_events(spark, rows), sf, "events")
+        out = {
+            r.bin: r for r in isotonic_calibration_pav(spark, sf).collect()
+        }
+        assert out[0].raw_rate == 0.5 and out[1].raw_rate == 0.0
+        assert out[0].isotonic_rate == 0.25
+        assert out[1].isotonic_rate == 0.25
+        assert out[2].isotonic_rate == 1.0
+        fits = [out[b].isotonic_rate for b in sorted(out)]
+        assert fits == sorted(fits), "isotonic fit must be non-decreasing"
+
+
+class TestCochranArmitage:
+    def test_hand_computed_chi2(self, spark, tmp_path):
+        """s1: 4 docs 1 en; s2: 4 docs 3 en -> num = 8*3-4*4 = 8,
+        chi2 = 8^2*8/(4*4*16) = 2.0 (< 3.84: no trend verdict)."""
+        from couchwarehouse_spark.plans.statistics import (
+            cochran_armitage_trend,
+        )
+
+        rows = []
+        for i in range(4):
+            rows.append((i, "t", "en" if i == 0 else "de", "s1", 10))
+        for i in range(4):
+            rows.append((4 + i, "t", "en" if i < 3 else "de", "s2", 10))
+        sf = str(tmp_path / "sf")
+        _write(_docs(spark, rows), sf, "documents")
+        (r,) = cochran_armitage_trend(spark, sf).collect()
+        assert (r.n_groups, r.n_total, r.k_total, r.trend_num) == (2, 8, 4, 8)
+        assert r.chi2_trend == 2.0
+        assert bool(r.trend_detected) is False
+
+
+class TestDurbinWatson:
+    def test_alternating_series(self, spark, tmp_path):
+        """x = [2,4,2,4]: y = [-4,4,-4,4], ss = 64, diff-ss = 192 ->
+        DW = 3.0 (negative autocorrelation side)."""
+        from couchwarehouse_spark.plans.statistics import durbin_watson
+
+        sf = str(tmp_path / "sf")
+        _write(_daily_events_td(spark, [2, 4, 2, 4]), sf, "events")
+        (r,) = durbin_watson(spark, sf).collect()
+        assert (r.resid_ss_num, r.diff_ss_num) == (64, 192)
+        assert r.dw_stat == 3.0
+        assert bool(r.positive_autocorr) is False
+
+
+class TestGumbelBlockMaxima:
+    def test_hand_computed_two_blocks(self, spark, tmp_path):
+        """Jan max 3, Feb max 5: b0 = 4, b1 = 2.5 -> beta =
+        (5-4)/ln2, mu = 4 - gamma*beta."""
+        import math
+
+        from couchwarehouse_spark.plans.statistics import (
+            gumbel_block_maxima_fit,
+        )
+
+        counts = [3] + [1] * 30 + [5] + [1] * 27  # Jan: peak 3, Feb: peak 5
+        sf = str(tmp_path / "sf")
+        _write(_daily_events_td(spark, counts), sf, "events")
+        (r,) = gumbel_block_maxima_fit(spark, sf).collect()
+        assert r.n_blocks == 2
+        assert (r.b0_num, r.b1_num) == (8, 5)
+        beta = (2 * 2.5 - 4.0) / math.log(2)
+        assert r.gumbel_beta == round(beta, 4)
+        assert r.gumbel_mu == round(4.0 - 0.5772156649015329 * beta, 4)
+
+    def test_single_block_guards(self, spark, tmp_path):
+        from couchwarehouse_spark.plans.statistics import (
+            gumbel_block_maxima_fit,
+        )
+
+        sf = str(tmp_path / "sf")
+        _write(_daily_events_td(spark, [2, 3, 4]), sf, "events")
+        (r,) = gumbel_block_maxima_fit(spark, sf).collect()
+        assert r.n_blocks == 1 and r.gumbel_beta is None
+
+
+class TestRatioDeltaMethod:
+    def test_hand_computed_sums(self, spark, tmp_path):
+        """Two users: u1 (2 events, one 1.50 purchase), u2 (1 view):
+        R = 150/3 = 50 cents/event; sums cross-checked exactly."""
+        from couchwarehouse_spark.plans.statistics import (
+            ratio_metric_delta_method,
+        )
+
+        rows = [
+            (1, "purchase", 1.50),
+            (1, "view", 9.99),
+            (2, "view", 2.00),
+        ]
+        sf = str(tmp_path / "sf")
+        _write(_user_events(spark, rows), sf, "events")
+        (r,) = ratio_metric_delta_method(spark, sf).collect()
+        assert (r.n_users, r.sum_cents, r.sum_events) == (2, 150, 3)
+        assert r.ratio_cents_per_event == 50.0
+        assert r.se_delta is not None and r.se_delta >= 0
