@@ -118,6 +118,10 @@ PRIORITY = [
     "durbin_watson",
     "gumbel_block_maxima_fit",
     "ratio_metric_delta_method",
+    "energy_distance_drift",
+    "term_burstiness_adaptation",
+    "fsck_integrity_e2e",
+    "masked_view_e2e",
     # --- 4 family reps (skew / multimodal / dedup / sampling — the
     # stalest eligible member of each family) ---
     "key_skew_audit",
@@ -126,10 +130,6 @@ PRIORITY = [
     "deterministic_split",
     # --- 12 displaced-r02 entries (stalest greens) ---
     "doc_length_histogram",
-    "domain_mixture_weights",
-    "no_big_order_anti",
-    "order_cohort_full_outer",
-    "price_band_join",
     # --- r03-cohort fill, alphabetical (displaced first by new r11
     # entries, from the BOTTOM up) ---
     "array_functions",

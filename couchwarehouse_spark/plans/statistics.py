@@ -7594,3 +7594,141 @@ def ratio_metric_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r, 6).alias("ratio_cents_per_event"),
         F.round(se, 6).alias("se_delta"),
     )
+
+
+@query(
+    "energy_distance_drift",
+    oracle=f"""
+    WITH a AS (
+      SELECT CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS ca
+      FROM documents WHERE source = '{KS_A}' GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS cb
+      FROM documents WHERE source = '{KS_B}' GROUP BY 1
+    ),
+    merged AS (
+      SELECT coalesce(a.v, b.v) AS v,
+             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM a FULL OUTER JOIN b ON a.v = b.v
+    ),
+    cum AS (
+      SELECT v, ca, cb,
+             CAST(coalesce(sum(ca) OVER w, 0) AS BIGINT) AS calt,
+             CAST(coalesce(sum(cb) OVER w, 0) AS BIGINT) AS cblt,
+             CAST(coalesce(sum(v * ca) OVER w, 0) AS BIGINT) AS salt,
+             CAST(coalesce(sum(v * cb) OVER w, 0) AS BIGINT) AS sblt
+      FROM merged
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)
+    ),
+    s AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+             CAST(max(v) AS BIGINT) AS vmax,
+             CAST(sum(ca * (v * cblt - sblt) + cb * (v * calt - salt))
+                  AS BIGINT) AS sab,
+             CAST(2 * sum(ca * (v * calt - salt)) AS BIGINT) AS saa,
+             CAST(2 * sum(cb * (v * cblt - sblt)) AS BIGINT) AS sbb
+      FROM cum
+    )
+    SELECT n_a, n_b, sab, saa, sbb,
+           round(2.0 * sab / (n_a * CAST(n_b AS DOUBLE))
+                 - CAST(saa AS DOUBLE) / (n_a * CAST(n_a AS DOUBLE))
+                 - CAST(sbb AS DOUBLE) / (n_b * CAST(n_b AS DOUBLE)), 6)
+             AS energy_distance
+    FROM s
+    """,
+)
+def energy_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample ENERGY distance (Szekely & Rizzo 2004: E = 2·E|X−Y|
+    − E|X−X'| − E|Y−Y'| — zero iff the distributions are equal,
+    sensitive to ANY difference, the characteristic-function-complete
+    member of this module's drift suite beside KS (largest local
+    gap), CvM (integrated squared gap), Wasserstein (transport cost)
+    and Mann-Whitney (stochastic order)).
+
+    Exactness WITHOUT a pair join: every all-pairs absolute-difference
+    sum collapses to cumulative count/sum windows over the merged
+    VALUE DOMAIN — for the element at v, the pairs it dominates
+    contribute v·(#smaller) − (sum of smaller) — so sab/saa/sbb are
+    exact BIGINTs that cross the oracle (n_a·n_b, n_a², n_b² pair
+    sums computed in O(|domain|)); E is one float dag off three
+    integers. A loud symmetric guard (the CvM idiom) raises before
+    the cleared products could exceed BIGINT.
+
+    Scale: per-source histograms, one full-outer domain merge, one
+    ordered window — bounded by distinct lengths, never the corpus;
+    the naive formulation is an n² pair join, this is the 100 TB
+    form.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    a = (
+        d.filter(F.col("source") == KS_A)
+        .groupBy(F.col("n_chars").cast("long").alias("v"))
+        .agg(F.count("*").cast("long").alias("ca"))
+    )
+    b = (
+        d.filter(F.col("source") == KS_B)
+        .groupBy(F.col("n_chars").cast("long").alias("v"))
+        .agg(F.count("*").cast("long").alias("cb"))
+    )
+    merged = a.join(b, "v", "full_outer").select(
+        "v",
+        F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+        F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = merged.select(
+        "v",
+        "ca",
+        "cb",
+        F.coalesce(F.sum("ca").over(w), F.lit(0)).cast("long").alias("calt"),
+        F.coalesce(F.sum("cb").over(w), F.lit(0)).cast("long").alias("cblt"),
+        F.coalesce(F.sum(F.col("v") * F.col("ca")).over(w), F.lit(0))
+        .cast("long")
+        .alias("salt"),
+        F.coalesce(F.sum(F.col("v") * F.col("cb")).over(w), F.lit(0))
+        .cast("long")
+        .alias("sblt"),
+    )
+    sab_raw = F.sum(
+        F.col("ca") * (F.col("v") * F.col("cblt") - F.col("sblt"))
+        + F.col("cb") * (F.col("v") * F.col("calt") - F.col("salt"))
+    )
+    saa_raw = 2 * F.sum(F.col("ca") * (F.col("v") * F.col("calt") - F.col("salt")))
+    sbb_raw = 2 * F.sum(F.col("cb") * (F.col("v") * F.col("cblt") - F.col("sblt")))
+    na_d = F.sum("ca").cast("double")
+    nb_d = F.sum("cb").cast("double")
+    vmax_d = F.max("v").cast("double")
+    guard = F.assert_true(
+        (na_d + nb_d) * (na_d + nb_d) * vmax_d < F.lit(4.5e18),
+        F.lit(
+            "energy_distance_drift: pair-sum numerators would overflow "
+            "BIGINT at these group sizes; shard the audit"
+        ),
+    )
+    # One-armed CASE (no otherwise): equal branches would let Catalyst
+    # fold the assert away — the cramer_von_mises_drift lesson.
+    sab = F.when(guard.isNull(), sab_raw)
+    s = cum.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        sab.cast("long").alias("sab"),
+        saa_raw.cast("long").alias("saa"),
+        sbb_raw.cast("long").alias("sbb"),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "sab",
+        "saa",
+        "sbb",
+        F.round(
+            2.0 * F.col("sab") / (F.col("n_a") * F.col("n_b").cast("double"))
+            - F.col("saa").cast("double")
+            / (F.col("n_a") * F.col("n_a").cast("double"))
+            - F.col("sbb").cast("double")
+            / (F.col("n_b") * F.col("n_b").cast("double")),
+            6,
+        ).alias("energy_distance"),
+    )

@@ -2936,3 +2936,82 @@ def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.col("hapax_f1").cast("double") / F.col("total_tokens"), 6
         ).alias("good_coverage"),
     )
+
+
+BURST_TOP_K = 20  # reported head of the burstiness census
+
+
+@query(
+    "term_burstiness_adaptation",
+    oracle=f"""
+    WITH dt AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    t AS (
+      SELECT term,
+             CAST(sum(c) AS BIGINT) AS cf,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(count(*) FILTER (c >= 2) AS BIGINT) AS df2
+      FROM dt GROUP BY term
+    )
+    SELECT term, cf, df, df2,
+           round(CAST(cf AS DOUBLE) / df, 4) AS burstiness,
+           round(CAST(df2 AS DOUBLE) / df, 4) AS adaptation
+    FROM t
+    ORDER BY cf DESC, term
+    LIMIT {BURST_TOP_K}
+    """,
+)
+def term_burstiness_adaptation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness and adaptation census (Church & Gale 1995 /
+    Church 2000 "Empirical estimates of adaptation": real terms are
+    BURSTY — P(another occurrence | one occurrence) far exceeds the
+    Poisson rate — and the two classic magnitudes are burstiness
+    cf/df (mean occurrences per containing doc) and adaptation
+    df2/df (share of containing docs that repeat the term)). The
+    per-term complement of the corpus-level ``burstiness_fano_census``:
+    content words adapt strongly, function words behave ~Poisson —
+    the signal behind cache language models and the df-vs-cf choice
+    in every retrieval weighting.
+
+    Exactness: cf/df/df2 are pure integer aggregates off the
+    (doc, term) count table and cross the oracle raw; the two ratios
+    are one float division each, rounded once; ranking orders on
+    (cf, term) — fully integer-decided.
+
+    Scale: one explode → one (doc, term) hash agg (map-side combined)
+    → one term agg; the census frame is vocabulary-sized, the top-k a
+    heap.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    dt = (
+        d.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    t = dt.groupBy("term").agg(
+        F.sum("c").cast("long").alias("cf"),
+        F.count("*").cast("long").alias("df"),
+        F.count_if(F.col("c") >= 2).cast("long").alias("df2"),
+    )
+    return (
+        t.orderBy(F.col("cf").desc(), "term")
+        .limit(BURST_TOP_K)
+        .select(
+            "term",
+            "cf",
+            "df",
+            "df2",
+            F.round(F.col("cf").cast("double") / F.col("df"), 4).alias(
+                "burstiness"
+            ),
+            F.round(F.col("df2").cast("double") / F.col("df"), 4).alias(
+                "adaptation"
+            ),
+        )
+    )

@@ -1504,3 +1504,166 @@ def asof_timestamp_read_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         F.round(F.sum("total"), 2).alias("total_revenue"),
     )
+
+
+FSCK_SUBSET = 41  # fsck e2e feeds only o_orderkey % 41 == 0
+
+
+@query(
+    "fsck_integrity_e2e",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % {AMEND} = 0 THEN 'amended'
+                ELSE o_orderstatus END        AS status,
+           CAST(count(*) AS BIGINT)           AS n_orders,
+           round(sum(o_totalprice), 2)        AS total_revenue
+    FROM orders
+    WHERE o_orderkey % {FSCK_SUBSET} = 0 AND o_orderkey % {DELETE} <> 0
+    GROUP BY 1
+    """,
+)
+def fsck_integrity_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-integrity FSCK under the oracle gate (Delta's FSCK, read
+    side): after a full insert+amend+tombstone spool the checker must
+    certify all three invariants — every referenced part file exists,
+    recorded id-range stats match the parquet footers, and every row
+    hashes into the bucket directory it lives in — and it must
+    DETECT damage: the entry moves one referenced part file aside
+    (the classic lost-object failure after a botched manual cleanup
+    or an eventually-consistent store), asserts fsck reports exactly
+    that missing file with ``ok = false``, restores it, and asserts
+    the report is clean again before the census crosses the oracle.
+    A checker that misses a lost file — or one that false-positives
+    on a healthy table — fails in-entry before any hash compare.
+
+    Scale: checks (1)-(2) are manifest-bounded metadata reads; check
+    (3) is one partial-aggregated bucket-recompute scan — the cost of
+    a single census query, not a repair job.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_fsck_{tag}")
+    wh_dir = os.path.join(base, "wh")
+    feed_dir = os.path.join(base, "feed")
+    shutil.rmtree(base, ignore_errors=True)
+
+    _build_feed(spark, sf_dir, feed_dir, subset=FSCK_SUBSET)
+    wh = Warehouse(spark, wh_dir, "fsckorders", reset=True, feed_schema=FEED_DOC_DDL)
+    wh.spool(feed_dir)
+
+    (clean,) = wh.fsck().collect()
+    assert clean["ok"] and clean["n_missing_files"] == 0, clean
+
+    path = wh._table_path("_default")
+    manifest = wh._load_manifest(path)
+    b, files = next(
+        (b, fs) for b, fs in sorted(manifest["buckets"].items()) if fs
+    )
+    victim = os.path.join(path, f"_cw_bucket={b}", files[0])
+    hidden = victim + ".hidden"
+    os.rename(victim, hidden)
+    try:
+        (broken,) = wh.fsck().collect()
+        assert not broken["ok"] and broken["n_missing_files"] == 1, broken
+    finally:
+        os.rename(hidden, victim)
+    (healed,) = wh.fsck().collect()
+    assert healed["ok"], healed
+
+    return wh.table().groupBy("status").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("total"), 2).alias("total_revenue"),
+    )
+
+
+MV_SUBSET = 43  # masked-view e2e feeds only o_orderkey % 43 == 0
+
+
+@query(
+    "masked_view_e2e",
+    oracle=f"""
+    WITH masked AS (
+      SELECT o_orderstatus AS status,
+             substring(sha256(CAST(o_custkey AS VARCHAR)), 1, 8) AS cust_mask,
+             floor(o_totalprice / 100) * 100 AS total_bucket
+      FROM orders WHERE o_orderkey % {MV_SUBSET} = 0
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT)               AS n_rows,
+           CAST(count(DISTINCT cust_mask) AS BIGINT) AS n_distinct_customers,
+           round(sum(total_bucket), 2)            AS bucketed_revenue,
+           min(cust_mask)                         AS first_mask
+    FROM masked
+    GROUP BY status
+    """,
+)
+def masked_view_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side column masking under the oracle gate (Unity/Snowflake
+    masking-policy semantics via ``create_masked_view``): analysts
+    query the VIEW — customer ids replaced by an 8-hex sha2 digest,
+    totals coarsened to 100-unit buckets, the rev column dropped —
+    while the underlying table keeps raw values. The oracle states
+    the masked census straight from ``orders`` (DuckDB's sha256 and
+    Spark's sha2(·, 256) agree byte-for-byte on identical input
+    strings), so a hash match certifies the masking expressions were
+    applied per-read exactly as written: distinct-count preservation
+    (a digest is injective on this key space), bucket sums, and the
+    lexicographic first digest all cross engines.
+
+    In-entry asserts: the raw table still exposes unmasked values
+    (masking is a view, not a rewrite), the dropped column is absent
+    from the view, and a policy naming an unknown column raises
+    loudly rather than silently no-opping (the leak mode).
+
+    Scale: masking is a per-read projection on the scan — zero
+    storage cost, always reflecting the current version.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_mv_{tag}")
+    wh_dir = os.path.join(base, "wh")
+    feed_dir = os.path.join(base, "feed")
+    shutil.rmtree(base, ignore_errors=True)
+
+    _build_feed(spark, sf_dir, feed_dir, phase=1, subset=MV_SUBSET)
+    wh = Warehouse(spark, wh_dir, "mvorders", reset=True, feed_schema=FEED_DOC_DDL)
+    wh.spool(feed_dir)
+
+    view_name = f"cw_masked_{tag}"
+    mv = wh.create_masked_view(
+        view_name,
+        rules={
+            # The frozen logical "number" type stores as DOUBLE —
+            # route through bigint so the digest input is '123', not
+            # '123.0', matching the oracle's VARCHAR cast of o_custkey.
+            "customer_id": (
+                "substring(sha2(cast(cast(customer_id as bigint) as string),"
+                " 256), 1, 8)"
+            ),
+            # Spark floor() returns BIGINT; keep the column double
+            # so sums cross the oracle's float lane.
+            "total": "cast(floor(total / 100) * 100 as double)",
+        },
+        drop=["rev"],
+    )
+    assert "rev" not in mv.columns
+    assert dict(mv.dtypes)["customer_id"] == "string"
+    assert dict(wh.table().dtypes)["customer_id"] != "string", (
+        "raw table must stay unmasked"
+    )
+    try:
+        wh.create_masked_view("cw_bad_policy", rules={"no_such_col": "1"})
+    except ValueError:
+        pass  # unknown-column policies must fail loudly
+    else:
+        raise AssertionError("masking policy on unknown column silently passed")
+
+    return spark.sql(
+        f"""
+        SELECT status,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT customer_id) AS BIGINT)
+                 AS n_distinct_customers,
+               round(sum(total), 2) AS bucketed_revenue,
+               min(customer_id) AS first_mask
+        FROM {view_name}
+        GROUP BY status
+        """
+    )

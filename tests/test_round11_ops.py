@@ -482,3 +482,60 @@ class TestRatioDeltaMethod:
         assert (r.n_users, r.sum_cents, r.sum_events) == (2, 150, 3)
         assert r.ratio_cents_per_event == 50.0
         assert r.se_delta is not None and r.se_delta >= 0
+
+
+class TestEnergyDistance:
+    def test_hand_computed_pair_sums(self, spark, tmp_path):
+        """A = {10,30}, B = {10,30}: equal distributions -> E = 0 with
+        sab = saa = sbb = 40 (the 4-pair abs sums)."""
+        from couchwarehouse_spark.plans.statistics import (
+            KS_A,
+            KS_B,
+            energy_distance_drift,
+        )
+
+        rows = [
+            (1, "t", "en", KS_A, 10),
+            (2, "t", "en", KS_A, 30),
+            (3, "t", "en", KS_B, 10),
+            (4, "t", "en", KS_B, 30),
+        ]
+        sf = str(tmp_path / "sf")
+        _write(_docs(spark, rows), sf, "documents")
+        (r,) = energy_distance_drift(spark, sf).collect()
+        assert (r.n_a, r.n_b) == (2, 2)
+        assert (r.sab, r.saa, r.sbb) == (40, 40, 40)
+        assert r.energy_distance == 0.0
+
+    def test_disjoint_masses_positive(self, spark, tmp_path):
+        """A = {10}, B = {30}: sab = 20, within-sums 0 -> E = 40."""
+        from couchwarehouse_spark.plans.statistics import (
+            KS_A,
+            KS_B,
+            energy_distance_drift,
+        )
+
+        rows = [(1, "t", "en", KS_A, 10), (2, "t", "en", KS_B, 30)]
+        sf = str(tmp_path / "sf")
+        _write(_docs(spark, rows), sf, "documents")
+        (r,) = energy_distance_drift(spark, sf).collect()
+        assert (r.sab, r.saa, r.sbb) == (20, 0, 0)
+        assert r.energy_distance == 40.0
+
+
+class TestTermBurstiness:
+    def test_hand_computed_ratios(self, spark, tmp_path):
+        """'a a b' + 'a c': term a has cf=3, df=2, df2=1 ->
+        burstiness 1.5, adaptation 0.5."""
+        from couchwarehouse_spark.plans.text import (
+            term_burstiness_adaptation,
+        )
+
+        rows = [(1, "a a b", "en", "s", 5), (2, "a c", "en", "s", 3)]
+        sf = str(tmp_path / "sf")
+        _write(_docs(spark, rows), sf, "documents")
+        out = {r.term: r for r in term_burstiness_adaptation(spark, sf).collect()}
+        a = out["a"]
+        assert (a.cf, a.df, a.df2) == (3, 2, 1)
+        assert a.burstiness == 1.5 and a.adaptation == 0.5
+        assert out["b"].adaptation == 0.0
