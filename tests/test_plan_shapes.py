@@ -1664,3 +1664,22 @@ def test_isotonic_lattice_bounded_by_grid(spark):
     # reads the cache, not the event corpus (cached subtrees echo
     # their FileScan child in the printed plan, so count the cache)
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_energy_distance_no_pair_join(spark):
+    """All three all-pairs abs-difference sums come from cumulative
+    windows over the merged value DOMAIN — one full-outer histogram
+    merge, no cartesian, no Python (the KS/CvM shape)."""
+    plan = plan_of(spark, "energy_distance_drift")
+    assert plan.count("FullOuter") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_burstiness_is_two_hash_aggs_and_heap(spark):
+    """Explode → (doc, term) agg → term agg → TakeOrdered heap; no
+    joins at all, no Python."""
+    plan = plan_of(spark, "term_burstiness_adaptation")
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
