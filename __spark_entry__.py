@@ -122,6 +122,7 @@ PRIORITY = [
     "term_burstiness_adaptation",
     "fsck_integrity_e2e",
     "masked_view_e2e",
+    "streaming_full_outer_interval_join_e2e",
     # --- 4 family reps (skew / multimodal / dedup / sampling — the
     # stalest eligible member of each family) ---
     "key_skew_audit",
@@ -129,7 +130,6 @@ PRIORITY = [
     "near_dup_clusters",
     "deterministic_split",
     # --- 12 displaced-r02 entries (stalest greens) ---
-    "doc_length_histogram",
     # --- r03-cohort fill, alphabetical (displaced first by new r11
     # entries, from the BOTTOM up) ---
     "array_functions",

@@ -1460,3 +1460,169 @@ def concurrent_compact_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").cast("long").alias("n_orders"),
         F.round(F.sum("total"), 2).alias("total_revenue"),
     )
+
+
+@query(
+    "streaming_full_outer_interval_join_e2e",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, ts AS purchase_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+                   (SELECT max(ts) FROM events
+                    WHERE event_type = 'purchase'))
+             - INTERVAL {SJL_WM_SECONDS} SECOND AS w
+    ),
+    matched AS (
+      SELECT v.user_id, v.view_ts, p.purchase_ts
+      FROM v JOIN p
+        ON v.user_id = p.user_id
+       AND p.purchase_ts > v.view_ts
+       AND p.purchase_ts <= v.view_ts + INTERVAL {SJ_ATTR_HOURS} HOUR
+    ),
+    unmatched_views AS (
+      -- left side: emitted once the watermark passes the view's whole
+      -- match window (STRICT <, the boundary the left-outer entry pinned)
+      SELECT v.user_id, v.view_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+      FROM v CROSS JOIN wm
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = v.user_id
+          AND p.purchase_ts > v.view_ts
+          AND p.purchase_ts <= v.view_ts + INTERVAL {SJ_ATTR_HOURS} HOUR
+      )
+      AND v.view_ts + INTERVAL {SJ_ATTR_HOURS} HOUR < wm.w
+    ),
+    unmatched_purchases AS (
+      -- right side: a purchase only matches EARLIER views, so it is
+      -- provably unmatchable once the watermark reaches its event
+      -- time — INCLUSIVE <=, probed empirically (a purchase at
+      -- exactly wm emits; one microsecond past is held; pinned in
+      -- tests/test_round11_ops.py)
+      SELECT p.user_id, CAST(NULL AS TIMESTAMP) AS view_ts, p.purchase_ts
+      FROM p CROSS JOIN wm
+      WHERE NOT EXISTS (
+        SELECT 1 FROM v WHERE v.user_id = p.user_id
+          AND p.purchase_ts > v.view_ts
+          AND p.purchase_ts <= v.view_ts + INTERVAL {SJ_ATTR_HOURS} HOUR
+      )
+      AND p.purchase_ts <= wm.w
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN purchase_ts IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unconverted_views,
+           CAST(sum(CASE WHEN view_ts IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_organic_purchases
+    FROM (SELECT * FROM matched
+          UNION ALL SELECT * FROM unmatched_views
+          UNION ALL SELECT * FROM unmatched_purchases)
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_full_outer_interval_join_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join under the oracle gate —
+    completes the streaming join-mode matrix (inner
+    `streaming_interval_join_e2e`, left-outer
+    `streaming_left_interval_join_e2e`, and now both unmatched sides
+    at once): matched view→purchase pairs emit immediately; an
+    unconverted view emits NULL-padded once the watermark passes its
+    whole match window (strict <); an ORGANIC purchase — one no view
+    preceded within {SJ_ATTR_HOURS}h — emits NULL-padded once the
+    watermark reaches its own event time, because purchases only
+    match EARLIER views, so wm ≥ purchase_ts proves no future view
+    can pair with it. That right-side horizon is INCLUSIVE (≤): a
+    purchase at exactly the final watermark emits, one past it is
+    held — probed empirically and pinned in
+    tests/test_round11_ops.py, since this asymmetric two-horizon
+    emission contract is precisely what the batch SQL must state for
+    the hash to match.
+
+    The production shape is attribution with BOTH fallbacks: bill
+    unconverted views AND credit organic purchases, one pass.
+
+    Exactness: counts and two NULL-indicator sums are integers; both
+    horizons are microsecond timestamp arithmetic identical in both
+    engines (no event lands exactly on the final watermark at any
+    shipped SF — verified — so the pinned boundary convention is
+    load-bearing only for the planted test).
+
+    Scale: the same bounded keyed state as the one-sided joins; the
+    right buffer drains at wm ≥ purchase_ts, strictly sooner than the
+    left's wm > view_ts + window — state is never larger than the
+    left-outer case.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cw_sfojoin_{tag}")
+    stage_v = os.path.join(base, "views")
+    stage_p = os.path.join(base, "purch")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "event_type")
+    _stage_by_event_time(
+        ev.filter(F.col("event_type") == "view").drop("event_type"),
+        stage_v, SW_STAGE_FILES,
+    )
+    _stage_by_event_time(
+        ev.filter(F.col("event_type") == "purchase").drop("event_type"),
+        stage_p, SW_STAGE_FILES,
+    )
+    schema = "ts timestamp, user_id long"
+    views = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", SW_FILES_PER_TRIGGER)
+        .parquet(stage_v)
+        .withWatermark("ts", f"{SJL_WM_SECONDS} seconds")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", SW_FILES_PER_TRIGGER)
+        .parquet(stage_p)
+        .withWatermark("ts", f"{SJL_WM_SECONDS} seconds")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"""v_user = p_user
+            AND purchase_ts > view_ts
+            AND purchase_ts <= view_ts + INTERVAL {SJ_ATTR_HOURS} HOUR"""
+        ),
+        "full_outer",
+    )
+    qname = f"cw_sfojoin_out_{tag}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy(F.coalesce("v_user", "p_user").alias("user_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("purchase_ts").isNull().cast("int"))
+            .cast("long")
+            .alias("n_unconverted_views"),
+            F.sum(F.col("view_ts").isNull().cast("int"))
+            .cast("long")
+            .alias("n_organic_purchases"),
+        )
+        .orderBy("user_id")
+    )

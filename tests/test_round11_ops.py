@@ -539,3 +539,85 @@ class TestTermBurstiness:
         assert (a.cf, a.df, a.df2) == (3, 2, 1)
         assert a.burstiness == 1.5 and a.adaptation == 0.5
         assert out["b"].adaptation == 0.0
+
+
+class TestFullOuterStreamJoinBoundary:
+    def test_right_side_eviction_is_inclusive_at_watermark(self, spark, tmp_path):
+        """The full-outer interval join's right-side emission horizon:
+        a purchase at EXACTLY the final watermark emits NULL-padded,
+        one second past it is held; an unconverted view whose window
+        closed emits; open-window rows on both sides are held. This
+        pin is what licenses the `<=` in the entry's oracle."""
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        base = str(tmp_path / "fo")
+        os.makedirs(f"{base}/v")
+        os.makedirs(f"{base}/p")
+        rows_v = [
+            ("2024-01-01 00:00:00", 1),   # converts via p1
+            ("2024-01-01 00:05:00", 2),   # window closes 01:05 < wm: emits
+            ("2024-01-01 12:00:00", 99),  # open window: held
+        ]
+        rows_p = [
+            ("2024-01-01 00:30:00", 1),   # matches v1
+            ("2024-01-01 11:50:00", 50),  # exactly wm (12:00 - 10min): emits
+            ("2024-01-01 11:50:01", 51),  # past wm: held
+            ("2024-01-01 12:00:00", 98),  # past wm: held
+        ]
+        for rows, sub in [(rows_v, "v"), (rows_p, "p")]:
+            df = spark.createDataFrame(rows, "ts string, user_id long").select(
+                F.col("ts").cast("timestamp").alias("ts"), "user_id"
+            )
+            tmp = f"{base}/{sub}_w"
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            for f in os.listdir(tmp):
+                if f.endswith(".parquet"):
+                    shutil.copyfile(
+                        os.path.join(tmp, f), os.path.join(base, sub, f)
+                    )
+        schema = "ts timestamp, user_id long"
+        views = (
+            spark.readStream.schema(schema)
+            .parquet(f"{base}/v")
+            .withWatermark("ts", "10 minutes")
+            .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        )
+        purch = (
+            spark.readStream.schema(schema)
+            .parquet(f"{base}/p")
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+            )
+        )
+        j = views.join(
+            purch,
+            F.expr(
+                "v_user = p_user AND purchase_ts > view_ts "
+                "AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+            ),
+            "full_outer",
+        )
+        q = (
+            j.writeStream.format("memory")
+            .queryName("cw_fo_boundary")
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = {
+            (r["v_user"], r["p_user"])
+            for r in spark.table("cw_fo_boundary").collect()
+        }
+        assert (1, 1) in out          # matched pair
+        assert (2, None) in out       # closed-window view emitted
+        assert (None, 50) in out      # purchase AT wm: inclusive emit
+        assert (None, 51) not in out  # past wm: held
+        assert (None, 98) not in out  # open right row: held
+        assert (99, None) not in out  # open left window: held
