@@ -24,53 +24,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
-# coverage policy. Round-11 rotation — executes round 10's written plan
-# (3 anchors + 4 changed-this-round + the full 15-entry
-# never-driver-verified r10 queue + new r11 entries + family reps +
-# stalest greens = 50). With the r10 queue driven green, cumulative
-# driver coverage reaches 360/360 of the r10 registry — every entry
-# ever registered has a green driver row.
+# coverage policy. Round-11 rotation — ACTUAL composition (3 anchors +
+# 4 r10-ADVICE-changed + the full 15-entry never-driver-verified r10
+# queue + 22 new r11 entries + 6 family reps = 50). With the r10 queue
+# driven green, cumulative driver coverage reaches 360/360 of the r10
+# registry, and every r11 operator is driver-verified the round it
+# lands.
 #  - 3 never-regressed anchors (ETL kernel — also the required
 #    etl-family representative — the R1-R14 e2e, and the relational
 #    flagship),
-#  - 4 entries whose IMPLEMENTATION changed this round and must be
-#    re-proven (r10 ADVICE fixes): streaming_dedup_watermark_e2e
-#    (dedup keys on doc_id ALONE so post-horizon re-admission depends
-#    on genuine state eviction), cramer_von_mises_drift (loud
-#    symmetric BIGINT-overflow guard via in-plan assert_true),
-#    hill_tail_index (effective-k reporting for short corpora),
-#    log2_histogram_quantiles (integral `div` rank grid matching
-#    DuckDB's `//` at all magnitudes). pinball_loss_eval and
-#    hurst_exponent_rs got the same `div` fix and sit inside the r10
-#    queue below, so they re-prove in the same window.
-#  - 15 r10-queue entries: the round-10 operators that landed after
-#    the r10 window filled — t2-sim green at sf0.001/0.01/0.1 in r10
-#    AND independently re-verified by the r10 judge (VERDICT.md) —
-#    their first driver window,
-#  - new round-11 entries (every operator added this round is
-#    driver-verified the round it lands),
-#  - 4 family-coverage reps (skew_plan / multimodal_plan / dedup /
-#    sampling — the stalest member of each family not already in the
-#    window): key_skew_audit, multimodal_resize, near_dup_clusters,
-#    deterministic_split,
-#  - stalest greens fill the rest: the full displaced-r02 block, then
-#    the r03 cohort alphabetically.
+#  - 4 entries whose IMPLEMENTATION changed this round (r10 ADVICE):
+#    streaming_dedup_watermark_e2e (dedup keys on doc_id ALONE so
+#    post-horizon re-admission depends on genuine state eviction),
+#    cramer_von_mises_drift (loud symmetric BIGINT-overflow guard via
+#    a one-armed in-plan assert_true Catalyst cannot fold away),
+#    hill_tail_index (effective-k reporting), log2_histogram_quantiles
+#    (integral `div` rank grid). pinball_loss_eval and
+#    hurst_exponent_rs carry the same `div` fix and sit inside the
+#    r10 queue below, so they re-prove in the same window.
+#  - 15 r10-queue entries: t2-sim green at all three SFs in r10 AND
+#    independently re-verified by the r10 judge — first driver window,
+#  - 22 NEW r11 entries: the OPTIMIZE-vs-ingest commit race
+#    (concurrent_compact_ingest_e2e), the last pytest-only warehouse
+#    verbs oracle-gated (merge_into / analyze / TIMESTAMP AS OF /
+#    fsck / masked views), the full-outer stream-stream interval join
+#    (completing the join-mode matrix, right-side eviction boundary
+#    probed + pinned), the statistics batch (Jarque-Bera,
+#    Mantel-Haenszel, Yule-Walker AR(2), GPD + Gumbel completing the
+#    EVT triad, SRM, Cochran-Armitage, Durbin-Watson, delta-method
+#    ratio SE, exact minimax-PAV isotonic calibration, energy
+#    distance with no-pair-join BIGINT pair sums), and the
+#    dedup/graph/text batch (winnowing minimizers with the detection
+#    guarantee, Jaccard/PA link prediction, per-node clustering,
+#    Church-Gale burstiness),
+#  - 6 family reps (skew / multimodal / dedup / sampling / scalar /
+#    text — the stalest eligible member of each family not already in
+#    the window): key_skew_audit, multimodal_resize, near_dup_clusters,
+#    deterministic_split, array_functions, tf_idf_top_terms.
 # ROUND-12 ROTATION PLAN (write the r12 window from this): keep the 3
 # anchors + any round-12-changed entries; window FIRST any round-11
 # operators that landed after this 50-slot window filled (check
-# CORRECTNESS_r11.json against the registry), then new r12 entries,
-# then the stalest greens — the remainder of the r03 cohort
-# (ivf_topk, json_functions, language_id_heuristic, ngram_jaccard_pairs,
+# CORRECTNESS_r11.json against the registry — if all 22 r11 entries
+# ran, there is no r12 carry-over queue), then new r12 entries, then
+# the STALEST greens displaced this round — the r02 block
+# (doc_length_histogram, domain_mixture_weights, no_big_order_anti,
+# order_cohort_full_outer, price_band_join, priority_multiset_diff,
+# range_frame_revenue, rollup_priority_status, set_except_nations,
+# set_intersect_brands, set_union_nations, top_revenue_orders), then
+# the r03 cohort (agg_stats, asof_last_view, big_spenders_semi,
+# bm25_relevance, cte_above_avg_customers, doc_chunking, flatten_props,
+# full_text_relevance, graph_pagerank_step, grouping_sets_orders,
+# hybrid_search_rrf, incremental_agg_maintenance, ivf_topk,
+# json_functions, language_id_heuristic, ngram_jaccard_pairs,
 # pandas_udf_disc_price, percentile_stats, recursive_cte_month_spine,
 # repetition_census, seq_extraction, sequence_packing,
 # session_window_stats, simhash_near_dup, sliding_window_counts,
-# snapshot_cdc, string_functions, tf_idf_top_terms,
-# user_pseudonymization, vocab_oov_audit, window_top_orders), then the
-# r04 cohort (salted_skew_aggregate, multimodal_resize rotates back
-# out, benchmark_decontamination, corpus_build_pipeline, ...). Keep
-# one skew_plan + one dedup + one multimodal_plan + one sampling rep
-# in every window. Every entry outside the window stays registered,
-# oracle-checked by tests/t2_sim.py, pytest-covered, and bench-timed.
+# snapshot_cdc, string_functions, user_pseudonymization,
+# vocab_oov_audit, window_top_orders), then the r04 cohort. Keep one
+# skew_plan + one dedup + one multimodal_plan + one sampling + one
+# scalar + one text rep in every window. Every entry outside the
+# window stays registered, oracle-checked by tests/t2_sim.py,
+# pytest-covered, and bench-timed.
 PRIORITY = [
     # --- 3 anchors (green in every round they ran; latest_event_per_user
     # is also the window's required etl-family representative) ---
@@ -99,8 +113,7 @@ PRIORITY = [
     "compact_small_files_e2e",
     "vacuum_retention_e2e",
     "rebucket_e2e",
-    # --- new round-11 entries (inserted as they land, displacing the
-    # stalest-r03 tail below) ---
+    # --- 22 new round-11 entries ---
     "concurrent_compact_ingest_e2e",
     "merge_into_upsert_e2e",
     "analyze_stats_e2e",
@@ -123,15 +136,12 @@ PRIORITY = [
     "fsck_integrity_e2e",
     "masked_view_e2e",
     "streaming_full_outer_interval_join_e2e",
-    # --- 4 family reps (skew / multimodal / dedup / sampling — the
-    # stalest eligible member of each family) ---
+    # --- 6 family reps (skew / multimodal / dedup / sampling /
+    # scalar / text — stalest eligible member of each) ---
     "key_skew_audit",
     "multimodal_resize",
     "near_dup_clusters",
     "deterministic_split",
-    # --- 12 displaced-r02 entries (stalest greens) ---
-    # --- r03-cohort fill, alphabetical (displaced first by new r11
-    # entries, from the BOTTOM up) ---
     "array_functions",
     "tf_idf_top_terms",
 ]
