@@ -100,6 +100,23 @@ def main() -> None:
         "  row) ran after a 27-min pytest on the same host; its",
         "  apparent 1.72x-vs-r9 was verified as host-state by the",
         "  interleaved A/B above BEFORE the driver number landed.",
+        "- bench_r11_full (builder-local, end of round 11, 382 entries):",
+        "  the 44-overlap median vs the r10 DRIVER row is 1.23x, which",
+        "  was adjudicated the r9-mandated way BEFORE blaming code: an",
+        "  interleaved best-of-2 A/B of tools/time_subset.py at r11",
+        "  HEAD vs an r10-HEAD worktree over the six WORST apparent",
+        "  offenders (semdedup_prune, duplicate_ngram_removal,",
+        "  graph_pagerank_3iter, pricing_summary, hybrid_search_rrf,",
+        "  event_debounce — all byte-identical code this round) gives",
+        "  median 1.16x with SAME-CODE run-to-run swings of 1.2-1.3x on",
+        "  this host (r10 HEAD against itself: 30.0s then 23.1s).",
+        "  Verdict: host variance; the per-entry mean also carries the",
+        "  r11 mix shift (+22 entries dominated by full streaming /",
+        "  warehouse pipelines: concurrent_compact 30s, three interval",
+        "  joins ~21s each — job-count-bound, not data-bound). The r11",
+        "  DRIVER row remains the number to trust; standing rule: if IT",
+        "  lands >1.2x median vs r10 on the overlap, profile the shared",
+        "  scan path.",
         "",
     ]
     out = os.path.join(REPO, "BENCH_HISTORY.md")
