@@ -26,7 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver evaluates the FIRST 50 registered queries, so ordering is
 # coverage policy. Round-11 rotation — ACTUAL composition (3 anchors +
 # 4 r10-ADVICE-changed + the full 15-entry never-driver-verified r10
-# queue + 22 new r11 entries + 6 family reps = 50). With the r10 queue
+# queue + 24 new r11 entries + 4 family reps = 50). With the r10 queue
 # driven green, cumulative driver coverage reaches 360/360 of the r10
 # registry, and every r11 operator is driver-verified the round it
 # lands.
@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #    r10 queue below, so they re-prove in the same window.
 #  - 15 r10-queue entries: t2-sim green at all three SFs in r10 AND
 #    independently re-verified by the r10 judge — first driver window,
-#  - 22 NEW r11 entries: the OPTIMIZE-vs-ingest commit race
+#  - 24 NEW r11 entries: the OPTIMIZE-vs-ingest commit race
 #    (concurrent_compact_ingest_e2e), the last pytest-only warehouse
 #    verbs oracle-gated (merge_into / analyze / TIMESTAMP AS OF /
 #    fsck / masked views), the full-outer stream-stream interval join
@@ -56,11 +56,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #    distance with no-pair-join BIGINT pair sums), and the
 #    dedup/graph/text batch (winnowing minimizers with the detection
 #    guarantee, Jaccard/PA link prediction, per-node clustering,
-#    Church-Gale burstiness),
-#  - 6 family reps (skew / multimodal / dedup / sampling / scalar /
-#    text — the stalest eligible member of each family not already in
-#    the window): key_skew_audit, multimodal_resize, near_dup_clusters,
-#    deterministic_split, array_functions, tf_idf_top_terms.
+#    Church-Gale burstiness), the dyadic-exact half-life decayed
+#    popularity counter, and the cumulative-gains decile table,
+#  - 4 family reps (skew / multimodal / sampling / scalar — the
+#    families no new entry covers; dedup and text are represented by
+#    winnowing_fingerprints and term_burstiness_adaptation):
+#    key_skew_audit, multimodal_resize, deterministic_split,
+#    array_functions.
 # ROUND-12 ROTATION PLAN (write the r12 window from this): keep the 3
 # anchors + any round-12-changed entries; window FIRST any round-11
 # operators that landed after this 50-slot window filled (check
@@ -113,7 +115,7 @@ PRIORITY = [
     "compact_small_files_e2e",
     "vacuum_retention_e2e",
     "rebucket_e2e",
-    # --- 22 new round-11 entries ---
+    # --- 24 new round-11 entries ---
     "concurrent_compact_ingest_e2e",
     "merge_into_upsert_e2e",
     "analyze_stats_e2e",
@@ -136,14 +138,14 @@ PRIORITY = [
     "fsck_integrity_e2e",
     "masked_view_e2e",
     "streaming_full_outer_interval_join_e2e",
-    # --- 6 family reps (skew / multimodal / dedup / sampling /
-    # scalar / text — stalest eligible member of each) ---
+    "half_life_decayed_popularity",
+    "gains_decile_table",
+    # --- 4 family reps (skew / multimodal / sampling / scalar; dedup
+    # and text ride inside the new-entry block) ---
     "key_skew_audit",
     "multimodal_resize",
-    "near_dup_clusters",
     "deterministic_split",
     "array_functions",
-    "tf_idf_top_terms",
 ]
 
 

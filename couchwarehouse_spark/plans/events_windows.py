@@ -3372,3 +3372,101 @@ def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hurst"),
     ).orderBy("window_size")
+
+
+HL_WEEKS = 7  # half-life: one halving per 7 days
+HL_CLAMP = 30  # clamp: weights below 2^-30 are zero-for-budgeting
+
+
+@query(
+    "half_life_decayed_popularity",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT max(day) AS m FROM daily),
+    w AS (
+      SELECT event_type, c,
+             least(date_diff('day', day, m) // {HL_WEEKS}, {HL_CLAMP})
+               AS weeks_ago
+      FROM daily CROSS JOIN mx
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(sum(c * (1::BIGINT << ({HL_CLAMP} - weeks_ago)))
+                  AS BIGINT) AS decayed_num
+      FROM w GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(sum(decayed_num) AS BIGINT) AS t FROM s)
+    SELECT event_type, n_events, decayed_num,
+           round(decayed_num / CAST(1::BIGINT << {HL_CLAMP} AS DOUBLE), 6)
+             AS decayed_count,
+           round(CAST(decayed_num AS DOUBLE) / t, 6) AS decayed_share
+    FROM s CROSS JOIN tot
+    ORDER BY event_type
+    """,
+)
+def half_life_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed popularity (the exponentially-decayed counter
+    behind every trending/"hot items" surface — Cormode et al.'s
+    time-decayed sketches; a {HL_WEEKS}-day half-life): each event
+    contributes 2^(−weeks_ago), so last week counts double this
+    metric's view of the week before, and the ranking follows
+    RECENCY-weighted volume instead of all-time volume.
+
+    Exactness: the decay base is DYADIC, so every weight is an exact
+    power of two — the reduce is Σ c·2^(clamp − weeks_ago), a pure
+    BIGINT shift-and-add whose numerator crosses the oracle raw (the
+    Holt/EWMA dyadic idiom applied to time decay); weeks_ago is an
+    integral `div` of day differences, identical in both engines;
+    weights below 2^−{HL_CLAMP} clamp to the floor weight (they are
+    budget-invisible anyway), which also bounds the numerator at
+    n_events·2^{HL_CLAMP} — far inside BIGINT for any realistic
+    corpus. The two display ratios divide once.
+
+    Scale: one (type, day) hash agg collapses the corpus to the
+    calendar grid; the decay reduce and shares are grid-sized; at
+    100 TB the decayed counter is maintained incrementally by adding
+    each day's partial and halving weekly — same arithmetic, same
+    exactness.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    mx = daily.agg(F.max("day").alias("m"))
+    w = daily.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "c",
+        F.least(
+            F.expr(f"datediff(m, day) div {HL_WEEKS}"), F.lit(HL_CLAMP)
+        ).alias("weeks_ago"),
+    )
+    s = w.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(
+            F.col("c")
+            * F.expr(f"shiftleft(1L, {HL_CLAMP} - cast(weeks_ago as int))")
+        )
+        .cast("long")
+        .alias("decayed_num"),
+    )
+    tot = s.agg(F.sum("decayed_num").cast("long").alias("t"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_events",
+            "decayed_num",
+            F.round(
+                F.col("decayed_num") / float(1 << HL_CLAMP), 6
+            ).alias("decayed_count"),
+            F.round(
+                F.col("decayed_num").cast("double") / F.col("t"), 6
+            ).alias("decayed_share"),
+        )
+        .orderBy("event_type")
+    )

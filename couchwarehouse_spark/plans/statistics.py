@@ -7732,3 +7732,126 @@ def energy_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("energy_distance"),
     )
+
+
+GAINS_POS_MIN = 16  # positive = a heavy purchaser (>= 16 purchase events)
+
+
+@query(
+    "gains_decile_table",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             md5(concat('score|', CAST(user_id AS VARCHAR))) AS score,
+             CAST(CASE WHEN count(*) FILTER (event_type = 'purchase')
+                       >= {GAINS_POS_MIN} THEN 1 ELSE 0 END AS BIGINT) AS pos
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT pos,
+             CAST(row_number() OVER (ORDER BY score DESC, user_id)
+                  AS BIGINT) AS r,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM per_user
+    ),
+    dec AS (
+      SELECT ((r - 1) * 10) // n AS decile, pos, n FROM ranked
+    ),
+    g AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(pos) AS BIGINT) AS n_pos, CAST(min(n) AS BIGINT) AS n
+      FROM dec GROUP BY decile
+    ),
+    c AS (
+      SELECT decile, n_users, n_pos, n,
+             CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+             CAST(sum(n_pos) OVER () AS BIGINT) AS total_pos
+      FROM g
+    )
+    SELECT decile, n_users, n_pos,
+           round(CAST(cum_pos AS DOUBLE) / nullif(total_pos, 0), 6)
+             AS cum_capture,
+           round((CAST(n_pos AS DOUBLE) / n_users)
+                 / nullif(CAST(total_pos AS DOUBLE) / n, 0), 6) AS lift
+    FROM c
+    ORDER BY decile
+    """,
+)
+def gains_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / decile-lift table (the classic model-triage
+    report every targeting campaign reads before ROC: rank users by
+    model score, cut into deciles, report each decile's capture of
+    all positives and its lift over the base rate; the deterministic
+    md5 pseudo-score stands in for the production model exactly as in
+    ``roc_auc_rank``/``srm_guardrail_check``). Complements
+    ``qini_uplift_curve`` (incremental effect) and ``roc_auc_rank``
+    (threshold-free discrimination) with the capacity-planning view:
+    "mail the top 2 deciles, get what fraction of converters?".
+
+    Exactness: the rank is a total order (score, user_id) so deciles
+    are deterministic; the decile index is integral ``div``
+    arithmetic (the r10-ADVICE idiom); counts, positives, and
+    cumulative sums are BIGINTs; capture and lift divide once,
+    nullif-guarded for the no-positives corpus.
+
+    Scale: the corpus reduces to the USER table first; the global
+    rank is one range-partitioned sort of user-sized data (the cost
+    of any ORDER BY export), and everything after is a 10-row frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        (
+            F.count_if(F.col("event_type") == "purchase") >= GAINS_POS_MIN
+        )
+        .cast("long")
+        .alias("pos")
+    ).select(
+        "user_id",
+        F.md5(F.concat(F.lit("score|"), F.col("user_id").cast("string"))).alias(
+            "score"
+        ),
+        "pos",
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_user.select(
+        "pos",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "user_id"))
+        .cast("long")
+        .alias("r"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+    )
+    dec = ranked.select(
+        F.expr("((r - 1) * 10) div n").alias("decile"), "pos", "n"
+    )
+    g = dec.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.min("n").cast("long").alias("n"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "decile",
+        "n_users",
+        "n_pos",
+        "n",
+        F.sum("n_pos").over(w_cum).cast("long").alias("cum_pos"),
+        F.sum("n_pos").over(w_all).cast("long").alias("total_pos"),
+    )
+    return c.select(
+        "decile",
+        "n_users",
+        "n_pos",
+        F.round(
+            F.col("cum_pos").cast("double")
+            / F.nullif(F.col("total_pos"), F.lit(0)),
+            6,
+        ).alias("cum_capture"),
+        F.round(
+            (F.col("n_pos").cast("double") / F.col("n_users"))
+            / F.nullif(F.col("total_pos").cast("double") / F.col("n"), F.lit(0.0)),
+            6,
+        ).alias("lift"),
+    ).orderBy("decile")

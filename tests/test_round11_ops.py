@@ -621,3 +621,71 @@ class TestFullOuterStreamJoinBoundary:
         assert (None, 51) not in out  # past wm: held
         assert (None, 98) not in out  # open right row: held
         assert (99, None) not in out  # open left window: held
+
+
+class TestHalfLifeDecay:
+    def test_hand_computed_dyadic_weights(self, spark, tmp_path):
+        """Events 7 days apart: the older day's weight is exactly half
+        the newer day's — decayed_num = c_new*2^30 + c_old*2^29."""
+        from couchwarehouse_spark.plans.events_windows import (
+            HL_CLAMP,
+            half_life_decayed_popularity,
+        )
+
+        sf = str(tmp_path / "sf")
+        _write(_daily_events_td(spark, [3] + [0] * 6 + [2]), sf, "events")
+        (r,) = half_life_decayed_popularity(spark, sf).collect()
+        assert r.n_events == 5
+        assert r.decayed_num == 2 * (1 << HL_CLAMP) + 3 * (1 << (HL_CLAMP - 1))
+        assert r.decayed_count == 3.5
+        assert r.decayed_share == 1.0
+
+    def test_clamp_bounds_ancient_events(self, spark, tmp_path):
+        """An event older than clamp half-lives gets the floor weight
+        (2^0 before scaling), not underflow or overflow."""
+        from couchwarehouse_spark.plans.events_windows import (
+            HL_CLAMP,
+            HL_WEEKS,
+            half_life_decayed_popularity,
+        )
+
+        counts = [1] + [0] * (HL_WEEKS * (HL_CLAMP + 5)) + [1]
+        sf = str(tmp_path / "sf")
+        _write(_daily_events_td(spark, counts), sf, "events")
+        (r,) = half_life_decayed_popularity(spark, sf).collect()
+        assert r.decayed_num == (1 << HL_CLAMP) + 1
+
+
+class TestGainsDecileTable:
+    def test_perfect_and_base_rates(self, spark, tmp_path):
+        """Mechanics pins on 20 planted users: deciles hold 2 users
+        each, cum_capture ends at exactly 1.0, and sum(n_pos) equals
+        the positive count."""
+        from datetime import datetime
+
+        from couchwarehouse_spark.plans.statistics import (
+            GAINS_POS_MIN,
+            gains_decile_table,
+        )
+
+        rows = []
+        eid = 0
+        for u in range(20):
+            n_purch = GAINS_POS_MIN if u % 4 == 0 else 1
+            for _ in range(n_purch):
+                rows.append(
+                    (eid, datetime(2024, 1, 1, 12), u, "purchase", 1.0, "{}")
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        sf = str(tmp_path / "sf")
+        _write(df, sf, "events")
+        out = gains_decile_table(spark, sf).collect()
+        assert [r.decile for r in out] == list(range(10))
+        assert all(r.n_users == 2 for r in out)
+        assert sum(r.n_pos for r in out) == 5
+        assert out[-1].cum_capture == 1.0
