@@ -1683,3 +1683,21 @@ def test_burstiness_is_two_hash_aggs_and_heap(spark):
     assert "Join" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_half_life_decay_grid_reduce(spark):
+    """The decayed counter reduces the corpus to the (type, day) grid
+    first; the max-day anchor and total arrive as broadcast scalars —
+    no shuffled pair join, no Python."""
+    plan = plan_of(spark, "half_life_decayed_popularity")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gains_table_user_sized_rank(spark):
+    """The corpus reduces to the USER table before the rank window;
+    no joins at all, no Python."""
+    plan = plan_of(spark, "gains_decile_table")
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
