@@ -26,7 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver evaluates the FIRST 50 registered queries, so ordering is
 # coverage policy. Round-11 rotation — ACTUAL composition (3 anchors +
 # 4 r10-ADVICE-changed + the full 15-entry never-driver-verified r10
-# queue + 24 new r11 entries + 4 family reps = 50). With the r10 queue
+# queue + 25 new r11 entries + 3 family reps = 50). With the r10 queue
 # driven green, cumulative driver coverage reaches 360/360 of the r10
 # registry, and every r11 operator is driver-verified the round it
 # lands.
@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #    r10 queue below, so they re-prove in the same window.
 #  - 15 r10-queue entries: t2-sim green at all three SFs in r10 AND
 #    independently re-verified by the r10 judge — first driver window,
-#  - 24 NEW r11 entries: the OPTIMIZE-vs-ingest commit race
+#  - 25 NEW r11 entries: the OPTIMIZE-vs-ingest commit race
 #    (concurrent_compact_ingest_e2e), the last pytest-only warehouse
 #    verbs oracle-gated (merge_into / analyze / TIMESTAMP AS OF /
 #    fsck / masked views), the full-outer stream-stream interval join
@@ -57,11 +57,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #    dedup/graph/text batch (winnowing minimizers with the detection
 #    guarantee, Jaccard/PA link prediction, per-node clustering,
 #    Church-Gale burstiness), the dyadic-exact half-life decayed
-#    popularity counter, and the cumulative-gains decile table,
-#  - 4 family reps (skew / multimodal / sampling / scalar — the
-#    families no new entry covers; dedup and text are represented by
-#    winnowing_fingerprints and term_burstiness_adaptation):
-#    key_skew_audit, multimodal_resize, deterministic_split,
+#    popularity counter, the cumulative-gains decile table, and the
+#    corpus release export round-trip (shards + manifest verify +
+#    consumer re-read, tamper drill included),
+#  - 3 family reps (skew / multimodal / scalar — the families no new
+#    entry covers; dedup, text and sampling are represented by
+#    winnowing_fingerprints, term_burstiness_adaptation and
+#    corpus_export_roundtrip_e2e): key_skew_audit, multimodal_resize,
 #    array_functions.
 # ROUND-12 ROTATION PLAN (write the r12 window from this): keep the 3
 # anchors + any round-12-changed entries; window FIRST any round-11
@@ -115,7 +117,7 @@ PRIORITY = [
     "compact_small_files_e2e",
     "vacuum_retention_e2e",
     "rebucket_e2e",
-    # --- 24 new round-11 entries ---
+    # --- 25 new round-11 entries ---
     "concurrent_compact_ingest_e2e",
     "merge_into_upsert_e2e",
     "analyze_stats_e2e",
@@ -140,11 +142,11 @@ PRIORITY = [
     "streaming_full_outer_interval_join_e2e",
     "half_life_decayed_popularity",
     "gains_decile_table",
-    # --- 4 family reps (skew / multimodal / sampling / scalar; dedup
-    # and text ride inside the new-entry block) ---
+    "corpus_export_roundtrip_e2e",
+    # --- 3 family reps (skew / multimodal / scalar; dedup, text and
+    # sampling ride inside the new-entry block) ---
     "key_skew_audit",
     "multimodal_resize",
-    "deterministic_split",
     "array_functions",
 ]
 

@@ -2211,3 +2211,107 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: the corpus release export certified end-to-end.
+# ---------------------------------------------------------------------------
+
+CE_SHARDS = 8  # release shard count for the round-trip entry
+
+
+@query(
+    "corpus_export_roundtrip_e2e",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT)           AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT)       AS total_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_export_roundtrip_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus RELEASE export certified end-to-end under the oracle
+    gate: ``export_corpus`` writes the documents table as
+    {CE_SHARDS} deterministic JSONL shards plus a checksummed
+    manifest, ``verify_export`` re-derives every shard's
+    rows/bytes/checksum from the files themselves and matches the
+    manifest, and then the entry plays CONSUMER — reads the shard
+    files back, parses the JSON lines, and aggregates a census the
+    DuckDB oracle states straight from ``documents``. A row lost in
+    sharding, a doc serialized twice, or a field mangled by the
+    JSON round-trip flips a count or a character sum.
+
+    The transfer-integrity contract is exercised, not assumed: the
+    entry APPENDS a junk line to one shard (the classic corrupted
+    transfer), asserts the verify pass flags exactly that shard,
+    restores the original bytes, and asserts verification is clean
+    again before the census crosses the oracle.
+
+    Scale: shard assignment is a hash projection, the stats pass is
+    one aggregation of the same frame the writer serializes (no
+    re-read), and the verify pass is shard-local — the release of a
+    100 TB corpus verifies at scan speed with no driver-side data.
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from couchwarehouse_spark.sinks.corpus_export import (
+        export_corpus,
+        verify_export,
+    )
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = _os.path.join(_tempfile.gettempdir(), f"cw_release_{tag}")
+    _shutil.rmtree(out_dir, ignore_errors=True)
+
+    d = load_table(spark, sf_dir, "documents")
+    manifest = export_corpus(d, out_dir, key="doc_id", n_shards=CE_SHARDS)
+    assert manifest["total_rows"] == d.count(), manifest["total_rows"]
+    assert verify_export(spark, out_dir)["ok"]
+
+    # Corrupted-transfer drill: one junk line appended to one shard.
+    shard0 = sorted(
+        _os.path.join(out_dir, sub, f)
+        for sub in _os.listdir(out_dir)
+        if sub.startswith("_cw_shard=")
+        for f in _os.listdir(_os.path.join(out_dir, sub))
+        if f.endswith(".txt")
+    )[0]
+    original = open(shard0, "rb").read()
+    with open(shard0, "ab") as f:
+        f.write(b'{"junk": true}\n')
+    # Drop Hadoop's local-FS .crc sidecar for the tampered file: on a
+    # checksummed local FS Hadoop flags the edit before the manifest
+    # can; object stores (the 100 TB deployment) have no sidecar, and
+    # the manifest checksum is then the only integrity layer — which
+    # is what this entry certifies (same modeling as test_sinks.py).
+    sdir, sfn = _os.path.split(shard0)
+    _os.remove(_os.path.join(sdir, f".{sfn}.crc"))
+    report = verify_export(spark, out_dir)
+    assert not report["ok"] and len(report["mismatched_shards"]) == 1, report
+    with open(shard0, "wb") as f:
+        f.write(original)
+    assert verify_export(spark, out_dir)["ok"]
+
+    spark.catalog.refreshByPath(out_dir)
+    lines = spark.read.text(out_dir)
+    parsed = lines.select(
+        F.from_json(
+            "value",
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).alias("doc")
+    ).select("doc.*")
+    return (
+        parsed.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
