@@ -2467,6 +2467,14 @@ def levenshtein_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # u = sum_v n_v(n_v-1) / (N(N-1)) over the field's histogram.
 FS_M1 = 0.9  # m-probability, account-balance kilo-bucket field
 FS_M2 = 0.9  # m-probability, name-suffix-digit field
+# Sub-salt blocks above this many rows (the module's DF_CAP idiom,
+# applied to BLOCK size): a block of n rows is split into
+# s = ceil(n / FS_BLOCK_CAP) deterministic hash sub-blocks and its
+# pair enumeration runs over the s(s+1)/2 sub-block-pair tasks, so
+# one hot (segment, nation) cell spreads across s shuffle keys
+# instead of landing on a single straggler task. Pair SET is
+# unchanged — every unordered pair appears in exactly one task.
+FS_BLOCK_CAP = 50
 
 
 @query(
@@ -2535,7 +2543,14 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the pair join is bounded by the blocking key (Σ block²,
     never N² — the same candidate-generation discipline as the
-    MinHash banding in this module); the u-estimates are two
+    MinHash banding in this module), and blocks above FS_BLOCK_CAP
+    rows are SUB-SALTED: each row gets a deterministic hash salt in
+    [0, s) with s = ceil(block/cap), a broadcast task grid enumerates
+    the s(s+1)/2 (sa ≤ sb) sub-block pairs, and the pair join keys on
+    (segment, nation, sb) — so a hot block's quadratic work spreads
+    across s shuffle keys instead of one straggler task, with every
+    unordered pair generated exactly once ((sa < sb) admits both key
+    orders once; (sa = sb) keeps ka < kb). The u-estimates are two
     histogram aggregates; the weight table is ONE row broadcast.
     """
     c = load_table(spark, sf_dir, "customer")
@@ -2575,23 +2590,67 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             w_nano(1 - FS_M2, den - F.col("num2")).alias("w2d"),
         )
     )
-    a = f.select(
+    # --- sub-salted block pair enumeration (FS_BLOCK_CAP) ---------
+    sz = (
+        f.groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nat"),
+            F.greatest(F.lit(1), F.ceil(F.col("cnt") / FS_BLOCK_CAP))
+            .cast("int")
+            .alias("s"),
+        )
+    )
+    # Task grid: one row per (block, sa, sb) with 0 <= sa <= sb < s —
+    # tiny (Σ s(s+1)/2 over blocks) and broadcast to both joins.
+    tasks = sz.select(
+        "seg",
+        "nat",
+        "s",
+        F.explode(F.sequence(F.lit(0), F.col("s") - 1)).alias("sa"),
+    ).select(
+        "seg",
+        "nat",
+        "sa",
+        F.explode(F.sequence(F.col("sa"), F.col("s") - 1)).alias("sb"),
+    )
+    fk = f.select(
         F.col("c_mktsegment").alias("seg"),
         F.col("c_nationkey").alias("nat"),
-        F.col("c_custkey").alias("ka"),
+        F.col("c_custkey").alias("k"),
+        "f1",
+        "f2",
+    ).join(F.broadcast(sz), ["seg", "nat"]).select(
+        "seg",
+        "nat",
+        "k",
+        "f1",
+        "f2",
+        F.pmod(F.hash("k"), F.col("s")).cast("int").alias("salt"),
+    )
+    a = fk.withColumnRenamed("salt", "sa").join(
+        F.broadcast(tasks), ["seg", "nat", "sa"]
+    ).select(
+        "seg",
+        "nat",
+        "sa",
+        "sb",
+        F.col("k").alias("ka"),
         F.col("f1").alias("f1a"),
         F.col("f2").alias("f2a"),
     )
-    b = f.select(
-        F.col("c_mktsegment").alias("seg"),
-        F.col("c_nationkey").alias("nat"),
-        F.col("c_custkey").alias("kb"),
+    b = fk.select(
+        "seg",
+        "nat",
+        F.col("salt").alias("sb"),
+        F.col("k").alias("kb"),
         F.col("f1").alias("f1b"),
         F.col("f2").alias("f2b"),
     )
     pairs = (
-        a.join(b, ["seg", "nat"])
-        .filter(F.col("ka") < F.col("kb"))
+        a.join(b, ["seg", "nat", "sb"])
+        .filter((F.col("sa") < F.col("sb")) | (F.col("ka") < F.col("kb")))
         .select(
             F.when(F.col("f1a") == F.col("f1b"), 1).otherwise(0).alias("g1"),
             F.when(F.col("f2a") == F.col("f2b"), 1).otherwise(0).alias("g2"),

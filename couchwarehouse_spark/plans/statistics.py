@@ -7439,8 +7439,8 @@ EULER_GAMMA = 0.5772156649015329  # Euler-Mascheroni, same reason
                   - CAST(b0_num AS DOUBLE) / nb) / {LN2}, 4) AS gumbel_beta,
            round(CAST(b0_num AS DOUBLE) / nb
                  - {EULER_GAMMA}
-                   * (2.0 * b1_num / nullif(nb * (nb - 1.0), 0)
-                      - CAST(b0_num AS DOUBLE) / nb) / {LN2}, 4) AS gumbel_mu
+                   * ((2.0 * b1_num / nullif(nb * (nb - 1.0), 0)
+                       - CAST(b0_num AS DOUBLE) / nb) / {LN2}), 4) AS gumbel_mu
     FROM s
     """,
 )

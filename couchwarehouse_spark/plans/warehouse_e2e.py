@@ -1411,7 +1411,8 @@ def analyze_stats_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = wh.analyze()
     assert n1 == n_files, (n1, n_files)
     assert wh.analyze() == 0, "re-ANALYZE of unchanged files must scan nothing"
-    victim = wh.table().select("id").orderBy("id").limit(1).collect()[0]["id"]
+    vrow = wh.table().select("id", "total").orderBy("id").limit(1).collect()[0]
+    victim, victim_total = vrow["id"], float(vrow["total"])
     assert wh.delete_where(f"id = '{victim}'") == 1
     n3 = wh.analyze()
     assert 0 < n3 < n_files, (n3, n_files)
@@ -1427,9 +1428,13 @@ def analyze_stats_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             maxs_t.append(entry["total"]["max"])
             mins_i.append(entry["id"]["min"])
             maxs_i.append(entry["id"]["max"])
-    # The deleted row was the lexicographic min id; fold it back so
-    # the oracle can state the census without modeling the victim.
+    # The deleted row was the lexicographic min id; fold its id AND
+    # its total back so the oracle can state the census without
+    # modeling the victim — complete by construction even when the
+    # victim happened to hold the min or max surviving total.
     mins_i.append(victim)
+    mins_t.append(victim_total)
+    maxs_t.append(victim_total)
     row_sql = (
         f"SELECT CAST({n_rows + 1} AS BIGINT) AS n_rows, "
         f"CAST({n_nulls} AS BIGINT) AS n_total_nulls, "

@@ -1356,10 +1356,20 @@ def test_consistent_hash_ring_is_literal_projection(spark):
 def test_fellegi_sunter_pairs_are_block_keyed(spark):
     """Record-linkage candidate pairs must come from the blocking-key
     equi-join — a CartesianProduct would mean the blocking key was
-    silently dropped."""
+    silently dropped — and the pair join must key on the SUB-SALT
+    column `sb` alongside the block key (FS_BLOCK_CAP): an unsalted
+    whole-block pair join would put a hot (segment, nation) cell's
+    quadratic work on a single task at 100×."""
     plan = plan_of(spark, "fellegi_sunter_linkage")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # The salted pair join carries sb in its equi-key list. The key
+    # triple appears together in a join node's key expression.
+    import re
+
+    assert re.search(r"Join.*\bsb#\d+", plan) or re.search(
+        r"hashpartitioning\([^)]*\bsb#\d+", plan
+    ), plan
 
 
 # -- round-10 pins: the late-r9 statistics batch must keep its
