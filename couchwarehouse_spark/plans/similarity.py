@@ -4480,3 +4480,306 @@ def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lcc_micro / 1_000_000.0, 6).alias("lcc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: graph-traversal ANN — greedy beam search over a TWO-TABLE
+# bucketed k-NN graph (the NSW/HNSW-style lane the LSH/IVF pair
+# doesn't cover). One LSH table's intra-bucket k-NN edges can never
+# leave the bucket, so a walk seeded in the wrong bucket stalls; the
+# union of TWO tables' edges (independent hyperplane sets — the
+# LSH-forest idiom) cuts across each other's bucket boundaries and
+# makes the graph navigable.
+# ---------------------------------------------------------------------------
+
+GS_BEAM = 12  # frontier width per expansion round (HNSW's efSearch dial)
+GS_ROUNDS = 5  # fixed expansion rounds — unrolled identically in the oracle
+GS_GRAPH_K = 6  # traversal-graph degree per table (HNSW's M dial) —
+# denser than the reporting k-NN entry's KNN_GRAPH_K: navigability
+# needs degree ~ log N, and 2 tables × 6 gives ≤ 12 out-edges/node
+
+# Second-table hyperplanes: indices [P_MAX, 2·P_MAX) of the same LCG
+# stream — disjoint from table A's planes at every derived prefix.
+_ALL_PLANES_B = _hyperplanes(n=2 * P_MAX)[P_MAX:]
+
+
+def _bucket_expr_sql_derived_b(vexpr: str) -> str:
+    """Table-B twin of ``_bucket_expr_sql_derived``: same masked
+    full-width trick, table-B plane literals."""
+    full = _bucket_expr_sql(vexpr, _ALL_PLANES_B)
+    return f"(({full}) & ((1 << ({_NP_SQL})) - 1))"
+
+
+def _gs_oracle_ctes() -> str:
+    """Shared oracle CTE block: two SRP bucket tables, the union of
+    their symmetric intra-bucket k-NN edges, multiprobe entry points,
+    and the GS_ROUNDS-unrolled beam search. Built programmatically so
+    the SQL unroll and the Spark loop share one round count."""
+    parts = [
+        f"""
+    WITH b AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {_bucket_expr_sql_derived('embedding')} AS bucket,
+             {_bucket_expr_sql_derived_b('embedding')} AS bucket_b
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = {QUERY_VEC_ID}),
+    e0 AS MATERIALIZED (
+      SELECT a.vec_id AS src, b.vec_id AS nbr,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                                         b.vec_id) AS rank
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    e0b AS MATERIALIZED (
+      SELECT a.vec_id AS src, b.vec_id AS nbr,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                                         b.vec_id) AS rank
+      FROM b a JOIN b b ON a.bucket_b = b.bucket_b AND a.vec_id <> b.vec_id
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, nbr FROM e0 WHERE rank <= {GS_GRAPH_K}
+      UNION
+      SELECT nbr, src FROM e0 WHERE rank <= {GS_GRAPH_K}
+      UNION
+      SELECT src, nbr FROM e0b WHERE rank <= {GS_GRAPH_K}
+      UNION
+      SELECT nbr, src FROM e0b WHERE rank <= {GS_GRAPH_K}
+    ),
+    sc AS MATERIALIZED (
+      SELECT b.vec_id, list_cosine_similarity(b.v, q.qv) AS c
+      FROM b CROSS JOIN q
+    ),
+    eps AS (
+      SELECT min(b.vec_id) AS vec_id
+      FROM b CROSS JOIN q
+      WHERE bit_count(xor(CAST(b.bucket AS BIGINT), CAST(q.qb AS BIGINT))) <= 1
+        AND b.vec_id <> {QUERY_VEC_ID}
+      GROUP BY b.bucket
+    ),
+    vis0 AS MATERIALIZED (
+      SELECT sc.vec_id, sc.c, 0 AS hop
+      FROM sc JOIN eps USING (vec_id)
+    ),
+    exp0 AS (SELECT vec_id FROM vis0 WHERE 1 = 0)"""
+    ]
+    for r in range(1, GS_ROUNDS + 1):
+        parts.append(f""",
+    f{r} AS MATERIALIZED (
+      SELECT vec_id FROM vis{r - 1}
+      WHERE vec_id NOT IN (SELECT vec_id FROM exp{r - 1})
+      ORDER BY c DESC, vec_id LIMIT {GS_BEAM}
+    ),
+    exp{r} AS MATERIALIZED (SELECT vec_id FROM exp{r - 1}
+               UNION SELECT vec_id FROM f{r}),
+    n{r} AS MATERIALIZED (
+      SELECT DISTINCT e.nbr AS vec_id
+      FROM edges e JOIN f{r} f ON e.src = f.vec_id
+      WHERE e.nbr NOT IN (SELECT vec_id FROM vis{r - 1})
+    ),
+    vis{r} AS MATERIALIZED (
+      SELECT * FROM vis{r - 1}
+      UNION ALL
+      SELECT sc.vec_id, sc.c, {r} FROM sc JOIN n{r} USING (vec_id)
+    )""")
+    return "".join(parts)
+
+
+GS_ORACLE = f"""
+    {_gs_oracle_ctes()}
+    SELECT vec_id, CAST(hop AS BIGINT) AS hop, round(c, 4) AS cos_sim
+    FROM vis{GS_ROUNDS}
+    WHERE vec_id <> {QUERY_VEC_ID}
+    ORDER BY c DESC, vec_id
+    LIMIT {TOP_K}
+"""
+
+
+@query("graph_greedy_search_topk", oracle=GS_ORACLE)
+def graph_greedy_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy beam search over the bucketed k-NN graph (X2's
+    graph-traversal ANN lane — the NSW/HNSW search kernel, Malkov &
+    Yashunin 2016): multiprobe LSH seeds (min vec_id of the query
+    bucket and each Hamming-1 neighbor bucket) start a best-first
+    walk; each of GS_ROUNDS rounds expands the GS_BEAM best
+    not-yet-expanded visited nodes along symmetric-closure k-NN
+    edges, scoring only newly discovered nodes. Output = top-k of
+    the visited set with first-discovery hop.
+
+    Determinism: every frontier/answer selection orders by
+    (cosine DESC, vec_id); the identical hyperplane literals,
+    derived plane count, and round count are inlined in both lanes,
+    so even this approximate traversal is exactly oracle-checked.
+
+    Scale: the frontier (≤ GS_BEAM rows) broadcasts into an id-keyed
+    semi-join against the N·2k edge table (id-partitioned point
+    lookups at scale); visited stays ≤ entries + GS_ROUNDS·GS_BEAM·4k
+    rows — bounded by search parameters, not corpus size; cosine is
+    computed ONLY for discovered nodes (≤ beam·degree per round),
+    never the corpus. Entry count is ≤ 1 + n_planes ≤ 1 + P_MAX. The
+    graph build is the same bounded intra-bucket self-join as
+    ``knn_graph_bucketed``, twice — an index-build cost, amortized
+    over queries.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    np_ = len(corpus_planes(spark, sf_dir))
+    v = (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("bucket", _bucket_expr_spark("v", _ALL_PLANES[:np_]))
+        .withColumn("bucket_b", _bucket_expr_spark("v", _ALL_PLANES_B[:np_]))
+    )
+    v = scoped_persist(v)
+    par = spark.sparkContext.defaultParallelism
+
+    def knn_edges(bcol: str) -> DataFrame:
+        a = v.select("vec_id", F.col("v").alias("va"), bcol).repartition(
+            par, bcol
+        )
+        bb = v.select(
+            F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb"), bcol
+        ).repartition(par, bcol)
+        w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), "nbr_id")
+        return (
+            a.join(bb, bcol)
+            .filter(F.col("vec_id") != F.col("nbr_id"))
+            .withColumn("_cos", cosine(F.col("va"), F.col("vb")))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= GS_GRAPH_K)
+            .select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("nbr"))
+        )
+
+    # localCheckpoint, not persist: the per-round plans re-embed every
+    # earlier round's tree (the kcore_decomposition disease) — truncate
+    # lineage per round, the standard iterative-graph discipline.
+    e_dir = knn_edges("bucket").union(knn_edges("bucket_b"))
+    edges = (
+        e_dir.union(
+            e_dir.select(F.col("nbr").alias("src"), F.col("src").alias("nbr"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    ).localCheckpoint()
+
+    def score(ids: DataFrame, hop: int) -> DataFrame:
+        # coalesce(1): the scored frame is bounded by search params
+        # (≤ beam·2k rows) — one partition keeps every downstream
+        # frontier/anti-join stage a single task instead of letting
+        # union lineage accumulate hundreds of empty partitions.
+        return (
+            ids.join(v, "vec_id")
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                cosine(F.col("v"), F.col("qv")).alias("c"),
+                F.lit(hop).cast("int").alias("hop"),
+            )
+            .coalesce(1)
+        )
+
+    near = F.bit_count(
+        F.col("bucket").cast("long").bitwiseXOR(F.col("qb").cast("long"))
+    ) <= 1
+    eps = (
+        v.crossJoin(F.broadcast(q))
+        .filter(near & (F.col("vec_id") != QUERY_VEC_ID))
+        .groupBy("bucket")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id")
+    )
+    visited = score(eps, 0).localCheckpoint()
+    expanded: DataFrame | None = None
+    for r in range(1, GS_ROUNDS + 1):
+        unexp = (
+            visited
+            if expanded is None
+            else visited.join(expanded, "vec_id", "left_anti")
+        )
+        frontier = (
+            unexp.orderBy(F.col("c").desc(), "vec_id")
+            .limit(GS_BEAM)
+            .select("vec_id")
+            .coalesce(1)
+            .localCheckpoint()
+        )
+        expanded = frontier if expanded is None else expanded.union(frontier)
+        cand = (
+            edges.join(F.broadcast(frontier), edges.src == frontier.vec_id)
+            .select(F.col("nbr").alias("vec_id"))
+            .distinct()
+            .coalesce(1)
+            .join(visited.select("vec_id"), "vec_id", "left_anti")
+        )
+        visited = visited.union(score(cand, r)).coalesce(1).localCheckpoint()
+    return (
+        visited.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(TOP_K)
+        .select(
+            "vec_id",
+            F.col("hop").cast("long").alias("hop"),
+            F.round("c", 4).alias("cos_sim"),
+        )
+    )
+
+
+GS_RECALL_ORACLE = f"""
+    {_gs_oracle_ctes()},
+    ann AS (
+      SELECT vec_id FROM vis{GS_ROUNDS}
+      WHERE vec_id <> {QUERY_VEC_ID}
+      ORDER BY c DESC, vec_id
+      LIMIT {TOP_K}
+    ),
+    brute AS (
+      SELECT vec_id FROM sc
+      WHERE vec_id <> {QUERY_VEC_ID}
+      ORDER BY c DESC, vec_id
+      LIMIT {TOP_K}
+    )
+    SELECT CAST({TOP_K} AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM ann) AS n_ann,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM ann JOIN brute USING (vec_id)) AS n_hits,
+           round((SELECT count(*) FROM ann JOIN brute USING (vec_id))
+                 / {TOP_K}.0, 4) AS recall_at_k
+"""
+
+
+@query("greedy_search_recall_audit", oracle=GS_RECALL_ORACLE)
+def greedy_search_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit for the graph-traversal lane: the greedy-search
+    answer set vs the brute-force cosine top-k (the same audit
+    discipline as ``ivf_recall_audit`` / ``lsh_recall_audit`` — every
+    approximate lane ships with its measured recall). One row: k,
+    answers returned, hits, recall.
+
+    Scale: the search side is the bounded traversal; the brute side
+    is the one-query broadcast scan + TakeOrdered heap — the audit
+    runs on a sample of queries at 100 TB, not the corpus.
+    """
+    ann = graph_greedy_search_topk(spark, sf_dir).select("vec_id")
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    brute = (
+        v.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("_cos", cosine(F.col("v"), F.col("qv")))
+        .orderBy(F.col("_cos").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    n_ann = ann.agg(F.count("*").cast("long").alias("n_ann"))
+    n_hits = ann.join(brute, "vec_id").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    return n_ann.crossJoin(F.broadcast(n_hits)).select(
+        F.lit(TOP_K).cast("long").alias("k"),
+        "n_ann",
+        "n_hits",
+        F.round(F.col("n_hits") / float(TOP_K), 4).alias("recall_at_k"),
+    )

@@ -268,12 +268,182 @@ def dml_stress(spark, base_sf: str, workdir: str, copies: int) -> list[str]:
 
 
 
+# ---------------------------------------------------------------------------
+# Streaming state-store growth at COPIES-x (VERDICT r11 ask #5):
+# assert the "state is watermark-bounded" docstring claim EMPIRICALLY
+# via the progress listener. The scaled corpus EXTENDS TIME (copy i is
+# time-shifted by i spans, ids re-keyed), so total input grows x
+# copies while the event-time density — and therefore the
+# watermark-horizon row count — stays constant. File size is held
+# constant across scales (files = base x copies), so per-trigger batch
+# size is constant too, and the max in-flight state row count must
+# stay FLAT as input grows 10x: state ∝ batch + horizon, never input.
+# ---------------------------------------------------------------------------
+
+SS_FILES_PER_COPY = 8  # constant-span files: batch size fixed across scales
+SS_FILES_PER_TRIGGER = 2
+SS_WM = "30 minutes"
+SS_STATE_SLACK = 1.5  # max-state growth allowed at copies-x (target: ~1.0)
+
+
+def _scaled_events(spark, base_sf: str, copies: int) -> DataFrame:
+    """Time-extended corpus: copy i shifts ts by i full spans and
+    re-keys event/user ids — constant rows per unit time."""
+    ev = load_table(spark, base_sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    span = ev.agg(
+        (
+            F.max("ts").cast("timestamp").cast("long")
+            - F.min("ts").cast("timestamp").cast("long")
+            + 7200
+        ).alias("s")
+    ).collect()[0]["s"]
+    parts = [
+        ev.select(
+            (F.col("event_id") + i * ID_STRIDE).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {int(span) * i} SECOND")).alias("ts"),
+            (F.col("user_id") + i * ID_STRIDE).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        for i in range(copies)
+    ]
+    return functools.reduce(DataFrame.unionByName, parts)
+
+
+def _max_state_rows(q) -> int:
+    """Max total state-store rows across the run's progress events."""
+    import json as _json
+
+    mx = 0
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        mx = max(mx, sum(so.get("numRowsTotal", 0) for so in d.get("stateOperators", [])))
+    return mx
+
+
+def _drain(df, qname: str, ckpt: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def streaming_state_stress(spark, base_sf: str, workdir: str, copies: int) -> list[str]:
+    from couchwarehouse_spark.plans.streaming_e2e import _stage_by_event_time
+
+    failures: list[str] = []
+
+    def check(label: str, cond: bool, detail) -> None:
+        print(f"  {label}: {'OK' if cond else 'FAIL'} ({detail})", flush=True)
+        if not cond:
+            failures.append(label)
+
+    base_dir = os.path.join(workdir, "sstate")
+    shutil.rmtree(base_dir, ignore_errors=True)
+    stats: dict[tuple[str, int], tuple[int, int]] = {}
+
+    for c in (1, copies):
+        ev = _scaled_events(spark, base_sf, c)
+
+        # --- watermarked dedup: every event id arrives twice --------
+        dup = ev.select("ts", "event_id").unionByName(ev.select("ts", "event_id"))
+        n_in = dup.count()
+        stage = os.path.join(base_dir, f"dedup_in_{c}x")
+        _stage_by_event_time(dup, stage, SS_FILES_PER_COPY * c)
+        stream = (
+            spark.readStream.schema("ts timestamp, event_id long")
+            .option("maxFilesPerTrigger", SS_FILES_PER_TRIGGER)
+            .parquet(stage)
+            .withWatermark("ts", SS_WM)
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = _drain(stream, f"ss_dedup_{c}x", os.path.join(base_dir, f"dedup_ck_{c}x"))
+        n_out = spark.table(f"ss_dedup_{c}x").count()
+        st = _max_state_rows(q)
+        check(
+            f"dedup {c}x drops every within-horizon duplicate",
+            n_out == n_in // 2,
+            f"{n_in} in -> {n_out} out",
+        )
+        stats[("dedup", c)] = (n_in, st)
+        print(f"  dedup {c}x: input {n_in}, max state rows {st}", flush=True)
+
+        # --- stream-stream interval join (view -> purchase, 1h) -----
+        vstage = os.path.join(base_dir, f"join_v_{c}x")
+        pstage = os.path.join(base_dir, f"join_p_{c}x")
+        _stage_by_event_time(
+            ev.filter(F.col("event_type") == "view").select("ts", "user_id"),
+            vstage, SS_FILES_PER_COPY * c,
+        )
+        _stage_by_event_time(
+            ev.filter(F.col("event_type") == "purchase").select("ts", "user_id"),
+            pstage, SS_FILES_PER_COPY * c,
+        )
+        schema = "ts timestamp, user_id long"
+        views = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", SS_FILES_PER_TRIGGER)
+            .parquet(vstage)
+            .withWatermark("ts", SS_WM)
+            .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        )
+        purch = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", SS_FILES_PER_TRIGGER)
+            .parquet(pstage)
+            .withWatermark("ts", SS_WM)
+            .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        )
+        joined = views.join(
+            purch,
+            F.expr(
+                "v_user = p_user AND purchase_ts > view_ts "
+                "AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+            ),
+        )
+        q = _drain(joined, f"ss_join_{c}x", os.path.join(base_dir, f"join_ck_{c}x"))
+        n_pairs = spark.table(f"ss_join_{c}x").count()
+        n_join_in = ev.filter(F.col("event_type").isin("view", "purchase")).count()
+        stj = _max_state_rows(q)
+        check(f"join {c}x emits matches", n_pairs > 0, f"{n_pairs} pairs")
+        stats[("join", c)] = (n_join_in, stj)
+        print(
+            f"  join {c}x: input {n_join_in}, pairs {n_pairs}, "
+            f"max state rows {stj}",
+            flush=True,
+        )
+
+    for op in ("dedup", "join"):
+        (in1, st1), (inX, stX) = stats[(op, 1)], stats[(op, copies)]
+        check(
+            f"{op}: input grew {inX / in1:.1f}x but max state stayed flat "
+            f"({st1} -> {stX})",
+            inX == in1 * copies and stX <= st1 * SS_STATE_SLACK,
+            f"state ratio {stX / max(st1, 1):.2f} (bound {SS_STATE_SLACK})",
+        )
+        check(
+            f"{op}: eviction engaged at {copies}x (state << input)",
+            stX * 4 <= inX,
+            f"max state {stX} vs input {inX}",
+        )
+    return failures
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--workdir", default="/tmp/cw_stress_10x")
     ap.add_argument("--skip-dml", action="store_true")
+    ap.add_argument("--skip-streaming", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark(app_name="stress_10x")
@@ -312,6 +482,10 @@ def main() -> None:
     if not args.skip_dml:
         print("--- warehouse DML/maintenance verbs ---", flush=True)
         failures += dml_stress(spark, args.sf, args.workdir, args.copies)
+
+    if not args.skip_streaming:
+        print("--- streaming state-store growth ---", flush=True)
+        failures += streaming_state_stress(spark, args.sf, args.workdir, args.copies)
 
     shutil.rmtree(args.workdir, ignore_errors=True)
     if failures:

@@ -1711,3 +1711,23 @@ def test_gains_table_user_sized_rank(spark):
     plan = plan_of(spark, "gains_decile_table")
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- round-12 pins ----------------------------------------------------
+
+
+def test_greedy_search_stays_jvm_side_and_bounded(spark):
+    """The traversal loop materializes per-round localCheckpoints, so
+    the final plan is a TakeOrdered heap over the (bounded) visited
+    checkpoint — no Python eval, no CartesianProduct anywhere, and no
+    full-corpus sort."""
+    plan = plan_of(spark, "graph_greedy_search_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_greedy_recall_audit_broadcasts_scalars(spark):
+    plan = plan_of(spark, "greedy_search_recall_audit")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -71,3 +71,38 @@ class TestFellegiSunterSubSalting:
         }
         assert got == dict(expected)
         assert sum(got.values()) == 120 * 119 // 2 + 10 * 9 // 2
+
+
+class TestGreedySearch:
+    def test_deterministic_and_bounded(self, spark):
+        """Two runs at SF_SMOKE are row-identical (every frontier and
+        answer selection is (cos DESC, vec_id)-ordered), hops stay in
+        [0, GS_ROUNDS], and the answer is ≤ TOP_K rows without the
+        query vector."""
+        from couchwarehouse_spark.plans import QUERIES
+        from couchwarehouse_spark.plans.similarity import (
+            GS_ROUNDS,
+            QUERY_VEC_ID,
+            TOP_K,
+        )
+
+        from .conftest import SF_SMOKE
+
+        r1 = QUERIES["graph_greedy_search_topk"](spark, SF_SMOKE).collect()
+        r2 = QUERIES["graph_greedy_search_topk"](spark, SF_SMOKE).collect()
+        assert r1 == r2
+        assert 0 < len(r1) <= TOP_K
+        assert all(0 <= r["hop"] <= GS_ROUNDS for r in r1)
+        assert all(r["vec_id"] != QUERY_VEC_ID for r in r1)
+        # Scores arrive sorted descending with vec_id tiebreak.
+        key = [(-r["cos_sim"], r["vec_id"]) for r in r1]
+        assert key == sorted(key)
+
+    def test_recall_audit_invariants(self, spark):
+        from couchwarehouse_spark.plans import QUERIES
+
+        from .conftest import SF_SMOKE
+
+        row = QUERIES["greedy_search_recall_audit"](spark, SF_SMOKE).collect()[0]
+        assert row["n_hits"] <= row["n_ann"] <= row["k"] == 10
+        assert abs(row["recall_at_k"] - row["n_hits"] / 10.0) < 1e-9
