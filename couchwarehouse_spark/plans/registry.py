@@ -53,6 +53,46 @@ def release_scoped() -> None:
             pass  # session already stopped
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_shuffle(spark: SparkSession, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` for a harness-bound e2e
+    body. Streaming state partitions are FIXED at a query's first run
+    from this conf, and every partition is a per-batch state-store
+    file + task; batch warehouse merges over bounded fixtures pay the
+    same fixed per-task cost. The session default returns on exit —
+    production sizing goes UP with volume, this scopes the harness,
+    not the design."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def query_scoped_shuffle(
+    name: str, oracle: str | None = None, *, partitions: int
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query whose BODY runs under ``scoped_shuffle`` (the
+    returned lazy DataFrame — a small post-run aggregate — evaluates
+    under the restored session default)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        def scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            with scoped_shuffle(spark, partitions):
+                return fn(spark, sf_dir)
+
+        scoped.__name__ = fn.__name__
+        scoped.__doc__ = fn.__doc__
+        scoped.__wrapped__ = fn
+        return query(name, oracle)(scoped)
+
+    return deco
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query under ``name`` with an optional DuckDB oracle.
 

@@ -20,11 +20,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
-from couchwarehouse_spark.plans.registry import query
+from couchwarehouse_spark.plans.registry import query_scoped_shuffle
+
+# Streaming state partitions are FIXED at a query's first run from
+# spark.sql.shuffle.partitions and each partition is a per-batch
+# state-store file + task: at these bounded e2e fixture sizes the
+# session default (32) is pure fixed overhead — ~3 stages × 32 tasks ×
+# n_batches of scheduling plus 32 HDFS-state files per operator per
+# commit. Every entry in this module therefore runs its body under a
+# scoped count of 8 (fresh checkpoints each call, so the baked-in
+# state partitioning is consistent per run; r11 verdict #2 — measured
+# at sf0.1: interval joins 21.6/21.2/21.6 s -> 6-9 s, concurrent
+# compact 30.2 -> ~18 s, hashes unchanged at sf0.01+sf0.1).
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+def query(name: str, oracle: str | None = None):
+    """Module-local registration shim: run the whole entry body under
+    the scoped streaming shuffle-partition count (the returned lazy
+    DataFrame — a tiny post-stream aggregate over the memory sink or
+    warehouse table — evaluates under the restored session default)."""
+    return query_scoped_shuffle(
+        name, oracle, partitions=STREAM_SHUFFLE_PARTITIONS
+    )
+
 
 SW_HOURS = 6  # tumbling-window width (epoch-aligned in both engines)
 SW_FILES_PER_TRIGGER = 2  # force several micro-batches over the stage dir
-SW_STAGE_FILES = 8
+# 4 files / 2 per trigger = 2 data batches + the final no-data batch:
+# still a genuine multi-micro-batch run (state merges across triggers,
+# join pairs straddle the boundary), at half the r11 trigger rounds —
+# every emission horizon these entries pin is a function of the GLOBAL
+# max event time (settled by the final no-data batch), not of the
+# trigger cadence, so the oracle hashes are unchanged (r11 verdict #2;
+# re-proven at sf0.01+sf0.1 when this constant changed).
+SW_STAGE_FILES = 4
 
 
 @query(
@@ -1212,8 +1242,13 @@ def streaming_dedup_watermark_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
 
 CI_SUBSET = 11  # concurrent-compact e2e feeds only o_orderkey % 11 == 0
 CI_XAMEND = 33  # post-stream wave amends xorder ids where key % 33 == 0
-CI_STAGE_FILES = 2  # files PER WAVE (3 waves → 6 single-file micro-batches)
-CI_ARM_BASE = 4  # inject the rival compaction under the 5th merge commit
+CI_STAGE_FILES = 1  # files PER WAVE (3 waves → 3 single-file micro-batches:
+# merge1 = order inserts, merge2 = xorder inserts — carries merge1's
+# files forward by id-range pruning, so buckets fragment — merge3 =
+# amends+tombstones, raced. Half the r11 trigger rounds with the same
+# fragmentation precondition and the same census hash.)
+CI_ARM_BASE = 2  # inject the rival compaction under the 3rd merge commit
+# (merge k pins base version k-1, so the amend-wave merge carries base 2)
 
 from couchwarehouse_spark.warehouse import ConcurrentCommitError  # noqa: E402
 

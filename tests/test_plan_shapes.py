@@ -279,6 +279,10 @@ ARROW_ALLOWED = {
     # r10: the seasonal sibling of holt_linear_backtest — same declared
     # applyInPandas-per-series recurrence seam
     "holt_winters_backtest",
+    # r12: localCheckpoint per beam-search round → ExistingRDD scans;
+    # lineage truncation is the point (the kcore discipline)
+    "graph_greedy_search_topk",
+    "greedy_search_recall_audit",
 }
 
 
