@@ -24,7 +24,64 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
-# coverage policy. Round-11 rotation — ACTUAL composition (3 anchors +
+# coverage policy. Round-12 rotation — ACTUAL composition (3 anchors +
+# 3 ADVICE/scale-changed + 12 new r12 entries + the 11 streaming e2es
+# and 15 warehouse e2es whose EXECUTION changed this round (the
+# scoped-shuffle shim + trigger-cadence cut — every one re-proven at
+# sf0.01+sf0.1 locally, and the driver must see them too) + 6 family
+# reps drawn from the stalest greens = 50):
+#  - 3 never-regressed anchors (ETL kernel — also the etl-family rep —
+#    the R1-R14 e2e, and the relational flagship),
+#  - 3 entries whose IMPLEMENTATION changed (r11 ADVICE + verdict #3):
+#    fellegi_sunter_linkage (FS_BLOCK_CAP sub-salted block pair join),
+#    gumbel_block_maxima_fit (shared IEEE association for mu),
+#    analyze_stats_e2e (victim total folded back into the stats
+#    census — complete by construction),
+#  - 12 NEW r12 entries: the graph-traversal ANN lane
+#    (graph_greedy_search_topk over a two-table LSH-forest k-NN graph
+#    + greedy_search_recall_audit vs brute force), the nonparametric/
+#    effect-size batch (wilcoxon_signed_rank, kendall_w_concordance,
+#    negative_binomial_mom_fit, cohens_d_effect_size,
+#    theil_u_uncertainty, hellinger_doclen_drift, max_drawdown_series)
+#    and the lexical/split batch (msttr_lexical_diversity,
+#    yule_k_lexical_richness, stratified_kfold_audit),
+#  - 11 streaming e2es + 15 warehouse e2es (execution changed: fewer
+#    trigger rounds with the same data-determined emission horizons;
+#    scoped shuffle partitions; identical oracle hashes —
+#    masked_view_e2e carries the same shim but is the least
+#    shuffle-dependent of the family and stays with t2_sim),
+#  - 6 family reps from the stalest greens (r02/r03 cohorts):
+#    doc_length_histogram (curation, r02), session_window_stats
+#    (events_windows, r03), string_functions (scalar, r03),
+#    recursive_cte_month_spine (relational_extra, r03),
+#    salted_skew_join (skew_plan), multimodal_metadata
+#    (multimodal_plan); dedup, text
+#    and sampling are represented by fellegi_sunter_linkage, the
+#    lexical pair and stratified_kfold_audit inside the blocks above.
+# ROUND-13 ROTATION PLAN (write the r13 window from this): keep the 3
+# anchors + any round-13-changed entries; window FIRST any r12
+# operators that landed after this 50-slot window filled (check
+# CORRECTNESS_r12.json against the registry — all 12 r12 entries are
+# IN this window, so expect no carry-over), then new r13 entries,
+# then the STALEST greens displaced this round — the remaining r02
+# block (domain_mixture_weights, no_big_order_anti,
+# order_cohort_full_outer, price_band_join, priority_multiset_diff,
+# range_frame_revenue, rollup_priority_status, set_except_nations,
+# set_intersect_brands, set_union_nations, top_revenue_orders), then
+# the r03 cohort (agg_stats, big_spenders_semi, bm25_relevance,
+# cte_above_avg_customers, doc_chunking, flatten_props,
+# full_text_relevance, graph_pagerank_step, grouping_sets_orders,
+# hybrid_search_rrf, incremental_agg_maintenance, ivf_topk,
+# json_functions, language_id_heuristic, ngram_jaccard_pairs,
+# pandas_udf_disc_price, percentile_stats,
+# repetition_census, seq_extraction, sequence_packing, simhash_near_dup,
+# sliding_window_counts, snapshot_cdc, user_pseudonymization,
+# vocab_oov_audit, window_top_orders), then the r04 cohort. Keep one
+# rep per family in every window. Every entry outside the window stays
+# registered, oracle-checked by tests/t2_sim.py, pytest-covered, and
+# bench-timed.
+#
+# Round-11 rotation (for the record) — was: (3 anchors +
 # 4 r10-ADVICE-changed + the full 15-entry never-driver-verified r10
 # queue + 25 new r11 entries + 3 family reps = 50). With the r10 queue
 # driven green, cumulative driver coverage reaches 360/360 of the r10
@@ -65,89 +122,63 @@ def entry(spark: SparkSession) -> DataFrame:
 #    winnowing_fingerprints, term_burstiness_adaptation and
 #    corpus_export_roundtrip_e2e): key_skew_audit, multimodal_resize,
 #    array_functions.
-# ROUND-12 ROTATION PLAN (write the r12 window from this): keep the 3
-# anchors + any round-12-changed entries; window FIRST any round-11
-# operators that landed after this 50-slot window filled (check
-# CORRECTNESS_r11.json against the registry — if all 22 r11 entries
-# ran, there is no r12 carry-over queue), then new r12 entries, then
-# the STALEST greens displaced this round — the r02 block
-# (doc_length_histogram, domain_mixture_weights, no_big_order_anti,
-# order_cohort_full_outer, price_band_join, priority_multiset_diff,
-# range_frame_revenue, rollup_priority_status, set_except_nations,
-# set_intersect_brands, set_union_nations, top_revenue_orders), then
-# the r03 cohort (agg_stats, asof_last_view, big_spenders_semi,
-# bm25_relevance, cte_above_avg_customers, doc_chunking, flatten_props,
-# full_text_relevance, graph_pagerank_step, grouping_sets_orders,
-# hybrid_search_rrf, incremental_agg_maintenance, ivf_topk,
-# json_functions, language_id_heuristic, ngram_jaccard_pairs,
-# pandas_udf_disc_price, percentile_stats, recursive_cte_month_spine,
-# repetition_census, seq_extraction, sequence_packing,
-# session_window_stats, simhash_near_dup, sliding_window_counts,
-# snapshot_cdc, string_functions, user_pseudonymization,
-# vocab_oov_audit, window_top_orders), then the r04 cohort. Keep one
-# skew_plan + one dedup + one multimodal_plan + one sampling + one
-# scalar + one text rep in every window. Every entry outside the
-# window stays registered, oracle-checked by tests/t2_sim.py,
-# pytest-covered, and bench-timed.
 PRIORITY = [
-    # --- 3 anchors (green in every round they ran; latest_event_per_user
-    # is also the window's required etl-family representative) ---
+    # --- 3 anchors ---
     "latest_event_per_user",
     "warehouse_e2e_pipeline",
     "pricing_summary",
-    # --- 4 changed-this-round entries (r10 ADVICE fixes; re-prove) ---
+    # --- 3 changed-this-round entries (r11 ADVICE + verdict #3) ---
+    "fellegi_sunter_linkage",
+    "gumbel_block_maxima_fit",
+    "analyze_stats_e2e",
+    # --- 12 new round-12 entries ---
+    "graph_greedy_search_topk",
+    "greedy_search_recall_audit",
+    "wilcoxon_signed_rank",
+    "kendall_w_concordance",
+    "negative_binomial_mom_fit",
+    "cohens_d_effect_size",
+    "max_drawdown_series",
+    "theil_u_uncertainty",
+    "hellinger_doclen_drift",
+    "msttr_lexical_diversity",
+    "yule_k_lexical_richness",
+    "stratified_kfold_audit",
+    # --- 11 streaming e2es (execution changed: cadence + shim) ---
+    "streaming_window_counts_e2e",
+    "streaming_dedup_e2e",
+    "streaming_interval_join_e2e",
+    "streaming_static_enrich_e2e",
+    "streaming_session_state_e2e",
+    "warehouse_streaming_ingest_e2e",
+    "streaming_left_interval_join_e2e",
+    "streaming_restart_resume_e2e",
     "streaming_dedup_watermark_e2e",
-    "cramer_von_mises_drift",
-    "hill_tail_index",
-    "log2_histogram_quantiles",
-    # --- 15 r10-queue entries (first driver window; pinball_loss_eval
-    # and hurst_exponent_rs also carry this round's `div` fix) ---
-    "holt_winters_backtest",
-    "lm_jelinek_mercer_relevance",
-    "effective_sample_size",
-    "hurst_exponent_rs",
-    "pr_auc_classifier",
-    "theil_atkinson_concentration",
+    "concurrent_compact_ingest_e2e",
+    "streaming_full_outer_interval_join_e2e",
+    # --- 15 warehouse e2es (execution changed: shim) ---
+    "time_travel_cdc",
+    "predicate_delete_cdc",
+    "warehouse_split_transform_e2e",
+    "zorder_relayout_e2e",
+    "schema_evolution_e2e",
+    "constraint_quarantine_e2e",
     "restore_version_e2e",
     "clone_divergence_e2e",
-    "overdispersion_index",
-    "capture_recapture_estimate",
-    "pinball_loss_eval",
     "update_where_cdc_e2e",
     "compact_small_files_e2e",
     "vacuum_retention_e2e",
     "rebucket_e2e",
-    # --- 25 new round-11 entries ---
-    "concurrent_compact_ingest_e2e",
     "merge_into_upsert_e2e",
-    "analyze_stats_e2e",
     "asof_timestamp_read_e2e",
-    "jarque_bera_normality",
-    "mantel_haenszel_or",
-    "yule_walker_ar2",
-    "gpd_pot_tail_fit",
-    "srm_guardrail_check",
-    "jaccard_pa_linkpred",
-    "local_clustering_coefficient",
-    "winnowing_fingerprints",
-    "isotonic_calibration_pav",
-    "cochran_armitage_trend",
-    "durbin_watson",
-    "gumbel_block_maxima_fit",
-    "ratio_metric_delta_method",
-    "energy_distance_drift",
-    "term_burstiness_adaptation",
     "fsck_integrity_e2e",
-    "masked_view_e2e",
-    "streaming_full_outer_interval_join_e2e",
-    "half_life_decayed_popularity",
-    "gains_decile_table",
-    "corpus_export_roundtrip_e2e",
-    # --- 3 family reps (skew / multimodal / scalar; dedup, text and
-    # sampling ride inside the new-entry block) ---
-    "key_skew_audit",
-    "multimodal_resize",
-    "array_functions",
+    # --- 6 family reps (stalest greens) ---
+    "doc_length_histogram",
+    "session_window_stats",
+    "string_functions",
+    "recursive_cte_month_spine",
+    "salted_skew_join",
+    "multimodal_metadata",
 ]
 
 

@@ -87,6 +87,7 @@ def query_scoped_shuffle(
 
         scoped.__name__ = fn.__name__
         scoped.__doc__ = fn.__doc__
+        scoped.__module__ = fn.__module__  # family introspection
         scoped.__wrapped__ = fn
         return query(name, oracle)(scoped)
 

@@ -2315,3 +2315,66 @@ def corpus_export_roundtrip_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: deterministic k-fold assignment audit.
+# ---------------------------------------------------------------------------
+
+KFOLDS = 5  # cross-validation fold count
+
+
+@query(
+    "stratified_kfold_audit",
+    oracle=f"""
+    WITH f AS (
+      SELECT lang,
+             {_hash_bucket_sql(KFOLDS, salt="kfold")} AS fold
+      FROM documents
+    ),
+    c AS (SELECT lang, fold, CAST(count(*) AS BIGINT) AS n_docs
+          FROM f GROUP BY 1, 2),
+    t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS nl FROM c GROUP BY 1)
+    SELECT c.lang, c.fold, c.n_docs,
+           round(CAST(t.nl AS DOUBLE) / {KFOLDS}, 2) AS expected_per_fold,
+           round(abs(c.n_docs - CAST(t.nl AS DOUBLE) / {KFOLDS}), 2)
+             AS abs_imbalance
+    FROM c JOIN t USING (lang)
+    ORDER BY lang, fold
+    """,
+)
+def stratified_kfold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment with a
+    per-stratum balance audit: fold = md5-bucket(doc_id, salt
+    'kfold') ∈ [0, {KFOLDS}) — reproducible across engines, runs and
+    repartitioning (the ``deterministic_split`` contract, k-fold
+    shape), SALTED so fold membership is independent of the
+    train/val/test gate drawn from the same md5 stream. The census
+    reports each (lang, fold) cell against the uniform expectation —
+    the pre-training check that no fold is language-skewed (a skewed
+    fold silently biases every CV estimate).
+
+    Exactness: fold assignment is integer md5 arithmetic; counts are
+    integers; the expectation/deviation dag is shared.
+
+    Scale: one projection + one hash agg to |langs|·k rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.select(
+        "lang", _hash_bucket(F.col("doc_id"), KFOLDS, salt="kfold").alias("fold")
+    ).groupBy("lang", "fold").agg(F.count("*").cast("long").alias("n_docs"))
+    t = c.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("nl"))
+    expected = F.col("nl").cast("double") / KFOLDS
+    return (
+        c.join(F.broadcast(t), "lang")
+        .select(
+            "lang",
+            "fold",
+            "n_docs",
+            F.round(expected, 2).alias("expected_per_fold"),
+            F.round(F.abs(F.col("n_docs") - expected), 2).alias(
+                "abs_imbalance"
+            ),
+        )
+        .orderBy("lang", "fold")
+    )

@@ -7855,3 +7855,662 @@ def gains_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# Round 12: nonparametric/effect-size/association batch.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wilcoxon_signed_rank",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS cust,
+             CAST(sum(CASE WHEN month(o_orderdate) % 2 = 1
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN month(o_orderdate) % 2 = 0
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y,
+             CAST(sum(CASE WHEN month(o_orderdate) % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_odd,
+             CAST(sum(CASE WHEN month(o_orderdate) % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_even
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT x - y AS d, abs(x - y) AS ad FROM per
+      WHERE n_odd > 0 AND n_even > 0 AND x <> y
+    ),
+    h AS (SELECT ad, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY ad),
+    r AS (
+      SELECT ad,
+             CAST(2 * coalesce(sum(c) OVER (ORDER BY ad
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + c + 1 AS BIGINT) AS mr2
+      FROM h
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN d.d > 0 THEN r.mr2 ELSE 0 END) AS BIGINT)
+               AS w2
+      FROM d JOIN r USING (ad)
+    )
+    SELECT n AS n_pairs,
+           round(w2 / 2.0, 1) AS w_plus,
+           round((w2 - n * (n + 1) / 2.0)
+                 / nullif(sqrt(n * (n + 1.0) * (2 * n + 1) / 6.0), 0), 4)
+             AS z_score
+    FROM s
+    """,
+)
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945 — THE paired
+    nonparametric location test; the paired sibling of this module's
+    Mann-Whitney two-sample entry): each customer's odd-month vs
+    even-month spend (integer cents) forms a matched pair; zero
+    differences drop (the standard convention), |d| gets tie-exact
+    MIDRANKS from the |d|-value histogram (2·midrank = 2·cum_prev +
+    tied + 1 stays integral), and W+ sums the positive-difference
+    ranks. The normal approximation z = (W+ − n(n+1)/4) /
+    sqrt(n(n+1)(2n+1)/24) is reported on the doubled-integer scale
+    (shared float dag, no tie-variance correction — stated, and
+    identical in both lanes).
+
+    Exactness: spend quantizes to cents BEFORE differencing; W2 =
+    2·W+ is an exact integer from the midrank join; the z dag is the
+    only float math and runs once over three integers.
+
+    Scale: one per-customer hash agg, one |d|-histogram window over
+    the distinct-difference domain (value-collapsed, not row-sized),
+    one broadcast-size join back. Nothing row-sized after the agg.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    odd = F.month("o_orderdate") % 2 == 1
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.when(odd, cents).otherwise(F.lit(0))).cast("long").alias("x"),
+        F.sum(F.when(~odd, cents).otherwise(F.lit(0))).cast("long").alias("y"),
+        F.sum(odd.cast("int")).cast("long").alias("n_odd"),
+        F.sum((~odd).cast("int")).cast("long").alias("n_even"),
+    )
+    d = per.filter(
+        (F.col("n_odd") > 0) & (F.col("n_even") > 0) & (F.col("x") != F.col("y"))
+    ).select(
+        (F.col("x") - F.col("y")).alias("d"),
+        F.abs(F.col("x") - F.col("y")).alias("ad"),
+    )
+    d = scoped_persist(d)
+    h = d.groupBy("ad").agg(F.count("*").cast("long").alias("c"))
+    w_prev = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    r = h.select(
+        "ad",
+        (
+            2 * F.coalesce(F.sum("c").over(w_prev), F.lit(0))
+            + F.col("c")
+            + 1
+        )
+        .cast("long")
+        .alias("mr2"),
+    )
+    s = d.join(r, "ad").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("mr2")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("w2"),
+    )
+    n = F.col("n")
+    return s.select(
+        n.alias("n_pairs"),
+        F.round(F.col("w2") / 2.0, 1).alias("w_plus"),
+        F.round(
+            (F.col("w2") - n * (n + 1) / 2.0)
+            / F.nullif(
+                F.sqrt(n * (n + 1.0) * (2 * n + 1) / 6.0), F.lit(0.0)
+            ),
+            4,
+        ).alias("z_score"),
+    )
+
+
+KW_RATERS = 3  # nation rankings by customer count / total / max balance
+
+
+@query(
+    "kendall_w_concordance",
+    oracle=f"""
+    WITH nat AS (
+      SELECT c_nationkey AS item,
+             CAST(count(*) AS BIGINT) AS m1,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS m2,
+             CAST(max(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS m3
+      FROM customer GROUP BY 1
+    ),
+    u AS (
+      SELECT item, 1 AS rater, m1 AS v FROM nat
+      UNION ALL SELECT item, 2, m2 FROM nat
+      UNION ALL SELECT item, 3, m3 FROM nat
+    ),
+    h AS (SELECT rater, v, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1, 2),
+    r AS (
+      SELECT rater, v,
+             CAST(2 * coalesce(sum(c) OVER (PARTITION BY rater ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + c + 1 AS BIGINT) AS mr2
+      FROM h
+    ),
+    ri AS (
+      SELECT u.item, CAST(sum(r.mr2) AS BIGINT) AS r2
+      FROM u JOIN r ON u.rater = r.rater AND u.v = r.v
+      GROUP BY 1
+    ),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(r2 * r2) AS BIGINT) AS sr2 FROM ri)
+    SELECT n AS n_items,
+           CAST({KW_RATERS} AS BIGINT) AS m_raters,
+           round((3.0 * sr2 - 3.0 * {KW_RATERS * KW_RATERS} * n * (n + 1) * (n + 1))
+                 / nullif({KW_RATERS * KW_RATERS} * 1.0 * n * (n * n - 1), 0), 6)
+             AS kendall_w
+    FROM s
+    """,
+)
+def kendall_w_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W (Kendall & Babington
+    Smith 1939 — "do m rankings agree?"): three deterministic raters
+    rank the nations (customer count, total balance cents, max
+    balance cents); W = (12·ΣR² − 3m²n(n+1)²) / (m²n(n²−1)) over the
+    per-item rank sums. Completes the agreement ladder beside
+    Cohen's/Fleiss' kappa (categorical raters) and Friedman (the test
+    whose effect size W is). Midranks on the DOUBLED integer scale
+    (12ΣR² = 3ΣR2²) keep ties exact; the classical no-tie-correction
+    form is stated and identical in both lanes.
+
+    Exactness: metrics quantize to cents before ranking; rank sums
+    and ΣR2² are exact integers (25 items → tiny); W is one float
+    division.
+
+    Scale: one customer hash agg to |nations| rows; everything after
+    is constant-size.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    nat = c.groupBy(F.col("c_nationkey").alias("item")).agg(
+        F.count("*").cast("long").alias("m1"),
+        F.sum(bal).cast("long").alias("m2"),
+        F.max(bal).cast("long").alias("m3"),
+    )
+    nat = scoped_persist(nat)
+    u = (
+        nat.select("item", F.lit(1).alias("rater"), F.col("m1").alias("v"))
+        .unionByName(
+            nat.select("item", F.lit(2).alias("rater"), F.col("m2").alias("v"))
+        )
+        .unionByName(
+            nat.select("item", F.lit(3).alias("rater"), F.col("m3").alias("v"))
+        )
+    )
+    u = scoped_persist(u)
+    h = u.groupBy("rater", "v").agg(F.count("*").cast("long").alias("c"))
+    w_prev = (
+        Window.partitionBy("rater")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = h.select(
+        "rater",
+        "v",
+        (2 * F.coalesce(F.sum("c").over(w_prev), F.lit(0)) + F.col("c") + 1)
+        .cast("long")
+        .alias("mr2"),
+    )
+    ri = u.join(r, ["rater", "v"]).groupBy("item").agg(
+        F.sum("mr2").cast("long").alias("r2")
+    )
+    s = ri.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("sr2"),
+    )
+    n = F.col("n")
+    m2 = KW_RATERS * KW_RATERS
+    return s.select(
+        n.alias("n_items"),
+        F.lit(KW_RATERS).cast("long").alias("m_raters"),
+        F.round(
+            (3.0 * F.col("sr2") - 3.0 * m2 * n * (n + 1) * (n + 1))
+            / F.nullif(m2 * 1.0 * n * (n * n - 1), F.lit(0.0)),
+            6,
+        ).alias("kendall_w"),
+    )
+
+
+@query(
+    "negative_binomial_mom_fit",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x * x) AS BIGINT) AS s2
+      FROM daily
+    )
+    SELECT n AS n_days,
+           round(CAST(s1 AS DOUBLE) / n, 4) AS mean_daily,
+           round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                 / nullif(n - 1, 0), 4) AS var_daily,
+           round((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                 / nullif((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                          / nullif(n - 1, 0)
+                          - CAST(s1 AS DOUBLE) / n, 0), 4) AS nb_r,
+           round((CAST(s1 AS DOUBLE) / n)
+                 / nullif((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                          / nullif(n - 1, 0), 0), 6) AS nb_p
+    FROM s
+    """,
+)
+def negative_binomial_mom_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial fit of the daily event-count distribution by
+    method of moments (r = m²/(v−m), p = m/v — the overdispersed
+    count model Poisson can't be): turns this module's
+    ``overdispersion_index`` SCREEN into an actual fitted model, the
+    capacity-planning distribution for "how bursty are arrivals
+    really". Underdispersed data (v ≤ m) yields NULL r — the honest
+    answer, stated by the shared nullif.
+
+    Exactness: day counts and their power sums are exact integers;
+    mean/variance/r/p are one shared float dag.
+
+    Scale: date hash agg → one global reduce of three longs.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    s = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    n = F.col("n")
+    mean = F.col("s1").cast("double") / n
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / n
+    ) / F.nullif(n - 1, F.lit(0))
+    return s.select(
+        n.alias("n_days"),
+        F.round(mean, 4).alias("mean_daily"),
+        F.round(var, 4).alias("var_daily"),
+        F.round(mean * mean / F.nullif(var - mean, F.lit(0.0)), 4).alias("nb_r"),
+        F.round(mean / F.nullif(var, F.lit(0.0)), 6).alias("nb_p"),
+    )
+
+
+CD_BASELINE_LANG = "en"  # effect sizes against the same baseline as welch_t
+
+
+@query(
+    "cohens_d_effect_size",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY lang
+    ),
+    m AS (
+      SELECT lang, n,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+               / nullif(n - 1, 0) AS var
+      FROM g
+    ),
+    base AS (SELECT n AS n0, mean AS m0, var AS v0 FROM m
+             WHERE lang = '{CD_BASELINE_LANG}')
+    SELECT m.lang, m.n AS n_docs,
+           round((m.mean - b.m0)
+                 / nullif(sqrt(((m.n - 1) * m.var + (b.n0 - 1) * b.v0)
+                               / nullif(m.n + b.n0 - 2, 0)), 0), 4)
+             AS cohens_d,
+           round((m.mean - b.m0)
+                 / nullif(sqrt(((m.n - 1) * m.var + (b.n0 - 1) * b.v0)
+                               / nullif(m.n + b.n0 - 2, 0)), 0)
+                 * (1.0 - 3.0 / (4.0 * (m.n + b.n0) - 9.0)), 4)
+             AS hedges_g
+    FROM m CROSS JOIN base b
+    WHERE m.lang <> '{CD_BASELINE_LANG}'
+    ORDER BY m.lang
+    """,
+)
+def cohens_d_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g (small-sample-corrected) standardized
+    mean differences of document length per language vs the 'en'
+    baseline — the EFFECT SIZE companion to ``welch_t_doclen``: a
+    t-statistic says "significant", d/g say "by how many pooled
+    standard deviations", which is what a corpus-balance decision
+    actually needs. Pooled-variance form; g = d·(1 − 3/(4N−9)).
+
+    Exactness: the same exact integer power sums as the t entry; the
+    pooled-SD dag is shared expression-for-expression.
+
+    Scale: identical shape to welch_t_doclen — one hash agg + one
+    broadcast baseline row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / F.nullif(F.col("n") - 1, F.lit(0))
+    m = g.select("lang", "n", mean.alias("mean"), var.alias("var"))
+    base = m.filter(F.col("lang") == CD_BASELINE_LANG).select(
+        F.col("n").alias("n0"),
+        F.col("mean").alias("m0"),
+        F.col("var").alias("v0"),
+    )
+    pooled_sd = F.sqrt(
+        ((F.col("n") - 1) * F.col("var") + (F.col("n0") - 1) * F.col("v0"))
+        / F.nullif(F.col("n") + F.col("n0") - 2, F.lit(0))
+    )
+    d_stat = (F.col("mean") - F.col("m0")) / F.nullif(pooled_sd, F.lit(0.0))
+    corr = 1.0 - 3.0 / (4.0 * (F.col("n") + F.col("n0")) - 9.0)
+    return (
+        m.filter(F.col("lang") != CD_BASELINE_LANG)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.round(d_stat, 4).alias("cohens_d"),
+            F.round(d_stat * corr, 4).alias("hedges_g"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "max_drawdown_series",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      WHEN event_type = 'error'
+                      THEN -CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS pnl
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT day, CAST(sum(pnl) OVER (ORDER BY day) AS BIGINT) AS cum
+      FROM daily
+    ),
+    p AS (
+      SELECT day, cum,
+             CAST(max(cum) OVER (ORDER BY day) AS BIGINT) AS peak
+      FROM c
+    ),
+    d AS (SELECT day, peak - cum AS dd FROM p)
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST((SELECT max(dd) FROM d) AS BIGINT) AS max_drawdown_cents,
+           strftime((SELECT min(day) FROM d
+                     WHERE dd = (SELECT max(dd) FROM d)),
+                    '%Y-%m-%d') AS trough_day
+    """,
+)
+def max_drawdown_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily PnL series (purchases
+    credit, errors debit, integer cents): running peak minus current
+    cumulative, maximized — the standard worst-regression-from-peak
+    risk statistic, and the sequential-metric sibling of the
+    changepoint/control-chart entries (CUSUM alarms on drift; max
+    drawdown quantifies the realized worst excursion). Trough day is
+    the FIRST day attaining the maximum (deterministic tie).
+
+    Exactness: cents-quantized integer cumsums and running maxima —
+    no float anywhere.
+
+    Scale: date hash agg collapses events to one row per day; the two
+    prefix windows run on the collapsed daily series (calendar-sized,
+    the module's sequential-detector discipline).
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents)
+            .when(F.col("event_type") == "error", -cents)
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("pnl")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    d = daily.select(
+        "day", F.sum("pnl").over(w).cast("long").alias("cum")
+    ).select(
+        "day",
+        (F.max("cum").over(w) - F.col("cum")).cast("long").alias("dd"),
+    )
+    d = scoped_persist(d)
+    worst = d.orderBy(F.col("dd").desc(), "day").limit(1).select(
+        F.col("dd").alias("max_drawdown_cents"),
+        F.date_format("day", "yyyy-MM-dd").alias("trough_day"),
+    )
+    return d.agg(F.count("*").cast("long").alias("n_days")).crossJoin(
+        F.broadcast(worst)
+    )
+
+
+@query(
+    "theil_u_uncertainty",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS y, o_orderstatus AS x,
+             CAST(count(*) AS BIGINT) AS nxy
+      FROM orders GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY x),
+    my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY y),
+    tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
+    mi AS (
+      SELECT CAST(sum(CAST(round(1000000 * nxy *
+               ln((CAST(nxy AS DOUBLE) * n) / (CAST(nx AS DOUBLE) * ny))
+             ) AS BIGINT)) AS BIGINT) AS mi_micro
+      FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    ),
+    hx AS (
+      SELECT CAST(sum(CAST(round(1000000 * nx *
+               ln(CAST(n AS DOUBLE) / nx)) AS BIGINT)) AS BIGINT) AS hx_micro
+      FROM mx CROSS JOIN tot
+    )
+    SELECT tot.n AS n_orders,
+           round(CAST(mi.mi_micro AS DOUBLE) / 1000000 / tot.n, 6) AS mi_nats,
+           round(CAST(hx.hx_micro AS DOUBLE) / 1000000 / tot.n, 6)
+             AS h_status_nats,
+           round(CAST(mi.mi_micro AS DOUBLE) / nullif(hx.hx_micro, 0), 6)
+             AS theil_u
+    FROM mi CROSS JOIN hx CROSS JOIN tot
+    """,
+)
+def theil_u_uncertainty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(status | priority) =
+    I(X;Y)/H(X) (Theil 1970) — the ASYMMETRIC categorical association
+    this module's Cramér's V can't express: "how much of the status
+    entropy does knowing the priority remove?" (V is symmetric and
+    chi-square-based; U is information-based and directional — the
+    difference matters when one variable is a cause candidate).
+
+    Exactness: every n·ln(·) term quantizes ONCE to integer
+    micro-nats from exact integer counts (the KL idiom); MI and H(X)
+    cross the lanes as integer sums and U is a ratio of those two
+    integers.
+
+    Scale: one (priority, status) cell agg — a |statuses|×|priorities|
+    contingency table; everything downstream is constant-size.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("y"), F.col("o_orderstatus").alias("x")
+    ).agg(F.count("*").cast("long").alias("nxy"))
+    cells = scoped_persist(cells)
+    mx = cells.groupBy("x").agg(F.sum("nxy").cast("long").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("nxy").cast("long").alias("ny"))
+    tot = cells.agg(F.sum("nxy").cast("long").alias("n"))
+    mi = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    1_000_000
+                    * F.col("nxy")
+                    * F.log(
+                        (F.col("nxy").cast("double") * F.col("n"))
+                        / (F.col("nx").cast("double") * F.col("ny"))
+                    )
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("mi_micro")
+        )
+    )
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                1_000_000
+                * F.col("nx")
+                * F.log(F.col("n").cast("double") / F.col("nx"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("hx_micro")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_orders"),
+            F.round(
+                F.col("mi_micro").cast("double") / 1_000_000 / F.col("n"), 6
+            ).alias("mi_nats"),
+            F.round(
+                F.col("hx_micro").cast("double") / 1_000_000 / F.col("n"), 6
+            ).alias("h_status_nats"),
+            F.round(
+                F.col("mi_micro").cast("double")
+                / F.nullif(F.col("hx_micro"), F.lit(0)),
+                6,
+            ).alias("theil_u"),
+        )
+    )
+
+
+HB_BASELINE_LANG = "en"  # Hellinger/BC against the same baseline
+HB_BUCKET = 128  # doclen histogram grid (integer division, both lanes)
+HB_BUCKET_CAP = 63
+
+
+@query(
+    "hellinger_doclen_drift",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang, least(n_chars // {HB_BUCKET}, {HB_BUCKET_CAP}) AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+    terms AS (
+      SELECT o.lang,
+             CAST(round(1000000000 * sqrt(
+               (CAST(o.c AS DOUBLE) / ot.n) * (CAST(e.c AS DOUBLE) / et.n)
+             )) AS BIGINT) AS t_nano
+      FROM h o
+      JOIN h e ON o.b = e.b AND e.lang = '{HB_BASELINE_LANG}'
+      JOIN t ot ON ot.lang = o.lang
+      JOIN t et ON et.lang = '{HB_BASELINE_LANG}'
+      WHERE o.lang <> '{HB_BASELINE_LANG}'
+    )
+    SELECT lang,
+           round(CAST(sum(t_nano) AS DOUBLE) / 1000000000, 6)
+             AS bhattacharyya,
+           round(sqrt(greatest(
+             1.0 - CAST(sum(t_nano) AS DOUBLE) / 1000000000, 0)), 6)
+             AS hellinger
+    FROM terms
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def hellinger_doclen_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bhattacharyya coefficient and Hellinger distance between each
+    language's document-length distribution and the 'en' baseline —
+    the bounded geometric drift measure completing the divergence
+    shelf (KL unbounded/asymmetric, JS smoothed-symmetric, TVD L1,
+    Wasserstein transport; Hellinger is the one with metric axioms
+    AND a closed form from the histograms). BC = Σ√(p·q) over a fixed
+    integer-division length grid; buckets missing on either side
+    contribute exactly 0, so the inner histogram join is complete.
+
+    Exactness: grid and counts are integers; each √(p·q) term —
+    IEEE-exact sqrt over identically-associated rationals — quantizes
+    ONCE to nano units and the per-language reduce is an INTEGER sum;
+    H = √(max(1−BC, 0)) guards the rounding overshoot identically.
+
+    Scale: one histogram agg to |langs|·64 rows; the pair join is
+    grid-keyed and constant-size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = d.groupBy(
+        "lang",
+        F.least(
+            F.expr(f"n_chars div {HB_BUCKET}"), F.lit(HB_BUCKET_CAP)
+        ).alias("b"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    h = scoped_persist(h)
+    t = h.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    e = (
+        h.filter(F.col("lang") == HB_BASELINE_LANG)
+        .select("b", F.col("c").alias("ce"))
+        .crossJoin(
+            F.broadcast(
+                t.filter(F.col("lang") == HB_BASELINE_LANG).select(
+                    F.col("n").alias("ne")
+                )
+            )
+        )
+    )
+    terms = (
+        h.filter(F.col("lang") != HB_BASELINE_LANG)
+        .join(F.broadcast(e), "b")
+        .join(F.broadcast(t), "lang")
+        .select(
+            "lang",
+            F.round(
+                1_000_000_000
+                * F.sqrt(
+                    (F.col("c").cast("double") / F.col("n"))
+                    * (F.col("ce").cast("double") / F.col("ne"))
+                )
+            )
+            .cast("long")
+            .alias("t_nano"),
+        )
+    )
+    bc = F.sum("t_nano").cast("double") / 1_000_000_000
+    return (
+        terms.groupBy("lang")
+        .agg(
+            F.round(bc, 6).alias("bhattacharyya"),
+            F.round(
+                F.sqrt(F.greatest(1.0 - bc, F.lit(0.0))), 6
+            ).alias("hellinger"),
+        )
+        .orderBy("lang")
+    )

@@ -3015,3 +3015,145 @@ def term_burstiness_adaptation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: lexical-diversity batch.
+# ---------------------------------------------------------------------------
+
+MSTTR_SEG = 10  # tokens per MSTTR segment (full segments only)
+
+
+@query(
+    "msttr_lexical_diversity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT source, doc_id, len(t) AS nt,
+             unnest(t) AS w,
+             unnest(range(0, len(t))) AS p
+      FROM toks
+    ),
+    segs AS (
+      SELECT source, doc_id, p // {MSTTR_SEG} AS seg, w
+      FROM pos WHERE p // {MSTTR_SEG} < nt // {MSTTR_SEG}
+    ),
+    per AS (
+      SELECT source, doc_id, seg,
+             CAST(count(DISTINCT w) AS BIGINT) AS ty
+      FROM segs GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(ty) AS BIGINT) AS sum_types,
+           round(CAST(sum(ty) AS DOUBLE) / ({MSTTR_SEG} * count(*)), 6)
+             AS msttr
+    FROM per GROUP BY source
+    """,
+)
+def msttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean segmental type-token ratio (MSTTR, Johnson 1944 — the
+    length-robust lexical-diversity measure; raw TTR falls with text
+    length, so per-corpus TTR comparisons are confounded by doc size
+    and fixed-width segments remove exactly that): tokens chunk into
+    non-overlapping {MSTTR_SEG}-token segments (trailing partial
+    segments drop), each segment contributes its type count, and the
+    per-source MSTTR is Σtypes / ({MSTTR_SEG}·segments).
+
+    Exactness: segment index is integral division on the token
+    position in both lanes; type counts and segment counts cross as
+    integers; MSTTR is one float division.
+
+    Scale: one posexplode → (doc, segment) distinct-count hash agg —
+    token-count-sized shuffle with map-side combine, no window over
+    the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pos = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("nt"),
+        F.posexplode(F.split("text", " ")).alias("p", "w"),
+    )
+    segs = pos.filter(
+        F.expr(f"p div {MSTTR_SEG}") < F.expr(f"nt div {MSTTR_SEG}")
+    ).select(
+        "source", "doc_id", F.expr(f"p div {MSTTR_SEG}").alias("seg"), "w"
+    )
+    per = segs.groupBy("source", "doc_id", "seg").agg(
+        F.count_distinct("w").cast("long").alias("ty")
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum("ty").cast("long").alias("sum_types"),
+        F.round(
+            F.sum("ty").cast("double") / (MSTTR_SEG * F.count("*")), 6
+        ).alias("msttr"),
+    )
+
+
+@query(
+    "yule_k_lexical_richness",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+    s AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM wc GROUP BY source
+    )
+    SELECT source, n AS n_tokens, v AS vocab,
+           round(10000.0 * (s2 - n) / (CAST(n AS DOUBLE) * n), 4) AS yule_k
+    FROM s
+    """,
+)
+def yule_k_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per source (Yule 1944): K = 10⁴·(Σc² −
+    N)/N² over the token-frequency spectrum — the classical
+    repeat-rate statistic that is (unlike TTR and unlike Heaps'
+    exponents) theoretically INDEPENDENT of text length, which makes
+    it the right cross-source vocabulary-concentration comparison.
+    The scalar summary of the spectrum ``zipf_frequency_spectrum``
+    tabulates (Σm²·V_m = Σc²), and the lexical twin of the
+    Gini/Simpson concentration entries.
+
+    Exactness: N, V and Σc² are exact integer aggregates (both well
+    inside BIGINT at any shipped SF); K is one float expression with
+    identical association in both lanes.
+
+    Scale: word-count shuffle → |sources| rows; map-side combine does
+    the heavy lifting.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    wc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    s = wc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("v"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("vocab"),
+        F.round(
+            10000.0
+            * (F.col("s2") - F.col("n"))
+            / (F.col("n").cast("double") * F.col("n")),
+            4,
+        ).alias("yule_k"),
+    )

@@ -1735,3 +1735,34 @@ def test_greedy_recall_audit_broadcasts_scalars(spark):
     plan = plan_of(spark, "greedy_search_recall_audit")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_round12_stats_reduce_on_collapsed_grids(spark):
+    """The r12 statistics batch must reduce over value-collapsed
+    grids/histograms — no CartesianProduct (broadcast 1-row cross
+    joins compile to BroadcastNestedLoopJoin), no Python stage."""
+    for name in (
+        "wilcoxon_signed_rank",
+        "kendall_w_concordance",
+        "negative_binomial_mom_fit",
+        "cohens_d_effect_size",
+        "theil_u_uncertainty",
+        "hellinger_doclen_drift",
+        "msttr_lexical_diversity",
+        "yule_k_lexical_richness",
+        "stratified_kfold_audit",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        spark.catalog.clearCache()
+
+
+def test_max_drawdown_trough_is_heap(spark):
+    """The trough-day argmax must be TakeOrderedAndProject over the
+    collapsed daily series, not a global sort."""
+    plan = plan_of(spark, "max_drawdown_series")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
