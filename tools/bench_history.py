@@ -117,6 +117,16 @@ def main() -> None:
         "  DRIVER row remains the number to trust; standing rule: if IT",
         "  lands >1.2x median vs r10 on the overlap, profile the shared",
         "  scan path.",
+        "- bench_r12_full (builder-local, end of round 12, 397 entries):",
+        "  621.0 s total / 1.56 s-entry — 21% BELOW r11's 789.3 s with 15",
+        "  MORE entries, zero errors; 44-overlap median vs the r11 DRIVER",
+        "  row 0.96x, 382-overlap median vs bench_r11_full 0.93x — no",
+        "  drift, and the r11-verdict-#2 tail cut landed as designed:",
+        "  concurrent_compact 30.2 -> 11.8 s, the three interval joins",
+        "  21.6/21.2/21.6 -> 5.5/4-ish/6.1 s, clone/compact/time-travel",
+        "  all roughly halved (fewer trigger rounds + scoped stream/merge",
+        "  shuffle partitions; every touched entry re-proven by hash at",
+        "  sf0.01 AND sf0.1 before the bench ran).",
         "",
     ]
     out = os.path.join(REPO, "BENCH_HISTORY.md")
