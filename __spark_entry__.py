@@ -61,8 +61,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # ROUND-13 ROTATION PLAN (write the r13 window from this): keep the 3
 # anchors + any round-13-changed entries; window FIRST any r12
 # operators that landed after this 50-slot window filled (check
-# CORRECTNESS_r12.json against the registry — all 12 r12 entries are
-# IN this window, so expect no carry-over), then new r13 entries,
+# CORRECTNESS_r12.json against the registry — anderson_darling_drift
+# landed after this window filled and is the expected one-entry
+# carry-over; the other 12 r12 entries are IN this window), then new
+# r13 entries,
 # then the STALEST greens displaced this round — the remaining r02
 # block (domain_mixture_weights, no_big_order_anti,
 # order_cohort_full_outer, price_band_join, priority_multiset_diff,

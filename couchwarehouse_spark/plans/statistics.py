@@ -8514,3 +8514,133 @@ def hellinger_doclen_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "anderson_darling_drift",
+    oracle=f"""
+    WITH a AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS ca
+      FROM documents WHERE source = '{KS_A}' GROUP BY 1
+    ),
+    b AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cb
+      FROM documents WHERE source = '{KS_B}' GROUP BY 1
+    ),
+    merged AS (
+      SELECT coalesce(a.v, b.v) AS v,
+             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM a FULL OUTER JOIN b ON a.v = b.v
+    ),
+    cum AS (
+      SELECT ca, cb,
+             CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+             CAST(sum(ca + cb) OVER (ORDER BY v) AS BIGINT) AS cum_t,
+             CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+             CAST(sum(cb) OVER () AS BIGINT) AS n_b
+      FROM merged
+    ),
+    terms AS (
+      SELECT n_a, n_b,
+             CAST(round(1000000.0
+               * ((ca + cb) * ((n_a + n_b) * cum_a - n_a * cum_t)
+                            * ((n_a + n_b) * cum_a - n_a * cum_t))
+               / (cum_t * ((n_a + n_b) - cum_t))) AS BIGINT) AS t_micro
+      FROM cum
+      WHERE cum_t < n_a + n_b
+    )
+    SELECT CAST(min(n_a) AS BIGINT) AS n_a,
+           CAST(min(n_b) AS BIGINT) AS n_b,
+           CAST(sum(t_micro) AS BIGINT) AS ad_micro_sum,
+           round(CAST(sum(t_micro) AS DOUBLE) / 1000000
+                 / (CAST(min(n_a) AS DOUBLE) * min(n_b)), 6) AS ad_stat
+    FROM terms
+    """,
+)
+def anderson_darling_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling drift statistic in the discrete/
+    tied form (Pettitt 1976; the A²_akN shape of Scholz-Stephens
+    1987 for k=2 without continuity correction): A² = (1/(n·m)) ·
+    Σ_j h_j·(N·M_j − n·H_j)² / (H_j·(N−H_j)) over the pooled distinct
+    values (the H_j = N endpoint drops — its weight is 0/0 and
+    contributes nothing in the continuous limit). COMPLETES the
+    two-sample drift family: KS reacts to the largest local CDF gap,
+    CvM to the accumulated squared gap with uniform weight, AD
+    re-weights by 1/(H(N−H)) — maximal at the TAILS, so it catches
+    the tail drift both siblings under-weight (the reason
+    goodness-of-fit practice prefers AD).
+
+    Exactness: every term's numerator h·(N·M − n·H)² and denominator
+    H·(N−H) are exact BIGINTs from the shared cumulative-histogram
+    scaffold (literally the CvM entry's frame with pooled cumulative
+    H replacing cum_b); the single float division per term quantizes
+    ONCE to integer micro-units and the reduce is an integer sum.
+    The same loud symmetric overflow guard as CvM: per-term numerator
+    ≤ N·(n·m)², asserted in-plan where DuckDB's checked BIGINT would
+    raise.
+
+    Scale: per-source value histograms via hash aggregate, one window
+    over the merged value DOMAIN (collapsed support, not rows), one
+    row out.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    a = (
+        d.filter(F.col("source") == KS_A)
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count("*").cast("long").alias("ca"))
+    )
+    b = (
+        d.filter(F.col("source") == KS_B)
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count("*").cast("long").alias("cb"))
+    )
+    merged = a.join(b, "v", "full_outer").select(
+        "v",
+        F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+        F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = merged.select(
+        "ca",
+        "cb",
+        F.sum("ca").over(w_cum).cast("long").alias("cum_a"),
+        F.sum(F.col("ca") + F.col("cb")).over(w_cum).cast("long").alias("cum_t"),
+        F.sum("ca").over(w_all).cast("long").alias("n_a"),
+        F.sum("cb").over(w_all).cast("long").alias("n_b"),
+    )
+    nn = F.col("n_a") + F.col("n_b")
+    diff = nn * F.col("cum_a") - F.col("n_a") * F.col("cum_t")
+    t_micro = F.round(
+        1_000_000.0
+        * ((F.col("ca") + F.col("cb")) * diff * diff)
+        / (F.col("cum_t") * (nn - F.col("cum_t")))
+    ).cast("long")
+    terms = cum.filter(F.col("cum_t") < nn).select(
+        "n_a", "n_b", t_micro.alias("t_micro")
+    )
+    na_d = F.min("n_a").cast("double")
+    nb_d = F.min("n_b").cast("double")
+    guard = F.assert_true(
+        (na_d + nb_d) * na_d * na_d * nb_d * nb_d < F.lit(9.0e18),
+        F.lit(
+            "anderson_darling_drift: per-term integer numerator would "
+            "overflow BIGINT at these group sizes; shard the audit"
+        ),
+    )
+    # One-armed CASE (see cramer_von_mises_drift): assert_true yields
+    # NULL when it does not throw, so the sum always passes through
+    # while Catalyst cannot fold the predicate away.
+    s_raw = F.sum("t_micro")
+    s = F.when(guard.isNull(), s_raw)
+    return terms.agg(
+        F.min("n_a").cast("long").alias("n_a"),
+        F.min("n_b").cast("long").alias("n_b"),
+        s.cast("long").alias("ad_micro_sum"),
+        F.round(
+            s.cast("double") / 1_000_000 / (F.min("n_a").cast("double") * F.min("n_b")),
+            6,
+        ).alias("ad_stat"),
+    )

@@ -1766,3 +1766,12 @@ def test_max_drawdown_trough_is_heap(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_anderson_darling_collapsed_support(spark):
+    """AD must reduce over the merged value-domain histogram (the CvM
+    scaffold) — no pair join, no Python."""
+    plan = plan_of(spark, "anderson_darling_drift")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or "FullOuter" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -39,7 +39,7 @@ def test_every_entry_is_oracle_backed():
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
     # Registry floor: entries may only be added, never silently lost.
     # Raise the floor when new operators land.
-    assert len(qs) >= 397, len(qs)
+    assert len(qs) >= 398, len(qs)
 
 
 def test_no_raw_float_reduce_over_log_terms():

@@ -320,3 +320,41 @@ class TestStratifiedKfold:
             by_lang[r["lang"]][1] = r["expected_per_fold"] * KFOLDS
         for lang, (n, exp_total) in by_lang.items():
             assert abs(n - exp_total) < 0.5, lang
+
+
+class TestAndersonDarling:
+    def test_identical_samples_zero(self, spark, tmp_path):
+        """src0 and src1 with identical length histograms: every
+        N*M_j - n_a*H_j term is 0, so A² = 0 exactly."""
+        docs = spark.createDataFrame(
+            [
+                (1, "x", "en", "src0", 100), (2, "x", "en", "src0", 200),
+                (3, "x", "en", "src1", 100), (4, "x", "en", "src1", 200),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        from couchwarehouse_spark.plans.statistics import anderson_darling_drift
+
+        sf = str(tmp_path / "sf")
+        _write(docs, sf, "documents")
+        row = anderson_darling_drift(spark, sf).collect()[0]
+        assert row["n_a"] == 2 and row["n_b"] == 2
+        assert row["ad_micro_sum"] == 0 and row["ad_stat"] == 0.0
+
+    def test_disjoint_samples_hand_value(self, spark, tmp_path):
+        """src0 = {1,1}, src1 = {9,9}: one distinct boundary below N,
+        terms at v=1: h=2, M=2, H=2, N=4, n_a=2 ->
+        2*(4*2-2*2)^2/(2*2) = 8; A² = 8/(2*2) = 2.0."""
+        docs = spark.createDataFrame(
+            [
+                (1, "x", "en", "src0", 1), (2, "x", "en", "src0", 1),
+                (3, "x", "en", "src1", 9), (4, "x", "en", "src1", 9),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        from couchwarehouse_spark.plans.statistics import anderson_darling_drift
+
+        sf = str(tmp_path / "sf")
+        _write(docs, sf, "documents")
+        row = anderson_darling_drift(spark, sf).collect()[0]
+        assert row["ad_stat"] == 2.0
