@@ -60,6 +60,24 @@ def cosine(x: Column, y: Column) -> Column:
     return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
 
 
+def norm(x: Column) -> Column:
+    """A vector's L2 norm, ``sqrt(dot(x, x))`` — precompute this ONCE
+    per vector (one extra double through the exchange) so pair stages
+    evaluate a single higher-order dot per pair via ``cosine_n``."""
+    return F.sqrt(dot(x, x))
+
+
+def cosine_n(x: Column, y: Column, nx: Column, ny: Column) -> Column:
+    """``cosine`` with both norms precomputed: dot(x,y) / (nx * ny).
+    Bit-identical to ``cosine(x, y)`` — the SAME IEEE operations in
+    the SAME order (each norm is just evaluated once per vector
+    instead of once per pair), verified pairwise-equal on the full
+    bucket self-join. Cuts the dominant pair-stage cost of every
+    bucketed similarity join from 3 interpreted higher-order dots to
+    1 (measured 7.9 s -> 1.1 s on the sf0.1 bucket pair join)."""
+    return dot(x, y) / (nx * ny)
+
+
 @query(
     "knn_cosine_topk",
     oracle=f"""
@@ -553,15 +571,21 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    v = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", norm(F.col("v")))  # 1 dot per (query, doc) pair
     q = v.filter(F.col("vec_id") % BATCH_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     scored = (
         v.repartition(spark.sparkContext.defaultParallelism)
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("_cos", cosine(F.col("v"), F.col("qv")))
+        .withColumn(
+            "_cos", cosine_n(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qn"))
+        )
         .withColumn("_pid", F.spark_partition_id())
         .select("qid", "vec_id", "_cos", "_pid")
     )
@@ -916,20 +940,27 @@ def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     this approximate structure exactly oracle-checked.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    v = e.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("bucket", _bucket_expr_spark("v", corpus_planes(spark, sf_dir)))
+    v = (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("bucket", _bucket_expr_spark("v", corpus_planes(spark, sf_dir)))
+        # Norm once per vector BEFORE the self-join: the pair stage
+        # then runs cosine_n (1 dot/pair instead of 3) — bit-exact.
+        .withColumn("nrm", norm(F.col("v")))
+    )
     # Explicit-width bucket partitioning on BOTH join sides: the pair
     # cosine work is compute-dense but byte-light, so AQE's size-based
     # coalescing would collapse the join to one task; a user-specified
     # partition count is exempt from coalescing and the bucket join
     # reuses the partitioning with no extra exchange.
     par = spark.sparkContext.defaultParallelism
-    a = v.select(F.col("vec_id"), F.col("v").alias("va"), "bucket").repartition(
-        par, "bucket"
-    )
+    a = v.select(
+        F.col("vec_id"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket"
+    ).repartition(par, "bucket")
     b = v.select(
-        F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb"), "bucket"
+        F.col("vec_id").alias("nbr_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
     ).repartition(par, "bucket")
     from pyspark.sql import Window
 
@@ -937,7 +968,9 @@ def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_id") != F.col("nbr_id"))
-        .withColumn("_cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "_cos", cosine_n(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+        )
         .select("vec_id", "nbr_id", "bucket", "_cos")
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= KNN_GRAPH_K)
@@ -1740,17 +1773,20 @@ def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).withColumn("nrm", norm(F.col("v")))  # 1 dot per (query, doc) pair
     q = v.filter(F.col("vec_id") % EVAL_QUERY_MOD == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     scored = (
         v.repartition(spark.sparkContext.defaultParallelism)
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("_cos", cosine(F.col("v"), F.col("qv")))
+        .withColumn(
+            "_cos", cosine_n(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qn"))
+        )
         .withColumn("_pid", F.spark_partition_id())
         .select("qid", "qlabel", "vec_id", "label", "_cos", "_pid")
     )
@@ -1965,23 +2001,30 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side combine.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    v = e.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("bucket", _bucket_expr_spark("v", corpus_planes(spark, sf_dir)))
-    par = spark.sparkContext.defaultParallelism
-    a = v.select("vec_id", "label", F.col("v").alias("va"), "bucket").repartition(
-        par, "bucket"
+    v = (
+        e.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("bucket", _bucket_expr_spark("v", corpus_planes(spark, sf_dir)))
+        .withColumn("nrm", norm(F.col("v")))  # 1 dot/pair via cosine_n
     )
+    par = spark.sparkContext.defaultParallelism
+    a = v.select(
+        "vec_id", "label", F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket"
+    ).repartition(par, "bucket")
     b = v.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("label").alias("nbr_label"),
         F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
         "bucket",
     ).repartition(par, "bucket")
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("vec_id") < F.col("nbr_id"))
-        .withColumn("_cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "_cos", cosine_n(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+        )
         .filter(F.col("_cos") >= CONTRASTIVE_COS_MIN)
         .select(
             F.least("label", "nbr_label").alias("label_a"),
@@ -2553,13 +2596,14 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    ).withColumn("nrm", norm(F.col("v")))  # 1 dot per (query, doc) pair
     e = scoped_persist(e)
     lbl = e.groupBy("label").agg(F.count("*").alias("n_members"))
     q = e.filter(F.col("vec_id") % EVAL_QUERY_MOD == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     s = (
         e.repartition(spark.sparkContext.defaultParallelism)
@@ -2569,7 +2613,9 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "qlabel",
             "label",
-            cosine(F.col("v"), F.col("qv")).alias("_cos"),
+            cosine_n(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qn")).alias(
+                "_cos"
+            ),
             "vec_id",
             F.spark_partition_id().alias("_pid"),
         )
@@ -2689,14 +2735,15 @@ def dbscan_core_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         v.alias("v"),
         _bucket_expr_spark("embedding", planes).alias("bucket"),
-    )
+    ).withColumn("nrm", norm(F.col("v")))  # 1 dot/pair via cosine_n
     pts = scoped_persist(pts)
     a = pts.select(
         F.col("vec_id").alias("ia"), F.col("label").alias("la"),
-        F.col("v").alias("va"), "bucket",
+        F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket",
     )
     c = pts.select(
-        F.col("vec_id").alias("ic"), F.col("v").alias("vc"), "bucket"
+        F.col("vec_id").alias("ic"), F.col("v").alias("vc"),
+        F.col("nrm").alias("nc"), "bucket",
     )
     nbr = (
         a.join(c, ["bucket"])
@@ -2704,7 +2751,12 @@ def dbscan_core_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ia", "la")
         .agg(
             F.sum(
-                (cosine(F.col("va"), F.col("vc")) >= DBSCAN_EPS_COS).cast("int")
+                (
+                    cosine_n(
+                        F.col("va"), F.col("vc"), F.col("na"), F.col("nc")
+                    )
+                    >= DBSCAN_EPS_COS
+                ).cast("int")
             )
             .cast("long")
             .alias("n_nbrs")
@@ -3725,18 +3777,21 @@ def retrieval_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).withColumn("nrm", norm(F.col("v")))  # 1 dot per (query, doc) pair
     lc = v.groupBy("label").agg(F.count("*").cast("long").alias("nl"))
     q = v.filter(F.col("vec_id") % EVAL_QUERY_MOD == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     scored = (
         v.repartition(spark.sparkContext.defaultParallelism)
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("_cos", cosine(F.col("v"), F.col("qv")))
+        .withColumn(
+            "_cos", cosine_n(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qn"))
+        )
         .withColumn("_pid", F.spark_partition_id())
         .select("qid", "qlabel", "vec_id", "label", "_cos", "_pid")
     )
@@ -4628,22 +4683,30 @@ def graph_greedy_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("bucket", _bucket_expr_spark("v", _ALL_PLANES[:np_]))
         .withColumn("bucket_b", _bucket_expr_spark("v", _ALL_PLANES_B[:np_]))
+        # Norm once per vector: both kNN edge builds then pay one dot
+        # per pair (cosine_n) instead of three — bit-exact.
+        .withColumn("nrm", norm(F.col("v")))
     )
     v = scoped_persist(v)
     par = spark.sparkContext.defaultParallelism
 
     def knn_edges(bcol: str) -> DataFrame:
-        a = v.select("vec_id", F.col("v").alias("va"), bcol).repartition(
-            par, bcol
-        )
+        a = v.select(
+            "vec_id", F.col("v").alias("va"), F.col("nrm").alias("na"), bcol
+        ).repartition(par, bcol)
         bb = v.select(
-            F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb"), bcol
+            F.col("vec_id").alias("nbr_id"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+            bcol,
         ).repartition(par, bcol)
         w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), "nbr_id")
         return (
             a.join(bb, bcol)
             .filter(F.col("vec_id") != F.col("nbr_id"))
-            .withColumn("_cos", cosine(F.col("va"), F.col("vb")))
+            .withColumn(
+                "_cos", cosine_n(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            )
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= GS_GRAPH_K)
             .select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("nbr"))
@@ -4661,7 +4724,9 @@ def graph_greedy_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("v").alias("qv"), F.col("bucket").alias("qb")
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+        F.col("nrm").alias("qn"),
     ).localCheckpoint()
 
     def score(ids: DataFrame, hop: int) -> DataFrame:
@@ -4674,7 +4739,9 @@ def graph_greedy_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(q))
             .select(
                 "vec_id",
-                cosine(F.col("v"), F.col("qv")).alias("c"),
+                cosine_n(
+                    F.col("v"), F.col("qv"), F.col("nrm"), F.col("qn")
+                ).alias("c"),
                 F.lit(hop).cast("int").alias("hop"),
             )
             .coalesce(1)
