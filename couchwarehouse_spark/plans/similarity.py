@@ -4667,11 +4667,14 @@ def graph_greedy_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived plane count, and round count are inlined in both lanes,
     so even this approximate traversal is exactly oracle-checked.
 
-    Scale: the frontier (≤ GS_BEAM rows) broadcasts into an id-keyed
-    semi-join against the N·2k edge table (id-partitioned point
-    lookups at scale); visited stays ≤ entries + GS_ROUNDS·GS_BEAM·4k
-    rows — bounded by search parameters, not corpus size; cosine is
-    computed ONLY for discovered nodes (≤ beam·degree per round),
+    Scale: the frontier (≤ GS_BEAM ids) keys one id-keyed lookup per
+    round against the N·2k edge table (id-partitioned point lookups
+    at scale); visited stays ≤ entries + GS_ROUNDS·GS_BEAM·4k rows —
+    bounded by search parameters, not corpus size, which is why the
+    beam BOOKKEEPING lives at the driver (the CC_DRIVER_EDGE_BOUND
+    idiom; asserted against ``bound`` below) while all per-node
+    cosine math stays in Catalyst over the persisted corpus; cosine
+    is computed ONLY for discovered nodes (≤ beam·degree per round),
     never the corpus. Entry count is ≤ 1 + n_planes ≤ 1 + P_MAX. The
     graph build is the same bounded intra-bucket self-join as
     ``knn_graph_bucketed``, twice — an index-build cost, amortized
@@ -4723,67 +4726,87 @@ def graph_greedy_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("v").alias("qv"),
-        F.col("bucket").alias("qb"),
-        F.col("nrm").alias("qn"),
-    ).localCheckpoint()
-
-    def score(ids: DataFrame, hop: int) -> DataFrame:
-        # coalesce(1): the scored frame is bounded by search params
-        # (≤ beam·2k rows) — one partition keeps every downstream
-        # frontier/anti-join stage a single task instead of letting
-        # union lineage accumulate hundreds of empty partitions.
-        return (
-            ids.join(v, "vec_id")
-            .crossJoin(F.broadcast(q))
-            .select(
-                "vec_id",
-                cosine_n(
-                    F.col("v"), F.col("qv"), F.col("nrm"), F.col("qn")
-                ).alias("c"),
-                F.lit(hop).cast("int").alias("hop"),
-            )
-            .coalesce(1)
-        )
+    # Beam state lives at the DRIVER (the CC_DRIVER_EDGE_BOUND idiom:
+    # a lane that is provably small may collect): visited is bounded by
+    # SEARCH PARAMETERS, not corpus size — ≤ (P_MAX + 1) entry points
+    # plus GS_ROUNDS · GS_BEAM · 4·GS_GRAPH_K discovered neighbors
+    # (1,465 rows at the current dials). The distributed-loop
+    # formulation paid 2
+    # localCheckpoints + a broadcast build per round (~80 Spark jobs /
+    # entry, all driver round-trips over ≤ 1.5k-row frames); driver
+    # state needs exactly ONE bounded job per round (candidate lookup
+    # + cosine scoring, collected). The per-pair/per-node MATH is the
+    # same Catalyst expressions as before (cosine_n over the persisted
+    # corpus; the query vector/norm re-enter as exact double literals),
+    # so every score is bit-identical and the oracle hash cannot move.
+    bound = (P_MAX + 1) + GS_ROUNDS * GS_BEAM * 4 * GS_GRAPH_K
+    qrow = (
+        v.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("v", "bucket", "nrm")
+        .first()
+    )
+    out_schema = (
+        "vec_id bigint, hop bigint, cos_sim double"
+    )
+    if qrow is None:  # no query vector -> empty result, as before
+        return spark.createDataFrame([], out_schema)
+    qv = F.array(*[F.lit(float(x)) for x in qrow["v"]])
+    qn = F.lit(float(qrow["nrm"]))
+    score_col = cosine_n(F.col("v"), qv, F.col("nrm"), qn).alias("c")
 
     near = F.bit_count(
-        F.col("bucket").cast("long").bitwiseXOR(F.col("qb").cast("long"))
+        F.col("bucket").cast("long").bitwiseXOR(F.lit(int(qrow["bucket"])))
     ) <= 1
     eps = (
-        v.crossJoin(F.broadcast(q))
-        .filter(near & (F.col("vec_id") != QUERY_VEC_ID))
+        v.filter(near & (F.col("vec_id") != QUERY_VEC_ID))
         .groupBy("bucket")
         .agg(F.min("vec_id").alias("vec_id"))
         .select("vec_id")
     )
-    visited = score(eps, 0).localCheckpoint()
-    expanded: DataFrame | None = None
+    visited: dict[int, tuple[float, int]] = {
+        row["vec_id"]: (row["c"], 0)
+        for row in eps.join(v, "vec_id").select("vec_id", score_col).collect()
+    }
+    expanded: set[int] = set()
     for r in range(1, GS_ROUNDS + 1):
-        unexp = (
-            visited
-            if expanded is None
-            else visited.join(expanded, "vec_id", "left_anti")
-        )
-        frontier = (
-            unexp.orderBy(F.col("c").desc(), "vec_id")
-            .limit(GS_BEAM)
-            .select("vec_id")
-            .coalesce(1)
-            .localCheckpoint()
-        )
-        expanded = frontier if expanded is None else expanded.union(frontier)
-        cand = (
-            edges.join(F.broadcast(frontier), edges.src == frontier.vec_id)
+        unexp = [
+            (vid, c) for vid, (c, _) in visited.items() if vid not in expanded
+        ]
+        # Same total order as the distributed orderBy(c DESC, vec_id).
+        unexp.sort(key=lambda t: (-t[1], t[0]))
+        frontier = [vid for vid, _ in unexp[:GS_BEAM]]
+        expanded.update(frontier)
+        cand_rows = (
+            edges.filter(F.col("src").isin(frontier))
             .select(F.col("nbr").alias("vec_id"))
             .distinct()
-            .coalesce(1)
-            .join(visited.select("vec_id"), "vec_id", "left_anti")
+            .join(v, "vec_id")
+            .select("vec_id", score_col)
+            .collect()
         )
-        visited = visited.union(score(cand, r)).coalesce(1).localCheckpoint()
+        for row in cand_rows:
+            # first-discovery hop wins (the old left_anti on visited)
+            if row["vec_id"] not in visited:
+                visited[row["vec_id"]] = (row["c"], r)
+        assert len(visited) <= bound, (len(visited), bound)
+    # Re-emit the bounded visited set as a literal relation (VALUES,
+    # not createDataFrame(rows): no Python-RDD scan) and keep the
+    # final top-k ordering + rounding in Spark — identical
+    # TakeOrderedAndProject + round(…, 4) as the distributed loop.
+    # repr() doubles round-trip exactly through Double.parseDouble.
+    vals = ", ".join(
+        f"({vid}, {hop}, CAST('{c!r}' AS DOUBLE))"
+        for vid, (c, hop) in visited.items()
+        if vid != QUERY_VEC_ID
+    )
+    if not vals:
+        return spark.createDataFrame([], out_schema)
+    vis_df = spark.sql(
+        f"SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(hop AS INT) AS hop,"
+        f" c FROM VALUES {vals} AS t(vec_id, hop, c)"
+    )
     return (
-        visited.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .orderBy(F.col("c").desc(), "vec_id")
+        vis_df.orderBy(F.col("c").desc(), "vec_id")
         .limit(TOP_K)
         .select(
             "vec_id",

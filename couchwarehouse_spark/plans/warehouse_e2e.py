@@ -1351,7 +1351,17 @@ def merge_into_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("gone"),
     )
     incoming = upd.unionByName(dels).unionByName(ins)
-    n_upd, n_del, n_ins = upd.count(), dels.count(), ins.count()
+    # One aggregate job over the subset instead of three count() jobs
+    # (each re-scanning orders): the three legs are disjoint predicates
+    # on the same scan, so conditional sums give identical counts.
+    n_upd, n_del, n_ins = (
+        s.agg(
+            F.sum(((key % AMEND == 0) & (key % DELETE != 0)).cast("long")),
+            F.sum((key % DELETE == 0).cast("long")),
+            F.sum((key % 3 == 0).cast("long")),
+        ).first()
+    )
+    n_upd, n_del, n_ins = int(n_upd or 0), int(n_del or 0), int(n_ins or 0)
     n1 = wh.merge_into(incoming, delete_col="gone")
     assert n1 == n_upd + n_ins + n_del, (n1, n_upd, n_ins, n_del)
     # Replay the SAME frame: updates/inserts re-apply with identical
