@@ -104,6 +104,29 @@ def _parquet_id_range(fp: str) -> tuple[str, str] | None:
     return None if mn is None else (mn, mx)
 
 
+def _parquet_seq_max(fp: str) -> int | None:
+    """The ``_cw_seq`` column's max across a part file's row groups,
+    from the parquet footer — None when the column or its statistics
+    are absent. Files are immutable once committed, so callers may
+    cache the result by path."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fp).metadata
+    idx = next(
+        (i for i in range(md.num_columns) if md.schema.column(i).name == SEQ_COL),
+        None,
+    )
+    if idx is None:
+        return None
+    mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mx = st.max if mx is None or st.max > mx else mx
+    return mx
+
+
 def _logical_of(dtype: T.DataType) -> str:
     if isinstance(dtype, T.BooleanType):
         return "boolean"
@@ -211,6 +234,10 @@ class Warehouse:
         self.constraint_mode = constraint_mode
         import itertools as _it
         self._scratch_counter = _it.count()
+        # Per-file max(_cw_seq) footer reads, cached by absolute path —
+        # part files are immutable once a manifest references them, so
+        # an entry never goes stale; new commits add new file names.
+        self._seq_stat_cache: dict[str, int | None] = {}
         self.checkpoints = CheckpointStore(spark, os.path.join(warehouse_dir, "_checkpoints"))
         if reset:
             self.reset()
@@ -835,6 +862,46 @@ class Warehouse:
             conformed.unpersist(blocking=False)
         self.register_view(doc_type)
 
+    def _state_max_seq(self, path: str, manifest: dict) -> int:
+        """max(_cw_seq) over one manifest's snapshot WITHOUT a Spark
+        job: the snapshot is exactly the manifest's file list and part
+        files are immutable, so per-file footer maxima (cached by
+        path) answer the probe from metadata alone — the same
+        stats-not-scans contract the id-range pruning already uses.
+        At production scale the previous plan here was a full scan of
+        the seq column per merge_into call. Any file without footer
+        statistics falls back to ONE scan of just that file."""
+        mx = 0
+        missing: list[str] = []
+        for fp in self._manifest_files(path, manifest):
+            if fp not in self._seq_stat_cache:
+                try:
+                    self._seq_stat_cache[fp] = _parquet_seq_max(fp)
+                except OSError:
+                    self._seq_stat_cache[fp] = None
+            m = self._seq_stat_cache[fp]
+            if m is None:
+                missing.append(fp)
+            elif m > mx:
+                mx = int(m)
+        if missing:
+            # Same schema-declared read as _read_state, restricted to
+            # the stat-less files: a file written before a column
+            # existed reads as typed NULLs instead of failing.
+            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+            read_schema = T.StructType(
+                list(schema.fields) + [T.StructField("_cw_bucket", T.IntegerType())]
+            )
+            row = (
+                self.spark.read.option("basePath", path)
+                .schema(read_schema)
+                .parquet(*missing)
+                .agg(F.max(SEQ_COL).alias("m"))
+                .collect()[0]
+            )
+            mx = max(mx, int(row["m"] or 0))
+        return mx
+
     def _prune_bucket_files(
         self,
         bucket_files: dict[int, list[str]],
@@ -1251,9 +1318,11 @@ class Warehouse:
             raise ValueError("merge_into frame needs an 'id' column")
         path = self._table_path(doc_type)
         base_seq = 0
-        if self._load_manifest(path) is not None:
-            row = self._read_state(path).agg(F.max(SEQ_COL).alias("m")).collect()[0]
-            base_seq = int(row["m"] or 0)
+        manifest = self._load_manifest(path)
+        if manifest is not None:
+            # Metadata-only seq probe (footer maxima recorded per
+            # immutable file) — not a full scan of the seq column.
+            base_seq = self._state_max_seq(path, manifest)
         if delete_col is not None:
             deleted = F.coalesce(F.col(delete_col), F.lit(False))
             live = df.filter(~deleted).drop(delete_col)
@@ -1270,15 +1339,59 @@ class Warehouse:
         # Deletes that matched an existing row, counted against the
         # PRE-merge state (after the merge the ids are gone) — a
         # tombstone for an absent id is a no-op, not an applied row.
+        # The existence probe reads only files that could hold a
+        # tombstoned id: each id lives in exactly bucket
+        # pmod(xxhash64(id), n) and in a file whose recorded id range
+        # covers it, so one semi-join against the manifest's literal
+        # (bucket, file, range) metas prunes the read down from the
+        # full state (previously a whole-table scan per delete-merge).
         n_del = 0
-        if delete_col is not None and base_seq > 0:
-            state_ids = self._read_state(path).select("id")
-            n_del = (
-                tombstones.select("id")
-                .distinct()
-                .join(state_ids, "id", "left_semi")
-                .count()
-            )
+        if delete_col is not None and base_seq > 0 and manifest is not None:
+            t_ids = tombstones.select("id").distinct()
+            n_cur = self._manifest_buckets_n(manifest)
+            stats = {int(b): per for b, per in manifest.get("stats", {}).items()}
+            metas: list[tuple[int, str, str, str]] = []
+            probe_files: list[str] = []
+            for b, fns in manifest["buckets"].items():
+                for fn in fns:
+                    fp = os.path.join(path, f"_cw_bucket={b}", fn)
+                    rng = stats.get(int(b), {}).get(fn)
+                    if rng is None:
+                        rng = _parquet_id_range(fp)
+                    if rng is None:
+                        probe_files.append(fp)  # no stats: read it
+                    else:
+                        metas.append((int(b), fp, rng[0], rng[1]))
+            if metas:
+                meta_df = self._literal_frame(
+                    metas, ["b", "file", "min_id", "max_id"]
+                )
+                probe_files += [
+                    r["file"]
+                    for r in meta_df.join(
+                        t_ids,
+                        (self._bucket_of("id", n_cur) == F.col("b"))
+                        & (F.col("id") >= F.col("min_id"))
+                        & (F.col("id") <= F.col("max_id")),
+                        "left_semi",
+                    )
+                    .select("file")
+                    .collect()
+                ]
+            if probe_files:
+                schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+                state_ids = (
+                    self.spark.read.option("basePath", path)
+                    .schema(
+                        T.StructType(
+                            list(schema.fields)
+                            + [T.StructField("_cw_bucket", T.IntegerType())]
+                        )
+                    )
+                    .parquet(*probe_files)
+                    .select("id")
+                )
+                n_del = t_ids.join(state_ids, "id", "left_semi").count()
         flat = live.withColumn(SEQ_COL, F.lit(base_seq + 1))
         if doc_type not in self.schemas:
             self.schemas[doc_type] = self._freeze_schema(flat)
