@@ -63,8 +63,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # operators that landed after this 50-slot window filled (check
 # CORRECTNESS_r12.json against the registry — anderson_darling_drift
 # landed after this window filled and is the expected one-entry
-# carry-over; the other 12 r12 entries are IN this window), then new
-# r13 entries,
+# carry-over; the other 12 r12 entries are IN this window), THEN the
+# r12-OPTIMIZATION-touched similarity/graph family that did not fit
+# this window (knn_graph_bucketed and its consumers: pagerank step/
+# 3iter, triangle, label propagation, modularity, HITS, assortativity,
+# k-core, clustering coefficient, the three link-prediction entries,
+# mutual_knn_pairs, knn_hubness_audit, knn_label_purity, plus
+# contrastive_pair_mining, dbscan_core_census, ann_batch_topk, the
+# retrieval_eval trio — the norm-factored pair stage was proven
+# bit-exact pairwise AND oracle-green at all three SFs, and the
+# in-window greedy pair exercises the same cosine_n kernel, but they
+# have not had a driver row since the change), then new r13 entries,
 # then the STALEST greens displaced this round — the remaining r02
 # block (domain_mixture_weights, no_big_order_anti,
 # order_cohort_full_outer, price_band_join, priority_multiset_diff,
