@@ -24,9 +24,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates the FIRST 50 registered queries, so ordering is
-# coverage policy. Round-12 rotation — ACTUAL composition (3 anchors +
+# coverage policy. ROUND-13 window (optimization round 2 of 2) — written
+# from the r12 rotation plan below, exactly as VERDICT.md "Next round"
+# item #1 requires:
+#  - 3 never-regressed anchors (ETL kernel, R1-R14 e2e, relational
+#    flagship),
+#  - anderson_darling_drift (landed after the r12 window filled; never
+#    had a driver row),
+#  - the 22 norm-factored (cosine_n) similarity/graph entries from the
+#    r12 optimization that did not fit the r12 window:
+#    knn_graph_bucketed and its consumers (pagerank step/3iter,
+#    triangle, label propagation, modularity, HITS, assortativity,
+#    k-core, clustering coefficient, the three link-prediction entries,
+#    mutual_knn_pairs, knn_hubness_audit, knn_label_purity) plus
+#    contrastive_pair_mining, dbscan_core_census, ann_batch_topk and
+#    the retrieval_eval trio — proven bit-exact pairwise and
+#    oracle-green at all three SFs locally in r12, but without a
+#    post-change driver row until now,
+#  - any entry whose execution changed in THIS round's optimizations
+#    (pseudo_relevance_feedback; the e2e shuffle-scope derivation
+#    keeps the bench value byte-identical so the 26 e2es certified by
+#    the r12 window are unchanged),
+#  - fill to 50 with the stalest greens (the r02 cohort, then r03)
+#    per the standing one-rep-per-family mandate.
+# Round-12 rotation (for the record) — was (3 anchors +
 # 3 ADVICE/scale-changed + 12 new r12 entries + the 11 streaming e2es
-# and 15 warehouse e2es whose EXECUTION changed this round (the
+# and 15 warehouse e2es whose EXECUTION changed that round (the
 # scoped-shuffle shim + trigger-cadence cut — every one re-proven at
 # sf0.01+sf0.1 locally, and the driver must see them too) + 6 family
 # reps drawn from the stalest greens = 50):
@@ -138,58 +161,57 @@ PRIORITY = [
     "latest_event_per_user",
     "warehouse_e2e_pipeline",
     "pricing_summary",
-    # --- 3 changed-this-round entries (r11 ADVICE + verdict #3) ---
-    "fellegi_sunter_linkage",
-    "gumbel_block_maxima_fit",
-    "analyze_stats_e2e",
-    # --- 12 new round-12 entries ---
-    "graph_greedy_search_topk",
-    "greedy_search_recall_audit",
-    "wilcoxon_signed_rank",
-    "kendall_w_concordance",
-    "negative_binomial_mom_fit",
-    "cohens_d_effect_size",
-    "max_drawdown_series",
-    "theil_u_uncertainty",
-    "hellinger_doclen_drift",
-    "msttr_lexical_diversity",
-    "yule_k_lexical_richness",
-    "stratified_kfold_audit",
-    # --- 11 streaming e2es (execution changed: cadence + shim) ---
-    "streaming_window_counts_e2e",
-    "streaming_dedup_e2e",
-    "streaming_interval_join_e2e",
-    "streaming_static_enrich_e2e",
-    "streaming_session_state_e2e",
-    "warehouse_streaming_ingest_e2e",
-    "streaming_left_interval_join_e2e",
-    "streaming_restart_resume_e2e",
-    "streaming_dedup_watermark_e2e",
-    "concurrent_compact_ingest_e2e",
-    "streaming_full_outer_interval_join_e2e",
-    # --- 15 warehouse e2es (execution changed: shim) ---
-    "time_travel_cdc",
-    "predicate_delete_cdc",
-    "warehouse_split_transform_e2e",
-    "zorder_relayout_e2e",
-    "schema_evolution_e2e",
-    "constraint_quarantine_e2e",
-    "restore_version_e2e",
-    "clone_divergence_e2e",
-    "update_where_cdc_e2e",
-    "compact_small_files_e2e",
-    "vacuum_retention_e2e",
-    "rebucket_e2e",
-    "merge_into_upsert_e2e",
-    "asof_timestamp_read_e2e",
-    "fsck_integrity_e2e",
-    # --- 6 family reps (stalest greens) ---
-    "doc_length_histogram",
-    "session_window_stats",
-    "string_functions",
-    "recursive_cte_month_spine",
-    "salted_skew_join",
-    "multimodal_metadata",
+    # --- landed after the r12 window filled; never driver-verified ---
+    "anderson_darling_drift",
+    # --- the 22 norm-factored (cosine_n) r12-optimization entries ---
+    "knn_graph_bucketed",
+    "graph_pagerank_step",
+    "graph_pagerank_3iter",
+    "graph_triangle_count",
+    "graph_label_propagation",
+    "partition_modularity",
+    "hits_hub_authority",
+    "degree_assortativity",
+    "kcore_decomposition",
+    "local_clustering_coefficient",
+    "adamic_adar_linkpred",
+    "graph_common_neighbors_linkpred",
+    "jaccard_pa_linkpred",
+    "mutual_knn_pairs",
+    "knn_hubness_audit",
+    "knn_label_purity",
+    "contrastive_pair_mining",
+    "dbscan_core_census",
+    "ann_batch_topk",
+    "retrieval_eval_mrr",
+    "retrieval_eval_map",
+    "retrieval_eval_ndcg",
+    # --- entries whose execution changed in round 13 ---
+    "pseudo_relevance_feedback",
+    # --- fill to 50 with the stalest greens (r02 cohort, then r03) ---
+    "domain_mixture_weights",
+    "no_big_order_anti",
+    "order_cohort_full_outer",
+    "price_band_join",
+    "priority_multiset_diff",
+    "range_frame_revenue",
+    "rollup_priority_status",
+    "set_except_nations",
+    "set_intersect_brands",
+    "set_union_nations",
+    "top_revenue_orders",
+    "agg_stats",
+    "big_spenders_semi",
+    "bm25_relevance",
+    "cte_above_avg_customers",
+    "doc_chunking",
+    "flatten_props",
+    "full_text_relevance",
+    "grouping_sets_orders",
+    "hybrid_search_rrf",
+    "incremental_agg_maintenance",
+    "ivf_topk",
+    "json_functions",
 ]
 
 
