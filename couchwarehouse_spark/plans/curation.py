@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from couchwarehouse_spark.catalog import load_table
 from couchwarehouse_spark.plans.dedup import _shingles
 from couchwarehouse_spark.plans.registry import query, scoped_persist
+from couchwarehouse_spark.plans.sizing import data_width
 
 REP_FLAG_NUM = 50  # flag a doc when dup_trigrams/total_trigrams > 1/50
 # (1/50 calibrated to the synthetic corpus: per-doc dup fractions top out
@@ -86,7 +87,7 @@ def repetition_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate carries 20 groups.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     toks = F.split("text", " ")
     total_tri = F.when(F.size(toks) >= 3, F.size(toks) - 2).otherwise(F.lit(0))
@@ -265,7 +266,7 @@ def crossdoc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     side of the join back. The skew-robust shape wins at 100 TB.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     toks = F.split("text", " ")
     grams = F.transform(
@@ -646,7 +647,7 @@ def source_tvd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     c = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(data_width(spark, sf_dir, "documents"))
         .select("source", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("source", "term")
         .agg(F.count("*").alias("c"))
@@ -769,7 +770,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition to ≤|langs| rows before the shuffle.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     toks = F.split("text", " ")
     stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
@@ -860,7 +861,7 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     sc = (
         d.select("source", F.explode(F.split("text", " ")).alias("w"))
@@ -1233,7 +1234,7 @@ def jensen_shannon_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     c = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(data_width(spark, sf_dir, "documents"))
         .select("source", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("source", "term")
         .agg(F.count("*").cast("long").alias("c"))

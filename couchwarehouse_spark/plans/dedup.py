@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from couchwarehouse_spark.catalog import load_table
 from couchwarehouse_spark.operators.skew import salted_join
 from couchwarehouse_spark.plans.registry import query, scoped_persist, scoped_register
+from couchwarehouse_spark.plans.sizing import data_width
 
 N_MINHASH = 16  # minhash permutations
 N_BANDS = 4  # LSH bands → r = 4 rows/band; P(candidate) = 1-(1-s^4)^4
@@ -134,7 +135,7 @@ def exact_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     which would make the oracle check vacuous below that).
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     return (
         d.select(fingerprint_col().alias("fingerprint"), "doc_id")
@@ -172,7 +173,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     its two join sides so shingle hashing runs once.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )  # md5-per-shingle is compute-dense; don't let one file = one task
     fp = scoped_persist(
         d.select("source", fingerprint_col().alias("fingerprint")).distinct()
@@ -249,7 +250,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     even prefix-join fan-out is too hot.
     """
     d = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
+    par = data_width(spark, sf_dir, "documents")
     t = (
         d.repartition(par)
         .select(
@@ -449,7 +450,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_set = F.array_distinct(
         F.transform(_shingles(F.split("text", " ")), lambda s: F.xxhash64(s))
     )
-    sig = d.repartition(spark.sparkContext.defaultParallelism).select(
+    sig = d.repartition(data_width(spark, sf_dir, "documents")).select(
         "doc_id", sh_set.alias("sh"), minhash_signature(F.split("text", " ")).alias("mh")
     )
     sig = scoped_persist(sig)  # reused: band buckets + verify join sides
@@ -561,7 +562,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(data_width(spark, sf_dir, "documents"))
     )
     # Cap the signature at 32 767 tokens per doc: each packed lane
     # carries a popcount shifted up to bit 48, so the running sum
@@ -716,7 +717,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Explicit partition count: the pair shuffle is bytes-tiny
             # but compute-quadratic; without this AQE coalesces it to
             # one task (see salted_join docstring).
-            partitions=spark.sparkContext.defaultParallelism,
+            partitions=data_width(spark, sf_dir, "embeddings"),
         )
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= COSINE_DUP_THRESHOLD)
@@ -1124,7 +1125,7 @@ def duplicate_ngram_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side data, no Python, no all-pairs anything.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )  # token/gram explode is compute-dense; don't let one file = one task
     # toks feeds three consumers (grams, the word posexplode, the
     # final before-count) and grams feeds two (census + semi join):
@@ -1227,7 +1228,7 @@ def dedup_savings_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a handful). No joins, no windows, no Python.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     clusters = (
         d.select("doc_id", "n_chars", fingerprint_col().alias("fingerprint"))
@@ -1310,7 +1311,7 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     sh = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(data_width(spark, sf_dir, "documents"))
         .filter(F.size(toks) >= 3)
         .select("doc_id", F.explode(_shingles(toks)).alias("g"))
     )
@@ -1477,7 +1478,7 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     injective hash, the ``ngram_jaccard_pairs`` argument.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     toks = F.split("text", " ")
     sh = F.array_distinct(F.transform(_shingles(toks), md5_long))
@@ -1658,7 +1659,7 @@ def stop_shingle_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     own scan parallel instead.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     toks = F.split("text", " ")
     sh = (
@@ -1799,7 +1800,7 @@ def cross_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     — never doc × doc; the output is |sources|² rows.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     fp = d.select("source", "doc_id", fingerprint_col().alias("fp"))
     fp = scoped_persist(fp)  # probe side AND membership build side
@@ -1889,7 +1890,7 @@ def lsh_band_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     even where the pair stage would be quadratic.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     toks = F.split("text", " ")
     sig = d.filter(F.size(toks) >= 3).select(
@@ -1998,7 +1999,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the digest — the ``exact_dedup`` shape one level below documents.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     toks = F.split("text", " ")
     pos = d.select("doc_id", "source", F.posexplode(toks).alias("p", "tok"))
@@ -2110,7 +2111,7 @@ def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     sh_set = F.array_distinct(F.transform(_shingles(toks), lambda s: F.xxhash64(s)))
     sig = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(data_width(spark, sf_dir, "documents"))
         .filter(F.size(toks) >= 3)
         .select("doc_id", sh_set.alias("sh"), minhash_signature(toks).alias("mh"))
     )
@@ -2218,7 +2219,7 @@ def dedup_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle shape with one extra tiny aggregate.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     clusters = (
         d.select("source", fingerprint_col().alias("fp"))
@@ -2392,7 +2393,7 @@ def levenshtein_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     sig = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(data_width(spark, sf_dir, "documents"))
         .filter(F.size(toks) >= 3)
         .select("doc_id", "text", minhash_signature(toks).alias("mh"))
     )
@@ -2765,7 +2766,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller than the full shingle index for the same guarantee.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     toks = F.split("text", " ")
     hashes = F.transform(

@@ -74,15 +74,21 @@ def scoped_shuffle(spark: SparkSession, n: int):
 
 
 def query_scoped_shuffle(
-    name: str, oracle: str | None = None, *, partitions: int
+    name: str,
+    oracle: str | None = None,
+    *,
+    partitions: int | Callable[[str], int],
 ) -> Callable[[QueryFn], QueryFn]:
     """Register a query whose BODY runs under ``scoped_shuffle`` (the
     returned lazy DataFrame — a small post-run aggregate — evaluates
-    under the restored session default)."""
+    under the restored session default). ``partitions`` may be a
+    callable of ``sf_dir`` so the count derives from the input volume
+    at call time rather than a constant fixed at import time."""
 
     def deco(fn: QueryFn) -> QueryFn:
         def scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            with scoped_shuffle(spark, partitions):
+            n = partitions(sf_dir) if callable(partitions) else partitions
+            with scoped_shuffle(spark, n):
                 return fn(spark, sf_dir)
 
         scoped.__name__ = fn.__name__

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from couchwarehouse_spark.catalog import load_table
 from couchwarehouse_spark.plans.dedup import FINGERPRINT_SQL, fingerprint_col
 from couchwarehouse_spark.plans.registry import query, scoped_persist
+from couchwarehouse_spark.plans.sizing import data_width
 
 TRAIN_PCT = 80  # buckets 0-79 → train
 VAL_PCT = 10  # buckets 80-89 → val; 90-99 → test
@@ -191,7 +192,7 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Compute-dense (per-row shingle explosion): spread across cores —
     # one small parquet file would otherwise run as a single task.
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     toks = F.split("text", " ")
     sh = (
@@ -252,7 +253,7 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate on the fingerprint. Same shuffle as exact dedup.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     fp = d.select(
         fingerprint_col().alias("fingerprint"),
@@ -330,7 +331,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (boundaries come from sampling; two independent executions could
     # legally draw different cuts).
     parts = scoped_persist(
-        t.repartitionByRange(spark.sparkContext.defaultParallelism, "lang", "h")
+        t.repartitionByRange(data_width(spark, sf_dir, "documents"), "lang", "h")
         .withColumn("pid", F.spark_partition_id())
     )
     psums = parts.groupBy("pid", "lang").agg(F.sum("n_tok").alias("psum"))
@@ -523,7 +524,7 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compute-dense winnowing fingerprints so they run at session
     # parallelism (the persisted frame then serves both consumers
     # already distributed).
-    q = q.repartition(spark.sparkContext.defaultParallelism)
+    q = q.repartition(data_width(spark, sf_dir, "documents"))
     q = scoped_persist(q)  # feeds fingerprinting AND the canonical join-back
     canon = (
         q.select("doc_id", fingerprint_col().alias("f"))
@@ -1203,7 +1204,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from couchwarehouse_spark.plans.dedup import md5_long
 
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )  # one parquet file = one task; bigram hashing is compute-dense
     toks = F.split("text", " ")
     bigrams = F.transform(

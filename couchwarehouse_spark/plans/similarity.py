@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
 from couchwarehouse_spark.plans.registry import query, scoped_persist
+from couchwarehouse_spark.plans.sizing import data_width
 
 QUERY_VEC_ID = 0  # the corpus vector used as the search query
 TOP_K = 10
@@ -580,7 +581,7 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qn"),
     )
     scored = (
-        v.repartition(spark.sparkContext.defaultParallelism)
+        v.repartition(data_width(spark, sf_dir, "embeddings"))
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn(
@@ -951,8 +952,11 @@ def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine work is compute-dense but byte-light, so AQE's size-based
     # coalescing would collapse the join to one task; a user-specified
     # partition count is exempt from coalescing and the bucket join
-    # reuses the partitioning with no extra exchange.
-    par = spark.sparkContext.defaultParallelism
+    # reuses the partitioning with no extra exchange. The width derives
+    # from the INPUT VOLUME (sizing.data_width), not the CPU count — a
+    # core-count pin over-partitions KB-scale fixtures and
+    # under-partitions a real corpus.
+    par = data_width(spark, sf_dir, "embeddings")
     a = v.select(
         F.col("vec_id"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket"
     ).repartition(par, "bucket")
@@ -1479,7 +1483,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_side,
         on="cell",
         n_salts=8,
-        partitions=spark.sparkContext.defaultParallelism,
+        partitions=data_width(spark, sf_dir, "embeddings"),
     ).filter(F.col("vec_a") < F.col("vec_b"))
     cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("norm_a") * F.col("norm_b"))
     pruned = (
@@ -1781,7 +1785,7 @@ def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qn"),
     )
     scored = (
-        v.repartition(spark.sparkContext.defaultParallelism)
+        v.repartition(data_width(spark, sf_dir, "embeddings"))
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn(
@@ -2008,7 +2012,7 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket", _bucket_expr_spark("v", corpus_planes(spark, sf_dir)))
         .withColumn("nrm", norm(F.col("v")))  # 1 dot/pair via cosine_n
     )
-    par = spark.sparkContext.defaultParallelism
+    par = data_width(spark, sf_dir, "embeddings")
     a = v.select(
         "vec_id", "label", F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket"
     ).repartition(par, "bucket")
@@ -2097,7 +2101,7 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * GRAM_SCALE).cast("long"),
     )
-    v = e.repartition(spark.sparkContext.defaultParallelism).select(
+    v = e.repartition(data_width(spark, sf_dir, "embeddings")).select(
         "vec_id", q.alias("q")
     )
     a = v.select("vec_id", "q", F.posexplode("q").alias("i", "qi"))
@@ -2606,7 +2610,7 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qn"),
     )
     s = (
-        e.repartition(spark.sparkContext.defaultParallelism)
+        e.repartition(data_width(spark, sf_dir, "embeddings"))
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
@@ -2726,7 +2730,7 @@ def dbscan_core_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs); the census is a |labels|-group aggregate.
     """
     e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "embeddings")
     )
     planes = corpus_planes(spark, sf_dir)
     v = F.transform("embedding", lambda x: x.cast("double"))
@@ -2842,7 +2846,7 @@ def centroid_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny centroid table, never the corpus.
     """
     e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "embeddings")
     )
     b = e.select(
         "label",
@@ -3786,7 +3790,7 @@ def retrieval_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qn"),
     )
     scored = (
-        v.repartition(spark.sparkContext.defaultParallelism)
+        v.repartition(data_width(spark, sf_dir, "embeddings"))
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn(
@@ -4691,7 +4695,7 @@ def graph_greedy_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", norm(F.col("v")))
     )
     v = scoped_persist(v)
-    par = spark.sparkContext.defaultParallelism
+    par = data_width(spark, sf_dir, "embeddings")
 
     def knn_edges(bcol: str) -> DataFrame:
         a = v.select(

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table, register_views
 from couchwarehouse_spark.plans.registry import query, scoped_persist
+from couchwarehouse_spark.plans.sizing import data_width
 
 
 PERCENTILE_SQL = """
@@ -688,7 +689,7 @@ def bloom_filter_build_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     keys = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(data_width(spark, sf_dir, "documents"))
         .select(F.md5("text").alias("fp"))
         .distinct()
     )
@@ -789,7 +790,7 @@ def chi2_term_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     st = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(data_width(spark, sf_dir, "documents"))
         .select("source", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("source", "term")
         .agg(F.count("*").alias("a"))

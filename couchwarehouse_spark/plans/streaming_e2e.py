@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
 from couchwarehouse_spark.plans.registry import query_scoped_shuffle
+from couchwarehouse_spark.plans.sizing import state_partitions
 
 # Streaming state partitions are FIXED at a query's first run from
 # spark.sql.shuffle.partitions and each partition is a per-batch
@@ -28,21 +29,21 @@ from couchwarehouse_spark.plans.registry import query_scoped_shuffle
 # session default (32) is pure fixed overhead — ~3 stages × 32 tasks ×
 # n_batches of scheduling plus 32 HDFS-state files per operator per
 # commit. Every entry in this module therefore runs its body under a
-# scoped count of 8 (fresh checkpoints each call, so the baked-in
-# state partitioning is consistent per run; r11 verdict #2 — measured
-# at sf0.1: interval joins 21.6/21.2/21.6 s -> 6-9 s, concurrent
-# compact 30.2 -> ~18 s, hashes unchanged at sf0.01+sf0.1).
-STREAM_SHUFFLE_PARTITIONS = 8
+# VOLUME-DERIVED scoped count (sizing.state_partitions: source bytes /
+# 64 MB, floored at the measured local sweet spot of 8, env-overridable
+# — r11 verdict #2 measured the floor at sf0.1: interval joins
+# 21.6/21.2/21.6 s -> 6-9 s, concurrent compact 30.2 -> ~18 s, hashes
+# unchanged at sf0.01+sf0.1; the derivation sizes state UP with real
+# volume instead of pinning the harness constant).
 
 
 def query(name: str, oracle: str | None = None):
     """Module-local registration shim: run the whole entry body under
-    the scoped streaming shuffle-partition count (the returned lazy
-    DataFrame — a tiny post-stream aggregate over the memory sink or
-    warehouse table — evaluates under the restored session default)."""
-    return query_scoped_shuffle(
-        name, oracle, partitions=STREAM_SHUFFLE_PARTITIONS
-    )
+    the volume-derived streaming shuffle-partition count (the returned
+    lazy DataFrame — a tiny post-stream aggregate over the memory sink
+    or warehouse table — evaluates under the restored session
+    default)."""
+    return query_scoped_shuffle(name, oracle, partitions=state_partitions)
 
 
 SW_HOURS = 6  # tumbling-window width (epoch-aligned in both engines)

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
 from couchwarehouse_spark.plans.registry import query, scoped_persist
+from couchwarehouse_spark.plans.sizing import data_width
 
 # Tiny English-stopword profile for the language-ID heuristic and
 # quality scoring (public-knowledge stopword list).
@@ -332,7 +333,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-screen before MinHash (see plans.dedup).
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )  # md5-per-shingle is compute-dense; don't let one input file = one task
     toks = _tokens()
     shingle_hashes = F.transform(
@@ -389,7 +390,7 @@ def token_position_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange negligible.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     tok = d.select(
         F.posexplode(F.slice(F.split("text", " "), 1, 8)).alias("pos0", "t")
@@ -517,7 +518,7 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Compute-dense per-row explosion: widen first — one small parquet
     # file would otherwise run the whole explode as a single task.
     counts = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(data_width(spark, sf_dir, "documents"))
         .filter(F.size(toks) >= 2)
         .select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
@@ -752,7 +753,7 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     tokens = d.select(
         "doc_id", F.explode(F.array_distinct(_tokens())).alias("term")
@@ -844,7 +845,7 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     final per-lang aggregate is ~5 groups.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     toks = d.select("lang", _tokens().alias("toks"))
     bigrams = toks.select(
@@ -967,7 +968,7 @@ def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     big = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(data_width(spark, sf_dir, "documents"))
         .filter(F.size(toks) >= 2)
         .select("doc_id", F.explode(bigram_structs).alias("bg"))
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
@@ -1067,7 +1068,7 @@ def span_corruption_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     pos = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(data_width(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             "source",
@@ -1179,7 +1180,7 @@ def kn_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     types = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(data_width(spark, sf_dir, "documents"))
         .filter(F.size(toks) >= 2)
         .select(F.explode(bigram_structs).alias("bg"))
         .select("bg.w1", "bg.w2")
@@ -1539,7 +1540,7 @@ def stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ones); per-language reduce carries |langs| groups.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )  # one parquet file = one task; per-row bigram work is compute-dense
     from couchwarehouse_spark.plans.sampling import _split_bucket
 
@@ -2037,7 +2038,7 @@ def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     language.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     from couchwarehouse_spark.plans.sampling import _split_bucket
 
@@ -2198,7 +2199,7 @@ def collocation_llr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     c12 = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(data_width(spark, sf_dir, "documents"))
         .filter(F.size(toks) >= 2)
         .select(F.explode(bigram_structs).alias("bg"))
         .select("bg.w1", "bg.w2")
@@ -2293,7 +2294,7 @@ def positional_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     pos = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(data_width(spark, sf_dir, "documents"))
         .select("source", F.size(toks).alias("n"), F.posexplode(toks))
         .select(
             "source",
@@ -2376,7 +2377,7 @@ def good_turing_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.concat_ws(" ", a, b),
     )
     tf = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(data_width(spark, sf_dir, "documents"))
         .filter(F.size(toks) >= 2)
         .select(F.explode(bigram_structs).alias("g"))
         .groupBy("g")
@@ -2808,7 +2809,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     bg = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(data_width(spark, sf_dir, "documents"))
         .filter(F.size(toks) >= 2)
         .select(F.explode(bigrams).alias("bigram"))
         .select(
@@ -2987,7 +2988,7 @@ def term_burstiness_adaptation(spark: SparkSession, sf_dir: str) -> DataFrame:
     heap.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     dt = (
         d.select("doc_id", F.explode(_tokens()).alias("term"))
@@ -3071,7 +3072,7 @@ def msttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     pos = d.select(
         "source",
@@ -3134,7 +3135,7 @@ def yule_k_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heavy lifting.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        data_width(spark, sf_dir, "documents")
     )
     wc = (
         d.select("source", F.explode(F.split("text", " ")).alias("w"))

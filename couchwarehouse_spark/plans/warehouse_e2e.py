@@ -25,22 +25,24 @@ from pyspark.sql import functions as F
 
 from couchwarehouse_spark.catalog import load_table
 from couchwarehouse_spark.plans.registry import query_scoped_shuffle
+from couchwarehouse_spark.plans.sizing import data_width, state_partitions
 from couchwarehouse_spark.warehouse import Warehouse
 
 # The spool/merge pipelines in this module run over bounded e2e
 # fixtures (hundreds-to-thousands of rows): the session's 32 shuffle
 # partitions are fixed per-task overhead for every merge window and
-# join inside Warehouse. Same scoped-count discipline as the
-# streaming e2es (r11 verdict #2); oracle hashes are partitioning-
-# invariant and re-proven at sf0.01+sf0.1 with this change.
-WH_SHUFFLE_PARTITIONS = 8
+# join inside Warehouse. Same volume-derived scoped-count discipline
+# as the streaming e2es (sizing.state_partitions — source bytes/64 MB,
+# floor 8, env-overridable; r11 verdict #2 measured the floor); oracle
+# hashes are partitioning-invariant and re-proven at sf0.01+sf0.1.
 
 
 def query(name: str, oracle: str | None = None):
     """Module-local registration shim: run the whole entry body under
-    the scoped shuffle-partition count (the returned lazy census
-    aggregate evaluates under the restored session default)."""
-    return query_scoped_shuffle(name, oracle, partitions=WH_SHUFFLE_PARTITIONS)
+    the volume-derived scoped shuffle-partition count (the returned
+    lazy census aggregate evaluates under the restored session
+    default)."""
+    return query_scoped_shuffle(name, oracle, partitions=state_partitions)
 
 AMEND = 7  # orders with o_orderkey % 7 == 0 get amended (status overwrite)
 DELETE = 10  # orders with o_orderkey % 10 == 0 get tombstoned
@@ -75,7 +77,7 @@ def _build_feed(
     orders = load_table(spark, sf_dir, "orders")
     if subset is not None:
         orders = orders.filter(F.col("o_orderkey") % subset == 0)
-    orders = orders.repartition(spark.sparkContext.defaultParallelism)
+    orders = orders.repartition(data_width(spark, sf_dir, "orders"))
     doc = F.struct(
         F.concat(F.lit("order"), F.col("o_orderkey").cast("string")).alias("_id"),
         F.lit("1-x").alias("_rev"),
@@ -141,7 +143,7 @@ def _build_two_phase_feeds(
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % subset == 0)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(data_width(spark, sf_dir, "orders"))
     )
     doc = F.struct(
         F.concat(F.lit("order"), F.col("o_orderkey").cast("string")).alias("_id"),
@@ -438,7 +440,7 @@ def warehouse_split_transform_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % ST_SUBSET == 0)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(data_width(spark, sf_dir, "orders"))
     )
     kind = F.when(F.col("o_totalprice") >= ST_CUT, "large").otherwise("small")
 
@@ -589,7 +591,7 @@ def _build_evolution_feeds(
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % subset == 0)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(data_width(spark, sf_dir, "orders"))
     )
     doc = F.struct(
         F.concat(F.lit("order"), F.col("o_orderkey").cast("string")).alias("_id"),
@@ -1050,7 +1052,7 @@ def _build_insert_wave(
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % subset == 0)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(data_width(spark, sf_dir, "orders"))
     )
     doc = F.struct(
         F.concat(F.lit(prefix), F.col("o_orderkey").cast("string")).alias("_id"),
