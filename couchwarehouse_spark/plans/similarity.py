@@ -18,6 +18,9 @@ centroids instead of random planes.
 
 from __future__ import annotations
 
+import math
+import warnings
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -4776,8 +4779,18 @@ def graph_greedy_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         unexp = [
             (vid, c) for vid, (c, _) in visited.items() if vid not in expanded
         ]
-        # Same total order as the distributed orderBy(c DESC, vec_id).
-        unexp.sort(key=lambda t: (-t[1], t[0]))
+        # Same total order as the distributed orderBy(c DESC, vec_id),
+        # INCLUDING Spark's NaN-greatest rule: a zero-norm vector scores
+        # NaN (0/0), which Spark's descending order ranks first, while a
+        # raw Python comparison with NaN is undefined under Timsort —
+        # rank NaN explicitly ahead of every finite score.
+        unexp.sort(
+            key=lambda t: (
+                not math.isnan(t[1]),
+                -t[1] if not math.isnan(t[1]) else 0.0,
+                t[0],
+            )
+        )
         frontier = [vid for vid, _ in unexp[:GS_BEAM]]
         expanded.update(frontier)
         cand_rows = (
@@ -4792,7 +4805,18 @@ def graph_greedy_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             # first-discovery hop wins (the old left_anti on visited)
             if row["vec_id"] not in visited:
                 visited[row["vec_id"]] = (row["c"], r)
-        assert len(visited) <= bound, (len(visited), bound)
+        if len(visited) > bound:
+            # The parameter bound assumes out-degree ≤ GS_GRAPH_K per
+            # direction, but symmetrization adds IN-degree, which a kNN
+            # graph does not bound — on hub-heavy distributions a
+            # frontier node can exceed 4·GS_GRAPH_K neighbors. That is
+            # more driver rows than budgeted, not a wrong answer: warn,
+            # don't crash an entry the distributed loop completed fine.
+            warnings.warn(
+                f"greedy-search visited set {len(visited)} exceeds the "
+                f"parameter bound {bound} (hub-heavy kNN graph)",
+                stacklevel=2,
+            )
     # Re-emit the bounded visited set as a literal relation (VALUES,
     # not createDataFrame(rows): no Python-RDD scan) and keep the
     # final top-k ordering + rounding in Spark — identical

@@ -877,8 +877,14 @@ class Warehouse:
             if fp not in self._seq_stat_cache:
                 try:
                     self._seq_stat_cache[fp] = _parquet_seq_max(fp)
-                except OSError:
-                    self._seq_stat_cache[fp] = None
+                except (OSError, ValueError):
+                    # pyarrow raises ArrowInvalid (a ValueError) for a
+                    # footer it cannot parse; don't cache the failure —
+                    # a transient read error retries the footer probe
+                    # on the next call instead of pinning this file to
+                    # the scan path for the Warehouse's lifetime.
+                    missing.append(fp)
+                    continue
             m = self._seq_stat_cache[fp]
             if m is None:
                 missing.append(fp)
