@@ -1241,10 +1241,15 @@ def pseudo_relevance_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = scoped_persist(
         tok.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    g = dl.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
+    # dl rides the doc_id exchange the scoring join needed anyway
+    # (guide §2.4 shared exchange): the previous dl = groupBy(doc_id)
+    # aggregate + join re-shuffled tf a second time; a whole-partition
+    # window sum produces the identical integer on one exchange. The
+    # one-row corpus stats likewise fold into a single aggregate over
+    # tf (n_docs = distinct doc_id, sum_dl = Σtf — the same integers).
+    g = tf.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("tf").cast("long").alias("sum_dl"),
     )
     df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -1254,7 +1259,9 @@ def pseudo_relevance_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         + BM25_B * F.col("dl") * F.col("n_docs") / F.col("sum_dl").cast("double")
     )
     contrib = scoped_persist(
-        tf.join(dl, "doc_id")
+        tf.withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("long")
+        )
         .join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(g))
         .select(
