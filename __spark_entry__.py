@@ -186,8 +186,14 @@ PRIORITY = [
     "retrieval_eval_mrr",
     "retrieval_eval_map",
     "retrieval_eval_ndcg",
-    # --- entries whose execution changed in round 13 ---
+    # --- entries whose execution changed in round 13 (data-derived
+    # pair-join widths; PRF stage collapse) ---
     "pseudo_relevance_feedback",
+    "graph_greedy_search_topk",
+    "greedy_search_recall_audit",
+    "semdedup_prune",
+    "embedding_gram_matrix",
+    "centroid_shift_drift",
     # --- fill to 50 with the stalest greens (r02 cohort, then r03) ---
     "domain_mixture_weights",
     "no_big_order_anti",
@@ -207,11 +213,6 @@ PRIORITY = [
     "doc_chunking",
     "flatten_props",
     "full_text_relevance",
-    "grouping_sets_orders",
-    "hybrid_search_rrf",
-    "incremental_agg_maintenance",
-    "ivf_topk",
-    "json_functions",
 ]
 
 
