@@ -202,17 +202,21 @@ PRIORITY = [
     "priority_multiset_diff",
     "range_frame_revenue",
     "rollup_priority_status",
-    "set_except_nations",
-    "set_intersect_brands",
-    "set_union_nations",
-    "top_revenue_orders",
-    "agg_stats",
-    "big_spenders_semi",
     "bm25_relevance",
     "cte_above_avg_customers",
     "doc_chunking",
     "flatten_props",
     "full_text_relevance",
+    # --- one-rep-per-family mandate (tests/test_registry_contract.py::
+    # test_window_covers_every_family): the six families the blocks
+    # above don't reach, each represented by its STALEST green (last
+    # driver-verified round in parentheses) ---
+    "multimodal_frame_sample",   # multimodal_plan (r5)
+    "json_functions",            # scalar (r3)
+    "sliding_window_counts",     # events_windows (r3)
+    "deterministic_split",       # sampling (r3)
+    "near_dup_clusters",         # dedup (r3)
+    "salted_skew_aggregate",     # skew_plan (r4)
 ]
 
 

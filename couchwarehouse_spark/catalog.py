@@ -37,10 +37,54 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Lazy scan-relation memo, keyed weakly by SparkSession. Every
+# ``spark.read.parquet(path)`` resolves the datasource from scratch:
+# file listing plus parquet footer schema inference, 0.3-2 s of pure
+# driver/metadata work per call on this host — and the registry's
+# ~400 entries make ~1000 load_table calls per bench session over the
+# same ten immutable fixture files. A real warehouse defines each
+# table once in a catalog and reuses the relation; this memo is that,
+# in code. Only the LAZY DataFrame handle is reused — nothing is
+# persisted or materialized, its plan is identical to a fresh read,
+# and every action still computes from the parquet input. Entries die
+# with their session (weak key). A cheap os.stat fingerprint of the
+# table path (file size + mtime; for a directory, its direct entries)
+# guards the handle: a REWRITTEN table re-resolves instead of serving
+# a stale relation (unit fixtures overwrite tmp tables in place — the
+# driver fixtures never change, so they always hit the memo).
+from weakref import WeakKeyDictionary
+
+_SCAN_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
+def _path_fingerprint(path: str):
+    """(size, mtime_ns) of ``path``; for a directory, the sorted same
+    for each direct entry. None (never memo-hit) when unreadable."""
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_size, st.st_mtime_ns)
+        return tuple(
+            sorted(
+                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                for e in os.scandir(path)
+            )
+        )
+    except OSError:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    memo = _SCAN_MEMO.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    fp = _path_fingerprint(path)
+    hit = memo.get(key)
+    if hit is not None and fp is not None and hit[0] == fp:
+        return hit[1]
+    df = spark.read.parquet(path)
     if name == "events":
         # events.ts may be parquet TIMESTAMP(NANOS): with
         # spark.sql.legacy.parquet.nanosAsLong it would arrive as long
@@ -57,6 +101,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP_NTZ (the TIMESTAMP_MICROS case) is left as-is: the
         # session TZ is UTC so NTZ semantics already match the DuckDB
         # oracle's naive timestamps, and event-time windows accept NTZ.
+    if fp is not None:
+        memo[key] = (fp, df)
     return df
 
 
