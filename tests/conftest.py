@@ -87,3 +87,42 @@ try:
     )
 except ImportError:  # hypothesis optional for non-property runs
     pass
+
+
+# -- Fast lane (r12 verdict #2: the driver's pytest gate must COMPLETE
+# within its verify budget; the full suite has grown to ~32 min) ------
+# Default runs deselect the tests recorded slowest in
+# tests/fast_lane_skip.json (every node whose measured call+setup+
+# teardown time was >= 2 s in the committed full-suite timing run,
+# tests/test_durations.json, with the cheapest test of each file and
+# the registry-contract tests always kept). The FULL suite remains one
+# env var away and is the builder-loop default before every round
+# close:
+#     SPARK_GRAFT_FULL_TESTS=1 python -m pytest tests/ -q
+# Regenerate the manifests after adding slow tests:
+#     SPARK_GRAFT_FULL_TESTS=1 python -m pytest tests/ -q --durations=0
+# then rebuild the two JSON files from the durations block.
+def pytest_collection_modifyitems(config, items):
+    if _os.environ.get("SPARK_GRAFT_FULL_TESTS"):
+        return
+    import json
+    import pathlib
+
+    manifest = pathlib.Path(__file__).parent / "fast_lane_skip.json"
+    if not manifest.exists():
+        return
+    skip = set(json.loads(manifest.read_text()))
+    keep = [it for it in items if it.nodeid not in skip]
+    drop = [it for it in items if it.nodeid in skip]
+    if drop:
+        config.hook.pytest_deselected(items=drop)
+        items[:] = keep
+
+
+def pytest_report_header(config):
+    if _os.environ.get("SPARK_GRAFT_FULL_TESTS"):
+        return "test lane: FULL (SPARK_GRAFT_FULL_TESTS=1)"
+    return (
+        "test lane: FAST (recorded-slow tests deselected; "
+        "SPARK_GRAFT_FULL_TESTS=1 for the full suite)"
+    )
